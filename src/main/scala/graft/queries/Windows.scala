@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsofJoin
+
+/** Window functions, event-stream analytics, AS-OF / range joins, pivot,
+  * JSON extraction (SURVEY.md §2B rows: window functions, joins ASOF/range,
+  * JSON functions).
+  *
+  * Oracle note: `events.ts` is TIMESTAMP(NANOS) in parquet; Spark reads it
+  * as long-nanos and truncates to micros (Tables.load), so every oracle
+  * query goes through a CTE that `cast(ts AS timestamp)`s — DuckDB's
+  * ns→µs truncation — keeping both engines on identical µs values.
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Oracle CTE aligning DuckDB's view of events with Spark's (µs ts). */
+  private val E =
+    """WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts, user_id,
+      |               event_type, value, props FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-N per group via row_number (raw doubles: exact cross-engine).
+    "q24_window_topn" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy("y", "m")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy("y", "m", "rn")
+    }),
+
+    // Running (cumulative) sum — classic prefix aggregation frame.
+    "q25_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // lag/lead over an event stream.
+    "q26_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          lag("event_type", 1).over(w).as("prev_type"),
+          lead("event_type", 1).over(w).as("next_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Moving average over a bounded ROWS frame.
+    "q27_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(avg("value").over(w), 4).as("mov_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ntile bucketing + per-bucket aggregate.
+    "q28_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_totalprice"), ntile(4).over(w).as("tile"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+        .orderBy("tile")
+    }),
+
+    // first_value / last_value over the full-partition frame.
+    "q29_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // JSON extraction from a string column (props = {"k": int}).
+    "q30_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k").cast("long")).as("sum_k"),
+          count(when(col("k") > 50, lit(1))).as("n_high"))
+        .orderBy("event_type")
+    }),
+
+    // Sessionization: 30-min-gap session assignment via lag + cumulative
+    // sum — the standard single-shuffle formulation.
+    "q31_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(cum))
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // AS-OF join (custom operator — graft.operators.AsofJoin): for each
+    // click, the user's most recent purchase at or before it.
+    "q32_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      // dedupe right per (user, ts) so ties are deterministic in both engines
+      val w = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event"), col("value").as("p_value"))
+        .withColumn("rn", row_number().over(w.orderBy(col("p_event").desc)))
+        .where(col("rn") === 1).drop("rn")
+      AsofJoin.backward(clicks, purchases,
+        keyL = "user_id", timeL = "ts", keyR = "user_id", timeR = "ts",
+        rightCols = Seq("p_event", "p_value"))
+        .select("event_id", "user_id", "p_event", "p_value")
+        .orderBy("event_id")
+    }),
+
+    // Range join with an equi key (hash join + residual range filter —
+    // no cross product at scale).
+    "q33_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      c.join(p, col("cu") === col("pu") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("cu").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // Pivot (event_type → columns).
+    "q34_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_window_topn" -> """
+      SELECT * FROM (
+        SELECT cast(year(o_orderdate) AS int) AS y,
+               cast(month(o_orderdate) AS int) AS m,
+               o_orderkey, o_totalprice,
+               cast(row_number() OVER (PARTITION BY year(o_orderdate), month(o_orderdate)
+                    ORDER BY o_totalprice DESC, o_orderkey) AS int) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY y, m, rn""",
+    "q25_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q26_lead_lag" -> (E + """
+      SELECT user_id, event_id,
+             lag(event_type, 1) OVER w AS prev_type,
+             lead(event_type, 1) OVER w AS next_type
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""),
+    "q27_moving_avg" -> (E + """
+      SELECT user_id, event_id,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+      FROM e ORDER BY user_id, event_id"""),
+    "q28_ntile" -> """
+      SELECT tile, count(*) AS n, round(sum(o_totalprice), 2) AS tot
+      FROM (SELECT o_totalprice,
+              cast(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS int) AS tile
+            FROM orders)
+      GROUP BY tile ORDER BY tile""",
+    "q29_first_last" -> (E + """
+      SELECT DISTINCT user_id,
+             first_value(event_type) OVER w AS first_type,
+             last_value(event_type) OVER w AS last_type
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id"""),
+    "q30_json_extract" -> """
+      SELECT event_type,
+             cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS bigint) AS sum_k,
+             count(CASE WHEN cast(json_extract_string(props, '$.k') AS int) > 50 THEN 1 END) AS n_high
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q31_sessionize" -> (E + """
+      , g AS (
+        SELECT user_id, event_id, ts,
+               lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM e),
+      sess AS (
+        SELECT user_id, event_id,
+               CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM g),
+      numbered AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM sess)
+      SELECT user_id, cast(max(session_id) AS bigint) AS n_sessions,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id ORDER BY user_id"""),
+    "q32_asof_join" -> (E + """
+      , clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, event_id AS p_event, value AS p_value
+        FROM (SELECT user_id, ts, event_id, value,
+                row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+              FROM e WHERE event_type = 'purchase')
+        WHERE rn = 1)
+      SELECT c.event_id, c.user_id, p.p_event, p.p_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""),
+    "q33_range_join" -> (E + """
+      , c AS (SELECT user_id AS cu, ts AS cts FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id AS pu, ts AS pts FROM e WHERE event_type = 'purchase')
+      SELECT cu AS user_id, count(*) AS n_pairs
+      FROM c JOIN p ON cu = pu AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+      GROUP BY cu ORDER BY user_id"""),
+    "q34_pivot" -> """
+      SELECT user_id,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+      FROM events GROUP BY user_id ORDER BY user_id"""
+  )
+}
