@@ -21,12 +21,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Windows.queries
+      graft.queries.Windows.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.Windows.oracle
+      graft.queries.Windows.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.VectorQueries.oracle
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID (stopword heuristic).
+  *
+  * All are compositions of codegen'd `org.apache.spark.sql.functions`
+  * (split / higher-order array functions / regexp) — no UDFs — so they
+  * stay inside WholeStageCodegen and scale linearly with no shuffle.
+  * Ratios are exact integer-count divisions (bit-identical across
+  * engines), which is what makes them oracle-testable.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: alphanumeric runs + individual
+    * non-alphanumeric, approximating byte-pair token counts without a
+    * vocab (the usual len/4-style heuristic is cruder).
+    */
+  def wordPieceCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Characters that are not letters/digits/whitespace, as a ratio of
+    * total length (0 for empty).
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(lower(text), lit("[^a-z0-9\\s]"), lit(0)))
+        .cast("double") / length(text))
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "this", "that", "be")
+  val DeStopwords: Seq[String] = Seq(
+    "der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "es",
+    "für", "auf", "mit", "als", "bei", "aus", "dies", "dass", "sein", "ein")
+  val FrStopwords: Seq[String] = Seq(
+    "le", "la", "les", "et", "ou", "de", "à", "dans", "est", "il",
+    "pour", "sur", "avec", "comme", "chez", "par", "ce", "que", "être", "un")
+
+  /** Fraction of tokens found in `stopwords` (exact count/count division
+    * — deterministic across engines).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards natural stopword density
+    * and mid-length documents, penalizes punctuation soup. The exact
+    * weights are heuristic; the shape follows public quality-filtering
+    * practice (C4/Gopher-style length+stopword+symbol rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val stop = stopwordRatio(text, EnStopwords)
+    val punct = punctRatio(text)
+    val nTok = tokenCount(text)
+    val lengthOk = when(nTok >= 10 && nTok <= 10000, lit(1.0))
+      .otherwise(lit(0.0))
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.4) * lengthOk + lit(0.4) * least(lit(1.0), stop * 4) +
+        lit(0.2) * (lit(1.0) - least(lit(1.0), punct * 5))))
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword density over
+    * en/de/fr, 'und' (undetermined) when every score is zero. Ties break
+    * en > de > fr (>= comparisons), identically in the oracle.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordRatio(text, EnStopwords)
+    val de = stopwordRatio(text, DeStopwords)
+    val fr = stopwordRatio(text, FrStopwords)
+    when(en === 0.0 && de === 0.0 && fr === 0.0, lit("und"))
+      .when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+}

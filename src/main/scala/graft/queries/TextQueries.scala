@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Fingerprints, TextFunctions => TF}
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication surface over the `documents` table:
+  * token/quality/language statistics, exact & normalized dedup, and the
+  * sketch family (MinHash+LSH, SimHash, exact n-gram Jaccard,
+  * winnowing fingerprints).
+  *
+  * Sketch queries run over a planted corpus: `documents` plus
+  * deterministic near-duplicate copies (doc_id + 1_000_000, text +
+  * a short tail), so correctness is observable (the planted pairs must
+  * surface) and oracle-checkable where the math is exact.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents ∪ near-duplicate copies of doc_id < 100. */
+  private def planted(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).where(col("doc_id") < 2000)
+      .select("doc_id", "text")
+    val dupes = base.where(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail marker")).as("text"))
+    base.unionByName(dupes)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace + BPE-ish subword proxy.
+    "qt01_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.wordPieceCount(col("text")).as("n_pieces"),
+        round(length(regexp_replace(col("text"), "\\s", ""))
+          .cast("double") / TF.tokenCount(col("text")), 4).as("mean_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: stopword density, punctuation ratio, composite.
+    "qt02_quality" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        round(TF.stopwordRatio(col("text"), TF.EnStopwords), 4).as("stop_ratio"),
+        round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TF.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID (stopword-density argmax) vs the labeled lang column.
+    "qt03_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), TF.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // Exact dedup: one shuffle on the md5 digest.
+    "qt04_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(planted(s, dir), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // Normalized dedup (lower/trim/collapse-whitespace first).
+    "qt05_dedup_norm" -> ((s, dir) => {
+      Dedup.normalized(
+        planted(s, dir).withColumn("text",
+          when(col("doc_id") % 2 === 0, upper(col("text")))
+            .otherwise(concat(lit("  "), col("text")))),
+        "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // Winnowing fingerprint (custom codegen'd Catalyst expression) —
+    // duplicate fingerprint groups. No SQL oracle (rows-only).
+    "qt06_fingerprint" -> ((s, dir) => {
+      planted(s, dir)
+        .select(col("doc_id"), Fingerprints.fingerprint(s, col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+        .orderBy("keep_id")
+    }),
+
+    // MinHash + LSH banding near-dup pairs (rows-only; recall proven in
+    // the ScalaTest spec against the planted pairs).
+    "qt07_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(planted(s, dir), "doc_id", "text",
+          numHashes = 64, bands = 16, shingle = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs at Hamming <= 3 (rows-only + spec).
+    "qt08_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact n-gram Jaccard pairs — fully oracle-checkable (exact set
+    // math, no sketching).
+    "qt09_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(planted(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = 100)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  /** Oracle corpus CTE mirroring [[planted]]. */
+  private val P =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+      | corpus AS (
+      |   SELECT doc_id, text FROM base
+      |   UNION ALL
+      |   SELECT doc_id + 1000000 AS doc_id,
+      |          text || ' near duplicate tail marker' AS text
+      |   FROM base WHERE doc_id < 100)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private val stopRatio =
+    s"""(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       | len(list_filter(toks, t -> t IN (${inList(graft.functions.TextFunctions.EnStopwords)})))::DOUBLE / len(toks) END)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "qt01_token_stats" -> """
+      WITH d AS (SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+                 FROM documents)
+      SELECT doc_id, cast(len(toks) AS int) AS n_tokens,
+             cast(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS int) AS n_pieces,
+             round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len(toks), 4) AS mean_tok_len
+      FROM d ORDER BY doc_id""",
+    "qt02_quality" -> s"""
+      WITH d AS (SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+              $stopRatio AS stop_r,
+              (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END) AS punct_r,
+              len(toks) AS n_tok
+            FROM d)
+      SELECT doc_id, round(stop_r, 4) AS stop_ratio,
+             round(punct_r, 4) AS punct_ratio,
+             round(least(1.0, greatest(0.0,
+               0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+               + 0.4 * least(1.0, stop_r * 4)
+               + 0.2 * (1.0 - least(1.0, punct_r * 5)))), 4) AS quality
+      FROM m ORDER BY doc_id""",
+    "qt03_langid" -> s"""
+      WITH d AS (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                 FROM documents),
+      sc AS (SELECT lang,
+               $stopRatio AS en,
+               (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, t -> t IN (${inList(graft.functions.TextFunctions.DeStopwords)})))::DOUBLE / len(toks) END) AS de,
+               (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 len(list_filter(toks, t -> t IN (${inList(graft.functions.TextFunctions.FrStopwords)})))::DOUBLE / len(toks) END) AS fr
+             FROM d)
+      SELECT lang,
+             CASE WHEN en = 0.0 AND de = 0.0 AND fr = 0.0 THEN 'und'
+                  WHEN en >= de AND en >= fr THEN 'en'
+                  WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred,
+             count(*) AS n
+      FROM sc GROUP BY 1, 2 ORDER BY lang, pred""",
+    "qt04_dedup_exact" -> (P + """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM corpus GROUP BY md5(text) ORDER BY content_hash"""),
+    "qt05_dedup_norm" -> (P + """
+      , mutated AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                    ELSE '  ' || text END AS text
+        FROM corpus),
+      normed AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS text
+        FROM mutated)
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM normed GROUP BY md5(text) ORDER BY content_hash"""),
+    "qt09_ngram_jaccard" -> (P + """
+      , toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      capped AS (SELECT * FROM (
+          SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM grams)
+        WHERE df <= 100),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+      ORDER BY id_a, id_b""")
+  )
+}
