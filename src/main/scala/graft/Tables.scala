@@ -18,12 +18,15 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
-    // micros — identical to DuckDB's `cast(ts AS timestamp)` (ns → µs).
+    // rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and floor-divide
+    // to micros — identical to DuckDB's `cast(ts AS timestamp)` (ns → µs).
+    // Scoped to the events table only: a genuine long `ts` in any other
+    // table must pass through untouched (ADVICE r1).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
     df.schema.fields.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+      case Some(f) if name == "events" &&
+          f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       case _ => df
     }

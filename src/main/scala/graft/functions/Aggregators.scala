@@ -37,6 +37,8 @@ object Aggregators {
     * OUT = Seq[Long] of `n` per-hash-function minima.
     */
   class MinHash(n: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(n > 0 && n <= seeds.length,
+      s"numHashes must be in [1, ${seeds.length}], got $n")
     def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
     def reduce(b: Array[Long], a: Long): Array[Long] = {
       var i = 0

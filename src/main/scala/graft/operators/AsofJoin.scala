@@ -40,10 +40,18 @@ object AsofJoin {
     val lPayload = struct(leftCols.map(col): _*)
     val rPayload = struct(rightCols.map(col): _*)
 
+    // SQL ASOF semantics: a right row with a NULL key or NULL timestamp
+    // never matches anything. Without this filter the ascending window
+    // sort would put null-time right rows FIRST, making one the standing
+    // match for every left row in its key (ADVICE r1). Left rows with a
+    // null time sort before all right rows → correctly match nothing.
+    val rightClean = right
+      .where(col(keyR).isNotNull && col(timeR).isNotNull)
+
     val l2 = left.select(
       col(keyL).as("__k"), col(timeL).as("__t"), lit(1).as("__tag"),
       lPayload.as("__lp"), lit(null).cast(right.select(rPayload).schema.head.dataType).as("__rp"))
-    val r2 = right.select(
+    val r2 = rightClean.select(
       col(keyR).as("__k"), col(timeR).as("__t"), lit(0).as("__tag"),
       lit(null).cast(left.select(lPayload).schema.head.dataType).as("__lp"), rPayload.as("__rp"))
 

@@ -59,24 +59,24 @@ object Dedup {
       .groupBy("id").agg(mh(col("sh")).as("sig"))
   }
 
-  /** MinHash + LSH banding near-duplicate pairs.
+  /** MinHash + LSH banding CANDIDATE pairs: distinct (id_a, id_b) that
+    * share at least one band bucket. The shuffle payload after banding
+    * is (band, bucket-hash, id) only — signatures are NOT carried
+    * through the self-join (VERDICT r1: attach payloads once per
+    * surviving pair, not once per collision).
     *
-    * @param bands       number of LSH bands (numHashes % bands == 0)
-    * @param threshold   estimated-Jaccard cutoff (fraction of equal
-    *                    signature slots)
-    * @param maxBucket   drop degenerate buckets larger than this (stop
-    *                    boilerplate; bounds worst-case pair fan-out)
-    * @return (id_a, id_b, est_jaccard) with id_a < id_b
+    * @param maxBucket drop degenerate buckets larger than this (stop
+    *                  boilerplate; bounds worst-case pair fan-out)
     */
-  def minhashLsh(
+  def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 3,
-      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
 
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
@@ -84,19 +84,88 @@ object Dedup {
     val bucketed = banded.withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band", "bh")))
       .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
 
-    val a = bucketed.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bucketed.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    bucketed.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bucketed.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
 
-    a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+  /** MinHash + LSH banding near-duplicate pairs with the ESTIMATED
+    * Jaccard (fraction of equal signature slots) as the measure.
+    * Signatures are attached once per candidate pair (two narrow joins
+    * after the id-only distinct).
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingle: Int = 3,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
+    minhashLshCandidates(df, idCol, textCol, numHashes, bands, shingle, maxBucket)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Distinct word-n-gram hash set per document as ONE array column —
+    * computed row-local (`array_distinct`), zero shuffle. The building
+    * block for exact-Jaccard verification of sketch candidates.
+    */
+  def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(shingleHashes(col(textCol), n)).as("gs"))
+
+  /** EXACT (uncapped) n-gram Jaccard for an explicit candidate-pair set:
+    * gram sets are attached by id (one narrow join per side), then
+    * intersection/union run row-local over the two arrays. Cost is
+    * |pairs| × gram-set size — linear in candidates, which is the whole
+    * point of sketch-then-verify at 100 TB.
+    *
+    * @param pairs (id_a, id_b)
+    * @return (id_a, id_b, jaccard) — exact set Jaccard, no df-capping
+    */
+  def exactJaccardFor(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val g = gramSets(docs, idCol, textCol, n)
+    pairs
+      .join(g.select(col("id").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("gs").as("gs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("gs_a"), col("gs_b"))).cast("double") /
+          size(array_union(col("gs_a"), col("gs_b")))).as("jaccard"))
+  }
+
+  /** Winnowing-fingerprint CANDIDATE pairs: distinct (id_a, id_b)
+    * sharing at least one winnowed k-gram minimum
+    * (graft.functions.Fingerprints.winnowSet — Schleimer/Wilkerson/
+    * Aiken, SIGMOD'03). By the winnowing guarantee, any pair sharing a
+    * substring of length >= w + k - 1 chars collides. Inverted-index
+    * self-join over fingerprints with document-frequency capping
+    * (boilerplate fingerprints add fan-out, not signal).
+    */
+  def winnowCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, maxDf: Int = 100): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+        explode(graft.functions.Fingerprints.winnowSetCol(
+          df.sparkSession, col(textCol), k, w)).as("fp"))
+      .distinct()
+    val capped = fps.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("df") <= maxDf).drop("df")
+    capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** SimHash signatures: (id, sig: 64-bit Long). */
@@ -109,32 +178,52 @@ object Dedup {
       .groupBy("id").agg(sh(col("th")).as("sig"))
   }
 
-  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming
-    * (must be <= blocks-1 = 3 for the pigeonhole candidate generation
-    * to be exhaustive). Returns (id_a, id_b, hamming).
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
+    * Pigeonhole candidate generation: split the 64-bit signature into
+    * `blocks` equal blocks — any pair at Hamming <= blocks-1 must agree
+    * on at least one whole block, so the block-equality self-join is
+    * EXHAUSTIVE for maxHamming < blocks. The self-join carries only
+    * (block, value, id); signatures are re-attached per candidate pair.
+    * Returns (id_a, id_b, hamming).
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "block trick covers hamming <= 3 with 4 blocks")
+      maxHamming: Int = 3, blocks: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    require(maxHamming < blocks,
+      s"pigeonhole with $blocks blocks is exhaustive only for hamming < $blocks")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhashSignatures(df, idCol, textCol)
-    val blocked = sigs.select(col("id"), col("sig"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+    val blocked = sigs.select(col("id"),
+        posexplode(array((0 until blocks).map(b =>
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
-    val a = blocked.select(col("blk"), col("bv"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = blocked.select(col("blk"), col("bv"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("blk", "bv")).where(col("id_a") < col("id_b"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("blk", "bv")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cands = blocked.select(col("blk"), col("bv"), col("id").as("id_a"))
+      .join(blocked.select(col("blk"), col("bv"), col("id").as("id_b")),
+        Seq("blk", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs sharing at
-    * least one (non-stop) shingle — inverted-index self-join.
+  /** n-gram Jaccard similarity for candidate pairs sharing at least one
+    * (non-stop) shingle — inverted-index self-join.
+    *
+    * NOTE: with `maxDf` capping, intersections are counted over the
+    * capped gram set while set sizes use the uncapped sets, so the
+    * score is a LOWER BOUND on true Jaccard (stop-shingles can only
+    * remove shared grams). For the exact measure over an explicit
+    * candidate set use [[exactJaccardFor]].
     *
     * @param maxDf drop shingles occurring in more than maxDf docs
     *              (stop-shingles: they only add join fan-out)

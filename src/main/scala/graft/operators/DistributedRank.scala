@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global ranking primitives without the single-partition window
+  * anti-pattern (`Window.orderBy` with no partition moves ALL rows to
+  * one task — the exact failure mode flagged for q28 at sf0.1, fatal at
+  * 100 TB).
+  *
+  * Technique (the standard two-pass distributed rank):
+  *  1. `repartitionByRange` on the sort key → P range partitions, each
+  *     internally unordered but globally ordered across partitions;
+  *  2. per-partition `row_number` (window partitioned by partition id —
+  *     P-way parallel, no global shuffle to one task);
+  *  3. driver collects the P partition counts (P rows — metadata-sized)
+  *     and turns them into prefix offsets;
+  *  4. global row number = offset(pid) + local row number; ntile/rank
+  *     formulas are then pure column arithmetic.
+  *
+  * Requires the sort key to be a total order (include a tiebreaker
+  * column) so results are deterministic and oracle-exact: equal keys
+  * may straddle range-partition boundaries, and only a total order
+  * makes their global numbering unique.
+  */
+object DistributedRank {
+
+  /** df + "__rn" (1-based global row number by `sortCols`), computed
+    * with P-way parallelism. `sortCols` must be a total order.
+    */
+  def withGlobalRowNumber(
+      df: DataFrame, sortCols: Seq[Column],
+      numPartitions: Int = 32): DataFrame =
+    rankedWithTotal(df, sortCols, numPartitions)._1
+
+  /** (ranked df, total row count) — total comes from the same pass that
+    * computed the offsets, so no extra job over the data.
+    */
+  private def rankedWithTotal(
+      df: DataFrame, sortCols: Seq[Column],
+      numPartitions: Int): (DataFrame, Long) = {
+    val parted = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist() // pin partitioning: the count pass and the rank pass
+                 // must see identical pids
+    val counts = parted.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions)
+      .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+    // offset lookup as a literal CASE chain over <=P branches (metadata)
+    val offsetCol = (0 until numPartitions).foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val ranked = parted
+      .withColumn("__rn", row_number().over(w).cast("long") + offsetCol)
+      .drop("__pid")
+    (ranked, offsets.last)
+  }
+
+  /** Exact SQL `ntile(n) OVER (ORDER BY sortCols)` — first `total % n`
+    * tiles get `ceil(total/n)` rows, the rest `floor(total/n)` — with no
+    * single-partition stage. Adds column `tile` (int).
+    */
+  def ntile(
+      df: DataFrame, n: Int, sortCols: Seq[Column],
+      numPartitions: Int = 32): DataFrame = {
+    val (ranked, total) = rankedWithTotal(df, sortCols, numPartitions)
+    val q = total / n
+    val r = total % n
+    val cut = r * (q + 1) // rows in the first r (larger) tiles
+    val tile =
+      if (q == 0) col("__rn") - 1 // fewer rows than tiles: tile = row number
+      else when(col("__rn") <= cut, (col("__rn") - 1) / lit(q + 1))
+        .otherwise(lit(r) + (col("__rn") - 1 - cut) / lit(q))
+    ranked
+      .withColumn("tile", (floor(tile) + 1).cast("int"))
+      .drop("__rn")
+  }
+}

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Aggregators.mix64
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -15,8 +14,17 @@ import graft.functions.Aggregators.mix64
   *  - [[annLsh]]: random-hyperplane LSH (sign sketches) — candidates
   *    share a bucket in at least one of L tables; only bucket-colliding
   *    pairs get exact scoring. Hyperplanes are pseudo-random but fully
-  *    deterministic (splitmix64 of (plane, dim)), so results are
+  *    deterministic (xxhash64 of (plane, dim)), so results are
   *    reproducible with no driver-side RNG state.
+  *
+  * Scale guards (both LSH paths):
+  *  - degenerate buckets are CAPPED (`maxBucket`): a boilerplate cluster
+  *    of near-identical vectors would otherwise make the bucket
+  *    self-join quadratic — the exact distribution near-dup detection
+  *    targets;
+  *  - the candidate-pair dedup shuffles ONLY `(id_a, id_b)`: vectors are
+  *    re-attached by id with one narrow join per side AFTER the distinct,
+  *    so repeated bucket collisions never re-shuffle vector payloads.
   *
   * All arithmetic runs in double via codegen'd higher-order functions
   * (zip_with/aggregate) — no UDF deserialization per row.
@@ -76,45 +84,74 @@ object Similarity {
         lit(0L), (acc, bit) => acc * 2 + bit))
   }
 
+  /** (id, t, bucket) exploded LSH postings for a vector set, with
+    * oversized buckets dropped (the cap bounds worst-case join fan-out;
+    * shuffle payload is ids + bucket longs only — no vectors).
+    */
+  private def postings(
+      df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, maxBucket: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        posexplode(lshBuckets(col(vecCol), tables, bits)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    exploded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("t", "bucket")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
   /** Approximate top-k neighbors: exact scoring restricted to candidates
     * sharing an LSH bucket with the query in any of `tables` tables.
-    * Returns the same shape as [[bruteForceKnn]] (qid, cid, sim, rank);
-    * recall vs brute force is measured in the test suite.
+    * Returns the same shape as [[bruteForceKnn]] (qid, cid, sim, rank).
+    * Recall is probabilistic in general; for the high-similarity regime
+    * (near-copies) collisions are near-certain — see SketchRecallSpec.
     */
   def annLsh(
       queries: DataFrame, candidates: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 12): DataFrame = {
-    val qb = queries.withColumn("bk", lshBuckets(col("qvec"), tables, bits))
-      .select(col("qid"), col("qvec"), posexplode(col("bk")))
+      tables: Int = 8, bits: Int = 12, maxBucket: Int = 1000,
+      minSim: Double = Double.NegativeInfinity): DataFrame = {
+    val qp = queries.select(col("qid").as("id"), col("qvec"))
+      .select(col("id"), posexplode(lshBuckets(col("qvec"), tables, bits)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    val cb = candidates.withColumn("bk", lshBuckets(col("cvec"), tables, bits))
-      .select(col("cid"), col("cvec"), posexplode(col("bk")))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    val cand = qb.join(cb, Seq("t", "bucket"))
+      .select(col("id").as("qid"), col("t"), col("bucket"))
+    val cp = postings(candidates, "cid", "cvec", tables, bits, maxBucket)
+      .select(col("id").as("cid"), col("t"), col("bucket"))
+    // queries are the small side by contract → broadcast postings;
+    // candidate pairs dedupe on ids ONLY (no vector payload in shuffle)
+    val pairs = cp.join(broadcast(qp), Seq("t", "bucket"))
       .where(col("qid") =!= col("cid"))
-      .select("qid", "qvec", "cid", "cvec").distinct()
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    cand.select(col("qid"), col("cid"),
+      .select("qid", "cid").distinct()
+    val scored = pairs
+      .join(broadcast(queries), "qid")
+      .join(candidates, "cid")
+      .select(col("qid"), col("cid"),
         round(cosine(col("qvec"), col("cvec")), 4).as("sim"))
-      .withColumn("rank", row_number().over(w))
+      .where(col("sim") >= minSim)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs over one set: all pairs with
-    * cosine >= threshold, generated via LSH bucket collisions (no full
-    * cross product). Returns (id_a, id_b, sim).
+    * cosine >= threshold among LSH bucket collisions (no full cross
+    * product, capped buckets, id-only dedup). Returns (id_a, id_b, sim).
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, tables: Int = 8, bits: Int = 12): DataFrame = {
+      threshold: Double = 0.95, tables: Int = 8, bits: Int = 12,
+      maxBucket: Int = 1000): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bk", lshBuckets(col("vec"), tables, bits))
-      .select(col("id"), col("vec"), posexplode(col("bk")))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    val a = v.select(col("t"), col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val b = v.select(col("t"), col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
-    a.join(b, Seq("t", "bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb")).distinct()
+    val p = postings(v, "id", "vec", tables, bits, maxBucket)
+    val pairs = p.select(col("t"), col("bucket"), col("id").as("id_a"))
+      .join(p.select(col("t"), col("bucket"), col("id").as("id_b")),
+        Seq("t", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("sim"))
       .where(col("sim") >= threshold)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Fingerprints, TextFunctions => TF}
+import graft.functions.{TextFunctions => TF}
 import graft.operators.Dedup
 
 /** Text-analysis + deduplication surface over the `documents` table:
@@ -13,8 +13,10 @@ import graft.operators.Dedup
   *
   * Sketch queries run over a planted corpus: `documents` plus
   * deterministic near-duplicate copies (doc_id + 1_000_000, text +
-  * a short tail), so correctness is observable (the planted pairs must
-  * surface) and oracle-checkable where the math is exact.
+  * a short tail). Every sketch query is sketch-then-verify: the sketch
+  * generates candidates, EXACT n-gram Jaccard filters them, and the
+  * DuckDB oracle recomputes the exact measure over all pairs — so a
+  * recall miss in any candidate generator fails the hash-match gate.
   */
 object TextQueries {
 
@@ -77,28 +79,47 @@ object TextQueries {
         .orderBy("content_hash")
     }),
 
-    // Winnowing fingerprint (custom codegen'd Catalyst expression) —
-    // duplicate fingerprint groups. No SQL oracle (rows-only).
+    // Winnowing fingerprints (custom codegen'd Catalyst expression) as
+    // the candidate generator, verified by EXACT n-gram Jaccard — the
+    // sketch-then-verify shape every 100 TB dedup pipeline uses. The
+    // output is exact set math, so the DuckDB oracle reproduces it
+    // fully; the fingerprint stage must recall every >= 0.8 pair for
+    // the hashes to match (a real recall gate, not rows-only).
     "qt06_fingerprint" -> ((s, dir) => {
-      planted(s, dir)
-        .select(col("doc_id"), Fingerprints.fingerprint(s, col("text")).as("fp"))
-        .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
-        .orderBy("keep_id")
-    }),
-
-    // MinHash + LSH banding near-dup pairs (rows-only; recall proven in
-    // the ScalaTest spec against the planted pairs).
-    "qt07_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLsh(planted(s, dir), "doc_id", "text",
-          numHashes = 64, bands = 16, shingle = 3, threshold = 0.6)
-        .select(col("id_a"), col("id_b"),
-          round(col("est_jaccard"), 4).as("est_jaccard"))
+      val corpus = planted(s, dir)
+      val cands = Dedup.winnowCandidates(corpus, "doc_id", "text",
+        k = 8, w = 16, maxDf = 100)
+      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3)
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs at Hamming <= 3 (rows-only + spec).
+    // MinHash + LSH banding as the candidate generator (128 hashes × 32
+    // bands: P(miss at j=0.8) = (1-0.8^4)^32 ≈ 5e-8), verified by exact
+    // n-gram Jaccard — same recall-gated oracle design as qt06.
+    "qt07_minhash_lsh" -> ((s, dir) => {
+      val corpus = planted(s, dir)
+      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, shingle = 3)
+      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3)
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash + pigeonhole (8 blocks ⇒ exhaustive for Hamming <= 7) as
+    // the candidate generator, verified by exact n-gram Jaccard at the
+    // 0.95 threshold the Hamming-7 ball safely covers (measured: max
+    // hamming among j>=0.95 pairs is 6 at sf0.01).
     "qt08_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 3)
+      val corpus = planted(s, dir)
+      val cands = Dedup.simhashPairs(corpus, "doc_id", "text",
+          maxHamming = 7, blocks = 8)
+        .select("id_a", "id_b")
+      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3)
+        .where(col("jaccard") >= 0.95)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -129,7 +150,35 @@ object TextQueries {
     s"""(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
        | len(list_filter(toks, t -> t IN (${inList(graft.functions.TextFunctions.EnStopwords)})))::DOUBLE / len(toks) END)""".stripMargin
 
+  /** EXACT (uncapped) word-3-gram Jaccard pairs over the planted corpus
+    * at threshold `t` — the shared truth for the sketch-then-verify
+    * queries (qt06/qt07/qt08 differ only in candidate generator, which
+    * must achieve full recall at the threshold for the hash to match).
+    */
+  private def exactJaccardOracle(t: Double): String = P + s"""
+      , toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $t
+      ORDER BY id_a, id_b"""
+
   val oracle: Map[String, String] = Map(
+    "qt06_fingerprint" -> exactJaccardOracle(0.8),
+    "qt07_minhash_lsh" -> exactJaccardOracle(0.8),
+    "qt08_simhash" -> exactJaccardOracle(0.95),
     "qt01_token_stats" -> """
       WITH d AS (SELECT doc_id, text,
                    string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -28,30 +28,39 @@ object VectorQueries {
         .orderBy("qid", "rank")
     }),
 
-    // Approximate kNN via deterministic random-hyperplane LSH; planted
-    // exact copies (vec_id+1000000) must come back rank 1 (spec-checked;
-    // rows-only for the driver).
+    // Approximate NN via deterministic random-hyperplane LSH against a
+    // corpus with planted NOISY copies (per-element double perturbation
+    // the oracle reproduces): the query returns every neighbor with
+    // cosine >= 0.99 — the dataset's max natural pair sim is ~0.51, so
+    // the answer set is exactly the noisy copies, and a single LSH
+    // recall miss breaks the hash match.
     "qe02_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val copies = e.where(col("vec_id") < 10)
-        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(copies)
+      val e = emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val noisy = e.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+      val corpus = e.unionByName(noisy)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Similarity.annLsh(q, c, k = 5, tables = 8, bits = 8)
+      Similarity.annLsh(q, c, k = 5, tables = 8, bits = 8, minSim = 0.99)
         .select("qid", "cid", "sim", "rank")
         .orderBy("qid", "rank")
     }),
 
-    // Embedding-cosine near-duplicate pairs over planted exact copies.
+    // Embedding-cosine near-duplicate pairs over planted exact copies,
+    // LSH-bucketed with capped buckets and id-only pair dedup; the
+    // oracle recomputes ALL pairs >= threshold exactly.
     "qe03_cosine_neardup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val copies = e.where(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.cosineNearDupPairs(
           e.unionByName(copies), "vec_id", "embedding",
-          threshold = 0.99, tables = 8, bits = 8)
+          threshold = 0.95, tables = 8, bits = 8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -86,6 +95,42 @@ object VectorQueries {
             FROM s)
       SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
       ORDER BY qid, rank""",
+    "qe02_ann_lsh" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      noisy AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list(x * (1.0 + 0.01 * (((i - 1) % 5) - 2)) ORDER BY i) AS v
+        FROM (SELECT vec_id, unnest(v) AS x,
+                generate_subscripts(v, 1) AS i
+              FROM e WHERE vec_id < 10)
+        GROUP BY vec_id),
+      corpus AS (SELECT * FROM e UNION ALL SELECT * FROM noisy),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      s AS (SELECT qid, c.vec_id AS cid,
+              round(list_cosine_similarity(qv, c.v), 4) AS sim
+            FROM q, corpus c WHERE qid <> c.vec_id),
+      hits AS (SELECT qid, cid, sim FROM s WHERE sim >= 0.99),
+      r AS (SELECT qid, cid, sim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS int) AS rank
+            FROM hits)
+      SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
+    "qe03_cosine_neardup" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + 1000000, v FROM e WHERE vec_id < 20),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
+      ORDER BY id_a, id_b""",
     "qe04_embedding_stats" -> """
       WITH m AS (SELECT label,
                    sqrt(list_aggregate(

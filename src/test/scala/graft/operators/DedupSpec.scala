@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+class DedupSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "different"),
+      (7L, "hello world")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(out === Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("normalized dedup ignores case and whitespace runs") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "  hello world "), (3L, "HELLO\tWORLD"),
+      (4L, "hello, world")).toDF("id", "text")
+    val out = Dedup.normalized(df, "id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(out === Set((1L, 3L), (4L, 1L)))
+  }
+
+  test("exactJaccardFor computes hand-checked set Jaccard") {
+    // a: {w1 w2 w3, w2 w3 w4} ; b: {w2 w3 w4, w3 w4 w5} -> J = 1/3
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"), (2L, "w2 w3 w4 w5")).toDF("id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.exactJaccardFor(pairs, docs, "id", "text", 3)
+      .collect().head.getAs[Double]("jaccard")
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("identical docs have exact Jaccard 1.0, disjoint docs 0.0") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z q r s"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.exactJaccardFor(pairs, docs, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) === 0.0)
+  }
+
+  test("ngramJaccardPairs finds the planted pair on inline data") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated text with other words entirely"))
+      .toDF("id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3,
+        threshold = 0.5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 2L)))
+  }
+}

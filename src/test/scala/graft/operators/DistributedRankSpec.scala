@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** The distributed two-pass ntile must be bit-identical to the SQL
+  * reference semantics (single-partition `ntile(n) OVER (ORDER BY ...)`)
+  * for every row — sizes, boundaries, and tie handling included.
+  */
+class DistributedRankSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def referenceNtile(n: Int, rows: Seq[(Long, Long)]): Map[Long, Int] = {
+    val df = rows.toDF("v", "id")
+    val w = Window.orderBy(col("v").desc, col("id"))
+    df.select(col("id"), ntile(n).over(w).as("tile"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  private def distributedNtile(n: Int, rows: Seq[(Long, Long)]): Map[Long, Int] = {
+    val df = rows.toDF("v", "id").repartition(7) // deliberately scrambled
+    DistributedRank.ntile(df, n, Seq(col("v").desc, col("id")), numPartitions = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("tile")).toMap
+  }
+
+  test("matches reference ntile on uneven division (103 rows, 4 tiles)") {
+    val rng = new scala.util.Random(42)
+    val rows = (1L to 103L).map(i => (rng.nextInt(1000).toLong, i))
+    assert(distributedNtile(4, rows) === referenceNtile(4, rows))
+  }
+
+  test("matches reference ntile with heavy ties") {
+    val rows = (1L to 50L).map(i => ((i % 3).toLong, i))
+    assert(distributedNtile(4, rows) === referenceNtile(4, rows))
+  }
+
+  test("matches reference ntile when rows < tiles") {
+    val rows = Seq((5L, 1L), (3L, 2L), (9L, 3L))
+    assert(distributedNtile(7, rows) === referenceNtile(7, rows))
+  }
+
+  test("exact division (100 rows, 4 tiles of 25)") {
+    val rows = (1L to 100L).map(i => (i, i))
+    val tiles = distributedNtile(4, rows)
+    assert(tiles.values.groupBy(identity).view.mapValues(_.size).toMap ===
+      Map(1 -> 25, 2 -> 25, 3 -> 25, 4 -> 25))
+    assert(tiles === referenceNtile(4, rows))
+  }
+
+  test("global row number is a permutation of 1..N in sort order") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (rng.nextInt(50).toLong, i))
+    val rn = DistributedRank
+      .withGlobalRowNumber(rows.toDF("v", "id"), Seq(col("v"), col("id")), 5)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("id"), r.getAs[Long]("__rn")))
+    assert(rn.map(_._3).sorted.toSeq === (1L to 200L))
+    val bySort = rn.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+    assert(bySort === (1L to 200L))
+  }
+}
