@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Windows.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.VectorQueries.oracle
+      graft.queries.VectorQueries.oracle ++
+      graft.queries.IngestQueries.oracle
 }

@@ -1,0 +1,138 @@
+package graft.ingest
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{PartitionSpec, TableSpec}
+import graft.lake.{Lake, TpSchema}
+
+/** The collect pipeline (SURVEY §3.2; reference collector.go +
+  * convertor_convert.go): chunked JSONL → typed rows → declared-schema
+  * conversion → tp_ enrichment → ingest-time filters → required-column
+  * validation → partitioned lake append.
+  *
+  * Spark-first shape: each batch is ONE lazy plan — typed scan,
+  * conversion/enrichment projections, filter — ending in a partitioned
+  * write plus one aggregate for the validation report. The reference's
+  * temp-table staging, row_number bookkeeping, and DELETE of invalid
+  * rows (convertor_convert.go:162-217, convertor_validate.go) collapse
+  * into Catalyst projections and a filter; nothing is materialized
+  * between steps and nothing shuffles before the write.
+  *
+  * Chunk files are processed in batches of ≤ `maxChunksPerBatch`
+  * (reference caps at 2000 files per conversion query,
+  * convertor.go:144-170); the first batch establishes the inferred
+  * schema, later batches fail fast on drift (convertor_schema.go).
+  */
+object Ingest {
+
+  /** Cumulative result of one collect run (the reference's status
+    * events, rolled up).
+    */
+  final case class IngestResult(
+      rowsIngested: Long,
+      rowsInvalid: Long,
+      nullsByColumn: Map[String, Long],
+      chunksProcessed: Int) {
+    def merge(o: IngestResult): IngestResult = IngestResult(
+      rowsIngested + o.rowsIngested,
+      rowsInvalid + o.rowsInvalid,
+      (nullsByColumn.keySet ++ o.nullsByColumn.keySet).map(k =>
+        k -> (nullsByColumn.getOrElse(k, 0L) +
+          o.nullsByColumn.getOrElse(k, 0L))).toMap,
+      chunksProcessed + o.chunksProcessed)
+  }
+
+  /** Ingest JSONL chunk files into `lake`/`spec.table`.
+    *
+    * @param tableSpec       declared columns (empty = fully inferred)
+    * @param timestampColumn source column providing `tp_timestamp`
+    * @param from/to         collection window: rows outside
+    *                        `[from, to)` are filtered before the lake
+    *                        (collector.go:228-240)
+    */
+  def collectJsonl(
+      spark: SparkSession,
+      lake: Lake,
+      spec: PartitionSpec,
+      chunkFiles: Seq[String],
+      tableSpec: TableSpec = TableSpec(""),
+      timestampColumn: String = "tp_timestamp",
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None,
+      maxChunksPerBatch: Int = 2000): IngestResult = {
+    require(chunkFiles.nonEmpty, "no chunk files to ingest")
+    val batches = chunkFiles.grouped(maxChunksPerBatch).toSeq
+    var established: Option[org.apache.spark.sql.types.StructType] = None
+    val pinned = tableSpec.columns.map(c => c.source.getOrElse(c.name)).toSet
+    batches.zipWithIndex.map { case (files, i) =>
+      val inferred = SchemaInference.inferJson(spark, files)
+      established match {
+        case None => established = Some(inferred)
+        case Some(e) => SchemaInference.checkDrift(e, inferred, pinned)
+      }
+      val raw = spark.read.schema(inferred).json(files: _*)
+      processBatch(spark, lake, spec, raw, tableSpec,
+        timestampColumn, from, to, files.size)
+    }.reduce(_ merge _)
+  }
+
+  /** Ingest an already-loaded DataFrame batch (the entry point for
+    * non-JSONL sources: delimited/grok formats, synthetic, streaming
+    * foreachBatch).
+    */
+  def collectBatch(
+      spark: SparkSession,
+      lake: Lake,
+      spec: PartitionSpec,
+      raw: DataFrame,
+      tableSpec: TableSpec = TableSpec(""),
+      timestampColumn: String = "tp_timestamp",
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None): IngestResult =
+    processBatch(spark, lake, spec, raw, tableSpec, timestampColumn,
+      from, to, chunks = 1)
+
+  private def processBatch(
+      spark: SparkSession,
+      lake: Lake,
+      spec: PartitionSpec,
+      raw: DataFrame,
+      tableSpec: TableSpec,
+      timestampColumn: String,
+      from: Option[Timestamp],
+      to: Option[Timestamp],
+      chunks: Int): IngestResult = {
+    val converted =
+      if (tableSpec.columns.isEmpty && tableSpec.nullIf.isEmpty) raw
+      else Conversion.project(raw, tableSpec)
+    val enriched = TpSchema.enrich(converted, spec, timestampColumn)
+
+    // ingest-time filters: partition filter + collection window.
+    // NULL timestamps pass the window filters so they reach validation
+    // and get REPORTED, not silently excluded (collector.go:228-240).
+    val filters = Seq(
+      spec.filter.map(expr),
+      from.map(f => col(TpSchema.Timestamp).isNull ||
+        col(TpSchema.Timestamp) >= lit(f)),
+      to.map(t => col(TpSchema.Timestamp).isNull ||
+        col(TpSchema.Timestamp) < lit(t))).flatten
+    val filtered = filters.foldLeft(enriched)(_ where _)
+
+    val required = (TpSchema.required ++
+      tableSpec.columns.filter(_.required).map(_.name)).distinct
+    val v = Validation.validate(filtered, required)
+
+    // one pass: cache the clean batch so the append and the row count
+    // don't rescan the source (the reference stages to a temp table for
+    // the same reason — convertor_convert.go:162)
+    val clean = v.clean.persist()
+    try {
+      val n = clean.count()
+      lake.append(spark, spec.table, clean)
+      IngestResult(n, v.invalidRows, v.nullsByColumn, chunks)
+    } finally { clean.unpersist() }
+  }
+}

@@ -1,0 +1,188 @@
+package graft.lake
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The lake: one directory per table, Hive-partitioned by
+  * `(tp_partition, tp_index, tp_year, tp_month)` — the same physical
+  * key the reference sets via `ALTER TABLE … SET PARTITIONED BY`
+  * (ducklake_table.go:36-44). Appends are plain parquet writes; Spark's
+  * job-commit protocol makes each append atomic (the reference gets
+  * this from DuckLake snapshots instead — SURVEY §4 transactional row).
+  *
+  * Alongside the data we maintain a tiny per-file stats manifest
+  * (rowcount + min/max `tp_timestamp` per parquet file) — the Spark
+  * stand-in for DuckLake's `ducklake_file_column_stats`
+  * (compaction_types.go:64-120). It drives compaction planning and
+  * `.inspect`-style metadata without touching data files. At 100 TB the
+  * manifest stays metadata-sized: one row per file.
+  */
+final case class Lake(root: String) {
+
+  def tableDir(table: String): String = s"$root/$table"
+  private def manifestDir(table: String): String =
+    s"${tableDir(table)}/_graft_manifest"
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    fs(spark, root).exists(new Path(tableDir(table)))
+
+  def listTables(spark: SparkSession): Seq[String] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted
+  }
+
+  /** Read a lake table. Partition-column filters prune directories;
+    * `tp_timestamp` range filters additionally skip row groups via
+    * parquet min/max stats. `basePath` keeps partition columns in the
+    * schema when reading a pruned subtree.
+    */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.option("basePath", tableDir(table))
+      .parquet(tableDir(table))
+
+  def schemaOf(spark: SparkSession, table: String): StructType =
+    read(spark, table).schema
+
+  /** Append an enriched, validated batch, partitioned by the physical
+    * key. Each append also records per-file stats in the manifest.
+    *
+    * Scale note: the writer never repartitions the batch — upstream
+    * ingest decides parallelism; with N tasks and P touched logical
+    * partitions the append creates ≤ N×P files, which compaction merges
+    * (the same division of labor as the reference: convert appends,
+    * compact merges — compact.go:80-89).
+    */
+  def append(spark: SparkSession, table: String, batch: DataFrame): Unit = {
+    val dir = tableDir(table)
+    val before = dataFiles(spark, table).toSet
+    batch.write
+      .partitionBy(TpSchema.partitionCols: _*)
+      .mode(SaveMode.Append)
+      .parquet(dir)
+    val added = dataFiles(spark, table).filterNot(before)
+    recordStats(spark, table, added)
+  }
+
+  /** All data-file paths of a table (excludes manifest + markers),
+    * normalized to bare paths so they compare equal to
+    * `input_file_name()`-derived paths.
+    */
+  def dataFiles(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, root)
+    val base = new Path(tableDir(table))
+    if (!f.exists(base)) return Seq.empty
+    val it = f.listFiles(base, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toUri.getPath
+      if (s.isFile && p.endsWith(".parquet") &&
+        !p.contains("_graft_manifest") && !p.contains("_graft_staging"))
+        out += p
+    }
+    out.result().sorted
+  }
+
+  /** Compute + append manifest rows for newly added files: one row per
+    * file with rowcount and min/max tp_timestamp. One narrow scan over
+    * just the new files (timestamp column only — column pruning keeps
+    * this cheap).
+    */
+  private def recordStats(
+      spark: SparkSession, table: String, added: Seq[String]): Unit = {
+    if (added.isEmpty) return
+    val stats = spark.read
+      .option("basePath", tableDir(table)).parquet(added: _*)
+      .select(col(TpSchema.Timestamp))
+      // input_file_name() yields file:// URIs; normalize to bare paths
+      .withColumn("file",
+        regexp_replace(input_file_name(), "^[a-z]+:/+", "/"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("rows"),
+        min(TpSchema.Timestamp).as("min_ts"),
+        max(TpSchema.Timestamp).as("max_ts"))
+      .withColumn("seq", lit(System.nanoTime()))
+    stats.coalesce(1).write.mode(SaveMode.Append)
+      .parquet(manifestDir(table))
+  }
+
+  /** Per-file stats from the manifest, restricted to files that still
+    * exist (compaction/retention replace files; their manifest rows are
+    * superseded rather than rewritten — the read reconciles, keeping
+    * the newest row per path when a swap reused a file name).
+    */
+  def fileStats(spark: SparkSession, table: String): DataFrame = {
+    if (!fs(spark, root).exists(new Path(manifestDir(table)))) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Timestamp, Timestamp)]
+        .toDF("file", "rows", "min_ts", "max_ts")
+    }
+    val live = dataFiles(spark, table)
+    val liveDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+      StructType(Seq(StructField("file", StringType))))
+    spark.read.parquet(manifestDir(table))
+      .groupBy("file").agg(
+        max_by(struct(col("rows"), col("min_ts"), col("max_ts")), col("seq"))
+          .as("s"))
+      .select(col("file"), col("s.rows").as("rows"),
+        col("s.min_ts").as("min_ts"), col("s.max_ts").as("max_ts"))
+      .join(liveDf, Seq("file"), "left_semi")
+  }
+
+  /** Replace the full file set of one physical partition directory with
+    * the given DataFrame — the primitive under compaction and partition
+    * delete. Writes to a staging dir first, then swaps, so a crash
+    * leaves either the old or the new file set (never a mix of halves).
+    */
+  def replacePartitionDir(
+      spark: SparkSession, table: String, relDir: String,
+      replacement: DataFrame, sortWithin: Boolean): Unit = {
+    val f = fs(spark, root)
+    val target = new Path(s"${tableDir(table)}/$relDir")
+    val staging = new Path(s"${tableDir(table)}/_graft_staging/$relDir")
+    f.delete(staging, true)
+    val toWrite =
+      if (sortWithin) replacement.sortWithinPartitions(TpSchema.Timestamp)
+      else replacement
+    toWrite.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // swap: remove old dir, move staged files in
+    f.delete(target, true)
+    f.mkdirs(target.getParent)
+    if (!f.rename(staging, target))
+      throw new IllegalStateException(s"failed to swap $staging -> $target")
+    f.delete(new Path(s"${tableDir(table)}/_graft_staging"), true)
+    // drop Spark's _SUCCESS marker from the swapped-in dir
+    f.delete(new Path(target, "_SUCCESS"), false)
+    recordStats(spark, table, dataFiles(spark, table)
+      .filter(_.contains(s"/$relDir/")))
+  }
+
+  /** Physical partition directories (relative paths like
+    * `tp_partition=p0/tp_index=a/tp_year=2024/tp_month=1`) that match a
+    * predicate on their partition values.
+    */
+  def partitionDirs(spark: SparkSession, table: String): Seq[String] = {
+    dataFiles(spark, table)
+      .map(p => p.substring(p.indexOf(tableDir(table)) + tableDir(table).length + 1))
+      .map(rel => rel.substring(0, rel.lastIndexOf('/')))
+      .distinct.sorted
+  }
+
+  /** Parse `k=v` pairs out of a relative partition dir. */
+  def partitionValues(relDir: String): Map[String, String] =
+    relDir.split('/').filter(_.contains('=')).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+}

@@ -1,0 +1,180 @@
+package graft.lake
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake maintenance: partition delete, compaction (ordered rewrite +
+  * small-file merge), and retention (SURVEY §2A rows 16-19, 23;
+  * reference cleanup.go, compact.go, partition_key.go).
+  *
+  * Both mutating jobs are built on Spark's DYNAMIC partition overwrite:
+  * one pruned read + one write that atomically replaces exactly the
+  * partition directories present in the written data. That is the
+  * whole-job equivalent of the reference's per-range
+  * insert+delete-in-transaction dance (compact.go:339-416) — Spark's
+  * commit protocol supplies the atomicity, and the job count stays
+  * constant no matter how many of the table's partitions are touched
+  * (no driver-side per-directory loop — the 100 TB requirement).
+  */
+object Maintenance {
+
+  /** `tailpipe partition delete`-style DML (cleanup.go:14-51): remove
+    * rows of `partition` within `[from, to]` (either bound optional —
+    * both absent deletes the whole partition). Returns deleted-row
+    * count.
+    */
+  def deletePartitionRange(
+      spark: SparkSession, lake: Lake, table: String, partition: String,
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None): Long = {
+    val cond = Seq(
+      from.map(f => col(TpSchema.Timestamp) >= lit(f)),
+      to.map(t => col(TpSchema.Timestamp) <= lit(t)))
+      .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    // month bounds prune partition dirs before file listing
+    val monthPrune = Seq(
+      from.map(f => (col(TpSchema.Year) > year(lit(f))) ||
+        (col(TpSchema.Year) === year(lit(f)) &&
+          col(TpSchema.Month) >= month(lit(f)))),
+      to.map(t => (col(TpSchema.Year) < year(lit(t))) ||
+        (col(TpSchema.Year) === year(lit(t)) &&
+          col(TpSchema.Month) <= month(lit(t)))))
+      .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val scope = col(TpSchema.Partition) === lit(partition) && monthPrune
+
+    // one aggregate over the pruned scope: per-dir (hit, kept) counts
+    val perDir = lake.read(spark, table).where(scope)
+      .groupBy(TpSchema.partitionCols.map(col): _*)
+      .agg(sum(when(cond, 1L).otherwise(0L)).as("hit"),
+        sum(when(cond, 0L).otherwise(1L)).as("kept"))
+      .where(col("hit") > 0)
+      .collect()
+    if (perDir.isEmpty) return 0L
+    val deleted = perDir.map(_.getAs[Long]("hit")).sum
+
+    val hitDirPred = dirPredicate(perDir)
+    val keep = lake.read(spark, table).where(scope && hitDirPred && !cond)
+    lake.overwritePartitions(spark, table, keep)
+    // dirs whose every row matched have nothing written → remove them
+    perDir.filter(_.getAs[Long]("kept") == 0L)
+      .foreach(r => removeDir(spark, lake, table, relDirOf(r)))
+    deleted
+  }
+
+  /** Compaction (compact.go:80-89, 264-434): merge small files and
+    * rewrite time-ordered where per-file time ranges overlap. Planning
+    * runs on the manifest (metadata-sized, driver-side — the
+    * reference's sweep, partition_key.go:96-170); the rewrite is ONE
+    * pruned read + ONE dynamic-overwrite write covering every partition
+    * dir that needs work. Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession, lake: Lake, table: String,
+      targetFileRows: Long = 5000000): (Long, Long) = {
+    val before = lake.dataFiles(spark, table).size.toLong
+    val stats = lake.fileStats(spark, table).collect().map(r =>
+      FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
+        Option(r.getAs[Timestamp]("min_ts")),
+        Option(r.getAs[Timestamp]("max_ts"))))
+    val byDir = stats.groupBy(f => dirOf(lake, table, f.file))
+    val work = byDir.filter { case (_, fs) =>
+      fs.length > 1 || hasOverlap(fs.toSeq) ||
+        fs.exists(_.rows > targetFileRows)
+    }
+    if (work.isEmpty) return (before, before)
+
+    val rows = work.values.flatten.map(_.rows).sum
+    val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val workPred = work.keys.map(relDir => dirValuesPredicate(
+      lake.partitionValues(relDir))).reduce(_ || _)
+    // range partition on (physical key, time) then sort within: each
+    // output file covers one dir and a disjoint time slice
+    val sortKey = TpSchema.partitionCols.map(col) :+ col(TpSchema.Timestamp)
+    val df = lake.read(spark, table).where(workPred)
+      .repartitionByRange(nOut, sortKey: _*)
+      .sortWithinPartitions(sortKey: _*)
+    lake.overwritePartitions(spark, table, df)
+    (before, lake.dataFiles(spark, table).size.toLong)
+  }
+
+  /** Per-file time range for compaction planning. */
+  final case class FileRange(file: String, rows: Long,
+      minTs: Option[Timestamp], maxTs: Option[Timestamp])
+
+  /** Sweep-line overlap detection over file ranges
+    * (partition_key.go:96-170): sort by min, overlap iff a file starts
+    * before the previous max.
+    */
+  def hasOverlap(files: Seq[FileRange]): Boolean = {
+    val ranged = files.flatMap(f =>
+      for (a <- f.minTs; b <- f.maxTs) yield (a, b)).sortBy(_._1.getTime)
+    ranged.sliding(2).exists {
+      case Seq((_, prevMax), (curMin, _)) => curMin.getTime < prevMax.getTime
+      case _ => false
+    }
+  }
+
+  /** Retention ("vacuum", cleanup.go:72-133): compact the manifest down
+    * to live files. Data-file garbage does not accumulate in our design
+    * (dynamic overwrite replaces atomically), so retention is about
+    * metadata.
+    */
+  def vacuum(spark: SparkSession, lake: Lake, table: String): Unit = {
+    val live = lake.fileStats(spark, table)
+      .withColumn("seq", lit(System.nanoTime()))
+    val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
+    val tmp = s"${lake.tableDir(table)}/_graft_manifest_new"
+    live.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(manifestDir)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+  }
+
+  // ---- helpers ---------------------------------------------------------
+
+  /** OR-of-conjunctions predicate selecting exactly the given physical
+    * dirs (rows carry the partition-column values).
+    */
+  private def dirPredicate(dirs: Seq[Row]): Column =
+    dirs.map { r =>
+      TpSchema.partitionCols.map(c =>
+        col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
+    }.reduce(_ || _)
+
+  private def dirValuesPredicate(vals: Map[String, String]): Column =
+    TpSchema.partitionCols.map { c =>
+      // partition values parse back typed for year/month
+      val v: Any = if (c == TpSchema.Year || c == TpSchema.Month)
+        vals(c).toInt else vals(c)
+      col(c) === lit(v)
+    }.reduce(_ && _)
+
+  private def relDirOf(r: Row): String =
+    TpSchema.partitionCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
+
+  private def dirOf(lake: Lake, table: String, file: String): String = {
+    val base = lake.tableDir(table)
+    val rel = file.substring(file.indexOf(base) + base.length + 1)
+    rel.substring(0, rel.lastIndexOf('/'))
+  }
+
+  private def removeDir(
+      spark: SparkSession, lake: Lake, table: String, relDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var p = new Path(s"${lake.tableDir(table)}/$relDir")
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    // prune now-empty parent partition dirs up to the table root
+    p = p.getParent
+    val stop = new Path(lake.tableDir(table))
+    while (p != null && p != stop && fs.exists(p) &&
+      fs.listStatus(p).isEmpty) {
+      fs.delete(p, false); p = p.getParent
+    }
+  }
+}

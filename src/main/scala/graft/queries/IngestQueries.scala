@@ -1,0 +1,337 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.{ColumnSpec, PartitionSpec, TableSpec}
+import graft.ingest.{Ingest, SchemaInference}
+import graft.lake.{Lake, Maintenance, TpSchema}
+import graft.query.Views
+
+/** Driver-facing queries exercising the ENGINE — the ingest/lake/view/
+  * maintenance dataflow of SURVEY §2A — with exact DuckDB oracles.
+  *
+  * Shape of every query: build a deterministic JSONL/CSV fixture FROM a
+  * shared parquet table (so DuckDB can recompute expected output from
+  * the same source), run the real pipeline (typed scan → declared-
+  * schema conversion → tp_ enrichment → validation → partitioned lake
+  * write → filtered view), and return lake-backed results.
+  */
+object IngestQueries {
+
+  // ---- fixture plumbing ----------------------------------------------
+
+  private def workRoot(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_work/" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def rmrf(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rec(f)
+  }
+
+  /** events → deterministic JSONL chunk files (timestamp serialized at
+    * full micros so the round-trip is value-exact).
+    */
+  private def writeEventsJsonl(
+      spark: SparkSession, sfDir: String, out: String, chunks: Int): Unit =
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(chunks)
+      .write.mode("overwrite").json(out)
+
+  private def jsonlFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".json"))
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  /** The shared per-sfDir lake, built once per JVM: `events_lake`
+    * ingested from 4 JSONL chunks with tp_index = event_type, partition
+    * name p0. Reused by every read-only engine query.
+    */
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, Lake]()
+
+  private[graft] def sharedLake(spark: SparkSession, sfDir: String): Lake =
+    fixtures.computeIfAbsent(sfDir, { _ =>
+      val root = s"${workRoot(sfDir)}/lake"
+      rmrf(root)
+      val jl = s"${workRoot(sfDir)}/jsonl_events"
+      writeEventsJsonl(spark, sfDir, jl, chunks = 4)
+      val lake = Lake(root)
+      Ingest.collectJsonl(spark, lake,
+        PartitionSpec("events_lake", "p0", tpIndexColumn = Some("event_type")),
+        jsonlFiles(jl), timestampColumn = "ts")
+      lake
+    })
+
+  // ---- queries -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2A rows 1,2,5,6,12,13: JSONL typed scan → tp_ enrichment →
+    // partitioned lake append → read back. The oracle recomputes every
+    // tp_ column from the source table — any enrichment or round-trip
+    // defect breaks the hash.
+    "qi01_ingest_enrich" -> ((s, dir) => {
+      val lake = sharedLake(s, dir)
+      lake.read(s, "events_lake")
+        .select(col("event_id"), col("tp_timestamp"), col("tp_date"),
+          col("tp_index").cast("string").as("tp_index"),
+          col("tp_partition").cast("string").as("tp_partition"),
+          col("tp_table"),
+          col("tp_year").cast("int").as("tp_year"),
+          col("tp_month").cast("int").as("tp_month"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    }),
+
+    // §2A rows 8,10,11: ingest-time window filter + required-column
+    // validation with per-column null report. Nulls are planted
+    // deterministically; the oracle recomputes the report.
+    "qi02_ingest_validate" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi02"
+      rmrf(root)
+      val src = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        when(col("event_id") % 101 === 0, lit(null))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .as("ts"),
+        when(col("event_id") % 97 === 0, lit(null))
+          .otherwise(col("user_id")).as("user_id"),
+        col("event_type"), col("value"))
+      src.repartition(2).write.mode("overwrite").json(s"$root/jsonl")
+      val lake = Lake(s"$root/lake")
+      val res = Ingest.collectJsonl(s, lake,
+        PartitionSpec("events_v", "p0", tpIndexColumn = Some("event_type")),
+        jsonlFiles(s"$root/jsonl"),
+        TableSpec("events_v", Seq(
+          ColumnSpec("user_id", Some("bigint"), required = true))),
+        timestampColumn = "ts")
+      import s.implicits._
+      (res.nullsByColumn.toSeq.map { case (c, n) => (s"null_$c", n) } ++
+        Seq(("rows_ingested", res.rowsIngested),
+          ("rows_invalid", res.rowsInvalid)))
+        .toDF("metric", "n").orderBy("metric")
+    }),
+
+    // §2A rows 14,15: filtered views — from/to + wildcard index
+    // patterns become view predicates over the lake (and prune
+    // partition dirs; see ViewsSpec for the plan assertion).
+    "qi03_filtered_view" -> ((s, dir) => {
+      val lake = sharedLake(s, dir)
+      Views.register(s, lake, Views.Filters(
+        from = Some(Timestamp.valueOf("2024-01-05 00:00:00")),
+        to = Some(Timestamp.valueOf("2024-01-20 00:00:00")),
+        partitions = Seq("p*"),
+        indexes = Seq("cl*", "sign*")))
+      s.table("events_lake")
+        .groupBy(col("tp_index").cast("string").as("tp_index"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min("tp_timestamp").as("min_ts"), max("tp_timestamp").as("max_ts"))
+        .orderBy("tp_index")
+    }),
+
+    // §2A rows 2,3,4: declared-schema conversion — source rename,
+    // null_if sentinel, transform expression, and NULL-preserving
+    // RECURSIVE struct reconstruction (field reorder + nested subset).
+    // A naive struct() rebuild turns NULL meta into a struct of NULLs
+    // and breaks meta_null/hash.
+    "qi04_struct_convert" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi04"
+      rmrf(root)
+      Tables.load(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"), col("value"),
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(
+          struct(get_json_object(col("props"), "$.k").cast("int").as("k"),
+            struct(col("user_id").as("id"),
+              concat(lit("u"), col("user_id")).as("name")).as("user")))
+          .as("meta"))
+        .repartition(2).write.mode("overwrite").json(s"$root/jsonl")
+      val lake = Lake(s"$root/lake")
+      Ingest.collectJsonl(s, lake,
+        PartitionSpec("events_s", "p0"),
+        jsonlFiles(s"$root/jsonl"),
+        TableSpec("events_s", Seq(
+          ColumnSpec("event_id", Some("bigint"), required = true),
+          ColumnSpec("ts", Some("timestamp")),
+          ColumnSpec("status", Some("varchar"), transform = Some(
+            "CASE WHEN value < 5 THEN 'low' WHEN value < 15 THEN 'mid' ELSE 'high' END")),
+          ColumnSpec("ref", Some("varchar"), source = Some("event_type"),
+            nullIf = Some("error")),
+          ColumnSpec("meta",
+            Some("struct(user struct(name varchar, id bigint), k integer)")))),
+        timestampColumn = "ts")
+      lake.read(s, "events_s")
+        .select(col("event_id"), col("tp_timestamp"), col("status"),
+          col("ref"), col("meta").isNull.as("meta_null"),
+          col("meta.k").as("meta_k"), col("meta.user.name").as("user_name"),
+          col("meta.user.id").as("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // §2A row 21 + §7.4: schema inference per chunk batch with
+    // FAIL-FAST drift detection; the typed error lists changed columns.
+    "qi05_schema_drift" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi05"
+      rmrf(root)
+      val base = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("value"))
+      base.where(col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").json(s"$root/chunk_a")
+      base.where(col("event_id") % 2 === 1)
+        .withColumn("value", concat(lit("v"), col("value")))
+        .withColumn("extra", lit(true))
+        .coalesce(1).write.mode("overwrite").json(s"$root/chunk_b")
+      val files = jsonlFiles(s"$root/chunk_a") ++ jsonlFiles(s"$root/chunk_b")
+      import s.implicits._
+      try {
+        Ingest.collectJsonl(s, Lake(s"$root/lake"),
+          PartitionSpec("events_d", "p0"), files,
+          timestampColumn = "ts", maxChunksPerBatch = 1)
+        Seq.empty[(String, String, String)]
+          .toDF("column_name", "was_type", "now_type")
+      } catch {
+        case e: SchemaInference.SchemaChangeError =>
+          e.changes.map(c => (c.column, c.was, c.now))
+            .toDF("column_name", "was_type", "now_type")
+            .orderBy("column_name")
+      }
+    }),
+
+    // §2A row 16: partition delete DML — rewrite affected partition
+    // dirs minus rows in [from, to]; the oracle is the complement scan.
+    "qi06_partition_delete" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi06"
+      rmrf(root)
+      writeEventsJsonl(s, dir, s"$root/jsonl", chunks = 2)
+      val lake = Lake(s"$root/lake")
+      Ingest.collectJsonl(s, lake,
+        PartitionSpec("events_del", "p0", tpIndexColumn = Some("event_type")),
+        jsonlFiles(s"$root/jsonl"), timestampColumn = "ts")
+      Maintenance.deletePartitionRange(s, lake, "events_del", "p0",
+        from = Some(Timestamp.valueOf("2024-01-10 00:00:00")),
+        to = Some(Timestamp.valueOf("2024-01-15 00:00:00")))
+      lake.read(s, "events_del")
+        .groupBy(col("tp_index").cast("string").as("tp_index"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min("tp_timestamp").as("min_ts"), max("tp_timestamp").as("max_ts"))
+        .orderBy("tp_index")
+    }),
+
+    // §2A rows 17,18,23: compaction — small-file merge + time-ordered
+    // rewrite of overlapping ranges. The aggregate proves no row was
+    // lost or duplicated; CompactionSpec asserts the file-level effects.
+    "qi07_compact" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi07"
+      rmrf(root)
+      writeEventsJsonl(s, dir, s"$root/jsonl", chunks = 6)
+      val lake = Lake(s"$root/lake")
+      // 3 separate appends → ≥3 files per partition dir, overlapping
+      // time ranges (round-robin chunking interleaves timestamps)
+      jsonlFiles(s"$root/jsonl").grouped(2).foreach { chunk =>
+        Ingest.collectJsonl(s, lake,
+          PartitionSpec("events_cmp", "p0",
+            tpIndexColumn = Some("event_type")),
+          chunk, timestampColumn = "ts")
+      }
+      Maintenance.compact(s, lake, "events_cmp")
+      lake.read(s, "events_cmp")
+        .groupBy(col("tp_index").cast("string").as("tp_index"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min("tp_timestamp").as("min_ts"), max("tp_timestamp").as("max_ts"))
+        .orderBy("tp_index")
+    }))
+
+  // ---- oracles -------------------------------------------------------
+
+  private val aggByIndex =
+    """SELECT event_type AS tp_index, count(*) AS n,
+      |       round(sum(value), 2) AS sum_value,
+      |       min(cast(ts AS timestamp)) AS min_ts,
+      |       max(cast(ts AS timestamp)) AS max_ts
+      |FROM events""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "qi01_ingest_enrich" -> """
+      SELECT event_id,
+             cast(ts AS timestamp) AS tp_timestamp,
+             CASE WHEN ts IS NOT NULL
+               THEN cast(date_trunc('day', cast(ts AS timestamp)) AS date)
+             END AS tp_date,
+             coalesce(event_type, 'default') AS tp_index,
+             'p0' AS tp_partition,
+             'events_lake' AS tp_table,
+             cast(year(cast(ts AS timestamp)) AS int) AS tp_year,
+             cast(month(cast(ts AS timestamp)) AS int) AS tp_month,
+             user_id, event_type, value, props
+      FROM events ORDER BY event_id""",
+    "qi02_ingest_validate" -> """
+      WITH e AS (
+        SELECT CASE WHEN event_id % 101 = 0 THEN NULL
+                    ELSE cast(ts AS timestamp) END AS ts,
+               CASE WHEN event_id % 97 = 0 THEN NULL
+                    ELSE user_id END AS user_id
+        FROM events)
+      SELECT metric, n FROM (
+        SELECT 'null_tp_timestamp' AS metric,
+               count(*) FILTER (WHERE ts IS NULL) AS n FROM e
+        UNION ALL
+        SELECT 'null_tp_date', count(*) FILTER (WHERE ts IS NULL) FROM e
+        UNION ALL
+        SELECT 'null_user_id', count(*) FILTER (WHERE user_id IS NULL) FROM e
+        UNION ALL
+        SELECT 'rows_ingested',
+               count(*) FILTER (WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        FROM e
+        UNION ALL
+        SELECT 'rows_invalid',
+               count(*) FILTER (WHERE ts IS NULL OR user_id IS NULL) FROM e)
+      ORDER BY metric""",
+    "qi03_filtered_view" -> (aggByIndex + """
+      WHERE cast(ts AS timestamp) >= TIMESTAMP '2024-01-05 00:00:00'
+        AND cast(ts AS timestamp) <= TIMESTAMP '2024-01-20 00:00:00'
+        AND (event_type LIKE 'cl%' OR event_type LIKE 'sign%')
+      GROUP BY event_type ORDER BY tp_index"""),
+    "qi04_struct_convert" -> """
+      SELECT event_id,
+             cast(ts AS timestamp) AS tp_timestamp,
+             CASE WHEN value < 5 THEN 'low' WHEN value < 15 THEN 'mid'
+                  ELSE 'high' END AS status,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE event_type END AS ref,
+             (event_id % 13 = 0) AS meta_null,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE cast(json_extract_string(props, '$.k') AS int)
+             END AS meta_k,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE 'u' || cast(user_id AS varchar) END AS user_name,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id
+             END AS user_id,
+             value
+      FROM events ORDER BY event_id""",
+    "qi05_schema_drift" -> """
+      SELECT * FROM (VALUES
+        ('extra', '<absent>', 'boolean'),
+        ('value', 'double', 'varchar'))
+      AS t(column_name, was_type, now_type) ORDER BY column_name""",
+    "qi06_partition_delete" -> (aggByIndex + """
+      WHERE NOT (cast(ts AS timestamp) >= TIMESTAMP '2024-01-10 00:00:00'
+             AND cast(ts AS timestamp) <= TIMESTAMP '2024-01-15 00:00:00')
+      GROUP BY event_type ORDER BY tp_index"""),
+    "qi07_compact" -> (aggByIndex + """
+      GROUP BY event_type ORDER BY tp_index"""))
+}

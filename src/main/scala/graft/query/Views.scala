@@ -1,0 +1,94 @@
+package graft.query
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Lake, TpSchema}
+
+/** Filtered-view query layer (SURVEY §2A rows 14-15; reference
+  * views.go:14-34 + cmd/connect.go:262-412): `--from/--to/--partition/
+  * --index` become per-table view predicates, and every user query runs
+  * against the views.
+  *
+  * The predicates target the physical partition columns
+  * (`tp_partition`, `tp_index`) plus `tp_year`/`tp_month` bounds
+  * derived from the time range, so Catalyst prunes partition
+  * directories BEFORE listing files — at 100 TB the difference between
+  * touching one month and touching the lake. The residual
+  * `tp_timestamp` bounds then skip row groups via parquet min/max.
+  */
+object Views {
+
+  /** Query-scoped filters, all optional (reference getFilters,
+    * cmd/connect.go:262-311). `partitions`/`indexes` accept `*`
+    * wildcards and are OR-combined within each list, AND-combined
+    * across lists — the reference's exact semantics
+    * (connect.go:314-399).
+    */
+  final case class Filters(
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None,
+      partitions: Seq[String] = Seq.empty,
+      indexes: Seq[String] = Seq.empty) {
+    def isEmpty: Boolean =
+      from.isEmpty && to.isEmpty && partitions.isEmpty && indexes.isEmpty
+  }
+
+  /** `*` → `%`-style wildcard to a Column LIKE predicate; a pattern
+    * without wildcards becomes equality (connect.go:341-366 builds
+    * `like` vs `=` the same way).
+    */
+  private def matchPattern(c: Column, pattern: String): Column =
+    if (pattern.contains("*")) c.like(pattern.replace("*", "%"))
+    else c === lit(pattern)
+
+  /** The combined predicate for one table, or None when unfiltered. */
+  def predicate(f: Filters): Option[Column] = {
+    val parts = Seq(
+      f.from.map { t =>
+        val ymBound =
+          (col(TpSchema.Year) > year(lit(t))) ||
+            (col(TpSchema.Year) === year(lit(t)) &&
+              col(TpSchema.Month) >= month(lit(t)))
+        ymBound && col(TpSchema.Timestamp) >= lit(t)
+      },
+      f.to.map { t =>
+        val ymBound =
+          (col(TpSchema.Year) < year(lit(t))) ||
+            (col(TpSchema.Year) === year(lit(t)) &&
+              col(TpSchema.Month) <= month(lit(t)))
+        ymBound && col(TpSchema.Timestamp) <= lit(t)
+      },
+      if (f.partitions.isEmpty) None
+      else Some(f.partitions.map(p =>
+        matchPattern(col(TpSchema.Partition), p)).reduce(_ || _)),
+      if (f.indexes.isEmpty) None
+      else Some(f.indexes.map(p =>
+        matchPattern(col(TpSchema.Index).cast("string"), p)).reduce(_ || _))
+    ).flatten
+    parts.reduceOption(_ && _)
+  }
+
+  /** Register one temp view per lake table, filtered when filters are
+    * present (views.go:30: `create or replace view t as select * from
+    * cat.t where ...`). Returns the registered table names.
+    */
+  def register(spark: SparkSession, lake: Lake, f: Filters): Seq[String] = {
+    val tables = lake.listTables(spark)
+    tables.foreach { t =>
+      val base = lake.read(spark, t)
+      val df = predicate(f).map(base.where).getOrElse(base)
+      df.createOrReplaceTempView(t)
+    }
+    tables
+  }
+
+  /** The filtered DataFrame for one table (the view body). */
+  def filtered(spark: SparkSession, lake: Lake, table: String,
+      f: Filters): DataFrame = {
+    val base = lake.read(spark, table)
+    predicate(f).map(base.where).getOrElse(base)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ingest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.config.{ColumnSpec, TableSpec}
+
+class IngestSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("Conversion: rename, cast, transform, null_if, automap") {
+    val src = Seq(("1", "a", "-", 2.5), ("2", "b", "x", 3.5))
+      .toDF("id", "nm", "ref", "v")
+    val spec = TableSpec("t", Seq(
+      ColumnSpec("row_id", Some("bigint"), source = Some("id")),
+      ColumnSpec("ref", nullIf = Some("-")),
+      ColumnSpec("doubled", Some("double"), transform = Some("v * 2"))))
+    val out = Conversion.project(src, spec)
+    assert(out.columns.toSeq == Seq("row_id", "ref", "doubled", "nm", "v"))
+    assert(out.schema("row_id").dataType == LongType)
+    val rows = out.orderBy("row_id").collect()
+    assert(rows(0) == Row(1L, null, 5.0, "a", 2.5))
+    assert(rows(1) == Row(2L, "x", 7.0, "b", 3.5))
+  }
+
+  test("Conversion: missing source column becomes typed NULL") {
+    val out = Conversion.project(Seq(1).toDF("a"),
+      TableSpec("t", Seq(ColumnSpec("ghost", Some("varchar")))))
+    assert(out.schema("ghost").dataType == StringType)
+    assert(out.select("ghost").head().isNullAt(0))
+  }
+
+  test("Conversion: NULL-preserving recursive struct rebuild") {
+    // source struct (k, user(id, name)); declared reorders + drops a
+    // field at both levels; NULL metas must stay NULL, not struct(NULL)
+    val src = spark.range(4).select(col("id"),
+      when(col("id") % 2 === 0,
+        struct(col("id").cast("int").as("k"),
+          struct(col("id").as("id"), concat(lit("u"), col("id")).as("name"),
+            lit("drop").as("junk")).as("user")))
+        .as("meta"))
+    val spec = TableSpec("t", Seq(
+      ColumnSpec("id", Some("bigint")),
+      ColumnSpec("meta",
+        Some("struct(user struct(name varchar, id bigint), k integer)"))))
+    val out = Conversion.project(src, spec)
+    val dt = out.schema("meta").dataType.asInstanceOf[StructType]
+    assert(dt.fieldNames.toSeq == Seq("user", "k"))
+    assert(dt("user").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("name", "id"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(1).isNullAt(1) && rows(3).isNullAt(1),
+      "null structs must stay null after rebuild")
+    val m0 = rows(0).getStruct(1)
+    assert(m0.getStruct(0) == Row("u0", 0L) && m0.getInt(1) == 0)
+  }
+
+  test("Conversion: array-of-struct rebuild preserves null elements") {
+    val src = spark.sql(
+      """select array(named_struct('a', 1, 'b', 'x'), null) as arr""")
+    val out = Conversion.project(src,
+      TableSpec("t", Seq(ColumnSpec("arr", Some("struct(b varchar, a bigint)[]")))))
+    val arr = out.head().getSeq[Row](0)
+    assert(arr.head == Row("x", 1L))
+    assert(arr(1) == null)
+  }
+
+  test("Validation: per-column report and clean split") {
+    val df = Seq(
+      (Some(1), Some("a")), (None, Some("b")), (None, None), (Some(4), None))
+      .toDF("x", "y")
+    val r = Validation.validate(df, Seq("x", "y", "not_there"))
+    assert(r.invalidRows == 3)
+    assert(r.nullsByColumn == Map("x" -> 2, "y" -> 2))
+    assert(r.clean.collect().toSeq == Seq(Row(1, "a")))
+  }
+
+  test("Validation: clean batch reports nothing") {
+    val r = Validation.validate(Seq((1, "a")).toDF("x", "y"), Seq("x", "y"))
+    assert(r.invalidRows == 0 && r.nullsByColumn.isEmpty)
+  }
+
+  test("SchemaInference: drift fails fast with changed-column list") {
+    val a = StructType(Seq(StructField("x", LongType),
+      StructField("y", StringType)))
+    val b = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", StringType), StructField("z", BooleanType)))
+    val e = intercept[SchemaInference.SchemaChangeError](
+      SchemaInference.checkDrift(a, b))
+    assert(e.changes.map(c => (c.column, c.was, c.now)).toSet == Set(
+      ("x", "bigint", "double"), ("z", "<absent>", "boolean")))
+    // pinned columns are exempt (config wins over inference)
+    SchemaInference.checkDrift(a, b, pinned = Set("x", "z"))
+    // a column missing from a later chunk is NOT drift (reads as null)
+    SchemaInference.checkDrift(b,
+      StructType(Seq(StructField("y", StringType))), pinned = Set.empty)
+  }
+}

@@ -1,0 +1,206 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.config.PartitionSpec
+import graft.ingest.Ingest
+import graft.query.Views
+
+class LakeSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def newLake(): Lake =
+    Lake(Files.createTempDirectory("graft_lake_test").toString)
+
+  /** 2 partitions × 2 months of enriched rows. */
+  private def sampleBatch(n: Int = 100, partition: String = "p0") = {
+    val raw = spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 40000)")
+        .as("tp_timestamp"),
+      (col("id") % 3).cast("string").as("idx"),
+      (col("id") * 1.5).as("v"))
+    TpSchema.enrich(raw, PartitionSpec("t", partition,
+      tpIndexColumn = Some("idx")))
+  }
+
+  test("enrich produces the tp_ contract") {
+    val df = sampleBatch(10)
+    assert(TpSchema.required.forall(df.columns.contains))
+    val r = df.where(col("event_id") === 0).head()
+    assert(r.getAs[Timestamp]("tp_timestamp") ==
+      Timestamp.valueOf("2024-01-05 00:00:00"))
+    assert(r.getAs[java.sql.Date]("tp_date").toString == "2024-01-05")
+    assert(r.getAs[String]("tp_index") == "0")
+    assert(r.getAs[String]("tp_partition") == "p0")
+    assert(r.getAs[String]("tp_table") == "t")
+    assert(r.getAs[Int]("tp_year") == 2024 && r.getAs[Int]("tp_month") == 1)
+  }
+
+  test("append partitions by (tp_partition, tp_index, tp_year, tp_month) and records stats") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(100))
+    val dirs = lake.partitionDirs(spark, "t")
+    assert(dirs.nonEmpty && dirs.forall(_.matches(
+      "tp_partition=p0/tp_index=\\d/tp_year=2024/tp_month=\\d")))
+    // months 1 and 2 present (100 rows * 40000s spans >1 month)
+    val months = dirs.map(lake.partitionValues(_)(TpSchema.Month)).toSet
+    assert(months == Set("1", "2"))
+    val stats = lake.fileStats(spark, "t").collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum == 100)
+    assert(stats.forall(r => r.getAs[Timestamp]("min_ts") != null))
+    assert(lake.read(spark, "t").count() == 100)
+  }
+
+  test("time+partition filters prune partition directories in the scan") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(100, "p0"))
+    lake.append(spark, "t", sampleBatch(100, "p1"))
+    val f = Views.Filters(
+      from = Some(Timestamp.valueOf("2024-02-01 00:00:00")),
+      partitions = Seq("p0"), indexes = Seq("1", "2"))
+    val df = Views.filtered(spark, lake, "t", f)
+    val plan = df.queryExecution.executedPlan.toString
+    // partition pruning reached the file source
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("tp_partition"), plan.take(800))
+    val expected = lake.read(spark, "t")
+      .where(col("tp_partition") === "p0" &&
+        col("tp_index").isin("1", "2") &&
+        col("tp_timestamp") >= lit(Timestamp.valueOf("2024-02-01 00:00:00")))
+      .count()
+    assert(df.count() == expected && expected > 0)
+    // and the pruned scan reads strictly fewer files than the table has
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    val allDirs = lake.partitionDirs(spark, "t").length
+    assert(scanned.exists(_ < allDirs),
+      s"scan touched $scanned of $allDirs partitions")
+  }
+
+  test("wildcard view patterns: * becomes LIKE, no wildcard becomes equality") {
+    val p = Views.predicate(Views.Filters(partitions = Seq("prod_*", "dev")))
+    assert(p.get.toString.contains("like(tp_partition, 'prod_%')"))
+    assert(p.get.toString.contains("=(tp_partition, 'dev')"))
+  }
+
+  test("partition delete removes only the range, prunes empty dirs") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(100, "p0"))
+    lake.append(spark, "t", sampleBatch(100, "p1"))
+    val from = Timestamp.valueOf("2024-01-10 00:00:00")
+    val to = Timestamp.valueOf("2024-01-20 00:00:00")
+    val expectDel = lake.read(spark, "t")
+      .where(col("tp_partition") === "p0" &&
+        col("tp_timestamp") >= lit(from) && col("tp_timestamp") <= lit(to))
+      .count()
+    val deleted = Maintenance.deletePartitionRange(
+      spark, lake, "t", "p0", Some(from), Some(to))
+    assert(deleted == expectDel && deleted > 0)
+    val left = lake.read(spark, "t")
+    assert(left.where(col("tp_partition") === "p0" &&
+      col("tp_timestamp") >= lit(from) &&
+      col("tp_timestamp") <= lit(to)).count() == 0)
+    // p1 untouched
+    assert(left.where(col("tp_partition") === "p1").count() == 100)
+  }
+
+  test("deleting a whole partition removes its directories") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(50, "p0"))
+    lake.append(spark, "t", sampleBatch(50, "p1"))
+    val deleted = Maintenance.deletePartitionRange(spark, lake, "t", "p1")
+    assert(deleted == 50)
+    assert(lake.partitionDirs(spark, "t")
+      .forall(_.startsWith("tp_partition=p0")))
+    assert(lake.read(spark, "t").count() == 50)
+  }
+
+  test("compaction merges small files and orders by time; content unchanged") {
+    val lake = newLake()
+    // 3 appends of interleaved time ranges → ≥3 overlapping files/dir
+    (0 until 3).foreach { i =>
+      val raw = spark.range(60).select(
+        (col("id") * 3 + i).as("event_id"),
+        expr(s"timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, (id * 3 + $i) * 1000)")
+          .as("tp_timestamp"),
+        lit("a").as("idx"), col("id").cast("double").as("v"))
+      lake.append(spark, "t",
+        TpSchema.enrich(raw, PartitionSpec("t", "p0",
+          tpIndexColumn = Some("idx"))))
+    }
+    val before = lake.dataFiles(spark, "t")
+    val checksumBefore = lake.read(spark, "t")
+      .agg(count(lit(1)), sum("event_id"), sum("v")).head()
+    val stats = lake.fileStats(spark, "t").collect().map(r =>
+      Maintenance.FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
+        Some(r.getAs[Timestamp]("min_ts")), Some(r.getAs[Timestamp]("max_ts"))))
+    assert(Maintenance.hasOverlap(stats.toSeq), "fixture must overlap")
+
+    val (nBefore, nAfter) = Maintenance.compact(spark, lake, "t")
+    assert(nBefore == before.size && nAfter < nBefore)
+    assert(lake.read(spark, "t")
+      .agg(count(lit(1)), sum("event_id"), sum("v")).head() == checksumBefore)
+    // post-compaction stats are non-overlapping
+    val statsAfter = lake.fileStats(spark, "t").collect().map(r =>
+      Maintenance.FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
+        Some(r.getAs[Timestamp]("min_ts")), Some(r.getAs[Timestamp]("max_ts"))))
+    assert(!Maintenance.hasOverlap(statsAfter.toSeq))
+    // idempotent: second compact is a no-op
+    val (b2, a2) = Maintenance.compact(spark, lake, "t")
+    assert(b2 == a2)
+  }
+
+  test("vacuum rewrites the manifest to live files only") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(50))
+    Maintenance.compact(spark, lake, "t")
+    Maintenance.vacuum(spark, lake, "t")
+    val live = lake.dataFiles(spark, "t").toSet
+    val manifest = lake.fileStats(spark, "t").collect()
+      .map(_.getAs[String]("file")).toSet
+    assert(manifest == live)
+  }
+
+  test("overlap sweep: disjoint sorted ranges are not overlapping") {
+    def fr(a: String, b: String) = Maintenance.FileRange("f", 1,
+      Some(Timestamp.valueOf(a)), Some(Timestamp.valueOf(b)))
+    assert(!Maintenance.hasOverlap(Seq(
+      fr("2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+      fr("2024-01-02 00:00:00", "2024-01-03 00:00:00"))))
+    assert(Maintenance.hasOverlap(Seq(
+      fr("2024-01-01 00:00:00", "2024-01-02 00:00:01"),
+      fr("2024-01-02 00:00:00", "2024-01-03 00:00:00"))))
+  }
+
+  test("ingest end-to-end: chunked JSONL with window filter and drift gate") {
+    val root = Files.createTempDirectory("graft_ingest_e2e").toString
+    val src = spark.range(40).select(
+      col("id"),
+      date_format(
+        expr("timestamp '2024-03-01 00:00:00' + make_interval(0,0,0,0, 0, 0, id * 3600)"),
+        "yyyy-MM-dd HH:mm:ss").as("ts"),
+      (col("id") % 2).cast("string").as("side"))
+    src.repartition(4).write.mode("overwrite").json(s"$root/jsonl")
+    val files = new java.io.File(s"$root/jsonl").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.getAbsolutePath).sorted.toSeq
+    val lake = Lake(s"$root/lake")
+    val res = Ingest.collectJsonl(spark, lake,
+      PartitionSpec("e2e", "p0", tpIndexColumn = Some("side")),
+      files, timestampColumn = "ts",
+      from = Some(Timestamp.valueOf("2024-03-01 05:00:00")),
+      maxChunksPerBatch = 2)
+    // ids 0..4 fall before the window (hourly steps from 00:00)
+    assert(res.rowsIngested == 35 && res.rowsInvalid == 0)
+    assert(res.chunksProcessed == 4)
+    assert(lake.read(spark, "e2e").count() == 35)
+  }
+}
