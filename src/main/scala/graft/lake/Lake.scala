@@ -140,32 +140,34 @@ final case class Lake(root: String) {
       .join(liveDf, Seq("file"), "left_semi")
   }
 
-  /** Replace the full file set of one physical partition directory with
-    * the given DataFrame — the primitive under compaction and partition
-    * delete. Writes to a staging dir first, then swaps, so a crash
-    * leaves either the old or the new file set (never a mix of halves).
+  /** Atomically replace exactly the partition directories present in
+    * `df` with its rows — the primitive under compaction and partition
+    * delete (the reference's insert+delete-in-transaction,
+    * compact.go:339-416). Implemented as Spark DYNAMIC partition
+    * overwrite: one write job whose commit protocol swaps only the
+    * touched directories; untouched partitions are never read or
+    * rewritten, so the cost scales with the replaced data, not the
+    * table (the 100 TB requirement). The manifest is refreshed for the
+    * replaced files (superseded rows are reconciled lazily by
+    * `fileStats`' live-file semi-join).
     */
-  def replacePartitionDir(
-      spark: SparkSession, table: String, relDir: String,
-      replacement: DataFrame, sortWithin: Boolean): Unit = {
-    val f = fs(spark, root)
-    val target = new Path(s"${tableDir(table)}/$relDir")
-    val staging = new Path(s"${tableDir(table)}/_graft_staging/$relDir")
-    f.delete(staging, true)
-    val toWrite =
-      if (sortWithin) replacement.sortWithinPartitions(TpSchema.Timestamp)
-      else replacement
-    toWrite.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // swap: remove old dir, move staged files in
-    f.delete(target, true)
-    f.mkdirs(target.getParent)
-    if (!f.rename(staging, target))
-      throw new IllegalStateException(s"failed to swap $staging -> $target")
-    f.delete(new Path(s"${tableDir(table)}/_graft_staging"), true)
-    // drop Spark's _SUCCESS marker from the swapped-in dir
-    f.delete(new Path(target, "_SUCCESS"), false)
-    recordStats(spark, table, dataFiles(spark, table)
-      .filter(_.contains(s"/$relDir/")))
+  def overwritePartitions(
+      spark: SparkSession, table: String, df: DataFrame): Unit = {
+    val dir = tableDir(table)
+    val before = dataFiles(spark, table).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      df.write
+        .partitionBy(TpSchema.partitionCols: _*)
+        .mode(SaveMode.Overwrite)
+        .parquet(dir)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val added = dataFiles(spark, table).filterNot(before)
+    recordStats(spark, table, added)
   }
 
   /** Physical partition directories (relative paths like
