@@ -71,10 +71,21 @@ object Dedup {
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    candidatesFromSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes, shingle),
+      numHashes, bands, maxBucket)
+
+  /** LSH banding over precomputed signatures — lets callers that also
+    * need the signatures downstream (e.g. [[minhashLsh]]) build ONE
+    * plan in which the signature aggregate's shuffle exchange is shared
+    * (Catalyst ReuseExchange) instead of scanning the corpus twice.
+    */
+  def candidatesFromSignatures(
+      sigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
 
     val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
@@ -105,7 +116,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
-    minhashLshCandidates(df, idCol, textCol, numHashes, bands, shingle, maxBucket)
+    candidatesFromSignatures(sigs, numHashes, bands, maxBucket)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -40,10 +40,16 @@ object DistributedRank {
   private def rankedWithTotal(
       df: DataFrame, sortCols: Seq[Column],
       numPartitions: Int): (DataFrame, Long) = {
+    // localCheckpoint (eager) pins the partitioning — the count pass and
+    // the rank pass must see identical pids, and repartitionByRange
+    // samples nondeterministically across recomputation. Unlike
+    // persist(), the checkpoint blocks are NOT registered in the
+    // CacheManager: they are reclaimed by the ContextCleaner as soon as
+    // the returned DataFrame is dropped, so repeated calls in a
+    // long-lived service cannot accumulate executor memory.
     val parted = df.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist() // pin partitioning: the count pass and the rank pass
-                 // must see identical pids
+      .localCheckpoint()
     val counts = parted.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until numPartitions)
