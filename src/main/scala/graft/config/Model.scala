@@ -51,6 +51,7 @@ final case class TableSpec(
     columns: Seq[ColumnSpec] = Seq.empty,
     mapFields: Seq[String] = Seq("*"),
     nullIf: Option[String] = None,
+    format: Option[String] = None, // "<kind>.<name>" format reference
     description: Option[String] = None) {
   def column(n: String): Option[ColumnSpec] = columns.find(_.name == n)
 }
@@ -89,7 +90,10 @@ final case class PartitionSpec(
 final case class SourceSpec(
     kind: String, // "file" | "synthetic"
     paths: Seq[String] = Seq.empty,
-    format: Option[String] = None)
+    format: Option[String] = None,
+    // grok-ish filename pattern selecting files under `paths`
+    // (reference source.go file_layout)
+    fileLayout: Option[String] = None)
 
 /** A format block (reference internal/config/format.go): `delimited`
   * (header/delimiter → csv reader) or `grok` (pattern → regex

@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.config.{ColumnSpec, PartitionSpec, TableSpec}
-import graft.ingest.{Ingest, SchemaInference}
+import graft.config.{ColumnSpec, FormatSpec, PartitionSpec, TableSpec}
+import graft.ingest.{Formats, Ingest, SchemaInference}
 import graft.lake.{Lake, Maintenance, TpSchema}
 import graft.query.Views
 
@@ -254,6 +254,91 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           min("tp_timestamp").as("min_ts"), max("tp_timestamp").as("max_ts"))
         .orderBy("tp_index")
+    }),
+
+    // SURVEY §2B scans + §7.2 step 6: GROK format — log lines are
+    // rendered from events, grok-extracted (one text scan + codegen'd
+    // regexp projection, Formats.readGrok), converted under a declared
+    // schema and lake-ingested. The oracle reconstructs every field
+    // from the source table, so a regex, capture-order, or type-cast
+    // defect breaks the hash. Value round-trip is exact: value is
+    // 2-decimal in the fixture and rendered %.2f.
+    "qi08_grok_ingest" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi08"
+      rmrf(root)
+      Tables.load(s, dir, "events").select(concat(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          lit(" UTC ["),
+          when(col("value") < 10, lit("INFO")).otherwise(lit("WARN")),
+          lit("] id="), col("event_id"),
+          lit(" user="), col("user_id"),
+          lit(" type="), col("event_type"),
+          lit(" value="), format_string("%.2f", col("value")),
+          lit(" "), col("props")).as("value"))
+        .repartition(2).write.mode("overwrite").text(s"$root/logs")
+      val raw = Formats.read(s,
+        FormatSpec("grok", "applog", pattern = Some(
+          """%{TIMESTAMP_ISO8601:ts} %{WORD:tz} \[%{LOGLEVEL:level}\] id=%{INT:event_id} user=%{INT:user_id} type=%{WORD:event_type} value=%{NUMBER:value} %{GREEDYDATA:props}""")),
+        Seq(s"$root/logs"))
+      val lake = Lake(s"$root/lake")
+      Ingest.collectBatch(s, lake,
+        PartitionSpec("events_grok", "p0", tpIndexColumn = Some("event_type")),
+        raw,
+        TableSpec("events_grok", Seq(
+          ColumnSpec("event_id", Some("bigint"), required = true),
+          ColumnSpec("ts", Some("timestamp")),
+          ColumnSpec("level", Some("varchar")),
+          ColumnSpec("user_id", Some("bigint")),
+          ColumnSpec("event_type", Some("varchar")),
+          ColumnSpec("value", Some("double")),
+          ColumnSpec("props", Some("varchar")))),
+        timestampColumn = "ts")
+      lake.read(s, "events_grok")
+        .select(col("event_id"), col("tp_timestamp"),
+          col("tp_index").cast("string").as("tp_index"),
+          col("level"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .orderBy("event_id")
+    }),
+
+    // §2B scans + §7.2 step 6: DELIMITED format — pipe-separated CSV
+    // with header and a '-' null sentinel (reference null_if_data.csv
+    // fixture), read via Formats.read and converted with a per-column
+    // null_if rule.
+    "qi09_delimited_ingest" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi09"
+      rmrf(root)
+      Tables.load(s, dir, "events").select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"),
+          when(col("event_type") === "error", lit("-"))
+            .otherwise(col("event_type")).as("event_type"),
+          col("value"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("delimiter", "|")
+        .csv(s"$root/csv")
+      val files = new java.io.File(s"$root/csv").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".csv"))
+        .map(_.getPath).toSeq
+      val raw = Formats.read(s,
+        FormatSpec("delimited", "psv", delimiter = "|", header = true), files)
+      val lake = Lake(s"$root/lake")
+      Ingest.collectBatch(s, lake,
+        PartitionSpec("events_csv", "p0"),
+        raw,
+        TableSpec("events_csv", Seq(
+          ColumnSpec("event_id", Some("bigint"), required = true),
+          ColumnSpec("ts", Some("timestamp")),
+          ColumnSpec("user_id", Some("bigint")),
+          ColumnSpec("etype", Some("varchar"), source = Some("event_type"),
+            nullIf = Some("-")),
+          ColumnSpec("value", Some("double")))),
+        timestampColumn = "ts")
+      lake.read(s, "events_csv")
+        .select(col("event_id"), col("tp_timestamp"), col("tp_date"),
+          col("user_id"), col("etype"), col("value"))
+        .orderBy("event_id")
     }))
 
   // ---- oracles -------------------------------------------------------
@@ -333,5 +418,21 @@ object IngestQueries {
              AND cast(ts AS timestamp) <= TIMESTAMP '2024-01-15 00:00:00')
       GROUP BY event_type ORDER BY tp_index"""),
     "qi07_compact" -> (aggByIndex + """
-      GROUP BY event_type ORDER BY tp_index"""))
+      GROUP BY event_type ORDER BY tp_index"""),
+    "qi08_grok_ingest" -> """
+      SELECT event_id,
+             cast(ts AS timestamp) AS tp_timestamp,
+             event_type AS tp_index,
+             CASE WHEN value < 10 THEN 'INFO' ELSE 'WARN' END AS level,
+             user_id, event_type, value, props
+      FROM events ORDER BY event_id""",
+    "qi09_delimited_ingest" -> """
+      SELECT event_id,
+             cast(ts AS timestamp) AS tp_timestamp,
+             cast(date_trunc('day', cast(ts AS timestamp)) AS date) AS tp_date,
+             user_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE event_type END AS etype,
+             value
+      FROM events ORDER BY event_id""")
 }
