@@ -1,0 +1,369 @@
+package graft.cli
+
+import java.io.PrintStream
+import java.sql.Timestamp
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+
+import graft.config.{FormatSpec, Hcl, PartitionSpec, TableSpec, Types}
+import graft.ingest.{Formats, Ingest}
+import graft.lake.{Lake, Maintenance}
+import graft.query.{Metaquery, Render, Views}
+
+/** The `graft` command-line surface — the engine's counterpart of the
+  * reference CLI (SURVEY §2C; /root/reference/cmd/):
+  *
+  *   - `collect <table.partition|wildcard> [--from --to]`
+  *     (cmd/collect.go:34-61)
+  *   - `query "<sql>" [--output table|csv|json|line] [--from --to
+  *     --partition --index --header --separator]` (cmd/query.go:25-61)
+  *   - `connect` — emit an init SQL script registering filtered views
+  *     (cmd/connect.go:94-173)
+  *   - `compact [table]` (cmd/compact.go:25-50)
+  *   - `partition list|show|delete` (cmd/partition.go:31-240)
+  *   - `table list|show` (cmd/table.go:22-126)
+  *   - `source list|show`, `format list|show` (cmd/source.go,
+  *     cmd/format.go)
+  *
+  * Every command routes through [[run]], which takes the SparkSession
+  * and an output stream — so tests drive the full CLI in-process and
+  * assert golden output (the reference's bats pattern,
+  * tests/acceptance/test_files/all_column_types.bats:17-23).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val rc = try run(spark, args.toIndexedSeq, Console.out)
+    finally spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** Parsed global options + positional arguments. */
+  final case class Opts(
+      positional: Seq[String],
+      flags: Map[String, Seq[String]]) {
+    def flag(name: String): Option[String] = flags.get(name).map(_.last)
+    def flagAll(name: String): Seq[String] = flags.getOrElse(name, Seq.empty)
+    def ts(name: String): Option[Timestamp] =
+      flag(name).map(v => parseTime(v))
+  }
+
+  private[cli] def parseArgs(args: Seq[String]): Opts = {
+    val pos = Seq.newBuilder[String]
+    var flags = Map.empty[String, Seq[String]]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val (k, v) = a.indexOf('=') match {
+          case -1 =>
+            if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+              i += 1; (a.drop(2), args(i))
+            } else (a.drop(2), "true")
+          case eq => (a.substring(2, eq), a.substring(eq + 1))
+        }
+        flags = flags.updated(k, flags.getOrElse(k, Seq.empty) :+ v)
+      } else pos += a
+      i += 1
+    }
+    Opts(pos.result(), flags)
+  }
+
+  /** `--from/--to` time parsing (cmd/query.go doc: ISO 8601 date,
+    * datetime, datetime+ms, and relative `T-2Y/T-10m/T-10W/T-180d/
+    * T-9H/T-10M` — uppercase M is minutes, lowercase m months).
+    */
+  private val Relative: Regex = """T-(\d+)([YymWwdDHhMs])""".r
+
+  def parseTime(s: String, now: LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)): Timestamp = s match {
+    case Relative(n, unit) =>
+      val k = n.toLong
+      val t = unit match {
+        case "Y" | "y" => now.minusYears(k)
+        case "m"       => now.minusMonths(k)
+        case "W" | "w" => now.minusWeeks(k)
+        case "d" | "D" => now.minusDays(k)
+        case "H" | "h" => now.minusHours(k)
+        case "M"       => now.minusMinutes(k)
+        case "s"       => now.minusSeconds(k)
+      }
+      Timestamp.valueOf(t)
+    case _ if s.length == 10 =>
+      Timestamp.valueOf(LocalDate.parse(s).atStartOfDay())
+    case _ =>
+      val norm = s.stripSuffix("Z").replace('T', ' ')
+      Timestamp.valueOf(norm)
+  }
+
+  // ---- entry -----------------------------------------------------------
+
+  def run(spark: SparkSession, args: Seq[String], out: PrintStream): Int = {
+    val opts = parseArgs(args.drop(1))
+    val lake = Lake(opts.flag("lake-dir").getOrElse("lake"))
+    def config = loadConfig(opts.flag("config-dir").getOrElse("config"))
+    try {
+      args.headOption match {
+        case Some("collect")   => collect(spark, lake, config, opts, out)
+        case Some("query")     => query(spark, lake, config, opts, out)
+        case Some("connect")   => connect(spark, lake, opts, out)
+        case Some("compact")   => compact(spark, lake, opts, out)
+        case Some("partition") => partitionCmd(spark, lake, config, opts, out)
+        case Some("table")     => tableCmd(spark, lake, config, opts, out)
+        case Some("source")    => sourceCmd(config, opts, out)
+        case Some("format")    => formatCmd(config, opts, out)
+        case Some(other) =>
+          out.println(s"unknown command: $other"); return 1
+        case None =>
+          out.println(usage); return 1
+      }
+      0
+    } catch {
+      case e: Exception =>
+        out.println(s"Error: ${e.getMessage}")
+        1
+    }
+  }
+
+  val usage: String =
+    """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
+      |commands: collect query connect compact partition table source format""".stripMargin
+
+  /** Load + merge every `*.tpc` or `*.hcl` file in the config dir
+    * (the reference loads `*.tpc` files under `~/.tailpipe/config`,
+    * internal/parse/load_config.go).
+    */
+  def loadConfig(dir: String): Hcl.Config = {
+    val d = new java.io.File(dir)
+    val files =
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().toSeq
+        .filter(f => f.getName.endsWith(".tpc") || f.getName.endsWith(".hcl"))
+        .sortBy(_.getName)
+    files.map(f => Hcl.decode(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+      .foldLeft(Hcl.Config(Map.empty, Map.empty, Map.empty)) { (a, b) =>
+        Hcl.Config(a.formats ++ b.formats, a.tables ++ b.tables,
+          a.partitions ++ b.partitions)
+      }
+  }
+
+  // ---- collect ---------------------------------------------------------
+
+  private def collect(
+      spark: SparkSession, lake: Lake, config: Hcl.Config,
+      opts: Opts, out: PrintStream): Unit = {
+    val pattern = opts.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "collect requires a <table.partition> argument"))
+    val matched = resolvePartitions(config, pattern)
+    require(matched.nonEmpty, s"no partitions match '$pattern'")
+    matched.foreach { p =>
+      val src = p.source.getOrElse(throw new IllegalArgumentException(
+        s"partition ${p.id} has no source block"))
+      val fmt = src.format
+        .map(f => config.formats.getOrElse(f.stripPrefix("format."),
+          throw new IllegalArgumentException(s"unknown format '$f'")))
+        .getOrElse(FormatSpec("jsonl", "default"))
+      val files = Formats.resolveFiles(src.paths, src.fileLayout)
+      require(files.nonEmpty, s"no files for partition ${p.id}")
+      val tableSpec = config.tables.getOrElse(p.table, TableSpec(p.table))
+      val raw = Formats.read(spark, fmt, files)
+      // declared-schema conversion maps any `source =` rename to
+      // tp_timestamp BEFORE enrichment, so the enrich column is always
+      // the canonical one
+      val res = Ingest.collectBatch(spark, lake, p, raw, tableSpec,
+        timestampColumn = "tp_timestamp",
+        from = opts.ts("from"), to = opts.ts("to"))
+      out.println(s"Collected ${p.id}: ${res.rowsIngested} rows" +
+        (if (res.rowsInvalid > 0) s" (${res.rowsInvalid} invalid)" else ""))
+    }
+  }
+
+  /** Wildcard partition resolution (`*` in either segment; bare table
+    * name matches all its partitions) — cmd/collect.go:207-243.
+    */
+  private[cli] def resolvePartitions(
+      config: Hcl.Config, pattern: String): Seq[PartitionSpec] = {
+    val (tp, pp) = pattern.split("\\.", 2) match {
+      case Array(t, p) => (t, p)
+      case Array(t)    => (t, "*")
+    }
+    def re(glob: String) =
+      ("^" + Regex.quote(glob).replace("*", "\\E.*\\Q") + "$").r
+    val (tr, pr) = (re(tp), re(pp))
+    config.partitions.values.toSeq
+      .filter(p => tr.matches(p.table) && pr.matches(p.name))
+      .sortBy(_.id)
+  }
+
+  // ---- query -----------------------------------------------------------
+
+  private def query(
+      spark: SparkSession, lake: Lake, config: Hcl.Config,
+      opts: Opts, out: PrintStream): Unit = {
+    val filters = Views.Filters(
+      from = opts.ts("from"), to = opts.ts("to"),
+      partitions = opts.flagAll("partition"),
+      indexes = opts.flagAll("index"))
+    Views.register(spark, lake, filters)
+    val state = Metaquery.QueryState(
+      output = opts.flag("output").getOrElse("table"),
+      header = !opts.flag("header").contains("false") &&
+        !opts.flag("header").contains("off"),
+      separator = opts.flag("separator").getOrElse(","))
+    opts.positional.foreach { q =>
+      if (Metaquery.isMetaquery(q))
+        out.println(Metaquery.handle(spark, lake, state, q))
+      else runOne(spark, lake, config, state, q, out)
+    }
+  }
+
+  private def runOne(
+      spark: SparkSession, lake: Lake, config: Hcl.Config,
+      state: Metaquery.QueryState, sql: String, out: PrintStream): Unit = {
+    val df =
+      try spark.sql(sql.stripSuffix(";"))
+      catch {
+        // reference error shaping (execute.go:125-147): an unknown
+        // table that HAS a partition config means "not collected yet"
+        case e: AnalysisException
+            if e.getCondition != null &&
+              e.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND") =>
+          val missing = "`([A-Za-z0-9_]+)`".r
+            .findFirstMatchIn(e.getMessage).map(_.group(1))
+          missing.filter(t => config.partitions.values.exists(_.table == t))
+            .foreach { t =>
+              throw new IllegalArgumentException(
+                s"no data has been collected for table '$t'", e)
+            }
+          throw e
+      }
+    state.output match {
+      case "csv"   => out.println(Render.csv(df, state.header, state.separator))
+      case "json"  => out.println(Render.json(df))
+      case "line"  => out.println(Render.line(df))
+      case _       => out.println(Render.table(df))
+    }
+  }
+
+  // ---- connect ---------------------------------------------------------
+
+  /** Emit an init SQL script that attaches the lake as filtered temp
+    * views — any Spark SQL client can run it (reference writes
+    * `tailpipe_init_<ts>.sql` for duckdb clients,
+    * cmd/connect.go:127-173).
+    */
+  private def connect(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    val filters = Views.Filters(
+      from = opts.ts("from"), to = opts.ts("to"),
+      partitions = opts.flagAll("partition"),
+      indexes = opts.flagAll("index"))
+    // SQL-text predicates, the reference's exact set (connect.go:264-399)
+    def pat(c: String, p: String) =
+      if (p.contains("*")) s"$c LIKE '${p.replace("*", "%")}'" else s"$c = '$p'"
+    val preds = Seq(
+      filters.from.map(t => s"tp_timestamp >= TIMESTAMP '$t'"),
+      filters.to.map(t => s"tp_timestamp <= TIMESTAMP '$t'"),
+      Option(filters.partitions).filter(_.nonEmpty).map(ps =>
+        "(" + ps.map(pat("tp_partition", _)).mkString(" OR ") + ")"),
+      Option(filters.indexes).filter(_.nonEmpty).map(ps =>
+        "(" + ps.map(pat("cast(tp_index AS string)", _)).mkString(" OR ") + ")"))
+      .flatten
+    val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
+    lake.listTables(spark).foreach { t =>
+      out.println(
+        s"CREATE OR REPLACE TEMPORARY VIEW $t AS SELECT * FROM " +
+          s"parquet.`${lake.tableDir(t)}`$where;")
+    }
+  }
+
+  // ---- maintenance -----------------------------------------------------
+
+  private def compact(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    val tables = opts.positional.headOption
+      .map(Seq(_)).getOrElse(lake.listTables(spark))
+    tables.foreach { t =>
+      val (before, after) = Maintenance.compact(spark, lake, t)
+      out.println(s"Compacted $t: $before files -> $after files")
+    }
+  }
+
+  private def partitionCmd(
+      spark: SparkSession, lake: Lake, config: Hcl.Config,
+      opts: Opts, out: PrintStream): Unit =
+    opts.positional.headOption match {
+      case Some("list") =>
+        val rows = Seq("Partition", "Table") +:
+          config.partitions.values.toSeq.sortBy(_.id)
+            .map(p => Seq(p.id, p.table))
+        out.println(Render.renderTable(rows, headerRow = true))
+      case Some("delete") =>
+        val id = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "partition delete requires <table.partition>"))
+        val Array(table, name) = id.split("\\.", 2)
+        val n = Maintenance.deletePartitionRange(spark, lake, table, name,
+          from = opts.ts("from"), to = opts.ts("to"))
+        out.println(s"Deleted $n rows from $id")
+      case other => throw new IllegalArgumentException(
+        s"partition: expected list|delete, got ${other.getOrElse("nothing")}")
+    }
+
+  private def tableCmd(
+      spark: SparkSession, lake: Lake, config: Hcl.Config,
+      opts: Opts, out: PrintStream): Unit =
+    opts.positional.headOption match {
+      case Some("list") =>
+        out.println(Metaquery.inspectTables(spark, lake))
+      case Some("show") =>
+        val t = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("table show requires a name"))
+        out.println(Metaquery.inspectSchema(spark, lake, t))
+      case other => throw new IllegalArgumentException(
+        s"table: expected list|show, got ${other.getOrElse("nothing")}")
+    }
+
+  private def sourceCmd(
+      config: Hcl.Config, opts: Opts, out: PrintStream): Unit = {
+    val rows = Seq("Partition", "Source", "Format") +:
+      config.partitions.values.toSeq.sortBy(_.id).map { p =>
+        Seq(p.id, p.source.map(_.kind).getOrElse("-"),
+          p.source.flatMap(_.format).getOrElse("-"))
+      }
+    out.println(Render.renderTable(rows, headerRow = true))
+  }
+
+  private def formatCmd(
+      config: Hcl.Config, opts: Opts, out: PrintStream): Unit =
+    opts.positional.headOption match {
+      case Some("show") =>
+        val name = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("format show requires a name"))
+        val f = config.formats.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown format '$name'"))
+        out.println(Render.renderTable(Seq(
+          Seq("Property", "Value"),
+          Seq("kind", f.kind), Seq("name", f.name),
+          Seq("delimiter", f.delimiter), Seq("header", f.header.toString),
+          Seq("pattern", f.pattern.getOrElse("-"))), headerRow = true))
+      case _ =>
+        val rows = Seq("Format", "Kind") +:
+          config.formats.values.toSeq.sortBy(_.name)
+            .map(f => Seq(s"${f.kind}.${f.name}", f.kind))
+        out.println(Render.renderTable(rows, headerRow = true))
+    }
+}

@@ -1,0 +1,127 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.Types
+import graft.lake.{Lake, TpSchema}
+
+/** Dot-command metaqueries of the interactive/batch query surface
+  * (reference /root/reference/internal/metaquery/definitions.go:25-130,
+  * `.inspect` handler handler_inspect.go:17-76) plus the DESCRIBE
+  * surface (internal/query/execute.go:79-123).
+  *
+  * The handler is pure: it mutates only the passed [[QueryState]] and
+  * returns the text to print, so the same dispatch serves the REPL,
+  * batch mode, and tests.
+  */
+object Metaquery {
+
+  /** Mutable per-session output/display options (the reference keeps
+    * these in viper config; cmd/query.go flags seed them).
+    */
+  final case class QueryState(
+      var output: String = "table", // table | csv | json | line
+      var header: Boolean = true,
+      var separator: String = ",",
+      var multi: Boolean = false,
+      var autoComplete: Boolean = true,
+      var done: Boolean = false)
+
+  def isMetaquery(line: String): Boolean = line.trim.startsWith(".")
+
+  /** Execute one dot-command; returns the text to display. */
+  def handle(
+      spark: SparkSession, lake: Lake, state: QueryState,
+      line: String): String = {
+    val parts = line.trim.split("\\s+").toSeq
+    val cmd = parts.head
+    val args = parts.tail
+    cmd match {
+      case ".help" => help
+      case ".exit" | ".quit" => state.done = true; ""
+      case ".clear" => "[2J[H"
+      case ".output" =>
+        requireArgs(args, 1, ".output")
+        require(Seq("table", "csv", "json", "line").contains(args.head),
+          s"invalid output format '${args.head}' (csv, json, table, line)")
+        state.output = args.head; ""
+      case ".separator" =>
+        requireArgs(args, 1, ".separator")
+        state.separator = args.head; ""
+      case ".header" | ".headers" =>
+        state.header = onOff(args, cmd); ""
+      case ".multi" =>
+        state.multi = onOff(args, cmd); ""
+      case ".autocomplete" =>
+        state.autoComplete = onOff(args, cmd); ""
+      case ".inspect" =>
+        require(args.length <= 1, ".inspect takes at most one argument")
+        if (args.isEmpty) inspectTables(spark, lake)
+        else inspectSchema(spark, lake, args.head)
+      case other =>
+        throw new IllegalArgumentException(s"unknown command '$other'")
+    }
+  }
+
+  private def requireArgs(args: Seq[String], n: Int, cmd: String): Unit =
+    require(args.length == n, s"$cmd requires exactly $n argument(s)")
+
+  private def onOff(args: Seq[String], cmd: String): Boolean = {
+    requireArgs(args, 1, cmd)
+    args.head match {
+      case "on"  => true
+      case "off" => false
+      case other => throw new IllegalArgumentException(
+        s"$cmd expects on/off, got '$other'")
+    }
+  }
+
+  /** `.inspect` — table list (handler_inspect.go:36-51; the Plugin
+    * column holds the source adapter, 'core' for lake-native tables).
+    */
+  def inspectTables(spark: SparkSession, lake: Lake): String = {
+    val rows = Seq("Table", "Plugin") +:
+      lake.listTables(spark).map(t => Seq(t, "core"))
+    Render.renderTable(rows, headerRow = true)
+  }
+
+  /** `.inspect <table>` — column/type listing, engine type vocabulary,
+    * sorted alphabetically with `tp_` fields LAST
+    * (handler_inspect.go:66-68; SDK SortColumnsAlphabetically).
+    */
+  def inspectSchema(
+      spark: SparkSession, lake: Lake, table: String): String = {
+    require(lake.tableExists(spark, table),
+      s"could not find a view named '$table'")
+    val cols = lake.schemaOf(spark, table).fields
+      .map(f => f.name -> Types.name(f.dataType))
+    val (tp, plain) = cols.partition(_._1.startsWith("tp_"))
+    val ordered = plain.sortBy(_._1) ++ tp.sortBy(_._1)
+    Render.renderTable(
+      Seq("Column", "Type") +: ordered.toSeq.map(c => Seq(c._1, c._2)),
+      headerRow = true)
+  }
+
+  /** DESCRIBE of an arbitrary query (execute.go:79-123): Spark ANALYSIS
+    * ONLY — `spark.sql(q).schema` resolves the plan without running a
+    * job; column types come back in engine vocabulary.
+    */
+  def describe(spark: SparkSession, query: String): Seq[(String, String)] = {
+    val clean = query.trim.stripSuffix(";")
+    spark.sql(clean).schema.fields.toSeq
+      .map(f => f.name -> Types.name(f.dataType))
+  }
+
+  val help: String =
+    """Available commands:
+      |  .autocomplete   Enable or disable auto-completion: on, off
+      |  .clear          Clear the console
+      |  .exit           Exit from the terminal
+      |  .header         Enable or disable column headers: on, off
+      |  .help           Show help
+      |  .inspect        View tables & column information
+      |  .multi          Enable or disable multiline mode: on, off
+      |  .output         Set output format: csv, json, table or line
+      |  .quit           Exit from the terminal
+      |  .separator      Set csv output separator""".stripMargin
+}

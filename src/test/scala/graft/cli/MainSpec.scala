@@ -1,0 +1,212 @@
+package graft.cli
+
+import java.io.{ByteArrayOutputStream, File, PrintStream, PrintWriter}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** End-to-end CLI drive over a fixture: HCL config → collect → query,
+  * asserting golden CSV — the reference's acceptance pattern
+  * (tests/acceptance/test_files/core_formats.bats,
+  * all_column_types.bats:17-23).
+  */
+class MainSpec extends AnyFunSuite with SparkTest {
+
+  private def write(f: File, text: String): Unit = {
+    val w = new PrintWriter(f)
+    try w.print(text) finally w.close()
+  }
+
+  private def cli(root: File, args: String*): (Int, String) = {
+    val bos = new ByteArrayOutputStream()
+    val rc = Main.run(spark,
+      args.toSeq ++ Seq(
+        "--lake-dir", s"${root.getPath}/lake",
+        "--config-dir", s"${root.getPath}/config"),
+      new PrintStream(bos, true, "UTF-8"))
+    (rc, new String(bos.toByteArray, "UTF-8").trim)
+  }
+
+  private lazy val root: File = {
+    val dir = Files.createTempDirectory("graft_cli").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/access_log.csv"),
+      """timestamp,ip_address,user_agent,status_code
+        |2024-05-01T10:30:45Z,192.168.1.1,"Mozilla/5.0 (Macintosh)",200
+        |2024-05-01T10:31:00Z,192.168.1.2,"Mozilla/5.0 (Windows NT 10.0)",404
+        |2024-05-01T10:32:15Z,10.0.0.7,"curl/8.1",200
+        |""".stripMargin)
+    write(new File(dir, "config/access.tpc"),
+      s"""format "delimited" "access_log" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |
+         |table "access_log" {
+         |  format = format.delimited.access_log
+         |  column "tp_timestamp" {
+         |    source = "timestamp"
+         |  }
+         |  column "ip_address" { type = "varchar" }
+         |  column "user_agent" { type = "varchar" }
+         |  column "status_code" { type = "integer" }
+         |  column "is_internal" {
+         |    type = "boolean"
+         |    transform = "ip_address LIKE '192.168.%' OR ip_address LIKE '10.%'"
+         |  }
+         |}
+         |
+         |partition "access_log" "local" {
+         |  source "file" {
+         |    format = format.delimited.access_log
+         |    paths = ["${dir.getPath}/logs/"]
+         |    file_layout = "access_log.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    // collect exactly once for all read-only tests (appends accumulate)
+    val bos = new ByteArrayOutputStream()
+    val rc = Main.run(spark,
+      Seq("collect", "access_log.local",
+        "--lake-dir", s"${dir.getPath}/lake",
+        "--config-dir", s"${dir.getPath}/config"),
+      new PrintStream(bos, true, "UTF-8"))
+    assert(rc == 0, new String(bos.toByteArray, "UTF-8"))
+    assert(new String(bos.toByteArray, "UTF-8")
+      .contains("Collected access_log.local: 3 rows"))
+    dir
+  }
+
+  test("collect then query --output csv returns the golden rows") {
+    val (rc2, csv) = cli(root, "query",
+      "select ip_address, status_code, is_internal from access_log order by tp_timestamp",
+      "--output", "csv")
+    assert(rc2 == 0, csv)
+    assert(csv ==
+      """ip_address,status_code,is_internal
+        |192.168.1.1,200,true
+        |192.168.1.2,404,true
+        |10.0.0.7,200,true""".stripMargin)
+  }
+
+  test("query respects --from/--to filters") {
+    val (_, csv) = cli(root, "query",
+      "select count(*) as n from access_log",
+      "--output", "csv",
+      "--from", "2024-05-01T10:31:00",
+      "--to", "2024-05-01T10:32:00")
+    assert(csv == "n\n1")
+  }
+
+  test("table list and table show render the lake catalog") {
+    val (_, listOut) = cli(root, "table", "list")
+    assert(listOut.contains("| access_log "))
+    val (_, showOut) = cli(root, "table", "show", "access_log")
+    assert(showOut.linesIterator.exists(l =>
+      l.contains("status_code") && l.contains("integer")))
+    // tp_ columns sort last
+    val cols = showOut.linesIterator.filter(_.startsWith("|"))
+      .map(_.split("\\|")(1).trim).toSeq.tail
+    assert(cols.last.startsWith("tp_"))
+  }
+
+  test("partition list, source list, format list/show") {
+    val (_, parts) = cli(root, "partition", "list")
+    assert(parts.contains("| access_log.local "))
+    val (_, sources) = cli(root, "source", "list")
+    assert(sources.contains("| file "))
+    val (_, formats) = cli(root, "format", "list")
+    assert(formats.contains("| delimited.access_log "))
+    val (_, fshow) = cli(root, "format", "show", "delimited.access_log")
+    assert(fshow.contains("| delimiter | , "))
+  }
+
+  test("partition delete removes a time range") {
+    val dir = Files.createTempDirectory("graft_cli2").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/access_log.csv"),
+      new String(Files.readAllBytes(
+        new File(root, "logs/access_log.csv").toPath), "UTF-8"))
+    write(new File(dir, "config/access.tpc"),
+      new String(Files.readAllBytes(
+        new File(root, "config/access.tpc").toPath), "UTF-8")
+        .replace(root.getPath, dir.getPath))
+    cli(dir, "collect", "access_log.local")
+    val (rc, out) = cli(dir, "partition", "delete", "access_log.local",
+      "--from", "2024-05-01T10:31:00", "--to", "2024-05-01T10:32:00")
+    assert(rc == 0, out)
+    assert(out.contains("Deleted 1 rows"))
+    val (_, csv) = cli(dir, "query",
+      "select count(*) as n from access_log", "--output", "csv")
+    assert(csv == "n\n2")
+  }
+
+  test("unknown-but-configured table gets the 'no data collected' error") {
+    val dir = Files.createTempDirectory("graft_cli3").toFile
+    new File(dir, "config").mkdirs()
+    write(new File(dir, "config/p.tpc"),
+      """partition "uncollected_logs" "p0" { }""" + "\n")
+    val (rc, out) = cli(dir, "query", "select * from uncollected_logs")
+    assert(rc == 1)
+    assert(out.contains("no data has been collected for table 'uncollected_logs'"))
+  }
+
+  test("grok end-to-end: config-driven collect of a dated log file") {
+    val dir = Files.createTempDirectory("graft_cli4").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/plugin-2025-05-01.log"),
+      """2025-04-28 15:16:35.733 UTC [DEBUG] my-plugin: starting scan
+        |garbage line
+        |2025-04-28 15:16:36.033 UTC [INFO] my-plugin: scan done
+        |""".stripMargin)
+    write(new File(dir, "config/grok.tpc"),
+      s"""format "grok" "plugin_log" {
+         |  layout = `%{TIMESTAMP_ISO8601:timestamp} %{WORD:tz} \\[%{LOGLEVEL:severity}\\] %{NOTSPACE:plugin}: %{GREEDYDATA:message}`
+         |}
+         |table "plugin_log" {
+         |  format = format.grok.plugin_log
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "severity" { type = "varchar" }
+         |  column "message" { type = "varchar" }
+         |}
+         |partition "plugin_log" "local" {
+         |  source "file" {
+         |    format = format.grok.plugin_log
+         |    paths = ["${dir.getPath}/logs/"]
+         |    file_layout = `plugin-%{YEAR:y}-%{MONTHNUM:m}-%{MONTHDAY:d}\\.log`
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc, out) = cli(dir, "collect", "plugin_log.local")
+    assert(rc == 0, out)
+    assert(out.contains("Collected plugin_log.local: 2 rows"))
+    val (_, csv) = cli(dir, "query",
+      "select severity, message, tp_timestamp from plugin_log order by tp_timestamp",
+      "--output", "csv")
+    assert(csv ==
+      """severity,message,tp_timestamp
+        |DEBUG,starting scan,2025-04-28 15:16:35.733
+        |INFO,scan done,2025-04-28 15:16:36.033""".stripMargin)
+  }
+
+  test("relative time parsing") {
+    val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
+    assert(Main.parseTime("T-7d", now) ==
+      java.sql.Timestamp.valueOf("2026-08-05 12:00:00"))
+    assert(Main.parseTime("T-2Y", now) ==
+      java.sql.Timestamp.valueOf("2024-08-12 12:00:00"))
+    assert(Main.parseTime("T-10M", now) ==
+      java.sql.Timestamp.valueOf("2026-08-12 11:50:00"))
+    assert(Main.parseTime("T-10m", now) ==
+      java.sql.Timestamp.valueOf("2025-10-12 12:00:00"))
+    assert(Main.parseTime("2024-01-01") ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(Main.parseTime("2024-01-01T10:30:45.5") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:30:45.5"))
+  }
+}
