@@ -167,6 +167,20 @@ object Main {
     val pattern = opts.positional.headOption.getOrElse(
       throw new IllegalArgumentException(
         "collect requires a <table.partition> argument"))
+    // synthetic_<N>cols_<M>rows_<C>chunk_<I>ms load-harness partitions
+    // (cmd/collect.go:265-340): table is always 'synthetic'
+    graft.ingest.Synthetic.parseSpec(pattern).foreach { spec =>
+      val to = opts.ts("to").getOrElse(
+        new Timestamp(System.currentTimeMillis()))
+      val from = opts.ts("from").getOrElse(
+        new Timestamp(to.getTime - 7L * 24 * 3600 * 1000))
+      val batch = graft.ingest.Synthetic.dataFrame(
+        spark, spec, pattern, "synthetic", from, to)
+      val res = Ingest.collectBatch(spark, lake,
+        PartitionSpec("synthetic", pattern), batch)
+      out.println(s"Collected synthetic.$pattern: ${res.rowsIngested} rows")
+      return
+    }
     val matched = resolvePartitions(config, pattern)
     require(matched.nonEmpty, s"no partitions match '$pattern'")
     matched.foreach { p =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.config.{ColumnSpec, FormatSpec, PartitionSpec, TableSpec}
-import graft.ingest.{Formats, Ingest, SchemaInference}
+import graft.ingest.{Formats, Ingest, SchemaInference, Synthetic}
 import graft.lake.{Lake, Maintenance, TpSchema}
 import graft.query.Views
 
@@ -339,6 +339,38 @@ object IngestQueries {
         .select(col("event_id"), col("tp_timestamp"), col("tp_date"),
           col("user_id"), col("etype"), col("value"))
         .orderBy("event_id")
+    }),
+
+    // §2A row 24: synthetic generator parity — the full 11-type
+    // template cycle generated as a distributed spark.range plan,
+    // ingested through the real pipeline, and recomputed EXACTLY by
+    // DuckDB from range(): every generator formula (string/int/float/
+    // bool cycling, JSON rendering, md5-derived uuids, struct fields,
+    // the microsecond timestamp stride) is oracle-checked.
+    "qi10_synthetic" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi10"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val batch = Synthetic.dataFrame(s,
+        Synthetic.Spec(cols = 11, rows = 20000, chunkSize = 5000,
+          intervalMs = 1),
+        partition = "p0", table = "synthetic",
+        from = Timestamp.valueOf("2024-01-01 00:00:00"),
+        to = Timestamp.valueOf("2024-01-31 00:00:00"))
+      Ingest.collectBatch(s, lake, PartitionSpec("synthetic", "p0"), batch)
+      lake.read(s, "synthetic").select(
+        col("int_col_1").as("rid"),
+        col("tp_timestamp"), col("tp_date"),
+        col("tp_index").cast("string").as("tp_index"),
+        col("string_col_0"), col("float_col_2"), col("bool_col_3"),
+        col("json_col_4"), col("timestamp_col_5"), col("array_col_6"),
+        col("nested_json_col_7"), col("uuid_col_8"),
+        col("simple_struct_col_9.id").as("ss_id"),
+        col("simple_struct_col_9.name").as("ss_name"),
+        col("simple_struct_col_9.active").as("ss_active"),
+        col("nested_struct_col_10.metadata.created_at").as("ns_created"),
+        col("nested_struct_col_10.metadata.version").as("ns_version"))
+        .orderBy("rid")
     }))
 
   // ---- oracles -------------------------------------------------------
@@ -434,5 +466,44 @@ object IngestQueries {
              CASE WHEN event_type = 'error' THEN NULL
                   ELSE event_type END AS etype,
              value
-      FROM events ORDER BY event_id""")
+      FROM events ORDER BY event_id""",
+    // step literal: (31 days - 1 day) in micros / (rows-1) =
+    // 2592000000000 / 19999, floored — the same integer division the
+    // generator performs
+    "qi10_synthetic" -> """
+      WITH g AS (SELECT range AS id FROM range(0, 20000)),
+      v AS (
+        SELECT id,
+               id % 100000 AS k,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + to_microseconds(id * 129606480) AS ts,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 - ((id % 30) * INTERVAL 1 DAY) AS back,
+               CASE WHEN id % 2 = 0 THEN 'true' ELSE 'false' END AS bstr,
+               md5('uuid_col_8' || id) AS h
+        FROM g)
+      SELECT cast(k + 1 AS int) AS rid,
+             ts AS tp_timestamp,
+             cast(date_trunc('day', ts) AS date) AS tp_date,
+             'default' AS tp_index,
+             'string_col_0_val' || k AS string_col_0,
+             k * cast(0.1 AS double) AS float_col_2,
+             (id % 2 = 0) AS bool_col_3,
+             '{"field1":' || k || ',"field2":"field_' || k ||
+               '","field3":' || bstr || '}' AS json_col_4,
+             strftime(back, '%Y-%m-%d %H:%M:%S') AS timestamp_col_5,
+             '["item_' || k || '","' || k || '","' || bstr || '"]'
+               AS array_col_6,
+             '{"created_at":"' || strftime(back, '%Y-%m-%d') ||
+               '","version":"v' || (id % 10) || '.' || (id % 5) || '"}'
+               AS nested_json_col_7,
+             substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
+               substr(h,13,4) || '-' || substr(h,17,4) || '-' ||
+               substr(h,21,12) AS uuid_col_8,
+             cast(k AS int) AS ss_id,
+             'name_' || k AS ss_name,
+             (id % 2 = 0) AS ss_active,
+             strftime(back, '%Y-%m-%d') AS ns_created,
+             'v' || (id % 10) || '.' || (id % 5) AS ns_version
+      FROM v ORDER BY rid""")
 }
