@@ -371,6 +371,55 @@ object IngestQueries {
         col("nested_struct_col_10.metadata.created_at").as("ns_created"),
         col("nested_struct_col_10.metadata.version").as("ns_version"))
         .orderBy("rid")
+    }),
+
+    // Multimodal binary columns (builder brief): a payload column of
+    // REAL container bytes (PNG/GIF/JPEG headers + deterministic body,
+    // PDF for the no-dims case) is built from documents, lake-ingested
+    // as `binary`, and per-row stats are computed by the codegen'd
+    // expressions in graft.functions.BinaryFns — size, container sniff
+    // from magic bytes, and width/height parsed OUT OF THE BYTES
+    // (PNG IHDR big-endian, GIF screen descriptor little-endian, JPEG
+    // SOF marker scan). The oracle rebuilds identical bytes with
+    // from_hex and recomputes every stat independently — dims from the
+    // closed-form fixture, digest via sha256 over the shared hex text.
+    "qi11_multimodal" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi11"
+      rmrf(root)
+      val d = col("doc_id")
+      val w = (d % 640 + 16).cast("int")
+      val h = (d % 480 + 16).cast("int")
+      def hex8(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 8, "0")
+      def hex4(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 4, "0")
+      def le16(c: org.apache.spark.sql.Column) = concat(
+        lpad(lower(hex(c % 256)), 2, "0"),
+        lpad(lower(hex(floor(c / 256).cast("int"))), 2, "0"))
+      val body = expr("repeat(md5(text), cast(doc_id % 5 + 1 as int))")
+      val hexStr =
+        when(d % 4 === 0, concat( // PNG: sig + IHDR(len,tag,w,h,meta)
+          lit("89504e470d0a1a0a0000000d49484452"),
+          hex8(w), hex8(h), lit("0806000000"), body))
+        .when(d % 4 === 1, concat( // GIF89a: sig + LE screen descriptor
+          lit("474946383961"), le16(w), le16(h), lit("f70000"), body))
+        .when(d % 4 === 2, concat( // JPEG: SOI + SOF0(len,prec,h,w,comps)
+          lit("ffd8ffc0001108"), hex4(h), hex4(w),
+          lit("03011100021101031101"), body, lit("ffd9")))
+        .otherwise(concat(lit("255044462d312e34"), body)) // %PDF-1.4
+      val src = Tables.load(s, dir, "documents").select(
+        d.as("doc_id"),
+        timestamp_micros(
+          unix_micros(lit(Timestamp.valueOf("2024-01-01 00:00:00"))) +
+            d * 1000000L).as("tp_timestamp"),
+        unhex(hexStr).as("payload"))
+      val lake = Lake(s"$root/lake")
+      Ingest.collectBatch(s, lake, PartitionSpec("media", "p0"), src)
+      val stats = graft.operators.Multimodal.withBinaryStats(
+        s, lake.read(s, "media"), "payload")
+      stats.select(col("doc_id"), col("tp_timestamp"),
+          col("size_bytes").cast("bigint").as("size_bytes"),
+          col("magic"), col("width"), col("height"),
+          sha2(lower(hex(col("payload"))), 256).as("hex_digest"))
+        .orderBy("doc_id")
     }))
 
   // ---- oracles -------------------------------------------------------
@@ -505,5 +554,41 @@ object IngestQueries {
              (id % 2 = 0) AS ss_active,
              strftime(back, '%Y-%m-%d') AS ns_created,
              'v' || (id % 10) || '.' || (id % 5) AS ns_version
-      FROM v ORDER BY rid""")
+      FROM v ORDER BY rid""",
+    "qi11_multimodal" -> """
+      WITH p AS (
+        SELECT doc_id,
+               cast(doc_id % 640 + 16 AS int) AS w,
+               cast(doc_id % 480 + 16 AS int) AS h,
+               repeat(md5(text), cast(doc_id % 5 + 1 AS int)) AS body
+        FROM documents),
+      hx AS (
+        SELECT doc_id, w, h,
+               CASE doc_id % 4
+                 WHEN 0 THEN '89504e470d0a1a0a0000000d49484452'
+                   || lpad(lower(hex(w)), 8, '0')
+                   || lpad(lower(hex(h)), 8, '0') || '0806000000' || body
+                 WHEN 1 THEN '474946383961'
+                   || lpad(lower(hex(w % 256)), 2, '0')
+                   || lpad(lower(hex(w // 256)), 2, '0')
+                   || lpad(lower(hex(h % 256)), 2, '0')
+                   || lpad(lower(hex(h // 256)), 2, '0')
+                   || 'f70000' || body
+                 WHEN 2 THEN 'ffd8ffc0001108'
+                   || lpad(lower(hex(h)), 4, '0')
+                   || lpad(lower(hex(w)), 4, '0')
+                   || '03011100021101031101' || body || 'ffd9'
+                 ELSE '255044462d312e34' || body
+               END AS hexstr
+        FROM p)
+      SELECT doc_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + doc_id * INTERVAL 1 SECOND AS tp_timestamp,
+             cast(length(hexstr) / 2 AS bigint) AS size_bytes,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+               WHEN 2 THEN 'jpeg' ELSE 'pdf' END AS magic,
+             CASE WHEN doc_id % 4 < 3 THEN w END AS width,
+             CASE WHEN doc_id % 4 < 3 THEN h END AS height,
+             sha256(hexstr) AS hex_digest
+      FROM hx ORDER BY doc_id""")
 }
