@@ -237,6 +237,18 @@ object Main {
       header = !opts.flag("header").contains("false") &&
         !opts.flag("header").contains("off"),
       separator = opts.flag("separator").getOrElse(","))
+    if (opts.positional.isEmpty) {
+      // no SQL argument → interactive shell (cmd/query.go:25-33: "To
+      // open the interactive query shell, run query with no arguments")
+      val repl = new Repl(spark, lake, config,
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+        out, filters = filters)
+      repl.state.output = state.output
+      repl.state.header = state.header
+      repl.state.separator = state.separator
+      repl.loop()
+      return
+    }
     opts.positional.foreach { q =>
       if (Metaquery.isMetaquery(q))
         out.println(Metaquery.handle(spark, lake, state, q))

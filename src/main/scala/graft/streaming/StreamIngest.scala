@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.config.TableSpec
+import graft.config.PartitionSpec
+import graft.ingest.Ingest
+import graft.lake.Lake
+
+/** Structured Streaming surface (SURVEY §2B streaming row): the
+  * reference's ingest is micro-batched JSONL file drops with a
+  * `collection_state.json` high-water mark
+  * (/root/reference/internal/plugin/plugin_manager.go:100-107,
+  * collector.go:408-461) — exactly the shape of a Spark file-source
+  * stream with checkpointed progress. `collectStream` is the streaming
+  * twin of `Ingest.collectJsonl`: same conversion/enrichment/validation
+  * per micro-batch (foreachBatch reuses the batch pipeline), exactly-
+  * once progress from the checkpoint, `Trigger.AvailableNow` for
+  * drain-and-stop parity with one-shot collection.
+  *
+  * Beyond parity, the streaming-native operators a log pipeline needs:
+  * watermarked tumbling-window aggregation and event-time session
+  * windows via `flatMapGroupsWithState` — both bounded-state designs
+  * (late data beyond the watermark is dropped, state is evicted on
+  * timeout), which is what survives an unbounded stream at 100 TB/day.
+  */
+object StreamIngest {
+
+  /** Stream JSONL chunk files from `inboxDir` into the lake. The file
+    * source lists new files per micro-batch (the inbox pattern); each
+    * batch runs the SAME pipeline as batch collect — declared-schema
+    * conversion, tp_ enrichment, required-column validation, partitioned
+    * append. The checkpoint IS the collection state: restarts resume
+    * from the last committed batch, never double-ingesting a file.
+    *
+    * @param schema explicit source schema (streaming readers require
+    *               one; infer from the first chunk via
+    *               `SchemaInference.inferJson` when unknown)
+    * @param maxFilesPerTrigger micro-batch size cap — the reference's
+    *               ≤2000-chunks-per-conversion batching knob
+    *               (convertor.go:144-170)
+    */
+  def collectStream(
+      spark: SparkSession,
+      lake: Lake,
+      spec: PartitionSpec,
+      inboxDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      tableSpec: TableSpec = TableSpec(""),
+      timestampColumn: String = "tp_timestamp",
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 2000): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inboxDir)
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ingest.collectBatch(spark, lake, spec, batch, tableSpec,
+          timestampColumn)
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window counts/sums per key — the canonical
+    * streaming aggregation. State is bounded: windows older than the
+    * watermark are finalized and evicted; late rows beyond it are
+    * dropped (the at-rest compaction path is the reference's answer to
+    * very-late data; SURVEY §2B streaming row).
+    */
+  def windowedAgg(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n"), col("sum_value"))
+
+  /** One input event for sessionization. */
+  final case class Event(key: String, ts: Timestamp)
+  /** Accumulated session state. */
+  final case class SessionState(start: Long, end: Long, n: Long)
+  /** A completed session (emitted when the gap timeout fires). */
+  final case class Session(
+      key: String, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, duration_secs: Double)
+
+  /** Event-time session windows with a fixed inactivity gap, as
+    * `flatMapGroupsWithState` (the custom-state streaming operator the
+    * builder brief calls for). A session closes when the watermark
+    * passes its last event + gap; state for the key is then evicted —
+    * bounded by the number of ACTIVE keys, not history.
+    */
+  def sessionize(
+      events: Dataset[Event], gapSecs: Long,
+      watermarkDelay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSecs * 1000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key,
+              new Timestamp(s.start), new Timestamp(s.end), s.n,
+              (s.end - s.start) / 1000.0))
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq.sorted
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) => // gap exceeded within the batch
+                  closed += Session(key, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, (s.end - s.start) / 1000.0)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

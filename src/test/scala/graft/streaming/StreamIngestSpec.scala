@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.config.PartitionSpec
+import graft.ingest.SchemaInference
+import graft.lake.Lake
+
+class StreamIngestSpec extends AnyFunSuite with SparkTest {
+
+  test("collectStream drains a JSONL inbox into the lake exactly once") {
+    val root = Files.createTempDirectory("graft_stream").toString
+    val inbox = s"$root/inbox"
+    new java.io.File(inbox).mkdirs()
+    def writeChunk(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$inbox/$name")
+      try rows.foreach(w.println) finally w.close()
+    }
+    writeChunk("c0.json", Seq(
+      """{"id": 1, "ts": "2024-03-01 10:00:00", "v": 2.5}""",
+      """{"id": 2, "ts": "2024-03-01 11:00:00", "v": 1.0}"""))
+    writeChunk("c1.json", Seq(
+      """{"id": 3, "ts": "2024-04-02 09:00:00", "v": 4.0}"""))
+
+    val lake = Lake(s"$root/lake")
+    val schema = SchemaInference.inferJson(spark,
+      Seq(s"$inbox/c0.json", s"$inbox/c1.json"))
+    val q = StreamIngest.collectStream(spark, lake,
+      PartitionSpec("events_stream", "p0"),
+      inbox, schema, s"$root/ckpt", timestampColumn = "ts")
+    q.awaitTermination()
+
+    val got = lake.read(spark, "events_stream")
+    assert(got.count() == 3)
+    assert(got.select("tp_month").distinct().count() == 2)
+
+    // restart with the same checkpoint: nothing new → no re-ingest
+    val q2 = StreamIngest.collectStream(spark, lake,
+      PartitionSpec("events_stream", "p0"),
+      inbox, schema, s"$root/ckpt", timestampColumn = "ts")
+    q2.awaitTermination()
+    assert(lake.read(spark, "events_stream").count() == 3)
+
+    // a NEW chunk file is picked up incrementally
+    writeChunk("c2.json", Seq(
+      """{"id": 4, "ts": "2024-04-02 10:00:00", "v": 0.5}"""))
+    val q3 = StreamIngest.collectStream(spark, lake,
+      PartitionSpec("events_stream", "p0"),
+      inbox, schema, s"$root/ckpt", timestampColumn = "ts")
+    q3.awaitTermination()
+    assert(lake.read(spark, "events_stream").count() == 4)
+  }
+
+  test("windowedAgg: tumbling windows close as the watermark advances") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamIngest.windowedAgg(
+      mem.toDF().toDF("ts", "key", "v"),
+      "ts", "key", "v", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-03-01 10:01:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-03-01 10:04:00"), "a", 2.0),
+      (Timestamp.valueOf("2024-03-01 10:02:00"), "b", 5.0))
+    q.processAllAvailable()
+    // watermark still at batch-1 max - 5m; window [10:00,10:10) open
+    mem.addData((Timestamp.valueOf("2024-03-01 10:30:00"), "a", 9.0))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-03-01 11:00:00"), "a", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .orderBy("window_start", "key").collect()
+    q.stop()
+    val first = rows.filter(_.getTimestamp(0) ==
+      Timestamp.valueOf("2024-03-01 10:00:00"))
+    assert(first.length == 2)
+    assert(first.map(r => (r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
+  }
+
+  test("sessionize: gap-based sessions emit on event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Event]
+    val sessions = StreamIngest.sessionize(
+      mem.toDS(), gapSecs = 600, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // one burst for u1 (3 events within the gap), one lone event for u2
+    mem.addData(
+      StreamIngest.Event("u1", Timestamp.valueOf("2024-03-01 10:00:00")),
+      StreamIngest.Event("u1", Timestamp.valueOf("2024-03-01 10:05:00")),
+      StreamIngest.Event("u1", Timestamp.valueOf("2024-03-01 10:09:00")),
+      StreamIngest.Event("u2", Timestamp.valueOf("2024-03-01 10:00:00")))
+    q.processAllAvailable()
+    // advance the watermark far past both sessions' end+gap
+    mem.addData(
+      StreamIngest.Event("u3", Timestamp.valueOf("2024-03-01 12:00:00")))
+    q.processAllAvailable()
+    mem.addData(
+      StreamIngest.Event("u3", Timestamp.valueOf("2024-03-01 13:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").orderBy("key").collect()
+    q.stop()
+    val u1 = rows.find(_.getString(0) == "u1").get
+    assert(u1.getTimestamp(1) == Timestamp.valueOf("2024-03-01 10:00:00"))
+    assert(u1.getTimestamp(2) == Timestamp.valueOf("2024-03-01 10:09:00"))
+    assert(u1.getLong(3) == 3 && u1.getDouble(4) == 540.0)
+    val u2 = rows.find(_.getString(0) == "u2").get
+    assert(u2.getLong(3) == 1 && u2.getDouble(4) == 0.0)
+  }
+}
