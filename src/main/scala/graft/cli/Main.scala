@@ -9,8 +9,8 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.{AnalysisException, SparkSession}
 
-import graft.config.{FormatSpec, Hcl, PartitionSpec, TableSpec, Types}
-import graft.ingest.{Formats, Ingest}
+import graft.config.{Hcl, PartitionSpec, TableSpec}
+import graft.ingest.Ingest
 import graft.lake.{Lake, Maintenance}
 import graft.query.{Metaquery, Render, Views}
 
@@ -123,6 +123,7 @@ object Main {
         case Some("table")     => tableCmd(spark, lake, config, opts, out)
         case Some("source")    => sourceCmd(config, opts, out)
         case Some("format")    => formatCmd(config, opts, out)
+        case Some("plugin")    => pluginCmd(opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -138,7 +139,8 @@ object Main {
 
   val usage: String =
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
-      |commands: collect query connect compact partition table source format""".stripMargin
+      |commands: collect query connect compact partition table source
+      |          format plugin""".stripMargin
 
   /** Load + merge every `*.tpc` or `*.hcl` file in the config dir
     * (the reference loads `*.tpc` files under `~/.tailpipe/config`,
@@ -189,11 +191,12 @@ object Main {
       val fmt = src.format
         .map(f => config.formats.getOrElse(f.stripPrefix("format."),
           throw new IllegalArgumentException(s"unknown format '$f'")))
-        .getOrElse(FormatSpec("jsonl", "default"))
-      val files = Formats.resolveFiles(src.paths, src.fileLayout)
-      require(files.nonEmpty, s"no files for partition ${p.id}")
+      val adapter = graft.ingest.SourceRegistry.get(src.kind).getOrElse(
+        throw new IllegalArgumentException(
+          s"no source adapter for kind '${src.kind}'"))
       val tableSpec = config.tables.getOrElse(p.table, TableSpec(p.table))
-      val raw = Formats.read(spark, fmt, files)
+      val raw = adapter.read(spark, src, fmt,
+        opts.ts("from"), opts.ts("to"))
       // declared-schema conversion maps any `source =` rename to
       // tp_timestamp BEFORE enrichment, so the enrich column is always
       // the canonical one
@@ -372,6 +375,29 @@ object Main {
       }
     out.println(Render.renderTable(rows, headerRow = true))
   }
+
+  /** `plugin list/show` over the source-adapter SPI registry — the
+    * in-process stand-in for the reference's plugin binaries
+    * (cmd/plugin.go:36-212; install/update/uninstall don't apply to
+    * compiled-in adapters).
+    */
+  private def pluginCmd(opts: Opts, out: PrintStream): Unit =
+    opts.positional.headOption match {
+      case Some("show") =>
+        val kind = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("plugin show requires a name"))
+        val a = graft.ingest.SourceRegistry.get(kind).getOrElse(
+          throw new IllegalArgumentException(s"unknown plugin '$kind'"))
+        out.println(Render.renderTable(Seq(
+          Seq("Property", "Value"),
+          Seq("name", a.kind), Seq("version", a.version),
+          Seq("description", a.description)), headerRow = true))
+      case _ =>
+        val rows = Seq("Plugin", "Version", "Description") +:
+          graft.ingest.SourceRegistry.list
+            .map(a => Seq(a.kind, a.version, a.description))
+        out.println(Render.renderTable(rows, headerRow = true))
+    }
 
   private def formatCmd(
       config: Hcl.Config, opts: Opts, out: PrintStream): Unit =

@@ -1,0 +1,96 @@
+package graft.ingest
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.{FormatSpec, SourceSpec}
+
+/** Source-adapter SPI — the engine's counterpart of the reference's
+  * plugin system (SURVEY §7.3: "model sources as a Scala SPI (trait
+  * RowSource), keep gRPC as future work"; reference plugin boundary
+  * /root/reference/internal/plugin/plugin_manager.go:74-166, CLI
+  * surface cmd/plugin.go:36-212).
+  *
+  * An adapter turns a `source` config block into a raw DataFrame; the
+  * shared pipeline (conversion → enrichment → validation → partitioned
+  * append) is identical for every adapter, exactly as every reference
+  * plugin feeds the same JSONL→parquet converter. Adapters are
+  * in-process (a plugin binary boundary adds nothing on a Spark
+  * cluster, where the executors ARE the distribution mechanism).
+  */
+trait SourceAdapter {
+  /** Registry key, matched against `source "<kind>" { … }` blocks. */
+  def kind: String
+  def version: String
+  def description: String
+
+  /** Produce the raw batch for one collect run. */
+  def read(
+      spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
+      from: Option[Timestamp], to: Option[Timestamp]): DataFrame
+}
+
+/** The `file` source: paths + optional `file_layout` filename pattern,
+  * parsed by the declared format (jsonl / delimited / grok) — reference
+  * file source + format blocks (core_formats.bats fixtures).
+  */
+object FileSource extends SourceAdapter {
+  val kind = "file"
+  val version = "1.0.0"
+  val description = "Collect from local files (jsonl, delimited, grok)"
+
+  def read(
+      spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
+      from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+    val files = Formats.resolveFiles(source.paths, source.fileLayout)
+    require(files.nonEmpty,
+      s"no files matched paths=${source.paths.mkString(",")}" +
+        source.fileLayout.map(l => s" layout=$l").getOrElse(""))
+    Formats.read(spark, format.getOrElse(FormatSpec("jsonl", "default")), files)
+  }
+}
+
+/** The `synthetic` load-harness source (collector_synthetic.go): kind
+  * is the full spec string, e.g. `synthetic_50cols_2000000rows_…`.
+  */
+object SyntheticSource extends SourceAdapter {
+  val kind = "synthetic"
+  val version = "1.0.0"
+  val description = "Generate deterministic synthetic load-test data"
+
+  def read(
+      spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
+      from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+    val specStr = source.paths.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "synthetic source needs its spec string as the path, " +
+          "e.g. synthetic_10cols_1000rows_100chunk_10ms"))
+    val spec = Synthetic.parseSpec(specStr).getOrElse(
+      throw new IllegalArgumentException(s"bad synthetic spec: $specStr"))
+    val toTs = to.getOrElse(new Timestamp(System.currentTimeMillis()))
+    val fromTs = from.getOrElse(
+      new Timestamp(toTs.getTime - 7L * 24 * 3600 * 1000))
+    Synthetic.dataFrame(spark, spec, specStr, "synthetic", fromTs, toTs)
+  }
+}
+
+/** Adapter registry — `plugin list/show` reads it; collect resolves
+  * source kinds through it. Thread-safe; `register` lets library users
+  * install custom adapters (S3 listings, API pagers, …).
+  */
+object SourceRegistry {
+  private val adapters =
+    new java.util.concurrent.ConcurrentHashMap[String, SourceAdapter]()
+
+  register(FileSource)
+  register(SyntheticSource)
+
+  def register(a: SourceAdapter): Unit = adapters.put(a.kind, a)
+
+  def get(kind: String): Option[SourceAdapter] = Option(adapters.get(kind))
+
+  def list: Seq[SourceAdapter] =
+    adapters.values().toArray(Array.empty[SourceAdapter]).toSeq
+      .sortBy(_.kind)
+}

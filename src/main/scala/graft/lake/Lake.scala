@@ -170,6 +170,32 @@ final case class Lake(root: String) {
     recordStats(spark, table, added)
   }
 
+  /** Register a lake table in the Spark session catalog as a
+    * partitioned datasource table over the table directory — the
+    * engine's `CREATE TABLE … PARTITIONED BY` DDL (SURVEY §2A row 13;
+    * reference ducklake_table.go:25-107 builds the same DDL against
+    * DuckLake). After registration the catalog owns partition
+    * metadata: `spark.table(t)` plans partition pruning from catalog
+    * entries instead of listing the whole tree, `SHOW PARTITIONS`
+    * works, and appends only need `recoverPartitions` for the dirs
+    * they add — the catalog-driven planning path a 100 TB lake needs.
+    */
+  def registerCatalogTable(spark: SparkSession, table: String): Unit = {
+    require(tableExists(spark, table), s"no lake table '$table'")
+    val schema = schemaOf(spark, table)
+    val dataCols = schema.fields
+      .filterNot(f => TpSchema.partitionCols.contains(f.name))
+    val colDdl = (dataCols ++ schema.fields
+      .filter(f => TpSchema.partitionCols.contains(f.name)))
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"CREATE TABLE `$table` ($colDdl) USING parquet " +
+        s"PARTITIONED BY (${TpSchema.partitionCols.mkString(", ")}) " +
+        s"LOCATION '${tableDir(table)}'")
+    spark.catalog.recoverPartitions(table)
+  }
+
   /** Physical partition directories (relative paths like
     * `tp_partition=p0/tp_index=a/tp_year=2024/tp_month=1`) that match a
     * predicate on their partition values.

@@ -113,6 +113,15 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(cols.last.startsWith("tp_"))
   }
 
+  test("plugin list/show render the source-adapter registry") {
+    val (_, list) = cli(root, "plugin", "list")
+    assert(list.contains("| file ") && list.contains("| synthetic "))
+    val (_, show) = cli(root, "plugin", "show", "file")
+    assert(show.contains("| version "))
+    val (rc, _) = cli(root, "plugin", "show", "bogus")
+    assert(rc == 1)
+  }
+
   test("partition list, source list, format list/show") {
     val (_, parts) = cli(root, "partition", "list")
     assert(parts.contains("| access_log.local "))

@@ -170,6 +170,25 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(manifest == live)
   }
 
+  test("catalog DDL: registerCatalogTable enables catalog-planned scans") {
+    val lake = newLake()
+    lake.append(spark, "cat_t", sampleBatch(60))
+    lake.registerCatalogTable(spark, "cat_t")
+    // catalog table resolves with full schema incl. partition columns
+    val df = spark.table("cat_t")
+    assert(TpSchema.partitionCols.forall(df.columns.contains))
+    assert(df.count() == 60)
+    // catalog owns partition metadata
+    val parts = spark.sql("SHOW PARTITIONS cat_t").collect().map(_.getString(0))
+    assert(parts.nonEmpty && parts.forall(_.startsWith("tp_partition=p0")))
+    // pruned catalog scan reads only the matching partition
+    val pruned = spark.table("cat_t").where(col("tp_index") === "1")
+    val scanned = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("tp_index=1")))
+    spark.sql("DROP TABLE cat_t")
+  }
+
   test("overlap sweep: disjoint sorted ranges are not overlapping") {
     def fr(a: String, b: String) = Maintenance.FileRange("f", 1,
       Some(Timestamp.valueOf(a)), Some(Timestamp.valueOf(b)))
