@@ -21,6 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/shuffle-machinery startup (~5-8 s)
+    // otherwise lands entirely on whichever query runs first
+    spark.range(1000000).selectExpr("id % 97 as k", "id * 1.5 as v")
+      .groupBy("k").sum("v")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -133,11 +133,13 @@ object Formats {
       throw new IllegalArgumentException(s"unknown format kind: $other")
   }
 
-  /** Grok scan: one `spark.read.text` + per-field `regexp_extract`
-    * projection — all codegen'd expressions inside one WholeStageCodegen
-    * span, embarrassingly parallel over file splits (no shuffle).
-    * Non-matching lines are dropped (logstash `_grokparsefailure`
-    * semantics); empty captures (optional groups) become NULL.
+  /** Grok scan: `spark.read.text` + ONE regex execution per row — the
+    * codegen'd `graft_capture_groups` expression matches once and
+    * returns every field (built-in `regexp_extract` would re-match per
+    * field: k+1 executions/row for a k-field layout — the difference
+    * on a 100 TB log scan). Non-matching lines are dropped (logstash
+    * `_grokparsefailure` semantics); unmatched optional groups are
+    * NULL. No shuffle; embarrassingly parallel over file splits.
     */
   def readGrok(
       spark: SparkSession, pattern: String,
@@ -145,12 +147,14 @@ object Formats {
     val c = Grok.compile(pattern)
     require(c.fields.nonEmpty, "grok layout declares no fields")
     val anchored = "^" + c.regex
+    val groups = graft.functions.RegexFns.captureGroups(
+      spark, col("value"), anchored)
     val cols: Seq[Column] = c.fields.zipWithIndex.map { case (f, i) =>
-      val x = regexp_extract(col("value"), anchored, i + 1)
-      when(length(x) === 0, lit(null)).otherwise(x).as(f)
+      element_at(col("__g"), i + 1).as(f)
     }
     spark.read.text(files: _*)
-      .where(col("value").rlike(anchored))
+      .select(groups.as("__g"))
+      .where(col("__g").isNotNull)
       .select(cols: _*)
   }
 

@@ -72,6 +72,18 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(rows(1).getString(3) == "45")
   }
 
+  test("readGrok: optional groups come back NULL when absent") {
+    val p = tmpFile("opt.log", Seq(
+      "2024-05-01T10:30:45Z [INFO] plugin-x: starting",
+      "2024-05-01T10:31:00Z [WARN] no plugin prefix here"))
+    val df = Formats.readGrok(spark,
+      """%{TIMESTAMP_ISO8601:ts} \[%{LOGLEVEL:level}\] (?:%{NOTSPACE:plugin}: )?%{GREEDYDATA:msg}""",
+      Seq(p))
+    val rows = df.orderBy("ts").collect()
+    assert(rows(0).getString(2) == "plugin-x" && rows(0).getString(3) == "starting")
+    assert(rows(1).isNullAt(2) && rows(1).getString(3) == "no plugin prefix here")
+  }
+
   test("delimited read honors header and delimiter") {
     val p = tmpFile("metrics.psv", Seq(
       "name|value|ok",
