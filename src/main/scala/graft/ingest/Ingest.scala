@@ -68,7 +68,11 @@ object Ingest {
     var established: Option[org.apache.spark.sql.types.StructType] = None
     val pinned = tableSpec.columns.map(c => c.source.getOrElse(c.name)).toSet
     batches.zipWithIndex.map { case (files, i) =>
-      val inferred = SchemaInference.inferJson(spark, files)
+      // infer from the FIRST chunk of the batch only — the reference's
+      // exact behavior (convertor_schema.go: DESCRIBE over the first
+      // chunk; the conversion query then pins columns= for the whole
+      // batch). Saves a full JSON parse of every other file.
+      val inferred = SchemaInference.inferJson(spark, files.take(1))
       established match {
         case None => established = Some(inferred)
         case Some(e) => SchemaInference.checkDrift(e, inferred, pinned)
@@ -123,16 +127,18 @@ object Ingest {
 
     val required = (TpSchema.required ++
       tableSpec.columns.filter(_.required).map(_.name)).distinct
-    val v = Validation.validate(filtered, required)
 
-    // one pass: cache the clean batch so the append and the row count
-    // don't rescan the source (the reference stages to a temp table for
-    // the same reason — convertor_convert.go:162)
-    val clean = v.clean.persist()
+    // stage the batch ONCE (the reference's temp table,
+    // convertor_convert.go:162): the validation aggregate and the lake
+    // write both read the cache, so the source is parsed exactly once.
+    // The ingested-row count falls out of the validation aggregate —
+    // no separate count job.
+    val staged = filtered.persist()
     try {
-      val n = clean.count()
-      lake.append(spark, spec.table, clean)
-      IngestResult(n, v.invalidRows, v.nullsByColumn, chunks)
-    } finally { clean.unpersist() }
+      val v = Validation.validate(staged, required)
+      lake.append(spark, spec.table, v.clean)
+      IngestResult(v.totalRows - v.invalidRows, v.invalidRows,
+        v.nullsByColumn, chunks)
+    } finally { staged.unpersist() }
   }
 }

@@ -15,27 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Validation {
 
-  /** Per-column null counts + total invalid rows for a batch.
+  /** Per-column null counts + total/invalid row counts for a batch,
+    * all from ONE aggregate — the caller gets the ingested-row count
+    * as `totalRows - invalidRows` without a second pass.
     *
     * @return (cleanRows, report) where report has one row per violated
-    *         column: (column, null_rows), plus total invalid row count
+    *         column: (column, null_rows), plus total/invalid counts
     */
   def validate(batch: DataFrame, requiredCols: Seq[String]): ValidationResult = {
     val present = requiredCols.filter(batch.columns.contains)
-    if (present.isEmpty) return ValidationResult(batch, Map.empty, 0L)
+    if (present.isEmpty)
+      return ValidationResult(batch, Map.empty, 0L, batch.count())
     val nullCounts = present.map(c =>
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
     val anyNull = present.map(col(_).isNull).reduce(_ || _)
     val aggRow: Row = batch.agg(
       sum(when(anyNull, 1L).otherwise(0L)).as("__invalid"),
-      nullCounts: _*).head()
+      (count(lit(1)).as("__total") +: nullCounts): _*).head()
     val invalid = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
+    val total = aggRow.getLong(1)
     val perCol = present.zipWithIndex.collect {
-      case (c, i) if !aggRow.isNullAt(i + 1) && aggRow.getLong(i + 1) > 0 =>
-        c -> aggRow.getLong(i + 1)
+      case (c, i) if !aggRow.isNullAt(i + 2) && aggRow.getLong(i + 2) > 0 =>
+        c -> aggRow.getLong(i + 2)
     }.toMap
     val clean = if (invalid == 0) batch else batch.where(!anyNull)
-    ValidationResult(clean, perCol, invalid)
+    ValidationResult(clean, perCol, invalid, total)
   }
 }
 
@@ -44,8 +48,10 @@ object Validation {
   *                      reference's per-column report,
   *                      convertor_validate.go:55-91)
   * @param invalidRows  rows dropped
+  * @param totalRows    batch size before the filter
   */
 final case class ValidationResult(
     clean: DataFrame,
     nullsByColumn: Map[String, Long],
-    invalidRows: Long)
+    invalidRows: Long,
+    totalRows: Long)
