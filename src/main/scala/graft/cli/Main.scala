@@ -111,6 +111,10 @@ object Main {
 
   def run(spark: SparkSession, args: Seq[String], out: PrintStream): Int = {
     val opts = parseArgs(args.drop(1))
+    // DuckDB-dialect shims (strptime, list, len, epoch_ms, …): the
+    // reference passes user SQL to DuckDB verbatim, so its users write
+    // that dialect — register once per session for every command
+    graft.functions.DialectShims.register(spark)
     val lake = Lake(opts.flag("lake-dir").getOrElse("lake"))
     def config = loadConfig(opts.flag("config-dir").getOrElse("config"))
     try {

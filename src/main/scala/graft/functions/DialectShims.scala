@@ -1,0 +1,251 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB-dialect function shims (SURVEY §7.3 "Dialect shims" row).
+  *
+  * The reference passes user SQL to DuckDB verbatim
+  * (internal/query/execute.go:45-77), so its users write DuckDB
+  * dialect: `strptime` in custom-table transforms
+  * (tests/acceptance/test_files/table_block.bats:45-47), `list(...)`
+  * aggregates, `len`, `epoch_ms`, `json_structure`
+  * (internal/database/convertor_schema.go:63-99), and the `inet`
+  * extension's `host`/`family` (auto-loaded at collection,
+  * internal/collector/collector.go:97-100). Registering the same names
+  * in Spark's FunctionRegistry lets that SQL run unmodified.
+  *
+  * Nearly every shim is a zero-cost alias: the builder rewrites to the
+  * native Catalyst expression at ANALYSIS time, so the plan is exactly
+  * what the Spark-native spelling would produce — whole-stage codegen,
+  * pushdown, and partial aggregation all intact (nothing here adds a
+  * UDF boundary, which is the 100 TB requirement). `json_structure` is
+  * the one real expression, with `doGenCode` calling a static helper.
+  */
+object DialectShims {
+
+  /** Translate a C-style strptime/strftime format (DuckDB's dialect)
+    * to a java.time DateTimeFormatter pattern. Literal runs containing
+    * letters are single-quoted (java.time treats bare letters as
+    * pattern chars; C treats them as literals).
+    */
+  def cFormatToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = {
+      if (lit.nonEmpty) {
+        val s = lit.toString
+        if (s.exists(c => c.isLetter || c == '\''))
+          out.append('\'').append(s.replace("'", "''")).append('\'')
+        else out.append(s)
+        lit.clear()
+      }
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val c = fmt.charAt(i + 1)
+        val j = c match {
+          case 'Y' => "yyyy"; case 'y' => "yy"
+          case 'm' => "MM";   case 'd' => "dd"
+          case 'H' => "HH";   case 'I' => "hh"
+          case 'M' => "mm";   case 'S' => "ss"
+          case 'f' => "SSSSSS" // microseconds
+          case 'g' => "SSS"    // DuckDB: milliseconds
+          case 'n' => "SSSSSSSSS"
+          case 'p' => "a";    case 'j' => "DDD"
+          case 'a' => "EEE";  case 'A' => "EEEE"
+          case 'b' => "MMM";  case 'B' => "MMMM"
+          case 'Z' => "zzz";  case 'z' => "xx"
+          case '%' => lit.append('%'); i += 2; ""
+          case other => throw new IllegalArgumentException(
+            s"unsupported strptime specifier %$other in '$fmt'")
+        }
+        if (j.nonEmpty) { flush(); out.append(j); i += 2 }
+      } else { lit.append(fmt.charAt(i)); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a literal string argument, got $e")
+  }
+
+  private def cFmt(e: Expression, fn: String): Expression =
+    Literal(UTF8String.fromString(cFormatToJava(litString(e, fn))),
+      StringType)
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+
+    add("strptime") { es =>
+      new ParseToTimestamp(es(0), cFmt(es(1), "strptime")) }
+    add("strftime") { es =>
+      DateFormatClass(es(0), cFmt(es(1), "strftime")) }
+    add("epoch_ms") { es => EpochMs(es.head) }
+    add("epoch") { es => // DuckDB: DOUBLE seconds incl. fraction
+      Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType),
+        Literal(1e6)) }
+    add("list") { es => CollectList(es.head) }
+    add("list_sort") { es => new SortArray(es.head) }
+    add("list_contains") { es => ArrayContains(es(0), es(1)) }
+    add("list_distinct") { es => ArrayDistinct(es.head) }
+    add("list_unique") { es =>
+      Cast(Size(ArrayDistinct(es.head)), LongType) }
+    add("len") { es => Len(es.head) }
+    add("string_split") { es =>
+      StringSplit(es(0),
+        Literal(UTF8String.fromString(
+          Pattern.quote(litString(es(1), "string_split"))), StringType),
+        Literal(-1)) }
+    add("regexp_matches") { es => RLike(es(0), es(1)) }
+    add("json_structure") { es => JsonStructure(es.head) }
+    // inet-extension surface (reference auto-loads `inet`): address
+    // strings, not a dedicated type — host strips the /mask, family
+    // sniffs v4 vs v6
+    add("host") { es =>
+      SubstringIndex(es.head, Literal(UTF8String.fromString("/"),
+        StringType), Literal(1)) }
+    add("family") { es =>
+      CaseWhen(Seq((Contains(es.head,
+        Literal(UTF8String.fromString(":"), StringType)), Literal(6))),
+        Some(Literal(4))) }
+  }
+
+  // ---- json_structure runtime ------------------------------------------
+
+  private val mapper = new ObjectMapper
+
+  /** Static entry point for generated code: DuckDB-style structure of a
+    * JSON document (nonnegative ints → UBIGINT, negative → BIGINT,
+    * decimals → DOUBLE; array elements MERGE — numeric widening, object
+    * key union, irreconcilable shapes → "JSON"; all behaviors pinned
+    * against DuckDB in DialectShimsSpec). Null on parse failure (DuckDB
+    * raises; NULL keeps the scan total).
+    */
+  def jsonStructureOf(s: UTF8String): UTF8String =
+    try UTF8String.fromString(render(structureOf(mapper.readTree(s.toString))))
+    catch { case _: Exception => null }
+
+  // structure model: leaf type name, object, or array-of-one-structure
+  private sealed trait S
+  private final case class SLeaf(t: String) extends S
+  private final case class SObj(
+      fields: scala.collection.mutable.LinkedHashMap[String, S]) extends S
+  private final case class SArr(elem: S) extends S
+
+  private def structureOf(n: JsonNode): S = {
+    if (n == null || n.isNull) SLeaf("NULL")
+    else if (n.isObject) {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, S]
+      val it = n.fields()
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = structureOf(e.getValue) }
+      SObj(m)
+    } else if (n.isArray) {
+      if (n.size == 0) SArr(SLeaf("NULL"))
+      else SArr((0 until n.size).map(i => structureOf(n.get(i))).reduce(mergeS))
+    }
+    else if (n.isBoolean) SLeaf("BOOLEAN")
+    else if (n.isTextual) SLeaf("VARCHAR")
+    else if (n.isIntegralNumber) {
+      if (n.asLong(0L) < 0 || (n.isBigInteger && n.bigIntegerValue.signum < 0))
+        SLeaf("BIGINT") else SLeaf("UBIGINT")
+    }
+    else SLeaf("DOUBLE")
+  }
+
+  private val numericRank = Map("UBIGINT" -> 0, "BIGINT" -> 1, "DOUBLE" -> 2)
+
+  private def mergeS(a: S, b: S): S = (a, b) match {
+    case (SLeaf("NULL"), x) => x
+    case (x, SLeaf("NULL")) => x
+    case (SLeaf(p), SLeaf(q)) if p == q => a
+    case (SLeaf(p), SLeaf(q))
+        if numericRank.contains(p) && numericRank.contains(q) =>
+      SLeaf(if (numericRank(p) >= numericRank(q)) p else q)
+    case (SObj(f1), SObj(f2)) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, S]
+      f1.foreach { case (k, v) => m(k) = v }
+      f2.foreach { case (k, v) =>
+        m(k) = m.get(k).map(mergeS(_, v)).getOrElse(v) }
+      SObj(m)
+    case (SArr(x), SArr(y)) => SArr(mergeS(x, y))
+    case _ => SLeaf("JSON")
+  }
+
+  private def render(s: S): String = s match {
+    case SLeaf(t) => "\"" + t + "\""
+    case SArr(e)  => "[" + render(e) + "]"
+    case SObj(fs) => fs.map { case (k, v) =>
+      "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + render(v)
+    }.mkString("{", ",", "}")
+  }
+}
+
+/** `len(x)` — DuckDB's length: BIGINT over strings, binary, and lists
+  * (Spark spells these `length`/`size` and returns INT). Pure
+  * analysis-time rewrite (RuntimeReplaceable) — no UDF boundary.
+  */
+case class Len(child: Expression) extends Expression
+    with RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: ArrayType | _: MapType => Cast(Size(child), LongType)
+    case BinaryType => Cast(Length(child), LongType)
+    case _ => Cast(Length(Cast(child, StringType)), LongType)
+  }
+  override def prettyName: String = "len"
+  override protected def withNewChildInternal(c: Expression): Len = copy(c)
+}
+
+/** `epoch_ms(x)` — DuckDB's two-way converter: timestamp → BIGINT
+  * milliseconds; integer → timestamp. Direction picked from the
+  * resolved input type at analysis time.
+  */
+case class EpochMs(child: Expression) extends Expression
+    with RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case LongType | IntegerType | ShortType =>
+      MillisToTimestamp(Cast(child, LongType))
+    case _ => UnixMillis(Cast(child, TimestampType))
+  }
+  override def prettyName: String = "epoch_ms"
+  override protected def withNewChildInternal(c: Expression): EpochMs =
+    copy(c)
+}
+
+/** `json_structure(json)` — per-row type skeleton of a JSON document
+  * (reference uses it as the schema-inference fallback,
+  * internal/database/convertor_schema.go:63-99). Runs inside
+  * whole-stage codegen via a static helper; the Jackson parse is the
+  * per-row cost, same shape as DuckDB's.
+  */
+case class JsonStructure(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_structure"
+
+  override def nullSafeEval(input: Any): Any =
+    DialectShims.jsonStructureOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.DialectShims.jsonStructureOf($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): JsonStructure =
+    copy(c)
+}

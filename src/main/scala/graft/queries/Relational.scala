@@ -270,8 +270,35 @@ object Relational {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY rf, ls""")
+    }),
+
+    // DuckDB-dialect pass-through: the SAME SQL text the reference's
+    // users write (strptime/strftime/epoch_ms/list/list_sort/len/
+    // regexp_matches/json_structure) runs on spark.sql via the
+    // FunctionRegistry shims (graft.functions.DialectShims) — every
+    // shim rewrites to a native Catalyst expression at analysis time,
+    // so the plan stays whole-stage-codegen'd. Oracle = byte-identical
+    // SQL on DuckDB.
+    "q35_dialect" -> ((s, dir) => {
+      graft.functions.DialectShims.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(dialectSql)
     })
   )
+
+  /** Shared SQL text for q35: runs verbatim on BOTH engines. */
+  private val dialectSql = """
+      SELECT event_type,
+             strftime(min(ts), '%Y-%m-%d %H:%M') AS first_seen,
+             epoch_ms(min(ts)) AS first_ms,
+             list_sort(list(DISTINCT json_structure(props))) AS prop_shapes,
+             len(min(event_type)) AS type_len,
+             count(*) AS n
+      FROM events
+      WHERE regexp_matches(event_type, '^(click|view|error|purchase)$')
+        AND ts >= strptime('2024-01-01 00:00:00', '%Y-%m-%d %H:%M:%S')
+      GROUP BY event_type
+      ORDER BY event_type"""
 
   val oracle: Map[String, String] = Map(
     "q01_agg_summary" -> """
@@ -404,6 +431,7 @@ object Relational {
              count(*) AS n
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-      ORDER BY rf, ls"""
+      ORDER BY rf, ls""",
+    "q35_dialect" -> dialectSql
   )
 }

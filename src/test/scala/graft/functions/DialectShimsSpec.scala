@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** DuckDB-dialect shim behavior, pinned against values produced by
+  * DuckDB itself (documented in each assertion).
+  */
+class DialectShimsSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val init: Unit = DialectShims.register(spark)
+  private def sql1(q: String): Any = { init; spark.sql(q).head().get(0) }
+
+  test("cFormatToJava translates specifiers and quotes letter literals") {
+    assert(DialectShims.cFormatToJava("%Y-%m-%d %H:%M:%S") ==
+      "yyyy-MM-dd HH:mm:ss")
+    assert(DialectShims.cFormatToJava("%Y-%m-%dT%H:%M:%S") ==
+      "yyyy-MM-dd'T'HH:mm:ss")
+    assert(DialectShims.cFormatToJava("%d %b %Y") == "dd MMM yyyy")
+    assert(DialectShims.cFormatToJava("100%% at %H") == "'100% at 'HH")
+    intercept[IllegalArgumentException] {
+      DialectShims.cFormatToJava("%Q")
+    }
+  }
+
+  test("strptime parses like DuckDB") {
+    // duckdb: strptime('2024-03-05 10:11:12', '%Y-%m-%d %H:%M:%S')
+    assert(sql1("SELECT cast(strptime('2024-03-05 10:11:12', " +
+      "'%Y-%m-%d %H:%M:%S') AS string)").toString ==
+      "2024-03-05 10:11:12")
+    assert(sql1("SELECT cast(strptime('05/03/2024', '%d/%m/%Y') AS date)")
+      .toString == "2024-03-05")
+  }
+
+  test("strftime formats like DuckDB") {
+    assert(sql1("SELECT strftime(timestamp '2024-03-05 10:11:12', " +
+      "'%Y-%m-%d %H:%M')") == "2024-03-05 10:11")
+  }
+
+  test("epoch_ms converts both directions") {
+    // duckdb: epoch_ms(timestamp '2024-03-05 10:11:12.345') = 1709633472345
+    assert(sql1("SELECT epoch_ms(timestamp '2024-03-05 10:11:12.345')") ==
+      1709633472345L)
+    assert(sql1("SELECT cast(epoch_ms(1709633472345) AS string)") ==
+      "2024-03-05 10:11:12.345")
+  }
+
+  test("epoch returns double seconds with fraction") {
+    val v = sql1("SELECT epoch(timestamp '2024-03-05 10:11:12.345')")
+      .asInstanceOf[Double]
+    assert(math.abs(v - 1709633472.345) < 1e-6)
+  }
+
+  test("len is BIGINT over strings and lists") {
+    assert(sql1("SELECT len('hello')") == 5L)
+    assert(sql1("SELECT len(array(1, 2, 3))") == 3L)
+  }
+
+  test("list/list_sort/list_contains/list_distinct/list_unique") {
+    assert(sql1("SELECT list_sort(list(x)) FROM VALUES (3),(1),(2) t(x)") ==
+      Seq(1, 2, 3))
+    assert(sql1("SELECT list_contains(array(1,2,3), 2)") == true)
+    assert(sql1("SELECT list_sort(list_distinct(array(2,1,2)))") == Seq(1, 2))
+    assert(sql1("SELECT list_unique(array(2,1,2))") == 2L)
+  }
+
+  test("string_split uses a plain (non-regex) separator") {
+    assert(sql1("SELECT string_split('a.b.c', '.')") == Seq("a", "b", "c"))
+  }
+
+  test("regexp_matches searches anywhere like DuckDB") {
+    assert(sql1("SELECT regexp_matches('anchovy', 'chov')") == true)
+    assert(sql1("SELECT regexp_matches('anchovy', '^chov')") == false)
+  }
+
+  test("json_structure mirrors DuckDB typing") {
+    // duckdb: json_structure('{"k": 69}') = {"k":"UBIGINT"}
+    assert(sql1("""SELECT json_structure('{"k": 69}')""") ==
+      """{"k":"UBIGINT"}""")
+    assert(sql1("""SELECT json_structure('{"a": -1, "b": 1.5, "c": "x",
+        "d": true, "e": null}')""") ==
+      """{"a":"BIGINT","b":"DOUBLE","c":"VARCHAR","d":"BOOLEAN","e":"NULL"}""")
+    assert(sql1("""SELECT json_structure('[1, 2]')""") == """["UBIGINT"]""")
+    // array merge rules, all pinned against duckdb:
+    assert(sql1("""SELECT json_structure('[1, "x"]')""") == """["JSON"]""")
+    assert(sql1("""SELECT json_structure('[1, null]')""") == """["UBIGINT"]""")
+    assert(sql1("""SELECT json_structure('[1, 1.5]')""") == """["DOUBLE"]""")
+    assert(sql1("""SELECT json_structure('[1, -1]')""") == """["BIGINT"]""")
+    assert(sql1("""SELECT json_structure('[{"a":1},{"b":2}]')""") ==
+      """[{"a":"UBIGINT","b":"UBIGINT"}]""")
+    assert(sql1("""SELECT json_structure('[{"a":1},{"a":"x"}]')""") ==
+      """[{"a":"JSON"}]""")
+    assert(sql1("""SELECT json_structure('[{"a":1},2]')""") == """["JSON"]""")
+    assert(sql1("""SELECT json_structure('[]')""") == """["NULL"]""")
+    assert(sql1("""SELECT json_structure('{"n": {"m": [{"x": 1}]}}')""") ==
+      """{"n":{"m":[{"x":"UBIGINT"}]}}""")
+    assert(sql1("""SELECT json_structure('not json')""") == null)
+  }
+
+  test("inet host/family over address strings") {
+    assert(sql1("SELECT host('192.168.1.5/24')") == "192.168.1.5")
+    assert(sql1("SELECT host('192.168.1.5')") == "192.168.1.5")
+    assert(sql1("SELECT family('::1')") == 6)
+    assert(sql1("SELECT family('127.0.0.1/8')") == 4)
+  }
+
+  test("shims stay codegen-native (no UDF boundary in the plan)") {
+    init
+    val plan = spark.sql(
+      "SELECT strptime(s, '%Y-%m-%d') AS t, len(s) AS l FROM VALUES " +
+        "('2024-01-01') v(s)").queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
