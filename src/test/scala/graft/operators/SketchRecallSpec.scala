@@ -83,6 +83,24 @@ class SketchRecallSpec extends AnyFunSuite with SparkTest {
     assert(hits.toSet === (0L until 10L).map(i => i -> (i + 1000000)).toSet)
   }
 
+  test("ANN IVF returns the planted noisy copy as the >=0.99 neighbor") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val noisy = e.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.unionByName(noisy)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val hits = Similarity.annIvf(q, c, k = 5, nlist = 32, nprobe = 4,
+        minSim = 0.99)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid"))
+    assert(hits.toSet === (0L until 10L).map(i => i -> (i + 1000000)).toSet)
+  }
+
   test("cosine near-dup pairs find exactly the planted copies") {
     val e = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
