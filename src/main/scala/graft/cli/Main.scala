@@ -189,6 +189,7 @@ object Main {
     }
     val matched = resolvePartitions(config, pattern)
     require(matched.nonEmpty, s"no partitions match '$pattern'")
+    val overwrite = opts.flag("overwrite").contains("true")
     matched.foreach { p =>
       val src = p.source.getOrElse(throw new IllegalArgumentException(
         s"partition ${p.id} has no source block"))
@@ -199,14 +200,30 @@ object Main {
         throw new IllegalArgumentException(
           s"no source adapter for kind '${src.kind}'"))
       val tableSpec = config.tables.getOrElse(p.table, TableSpec(p.table))
-      val raw = adapter.read(spark, src, fmt,
-        opts.ts("from"), opts.ts("to"))
+      // collection window: explicit --from, else resume from the
+      // partition's collection-state high-water mark (reference
+      // collection_state.json, plugin_manager.go:90-111) — unless
+      // --overwrite, which re-collects the requested range
+      val to = opts.ts("to")
+      val from = opts.ts("from").orElse(
+        if (overwrite) None
+        else graft.ingest.CollectionState
+          .read(spark, lake, p.table, p.name).map(_.resumeFrom))
+      if (overwrite && lake.tableExists(spark, p.table)) {
+        // pre-delete the window so re-collection can't duplicate
+        // (collector.go:171-186, cleanup.go:14-51)
+        val n = Maintenance.deletePartitionRange(spark, lake, p.table,
+          p.name, from, to, toInclusive = false)
+        if (n > 0) out.println(s"Overwrite: deleted $n rows from ${p.id}")
+      }
+      val raw = adapter.read(spark, src, fmt, from, to)
       // declared-schema conversion maps any `source =` rename to
       // tp_timestamp BEFORE enrichment, so the enrich column is always
       // the canonical one
       val res = Ingest.collectBatch(spark, lake, p, raw, tableSpec,
-        timestampColumn = "tp_timestamp",
-        from = opts.ts("from"), to = opts.ts("to"))
+        timestampColumn = "tp_timestamp", from = from, to = to)
+      graft.ingest.CollectionState.advance(spark, lake, p.table, p.name,
+        to, res)
       out.println(s"Collected ${p.id}: ${res.rowsIngested} rows" +
         (if (res.rowsInvalid > 0) s" (${res.rowsInvalid} invalid)" else ""))
     }

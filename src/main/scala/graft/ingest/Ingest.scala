@@ -35,14 +35,17 @@ object Ingest {
       rowsIngested: Long,
       rowsInvalid: Long,
       nullsByColumn: Map[String, Long],
-      chunksProcessed: Int) {
+      chunksProcessed: Int,
+      maxTimestamp: Option[Timestamp] = None) {
     def merge(o: IngestResult): IngestResult = IngestResult(
       rowsIngested + o.rowsIngested,
       rowsInvalid + o.rowsInvalid,
       (nullsByColumn.keySet ++ o.nullsByColumn.keySet).map(k =>
         k -> (nullsByColumn.getOrElse(k, 0L) +
           o.nullsByColumn.getOrElse(k, 0L))).toMap,
-      chunksProcessed + o.chunksProcessed)
+      chunksProcessed + o.chunksProcessed,
+      (maxTimestamp.toSeq ++ o.maxTimestamp.toSeq)
+        .sortBy(_.getTime).lastOption)
   }
 
   /** Ingest JSONL chunk files into `lake`/`spec.table`.
@@ -138,7 +141,7 @@ object Ingest {
       val v = Validation.validate(staged, required)
       lake.append(spark, spec.table, v.clean)
       IngestResult(v.totalRows - v.invalidRows, v.invalidRows,
-        v.nullsByColumn, chunks)
+        v.nullsByColumn, chunks, v.maxTimestamp)
     } finally { staged.unpersist() }
   }
 }

@@ -24,22 +24,33 @@ object Validation {
     */
   def validate(batch: DataFrame, requiredCols: Seq[String]): ValidationResult = {
     val present = requiredCols.filter(batch.columns.contains)
-    if (present.isEmpty)
-      return ValidationResult(batch, Map.empty, 0L, batch.count())
+    val tsCol = graft.lake.TpSchema.Timestamp
+    val hasTs = batch.columns.contains(tsCol)
+    if (present.isEmpty) {
+      val maxTs = if (!hasTs) None else
+        Option(batch.agg(max(col(tsCol))).head().getTimestamp(0))
+      return ValidationResult(batch, Map.empty, 0L, batch.count(), maxTs)
+    }
     val nullCounts = present.map(c =>
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
     val anyNull = present.map(col(_).isNull).reduce(_ || _)
+    // max ingested tp_timestamp rides the same single aggregate — it is
+    // the collection-state high-water mark (plugin_manager.go:260-274)
+    val maxTsAgg =
+      if (hasTs) Seq(max(when(!anyNull, col(tsCol))).as("__max_ts"))
+      else Seq(max(lit(null).cast("timestamp")).as("__max_ts"))
     val aggRow: Row = batch.agg(
       sum(when(anyNull, 1L).otherwise(0L)).as("__invalid"),
-      (count(lit(1)).as("__total") +: nullCounts): _*).head()
+      (count(lit(1)).as("__total") +: nullCounts) ++ maxTsAgg: _*).head()
     val invalid = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
     val total = aggRow.getLong(1)
     val perCol = present.zipWithIndex.collect {
       case (c, i) if !aggRow.isNullAt(i + 2) && aggRow.getLong(i + 2) > 0 =>
         c -> aggRow.getLong(i + 2)
     }.toMap
+    val maxTs = Option(aggRow.getTimestamp(2 + present.size))
     val clean = if (invalid == 0) batch else batch.where(!anyNull)
-    ValidationResult(clean, perCol, invalid, total)
+    ValidationResult(clean, perCol, invalid, total, maxTs)
   }
 }
 
@@ -49,9 +60,12 @@ object Validation {
   *                      convertor_validate.go:55-91)
   * @param invalidRows  rows dropped
   * @param totalRows    batch size before the filter
+  * @param maxTimestamp max `tp_timestamp` among CLEAN rows — the
+  *                     collection-state high-water mark
   */
 final case class ValidationResult(
     clean: DataFrame,
     nullsByColumn: Map[String, Long],
     invalidRows: Long,
-    totalRows: Long)
+    totalRows: Long,
+    maxTimestamp: Option[java.sql.Timestamp] = None)

@@ -29,10 +29,12 @@ object Maintenance {
   def deletePartitionRange(
       spark: SparkSession, lake: Lake, table: String, partition: String,
       from: Option[Timestamp] = None,
-      to: Option[Timestamp] = None): Long = {
+      to: Option[Timestamp] = None,
+      toInclusive: Boolean = true): Long = {
     val cond = Seq(
       from.map(f => col(TpSchema.Timestamp) >= lit(f)),
-      to.map(t => col(TpSchema.Timestamp) <= lit(t)))
+      to.map(t => if (toInclusive) col(TpSchema.Timestamp) <= lit(t)
+        else col(TpSchema.Timestamp) < lit(t)))
       .flatten.reduceOption(_ && _).getOrElse(lit(true))
     // month bounds prune partition dirs before file listing
     val monthPrune = Seq(

@@ -154,6 +154,47 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(csv == "n\n2")
   }
 
+  test("collection state makes repeated collect incremental; --overwrite re-collects") {
+    val dir = Files.createTempDirectory("graft_cli_state").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/access_log.csv"),
+      new String(Files.readAllBytes(
+        new File(root, "logs/access_log.csv").toPath), "UTF-8"))
+    write(new File(dir, "config/access.tpc"),
+      new String(Files.readAllBytes(
+        new File(root, "config/access.tpc").toPath), "UTF-8")
+        .replace(root.getPath, dir.getPath))
+
+    val (_, out1) = cli(dir, "collect", "access_log.local")
+    assert(out1.contains("Collected access_log.local: 3 rows"))
+    // state recorded max ts + 1µs → a plain re-collect ingests nothing
+    val (_, out2) = cli(dir, "collect", "access_log.local")
+    assert(out2.contains("Collected access_log.local: 0 rows"), out2)
+    val (_, n1) = cli(dir, "query",
+      "select count(*) as n from access_log", "--output", "csv")
+    assert(n1 == "n\n3")
+
+    // a NEW source row past the high-water mark is picked up
+    val f = new File(dir, "logs/access_log.csv")
+    write(f, new String(Files.readAllBytes(f.toPath), "UTF-8") +
+      "2024-05-01T10:40:00Z,172.16.0.9,\"curl/8.1\",500\n")
+    val (_, out3) = cli(dir, "collect", "access_log.local")
+    assert(out3.contains("Collected access_log.local: 1 rows"), out3)
+    val (_, n2) = cli(dir, "query",
+      "select count(*) as n from access_log", "--output", "csv")
+    assert(n2 == "n\n4")
+
+    // --overwrite re-collects the window without duplicating
+    val (_, out4) = cli(dir, "collect", "access_log.local",
+      "--overwrite", "--from", "2024-05-01", "--to", "2024-05-02")
+    assert(out4.contains("Overwrite: deleted 4 rows"), out4)
+    assert(out4.contains("Collected access_log.local: 4 rows"), out4)
+    val (_, n3) = cli(dir, "query",
+      "select count(*) as n from access_log", "--output", "csv")
+    assert(n3 == "n\n4")
+  }
+
   test("unknown-but-configured table gets the 'no data collected' error") {
     val dir = Files.createTempDirectory("graft_cli3").toFile
     new File(dir, "config").mkdirs()
