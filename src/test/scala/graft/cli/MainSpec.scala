@@ -154,6 +154,20 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(csv == "n\n2")
   }
 
+  test("connect emits a runnable init script with view filters") {
+    val (rc, script) = cli(root, "connect",
+      "--from", "2024-05-01T10:31:00", "--partition", "loc*")
+    assert(rc == 0, script)
+    assert(script.contains(
+      "CREATE OR REPLACE TEMPORARY VIEW access_log AS SELECT * FROM parquet."))
+    assert(script.contains("tp_timestamp >= TIMESTAMP '2024-05-01 10:31:00"))
+    assert(script.contains("tp_partition LIKE 'loc%'"))
+    // the emitted SQL actually runs on a fresh Spark session state
+    script.linesIterator.filter(_.nonEmpty)
+      .foreach(stmt => spark.sql(stmt.stripSuffix(";")))
+    assert(spark.sql("select count(*) from access_log").head().getLong(0) == 2)
+  }
+
   test("collection state makes repeated collect incremental; --overwrite re-collects") {
     val dir = Files.createTempDirectory("graft_cli_state").toFile
     new File(dir, "config").mkdirs()
