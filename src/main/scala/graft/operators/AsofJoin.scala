@@ -64,4 +64,43 @@ object AsofJoin {
       .select(leftCols.map(c => col(s"__lp.$c").as(c)) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Forward as-of left join (DuckDB `ASOF JOIN … ON t1.ts >= t2.ts`
+    * mirrored: here the NEAREST FOLLOWING right row, `right(timeR) >=
+    * left(timeL)`): same union-and-window machinery with the window
+    * ordered descending and left rows sorting AFTER right rows at equal
+    * timestamps (inclusive bound). Identical one-shuffle cost shape to
+    * [[backward]].
+    */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      keyL: String, timeL: String,
+      keyR: String, timeR: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lPayload = struct(leftCols.map(col): _*)
+    val rPayload = struct(rightCols.map(col): _*)
+    val rightClean = right
+      .where(col(keyR).isNotNull && col(timeR).isNotNull)
+
+    val l2 = left.select(
+      col(keyL).as("__k"), col(timeL).as("__t"), lit(1).as("__tag"),
+      lPayload.as("__lp"), lit(null).cast(right.select(rPayload).schema.head.dataType).as("__rp"))
+    val r2 = rightClean.select(
+      col(keyR).as("__k"), col(timeR).as("__t"), lit(0).as("__tag"),
+      lit(null).cast(left.select(lPayload).schema.head.dataType).as("__lp"), rPayload.as("__rp"))
+
+    // descending time: each left row sees the EARLIEST right row at or
+    // after its time; nulls first, so a null-time left row precedes
+    // every right row and correctly matches nothing
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").desc_nulls_first, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l2.unionByName(r2)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(leftCols.map(c => col(s"__lp.$c").as(c)) ++
+        rightCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

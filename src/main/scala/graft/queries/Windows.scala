@@ -156,6 +156,24 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // Forward AS-OF join (DuckDB `ASOF ... ON l.ts <= r.ts`): each
+    // click matched to the NEAREST FOLLOWING purchase of the same user.
+    "q36_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val w = Window.partitionBy("user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event"), col("value").as("p_value"))
+        .withColumn("rn", row_number().over(w.orderBy(col("p_event").desc)))
+        .where(col("rn") === 1).drop("rn")
+      AsofJoin.forward(clicks, purchases,
+        keyL = "user_id", timeL = "ts", keyR = "user_id", timeR = "ts",
+        rightCols = Seq("p_event", "p_value"))
+        .select("event_id", "user_id", "p_event", "p_value")
+        .orderBy("event_id")
+    }),
+
     // Pivot (event_type → columns).
     "q34_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -242,6 +260,18 @@ object Windows {
       SELECT c.event_id, c.user_id, p.p_event, p.p_value
       FROM clicks c ASOF LEFT JOIN purch p
         ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""),
+    "q36_asof_forward" -> (E + """
+      , clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, event_id AS p_event, value AS p_value
+        FROM (SELECT user_id, ts, event_id, value,
+                row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+              FROM e WHERE event_type = 'purchase')
+        WHERE rn = 1)
+      SELECT c.event_id, c.user_id, p.p_event, p.p_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
       ORDER BY c.event_id"""),
     "q33_range_join" -> (E + """
       , c AS (SELECT user_id AS cu, ts AS cts FROM e WHERE event_type = 'click'),

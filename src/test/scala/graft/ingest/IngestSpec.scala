@@ -83,6 +83,27 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     assert(r.invalidRows == 0 && r.nullsByColumn.isEmpty)
   }
 
+  test("corrupt JSONL lines are dropped and reported, never ingested") {
+    // SURVEY §4 corrupt-input row: the reference retries around invalid
+    // files (duck_db_error.go:17-100); Spark's PERMISSIVE JSON mode
+    // turns a malformed line into an all-null row, which the required-
+    // column validation drops AND reports — one mechanism, no retries.
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    val chunk = dir.resolve("chunk_0.jsonl")
+    java.nio.file.Files.writeString(chunk,
+      """{"tp_timestamp": "2024-05-01T10:00:00Z", "msg": "ok-1"}
+        |{not json at all
+        |{"tp_timestamp": "2024-05-01T11:00:00Z", "msg": "ok-2"}
+        |""".stripMargin)
+    val lake = graft.lake.Lake(dir.resolve("lake").toString)
+    val res = Ingest.collectJsonl(spark, lake,
+      graft.config.PartitionSpec("corrupt_t", "p0"),
+      Seq(chunk.toString))
+    assert(res.rowsIngested == 2 && res.rowsInvalid == 1, res)
+    assert(res.nullsByColumn.contains("tp_timestamp"))
+    assert(lake.read(spark, "corrupt_t").count() == 2)
+  }
+
   test("SchemaInference: drift fails fast with changed-column list") {
     val a = StructType(Seq(StructField("x", LongType),
       StructField("y", StringType)))

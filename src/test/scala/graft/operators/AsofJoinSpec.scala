@@ -67,6 +67,34 @@ class AsofJoinSpec extends AnyFunSuite with SparkTest {
     assert(out.head.getAs[String]("v") === null)
   }
 
+  private def runFwd(
+      left: Seq[(Long, Long, Timestamp)],
+      right: Seq[(Long, Timestamp, String)]): Map[Long, Option[String]] = {
+    val l = left.toDF("event_id", "k", "t")
+    val r = right.toDF("k", "t", "v")
+    AsofJoin.forward(l, r, "k", "t", "k", "t", Seq("v"))
+      .collect()
+      .map(row => row.getAs[Long]("event_id") -> Option(row.getAs[String]("v")))
+      .toMap
+  }
+
+  test("forward: picks the nearest right row at or after the left time") {
+    val out = runFwd(
+      left = Seq((1L, 10L, ts(100)), (2L, 10L, ts(250)), (3L, 10L, ts(200))),
+      right = Seq((10L, ts(50), "a"), (10L, ts(200), "b"), (10L, ts(300), "c")))
+    assert(out(1L) === Some("b"))
+    assert(out(2L) === Some("c"))
+    assert(out(3L) === Some("b")) // inclusive bound
+  }
+
+  test("forward: no later right row -> null; null left time matches nothing") {
+    val out = runFwd(
+      left = Seq((1L, 10L, ts(400)), (2L, 10L, null)),
+      right = Seq((10L, ts(300), "c")))
+    assert(out(1L) === None)
+    assert(out(2L) === None)
+  }
+
   test("every left row survives (left join cardinality)") {
     val left = (1L to 100L).map(i => (i, i % 7, ts(i)))
     val right = Seq((3L, ts(0), "z"))
