@@ -272,6 +272,15 @@ object Relational {
         ORDER BY rf, ls""")
     }),
 
+    // Aggregate FILTER clause + array_agg (SURVEY §2B aggregation row):
+    // shared SQL text runs verbatim on both engines (list_sort is the
+    // dialect shim on the Spark side, native on DuckDB).
+    "q37_filter_agg" -> ((s, dir) => {
+      graft.functions.DialectShims.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(filterAggSql)
+    }),
+
     // DuckDB-dialect pass-through: the SAME SQL text the reference's
     // users write (strptime/strftime/epoch_ms/list/list_sort/len/
     // regexp_matches/json_structure) runs on spark.sql via the
@@ -285,6 +294,15 @@ object Relational {
       s.sql(dialectSql)
     })
   )
+
+  /** Shared SQL text for q37: runs verbatim on BOTH engines. */
+  private val filterAggSql = """
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS avg_f,
+             list_sort(array_agg(DISTINCT o_orderstatus)) AS statuses
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   /** Shared SQL text for q35: runs verbatim on BOTH engines. */
   private val dialectSql = """
@@ -432,6 +450,7 @@ object Relational {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY rf, ls""",
-    "q35_dialect" -> dialectSql
+    "q35_dialect" -> dialectSql,
+    "q37_filter_agg" -> filterAggSql
   )
 }
