@@ -83,15 +83,16 @@ object BinaryUtil {
     * `graft_image_height(bin)` in the session function registry (the
     * same extension surface as the fingerprint functions).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_magic", exprs => MagicType(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_image_width", exprs => ImageWidth(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_image_height", exprs => ImageHeight(exprs.head), "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registered.once(spark, "binary") {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(
+        "graft_magic", exprs => MagicType(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_image_width", exprs => ImageWidth(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_image_height", exprs => ImageHeight(exprs.head), "built-in")
+    }
 
   def magicCol(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
     register(spark)

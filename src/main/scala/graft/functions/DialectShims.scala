@@ -86,7 +86,10 @@ object DialectShims {
     Literal(UTF8String.fromString(cFormatToJava(litString(e, fn))),
       StringType)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registered.once(spark, "dialect") { registerAll(spark) }
+
+  private def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def add(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")

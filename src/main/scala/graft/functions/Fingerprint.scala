@@ -121,13 +121,14 @@ object Fingerprints {
     * function registry — the same extension mechanism the reference's
     * DuckDB-extension functions use (SURVEY §2B UDF row).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fingerprint", exprs => Fingerprint(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_winnow_set", exprs => WinnowSet(exprs(0), exprs(1), exprs(2)),
-      "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registered.once(spark, "fingerprint") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_fingerprint", exprs => Fingerprint(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_winnow_set", exprs => WinnowSet(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+    }
 
   /** Column wrapper; requires [[register]] on the active session. */
   def fingerprint(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

@@ -37,9 +37,11 @@ object RegexFns {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_capture_groups",
-      exprs => CaptureGroups(exprs(0), exprs(1)), "built-in")
+    Registered.once(spark, "regex") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_capture_groups",
+        exprs => CaptureGroups(exprs(0), exprs(1)), "built-in")
+    }
 
   /** Column wrapper; requires [[register]] on the active session. */
   def captureGroups(
