@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `spark.sql.extensions` entry point — the idiomatic way a Spark
+  * cluster loads this library's SQL surface with zero code changes:
+  *
+  * {{{
+  *   spark-sql --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Injects the DuckDB-dialect shims (strptime, list, len, epoch_ms, …
+  * — graft.functions.DialectShims) and the engine's own codegen'd
+  * expressions (graft_fingerprint, graft_winnow_set,
+  * graft_capture_groups, graft_magic, graft_image_width/height) into
+  * every session built from the configured context. The imperative
+  * `register(spark)` paths remain for embedded/library use; this class
+  * is the deployment-time twin.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  import graft.functions._
+
+  /** Every SQL-callable function the library ships. */
+  val all: Seq[(String, Seq[Expression] => Expression)] =
+    DialectShims.builders ++ Seq[(String, Seq[Expression] => Expression)](
+      "graft_fingerprint" -> (es => Fingerprint(es.head)),
+      "graft_winnow_set" -> (es => WinnowSet(es(0), es(1), es(2))),
+      "graft_capture_groups" -> (es => CaptureGroups(es(0), es(1))),
+      "graft_magic" -> (es => MagicType(es.head)),
+      "graft_image_width" -> (es => ImageWidth(es.head)),
+      "graft_image_height" -> (es => ImageHeight(es.head)))
+}

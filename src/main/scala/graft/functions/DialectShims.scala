@@ -86,47 +86,51 @@ object DialectShims {
     Literal(UTF8String.fromString(cFormatToJava(litString(e, fn))),
       StringType)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Registered.once(spark, "dialect") { registerAll(spark) }
-
-  private def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def add(name: String)(b: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, b, "built-in")
-
-    add("strptime") { es =>
-      new ParseToTimestamp(es(0), cFmt(es(1), "strptime")) }
-    add("strftime") { es =>
-      DateFormatClass(es(0), cFmt(es(1), "strftime")) }
-    add("epoch_ms") { es => EpochMs(es.head) }
-    add("epoch") { es => // DuckDB: DOUBLE seconds incl. fraction
+  /** name → expression builder, the registry-agnostic shim table —
+    * consumed by [[register]] (imperative, per-session) and
+    * [[graft.GraftExtensions]] (`spark.sql.extensions` injection).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "strptime" -> { es: Seq[Expression] =>
+      new ParseToTimestamp(es(0), cFmt(es(1), "strptime")) },
+    "strftime" -> { es: Seq[Expression] =>
+      DateFormatClass(es(0), cFmt(es(1), "strftime")) },
+    "epoch_ms" -> { es: Seq[Expression] => EpochMs(es.head) },
+    // DuckDB: DOUBLE seconds incl. fraction
+    "epoch" -> { es: Seq[Expression] =>
       Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType),
-        Literal(1e6)) }
-    add("list") { es => CollectList(es.head) }
-    add("list_sort") { es => new SortArray(es.head) }
-    add("list_contains") { es => ArrayContains(es(0), es(1)) }
-    add("list_distinct") { es => ArrayDistinct(es.head) }
-    add("list_unique") { es =>
-      Cast(Size(ArrayDistinct(es.head)), LongType) }
-    add("len") { es => Len(es.head) }
-    add("string_split") { es =>
+        Literal(1e6)) },
+    "list" -> { es: Seq[Expression] => CollectList(es.head) },
+    "list_sort" -> { es: Seq[Expression] => new SortArray(es.head) },
+    "list_contains" -> { es: Seq[Expression] => ArrayContains(es(0), es(1)) },
+    "list_distinct" -> { es: Seq[Expression] => ArrayDistinct(es.head) },
+    "list_unique" -> { es: Seq[Expression] =>
+      Cast(Size(ArrayDistinct(es.head)), LongType) },
+    "len" -> { es: Seq[Expression] => Len(es.head) },
+    "string_split" -> { es: Seq[Expression] =>
       StringSplit(es(0),
         Literal(UTF8String.fromString(
           Pattern.quote(litString(es(1), "string_split"))), StringType),
-        Literal(-1)) }
-    add("regexp_matches") { es => RLike(es(0), es(1)) }
-    add("json_structure") { es => JsonStructure(es.head) }
+        Literal(-1)) },
+    "regexp_matches" -> { es: Seq[Expression] => RLike(es(0), es(1)) },
+    "json_structure" -> { es: Seq[Expression] => JsonStructure(es.head) },
     // inet-extension surface (reference auto-loads `inet`): address
     // strings, not a dedicated type — host strips the /mask, family
     // sniffs v4 vs v6
-    add("host") { es =>
+    "host" -> { es: Seq[Expression] =>
       SubstringIndex(es.head, Literal(UTF8String.fromString("/"),
-        StringType), Literal(1)) }
-    add("family") { es =>
+        StringType), Literal(1)) },
+    "family" -> { es: Seq[Expression] =>
       CaseWhen(Seq((Contains(es.head,
         Literal(UTF8String.fromString(":"), StringType)), Literal(6))),
-        Some(Literal(4))) }
-  }
+        Some(Literal(4))) })
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registered.once(spark, "dialect") {
+      val reg = spark.sessionState.functionRegistry
+      builders.foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in") }
+    }
 
   // ---- json_structure runtime ------------------------------------------
 
