@@ -62,16 +62,17 @@ final case class Lake(root: String) {
     * (the same division of labor as the reference: convert appends,
     * compact merges — compact.go:80-89).
     */
-  def append(spark: SparkSession, table: String, batch: DataFrame): Unit = {
-    val dir = tableDir(table)
-    val before = dataFiles(spark, table).toSet
-    batch.write
-      .partitionBy(TpSchema.partitionCols: _*)
-      .mode(SaveMode.Append)
-      .parquet(dir)
-    val added = dataFiles(spark, table).filterNot(before)
-    recordStats(spark, table, added)
-  }
+  def append(spark: SparkSession, table: String, batch: DataFrame): Unit =
+    Lake.withTableLock(root, table) {
+      val dir = tableDir(table)
+      val before = dataFiles(spark, table).toSet
+      batch.write
+        .partitionBy(TpSchema.partitionCols: _*)
+        .mode(SaveMode.Append)
+        .parquet(dir)
+      val added = dataFiles(spark, table).filterNot(before)
+      recordStats(spark, table, added)
+    }
 
   /** All data-file paths of a table (excludes manifest + markers),
     * normalized to bare paths so they compare equal to
@@ -152,23 +153,24 @@ final case class Lake(root: String) {
     * `fileStats`' live-file semi-join).
     */
   def overwritePartitions(
-      spark: SparkSession, table: String, df: DataFrame): Unit = {
-    val dir = tableDir(table)
-    val before = dataFiles(spark, table).toSet
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      df.write
-        .partitionBy(TpSchema.partitionCols: _*)
-        .mode(SaveMode.Overwrite)
-        .parquet(dir)
-    } finally {
-      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      spark: SparkSession, table: String, df: DataFrame): Unit =
+    Lake.withTableLock(root, table) {
+      val dir = tableDir(table)
+      val before = dataFiles(spark, table).toSet
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        df.write
+          .partitionBy(TpSchema.partitionCols: _*)
+          .mode(SaveMode.Overwrite)
+          .parquet(dir)
+      } finally {
+        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
+      val added = dataFiles(spark, table).filterNot(before)
+      recordStats(spark, table, added)
     }
-    val added = dataFiles(spark, table).filterNot(before)
-    recordStats(spark, table, added)
-  }
 
   /** Register a lake table in the Spark session catalog as a
     * partitioned datasource table over the table directory — the
@@ -213,4 +215,21 @@ final case class Lake(root: String) {
       val Array(k, v) = seg.split("=", 2)
       k -> java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
+}
+
+object Lake {
+  /** Per-(lake, table) write serialization — the reference's
+    * single-writer model (one DuckDB connection + converter process
+    * lock, duck_db.go:63, convertor.go:131-141). Concurrent appends
+    * to DIFFERENT tables proceed in parallel; two writers on one table
+    * serialize so the append/manifest pair stays consistent. Driver-
+    * side only: the write jobs themselves are fully distributed.
+    */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withTableLock[T](root: String, table: String)(body: => T): T = {
+    val lock = locks.computeIfAbsent(s"$root#$table", _ => new Object)
+    lock.synchronized(body)
+  }
 }

@@ -88,6 +88,23 @@ object StreamIngest {
         col("window.end").as("window_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup with bounded state: drops rows whose key was
+    * already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming twin of
+    * `Dedup.exact`. State is evicted as the watermark advances, so
+    * memory is bounded by the duplicate-arrival window, not the stream
+    * history — the only shape that survives an unbounded 100 TB/day
+    * stream. Exactly-once within the horizon; re-sends later than the
+    * watermark delay are the at-rest compaction/dedup job's problem
+    * (same division as the reference's late-data handling).
+    */
+  def streamingDedup(
+      events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One input event for sessionization. */
   final case class Event(key: String, ts: Timestamp)
   /** Accumulated session state. */

@@ -87,6 +87,30 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       .toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
   }
 
+  test("streamingDedup drops within-horizon duplicates with bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val dedup = StreamIngest.streamingDedup(
+      mem.toDF().toDF("ts", "key", "v"), "ts", Seq("key"), "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-03-01 10:01:00"), "a", 2.0), // dup key
+      (Timestamp.valueOf("2024-03-01 10:02:00"), "b", 3.0))
+    q.processAllAvailable()
+    mem.addData( // same batch-2: 'a' still inside the horizon → dropped
+      (Timestamp.valueOf("2024-03-01 10:03:00"), "a", 4.0))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out")
+      .select("key", "v").orderBy("key").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    q.stop()
+    assert(out == Seq(("a", 1.0), ("b", 3.0)))
+  }
+
   test("sessionize: gap-based sessions emit on event-time timeout") {
     val s = spark
     import s.implicits._
