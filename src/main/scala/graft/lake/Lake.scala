@@ -84,11 +84,18 @@ final case class Lake(root: String) {
     if (!f.exists(base)) return Seq.empty
     val it = f.listFiles(base, true)
     val out = Seq.newBuilder[String]
+    val baseUri = base.toUri.getPath
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toUri.getPath
-      if (s.isFile && p.endsWith(".parquet") &&
-        !p.contains("_graft_manifest") && !p.contains("_graft_staging"))
+      // skip hidden trees (same rule as Spark's scan): any path segment
+      // below the table root starting with '_' or '.' — this covers the
+      // manifest, staging, AND a crashed job's leftover _temporary task
+      // files, which must never enter the manifest or compaction plans
+      val rel = p.stripPrefix(baseUri).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (s.isFile && p.endsWith(".parquet") && !hidden)
         out += p
     }
     out.result().sorted

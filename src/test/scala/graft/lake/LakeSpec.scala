@@ -57,6 +57,22 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "t").count() == 100)
   }
 
+  test("crash-leftover _temporary task files never enter the manifest") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(10))
+    val before = lake.dataFiles(spark, "t")
+    // simulate a crashed concurrent job: task files under _temporary
+    val tmp = new java.io.File(s"${lake.tableDir("t")}/_temporary/0/task_1")
+    tmp.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "part-00000-dead.snappy.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    assert(lake.dataFiles(spark, "t") == before)
+    // compaction planning must not see the dead file either
+    val stats = lake.fileStats(spark, "t").collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum == 10)
+  }
+
   test("time+partition filters prune partition directories in the scan") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(100, "p0"))
