@@ -420,6 +420,21 @@ object IngestQueries {
           col("magic"), col("width"), col("height"),
           sha2(lower(hex(col("payload"))), 256).as("hex_digest"))
         .orderBy("doc_id")
+    }),
+
+    // §2A row 13: Spark-catalog table DDL. The lake table is registered
+    // as a partitioned catalog table (CREATE TABLE … PARTITIONED BY +
+    // recoverPartitions) and queried THROUGH the catalog — partition
+    // pruning on tp_index comes from catalog metadata, not directory
+    // listing. The oracle recomputes from the source table.
+    "qi12_catalog_table" -> ((s, dir) => {
+      val lake = sharedLake(s, dir)
+      lake.registerCatalogTable(s, "events_lake")
+      s.table("events_lake")
+        .where(col("tp_index") === "click")
+        .groupBy(col("tp_year"), col("tp_month"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("tp_year", "tp_month")
     }))
 
   // ---- oracles -------------------------------------------------------
@@ -590,5 +605,11 @@ object IngestQueries {
              CASE WHEN doc_id % 4 < 3 THEN w END AS width,
              CASE WHEN doc_id % 4 < 3 THEN h END AS height,
              sha256(hexstr) AS hex_digest
-      FROM hx ORDER BY doc_id""")
+      FROM hx ORDER BY doc_id""",
+    "qi12_catalog_table" -> """
+      SELECT cast(year(cast(ts AS timestamp)) AS int) AS tp_year,
+             cast(month(cast(ts AS timestamp)) AS int) AS tp_month,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2 ORDER BY tp_year, tp_month""")
 }
