@@ -273,11 +273,33 @@ object Main {
       repl.loop()
       return
     }
-    opts.positional.foreach { q =>
-      if (Metaquery.isMetaquery(q))
-        out.println(Metaquery.handle(spark, lake, state, q))
-      else runOne(spark, lake, config, state, q, out)
+    opts.positional.foreach { arg =>
+      if (Metaquery.isMetaquery(arg))
+        out.println(Metaquery.handle(spark, lake, state, arg))
+      else splitStatements(arg)
+        .foreach(q => runOne(spark, lake, config, state, q, out))
     }
+  }
+
+  /** Split a batch argument into `;`-separated statements, ignoring
+    * semicolons inside single- or double-quoted runs (the reference's
+    * batch sessions execute multi-statement strings,
+    * internal/query/execute.go:22-43).
+    */
+  private[cli] def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inSingle = false
+    var inDouble = false
+    sql.foreach {
+      case '\'' if !inDouble => inSingle = !inSingle; cur += '\''
+      case '"' if !inSingle => inDouble = !inDouble; cur += '"'
+      case ';' if !inSingle && !inDouble =>
+        out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private def runOne(

@@ -55,6 +55,11 @@ object Ingest {
     * @param from/to         collection window: rows outside
     *                        `[from, to)` are filtered before the lake
     *                        (collector.go:228-240)
+    * @param deleteProcessed remove each batch's chunk files after its
+    *                        lake append commits (the reference's inbox
+    *                        discipline, convertor_convert.go:64-73) —
+    *                        a crash mid-collect then re-runs ONLY the
+    *                        unprocessed chunks, never duplicating
     */
   def collectJsonl(
       spark: SparkSession,
@@ -65,7 +70,8 @@ object Ingest {
       timestampColumn: String = "tp_timestamp",
       from: Option[Timestamp] = None,
       to: Option[Timestamp] = None,
-      maxChunksPerBatch: Int = 2000): IngestResult = {
+      maxChunksPerBatch: Int = 2000,
+      deleteProcessed: Boolean = false): IngestResult = {
     require(chunkFiles.nonEmpty, "no chunk files to ingest")
     val batches = chunkFiles.grouped(maxChunksPerBatch).toSeq
     var established: Option[org.apache.spark.sql.types.StructType] = None
@@ -81,8 +87,11 @@ object Ingest {
         case Some(e) => SchemaInference.checkDrift(e, inferred, pinned)
       }
       val raw = spark.read.schema(inferred).json(files: _*)
-      processBatch(spark, lake, spec, raw, tableSpec,
+      val res = processBatch(spark, lake, spec, raw, tableSpec,
         timestampColumn, from, to, files.size)
+      if (deleteProcessed)
+        files.foreach(f => new java.io.File(f).delete())
+      res
     }.reduce(_ merge _)
   }
 

@@ -258,6 +258,15 @@ class MainSpec extends AnyFunSuite with SparkTest {
         |INFO,scan done,2025-04-28 15:16:36.033""".stripMargin)
   }
 
+  test("multi-statement batch query splits on unquoted semicolons") {
+    val (rc, csv) = cli(root, "query",
+      "select 1 as a; select 'x;y' as b", "--output", "csv")
+    assert(rc == 0, csv)
+    assert(csv == "a\n1\nb\nx;y")
+    assert(Main.splitStatements("select ';' as x;;select 2") ==
+      Seq("select ';' as x", "select 2"))
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==

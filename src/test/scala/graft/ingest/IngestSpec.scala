@@ -104,6 +104,24 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "corrupt_t").count() == 2)
   }
 
+  test("collectJsonl deleteProcessed drains the inbox per committed batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inbox")
+    val chunks = (0 until 3).map { i =>
+      val p = dir.resolve(s"chunk_$i.jsonl")
+      java.nio.file.Files.writeString(p,
+        s"""{"tp_timestamp": "2024-05-01T1$i:00:00Z", "msg": "m$i"}""" + "\n")
+      p.toString
+    }
+    val lake = graft.lake.Lake(dir.resolve("lake").toString)
+    val res = Ingest.collectJsonl(spark, lake,
+      graft.config.PartitionSpec("inbox_t", "p0"), chunks,
+      maxChunksPerBatch = 2, deleteProcessed = true)
+    assert(res.rowsIngested == 3 && res.chunksProcessed == 3)
+    assert(chunks.forall(c => !new java.io.File(c).exists()),
+      "processed chunk files must be deleted")
+    assert(lake.read(spark, "inbox_t").count() == 3)
+  }
+
   test("SchemaInference: drift fails fast with changed-column list") {
     val a = StructType(Seq(StructField("x", LongType),
       StructField("y", StringType)))
