@@ -226,6 +226,14 @@ object Main {
         to, res)
       out.println(s"Collected ${p.id}: ${res.rowsIngested} rows" +
         (if (res.rowsInvalid > 0) s" (${res.rowsInvalid} invalid)" else ""))
+      // post-collection compaction, on by default like the reference
+      // (cmd/collect.go:191-198, --compact flag)
+      if (!opts.flag("compact").contains("false") &&
+          lake.tableExists(spark, p.table)) {
+        val (before, after) = Maintenance.compact(spark, lake, p.table)
+        if (after != before)
+          out.println(s"Compacted ${p.table}: $before files -> $after files")
+      }
     }
   }
 
