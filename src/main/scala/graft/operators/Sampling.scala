@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (builder brief:
+  * large-scale pipeline operations beyond the reference surface).
+  *
+  * Spark's `sample`/`sampleBy` are seeded-RNG: reproducible only
+  * within one engine, partitioning-sensitive, and impossible for an
+  * external system to audit. These operators decide membership from
+  * the MD5 of the row's id instead — a pure, codegen'd projection:
+  *
+  *  - no shuffle, no RNG state, stable under repartitioning/retries;
+  *  - any engine (DuckDB, Trino, a Python auditor) reproduces the
+  *    exact row set from (id, fraction) alone;
+  *  - sampling composes with incremental ingest: a row's membership
+  *    never changes as the corpus grows — critical when the 100 TB
+  *    corpus is collected over months but the train/eval split must
+  *    stay frozen.
+  *
+  * The first 8 hex chars of md5 are compared against fraction·16^8;
+  * granularity 1/2^32 ≈ 2.3e-10 of exact, far below sampling noise.
+  */
+object Sampling {
+
+  /** `[0,1)` uniform value derived from the id column (codegen'd). */
+  def hashUnit(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0 // 16^8
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def uniform(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.where(hashUnit(col(idCol)) < fraction)
+  }
+
+  /** Per-stratum fractions (e.g. lang → rate): rebalance a corpus by
+    * downsampling overrepresented strata. Strata absent from the map
+    * keep `default`.
+    */
+  def stratified(
+      df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 1.0): DataFrame = {
+    val rate = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.where(hashUnit(col(idCol)) < rate)
+  }
+
+  /** Frozen train/eval split: every id lands in exactly one side,
+    * forever, on every engine. Returns the df with an `is_eval` flag
+    * column (filter on it for either side).
+    */
+  def withSplit(
+      df: DataFrame, idCol: String, evalFraction: Double,
+      flagCol: String = "is_eval"): DataFrame =
+    df.withColumn(flagCol, hashUnit(col(idCol)) < evalFraction)
+}

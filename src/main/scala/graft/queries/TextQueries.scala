@@ -123,6 +123,20 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Deterministic stratified sampling + frozen train/eval split
+    // (operators/Sampling.scala): membership is a pure function of
+    // md5(id), so the DuckDB oracle reproduces the EXACT row set —
+    // the property seeded-RNG sampling cannot give. Thresholds are
+    // picked power-of-two so both engines compare exactly.
+    "qt10_stratified_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang")
+      val sampled = graft.operators.Sampling.stratified(
+        d, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), default = 1.0)
+      graft.operators.Sampling.withSplit(sampled, "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"), col("is_eval"))
+        .orderBy("doc_id")
+    }),
+
     // Exact n-gram Jaccard pairs — fully oracle-checkable (exact set
     // math, no sketching).
     "qt09_ngram_jaccard" -> ((s, dir) => {
@@ -258,6 +272,20 @@ object TextQueries {
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
-      ORDER BY id_a, id_b""")
+      ORDER BY id_a, id_b"""),
+    // thresholds: 0.5→80000000, 0.25→40000000 of the first 8 md5 hex
+    // chars; lexicographic compare on lowercase hex == numeric compare
+    "qt10_stratified_sample" -> ("""
+      WITH h AS (
+        SELECT doc_id, lang,
+               substr(md5(cast(doc_id AS varchar)), 1, 8) AS hx
+        FROM documents)
+      SELECT doc_id, lang, hx < '40000000' AS is_eval
+      FROM h
+      WHERE hx < (CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'de' THEN '40000000'
+                            ELSE 'ffffffffz' END)
+      ORDER BY doc_id""")
   )
+
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class SamplingSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(20000).toDF("id")
+
+  test("uniform keeps ~fraction, deterministically under repartition") {
+    val a = Sampling.uniform(ids, "id", 0.25)
+    val n = a.count()
+    assert(math.abs(n - 5000.0) / 5000.0 < 0.05, s"got $n of ~5000")
+    val b = Sampling.uniform(ids.repartition(7), "id", 0.25)
+    assert(b.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      a.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("nested fractions: the 10% sample is a subset of the 25% sample") {
+    val small = Sampling.uniform(ids, "id", 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.uniform(ids, "id", 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified applies per-stratum rates") {
+    val df = ids.withColumn("s",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratified(df, "id", "s", Map("a" -> 0.5, "b" -> 0.1))
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 5000.0) / 5000.0 < 0.07)
+    assert(math.abs(counts("b") - 1000.0) / 1000.0 < 0.15)
+  }
+
+  test("withSplit partitions every row exactly once") {
+    val out = Sampling.withSplit(ids, "id", 0.25)
+    assert(out.count() == 20000)
+    val evalN = out.where(col("is_eval")).count()
+    assert(math.abs(evalN - 5000.0) / 5000.0 < 0.07)
+  }
+}
