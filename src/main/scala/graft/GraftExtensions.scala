@@ -37,6 +37,7 @@ object GraftExtensions {
       "graft_fingerprint" -> (es => Fingerprint(es.head)),
       "graft_winnow_set" -> (es => WinnowSet(es(0), es(1), es(2))),
       "graft_capture_groups" -> (es => CaptureGroups(es(0), es(1))),
+      "nfc_normalize" -> (es => NfcNormalize(es.head)),
       "graft_magic" -> (es => MagicType(es.head)),
       "graft_image_width" -> (es => ImageWidth(es.head)),
       "graft_image_height" -> (es => ImageHeight(es.head)))

@@ -123,6 +123,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Unicode NFC canonicalization (custom codegen'd Expression —
+    // Spark has no normalizer). Input is text + a planted NFD suffix
+    // (e + combining acute); the oracle is DuckDB's own nfc_normalize,
+    // so composition, byte length, and digest must all agree exactly.
+    "qt11_unicode_nfc" -> ((s, dir) => {
+      val normed = graft.functions.UnicodeFns.nfcNormalize(s,
+        concat(col("text"), lit(" cafe\u0301")))
+      docs(s, dir).select(col("doc_id"),
+          md5(normed).as("digest"),
+          octet_length(normed).cast("bigint").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling + frozen train/eval split
     // (operators/Sampling.scala): membership is a pure function of
     // md5(id), so the DuckDB oracle reproduces the EXACT row set —
@@ -273,6 +286,14 @@ object TextQueries {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
       ORDER BY id_a, id_b"""),
+    "qt11_unicode_nfc" -> ("""
+      WITH n AS (
+        SELECT doc_id,
+               nfc_normalize(text || ' cafe' || chr(769)) AS nt
+        FROM documents)
+      SELECT doc_id, md5(nt) AS digest,
+             cast(strlen(nt) AS bigint) AS n_bytes
+      FROM n ORDER BY doc_id"""),
     // thresholds: 0.5→80000000, 0.25→40000000 of the first 8 md5 hex
     // chars; lexicographic compare on lowercase hex == numeric compare
     "qt10_stratified_sample" -> ("""
