@@ -123,6 +123,30 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // PII scrubbing: plant a deterministic email + IPv4 per document,
+    // redact with the standard regex classes, report counts + the
+    // digest of the redacted text. DuckDB recomputes with the same
+    // RE2-compatible patterns — a single missed or extra redaction
+    // anywhere in 500 documents breaks the hash.
+    "qt12_pii_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val t = concat(col("text"),
+        lit(" user"), col("doc_id"), lit("@example.com contact 10."),
+        col("doc_id") % 256, lit("."),
+        floor(col("doc_id") / 256).cast("int") % 256, lit(".7"))
+      docs(s, dir).select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).cast("bigint").as("n_emails"),
+          regexp_count(
+            regexp_replace(col("t"), email, "<EMAIL>"), lit(ip))
+            .cast("bigint").as("n_ips"),
+          md5(regexp_replace(
+            regexp_replace(col("t"), email, "<EMAIL>"), ip, "<IP>"))
+            .as("redacted_digest"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode NFC canonicalization (custom codegen'd Expression —
     // Spark has no normalizer). Input is text + a planted NFD suffix
     // (e + combining acute); the oracle is DuckDB's own nfc_normalize,
@@ -286,6 +310,27 @@ object TextQueries {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
       ORDER BY id_a, id_b"""),
+    "qt12_pii_redact" -> ("""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' user' || doc_id || '@example.com contact 10.'
+                    || (doc_id % 256) || '.' || ((doc_id // 256) % 256)
+                    || '.7' AS t
+        FROM documents),
+      r AS (
+        SELECT doc_id, t,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+        FROM p)
+      SELECT doc_id,
+             cast(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint)
+               AS n_emails,
+             cast(len(regexp_extract_all(t1,
+               '\b(\d{1,3}\.){3}\d{1,3}\b')) AS bigint) AS n_ips,
+             md5(regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'))
+               AS redacted_digest
+      FROM r ORDER BY doc_id"""),
     "qt11_unicode_nfc" -> ("""
       WITH n AS (
         SELECT doc_id,
