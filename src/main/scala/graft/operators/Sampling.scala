@@ -56,4 +56,18 @@ object Sampling {
       df: DataFrame, idCol: String, evalFraction: Double,
       flagCol: String = "is_eval"): DataFrame =
     df.withColumn(flagCol, hashUnit(col(idCol)) < evalFraction)
+
+  /** Stable shard assignment in [0, n) for training export: balanced in
+    * expectation, a pure function of the id (a shard's membership never
+    * changes as the corpus grows — rows only get ADDED to shards), and
+    * reproducible by any engine. Partition the write by this column to
+    * get n stable output shards.
+    */
+  def withShard(
+      df: DataFrame, idCol: String, n: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(n > 0, "shard count must be positive")
+    df.withColumn(shardCol,
+      floor(hashUnit(col(idCol)) * n).cast("int"))
+  }
 }

@@ -37,6 +37,20 @@ class SamplingSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(counts("b") - 1000.0) / 1000.0 < 0.15)
   }
 
+  test("withShard balances and stays stable as the corpus grows") {
+    val a = Sampling.withShard(ids, "id", 8)
+    val counts = a.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    assert(counts.values.forall(c => math.abs(c - 2500.0) / 2500.0 < 0.1))
+    // growth: the first 10k ids keep their shard when 10k more arrive
+    val before = Sampling.withShard(ids.where(col("id") < 10000), "id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val after = a.where(col("id") < 10000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(before == after)
+  }
+
   test("withSplit partitions every row exactly once") {
     val out = Sampling.withSplit(ids, "id", 0.25)
     assert(out.count() == 20000)
