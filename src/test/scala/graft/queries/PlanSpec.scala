@@ -63,6 +63,15 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"query side not broadcast:\n$p")
   }
 
+  test("q32: as-of join costs exactly one hash shuffle (union-and-window)") {
+    // the operator's scale claim: |L|+|R| rows shuffle ONCE on the key —
+    // no range cross-join, no per-key blow-up
+    val p = planOf("q32_asof_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cross-join in asof plan:\n$p")
+    assert(p.contains("Window"), "no window operator in asof plan")
+  }
+
   test("q35: dialect shims leave no UDF boundary in the plan") {
     val df = SparkEntry.queries("q35_dialect")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
