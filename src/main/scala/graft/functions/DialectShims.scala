@@ -100,6 +100,10 @@ object DialectShims {
     "epoch" -> { es: Seq[Expression] =>
       Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType),
         Literal(1e6)) },
+    // NOTE: DuckDB's date_diff/datediff (boundary-crossing counts)
+    // CANNOT be shimmed: both spellings are Spark PARSER syntax
+    // (unquoted unit, elapsed-unit semantics) resolved before the
+    // function registry — documented divergence in COVERAGE.md.
     "list" -> { es: Seq[Expression] => CollectList(es.head) },
     "list_sort" -> { es: Seq[Expression] => new SortArray(es.head) },
     "list_contains" -> { es: Seq[Expression] => ArrayContains(es(0), es(1)) },

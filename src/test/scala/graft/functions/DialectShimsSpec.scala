@@ -52,6 +52,14 @@ class DialectShimsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(v - 1709633472.345) < 1e-6)
   }
 
+  test("date_diff spellings stay Spark parser syntax (documented divergence)") {
+    // DuckDB's boundary-crossing date_diff cannot be shimmed — both
+    // spellings are parser-reserved; Spark's native semantics apply
+    assert(sql1("SELECT date_diff(HOUR, timestamp '2024-01-01 10:59:00', " +
+      "timestamp '2024-01-01 11:01:00')") == 0L) // elapsed units, not crossings
+    assert(sql1("SELECT datediff(date '2024-01-10', date '2024-01-01')") == 9)
+  }
+
   test("len is BIGINT over strings and lists") {
     assert(sql1("SELECT len('hello')") == 5L)
     assert(sql1("SELECT len(array(1, 2, 3))") == 3L)
