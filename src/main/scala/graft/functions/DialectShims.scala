@@ -107,6 +107,11 @@ object DialectShims {
     "list" -> { es: Seq[Expression] => CollectList(es.head) },
     "list_sort" -> { es: Seq[Expression] => new SortArray(es.head) },
     "list_contains" -> { es: Seq[Expression] => ArrayContains(es(0), es(1)) },
+    // lambda args arrive as parsed LambdaFunction expressions — the
+    // higher-order shims pass them straight through to the native
+    // array expressions (same `x -> …` lambda syntax in both dialects)
+    "list_transform" -> { es: Seq[Expression] => ArrayTransform(es(0), es(1)) },
+    "list_filter" -> { es: Seq[Expression] => ArrayFilter(es(0), es(1)) },
     "list_distinct" -> { es: Seq[Expression] => ArrayDistinct(es.head) },
     "list_unique" -> { es: Seq[Expression] =>
       Cast(Size(ArrayDistinct(es.head)), LongType) },

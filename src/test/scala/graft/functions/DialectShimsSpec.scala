@@ -73,6 +73,13 @@ class DialectShimsSpec extends AnyFunSuite with SparkTest {
     assert(sql1("SELECT list_unique(array(2,1,2))") == 2L)
   }
 
+  test("list_transform/list_filter pass lambdas to native array exprs") {
+    assert(sql1("SELECT list_transform(array(1,2,3), x -> x * 10)") ==
+      Seq(10, 20, 30))
+    assert(sql1("SELECT list_filter(array(1,2,3,4), x -> x % 2 = 0)") ==
+      Seq(2, 4))
+  }
+
   test("string_split uses a plain (non-regex) separator") {
     assert(sql1("SELECT string_split('a.b.c', '.')") == Seq("a", "b", "c"))
   }
