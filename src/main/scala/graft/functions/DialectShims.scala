@@ -167,8 +167,8 @@ object DialectShims {
     if (n == null || n.isNull) SLeaf("NULL")
     else if (n.isObject) {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, S]
-      val it = n.fields()
-      while (it.hasNext) { val e = it.next(); m(e.getKey) = structureOf(e.getValue) }
+      val it = n.fieldNames()
+      while (it.hasNext) { val k = it.next(); m(k) = structureOf(n.get(k)) }
       SObj(m)
     } else if (n.isArray) {
       if (n.size == 0) SArr(SLeaf("NULL"))

@@ -57,7 +57,7 @@ object Maintenance {
     if (perDir.isEmpty) return 0L
     val deleted = perDir.map(_.getAs[Long]("hit")).sum
 
-    val hitDirPred = dirPredicate(perDir)
+    val hitDirPred = dirPredicate(perDir.toIndexedSeq)
     val keep = lake.read(spark, table).where(scope && hitDirPred && !cond)
     lake.overwritePartitions(spark, table, keep)
     // dirs whose every row matched have nothing written → remove them
