@@ -57,6 +57,24 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "t").count() == 100)
   }
 
+  test("concurrent appends serialize per table; manifest stays exact") {
+    val lake = newLake()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() =>
+        try lake.append(spark, "t", sampleBatch(50))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    assert(lake.read(spark, "t").count() == 200)
+    // every file accounted for exactly once in the stats manifest
+    val stats = lake.fileStats(spark, "t").collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum == 200)
+    assert(stats.map(_.getAs[String]("file")).distinct.length == stats.length)
+  }
+
   test("crash-leftover _temporary task files never enter the manifest") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(10))
