@@ -227,6 +227,38 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark DECONTAMINATION: asymmetric n-gram containment of each
+    * (small) benchmark document in (huge) corpus documents —
+    * `|grams(corpus doc) ∩ grams(bench doc)| / |grams(bench doc)|`.
+    * The standard eval-leakage check for training corpora: a corpus
+    * document containing ≥ threshold of a benchmark item's n-grams is
+    * flagged.
+    *
+    * Scale shape: the benchmark side is eval-set-sized → its gram
+    * postings BROADCAST; the corpus streams through map-side (scan →
+    * gram explode → broadcast hash join), and the only shuffle is the
+    * per-(corpus_id, bench_id) intersection count — pairs, never text.
+    *
+    * @return (corpus_id, bench_id, containment) at >= threshold,
+    *         self-pairs excluded
+    */
+  def containmentPairs(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("g"))
+    val bsizes = bg.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
+    val cg = corpus.select(col(idCol).as("corpus_id"),
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("g"))
+    cg.join(broadcast(bg), Seq("g"))
+      .where(col("corpus_id") =!= col("bench_id"))
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("inter"))
+      .join(broadcast(bsizes), "bench_id")
+      .select(col("corpus_id"), col("bench_id"),
+        (col("inter").cast("double") / col("bsz")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** n-gram Jaccard similarity for candidate pairs sharing at least one
     * (non-stop) shingle — inverted-index self-join.
     *

@@ -123,6 +123,22 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Benchmark decontamination: flag corpus documents containing
+    // >= 80% of a "benchmark" doc's 3-grams (bench = base docs
+    // doc_id < 50; the planted near-dup copies MUST be flagged at
+    // containment 1.0). Bench postings broadcast; corpus streams
+    // map-side — the 100 TB decontamination shape.
+    "qt13_decontaminate" -> ((s, dir) => {
+      val corpus = planted(s, dir)
+      val bench = docs(s, dir).where(col("doc_id") < 50)
+        .select("doc_id", "text")
+      Dedup.containmentPairs(corpus, bench, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .select(col("corpus_id"), col("bench_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("corpus_id", "bench_id")
+    }),
+
     // PII scrubbing: plant a deterministic email + IPv4 per document,
     // redact with the standard regex classes, report counts + the
     // digest of the redacted text. DuckDB recomputes with the same
@@ -310,6 +326,24 @@ object TextQueries {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
       ORDER BY id_a, id_b"""),
+    "qt13_decontaminate" -> (P + """
+      , toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < 50),
+      bsizes AS (SELECT bench_id, count(*) AS bsz FROM bench GROUP BY 1),
+      inter AS (
+        SELECT c.doc_id AS corpus_id, b.bench_id, count(*) AS inter
+        FROM grams c JOIN bench b ON c.g = b.g AND c.doc_id <> b.bench_id
+        GROUP BY 1, 2)
+      SELECT corpus_id, bench_id,
+             round(inter::DOUBLE / bsz, 4) AS containment
+      FROM inter JOIN bsizes USING (bench_id)
+      WHERE inter::DOUBLE / bsz >= 0.8
+      ORDER BY corpus_id, bench_id"""),
     "qt12_pii_redact" -> ("""
       WITH p AS (
         SELECT doc_id,

@@ -113,6 +113,19 @@ class SketchRecallSpec extends AnyFunSuite with SparkTest {
     assert(pairs === (0L until 20L).map(i => (i, i + 1000000)).toSet)
   }
 
+  test("decontamination flags every planted near-copy at containment 1.0") {
+    val bench = graft.Tables.load(spark, dir, "documents")
+      .where(col("doc_id") < 50).select("doc_id", "text")
+    val flagged = Dedup.containmentPairs(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every planted copy (bench doc + tail marker) contains 100% of its
+    // source's grams
+    val copies = flagged.filter { case (c, b, _) => c == b + 1000000 }
+    assert(copies.length == 50, s"got ${copies.length} of 50 planted")
+    assert(copies.forall(_._3 >= 0.999))
+  }
+
   test("bucket cap bounds candidate fan-out on a degenerate cluster") {
     import spark.implicits._
     // 500 identical vectors: uncapped LSH would yield ~125k pairs
