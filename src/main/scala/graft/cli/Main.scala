@@ -9,7 +9,7 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.{AnalysisException, SparkSession}
 
-import graft.config.{Hcl, PartitionSpec, TableSpec}
+import graft.config.{Hcl, PartitionSpec, TableSpec, Workspace}
 import graft.ingest.Ingest
 import graft.lake.{Lake, Maintenance}
 import graft.query.{Metaquery, Render, Views}
@@ -116,7 +116,25 @@ object Main {
     // that dialect — register once per session for every command
     graft.functions.DialectShims.register(spark)
     val lake = Lake(opts.flag("lake-dir").getOrElse("lake"))
-    def config = loadConfig(opts.flag("config-dir").getOrElse("config"))
+    val configDir = opts.flag("config-dir").getOrElse("config")
+    def config = loadConfig(configDir)
+    // workspace-profile resolution (flag > GRAFT_WORKSPACE env;
+    // explicit profile > env vars > 'default' profile — precedence
+    // pinned by WorkspaceSpec after the reference's acceptance
+    // fixtures). log_level is the one setting applicable to a running
+    // session; the memory caps inform deployment (spark-submit sizes
+    // executor JVMs at launch, so an in-process cap can't be honored —
+    // `connect` emits them as comments instead).
+    val ws = Workspace.load(configDir, opts.flag("workspace"))
+    ws.logLevel.foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase match {
+      case "TRACE" | "DEBUG" | "INFO" | "WARN" | "ERROR" => l.toUpperCase
+      case _ => "WARN"
+    }))
+    // undocumented test hook, mirroring TAILPIPE_CONFIG_DUMP
+    // (internal/cmdconfig/diagnostics.go:16-28)
+    if (sys.env.get("GRAFT_CONFIG_DUMP").contains("config") ||
+        opts.flag("config-dump").contains("config"))
+      out.println(ws.dump)
     try {
       args.headOption match {
         case Some("collect")   => collect(spark, lake, config, opts, out)
