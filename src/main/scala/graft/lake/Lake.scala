@@ -148,6 +148,43 @@ final case class Lake(root: String) {
       .join(liveDf, Seq("file"), "left_semi")
   }
 
+  /** Data-skipping read: consult the stats manifest and scan only the
+    * files whose `[min_ts, max_ts]` intersects the requested time
+    * range — the DuckLake/Delta data-skipping move, over OUR one-row-
+    * per-file manifest. Directory pruning (tp_year/tp_month predicates)
+    * eliminates whole months before listing; this skips the files a
+    * month still holds whose range misses the window (long-lived
+    * partitions accumulate many time-disjoint files between
+    * compactions). At 100 TB the manifest read is a metadata-sized
+    * aggregate and the driver holds only the surviving path list —
+    * the same driver-side footprint Delta's log replay accepts.
+    *
+    * Conservative by construction: files absent from the manifest (or
+    * with null stats) are always included, so a lagging manifest can
+    * only over-read, never drop rows. No time bound → plain [[read]].
+    */
+  def readPruned(
+      spark: SparkSession, table: String,
+      from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+    if (from.isEmpty && to.isEmpty) return read(spark, table)
+    if (!fs(spark, root).exists(new Path(manifestDir(table))))
+      return read(spark, table)
+    val stats = fileStats(spark, table)
+    val keep = Seq(
+      to.map(t => col("min_ts").isNull || col("min_ts") <= lit(t)),
+      from.map(t => col("max_ts").isNull || col("max_ts") >= lit(t)))
+      .flatten.reduce(_ && _)
+    val surviving = stats.where(keep)
+      .select("file").collect().map(_.getString(0)).toSet
+    val known = stats.select("file").collect().map(_.getString(0)).toSet
+    val files = dataFiles(spark, table)
+      .filter(f => surviving.contains(f) || !known.contains(f))
+    if (files.isEmpty)
+      // preserve schema (incl. partition columns) on an empty result
+      read(spark, table).where(lit(false))
+    else spark.read.option("basePath", tableDir(table)).parquet(files: _*)
+  }
+
   /** Atomically replace exactly the partition directories present in
     * `df` with its rows — the primitive under compaction and partition
     * delete (the reference's insert+delete-in-transaction,

@@ -77,18 +77,18 @@ object Views {
     */
   def register(spark: SparkSession, lake: Lake, f: Filters): Seq[String] = {
     val tables = lake.listTables(spark)
-    tables.foreach { t =>
-      val base = lake.read(spark, t)
-      val df = predicate(f).map(base.where).getOrElse(base)
-      df.createOrReplaceTempView(t)
-    }
+    tables.foreach(t => filtered(spark, lake, t, f).createOrReplaceTempView(t))
     tables
   }
 
-  /** The filtered DataFrame for one table (the view body). */
+  /** The filtered DataFrame for one table (the view body). A time
+    * range additionally consults the stats manifest to skip whole
+    * files ([[Lake.readPruned]]); the predicate still applies in full,
+    * so pruning is a pure scan reduction, never a semantics change.
+    */
   def filtered(spark: SparkSession, lake: Lake, table: String,
       f: Filters): DataFrame = {
-    val base = lake.read(spark, table)
+    val base = lake.readPruned(spark, table, f.from, f.to)
     predicate(f).map(base.where).getOrElse(base)
   }
 }

@@ -120,6 +120,41 @@ class LakeSpec extends AnyFunSuite with SparkTest {
       s"scan touched $scanned of $allDirs partitions")
   }
 
+  test("manifest data-skipping: time-ranged read scans fewer files, same rows") {
+    val lake = newLake()
+    // 3 appends → ≥3 time-disjoint files per partition dir
+    (0 until 3).foreach { k =>
+      val raw = spark.range(30).select(
+        (col("id") + k * 1000).as("event_id"),
+        expr(s"timestamp '2024-01-0${k * 3 + 1} 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id * 60)").as("tp_timestamp"),
+        lit("a").as("idx"), (col("id") * 1.0).as("v"))
+      lake.append(spark, "t",
+        TpSchema.enrich(raw, PartitionSpec("t", "p0",
+          tpIndexColumn = Some("idx"))))
+    }
+    val allFiles = lake.read(spark, "t").inputFiles.length
+    val from = Some(Timestamp.valueOf("2024-01-04 00:00:00"))
+    val to = Some(Timestamp.valueOf("2024-01-05 00:00:00"))
+    val pruned = lake.readPruned(spark, "t", from, to)
+    assert(pruned.inputFiles.length < allFiles,
+      s"expected fewer than $allFiles files in the pruned scan")
+    // pruning is a pure scan reduction: filtered results are identical
+    val f = Views.Filters(from = from, to = to)
+    val viaView = Views.filtered(spark, lake, "t", f)
+      .select("event_id").as[Long].collect().sorted
+    val full = lake.read(spark, "t")
+      .where(col("tp_timestamp") >= lit(from.get) &&
+        col("tp_timestamp") <= lit(to.get))
+      .select("event_id").as[Long].collect().sorted
+    assert(viaView.sameElements(full) && full.nonEmpty)
+    // empty window → empty result, schema preserved
+    val none = lake.readPruned(spark, "t",
+      Some(Timestamp.valueOf("2030-01-01 00:00:00")), None)
+    assert(none.count() == 0 &&
+      none.columns.contains(TpSchema.Partition))
+  }
+
   test("wildcard view patterns: * becomes LIKE, no wildcard becomes equality") {
     val p = Views.predicate(Views.Filters(partitions = Seq("prod_*", "dev")))
     assert(p.get.toString.contains("like(tp_partition, 'prod_%')"))
