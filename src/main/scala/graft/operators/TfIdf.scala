@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction over a document corpus — the classic
+  * "characteristic terms per document" primitive a training-data
+  * pipeline uses for topic tagging, corpus profiling, and
+  * cluster labeling (beyond-reference operator; builder brief's
+  * text-analysis family alongside `functions/TextFunctions`).
+  *
+  * Dataflow (all relational, nothing driver-side):
+  *
+  *   tokens (map-side explode) → tf = count per (doc, term) [shuffle 1]
+  *   → df = count per term over tf [shuffle 2, (doc,term)-sized input]
+  *   → N  = distinct ids over the raw corpus [broadcast 1-row]
+  *   → score = tf · ln(N/df) → top-k per doc [window PARTITIONED by
+  *     doc + WindowGroupLimit, so no single-partition window ever]
+  *
+  * Scale notes for 100 TB:
+  *   - df comes from `groupBy(term).count`, not a window over term:
+  *     partial aggregation absorbs hot-term skew map-side, where a
+  *     term-partitioned window would put every ("the", doc) row in
+  *     one task.
+  *   - [[topTerms]] tokenizes the corpus twice (once under tf, once
+  *     under df — Catalyst column-prunes the two branches differently,
+  *     so they cannot share an exchange). N costs only a doc-id-pruned
+  *     scan, no explode. At 100 TB, materialize the (doc, term, tf)
+  *     relation ONCE — `termFrequencies` written to a lake table — and
+  *     run [[topTermsFromTf]] over it: one tokenize pass total, and tf
+  *     is usually wanted as an artifact anyway.
+  *   - ranking orders by the 4-decimal-rounded score first, then the
+  *     integer pair (tf DESC, df ASC) + term: the rounding absorbs the
+  *     1-ulp `ln` differences a raw-float order could flip across
+  *     engines/libms, and the integer tiebreak makes equal-score rows
+  *     platform-exact.
+  */
+object TfIdf {
+
+  /** The (doc_id, term, tf) relation. Tokenization: lowercase, runs of
+    * `[a-z0-9]` (cross-engine exact).
+    */
+  def termFrequencies(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` terms per document with their tf-idf scores.
+    * Output: (doc_id, term, tf, df, score), ≤`k` rows per document,
+    * deterministic under ties.
+    */
+  def topTerms(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val nDocs = corpus.agg(countDistinct(col(idCol)).as("n_docs"))
+    topTermsFromTf(termFrequencies(corpus, idCol, textCol), nDocs, k)
+  }
+
+  /** Top-`k` from a precomputed (doc_id, term, tf) relation — the one-
+    * tokenize-pass path for corpora where `tf` is materialized as a
+    * table. `nDocs` is a 1-row (n_docs) frame, kept in-plan (no
+    * driver-side collect).
+    */
+  def topTermsFromTf(tf: DataFrame, nDocs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(round(col("score"), 4).desc,
+        col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+}

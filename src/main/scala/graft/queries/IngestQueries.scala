@@ -432,9 +432,9 @@ object IngestQueries {
       lake.registerCatalogTable(s, "events_lake")
       s.table("events_lake")
         .where(col("tp_index") === "click")
-        .groupBy(col("tp_year"), col("tp_month"))
+        .groupBy(col("tp_year"), col("tp_month"), col("tp_date"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("tp_year", "tp_month")
+        .orderBy("tp_year", "tp_month", "tp_date")
     }))
 
   // ---- oracles -------------------------------------------------------
@@ -609,7 +609,8 @@ object IngestQueries {
     "qi12_catalog_table" -> """
       SELECT cast(year(cast(ts AS timestamp)) AS int) AS tp_year,
              cast(month(cast(ts AS timestamp)) AS int) AS tp_month,
+             cast(date_trunc('day', cast(ts AS timestamp)) AS date) AS tp_date,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events WHERE event_type = 'click'
-      GROUP BY 1, 2 ORDER BY tp_year, tp_month""")
+      GROUP BY 1, 2, 3 ORDER BY tp_year, tp_month, tp_date""")
 }

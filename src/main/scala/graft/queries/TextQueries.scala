@@ -190,6 +190,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF characteristic terms: top-3 per document, ranked by the
+    // rounded score with an integer (tf, df, term) tiebreak so the
+    // top-k is platform-exact (see operators/TfIdf.scala); the oracle
+    // recomputes term/document frequencies and scores from scratch.
+    "qt14_tfidf" -> ((s, dir) => {
+      graft.operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "term")
+    }),
+
     // Exact n-gram Jaccard pairs — fully oracle-checkable (exact set
     // math, no sketching).
     "qt09_ngram_jaccard" -> ((s, dir) => {
@@ -243,6 +254,24 @@ object TextQueries {
       ORDER BY id_a, id_b"""
 
   val oracle: Map[String, String] = Map(
+    "qt14_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, t AS term FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+          FROM documents) WHERE t <> ''),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               tf.tf * ln(n.n_docs::DOUBLE / dfreq.df) AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 4)
+                   DESC, tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df, round(score, 4) AS score
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""",
     "qt06_fingerprint" -> exactJaccardOracle(0.8),
     "qt07_minhash_lsh" -> exactJaccardOracle(0.8),
     "qt08_simhash" -> exactJaccardOracle(0.95),

@@ -87,6 +87,15 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Int8 symmetric quantization with per-vector audit stats
+    // (operators/Quantize.scala) — pure map-side codegen'd array math;
+    // the integer checksum + clamp count are exact, so the oracle
+    // catches any rounding/clamping divergence element-wise.
+    "qe06_quantize" -> ((s, dir) => {
+      graft.operators.Quantize.int8Stats(emb(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
     // Per-label embedding statistics (norms, first-component mean).
     "qe04_embedding_stats" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -178,6 +187,26 @@ object VectorQueries {
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
       ORDER BY id_a, id_b""",
+    "qe06_quantize" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      s AS (SELECT vec_id, v,
+              greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+                / 127 AS scale
+            FROM e),
+      q AS (SELECT vec_id, v, scale,
+              list_transform(v, x -> CAST(least(greatest(
+                round(x / scale), -127), 127) AS INTEGER)) AS qv
+            FROM s)
+      SELECT vec_id,
+             round(scale, 6) AS scale,
+             CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+             CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat,
+             round(sqrt(list_aggregate(list_transform(v, x ->
+               pow(x - CAST(least(greatest(round(x / scale), -127), 127)
+                 AS DOUBLE) * scale, 2)), 'sum') / len(v)), 6) AS rmse
+      FROM q ORDER BY vec_id""",
     "qe04_embedding_stats" -> """
       WITH m AS (SELECT label,
                    sqrt(list_aggregate(
