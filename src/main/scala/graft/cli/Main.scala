@@ -394,8 +394,16 @@ object Main {
       spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
     val tables = opts.positional.headOption
       .map(Seq(_)).getOrElse(lake.listTables(spark))
+    // --zorder col1,col2 → multi-column clustering rewrite instead of
+    // the time-ordered one (Maintenance.compactZorder)
+    val zCols = opts.flag("zorder")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     tables.foreach { t =>
-      val (before, after) = Maintenance.compact(spark, lake, t)
+      val (before, after) = zCols match {
+        case Some(cs) => Maintenance.compactZorder(spark, lake, t, cs)
+        case None     => Maintenance.compact(spark, lake, t)
+      }
       out.println(s"Compacted $t: $before files -> $after files")
     }
   }

@@ -119,6 +119,77 @@ object Maintenance {
     }
   }
 
+  /** Z-order compaction: rewrite the table clustered on the bit-
+    * interleaved rank of `zCols`, so per-file min/max ranges stay
+    * narrow on EVERY z-column and parquet row-group/file skipping
+    * works for predicates on any of them — time-ordered compaction
+    * ([[compact]]) only serves `tp_timestamp` predicates. The Delta
+    * `OPTIMIZE ZORDER BY` capability, built from Spark primitives.
+    *
+    * Mechanics: each z-column is binned into `2^bitsPerCol` rank
+    * buckets by approximate quantiles (a driver-side boundary array —
+    * sampled, metadata-sized, never the data), bins are bit-
+    * interleaved into one z-value expression (pure codegen'd integer
+    * math), and the rewrite range-partitions + sorts on
+    * (partition key, z-value) in ONE dynamic-overwrite job.
+    *
+    * Quantile binning (not min/max linear scaling) keeps the curve
+    * balanced under skew: each bin holds ~equal row count no matter
+    * the value distribution. Default 6 bits/column = 63 boundary
+    * comparisons per column — small enough that the whole z-value
+    * stays inside one whole-stage-codegen'd projection.
+    */
+  def compactZorder(
+      spark: SparkSession, lake: Lake, table: String,
+      zCols: Seq[String], bitsPerCol: Int = 6,
+      targetFileRows: Long = 5000000): (Long, Long) = {
+    require(zCols.nonEmpty, "compactZorder requires at least one column")
+    require(bitsPerCol >= 1 && bitsPerCol * zCols.length <= 62,
+      s"bitsPerCol=$bitsPerCol × ${zCols.length} cols must fit a long")
+    val before = lake.dataFiles(spark, table).size.toLong
+    if (before == 0) return (0L, 0L)
+    val data = lake.read(spark, table)
+    val nBins = 1 << bitsPerCol
+    val probes = (1 until nBins).map(_.toDouble / nBins).toArray
+    // boundary arrays: ≤ (2^bits - 1) doubles per column, driver-side
+    val bounds = zCols.map { c =>
+      c -> data.select(col(c).cast("double").as("v"))
+        .stat.approxQuantile("v", probes, 0.001).distinct.sorted
+    }
+    val zValue = interleaved(bounds, bitsPerCol)
+    val rows = lake.fileStats(spark, table)
+      .agg(sum("rows")).collect()(0).getLong(0)
+    val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val sortKey = TpSchema.partitionCols.map(col) :+ zValue
+    val df = data.repartitionByRange(nOut, sortKey: _*)
+      .sortWithinPartitions(sortKey: _*)
+    lake.overwritePartitions(spark, table, df)
+    (before, lake.dataFiles(spark, table).size.toLong)
+  }
+
+  /** Bit-interleaved z-value over per-column quantile bins. NULLs sort
+    * to bin 0 (cluster together at the curve origin).
+    */
+  private def interleaved(
+      bounds: Seq[(String, Array[Double])], bitsPerCol: Int): Column = {
+    val nCols = bounds.length
+    val bins = bounds.map { case (c, bs) =>
+      // bin = number of boundaries <= value: a when-chain the codegen
+      // compiles to straight-line comparisons
+      bs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, _)) =>
+        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
+      }
+    }
+    // z = for each bit i and column j: bit i of bin_j at position
+    // (i * nCols + j) — pure shiftleft/and/or integer math
+    val parts = for {
+      i <- 0 until bitsPerCol
+      (bin, j) <- bins.zipWithIndex
+    } yield shiftleft(shiftright(bin, i).bitwiseAND(lit(1L)),
+      i * nCols + (nCols - 1 - j))
+    parts.reduce(_.bitwiseOR(_)).as("__zvalue")
+  }
+
   /** Retention ("vacuum", cleanup.go:72-133): compact the manifest down
     * to live files. Data-file garbage does not accumulate in our design
     * (dynamic overwrite replaces atomically), so retention is about

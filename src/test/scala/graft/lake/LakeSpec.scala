@@ -228,6 +228,48 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(b2 == a2)
   }
 
+  test("z-order compaction narrows per-file ranges on BOTH z-columns") {
+    val lake = newLake()
+    // rows where tp_timestamp and v are independent: time-ordered
+    // files have narrow ts ranges but full-width v ranges
+    val n = 20000
+    val raw = spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 30)")
+        .as("tp_timestamp"),
+      lit("a").as("idx"),
+      // v is a bit-reversal-ish permutation: uncorrelated with id/time
+      ((col("id") * 7919) % n).cast("double").as("v"))
+    lake.append(spark, "t",
+      TpSchema.enrich(raw, PartitionSpec("t", "p0",
+        tpIndexColumn = Some("idx"))))
+
+    def perFileSpread(column: String): Double = {
+      val spreads = lake.read(spark, "t")
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(column)).cast("double") -
+          min(col(column)).cast("double")).as("spread"))
+        .select("spread").as[Double].collect()
+      spreads.sum / spreads.length
+    }
+
+    Maintenance.compact(spark, lake, "t", targetFileRows = 1250)
+    val timeOrderedSpread = perFileSpread("v")
+
+    val (_, after) = Maintenance.compactZorder(spark, lake, "t",
+      Seq("tp_timestamp", "v"), targetFileRows = 1250)
+    assert(after > 1, "expected multiple output files")
+    assert(lake.read(spark, "t").count() == n)
+    val zSpreadV = perFileSpread("v")
+    val zSpreadTs = perFileSpread("tp_timestamp")
+    // v clusters dramatically vs time-ordered layout...
+    assert(zSpreadV < timeOrderedSpread * 0.5,
+      s"v spread $zSpreadV not < half of time-ordered $timeOrderedSpread")
+    // ...while time stays clustered well below the full 166-hour span
+    assert(zSpreadTs < n * 30.0 * 0.5,
+      s"ts spread $zSpreadTs not < half the full span")
+  }
+
   test("vacuum rewrites the manifest to live files only") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(50))
