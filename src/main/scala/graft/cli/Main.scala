@@ -408,6 +408,29 @@ object Main {
     }
   }
 
+  /** Minimal JSON writer for the introspection `show --output json`
+    * surface (reference shapes: introspection.bats:58-111). Values are
+    * strings, longs, nulls, string arrays, or nested objects.
+    */
+  private[cli] def jsonObj(fields: Seq[(String, Any)]): String =
+    fields.map { case (k, v) => s""""$k": ${jsonVal(v)}""" }
+      .mkString("{", ", ", "}")
+
+  private def jsonVal(v: Any): String = v match {
+    case null          => "null"
+    case None          => "null"
+    case Some(x)       => jsonVal(x)
+    case s: String     => "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    case n: Long       => n.toString
+    case n: Int        => n.toString
+    case b: Boolean    => b.toString
+    case xs: Seq[_] if xs.nonEmpty && xs.forall(_.isInstanceOf[(_, _)]) =>
+      jsonObj(xs.asInstanceOf[Seq[(String, Any)]])
+    case xs: Seq[_]    => xs.map(jsonVal).mkString("[", ", ", "]")
+    case other         => jsonVal(other.toString)
+  }
+
   private def partitionCmd(
       spark: SparkSession, lake: Lake, config: Hcl.Config,
       opts: Opts, out: PrintStream): Unit =
@@ -417,6 +440,35 @@ object Main {
           config.partitions.values.toSeq.sortBy(_.id)
             .map(p => Seq(p.id, p.table))
         out.println(Render.renderTable(rows, headerRow = true))
+      case Some("show") =>
+        // reference shape (introspection.bats:58-81): name, plugin,
+        // local.{file_count,file_size}
+        val id = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "partition show requires <table.partition>"))
+        val p = config.partitions.getOrElse(id,
+          throw new IllegalArgumentException(s"unknown partition '$id'"))
+        val (nFiles, nBytes) =
+          if (!lake.tableExists(spark, p.table)) (0L, 0L)
+          else {
+            val marker = s"/tp_partition=${p.name}/"
+            val fs = lake.dataFiles(spark, p.table)
+              .filter(_.contains(marker))
+            val bytes = fs.map(f => new java.io.File(f).length()).sum
+            (fs.size.toLong, bytes)
+          }
+        val plugin = p.source.map(s => s"graft/${s.kind}@builtin")
+        val obj = jsonObj(Seq(
+          "name" -> p.id, "plugin" -> plugin,
+          "local" -> Seq[(String, Any)](
+            "file_count" -> nFiles, "file_size" -> nBytes)))
+        if (opts.flag("output").contains("json")) out.println(s"[$obj]")
+        else out.println(Render.renderTable(Seq(
+          Seq("Property", "Value"),
+          Seq("name", p.id),
+          Seq("plugin", plugin.getOrElse("-")),
+          Seq("file_count", nFiles.toString),
+          Seq("file_size", nBytes.toString)), headerRow = true))
       case Some("delete") =>
         val id = opts.positional.lift(1).getOrElse(
           throw new IllegalArgumentException(
@@ -444,14 +496,32 @@ object Main {
     }
 
   private def sourceCmd(
-      config: Hcl.Config, opts: Opts, out: PrintStream): Unit = {
-    val rows = Seq("Partition", "Source", "Format") +:
-      config.partitions.values.toSeq.sortBy(_.id).map { p =>
-        Seq(p.id, p.source.map(_.kind).getOrElse("-"),
-          p.source.flatMap(_.format).getOrElse("-"))
-      }
-    out.println(Render.renderTable(rows, headerRow = true))
-  }
+      config: Hcl.Config, opts: Opts, out: PrintStream): Unit =
+    opts.positional.headOption match {
+      case Some("show") =>
+        // reference shape (introspection.bats:82-89): [{"name": ...}]
+        val kind = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("source show requires a name"))
+        val a = graft.ingest.SourceRegistry.get(kind).getOrElse(
+          throw new IllegalArgumentException(s"unknown source '$kind'"))
+        val obj = jsonObj(Seq(
+          "name" -> a.kind, "description" -> a.description))
+        if (opts.flag("output").contains("json")) out.println(s"[$obj]")
+        else out.println(Render.renderTable(Seq(
+          Seq("Property", "Value"),
+          Seq("name", a.kind),
+          Seq("description", a.description)), headerRow = true))
+      case _ =>
+        // "available sources" (introspection.bats:36-47): the adapter
+        // registry, plus which configured partitions use each source
+        val uses = config.partitions.values.toSeq.sortBy(_.id)
+          .flatMap(p => p.source.map(s => s.kind -> p.id))
+          .groupBy(_._1).view.mapValues(_.map(_._2).mkString(", ")).toMap
+        val rows = Seq("Source", "Version", "Used By") +:
+          graft.ingest.SourceRegistry.list.map(a =>
+            Seq(a.kind, a.version, uses.getOrElse(a.kind, "-")))
+        out.println(Render.renderTable(rows, headerRow = true))
+    }
 
   /** `plugin list/show` over the source-adapter SPI registry — the
     * in-process stand-in for the reference's plugin binaries
@@ -465,6 +535,19 @@ object Main {
           throw new IllegalArgumentException("plugin show requires a name"))
         val a = graft.ingest.SourceRegistry.get(kind).getOrElse(
           throw new IllegalArgumentException(s"unknown plugin '$kind'"))
+        if (opts.flag("output").contains("json")) {
+          // reference shape (introspection.bats:91-111): name,
+          // tables/sources arrays, null format metadata when absent
+          val obj = jsonObj(Seq(
+            "name" -> s"graft/${a.kind}@${a.version}",
+            "version" -> a.version,
+            "format_presets" -> null,
+            "format_types" -> null,
+            "tables" -> Seq(a.kind),
+            "sources" -> Seq(a.kind)))
+          out.println(s"[$obj]")
+          return
+        }
         out.println(Render.renderTable(Seq(
           Seq("Property", "Value"),
           Seq("name", a.kind), Seq("version", a.version),

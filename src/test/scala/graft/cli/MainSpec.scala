@@ -122,6 +122,29 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc == 1)
   }
 
+  test("show --output json matches the reference introspection shapes") {
+    // partition show: name, plugin, local.{file_count,file_size}
+    // (introspection.bats:58-81)
+    val (_, pshow) = cli(root,
+      "partition", "show", "access_log.local", "--output", "json")
+    assert(pshow.trim.startsWith("[{") && pshow.contains(
+      "\"name\": \"access_log.local\""), pshow)
+    assert(pshow.contains("\"plugin\": \"graft/file@builtin\""), pshow)
+    assert(pshow.contains("\"file_count\": ") &&
+      pshow.contains("\"file_size\": "), pshow)
+    // source show: [{"name": ...}] (introspection.bats:82-89)
+    val (_, sshow) = cli(root, "source", "show", "file", "--output", "json")
+    assert(sshow.contains("\"name\": \"file\""), sshow)
+    // plugin show: name + tables/sources arrays, null format metadata
+    // (introspection.bats:91-111)
+    val (_, gshow) = cli(root, "plugin", "show", "file", "--output", "json")
+    assert(gshow.contains("\"format_presets\": null") &&
+      gshow.contains("\"sources\": [\"file\"]"), gshow)
+    // unknown ids still error
+    val (rc, _) = cli(root, "partition", "show", "nope.x", "--output", "json")
+    assert(rc == 1)
+  }
+
   test("partition list, source list, format list/show") {
     val (_, parts) = cli(root, "partition", "list")
     assert(parts.contains("| access_log.local "))
