@@ -201,6 +201,20 @@ object TextQueries {
         .orderBy("doc_id", "term")
     }),
 
+    // Sequence packing: global prefix sum of token counts (two-pass
+    // range-partitioned — operators/Packing.scala, NO single-partition
+    // window) cut into 2048-token training blocks. The oracle
+    // reproduces it with an ordinary window sum, so partition-offset
+    // bookkeeping must be exact to the row.
+    "qt15_seq_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.pack(d, "doc_id", "n_tokens", budget = 2048)
+        .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+          col("block_id").cast("bigint").as("block_id"), col("n_blocks"))
+        .orderBy("doc_id")
+    }),
+
     // Exact n-gram Jaccard pairs — fully oracle-checkable (exact set
     // math, no sketching).
     "qt09_ngram_jaccard" -> ((s, dir) => {
@@ -254,6 +268,21 @@ object TextQueries {
       ORDER BY id_a, id_b"""
 
   val oracle: Map[String, String] = Map(
+    "qt15_seq_pack" -> """
+      WITH d AS (SELECT doc_id,
+                   cast(len(string_split_regex(trim(lower(text)), '\s+'))
+                     AS int) AS n_tokens
+                 FROM documents),
+      p AS (SELECT doc_id, n_tokens,
+              cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS bigint) AS tokens_before
+            FROM d)
+      SELECT doc_id, n_tokens, tokens_before,
+             cast(floor(tokens_before / 2048.0) AS bigint) AS block_id,
+             cast(floor((tokens_before + n_tokens - 1) / 2048.0)
+               - floor(tokens_before / 2048.0) + 1 AS int) AS n_blocks
+      FROM p ORDER BY doc_id""",
     "qt14_tfidf" -> """
       WITH toks AS (
         SELECT doc_id, t AS term FROM (
