@@ -427,6 +427,31 @@ object IngestQueries {
     // recoverPartitions) and queried THROUGH the catalog — partition
     // pruning on tp_index comes from catalog metadata, not directory
     // listing. The oracle recomputes from the source table.
+    // Structured Streaming ingest under the correctness gate: the
+    // JSONL inbox drains through collectStream (checkpointed file
+    // source, foreachBatch → the SAME batch pipeline) with
+    // Trigger.AvailableNow, then the lake must hold exactly the batch
+    // result — the oracle recomputes from the source table, so a
+    // double-ingested or dropped micro-batch breaks count/sum/hash.
+    "qi13_stream_ingest" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi13"
+      rmrf(root)
+      writeEventsJsonl(s, dir, s"$root/inbox", chunks = 4)
+      val lake = Lake(s"$root/lake")
+      val schema = s.read.json(s"$root/inbox").schema
+      val q = graft.streaming.StreamIngest.collectStream(s, lake,
+        PartitionSpec("events_stream", "p0",
+          tpIndexColumn = Some("event_type")),
+        s"$root/inbox", schema, s"$root/ckpt",
+        timestampColumn = "ts")
+      q.awaitTermination()
+      lake.read(s, "events_stream")
+        .groupBy(col("tp_index").cast("string").as("tp_index"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min("tp_timestamp").as("min_ts"), max("tp_timestamp").as("max_ts"))
+        .orderBy("tp_index")
+    }),
+
     "qi12_catalog_table" -> ((s, dir) => {
       val lake = sharedLake(s, dir)
       lake.registerCatalogTable(s, "events_lake")
@@ -512,6 +537,8 @@ object IngestQueries {
     "qi06_partition_delete" -> (aggByIndex + """
       WHERE NOT (cast(ts AS timestamp) >= TIMESTAMP '2024-01-10 00:00:00'
              AND cast(ts AS timestamp) <= TIMESTAMP '2024-01-15 00:00:00')
+      GROUP BY event_type ORDER BY tp_index"""),
+    "qi13_stream_ingest" -> (aggByIndex + """
       GROUP BY event_type ORDER BY tp_index"""),
     "qi07_compact" -> (aggByIndex + """
       GROUP BY event_type ORDER BY tp_index"""),
