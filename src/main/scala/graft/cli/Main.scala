@@ -118,24 +118,26 @@ object Main {
     val lake = Lake(opts.flag("lake-dir").getOrElse("lake"))
     val configDir = opts.flag("config-dir").getOrElse("config")
     def config = loadConfig(configDir)
-    // workspace-profile resolution (flag > GRAFT_WORKSPACE env;
-    // explicit profile > env vars > 'default' profile — precedence
-    // pinned by WorkspaceSpec after the reference's acceptance
-    // fixtures). log_level is the one setting applicable to a running
-    // session; the memory caps inform deployment (spark-submit sizes
-    // executor JVMs at launch, so an in-process cap can't be honored —
-    // `connect` emits them as comments instead).
-    val ws = Workspace.load(configDir, opts.flag("workspace"))
-    ws.logLevel.foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase match {
-      case "TRACE" | "DEBUG" | "INFO" | "WARN" | "ERROR" => l.toUpperCase
-      case _ => "WARN"
-    }))
-    // undocumented test hook, mirroring TAILPIPE_CONFIG_DUMP
-    // (internal/cmdconfig/diagnostics.go:16-28)
-    if (sys.env.get("GRAFT_CONFIG_DUMP").contains("config") ||
-        opts.flag("config-dump").contains("config"))
-      out.println(ws.dump)
     try {
+      // workspace-profile resolution (flag > GRAFT_WORKSPACE env;
+      // explicit profile > env vars > 'default' profile — precedence
+      // pinned by WorkspaceSpec after the reference's acceptance
+      // fixtures). log_level is the one setting applicable to a running
+      // session; the memory caps inform deployment (spark-submit sizes
+      // executor JVMs at launch, so an in-process cap can't be honored —
+      // `connect` emits them as comments instead). Inside the try so a
+      // bad profile name or malformed workspaces.tpc gets the normal
+      // `Error: ...` + rc=1 path, like every other config error.
+      val ws = Workspace.load(configDir, opts.flag("workspace"))
+      ws.logLevel.foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase match {
+        case "TRACE" | "DEBUG" | "INFO" | "WARN" | "ERROR" => l.toUpperCase
+        case _ => "WARN"
+      }))
+      // undocumented test hook, mirroring TAILPIPE_CONFIG_DUMP
+      // (internal/cmdconfig/diagnostics.go:16-28)
+      if (sys.env.get("GRAFT_CONFIG_DUMP").contains("config") ||
+          opts.flag("config-dump").contains("config"))
+        out.println(ws.dump)
       args.headOption match {
         case Some("collect")   => collect(spark, lake, config, opts, out)
         case Some("query")     => query(spark, lake, config, opts, out)
@@ -365,6 +367,13 @@ object Main {
     */
   private def connect(
       spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    // resolved workspace limits ride along as comments: the init
+    // script's consumer (spark-submit wrapper, session factory) sizes
+    // JVMs at launch, where an in-process cap can't
+    val ws = Workspace.load(opts.flag("config-dir").getOrElse("config"),
+      opts.flag("workspace"))
+    ws.memoryMaxMb.foreach(m => out.println(s"-- memory_max_mb: $m"))
+    ws.tempDirMaxMb.foreach(m => out.println(s"-- temp_dir_max_mb: $m"))
     val filters = Views.Filters(
       from = opts.ts("from"), to = opts.ts("to"),
       partitions = opts.flagAll("partition"),
@@ -420,8 +429,7 @@ object Main {
     case null          => "null"
     case None          => "null"
     case Some(x)       => jsonVal(x)
-    case s: String     => "\"" + s.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\""
+    case s: String     => Render.jstr(s)
     case n: Long       => n.toString
     case n: Int        => n.toString
     case b: Boolean    => b.toString
@@ -450,13 +458,7 @@ object Main {
           throw new IllegalArgumentException(s"unknown partition '$id'"))
         val (nFiles, nBytes) =
           if (!lake.tableExists(spark, p.table)) (0L, 0L)
-          else {
-            val marker = s"/tp_partition=${p.name}/"
-            val fs = lake.dataFiles(spark, p.table)
-              .filter(_.contains(marker))
-            val bytes = fs.map(f => new java.io.File(f).length()).sum
-            (fs.size.toLong, bytes)
-          }
+          else lake.partitionFileSize(spark, p.table, p.name)
         val plugin = p.source.map(s => s"graft/${s.kind}@builtin")
         val obj = jsonObj(Seq(
           "name" -> p.id, "plugin" -> plugin,

@@ -101,6 +101,18 @@ final case class Lake(root: String) {
     out.result().sorted
   }
 
+  /** (file count, total bytes) of one partition's data files, via the
+    * Hadoop FS API (works on any filesystem the lake root lives on).
+    */
+  def partitionFileSize(
+      spark: SparkSession, table: String, partition: String): (Long, Long) = {
+    val marker = s"/tp_partition=$partition/"
+    val files = dataFiles(spark, table).filter(_.contains(marker))
+    val f = fs(spark, root)
+    val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+    (files.size.toLong, bytes)
+  }
+
   /** Compute + append manifest rows for newly added files: one row per
     * file with rowcount and min/max tp_timestamp. One narrow scan over
     * just the new files (timestamp column only — column pruning keeps
@@ -169,16 +181,17 @@ final case class Lake(root: String) {
     if (from.isEmpty && to.isEmpty) return read(spark, table)
     if (!fs(spark, root).exists(new Path(manifestDir(table))))
       return read(spark, table)
-    val stats = fileStats(spark, table)
     val keep = Seq(
       to.map(t => col("min_ts").isNull || col("min_ts") <= lit(t)),
       from.map(t => col("max_ts").isNull || col("max_ts") >= lit(t)))
       .flatten.reduce(_ && _)
-    val surviving = stats.where(keep)
-      .select("file").collect().map(_.getString(0)).toSet
-    val known = stats.select("file").collect().map(_.getString(0)).toSet
+    // ONE job over the manifest returns (file, keep) for every known
+    // file — the survivors and the known set come from the same pass
+    val flags = fileStats(spark, table)
+      .select(col("file"), keep.as("keep")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
     val files = dataFiles(spark, table)
-      .filter(f => surviving.contains(f) || !known.contains(f))
+      .filter(f => flags.getOrElse(f, true))
     if (files.isEmpty)
       // preserve schema (incl. partition columns) on an empty result
       read(spark, table).where(lit(false))

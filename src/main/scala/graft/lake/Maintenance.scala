@@ -149,16 +149,35 @@ object Maintenance {
     val before = lake.dataFiles(spark, table).size.toLong
     if (before == 0) return (0L, 0L)
     val data = lake.read(spark, table)
+    // z-ordering needs a numeric order to bin on; a string column cast
+    // to double would be all-null → every row in bin 0, a silent no-op.
+    // Fail loudly instead (rank-based string binning is future work).
+    zCols.foreach { c =>
+      val dt = data.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.BooleanType,
+        s"z-order column '$c' has unsupported type $dt " +
+          "(numeric/timestamp/date/boolean only)")
+    }
     val nBins = 1 << bitsPerCol
     val probes = (1 until nBins).map(_.toDouble / nBins).toArray
-    // boundary arrays: ≤ (2^bits - 1) doubles per column, driver-side
-    val bounds = zCols.map { c =>
-      c -> data.select(col(c).cast("double").as("v"))
-        .stat.approxQuantile("v", probes, 0.001).distinct.sorted
-    }
+    // boundary arrays: ≤ (2^bits - 1) doubles per column, driver-side;
+    // the multi-column overload computes every column in ONE pass over
+    // the table (N separate scans would multiply the planning cost at
+    // scale)
+    val casted = data.select(zCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double").as(s"__z$i") }: _*)
+    val allBounds = casted.stat.approxQuantile(
+      zCols.indices.map(i => s"__z$i").toArray, probes, 0.001)
+    val bounds = zCols.zip(allBounds.map(_.distinct.sorted))
     val zValue = interleaved(bounds, bitsPerCol)
-    val rows = lake.fileStats(spark, table)
-      .agg(sum("rows")).collect()(0).getLong(0)
+    // manifest row count; a missing/lagging manifest (sum = null)
+    // falls back to counting the data — never an NPE
+    val rows = Option(lake.fileStats(spark, table)
+        .agg(sum("rows")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(data.count())
     val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
     val sortKey = TpSchema.partitionCols.map(col) :+ zValue
     val df = data.repartitionByRange(nOut, sortKey: _*)

@@ -39,10 +39,13 @@ object Packing {
     before
       .withColumn("block_id", floor(col("tokens_before") / budget))
       // a doc spans ceil over the budget grid: blocks touched by
-      // [tokens_before, tokens_before + tokens)
+      // [tokens_before, tokens_before + tokens). A zero-token doc sits
+      // at its block with no extent — span 1 regardless of position
+      // (the raw formula would say 0 exactly on a budget boundary)
       .withColumn("n_blocks",
-        (floor((col("tokens_before") + col(tokenCol) - 1) / budget)
-          - col("block_id") + 1).cast("int"))
+        when(col(tokenCol) === 0, lit(1)).otherwise(
+          (floor((col("tokens_before") + col(tokenCol) - 1) / budget)
+            - col("block_id") + 1).cast("int")))
   }
 
   /** df + `tokens_before` = exclusive global prefix sum of `valueCol`

@@ -99,7 +99,9 @@ object Render {
     sb.append(']').result()
   }
 
-  private def jstr(s: String): String =
+  /** JSON string escape (quotes, backslash, all control chars) —
+    * shared with the CLI's introspection JSON (`Main.jsonObj`). */
+  private[graft] def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

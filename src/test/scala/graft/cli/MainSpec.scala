@@ -145,6 +145,20 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc == 1)
   }
 
+  test("connect carries workspace memory limits as SQL comments") {
+    val f = new File(root, "config/workspaces.tpc")
+    write(f, """workspace "w1" { memory_max_mb = 2048 }""")
+    try {
+      val (rc, script) = cli(root, "connect", "--workspace", "w1")
+      assert(rc == 0 && script.contains("-- memory_max_mb: 2048"), script)
+    } finally f.delete()
+  }
+
+  test("unknown --workspace fails with the normal Error path, rc=1") {
+    val (rc, out) = cli(root, "table", "list", "--workspace", "nope")
+    assert(rc == 1 && out.contains("Error:"), out)
+  }
+
   test("partition list, source list, format list/show") {
     val (_, parts) = cli(root, "partition", "list")
     assert(parts.contains("| access_log.local "))

@@ -268,6 +268,11 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     // ...while time stays clustered well below the full 166-hour span
     assert(zSpreadTs < n * 30.0 * 0.5,
       s"ts spread $zSpreadTs not < half the full span")
+    // a string z-column would silently land every row in bin 0 — the
+    // operator must reject it loudly
+    assertThrows[IllegalArgumentException] {
+      Maintenance.compactZorder(spark, lake, "t", Seq("tp_table"))
+    }
   }
 
   test("vacuum rewrites the manifest to live files only") {

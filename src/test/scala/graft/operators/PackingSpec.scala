@@ -44,6 +44,16 @@ class PackingSpec extends AnyFunSuite with SparkTest {
     assert(spanning > 0, "fixture must contain boundary-crossing docs")
   }
 
+  test("zero-token docs span exactly 1 block, even on a budget boundary") {
+    // ids 0,1 fill block 0 exactly (budget 10); id 2 is empty AT the
+    // boundary, id 4 empty mid-block — both must report n_blocks = 1
+    val df = Seq((0L, 4L), (1L, 6L), (2L, 0L), (3L, 5L), (4L, 0L))
+      .toDF("id", "n")
+    val m = Packing.pack(df, "id", "n", budget = 10, numPartitions = 2)
+      .select("id", "n_blocks").as[(Long, Int)].collect().toMap
+    assert(m(2L) == 1 && m(4L) == 1)
+  }
+
   test("deterministic under repartition") {
     val df = spark.range(3000).select(
       col("id"), ((col("id") * 7) % 90 + 1).as("v"))
