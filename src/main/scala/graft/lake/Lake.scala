@@ -198,6 +198,17 @@ final case class Lake(root: String) {
     else spark.read.option("basePath", tableDir(table)).parquet(files: _*)
   }
 
+  /** Run `body` holding this table's writer lock — for multi-step
+    * maintenance (plan + rewrite) that must not interleave with
+    * appends: `spark.read.parquet` snapshots the file list EAGERLY at
+    * plan time, so an append landing between planning and the
+    * dynamic-overwrite commit would be silently dropped from any
+    * directory the rewrite replaces. The lock is reentrant (JVM
+    * monitor), so the overwrite's own acquisition nests fine.
+    */
+  def locked[T](table: String)(body: => T): T =
+    Lake.withTableLock(root, table)(body)
+
   /** Atomically replace exactly the partition directories present in
     * `df` with its rows — the primitive under compaction and partition
     * delete (the reference's insert+delete-in-transaction,

@@ -30,7 +30,7 @@ object Maintenance {
       spark: SparkSession, lake: Lake, table: String, partition: String,
       from: Option[Timestamp] = None,
       to: Option[Timestamp] = None,
-      toInclusive: Boolean = true): Long = {
+      toInclusive: Boolean = true): Long = lake.locked(table) {
     val cond = Seq(
       from.map(f => col(TpSchema.Timestamp) >= lit(f)),
       to.map(t => if (toInclusive) col(TpSchema.Timestamp) <= lit(t)
@@ -75,7 +75,7 @@ object Maintenance {
     */
   def compact(
       spark: SparkSession, lake: Lake, table: String,
-      targetFileRows: Long = 5000000): (Long, Long) = {
+      targetFileRows: Long = 5000000): (Long, Long) = lake.locked(table) {
     val before = lake.dataFiles(spark, table).size.toLong
     val stats = lake.fileStats(spark, table).collect().map(r =>
       FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
@@ -142,7 +142,7 @@ object Maintenance {
   def compactZorder(
       spark: SparkSession, lake: Lake, table: String,
       zCols: Seq[String], bitsPerCol: Int = 6,
-      targetFileRows: Long = 5000000): (Long, Long) = {
+      targetFileRows: Long = 5000000): (Long, Long) = lake.locked(table) {
     require(zCols.nonEmpty, "compactZorder requires at least one column")
     require(bitsPerCol >= 1 && bitsPerCol * zCols.length <= 62,
       s"bitsPerCol=$bitsPerCol × ${zCols.length} cols must fit a long")

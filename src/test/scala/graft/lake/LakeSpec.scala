@@ -228,6 +228,29 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(b2 == a2)
   }
 
+  test("compaction racing appends never loses or duplicates rows") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(100))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 3).map { _ =>
+      new Thread(() =>
+        try lake.append(spark, "t", sampleBatch(50))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    val compactor = new Thread(() =>
+      try (0 until 3).foreach { _ =>
+        Maintenance.compact(spark, lake, "t", targetFileRows = 60)
+      } catch { case e: Throwable => errs.add(e) })
+    (writers :+ compactor).foreach(_.start())
+    (writers :+ compactor).foreach(_.join())
+    assert(errs.isEmpty, errs)
+    // plan+rewrite hold the table lock, so no append can land between
+    // a compaction's file-list snapshot and its partition overwrite
+    assert(lake.read(spark, "t").count() == 250)
+    val stats = lake.fileStats(spark, "t").collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum == 250)
+  }
+
   test("z-order compaction narrows per-file ranges on BOTH z-columns") {
     val lake = newLake()
     // rows where tp_timestamp and v are independent: time-ordered
