@@ -104,7 +104,11 @@ object DialectShims {
     // CANNOT be shimmed: both spellings are Spark PARSER syntax
     // (unquoted unit, elapsed-unit semantics) resolved before the
     // function registry — documented divergence in COVERAGE.md.
-    "list" -> { es: Seq[Expression] => CollectList(es.head) },
+    // DuckDB list()/array_agg PRESERVES null elements; CollectList
+    // drops them. NullPreservingList is CollectList minus the null
+    // skip — an AggregateFunction root, so `list(DISTINCT x)` still
+    // resolves.
+    "list" -> { es: Seq[Expression] => NullPreservingList(es.head) },
     "list_sort" -> { es: Seq[Expression] => new SortArray(es.head) },
     "list_contains" -> { es: Seq[Expression] => ArrayContains(es(0), es(1)) },
     // lambda args arrive as parsed LambdaFunction expressions — the
@@ -177,8 +181,12 @@ object DialectShims {
     else if (n.isBoolean) SLeaf("BOOLEAN")
     else if (n.isTextual) SLeaf("VARCHAR")
     else if (n.isIntegralNumber) {
-      if (n.asLong(0L) < 0 || (n.isBigInteger && n.bigIntegerValue.signum < 0))
-        SLeaf("BIGINT") else SLeaf("UBIGINT")
+      // for big integers consult signum only: asLong TRUNCATES, so
+      // 18446744073709551615 would read as -1 and misreport BIGINT
+      val negative =
+        if (n.isBigInteger) n.bigIntegerValue.signum < 0
+        else n.asLong(0L) < 0
+      if (negative) SLeaf("BIGINT") else SLeaf("UBIGINT")
     }
     else SLeaf("DOUBLE")
   }
@@ -224,6 +232,71 @@ case class Len(child: Expression) extends Expression
   }
   override def prettyName: String = "len"
   override protected def withNewChildInternal(c: Expression): Len = copy(c)
+}
+
+/** `list(x)` with DuckDB semantics: NULL elements are collected in
+  * place (Spark's CollectList silently drops them — positional
+  * alignment of two list() aggregates from one group, and len() of the
+  * result, would silently diverge from the oracle). Implementation is
+  * CollectList's shape minus the null skip, with a nullable-element
+  * buffer serializer.
+  */
+case class NullPreservingList(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends aggregate.Collect[scala.collection.mutable.ArrayBuffer[Any]]
+    with UnaryLike[Expression] {
+
+  import scala.collection.mutable.ArrayBuffer
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def createAggregationBuffer(): ArrayBuffer[Any] = ArrayBuffer.empty
+
+  override protected def convertToBufferElement(value: Any): Any =
+    InternalRow.copyValue(value)
+
+  // Collect.update skips null inputs; DuckDB list() keeps them
+  override def update(buffer: ArrayBuffer[Any], input: InternalRow): ArrayBuffer[Any] = {
+    buffer += convertToBufferElement(child.eval(input))
+    buffer
+  }
+
+  override protected lazy val bufferElementType: DataType = child.dataType
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = true)
+  override def nullable: Boolean = false
+  override def defaultResult: Option[Literal] =
+    Option(Literal.create(Array.empty[Any], dataType))
+
+  override def eval(buffer: ArrayBuffer[Any]): Any =
+    new GenericArrayData(buffer.toSeq)
+
+  // Collect's serializer projects the buffer as containsNull=false —
+  // ours must carry nulls
+  private lazy val nullableProjection = UnsafeProjection.create(
+    Array[DataType](ArrayType(bufferElementType, containsNull = true)))
+
+  override def serialize(obj: ArrayBuffer[Any]): Array[Byte] =
+    nullableProjection.apply(
+      InternalRow.apply(new GenericArrayData(obj.toSeq))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Any] = {
+    val buffer = ArrayBuffer.empty[Any]
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    row.getArray(0).foreach(bufferElementType,
+      (_, v) => buffer += InternalRow.copyValue(v))
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): NullPreservingList =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): NullPreservingList =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): NullPreservingList =
+    copy(child = c)
+  override def prettyName: String = "list"
 }
 
 /** `epoch_ms(x)` — DuckDB's two-way converter: timestamp → BIGINT

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Lowercased whitespace tokens. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  def tokens(text: Column): Column =
+    // full whitespace trim (tabs/newlines too — `trim` strips only
+    // spaces, leaving a phantom empty first token on "\thello")
+    split(regexp_replace(lower(text), "(^\\s+)|(\\s+$)", ""), "\\s+")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -166,8 +166,13 @@ object Formats {
       paths: Seq[String], fileLayout: Option[String]): Seq[String] = {
     val all = paths.flatMap { p =>
       val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles().toSeq.filter(_.isFile).map(_.getPath)
-      else Seq(p)
+      if (f.isDirectory) {
+        // listFiles contracts to null on an unreadable/vanished dir —
+        // name the path instead of NPE-ing
+        val listed = f.listFiles()
+        require(listed != null, s"cannot list source directory '$p'")
+        listed.toSeq.filter(_.isFile).map(_.getPath)
+      } else Seq(p)
     }
     fileLayout match {
       case None => all.sorted

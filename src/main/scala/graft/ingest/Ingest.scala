@@ -44,8 +44,11 @@ object Ingest {
         k -> (nullsByColumn.getOrElse(k, 0L) +
           o.nullsByColumn.getOrElse(k, 0L))).toMap,
       chunksProcessed + o.chunksProcessed,
+      // full Timestamp ordering — getTime alone is millisecond-
+      // truncated, and a backwards high-water mark re-ingests rows
+      // within the same millisecond on resume
       (maxTimestamp.toSeq ++ o.maxTimestamp.toSeq)
-        .sortBy(_.getTime).lastOption)
+        .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b))
   }
 
   /** Ingest JSONL chunk files into `lake`/`spec.table`.
@@ -57,9 +60,14 @@ object Ingest {
     *                        (collector.go:228-240)
     * @param deleteProcessed remove each batch's chunk files after its
     *                        lake append commits (the reference's inbox
-    *                        discipline, convertor_convert.go:64-73) —
-    *                        a crash mid-collect then re-runs ONLY the
-    *                        unprocessed chunks, never duplicating
+    *                        discipline, convertor_convert.go:64-73).
+    *                        A crash mid-collect re-runs only the
+    *                        still-present chunks; the guarantee is
+    *                        at-least-once at the commit boundary (a
+    *                        crash BETWEEN append and delete re-ingests
+    *                        that one batch — the at-rest dedup
+    *                        operators are the backstop, same division
+    *                        as the reference's late/duplicate handling)
     */
   def collectJsonl(
       spark: SparkSession,
@@ -86,7 +94,12 @@ object Ingest {
         case None => established = Some(inferred)
         case Some(e) => SchemaInference.checkDrift(e, inferred, pinned)
       }
-      val raw = spark.read.schema(inferred).json(files: _*)
+      // read with the ESTABLISHED schema, not the batch's own: drift
+      // checking allows later batches to MISS columns (they must read
+      // as NULLs), and a per-batch schema would instead write parquet
+      // files without those columns — heterogeneous footers the lake
+      // reader then reconciles nondeterministically
+      val raw = spark.read.schema(established.get).json(files: _*)
       val res = processBatch(spark, lake, spec, raw, tableSpec,
         timestampColumn, from, to, files.size)
       if (deleteProcessed)

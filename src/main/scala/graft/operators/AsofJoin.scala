@@ -35,35 +35,12 @@ object AsofJoin {
       left: DataFrame, right: DataFrame,
       keyL: String, timeL: String,
       keyR: String, timeR: String,
-      rightCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val lPayload = struct(leftCols.map(col): _*)
-    val rPayload = struct(rightCols.map(col): _*)
-
-    // SQL ASOF semantics: a right row with a NULL key or NULL timestamp
-    // never matches anything. Without this filter the ascending window
-    // sort would put null-time right rows FIRST, making one the standing
-    // match for every left row in its key (ADVICE r1). Left rows with a
-    // null time sort before all right rows → correctly match nothing.
-    val rightClean = right
-      .where(col(keyR).isNotNull && col(timeR).isNotNull)
-
-    val l2 = left.select(
-      col(keyL).as("__k"), col(timeL).as("__t"), lit(1).as("__tag"),
-      lPayload.as("__lp"), lit(null).cast(right.select(rPayload).schema.head.dataType).as("__rp"))
-    val r2 = rightClean.select(
-      col(keyR).as("__k"), col(timeR).as("__t"), lit(0).as("__tag"),
-      lit(null).cast(left.select(lPayload).schema.head.dataType).as("__lp"), rPayload.as("__rp"))
-
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    l2.unionByName(r2)
-      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
-      .where(col("__tag") === 1)
-      .select(leftCols.map(c => col(s"__lp.$c").as(c)) ++
-        rightCols.map(c => col(s"__m.$c").as(c)): _*)
-  }
+      rightCols: Seq[String]): DataFrame =
+    // ascending time: each left row sees the LATEST right row at or
+    // before its time. Left rows with a null time sort before all
+    // right rows -> correctly match nothing.
+    joined(left, right, keyL, timeL, keyR, timeR, rightCols,
+      w => w.orderBy(col("__t"), col("__tag")))
 
   /** Forward as-of left join (DuckDB `ASOF JOIN … ON t1.ts >= t2.ts`
     * mirrored: here the NEAREST FOLLOWING right row, `right(timeR) >=
@@ -76,7 +53,27 @@ object AsofJoin {
       left: DataFrame, right: DataFrame,
       keyL: String, timeL: String,
       keyR: String, timeR: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String]): DataFrame =
+    // descending time: each left row sees the EARLIEST right row at or
+    // after its time; nulls first, so a null-time left row precedes
+    // every right row and correctly matches nothing
+    joined(left, right, keyL, timeL, keyR, timeR, rightCols,
+      w => w.orderBy(col("__t").desc_nulls_first, col("__tag")))
+
+  /** Shared union-and-window machinery; `order` supplies the direction
+    * (the ONLY thing backward and forward differ in). Right rows with a
+    * NULL key or NULL timestamp never match anything (SQL ASOF
+    * semantics — ADVICE r1): they are filtered before the union, and
+    * the per-direction null placement of LEFT times is handled by the
+    * ordering each direction passes in.
+    */
+  private def joined(
+      left: DataFrame, right: DataFrame,
+      keyL: String, timeL: String,
+      keyR: String, timeR: String,
+      rightCols: Seq[String],
+      order: org.apache.spark.sql.expressions.WindowSpec =>
+        org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
     val leftCols = left.columns.toSeq
     val lPayload = struct(leftCols.map(col): _*)
     val rPayload = struct(rightCols.map(col): _*)
@@ -90,11 +87,7 @@ object AsofJoin {
       col(keyR).as("__k"), col(timeR).as("__t"), lit(0).as("__tag"),
       lit(null).cast(left.select(lPayload).schema.head.dataType).as("__lp"), rPayload.as("__rp"))
 
-    // descending time: each left row sees the EARLIEST right row at or
-    // after its time; nulls first, so a null-time left row precedes
-    // every right row and correctly matches nothing
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t").desc_nulls_first, col("__tag"))
+    val w = order(Window.partitionBy("__k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l2.unionByName(r2)

@@ -33,15 +33,17 @@ object Dedup {
     */
   def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exact(
+      // collapse FIRST, then trim: trim-first leaves a trailing space
+      // when the text ends in \n/\t (trim strips only spaces)
       df.withColumn(textCol,
-        regexp_replace(trim(lower(col(textCol))), "\\s+", " ")),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " "))),
       idCol, textCol)
 
   /** Word n-gram shingle hashes (xxhash64) of a text column, as an
     * array column — the input unit for MinHash.
     */
   def shingleHashes(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
+    val toks = graft.functions.TextFunctions.tokens(text)
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))
@@ -183,7 +185,7 @@ object Dedup {
   def simhashSignatures(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = Aggregators.simhash
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
     df.select(col(idCol).as("id"), explode(toks).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("th"))
       .groupBy("id").agg(sh(col("th")).as("sig"))

@@ -166,11 +166,17 @@ object Similarity {
       .orderBy(xxhash64(col("cid").cast("string")), col("cid"))
       .limit(nlist)
       .collect()
-      .zipWithIndex.map { case (r, i) =>
-        val v = r.getSeq[Double](1)
+      .map(_.getSeq[Double](1))
+      // a zero-norm sample (failed/padded encode) would normalize to
+      // all-NaN, and NaN sorts ABOVE every real dot product — one such
+      // centroid would win every cell assignment and collapse the
+      // index into a single cell. Skip them.
+      .filter(v => v.exists(_ != 0.0))
+      .zipWithIndex.map { case (v, i) =>
         val n = math.sqrt(v.map(x => x * x).sum)
         (i, v.map(_ / n))
       }.toSeq
+    require(sampled.nonEmpty, "IVF: no non-zero vectors to sample centroids from")
     val centArr = typedLit(sampled) // array<struct<_1:int,_2:array<double>>>
 
     def bestCells(vec: Column, n: Int): Column = {

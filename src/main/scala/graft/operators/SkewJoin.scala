@@ -37,8 +37,15 @@ object SkewJoin {
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left, got $joinType")
     val leftCols = left.columns.toSeq
+    // salt on a per-ROW id, not a hash of the row's columns: column
+    // hashing breaks on unhashable types (MapType analysis error) and
+    // sends fully-identical duplicate rows — the most common hot key
+    // in a crawl corpus — to ONE salt, keeping the hot task hot.
+    // monotonically_increasing_id is partition-local arithmetic (no
+    // shuffle); its nondeterminism across retries is harmless here
+    // because the salt only routes rows, never changes the join result.
     val saltOf: Column =
-      pmod(xxhash64(leftCols.map(col): _*), lit(factor)).cast("int")
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int")
     val l = left.withColumn("__salt", saltOf)
     val r = right
       .select(col(rightKey) +: rightCols.map(col): _*)

@@ -248,7 +248,7 @@ object TextQueries {
     * must achieve full recall at the threshold for the hash to match).
     */
   private def exactJaccardOracle(t: Double): String = P + s"""
-      , toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS t
                  FROM corpus),
       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
       grams AS (SELECT DISTINCT doc_id,
@@ -270,7 +270,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "qt15_seq_pack" -> """
       WITH d AS (SELECT doc_id,
-                   cast(len(string_split_regex(trim(lower(text)), '\s+'))
+                   cast(len(string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+'))
                      AS int) AS n_tokens
                  FROM documents),
       p AS (SELECT doc_id, n_tokens,
@@ -306,7 +306,7 @@ object TextQueries {
     "qt08_simhash" -> exactJaccardOracle(0.95),
     "qt01_token_stats" -> """
       WITH d AS (SELECT doc_id, text,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
+                   string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS toks
                  FROM documents)
       SELECT doc_id, cast(len(toks) AS int) AS n_tokens,
              cast(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS int) AS n_pieces,
@@ -314,7 +314,7 @@ object TextQueries {
       FROM d ORDER BY doc_id""",
     "qt02_quality" -> s"""
       WITH d AS (SELECT doc_id, text,
-                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks
                  FROM documents),
       m AS (SELECT doc_id,
               $stopRatio AS stop_r,
@@ -330,7 +330,7 @@ object TextQueries {
                + 0.2 * (1.0 - least(1.0, punct_r * 5)))), 4) AS quality
       FROM m ORDER BY doc_id""",
     "qt03_langid" -> s"""
-      WITH d AS (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      WITH d AS (SELECT lang, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks
                  FROM documents),
       sc AS (SELECT lang,
                $stopRatio AS en,
@@ -357,13 +357,13 @@ object TextQueries {
         FROM corpus),
       normed AS (
         SELECT doc_id,
-               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS text
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text
         FROM mutated)
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_copies
       FROM normed GROUP BY md5(text) ORDER BY content_hash"""),
     "qt09_ngram_jaccard" -> (P + """
-      , toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
                  FROM corpus),
       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
       grams AS (SELECT DISTINCT doc_id,
@@ -385,7 +385,7 @@ object TextQueries {
       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
       ORDER BY id_a, id_b"""),
     "qt13_decontaminate" -> (P + """
-      , toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
                  FROM corpus),
       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
       grams AS (SELECT DISTINCT doc_id,

@@ -73,6 +73,15 @@ class DialectShimsSpec extends AnyFunSuite with SparkTest {
     assert(sql1("SELECT list_unique(array(2,1,2))") == 2L)
   }
 
+  test("list preserves NULL elements like DuckDB list()/array_agg") {
+    // DuckDB: SELECT list(x) FROM (VALUES (1),(NULL),(2)) → [1, NULL, 2];
+    // bare collect_list would drop the NULL
+    val got = sql1(
+      "SELECT list_sort(list(x)) FROM VALUES (1),(NULL),(2) t(x)")
+      .asInstanceOf[scala.collection.Seq[Any]]
+    assert(got.length == 3 && got.count(_ == null) == 1, got)
+  }
+
   test("list_transform/list_filter pass lambdas to native array exprs") {
     assert(sql1("SELECT list_transform(array(1,2,3), x -> x * 10)") ==
       Seq(10, 20, 30))
