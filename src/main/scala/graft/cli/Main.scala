@@ -60,6 +60,14 @@ object Main {
       flag(name).map(v => parseTime(v))
   }
 
+  /** Flags that are on/off switches: a following token is consumed as
+    * their value only when it IS a boolean word, so `--overwrite
+    * tbl.p0` and `--header "select 1"` keep the positional argument
+    * instead of swallowing it.
+    */
+  private val BoolFlags = Set("overwrite", "header", "compact", "config-dump")
+  private val BoolWords = Set("true", "false", "on", "off")
+
   private[cli] def parseArgs(args: Seq[String]): Opts = {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, Seq[String]]
@@ -69,9 +77,12 @@ object Main {
       if (a.startsWith("--")) {
         val (k, v) = a.indexOf('=') match {
           case -1 =>
-            if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
-              i += 1; (a.drop(2), args(i))
-            } else (a.drop(2), "true")
+            val name = a.drop(2)
+            val takesNext = i + 1 < args.length &&
+              !args(i + 1).startsWith("--") &&
+              (!BoolFlags(name) || BoolWords(args(i + 1).toLowerCase))
+            if (takesNext) { i += 1; (name, args(i)) }
+            else (name, "true")
           case eq => (a.substring(2, eq), a.substring(eq + 1))
         }
         flags = flags.updated(k, flags.getOrElse(k, Seq.empty) :+ v)
@@ -283,7 +294,10 @@ object Main {
       from = opts.ts("from"), to = opts.ts("to"),
       partitions = opts.flagAll("partition"),
       indexes = opts.flagAll("index"))
-    Views.register(spark, lake, filters)
+    // the interactive branch skips registration — Repl.loop registers
+    // the same views itself (doing both would double the manifest
+    // reads and file listings at shell startup)
+    if (opts.positional.nonEmpty) Views.register(spark, lake, filters)
     val state = Metaquery.QueryState(
       output = opts.flag("output").getOrElse("table"),
       header = !opts.flag("header").contains("false") &&
@@ -350,10 +364,12 @@ object Main {
             }
           throw e
       }
+    // csv/json/line write through to the stream — no driver-side buffer
     state.output match {
-      case "csv"   => out.println(Render.csv(df, state.header, state.separator))
-      case "json"  => out.println(Render.json(df))
-      case "line"  => out.println(Render.line(df))
+      case "csv"   => Render.csvTo(out, df, state.header, state.separator)
+        out.println()
+      case "json"  => Render.jsonTo(out, df); out.println()
+      case "line"  => Render.lineTo(out, df); out.println()
       case _       => out.println(Render.table(df))
     }
   }
@@ -378,9 +394,13 @@ object Main {
       from = opts.ts("from"), to = opts.ts("to"),
       partitions = opts.flagAll("partition"),
       indexes = opts.flagAll("index"))
-    // SQL-text predicates, the reference's exact set (connect.go:264-399)
-    def pat(c: String, p: String) =
-      if (p.contains("*")) s"$c LIKE '${p.replace("*", "%")}'" else s"$c = '$p'"
+    // SQL-text predicates, the reference's exact set (connect.go:264-399);
+    // single quotes in user patterns are ''-doubled so the emitted
+    // script can't be broken (or injected) by a quoted value
+    def pat(c: String, p: String) = {
+      val q = p.replace("'", "''")
+      if (p.contains("*")) s"$c LIKE '${q.replace("*", "%")}'" else s"$c = '$q'"
+    }
     val preds = Seq(
       filters.from.map(t => s"tp_timestamp >= TIMESTAMP '$t'"),
       filters.to.map(t => s"tp_timestamp <= TIMESTAMP '$t'"),
@@ -475,12 +495,16 @@ object Main {
         val id = opts.positional.lift(1).getOrElse(
           throw new IllegalArgumentException(
             "partition delete requires <table.partition>"))
-        val Array(table, name) = id.split("\\.", 2)
+        val (table, name) = id.split("\\.", 2) match {
+          case Array(t, n) => (t, n)
+          case _ => throw new IllegalArgumentException(
+            s"partition delete: expected <table.partition>, got '$id'")
+        }
         val n = Maintenance.deletePartitionRange(spark, lake, table, name,
           from = opts.ts("from"), to = opts.ts("to"))
         out.println(s"Deleted $n rows from $id")
       case other => throw new IllegalArgumentException(
-        s"partition: expected list|delete, got ${other.getOrElse("nothing")}")
+        s"partition: expected list|show|delete, got ${other.getOrElse("nothing")}")
     }
 
   private def tableCmd(
@@ -513,7 +537,7 @@ object Main {
           Seq("Property", "Value"),
           Seq("name", a.kind),
           Seq("description", a.description)), headerRow = true))
-      case _ =>
+      case Some("list") | None =>
         // "available sources" (introspection.bats:36-47): the adapter
         // registry, plus which configured partitions use each source
         val uses = config.partitions.values.toSeq.sortBy(_.id)
@@ -523,6 +547,8 @@ object Main {
           graft.ingest.SourceRegistry.list.map(a =>
             Seq(a.kind, a.version, uses.getOrElse(a.kind, "-")))
         out.println(Render.renderTable(rows, headerRow = true))
+      case Some(other) => throw new IllegalArgumentException(
+        s"source: expected list|show, got $other")
     }
 
   /** `plugin list/show` over the source-adapter SPI registry — the

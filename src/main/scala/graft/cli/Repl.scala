@@ -88,7 +88,12 @@ final class Repl(
         if (complete || !state.multi) {
           val sql = buf.toString.trim.stripSuffix(";")
           buf.clear()
-          if (sql.nonEmpty) { execute(sql); record(sql) }
+          if (sql.nonEmpty) {
+            // `select 1; select 2` runs as two statements, matching
+            // batch mode (Main.splitStatements is quote-aware)
+            Main.splitStatements(sql).foreach(execute)
+            record(sql)
+          }
         }
       }
       line = if (state.done) null else prompt(buf.nonEmpty)
@@ -109,9 +114,10 @@ final class Repl(
       try {
         val df = spark.sql(sql)
         state.output match {
-          case "csv"  => out.println(Render.csv(df, state.header, state.separator))
-          case "json" => out.println(Render.json(df))
-          case "line" => out.println(Render.line(df))
+          case "csv"  => Render.csvTo(out, df, state.header, state.separator)
+            out.println()
+          case "json" => Render.jsonTo(out, df); out.println()
+          case "line" => Render.lineTo(out, df); out.println()
           case _      => out.println(Render.table(df))
         }
       } finally spark.sparkContext.clearJobGroup()

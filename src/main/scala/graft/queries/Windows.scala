@@ -128,7 +128,7 @@ object Windows {
       val clicks = ev.where(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       // dedupe right per (user, ts) so ties are deterministic in both engines
-      val w = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val w = Window.partitionBy("user_id", "ts")
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id").as("p_event"), col("value").as("p_value"))
         .withColumn("rn", row_number().over(w.orderBy(col("p_event").desc)))

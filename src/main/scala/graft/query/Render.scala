@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * tests/acceptance/test_files/all_column_types.bats:17-23).
   *
   * csv/json/line STREAM through `toLocalIterator` — the driver holds
-  * one partition at a time, so rendering a huge result cannot OOM the
-  * driver (it is still a full fetch; interactive users LIMIT). `table`
-  * must buffer to compute column widths and is capped at `maxRows`.
+  * one partition at a time — and the `*To` variants write each rendered
+  * row straight to the output sink, so a huge result never accumulates
+  * in driver memory (the String convenience wrappers DO buffer; the CLI
+  * uses the streaming forms). `table` must buffer to compute column
+  * widths and is capped at `maxRows`.
   */
 object Render {
 
@@ -49,23 +51,32 @@ object Render {
     * newlines are double-quoted (the acceptance goldens are unquoted
     * simple cells, which this reproduces byte-for-byte).
     */
-  def csv(df: DataFrame, header: Boolean = true, sep: String = ","): String = {
-    val sb = new StringBuilder
+  def csv(df: DataFrame, header: Boolean = true, sep: String = ","): String =
+    buffered(csvTo(_, df, header, sep))
+
+  /** Streaming CSV: rows written to `out` as they arrive. */
+  def csvTo(out: Appendable, df: DataFrame,
+      header: Boolean = true, sep: String = ","): Unit = {
     def esc(s: String): String =
       if (s.contains(sep) || s.contains("\"") || s.contains("\n"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
-    if (header) sb.append(df.columns.map(esc).mkString(sep)).append('\n')
+    var first = true
+    def nl(): Unit = { if (!first) out.append('\n'); first = false }
+    if (header) { nl(); out.append(df.columns.map(esc).mkString(sep)) }
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
-      sb.append(r.toSeq.map(v => esc(cell(v))).mkString(sep)).append('\n')
+      nl()
+      out.append(r.toSeq.map(v => esc(cell(v))).mkString(sep))
     }
-    sb.result().stripSuffix("\n")
   }
 
   /** JSON: array of objects, keys in column order. */
-  def json(df: DataFrame): String = {
+  def json(df: DataFrame): String = buffered(jsonTo(_, df))
+
+  /** Streaming JSON: rows written to `out` as they arrive. */
+  def jsonTo(out: Appendable, df: DataFrame): Unit = {
     def jval(v: Any, dt: DataType): String = (v, dt) match {
       case (null, _) => "null"
       case (b: Boolean, _) => b.toString
@@ -78,6 +89,10 @@ object Render {
       case (n: java.math.BigDecimal, _) => n.toPlainString
       case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
         seq.map(jval(_, et)).mkString("[", ",", "]")
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        // a real JSON object (string keys), not the quoted {k=v} cell form
+        m.map { case (k, x) => s"${jstr(cell(k))}:${jval(x, vt)}" }
+          .mkString("{", ",", "}")
       case (r: Row, st: StructType) =>
         st.fields.zip(r.toSeq).map { case (f, x) =>
           s"${jstr(f.name)}:${jval(x, f.dataType)}"
@@ -85,18 +100,18 @@ object Render {
       case (other, _) => jstr(cell(other))
     }
     val fields = df.schema.fields
-    val sb = new StringBuilder("[")
+    out.append('[')
     val it = df.toLocalIterator()
     var first = true
     while (it.hasNext) {
       val r = it.next()
-      if (!first) sb.append(',')
+      if (!first) out.append(',')
       first = false
-      sb.append(fields.zip(r.toSeq).map { case (f, v) =>
+      out.append(fields.zip(r.toSeq).map { case (f, v) =>
         s"${jstr(f.name)}:${jval(v, f.dataType)}"
       }.mkString("{", ",", "}"))
     }
-    sb.append(']').result()
+    out.append(']')
   }
 
   /** JSON string escape (quotes, backslash, all control chars) —
@@ -115,22 +130,32 @@ object Render {
   /** Line mode: one `column = value` per line, blank line between rows
     * (steampipe/tailpipe line output shape).
     */
-  def line(df: DataFrame): String = {
+  def line(df: DataFrame): String = buffered(lineTo(_, df))
+
+  /** Streaming line mode: rows written to `out` as they arrive. */
+  def lineTo(out: Appendable, df: DataFrame): Unit = {
     val cols = df.columns
     val w = cols.map(_.length).maxOption.getOrElse(0)
-    val sb = new StringBuilder
     val it = df.toLocalIterator()
-    var first = true
+    var firstRow = true
     while (it.hasNext) {
       val r = it.next()
-      if (!first) sb.append('\n')
-      first = false
+      if (!firstRow) out.append('\n')
+      var firstCol = true
       cols.zip(r.toSeq).foreach { case (c, v) =>
-        sb.append(c.reverse.padTo(w, ' ').reverse).append(" = ")
-          .append(cell(v)).append('\n')
+        if (!firstCol || !firstRow) out.append('\n')
+        firstCol = false
+        out.append(c.reverse.padTo(w, ' ').reverse).append(" = ")
+          .append(cell(v))
       }
+      firstRow = false
     }
-    sb.result().stripSuffix("\n")
+  }
+
+  private def buffered(body: Appendable => Unit): String = {
+    val sb = new java.lang.StringBuilder
+    body(sb)
+    sb.toString
   }
 
   /** ASCII table with a box border (interactive display; buffered). */

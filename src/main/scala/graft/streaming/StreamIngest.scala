@@ -35,8 +35,14 @@ object StreamIngest {
     * source lists new files per micro-batch (the inbox pattern); each
     * batch runs the SAME pipeline as batch collect — declared-schema
     * conversion, tp_ enrichment, required-column validation, partitioned
-    * append. The checkpoint IS the collection state: restarts resume
-    * from the last committed batch, never double-ingesting a file.
+    * append. The checkpoint is the collection state: restarts resume
+    * from the last committed batch. Delivery is AT-LEAST-ONCE at the
+    * crash boundary — foreachBatch can replay a micro-batch whose
+    * append committed but whose offset did not, re-appending those
+    * rows (the standard foreachBatch contract with a non-transactional
+    * sink). [[streamingDedup]] upstream, or the at-rest dedup
+    * operators, are the backstop — the same division of labor as the
+    * batch inbox (`Ingest.collectJsonl` deleteProcessed).
     *
     * @param schema explicit source schema (streaming readers require
     *               one; infer from the first chunk via

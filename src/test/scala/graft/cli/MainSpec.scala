@@ -304,6 +304,20 @@ class MainSpec extends AnyFunSuite with SparkTest {
       Seq("select ';' as x", "select 2"))
   }
 
+  test("boolean flags do not swallow a following positional argument") {
+    val o1 = Main.parseArgs(Seq("--overwrite", "tbl.p0"))
+    assert(o1.positional == Seq("tbl.p0") && o1.flag("overwrite").contains("true"))
+    val o2 = Main.parseArgs(Seq("--header", "select 1"))
+    assert(o2.positional == Seq("select 1") && o2.flag("header").contains("true"))
+    // boolean words and =-forms are still consumed as values
+    val o3 = Main.parseArgs(Seq("--header", "false", "--compact=false"))
+    assert(o3.positional.isEmpty && o3.flag("header").contains("false") &&
+      o3.flag("compact").contains("false"))
+    // value flags keep taking the next token
+    val o4 = Main.parseArgs(Seq("--output", "csv", "q"))
+    assert(o4.positional == Seq("q") && o4.flag("output").contains("csv"))
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==

@@ -36,6 +36,24 @@ class RenderSpec extends AnyFunSuite with SparkTest {
     assert(j == """[{"n":1,"s":"a\"b","b":true,"arr":[1,2]}]""")
   }
 
+  test("json renders map columns as objects, not quoted strings") {
+    import spark.implicits._
+    val j = Render.json(Seq((1, Map("a" -> 1, "b" -> 2))).toDF("n", "m"))
+    assert(j == """[{"n":1,"m":{"a":1,"b":2}}]""" ||
+      j == """[{"n":1,"m":{"b":2,"a":1}}]""", j)
+  }
+
+  test("streaming variants emit byte-identical output to the String forms") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, "y")).toDF("n", "s")
+    def via(f: Appendable => Unit): String = {
+      val sb = new java.lang.StringBuilder; f(sb); sb.toString
+    }
+    assert(via(Render.csvTo(_, df)) == Render.csv(df))
+    assert(via(Render.jsonTo(_, df)) == Render.json(df))
+    assert(via(Render.lineTo(_, df)) == Render.line(df))
+  }
+
   test("line mode prints column = value blocks") {
     import spark.implicits._
     val out = Render.line(Seq(("x", 1), ("y", 2)).toDF("name", "v"))
