@@ -20,8 +20,11 @@ object Tables {
     // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     // rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and floor-divide
     // to micros — identical to DuckDB's `cast(ts AS timestamp)` (ns → µs).
-    // Scoped to the events table only: a genuine long `ts` in any other
-    // table must pass through untouched (ADVICE r1).
+    // The nanosAsLong conf is necessarily SESSION-wide (the reader
+    // consults it per scan), so a nanos column in any other table reads
+    // as a raw Long — but the ns→µs CONVERSION below is scoped to
+    // events.ts only, so a genuine long `ts` elsewhere passes through
+    // untouched (ADVICE r1).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
     df.schema.fields.find(_.name == "ts") match {

@@ -3,6 +3,7 @@ package graft.lake
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -65,14 +66,55 @@ final case class Lake(root: String) {
   def append(spark: SparkSession, table: String, batch: DataFrame): Unit =
     Lake.withTableLock(root, table) {
       val dir = tableDir(table)
-      val before = dataFiles(spark, table).toSet
+      // scope new-file discovery to the partition dirs this batch
+      // touches (a metadata-sized distinct — ingest stages the batch,
+      // so this is a cheap second read of the cache): listing cost is
+      // proportional to the BATCH, not the table — at 100 TB a full
+      // recursive before/after tree walk per append would dominate
+      val touched = touchedDirs(batch)
+      val before = dataFilesUnder(spark, table, touched).toSet
       batch.write
         .partitionBy(TpSchema.partitionCols: _*)
         .mode(SaveMode.Append)
         .parquet(dir)
-      val added = dataFiles(spark, table).filterNot(before)
+      val added = dataFilesUnder(spark, table, touched).filterNot(before)
       recordStats(spark, table, added)
     }
+
+  /** Relative partition dirs (Hive-escaped) a batch will write to. */
+  private def touchedDirs(batch: DataFrame): Seq[String] =
+    batch.select(TpSchema.partitionCols.map(col): _*).distinct()
+      .collect().toSeq.map { r =>
+        TpSchema.partitionCols.map { c =>
+          val v = r.getAs[Any](c)
+          val seg = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(v.toString)
+          s"$c=$seg"
+        }.mkString("/")
+      }
+
+  /** [[dataFiles]] restricted to the given relative partition dirs. */
+  private def dataFilesUnder(
+      spark: SparkSession, table: String, relDirs: Seq[String]): Seq[String] = {
+    val f = fs(spark, root)
+    relDirs.flatMap { rel =>
+      val base = new Path(s"${tableDir(table)}/$rel")
+      if (!f.exists(base)) Seq.empty
+      else {
+        val it = f.listFiles(base, true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath.toUri.getPath
+          if (st.isFile && p.endsWith(".parquet") &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+            out += p
+        }
+        out.result()
+      }
+    }.sorted
+  }
 
   /** All data-file paths of a table (excludes manifest + markers),
     * normalized to bare paths so they compare equal to
@@ -121,18 +163,29 @@ final case class Lake(root: String) {
   private def recordStats(
       spark: SparkSession, table: String, added: Seq[String]): Unit = {
     if (added.isEmpty) return
-    val stats = spark.read
+    val raw = spark.read
       .option("basePath", tableDir(table)).parquet(added: _*)
       .select(col(TpSchema.Timestamp))
-      // input_file_name() yields file:// URIs; normalize to bare paths
-      .withColumn("file",
-        regexp_replace(input_file_name(), "^[a-z]+:/+", "/"))
+      .withColumn("file", input_file_name())
       .groupBy("file")
       .agg(count(lit(1)).as("rows"),
         min(TpSchema.Timestamp).as("min_ts"),
         max(TpSchema.Timestamp).as("max_ts"))
-      .withColumn("seq", lit(System.nanoTime()))
-    stats.coalesce(1).write.mode(SaveMode.Append)
+      .collect() // one row per ADDED file — metadata-sized
+    // input_file_name() yields percent-encoded URIs (scheme +
+    // authority); java.net.URI.getPath both strips them and decodes,
+    // landing on exactly the form dataFiles' Path.toUri.getPath
+    // produces — a regex scheme-strip would keep the authority and
+    // the %-escapes, so manifest paths would never match on s3a/hdfs
+    // roots or escaped partition values
+    val seqNo = System.nanoTime()
+    val rows = raw.toSeq.map { r =>
+      (new java.net.URI(r.getString(0)).getPath,
+        r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), seqNo)
+    }
+    import spark.implicits._
+    rows.toDF("file", "rows", "min_ts", "max_ts", "seq")
+      .coalesce(1).write.mode(SaveMode.Append)
       .parquet(manifestDir(table))
   }
 
@@ -221,10 +274,18 @@ final case class Lake(root: String) {
     * `fileStats`' live-file semi-join).
     */
   def overwritePartitions(
-      spark: SparkSession, table: String, df: DataFrame): Unit =
+      spark: SparkSession, table: String, df: DataFrame,
+      touched: Option[Seq[String]] = None): Unit =
     Lake.withTableLock(root, table) {
       val dir = tableDir(table)
-      val before = dataFiles(spark, table).toSet
+      // callers that already know the replaced dirs (compaction,
+      // partition delete) pass them so new-file discovery lists only
+      // those subtrees; otherwise fall back to the full tree
+      def files(): Seq[String] = touched match {
+        case Some(dirs) => dataFilesUnder(spark, table, dirs)
+        case None       => dataFiles(spark, table)
+      }
+      val before = files().toSet
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
@@ -236,7 +297,7 @@ final case class Lake(root: String) {
       } finally {
         prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
       }
-      val added = dataFiles(spark, table).filterNot(before)
+      val added = files().filterNot(before)
       recordStats(spark, table, added)
     }
 
@@ -272,16 +333,31 @@ final case class Lake(root: String) {
     */
   def partitionDirs(spark: SparkSession, table: String): Seq[String] = {
     dataFiles(spark, table)
-      .map(p => p.substring(p.indexOf(tableDir(table)) + tableDir(table).length + 1))
+      .map(p => relOf(table, p))
       .map(rel => rel.substring(0, rel.lastIndexOf('/')))
       .distinct.sorted
   }
 
-  /** Parse `k=v` pairs out of a relative partition dir. */
+  /** Path of `file` relative to the table dir. Anchored on the
+    * `/<table>/` segment rather than a prefix match so it also works
+    * when the lake root is spelled as a URI (dataFiles returns bare
+    * decoded paths, which a URI-form `tableDir` would never prefix).
+    */
+  def relOf(table: String, file: String): String = {
+    val marker = s"/$table/"
+    val i = file.lastIndexOf(marker)
+    require(i >= 0, s"'$file' is not under table '$table'")
+    file.substring(i + marker.length)
+  }
+
+  /** Parse `k=v` pairs out of a relative partition dir. Values are
+    * Hive-unescaped (URLDecoder would additionally turn a literal '+'
+    * into a space and silently mis-key that partition forever).
+    */
   def partitionValues(relDir: String): Map[String, String] =
     relDir.split('/').filter(_.contains('=')).map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      k -> java.net.URLDecoder.decode(v, "UTF-8")
+      k -> ExternalCatalogUtils.unescapePathName(v)
     }.toMap
 }
 

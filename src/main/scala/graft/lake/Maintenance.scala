@@ -59,7 +59,8 @@ object Maintenance {
 
     val hitDirPred = dirPredicate(perDir.toIndexedSeq)
     val keep = lake.read(spark, table).where(scope && hitDirPred && !cond)
-    lake.overwritePartitions(spark, table, keep)
+    lake.overwritePartitions(spark, table, keep,
+      touched = Some(perDir.toIndexedSeq.map(relDirOf)))
     // dirs whose every row matched have nothing written → remove them
     perDir.filter(_.getAs[Long]("kept") == 0L)
       .foreach(r => removeDir(spark, lake, table, relDirOf(r)))
@@ -82,9 +83,16 @@ object Maintenance {
         Option(r.getAs[Timestamp]("min_ts")),
         Option(r.getAs[Timestamp]("max_ts"))))
     val byDir = stats.groupBy(f => dirOf(lake, table, f.file))
+    // a dir needs work when its file count differs from what the
+    // target size implies (too many small files OR too-large files) or
+    // its file time-ranges overlap. "length > 1" alone would rewrite
+    // every large multi-file dir on every run — compaction must reach
+    // a fixed point, or post-collect auto-compaction rewrites the
+    // whole table after each ingest batch
     val work = byDir.filter { case (_, fs) =>
-      fs.length > 1 || hasOverlap(fs.toSeq) ||
-        fs.exists(_.rows > targetFileRows)
+      val rows = fs.map(_.rows).sum
+      val ideal = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+      fs.length != ideal || hasOverlap(fs.toSeq)
     }
     if (work.isEmpty) return (before, before)
 
@@ -98,7 +106,8 @@ object Maintenance {
     val df = lake.read(spark, table).where(workPred)
       .repartitionByRange(nOut, sortKey: _*)
       .sortWithinPartitions(sortKey: _*)
-    lake.overwritePartitions(spark, table, df)
+    lake.overwritePartitions(spark, table, df,
+      touched = Some(work.keys.toSeq))
     (before, lake.dataFiles(spark, table).size.toLong)
   }
 
@@ -214,18 +223,27 @@ object Maintenance {
     * (dynamic overwrite replaces atomically), so retention is about
     * metadata.
     */
-  def vacuum(spark: SparkSession, lake: Lake, table: String): Unit = {
-    val live = lake.fileStats(spark, table)
-      .withColumn("seq", lit(System.nanoTime()))
-    val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
-    val tmp = s"${lake.tableDir(table)}/_graft_manifest_new"
-    live.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(manifestDir)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
-  }
+  def vacuum(spark: SparkSession, lake: Lake, table: String): Unit =
+    lake.locked(table) {
+      // the lock keeps a concurrent append from writing manifest rows
+      // between our snapshot and the swap (they would be destroyed)
+      val live = lake.fileStats(spark, table)
+        .withColumn("seq", lit(System.nanoTime()))
+      val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
+      val tmp = s"${lake.tableDir(table)}/_graft_manifest_new"
+      val old = s"${lake.tableDir(table)}/_graft_manifest_old"
+      live.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(manifestDir)
+      val fs = p.getFileSystem(conf)
+      // aside → in → drop: a crash at any point leaves either the old
+      // or the new manifest in place (a missing manifest would read as
+      // empty stats and quietly disable data skipping + compaction)
+      fs.delete(new Path(old), true)
+      if (fs.exists(p)) fs.rename(p, new Path(old))
+      fs.rename(new Path(tmp), p)
+      fs.delete(new Path(old), true)
+    }
 
   // ---- helpers ---------------------------------------------------------
 
@@ -247,11 +265,20 @@ object Maintenance {
     }.reduce(_ && _)
 
   private def relDirOf(r: Row): String =
-    TpSchema.partitionCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
+    TpSchema.partitionCols.map { c =>
+      val v = r.getAs[Any](c)
+      // Hive path escaping: a value like '10:30' lives on disk as
+      // '10%3A30' — an unescaped path would silently miss the dir
+      val seg = if (v == null)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString)
+      s"$c=$seg"
+    }.mkString("/")
 
   private def dirOf(lake: Lake, table: String, file: String): String = {
-    val base = lake.tableDir(table)
-    val rel = file.substring(file.indexOf(base) + base.length + 1)
+    val rel = lake.relOf(table, file)
     rel.substring(0, rel.lastIndexOf('/'))
   }
 

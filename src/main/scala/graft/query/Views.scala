@@ -76,7 +76,12 @@ object Views {
     * cat.t where ...`). Returns the registered table names.
     */
   def register(spark: SparkSession, lake: Lake, f: Filters): Seq[String] = {
+    // a table whose every row was deleted still has a directory (and
+    // manifest) but no data files — spark.read would fail schema
+    // inference and one emptied table would break the whole session.
+    // Skip it: querying it then gets the "no data collected" shaping.
     val tables = lake.listTables(spark)
+      .filter(t => lake.dataFiles(spark, t).nonEmpty)
     tables.foreach(t => filtered(spark, lake, t, f).createOrReplaceTempView(t))
     tables
   }

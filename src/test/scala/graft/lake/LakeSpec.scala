@@ -228,6 +228,31 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(b2 == a2)
   }
 
+  test("Hive-escaped partition values round-trip through delete and compact") {
+    val lake = newLake()
+    // ':' is in Hive's escape set → on-disk dir is tp_index=10%3A30
+    val raw = spark.range(40).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 40000)")
+        .as("tp_timestamp"),
+      lit("10:30").as("idx"), (col("id") * 1.0).as("v"))
+    lake.append(spark, "t",
+      TpSchema.enrich(raw, PartitionSpec("t", "p0",
+        tpIndexColumn = Some("idx"))))
+    assert(lake.partitionDirs(spark, "t").exists(_.contains("10%3A30")))
+    // manifest rows must reference the real (decoded) file paths
+    assert(lake.fileStats(spark, "t").collect()
+      .map(_.getAs[Long]("rows")).sum == 40)
+    // whole-partition delete must remove the escaped dirs, not miss them
+    val n = Maintenance.deletePartitionRange(spark, lake, "t", "p0")
+    assert(n == 40)
+    assert(lake.dataFiles(spark, "t").isEmpty,
+      s"escaped dirs left behind: ${lake.partitionDirs(spark, "t")}")
+    // an emptied table must not break view registration for the session
+    assert(!Views.register(spark, lake, Views.Filters()).contains("t") ||
+      lake.dataFiles(spark, "t").nonEmpty)
+  }
+
   test("compaction racing appends never loses or duplicates rows") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(100))
