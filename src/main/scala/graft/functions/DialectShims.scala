@@ -117,6 +117,9 @@ object DialectShims {
     "list_transform" -> { es: Seq[Expression] => ArrayTransform(es(0), es(1)) },
     "list_filter" -> { es: Seq[Expression] => ArrayFilter(es(0), es(1)) },
     "list_distinct" -> { es: Seq[Expression] => ArrayDistinct(es.head) },
+    // DuckDB array_to_string == Spark array_join (2-arg form)
+    "array_to_string" -> { es: Seq[Expression] =>
+      ArrayJoin(es(0), es(1), None) },
     "list_unique" -> { es: Seq[Expression] =>
       Cast(Size(ArrayDistinct(es.head)), LongType) },
     "len" -> { es: Seq[Expression] => Len(es.head) },

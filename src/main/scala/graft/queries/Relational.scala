@@ -301,7 +301,7 @@ object Relational {
              count(*) AS n_orders,
              count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
              round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS avg_f,
-             list_sort(array_agg(DISTINCT o_orderstatus)) AS statuses
+             array_to_string(list_sort(array_agg(DISTINCT o_orderstatus)), '|') AS statuses
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   /** Shared SQL text for q35: runs verbatim on BOTH engines. */
@@ -309,7 +309,7 @@ object Relational {
       SELECT event_type,
              strftime(min(ts), '%Y-%m-%d %H:%M') AS first_seen,
              epoch_ms(min(ts)) AS first_ms,
-             list_sort(list(DISTINCT json_structure(props))) AS prop_shapes,
+             array_to_string(list_sort(list(DISTINCT json_structure(props))), '|') AS prop_shapes,
              len(min(event_type)) AS type_len,
              count(*) AS n
       FROM events
