@@ -74,6 +74,34 @@ object TextFunctions {
         lit(0.2) * (lit(1.0) - least(lit(1.0), punct * 5))))
   }
 
+  /** Count of the most frequent element in a string-array column,
+    * computed as the longest equal-run in the sorted array — one
+    * codegen'd higher-order `aggregate` per row, no explode, no
+    * shuffle. This is the per-row mode-count that repetition-quality
+    * filters (Gopher-style "fraction of tokens in the top token")
+    * need; at 100 TB the whole metric stays inside the scan
+    * projection.
+    */
+  def topElementCount(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Adjacent-token bigram strings; empty array below 2 tokens. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Language-ID heuristic: argmax of per-language stopword density over
     * en/de/fr, 'und' (undetermined) when every score is zero. Ties break
     * en > de > fr (>= comparisons), identically in the oracle.

@@ -261,6 +261,53 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Bloom-prefiltered benchmark decontamination: identical output to
+    * [[containmentPairs]], but almost all corpus documents are dropped
+    * by a ZERO-SHUFFLE map-side membership test before the exact
+    * containment join runs.
+    *
+    * The bench side (benchmark suites are small by definition) is
+    * aggregated into one bloom sketch of its distinct n-gram hashes —
+    * a distributed `BloomFilterAggregate` whose map-side buffers merge
+    * pairwise, landing a single metadata-sized binary on the driver.
+    * That binary re-enters the plan as a LITERAL, so the corpus-side
+    * probe `size(filter(grams, g -> might_contain(bloom, g)))` is pure
+    * row-local work inside the scan projection: no explode, no join,
+    * no shuffle — the 100 TB decontamination shape, where the corpus
+    * is petabytes and the bench grams fit in a few MB.
+    *
+    * Soundness of the prefilter bound: containment(c, B) >= t implies
+    * |grams(c) ∩ grams(B)| >= t·|grams(B)| >= t·min_B|grams(B)|, and a
+    * bloom filter has NO false negatives, so every flagged pair
+    * survives; false positives only admit extra candidates that the
+    * exact verification then rejects. Output == containmentPairs.
+    */
+  def bloomDecontaminate(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import graft.functions.BloomFns
+    val bg = bench.select(
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("g"),
+      col(idCol).as("bench_id"))
+    // metadata-sized actions on the SMALL side only
+    val nGrams = bg.select("g").distinct().count()
+    require(nGrams > 0, "bloomDecontaminate: bench side has no grams")
+    val minBsz = bg.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
+      .agg(min("bsz")).head().getLong(0)
+    // ~10 bits/item ≈ 1% fp — fp cost is only wasted exact checks
+    val numBits = math.max(64L, nGrams * 10)
+    val sketch = bg.select(col("g"))
+      .agg(BloomFns.bloomAgg(spark, col("g"), nGrams, numBits))
+      .head().getAs[Array[Byte]](0)
+    val minHits = math.ceil(threshold * minBsz).toLong
+    val hitCount = size(filter(
+      array_distinct(shingleHashes(col(textCol), n)),
+      g => BloomFns.mightContain(spark, lit(sketch), g)))
+    containmentPairs(
+      corpus.where(hitCount >= minHits), bench, idCol, textCol, n, threshold)
+  }
+
   /** n-gram Jaccard similarity for candidate pairs sharing at least one
     * (non-stop) shingle — inverted-index self-join.
     *

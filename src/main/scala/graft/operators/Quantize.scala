@@ -42,17 +42,26 @@ object Quantize {
     * reconstruction root-mean-square error).
     */
   def int8Stats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val s = scaleOf(v)
-    val q = transform(v, x => quant(x, s))
-    val sqErr = transform(v, x =>
-      pow(x - quant(x, s).cast("double") * s, 2))
-    df.select(
-      col(idCol),
-      round(s, 6).as("scale"),
-      aggregate(q, lit(0L), (acc, x) => acc + x).as("sum_q"),
-      size(filter(q, x => abs(x) === 127)).as("n_sat"),
-      round(sqrt(aggregate(sqErr, lit(0.0), (acc, x) => acc + x) /
-        size(v)), 6).as("rmse"))
+    // STAGED projections, not one nested expression: inlining `s`
+    // (itself an array aggregate) into every per-element lambda — and
+    // `q` into each stat — multiplies the codegen'd tree ~dim-fold,
+    // and the dominant cost at the observed scale was compiling that
+    // tree, not running it. Aliases referenced more than once are
+    // non-cheap, so CollapseProject keeps these stages separate.
+    df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .select(col(idCol), col("__v"), scaleOf(col("__v")).as("__s"))
+      .select(col(idCol), col("__v"), col("__s"),
+        transform(col("__v"), x => quant(x, col("__s"))).as("__q"))
+      .select(
+        col(idCol),
+        round(col("__s"), 6).as("scale"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        size(filter(col("__q"), x => abs(x) === 127)).as("n_sat"),
+        round(sqrt(
+          aggregate(zip_with(col("__v"), col("__q"),
+            (x, qi) => pow(x - qi.cast("double") * col("__s"), 2)),
+            lit(0.0), (acc, x) => acc + x) / size(col("__v"))), 6
+        ).as("rmse"))
   }
 }

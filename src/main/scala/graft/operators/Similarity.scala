@@ -208,6 +208,90 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** ANN via product quantization + asymmetric distance computation
+    * (ADC; Jegou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", IEEE TPAMI 2011): candidates compress to m
+    * small subspace codes against deterministic sampled codebooks, the
+    * scan scores every candidate with m table LOOKUPS instead of a
+    * dim-wide dot product, and the top `rerank` per query re-score
+    * exactly — so with adequate rerank depth the output equals the
+    * exact answer.
+    *
+    * PQ is the scan-COMPRESSION layer of ANN: the index carries m
+    * integer codes per vector instead of 4·dim bytes (32x at dim=64,
+    * m=8) and the codebook travels as a plan literal, so encode, ADC
+    * scoring, and the probe all stay map-side codegen'd work.
+    * Candidate-set REDUCTION is the coarse quantizer's job
+    * ([[annIvf]]); composing the two is the standard IVF-PQ layout —
+    * kept separate here so each layer is testable against its own
+    * exact oracle.
+    */
+  def annPq(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      minSim: Double = Double.NegativeInfinity): DataFrame = {
+    val dim = candidates.select(size(col("cvec"))).head().getInt(0)
+    require(dim % m == 0, s"annPq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // deterministic sampled codebooks (same device as annIvf's coarse
+    // quantizer): ksub sample vectors, subvector j of sample c is
+    // codebook entry (j, c). Zero-norm rows (failed encodes) skipped.
+    val samples = candidates
+      .select(col("cid"), transform(col("cvec"), _.cast("double")).as("v"))
+      .orderBy(xxhash64(col("cid").cast("string")), col("cid"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Double](1))
+      .filter(v => v.exists(_ != 0.0))
+    require(samples.nonEmpty, "annPq: no non-zero vectors to sample codebooks from")
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => samples.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
+    val cbLit = typedLit(codebook)
+
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x)
+    def subvec(vec: Column, j: Column): Column =
+      slice(transform(vec, _.cast("double")), j * sub + 1, lit(sub))
+
+    // encode: per subspace, argmin L2 over the codebook entries
+    // (two-arg transform lambda carries the code index; ties break to
+    // the lower code via the struct sort's second field)
+    def encode(vec: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        element_at(array_sort(
+          transform(element_at(cbLit, j + 1),
+            (cv, c) => struct(l2(subvec(vec, j), cv).as("d"),
+              c.as("code")))), 1).getField("code"))
+
+    val enc = candidates.select(col("cid"), encode(col("cvec")).as("codes"))
+    // ADC lookup table per query: qtable(j)(c) = dot(q_j, codebook(j)(c)),
+    // so sum_j qtable(j)(codes(j)) == dot(q, reconstruct(codes))
+    val qt = queries.select(col("qid"),
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(element_at(cbLit, j + 1),
+          cv => dotD(subvec(col("qvec"), j), cv))).as("qtable"))
+    val approx = enc.crossJoin(broadcast(qt))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("codes"), col("qtable"),
+          (c, row) => element_at(row, c + 1)), lit(0.0),
+          (s, x) => s + x).as("approx"))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid"))
+    val cands = approx.withColumn("r", row_number().over(wA))
+      .where(col("r") <= rerank)
+      .select("qid", "cid")
+    val scored = cands
+      .join(broadcast(queries), "qid")
+      .join(candidates, "cid")
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 4).as("sim"))
+      .where(col("sim") >= minSim)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over one set: all pairs with
     * cosine >= threshold among LSH bucket collisions (no full cross
     * product, capped buckets, id-only dedup). Returns (id_a, id_b, sim).

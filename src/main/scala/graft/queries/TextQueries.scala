@@ -139,6 +139,48 @@ object TextQueries {
         .orderBy("corpus_id", "bench_id")
     }),
 
+    // Repetition-quality metrics (Gopher-style): most-frequent-token
+    // and most-frequent-bigram counts per document via the sorted-run
+    // trick — everything is row-local higher-order-function work inside
+    // the scan projection (no explode, no shuffle), which is the only
+    // shape that survives a 100 TB corpus. The oracle recomputes the
+    // mode counts the expensive way (unnest + group by).
+    "qt17_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        TF.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"), TF.bigrams(col("t")).as("b"))
+        .select(col("doc_id"),
+          size(col("t")).as("nt"),
+          size(array_distinct(col("t"))).as("nd"),
+          TF.topElementCount(col("t")).as("toptok"),
+          TF.topElementCount(col("b")).as("topbg"))
+      base.select(col("doc_id"),
+          col("nt").cast("bigint").as("n_tokens"),
+          col("nd").cast("bigint").as("n_distinct"),
+          col("toptok").cast("bigint").as("top_token_n"),
+          col("topbg").cast("bigint").as("top_bigram_n"),
+          round(col("nd").cast("double") / col("nt"), 4).as("distinct_ratio"),
+          round(col("toptok").cast("double") / col("nt"), 4).as("top_token_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination: same semantics as qt13 but at
+    // 4-grams/0.7, with the corpus pass reduced to a zero-shuffle
+    // map-side bloom probe before the exact containment join. The
+    // oracle recomputes containment exactly with NO bloom — a bloom
+    // false NEGATIVE (impossible) or an unsound prefilter bound would
+    // break the hash match.
+    "qt16_bloom_decontam" -> ((s, dir) => {
+      val corpus = planted(s, dir)
+      val bench = docs(s, dir).where(col("doc_id") < 50)
+        .select("doc_id", "text")
+      Dedup.bloomDecontaminate(s, corpus, bench, "doc_id", "text",
+          n = 4, threshold = 0.7)
+        .select(col("corpus_id"), col("bench_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("corpus_id", "bench_id")
+    }),
+
     // PII scrubbing: plant a deterministic email + IPv4 per document,
     // redact with the standard regex classes, report counts + the
     // digest of the redacted text. DuckDB recomputes with the same
@@ -401,6 +443,44 @@ object TextQueries {
              round(inter::DOUBLE / bsz, 4) AS containment
       FROM inter JOIN bsizes USING (bench_id)
       WHERE inter::DOUBLE / bsz >= 0.8
+      ORDER BY corpus_id, bench_id"""),
+    "qt17_repetition" -> ("""
+      WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+                    FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      tcnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      tstats AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n,
+                   count(*) AS nd, max(c) AS topn
+                 FROM tcnt GROUP BY 1),
+      bidx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks),
+      bg AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g FROM bidx),
+      bcnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      bstats AS (SELECT doc_id, max(c) AS topb FROM bcnt GROUP BY 1)
+      SELECT t.doc_id,
+             n AS n_tokens, nd AS n_distinct,
+             topn AS top_token_n,
+             coalesce(topb, 0) AS top_bigram_n,
+             round(nd::DOUBLE / n, 4) AS distinct_ratio,
+             round(topn::DOUBLE / n, 4) AS top_token_frac
+      FROM tstats t LEFT JOIN bstats b USING (doc_id)
+      ORDER BY doc_id"""),
+    "qt16_bloom_decontam" -> (P + """
+      , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 3), ' ') AS g
+                FROM idx),
+      bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < 50),
+      bsizes AS (SELECT bench_id, count(*) AS bsz FROM bench GROUP BY 1),
+      inter AS (
+        SELECT c.doc_id AS corpus_id, b.bench_id, count(*) AS inter
+        FROM grams c JOIN bench b ON c.g = b.g AND c.doc_id <> b.bench_id
+        GROUP BY 1, 2)
+      SELECT corpus_id, bench_id,
+             round(inter::DOUBLE / bsz, 4) AS containment
+      FROM inter JOIN bsizes USING (bench_id)
+      WHERE inter::DOUBLE / bsz >= 0.7
       ORDER BY corpus_id, bench_id"""),
     "qt12_pii_redact" -> ("""
       WITH p AS (

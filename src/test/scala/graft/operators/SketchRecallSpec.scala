@@ -101,6 +101,40 @@ class SketchRecallSpec extends AnyFunSuite with SparkTest {
     assert(hits.toSet === (0L until 10L).map(i => i -> (i + 1000000)).toSet)
   }
 
+  test("ANN PQ returns the planted noisy copy as the >=0.99 neighbor") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val noisy = e.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.unionByName(noisy)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val hits = Similarity.annPq(q, c, k = 5, m = 8, ksub = 16,
+        rerank = 64, minSim = 0.99)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid"))
+    assert(hits.toSet === (0L until 10L).map(i => i -> (i + 1000000)).toSet)
+  }
+
+  test("bloom decontamination output equals the exact containment join") {
+    val bench = graft.Tables.load(spark, dir, "documents")
+      .where(col("doc_id") < 50).select("doc_id", "text")
+    def key(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 10000) / 10000)).toSet
+    val exact = key(Dedup.containmentPairs(
+      corpus, bench, "doc_id", "text", n = 4, threshold = 0.7)
+      .select("corpus_id", "bench_id", "containment"))
+    val bloom = key(Dedup.bloomDecontaminate(
+      spark, corpus, bench, "doc_id", "text", n = 4, threshold = 0.7)
+      .select("corpus_id", "bench_id", "containment"))
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("cosine near-dup pairs find exactly the planted copies") {
     val e = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
