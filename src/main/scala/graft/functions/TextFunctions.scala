@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Lowercased whitespace tokens. */
+  /** Let-binding for Column expressions: evaluates `v` ONCE per row
+    * and hands the bound value to `body` as a lambda variable.
+    *
+    * Why it exists: higher-order functions (`transform`/`aggregate`/
+    * `filter`) evaluate their lambda bodies interpreted, with no
+    * common-subexpression elimination — an outer expression referenced
+    * inside a lambda is RECOMPUTED per array element. Tokenizing a
+    * document once vs once-per-shingle is a ~gram-count-fold win on
+    * every text operator, which is the difference between one and
+    * sixty regex passes over each of 100 TB worth of rows. The
+    * single-element `transform` is the only per-row binding construct
+    * the expression language offers.
+    */
+  def letBind(v: Column, body: Column => Column): Column =
+    element_at(transform(array(v), x => body(x)), 1)
+
   def tokens(text: Column): Column =
     // full whitespace trim (tabs/newlines too — `trim` strips only
     // spaces, leaving a phantom empty first token on "\thello")
@@ -51,12 +67,16 @@ object TextFunctions {
   /** Fraction of tokens found in `stopwords` (exact count/count division
     * — deterministic across engines).
     */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    letBind(tokens(text), toks => stopwordRatioOf(toks, stopwords))
+
+  /** Same ratio over an ALREADY-TOKENIZED array column — use this when
+    * the caller binds the token array once for several metrics.
+    */
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String]): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
         .cast("double") / size(toks))
-  }
 
   /** Composite quality score in [0,1]: rewards natural stopword density
     * and mid-length documents, penalizes punctuation soup. The exact
@@ -64,14 +84,16 @@ object TextFunctions {
     * practice (C4/Gopher-style length+stopword+symbol rules).
     */
   def qualityScore(text: Column): Column = {
-    val stop = stopwordRatio(text, EnStopwords)
     val punct = punctRatio(text)
-    val nTok = tokenCount(text)
-    val lengthOk = when(nTok >= 10 && nTok <= 10000, lit(1.0))
-      .otherwise(lit(0.0))
-    least(lit(1.0), greatest(lit(0.0),
-      lit(0.4) * lengthOk + lit(0.4) * least(lit(1.0), stop * 4) +
-        lit(0.2) * (lit(1.0) - least(lit(1.0), punct * 5))))
+    letBind(tokens(text), toks => {
+      val stop = stopwordRatioOf(toks, EnStopwords)
+      val nTok = size(toks)
+      val lengthOk = when(nTok >= 10 && nTok <= 10000, lit(1.0))
+        .otherwise(lit(0.0))
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.4) * lengthOk + lit(0.4) * least(lit(1.0), stop * 4) +
+          lit(0.2) * (lit(1.0) - least(lit(1.0), punct * 5))))
+    })
   }
 
   /** Count of the most frequent element in a string-array column,
@@ -106,13 +128,20 @@ object TextFunctions {
     * en/de/fr, 'und' (undetermined) when every score is zero. Ties break
     * en > de > fr (>= comparisons), identically in the oracle.
     */
-  def langId(text: Column): Column = {
-    val en = stopwordRatio(text, EnStopwords)
-    val de = stopwordRatio(text, DeStopwords)
-    val fr = stopwordRatio(text, FrStopwords)
-    when(en === 0.0 && de === 0.0 && fr === 0.0, lit("und"))
-      .when(en >= de && en >= fr, lit("en"))
-      .when(de >= fr, lit("de"))
-      .otherwise(lit("fr"))
-  }
+  def langId(text: Column): Column =
+    letBind(tokens(text), toks =>
+      // the argmax references each density 2-3 times — bind the three
+      // filter passes once as well
+      letBind(array(
+        stopwordRatioOf(toks, EnStopwords),
+        stopwordRatioOf(toks, DeStopwords),
+        stopwordRatioOf(toks, FrStopwords)), r => {
+        val en = element_at(r, 1)
+        val de = element_at(r, 2)
+        val fr = element_at(r, 3)
+        when(en === 0.0 && de === 0.0 && fr === 0.0, lit("und"))
+          .when(en >= de && en >= fr, lit("en"))
+          .when(de >= fr, lit("de"))
+          .otherwise(lit("fr"))
+      }))
 }

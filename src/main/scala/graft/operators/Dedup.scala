@@ -42,12 +42,16 @@ object Dedup {
   /** Word n-gram shingle hashes (xxhash64) of a text column, as an
     * array column — the input unit for MinHash.
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = graft.functions.TextFunctions.tokens(text)
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    // letBind: without it the tokenize subtree (regex trim + lower +
+    // split) sits INSIDE the per-shingle lambda and higher-order
+    // functions re-evaluate it per element — one regex pass per gram
+    // instead of one per document
+    graft.functions.TextFunctions.letBind(
+      graft.functions.TextFunctions.tokens(text),
+      toks => transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
   /** MinHash signatures: (id, sig Array[Long](numHashes)). One scan,
     * one partial-aggregated shuffle of fixed-size buffers.
@@ -143,13 +147,29 @@ object Dedup {
     * point of sketch-then-verify at 100 TB.
     *
     * @param pairs (id_a, id_b)
+    * @param minJaccard when the caller will keep only J >= t, passing
+    *        t here prunes pairs on the SIZE bound J <= min(|A|,|B|) /
+    *        max(|A|,|B|) with int-only joins BEFORE the gram arrays
+    *        attach — the array shuffle is the dominant verify cost
+    *        when a candidate generator over-produces (winnowing on a
+    *        small-vocabulary corpus), and the bound is exact, never
+    *        dropping a qualifying pair.
     * @return (id_a, id_b, jaccard) — exact set Jaccard, no df-capping
     */
   def exactJaccardFor(
       pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val g = gramSets(docs, idCol, textCol, n)
-    pairs
+    val pruned = if (minJaccard > 0.0) {
+      val sz = g.select(col("id"), size(col("gs")).as("sz"))
+      pairs
+        .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .where(least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) >= minJaccard)
+        .select("id_a", "id_b")
+    } else pairs
+    pruned
       .join(g.select(col("id").as("id_a"), col("gs").as("gs_a")), "id_a")
       .join(g.select(col("id").as("id_b"), col("gs").as("gs_b")), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -69,7 +69,13 @@ object Similarity {
       .otherwise(-x.cast("double"))
   }
 
-  /** LSH bucket ids for a vector: L tables × B sign-bits each. */
+  /** LSH bucket ids for a vector: L tables × B sign-bits each.
+    *
+    * Interpreted REFERENCE formulation, kept for the bit-compatibility
+    * spec only — higher-order lambdas evaluate interpreted, so the hot
+    * path uses the codegen'd [[graft.functions.LshFns]] expression
+    * (same math, pinned identical by LshFnsSpec).
+    */
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
     val planeBit: Column => Column = p =>
@@ -93,7 +99,8 @@ object Similarity {
       tables: Int, bits: Int, maxBucket: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
-        posexplode(lshBuckets(col(vecCol), tables, bits)))
+        posexplode(graft.functions.LshFns.lshBucketsCol(
+          df.sparkSession, col(vecCol), tables, bits)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     exploded
       .withColumn("bucket_n",
@@ -113,7 +120,8 @@ object Similarity {
       tables: Int = 8, bits: Int = 12, maxBucket: Int = 1000,
       minSim: Double = Double.NegativeInfinity): DataFrame = {
     val qp = queries.select(col("qid").as("id"), col("qvec"))
-      .select(col("id"), posexplode(lshBuckets(col("qvec"), tables, bits)))
+      .select(col("id"), posexplode(graft.functions.LshFns.lshBucketsCol(
+        queries.sparkSession, col("qvec"), tables, bits)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       .select(col("id").as("qid"), col("t"), col("bucket"))
     val cp = postings(candidates, "cid", "cvec", tables, bits, maxBucket)

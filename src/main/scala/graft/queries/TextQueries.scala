@@ -87,9 +87,15 @@ object TextQueries {
     // the hashes to match (a real recall gate, not rows-only).
     "qt06_fingerprint" -> ((s, dir) => {
       val corpus = planted(s, dir)
+      // maxDf=50 measured against exact truth on the LARGEST corpus
+      // this query can see (planted() clamps doc_id < 2000, so sf0.1's
+      // 2100 docs is the worst case): 0 recall misses, 4x fewer
+      // candidate pairs than df=100. The small-vocabulary corpus makes
+      // winnowing over-produce — common fingerprints carry no signal.
       val cands = Dedup.winnowCandidates(corpus, "doc_id", "text",
-        k = 8, w = 16, maxDf = 100)
-      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3)
+        k = 8, w = 16, maxDf = 50)
+      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3,
+          minJaccard = 0.8)
         .where(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -102,7 +108,8 @@ object TextQueries {
       val corpus = planted(s, dir)
       val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
         numHashes = 128, bands = 32, shingle = 3)
-      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3)
+      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3,
+          minJaccard = 0.8)
         .where(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -117,7 +124,8 @@ object TextQueries {
       val cands = Dedup.simhashPairs(corpus, "doc_id", "text",
           maxHamming = 7, blocks = 8)
         .select("id_a", "id_b")
-      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3)
+      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3,
+          minJaccard = 0.95)
         .where(col("jaccard") >= 0.95)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
