@@ -34,10 +34,13 @@ import org.apache.spark.storage.StorageLevel
   *    convergence is one `sum(label)` scalar per round instead of a
   *    change-count join.
   *
-  * Reference behavior anchor: the reference's dedup surface stops at
-  * pair emission (no grouping operator), so this is beyond-reference
-  * surface; cf. tailpipe's partition-level dedup in
-  * internal/parquet/read_write.go which relies on exact key equality.
+  * Reference behavior anchor: none — the reference has no
+  * near-duplicate or grouping operator anywhere in its surface (its
+  * compaction merge, reference internal/database/compact.go, rewrites
+  * files by sort order and never compares row content). This operator
+  * is beyond-reference surface, required by the training-data-pipeline
+  * brief: sketch pipelines emit pairs; the keep/drop decision needs
+  * groups.
   *
   * @param pairs DataFrame with two id columns (`id_a`, `id_b`)
   * @return (id, component) — one row per node that appears in any
@@ -46,6 +49,7 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val edgesRaw = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
     // symmetrize so one join per round sees both directions
@@ -54,23 +58,34 @@ object Components {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Iterative DataFrame algorithms MUST truncate lineage each round:
+    // `labels` enters the next plan twice (union arm + join arm), so
+    // without truncation the logical plan doubles per iteration —
+    // analysis and AQE plan-printing go exponential long before the
+    // data does. Re-rooting the persisted rows as a fresh LogicalRDD
+    // keeps every round's plan constant-size; the per-round Row
+    // conversion touches only the (id, comp) label table, which is
+    // pairs-sized, not corpus-sized.
+    def reroot(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    var labels = reroot(edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize + convergence metric in one pass; sum is exact: ids
     // are bounded longs and components only shrink toward min-id
-    var checksum = labels.agg(sum("comp")).head().getLong(0)
+    var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
 
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = labels
-        .union(
-          edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(col("dst").as("id"), col("comp")))
-        .groupBy("id").agg(min("comp").as("comp"))
+      val next = reroot(labels
+          .union(
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+              .select(col("dst").as("id"), col("comp")))
+          .groupBy("id").agg(min("comp").as("comp")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum("comp")).head().getLong(0)
+      val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
       labels.unpersist()
       converged = nextSum == checksum
       checksum = nextSum

@@ -265,6 +265,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Cluster-forming dedup: the END of the sketch pipeline. LSH emits
+    // candidate PAIRS, exact Jaccard verifies them, and connected
+    // components (operators/Components.scala — iterative min-label
+    // propagation over the id-only verified edge list) turns pairs
+    // into keep/drop GROUPS: a chain a–b, b–c is ONE cluster even
+    // though (a,c) never collided in any band. Output is one row per
+    // cluster: representative (min id), size, and drop count. The
+    // oracle recomputes the exact pair list and closes it transitively
+    // with a recursive CTE — a label-propagation bug (missed merge,
+    // early exit before convergence) breaks the hash.
+    "qt18_cluster_dedup" -> ((s, dir) => {
+      val corpus = planted(s, dir)
+      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, shingle = 3)
+      val verified = Dedup.exactJaccardFor(cands, corpus, "doc_id", "text",
+          n = 3, minJaccard = 0.8)
+        .where(col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+      val labeled = graft.operators.Components.connectedComponents(verified)
+      graft.operators.Components.componentStats(labeled)
+        .select(col("component"), col("n_members"), col("n_dropped"))
+        .orderBy("component")
+    }),
+
     // Exact n-gram Jaccard pairs — fully oracle-checkable (exact set
     // math, no sketching).
     "qt09_ngram_jaccard" -> ((s, dir) => {
@@ -352,6 +376,39 @@ object TextQueries {
       SELECT doc_id, term, tf, df, round(score, 4) AS score
       FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""",
     "qt06_fingerprint" -> exactJaccardOracle(0.8),
+    // Exact >=0.8-Jaccard pairs closed transitively (recursive CTE
+    // reachability == connected components), then per-cluster stats.
+    "qt18_cluster_dedup" -> (P.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+      , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id AS id, e.dst AS r
+        FROM reach JOIN edges e ON e.src = reach.r),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      SELECT cast(component AS bigint) AS component,
+             cast(count(*) AS bigint) AS n_members,
+             cast(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS bigint)
+               AS n_dropped
+      FROM comp GROUP BY component ORDER BY component"""),
     "qt07_minhash_lsh" -> exactJaccardOracle(0.8),
     "qt08_simhash" -> exactJaccardOracle(0.95),
     "qt01_token_stats" -> """

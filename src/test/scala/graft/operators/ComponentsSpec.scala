@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class ComponentsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)], maxIter: Int = 25) =
+    Components.connectedComponents(
+        pairs.toDF("id_a", "id_b"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain a-b, b-c is one component even though (a,c) never paired") {
+    assert(components(Seq((1L, 2L), (2L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("ring converges to the minimum id") {
+    assert(components(Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))) ==
+      Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("disjoint clusters keep distinct labels; isolated pair is its own") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (100L, 200L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 100L -> 100L, 200L -> 100L))
+  }
+
+  test("edge direction does not matter (id_b < id_a accepted)") {
+    assert(components(Seq((5L, 4L), (3L, 4L))) ==
+      Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("duplicate and self-referential edges are harmless") {
+    val got = components(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("long chain converges (diameter rounds, early exit at fixpoint)") {
+    // path 0-1-2-...-9: worst case for min-label propagation — the
+    // label must travel the full diameter
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val got = components(chain, maxIter = 25)
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("componentStats reports size and drop count per cluster") {
+    val labeled = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (100L, 200L)).toDF("id_a", "id_b"))
+    val stats = Components.componentStats(labeled)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats == Set((1L, 3L, 2L), (100L, 2L, 1L)))
+  }
+
+  test("no cached plans leak past the call") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    components(Seq((1L, 2L), (3L, 4L)))
+    // connectedComponents persists edges + per-round labels; everything
+    // except the final labels (still referenced by the returned plan)
+    // must be unpersisted before return
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"persistent RDDs grew $before -> $after")
+  }
+}
