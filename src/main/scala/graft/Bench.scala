@@ -32,10 +32,26 @@ object Bench {
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Per-query isolation inside the shared JVM: drop any cached plans
+    // the previous query leaked, force a full GC, and let background
+    // cleanup (AQE threads, shuffle file deletion, finalizers) drain
+    // before the next timer starts. Without this, per-query attribution
+    // is noise: in the r4 run q16 absorbed 14.4 s of neighbor GC/JIT
+    // debt vs 2.6 s isolated, making round-over-round per-query diffs
+    // meaningless. One timed execution per query (not median-of-N:
+    // the qi* pipelines build shared per-JVM fixtures on first touch,
+    // so re-runs would time a different, cheaper code path).
+    def settle(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      Thread.sleep(250)
+      System.gc()
+    }
     val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      settle()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
