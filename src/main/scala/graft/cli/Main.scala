@@ -65,7 +65,7 @@ object Main {
     * tbl.p0` and `--header "select 1"` keep the positional argument
     * instead of swallowing it.
     */
-  private val BoolFlags = Set("overwrite", "header", "compact", "config-dump")
+  private val BoolFlags = Set("overwrite", "header", "compact", "config-dump", "all")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -139,6 +139,11 @@ object Main {
       // `connect` emits them as comments instead). Inside the try so a
       // bad profile name or malformed workspaces.tpc gets the normal
       // `Error: ...` + rc=1 path, like every other config error.
+      // installed plugins join the adapter registry before any command
+      // resolves source kinds (reference: plugin binaries are discovered
+      // from the plugin dir at startup, plugin_manager.go:74-89)
+      graft.plugin.Plugins.registerInstalled(
+        configDir, m => out.println(s"Warning: $m"))
       val ws = Workspace.load(configDir, opts.flag("workspace"))
       ws.logLevel.foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase match {
         case "TRACE" | "DEBUG" | "INFO" | "WARN" | "ERROR" => l.toUpperCase
@@ -158,7 +163,7 @@ object Main {
         case Some("table")     => tableCmd(spark, lake, config, opts, out)
         case Some("source")    => sourceCmd(config, opts, out)
         case Some("format")    => formatCmd(config, opts, out)
-        case Some("plugin")    => pluginCmd(opts, out)
+        case Some("plugin")    => pluginCmd(config, configDir, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -175,7 +180,10 @@ object Main {
   val usage: String =
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
-      |          format plugin""".stripMargin
+      |          format plugin
+      |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
+      |          | uninstall <ref>   (ref = [org/]name[@version];
+      |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
 
   /** Load + merge every `*.tpc` or `*.hcl` file in the config dir
     * (the reference loads `*.tpc` files under `~/.tailpipe/config`,
@@ -551,41 +559,111 @@ object Main {
         s"source: expected list|show, got $other")
     }
 
-  /** `plugin list/show` over the source-adapter SPI registry — the
-    * in-process stand-in for the reference's plugin binaries
-    * (cmd/plugin.go:36-212; install/update/uninstall don't apply to
-    * compiled-in adapters).
+  /** `plugin install/update/uninstall/list/show` — the reference's full
+    * plugin lifecycle (cmd/plugin.go:76-238) against the local
+    * versioned-artifact registry (graft.plugin.Plugins; zero-egress
+    * stand-in for hub.tailpipe.io + internal/ociinstaller). list/show
+    * cover both compiled-in SPI adapters and installed artifacts.
     */
-  private def pluginCmd(opts: Opts, out: PrintStream): Unit =
+  private def pluginCmd(
+      config: Hcl.Config, configDir: String, opts: Opts,
+      out: PrintStream): Unit = {
+    import graft.plugin.Plugins
+    def registry: String = opts.flag("registry")
+      .orElse(sys.env.get("GRAFT_PLUGIN_REGISTRY"))
+      .getOrElse(s"$configDir/registry")
     opts.positional.headOption match {
+      case Some("install") =>
+        val refs = opts.positional.tail match {
+          case Seq() =>
+            // no args = install everything config references that
+            // neither the SPI registry nor the plugin dir provides
+            // (cmd/plugin.go:92-94)
+            val present = graft.ingest.SourceRegistry.list.map(_.kind).toSet ++
+              Plugins.installedList(configDir).map(_.name)
+            config.partitions.values.toSeq
+              .flatMap(_.source.map(_.kind)).distinct.sorted
+              .filterNot(present).map(Plugins.parseRef)
+          case names => names.map(Plugins.parseRef)
+        }
+        if (refs.isEmpty) out.println("Nothing to install")
+        refs.foreach { r =>
+          val row = Plugins.install(configDir, registry, r)
+          out.println(s"Installed ${row.org}/${row.name}@${row.version}")
+        }
+      case Some("update") =>
+        val slugs =
+          if (opts.flag("all").contains("true"))
+            Plugins.installedList(configDir).map(i => s"${i.org}/${i.name}")
+          else opts.positional.tail.map { n =>
+            val r = Plugins.parseRef(n); s"${r.org}/${r.name}"
+          }
+        if (slugs.isEmpty) out.println("Nothing to update")
+        slugs.foreach { slug =>
+          val (was, now) = Plugins.update(configDir, registry, slug)
+          if (was == now) out.println(s"Plugin $slug is up to date ($now)")
+          else out.println(s"Updated $slug $was -> $now")
+        }
+      case Some("uninstall") =>
+        val name = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("plugin uninstall requires a name"))
+        val r = Plugins.parseRef(name)
+        val row = Plugins.uninstall(configDir, s"${r.org}/${r.name}")
+        out.println(s"Uninstalled ${row.org}/${row.name}@${row.version}")
       case Some("show") =>
         val kind = opts.positional.lift(1).getOrElse(
           throw new IllegalArgumentException("plugin show requires a name"))
-        val a = graft.ingest.SourceRegistry.get(kind).getOrElse(
-          throw new IllegalArgumentException(s"unknown plugin '$kind'"))
+        val ref = Plugins.parseRef(kind)
+        val installed = Plugins.installedDescriptor(
+          configDir, s"${ref.org}/${ref.name}")
+        val fromSpi = graft.ingest.SourceRegistry.get(kind)
+        if (installed.isEmpty && fromSpi.isEmpty)
+          throw new IllegalArgumentException(s"unknown plugin '$kind'")
+        val (name, version, description, tables) = installed match {
+          case Some(d) =>
+            (d.name, d.version, d.description,
+              if (d.tables.nonEmpty) d.tables else Seq(d.name))
+          case None =>
+            val a = fromSpi.get
+            (a.kind, a.version, a.description, Seq(a.kind))
+        }
         if (opts.flag("output").contains("json")) {
           // reference shape (introspection.bats:91-111): name,
           // tables/sources arrays, null format metadata when absent
           val obj = jsonObj(Seq(
-            "name" -> s"graft/${a.kind}@${a.version}",
-            "version" -> a.version,
+            "name" -> s"graft/$name@$version",
+            "version" -> version,
             "format_presets" -> null,
             "format_types" -> null,
-            "tables" -> Seq(a.kind),
-            "sources" -> Seq(a.kind)))
+            "tables" -> tables,
+            "sources" -> Seq(name)))
           out.println(s"[$obj]")
           return
         }
         out.println(Render.renderTable(Seq(
           Seq("Property", "Value"),
-          Seq("name", a.kind), Seq("version", a.version),
-          Seq("description", a.description)), headerRow = true))
+          Seq("name", name), Seq("version", version),
+          Seq("description", description),
+          Seq("tables", tables.mkString(", "))), headerRow = true))
       case _ =>
+        // compiled-in SPI adapters + installed artifacts (installed
+        // adapter_class plugins are already in the SPI registry — the
+        // version file wins for those so list reflects the artifact)
+        val installed = Plugins.installedList(configDir)
+        val installedNames = installed.map(_.name).toSet
+        val spiRows = graft.ingest.SourceRegistry.list
+          .filterNot(a => installedNames(a.kind))
+          .map(a => Seq(a.kind, a.version, a.description))
+        val instRows = installed.map { i =>
+          val d = Plugins.installedDescriptor(configDir, s"${i.org}/${i.name}")
+          Seq(s"${i.org}/${i.name}", i.version,
+            d.map(_.description).getOrElse(""))
+        }
         val rows = Seq("Plugin", "Version", "Description") +:
-          graft.ingest.SourceRegistry.list
-            .map(a => Seq(a.kind, a.version, a.description))
+          (spiRows ++ instRows).sortBy(_.head)
         out.println(Render.renderTable(rows, headerRow = true))
     }
+  }
 
   private def formatCmd(
       config: Hcl.Config, opts: Opts, out: PrintStream): Unit =

@@ -88,6 +88,9 @@ object SourceRegistry {
 
   def register(a: SourceAdapter): Unit = adapters.put(a.kind, a)
 
+  /** Remove a dynamically-registered adapter (plugin uninstall). */
+  def unregister(kind: String): Unit = adapters.remove(kind)
+
   def get(kind: String): Option[SourceAdapter] = Option(adapters.get(kind))
 
   def list: Seq[SourceAdapter] =
