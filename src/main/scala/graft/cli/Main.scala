@@ -164,6 +164,7 @@ object Main {
         case Some("source")    => sourceCmd(config, opts, out)
         case Some("format")    => formatCmd(config, opts, out)
         case Some("plugin")    => pluginCmd(config, configDir, opts, out)
+        case Some("import")    => importCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -180,7 +181,9 @@ object Main {
   val usage: String =
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
-      |          format plugin
+      |          format plugin import
+      |import:   graft import <parquet-dir> <table>[.<partition>]
+      |          [--timestamp-column COL] [--index-column COL]
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -202,6 +205,37 @@ object Main {
         Hcl.Config(a.formats ++ b.formats, a.tables ++ b.tables,
           a.partitions ++ b.partitions)
       }
+  }
+
+  // ---- import ----------------------------------------------------------
+
+  /** `import <parquet-dir> <table>[.<partition>]` — adopt foreign or
+    * legacy parquet into a managed lake table (the reference's
+    * pre-DuckLake migration, internal/migration/migration.go:39-247,
+    * as an explicit command; see graft.ingest.Importer).
+    */
+  private def importCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    val src = opts.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "import requires <parquet-dir> <table>[.<partition>] arguments"))
+    val target = opts.positional.lift(1).getOrElse(
+      throw new IllegalArgumentException(
+        "import requires a target <table>[.<partition>] argument"))
+    val (table, part) = target.split('.') match {
+      case Array(t)    => (t, "imported")
+      case Array(t, p) => (t, p)
+      case _ => throw new IllegalArgumentException(
+        s"bad import target '$target' (expected table[.partition])")
+    }
+    val res = graft.ingest.Importer.importParquet(
+      spark, lake, src,
+      PartitionSpec(table, part, tpIndexColumn = opts.flag("index-column")),
+      timestampColumn =
+        opts.flag("timestamp-column").getOrElse("tp_timestamp"))
+    out.println(s"Imported $table.$part: ${res.rowsIngested} rows from $src")
+    if (res.rowsInvalid > 0)
+      out.println(s"Dropped ${res.rowsInvalid} invalid rows")
   }
 
   // ---- collect ---------------------------------------------------------

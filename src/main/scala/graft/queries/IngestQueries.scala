@@ -452,6 +452,41 @@ object IngestQueries {
         .orderBy("tp_index")
     }),
 
+    // Legacy-workspace migration analogue (reference
+    // internal/migration/migration.go:39-247 re-ingests pre-DuckLake
+    // `tp_table=*` parquet dirs into the new catalog): a foreign
+    // hive-partitioned parquet directory with NO tp_ columns and a
+    // source-named event-time column is adopted by `import` — one
+    // distributed scan through the standard enrich→validate→append
+    // pipeline. The oracle recomputes every tp_ column from the source
+    // table, so enrichment-on-import and the hive partition-column
+    // round-trip (event_type lives in directory names, not files) must
+    // both be exact.
+    "qi14_legacy_import" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi14"
+      rmrf(root)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$root/legacy")
+      val lake = Lake(s"$root/lake")
+      graft.ingest.Importer.importParquet(s, lake, s"$root/legacy",
+        PartitionSpec("events_migrated", "legacy",
+          tpIndexColumn = Some("event_type")),
+        timestampColumn = "ts")
+      lake.read(s, "events_migrated")
+        .select(col("event_id"), col("tp_timestamp"), col("tp_date"),
+          col("tp_index").cast("string").as("tp_index"),
+          col("tp_partition").cast("string").as("tp_partition"),
+          col("tp_table"),
+          col("tp_year").cast("int").as("tp_year"),
+          col("tp_month").cast("int").as("tp_month"),
+          col("user_id"), col("event_type").cast("string").as("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    }),
+
     "qi12_catalog_table" -> ((s, dir) => {
       val lake = sharedLake(s, dir)
       lake.registerCatalogTable(s, "events_lake")
@@ -472,6 +507,19 @@ object IngestQueries {
       |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qi14_legacy_import" -> """
+      SELECT event_id,
+             cast(ts AS timestamp) AS tp_timestamp,
+             CASE WHEN ts IS NOT NULL
+               THEN cast(date_trunc('day', cast(ts AS timestamp)) AS date)
+             END AS tp_date,
+             coalesce(event_type, 'default') AS tp_index,
+             'legacy' AS tp_partition,
+             'events_migrated' AS tp_table,
+             cast(year(cast(ts AS timestamp)) AS int) AS tp_year,
+             cast(month(cast(ts AS timestamp)) AS int) AS tp_month,
+             user_id, event_type, value
+      FROM events ORDER BY event_id""",
     "qi01_ingest_enrich" -> """
       SELECT event_id,
              cast(ts AS timestamp) AS tp_timestamp,

@@ -318,6 +318,34 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(o4.positional == Seq("q") && o4.flag("output").contains("csv"))
   }
 
+  test("import adopts a foreign parquet dir into a lake table") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_import").toFile
+    spark.range(5).select(
+        col("id").as("req_id"),
+        expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600)").as("seen_at"),
+        concat(lit("host"), col("id") % 2).as("host"))
+      .write.parquet(s"${dir.getPath}/legacy")
+    // missing timestamp column fails loudly
+    val (rcBad, bad) = cli(root, "import", s"${dir.getPath}/legacy", "reqs.old")
+    assert(rcBad == 1 && bad.contains("tp_timestamp"), bad)
+    val (rc, msg) = cli(root, "import", s"${dir.getPath}/legacy", "reqs.old",
+      "--timestamp-column", "seen_at", "--index-column", "host")
+    assert(rc == 0, msg)
+    assert(msg == s"Imported reqs.old: 5 rows from ${dir.getPath}/legacy")
+    val (_, csv) = cli(root, "query",
+      "select tp_index, count(*) as n from reqs group by 1 order by 1",
+      "--output", "csv")
+    assert(csv == "tp_index,n\nhost0,3\nhost1,2")
+    // second import into the same table with a different schema fails
+    spark.range(2).select(col("id"),
+        expr("timestamp'2024-03-02 00:00:00'").as("seen_at"))
+      .write.parquet(s"${dir.getPath}/other")
+    val (rc2, msg2) = cli(root, "import", s"${dir.getPath}/other", "reqs.old2",
+      "--timestamp-column", "seen_at")
+    assert(rc2 == 1 && msg2.contains("schema mismatch"), msg2)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==
