@@ -163,44 +163,60 @@ object Similarity {
     *    partitionBy(cell) in the lake) to reuse the index across query
     *    batches.
     */
+  /** Deterministic hash-ordered vector sample as doubles (the
+    * training-free index-construction device shared by IVF and PQ).
+    * Zero-norm rows (failed/padded encodes) are skipped: normalized
+    * they would be all-NaN, and NaN sorts ABOVE every real dot
+    * product — one such centroid would win every cell assignment and
+    * collapse the index into a single cell.
+    */
+  private def hashSample(candidates: DataFrame, n: Int): Seq[Seq[Double]] =
+    candidates
+      .select(col("cid"), transform(col("cvec"), _.cast("double")).as("v"))
+      .orderBy(xxhash64(col("cid").cast("string")), col("cid"))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Double](1))
+      .filter(v => v.exists(_ != 0.0))
+      .map(_.toSeq).toSeq
+
+  /** Coarse-quantizer centroids: sampled, unit-normalized so
+    * argmax(dot) == argmax(cosine). Metadata-sized (nlist×dim ≈ KBs).
+    */
+  private def coarseCentroids(
+      candidates: DataFrame, nlist: Int): Seq[(Int, Seq[Double])] = {
+    val sampled = hashSample(candidates, nlist).zipWithIndex.map {
+      case (v, i) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (i, v.map(_ / n))
+    }
+    require(sampled.nonEmpty, "IVF: no non-zero vectors to sample centroids from")
+    sampled
+  }
+
+  /** Top-n cells of `vec` by centroid dot product: n passes over an
+    * nlist-sized plan-literal array per row (n=1 for assignment) —
+    * map-side, no shuffle. `centArr` is
+    * array<struct<_1:int,_2:array<double>>>.
+    */
+  private def bestCells(centArr: Column, vec: Column, n: Int): Column = {
+    val scored = transform(centArr, c =>
+      struct(dotD(vec, c.getField("_2")).as("cs"),
+        c.getField("_1").as("cent")))
+    slice(reverse(array_sort(scored)), 1, n)
+  }
+
   def annIvf(
       queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 256, nprobe: Int = 8,
       minSim: Double = Double.NegativeInfinity): DataFrame = {
-    // deterministic sampled coarse quantizer, unit-normalized so
-    // argmax(dot) == argmax(cosine)
-    val sampled = candidates
-      .select(col("cid"), transform(col("cvec"), _.cast("double")).as("v"))
-      .orderBy(xxhash64(col("cid").cast("string")), col("cid"))
-      .limit(nlist)
-      .collect()
-      .map(_.getSeq[Double](1))
-      // a zero-norm sample (failed/padded encode) would normalize to
-      // all-NaN, and NaN sorts ABOVE every real dot product — one such
-      // centroid would win every cell assignment and collapse the
-      // index into a single cell. Skip them.
-      .filter(v => v.exists(_ != 0.0))
-      .zipWithIndex.map { case (v, i) =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        (i, v.map(_ / n))
-      }.toSeq
-    require(sampled.nonEmpty, "IVF: no non-zero vectors to sample centroids from")
-    val centArr = typedLit(sampled) // array<struct<_1:int,_2:array<double>>>
-
-    def bestCells(vec: Column, n: Int): Column = {
-      val scored = transform(centArr, c =>
-        struct(dotD(vec, c.getField("_2")).as("cs"),
-          c.getField("_1").as("cent")))
-      // top-n cells by dot product: n passes over an nlist-sized array
-      // per row (n=1 for assignment) — still map-side, no shuffle
-      slice(reverse(array_sort(scored)), 1, n)
-    }
+    val centArr = typedLit(coarseCentroids(candidates, nlist))
 
     // id+cell only — vectors re-attach after the probe join
     val celled = candidates.select(col("cid"),
-      bestCells(col("cvec"), 1).getItem(0).getField("cent").as("cell"))
+      bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent").as("cell"))
     val probes = queries.select(col("qid"),
-        explode(bestCells(col("qvec"), nprobe)).as("p"))
+        explode(bestCells(centArr, col("qvec"), nprobe)).as("p"))
       .select(col("qid"), col("p.cent").as("cell"))
     val pairs = celled.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("cid"))
