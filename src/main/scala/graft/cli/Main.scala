@@ -634,9 +634,12 @@ object Main {
           }
         if (slugs.isEmpty) out.println("Nothing to update")
         slugs.foreach { slug =>
-          val (was, now) = Plugins.update(configDir, registry, slug)
-          if (was == now) out.println(s"Plugin $slug is up to date ($now)")
-          else out.println(s"Updated $slug $was -> $now")
+          Plugins.update(configDir, registry, slug) match {
+            case Plugins.UpToDate(v) =>
+              out.println(s"Plugin $slug is up to date ($v)")
+            case Plugins.Updated(was, now) =>
+              out.println(s"Updated $slug $was -> $now")
+          }
         }
       case Some("uninstall") =>
         val name = opts.positional.lift(1).getOrElse(

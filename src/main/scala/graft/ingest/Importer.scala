@@ -52,16 +52,26 @@ object Importer {
         "pass --timestamp-column to name the event-time column")
 
     if (lake.tableExists(spark, spec.table)) {
-      val existing = lake.schemaOf(spark, spec.table)
+      val existingSchema = lake.schemaOf(spark, spec.table)
+      val existing = existingSchema
         .fieldNames.filterNot(TpSchema.reserved).toSet - TpSchema.Timestamp
       val incoming = raw.columns
         .filterNot(TpSchema.reserved).toSet - timestampColumn
       val missing = existing -- incoming
       val extra = incoming -- existing
-      require(missing.isEmpty && extra.isEmpty,
+      // name match is not enough: appending a string column into a
+      // bigint column would poison every later read of the table
+      val retyped = (existing & incoming).toSeq.sorted.flatMap { c =>
+        val want = existingSchema(c).dataType
+        val got = raw.schema(c).dataType
+        if (want == got) None
+        else Some(s"$c (table: ${want.simpleString}, import: ${got.simpleString})")
+      }
+      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
         s"import: schema mismatch with existing table '${spec.table}'" +
           (if (missing.nonEmpty) s"; missing: ${missing.toSeq.sorted.mkString(", ")}" else "") +
-          (if (extra.nonEmpty) s"; extra: ${extra.toSeq.sorted.mkString(", ")}" else ""))
+          (if (extra.nonEmpty) s"; extra: ${extra.toSeq.sorted.mkString(", ")}" else "") +
+          (if (retyped.nonEmpty) s"; type mismatch: ${retyped.mkString(", ")}" else ""))
     }
 
     Ingest.collectBatch(spark, lake, spec, raw, tableSpec, timestampColumn)

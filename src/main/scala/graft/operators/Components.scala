@@ -92,9 +92,25 @@ object Components {
       labels = next
       iter += 1
     }
+    if (!converged) {
+      labels.unpersist()
+      edges.unpersist()
+      // silently returning partially-merged labels would hand dedup a
+      // plausible-but-wrong keep/drop split — fail loudly instead
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds (graph diameter exceeds maxIter); re-run with a larger " +
+          "maxIter")
+    }
+    // eagerly materialize the result with truncated lineage, then drop
+    // BOTH working caches — repeated calls in a long session must not
+    // accumulate label RDDs. localCheckpoint (not reroot) because the
+    // rerooted RDD still recomputes through the unpersisted chain; the
+    // checkpointed copy is pairs-sized and ContextCleaner reclaims it
+    // when the caller releases the returned DataFrame.
     val out = labels.select(col("id"), col("comp").as("component"))
-    // hand the caller an uncached result; the final labels stay hot
-    // only until the edges cache is dropped with them
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     out
   }

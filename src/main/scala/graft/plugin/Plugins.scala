@@ -174,6 +174,18 @@ object Plugins {
       .map(b => f"$b%02x").mkString
   }
 
+  /** Unregister the live adapter of the CURRENTLY-installed version of
+    * `slug`, if any — must run before its descriptor is replaced or
+    * deleted, else a version that drops `adapter_class` strands the old
+    * adapter in [[SourceRegistry]] for the JVM lifetime.
+    */
+  private def unregisterAdapterOf(configDir: String, slug: String): Unit =
+    installedDescriptor(configDir, slug).flatMap(_.adapterClass).foreach {
+      cls =>
+        try SourceRegistry.unregister(loadAdapter(cls).kind)
+        catch { case _: Exception => () }
+    }
+
   /** Resolve, digest-verify, copy, record. Returns the installed row.
     * Installing an already-installed plugin replaces it (the reference
     * keeps one version per plugin; uninstall takes no version for the
@@ -196,6 +208,10 @@ object Plugins {
       s"checksum mismatch for ${ref.slug}@$version: " +
         s"expected ${desc.sha256}, got $digest")
 
+    // replacing an installed version: retire its live adapter first,
+    // while its descriptor (and thus its adapter_class) is still on disk
+    unregisterAdapterOf(configDir, ref.slug)
+
     val dst = new File(new File(pluginsDir(configDir), ref.org), ref.name)
     dst.mkdirs()
     Files.copy(src.resolve("plugin.json"), dst.toPath.resolve("plugin.json"),
@@ -209,20 +225,25 @@ object Plugins {
     row
   }
 
+  /** Outcome of [[update]]. */
+  sealed trait UpdateResult { def version: String }
+  final case class UpToDate(version: String) extends UpdateResult
+  final case class Updated(was: String, version: String) extends UpdateResult
+
   /** Re-resolve the RECORDED constraint; reinstall if a newer version
-    * satisfies it. Returns (old, new) — equal when already current.
+    * satisfies it.
     */
   def update(
-      configDir: String, registryDir: String, slug: String): (String, String) = {
+      configDir: String, registryDir: String, slug: String): UpdateResult = {
     val row = installedList(configDir).find(_.slug == slug).getOrElse(
       throw new IllegalArgumentException(s"plugin $slug is not installed"))
     val target = resolve(
       availableVersions(registryDir, Ref(row.org, row.name, row.constraint)),
       row.constraint).getOrElse(row.version)
-    if (versionOrdering.compare(target, row.version) > 0)
+    if (versionOrdering.compare(target, row.version) > 0) {
       install(configDir, registryDir, Ref(row.org, row.name, row.constraint))
-    (row.version, if (versionOrdering.compare(target, row.version) > 0) target
-      else row.version)
+      Updated(row.version, target)
+    } else UpToDate(row.version)
   }
 
   /** Instantiate a [[SourceAdapter]] implementation: a Scala `object`
@@ -245,11 +266,7 @@ object Plugins {
     val dir = new File(new File(pluginsDir(configDir), row.org), row.name)
     // a dynamically-registered adapter leaves the live registry with
     // its artifact (the reference kills the plugin binary on uninstall)
-    installedDescriptor(configDir, slug).flatMap(_.adapterClass).foreach {
-      cls =>
-        try SourceRegistry.unregister(loadAdapter(cls).kind)
-        catch { case _: Exception => () }
-    }
+    unregisterAdapterOf(configDir, slug)
     Option(dir.listFiles()).foreach(_.foreach(_.delete()))
     dir.delete()
     writeInstalledList(configDir,

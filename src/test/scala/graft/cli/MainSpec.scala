@@ -344,6 +344,17 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rc2, msg2) = cli(root, "import", s"${dir.getPath}/other", "reqs.old2",
       "--timestamp-column", "seen_at")
     assert(rc2 == 1 && msg2.contains("schema mismatch"), msg2)
+    // same column NAMES but a retyped column also fails: appending
+    // bigint host into a string host would poison later reads
+    spark.range(2).select(
+        col("id").as("req_id"),
+        expr("timestamp'2024-03-03 00:00:00'").as("seen_at"),
+        col("id").as("host"))
+      .write.parquet(s"${dir.getPath}/retyped")
+    val (rc3, msg3) = cli(root, "import", s"${dir.getPath}/retyped", "reqs.old3",
+      "--timestamp-column", "seen_at")
+    assert(rc3 == 1 && msg3.contains("type mismatch") &&
+      msg3.contains("host"), msg3)
   }
 
   test("relative time parsing") {

@@ -28,7 +28,24 @@ object DemoPluginAdapter extends SourceAdapter {
   * (cmd/plugin.go:76-238) with digest verification
   * (internal/ociinstaller semantics).
   */
-class PluginSpec extends AnyFunSuite with SparkTest {
+class PluginSpec extends AnyFunSuite with SparkTest
+    with org.scalatest.BeforeAndAfterAll {
+
+  // suites share one JVM-global SourceRegistry: snapshot it and restore
+  // on exit so suite order never leaks a plugin adapter (e.g. "demo")
+  // into other specs
+  private var preexisting: Set[String] = Set.empty
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    preexisting = SourceRegistry.list.map(_.kind).toSet
+  }
+
+  override protected def afterAll(): Unit = {
+    try SourceRegistry.list.map(_.kind)
+      .filterNot(preexisting).foreach(SourceRegistry.unregister)
+    finally super.afterAll()
+  }
 
   private def write(f: File, text: String): Unit = {
     f.getParentFile.mkdirs()

@@ -56,10 +56,23 @@ class ComponentsSpec extends AnyFunSuite with SparkTest {
   test("no cached plans leak past the call") {
     val before = spark.sparkContext.getPersistentRDDs.size
     components(Seq((1L, 2L), (3L, 4L)))
-    // connectedComponents persists edges + per-round labels; everything
-    // except the final labels (still referenced by the returned plan)
-    // must be unpersisted before return
+    // connectedComponents persists edges + per-round labels, all
+    // unpersisted before return; the only survivor is the
+    // localCheckpointed result (reclaimed by ContextCleaner when the
+    // returned DataFrame is released)
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after <= before + 1, s"persistent RDDs grew $before -> $after")
+  }
+
+  test("maxIter exhaustion throws instead of returning under-merged labels") {
+    // path 0-1-...-7 has diameter 7 > maxIter=2: propagation cannot
+    // finish, and a silent partial merge would corrupt dedup groups
+    val chain = (0L until 7L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val e = intercept[IllegalStateException](components(chain, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+    // the failed call must not leak its working caches either
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before, s"persistent RDDs grew $before -> $after")
   }
 }
