@@ -250,62 +250,60 @@ object Similarity {
     * kept separate here so each layer is testable against its own
     * exact oracle.
     */
-  def annPq(
-      queries: DataFrame, candidates: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, rerank: Int = 64,
-      minSim: Double = Double.NegativeInfinity): DataFrame = {
+  /** Deterministic PQ codebooks as a plan literal: ksub sample vectors
+    * (same device as annIvf's coarse quantizer), subvector j of sample
+    * c is codebook entry (j, c). Zero-norm rows (failed encodes)
+    * skipped. `sub` is the subspace width dim/m.
+    */
+  private final case class PqIndex(m: Int, sub: Int, cb: Column)
+
+  private def buildPqIndex(candidates: DataFrame, m: Int, ksub: Int): PqIndex = {
     val dim = candidates.select(size(col("cvec"))).head().getInt(0)
-    require(dim % m == 0, s"annPq: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
     val sub = dim / m
-    // deterministic sampled codebooks (same device as annIvf's coarse
-    // quantizer): ksub sample vectors, subvector j of sample c is
-    // codebook entry (j, c). Zero-norm rows (failed encodes) skipped.
-    val samples = candidates
-      .select(col("cid"), transform(col("cvec"), _.cast("double")).as("v"))
-      .orderBy(xxhash64(col("cid").cast("string")), col("cid"))
-      .limit(ksub)
-      .collect()
-      .map(_.getSeq[Double](1))
-      .filter(v => v.exists(_ != 0.0))
-    require(samples.nonEmpty, "annPq: no non-zero vectors to sample codebooks from")
+    val samples = hashSample(candidates, ksub)
+    require(samples.nonEmpty, "PQ: no non-zero vectors to sample codebooks from")
     val codebook: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(j => samples.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
-    val cbLit = typedLit(codebook)
+      (0 until m).map(j => samples.map(_.slice(j * sub, (j + 1) * sub)))
+    PqIndex(m, sub, typedLit(codebook))
+  }
 
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x)
-    def subvec(vec: Column, j: Column): Column =
-      slice(transform(vec, _.cast("double")), j * sub + 1, lit(sub))
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x)
 
-    // encode: per subspace, argmin L2 over the codebook entries
-    // (two-arg transform lambda carries the code index; ties break to
-    // the lower code via the struct sort's second field)
-    def encode(vec: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        element_at(array_sort(
-          transform(element_at(cbLit, j + 1),
-            (cv, c) => struct(l2(subvec(vec, j), cv).as("d"),
-              c.as("code")))), 1).getField("code"))
+  private def pqSubvec(idx: PqIndex, vec: Column, j: Column): Column =
+    slice(transform(vec, _.cast("double")), j * idx.sub + 1, lit(idx.sub))
 
-    val enc = candidates.select(col("cid"), encode(col("cvec")).as("codes"))
-    // ADC lookup table per query: qtable(j)(c) = dot(q_j, codebook(j)(c)),
-    // so sum_j qtable(j)(codes(j)) == dot(q, reconstruct(codes))
-    val qt = queries.select(col("qid"),
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(element_at(cbLit, j + 1),
-          cv => dotD(subvec(col("qvec"), j), cv))).as("qtable"))
-    val approx = enc.crossJoin(broadcast(qt))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        aggregate(zip_with(col("codes"), col("qtable"),
-          (c, row) => element_at(row, c + 1)), lit(0.0),
-          (s, x) => s + x).as("approx"))
-    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid"))
-    val cands = approx.withColumn("r", row_number().over(wA))
-      .where(col("r") <= rerank)
-      .select("qid", "cid")
-    val scored = cands
+  /** PQ encode: per subspace, argmin L2 over the codebook entries
+    * (two-arg transform lambda carries the code index; ties break to
+    * the lower code via the struct sort's second field). Map-side.
+    */
+  private def pqEncode(idx: PqIndex, vec: Column): Column =
+    transform(sequence(lit(0), lit(idx.m - 1)), j =>
+      element_at(array_sort(
+        transform(element_at(idx.cb, j + 1),
+          (cv, c) => struct(pqL2(pqSubvec(idx, vec, j), cv).as("d"),
+            c.as("code")))), 1).getField("code"))
+
+  /** ADC lookup table per query: qtable(j)(c) = dot(q_j, codebook(j)(c)),
+    * so sum_j qtable(j)(codes(j)) == dot(q, reconstruct(codes)).
+    */
+  private def pqQTable(idx: PqIndex, vec: Column): Column =
+    transform(sequence(lit(0), lit(idx.m - 1)), j =>
+      transform(element_at(idx.cb, j + 1),
+        cv => dotD(pqSubvec(idx, vec, j), cv)))
+
+  /** ADC score of a codes column against a qtable column. */
+  private def adcScore(codes: Column, qtable: Column): Column =
+    aggregate(zip_with(codes, qtable, (c, row) => element_at(row, c + 1)),
+      lit(0.0), (s, x) => s + x)
+
+  /** Exact cosine re-score of a (qid, cid) shortlist, top-k per query. */
+  private def rerankExact(
+      pairs: DataFrame, queries: DataFrame, candidates: DataFrame,
+      k: Int, minSim: Double): DataFrame = {
+    val scored = pairs
       .join(broadcast(queries), "qid")
       .join(candidates, "cid")
       .select(col("qid"), col("cid"),
@@ -315,6 +313,77 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  def annPq(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      minSim: Double = Double.NegativeInfinity): DataFrame = {
+    val idx = buildPqIndex(candidates, m, ksub)
+    val enc = candidates.select(col("cid"), pqEncode(idx, col("cvec")).as("codes"))
+    val qt = queries.select(col("qid"), pqQTable(idx, col("qvec")).as("qtable"))
+    val approx = enc.crossJoin(broadcast(qt))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        adcScore(col("codes"), col("qtable")).as("approx"))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid"))
+    val cands = approx.withColumn("r", row_number().over(wA))
+      .where(col("r") <= rerank)
+      .select("qid", "cid")
+    rerankExact(cands, queries, candidates, k, minSim)
+  }
+
+  /** IVF-PQ shortlist: (qid, cid) survivors of the ADC scan restricted
+    * to the query's probed cells — top `rerank` per query by ADC score.
+    * Exposed for the cell-restriction proof in SketchRecallSpec: the
+    * cell join is an equi-join (broadcast hash), so the plan contains
+    * NO cartesian/nested-loop product — the ADC arithmetic provably
+    * runs only on candidates whose cell one of the query's probes hit.
+    */
+  private[graft] def ivfPqShortlist(
+      queries: DataFrame, candidates: DataFrame,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, rerank: Int): DataFrame = {
+    val centArr = typedLit(coarseCentroids(candidates, nlist))
+    val idx = buildPqIndex(candidates, m, ksub)
+    // ONE map-side pass over the corpus computes both index columns
+    // (cell + codes); the scan output is ids + m codes, never vectors
+    val enc = candidates.select(col("cid"),
+      bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent").as("cell"),
+      pqEncode(idx, col("cvec")).as("codes"))
+    val probes = queries.select(col("qid"),
+        explode(bestCells(centArr, col("qvec"), nprobe)).as("p"))
+      .select(col("qid"), col("p.cent").as("cell"))
+    val qt = queries.select(col("qid"), pqQTable(idx, col("qvec")).as("qtable"))
+    val adc = enc.join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .join(broadcast(qt), "qid")
+      .select(col("qid"), col("cid"),
+        adcScore(col("codes"), col("qtable")).as("approx"))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid"))
+    adc.withColumn("r", row_number().over(wA))
+      .where(col("r") <= rerank)
+      .select("qid", "cid")
+  }
+
+  /** IVF-PQ: the standard composed ANN layout (Jegou et al. 2011, §V) —
+    * the coarse quantizer REDUCES the candidate set to nprobe cells,
+    * PQ/ADC COMPRESSES the scan of those cells to m table lookups per
+    * candidate, and the top `rerank` survivors re-score exactly.
+    *
+    * This is the 100 TB read-side shape [[annPq]] alone lacks: annPq's
+    * ADC pass still touches every candidate (cheaper per row, same row
+    * count), while here the per-query work is proportional to the
+    * probed cells' population (~ nprobe/nlist of the corpus). Persist
+    * the (cell, codes) index partitioned by cell in the lake and query
+    * batches skip everything outside their probes at the FILE level.
+    */
+  def annIvfPq(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 256, nprobe: Int = 8,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      minSim: Double = Double.NegativeInfinity): DataFrame =
+    rerankExact(
+      ivfPqShortlist(queries, candidates, nlist, nprobe, m, ksub, rerank),
+      queries, candidates, k, minSim)
 
   /** Embedding-cosine near-duplicate pairs over one set: all pairs with
     * cosine >= threshold among LSH bucket collisions (no full cross

@@ -97,6 +97,30 @@ object VectorQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ composition (coarse probe → ADC within probed cells only →
+    // exact rerank) over the same planted-noisy-copy corpus. The answer
+    // set (every neighbor with cosine >= 0.99) is index-independent, so
+    // the exact oracle is a full recall gate across BOTH approximation
+    // layers: a copy landing in an unprobed cell OR falling out of the
+    // ADC top-`rerank` breaks the hash match.
+    "qe08_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val noisy = e.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+      val corpus = e.unionByName(noisy)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.annIvfPq(q, c, k = 5, nlist = 32, nprobe = 4,
+          m = 8, ksub = 16, rerank = 64, minSim = 0.99)
+        .select("qid", "cid", "sim", "rank")
+        .orderBy("qid", "rank")
+    }),
+
     // Embedding-cosine near-duplicate pairs over planted exact copies,
     // LSH-bucketed with capped buckets and id-only pair dedup; the
     // oracle recomputes ALL pairs >= threshold exactly.
@@ -198,6 +222,30 @@ object VectorQueries {
       SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
       ORDER BY qid, rank""",
     "qe07_ann_pq" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      noisy AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list(x * (1.0 + 0.01 * (((i - 1) % 5) - 2)) ORDER BY i) AS v
+        FROM (SELECT vec_id, unnest(v) AS x,
+                generate_subscripts(v, 1) AS i
+              FROM e WHERE vec_id < 10)
+        GROUP BY vec_id),
+      corpus AS (SELECT * FROM e UNION ALL SELECT * FROM noisy),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      s AS (SELECT qid, c.vec_id AS cid,
+              round(list_cosine_similarity(qv, c.v), 4) AS sim
+            FROM q, corpus c WHERE qid <> c.vec_id),
+      hits AS (SELECT qid, cid, sim FROM s WHERE sim >= 0.99),
+      r AS (SELECT qid, cid, sim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS int) AS rank
+            FROM hits)
+      SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
+    // identical answer set to qe02/qe05/qe07 (index-independent)
+    "qe08_ann_ivfpq" -> """
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),

@@ -119,6 +119,38 @@ class SketchRecallSpec extends AnyFunSuite with SparkTest {
     assert(hits.toSet === (0L until 10L).map(i => i -> (i + 1000000)).toSet)
   }
 
+  test("ANN IVF-PQ returns the planted noisy copy; ADC scan touches only probed cells") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val noisy = e.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.unionByName(noisy)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val hits = Similarity.annIvfPq(q, c, k = 5, nlist = 32, nprobe = 4,
+        m = 8, ksub = 16, rerank = 64, minSim = 0.99)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid"))
+    assert(hits.toSet === (0L until 10L).map(i => i -> (i + 1000000)).toSet)
+
+    // cell-restriction proof: the shortlist's ADC scan reaches
+    // candidates through an EQUI-join on cell — no cartesian / nested-
+    // loop product anywhere in the physical plan, unlike annPq's
+    // full-corpus crossJoin (the negative control below)
+    val shortPlan = Similarity.ivfPqShortlist(q, c,
+      nlist = 32, nprobe = 4, m = 8, ksub = 16, rerank = 64)
+      .queryExecution.executedPlan.toString
+    assert(!shortPlan.contains("CartesianProduct") &&
+      !shortPlan.contains("BroadcastNestedLoopJoin"), shortPlan)
+    val pqPlan = Similarity.annPq(q, c, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(pqPlan.contains("BroadcastNestedLoopJoin") ||
+      pqPlan.contains("CartesianProduct"), pqPlan)
+  }
+
   test("bloom decontamination output equals the exact containment join") {
     val bench = graft.Tables.load(spark, dir, "documents")
       .where(col("doc_id") < 50).select("doc_id", "text")
