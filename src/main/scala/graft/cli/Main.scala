@@ -192,20 +192,8 @@ object Main {
     * (the reference loads `*.tpc` files under `~/.tailpipe/config`,
     * internal/parse/load_config.go).
     */
-  def loadConfig(dir: String): Hcl.Config = {
-    val d = new java.io.File(dir)
-    val files =
-      if (!d.isDirectory) Seq.empty
-      else d.listFiles().toSeq
-        .filter(f => f.getName.endsWith(".tpc") || f.getName.endsWith(".hcl"))
-        .sortBy(_.getName)
-    files.map(f => Hcl.decode(
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
-      .foldLeft(Hcl.Config(Map.empty, Map.empty, Map.empty)) { (a, b) =>
-        Hcl.Config(a.formats ++ b.formats, a.tables ++ b.tables,
-          a.partitions ++ b.partitions)
-      }
-  }
+  def loadConfig(dir: String): Hcl.Config =
+    graft.config.ConfigLoader.loadDir(dir)
 
   // ---- import ----------------------------------------------------------
 
@@ -350,7 +338,9 @@ object Main {
       // open the interactive query shell, run query with no arguments")
       val repl = new Repl(spark, lake, config,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
-        out, filters = filters)
+        out, filters = filters,
+        configDir = Some(java.nio.file.Paths.get(
+          opts.flag("config-dir").getOrElse("config"))))
       repl.state.output = state.output
       repl.state.header = state.header
       repl.state.separator = state.separator
@@ -359,7 +349,7 @@ object Main {
     }
     opts.positional.foreach { arg =>
       if (Metaquery.isMetaquery(arg))
-        out.println(Metaquery.handle(spark, lake, state, arg))
+        out.println(Metaquery.handle(spark, lake, state, arg, config))
       else splitStatements(arg)
         .foreach(q => runOne(spark, lake, config, state, q, out))
     }
@@ -554,7 +544,7 @@ object Main {
       opts: Opts, out: PrintStream): Unit =
     opts.positional.headOption match {
       case Some("list") =>
-        out.println(Metaquery.inspectTables(spark, lake))
+        out.println(Metaquery.inspectTables(spark, lake, config))
       case Some("show") =>
         val t = opts.positional.lift(1).getOrElse(
           throw new IllegalArgumentException("table show requires a name"))

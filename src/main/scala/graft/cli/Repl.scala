@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
-import graft.config.Hcl
+import graft.config.{ConfigWatcher, Hcl}
 import graft.query.{Metaquery, Render, Views}
 
 /** Interactive query shell (reference
@@ -23,7 +23,11 @@ import graft.query.{Metaquery, Render, Views}
   *    source for any line editor; plain stdin has no keybindings)
   *  - mid-query cancellation: queries run in a job group and
   *    [[cancel]] aborts the running group
-  *    (`interactive_client.go:528-549` ↔ `cancelJobGroup`).
+  *    (`interactive_client.go:528-549` ↔ `cancelJobGroup`)
+  *  - live config reload: when `configDir` is given, a
+  *    [[graft.config.ConfigWatcher]] re-decodes the workspace on every
+  *    `*.tpc`/`*.hcl` edit, so `.inspect` sees partitions added
+  *    mid-session (reference connection_watcher.go:1-62).
   *
   * The loop reads from an injected `BufferedReader` and writes to a
   * `PrintStream`, so tests drive a full session in-process.
@@ -35,13 +39,22 @@ final class Repl(
     in: BufferedReader,
     out: PrintStream,
     historyPath: Option[Path] = Repl.defaultHistoryPath,
-    filters: Views.Filters = Views.Filters()) {
+    filters: Views.Filters = Views.Filters(),
+    configDir: Option[Path] = None) {
 
   val state = new Metaquery.QueryState()
   private val history = scala.collection.mutable.ArrayBuffer.empty[String]
   private val jobGroup = s"graft-repl-${System.identityHashCode(this)}"
+  @volatile private var currentConfig: Hcl.Config = config
+  private val watcher: Option[ConfigWatcher] = configDir.map(d =>
+    new ConfigWatcher(d, reload _, m => out.println(s"Warning: $m")))
 
   loadHistory()
+
+  /** Swap in a freshly decoded config (called by the watcher thread;
+    * also directly usable by an embedding application).
+    */
+  def reload(c: Hcl.Config): Unit = currentConfig = c
 
   /** Completion candidates for a prefix: dot-commands, lake tables,
     * and common SQL keywords (interactive_client.go autocomplete;
@@ -60,6 +73,12 @@ final class Repl(
 
   def historyEntries: Seq[String] = history.toSeq
 
+  /** ANSI-highlighted rendering of a buffer line ([[Highlighter]]) —
+    * like [[complete]], the data source for a terminal line editor
+    * (reference highlighter.go runs per keystroke on the document).
+    */
+  def highlight(line: String): String = Highlighter.highlight(line)
+
   /** Cancel the currently running query (if any). Safe to call from
     * another thread — e.g. a SIGINT handler.
     */
@@ -75,7 +94,8 @@ final class Repl(
       val trimmed = line.trim
       if (buf.isEmpty && Metaquery.isMetaquery(trimmed)) {
         try {
-          val res = Metaquery.handle(spark, lake, state, trimmed)
+          val res = Metaquery.handle(spark, lake, state, trimmed,
+            currentConfig)
           if (res.nonEmpty) out.println(res)
         } catch {
           case e: Exception => out.println(s"Error: ${e.getMessage}")
@@ -98,6 +118,7 @@ final class Repl(
       }
       line = if (state.done) null else prompt(buf.nonEmpty)
     }
+    watcher.foreach(_.close())
     saveHistory()
   }
 

@@ -147,6 +147,14 @@ object Maintenance {
     * the value distribution. Default 6 bits/column = 63 boundary
     * comparisons per column — small enough that the whole z-value
     * stays inside one whole-stage-codegen'd projection.
+    *
+    * String columns (the common case: `tp_index` is a string) bin by
+    * sampled lexicographic rank: one bounded-size deterministic sample,
+    * sorted driver-side, with every nBins-th sample value becoming a
+    * boundary — the same estimator Spark's own RangePartitioner uses
+    * for ORDER BY, so bins stay ~equal-count in expectation at any
+    * scale. The bin expression is then the same codegen'd when-chain,
+    * just with string `>=` (binary collation) instead of double.
     */
   def compactZorder(
       spark: SparkSession, lake: Lake, table: String,
@@ -158,35 +166,65 @@ object Maintenance {
     val before = lake.dataFiles(spark, table).size.toLong
     if (before == 0) return (0L, 0L)
     val data = lake.read(spark, table)
-    // z-ordering needs a numeric order to bin on; a string column cast
-    // to double would be all-null → every row in bin 0, a silent no-op.
-    // Fail loudly instead (rank-based string binning is future work).
     zCols.foreach { c =>
       val dt = data.schema(c).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
         dt == org.apache.spark.sql.types.TimestampType ||
         dt == org.apache.spark.sql.types.DateType ||
-        dt == org.apache.spark.sql.types.BooleanType,
+        dt == org.apache.spark.sql.types.BooleanType ||
+        dt == org.apache.spark.sql.types.StringType,
         s"z-order column '$c' has unsupported type $dt " +
-          "(numeric/timestamp/date/boolean only)")
+          "(numeric/timestamp/date/boolean/string only)")
     }
     val nBins = 1 << bitsPerCol
-    val probes = (1 until nBins).map(_.toDouble / nBins).toArray
-    // boundary arrays: ≤ (2^bits - 1) doubles per column, driver-side;
-    // the multi-column overload computes every column in ONE pass over
-    // the table (N separate scans would multiply the planning cost at
-    // scale)
-    val casted = data.select(zCols.zipWithIndex.map { case (c, i) =>
-      col(c).cast("double").as(s"__z$i") }: _*)
-    val allBounds = casted.stat.approxQuantile(
-      zCols.indices.map(i => s"__z$i").toArray, probes, 0.001)
-    val bounds = zCols.zip(allBounds.map(_.distinct.sorted))
-    val zValue = interleaved(bounds, bitsPerCol)
     // manifest row count; a missing/lagging manifest (sum = null)
     // falls back to counting the data — never an NPE
     val rows = Option(lake.fileStats(spark, table)
         .agg(sum("rows")).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(data.count())
+    val numCols = zCols.filter(c =>
+      data.schema(c).dataType != org.apache.spark.sql.types.StringType)
+    val strCols = zCols.filterNot(numCols.contains)
+    val probes = (1 until nBins).map(_.toDouble / nBins).toArray
+    // numeric boundary arrays: ≤ (2^bits - 1) doubles per column,
+    // driver-side; the multi-column overload computes every column in
+    // ONE pass over the table (N separate scans would multiply the
+    // planning cost at scale)
+    val numBounds: Map[String, Array[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val casted = data.select(numCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__z$i") }: _*)
+        val all = casted.stat.approxQuantile(
+          numCols.indices.map(i => s"__z$i").toArray, probes, 0.001)
+        numCols.zip(all.map(_.distinct.sorted)).toMap
+      }
+    // string boundaries: one bounded sample over ALL string z-cols
+    // (≈128 values per target bin — RangePartitioner's density), then
+    // per-column sort + stride pick, all driver-side metadata
+    val strBounds: Map[String, Array[String]] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val target = nBins * 128
+        val fraction = math.min(1.0, target.toDouble / math.max(1L, rows))
+        val sampled = data.select(strCols.map(col): _*)
+          .sample(withReplacement = false, fraction, seed = 42L).collect()
+        strCols.zipWithIndex.map { case (c, i) =>
+          val vs = sampled.flatMap(r => Option(r.getString(i))).sorted
+          val bs =
+            if (vs.isEmpty) Array.empty[String]
+            else (1 until nBins)
+              .map(b => vs(math.min(vs.length - 1, b * vs.length / nBins)))
+              .distinct.toArray
+          c -> bs
+        }.toMap
+      }
+    val bins = zCols.map { c =>
+      if (numBounds.contains(c))
+        binExpr(col(c).cast("double"), numBounds(c).map(lit))
+      else binExpr(col(c), strBounds(c).map(lit))
+    }
+    val zValue = interleaved(bins, bitsPerCol)
     val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
     val sortKey = TpSchema.partitionCols.map(col) :+ zValue
     val df = data.repartitionByRange(nOut, sortKey: _*)
@@ -195,19 +233,20 @@ object Maintenance {
     (before, lake.dataFiles(spark, table).size.toLong)
   }
 
-  /** Bit-interleaved z-value over per-column quantile bins. NULLs sort
-    * to bin 0 (cluster together at the curve origin).
+  /** bin = number of boundaries <= value: a when-chain the codegen
+    * compiles to straight-line comparisons. NULLs sort to bin 0
+    * (cluster together at the curve origin). Works for any ordered
+    * type — boundaries arrive as literals of the column's own type.
     */
-  private def interleaved(
-      bounds: Seq[(String, Array[Double])], bitsPerCol: Int): Column = {
-    val nCols = bounds.length
-    val bins = bounds.map { case (c, bs) =>
-      // bin = number of boundaries <= value: a when-chain the codegen
-      // compiles to straight-line comparisons
-      bs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, _)) =>
-        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
-      }
+  private def binExpr(c: Column, boundaries: Array[Column]): Column =
+    boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(c >= b, 1L).otherwise(0L)
     }
+
+  /** Bit-interleaved z-value over per-column bin expressions. */
+  private def interleaved(
+      bins: Seq[Column], bitsPerCol: Int): Column = {
+    val nCols = bins.length
     // z = for each bit i and column j: bit i of bin_j at position
     // (i * nCols + j) — pure shiftleft/and/or integer math
     val parts = for {

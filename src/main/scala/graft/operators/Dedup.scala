@@ -39,6 +39,42 @@ object Dedup {
         trim(regexp_replace(lower(col(textCol)), "\\s+", " "))),
       idCol, textCol)
 
+  /** Passage-level duplicate stats (the CCNet/Gopher "duplicate
+    * passage fraction" filter stage): chunk each document into
+    * consecutive `window`-word passages, hash each passage, and report
+    * per document how many of its passages also occur verbatim in at
+    * least one OTHER document. Filtering on `dup_ratio` then drops
+    * boilerplate-heavy docs without whole-document matching.
+    *
+    * 100 TB shape: chunking + hashing are row-local (one projection);
+    * the only shuffles carry (id, passage-digest) pairs — passage TEXT
+    * never leaves the map side. The digest groupBy is partial-agg
+    * (map-side combine) and the per-doc rollup shuffles ids only.
+    */
+  def passageDuplication(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nPass = greatest(
+      ceil(size(ws).cast("double") / window).cast("int"), lit(1))
+    val passages = transform(sequence(lit(0), nPass - 1),
+      p => concat_ws(" ", slice(ws, p * window + 1, lit(window))))
+    val hashed = df
+      .select(col(idCol).as("doc_id"),
+        explode(passages).as("passage"))
+      .select(col("doc_id"), md5(col("passage")).as("ph"))
+    // distinct docs per passage digest; `docs >= 2` marks a passage
+    // shared across documents (within-doc repeats don't count)
+    val spread = hashed.groupBy("ph")
+      .agg(countDistinct("doc_id").as("docs"))
+    hashed.join(spread, Seq("ph"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 4))
+  }
+
   /** Word n-gram shingle hashes (xxhash64) of a text column, as an
     * array column — the input unit for MinHash.
     */

@@ -296,6 +296,20 @@ object TextQueries {
           n = 3, threshold = 0.5, maxDf = 100)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Passage-level dedup (CCNet/Gopher duplicate-passage-fraction
+    // filter): 20-word windows hashed and matched across documents.
+    // Planted near-copies share every passage but the mutated tail, so
+    // their dup_ratio is high while unrelated docs stay near zero —
+    // the oracle recomputes the exact chunking, a window-boundary bug
+    // breaks the hash.
+    "qt19_passage_dedup" -> ((s, dir) => {
+      Dedup.passageDuplication(planted(s, dir), "doc_id", "text",
+          window = 20)
+        .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+          col("dup_ratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -469,6 +483,26 @@ object TextQueries {
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_copies
       FROM normed GROUP BY md5(text) ORDER BY content_hash"""),
+    "qt19_passage_dedup" -> (P + """
+      , toks AS (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t,
+                unnest(range(0, greatest(cast(ceil(len(t) / 20.0) AS BIGINT), 1))) AS p
+              FROM toks),
+      pas AS (SELECT doc_id,
+                md5(array_to_string(list_slice(t, p * 20 + 1, p * 20 + 20), ' ')) AS ph
+              FROM idx),
+      spread AS (SELECT ph, count(DISTINCT doc_id) AS docs
+                 FROM pas GROUP BY ph)
+      SELECT doc_id,
+             count(*) AS n_passages,
+             cast(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages,
+             round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 4) AS dup_ratio
+      FROM pas JOIN spread USING (ph)
+      GROUP BY doc_id ORDER BY doc_id"""),
     "qt09_ngram_jaccard" -> (P + """
       , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
                  FROM corpus),

@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.SparkSession
 
-import graft.config.Types
+import graft.config.{Hcl, Types}
 import graft.lake.{Lake, TpSchema}
 
 /** Dot-command metaqueries of the interactive/batch query surface
@@ -29,10 +29,15 @@ object Metaquery {
 
   def isMetaquery(line: String): Boolean = line.trim.startsWith(".")
 
-  /** Execute one dot-command; returns the text to display. */
+  private val NoConfig = Hcl.Config(Map.empty, Map.empty, Map.empty)
+
+  /** Execute one dot-command; returns the text to display. `config`
+    * feeds `.inspect` the workspace's configured partitions (live-
+    * reloaded mid-session by the REPL's [[graft.config.ConfigWatcher]]).
+    */
   def handle(
       spark: SparkSession, lake: Lake, state: QueryState,
-      line: String): String = {
+      line: String, config: Hcl.Config = NoConfig): String = {
     val parts = line.trim.split("\\s+").toSeq
     val cmd = parts.head
     val args = parts.tail
@@ -56,7 +61,7 @@ object Metaquery {
         state.autoComplete = onOff(args, cmd); ""
       case ".inspect" =>
         require(args.length <= 1, ".inspect takes at most one argument")
-        if (args.isEmpty) inspectTables(spark, lake)
+        if (args.isEmpty) inspectTables(spark, lake, config)
         else inspectSchema(spark, lake, args.head)
       case other =>
         throw new IllegalArgumentException(s"unknown command '$other'")
@@ -78,10 +83,20 @@ object Metaquery {
 
   /** `.inspect` — table list (handler_inspect.go:36-51; the Plugin
     * column holds the source adapter, 'core' for lake-native tables).
+    * Config-declared partitions appear even before their first collect
+    * (their Plugin column is the partition's source kind), so a
+    * partition added to a workspace file mid-session is visible here
+    * as soon as the watcher reloads.
     */
-  def inspectTables(spark: SparkSession, lake: Lake): String = {
+  def inspectTables(
+      spark: SparkSession, lake: Lake,
+      config: Hcl.Config = NoConfig): String = {
+    val sourceOf = config.partitions.values
+      .map(p => p.table -> p.source.map(_.kind).getOrElse("config")).toMap
+    val collected = lake.listTables(spark)
+    val tables = (collected ++ sourceOf.keys).distinct.sorted
     val rows = Seq("Table", "Plugin") +:
-      lake.listTables(spark).map(t => Seq(t, "core"))
+      tables.map(t => Seq(t, sourceOf.getOrElse(t, "core")))
     Render.renderTable(rows, headerRow = true)
   }
 

@@ -92,4 +92,78 @@ class ReplSpec extends AnyFunSuite with SparkTest {
     val (repl, _) = session(".exit\n")
     repl.cancel() // must not throw
   }
+
+  test("highlight colors keywords, strings, numbers, comments, dot-cmds") {
+    val esc = ""
+    // goldens pin the exact ANSI layout the line editor would render
+    assert(Highlighter.highlight("select 'a' from t -- hi") ==
+      s"$esc[94mselect$esc[0m $esc[32m'a'$esc[0m $esc[94mfrom$esc[0m t " +
+        s"$esc[90m-- hi$esc[0m")
+    assert(Highlighter.highlight("where x = 42;") ==
+      s"$esc[94mwhere$esc[0m x = $esc[36m42$esc[0m;")
+    assert(Highlighter.highlight(".output csv") ==
+      s"$esc[35m.output$esc[0m csv")
+    // a keyword-named function call stays plain: left('ab', 1)
+    assert(Highlighter.highlight("left('ab', 1)") ==
+      s"left($esc[32m'ab'$esc[0m, $esc[36m1$esc[0m)")
+    // escaped quote inside a SQL string stays inside the string token
+    assert(Highlighter.highlight("select 'it''s'") ==
+      s"$esc[94mselect$esc[0m $esc[32m'it''s'$esc[0m")
+    // invariant: stripping colors recovers the buffer byte-for-byte
+    val samples = Seq("select * from t where a like 'x%' -- c",
+      ".inspect metrics", "with c as (select 1) select 2.5, \"q\" from c")
+    samples.foreach(s =>
+      assert(Highlighter.stripAnsi(Highlighter.highlight(s)) == s))
+  }
+
+  test("config watcher surfaces workspace edits mid-session in .inspect") {
+    val cfgDir = Files.createTempDirectory("graft_cfg")
+    Files.write(cfgDir.resolve("a.tpc"),
+      """partition "aws_logs" "p0" {
+        |  source "file" {
+        |  }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+
+    val pipeOut = new java.io.PipedOutputStream()
+    val reader = new BufferedReader(new java.io.InputStreamReader(
+      new java.io.PipedInputStream(pipeOut), "UTF-8"))
+    val bos = new ByteArrayOutputStream()
+    val repl = new Repl(spark, lake,
+      graft.config.ConfigLoader.loadDir(cfgDir.toString), reader,
+      new PrintStream(bos, true, "UTF-8"), historyPath = None,
+      configDir = Some(cfgDir))
+    val t = new Thread(() => repl.loop())
+    t.start()
+    def send(s: String): Unit = {
+      pipeOut.write((s + "\n").getBytes("UTF-8")); pipeOut.flush()
+    }
+    def outText = new String(bos.toByteArray, "UTF-8")
+
+    send(".inspect")
+    val d0 = System.currentTimeMillis() + 10000
+    while (!outText.contains("aws_logs") && System.currentTimeMillis() < d0)
+      Thread.sleep(50)
+    assert(outText.contains("aws_logs"), "initial config partition missing")
+    assert(!outText.contains("gcp_logs"))
+
+    // edit the workspace mid-session: a new file declares a partition
+    Files.write(cfgDir.resolve("b.tpc"),
+      """partition "gcp_logs" "p0" {
+        |  source "file" {
+        |  }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    // the watcher debounces; keep re-inspecting until the reload lands
+    val d1 = System.currentTimeMillis() + 15000
+    while (!outText.contains("gcp_logs") && System.currentTimeMillis() < d1) {
+      send(".inspect")
+      Thread.sleep(100)
+    }
+    assert(outText.contains("gcp_logs"),
+      "watcher did not surface the new partition within 15s")
+    send(".exit")
+    t.join(10000)
+    assert(!t.isAlive)
+  }
 }

@@ -316,10 +316,48 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     // ...while time stays clustered well below the full 166-hour span
     assert(zSpreadTs < n * 30.0 * 0.5,
       s"ts spread $zSpreadTs not < half the full span")
-    // a string z-column would silently land every row in bin 0 — the
-    // operator must reject it loudly
+  }
+
+  test("z-order bins string columns by sampled lexicographic rank") {
+    val lake = newLake()
+    // s is a zero-padded permutation string, uncorrelated with time:
+    // time-ordered files see the full lexicographic range of s
+    val n = 20000
+    val raw = spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 30)")
+        .as("tp_timestamp"),
+      lit("a").as("idx"),
+      format_string("k%05d", (col("id") * 7919) % n).as("s"),
+      array(col("id")).as("arr"))
+    lake.append(spark, "t",
+      TpSchema.enrich(raw, PartitionSpec("t", "p0",
+        tpIndexColumn = Some("idx"))))
+
+    // numeric proxy for lexicographic spread: the padded digits
+    def perFileSpread(): Double = {
+      val spreads = lake.read(spark, "t")
+        .groupBy(input_file_name().as("f"))
+        .agg((max(substring(col("s"), 2, 5).cast("double")) -
+          min(substring(col("s"), 2, 5).cast("double"))).as("spread"))
+        .select("spread").as[Double].collect()
+      spreads.sum / spreads.length
+    }
+
+    Maintenance.compact(spark, lake, "t", targetFileRows = 1250)
+    val timeOrdered = perFileSpread()
+    val (_, after) = Maintenance.compactZorder(spark, lake, "t",
+      Seq("tp_timestamp", "s"), targetFileRows = 1250)
+    assert(after > 1, "expected multiple output files")
+    assert(lake.read(spark, "t").count() == n)
+    val zSpread = perFileSpread()
+    // per-file string ranges narrow → parquet min/max skipping on s
+    // becomes effective where the time-ordered layout gave none
+    assert(zSpread < timeOrdered * 0.5,
+      s"string spread $zSpread not < half of time-ordered $timeOrdered")
+    // a still-unsupported type (array) must fail loudly, not no-op
     assertThrows[IllegalArgumentException] {
-      Maintenance.compactZorder(spark, lake, "t", Seq("tp_table"))
+      Maintenance.compactZorder(spark, lake, "t", Seq("arr"))
     }
   }
 
