@@ -27,6 +27,27 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out === Set((1L, 3L), (4L, 1L)))
   }
 
+  test("passage dedup: cross-doc windows count, within-doc repeats don't") {
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")     // one full window
+    val df = Seq(
+      (1L, w + " t1 t2 t3 t4 t5"),  // [w, tail1] — shares w with doc 2
+      (2L, w + " u1 u2 u3 u4 u5"),  // [w, tail2]
+      (3L, "lonely words only"),    // single unique short passage
+      (4L, w.replace("w", "x") + " " + w.replace("w", "x")) // self-repeat
+    ).toDF("id", "text")
+    val out = Dedup.passageDuplication(df, "id", "text", window = 20)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_dup_passages"),
+          r.getAs[Double]("dup_ratio"))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))  // shared window flagged
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    // the repeated passage occurs only within doc 4 → not duplicated
+    assert(out(4L) == ((2L, 0L, 0.0)))
+  }
+
   test("exactJaccardFor computes hand-checked set Jaccard") {
     // a: {w1 w2 w3, w2 w3 w4} ; b: {w2 w3 w4, w3 w4 w5} -> J = 1/3
     val docs = Seq(
