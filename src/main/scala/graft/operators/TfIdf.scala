@@ -58,6 +58,48 @@ object TfIdf {
     topTermsFromTf(termFrequencies(corpus, idCol, textCol), nDocs, k)
   }
 
+  /** Corpus-frequency document score — the unigram-LM proxy behind
+    * CCNet/Gopher-style frequency filtering: documents whose tokens
+    * are unusually RARE corpus-wide (gibberish, OCR noise, foreign
+    * scripts) score low `mean_freq`; boilerplate-heavy docs score
+    * high. The real pipelines use a KenLM perplexity; the unigram
+    * mean-frequency is the vocab-free equivalent with the same
+    * dataflow (token → corpus LM stats → per-doc score).
+    *
+    * Output per doc: n_tokens, sum_freq (Σ corpus count of each token
+    * occurrence), mean_freq = sum_freq / (n_tokens · total_tokens).
+    *
+    * Exactness by construction: every aggregate is an integer sum
+    * (order-independent, engine-exact) and the single double division
+    * happens once per output row on identical operands — no
+    * float-accumulation ordering anywhere, so the oracle hash-matches
+    * bit-for-bit.
+    *
+    * Scale: reuses the (doc, term, tf) relation, so the term-keyed
+    * join fans out one row per DISTINCT (doc, term), not per token
+    * occurrence; term counts partial-aggregate map-side. Same 100 TB
+    * note as [[topTerms]]: materialize `termFrequencies` once and
+    * feed [[unigramFreqFromTf]].
+    */
+  def unigramFreqScore(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    unigramFreqFromTf(termFrequencies(corpus, idCol, textCol))
+
+  /** Score from a precomputed (doc_id, term, tf) relation. */
+  def unigramFreqFromTf(tf: DataFrame): DataFrame = {
+    val counts = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    tf.join(counts, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cnt")).as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast("double") /
+          (col("n_tokens").cast("double") * col("total").cast("double")))
+          .as("mean_freq"))
+  }
+
   /** Top-`k` from a precomputed (doc_id, term, tf) relation — the one-
     * tokenize-pass path for corpora where `tf` is materialized as a
     * table. `nDocs` is a 1-row (n_docs) frame, kept in-plan (no

@@ -298,6 +298,26 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Unigram corpus-frequency score (the vocab-free stand-in for
+    // CCNet's KenLM perplexity filter): integer-only aggregates plus
+    // one final division, so the oracle matches bit-for-bit.
+    "qt20_unigram_freq" -> ((s, dir) => {
+      graft.operators.TfIdf.unigramFreqScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic global corpus shuffle: md5(seed‖id) permutation,
+    // globally numbered by the two-pass distributed rank (no single-
+    // partition window). The oracle's plain row_number() over the same
+    // key must agree position-for-position — any offset bookkeeping
+    // error in DistributedRank breaks the hash.
+    "qt21_corpus_shuffle" -> ((s, dir) => {
+      graft.operators.Sampling.shuffled(
+          docs(s, dir).select("doc_id"), "doc_id", seed = "42")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    }),
+
     // Passage-level dedup (CCNet/Gopher duplicate-passage-fraction
     // filter): 20-word windows hashed and matched across documents.
     // Planted near-copies share every passage but the mutated tail, so
@@ -483,6 +503,29 @@ object TextQueries {
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_copies
       FROM normed GROUP BY md5(text) ORDER BY content_hash"""),
+    "qt21_corpus_shuffle" -> """
+      SELECT doc_id,
+             cast(row_number() OVER (
+               ORDER BY md5('42:' || cast(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS shuffle_pos
+      FROM documents ORDER BY doc_id""",
+    "qt20_unigram_freq" -> """
+      WITH toks AS (
+        SELECT doc_id, t AS term FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+          FROM documents) WHERE t <> ''),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      cnt AS (SELECT term, cast(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      tot AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM cnt),
+      agg AS (
+        SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_tokens,
+               cast(sum(tf * cnt) AS BIGINT) AS sum_freq
+        FROM tf JOIN cnt USING (term) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, sum_freq,
+             sum_freq::DOUBLE / (n_tokens::DOUBLE * total::DOUBLE)
+               AS mean_freq
+      FROM agg, tot ORDER BY doc_id""",
     "qt19_passage_dedup" -> (P + """
       , toks AS (SELECT doc_id,
                    string_split_regex(trim(text), '\s+') AS t

@@ -51,6 +51,30 @@ class SamplingSpec extends AnyFunSuite with SparkTest {
     assert(before == after)
   }
 
+  test("shuffled is a deterministic permutation, seed changes the order") {
+    val out = Sampling.shuffled(ids, "id", seed = "7", numPartitions = 8)
+    val pos = out.select("shuffle_pos").as[Long].collect().sorted
+    // exact permutation: positions are 1..n with no gaps or repeats
+    assert(pos.toSeq == (1L to 20000L))
+    // not the identity order (vanishingly unlikely for a hash order)
+    val first = out.where(col("shuffle_pos") === 1)
+      .select("id").as[Long].head()
+    assert(first != 0L || out.where(col("shuffle_pos") === 2)
+      .select("id").as[Long].head() != 1L)
+    // deterministic: same seed reproduces identical positions even
+    // under different input partitioning
+    val again = Sampling.shuffled(ids.repartition(5), "id", seed = "7",
+        numPartitions = 8)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val ref = out.select("id", "shuffle_pos").as[(Long, Long)]
+      .collect().toMap
+    assert(again == ref)
+    // a different seed yields a different permutation
+    val other = Sampling.shuffled(ids, "id", seed = "8", numPartitions = 8)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(other != ref)
+  }
+
   test("withSplit partitions every row exactly once") {
     val out = Sampling.withSplit(ids, "id", 0.25)
     assert(out.count() == 20000)
