@@ -134,6 +134,25 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Cluster-forming embedding dedup: the same pairs→groups composition
+    // as qt18, on the vector side — LSH-bucketed cosine pairs feed
+    // connected components, so transitively-linked near-copies form ONE
+    // keep/drop group even when the endpoints never met in any bucket.
+    // The oracle closes the exact pair list with a recursive CTE.
+    "qe09_embed_cluster" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val copies = e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val pairs = Similarity.cosineNearDupPairs(
+          e.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.95, tables = 8, bits = 8)
+        .select("id_a", "id_b")
+      val labeled = graft.operators.Components.connectedComponents(pairs)
+      graft.operators.Components.componentStats(labeled)
+        .select(col("component"), col("n_members"), col("n_dropped"))
+        .orderBy("component")
+    }),
+
     // Int8 symmetric quantization with per-vector audit stats
     // (operators/Quantize.scala) — pure map-side codegen'd array math;
     // the integer checksum + clamp count are exact, so the oracle
@@ -281,6 +300,32 @@ object VectorQueries {
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
       ORDER BY id_a, id_b""",
+    "qe09_embed_cluster" -> """
+      WITH RECURSIVE e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + 1000000, v FROM e WHERE vec_id < 20),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
+      pairs AS (SELECT id_a, id_b FROM p WHERE sim >= 0.95),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id AS id, ed.dst AS r
+        FROM reach JOIN edges ed ON ed.src = reach.r),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      SELECT cast(component AS BIGINT) AS component,
+             cast(count(*) AS BIGINT) AS n_members,
+             cast(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM comp GROUP BY component ORDER BY component""",
     "qe06_quantize" -> """
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
