@@ -330,6 +330,16 @@ object TextQueries {
         .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
           col("dup_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // Sliding-window chunking (training sequences / RAG passages):
+    // row-local posexplode over window starts, chunk content pinned by
+    // md5 — the oracle re-chunks from scratch, so an off-by-one in
+    // window starts, tail length, or slice bounds breaks the hash.
+    "qt22_chunking" -> ((s, dir) => {
+      graft.operators.Chunking.slidingChunks(docs(s, dir), "doc_id",
+          "text", chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -655,6 +665,20 @@ object TextQueries {
       FROM n ORDER BY doc_id"""),
     // thresholds: 0.5→80000000, 0.25→40000000 of the first 8 md5 hex
     // chars; lexicographic compare on lowercase hex == numeric compare
+    "qt22_chunking" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+        FROM documents),
+      st AS (SELECT doc_id, t, len(t) AS n,
+                    unnest(range(0, len(t), 16)) AS s
+             FROM toks)
+      SELECT doc_id,
+             cast(s // 16 AS int) AS chunk_id,
+             cast(s AS int) AS start_tok,
+             cast(least(32, n - s) AS int) AS chunk_tokens,
+             md5(array_to_string(list_slice(t, s + 1, s + 32), ' ')) AS chunk_hash
+      FROM st ORDER BY doc_id, chunk_id""",
     "qt10_stratified_sample" -> ("""
       WITH h AS (
         SELECT doc_id, lang,
