@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines (builder brief:
@@ -86,6 +87,50 @@ object Sampling {
     * as an explicit total-order tiebreaker anyway (oracle-exact by
     * construction, not by luck).
     */
+  /** Temperature-scaled multinomial source mixing — the "α-sampling"
+    * data-mixture step multilingual/multi-source pretraining uses
+    * (public recipe: sample source s with probability ∝ nₛ^α, α<1
+    * upweights small sources; α=1 is natural frequency). Returns the
+    * rows selected when drawing ~`budget` documents from that mixture,
+    * decided per-row by the same deterministic md5 unit as the other
+    * samplers: rateₛ = min(1, budget·pₛ/nₛ).
+    *
+    * Exactness by construction: the only order-sensitive float step is
+    * the sum of per-source weights, which is computed as an ORDERED
+    * window total over the source-cardinality table (sum the sqrt/pow
+    * weights in source-lexicographic order), so any engine reproduces
+    * the identical double — the oracle mirrors it with
+    * `sum(w ORDER BY source)`. The window is over the per-source count
+    * relation (dozens of rows, metadata-sized), never the corpus, so
+    * the single-partition window rule for corpus-sized data holds.
+    *
+    * Scale: one partial-aggregated groupBy over the corpus (source
+    * cardinality output), a broadcast join of the rate table, and a
+    * codegen'd filter — no corpus-sized shuffle at any size.
+    */
+  def temperatureMixture(
+      df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), alpha))
+    val total = Window.orderBy(sourceCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("__tw", sum("__w").over(total))
+      .withColumn("__rate",
+        least(lit(1.0),
+          lit(budget.toDouble) * col("__w") /
+            (col("__tw") * col("__n").cast("double"))))
+      .select(col(sourceCol), col("__rate"))
+    df.join(broadcast(rates), sourceCol)
+      .where(hashUnit(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
   def shuffled(
       df: DataFrame, idCol: String, seed: String = "0",
       numPartitions: Int = 32): DataFrame =

@@ -340,6 +340,22 @@ object TextQueries {
       graft.operators.Chunking.slidingChunks(docs(s, dir), "doc_id",
           "text", chunkSize = 32, stride = 16)
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Temperature-scaled source mixing (α-sampling): the uniform
+    // synthetic sources are folded into a skewed 3-domain split so the
+    // per-domain rates genuinely differ and the min(1, ·) cap fires for
+    // the small domains. Membership is the deterministic md5 unit, and
+    // the weight total is an ORDERED sum, so the oracle reproduces the
+    // exact row set (see Sampling.temperatureMixture).
+    "qt23_mixture_sample" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("dom",
+        when(col("source").isin("src0", "src1"), col("source"))
+          .otherwise(lit("tail")))
+      graft.operators.Sampling.temperatureMixture(d, "doc_id", "dom",
+          alpha = 0.5, budget = 250)
+        .select(col("doc_id"), col("dom"))
+        .orderBy("doc_id")
     })
   )
 
@@ -679,6 +695,23 @@ object TextQueries {
              cast(least(32, n - s) AS int) AS chunk_tokens,
              md5(array_to_string(list_slice(t, s + 1, s + 32), ' ')) AS chunk_hash
       FROM st ORDER BY doc_id, chunk_id""",
+    "qt23_mixture_sample" -> """
+      WITH d AS (SELECT doc_id,
+                   CASE WHEN source IN ('src0', 'src1') THEN source
+                        ELSE 'tail' END AS dom
+                 FROM documents),
+      c AS (SELECT dom, count(*) AS n,
+                   pow(count(*)::DOUBLE, 0.5) AS w
+            FROM d GROUP BY 1),
+      r AS (SELECT dom,
+                   least(1.0, 250.0 * w /
+                     ((SELECT sum(w ORDER BY dom) FROM c) * n::DOUBLE)) AS rate
+            FROM c)
+      SELECT d.doc_id, d.dom
+      FROM d JOIN r USING (dom)
+      WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 8))::BIGINT
+              / 4294967296.0 < r.rate
+      ORDER BY d.doc_id""",
     "qt10_stratified_sample" -> ("""
       WITH h AS (
         SELECT doc_id, lang,

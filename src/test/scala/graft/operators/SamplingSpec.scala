@@ -75,6 +75,50 @@ class SamplingSpec extends AnyFunSuite with SparkTest {
     assert(other != ref)
   }
 
+  test("temperatureMixture caps small-source rates and hits ~budget") {
+    // 100 docs in 'small', 9900 in 'big': α=0.5 weights 10 vs ~99.5,
+    // budget 2000 → small rate = min(1, 2000·0.0913/100) > 1 capped,
+    // big rate = 2000·0.9087/9900 ≈ 0.18
+    val df = spark.range(10000).select(col("id"),
+      when(col("id") < 100, lit("small")).otherwise(lit("big")).as("src"))
+    val got = Sampling.temperatureMixture(df, "id", "src",
+      alpha = 0.5, budget = 2000)
+    val bySrc = got.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("small") === 100L, "capped rate must keep all small-src rows")
+    val big = bySrc("big")
+    val expected = (2000.0 * (math.sqrt(9900.0) /
+      (math.sqrt(100.0) + math.sqrt(9900.0))))
+    assert(math.abs(big - expected) / expected < 0.1,
+      s"big-src sample $big vs ~$expected")
+  }
+
+  test("temperatureMixture is deterministic under repartitioning and " +
+      "broadcasts the rate table") {
+    val df = spark.range(5000).select(col("id"),
+      concat(lit("s"), (col("id") % 7).cast("string")).as("src"))
+    val a = Sampling.temperatureMixture(df, "id", "src", 0.3, 1000)
+    val b = Sampling.temperatureMixture(df.repartition(13), "id", "src",
+      0.3, 1000)
+    assert(a.select("id").as[Long].collect().sorted.toSeq ===
+      b.select("id").as[Long].collect().sorted.toSeq)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("temperatureMixture alpha=1 reduces to uniform corpus sampling") {
+    // natural-frequency mixing: every source's rate = budget/N
+    val df = spark.range(4000).select(col("id"),
+      (col("id") % 4).cast("string").as("src"))
+    val got = Sampling.temperatureMixture(df, "id", "src", 1.0, 1000)
+      .select("id").as[Long].collect().toSet
+    val want = Sampling.uniform(df, "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(got === want)
+  }
+
   test("withSplit partitions every row exactly once") {
     val out = Sampling.withSplit(ids, "id", 0.25)
     assert(out.count() == 20000)
