@@ -89,6 +89,66 @@ object Aggregators {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  private val mapEnc: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  private val strSeqEnc: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+
+  /** Misra–Gries heavy-hitters sketch over a term stream. Buffer holds
+    * ≤ `m` (term, residual-count) entries; the classic decrement step
+    * on overflow, and the mergeable-summaries merge (combine, then
+    * subtract the (m+1)-th largest residual and drop ≤0) for the
+    * partial-aggregate path — so the map-side buffers are fixed-size
+    * and the shuffle carries ≤ m·partitions entries no matter how many
+    * distinct terms the corpus has.
+    *
+    * Guarantee (Misra–Gries / Agarwal et al. mergeable summaries):
+    * every term with true frequency > N/(m+1) survives to the output.
+    * The sketch CONTENT is order-dependent (different partitionings
+    * yield different residuals) — callers must treat the output as a
+    * candidate superset and verify with exact counts, which is exactly
+    * what [[graft.operators.HeavyHitters.topK]] does.
+    */
+  class MisraGries(m: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(m > 0, s"capacity must be positive, got $m")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      b.get(a) match {
+        case Some(c) => b.updated(a, c + 1)
+        case None if b.size < m => b.updated(a, 1L)
+        // decrement-all: amortized O(1) per input — each overflow
+        // retires m+1 count units, so ≤ N/(m+1) overflows total
+        case None =>
+          b.flatMap { case (t, c) =>
+            if (c > 1) Some(t -> (c - 1)) else None
+          }
+      }
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val combined = y.foldLeft(x) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (combined.size <= m) combined
+      else {
+        // subtract the (m+1)-th largest residual: ≤ m entries can be
+        // strictly greater, so the trimmed buffer fits by construction
+        val cut = combined.valuesIterator.toArray
+          .sorted(Ordering[Long].reverse).apply(m)
+        combined.flatMap { case (t, c) =>
+          if (c > cut) Some(t -> (c - cut)) else None
+        }
+      }
+    }
+    def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] = mapEnc
+    def outputEncoder: Encoder[Seq[String]] = strSeqEnc
+  }
+
+  /** misraGries(m) as a Column-usable aggregate over term strings. */
+  def misraGries(m: Int): Column => Column = {
+    val f = udaf(new MisraGries(m), Encoders.STRING)
+    (c: Column) => f(c)
+  }
+
   /** minhash(n) as a Column-usable aggregate over shingle-hash longs. */
   def minhash(n: Int): Column => Column = {
     val f = udaf(new MinHash(n), Encoders.scalaLong)

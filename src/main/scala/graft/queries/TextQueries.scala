@@ -356,6 +356,18 @@ object TextQueries {
           alpha = 0.5, budget = 250)
         .select(col("doc_id"), col("dom"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus-wide top-k terms, sketch-then-verify: Misra–Gries bounds
+    // every shuffle at sketch-capacity rows, exact counting of the
+    // candidate superset makes the ranking sketch-independent — the
+    // oracle computes the full exact top-k, so a recall miss in the
+    // sketch (a top-20 term absent from the candidates) breaks the
+    // match, same gate design as the dedup sketches.
+    "qt24_heavy_hitters" -> ((s, dir) => {
+      graft.operators.HeavyHitters.topK(docs(s, dir), "text",
+          k = 20, capacity = 256)
+        .orderBy("rank")
     })
   )
 
@@ -712,6 +724,15 @@ object TextQueries {
       WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 8))::BIGINT
               / 4294967296.0 < r.rate
       ORDER BY d.doc_id""",
+    "qt24_heavy_hitters" -> """
+      WITH t AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+                 FROM documents),
+      c AS (SELECT term, count(*) AS cnt FROM t WHERE term <> '' GROUP BY 1),
+      r AS (SELECT term, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+            FROM c)
+      SELECT term, cnt, cast(rank AS int) AS rank
+      FROM r WHERE rank <= 20 ORDER BY rank""",
     "qt10_stratified_sample" -> ("""
       WITH h AS (
         SELECT doc_id, lang,
