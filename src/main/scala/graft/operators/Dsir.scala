@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Hashed n-gram importance weights — the DSIR recipe (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * public): score each raw document by how much its hashed-ngram
+  * feature distribution looks like a TARGET corpus versus the RAW
+  * corpus, then keep/resample the high-weight docs. The classic
+  * cheap-proxy alternative to classifier-based quality filtering.
+  *
+  * Features: unigrams + adjacent bigrams of the corpus-wide whitespace
+  * tokenizer, hashed into `buckets` bins via the first 8 hex chars of
+  * md5 (the same cross-engine-exact hash the samplers use). Per-bucket
+  * log-likelihood ratio with add-one smoothing:
+  *
+  *   λ_b = ln((ct_b+1)/(Tt+B)) − ln((cr_b+1)/(Tr+B))
+  *
+  * and a document's weight is Σ_b n_db·λ_b over its bucket counts.
+  *
+  * Exactness: every count (ct, cr, Tt, Tr, n_db) is an integer
+  * aggregate, so λ_b is a pure function of identical integers on any
+  * engine; the only float accumulation is the final per-doc Σ, emitted
+  * rounded to 4dp (same policy as TF-IDF scores).
+  *
+  * Scale shape for 100 TB: gram explosion is map-side; bucket stats
+  * partial-aggregate to ≤ buckets·partitions shuffled rows; λ is a
+  * `buckets`-row broadcast; the only corpus-sized shuffles are keyed on
+  * (doc, bucket) and doc — no vocabulary-sized state anywhere, which is
+  * the point of hashing the n-gram space down to `buckets` bins.
+  */
+object Dsir {
+
+  /** (doc_id, n_grams, weight) per document; `targetPred` marks the
+    * rows whose distribution defines the target (e.g. a trusted
+    * high-quality subset).
+    */
+  def importanceWeights(
+      corpus: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = lit(buckets.toDouble)
+    val grams = corpus
+      .select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        explode(TF.letBind(TF.tokens(col(textCol)),
+          toks => concat(toks, TF.bigrams(toks)))).as("g"))
+      .select(col("doc_id"), col("__tgt"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+    val stats = grams.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val lam = stats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("ct") + lit(1.0)) / (col("tt") + b)) -
+          log((col("cr") + lit(1.0)) / (col("tr") + b))).as("lam"))
+    grams.groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_grams"),
+        round(sum(col("n") * col("lam")), 4).as("weight"))
+  }
+}

@@ -368,6 +368,17 @@ object TextQueries {
       graft.operators.HeavyHitters.topK(docs(s, dir), "text",
           k = 20, capacity = 256)
         .orderBy("rank")
+    }),
+
+    // DSIR importance weights: target = the English subset, raw = the
+    // whole corpus. Every distribution statistic is an integer count,
+    // so the per-bucket log-ratios are engine-exact; the oracle
+    // re-derives grams, buckets, and smoothing from scratch — a
+    // tokenizer, hash, or smoothing mismatch breaks the hash.
+    "qt25_dsir_weights" -> ((s, dir) => {
+      graft.operators.Dsir.importanceWeights(docs(s, dir), "doc_id",
+          "text", targetPred = col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
     })
   )
 
@@ -733,6 +744,34 @@ object TextQueries {
             FROM c)
       SELECT term, cnt, cast(rank AS int) AS rank
       FROM r WHERE rank <= 20 ORDER BY rank""",
+    "qt25_dsir_weights" -> """
+      WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, lang, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, lang, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+        FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)),
+      b AS (SELECT doc_id, lang,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket
+            FROM grams),
+      stats AS (SELECT bucket, count(*) AS cr,
+                       count(*) FILTER (WHERE lang = 'en') AS ct
+                FROM b GROUP BY 1),
+      tot AS (SELECT cast(sum(cr) AS BIGINT) AS tr,
+                     cast(sum(ct) AS BIGINT) AS tt FROM stats),
+      lam AS (SELECT bucket,
+                     ln((ct + 1.0) / (tt + 256.0))
+                       - ln((cr + 1.0) / (tr + 256.0)) AS lam
+              FROM stats, tot),
+      db AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+      SELECT doc_id, cast(sum(n) AS BIGINT) AS n_grams,
+             round(sum(n * lam), 4) AS weight
+      FROM db JOIN lam USING (bucket)
+      GROUP BY doc_id ORDER BY doc_id""",
     "qt10_stratified_sample" -> ("""
       WITH h AS (
         SELECT doc_id, lang,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class DsirSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // target docs speak vocab A, raw-only docs speak vocab B; mixed doc
+  // in between — importance weights must order A-docs > mixed > B-docs
+  private lazy val corpus = {
+    val a = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta", true))
+    val b = (20 until 40).map(i => (i.toLong, "omega psi chi phi", false))
+    val m = Seq((40L, "alpha beta omega psi", false))
+    (a ++ b ++ m).toDF("doc_id", "text", "is_target")
+  }
+
+  test("target-like documents score higher than raw-only documents") {
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text",
+        col("is_target"), buckets = 64)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(w(0L) > w(40L), s"pure-target ${w(0L)} vs mixed ${w(40L)}")
+    assert(w(40L) > w(20L), s"mixed ${w(40L)} vs pure-raw ${w(20L)}")
+    assert(w(0L) > 0 && w(20L) < 0)
+  }
+
+  test("n_grams counts unigrams + adjacent bigrams") {
+    val n = Dsir.importanceWeights(corpus, "doc_id", "text",
+        col("is_target"), buckets = 64)
+      .where($"doc_id" === 0L).select("n_grams").as[Long].head()
+    assert(n === 4 + 3)
+  }
+
+  test("weights are partitioning-independent (integer statistics)") {
+    val a = Dsir.importanceWeights(corpus, "doc_id", "text",
+        col("is_target"), buckets = 32)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = Dsir.importanceWeights(corpus.repartition(11), "doc_id",
+        "text", col("is_target"), buckets = 32)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("lambda table is broadcast; no vocabulary-sized join") {
+    val plan = Dsir.importanceWeights(corpus, "doc_id", "text",
+        col("is_target"), buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
