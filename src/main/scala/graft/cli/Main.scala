@@ -165,6 +165,7 @@ object Main {
         case Some("format")    => formatCmd(config, opts, out)
         case Some("plugin")    => pluginCmd(config, configDir, opts, out)
         case Some("import")    => importCmd(spark, lake, opts, out)
+        case Some("export")    => exportCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -181,9 +182,11 @@ object Main {
   val usage: String =
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
-      |          format plugin import
+      |          format plugin import export
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
+      |export:   graft export <table> <out-dir> --shards N --id-column COL
+      |          [--seed S] [--token-column COL [--budget TOKENS]]
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -224,6 +227,48 @@ object Main {
     out.println(s"Imported $table.$part: ${res.rowsIngested} rows from $src")
     if (res.rowsInvalid > 0)
       out.println(s"Dropped ${res.rowsInvalid} invalid rows")
+  }
+
+  /** `export <table> <out-dir> --shards N --id-column COL` — training
+    * export: deterministic shuffle → [optional block packing] →
+    * balanced shards → parquet `shard=K/` layout + manifest (see
+    * graft.lake.Export; beyond-reference terminal pipeline stage).
+    */
+  private def exportCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    val table = opts.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "export requires <table> <out-dir> arguments"))
+    val outDir = opts.positional.lift(1).getOrElse(
+      throw new IllegalArgumentException(
+        "export requires an <out-dir> argument"))
+    val shards = opts.flag("shards").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("export requires --shards N"))
+    val idCol = opts.flag("id-column").getOrElse(
+      throw new IllegalArgumentException(
+        "export requires --id-column COL (a unique, stable row id — " +
+          "shard membership is a pure function of it)"))
+    val seed = opts.flag("seed").getOrElse("0")
+    val df = lake.read(spark, table)
+    require(df.columns.contains(idCol),
+      s"export: column '$idCol' not found in $table " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val manifest = (opts.flag("token-column"), opts.flag("budget")) match {
+      case (Some(tc), Some(b)) =>
+        graft.lake.Export.exportPacked(spark, df, idCol, tc, outDir,
+          shards, budget = b.toLong, seed = seed)
+      case (Some(tc), None) =>
+        graft.lake.Export.exportShards(spark, df, idCol, outDir, shards,
+          seed, tokenCol = Some(tc))
+      case (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          "export: --budget requires --token-column")
+      case (None, None) =>
+        graft.lake.Export.exportShards(spark, df, idCol, outDir, shards,
+          seed)
+    }
+    out.println(s"Exported $table to $outDir ($shards shards)")
+    out.println(graft.query.Render.table(manifest))
   }
 
   // ---- collect ---------------------------------------------------------

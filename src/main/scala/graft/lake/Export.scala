@@ -1,0 +1,91 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling}
+
+/** Training-data export: the terminal stage of the pipeline
+  * (clean → dedup → mix → shuffle → pack → shard → write). Turns a
+  * corpus into `n` balanced parquet shards laid out in a deterministic
+  * pseudo-random order, with a per-shard manifest — what a trainer's
+  * dataloader consumes (beyond-reference surface; the reference stops
+  * at the queryable lake).
+  *
+  * Determinism contract (same as [[graft.operators.Sampling]]): the
+  * permutation is md5(seed‖id), the shard of a row is a pure function
+  * of (seed, id, corpus size), and re-running the export reproduces
+  * byte-identical shard membership — audit-friendly and retry-safe.
+  *
+  * Scale shape: the shuffle order comes from the two-pass distributed
+  * rank (no single-partition window), shard assignment is column
+  * arithmetic on the global position (contiguous equal-width position
+  * ranges → shards balanced to ±1 row by construction, unlike modulo-
+  * hash sharding which is only balanced in expectation), and the write
+  * is one `partitionBy(shard)` job. Nothing corpus-sized ever lands on
+  * the driver; the manifest aggregate is shards-sized.
+  */
+object Export {
+
+  /** shard = (pos−1)·shards DIV N: contiguous equal-width position
+    * ranges, balanced to ±1 row exactly. Spark's `/` is double
+    * division, whose 53-bit mantissa could misplace boundary rows once
+    * pos·shards exceeds ~9e15 — `DIV` keeps the arithmetic integral at
+    * any corpus size. Expects `shuffle_pos` and `__n` in scope.
+    */
+  private def shardOf(shards: Int) =
+    expr(s"CAST(((shuffle_pos - 1) * $shards) DIV __n AS INT)")
+
+  /** Shuffle `df` by `idCol` with `seed`, assign `shards` contiguous
+    * position ranges, write parquet partitioned by `shard` under
+    * `outDir`, and return the per-shard manifest
+    * (shard, n_docs, first_pos, last_pos[, n_tokens when `tokenCol`
+    * is set]).
+    */
+  def exportShards(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      outDir: String, shards: Int, seed: String = "0",
+      tokenCol: Option[String] = None): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val ordered = Sampling.shuffled(df, idCol, seed)
+    val n = ordered.agg(count(lit(1)).as("__n"))
+    val sharded = ordered.crossJoin(broadcast(n))
+      .withColumn("shard", shardOf(shards))
+      .drop("__n")
+    sharded.write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(outDir)
+    val written = spark.read.parquet(outDir)
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      min("shuffle_pos").as("first_pos"),
+      max("shuffle_pos").as("last_pos")) ++
+      tokenCol.map(c => sum(col(c).cast("long")).as("n_tokens"))
+    written.groupBy("shard").agg(aggs.head, aggs.tail: _*)
+      .orderBy("shard")
+  }
+
+  /** [[exportShards]] + block packing: adds `tokens_before` /
+    * `block_id` columns (budget-token blocks in shuffle order) before
+    * sharding, so the dataloader can seek to any block without
+    * re-scanning. Requires a token-count column.
+    */
+  def exportPacked(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      tokenCol: String, outDir: String, shards: Int,
+      budget: Long, seed: String = "0"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val ordered = Sampling.shuffled(df, idCol, seed)
+    val packed = Packing.pack(ordered, "shuffle_pos", tokenCol, budget)
+    val n = packed.agg(count(lit(1)).as("__n"))
+    val sharded = packed.crossJoin(broadcast(n))
+      .withColumn("shard", shardOf(shards))
+      .drop("__n")
+    sharded.write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir).groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"),
+        countDistinct("block_id").as("n_blocks"))
+      .orderBy("shard")
+  }
+}

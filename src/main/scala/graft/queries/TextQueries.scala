@@ -379,6 +379,26 @@ object TextQueries {
       graft.operators.Dsir.importanceWeights(docs(s, dir), "doc_id",
           "text", targetPred = col("lang") === "en", buckets = 256)
         .orderBy("doc_id")
+    }),
+
+    // End-to-end export manifest: deterministic corpus shuffle →
+    // distributed prefix-sum pack in shuffle order → per-block
+    // manifest. Composes three oracle-gated operators in series; the
+    // oracle replays the whole chain with plain window SQL, so an
+    // ordering or offset bug anywhere in the pipeline breaks the hash.
+    "qt26_export_manifest" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"))
+      val ordered = graft.operators.Sampling.shuffled(toks, "doc_id",
+        seed = "42")
+      val packed = graft.operators.Packing.pack(ordered, "shuffle_pos",
+        "n_tokens", budget = 2048)
+      packed.groupBy("block_id").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("block_tokens"),
+          min("shuffle_pos").as("first_pos"),
+          max("shuffle_pos").as("last_pos"))
+        .orderBy("block_id")
     })
   )
 
@@ -772,6 +792,26 @@ object TextQueries {
              round(sum(n * lam), 4) AS weight
       FROM db JOIN lam USING (bucket)
       GROUP BY doc_id ORDER BY doc_id""",
+    "qt26_export_manifest" -> """
+      WITH d AS (
+        SELECT doc_id,
+               cast(len(string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+')) AS int) AS n_tokens,
+               md5('42:' || cast(doc_id AS VARCHAR)) AS skey
+        FROM documents),
+      o AS (SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY skey, doc_id) AS pos
+            FROM d),
+      p AS (SELECT pos, n_tokens,
+                   cast(coalesce(sum(n_tokens) OVER (ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS tb
+            FROM o)
+      SELECT cast(floor(tb / 2048.0) AS BIGINT) AS block_id,
+             count(*) AS n_docs,
+             cast(sum(n_tokens) AS BIGINT) AS block_tokens,
+             cast(min(pos) AS BIGINT) AS first_pos,
+             cast(max(pos) AS BIGINT) AS last_pos
+      FROM p GROUP BY 1 ORDER BY 1""",
     "qt10_stratified_sample" -> ("""
       WITH h AS (
         SELECT doc_id, lang,

@@ -357,6 +357,23 @@ class MainSpec extends AnyFunSuite with SparkTest {
       msg3.contains("host"), msg3)
   }
 
+  test("export writes balanced shuffled shards with a manifest") {
+    val dir = Files.createTempDirectory("graft_export_cli").toFile
+    val out = s"${dir.getPath}/shards"
+    val (rc, msg) = cli(root, "export", "access_log", out,
+      "--shards", "2", "--id-column", "tp_timestamp", "--seed", "7")
+    assert(rc == 0, msg)
+    assert(msg.contains(s"Exported access_log to $out (2 shards)"), msg)
+    assert(msg.contains("n_docs"), msg)
+    val written = spark.read.parquet(out)
+    assert(written.count() == 3)
+    assert(written.select("shard").distinct().count() == 2)
+    // missing id column fails loudly, rc=1
+    val (rcBad, bad) = cli(root, "export", "access_log",
+      s"${dir.getPath}/bad", "--shards", "2", "--id-column", "nope")
+    assert(rcBad == 1 && bad.contains("nope"), bad)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==
