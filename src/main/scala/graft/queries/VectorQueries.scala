@@ -162,6 +162,29 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Binary (sign-bit) quantization ANN over the qe02/qe05 planted
+    // corpus: 64-dim vectors collapse to ONE long each, the Hamming
+    // sweep touches only signatures, and exact cosine reranks the
+    // radius survivors. Noisy copies scale coordinates by positive
+    // factors, so their signatures are IDENTICAL (Hamming 0) — the
+    // exact oracle is a full recall gate like qe02/qe05/qe07/qe08.
+    "qe10_ann_binary" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val noisy = e.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+      val corpus = e.unionByName(noisy)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.annBinary(q, c, k = 5, maxHamming = 6, minSim = 0.99)
+        .select("qid", "cid", "sim", "rank")
+        .orderBy("qid", "rank")
+    }),
+
     // Per-label embedding statistics (norms, first-component mean).
     "qe04_embedding_stats" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -191,6 +214,30 @@ object VectorQueries {
               cast(row_number() OVER (PARTITION BY qid
                 ORDER BY sim DESC, cid) AS int) AS rank
             FROM s)
+      SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
+    // identical answer set to qe02 (index-independent by construction)
+    "qe10_ann_binary" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      noisy AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list(x * (1.0 + 0.01 * (((i - 1) % 5) - 2)) ORDER BY i) AS v
+        FROM (SELECT vec_id, unnest(v) AS x,
+                generate_subscripts(v, 1) AS i
+              FROM e WHERE vec_id < 10)
+        GROUP BY vec_id),
+      corpus AS (SELECT * FROM e UNION ALL SELECT * FROM noisy),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      s AS (SELECT qid, c.vec_id AS cid,
+              round(list_cosine_similarity(qv, c.v), 4) AS sim
+            FROM q, corpus c WHERE qid <> c.vec_id),
+      hits AS (SELECT qid, cid, sim FROM s WHERE sim >= 0.99),
+      r AS (SELECT qid, cid, sim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS int) AS rank
+            FROM hits)
       SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
       ORDER BY qid, rank""",
     "qe02_ann_lsh" -> """

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class BinaryAnnSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def sig(v: Seq[Double]): Seq[Long] =
+    Seq(v).toDF("v")
+      .select(Similarity.binarySignature(col("v")))
+      .as[Seq[Long]].head()
+
+  test("signature packs signs MSB-first via shift-or") {
+    // bits: 1,0,1,0 (strictly positive → 1; zero/negative → 0)
+    assert(sig(Seq(1.0, -1.0, 0.5, 0.0)) === Seq(10L))
+    assert(sig(Seq(-1.0, -2.0)) === Seq(0L))
+    assert(sig(Seq(3.0)) === Seq(1L))
+  }
+
+  test("vectors beyond 64 dims spill into additional words") {
+    val v = Seq.fill(64)(1.0) ++ Seq(1.0, -1.0, 1.0, -1.0, -1.0, 1.0)
+    val s = sig(v)
+    assert(s.length === 2)
+    assert(s.head === -1L) // 64 ones
+    assert(s(1) === 41L)   // 101001 MSB-first
+  }
+
+  test("positive per-coordinate scaling preserves the signature exactly") {
+    val base = (0 until 64).map(i => math.sin(i * 2.7) + 0.001)
+    val scaled = base.zipWithIndex.map { case (x, i) =>
+      x * (1.0 + 0.01 * ((i % 5) - 2))
+    }
+    assert(sig(base) === sig(scaled))
+  }
+
+  test("hamming counts differing sign bits across words") {
+    val a = Seq.fill(70)(1.0)
+    val b = a.updated(3, -1.0).updated(68, -1.0)
+    val d = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.hamming(
+        Similarity.binarySignature(col("a")),
+        Similarity.binarySignature(col("b"))))
+      .as[Long].head()
+    assert(d === 2L)
+  }
+
+  test("annBinary recalls planted positive-scaled copies exactly") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(id =>
+      (id, Seq.fill(64)(rnd.nextGaussian())))
+    val copies = base.take(5).map { case (id, v) =>
+      (id + 1000, v.zipWithIndex.map { case (x, i) =>
+        x * (1.0 + 0.005 * ((i % 3) - 1)) })
+    }
+    val corpus = (base ++ copies).toDF("cid", "cvec")
+    val q = base.take(5).toDF("qid", "qvec")
+    val got = Similarity.annBinary(q, corpus, k = 3, maxHamming = 6,
+        minSim = 0.99)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(got === (0L until 5L).map(id => (id, id + 1000)).toSet)
+  }
+}
