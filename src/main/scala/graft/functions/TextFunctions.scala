@@ -117,6 +117,46 @@ object TextFunctions {
       },
       acc => acc.getField("best"))
 
+  /** Shannon entropy (bits/char) of the lowercased character stream —
+    * the classic gibberish/byte-noise detector quality filters pair
+    * with the stopword and repetition metrics: natural language sits
+    * ~3.5–4.5 bits, base64/hex soup higher, "aaaa…" runs near 0.
+    *
+    * Row-local like [[topElementCount]]: one sorted-run `aggregate`
+    * computes Σ n_c·ln(n_c) without exploding characters into a
+    * shuffle, then H = (ln N − Σ/N)/ln 2 — algebraically the
+    * frequency-table entropy, but derived from integer run lengths so
+    * any engine reproduces it from the same counts (oracle rounds to
+    * 4dp to absorb summation-order ulps).
+    */
+  def charEntropy(text: Column): Column =
+    letBind(sort_array(filter(split(lower(text), ""), c => c =!= "")),
+      chars =>
+      letBind(size(chars), n => {
+        val folded = aggregate(
+          chars,
+          struct(lit(null).cast("string").as("prev"),
+            lit(0L).as("run"), lit(0.0).as("s")),
+          (acc, x) => {
+            val same = x <=> acc.getField("prev")
+            struct(
+              x.as("prev"),
+              when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+              when(same, acc.getField("s")).otherwise(
+                acc.getField("s") +
+                  when(acc.getField("run") > 0,
+                    acc.getField("run").cast("double") *
+                      log(acc.getField("run").cast("double")))
+                    .otherwise(lit(0.0))).as("s"))
+          },
+          acc => acc.getField("s") +
+            when(acc.getField("run") > 0,
+              acc.getField("run").cast("double") *
+                log(acc.getField("run").cast("double"))).otherwise(lit(0.0)))
+        when(n === 0, lit(0.0)).otherwise(
+          (log(n.cast("double")) - folded / n.cast("double")) / log(lit(2.0)))
+      }))
+
   /** Adjacent-token bigram strings; empty array below 2 tokens. */
   def bigrams(toks: Column): Column =
     when(size(toks) >= 2,

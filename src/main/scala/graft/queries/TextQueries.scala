@@ -358,6 +358,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Character-entropy quality metric (gibberish / byte-noise
+    // detector): row-local sorted-run aggregate, no character explode.
+    // The oracle recomputes H from the per-character frequency table —
+    // the two derivations agree only if the run-length accumulation is
+    // exactly the frequency table, so an off-by-one in run flushing
+    // breaks the hash.
+    "qt27_char_entropy" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          round(TF.charEntropy(col("text")), 4).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide top-k terms, sketch-then-verify: Misra–Gries bounds
     // every shuffle at sketch-capacity rows, exact counting of the
     // candidate superset makes the ranking sketch-independent — the
@@ -754,6 +767,19 @@ object TextQueries {
       FROM d JOIN r USING (dom)
       WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 8))::BIGINT
               / 4294967296.0 < r.rate
+      ORDER BY d.doc_id""",
+    "qt27_char_entropy" -> """
+      WITH ch AS (SELECT doc_id, c FROM (
+               SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+               FROM documents) WHERE c <> ''),
+      cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      tot AS (SELECT doc_id, cast(sum(n) AS BIGINT) AS nc,
+                     sum(n * ln(n)) AS s
+              FROM cc GROUP BY 1)
+      SELECT d.doc_id, cast(length(d.text) AS int) AS n_chars,
+             round(CASE WHEN tot.nc IS NULL OR tot.nc = 0 THEN 0.0
+                        ELSE (ln(nc) - s / nc) / ln(2) END, 4) AS entropy
+      FROM documents d LEFT JOIN tot USING (doc_id)
       ORDER BY d.doc_id""",
     "qt24_heavy_hitters" -> """
       WITH t AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term

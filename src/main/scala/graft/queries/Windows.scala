@@ -183,10 +183,37 @@ object Windows {
         .agg(count(lit(1)))
         .select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
         .orderBy("user_id")
+    }),
+
+    // Hopping (sliding) event-time windows via Spark's built-in
+    // `window()` generator — 1 h windows every 30 min, so each event
+    // lands in exactly 2 windows. Batch counterpart of the streaming
+    // windowed aggregation (streaming/StreamIngest.scala); the oracle
+    // re-derives the window starts with time_bucket arithmetic, so an
+    // alignment or boundary bug (epoch offset, [start, end) vs
+    // (start, end]) breaks the hash.
+    "q38_hopping_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q38_hopping_window" -> (E + """
+      , grid AS (SELECT i FROM (SELECT unnest(range(0, 2)) AS i)),
+      w AS (SELECT event_type, value,
+                   time_bucket(INTERVAL 30 MINUTE, ts)
+                     - i * INTERVAL 30 MINUTE AS w_start
+            FROM e CROSS JOIN grid)
+      SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""),
     "q24_window_topn" -> """
       SELECT * FROM (
         SELECT cast(year(o_orderdate) AS int) AS y,
