@@ -64,4 +64,49 @@ object Dsir {
       .agg(sum("n").as("n_grams"),
         round(sum(col("n") * col("lam")), 4).as("weight"))
   }
+
+  /** Per-source distribution drift: KL(Pₛ ‖ P_corpus) over the same
+    * hashed-unigram buckets, add-one smoothed — the corpus-profiling
+    * counterpart of [[importanceWeights]] (which source's language has
+    * shifted away from the corpus mix; the monitoring signal batch
+    * pipelines alert on between crawls).
+    *
+    * The sum runs over the FULL source×bucket grid (zero-count buckets
+    * contribute their smoothed mass — dropping them would understate
+    * divergence for narrow sources), built by exploding `buckets`
+    * literals per source: sources×buckets rows, metadata-sized.
+    * After the one corpus-wide (source, bucket) count, everything is
+    * arithmetic on that small grid. Output weight is rounded to 4dp
+    * (summation-order policy of [[importanceWeights]]).
+    */
+  def sourceDivergence(
+      corpus: DataFrame, sourceCol: String, textCol: String,
+      buckets: Int = 128): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = lit(buckets.toDouble)
+    val counts = corpus
+      .select(col(sourceCol).as("source"),
+        explode(TF.tokens(col(textCol))).as("g"))
+      .select(col("source"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+    val grid = counts.select("source").distinct()
+      .crossJoin(broadcast(
+        corpus.sparkSession.range(buckets).select(col("id").as("bucket"))))
+    val full = grid.join(counts, Seq("source", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val corpusBucket = full.groupBy("bucket").agg(sum("n").as("nb"))
+    val totals = full.groupBy("source").agg(sum("n").as("ts"))
+    val grand = corpusBucket.agg(sum("nb").as("t"))
+    full.join(broadcast(corpusBucket), "bucket")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("ts"),
+        ((col("n") + lit(1.0)) / (col("ts") + b)).as("p"),
+        ((col("nb") + lit(1.0)) / (col("t") + b)).as("q"))
+      .groupBy("source")
+      .agg(first("ts").as("n_tokens"),
+        round(sum(col("p") * log(col("p") / col("q"))), 4).as("kl"))
+  }
 }

@@ -281,6 +281,23 @@ object Relational {
       s.sql(filterAggSql)
     }),
 
+    // Exact grouped percentiles (sort-based `percentile`, linear
+    // interpolation — same definition as DuckDB quantile_cont). The
+    // exact aggregate buffers each group's values, which is the right
+    // tool for dashboard-sized groups; at 100 TB swap in
+    // `approx_percentile` (t-digest sketch, fixed-size buffers,
+    // partial-aggregable) — PercentileSpec pins the two to within
+    // sketch tolerance so the swap is a one-word change.
+    "q39_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          transform(
+            expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"),
+            x => round(x, 4)).as("price_q"))
+        .orderBy("l_returnflag")
+    }),
+
     // DuckDB-dialect pass-through: the SAME SQL text the reference's
     // users write (strptime/strftime/epoch_ms/list/list_sort/len/
     // regexp_matches/json_structure) runs on spark.sql via the
@@ -451,6 +468,12 @@ object Relational {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY rf, ls""",
     "q35_dialect" -> dialectSql,
-    "q37_filter_agg" -> filterAggSql
+    "q37_filter_agg" -> filterAggSql,
+    "q39_percentiles" -> """
+      SELECT l_returnflag, count(*) AS n,
+             list_transform(
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
+               x -> round(x, 4)) AS price_q
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

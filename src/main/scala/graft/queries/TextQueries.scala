@@ -394,6 +394,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source KL divergence over hashed-unigram buckets: the corpus
+    // drift monitor. Integer counts → smoothed grid-complete KL; the
+    // oracle rebuilds the full source×bucket grid, so dropping
+    // zero-count buckets (understating divergence) breaks the hash.
+    "qt28_source_divergence" -> ((s, dir) => {
+      graft.operators.Dsir.sourceDivergence(docs(s, dir), "source",
+          "text", buckets = 128)
+        .orderBy("source")
+    }),
+
     // End-to-end export manifest: deterministic corpus shuffle →
     // distributed prefix-sum pack in shuffle order → per-block
     // manifest. Composes three oracle-gated operators in series; the
@@ -790,6 +800,29 @@ object TextQueries {
             FROM c)
       SELECT term, cnt, cast(rank AS int) AS rank
       FROM r WHERE rank <= 20 ORDER BY rank""",
+    "qt28_source_divergence" -> """
+      WITH toks AS (
+        SELECT source,
+               unnest(string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+')) AS g
+        FROM documents),
+      bkt AS (SELECT source,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 128 AS bucket
+              FROM toks),
+      counts AS (SELECT source, bucket, count(*) AS n FROM bkt GROUP BY 1, 2),
+      grid AS (SELECT s.source, r.bucket
+               FROM (SELECT DISTINCT source FROM counts) s
+               CROSS JOIN (SELECT unnest(range(0, 128)) AS bucket) r),
+      fl AS (SELECT g.source, g.bucket, coalesce(c.n, 0) AS n
+             FROM grid g LEFT JOIN counts c USING (source, bucket)),
+      nb AS (SELECT bucket, cast(sum(n) AS BIGINT) AS nb FROM fl GROUP BY 1),
+      ts AS (SELECT source, cast(sum(n) AS BIGINT) AS ts FROM fl GROUP BY 1),
+      t AS (SELECT cast(sum(nb) AS BIGINT) AS t FROM nb)
+      SELECT f.source, ts.ts AS n_tokens,
+             round(sum(((f.n + 1.0) / (ts.ts + 128.0))
+               * ln(((f.n + 1.0) / (ts.ts + 128.0))
+                    / ((nb.nb + 1.0) / (t.t + 128.0)))), 4) AS kl
+      FROM fl f JOIN nb USING (bucket) JOIN ts USING (source) CROSS JOIN t
+      GROUP BY 1, 2 ORDER BY source""",
     "qt25_dsir_weights" -> """
       WITH toks AS (
         SELECT doc_id, lang,

@@ -44,6 +44,20 @@ class DsirSpec extends AnyFunSuite with SparkTest {
     assert(a === b)
   }
 
+  test("sourceDivergence ranks the divergent source highest") {
+    val mixed = (0 until 30).map(i =>
+      (s"common text about spark and data $i", if (i % 2 == 0) "a" else "b"))
+    val weird = (0 until 15).map(i =>
+      (s"zzz qqq xxx vvv kkk jjj $i", "c"))
+    val df = (mixed ++ weird).toDF("text", "source")
+    val kl = Dsir.sourceDivergence(df, "source", "text", buckets = 64)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(kl("c") > kl("a") && kl("c") > kl("b"),
+      s"divergent source must dominate: $kl")
+    assert(kl.values.forall(_ >= 0.0), s"KL must be non-negative: $kl")
+  }
+
   test("lambda table is broadcast; no vocabulary-sized join") {
     val plan = Dsir.importanceWeights(corpus, "doc_id", "text",
         col("is_target"), buckets = 64)
