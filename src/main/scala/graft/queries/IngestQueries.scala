@@ -452,6 +452,34 @@ object IngestQueries {
         .orderBy("tp_index")
     }),
 
+    // Streaming hopping-window aggregation, end-to-end: the JSONL inbox
+    // replayed as a file-source stream through the watermarked sliding
+    // window (StreamIngest.hoppingAgg), complete-mode memory sink. The
+    // oracle recomputes the 2-windows-per-event expansion from the
+    // source table, so a dropped micro-batch, a window-alignment bug,
+    // or double-counting across the overlap breaks count/sum/hash.
+    "qi15_stream_window" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi15"
+      rmrf(root)
+      writeEventsJsonl(s, dir, s"$root/inbox", chunks = 4)
+      val schema = s.read.json(s"$root/inbox").schema
+      val stream = s.readStream.schema(schema).json(s"$root/inbox")
+        .withColumn("ts",
+          to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      val agg = graft.streaming.StreamIngest.hoppingAgg(stream, "ts",
+        "event_type", "value", "1 hour", "30 minutes",
+        watermarkDelay = "1 hour")
+      val q = agg.writeStream.format("memory").queryName("qi15_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("qi15_mem")
+        .select(col("w_start"), col("w_end"), col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // Legacy-workspace migration analogue (reference
     // internal/migration/migration.go:39-247 re-ingests pre-DuckLake
     // `tp_table=*` parquet dirs into the new catalog): a foreign
@@ -588,6 +616,17 @@ object IngestQueries {
       GROUP BY event_type ORDER BY tp_index"""),
     "qi13_stream_ingest" -> (aggByIndex + """
       GROUP BY event_type ORDER BY tp_index"""),
+    "qi15_stream_window" -> """
+      WITH e AS (SELECT cast(ts AS timestamp) AS ts, event_type, value
+                 FROM events),
+      grid AS (SELECT i FROM (SELECT unnest(range(0, 2)) AS i)),
+      w AS (SELECT event_type, value,
+                   time_bucket(INTERVAL 30 MINUTE, ts)
+                     - i * INTERVAL 30 MINUTE AS w_start
+            FROM e CROSS JOIN grid)
+      SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
     "qi07_compact" -> (aggByIndex + """
       GROUP BY event_type ORDER BY tp_index"""),
     "qi08_grok_ingest" -> """

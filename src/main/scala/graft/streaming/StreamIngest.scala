@@ -94,6 +94,25 @@ object StreamIngest {
         col("window.end").as("window_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) windows — [[windowedAgg]] with a slide shorter
+    * than the window, so each event contributes to window/slide
+    * overlapping windows (the streaming twin of the batch q38 query).
+    * Same bounded-state contract: watermark-expired windows finalize
+    * and evict.
+    */
+  def hoppingAgg(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowDuration: String, slideDuration: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col(keyCol), col("n"), col("sum_value"))
+
   /** Streaming exact dedup with bounded state: drops rows whose key was
     * already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the streaming twin of
