@@ -212,6 +212,54 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Maximum-inner-product search (MIPS) via the norm-augmentation
+    * reduction to angular search (public technique: Neyshabur & Srebro
+    * 2015 / Shrivastava & Li asymmetric LSH): append to each candidate
+    * the residual coordinate √(M²−‖c‖²) where M = max candidate norm,
+    * and 0 to each query — the augmented candidates share a norm M, so
+    * the largest inner product becomes the smallest augmented angle,
+    * and any angular index (here: the packed sign signatures of
+    * [[annBinary]]) serves as the candidate generator. Exact DOT
+    * products (of the ORIGINAL vectors) rerank the Hamming survivors.
+    *
+    * This is the retrieval mode recommendation/embedding-score systems
+    * need where cosine is wrong (magnitude carries signal —
+    * popularity, confidence, recency weights baked into norms).
+    *
+    * Sign trick: the augmented candidate's first `dim` sign bits equal
+    * the raw vector's (the 1/M scaling is positive), so signatures are
+    * computed on `concat(vec, [residual])` with NO division — one
+    * extra bit, no float normalization in the index path.
+    */
+  def mipsBinary(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      maxHamming: Int = 6,
+      minDot: Double = Double.NegativeInfinity): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m2 = candidates.agg(max(dotD(col("cvec"), col("cvec"))).as("__m2"))
+    val csig = candidates.crossJoin(broadcast(m2))
+      .select(col("cid"), binarySignature(
+        concat(col("cvec"),
+          array(sqrt(greatest(lit(0.0),
+            col("__m2") - dotD(col("cvec"), col("cvec"))))))).as("csig"))
+    val qsig = queries
+      .select(col("qid"),
+        binarySignature(concat(col("qvec"), array(lit(0.0)))).as("qsig"))
+    val pairs = csig.crossJoin(broadcast(qsig))
+      .where(col("qid") =!= col("cid") &&
+        hamming(col("qsig"), col("csig")) <= maxHamming)
+      .select("qid", "cid")
+    val scored = pairs
+      .join(broadcast(queries), "qid")
+      .join(candidates, "cid")
+      .select(col("qid"), col("cid"),
+        round(dotD(col("qvec"), col("cvec")), 4).as("dot"))
+      .where(col("dot") >= minDot)
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) approximate kNN — the classic two-level ANN
     * index, Spark-first. The coarse quantizer is `nlist` sampled
     * candidate vectors (deterministic hash-order sample, unit-

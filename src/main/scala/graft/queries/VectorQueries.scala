@@ -185,6 +185,30 @@ object VectorQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Maximum-inner-product search via the norm-augmentation reduction
+    // (Similarity.mipsBinary): copies of each unit query planted at
+    // scales 10 and 9 are the only candidates with dot ≥ 6 (measured
+    // max off-diagonal cosine in this corpus < 0.5 ⇒ max random dot
+    // < 5), so the answer set is index-independent — and positive
+    // scaling preserves every sign bit, so the signature stage recalls
+    // the planted pair at Hamming ≤ 1 by construction.
+    "qe11_mips" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          transform(col("v"), x => x / Similarity.norm(col("v"))).as("qvec"))
+      val planted = q.select((col("qid") + 1000000).as("cid"),
+          transform(col("qvec"), x => x * 10.0).as("cvec"))
+        .unionByName(q.select((col("qid") + 2000000).as("cid"),
+          transform(col("qvec"), x => x * 9.0).as("cvec")))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        .unionByName(planted)
+      Similarity.mipsBinary(q, c, k = 5, maxHamming = 6, minDot = 6.0)
+        .select("qid", "cid", "dot", "rank")
+        .orderBy("qid", "rank")
+    }),
+
     // Per-label embedding statistics (norms, first-component mean).
     "qe04_embedding_stats" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -215,6 +239,30 @@ object VectorQueries {
                 ORDER BY sim DESC, cid) AS int) AS rank
             FROM s)
       SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
+    "qe11_mips" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid,
+                   list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS qv
+            FROM e WHERE vec_id < 10),
+      planted AS (
+        SELECT qid + 1000000 AS cid,
+               list_transform(qv, x -> x * 10.0) AS cv FROM q
+        UNION ALL
+        SELECT qid + 2000000 AS cid,
+               list_transform(qv, x -> x * 9.0) AS cv FROM q),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            UNION ALL SELECT cid, cv FROM planted),
+      s AS (SELECT qid, cid, round(list_inner_product(qv, cv), 4) AS dot
+            FROM q, c WHERE qid <> cid),
+      hits AS (SELECT * FROM s WHERE dot >= 6.0),
+      r AS (SELECT qid, cid, dot,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY dot DESC, cid) AS int) AS rank
+            FROM hits)
+      SELECT qid, cid, dot, rank FROM r WHERE rank <= 5
       ORDER BY qid, rank""",
     // identical answer set to qe02 (index-independent by construction)
     "qe10_ann_binary" -> """

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt21_corpus_shuffle", "qt22_chunking", "qt23_mixture_sample",
     "qt24_heavy_hitters", "qt25_dsir_weights", "qt26_export_manifest",
     "qe02_ann_lsh", "qe03_cosine_neardup",
-    "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary")
+    "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
+    "qe11_mips")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {

@@ -47,6 +47,41 @@ class BinaryAnnSpec extends AnyFunSuite with SparkTest {
     assert(d === 2L)
   }
 
+  test("mipsBinary ranks by inner product, not cosine") {
+    // candidate B is perfectly aligned but tiny; candidate C is at a
+    // modest angle but large — MIPS must put C first (dot 8 > 0.1),
+    // where cosine search would put B first
+    val q = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("qid", "qvec")
+    val c = Seq(
+      (10L, Seq(0.1, 0.0, 0.0, 0.0)),           // cos 1.0, dot 0.1
+      (11L, Seq(8.0, 6.0, 0.0, 0.0)),           // cos 0.8, dot 8.0
+      (12L, Seq(-5.0, 1.0, 1.0, 1.0))           // negative dot
+    ).toDF("cid", "cvec")
+    val got = Similarity.mipsBinary(q, c, k = 3, maxHamming = 4)
+      .select("cid", "dot", "rank").as[(Long, Double, Int)]
+      .collect().sortBy(_._3).toSeq
+    assert(got.map(_._1).take(2) === Seq(11L, 10L))
+    assert(got.head._2 === 8.0)
+  }
+
+  test("mipsBinary recalls max-scale copies at Hamming <= 1") {
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 100L).map { id =>
+      val v = Seq.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n))
+    }
+    val copies = base.take(4).map { case (id, v) =>
+      (id + 1000, v.map(_ * 10.0))
+    }
+    val corpus = (base ++ copies).toDF("cid", "cvec")
+    val q = base.take(4).toDF("qid", "qvec")
+    val got = Similarity.mipsBinary(q, corpus, k = 2, maxHamming = 6,
+        minDot = 6.0)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(got === (0L until 4L).map(id => (id, id + 1000)).toSet)
+  }
+
   test("annBinary recalls planted positive-scaled copies exactly") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 200L).map(id =>
