@@ -1,0 +1,78 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.PartitionSpec
+
+/** MERGE/upsert into a lake table — latest-wins by key, the CDC
+  * "apply a changelog batch" primitive lakehouse pipelines run between
+  * ingest and query (beyond-reference surface: the reference's lake is
+  * append+compact only; SURVEY §2A rows 12/16-18 cover those halves).
+  *
+  * Semantics: within each (tp_date, key) the row with the highest
+  * tp_timestamp wins; on a tie the incoming batch beats the stored row
+  * (so re-applying the same batch is idempotent, and a same-event-time
+  * correction replaces the stored row). Keys are PARTITION-SCOPED (the
+  * non-global-index behavior of public lakehouse engines): an update
+  * lands in the partition its own timestamp enriches to.
+  *
+  * Scale shape: the batch's distinct (tp_index, tp_year, tp_month)
+  * triples — exactly the physical partition directories dynamic
+  * overwrite will swap — prune the existing-table read to the touched
+  * directories (the predicate is an OR-chain over partition columns,
+  * so Catalyst prunes at planning time); the winner-per-key window
+  * partitions by (date, key) — parallel across keys, never a
+  * single-partition window; the write is the same dynamic partition
+  * overwrite compaction uses. Cost scales with touched partitions,
+  * not table size.
+  */
+object Upsert {
+
+  /** Apply `updates` (source-schema rows, like an ingest batch) to
+    * `table`. Returns (rowsBefore, rowsAfter) over the touched
+    * partition directories for reporting.
+    */
+  def upsert(
+      spark: SparkSession, lake: Lake, table: String, updates: DataFrame,
+      spec: PartitionSpec, keyCols: Seq[String],
+      timestampColumn: String = TpSchema.Timestamp): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val enriched = TpSchema.enrich(updates, spec, timestampColumn)
+    keyCols.foreach(k => require(enriched.columns.contains(k),
+      s"upsert: key column '$k' not in batch (columns: " +
+        s"${enriched.columns.mkString(", ")})"))
+    // the directories this batch lands in = the directories dynamic
+    // overwrite will replace = the rows that must ride along unchanged
+    val touched = enriched
+      .select(col(TpSchema.Index).cast("string").as("i"),
+        col(TpSchema.Year).as("y"), col(TpSchema.Month).as("m"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    require(touched.nonEmpty, "upsert: empty update batch")
+    val touchedPred = touched.map { case (i, y, m) =>
+      col(TpSchema.Index).cast("string") === i &&
+        col(TpSchema.Year) === y && col(TpSchema.Month) === m
+    }.reduce(_ || _)
+    val current = lake.read(spark, table).where(touchedPred)
+    val before = current.count()
+    val cols = current.columns.toSeq
+    val combined = current.select(cols.map(col): _*)
+      .withColumn("__src", lit(0))
+      .unionByName(enriched.select(cols.map(col): _*)
+        .withColumn("__src", lit(1)))
+    // enrich() renames the source timestamp to tp_timestamp — version
+    // comparisons happen on the enriched column for both sides
+    val w = Window
+      .partitionBy((col(TpSchema.Date) +: keyCols.map(col)): _*)
+      .orderBy(col(TpSchema.Timestamp).desc, col("__src").desc)
+    val winners = combined
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__src")
+    lake.overwritePartitions(spark, table, winners)
+    val after = lake.read(spark, table).where(touchedPred).count()
+    (before, after)
+  }
+}

@@ -480,6 +480,39 @@ object IngestQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // CDC upsert (MERGE, latest-wins by key): a changelog batch of
+    // same-event-time corrections plus brand-new rows applied through
+    // lake.Upsert — dynamic partition overwrite of exactly the touched
+    // directories. The oracle reconstructs the expected final state
+    // from the source table, so a dropped rider row (a directory
+    // overwritten without its unchanged rows), a lost insert, or a
+    // stale value after the merge breaks the hash.
+    "qi16_upsert" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi16"
+      rmrf(root)
+      writeEventsJsonl(s, dir, s"$root/jsonl", chunks = 2)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_up", "p0",
+        tpIndexColumn = Some("event_type"))
+      Ingest.collectJsonl(s, lake, spec, jsonlFiles(s"$root/jsonl"),
+        timestampColumn = "ts")
+      val src = Tables.load(s, dir, "events")
+      val asJson = (d: DataFrame) => d.select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      val updates = asJson(src.where(col("event_id") % 100 === 0))
+        .withColumn("value", col("value") + 1000)
+      val inserts = asJson(src.where(col("event_id") % 500 === 0))
+        .withColumn("event_id", col("event_id") + 10000000)
+      graft.lake.Upsert.upsert(s, lake, "events_up",
+        updates.unionByName(inserts), spec, keyCols = Seq("event_id"),
+        timestampColumn = "ts")
+      lake.read(s, "events_up")
+        .select(col("event_id"), col("tp_timestamp"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    }),
+
     // Legacy-workspace migration analogue (reference
     // internal/migration/migration.go:39-247 re-ingests pre-DuckLake
     // `tp_table=*` parquet dirs into the new catalog): a foreign
@@ -616,6 +649,19 @@ object IngestQueries {
       GROUP BY event_type ORDER BY tp_index"""),
     "qi13_stream_ingest" -> (aggByIndex + """
       GROUP BY event_type ORDER BY tp_index"""),
+    "qi16_upsert" -> """
+      WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts,
+                        event_type, value FROM events),
+      merged AS (
+        SELECT event_id, ts, event_type,
+               CASE WHEN event_id % 100 = 0 THEN value + 1000
+                    ELSE value END AS value
+        FROM e
+        UNION ALL
+        SELECT event_id + 10000000 AS event_id, ts, event_type, value
+        FROM e WHERE event_id % 500 = 0)
+      SELECT event_id, ts AS tp_timestamp, event_type, value
+      FROM merged ORDER BY event_id""",
     "qi15_stream_window" -> """
       WITH e AS (SELECT cast(ts AS timestamp) AS ts, event_type, value
                  FROM events),

@@ -1,0 +1,85 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.config.PartitionSpec
+
+class UpsertSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def freshLake(): (Lake, PartitionSpec) = {
+    val root = Files.createTempDirectory("graft_upsert").toString
+    val lake = Lake(s"$root/lake")
+    val spec = PartitionSpec("t", "p0", tpIndexColumn = Some("kind"))
+    val base = Seq(
+      (1L, "2024-03-01 10:00:00", "a", 10.0),
+      (2L, "2024-03-01 11:00:00", "a", 20.0),
+      (3L, "2024-03-02 10:00:00", "b", 30.0),
+      (4L, "2024-04-01 10:00:00", "a", 40.0)
+    ).toDF("id", "ts", "kind", "value")
+    lake.append(spark, "t",
+      TpSchema.enrich(base, spec, timestampColumn = "ts"))
+    (lake, spec)
+  }
+
+  private def state(lake: Lake): Map[Long, Double] =
+    lake.read(spark, "t").select("id", "value")
+      .as[(Long, Double)].collect().toMap
+
+  test("update replaces by key; riders in the same directory survive") {
+    val (lake, spec) = freshLake()
+    val batch = Seq((1L, "2024-03-01 10:00:00", "a", 99.0))
+      .toDF("id", "ts", "kind", "value")
+    val (before, after) = Upsert.upsert(spark, lake, "t", batch, spec,
+      keyCols = Seq("id"), timestampColumn = "ts")
+    assert(before === 2L && after === 2L) // dir (a, 2024, 3) held ids 1,2
+    assert(state(lake) === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0,
+      4L -> 40.0))
+  }
+
+  test("new keys insert; untouched directories are not rewritten") {
+    val (lake, spec) = freshLake()
+    val filesBefore = lake.dataFiles(spark, "t").toSet
+    val batch = Seq((5L, "2024-03-01 12:00:00", "a", 50.0))
+      .toDF("id", "ts", "kind", "value")
+    Upsert.upsert(spark, lake, "t", batch, spec,
+      keyCols = Seq("id"), timestampColumn = "ts")
+    assert(state(lake).keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // only the (a, 2024, 3) directory changed: files under (b, …) and
+    // (a, 2024, 4) are byte-identical paths
+    val untouched = filesBefore.filter(f =>
+      f.contains("tp_index=b") || f.contains("tp_month=4"))
+    assert(untouched.subsetOf(lake.dataFiles(spark, "t").toSet))
+  }
+
+  test("re-applying the same batch is idempotent (tie goes to batch)") {
+    val (lake, spec) = freshLake()
+    val batch = Seq((2L, "2024-03-01 11:00:00", "a", 77.0))
+      .toDF("id", "ts", "kind", "value")
+    Upsert.upsert(spark, lake, "t", batch, spec, Seq("id"), "ts")
+    Upsert.upsert(spark, lake, "t", batch, spec, Seq("id"), "ts")
+    assert(state(lake)(2L) === 77.0)
+    assert(lake.read(spark, "t").count() === 4L)
+  }
+
+  test("older version in batch loses to newer stored row") {
+    val (lake, spec) = freshLake()
+    // stored id=2 has ts 11:00; a stale 09:00 changelog row must lose
+    val stale = Seq((2L, "2024-03-01 09:00:00", "a", -1.0))
+      .toDF("id", "ts", "kind", "value")
+    Upsert.upsert(spark, lake, "t", stale, spec, Seq("id"), "ts")
+    assert(state(lake)(2L) === 20.0)
+  }
+
+  test("missing key column fails loudly") {
+    val (lake, spec) = freshLake()
+    val batch = Seq(("2024-03-01 10:00:00", "a", 1.0))
+      .toDF("ts", "kind", "value")
+    intercept[IllegalArgumentException] {
+      Upsert.upsert(spark, lake, "t", batch, spec, Seq("id"), "ts")
+    }
+  }
+}
