@@ -130,6 +130,76 @@ object StreamIngest {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Emitted near-duplicate candidate: `doc_id` collided with the
+    * bucket's canonical `dup_of` document on fingerprint `fp`.
+    */
+  final case class DupCandidate(doc_id: Long, dup_of: Long, fp: Long)
+  /** Per-fingerprint first-seen state. */
+  final case class FpSeen(doc_id: Long, tsMs: Long)
+
+  /** Streaming NEAR-duplicate candidate detection — the streaming twin
+    * of the at-rest sketch-dedup family. Each arriving document is
+    * winnowed row-locally by the codegen'd fingerprint expression
+    * ([[graft.functions.Fingerprints]], the same sketch qt06 gates),
+    * its fingerprints are keyed into `flatMapGroupsWithState` buckets,
+    * and a document colliding with a bucket's first-seen canonical doc
+    * emits a candidate pair — across micro-batches, within the state
+    * horizon.
+    *
+    * Bounded state, the only shape that survives an unbounded stream:
+    * one (doc_id, ts) per LIVE fingerprint bucket, evicted by
+    * event-time timeout `horizonSecs` past the canonical document's
+    * event time (re-sends later than the horizon re-seed the bucket
+    * instead of matching — the at-rest dedup job owns anything older,
+    * same division of labor as [[streamingDedup]]).
+    *
+    * Output is a CANDIDATE stream (a pair per shared fingerprint, so a
+    * heavily-overlapping pair repeats): downstream distinct +
+    * exact-verify is the batch verifier's job, identical to the
+    * sketch-then-verify contract of the batch pipeline.
+    */
+  def streamingNearDup(
+      docs: DataFrame, watermarkDelay: String, horizonSecs: Long,
+      k: Int = 8, w: Int = 16): Dataset[DupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id").cast("long"), col("ts"),
+        explode(graft.functions.Fingerprints.winnowSetCol(
+          spark, col("text"), k, w)).as("fp"))
+      .as[(Long, Timestamp, Long)]
+    postings
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[FpSeen, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (fp: Long, rows: Iterator[(Long, Timestamp, Long)],
+         state: GroupState[FpSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within-batch order: event time, then id
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var seen = state.getOption
+            val out = Seq.newBuilder[DupCandidate]
+            sorted.foreach { case (doc, ts, _) =>
+              seen match {
+                case Some(s) if s.doc_id != doc =>
+                  out += DupCandidate(doc, s.doc_id, fp)
+                case None => seen = Some(FpSeen(doc, ts.getTime))
+                case _ => ()
+              }
+            }
+            seen.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.tsMs + horizonSecs * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** One input event for sessionization. */
   final case class Event(key: String, ts: Timestamp)
   /** Accumulated session state. */

@@ -87,6 +87,53 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       .toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
   }
 
+  test("streamingNearDup flags fingerprint collisions across batches; " +
+      "horizon-expired buckets re-seed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "naps in the warm afternoon sun near the river bank"
+    val textB = "completely different content about spark streaming " +
+      "state management and watermark based eviction semantics"
+    val cands = StreamIngest.streamingNearDup(
+      mem.toDF().toDF("doc_id", "text", "ts"),
+      watermarkDelay = "10 seconds", horizonSecs = 600)
+    val q = cands.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, textA, Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, textB, Timestamp.valueOf("2024-03-01 10:00:01")))
+    q.processAllAvailable()
+    // batch 2: a near-copy of doc 1 arrives → candidate (3, 1)
+    mem.addData(
+      (3L, textA + " with a tiny tail edit",
+        Timestamp.valueOf("2024-03-01 10:01:00")))
+    q.processAllAvailable()
+    val pairs = spark.table("neardup_out")
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1L)), s"missing (3,1) in $pairs")
+    assert(!pairs.exists(_._1 == 2L) && !pairs.exists(_._2 == 2L),
+      s"unrelated doc 2 must not pair: $pairs")
+    // advance the watermark far past every bucket's horizon…
+    mem.addData(
+      (9L, "advance the clock marker row",
+        Timestamp.valueOf("2024-03-01 12:00:00")))
+    q.processAllAvailable()
+    // …then re-send doc 1's text: expired buckets re-seed, no pair
+    mem.addData(
+      (4L, textA, Timestamp.valueOf("2024-03-01 12:00:05")))
+    q.processAllAvailable()
+    val after = spark.table("neardup_out")
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(!after.contains((4L, 1L)),
+      s"bucket state must expire at the horizon: $after")
+  }
+
   test("streamingDedup drops within-horizon duplicates with bounded state") {
     val s = spark
     import s.implicits._
