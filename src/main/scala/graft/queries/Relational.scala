@@ -281,6 +281,13 @@ object Relational {
       s.sql(filterAggSql)
     }),
 
+    // Correlated EXISTS / NOT EXISTS (Catalyst ExistenceJoin → semi +
+    // anti joins): shared ANSI text runs verbatim on both engines.
+    "q41_exists_correlated" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(existsSql)
+    }),
+
     // Exact grouped percentiles (sort-based `percentile`, linear
     // interpolation — same definition as DuckDB quantile_cont). The
     // exact aggregate buffers each group's values, which is the right
@@ -313,6 +320,19 @@ object Relational {
   )
 
   /** Shared SQL text for q37: runs verbatim on BOTH engines. */
+  /** Shared ANSI text for q41: suppliers with ≥1 large-quantity line
+    * and zero returned lines, counted per nation.
+    */
+  private val existsSql = """
+      SELECT n_name, count(*) AS n_suppliers
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        AND NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_suppkey = s_suppkey
+                          AND l_quantity > 49 AND l_returnflag = 'R')
+      GROUP BY n_name ORDER BY n_name"""
+
   private val filterAggSql = """
       SELECT o_orderpriority,
              count(*) AS n_orders,
@@ -469,6 +489,7 @@ object Relational {
       ORDER BY rf, ls""",
     "q35_dialect" -> dialectSql,
     "q37_filter_agg" -> filterAggSql,
+    "q41_exists_correlated" -> existsSql,
     "q39_percentiles" -> """
       SELECT l_returnflag, count(*) AS n,
              list_transform(

@@ -185,6 +185,25 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // Remaining rank-family window functions: percent_rank, cume_dist,
+    // nth_value with an explicit frame, dense_rank — exact rational
+    // outputs (rank arithmetic over integers), rounded once.
+    "q40_rank_variants" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 37 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 4).as("prank"),
+          round(cume_dist().over(w), 4).as("cdist"),
+          nth_value(col("l_quantity"), 3).over(wf).as("third_qty"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey",
+          "l_linenumber")
+    }),
+
     // Hopping (sliding) event-time windows via Spark's built-in
     // `window()` generator — 1 h windows every 30 min, so each event
     // lands in exactly 2 windows. Batch counterpart of the streaming
@@ -205,6 +224,23 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q40_rank_variants" -> """
+      WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                        l_quantity
+                 FROM lineitem WHERE l_orderkey % 37 = 0)
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             cast(dense_rank() OVER w AS int) AS drank,
+             round(percent_rank() OVER w, 4) AS prank,
+             round(cume_dist() OVER w, 4) AS cdist,
+             nth_value(l_quantity, 3) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS third_qty
+      FROM f
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber)
+      ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""",
     "q38_hopping_window" -> (E + """
       , grid AS (SELECT i FROM (SELECT unnest(range(0, 2)) AS i)),
       w AS (SELECT event_type, value,
