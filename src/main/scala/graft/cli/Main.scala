@@ -166,6 +166,7 @@ object Main {
         case Some("plugin")    => pluginCmd(config, configDir, opts, out)
         case Some("import")    => importCmd(spark, lake, opts, out)
         case Some("export")    => exportCmd(spark, lake, opts, out)
+        case Some("dedup")     => dedupCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -187,6 +188,8 @@ object Main {
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
       |          [--seed S] [--token-column COL [--budget TOKENS]]
+      |dedup:    graft dedup <table> --id-column COL --text-column COL
+      |          [--mode exact|normalized|near] [--threshold J]
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -269,6 +272,66 @@ object Main {
     }
     out.println(s"Exported $table to $outDir ($shards shards)")
     out.println(graft.query.Render.table(manifest))
+  }
+
+  /** `dedup <table> --id-column --text-column [--mode] [--threshold]` —
+    * duplicate-analysis report over a lake table: exact / normalized
+    * content hashing, or the full sketch-then-verify near-dup pipeline
+    * (MinHash+LSH candidates → exact n-gram Jaccard → connected
+    * components), the same oracle-gated operators qt04/qt05/qt07/qt18
+    * run (beyond-reference command; the training-data surface made
+    * reachable from the CLI).
+    */
+  private def dedupCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.operators.{Components, Dedup}
+    val table = opts.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "dedup requires a <table> argument"))
+    val idCol = opts.flag("id-column").getOrElse(
+      throw new IllegalArgumentException("dedup requires --id-column COL"))
+    val textCol = opts.flag("text-column").getOrElse(
+      throw new IllegalArgumentException("dedup requires --text-column COL"))
+    val mode = opts.flag("mode").getOrElse("exact")
+    val df = lake.read(spark, table)
+    Seq(idCol, textCol).foreach(c => require(df.columns.contains(c),
+      s"dedup: column '$c' not found in $table " +
+        s"(columns: ${df.columns.mkString(", ")})"))
+    val total = df.count()
+    mode match {
+      case "exact" | "normalized" =>
+        val groups = (if (mode == "exact") Dedup.exact(df, idCol, textCol)
+          else Dedup.normalized(df, idCol, textCol))
+          .where(col("n_copies") > 1)
+        val dupGroups = groups.count()
+        val dupRows = if (dupGroups == 0) 0L
+          else groups.agg(sum(col("n_copies") - 1)).head().getLong(0)
+        out.println(s"Table $table: $total rows, $dupGroups duplicate " +
+          s"groups, $dupRows redundant rows ($mode)")
+        out.println(graft.query.Render.table(
+          groups.orderBy(col("n_copies").desc, col("keep_id")).limit(20)))
+      case "near" =>
+        val threshold = opts.flag("threshold").map(_.toDouble).getOrElse(0.8)
+        val cands = Dedup.minhashLshCandidates(df, idCol, textCol,
+          numHashes = 128, bands = 32, shingle = 3)
+        val verified = Dedup.exactJaccardFor(cands, df, idCol, textCol,
+            n = 3, minJaccard = threshold)
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b")
+        val stats = Components.componentStats(
+          Components.connectedComponents(verified))
+        val clusters = stats.count()
+        val dropped = if (clusters == 0) 0L
+          else stats.agg(sum("n_dropped")).head().getLong(0)
+        out.println(s"Table $table: $total rows, $clusters near-dup " +
+          s"clusters at jaccard >= $threshold, $dropped droppable rows")
+        out.println(graft.query.Render.table(
+          stats.orderBy(col("n_members").desc, col("component")).limit(20)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"dedup: unknown --mode '$other' (exact|normalized|near)")
+    }
   }
 
   // ---- collect ---------------------------------------------------------

@@ -374,6 +374,58 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rcBad == 1 && bad.contains("nope"), bad)
   }
 
+  test("dedup reports exact groups and near-dup clusters") {
+    val dir = Files.createTempDirectory("graft_dedup_cli").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "notes").mkdirs()
+    write(new File(dir, "notes/notes.csv"),
+      """timestamp,note_id,note
+        |2024-05-01T10:00:00Z,1,the quick brown fox jumps over the lazy dog in the warm sun today
+        |2024-05-01T10:01:00Z,2,the quick brown fox jumps over the lazy dog in the warm sun today
+        |2024-05-01T10:02:00Z,3,the quick brown fox jumps over the lazy dog in the warm sun yesterday evening
+        |2024-05-01T10:03:00Z,4,completely unrelated content about spark streaming state management
+        |""".stripMargin)
+    write(new File(dir, "config/notes.tpc"),
+      s"""format "delimited" "notes" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |
+         |table "notes" {
+         |  format = format.delimited.notes
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "note_id" { type = "bigint" }
+         |  column "note" { type = "varchar" }
+         |}
+         |
+         |partition "notes" "local" {
+         |  source "file" {
+         |    format = format.delimited.notes
+         |    paths = ["${dir.getPath}/notes/"]
+         |    file_layout = "notes.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rcC, outC) = cli(dir, "collect", "notes.local")
+    assert(rcC == 0, outC)
+    val (rc1, exact) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note")
+    assert(rc1 == 0, exact)
+    assert(exact.contains("4 rows, 1 duplicate groups, 1 redundant rows"),
+      exact)
+    val (rc2, near) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.6")
+    assert(rc2 == 0, near)
+    // notes 1,2,3 cluster (1,2 identical; 3 a near-copy); 4 alone
+    assert(near.contains("1 near-dup clusters"), near)
+    assert(near.contains("2 droppable rows"), near)
+    // bad column fails loudly
+    val (rc3, bad) = cli(dir, "dedup", "notes",
+      "--id-column", "nope", "--text-column", "note")
+    assert(rc3 == 1 && bad.contains("nope"), bad)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==
