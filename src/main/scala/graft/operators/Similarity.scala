@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -342,6 +342,67 @@ object Similarity {
     val scored = pairs
       .join(broadcast(queries), "qid")
       .join(candidates, "cid")
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 4).as("sim"))
+      .where(col("sim") >= minSim)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Persist an IVF index as a CELL-PARTITIONED parquet table plus a
+    * centroid sidecar — the "build once, probe many" lifecycle the
+    * [[annIvf]] scaladoc promises. At 100 TB the index build is one
+    * map-side cell assignment + one partitioned write; after that,
+    * every query batch is a PARTITION-PRUNED scan of its probed cells
+    * (`cell=K/` directories) — the filesystem is the inverted file,
+    * and Spark's partition pruning is the posting-list seek. No
+    * rebuild, no full scan, per batch.
+    */
+  def buildIvfIndex(
+      spark: SparkSession, candidates: DataFrame, nlist: Int,
+      path: String): Unit = {
+    import spark.implicits._
+    val cents = coarseCentroids(candidates, nlist)
+    val centArr = typedLit(cents)
+    candidates
+      .withColumn("cell",
+        bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$path/cells")
+    cents.toDF("cell", "centroid").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: quantize the query batch with the
+    * stored centroids, then scan ONLY the probed `cell=` directories
+    * (an `isin` over the partition column — pruned at planning time,
+    * IvfIndexSpec pins the file-level skipping). Same output contract
+    * as [[annIvf]].
+    */
+  def probeIvfIndex(
+      spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nprobe: Int = 8,
+      minSim: Double = Double.NegativeInfinity): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val centArr = typedLit(cents)
+    val probes = queries.select(col("qid"),
+        explode(bestCells(centArr, col("qvec"), nprobe)).as("p"))
+      .select(col("qid"), col("p.cent").as("cell"))
+    // |Q|·nprobe cell ids — metadata-sized, becomes the partition filter
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probedCells: _*))
+    val pairs = index.select(col("cid"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+    val scored = pairs
+      .join(broadcast(queries), "qid")
+      .join(index.select(col("cid"), col("cvec")), "cid")
       .select(col("qid"), col("cid"),
         round(cosine(col("qvec"), col("cvec")), 4).as("sim"))
       .where(col("sim") >= minSim)

@@ -209,6 +209,32 @@ object VectorQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Persisted IVF index lifecycle: build a cell-partitioned index
+    // table once, then answer the batch with a partition-pruned probe
+    // (Similarity.buildIvfIndex/probeIvfIndex). Same planted corpus and
+    // index-independent answer set as qe05, so the exact oracle is a
+    // full recall gate over the build→persist→probe round trip.
+    "qe12_ivf_index" -> ((s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_work/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/qe12"
+      val e = emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val noisy = e.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+      val corpus = e.unionByName(noisy)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.buildIvfIndex(s, c, nlist = 32, path = root)
+      Similarity.probeIvfIndex(s, root, q, k = 5, nprobe = 4,
+          minSim = 0.99)
+        .select("qid", "cid", "sim", "rank")
+        .orderBy("qid", "rank")
+    }),
+
     // Per-label embedding statistics (norms, first-component mean).
     "qe04_embedding_stats" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -312,6 +338,30 @@ object VectorQueries {
       SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
       ORDER BY qid, rank""",
     // identical answer set to qe02 (index-independent by construction)
+    // identical answer set to qe05 (index-independent by construction)
+    "qe12_ivf_index" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      noisy AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list(x * (1.0 + 0.01 * (((i - 1) % 5) - 2)) ORDER BY i) AS v
+        FROM (SELECT vec_id, unnest(v) AS x,
+                generate_subscripts(v, 1) AS i
+              FROM e WHERE vec_id < 10)
+        GROUP BY vec_id),
+      corpus AS (SELECT * FROM e UNION ALL SELECT * FROM noisy),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      s AS (SELECT qid, c.vec_id AS cid,
+              round(list_cosine_similarity(qv, c.v), 4) AS sim
+            FROM q, corpus c WHERE qid <> c.vec_id),
+      hits AS (SELECT qid, cid, sim FROM s WHERE sim >= 0.99),
+      r AS (SELECT qid, cid, sim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS int) AS rank
+            FROM hits)
+      SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
     "qe05_ann_ivf" -> """
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class IvfIndexSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(29)
+    val base = (0L until 400L).map { id =>
+      val v = Seq.fill(32)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n))
+    }
+    val copies = base.take(6).map { case (id, v) =>
+      (id + 1000, v.map(_ * 1.001))
+    }
+    (base ++ copies).toDF("cid", "cvec")
+  }
+  private lazy val queries = corpus.where($"cid" < 6)
+    .select($"cid".as("qid"), $"cvec".as("qvec"))
+
+  test("persisted probe matches the in-memory annIvf answer") {
+    val path = Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(spark, corpus, nlist = 16, path = path)
+    val got = Similarity.probeIvfIndex(spark, path, queries, k = 3,
+        nprobe = 4, minSim = 0.99)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)]
+      .collect().toSet
+    val want = Similarity.annIvf(queries, corpus, k = 3, nlist = 16,
+        nprobe = 4, minSim = 0.99)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got === want)
+    assert(got.map(t => (t._1, t._2)) ===
+      (0L until 6L).map(id => (id, id + 1000)).toSet)
+  }
+
+  test("probe reads only probed cell directories (partition pruning)") {
+    val path = Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(spark, corpus, nlist = 16, path = path)
+    val probed = Similarity.probeIvfIndex(spark, path,
+      queries.limit(2), k = 3, nprobe = 2)
+    // every scan of the cells table must carry the cell IN (…)
+    // partition filter — planning-time directory pruning, the point of
+    // the cell-partitioned layout. (DataFrame.inputFiles can't verify
+    // this — it lists the relation's files ignoring pushed filters —
+    // and AQE hides scan nodes from collectLeaves, so assert on the
+    // rendered FileScan lines.)
+    val planStr = probed.queryExecution.executedPlan.toString
+    val scanLines = planStr.split('\n')
+      .filter(l => l.contains("FileScan parquet") && l.contains("cells"))
+    assert(scanLines.nonEmpty, planStr)
+    val in = """cell#\d+ IN \(([^)]*)\)""".r
+    scanLines.foreach { l =>
+      assert(l.contains("PartitionFilters: ["), l)
+      val hit = in.findFirstMatchIn(l)
+      assert(hit.isDefined, s"cells scan missing cell IN filter: $l")
+      // 2 queries × nprobe 2 → at most 4 of 16 cell directories probed
+      assert(hit.get.group(1).split(",").length <= 4, l)
+    }
+  }
+
+  test("index round-trips centroids: rebuild-free probe is deterministic") {
+    val path = Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(spark, corpus, nlist = 8, path = path)
+    val a = Similarity.probeIvfIndex(spark, path, queries, 3, 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val b = Similarity.probeIvfIndex(spark, path, queries, 3, 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+}
