@@ -167,6 +167,7 @@ object Main {
         case Some("import")    => importCmd(spark, lake, opts, out)
         case Some("export")    => exportCmd(spark, lake, opts, out)
         case Some("dedup")     => dedupCmd(spark, lake, opts, out)
+        case Some("profile")   => profileCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -190,6 +191,7 @@ object Main {
       |          [--seed S] [--token-column COL [--budget TOKENS]]
       |dedup:    graft dedup <table> --id-column COL --text-column COL
       |          [--mode exact|normalized|near] [--threshold J]
+      |profile:  graft profile <table> --text-column COL [--top K]
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -332,6 +334,48 @@ object Main {
         throw new IllegalArgumentException(
           s"dedup: unknown --mode '$other' (exact|normalized|near)")
     }
+  }
+
+  /** `profile <table> --text-column COL [--top K]` — one-shot corpus
+    * profile assembling the text-analysis operators (token counts,
+    * quality score, language mix, character entropy, top terms) into
+    * the report a pipeline owner checks between crawls
+    * (beyond-reference command over qt01/qt02/qt03/qt24/qt27's
+    * operators).
+    */
+  private def profileCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    val table = opts.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "profile requires a <table> argument"))
+    val textCol = opts.flag("text-column").getOrElse(
+      throw new IllegalArgumentException(
+        "profile requires --text-column COL"))
+    val top = opts.flag("top").map(_.toInt).getOrElse(10)
+    val df = lake.read(spark, table)
+    require(df.columns.contains(textCol),
+      s"profile: column '$textCol' not found in $table " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val t = col(textCol)
+    val summary = df.agg(
+      count(lit(1)).as("docs"),
+      sum(TF.tokenCount(t).cast("long")).as("tokens"),
+      round(avg(TF.tokenCount(t)), 1).as("avg_tokens"),
+      round(avg(TF.qualityScore(t)), 4).as("avg_quality"),
+      round(avg(TF.charEntropy(t)), 4).as("avg_entropy")).head()
+    out.println(s"Table $table: ${summary.getLong(0)} docs, " +
+      s"${summary.getLong(1)} tokens " +
+      s"(avg ${summary.get(2)}/doc), quality ${summary.get(3)}, " +
+      s"entropy ${summary.get(4)} bits/char")
+    val langs = df
+      .select(TF.langId(t).as("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("lang"))
+    out.println(graft.query.Render.table(langs))
+    out.println(graft.query.Render.table(
+      graft.operators.HeavyHitters.topK(df, textCol, k = top)))
   }
 
   // ---- collect ---------------------------------------------------------

@@ -424,6 +424,13 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rc3, bad) = cli(dir, "dedup", "notes",
       "--id-column", "nope", "--text-column", "note")
     assert(rc3 == 1 && bad.contains("nope"), bad)
+    // profile over the same table: summary + language mix + top terms
+    val (rc4, prof) = cli(dir, "profile", "notes",
+      "--text-column", "note", "--top", "3")
+    assert(rc4 == 0, prof)
+    assert(prof.contains("Table notes: 4 docs"), prof)
+    assert(prof.contains("lang"), prof)
+    assert(prof.contains("the"), prof) // top term of the fox corpus
   }
 
   test("relative time parsing") {
