@@ -184,7 +184,7 @@ object Main {
   val usage: String =
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
-      |          format plugin import export
+      |          format plugin import export dedup profile
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
@@ -365,6 +365,11 @@ object Main {
       round(avg(TF.tokenCount(t)), 1).as("avg_tokens"),
       round(avg(TF.qualityScore(t)), 4).as("avg_quality"),
       round(avg(TF.charEntropy(t)), 4).as("avg_entropy")).head()
+    if (summary.getLong(0) == 0) {
+      // sum/avg over zero rows are NULL — report instead of NPEing
+      out.println(s"Table $table: 0 docs")
+      return
+    }
     out.println(s"Table $table: ${summary.getLong(0)} docs, " +
       s"${summary.getLong(1)} tokens " +
       s"(avg ${summary.get(2)}/doc), quality ${summary.get(3)}, " +

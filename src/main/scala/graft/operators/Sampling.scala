@@ -72,21 +72,6 @@ object Sampling {
       floor(hashUnit(col(idCol)) * n).cast("int"))
   }
 
-  /** Deterministic global corpus shuffle — the "randomize training
-    * order" step every pretraining pipeline runs before sharding.
-    * Each row gets `shuffle_pos`: its 1-based position in the
-    * pseudo-random permutation ordered by md5(seed ‖ id).
-    *
-    * Same auditability contract as the samplers (any engine reproduces
-    * the permutation from (seed, id) alone; stable under retries and
-    * incremental growth), and the global numbering comes from the
-    * two-pass range-partitioned rank ([[DistributedRank]]) — no
-    * single-partition window, so the permutation is computed with full
-    * parallelism at any corpus size. md5's 128 bits make key
-    * collisions practically impossible, but the id itself rides along
-    * as an explicit total-order tiebreaker anyway (oracle-exact by
-    * construction, not by luck).
-    */
   /** Temperature-scaled multinomial source mixing — the "α-sampling"
     * data-mixture step multilingual/multi-source pretraining uses
     * (public recipe: sample source s with probability ∝ nₛ^α, α<1
@@ -131,6 +116,21 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic global corpus shuffle — the "randomize training
+    * order" step every pretraining pipeline runs before sharding.
+    * Each row gets `shuffle_pos`: its 1-based position in the
+    * pseudo-random permutation ordered by md5(seed ‖ id).
+    *
+    * Same auditability contract as the samplers (any engine reproduces
+    * the permutation from (seed, id) alone; stable under retries and
+    * incremental growth), and the global numbering comes from the
+    * two-pass range-partitioned rank ([[DistributedRank]]) — no
+    * single-partition window, so the permutation is computed with full
+    * parallelism at any corpus size. md5's 128 bits make key
+    * collisions practically impossible, but the id itself rides along
+    * as an explicit total-order tiebreaker anyway (oracle-exact by
+    * construction, not by luck).
+    */
   def shuffled(
       df: DataFrame, idCol: String, seed: String = "0",
       numPartitions: Int = 32): DataFrame =

@@ -151,13 +151,21 @@ object Similarity {
     * compute-bound into a compact-signature sweep.
     */
   def binarySignature(vec: Column): Column =
-    transform(
-      sequence(lit(0), floor((size(vec) - 1) / lit(64)).cast("int")),
-      w => aggregate(
-        sequence(w * 64, least(w * 64 + 63, size(vec) - 1)),
-        lit(0L),
-        (acc, i) => shiftleft(acc, 1)
-          .bitwiseOR(when(element_at(vec, i + 1) > 0, 1L).otherwise(0L))))
+    // empty vectors (failed/padded encodes) get an empty signature
+    // rather than poisoning the scan: sequence(0, -1) would yield
+    // [0, -1] (negative default step) and the inner element_at would
+    // abort the job under ANSI mode. An empty signature can only
+    // Hamming-match another empty vector, and the exact-cosine rerank
+    // scores that pair NaN, which fails every >= threshold filter.
+    when(size(vec) > 0,
+      transform(
+        sequence(lit(0), floor((size(vec) - 1) / lit(64)).cast("int")),
+        w => aggregate(
+          sequence(w * 64, least(w * 64 + 63, size(vec) - 1)),
+          lit(0L),
+          (acc, i) => shiftleft(acc, 1)
+            .bitwiseOR(when(element_at(vec, i + 1) > 0, 1L).otherwise(0L)))))
+      .otherwise(array().cast("array<long>"))
 
   /** Hamming distance between two packed signatures (xor + popcount per
     * word — codegen'd, no UDF).

@@ -179,9 +179,19 @@ object StreamIngest {
             state.remove()
             Iterator.empty
           } else {
+            val horizonMs = horizonSecs * 1000
+            // the timeout callback only fires for buckets with NO data
+            // in a batch, so a bucket that keeps colliding is never
+            // evicted that way — enforce the horizon here too: a
+            // canonical older than (watermark − horizon) is expired,
+            // must not match (the documented re-seed contract), and
+            // must not be fed back to setTimeoutTimestamp, which
+            // REJECTS timestamps at or below the watermark and would
+            // kill the whole query
+            val wm = state.getCurrentWatermarkMs()
             // deterministic within-batch order: event time, then id
             val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
-            var seen = state.getOption
+            var seen = state.getOption.filter(_.tsMs + horizonMs > wm)
             val out = Seq.newBuilder[DupCandidate]
             sorted.foreach { case (doc, ts, _) =>
               seen match {
@@ -193,7 +203,8 @@ object StreamIngest {
             }
             seen.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.tsMs + horizonSecs * 1000)
+              state.setTimeoutTimestamp(
+                math.max(s.tsMs + horizonMs, wm + 1))
             }
             out.result().iterator
           }

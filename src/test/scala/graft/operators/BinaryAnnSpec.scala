@@ -28,6 +28,19 @@ class BinaryAnnSpec extends AnyFunSuite with SparkTest {
     assert(s(1) === 41L)   // 101001 MSB-first
   }
 
+  test("empty vectors get empty signatures and never reach the rerank") {
+    assert(sig(Seq.empty[Double]) === Seq.empty[Long])
+    // one malformed row must not abort the scan or match anything
+    val q = Seq((1L, Seq(1.0, 1.0, -1.0, 1.0))).toDF("qid", "qvec")
+    val c = Seq(
+      (10L, Seq(1.0, 1.0, -1.0, 1.0)),
+      (11L, Seq.empty[Double])
+    ).toDF("cid", "cvec")
+    val got = Similarity.annBinary(q, c, k = 5, maxHamming = 4)
+      .select("cid").as[Long].collect().toSet
+    assert(got === Set(10L))
+  }
+
   test("positive per-coordinate scaling preserves the signature exactly") {
     val base = (0 until 64).map(i => math.sin(i * 2.7) + 0.001)
     val scaled = base.zipWithIndex.map { case (x, i) =>

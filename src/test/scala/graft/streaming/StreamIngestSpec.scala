@@ -134,6 +134,50 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       s"bucket state must expire at the horizon: $after")
   }
 
+  test("streamingNearDup survives a hot bucket colliding past its " +
+      "horizon: expired canonical re-seeds instead of killing the query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val text = "repeated boilerplate header that every crawled page " +
+      "shares word for word across the entire corpus forever"
+    val cands = StreamIngest.streamingNearDup(
+      mem.toDF().toDF("doc_id", "text", "ts"),
+      watermarkDelay = "10 seconds", horizonSecs = 600)
+    val q = cands.writeStream.format("memory").queryName("hotdup_out")
+      .outputMode("append").start()
+    mem.addData((1L, text, Timestamp.valueOf("2024-03-01 10:00:00")))
+    q.processAllAvailable()
+    // in-horizon collision: canonical still valid → pair (5, 1)
+    mem.addData((5L, text, Timestamp.valueOf("2024-03-01 10:05:00")))
+    q.processAllAvailable()
+    // advance the watermark past the canonical's 10:10:00 horizon with
+    // an UNRELATED document (the hot bucket gets no data, but is not
+    // timed out either until the next batch's watermark applies)
+    mem.addData((9L, "unrelated watermark advancing marker row",
+      Timestamp.valueOf("2024-03-01 13:00:00")))
+    q.processAllAvailable()
+    // now the bucket receives data WITH the watermark past its horizon
+    // — it has data, so the timeout callback cannot evict it first;
+    // before the guard this batch emitted a stale (6,1) match and then
+    // threw inside setTimeoutTimestamp, terminating the query
+    mem.addData((6L, text, Timestamp.valueOf("2024-03-01 13:00:05")))
+    q.processAllAvailable()
+    mem.addData((7L, text, Timestamp.valueOf("2024-03-01 13:00:30")))
+    q.processAllAvailable()
+    assert(q.isActive, Option(q.exception).map(_.toString).getOrElse(""))
+    val pairs = spark.table("hotdup_out")
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs.contains((5L, 1L)), s"in-horizon pair missing: $pairs")
+    assert(!pairs.contains((6L, 1L)),
+      s"expired canonical must re-seed, not match: $pairs")
+    // doc 6 became the new canonical; doc 7 collides within horizon
+    assert(pairs.contains((7L, 6L)), s"re-seeded bucket must match: $pairs")
+  }
+
   test("streamingDedup drops within-horizon duplicates with bounded state") {
     val s = spark
     import s.implicits._
