@@ -61,4 +61,50 @@ object Chunking {
           slice(col("__toks"), col("start_tok") + 1, lit(chunkSize))))
           .as("chunk_hash"))
   }
+
+  /** Content-defined chunking (CDC): a chunk boundary opens AFTER any
+    * token whose md5 lands in a 1/`divisor` hash bucket, so boundaries
+    * are anchored to CONTENT, not positions — the property that makes
+    * chunk-level dedup robust to insertions (public technique: rolling-
+    * hash CDC as in LBFS/rsync; token-granular here so the oracle can
+    * reproduce boundaries with the same cross-engine md5). An edit
+    * shifts every fixed-stride window after it, but only the one CDC
+    * chunk containing the edit changes — all other chunk hashes still
+    * match, which is what passage-level dedup at 100 TB needs.
+    *
+    * Expected chunk length = `divisor` tokens (geometric). Dataflow:
+    * map-side posexplode of tokens → per-doc running boundary count
+    * (window PARTITIONED by doc — parallel across docs, never a
+    * single-partition window) → one (doc, chunk) aggregate. Output
+    * mirrors [[slidingChunks]]: (doc_id, chunk_id, start_tok,
+    * chunk_tokens, chunk_hash).
+    */
+  def contentDefinedChunks(
+      corpus: DataFrame, idCol: String, textCol: String,
+      divisor: Int): DataFrame = {
+    require(divisor > 1, s"divisor must be > 1, got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+    // boundary OPENS a new chunk after a matching token, so the chunk
+    // id of a token counts the boundaries STRICTLY BEFORE it
+    val isBoundary =
+      (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+        % divisor === 0).cast("long")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id",
+        coalesce(sum(isBoundary).over(w), lit(0L)).cast("int"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(min("pos").cast("int").as("start_tok"),
+        count(lit(1)).cast("int").as("chunk_tokens"),
+        // struct-sort pins token order inside the unordered aggregate
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("chunk_hash"))
+  }
 }

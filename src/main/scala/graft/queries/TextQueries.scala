@@ -342,6 +342,17 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Content-defined chunking: boundaries anchored to token-hash
+    // content (1/16 bucket → ~16-token chunks), so edits shift only
+    // their own chunk — the dedup-robust complement of qt22's fixed
+    // stride. The oracle recomputes boundary flags, running chunk ids,
+    // and position-ordered chunk hashes from scratch.
+    "qt29_cdc_chunking" -> ((s, dir) => {
+      graft.operators.Chunking.contentDefinedChunks(docs(s, dir),
+          "doc_id", "text", divisor = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Temperature-scaled source mixing (α-sampling): the uniform
     // synthetic sources are folded into a skewed 3-domain split so the
     // per-domain rates genuinely differ and the min(1, ·) cap fires for
@@ -761,6 +772,27 @@ object TextQueries {
              cast(least(32, n - s) AS int) AS chunk_tokens,
              md5(array_to_string(list_slice(t, s + 1, s + 32), ' ')) AS chunk_hash
       FROM st ORDER BY doc_id, chunk_id""",
+    "qt29_cdc_chunking" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+        FROM documents),
+      tk AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos
+             FROM toks),
+      b AS (SELECT doc_id, tok, pos,
+                   CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 = 0
+                        THEN 1 ELSE 0 END AS bd
+            FROM tk),
+      c AS (SELECT doc_id, tok, pos,
+                   cast(coalesce(sum(bd) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS int) AS chunk_id
+            FROM b)
+      SELECT doc_id, chunk_id, cast(min(pos) AS int) AS start_tok,
+             cast(count(*) AS int) AS chunk_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
     "qt23_mixture_sample" -> """
       WITH d AS (SELECT doc_id,
                    CASE WHEN source IN ('src0', 'src1') THEN source

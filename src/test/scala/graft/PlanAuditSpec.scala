@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt07_minhash_lsh", "qt08_simhash", "qt09_ngram_jaccard",
     "qt10_stratified_sample", "qt13_decontaminate", "qt14_tfidf",
     "qt16_bloom_decontam", "qt19_passage_dedup", "qt20_unigram_freq",
-    "qt21_corpus_shuffle", "qt22_chunking", "qt23_mixture_sample",
+    "qt21_corpus_shuffle", "qt22_chunking", "qt29_cdc_chunking",
+    "qt23_mixture_sample",
     "qt24_heavy_hitters", "qt25_dsir_weights", "qt26_export_manifest",
     "qe02_ann_lsh", "qe03_cosine_neardup",
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
