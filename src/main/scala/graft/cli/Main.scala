@@ -168,6 +168,7 @@ object Main {
         case Some("export")    => exportCmd(spark, lake, opts, out)
         case Some("dedup")     => dedupCmd(spark, lake, opts, out)
         case Some("profile")   => profileCmd(spark, lake, opts, out)
+        case Some("retention") => retentionCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -184,7 +185,7 @@ object Main {
   val usage: String =
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
-      |          format plugin import export dedup profile
+      |          format plugin import export dedup profile retention
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
@@ -192,6 +193,7 @@ object Main {
       |dedup:    graft dedup <table> --id-column COL --text-column COL
       |          [--mode exact|normalized|near] [--threshold J]
       |profile:  graft profile <table> --text-column COL [--top K]
+      |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -381,6 +383,36 @@ object Main {
     out.println(graft.query.Render.table(langs))
     out.println(graft.query.Render.table(
       graft.operators.HeavyHitters.topK(df, textCol, k = top)))
+  }
+
+  /** `retention [table] --older-than TIME` — age out data older than
+    * the cutoff across every partition of the named table (or all
+    * tables), via the same partition-scoped delete `partition delete`
+    * uses. Relative cutoffs (`T-90d`) use the shared time grammar, so
+    * a scheduled `graft retention --older-than T-90d` is the whole
+    * retention policy (the reference keeps retention at the user's
+    * discretion via partition delete; this is the one-command sweep).
+    */
+  private def retentionCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cutoff = opts.ts("older-than").getOrElse(
+      throw new IllegalArgumentException(
+        "retention requires --older-than TIME (absolute or relative, " +
+          "e.g. T-90d)"))
+    val tables = opts.positional.headOption
+      .map(Seq(_)).getOrElse(lake.listTables(spark))
+    tables.foreach { t =>
+      // partition names are metadata-sized (distinct tp_partition)
+      val parts = lake.read(spark, t)
+        .select(col(graft.lake.TpSchema.Partition).cast("string"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val removed = parts.map { p =>
+        Maintenance.deletePartitionRange(spark, lake, t, p,
+          from = None, to = Some(cutoff), toInclusive = false)
+      }.sum
+      out.println(s"Retention $t: removed $removed rows before $cutoff")
+    }
   }
 
   // ---- collect ---------------------------------------------------------

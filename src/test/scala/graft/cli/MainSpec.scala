@@ -431,6 +431,17 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(prof.contains("Table notes: 4 docs"), prof)
     assert(prof.contains("lang"), prof)
     assert(prof.contains("the"), prof) // top term of the fox corpus
+    // retention: age out the first two notes (before 10:02), keep two
+    val (rc5, ret) = cli(dir, "retention", "notes",
+      "--older-than", "2024-05-01T10:02:00")
+    assert(rc5 == 0, ret)
+    assert(ret.contains("Retention notes: removed 2 rows"), ret)
+    val (_, count) = cli(dir, "query",
+      "select count(*) as n from notes", "--output", "csv")
+    assert(count == "n\n2", count)
+    // missing cutoff fails loudly
+    val (rc6, bad2) = cli(dir, "retention", "notes")
+    assert(rc6 == 1 && bad2.contains("older-than"), bad2)
   }
 
   test("relative time parsing") {
