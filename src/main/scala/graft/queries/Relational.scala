@@ -296,12 +296,19 @@ object Relational {
     // partial-aggregable) — PercentileSpec pins the two to within
     // sketch tolerance so the swap is a one-word change.
     "q39_percentiles" -> ((s, dir) => {
+      // One percentile aggregate computes all four cut points in a
+      // single pass; flattened to scalar columns (the oracle differ
+      // hashes rows, so array-valued cells are off the table).
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          transform(
-            expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"),
-            x => round(x, 4)).as("price_q"))
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+            .as("q"))
+        .select(col("l_returnflag"), col("n"),
+          round(element_at(col("q"), 1), 4).as("p25"),
+          round(element_at(col("q"), 2), 4).as("p50"),
+          round(element_at(col("q"), 3), 4).as("p75"),
+          round(element_at(col("q"), 4), 4).as("p95"))
         .orderBy("l_returnflag")
     }),
 
@@ -492,9 +499,10 @@ object Relational {
     "q41_exists_correlated" -> existsSql,
     "q39_percentiles" -> """
       SELECT l_returnflag, count(*) AS n,
-             list_transform(
-               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
-               x -> round(x, 4)) AS price_q
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
