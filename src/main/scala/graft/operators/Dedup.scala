@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Aggregators
 
@@ -134,10 +133,7 @@ object Dedup {
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
-    val bucketed = banded.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val bucketed = BucketCap.dropOversized(banded, maxBucket, "band", "bh")
 
     bucketed.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(bucketed.select(col("band"), col("bh"), col("id").as("id_b")),
@@ -228,9 +224,7 @@ object Dedup {
         explode(graft.functions.Fingerprints.winnowSetCol(
           df.sparkSession, col(textCol), k, w)).as("fp"))
       .distinct()
-    val capped = fps.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("fp")))
-      .where(col("df") <= maxDf).drop("df")
+    val capped = BucketCap.dropOversized(fps, maxDf, "fp")
     capped.select(col("fp"), col("id").as("id_a"))
       .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .where(col("id_a") < col("id_b"))
@@ -264,14 +258,12 @@ object Dedup {
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhashSignatures(df, idCol, textCol)
-    val blocked = sigs.select(col("id"),
-        posexplode(array((0 until blocks).map(b =>
-          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("blk", "bv")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val blocked = BucketCap.dropOversized(
+      sigs.select(col("id"),
+          posexplode(array((0 until blocks).map(b =>
+            shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv"),
+      maxBucket, "blk", "bv")
     val cands = blocked.select(col("blk"), col("bv"), col("id").as("id_a"))
       .join(blocked.select(col("blk"), col("bv"), col("id").as("id_b")),
         Seq("blk", "bv"))
@@ -383,9 +375,7 @@ object Dedup {
         explode(shingleHashes(col(textCol), n)).as("g"))
       .distinct()
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val filtered = grams.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("g")))
-      .where(col("df") <= maxDf).drop("df")
+    val filtered = BucketCap.dropOversized(grams, maxDf, "g")
 
     val inter = filtered.select(col("g"), col("id").as("id_a"))
       .join(filtered.select(col("g"), col("id").as("id_b")), Seq("g"))

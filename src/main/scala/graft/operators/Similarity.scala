@@ -102,11 +102,7 @@ object Similarity {
         posexplode(graft.functions.LshFns.lshBucketsCol(
           df.sparkSession, col(vecCol), tables, bits)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    exploded
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("t", "bucket")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    BucketCap.dropOversized(exploded, maxBucket, "t", "bucket")
   }
 
   /** Approximate top-k neighbors: exact scoring restricted to candidates

@@ -37,4 +37,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       assert(!plan.contains("CartesianProduct"),
         s"$name planned a cartesian product:\n$plan")
     }
+
+  // ---------------------------------------------------------------
+  // Bucket-cap plan shape: the "drop oversized buckets" step of every
+  // candidate generator must be aggregate + broadcast anti-join, never
+  // a window count — WindowExec has no partial aggregation, so a
+  // window-count cap shuffles the entire hottest bucket into one task
+  // before dropping it. These subplans contain no ranking step, so the
+  // assertion is simply: no Window node anywhere.
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.functions._
+
+  private lazy val docs = spark.read
+    .parquet(s"$dir/documents.parquet").limit(200)
+  private lazy val embs = spark.read
+    .parquet(s"$dir/embeddings.parquet").limit(200)
+
+  private def candidateGenerators = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+    "winnowCandidates" -> (() =>
+      graft.operators.Dedup.winnowCandidates(docs, "doc_id", "text")),
+    "minhashLsh" -> (() =>
+      graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")),
+    "simhashPairs" -> (() =>
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")),
+    "ngramJaccardPairs" -> (() =>
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")))
+
+  for ((name, gen) <- candidateGenerators)
+    test(s"$name candidate generation plans no Window node") {
+      val plan = gen().queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name caps buckets through a window:\n$plan")
+    }
+
+  test("annLsh plans no Window over LSH buckets (rank-only windows)") {
+    val q = embs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .limit(5)
+    val c = embs.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val plan = graft.operators.Similarity.annLsh(q, c, 3)
+      .queryExecution.executedPlan.toString
+    val bucketWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("bucket"))
+    assert(bucketWindows.isEmpty,
+      s"annLsh caps postings through a window:\n${bucketWindows.mkString("\n")}")
+  }
 }
