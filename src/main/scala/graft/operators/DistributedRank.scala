@@ -26,12 +26,49 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
+  /** Sentinel: derive P from `spark.sql.shuffle.partitions` — sized per
+    * deployment (32 locally, thousands on a cluster), so a fixed literal
+    * would mean multi-TB range partitions at 100 TB.
+    */
+  val SessionDefault: Int = -1
+
+  /** The per-pid offset is applied as a literal CASE chain up to this
+    * many partitions (one codegen stage, zero joins). The chain is
+    * LINEAR in P — analysis and codegen degrade past a few thousand
+    * branches — so above the bound the offsets (still only P rows)
+    * are applied with a broadcast hash join instead.
+    */
+  private[operators] val ChainMax = 1024
+
+  private[operators] def resolvePartitions(df: DataFrame, p: Int): Int =
+    if (p > 0) p
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** parted + `__off` (long): the partition's global offset, looked up
+    * by `__pid`. `perPid(i)` = offset of partition i.
+    */
+  private[operators] def withOffset(
+      parted: DataFrame, perPid: IndexedSeq[Long]): DataFrame =
+    if (perPid.length <= ChainMax) {
+      val chain = perPid.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (off, pid)) =>
+          when(col("__pid") === pid, lit(off)).otherwise(acc)
+      }
+      parted.withColumn("__off", chain)
+    } else {
+      val spark = parted.sparkSession
+      import spark.implicits._
+      val offsets = perPid.zipWithIndex
+        .map { case (off, pid) => (pid, off) }.toDF("__pid", "__off")
+      parted.join(broadcast(offsets), "__pid")
+    }
+
   /** df + "__rn" (1-based global row number by `sortCols`), computed
     * with P-way parallelism. `sortCols` must be a total order.
     */
   def withGlobalRowNumber(
       df: DataFrame, sortCols: Seq[Column],
-      numPartitions: Int = 32): DataFrame =
+      numPartitions: Int = SessionDefault): DataFrame =
     rankedWithTotal(df, sortCols, numPartitions)._1
 
   /** (ranked df, total row count) — total comes from the same pass that
@@ -39,7 +76,8 @@ object DistributedRank {
     */
   private def rankedWithTotal(
       df: DataFrame, sortCols: Seq[Column],
-      numPartitions: Int): (DataFrame, Long) = {
+      requestedPartitions: Int): (DataFrame, Long) = {
+    val numPartitions = resolvePartitions(df, requestedPartitions)
     // localCheckpoint (eager) pins the partitioning — the count pass and
     // the rank pass must see identical pids, and repartitionByRange
     // samples nondeterministically across recomputation. Unlike
@@ -54,14 +92,10 @@ object DistributedRank {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until numPartitions)
       .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
-    // offset lookup as a literal CASE chain over <=P branches (metadata)
-    val offsetCol = (0 until numPartitions).foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    val ranked = parted
-      .withColumn("__rn", row_number().over(w).cast("long") + offsetCol)
-      .drop("__pid")
+    val ranked = withOffset(parted, offsets.init.toIndexedSeq)
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
     (ranked, offsets.last)
   }
 
@@ -71,7 +105,7 @@ object DistributedRank {
     */
   def ntile(
       df: DataFrame, n: Int, sortCols: Seq[Column],
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = SessionDefault): DataFrame = {
     val (ranked, total) = rankedWithTotal(df, sortCols, numPartitions)
     val q = total / n
     val r = total % n

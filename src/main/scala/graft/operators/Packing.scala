@@ -33,7 +33,8 @@ object Packing {
     * non-negative.
     */
   def pack(df: DataFrame, orderCol: String, tokenCol: String,
-      budget: Long, numPartitions: Int = 32): DataFrame = {
+      budget: Long,
+      numPartitions: Int = DistributedRank.SessionDefault): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val before = prefixSum(df, col(orderCol), col(tokenCol), numPartitions)
     before
@@ -53,28 +54,27 @@ object Packing {
     * range-partitioned, same shape as [[DistributedRank]]).
     */
   def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = DistributedRank.SessionDefault): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p = DistributedRank.resolvePartitions(df, numPartitions)
     // localCheckpoint pins the range partitioning between the totals
     // pass and the output pass (repartitionByRange samples); blocks are
     // cleaner-reclaimed when the result is dropped — see
     // DistributedRank.rankedWithTotal for the full rationale.
-    val parted = df.repartitionByRange(numPartitions, orderCol)
+    val parted = df.repartitionByRange(p, orderCol)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val totals = parted.groupBy("__pid")
       .agg(sum(valueCol.cast("long")).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numPartitions)
+    val offsets = (0 until p)
       .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
-    val offsetCol = (0 until numPartitions).foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
+    DistributedRank.withOffset(parted, offsets.init.toIndexedSeq)
       .withColumn("tokens_before",
-        sum(valueCol.cast("long")).over(w) - valueCol.cast("long") + offsetCol)
-      .drop("__pid")
+        sum(valueCol.cast("long")).over(w) - valueCol.cast("long")
+          + col("__off"))
+      .drop("__pid", "__off")
   }
 }

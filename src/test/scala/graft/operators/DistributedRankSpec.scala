@@ -49,6 +49,32 @@ class DistributedRankSpec extends AnyFunSuite with SparkTest {
     assert(tiles === referenceNtile(4, rows))
   }
 
+  test("default parallelism tracks spark.sql.shuffle.partitions") {
+    val df = (1L to 10L).toDF("v")
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(DistributedRank.resolvePartitions(
+        df, DistributedRank.SessionDefault) === 7)
+      // an explicit request always wins over the session setting
+      assert(DistributedRank.resolvePartitions(df, 5) === 5)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("offset lookup above ChainMax uses the broadcast-join path") {
+    // perPid longer than the CASE-chain bound: offsets must still be
+    // applied exactly (pid i → 10*i), now through a broadcast join.
+    val p = 1500
+    val parted = (0 until p).map(i => (i, i.toLong)).toDF("__pid", "x")
+    val perPid = IndexedSeq.tabulate(p)(i => 10L * i)
+    val got = DistributedRank.withOffset(parted, perPid)
+    assert(got.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val rows = got.collect()
+      .map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__off")).toMap
+    assert(rows === (0 until p).map(i => i -> 10L * i).toMap)
+  }
+
   test("global row number is a permutation of 1..N in sort order") {
     val rng = new scala.util.Random(7)
     val rows = (1L to 200L).map(i => (rng.nextInt(50).toLong, i))
