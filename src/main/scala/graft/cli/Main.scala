@@ -361,21 +361,24 @@ object Main {
       s"profile: column '$textCol' not found in $table " +
         s"(columns: ${df.columns.mkString(", ")})")
     val t = col(textCol)
+    // coalesce the token sum and null-safe-print the averages: a
+    // non-empty table whose text values are all NULL aggregates to
+    // NULL sums/avgs (not zero), and getLong on those would NPE
     val summary = df.agg(
       count(lit(1)).as("docs"),
-      sum(TF.tokenCount(t).cast("long")).as("tokens"),
+      coalesce(sum(TF.tokenCount(t).cast("long")), lit(0L)).as("tokens"),
       round(avg(TF.tokenCount(t)), 1).as("avg_tokens"),
       round(avg(TF.qualityScore(t)), 4).as("avg_quality"),
       round(avg(TF.charEntropy(t)), 4).as("avg_entropy")).head()
     if (summary.getLong(0) == 0) {
-      // sum/avg over zero rows are NULL — report instead of NPEing
       out.println(s"Table $table: 0 docs")
       return
     }
+    def fmt(i: Int): String = Option(summary.get(i)).fold("n/a")(_.toString)
     out.println(s"Table $table: ${summary.getLong(0)} docs, " +
       s"${summary.getLong(1)} tokens " +
-      s"(avg ${summary.get(2)}/doc), quality ${summary.get(3)}, " +
-      s"entropy ${summary.get(4)} bits/char")
+      s"(avg ${fmt(2)}/doc), quality ${fmt(3)}, " +
+      s"entropy ${fmt(4)} bits/char")
     val langs = df
       .select(TF.langId(t).as("lang"))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))

@@ -36,6 +36,19 @@ object Export {
   private def shardOf(shards: Int) =
     expr(s"CAST(((shuffle_pos - 1) * $shards) DIV __n AS INT)")
 
+  /** Output/internal column names the export stages add via
+    * withColumn — a user column with one of these names would be
+    * silently overwritten (corrupting the exported data), so exports
+    * fail loudly instead.
+    */
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"export: input already contains reserved column(s) " +
+        s"${clash.mkString(", ")} — rename them before exporting " +
+        s"(reserved: ${reserved.mkString(", ")})")
+  }
+
   /** Shuffle `df` by `idCol` with `seed`, assign `shards` contiguous
     * position ranges, write parquet partitioned by `shard` under
     * `outDir`, and return the per-shard manifest
@@ -47,6 +60,7 @@ object Export {
       outDir: String, shards: Int, seed: String = "0",
       tokenCol: Option[String] = None): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
+    requireNoReserved(df, Seq("shuffle_pos", "shard", "__n"))
     val ordered = Sampling.shuffled(df, idCol, seed)
     val n = ordered.agg(count(lit(1)).as("__n"))
     val sharded = ordered.crossJoin(broadcast(n))
@@ -74,6 +88,8 @@ object Export {
       tokenCol: String, outDir: String, shards: Int,
       budget: Long, seed: String = "0"): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
+    requireNoReserved(df, Seq("shuffle_pos", "shard", "__n",
+      "tokens_before", "block_id", "n_blocks"))
     val ordered = Sampling.shuffled(df, idCol, seed)
     val packed = Packing.pack(ordered, "shuffle_pos", tokenCol, budget)
     val n = packed.agg(count(lit(1)).as("__n"))

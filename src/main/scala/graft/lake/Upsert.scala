@@ -11,12 +11,17 @@ import graft.config.PartitionSpec
   * ingest and query (beyond-reference surface: the reference's lake is
   * append+compact only; SURVEY §2A rows 12/16-18 cover those halves).
   *
-  * Semantics: within each (tp_date, key) the row with the highest
-  * tp_timestamp wins; on a tie the incoming batch beats the stored row
-  * (so re-applying the same batch is idempotent, and a same-event-time
-  * correction replaces the stored row). Keys are PARTITION-SCOPED (the
-  * non-global-index behavior of public lakehouse engines): an update
-  * lands in the partition its own timestamp enriches to.
+  * Semantics: within each (tp_date, tp_index, key) the row with the
+  * highest tp_timestamp wins; on a tie the incoming batch beats the
+  * stored row (so re-applying the same batch is idempotent, and a
+  * same-event-time correction replaces the stored row). Keys are
+  * PARTITION-SCOPED (the non-global-index behavior of public lakehouse
+  * engines): an update lands in the partition its own timestamp and
+  * index enrich to, and a batch row whose index-deriving column
+  * differs from the stored row's is a DIFFERENT partition-scoped key —
+  * the stored row survives, deterministically, regardless of which
+  * directories the rest of the batch happens to touch. (A global-key
+  * upsert would need a full-table key index — by design out of scope.)
   *
   * Scale shape: the batch's distinct (tp_index, tp_year, tp_month)
   * triples — exactly the physical partition directories dynamic
@@ -31,13 +36,16 @@ import graft.config.PartitionSpec
 object Upsert {
 
   /** Apply `updates` (source-schema rows, like an ingest batch) to
-    * `table`. Returns (rowsBefore, rowsAfter) over the touched
-    * partition directories for reporting.
+    * `table`. With `report=true` returns (rowsBefore, rowsAfter) over
+    * the touched partition directories — two extra counting jobs over
+    * those directories, so reporting is opt-in for pipeline use;
+    * `report=false` returns (-1, -1) and runs only the merge itself.
     */
   def upsert(
       spark: SparkSession, lake: Lake, table: String, updates: DataFrame,
       spec: PartitionSpec, keyCols: Seq[String],
-      timestampColumn: String = TpSchema.Timestamp): (Long, Long) = {
+      timestampColumn: String = TpSchema.Timestamp,
+      report: Boolean = false): (Long, Long) = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     val enriched = TpSchema.enrich(updates, spec, timestampColumn)
     keyCols.foreach(k => require(enriched.columns.contains(k),
@@ -56,23 +64,27 @@ object Upsert {
         col(TpSchema.Year) === y && col(TpSchema.Month) === m
     }.reduce(_ || _)
     val current = lake.read(spark, table).where(touchedPred)
-    val before = current.count()
+    val before = if (report) current.count() else -1L
     val cols = current.columns.toSeq
     val combined = current.select(cols.map(col): _*)
       .withColumn("__src", lit(0))
       .unionByName(enriched.select(cols.map(col): _*)
         .withColumn("__src", lit(1)))
     // enrich() renames the source timestamp to tp_timestamp — version
-    // comparisons happen on the enriched column for both sides
+    // comparisons happen on the enriched column for both sides.
+    // The window includes tp_index so key scope = physical partition:
+    // rows in different index directories never compete.
     val w = Window
-      .partitionBy((col(TpSchema.Date) +: keyCols.map(col)): _*)
+      .partitionBy((Seq(col(TpSchema.Date), col(TpSchema.Index))
+        ++ keyCols.map(col)): _*)
       .orderBy(col(TpSchema.Timestamp).desc, col("__src").desc)
     val winners = combined
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn", "__src")
     lake.overwritePartitions(spark, table, winners)
-    val after = lake.read(spark, table).where(touchedPred).count()
+    val after =
+      if (report) lake.read(spark, table).where(touchedPred).count() else -1L
     (before, after)
   }
 }

@@ -230,25 +230,27 @@ object Similarity {
     * need where cosine is wrong (magnitude carries signal —
     * popularity, confidence, recency weights baked into norms).
     *
-    * Sign trick: the augmented candidate's first `dim` sign bits equal
-    * the raw vector's (the 1/M scaling is positive), so signatures are
-    * computed on `concat(vec, [residual])` with NO division — one
-    * extra bit, no float normalization in the index path.
+    * Sign trick: the augmented candidate's `dim` data sign bits equal
+    * the raw vector's (the 1/M scaling is positive), and the
+    * augmentation coordinate carries no usable sign information — the
+    * query side is always 0 (packs to bit 0) while any candidate with
+    * ‖c‖ < M has residual > 0 (packs to bit 1), so including it would
+    * spend one unit of `maxHamming` on EVERY query-candidate pair and
+    * silently shrink the effective radius to maxHamming−1. Signatures
+    * are therefore computed on the raw `dim` coordinates only (no
+    * division, no augmentation in the index path); the augmentation
+    * matters to the exact-dot rerank ordering, which uses the ORIGINAL
+    * vectors anyway.
     */
   def mipsBinary(
       queries: DataFrame, candidates: DataFrame, k: Int,
       maxHamming: Int = 6,
       minDot: Double = Double.NegativeInfinity): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val m2 = candidates.agg(max(dotD(col("cvec"), col("cvec"))).as("__m2"))
-    val csig = candidates.crossJoin(broadcast(m2))
-      .select(col("cid"), binarySignature(
-        concat(col("cvec"),
-          array(sqrt(greatest(lit(0.0),
-            col("__m2") - dotD(col("cvec"), col("cvec"))))))).as("csig"))
+    val csig = candidates
+      .select(col("cid"), binarySignature(col("cvec")).as("csig"))
     val qsig = queries
-      .select(col("qid"),
-        binarySignature(concat(col("qvec"), array(lit(0.0)))).as("qsig"))
+      .select(col("qid"), binarySignature(col("qvec")).as("qsig"))
     val pairs = csig.crossJoin(broadcast(qsig))
       .where(col("qid") =!= col("cid") &&
         hamming(col("qsig"), col("csig")) <= maxHamming)

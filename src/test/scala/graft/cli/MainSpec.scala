@@ -444,6 +444,45 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc6 == 1 && bad2.contains("older-than"), bad2)
   }
 
+  test("profile survives a table whose text values are all NULL") {
+    val dir = Files.createTempDirectory("graft_profile_null").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "blank").mkdirs()
+    // empty CSV fields parse as NULL: every note is NULL, so the token
+    // sum and the avg aggregates all come back NULL (not zero)
+    write(new File(dir, "blank/blank.csv"),
+      """timestamp,note_id,note
+        |2024-05-01T10:00:00Z,1,
+        |2024-05-01T10:01:00Z,2,
+        |""".stripMargin)
+    write(new File(dir, "config/blank.tpc"),
+      s"""format "delimited" "blank" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |
+         |table "blank" {
+         |  format = format.delimited.blank
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "note_id" { type = "bigint" }
+         |  column "note" { type = "varchar" }
+         |}
+         |
+         |partition "blank" "local" {
+         |  source "file" {
+         |    format = format.delimited.blank
+         |    paths = ["${dir.getPath}/blank/"]
+         |    file_layout = "blank.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rcC, outC) = cli(dir, "collect", "blank.local")
+    assert(rcC == 0, outC)
+    val (rc, prof) = cli(dir, "profile", "blank", "--text-column", "note")
+    assert(rc == 0, prof)
+    assert(prof.contains("Table blank: 2 docs, 0 tokens"), prof)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==

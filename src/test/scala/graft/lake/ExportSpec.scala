@@ -72,4 +72,19 @@ class ExportSpec extends AnyFunSuite with SparkTest {
       .count()
     assert(bad === 0L)
   }
+
+  test("input with a reserved column name fails loudly, not silently") {
+    val out = Files.createTempDirectory("graft_export").toString
+    val poisoned = corpus.withColumn("shard", lit(99))
+    val e = intercept[IllegalArgumentException] {
+      Export.exportShards(spark, poisoned, "id", out, shards = 3)
+    }
+    assert(e.getMessage.contains("shard"))
+    val packedPoison = corpus.withColumn("block_id", lit(0))
+    val e2 = intercept[IllegalArgumentException] {
+      Export.exportPacked(spark, packedPoison, "id", "n_tok", out,
+        shards = 3, budget = 1024)
+    }
+    assert(e2.getMessage.contains("block_id"))
+  }
 }

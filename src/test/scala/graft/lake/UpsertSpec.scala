@@ -34,7 +34,7 @@ class UpsertSpec extends AnyFunSuite with SparkTest {
     val batch = Seq((1L, "2024-03-01 10:00:00", "a", 99.0))
       .toDF("id", "ts", "kind", "value")
     val (before, after) = Upsert.upsert(spark, lake, "t", batch, spec,
-      keyCols = Seq("id"), timestampColumn = "ts")
+      keyCols = Seq("id"), timestampColumn = "ts", report = true)
     assert(before === 2L && after === 2L) // dir (a, 2024, 3) held ids 1,2
     assert(state(lake) === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0,
       4L -> 40.0))
@@ -72,6 +72,26 @@ class UpsertSpec extends AnyFunSuite with SparkTest {
       .toDF("id", "ts", "kind", "value")
     Upsert.upsert(spark, lake, "t", stale, spec, Seq("id"), "ts")
     assert(state(lake)(2L) === 20.0)
+  }
+
+  test("index change is a new partition-scoped key; stored row survives") {
+    val (lake, spec) = freshLake()
+    // id=1 moves from kind=a to kind=b, same date. Partition-scoped
+    // keys: the (b, 2024, 3) directory gains the new version while the
+    // stored (a, …) row survives — deterministically, even though a
+    // rider row in the same batch touches the (a, 2024, 3) directory.
+    val batch = Seq(
+      (1L, "2024-03-01 12:00:00", "b", 111.0),
+      (2L, "2024-03-01 12:00:00", "a", 222.0)
+    ).toDF("id", "ts", "kind", "value")
+    Upsert.upsert(spark, lake, "t", batch, spec, Seq("id"), "ts")
+    val byIdKind = lake.read(spark, "t")
+      .select("id", "tp_index", "value")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, k, v) => (id, k) -> v }.toMap
+    assert(byIdKind === Map(
+      (1L, "a") -> 10.0, (1L, "b") -> 111.0, (2L, "a") -> 222.0,
+      (3L, "b") -> 30.0, (4L, "a") -> 40.0))
   }
 
   test("missing key column fails loudly") {
