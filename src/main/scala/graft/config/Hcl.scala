@@ -52,6 +52,11 @@ object Hcl {
       case other => throw new IllegalArgumentException(
         s"$kind: attribute '$name' is not a bool: $other")
     }
+    def int(name: String): Option[Int] = attrs.get(name).map {
+      case HNumber(n) if n.isWhole => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$kind: attribute '$name' is not an integer: $other")
+    }
     def strings(name: String): Option[Seq[String]] = attrs.get(name).map {
       case HArray(items) => items.map {
         case HString(s) => s
@@ -298,7 +303,9 @@ object Hcl {
           kind = s.labels.head,
           paths = s.strings("paths").getOrElse(Seq.empty),
           format = s.str("format"),
-          fileLayout = s.str("file_layout"))
+          fileLayout = s.str("file_layout"),
+          command = s.str("command"),
+          chunkRows = s.int("chunk_rows").getOrElse(1000))
       }
       val p = PartitionSpec(
         table = table,

@@ -86,14 +86,22 @@ final case class PartitionSpec(
   *
   * @param paths      file paths / globs
   * @param format     name of a [[FormatSpec]] describing how to parse
+  * @param command    for `source "process"`: the plugin command line,
+  *                   run as a CHILD PROCESS streaming JSONL rows on
+  *                   stdout (the reference's out-of-process plugin
+  *                   boundary, plugin_manager.go:74-166)
+  * @param chunkRows  rows per staged chunk file for process sources
+  *                   (the reference SDK chunks at 1000)
   */
 final case class SourceSpec(
-    kind: String, // "file" | "synthetic"
+    kind: String, // "file" | "synthetic" | "process"
     paths: Seq[String] = Seq.empty,
     format: Option[String] = None,
     // grok-ish filename pattern selecting files under `paths`
     // (reference source.go file_layout)
-    fileLayout: Option[String] = None)
+    fileLayout: Option[String] = None,
+    command: Option[String] = None,
+    chunkRows: Int = 1000)
 
 /** A format block (reference internal/config/format.go): `delimited`
   * (header/delimiter → csv reader) or `grok` (pattern → regex
