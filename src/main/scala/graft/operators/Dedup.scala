@@ -133,13 +133,11 @@ object Dedup {
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
-    val bucketed = BucketCap.dropOversized(banded, maxBucket, "band", "bh")
-
-    bucketed.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(bucketed.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // single-pass capped buckets → within-bucket pairs: the corpus is
+    // scanned and the signature aggregate computed ONCE (the capped
+    // self-join formulation planned the upstream 4×, r7 bench −1.3–1.6×)
+    BucketCap.cappedPairs(banded, maxBucket, "id", "band", "bh")
+      .distinct()
   }
 
   /** MinHash + LSH banding near-duplicate pairs with the ESTIMATED
@@ -224,11 +222,7 @@ object Dedup {
         explode(graft.functions.Fingerprints.winnowSetCol(
           df.sparkSession, col(textCol), k, w)).as("fp"))
       .distinct()
-    val capped = BucketCap.dropOversized(fps, maxDf, "fp")
-    capped.select(col("fp"), col("id").as("id_a"))
-      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    BucketCap.cappedPairs(fps, maxDf, "id", "fp").distinct()
   }
 
   /** SimHash signatures: (id, sig: 64-bit Long). */
@@ -258,17 +252,12 @@ object Dedup {
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhashSignatures(df, idCol, textCol)
-    val blocked = BucketCap.dropOversized(
-      sigs.select(col("id"),
-          posexplode(array((0 until blocks).map(b =>
-            shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
-        .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv"),
-      maxBucket, "blk", "bv")
-    val cands = blocked.select(col("blk"), col("bv"), col("id").as("id_a"))
-      .join(blocked.select(col("blk"), col("bv"), col("id").as("id_b")),
-        Seq("blk", "bv"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val blocked = sigs.select(col("id"),
+        posexplode(array((0 until blocks).map(b =>
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
+    val cands = BucketCap.cappedPairs(blocked, maxBucket, "id", "blk", "bv")
+      .distinct()
     cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -375,11 +364,8 @@ object Dedup {
         explode(shingleHashes(col(textCol), n)).as("g"))
       .distinct()
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val filtered = BucketCap.dropOversized(grams, maxDf, "g")
 
-    val inter = filtered.select(col("g"), col("id").as("id_a"))
-      .join(filtered.select(col("g"), col("id").as("id_b")), Seq("g"))
-      .where(col("id_a") < col("id_b"))
+    val inter = BucketCap.cappedPairs(grams, maxDf, "id", "g")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
 
     inter

@@ -94,16 +94,20 @@ object Similarity {
     * oversized buckets dropped (the cap bounds worst-case join fan-out;
     * shuffle payload is ids + bucket longs only — no vectors).
     */
-  private def postings(
+  private def explodedPostings(
       df: DataFrame, idCol: String, vecCol: String,
-      tables: Int, bits: Int, maxBucket: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"),
+      tables: Int, bits: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         posexplode(graft.functions.LshFns.lshBucketsCol(
           df.sparkSession, col(vecCol), tables, bits)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    BucketCap.dropOversized(exploded, maxBucket, "t", "bucket")
-  }
+
+  private def postings(
+      df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, maxBucket: Int): DataFrame =
+    BucketCap.cappedPostings(
+      explodedPostings(df, idCol, vecCol, tables, bits),
+      maxBucket, "id", "t", "bucket")
 
   /** Approximate top-k neighbors: exact scoring restricted to candidates
     * sharing an LSH bucket with the query in any of `tables` tables.
@@ -579,12 +583,12 @@ object Similarity {
       threshold: Double = 0.95, tables: Int = 8, bits: Int = 12,
       maxBucket: Int = 1000): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val p = postings(v, "id", "vec", tables, bits, maxBucket)
-    val pairs = p.select(col("t"), col("bucket"), col("id").as("id_a"))
-      .join(p.select(col("t"), col("bucket"), col("id").as("id_b")),
-        Seq("t", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // single-pass capped buckets → within-bucket pairs (the capped
+    // self-join planned the hyperplane projection 4×; see BucketCap)
+    val pairs = BucketCap.cappedPairs(
+        explodedPostings(v, "id", "vec", tables, bits),
+        maxBucket, "id", "t", "bucket")
+      .distinct()
     pairs
       .join(v.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
       .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")

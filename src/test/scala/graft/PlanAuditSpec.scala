@@ -40,11 +40,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
 
   // ---------------------------------------------------------------
   // Bucket-cap plan shape: the "drop oversized buckets" step of every
-  // candidate generator must be aggregate + broadcast anti-join, never
-  // a window count — WindowExec has no partial aggregation, so a
-  // window-count cap shuffles the entire hottest bucket into one task
-  // before dropping it. These subplans contain no ranking step, so the
-  // assertion is simply: no Window node anywhere.
+  // candidate generator must be the ONE-PASS bounded-collect aggregate
+  // (BucketCap.cappedBuckets), never a window count — WindowExec has no
+  // partial aggregation, so a window-count cap shuffles the entire
+  // hottest bucket into one task before dropping it — and never the
+  // two-pass count + anti-join + self-join, which plans the upstream
+  // (corpus scan, shingling, signature aggregation) FOUR times (the r7
+  // bench measured its consumers 1.2–1.6× slower for exactly that).
+  // Assertions: no Window node, no anti-join, and the pure candidate
+  // generators evaluate the corpus exactly once (one FileScan).
   // ---------------------------------------------------------------
 
   import org.apache.spark.sql.functions._
@@ -70,6 +74,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       assert(!plan.contains("Window"),
         s"$name caps buckets through a window:\n$plan")
     }
+
+  for ((name, gen) <- candidateGenerators)
+    test(s"$name caps buckets one-pass (bounded collect, no anti-join)") {
+      val plan = gen().queryExecution.executedPlan.toString
+      assert(plan.contains("graft_bounded_collect"),
+        s"$name does not cap via the one-pass bounded collect:\n$plan")
+      assert(!plan.contains("LeftAnti"),
+        s"$name caps buckets through a two-pass anti-join:\n$plan")
+    }
+
+  // The pure candidate-set generators touch the corpus exactly once:
+  // signatures → capped buckets → exploded pairs is one linear plan.
+  // (minhashLsh/simhashPairs re-attach signatures per surviving pair,
+  // so their full plans legitimately scan more than once.)
+  for ((name, gen) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+    "minhashLshCandidates" -> (() =>
+      graft.operators.Dedup.minhashLshCandidates(docs, "doc_id", "text")),
+    "winnowCandidates" -> (() =>
+      graft.operators.Dedup.winnowCandidates(docs, "doc_id", "text")))) {
+    test(s"$name evaluates the corpus exactly once") {
+      val plan = gen().queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("FileScan"))
+      assert(scans == 1,
+        s"$name plans $scans corpus scans (expected 1):\n$plan")
+    }
+  }
 
   test("annLsh plans no Window over LSH buckets (rank-only windows)") {
     val q = embs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
