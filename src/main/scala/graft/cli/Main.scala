@@ -469,14 +469,38 @@ object Main {
           p.name, from, to, toInclusive = false)
         if (n > 0) out.println(s"Overwrite: deleted $n rows from ${p.id}")
       }
-      val raw = adapter.read(spark, src, fmt, from, to)
-      // declared-schema conversion maps any `source =` rename to
-      // tp_timestamp BEFORE enrichment, so the enrich column is always
-      // the canonical one
-      val res = Ingest.collectBatch(spark, lake, p, raw, tableSpec,
-        timestampColumn = "tp_timestamp", from = from, to = to)
-      graft.ingest.CollectionState.advance(spark, lake, p.table, p.name,
-        to, res)
+      // live progress: Started before acquisition, per-chunk lines from
+      // staging adapters during it, Collected as the Complete event —
+      // the reference's Started/Chunk/Complete stream (collector.go:408-461)
+      out.println(s"Collection started: ${p.id} (source ${src.kind})")
+      def ingest(raw: org.apache.spark.sql.DataFrame,
+          advanceTo: Option[Timestamp]): Ingest.IngestResult = {
+        // declared-schema conversion maps any `source =` rename to
+        // tp_timestamp BEFORE enrichment, so the enrich column is always
+        // the canonical one
+        val res = Ingest.collectBatch(spark, lake, p, raw, tableSpec,
+          timestampColumn = "tp_timestamp", from = from, to = to)
+        graft.ingest.CollectionState.advance(spark, lake, p.table, p.name,
+          advanceTo, res)
+        res
+      }
+      val res = try {
+        ingest(adapter.read(spark, src, fmt, from, to, out.println), to)
+      } catch {
+        // crash isolation (plugin_manager.go:74-166): a child process
+        // dying mid-stream must not lose its COMPLETED chunks — ingest
+        // them, then surface the clean error on the normal rc=1 path.
+        // Resume advances only to the max INGESTED timestamp (never the
+        // requested `to`): rows between the crash point and `to` never
+        // arrived, and a full advance would silently skip them forever.
+        case ps: graft.ingest.ProcessSource.PartialStream =>
+          if (ps.chunks.nonEmpty) {
+            val partial = ingest(spark.read.json(ps.chunks: _*), None)
+            out.println(s"Collected ${p.id}: ${partial.rowsIngested} rows " +
+              s"(partial, from ${ps.chunks.size} complete chunks)")
+          }
+          throw new IllegalStateException(ps.cause)
+      }
       out.println(s"Collected ${p.id}: ${res.rowsIngested} rows" +
         (if (res.rowsInvalid > 0) s" (${res.rowsInvalid} invalid)" else ""))
       // post-collection compaction, on by default like the reference

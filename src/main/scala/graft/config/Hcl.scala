@@ -53,9 +53,12 @@ object Hcl {
         s"$kind: attribute '$name' is not a bool: $other")
     }
     def int(name: String): Option[Int] = attrs.get(name).map {
-      case HNumber(n) if n.isWhole => n.toInt
+      // isValidInt guards the silent Double→Int truncation of
+      // out-of-range whole numbers (chunk_rows = 10000000000 must be a
+      // config error, not a wrapped negative)
+      case HNumber(n) if n.isWhole && n.isValidInt => n.toInt
       case other => throw new IllegalArgumentException(
-        s"$kind: attribute '$name' is not an integer: $other")
+        s"$kind: attribute '$name' is not a 32-bit integer: $other")
     }
     def strings(name: String): Option[Seq[String]] = attrs.get(name).map {
       case HArray(items) => items.map {
@@ -299,13 +302,19 @@ object Hcl {
       val Seq(table, name) = b.labels
       val source = b.blocks.find(_.kind == "source").map { s =>
         require(s.labels.length == 1, "'source' block requires 1 label")
-        SourceSpec(
+        val spec = SourceSpec(
           kind = s.labels.head,
           paths = s.strings("paths").getOrElse(Seq.empty),
           format = s.str("format"),
           fileLayout = s.str("file_layout"),
           command = s.str("command"),
           chunkRows = s.int("chunk_rows").getOrElse(1000))
+        require(spec.chunkRows > 0,
+          s"source '${spec.kind}': chunk_rows must be positive, got ${spec.chunkRows}")
+        // fail at config load, not at collect time (ADVICE r7)
+        require(spec.kind != "process" || spec.command.exists(_.trim.nonEmpty),
+          "source 'process' requires command = \"<shell command>\"")
+        spec
       }
       val p = PartitionSpec(
         table = table,

@@ -15,9 +15,11 @@ import graft.config.{FormatSpec, SourceSpec}
   * An adapter turns a `source` config block into a raw DataFrame; the
   * shared pipeline (conversion → enrichment → validation → partitioned
   * append) is identical for every adapter, exactly as every reference
-  * plugin feeds the same JSONL→parquet converter. Adapters are
-  * in-process (a plugin binary boundary adds nothing on a Spark
-  * cluster, where the executors ARE the distribution mechanism).
+  * plugin feeds the same JSONL→parquet converter. Most adapters are
+  * in-process (a plugin binary boundary adds nothing to DISTRIBUTION on
+  * a Spark cluster, where the executors are the parallelism mechanism);
+  * [[ProcessSource]] provides the out-of-process boundary where it does
+  * earn its keep — crash isolation of untrusted acquisition commands.
   */
 trait SourceAdapter {
   /** Registry key, matched against `source "<kind>" { … }` blocks. */
@@ -25,10 +27,22 @@ trait SourceAdapter {
   def version: String
   def description: String
 
-  /** Produce the raw batch for one collect run. */
+  /** Produce the raw batch for one collect run. `progress` receives
+    * human-readable status lines DURING acquisition (the reference's
+    * Started/Chunk/Complete event stream, collector.go:408-461) —
+    * adapters whose read is one lazy plan emit nothing; staging
+    * adapters ([[ProcessSource]]) emit per-chunk lines.
+    */
   def read(
       spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
-      from: Option[Timestamp], to: Option[Timestamp]): DataFrame
+      from: Option[Timestamp], to: Option[Timestamp],
+      progress: String => Unit): DataFrame
+
+  /** Progress-less convenience overload. */
+  final def read(
+      spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
+      from: Option[Timestamp], to: Option[Timestamp]): DataFrame =
+    read(spark, source, format, from, to, _ => ())
 }
 
 /** The `file` source: paths + optional `file_layout` filename pattern,
@@ -42,7 +56,8 @@ object FileSource extends SourceAdapter {
 
   def read(
       spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
-      from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+      from: Option[Timestamp], to: Option[Timestamp],
+      progress: String => Unit): DataFrame = {
     val files = Formats.resolveFiles(source.paths, source.fileLayout)
     require(files.nonEmpty,
       s"no files matched paths=${source.paths.mkString(",")}" +
@@ -61,7 +76,8 @@ object SyntheticSource extends SourceAdapter {
 
   def read(
       spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
-      from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+      from: Option[Timestamp], to: Option[Timestamp],
+      progress: String => Unit): DataFrame = {
     val specStr = source.paths.headOption.getOrElse(
       throw new IllegalArgumentException(
         "synthetic source needs its spec string as the path, " +
@@ -85,6 +101,7 @@ object SourceRegistry {
 
   register(FileSource)
   register(SyntheticSource)
+  register(ProcessSource)
 
   def register(a: SourceAdapter): Unit = adapters.put(a.kind, a)
 

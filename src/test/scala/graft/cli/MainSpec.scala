@@ -483,6 +483,114 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(prof.contains("Table blank: 2 docs, 0 tokens"), prof)
   }
 
+  // ---- process source: out-of-process plugin boundary ----------------
+
+  /** Fresh fixture root with a `source "process"` partition whose
+    * command is the given shell script body.
+    */
+  private def processRoot(script: String, chunkRows: Int = 2): File = {
+    val dir = Files.createTempDirectory("graft_proc").toFile
+    new File(dir, "config").mkdirs()
+    val sh = new File(dir, "emit.sh")
+    write(sh, script)
+    write(new File(dir, "config/events.tpc"),
+      s"""table "proc_events" {
+         |  column "tp_timestamp" {
+         |    source = "timestamp"
+         |  }
+         |  column "n" { type = "integer" }
+         |}
+         |
+         |partition "proc_events" "child" {
+         |  source "process" {
+         |    command = "sh ${sh.getPath}"
+         |    chunk_rows = $chunkRows
+         |  }
+         |}
+         |""".stripMargin)
+    dir
+  }
+
+  test("process source: collect streams child stdout JSONL in chunks") {
+    val dir = processRoot(
+      """i=1
+        |while [ $i -le 5 ]; do
+        |  echo "{\"timestamp\": \"2024-05-01T10:3$i:00Z\", \"n\": $i}"
+        |  i=$((i+1))
+        |done
+        |""".stripMargin)
+    val (rc, out) = cli(dir, "collect", "proc_events.child")
+    assert(rc == 0, out)
+    // live progress: Started, per-chunk staging events, Complete
+    assert(out.contains("Collection started: proc_events.child (source process)"), out)
+    assert(out.contains("chunk 0: 2 rows staged"), out)
+    assert(out.contains("chunk 1: 2 rows staged"), out)
+    assert(out.contains("chunk 2: 1 rows staged"), out)
+    assert(out.contains("Collected proc_events.child: 5 rows"), out)
+    val (rcQ, csv) = cli(dir, "query",
+      "select n from proc_events order by tp_timestamp", "--output", "csv")
+    assert(rcQ == 0, csv)
+    assert(csv == "n\n1\n2\n3\n4\n5", csv)
+  }
+
+  test("process source: child crash keeps CLI alive, ingests complete chunks") {
+    val dir = processRoot(
+      """echo "{\"timestamp\": \"2024-05-01T10:31:00Z\", \"n\": 1}"
+        |echo "{\"timestamp\": \"2024-05-01T10:32:00Z\", \"n\": 2}"
+        |echo "{\"timestamp\": \"2024-05-01T10:33:00Z\", \"n\": 3}"
+        |echo "boom: upstream API 500" >&2
+        |exit 3
+        |""".stripMargin)
+    val (rc, out) = cli(dir, "collect", "proc_events.child")
+    // clean error path: rc=1, no stack trace, cause + stderr tail shown
+    assert(rc == 1, out)
+    assert(out.contains("exited with code 3"), out)
+    assert(out.contains("boom: upstream API 500"), out)
+    // chunk_rows=2: one COMPLETE chunk (rows 1,2) staged before the
+    // crash — ingested; the in-flight partial (row 3) discarded
+    assert(out.contains("Collected proc_events.child: 2 rows (partial, from 1 complete chunks)"), out)
+    val (rcQ, csv) = cli(dir, "query",
+      "select n from proc_events order by n", "--output", "csv")
+    assert(rcQ == 0, csv)
+    assert(csv == "n\n1\n2", csv)
+    // resume state advanced only to the max INGESTED timestamp: a
+    // re-collect (with a fixed child) re-reads from after row 2, so
+    // row 3 is NOT skipped forever
+    val st = graft.ingest.CollectionState.read(spark,
+      graft.lake.Lake(s"${dir.getPath}/lake"), "proc_events", "child")
+    assert(st.isDefined)
+    assert(st.get.resumeFrom.before(
+      java.sql.Timestamp.valueOf("2024-05-01 10:33:00")), st)
+  }
+
+  test("process source: total child failure reports error, ingests nothing") {
+    val dir = processRoot("exit 7\n")
+    val (rc, out) = cli(dir, "collect", "proc_events.child")
+    assert(rc == 1, out)
+    assert(out.contains("exited with code 7"), out)
+    assert(!out.contains("partial"), out)
+  }
+
+  test("process config validation: chunk_rows and command checked at load") {
+    val dir = processRoot("true\n", chunkRows = 0)
+    val (rc, out) = cli(dir, "collect", "proc_events.child")
+    assert(rc == 1, out)
+    assert(out.contains("chunk_rows must be positive"), out)
+
+    val dir2 = Files.createTempDirectory("graft_proc").toFile
+    new File(dir2, "config").mkdirs()
+    write(new File(dir2, "config/bad.tpc"),
+      """table "t" { column "tp_timestamp" { source = "ts" } }
+        |partition "t" "p" {
+        |  source "process" {
+        |  }
+        |}
+        |""".stripMargin)
+    val (rc2, out2) = cli(dir2, "collect", "t.p")
+    assert(rc2 == 1, out2)
+    assert(out2.contains("requires command"), out2)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==

@@ -19,7 +19,8 @@ object DemoPluginAdapter extends SourceAdapter {
   val description = "Demo plugin source"
   def read(
       spark: SparkSession, source: SourceSpec, format: Option[FormatSpec],
-      from: Option[Timestamp], to: Option[Timestamp]): DataFrame =
+      from: Option[Timestamp], to: Option[Timestamp],
+      progress: String => Unit): DataFrame =
     spark.range(3).toDF("n")
 }
 

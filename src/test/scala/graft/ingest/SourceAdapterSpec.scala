@@ -24,7 +24,7 @@ class SourceAdapterSpec extends AnyFunSuite with SparkTest {
       val kind = "zz_fake"; val version = "0.1"; val description = "test"
       def read(s: org.apache.spark.sql.SparkSession, src: SourceSpec,
           f: Option[FormatSpec], from: Option[Timestamp],
-          to: Option[Timestamp]) = {
+          to: Option[Timestamp], progress: String => Unit) = {
         import s.implicits._
         Seq((1, "x")).toDF("a", "b")
       }
