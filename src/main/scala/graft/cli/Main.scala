@@ -469,6 +469,16 @@ object Main {
           p.name, from, to, toInclusive = false)
         if (n > 0) out.println(s"Overwrite: deleted $n rows from ${p.id}")
       }
+      // per-source credentials: apply the named connection block to the
+      // session Hadoop conf before any read resolves a path through it
+      // (reference: connection HCL ships to the plugin process,
+      // connection.go:27-67; here the Hadoop FS layer is the "plugin")
+      src.connection.foreach { ref =>
+        val conn = graft.config.Connections.resolve(config, ref)
+        graft.config.Connections(conn,
+          spark.sparkContext.hadoopConfiguration)
+        out.println(s"Using connection ${conn.id}")
+      }
       // live progress: Started before acquisition, per-chunk lines from
       // staging adapters during it, Collected as the Complete event —
       // the reference's Started/Chunk/Complete stream (collector.go:408-461)

@@ -179,12 +179,22 @@ object Hcl {
       while (open) peek match {
         case Some(TPunct('}')) => pos += 1; open = false
         case Some(TIdent(name)) =>
-          peek2 match {
-            case Some(TPunct('=')) =>
-              pos += 2 // ident '='
-              attrs = attrs.updated(name, value())
-            case _ => blocks += block()
+          // dotted attribute names (hadoop.fs.s3a.endpoint = …): scan
+          // the maximal ident('.'ident)* run; it is an attribute iff
+          // '=' follows. Nested blocks never have dotted kinds, and
+          // dotted VALUES (format.delimited.x) still parse as HRef.
+          var look = pos + 1
+          val dotted = new StringBuilder(name)
+          var scanning = true
+          while (scanning) (toks.lift(look), toks.lift(look + 1)) match {
+            case (Some(TPunct('.')), Some(TIdent(part))) =>
+              dotted.append('.').append(part); look += 2
+            case _ => scanning = false
           }
+          if (toks.lift(look).contains(TPunct('='))) {
+            pos = look + 1 // past '='
+            attrs = attrs.updated(dotted.result(), value())
+          } else blocks += block()
         case other => throw new IllegalArgumentException(
           s"HCL parse error in block '$kind': unexpected $other")
       }
@@ -241,7 +251,8 @@ object Hcl {
   final case class Config(
       formats: Map[String, FormatSpec],
       tables: Map[String, TableSpec],
-      partitions: Map[String, PartitionSpec])
+      partitions: Map[String, PartitionSpec],
+      connections: Map[String, ConnectionSpec] = Map.empty)
 
   /** Decode `partition`/`table`/`format` blocks, with the reference's
     * validation rules (table.go:110-117: source+transform mutually
@@ -296,6 +307,23 @@ object Hcl {
       t.name -> t
     }.toMap
 
+    val connections = blocks.filter(_.kind == "connection").map { b =>
+      require(b.labels.length == 2,
+        "'connection' block requires 2 labels, 'type' and 'name'")
+      val props = b.attrs.map { case (k, v) =>
+        k -> (v match {
+          case HString(s) => s
+          case HNumber(n) => if (n.isWhole) n.toLong.toString else n.toString
+          case HBool(x)   => x.toString
+          case other => throw new IllegalArgumentException(
+            s"connection: property '$k' must be a scalar, got $other")
+        })
+      }
+      val c = ConnectionSpec(b.labels(0), b.labels(1), props.toMap)
+      Connections.hadoopEntries(c) // vocabulary-check at load, not collect
+      c.id -> c
+    }.toMap
+
     val partitions = blocks.filter(_.kind == "partition").map { b =>
       require(b.labels.length == 2,
         "'partition' block requires 2 labels, 'type' and 'name'")
@@ -308,12 +336,15 @@ object Hcl {
           format = s.str("format"),
           fileLayout = s.str("file_layout"),
           command = s.str("command"),
-          chunkRows = s.int("chunk_rows").getOrElse(1000))
+          chunkRows = s.int("chunk_rows").getOrElse(1000),
+          connection = s.str("connection"))
         require(spec.chunkRows > 0,
           s"source '${spec.kind}': chunk_rows must be positive, got ${spec.chunkRows}")
         // fail at config load, not at collect time (ADVICE r7)
         require(spec.kind != "process" || spec.command.exists(_.trim.nonEmpty),
           "source 'process' requires command = \"<shell command>\"")
+        // connection refs resolve at collect time (Connections.resolve):
+        // like format refs, the target may live in a sibling config file
         spec
       }
       val p = PartitionSpec(
@@ -325,7 +356,7 @@ object Hcl {
       p.id -> p
     }.toMap
 
-    Config(formats, tables, partitions)
+    Config(formats, tables, partitions, connections)
   }
 
   /** `tp_` common-field names whose types are known a priori (reference

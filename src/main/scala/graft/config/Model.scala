@@ -101,7 +101,25 @@ final case class SourceSpec(
     // (reference source.go file_layout)
     fileLayout: Option[String] = None,
     command: Option[String] = None,
-    chunkRows: Int = 1000)
+    chunkRows: Int = 1000,
+    // `connection = connection.<type>.<name>` — named credential block
+    // applied to the session's Hadoop conf before this source reads
+    // (reference source.go `connection` attr + connection.go:27-67)
+    connection: Option[String] = None)
+
+/** A named credential/endpoint block (reference
+  * internal/config/connection.go:27-67: `connection "<type>" "<name>"`
+  * carrying opaque plugin HCL). The Spark-native target of those
+  * properties is the session Hadoop configuration — see
+  * [[Connections.hadoopEntries]] for the `s3` property vocabulary and
+  * the `hadoop.*` passthrough every type supports.
+  */
+final case class ConnectionSpec(
+    kind: String, // "s3" | anything with hadoop.* passthrough
+    name: String,
+    props: Map[String, String]) {
+  def id: String = s"$kind.$name"
+}
 
 /** A format block (reference internal/config/format.go): `delimited`
   * (header/delimiter → csv reader) or `grok` (pattern → regex

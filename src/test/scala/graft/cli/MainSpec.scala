@@ -591,6 +591,62 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(out2.contains("requires command"), out2)
   }
 
+  test("connection block plumbs Hadoop conf: collect from a faked remote scheme") {
+    // a fake:// URI is unreadable without the connection installing
+    // fs.fake.impl into the session Hadoop conf — the same dependency
+    // chain an s3a:// source has on its credentials
+    val dir = Files.createTempDirectory("graft_conn").toFile
+    new File(dir, "config").mkdirs()
+    write(new File(dir, "remote.jsonl"),
+      """{"timestamp": "2024-05-01T10:31:00Z", "n": 1}
+        |{"timestamp": "2024-05-01T10:32:00Z", "n": 2}
+        |""".stripMargin)
+    write(new File(dir, "config/remote.tpc"),
+      s"""connection "remote" "fake" {
+         |  hadoop.fs.fake.impl = "graft.cli.FakeRemoteFileSystem"
+         |}
+         |
+         |table "remote_events" {
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "n" { type = "integer" }
+         |}
+         |
+         |partition "remote_events" "r" {
+         |  source "file" {
+         |    connection = connection.remote.fake
+         |    paths = ["fake://${dir.getPath}/remote.jsonl"]
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc, out) = cli(dir, "collect", "remote_events.r")
+    assert(rc == 0, out)
+    assert(out.contains("Using connection remote.fake"), out)
+    assert(out.contains("Collected remote_events.r: 2 rows"), out)
+    val (rcQ, csv) = cli(dir, "query",
+      "select n from remote_events order by n", "--output", "csv")
+    assert(rcQ == 0, csv)
+    assert(csv == "n\n1\n2", csv)
+  }
+
+  test("unknown connection ref fails with the defined set listed") {
+    val dir = Files.createTempDirectory("graft_conn").toFile
+    new File(dir, "config").mkdirs()
+    write(new File(dir, "config/c.tpc"),
+      """connection "s3" "prod" { access_key = "AK" }
+        |table "t" { column "tp_timestamp" { source = "ts" } }
+        |partition "t" "p" {
+        |  source "file" {
+        |    connection = connection.s3.staging
+        |    paths = ["/nope"]
+        |  }
+        |}
+        |""".stripMargin)
+    val (rc, out) = cli(dir, "collect", "t.p")
+    assert(rc == 1, out)
+    assert(out.contains("unknown connection 's3.staging'"), out)
+    assert(out.contains("s3.prod"), out)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==

@@ -144,6 +144,80 @@ class HclSpec extends AnyFunSuite {
         |""".stripMargin)
   }
 
+  test("connection blocks decode with typed s3 vocabulary and refs") {
+    val cfg = Hcl.decode(
+      """connection "s3" "prod" {
+        |  access_key = "AKIAXXXX"
+        |  secret_key = "shhh"
+        |  endpoint = "https://minio.local:9000"
+        |  path_style = true
+        |}
+        |
+        |table "t" { column "tp_timestamp" { source = "ts" } }
+        |
+        |partition "t" "p" {
+        |  source "file" {
+        |    connection = connection.s3.prod
+        |    paths = ["s3a://bucket/logs/"]
+        |  }
+        |}
+        |""".stripMargin)
+    val conn = cfg.connections("s3.prod")
+    assert(conn.kind == "s3" && conn.name == "prod")
+    assert(conn.props("path_style") == "true")
+    assert(cfg.partitions("t.p").source.get.connection
+      .contains("connection.s3.prod"))
+    val entries = Connections.hadoopEntries(conn).toMap
+    assert(entries("fs.s3a.access.key") == "AKIAXXXX")
+    assert(entries("fs.s3a.secret.key") == "shhh")
+    assert(entries("fs.s3a.endpoint") == "https://minio.local:9000")
+    assert(entries("fs.s3a.path.style.access") == "true")
+  }
+
+  test("s3 connection with bucket scopes keys per-bucket") {
+    val conn = ConnectionSpec("s3", "scoped",
+      Map("access_key" -> "AK", "bucket" -> "my-logs"))
+    assert(Connections.hadoopEntries(conn).toMap ==
+      Map("fs.s3a.bucket.my-logs.access.key" -> "AK"))
+  }
+
+  test("anonymous s3 maps to the anonymous credentials provider") {
+    val conn = ConnectionSpec("s3", "anon", Map("anonymous" -> "true"))
+    assert(Connections.hadoopEntries(conn).head ==
+      ("fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"))
+  }
+
+  test("unknown s3 property is a load-time error (typo safety)") {
+    val e = intercept[IllegalArgumentException](Hcl.decode(
+      """connection "s3" "typo" { secret_ky = "oops" }"""))
+    assert(e.getMessage.contains("unknown s3 property 'secret_ky'"), e.getMessage)
+  }
+
+  test("dotted attribute names: hadoop.* passthrough for any type") {
+    val cfg = Hcl.decode(
+      """connection "gcs" "lake" {
+        |  hadoop.fs.gs.project.id = "my-project"
+        |  hadoop.fs.gs.auth.type = "SERVICE_ACCOUNT_JSON_KEYFILE"
+        |}
+        |""".stripMargin)
+    val entries = Connections.hadoopEntries(cfg.connections("gcs.lake")).toMap
+    assert(entries("fs.gs.project.id") == "my-project")
+    assert(entries("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+  }
+
+  test("non-s3 connection rejects typed properties with a hint") {
+    val e = intercept[IllegalArgumentException](Hcl.decode(
+      """connection "gcs" "bad" { access_key = "nope" }"""))
+    assert(e.getMessage.contains("hadoop.<key> passthrough"), e.getMessage)
+  }
+
+  test("connection requires two labels") {
+    val e = intercept[IllegalArgumentException](
+      Hcl.decode("""connection "s3" { }"""))
+    assert(e.getMessage.contains("2 labels"), e.getMessage)
+  }
+
   test("malformed input fails with a parse error, not silently") {
     intercept[IllegalArgumentException](Hcl.parse("""table "t" {"""))
     intercept[IllegalArgumentException](Hcl.parse("""table { a = }"""))
