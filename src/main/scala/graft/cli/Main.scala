@@ -65,7 +65,9 @@ object Main {
     * tbl.p0` and `--header "select 1"` keep the positional argument
     * instead of swallowing it.
     */
-  private val BoolFlags = Set("overwrite", "header", "compact", "config-dump", "all")
+  private val BoolFlags =
+    Set("overwrite", "header", "compact", "config-dump", "all",
+      "backup", "restore")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -169,6 +171,7 @@ object Main {
         case Some("dedup")     => dedupCmd(spark, lake, opts, out)
         case Some("profile")   => profileCmd(spark, lake, opts, out)
         case Some("retention") => retentionCmd(spark, lake, opts, out)
+        case Some("vacuum")    => vacuumCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -186,6 +189,7 @@ object Main {
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
       |          format plugin import export dedup profile retention
+      |          vacuum
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
@@ -194,6 +198,7 @@ object Main {
       |          [--mode exact|normalized|near] [--threshold J]
       |profile:  graft profile <table> --text-column COL [--top K]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
+      |vacuum:   graft vacuum [table] [--backup] | [--restore]
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -418,6 +423,30 @@ object Main {
     }
   }
 
+  /** `vacuum [table] [--backup] | [--restore]` — manifest compaction
+    * with optional timestamped snapshot, and the snapshot's replay path
+    * (reference internal/database/backup.go).
+    */
+  private def vacuumCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    val tables = opts.positional.headOption
+      .map(Seq(_)).getOrElse(lake.listTables(spark))
+    tables.foreach { t =>
+      if (opts.flag("restore").contains("true")) {
+        val b = Maintenance.restoreManifest(spark, lake, t)
+        out.println(s"Restored manifest for $t from $b")
+      } else {
+        if (opts.flag("backup").contains("true"))
+          Maintenance.backupManifest(spark, lake, t) match {
+            case Some(b) => out.println(s"Backed up manifest for $t to $b")
+            case None    => out.println(s"No manifest to back up for $t")
+          }
+        Maintenance.vacuum(spark, lake, t)
+        out.println(s"Vacuumed $t")
+      }
+    }
+  }
+
   // ---- collect ---------------------------------------------------------
 
   private def collect(
@@ -479,6 +508,11 @@ object Main {
           spark.sparkContext.hadoopConfiguration)
         out.println(s"Using connection ${conn.id}")
       }
+      // metadata snapshot before mutation, quiet like the reference's
+      // debug-level logging (backup.go:26: the metadata DB is backed up
+      // before every collect; a torn manifest write is then replayable
+      // via `vacuum --restore`)
+      Maintenance.backupManifest(spark, lake, p.table)
       // live progress: Started before acquisition, per-chunk lines from
       // staging adapters during it, Collected as the Complete event —
       // the reference's Started/Chunk/Complete stream (collector.go:408-461)

@@ -284,6 +284,82 @@ object Maintenance {
       fs.delete(new Path(old), true)
     }
 
+  /** Timestamped manifest snapshot (the reference's metadata backup
+    * before each collect, internal/database/backup.go:26-90: copy the
+    * metadata DB to `*.backup.YYYYMMDDHHMMSS`, keep only the most
+    * recent). The snapshot is a plain directory copy —
+    * `_graft_manifest_backup_<stamp>` beside the manifest, invisible to
+    * table scans like every underscore-prefixed dir — and older backups
+    * are pruned after the new one lands (backup.go cleanupOldBackups).
+    * Manifests are metadata-sized (one row per data file), so the copy
+    * cost is constant-ish regardless of table size.
+    *
+    * @return the backup dir path, or None when the table has no
+    *         manifest yet (reference: missing DB → skip, no error)
+    */
+  def backupManifest(
+      spark: SparkSession, lake: Lake, table: String,
+      now: () => Long = System.currentTimeMillis): Option[String] =
+    lake.locked(table) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new Path(s"${lake.tableDir(table)}/_graft_manifest")
+      val fs = src.getFileSystem(conf)
+      if (!fs.exists(src)) None
+      else {
+        val stamp = new java.text.SimpleDateFormat("yyyyMMddHHmmss")
+          .format(new java.util.Date(now()))
+        val dst = new Path(
+          s"${lake.tableDir(table)}/_graft_manifest_backup_$stamp")
+        fs.delete(dst, true) // same-second re-backup: replace
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+        listBackups(fs, lake, table).filter(_.getName != dst.getName)
+          .foreach(p => fs.delete(p, true))
+        Some(dst.toUri.getPath)
+      }
+    }
+
+  /** Replay the newest manifest snapshot over a lost/corrupt manifest —
+    * file stats come back without re-scanning the data (the restore
+    * path of backup.go). Stale rows for files replaced since the
+    * snapshot are reconciled by `fileStats`' live-file semi-join, and
+    * files newer than the snapshot read conservatively (absent from the
+    * manifest → always scanned), so a restored manifest is safe, never
+    * just lucky. The backup dir is kept — restore is repeatable.
+    *
+    * @return the backup dir replayed
+    */
+  def restoreManifest(spark: SparkSession, lake: Lake, table: String): String =
+    lake.locked(table) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val manifest = new Path(s"${lake.tableDir(table)}/_graft_manifest")
+      val fs = manifest.getFileSystem(conf)
+      val newest = listBackups(fs, lake, table).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no manifest backup to restore for table '$table'"))
+      val tmp = new Path(s"${lake.tableDir(table)}/_graft_manifest_new")
+      val old = new Path(s"${lake.tableDir(table)}/_graft_manifest_old")
+      fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, newest, fs, tmp,
+        /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+      // aside → in → drop, same crash discipline as vacuum's swap
+      fs.delete(old, true)
+      if (fs.exists(manifest)) fs.rename(manifest, old)
+      fs.rename(tmp, manifest)
+      fs.delete(old, true)
+      newest.toUri.getPath
+    }
+
+  /** Manifest backup dirs of a table, oldest → newest (stamp order). */
+  private def listBackups(
+      fs: org.apache.hadoop.fs.FileSystem, lake: Lake,
+      table: String): Seq[Path] = {
+    val glob = new Path(s"${lake.tableDir(table)}/_graft_manifest_backup_*")
+    val found = fs.globStatus(glob)
+    if (found == null) Seq.empty
+    else found.toSeq.map(_.getPath).sortBy(_.getName)
+  }
+
   // ---- helpers ---------------------------------------------------------
 
   /** OR-of-conjunctions predicate selecting exactly the given physical

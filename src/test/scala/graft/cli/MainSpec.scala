@@ -647,6 +647,20 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(out.contains("s3.prod"), out)
   }
 
+  test("vacuum command: --backup snapshots, --restore replays") {
+    val (rc, out) = cli(root, "vacuum", "access_log", "--backup")
+    assert(rc == 0, out)
+    assert(out.contains("Backed up manifest for access_log to "), out)
+    assert(out.contains("Vacuumed access_log"), out)
+    val (rc2, out2) = cli(root, "vacuum", "access_log", "--restore")
+    assert(rc2 == 0, out2)
+    assert(out2.contains("Restored manifest for access_log from "), out2)
+    val (rc3, csv) = cli(root, "query",
+      "select count(*) as n from access_log", "--output", "csv")
+    assert(rc3 == 0, csv)
+    assert(csv == "n\n3", csv)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==

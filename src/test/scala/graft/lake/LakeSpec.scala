@@ -372,6 +372,70 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(manifest == live)
   }
 
+  test("manifest backup + restore: crash replay recovers stats without a re-scan") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(50))
+    val before = lake.fileStats(spark, "t").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("rows"),
+        r.getAs[java.sql.Timestamp]("min_ts"),
+        r.getAs[java.sql.Timestamp]("max_ts"))).toSet
+    assert(before.nonEmpty)
+
+    val backup = Maintenance.backupManifest(spark, lake, "t")
+    assert(backup.isDefined)
+
+    // simulate a torn metadata write: the manifest dir is destroyed
+    // mid-operation — stats-driven reads degrade to conservative
+    // full-inclusion (fileStats goes empty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifestPath = new org.apache.hadoop.fs.Path(
+      s"${lake.tableDir("t")}/_graft_manifest")
+    manifestPath.getFileSystem(conf).delete(manifestPath, true)
+    assert(lake.fileStats(spark, "t").collect().isEmpty)
+
+    // replay the snapshot: stats come back identical, no data re-scan
+    val replayed = Maintenance.restoreManifest(spark, lake, "t")
+    assert(replayed == backup.get)
+    val after = lake.fileStats(spark, "t").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("rows"),
+        r.getAs[java.sql.Timestamp]("min_ts"),
+        r.getAs[java.sql.Timestamp]("max_ts"))).toSet
+    assert(after == before)
+    // data untouched throughout
+    assert(lake.read(spark, "t").count() == 50)
+  }
+
+  test("backup keeps only the most recent snapshot") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(10))
+    val t0 = java.sql.Timestamp.valueOf("2026-08-13 10:00:00").getTime
+    val b1 = Maintenance.backupManifest(spark, lake, "t", () => t0)
+    val b2 = Maintenance.backupManifest(spark, lake, "t", () => t0 + 60000)
+    assert(b1.get.endsWith("20260813100000"))
+    assert(b2.get.endsWith("20260813100100"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(lake.tableDir("t"))
+      .getFileSystem(conf)
+    // older snapshot pruned after the new one lands (backup.go
+    // cleanupOldBackups: exactly one backup retained)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(b1.get)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(b2.get)))
+    // restoring with no manifest missing → newest replayed
+    assert(Maintenance.restoreManifest(spark, lake, "t") == b2.get)
+    // backup dirs never shadow data: table reads are unaffected
+    assert(lake.read(spark, "t").count() == 10)
+  }
+
+  test("restore without a backup is a clean error; backup of no manifest is None") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(5))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.restoreManifest(spark, lake, "t")
+    }
+    assert(e.getMessage.contains("no manifest backup"))
+    assert(Maintenance.backupManifest(spark, lake, "nonexistent").isEmpty)
+  }
+
   test("catalog DDL: registerCatalogTable enables catalog-planned scans") {
     val lake = newLake()
     lake.append(spark, "cat_t", sampleBatch(60))
