@@ -40,6 +40,25 @@ import org.apache.spark.sql.functions._
   * second evaluation resumes from the exchange files rather than
   * re-scanning the corpus — Catalyst's ReuseExchange / AQE stage reuse
   * dedupes the identical exchange subtrees (pinned by PlanAuditSpec).
+  *
+  * ==Tuning `max` (the `maxBucket = 1000` defaults in Dedup/Similarity)==
+  * The cap bounds per-bucket pair generation, which is QUADRATIC in
+  * bucket size: a bucket of n postings emits ~n²/2 candidate pairs, so
+  * max=1000 bounds any one bucket at ~500k pairs — a single task's
+  * worth of work. Crucially the right value does NOT grow with corpus
+  * size: under a well-mixed 64-bit band/block hash, expected bucket
+  * size stays small at any N (collisions are genuine near-duplicates);
+  * what grows with N is the NUMBER of degenerate buckets dropped, and
+  * that side scales fine (step 1 is a map-side combine, step 3 an AQE-
+  * sized anti-join). Raise `max` only when legitimate duplicate
+  * clusters larger than it must be LINKED rather than sampled —
+  * e.g. boilerplate pages repeated >1000× that all need one canonical
+  * survivor — and then prefer running exact/normalized dedup first so
+  * those collapse before LSH ever sees them; lower it (100–500) when a
+  * skew-heavy corpus makes even 500k-pair tasks straggle. The recall
+  * cost of the cap is confined to pairs whose EVERY colliding band is
+  * oversized; with the default b=16 bands a pair is lost only if all
+  * its collisions land in >max buckets — boilerplate by definition.
   */
 object BucketCap {
 
