@@ -67,7 +67,7 @@ object Main {
     */
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
-      "backup", "restore")
+      "backup", "restore", "reindex", "force", "progress")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -160,7 +160,7 @@ object Main {
         case Some("collect")   => collect(spark, lake, config, opts, out)
         case Some("query")     => query(spark, lake, config, opts, out)
         case Some("connect")   => connect(spark, lake, opts, out)
-        case Some("compact")   => compact(spark, lake, opts, out)
+        case Some("compact")   => compact(spark, lake, config, opts, out)
         case Some("partition") => partitionCmd(spark, lake, config, opts, out)
         case Some("table")     => tableCmd(spark, lake, config, opts, out)
         case Some("source")    => sourceCmd(config, opts, out)
@@ -198,6 +198,7 @@ object Main {
       |          [--mode exact|normalized|near] [--threshold J]
       |profile:  graft profile <table> --text-column COL [--top K]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
+      |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
@@ -712,7 +713,8 @@ object Main {
   // ---- maintenance -----------------------------------------------------
 
   private def compact(
-      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+      spark: SparkSession, lake: Lake, config: Hcl.Config, opts: Opts,
+      out: PrintStream): Unit = {
     val tables = opts.positional.headOption
       .map(Seq(_)).getOrElse(lake.listTables(spark))
     // --zorder col1,col2 → multi-column clustering rewrite instead of
@@ -721,6 +723,13 @@ object Main {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
     tables.foreach { t =>
+      // --reindex (cmd/compact.go:34): migrate tp_index to the
+      // currently-configured column before the file-merge pass
+      if (opts.flag("reindex").contains("true")) {
+        val moved = Maintenance.reindex(spark, lake, t,
+          config.partitions.values.toSeq)
+        out.println(s"Reindexed $t: $moved rows migrated")
+      }
       val (before, after) = zCols match {
         case Some(cs) => Maintenance.compactZorder(spark, lake, t, cs)
         case None     => Maintenance.compact(spark, lake, t)

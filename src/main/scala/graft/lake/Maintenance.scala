@@ -111,6 +111,98 @@ object Maintenance {
     (before, lake.dataFiles(spark, table).size.toLong)
   }
 
+  /** `compact --reindex` (cmd/compact.go:34; compact.go:350-354): set
+    * `tp_index` to the value of each partition's CURRENTLY-configured
+    * index column — the migration path when a `partition` block's
+    * `tp_index` setting changed after data was collected. The reference
+    * re-inserts every row of the partition key selecting
+    * `<TpIndexColumn> as tp_index` (compact.go:352); here `tp_index` is
+    * a physical partition directory column, so reindexing MOVES rows
+    * between dirs and the rewrite is a dynamic partition overwrite.
+    *
+    * Scale shape: one map-side-combined aggregate finds the partitions
+    * whose stored index diverges from the configured column — an
+    * already-consistent table pays a scan, never a rewrite. Diverged
+    * partitions are rewritten WHOLE (the reference reorders ALL data
+    * for a reindexed key, compact.go:117), range-partitioned and
+    * sorted like [[compact]] so the output is simultaneously
+    * reindexed, time-ordered, and size-targeted in ONE job. Old dirs
+    * whose index value vanished are removed after the overwrite
+    * commits (dynamic overwrite only replaces dirs it writes into).
+    *
+    * @param specs current partition configs (any table; filtered here)
+    * @return rows whose tp_index changed (0 = nothing to do)
+    */
+  def reindex(
+      spark: SparkSession, lake: Lake, table: String,
+      specs: Seq[graft.config.PartitionSpec],
+      targetFileRows: Long = 5000000): Long = lake.locked(table) {
+    import org.apache.spark.sql.types.StringType
+    val tSpecs = specs.filter(_.table == table)
+    if (tSpecs.isEmpty || !lake.tableExists(spark, table)) return 0L
+    val data = lake.read(spark, table)
+    val cols = data.columns.toSet
+    tSpecs.foreach(s => s.tpIndexColumn.foreach { c =>
+      require(cols.contains(c), s"reindex ${s.id}: configured tp_index " +
+        s"column '$c' is not in the stored schema of '$table'")
+    })
+    // stored index normalized to string: partition-column type
+    // inference reads an all-numeric tp_index dir set back as INT, and
+    // an un-cast comparison would coerce the NEW string index to
+    // bigint and throw on the first non-numeric value
+    val storedIdx = col(TpSchema.Index).cast(StringType)
+    // per-row recomputed index: CASE over the partition name, falling
+    // back to the stored value for partitions with no current config
+    val newIdx = tSpecs.foldLeft(storedIdx) { (acc, s) =>
+      val e = s.tpIndexColumn match {
+        case Some(c) => coalesce(col(c).cast(StringType), lit("default"))
+        case None    => lit("default")
+      }
+      when(col(TpSchema.Partition) === lit(s.name), e).otherwise(acc)
+    }
+    val divergence = data
+      .groupBy(col(TpSchema.Partition))
+      .agg(sum(when(newIdx <=> storedIdx, 0L).otherwise(1L))
+        .as("moved"))
+      .where(col("moved") > 0)
+      .collect()
+    if (divergence.isEmpty) return 0L
+    val changed = divergence.map(_.getString(0)).toSet
+    val moved = divergence.map(_.getAs[Long]("moved")).sum
+
+    val scope = col(TpSchema.Partition).isin(changed.toSeq: _*)
+    // old + new dir inventory in one pass over the scoped data: old =
+    // distinct stored dir tuples, new = the same with the recomputed
+    // index. Driver-side result is dir-count-sized, not data-sized.
+    val dirRows = data.where(scope)
+      .groupBy(col(TpSchema.Partition), col(TpSchema.Index),
+        newIdx.as("__new_index"), col(TpSchema.Year), col(TpSchema.Month))
+      .count().collect()
+    def rel(p: Any, i: Any, y: Any, m: Any): String = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      def seg(c: String, v: Any) =
+        if (v == null) s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+        else s"$c=${ExternalCatalogUtils.escapePathName(v.toString)}"
+      Seq(seg(TpSchema.Partition, p), seg(TpSchema.Index, i),
+        seg(TpSchema.Year, y), seg(TpSchema.Month, m)).mkString("/")
+    }
+    val oldDirs = dirRows.map(r => rel(r.get(0), r.get(1),
+      r.get(3), r.get(4))).toSet
+    val newDirs = dirRows.map(r => rel(r.get(0), r.get(2),
+      r.get(3), r.get(4))).toSet
+
+    val rows = dirRows.map(_.getAs[Long]("count")).sum
+    val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val sortKey = TpSchema.partitionCols.map(col) :+ col(TpSchema.Timestamp)
+    val out = data.where(scope).withColumn(TpSchema.Index, newIdx)
+      .repartitionByRange(nOut, sortKey: _*)
+      .sortWithinPartitions(sortKey: _*)
+    lake.overwritePartitions(spark, table, out,
+      touched = Some((oldDirs ++ newDirs).toSeq))
+    (oldDirs -- newDirs).foreach(removeDir(spark, lake, table, _))
+    moved
+  }
+
   /** Per-file time range for compaction planning. */
   final case class FileRange(file: String, rows: Long,
       minTs: Option[Timestamp], maxTs: Option[Timestamp])

@@ -661,6 +661,63 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(csv == "n\n3", csv)
   }
 
+  test("compact --reindex migrates tp_index after a config change") {
+    // own fixture: reindex mutates the lake, the shared root is
+    // read-only for query tests
+    val dir = Files.createTempDirectory("graft_cli_reindex").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/access_log.csv"),
+      """timestamp,ip_address,status_code
+        |2024-05-01T10:30:45Z,192.168.1.1,200
+        |2024-05-01T10:31:00Z,192.168.1.2,404
+        |2024-05-01T10:32:15Z,10.0.0.7,200
+        |""".stripMargin)
+    def config(tpIndexLine: String): String =
+      s"""format "delimited" "access_log" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |table "access_log" {
+         |  format = format.delimited.access_log
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "ip_address" { type = "varchar" }
+         |  column "status_code" { type = "integer" }
+         |}
+         |partition "access_log" "local" {
+         |  $tpIndexLine
+         |  source "file" {
+         |    format = format.delimited.access_log
+         |    paths = ["${dir.getPath}/logs/"]
+         |    file_layout = "access_log.csv"
+         |  }
+         |}
+         |""".stripMargin
+    write(new File(dir, "config/access.tpc"), config(""))
+    val (rc0, out0) = cli(dir, "collect", "access_log.local")
+    assert(rc0 == 0, out0)
+    val (_, before) = cli(dir, "query",
+      "select distinct tp_index from access_log", "--output", "csv")
+    assert(before == "tp_index\ndefault", before)
+
+    // the partition config now declares tp_index = ip_address
+    write(new File(dir, "config/access.tpc"), config("tp_index = \"ip_address\""))
+    val (rc1, out1) = cli(dir, "compact", "access_log", "--reindex")
+    assert(rc1 == 0, out1)
+    assert(out1.contains("Reindexed access_log: 3 rows migrated"), out1)
+    assert(out1.contains("Compacted access_log"), out1)
+    val (rc2, after) = cli(dir, "query",
+      "select tp_index, count(*) as n from access_log group by 1 order by 1",
+      "--output", "csv")
+    assert(rc2 == 0, after)
+    assert(after == "tp_index,n\n10.0.0.7,1\n192.168.1.1,1\n192.168.1.2,1", after)
+
+    // second run: nothing to migrate
+    val (rc3, out3) = cli(dir, "compact", "access_log", "--reindex")
+    assert(rc3 == 0, out3)
+    assert(out3.contains("Reindexed access_log: 0 rows migrated"), out3)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==

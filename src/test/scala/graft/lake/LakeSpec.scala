@@ -426,6 +426,71 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "t").count() == 10)
   }
 
+  test("reindex migrates tp_index to the newly-configured column, moving partition dirs") {
+    val lake = newLake()
+    // collected under tp_index = idx (values 0/1/2); the raw rows also
+    // carry a `region` column the config later switches to
+    val raw = spark.range(60).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 40000)")
+        .as("tp_timestamp"),
+      (col("id") % 3).cast("string").as("idx"),
+      when(col("id") % 2 === 0, "eu").otherwise("us").as("region"))
+    lake.append(spark, "t", TpSchema.enrich(raw,
+      PartitionSpec("t", "p0", tpIndexColumn = Some("idx"))))
+    assert(lake.partitionDirs(spark, "t")
+      .forall(_.matches("tp_partition=p0/tp_index=[012]/.*")))
+
+    // config now says tp_index = region → full-partition rewrite
+    val moved = Maintenance.reindex(spark, lake, "t",
+      Seq(PartitionSpec("t", "p0", tpIndexColumn = Some("region"))))
+    assert(moved == 60)
+    val dirs = lake.partitionDirs(spark, "t")
+    assert(dirs.nonEmpty &&
+      dirs.forall(_.matches("tp_partition=p0/tp_index=(eu|us)/.*")), dirs)
+    val rows = lake.read(spark, "t")
+    assert(rows.count() == 60)
+    // every row's tp_index equals its region; nothing else changed
+    assert(rows.where(col("tp_index") =!= col("region")).count() == 0)
+    assert(rows.agg(sum("event_id")).head.getLong(0) == (0 until 60).sum)
+    // manifest stats cover the rewritten files
+    val stats = lake.fileStats(spark, "t").collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum == 60)
+
+    // already-consistent table: reindex is a scan-only no-op
+    val files = lake.dataFiles(spark, "t").toSet
+    assert(Maintenance.reindex(spark, lake, "t",
+      Seq(PartitionSpec("t", "p0", tpIndexColumn = Some("region")))) == 0L)
+    assert(lake.dataFiles(spark, "t").toSet == files)
+
+    // configured column absent from stored schema: clean error
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.reindex(spark, lake, "t",
+        Seq(PartitionSpec("t", "p0", tpIndexColumn = Some("nope"))))
+    }
+    assert(e.getMessage.contains("not in the stored schema"))
+  }
+
+  test("reindex with NULL index values lands rows in the 'default' index") {
+    val lake = newLake()
+    val raw = spark.range(10).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, id)")
+        .as("tp_timestamp"),
+      lit("x").as("idx"),
+      when(col("id") < 4, "a").as("maybe")) // 6 rows NULL
+    lake.append(spark, "t", TpSchema.enrich(raw,
+      PartitionSpec("t", "p0", tpIndexColumn = Some("idx"))))
+    val moved = Maintenance.reindex(spark, lake, "t",
+      Seq(PartitionSpec("t", "p0", tpIndexColumn = Some("maybe"))))
+    assert(moved == 10)
+    val byIdx = lake.read(spark, "t").groupBy("tp_index").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byIdx == Map("a" -> 4L, "default" -> 6L))
+    // the old tp_index=x dir is gone
+    assert(!lake.partitionDirs(spark, "t").exists(_.contains("tp_index=x")))
+  }
+
   test("restore without a backup is a clean error; backup of no manifest is None") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(5))
