@@ -517,7 +517,13 @@ object Main {
       // live progress: Started before acquisition, per-chunk lines from
       // staging adapters during it, Collected as the Complete event —
       // the reference's Started/Chunk/Complete stream (collector.go:408-461)
-      out.println(s"Collection started: ${p.id} (source ${src.kind})")
+      // --progress=false (cmd/collect.go:56, default true) silences the
+      // Started/per-chunk stream; the final Collected line is the
+      // command's result and always prints
+      val progress: String => Unit =
+        if (opts.flag("progress").contains("false")) _ => ()
+        else out.println(_: String)
+      progress(s"Collection started: ${p.id} (source ${src.kind})")
       def ingest(raw: org.apache.spark.sql.DataFrame,
           advanceTo: Option[Timestamp]): Ingest.IngestResult = {
         // declared-schema conversion maps any `source =` rename to
@@ -530,7 +536,7 @@ object Main {
         res
       }
       val res = try {
-        ingest(adapter.read(spark, src, fmt, from, to, out.println), to)
+        ingest(adapter.read(spark, src, fmt, from, to, progress), to)
       } catch {
         // crash isolation (plugin_manager.go:74-166): a child process
         // dying mid-stream must not lose its COMPLETED chunks — ingest
@@ -801,9 +807,27 @@ object Main {
           case _ => throw new IllegalArgumentException(
             s"partition delete: expected <table.partition>, got '$id'")
         }
-        val n = Maintenance.deletePartitionRange(spark, lake, table, name,
-          from = opts.ts("from"), to = opts.ts("to"))
-        out.println(s"Deleted $n rows from $id")
+        // confirmation gate (cmd/partition.go:293-299): --force skips
+        // it; otherwise prompt on a TTY (Enter = yes, the reference's
+        // default-true confirmation). Headless runs — tests, cron, CI
+        // pipes — have no console and take the default, same as piping
+        // an empty line to the reference.
+        val cancelled = !opts.flag("force").contains("true") && {
+          out.println(s"Are you sure you want to delete partition $id? (Y/n)")
+          val c = System.console()
+          val answer = if (c != null) Option(c.readLine()).getOrElse("") else ""
+          answer.trim.toLowerCase.startsWith("n")
+        }
+        if (cancelled) out.println("Deletion cancelled")
+        else {
+          // metadata snapshot before the mutation (cmd/partition.go:
+          // 305-310 backs up the metadata DB before deleting; failure
+          // there does not block the delete)
+          Maintenance.backupManifest(spark, lake, table)
+          val n = Maintenance.deletePartitionRange(spark, lake, table, name,
+            from = opts.ts("from"), to = opts.ts("to"))
+          out.println(s"Deleted $n rows from $id")
+        }
       case other => throw new IllegalArgumentException(
         s"partition: expected list|show|delete, got ${other.getOrElse("nothing")}")
     }

@@ -185,10 +185,19 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rc, out) = cli(dir, "partition", "delete", "access_log.local",
       "--from", "2024-05-01T10:31:00", "--to", "2024-05-01T10:32:00")
     assert(rc == 0, out)
+    // headless (no TTY): the confirmation prompt prints and takes the
+    // reference's default-yes (partition.go:293-299)
+    assert(out.contains("Are you sure you want to delete partition"), out)
     assert(out.contains("Deleted 1 rows"))
+    // --force skips the prompt entirely
+    val (rc2, out2) = cli(dir, "partition", "delete", "access_log.local",
+      "--force", "--from", "2024-05-01T10:30:00", "--to", "2024-05-01T10:30:50")
+    assert(rc2 == 0, out2)
+    assert(!out2.contains("Are you sure"), out2)
+    assert(out2.contains("Deleted 1 rows"), out2)
     val (_, csv) = cli(dir, "query",
       "select count(*) as n from access_log", "--output", "csv")
-    assert(csv == "n\n2")
+    assert(csv == "n\n1")
   }
 
   test("connect emits a runnable init script with view filters") {
@@ -531,6 +540,18 @@ class MainSpec extends AnyFunSuite with SparkTest {
       "select n from proc_events order by tp_timestamp", "--output", "csv")
     assert(rcQ == 0, csv)
     assert(csv == "n\n1\n2\n3\n4\n5", csv)
+  }
+
+  test("collect --progress=false silences the event stream, keeps the result line") {
+    val dir = processRoot(
+      """echo "{\"timestamp\": \"2024-05-01T10:31:00Z\", \"n\": 1}"
+        |echo "{\"timestamp\": \"2024-05-01T10:32:00Z\", \"n\": 2}"
+        |""".stripMargin)
+    val (rc, out) = cli(dir, "collect", "proc_events.child", "--progress", "false")
+    assert(rc == 0, out)
+    assert(!out.contains("Collection started"), out)
+    assert(!out.contains("rows staged"), out)
+    assert(out.contains("Collected proc_events.child: 2 rows"), out)
   }
 
   test("process source: child crash keeps CLI alive, ingests complete chunks") {
