@@ -74,6 +74,73 @@ object Dedup {
         round(col("n_dup_passages").cast("double") / col("n_passages"), 4))
   }
 
+  /** Exact substring deduplication — the ExactSubstr pass of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): any k-token span occurring ≥2 times in the corpus is a
+    * duplicated substring; every occurrence EXCEPT the globally first
+    * (min (doc, pos)) is removed from its document. Beyond-reference —
+    * the training-pipeline pass that kills boilerplate and licence
+    * blocks embedded mid-document, which document-level dedup never
+    * sees.
+    *
+    * Scale shape (the paper uses a suffix array; a monolithic suffix
+    * array does not distribute, so this is the shuffle-native
+    * equivalent):
+    *  1. per-doc token k-grams with positions, each carried as a
+    *     64-bit xxhash — the shuffle payload is (id, pos, hash), never
+    *     text (2^-64 collision odds per pair, same trade the paper's
+    *     hashed variant makes);
+    *  2. one map-side-combined aggregate per gram hash → occurrence
+    *     count + first occurrence. An aggregate, NOT a window: the
+    *     degenerate gram ("the the the…") collapses to one row per
+    *     mapper instead of sorting a billion-row key in one task;
+    *  3. shuffle join postings↔duplicated-grams (linear — no pair
+    *     explosion; both sides already partitioned by hash);
+    *  4. per-doc interval union + token drop via native higher-order
+    *     functions — per-row state is document-bounded, no UDF.
+    *
+    * @return (idCol, n_tokens, n_removed, cleaned) one row per doc
+    */
+  def substringDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, s"substringDedup: k must be >= 2, got $k")
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("t"))
+    // gram start positions are 0-based; gram i covers tokens [i, i+k-1]
+    val grams = toks.where(size(col("t")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k))))
+            .as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("n") >= 2)
+      .select(col("gh"), col("first"))
+    val removedStarts = grams.join(dup, Seq("gh"))
+      .where(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    toks.join(removedStarts, Seq("doc_id"), "left")
+      // covered token indices, materialized once per row
+      .withColumn("covered", when(col("starts").isNotNull,
+        array_distinct(flatten(transform(col("starts"),
+          s => sequence(s, s + k - 1))))))
+      .select(col("doc_id").as(idCol),
+        size(col("t")).as("n_tokens"),
+        coalesce(size(col("covered")), lit(0)).as("n_removed"),
+        when(col("covered").isNull, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ", transform(filter(
+            zip_with(col("t"),
+              sequence(lit(0), size(col("t")) - 1),
+              (tok, i) => struct(tok.as("tok"), i.as("i"))),
+            x => !array_contains(col("covered"), x("i"))),
+            x => x("tok")))).as("cleaned"))
+  }
+
   /** Word n-gram shingle hashes (xxhash64) of a text column, as an
     * array column — the input unit for MinHash.
     */

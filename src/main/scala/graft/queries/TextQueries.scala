@@ -353,6 +353,20 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Exact substring dedup (Lee et al. ExactSubstr, distributed as
+    // hash-shuffled k-gram postings instead of a monolithic suffix
+    // array): every non-first occurrence of a duplicated 8-token span
+    // is cut from its document. The planted full-doc copies lose their
+    // entire base text (the originals keep theirs); template-repeated
+    // sentences across base docs are cut too. The oracle recomputes
+    // first-occurrence ranks and coverage from scratch and must
+    // reproduce the exact cleaned strings.
+    "qt30_substring_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.substringDedup(planted(s, dir),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // Temperature-scaled source mixing (α-sampling): the uniform
     // synthetic sources are folded into a skewed 3-domain split so the
     // per-domain rates genuinely differ and the min(1, ·) cap fires for
@@ -793,6 +807,37 @@ object TextQueries {
              cast(count(*) AS int) AS chunk_tokens,
              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
       FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
+    "qt30_substring_dedup" -> (P + """,
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM corpus),
+      g AS (SELECT doc_id, i AS pos,
+                   array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+            WHERE len(t) >= 8),
+      occ AS (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram
+                       ORDER BY doc_id, pos) AS rn
+              FROM g),
+      cov AS (SELECT DISTINCT doc_id, p
+              FROM occ, unnest(range(pos, pos + 8)) AS v(p)
+              WHERE rn > 1),
+      agg AS (SELECT doc_id, cast(count(*) AS int) AS n_removed
+              FROM cov GROUP BY 1),
+      tk AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) AS pos
+             FROM toks),
+      kept AS (SELECT k.doc_id, k.tok, k.pos
+               FROM tk k LEFT JOIN cov c
+                 ON c.doc_id = k.doc_id AND c.p = k.pos
+               WHERE c.doc_id IS NULL),
+      cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+             FROM kept GROUP BY 1)
+      SELECT t.doc_id, cast(len(t.t) AS int) AS n_tokens,
+             coalesce(a.n_removed, 0) AS n_removed,
+             coalesce(cl.cleaned, '') AS cleaned
+      FROM toks t LEFT JOIN agg a USING (doc_id)
+                  LEFT JOIN cl USING (doc_id)
+      ORDER BY doc_id"""),
     "qt23_mixture_sample" -> """
       WITH d AS (SELECT doc_id,
                    CASE WHEN source IN ('src0', 'src1') THEN source

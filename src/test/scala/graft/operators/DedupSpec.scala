@@ -27,6 +27,28 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out === Set((1L, 3L), (4L, 1L)))
   }
 
+  test("substring dedup: non-first occurrences of duplicated k-grams are cut") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")   // 10 tokens
+    val eight = (1 to 8).map(i => s"m$i").mkString(" ")  // one exact 8-gram
+    val df = Seq(
+      (1L, ten),                    // first occurrence of the shared span
+      (2L, ten + " x y z"),         // later copy + unique tail
+      (3L, "p q"),                  // shorter than k: untouched
+      (4L, eight + " " + eight)     // within-doc repeat: second copy cut
+    ).toDF("id", "text")
+    val out = Dedup.substringDedup(df, "id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("cleaned")))).toMap
+    // doc 1 is globally first for every shared gram: intact
+    assert(out(1L) == ((10, 0, ten)))
+    // doc 2's grams at pos 0..2 are non-first: tokens 0..9 covered
+    assert(out(2L) == ((13, 10, "x y z")))
+    assert(out(3L) == ((2, 0, "p q")))
+    // self-repeat: the second 8-token copy is removed
+    assert(out(4L) == ((16, 8, eight)))
+  }
+
   test("passage dedup: cross-doc windows count, within-doc repeats don't") {
     val w = (1 to 20).map(i => s"w$i").mkString(" ")     // one full window
     val df = Seq(
