@@ -353,6 +353,21 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // C4 + Gopher quality rule pack: every published web-corpus gate
+    // as a named column with its published threshold, plus the papers'
+    // keep conjunctions — one codegen'd projection over the scan. The
+    // oracle recomputes every rule from scratch in SQL. On the
+    // synthetic word-soup corpus the per-gate columns split (n_words
+    // passes 55%, mean_word_len varies 3.7-5.3) while both
+    // conjunctions are honestly all-false (vocabulary contains only
+    // 'the' from Gopher's 8 required stopwords; no terminal
+    // punctuation for C4) — published thresholds are not bent to
+    // manufacture a prettier split.
+    "qt31_quality_rules" -> ((s, dir) => {
+      graft.functions.QualityRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Exact substring dedup (Lee et al. ExactSubstr, distributed as
     // hash-shuffled k-gram postings instead of a monolithic suffix
     // array): every non-first occurrence of a duplicated 8-token span
@@ -807,6 +822,59 @@ object TextQueries {
              cast(count(*) AS int) AS chunk_tokens,
              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
       FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
+    "qt31_quality_rules" -> """
+      WITH w AS (SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS words,
+               list_filter(string_split(text, chr(10)),
+                 l -> trim(l) <> '') AS lines
+             FROM documents),
+      m AS (SELECT doc_id, text, words, lines,
+              len(words) AS nw, len(lines) AS nl,
+              list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                / len(words) AS mean_len,
+              ((len(string_split(text, '#')) - 1)
+               + (len(string_split_regex(text, '\.\.\.')) - 1)
+               + (len(string_split(text, '…')) - 1))::DOUBLE
+                / len(words) AS sym_ratio,
+              len(list_filter(words,
+                x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / len(words) AS alpha_frac,
+              len(list_filter(
+                ['the','be','to','of','and','that','have','with'],
+                sw -> list_contains(
+                  list_transform(words, x -> lower(x)), sw))) AS hits,
+              CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                len(list_filter(lines,
+                  l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE
+                  / len(lines) END AS bullet_frac,
+              CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                len(list_filter(lines,
+                  l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::DOUBLE
+                  / len(lines) END AS ellipsis_frac,
+              CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                len(list_filter(lines,
+                  l -> regexp_matches(rtrim(l), '[.!?]$')))::DOUBLE
+                  / len(lines) END AS tp_frac,
+              length(regexp_replace(text, '[^.!?]', '', 'g')) AS nsent,
+              contains(text, '{') AS has_brace,
+              contains(lower(text), 'lorem ipsum') AS has_lorem
+            FROM w)
+      SELECT doc_id,
+             cast(nw AS int) AS n_words,
+             round(mean_len, 4) AS mean_word_len,
+             round(sym_ratio, 4) AS symbol_ratio,
+             round(alpha_frac, 4) AS alpha_word_frac,
+             cast(hits AS int) AS stopword_hits,
+             round(bullet_frac, 4) AS bullet_line_frac,
+             round(ellipsis_frac, 4) AS ellipsis_line_frac,
+             round(tp_frac, 4) AS term_punct_line_frac,
+             cast(nsent AS int) AS n_sentences,
+             has_brace, has_lorem,
+             (nw BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+              AND sym_ratio < 0.1 AND alpha_frac > 0.8 AND hits >= 2
+              AND bullet_frac < 0.9 AND ellipsis_frac < 0.3) AS keep_gopher,
+             (nsent >= 3 AND NOT has_brace AND NOT has_lorem) AS keep_c4
+      FROM m ORDER BY doc_id""",
     "qt30_substring_dedup" -> (P + """,
       toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                FROM corpus),
