@@ -353,6 +353,17 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Distributed BPE merge training (Sennrich et al.): one corpus
+    // pass to the word-frequency vocabulary, then vocabulary-sized
+    // merge rounds — pair-count aggregate, one-row argmax, literal
+    // replace over double-separator-joined symbol strings (boundary-
+    // safe AND leftmost-greedy, identical semantics in DuckDB, which
+    // is what lets the oracle replay all 3 rounds unrolled).
+    "qt32_bpe_merges" -> ((s, dir) => {
+      graft.operators.BpeMerges(docs(s, dir), "text", rounds = 3)
+        .orderBy("merge_rank")
+    }),
+
     // C4 + Gopher quality rule pack: every published web-corpus gate
     // as a named column with its published threshold, plus the papers'
     // keep conjunctions — one codegen'd projection over the scan. The
@@ -822,6 +833,56 @@ object TextQueries {
              cast(count(*) AS int) AS chunk_tokens,
              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
       FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
+    "qt32_bpe_merges" -> """
+      WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents)
+        WHERE w <> '' GROUP BY w),
+      v0 AS (SELECT chr(1) || chr(1) || array_to_string(
+               list_append(string_split(w, ''), '</w>'),
+               chr(1) || chr(1)) || chr(1) || chr(1) AS seq, freq
+             FROM words),
+      p1 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v0))
+             GROUP BY 1, 2),
+      t1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+      v1 AS (SELECT replace(seq,
+               chr(1) || t1.l || chr(1) || chr(1) || t1.r || chr(1),
+               chr(1) || t1.l || t1.r || chr(1)) AS seq, freq
+             FROM v0, t1),
+      p2 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v1))
+             GROUP BY 1, 2),
+      t2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+      v2 AS (SELECT replace(seq,
+               chr(1) || t2.l || chr(1) || chr(1) || t2.r || chr(1),
+               chr(1) || t2.l || t2.r || chr(1)) AS seq, freq
+             FROM v1, t2),
+      p3 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v2))
+             GROUP BY 1, 2),
+      t3 AS (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1)
+      SELECT cast(merge_rank AS int) AS merge_rank, lhs, rhs,
+             cast(freq AS bigint) AS freq
+      FROM (SELECT 1 AS merge_rank, l AS lhs, r AS rhs, n AS freq FROM t1
+            UNION ALL
+            SELECT 2, l, r, n FROM t2
+            UNION ALL
+            SELECT 3, l, r, n FROM t3)
+      ORDER BY merge_rank""",
     "qt31_quality_rules" -> """
       WITH w AS (SELECT doc_id, text,
                string_split_regex(trim(text), '\s+') AS words,
