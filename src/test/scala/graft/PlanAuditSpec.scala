@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt10_stratified_sample", "qt13_decontaminate", "qt14_tfidf",
     "qt16_bloom_decontam", "qt19_passage_dedup", "qt20_unigram_freq",
     "qt21_corpus_shuffle", "qt22_chunking", "qt29_cdc_chunking",
-    "qt23_mixture_sample",
+    "qt23_mixture_sample", "qt30_substring_dedup", "qt31_quality_rules",
     "qt24_heavy_hitters", "qt25_dsir_weights", "qt26_export_manifest",
     "qe02_ann_lsh", "qe03_cosine_neardup",
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
@@ -99,6 +99,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       assert(scans == 1,
         s"$name plans $scans corpus scans (expected 1):\n$plan")
     }
+  }
+
+  test("substringDedup plans three corpus evaluations, all map-side") {
+    // gram postings feed BOTH the duplicated-gram aggregate and the
+    // probe join, and the token arrays feed the final rebuild — three
+    // evaluations of a cheap codegen'd projection (split + hash), each
+    // a streaming map-side pass, traded against persisting the
+    // exploded postings (k× the corpus) at 100 TB. Pin the shape so a
+    // refactor doesn't silently grow it.
+    val plan = graft.operators.Dedup
+      .substringDedup(docs, "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 3, s"substringDedup plans $scans scans (expected 3):\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
 
   test("annLsh plans no Window over LSH buckets (rank-only windows)") {
