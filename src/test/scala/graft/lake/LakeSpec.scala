@@ -471,6 +471,36 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("not in the stored schema"))
   }
 
+  test("reindex scopes to diverged partitions; others untouched") {
+    val lake = newLake()
+    def raw(n: Int) = spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-02-01 00:00:00' + make_interval(0,0,0,0,0,0, id)")
+        .as("tp_timestamp"),
+      (col("id") % 2).cast("string").as("idx"),
+      when(col("id") % 2 === 0, "eu").otherwise("us").as("region"))
+    lake.append(spark, "t", TpSchema.enrich(raw(20),
+      PartitionSpec("t", "p0", tpIndexColumn = Some("idx"))))
+    lake.append(spark, "t", TpSchema.enrich(raw(10),
+      PartitionSpec("t", "p1", tpIndexColumn = Some("region"))))
+    val p1Files = lake.dataFiles(spark, "t")
+      .filter(_.contains("tp_partition=p1")).toSet
+    // p0's config flips to region; p1's stays region (already consistent)
+    val moved = Maintenance.reindex(spark, lake, "t", Seq(
+      PartitionSpec("t", "p0", tpIndexColumn = Some("region")),
+      PartitionSpec("t", "p1", tpIndexColumn = Some("region"))))
+    assert(moved == 20)
+    // p1 files untouched by the rewrite (scoped to diverged partitions)
+    assert(lake.dataFiles(spark, "t")
+      .filter(_.contains("tp_partition=p1")).toSet == p1Files)
+    val byPart = lake.read(spark, "t")
+      .groupBy("tp_partition", "tp_index").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(byPart == Map(("p0", "eu") -> 10L, ("p0", "us") -> 10L,
+      ("p1", "eu") -> 5L, ("p1", "us") -> 5L))
+  }
+
   test("reindex with NULL index values lands rows in the 'default' index") {
     val lake = newLake()
     val raw = spark.range(10).select(
