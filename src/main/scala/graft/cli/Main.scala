@@ -807,6 +807,10 @@ object Main {
           case _ => throw new IllegalArgumentException(
             s"partition delete: expected <table.partition>, got '$id'")
         }
+        // unknown partitions fail before any prompt or mutation
+        // (partition.go:289-291; partition_delete.bats:44-55)
+        if (!config.partitions.contains(id))
+          throw new IllegalArgumentException(s"partition not found: $id")
         // confirmation gate (cmd/partition.go:293-299): --force skips
         // it; otherwise prompt on a TTY (Enter = yes, the reference's
         // default-true confirmation). Headless runs — tests, cron, CI

@@ -1,6 +1,7 @@
 package graft.config
 
 import scala.collection.immutable.ListMap
+import scala.util.chaining._
 
 /** Hand-rolled parser for the HCL subset the reference's config files
   * use (`partition`/`table`/`format`/`source` blocks — reference
@@ -260,6 +261,20 @@ object Hcl {
     * transform must declare a type; partition requires 2 labels,
     * partition.go:61-67).
     */
+  /** Duplicate-block detection (reference internal/parse decode:
+    * "partition X already exists for table Y"). Within one file a
+    * repeated id is a config error; ACROSS files later files still win
+    * (ConfigLoader's documented merge order).
+    */
+  private def unique[T](
+      pairs: Seq[(String, T)], msg: (String, T) => String): Map[String, T] = {
+    val seen = scala.collection.mutable.HashSet[String]()
+    pairs.foreach { case (k, v) =>
+      if (!seen.add(k)) throw new IllegalArgumentException(msg(k, v))
+    }
+    pairs.toMap
+  }
+
   def decode(src: String): Config = {
     val blocks = parse(src)
     val formats = blocks.filter(_.kind == "format").map { b =>
@@ -274,7 +289,7 @@ object Hcl {
         pattern = b.str("layout").orElse(b.str("pattern")),
         description = b.str("description"))
       s"$kind.$name" -> f
-    }.toMap
+    }.pipe(ps => unique(ps, (k, _: FormatSpec) => s"format $k already exists"))
 
     val tables = blocks.filter(_.kind == "table").map { b =>
       require(b.labels.length == 1, "'table' block requires 1 label, 'name'")
@@ -305,7 +320,7 @@ object Hcl {
         format = b.str("format"),
         description = b.str("description"))
       t.name -> t
-    }.toMap
+    }.pipe(ps => unique(ps, (k, _: TableSpec) => s"table $k already exists"))
 
     val connections = blocks.filter(_.kind == "connection").map { b =>
       require(b.labels.length == 2,
@@ -322,7 +337,7 @@ object Hcl {
       val c = ConnectionSpec(b.labels(0), b.labels(1), props.toMap)
       Connections.hadoopEntries(c) // vocabulary-check at load, not collect
       c.id -> c
-    }.toMap
+    }.pipe(ps => unique(ps, (k, _: ConnectionSpec) => s"connection $k already exists"))
 
     val partitions = blocks.filter(_.kind == "partition").map { b =>
       require(b.labels.length == 2,
@@ -354,7 +369,7 @@ object Hcl {
         filter = b.str("filter"),
         source = source)
       p.id -> p
-    }.toMap
+    }.pipe(ps => unique(ps, (_, p: PartitionSpec) => s"partition ${p.name} already exists for table ${p.table}"))
 
     Config(formats, tables, partitions, connections)
   }

@@ -200,6 +200,15 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(csv == "n\n1")
   }
 
+  test("deleting a non-existent partition fails gracefully") {
+    // partition_delete.bats:44-55: rc!=0, 'partition not found', id shown
+    val (rc, out) = cli(root, "partition", "delete",
+      "access_log.non_existent", "--force")
+    assert(rc == 1, out)
+    assert(out.contains("partition not found"), out)
+    assert(out.contains("access_log.non_existent"), out)
+  }
+
   test("connect emits a runnable init script with view filters") {
     val (rc, script) = cli(root, "connect",
       "--from", "2024-05-01T10:31:00", "--partition", "loc*")

@@ -108,6 +108,29 @@ class HclSpec extends AnyFunSuite {
     assert(p.tpIndexColumn.contains("region"))
   }
 
+  test("duplicate blocks within a file are config errors") {
+    // partition_tests.bats:30-55: "partition X already exists for
+    // table Y"
+    val e = intercept[IllegalArgumentException] {
+      Hcl.decode(
+        """partition "t" "p1" { }
+          |partition "t" "p1" { }
+          |""".stripMargin)
+    }
+    assert(e.getMessage == "partition p1 already exists for table t")
+    val e2 = intercept[IllegalArgumentException] {
+      Hcl.decode(
+        """format "delimited" "f" { }
+          |format "delimited" "f" { }
+          |""".stripMargin)
+    }
+    assert(e2.getMessage == "format delimited.f already exists")
+    val e3 = intercept[IllegalArgumentException] {
+      Hcl.decode("table \"x\" { }\ntable \"x\" { }\n")
+    }
+    assert(e3.getMessage == "table x already exists")
+  }
+
   test("comments, numbers, booleans, trailing commas parse") {
     val blocks = Hcl.parse(
       """# leading comment
