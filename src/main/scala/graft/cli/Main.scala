@@ -67,7 +67,7 @@ object Main {
     */
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
-      "backup", "restore", "reindex", "force", "progress")
+      "backup", "restore", "reindex", "force", "progress", "rules")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -195,8 +195,9 @@ object Main {
       |export:   graft export <table> <out-dir> --shards N --id-column COL
       |          [--seed S] [--token-column COL [--budget TOKENS]]
       |dedup:    graft dedup <table> --id-column COL --text-column COL
-      |          [--mode exact|normalized|near] [--threshold J]
-      |profile:  graft profile <table> --text-column COL [--top K]
+      |          [--mode exact|normalized|near|substring] [--threshold J]
+      |          [--k TOKENS]
+      |profile:  graft profile <table> --text-column COL [--top K] [--rules]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
@@ -338,9 +339,28 @@ object Main {
           s"clusters at jaccard >= $threshold, $dropped droppable rows")
         out.println(graft.query.Render.table(
           stats.orderBy(col("n_members").desc, col("component")).limit(20)))
+      case "substring" =>
+        // Lee et al. ExactSubstr (Dedup.substringDedup): report how
+        // many tokens duplicated k-gram spans would cut
+        val k = opts.flag("k").map(_.toInt).getOrElse(50)
+        val cut = Dedup.substringDedup(df, idCol, textCol, k)
+          .where(col("n_removed") > 0)
+        val touched = cut.count()
+        val (tokens, removed) =
+          if (touched == 0) (0L, 0L)
+          else {
+            val r = cut.agg(sum("n_tokens"), sum("n_removed")).head()
+            (r.getLong(0), r.getLong(1))
+          }
+        out.println(s"Table $table: $total rows, $touched docs carry " +
+          s"duplicated >=$k-token spans, $removed of their " +
+          s"$tokens tokens removable (substring)")
+        out.println(graft.query.Render.table(
+          cut.select(col(idCol), col("n_tokens"), col("n_removed"))
+            .orderBy(col("n_removed").desc, col(idCol)).limit(20)))
       case other =>
         throw new IllegalArgumentException(
-          s"dedup: unknown --mode '$other' (exact|normalized|near)")
+          s"dedup: unknown --mode '$other' (exact|normalized|near|substring)")
     }
   }
 
@@ -392,6 +412,22 @@ object Main {
     out.println(graft.query.Render.table(langs))
     out.println(graft.query.Render.table(
       graft.operators.HeavyHitters.topK(df, textCol, k = top)))
+    // --rules: per-gate pass rates of the C4/Gopher rule pack —
+    // what fraction of the corpus each published filter would keep
+    if (opts.flag("rules").contains("true")) {
+      val withId = df.withColumn("__pid", monotonically_increasing_id())
+      val r = graft.functions.QualityRules(withId, "__pid", textCol)
+      val rates = r.agg(
+        round(avg(col("keep_gopher").cast("double")), 4).as("keep_gopher"),
+        round(avg(col("keep_c4").cast("double")), 4).as("keep_c4"),
+        round(avg((col("n_words").between(50, 100000)).cast("double")), 4)
+          .as("words_50_100k"),
+        round(avg((col("stopword_hits") >= 2).cast("double")), 4)
+          .as("stopwords_2plus"),
+        round(avg((col("n_sentences") >= 3).cast("double")), 4)
+          .as("sentences_3plus"))
+      out.println(graft.query.Render.table(rates))
+    }
   }
 
   /** `retention [table] --older-than TIME` — age out data older than

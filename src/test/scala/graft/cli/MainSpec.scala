@@ -449,6 +449,21 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(prof.contains("Table notes: 4 docs"), prof)
     assert(prof.contains("lang"), prof)
     assert(prof.contains("the"), prof) // top term of the fox corpus
+    // substring mode: notes 2 and 3 are covered by note 1's 8-gram
+    // spans (14/14 and 13/15 tokens respectively)
+    val (rcS, sub) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "substring", "--k", "8")
+    assert(rcS == 0, sub)
+    assert(sub.contains(
+      "2 docs carry duplicated >=8-token spans, 27 of their 29 tokens " +
+        "removable (substring)"), sub)
+    // profile --rules: per-gate pass rates of the C4/Gopher pack
+    val (rc7, rules) = cli(dir, "profile", "notes",
+      "--text-column", "note", "--rules")
+    assert(rc7 == 0, rules)
+    assert(rules.contains("keep_gopher"), rules)
+    assert(rules.contains("sentences_3plus"), rules)
     // retention: age out the first two notes (before 10:02), keep two
     val (rc5, ret) = cli(dir, "retention", "notes",
       "--older-than", "2024-05-01T10:02:00")
