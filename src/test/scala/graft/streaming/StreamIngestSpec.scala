@@ -57,6 +57,30 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "events_stream").count() == 4)
   }
 
+  test("quality rule pack gates a stream statelessly (no state store)") {
+    // QualityRules is pure per-row column algebra, so it composes into
+    // a streaming pipeline with no watermark and no state — the shape
+    // a live-crawl quality filter needs.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val gated = graft.functions.QualityRules(
+      in.toDF().toDF("id", "text"), "id", "text")
+    val q = gated.writeStream.format("memory")
+      .queryName("q_rules_stream").outputMode("append").start()
+    in.addData(
+      1L -> (("the data " * 30) + "that should have been fine to be"),
+      2L -> "too short")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("q_rules_stream")
+      .select("id", "keep_gopher").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && !got(2L))
+    // stateless: the progress log reports no stateful operators
+    assert(q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("windowedAgg: tumbling windows close as the watermark advances") {
     val s = spark
     import s.implicits._
