@@ -116,6 +116,44 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006,
+    * algorithm A-ES): each row draws key `u^(1/w)` from its
+    * deterministic hash-unit `u` and weight `w`; the k largest keys
+    * are an exact weighted sample without replacement. The pipeline
+    * use: quality- or length-weighted corpus subsampling where high-
+    * weight documents must be favored but the draw must stay
+    * reproducible across engines and retries (u comes from md5(id),
+    * not a RNG).
+    *
+    * Scale shape: ungrouped, the plan is TakeOrderedAndProject —
+    * k-bounded driver state, no global sort. Grouped (per-stratum),
+    * the rank-filter compiles to WindowGroupLimit (Spark 3.5+):
+    * partial per-mapper top-k BEFORE the shuffle, so per-task state is
+    * k-bounded even when one stratum dominates the corpus — pinned by
+    * PlanAuditSpec. Rows with NULL or non-positive weight never
+    * qualify (A-ES is undefined there); the id rides as the total-
+    * order tiebreaker.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      strataCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val key = pow(hashUnit(col(idCol)),
+      lit(1.0) / col(weightCol).cast("double"))
+    val base = df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es", key)
+    val sampled = strataCol match {
+      case None =>
+        base.orderBy(col("__es").desc, col(idCol)).limit(k)
+      case Some(s) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(s).orderBy(col("__es").desc, col(idCol))
+        base.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= k).drop("__rk")
+    }
+    sampled.drop("__es")
+  }
+
   /** Deterministic global corpus shuffle — the "randomize training
     * order" step every pretraining pipeline runs before sharding.
     * Each row gets `shuffle_pos`: its 1-based position in the

@@ -353,6 +353,19 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): length-weighted per-source top-10, deterministic keys
+    // from md5(id) so the oracle reproduces the exact draw. The
+    // grouped rank filter compiles to WindowGroupLimit (per-mapper
+    // partial top-k — plan pinned by PlanAuditSpec).
+    "qt33_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSample(
+          docs(s, dir), "doc_id", "n_chars", k = 10,
+          strataCol = Some("source"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    }),
+
     // Distributed BPE merge training (Sennrich et al.): one corpus
     // pass to the word-frequency vocabulary, then vocabulary-sized
     // merge rounds — pair-count aggregate, one-row argmax, literal
@@ -833,6 +846,18 @@ object TextQueries {
              cast(count(*) AS int) AS chunk_tokens,
              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
       FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
+    "qt33_weighted_sample" -> """
+      WITH w AS (SELECT doc_id, source, n_chars,
+               pow(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT
+                     / 4294967296.0,
+                   1.0 / n_chars) AS k
+             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY k DESC, doc_id) AS rn
+            FROM w)
+      SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
+      ORDER BY source, doc_id""",
     "qt32_bpe_merges" -> """
       WITH words AS (
         SELECT w, count(*) AS freq FROM (

@@ -101,6 +101,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("weightedSample grouped top-k compiles to WindowGroupLimit") {
+    // the rank<=k filter must push a per-mapper partial top-k below
+    // the shuffle (Spark's InferWindowGroupLimit); a plain WindowExec
+    // would sort entire strata per task
+    val plan = graft.operators.Sampling.weightedSample(
+        docs, "doc_id", "n_chars", k = 5, strataCol = Some("source"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"grouped weightedSample lost its WindowGroupLimit:\n$plan")
+  }
+
   test("substringDedup plans three corpus evaluations, all map-side") {
     // gram postings feed BOTH the duplicated-gram aggregate and the
     // probe join, and the token arrays feed the final rebuild — three

@@ -119,6 +119,36 @@ class SamplingSpec extends AnyFunSuite with SparkTest {
     assert(got === want)
   }
 
+  test("weightedSample favors heavy rows, exact k, deterministic") {
+    // two weight classes: w=100 vs w=1. A-ES with k=100 of 2000 rows
+    // must select overwhelmingly from the heavy class.
+    val df = ids.limit(2000)
+      .withColumn("w", when(col("id") < 200, 100.0).otherwise(1.0))
+    val got = Sampling.weightedSample(df, "id", "w", k = 100)
+    assert(got.count() == 100)
+    val heavy = got.where(col("id") < 200).count()
+    assert(heavy > 80, s"only $heavy of 100 from the heavy class")
+    // deterministic under repartition
+    val again = Sampling.weightedSample(df.repartition(13), "id", "w", 100)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // zero/null weights never qualify
+    val z = df.withColumn("w",
+      when(col("id") < 1000, lit(null).cast("double")).otherwise(lit(0.0)))
+    assert(Sampling.weightedSample(z, "id", "w", 10).count() == 0)
+  }
+
+  test("weightedSample per-stratum takes exactly k from each group") {
+    val df = ids.limit(300)
+      .withColumn("g", (col("id") % 3).cast("string"))
+      .withColumn("w", col("id").cast("double") + 1.0)
+    val got = Sampling.weightedSample(df, "id", "w", k = 7,
+      strataCol = Some("g"))
+    val byG = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("0" -> 7L, "1" -> 7L, "2" -> 7L))
+  }
+
   test("withSplit partitions every row exactly once") {
     val out = Sampling.withSplit(ids, "id", 0.25)
     assert(out.count() == 20000)
