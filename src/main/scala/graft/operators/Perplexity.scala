@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-LM perplexity scoring — the CCNet-style quality filter
+  * (Wenzek et al. 2020 score with a Wikipedia LM; here the LM is an
+  * add-1-smoothed unigram model trained on the corpus itself, so the
+  * whole operator is closed over its input and exactly reproducible).
+  * Low perplexity = text that looks like the corpus; the far tail on
+  * either side is boilerplate or noise. Beyond-reference.
+  *
+  * Scale shape:
+  *  - ONE pass builds the LM: token counts (map-side combined), plus
+  *    two scalars (total tokens N, vocab size V) — the model is
+  *    vocabulary-sized, never corpus-sized.
+  *  - Scoring joins exploded (id, token) postings to the count table
+  *    on the token hash — a shuffle join both sides of which are
+  *    already partitioned by token; AQE broadcasts the count table
+  *    when it is small. Per-doc reduce is an ordinary aggregate.
+  *
+  * p(t) = (c(t)+1) / (N+V); perplexity(doc) = exp(-mean ln p(t_i)).
+  * Every count is exact integer math; only the final mean/exp are
+  * floating point, so a 4dp round is engine-stable.
+  *
+  * @return (idCol, n_tokens, ppl) one row per doc with >=1 token
+  */
+object Perplexity {
+
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(TF.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // two scalars: total token count and vocabulary size (driver-side,
+    // metadata-sized — the LM normalizer)
+    val Array(n, v) = counts.agg(sum("c"), count(lit(1))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val denom = (n + v).toDouble
+    toks.join(counts, Seq("tok"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log((col("c") + 1).cast("double") / denom)).as("__mlp"))
+      .select(col("__id").as(idCol),
+        col("n_tokens"),
+        round(exp(-col("__mlp")), 4).as("ppl"))
+  }
+}

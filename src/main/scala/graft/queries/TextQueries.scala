@@ -353,6 +353,16 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Corpus-LM perplexity scoring (CCNet-style quality filter; add-1
+    // unigram LM trained on the corpus itself, so the operator is
+    // closed over its input). All counts are exact integers — only the
+    // final mean/exp are floating point, so the 4dp round is engine-
+    // stable and the oracle reproduces every score.
+    "qt34_perplexity" -> ((s, dir) => {
+      graft.operators.Perplexity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES): length-weighted per-source top-10, deterministic keys
     // from md5(id) so the oracle reproduces the exact draw. The
@@ -846,6 +856,18 @@ object TextQueries {
              cast(count(*) AS int) AS chunk_tokens,
              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
       FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
+    "qt34_perplexity" -> """
+      WITH toks AS (SELECT doc_id, tok FROM (
+               SELECT doc_id, unnest(string_split_regex(
+                 regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                 '\s+')) AS tok
+               FROM documents) WHERE tok <> ''),
+      c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+      s AS (SELECT sum(c) AS n, count(*) AS v FROM c)
+      SELECT t.doc_id, cast(count(*) AS bigint) AS n_tokens,
+             round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4) AS ppl
+      FROM toks t JOIN c USING (tok) CROSS JOIN s
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
     "qt33_weighted_sample" -> """
       WITH w AS (SELECT doc_id, source, n_chars,
                pow(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT
