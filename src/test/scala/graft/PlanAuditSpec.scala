@@ -127,6 +127,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
 
+  test("perplexity plans two corpus evaluations after the eager LM scalars") {
+    // the LM normalizer (N, V) is computed eagerly at build time; the
+    // returned plan evaluates the token projection twice (count-table
+    // side and probe side of the token join) — both map-side. Pin it.
+    val plan = graft.operators.Perplexity(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 2, s"perplexity plans $scans scans (expected 2):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("annLsh plans no Window over LSH buckets (rank-only windows)") {
     val q = embs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .limit(5)

@@ -49,6 +49,29 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out(4L) == ((16, 8, eight)))
   }
 
+  test("substring dedup conserves tokens under overlapping repeats") {
+    // token-conservation invariant: n_tokens == n_removed + |cleaned|,
+    // on shapes chosen to stress the interval-union math — nested
+    // repeats, period-1 runs, overlapping shifted copies
+    val run = ("z " * 30).trim                       // period-1 run
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, run),                                     // self-overlap
+      (2L, s"$phrase middle $phrase"),               // within-doc repeat
+      (3L, s"lead $phrase tail"),                    // shifted copy
+      (4L, s"$phrase $run"),                         // both families
+      (5L, "tiny")).toDF("id", "text")
+    val out = Dedup.substringDedup(df, "id", "text", k = 4).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val cleanedTokens =
+        r.getAs[String]("cleaned").split("\\s+").count(_.nonEmpty)
+      assert(r.getAs[Int]("n_tokens") ==
+        r.getAs[Int]("n_removed") + cleanedTokens,
+        s"conservation violated for id ${r.get(0)}: $r")
+    }
+  }
+
   test("passage dedup: cross-doc windows count, within-doc repeats don't") {
     val w = (1 to 20).map(i => s"w$i").mkString(" ")     // one full window
     val df = Seq(
