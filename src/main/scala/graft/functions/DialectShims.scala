@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, ListAgg}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -129,6 +129,31 @@ object DialectShims {
           Pattern.quote(litString(es(1), "string_split"))), StringType),
         Literal(-1)) },
     "regexp_matches" -> { es: Seq[Expression] => RLike(es(0), es(1)) },
+    // regex split: DuckDB keeps trailing empties like Spark limit=-1
+    "string_split_regex" -> { es: Seq[Expression] =>
+      StringSplit(es(0), es(1), Literal(-1)) },
+    // DuckDB list_slice(l, a, b): 1-based INCLUSIVE end → Spark
+    // slice(l, a, b - a + 1)
+    "list_slice" -> { es: Seq[Expression] =>
+      Slice(es(0), es(1), Add(Subtract(es(2), es(1)), Literal(1))) },
+    "list_append" -> { es: Seq[Expression] => ArrayAppend(es(0), es(1)) },
+    // DuckDB arg order: list_prepend(elem, list)
+    "list_prepend" -> { es: Seq[Expression] => ArrayPrepend(es(1), es(0)) },
+    "list_concat" -> { es: Seq[Expression] => Concat(es) },
+    "array_length" -> { es: Seq[Expression] =>
+      Cast(Size(es.head), LongType) },
+    // DuckDB spellings of the predicate pair (Spark registers
+    // startswith/endswith); prefix/suffix are the DuckDB aliases
+    "starts_with" -> { es: Seq[Expression] => StartsWith(es(0), es(1)) },
+    "ends_with" -> { es: Seq[Expression] => EndsWith(es(0), es(1)) },
+    "prefix" -> { es: Seq[Expression] => StartsWith(es(0), es(1)) },
+    "suffix" -> { es: Seq[Expression] => EndsWith(es(0), es(1)) },
+    // strpos: 1-based position, 0 when absent — StringInstr exactly
+    "strpos" -> { es: Seq[Expression] => StringInstr(es(0), es(1)) },
+    // string_agg(s, sep): AggregateFunction root like `list`, so
+    // DISTINCT/FILTER still resolve
+    "string_agg" -> { es: Seq[Expression] =>
+      new ListAgg(es(0), es(1), Nil, 0, 0) },
     "json_structure" -> { es: Seq[Expression] => JsonStructure(es.head) },
     // inet-extension surface (reference auto-loads `inet`): address
     // strings, not a dedicated type — host strips the /mask, family

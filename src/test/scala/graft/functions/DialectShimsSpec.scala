@@ -98,6 +98,38 @@ class DialectShimsSpec extends AnyFunSuite with SparkTest {
     assert(sql1("SELECT regexp_matches('anchovy', '^chov')") == false)
   }
 
+  test("string_split_regex / list_slice / list append-prepend-concat") {
+    // duckdb: string_split_regex('a1b22c','[0-9]+') = [a, b, c]
+    assert(sql1("SELECT string_split_regex('a1b22c', '[0-9]+')") ==
+      Seq("a", "b", "c"))
+    assert(sql1("SELECT string_split_regex('ab', '[0-9]')") == Seq("ab"))
+    // duckdb: list_slice([1..5], 2, 4) = [2,3,4] (1-based, inclusive);
+    // end past the list clamps: list_slice([1,2,3], 2, 9) = [2,3]
+    assert(sql1("SELECT list_slice(array(1,2,3,4,5), 2, 4)") == Seq(2, 3, 4))
+    assert(sql1("SELECT list_slice(array(1,2,3), 2, 9)") == Seq(2, 3))
+    assert(sql1("SELECT list_append(array(1,2), 3)") == Seq(1, 2, 3))
+    // duckdb arg order: list_prepend(elem, list)
+    assert(sql1("SELECT list_prepend(0, array(1,2))") == Seq(0, 1, 2))
+    assert(sql1("SELECT list_concat(array(1,2), array(3))") == Seq(1, 2, 3))
+    assert(sql1("SELECT array_length(array(1,2,3))") == 3L)
+  }
+
+  test("starts_with/ends_with/prefix/suffix/strpos match DuckDB") {
+    assert(sql1("SELECT starts_with('hello','he')") == true)
+    assert(sql1("SELECT ends_with('hello','lo')") == true)
+    assert(sql1("SELECT prefix('hello','x')") == false)
+    assert(sql1("SELECT suffix('hello','lo')") == true)
+    // duckdb: strpos 1-based, 0 when absent
+    assert(sql1("SELECT strpos('hello','ll')") == 3)
+    assert(sql1("SELECT strpos('hello','x')") == 0)
+  }
+
+  test("string_agg concatenates non-null values with the separator") {
+    // duckdb: string_agg over ('a','b',NULL,'c') with '|' = 'a|b|c'
+    assert(sql1("SELECT string_agg(x, '|') FROM VALUES ('a'),('b')," +
+      "(CAST(NULL AS string)),('c') AS t(x)") == "a|b|c")
+  }
+
   test("json_structure mirrors DuckDB typing") {
     // duckdb: json_structure('{"k": 69}') = {"k":"UBIGINT"}
     assert(sql1("""SELECT json_structure('{"k": 69}')""") ==
