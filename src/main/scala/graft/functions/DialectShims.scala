@@ -148,8 +148,10 @@ object DialectShims {
     "ends_with" -> { es: Seq[Expression] => EndsWith(es(0), es(1)) },
     "prefix" -> { es: Seq[Expression] => StartsWith(es(0), es(1)) },
     "suffix" -> { es: Seq[Expression] => EndsWith(es(0), es(1)) },
-    // strpos: 1-based position, 0 when absent — StringInstr exactly
-    "strpos" -> { es: Seq[Expression] => StringInstr(es(0), es(1)) },
+    // strpos: 1-based position, 0 when absent; BIGINT like DuckDB so
+    // byte-identical SQL (q35) type-matches across engines
+    "strpos" -> { es: Seq[Expression] =>
+      Cast(StringInstr(es(0), es(1)), LongType) },
     // string_agg(s, sep): AggregateFunction root like `list`, so
     // DISTINCT/FILTER still resolve
     "string_agg" -> { es: Seq[Expression] =>

@@ -354,7 +354,12 @@ object Relational {
              strftime(min(ts), '%Y-%m-%d %H:%M') AS first_seen,
              epoch_ms(min(ts)) AS first_ms,
              array_to_string(list_sort(list(DISTINCT json_structure(props))), '|') AS prop_shapes,
+             array_to_string(list_slice(list_sort(list(DISTINCT json_structure(props))), 1, 2), '&') AS top_shapes,
              len(min(event_type)) AS type_len,
+             strpos(event_type, 'e') AS e_pos,
+             starts_with(event_type, 'c') AS starts_c,
+             string_agg(DISTINCT substr(event_type, 1, 2), '~') AS prefix_agg,
+             array_to_string(string_split_regex(min(event_type), '[aeiou]+'), '-') AS consonant_runs,
              count(*) AS n
       FROM events
       WHERE regexp_matches(event_type, '^(click|view|error|purchase)$')

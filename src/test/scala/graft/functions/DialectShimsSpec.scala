@@ -119,9 +119,9 @@ class DialectShimsSpec extends AnyFunSuite with SparkTest {
     assert(sql1("SELECT ends_with('hello','lo')") == true)
     assert(sql1("SELECT prefix('hello','x')") == false)
     assert(sql1("SELECT suffix('hello','lo')") == true)
-    // duckdb: strpos 1-based, 0 when absent
-    assert(sql1("SELECT strpos('hello','ll')") == 3)
-    assert(sql1("SELECT strpos('hello','x')") == 0)
+    // duckdb: strpos 1-based, 0 when absent, BIGINT
+    assert(sql1("SELECT strpos('hello','ll')") == 3L)
+    assert(sql1("SELECT strpos('hello','x')") == 0L)
   }
 
   test("string_agg concatenates non-null values with the separator") {
