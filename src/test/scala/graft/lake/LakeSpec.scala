@@ -276,6 +276,42 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(stats.map(_.getAs[Long]("rows")).sum == 250)
   }
 
+  test("reindex racing appends never loses or duplicates rows") {
+    val lake = newLake()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // every batch carries BOTH index candidates so reindex always has
+    // its configured column in the stored schema
+    def batch(n: Int) = {
+      val raw = spark.range(n).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 40000)")
+          .as("tp_timestamp"),
+        (col("id") % 3).cast("string").as("idx"),
+        (col("id") % 2).cast("string").as("alt"))
+      TpSchema.enrich(raw, PartitionSpec("t", "p0",
+        tpIndexColumn = Some("idx")))
+    }
+    lake.append(spark, "t", batch(100))
+    val writers = (0 until 3).map { _ =>
+      new Thread(() =>
+        try lake.append(spark, "t", batch(50))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    val reindexer = new Thread(() =>
+      try (0 until 3).foreach { i =>
+        Maintenance.reindex(spark, lake, "t", Seq(PartitionSpec("t", "p0",
+          tpIndexColumn = Some(if (i % 2 == 0) "alt" else "idx"))))
+      } catch { case e: Throwable => errs.add(e) })
+    (writers :+ reindexer).foreach(_.start())
+    (writers :+ reindexer).foreach(_.join())
+    assert(errs.isEmpty, errs)
+    // reindex holds the table lock across divergence scan + rewrite +
+    // stale-dir cleanup, so appends interleave between, never inside
+    assert(lake.read(spark, "t").count() == 250)
+    assert(lake.fileStats(spark, "t").collect()
+      .map(_.getAs[Long]("rows")).sum == 250)
+  }
+
   test("z-order compaction narrows per-file ranges on BOTH z-columns") {
     val lake = newLake()
     // rows where tp_timestamp and v are independent: time-ordered
