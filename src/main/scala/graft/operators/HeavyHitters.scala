@@ -53,6 +53,9 @@ object HeavyHitters {
       .select(explode(col("cand")).as("term"))
     val counted = terms.join(broadcast(candidates), "term")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // bare global window is safe HERE ONLY: `counted` has at most
+    // `capacity` rows (the Misra-Gries candidate set), so the single
+    // partition WindowExec warns about holds a bounded sketch, not data
     val rank = Window.orderBy(col("cnt").desc, col("term").asc)
     counted
       .withColumn("rank", row_number().over(rank))

@@ -102,6 +102,10 @@ object Sampling {
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", pow(col("__n").cast("double"), alpha))
+    // bare global window is safe HERE ONLY: `counts` has one row per
+    // SOURCE (domain count, not corpus size), so the single partition
+    // WindowExec warns about holds a handful of rows; the ordered frame
+    // keeps the weight total a deterministic sum for the oracle
     val total = Window.orderBy(sourceCol)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rates = counts
