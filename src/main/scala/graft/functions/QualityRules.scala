@@ -52,9 +52,12 @@ object QualityRules {
       (size(split(col(textCol), "\\.\\.\\.")) - 1) +
       (size(split(col(textCol), "…")) - 1)
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    // count of DISTINCT required stopwords present — iterate the
+    // lowered-distinct word set once against the 8-literal array, not
+    // the literal array against a per-element recomputed transform
     val stopHits = size(filter(
-      typedLit(GopherStopwords),
-      sw => array_contains(transform(words, lower _), sw)))
+      array_distinct(transform(words, lower _)),
+      w => array_contains(typedLit(GopherStopwords), w)))
     def lineFrac(pred: Column => Column): Column =
       when(nLines === 0, 0.0)
         .otherwise(size(filter(lines, pred)).cast("double") / nLines)
