@@ -706,6 +706,12 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(csv == "n\n3", csv)
   }
 
+  test("vacuum --restore with no backup is a clean rc=1 error") {
+    val (rc, out) = cli(root, "vacuum", "never_backed_up", "--restore")
+    assert(rc == 1, out)
+    assert(out.contains("Error:") && out.contains("no manifest backup"), out)
+  }
+
   test("compact --reindex migrates tp_index after a config change") {
     // own fixture: reindex mutates the lake, the shared root is
     // read-only for query tests
