@@ -129,6 +129,15 @@ object Formats {
           s"grok format '${format.name}' needs a layout"))
       readGrok(spark, pattern, files)
 
+    // columnar drop formats: logs exported by warehouses/ETL arrive as
+    // parquet or ORC files just like JSONL drops — schema comes from
+    // the file footer, so no inference pass; declared-table conversion
+    // still applies downstream like any other format
+    case "parquet" =>
+      spark.read.parquet(files: _*)
+    case "orc" =>
+      spark.read.orc(files: _*)
+
     case other =>
       throw new IllegalArgumentException(s"unknown format kind: $other")
   }

@@ -706,6 +706,51 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(csv == "n\n3", csv)
   }
 
+  test("columnar drop formats: collect from ORC and parquet files") {
+    val dir = Files.createTempDirectory("graft_cli_orc").toFile
+    new File(dir, "config").mkdirs()
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(4).select(
+      expr("timestamp '2024-06-01 08:00:00' + make_interval(0,0,0,0,id,0,0)")
+        .as("ts"),
+      concat(lit("msg"), col("id")).as("msg"))
+    rows.coalesce(1).write.orc(s"${dir.getPath}/drops_orc")
+    rows.coalesce(1).write.parquet(s"${dir.getPath}/drops_pq")
+    write(new File(dir, "config/drops.tpc"),
+      s"""format "orc" "drops" { }
+         |format "parquet" "drops" { }
+         |table "audit" {
+         |  column "tp_timestamp" { source = "ts" }
+         |  column "msg" { type = "varchar" }
+         |}
+         |partition "audit" "orc" {
+         |  source "file" {
+         |    format = format.orc.drops
+         |    paths = ["${dir.getPath}/drops_orc/"]
+         |    file_layout = "part-%{DATA:x}.orc"
+         |  }
+         |}
+         |partition "audit" "pq" {
+         |  source "file" {
+         |    format = format.parquet.drops
+         |    paths = ["${dir.getPath}/drops_pq/"]
+         |    file_layout = "part-%{DATA:x}.parquet"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc1, out1) = cli(dir, "collect", "audit.orc")
+    assert(rc1 == 0, out1)
+    assert(out1.contains("Collected audit.orc: 4 rows"), out1)
+    val (rc2, out2) = cli(dir, "collect", "audit.pq")
+    assert(rc2 == 0, out2)
+    assert(out2.contains("Collected audit.pq: 4 rows"), out2)
+    val (rc3, csv) = cli(dir, "query",
+      "select tp_partition, count(*) as n from audit group by 1 order by 1",
+      "--output", "csv")
+    assert(rc3 == 0, csv)
+    assert(csv == "tp_partition,n\norc,4\npq,4", csv)
+  }
+
   test("vacuum --restore with no backup is a clean rc=1 error") {
     val (rc, out) = cli(root, "vacuum", "never_backed_up", "--restore")
     assert(rc == 1, out)
