@@ -67,7 +67,7 @@ object Main {
     */
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
-      "backup", "restore", "reindex", "force", "progress", "rules")
+      "backup", "restore", "reindex", "force", "progress", "rules", "ppl")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -197,7 +197,8 @@ object Main {
       |dedup:    graft dedup <table> --id-column COL --text-column COL
       |          [--mode exact|normalized|near|substring] [--threshold J]
       |          [--k TOKENS]
-      |profile:  graft profile <table> --text-column COL [--top K] [--rules]
+      |profile:  graft profile <table> --text-column COL [--top K]
+      |          [--rules] [--ppl] [--bpe N]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
@@ -412,6 +413,20 @@ object Main {
     out.println(graft.query.Render.table(langs))
     out.println(graft.query.Render.table(
       graft.operators.HeavyHitters.topK(df, textCol, k = top)))
+    // --ppl: corpus-LM perplexity distribution (Perplexity operator)
+    if (opts.flag("ppl").contains("true")) {
+      val withId = df.withColumn("__pid", monotonically_increasing_id())
+      val p = graft.operators.Perplexity(withId, "__pid", textCol)
+      out.println(graft.query.Render.table(p.agg(
+        round(min("ppl"), 2).as("ppl_min"),
+        round(expr("percentile_approx(ppl, 0.5)"), 2).as("ppl_median"),
+        round(max("ppl"), 2).as("ppl_max"))))
+    }
+    // --bpe N: first N tokenizer merges learned from this corpus
+    opts.flag("bpe").map(_.toInt).foreach { rounds =>
+      out.println(graft.query.Render.table(
+        graft.operators.BpeMerges(df.select(textCol), textCol, rounds)))
+    }
     // --rules: per-gate pass rates of the C4/Gopher rule pack —
     // what fraction of the corpus each published filter would keep
     if (opts.flag("rules").contains("true")) {

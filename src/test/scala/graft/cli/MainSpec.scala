@@ -464,6 +464,16 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc7 == 0, rules)
     assert(rules.contains("keep_gopher"), rules)
     assert(rules.contains("sentences_3plus"), rules)
+    // profile --ppl + --bpe: perplexity spread and learned merges
+    val (rc8, deep) = cli(dir, "profile", "notes",
+      "--text-column", "note", "--ppl", "--bpe", "2")
+    assert(rc8 == 0, deep)
+    assert(deep.contains("ppl_median"), deep)
+    assert(deep.contains("merge_rank"), deep)
+    // e-final words dominate ('the' x9): round 1 merges (e, </w>)
+    assert(deep.linesIterator.exists(l =>
+      l.contains("| 1 ") && l.contains("| e ") && l.contains("| </w> ")),
+      deep)
     // retention: age out the first two notes (before 10:02), keep two
     val (rc5, ret) = cli(dir, "retention", "notes",
       "--older-than", "2024-05-01T10:02:00")
