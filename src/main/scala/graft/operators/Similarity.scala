@@ -384,6 +384,29 @@ object Similarity {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
   }
 
+  /** Append vectors to a persisted IVF index WITHOUT a rebuild: assign
+    * each new vector to its nearest STORED centroid (one map pass —
+    * the centroid table is the only read) and append the assignments
+    * into the existing `cell=` directory layout. Ingest-time index
+    * maintenance costs O(|new|), not O(|index|); probes see the new
+    * vectors immediately because the filesystem IS the inverted file.
+    * Centroids stay fixed — the standard IVF practice; drift from a
+    * shifted corpus distribution is a periodic [[buildIvfIndex]]
+    * retrain, not an append-path concern.
+    */
+  def appendToIvfIndex(
+      spark: SparkSession, candidates: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val centArr = typedLit(cents)
+    candidates
+      .withColumn("cell",
+        bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent"))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
   /** Probe a persisted IVF index: quantize the query batch with the
     * stored centroids, then scan ONLY the probed `cell=` directories
     * (an `isin` over the partition column — pruned at planning time,

@@ -41,6 +41,29 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       (0L until 6L).map(id => (id, id + 1000)).toSet)
   }
 
+  test("append absorbs new vectors without a rebuild; probes see them") {
+    val path = Files.createTempDirectory("graft_ivf").toString
+    // build WITHOUT the planted near-copies, then append them
+    Similarity.buildIvfIndex(spark, corpus.where($"cid" < 1000),
+      nlist = 16, path = path)
+    val before = Similarity.probeIvfIndex(spark, path, queries, k = 1,
+        nprobe = 4, minSim = 0.99)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(before.isEmpty) // near-copies not indexed yet
+    val centroidsBefore = spark.read.parquet(s"$path/centroids").collect()
+
+    Similarity.appendToIvfIndex(spark,
+      corpus.where($"cid" >= 1000), path)
+    val after = Similarity.probeIvfIndex(spark, path, queries, k = 1,
+        nprobe = 4, minSim = 0.99)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // every appended near-copy is now the top-1 of its source query
+    assert(after === (0L until 6L).map(id => (id, id + 1000)).toSet)
+    // centroids untouched: append is assignment, never a retrain
+    assert(spark.read.parquet(s"$path/centroids").collect().toSeq ==
+      centroidsBefore.toSeq)
+  }
+
   test("probe reads only probed cell directories (partition pruning)") {
     val path = Files.createTempDirectory("graft_ivf").toString
     Similarity.buildIvfIndex(spark, corpus, nlist = 16, path = path)
