@@ -19,7 +19,10 @@ import graft.functions.{TextFunctions => TF}
   *  - Scoring joins exploded (id, token) postings to the count table
   *    on the token hash — a shuffle join both sides of which are
   *    already partitioned by token; AQE broadcasts the count table
-  *    when it is small. Per-doc reduce is an ordinary aggregate.
+  *    when it is small (then postings never shuffle and token skew is
+  *    moot), and when vocabulary outgrows broadcast the sort-merge
+  *    fallback's hot keys ("the") are split by AQE's skew-join
+  *    handling. Per-doc reduce is an ordinary aggregate.
   *
   * p(t) = (c(t)+1) / (N+V); perplexity(doc) = exp(-mean ln p(t_i)).
   * Every count is exact integer math; only the final mean/exp are
