@@ -31,6 +31,7 @@ object Maintenance {
       from: Option[Timestamp] = None,
       to: Option[Timestamp] = None,
       toInclusive: Boolean = true): Long = lake.locked(table) {
+    replayPendingRemovals(spark, lake, table)
     val cond = Seq(
       from.map(f => col(TpSchema.Timestamp) >= lit(f)),
       to.map(t => if (toInclusive) col(TpSchema.Timestamp) <= lit(t)
@@ -62,8 +63,8 @@ object Maintenance {
     lake.overwritePartitions(spark, table, keep,
       touched = Some(perDir.toIndexedSeq.map(relDirOf)))
     // dirs whose every row matched have nothing written → remove them
-    perDir.filter(_.getAs[Long]("kept") == 0L)
-      .foreach(r => removeDir(spark, lake, table, relDirOf(r)))
+    removeDirsJournaled(spark, lake, table,
+      perDir.filter(_.getAs[Long]("kept") == 0L).toIndexedSeq.map(relDirOf))
     deleted
   }
 
@@ -77,6 +78,7 @@ object Maintenance {
   def compact(
       spark: SparkSession, lake: Lake, table: String,
       targetFileRows: Long = 5000000): (Long, Long) = lake.locked(table) {
+    replayPendingRemovals(spark, lake, table)
     val before = lake.dataFiles(spark, table).size.toLong
     val stats = lake.fileStats(spark, table).collect().map(r =>
       FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
@@ -140,6 +142,7 @@ object Maintenance {
     import org.apache.spark.sql.types.StringType
     val tSpecs = specs.filter(_.table == table)
     if (tSpecs.isEmpty || !lake.tableExists(spark, table)) return 0L
+    replayPendingRemovals(spark, lake, table)
     val data = lake.read(spark, table)
     val cols = data.columns.toSet
     tSpecs.foreach(s => s.tpIndexColumn.foreach { c =>
@@ -199,7 +202,7 @@ object Maintenance {
       .sortWithinPartitions(sortKey: _*)
     lake.overwritePartitions(spark, table, out,
       touched = Some((oldDirs ++ newDirs).toSeq))
-    (oldDirs -- newDirs).foreach(removeDir(spark, lake, table, _))
+    removeDirsJournaled(spark, lake, table, (oldDirs -- newDirs).toSeq)
     moved
   }
 
@@ -255,6 +258,7 @@ object Maintenance {
     require(zCols.nonEmpty, "compactZorder requires at least one column")
     require(bitsPerCol >= 1 && bitsPerCol * zCols.length <= 62,
       s"bitsPerCol=$bitsPerCol × ${zCols.length} cols must fit a long")
+    replayPendingRemovals(spark, lake, table)
     val before = lake.dataFiles(spark, table).size.toLong
     if (before == 0) return (0L, 0L)
     val data = lake.read(spark, table)
@@ -356,6 +360,7 @@ object Maintenance {
     */
   def vacuum(spark: SparkSession, lake: Lake, table: String): Unit =
     lake.locked(table) {
+      replayPendingRemovals(spark, lake, table)
       // the lock keeps a concurrent append from writing manifest rows
       // between our snapshot and the swap (they would be destroyed)
       val live = lake.fileStats(spark, table)
@@ -488,6 +493,62 @@ object Maintenance {
     val rel = lake.relOf(table, file)
     rel.substring(0, rel.lastIndexOf('/'))
   }
+
+  /** Deferred-removal journal: a mutation whose commit point is a
+    * dynamic partition overwrite (reindex moving rows out of their old
+    * index dirs, partition delete emptying a dir) still has to DELETE
+    * directories the overwrite never touches. A crash between the
+    * committed write and those removals would otherwise leave
+    * duplicate (reindex) or undeleted (delete) rows with nothing to
+    * heal them. So: once the overwrite has committed, the removal list
+    * is journaled to `_graft_pending_removals` (atomic rename,
+    * underscore-invisible to scans) BEFORE any dir is deleted, and
+    * every mutating entry point replays a leftover journal first —
+    * the crash window shrinks from "commit → last dir removed" to the
+    * single journal-file create, and a crash mid-removal resumes
+    * instead of leaving a half-cleaned table.
+    */
+  private def pendingPath(lake: Lake, table: String): Path =
+    new Path(s"${lake.tableDir(table)}/_graft_pending_removals")
+
+  private def removeDirsJournaled(
+      spark: SparkSession, lake: Lake, table: String,
+      dirs: Seq[String]): Unit = if (dirs.nonEmpty) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = pendingPath(lake, table)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.toString + "_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+    dirs.foreach(removeDir(spark, lake, table, _))
+    fs.delete(p, false)
+  }
+
+  /** Replay a leftover removal journal (crash recovery). Returns the
+    * number of directories removed.
+    */
+  def replayPendingRemovals(
+      spark: SparkSession, lake: Lake, table: String): Long =
+    lake.locked(table) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = pendingPath(lake, table)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        val text = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+        val dirs = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        dirs.foreach(removeDir(spark, lake, table, _))
+        fs.delete(p, false)
+        dirs.size.toLong
+      }
+    }
 
   private def removeDir(
       spark: SparkSession, lake: Lake, table: String, relDir: String): Unit = {

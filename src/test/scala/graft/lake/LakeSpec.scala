@@ -557,6 +557,34 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(!lake.partitionDirs(spark, "t").exists(_.contains("tp_index=x")))
   }
 
+  test("pending-removal journal: crash between overwrite and dir removal heals on next op") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(50, "p0"))
+    lake.append(spark, "t", sampleBatch(50, "p1"))
+    val staleDirs = lake.partitionDirs(spark, "t")
+      .filter(_.startsWith("tp_partition=p1"))
+    assert(staleDirs.nonEmpty)
+    // simulate the crash window: the overwrite committed, the removal
+    // list was journaled, then the process died before any dir delete
+    val journal = new org.apache.hadoop.fs.Path(
+      s"${lake.tableDir("t")}/_graft_pending_removals")
+    val fs = journal.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(journal, true)
+    try out.write(staleDirs.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // the journal is underscore-invisible: reads still see both
+    // partitions (stale rows — exactly the state replay exists to fix)
+    assert(lake.read(spark, "t").count() == 100)
+    // any mutating entry point replays the journal before its own work
+    Maintenance.compact(spark, lake, "t")
+    assert(!fs.exists(journal), "journal must be consumed by replay")
+    assert(lake.partitionDirs(spark, "t")
+      .forall(_.startsWith("tp_partition=p0")))
+    assert(lake.read(spark, "t").count() == 50)
+    // idempotent: no journal → replay is a zero-cost no-op
+    assert(Maintenance.replayPendingRemovals(spark, lake, "t") == 0L)
+  }
+
   test("restore without a backup is a clean error; backup of no manifest is None") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(5))
