@@ -42,6 +42,23 @@ object BpeMerges {
   val Eow = "</w>"
 
   def apply(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val t = train(df, textCol, rounds)
+    val merges = t.merges
+    t.release()
+    merges
+  }
+
+  /** Merge table plus the trained word vocabulary (`w`,
+    * separator-joined `seq` after all merges, corpus `freq`) — what
+    * [[BpeEncode]] joins the corpus against. Vocabulary-sized, like
+    * the merges; `vocab` is persisted, call [[Trained.release]] when
+    * done with it.
+    */
+  final case class Trained(merges: DataFrame, vocab: DataFrame) {
+    def release(): Unit = { vocab.unpersist(); () }
+  }
+
+  def train(df: DataFrame, textCol: String, rounds: Int): Trained = {
     require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
     // corpus pass: word frequencies, then char symbols + </w>
@@ -49,7 +66,7 @@ object BpeMerges {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(SS),
+      .select(col("w"), concat(lit(SS),
         concat_ws(SS, concat(split(col("w"), ""), array(lit(Eow)))),
         lit(SS)).as("seq"), col("freq"))
       .persist()
@@ -82,13 +99,21 @@ object BpeMerges {
         vocab = next
       }
     }
-    vocab.unpersist()
-    spark.createDataFrame(
+    // the final vocab stays persisted — Trained.vocab is what encode
+    // joins against; callers done with it unpersist via its .unpersist()
+    val mergesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(merges.result(), 1),
       StructType(Seq(
         StructField("merge_rank", IntegerType, nullable = false),
         StructField("lhs", StringType, nullable = false),
         StructField("rhs", StringType, nullable = false),
         StructField("freq", LongType, nullable = false))))
+    Trained(mergesDf, vocab)
   }
+
+  /** Symbols of a trained `seq` as an array column (separator split,
+    * empties dropped) — the token sequence of that word.
+    */
+  def symbols(seq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(seq, SS), x => x =!= "")
 }

@@ -387,6 +387,20 @@ object TextQueries {
         .orderBy("merge_rank")
     }),
 
+    // BPE corpus encoding: apply qt32's trained merges back to the
+    // corpus for per-document token counts — the tokenize step between
+    // quality filtering and sequence packing. Greedy merge application
+    // runs once per DISTINCT word (the trained vocabulary already
+    // carries every merge applied); the corpus side only explodes to
+    // (doc, word) and joins the vocabulary-sized lookup. The oracle
+    // replays the 3 merge rounds on the vocabulary exactly like qt32,
+    // then reproduces the join + roll-up.
+    "qt35_bpe_encode" -> ((s, dir) => {
+      graft.operators.BpeEncode(docs(s, dir), "doc_id", "text",
+          rounds = 3)
+        .orderBy("doc_id")
+    }),
+
     // C4 + Gopher quality rule pack: every published web-corpus gate
     // as a named column with its published threshold, plus the papers'
     // keep conjunctions — one codegen'd projection over the scan. The
@@ -930,6 +944,66 @@ object TextQueries {
             UNION ALL
             SELECT 3, l, r, n FROM t3)
       ORDER BY merge_rank""",
+    "qt35_bpe_encode" -> """
+      WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents)
+        WHERE w <> '' GROUP BY w),
+      v0 AS (SELECT w, chr(1) || chr(1) || array_to_string(
+               list_append(string_split(w, ''), '</w>'),
+               chr(1) || chr(1)) || chr(1) || chr(1) AS seq, freq
+             FROM words),
+      p1 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v0))
+             GROUP BY 1, 2),
+      t1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+      v1 AS (SELECT w, replace(seq,
+               chr(1) || t1.l || chr(1) || chr(1) || t1.r || chr(1),
+               chr(1) || t1.l || t1.r || chr(1)) AS seq, freq
+             FROM v0, t1),
+      p2 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v1))
+             GROUP BY 1, 2),
+      t2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+      v2 AS (SELECT w, replace(seq,
+               chr(1) || t2.l || chr(1) || chr(1) || t2.r || chr(1),
+               chr(1) || t2.l || t2.r || chr(1)) AS seq, freq
+             FROM v1, t2),
+      p3 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v2))
+             GROUP BY 1, 2),
+      t3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1),
+      v3 AS (SELECT w, replace(seq,
+               chr(1) || t3.l || chr(1) || chr(1) || t3.r || chr(1),
+               chr(1) || t3.l || t3.r || chr(1)) AS seq
+             FROM v2, t3),
+      tok AS (SELECT w, len(list_filter(
+                string_split(seq, chr(1) || chr(1)),
+                x -> x <> '')) AS n_tok FROM v3),
+      dw AS (SELECT doc_id, w FROM (
+               SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS w
+               FROM documents)
+             WHERE w <> '')
+      SELECT doc_id,
+             cast(count(*) AS bigint) AS n_words,
+             cast(sum(n_tok) AS bigint) AS n_tokens
+      FROM dw JOIN tok USING (w)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
     "qt31_quality_rules" -> """
       WITH w AS (SELECT doc_id, text,
                string_split_regex(trim(text), '\s+') AS words,
