@@ -118,4 +118,36 @@ object DistributedRank {
       .withColumn("tile", (floor(tile) + 1).cast("int"))
       .drop("__rn")
   }
+
+  /** Exact SQL `ntile(n) OVER (PARTITION BY groupCols ORDER BY
+    * sortCols)` with neither a single-partition stage NOR a per-group
+    * task: one global range-partitioned rank over
+    * (groupCols ++ sortCols), then each group's local rank and size
+    * derived from a group-stats aggregate joined back (AQE broadcasts
+    * it when the group count is small; any group cardinality works —
+    * nothing is collected). A hot group still never lands in one task:
+    * its rows stay spread across the range partitions they fell into.
+    *
+    * `sortCols` must totally order rows WITHIN a group (include a
+    * tiebreaker). Adds column `tile` (int).
+    */
+  def ntileBy(
+      df: DataFrame, n: Int, groupCols: Seq[String], sortCols: Seq[Column],
+      numPartitions: Int = SessionDefault): DataFrame = {
+    require(n >= 1, s"ntileBy: n must be >= 1, got $n")
+    val ranked = withGlobalRowNumber(
+      df, groupCols.map(col) ++ sortCols, numPartitions)
+    val stats = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min("__rn").as("__first"), count(lit(1)).as("__gn"))
+    val lr = col("__rn") - col("__first") + 1 // 1-based rank in group
+    val q = floor(col("__gn") / n)            // base tile size
+    val r = col("__gn") % n                   // tiles one row larger
+    val cut = r * (q + 1)                     // rows in the larger tiles
+    val tile = when(col("__gn") < n, lr)      // fewer rows than tiles
+      .otherwise(when(lr <= cut, floor((lr - 1) / (q + 1)))
+        .otherwise(r + floor((lr - cut - 1) / q)) + 1)
+    ranked.join(stats, groupCols)
+      .withColumn("tile", tile.cast("int"))
+      .drop("__rn", "__first", "__gn")
+  }
 }

@@ -51,4 +51,33 @@ object Perplexity {
         col("n_tokens"),
         round(exp(-col("__mlp")), 4).as("ppl"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): within
+    * each language, rank documents by LM perplexity and cut into exact
+    * terciles — "head" is the most corpus-like third, "tail" the
+    * noisiest, and pre-training recipes sample the buckets at different
+    * rates. The tercile is per-language because perplexity scales are
+    * not comparable across languages.
+    *
+    * The grouped ntile is [[DistributedRank.ntileBy]] — one global
+    * range-partitioned rank, no per-language task (a window
+    * `partitionBy(lang)` would put an entire language's corpus, i.e.
+    * most of 100 TB for English, into one task). Ties rank by id so
+    * the split is deterministic.
+    *
+    * @return (idCol, langCol, ppl, bucket) — bucket in
+    *         {head, middle, tail}
+    */
+  def buckets(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val ppl = apply(df, idCol, textCol).select(col(idCol), col("ppl"))
+    val withLang = ppl.join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    DistributedRank.ntileBy(withLang, 3, Seq(langCol),
+        Seq(col("ppl"), col(idCol)))
+      .withColumn("bucket",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle").otherwise("tail"))
+      .select(col(idCol), col(langCol), col("ppl"), col("bucket"))
+  }
 }

@@ -59,6 +59,53 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** kNN majority-vote label classification — propagate labels from a
+    * curated seed set to unlabeled documents by embedding similarity
+    * (the scalable stand-in for a trained quality/topic classifier:
+    * label a small seed set by hand, classify the corpus by its
+    * neighbors). Beyond-reference.
+    *
+    * Votes are integer counts over the exact top-k neighbor set, so
+    * the operator is oracle-exact end-to-end: the neighbor set is
+    * deterministic (4dp-rounded sim, id tiebreak — [[bruteForceKnn]]'s
+    * contract) and the argmax breaks ties toward the smallest label.
+    *
+    * This brute-force form scores |Q|·|C| pairs — right when the
+    * UNLABELED side is the small one (classifying a sample, auditing a
+    * split). To classify an entire corpus against a large seed set,
+    * generate the neighbor lists with an index probe instead
+    * ([[probeIvfIndex]] over the seeds) and feed them to
+    * [[majorityVote]] — the vote aggregation is candidate-source-
+    * agnostic.
+    *
+    * @param queries    (qid, qvec) — rows to classify
+    * @param candidates (cid, cvec, labelCol) — labeled seed set
+    * @return (qid, pred_label, n_votes) — n_votes of the k neighbors
+    *         carried the winning label
+    */
+  def knnClassify(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val knn = bruteForceKnn(
+      queries, candidates.select(col("cid"), col("cvec")), k)
+    majorityVote(
+      knn.join(candidates.select(col("cid"), col(labelCol)), Seq("cid")),
+      labelCol)
+  }
+
+  /** Per-query majority label over `(qid, labelCol)` neighbor rows,
+    * ties toward the smallest label. One map-side-combined aggregate +
+    * a per-query argmax (k-bounded groups — never a hot partition).
+    */
+  def majorityVote(neighbors: DataFrame, labelCol: String): DataFrame = {
+    val votes = neighbors.groupBy(col("qid"), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_votes").desc, col(labelCol).asc)
+    votes.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("qid"), col(labelCol).as("pred_label"), col("n_votes"))
+  }
+
   /** Deterministic pseudo-random sign for hyperplane `p`, dimension `d`:
     * +x or -x depending on one avalanche bit. Column-level (codegen'd).
     */

@@ -363,6 +363,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail split: per-language perplexity terciles
+    // via the grouped distributed ntile (DistributedRank.ntileBy — one
+    // global range-partitioned rank, never a per-language task). Ties
+    // rank by doc_id, so the exact tercile boundaries are engine-
+    // stable and the oracle replays the whole split with SQL ntile.
+    "qt36_ccnet_buckets" -> ((s, dir) => {
+      graft.operators.Perplexity.buckets(docs(s, dir), "doc_id",
+          "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES): length-weighted per-source top-10, deterministic keys
     // from md5(id) so the oracle reproduces the exact draw. The
@@ -882,6 +893,29 @@ object TextQueries {
              round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4) AS ppl
       FROM toks t JOIN c USING (tok) CROSS JOIN s
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "qt36_ccnet_buckets" -> """
+      WITH toks AS (SELECT doc_id, tok FROM (
+               SELECT doc_id, unnest(string_split_regex(
+                 regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                 '\s+')) AS tok
+               FROM documents) WHERE tok <> ''),
+      c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+      s AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+      p AS (SELECT t.doc_id,
+              round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4)
+                AS ppl
+            FROM toks t JOIN c USING (tok) CROSS JOIN s
+            GROUP BY t.doc_id),
+      j AS (SELECT d.doc_id, d.lang, p.ppl
+            FROM p JOIN documents d ON p.doc_id = d.doc_id),
+      t AS (SELECT doc_id, lang, ppl,
+              ntile(3) OVER (PARTITION BY lang
+                ORDER BY ppl, doc_id) AS tl
+            FROM j)
+      SELECT doc_id, lang, ppl,
+             CASE tl WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+      FROM t ORDER BY doc_id""",
     "qt33_weighted_sample" -> """
       WITH w AS (SELECT doc_id, source, n_chars,
                pow(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT

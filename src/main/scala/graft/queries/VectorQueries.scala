@@ -235,6 +235,23 @@ object VectorQueries {
         .orderBy("qid", "rank")
     }),
 
+    // kNN label classification: every 5th vector plays "unlabeled" and
+    // takes the majority label of its 5 nearest labeled neighbors
+    // (Similarity.knnClassify) — the curated-seed label-propagation
+    // step of a corpus-quality pipeline. Votes are integer counts over
+    // the deterministic exact neighbor set (4dp sim, id tiebreak), so
+    // the oracle replays the whole classification exactly.
+    "qe13_knn_classify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("label"))
+      Similarity.knnClassify(q, c, k = 5)
+        .orderBy("qid")
+    }),
+
     // Per-label embedding statistics (norms, first-component mean).
     "qe04_embedding_stats" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -250,6 +267,29 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "qe13_knn_classify" -> """
+      WITH q AS (SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id % 5 = 0),
+      c AS (SELECT vec_id AS cid, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id % 5 <> 0),
+      s AS (SELECT qid, cid, label,
+              round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q, c WHERE qid <> cid),
+      r AS (SELECT qid, cid, label,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS rank
+            FROM s),
+      v AS (SELECT qid, label, count(*) AS n_votes
+            FROM r WHERE rank <= 5 GROUP BY qid, label),
+      p AS (SELECT qid, label, n_votes,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY n_votes DESC, label) AS pr
+            FROM v)
+      SELECT qid, cast(label AS int) AS pred_label,
+             cast(n_votes AS bigint) AS n_votes
+      FROM p WHERE pr = 1 ORDER BY qid""",
     "qe01_knn_brute" -> """
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -10,9 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * BroadcastNestedLoopJoin with a literal-sized build side — allowed;
   * the three 1-row crossJoins are the accepted pattern).
   *
-  * qe01 (brute-force kNN baseline) and qe07 (PQ-without-IVF, the
-  * documented negative control) are the two intentional full-scan
-  * shapes and are excluded.
+  * qe01 (brute-force kNN baseline), qe07 (PQ-without-IVF, the
+  * documented negative control) and qe13 (brute-force kNN classify —
+  * compose majorityVote with an index probe for the corpus-sized
+  * direction) are the intentional full-scan shapes and are excluded.
   */
 class PlanAuditSpec extends AnyFunSuite with SparkTest {
 
@@ -25,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt16_bloom_decontam", "qt19_passage_dedup", "qt20_unigram_freq",
     "qt21_corpus_shuffle", "qt22_chunking", "qt29_cdc_chunking",
     "qt23_mixture_sample", "qt30_substring_dedup", "qt31_quality_rules",
+    "qt34_perplexity", "qt36_ccnet_buckets",
     "qt24_heavy_hitters", "qt25_dsir_weights", "qt26_export_manifest",
     "qe02_ann_lsh", "qe03_cosine_neardup",
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",

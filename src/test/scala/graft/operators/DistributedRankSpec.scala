@@ -75,6 +75,36 @@ class DistributedRankSpec extends AnyFunSuite with SparkTest {
     assert(rows === (0 until p).map(i => i -> 10L * i).toMap)
   }
 
+  private def referenceNtileBy(
+      n: Int, rows: Seq[(String, Long, Long)]): Map[Long, Int] = {
+    val df = rows.toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    df.select(col("id"), ntile(n).over(w).as("tile"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("ntileBy matches per-group reference ntile, uneven groups") {
+    val rng = new scala.util.Random(11)
+    // group sizes 103 / 40 / 3 / 1 — uneven division, rows < tiles,
+    // singleton group, all in one call
+    val rows = (1L to 103L).map(i => ("a", rng.nextInt(9).toLong, i)) ++
+      (104L to 143L).map(i => ("b", rng.nextInt(9).toLong, i)) ++
+      (144L to 146L).map(i => ("c", 0L, i)) ++
+      Seq(("d", 5L, 147L))
+    val got = DistributedRank.ntileBy(
+        rows.toDF("g", "v", "id").repartition(7), 4,
+        Seq("g"), Seq(col("v"), col("id")), numPartitions = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("tile")).toMap
+    assert(got === referenceNtileBy(4, rows))
+  }
+
+  test("ntileBy keeps input columns and adds only tile") {
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L))
+    val out = DistributedRank.ntileBy(rows.toDF("g", "v", "id"), 2,
+      Seq("g"), Seq(col("v"), col("id")))
+    assert(out.columns.sorted.toSeq === Seq("g", "id", "tile", "v"))
+  }
+
   test("global row number is a permutation of 1..N in sort order") {
     val rng = new scala.util.Random(7)
     val rows = (1L to 200L).map(i => (rng.nextInt(50).toLong, i))

@@ -32,4 +32,36 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
       "id", "text")
     assert(e.count() == 1)
   }
+
+  test("ccnet buckets: per-language exact terciles of perplexity rank") {
+    // lang en: 7 docs (tercile sizes 3/2/2), lang fr: 2 docs (fewer
+    // rows than tiles -> ranks become tiles: head, middle)
+    val en = Seq(
+      "the the the", "the the cat", "the cat cat", "cat cat cat",
+      "cat dog dog", "dog dog dog", "qqq zzz www")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+    val fr = Seq((100L, "le le le", "fr"), (101L, "xyz abc def", "fr"))
+    val df = (en ++ fr).toDF("doc_id", "text", "lang")
+    val got = Perplexity.buckets(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("bucket")).toMap
+    // reference: rank each lang by (ppl, doc_id), SQL ntile(3)
+    val ppl = Perplexity(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("ppl")).toMap
+    def expect(ids: Seq[Long]): Map[Long, String] = {
+      val ordered = ids.sortBy(id => (ppl(id), id))
+      val n = ordered.size
+      val (q, r) = (n / 3, n % 3)
+      ordered.zipWithIndex.map { case (id, i0) =>
+        val tile =
+          if (q == 0) i0 + 1
+          else if (i0 < r * (q + 1)) i0 / (q + 1) + 1
+          else r + (i0 - r * (q + 1)) / q + 1
+        id -> Seq("head", "middle", "tail")(tile - 1)
+      }.toMap
+    }
+    assert(got === expect(en.map(_._1)) ++ expect(fr.map(_._1)))
+    assert(got(100L) == "head" && got(101L) == "middle")
+  }
 }
