@@ -106,6 +106,44 @@ object Similarity {
       .select(col("qid"), col(labelCol).as("pred_label"), col("n_votes"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with [[KMeans]], score
+    * pairwise cosine WITHIN each cluster only, and keep one
+    * representative per near-duplicate group. Beyond-reference.
+    *
+    * Clustering is what makes semantic dedup subquadratic: candidate
+    * pairs are confined to cells (expected |N|²/k work instead of
+    * |N|²), the exact trade the paper makes. The plan shape follows
+    * the LSH dedup path: cells → [[BucketCap.cappedPairs]] (bounded
+    * per-bucket state, id-only pair shuffle) → vectors re-attached by
+    * id for the exact cosine gate.
+    *
+    * Divergence from the paper, documented: the survivor of a
+    * duplicate group is the SMALLEST id (deterministic, oracle-exact),
+    * not the example farthest from the cluster centroid — a row is
+    * dropped iff some smaller-id vector in its cell has cosine ≥ tau
+    * with it. Like the paper, pairs straddling a cell boundary are
+    * invisible (that is the approximation being bought).
+    *
+    * @return one row per input vector: (idCol, cell, keep)
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      tau: Double, maxBucket: Long = 1000): DataFrame = {
+    val cells = KMeans.assign(df, idCol, vecCol, k, iters)
+    val pairs = BucketCap.cappedPairs(
+      cells.select(col("cell"), col(idCol)), maxBucket, idCol, "cell")
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__vv"))
+    val dropped = pairs
+      .join(vecs.select(col("__vid").as("id_a"), col("__vv").as("__va")), Seq("id_a"))
+      .join(vecs.select(col("__vid").as("id_b"), col("__vv").as("__vb")), Seq("id_b"))
+      .where(round(cosine(col("__va"), col("__vb")), 4) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    cells.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__dropped").isNull.as("keep"))
+  }
+
   /** Deterministic pseudo-random sign for hyperplane `p`, dimension `d`:
     * +x or -x depending on one avalanche bit. Column-level (codegen'd).
     */

@@ -252,6 +252,38 @@ object VectorQueries {
         .orderBy("qid")
     }),
 
+    // Distributed k-means (Lloyd): 2 unrolled iterations, k=8,
+    // md5-ordered init, integer-quantized vectors with rational
+    // (sum, count) centroids — every dot product an exact integer, so
+    // the iterative float algorithm is engine-deterministic and the
+    // oracle replays both iterations in SQL (KMeans scaladoc).
+    "qe14_kmeans" -> ((s, dir) => {
+      graft.operators.KMeans.assign(emb(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup semantic dedup over the planted-noisy-copy corpus:
+    // k-means cells confine the pairwise cosine to within-cluster
+    // pairs; copies (sim >= 0.99 to their original, natural max ~0.51)
+    // are dropped in favor of the smallest id. The oracle replays the
+    // clustering AND the pair logic, so the check is exact even for
+    // copies that land across a cell boundary (both engines then
+    // agree the pair is invisible — the paper's approximation).
+    "qe15_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val noisy = e.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.01) * ((i % 5) - 2))).as("embedding"))
+      val corpus = e.unionByName(noisy)
+      Similarity.semDedup(corpus, "vec_id", "embedding",
+          k = 8, iters = 2, tau = 0.99)
+        .orderBy("vec_id")
+    }),
+
     // Per-label embedding statistics (norms, first-component mean).
     "qe04_embedding_stats" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -267,6 +299,124 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "qe15_semdedup" -> """
+      WITH e0 AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+             FROM embeddings),
+      noisy AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list(x * (1.0 + 0.01 * (((i - 1) % 5) - 2)) ORDER BY i) AS dv
+        FROM (SELECT vec_id, unnest(dv) AS x,
+                generate_subscripts(dv, 1) AS i
+              FROM e0 WHERE vec_id < 10)
+        GROUP BY vec_id),
+      corpus AS (SELECT * FROM e0 UNION ALL SELECT * FROM noisy),
+      e AS (SELECT vec_id, dv,
+              list_transform(dv,
+                x -> CAST(round(x * 100) AS BIGINT)) AS v
+            FROM corpus),
+      init AS (SELECT v,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) - 1 AS cell
+               FROM e
+               QUALIFY cell < 8),
+      c0 AS (SELECT cell, v AS s, CAST(1 AS BIGINT) AS n,
+               list_inner_product(
+                 list_transform(v, x -> CAST(x AS DOUBLE)),
+                 list_transform(v, x -> CAST(x AS DOUBLE))) AS ss
+             FROM init),
+      a1 AS (SELECT vec_id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (SELECT cell, pos, sum(x) AS sx, count(*) AS cnt
+             FROM (SELECT cell, unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS pos
+                   FROM a1)
+             GROUP BY cell, pos),
+      c1 AS (SELECT cell, s, n,
+               list_inner_product(
+                 list_transform(s, x -> CAST(x AS DOUBLE)),
+                 list_transform(s, x -> CAST(x AS DOUBLE))) AS ss
+             FROM (SELECT cell, list(sx ORDER BY pos) AS s,
+                     max(cnt) AS n
+                   FROM s1 GROUP BY cell)),
+      a2 AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      dropped AS (SELECT DISTINCT b.vec_id
+                  FROM a2 a JOIN a2 b ON a.cell = b.cell
+                    AND a.vec_id < b.vec_id
+                  JOIN e ea ON ea.vec_id = a.vec_id
+                  JOIN e eb ON eb.vec_id = b.vec_id
+                  WHERE round(list_cosine_similarity(ea.dv, eb.dv), 4)
+                    >= 0.99)
+      SELECT a2.vec_id, CAST(a2.cell AS INT) AS cell,
+             (d.vec_id IS NULL) AS keep
+      FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
+      ORDER BY a2.vec_id""",
+    "qe14_kmeans" -> """
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+             FROM embeddings),
+      init AS (SELECT v,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) - 1 AS cell
+               FROM e
+               QUALIFY cell < 8),
+      c0 AS (SELECT cell, v AS s, CAST(1 AS BIGINT) AS n,
+               list_inner_product(
+                 list_transform(v, x -> CAST(x AS DOUBLE)),
+                 list_transform(v, x -> CAST(x AS DOUBLE))) AS ss
+             FROM init),
+      a1 AS (SELECT vec_id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (SELECT cell, pos, sum(x) AS sx, count(*) AS cnt
+             FROM (SELECT cell, unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS pos
+                   FROM a1)
+             GROUP BY cell, pos),
+      c1 AS (SELECT cell, s, n,
+               list_inner_product(
+                 list_transform(s, x -> CAST(x AS DOUBLE)),
+                 list_transform(s, x -> CAST(x AS DOUBLE))) AS ss
+             FROM (SELECT cell, list(sx ORDER BY pos) AS s,
+                     max(cnt) AS n
+                   FROM s1 GROUP BY cell)),
+      a2 AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1)
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM a2
+      ORDER BY vec_id""",
     "qe13_knn_classify" -> """
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

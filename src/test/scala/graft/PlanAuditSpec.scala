@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt24_heavy_hitters", "qt25_dsir_weights", "qt26_export_manifest",
     "qe02_ann_lsh", "qe03_cosine_neardup",
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
-    "qe11_mips", "qe12_ivf_index")
+    "qe11_mips", "qe12_ivf_index", "qe14_kmeans", "qe15_semdedup")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {

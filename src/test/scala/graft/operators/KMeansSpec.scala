@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+class KMeansSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("two well-separated groups converge to two cells in 2 rounds") {
+    // whatever two vectors md5-init picks as seeds, two Lloyd rounds
+    // must end with the tight groups in distinct cells (hand-traced in
+    // the scaladoc's worst case: both seeds from one group)
+    val df = Seq(
+      (1L, vec(0.0, 0)), (2L, vec(0.1, 0)),
+      (3L, vec(5.0, 0)), (4L, vec(5.1, 0))).toDF("id", "v")
+    val got = KMeans.assign(df, "id", "v", k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    assert(got(1L) == got(2L))
+    assert(got(3L) == got(4L))
+    assert(got(1L) != got(3L))
+  }
+
+  test("quantization rounds symmetrically for negative values") {
+    val df = Seq((1L, vec(0.016, -0.016, 0.0149))).toDF("id", "v")
+    val q = df.select(KMeans.quantize(col("v"), 100).as("q"))
+      .head().getSeq[Long](0)
+    assert(q == Seq(2L, -2L, 1L))
+  }
+
+  test("k larger than distinct rows still assigns every row") {
+    val df = Seq((1L, vec(1, 0)), (2L, vec(0, 1))).toDF("id", "v")
+    val got = KMeans.assign(df, "id", "v", k = 2, iters = 1)
+    assert(got.count() == 2)
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
