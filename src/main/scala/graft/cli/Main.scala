@@ -67,7 +67,8 @@ object Main {
     */
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
-      "backup", "restore", "reindex", "force", "progress", "rules", "ppl")
+      "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
+      "buckets")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -198,7 +199,7 @@ object Main {
       |          [--mode exact|normalized|near|substring] [--threshold J]
       |          [--k TOKENS]
       |profile:  graft profile <table> --text-column COL [--top K]
-      |          [--rules] [--ppl] [--bpe N]
+      |          [--rules] [--ppl] [--bpe N] [--buckets]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
@@ -426,6 +427,26 @@ object Main {
     opts.flag("bpe").map(_.toInt).foreach { rounds =>
       out.println(graft.query.Render.table(
         graft.operators.BpeMerges(df.select(textCol), textCol, rounds)))
+    }
+    // --buckets: CCNet head/middle/tail — per-language perplexity
+    // terciles with doc counts and ppl ranges (what a curation run
+    // samples at different rates)
+    if (opts.flag("buckets").contains("true")) {
+      // NOT "__pid" like the other branches: DistributedRank (under
+      // Perplexity.buckets) reserves that name and fails loudly on it
+      val withId = df.withColumn("__did", monotonically_increasing_id())
+        .withColumn("__lang", TF.langId(t))
+      val b = graft.operators.Perplexity
+        .buckets(withId, "__did", textCol, "__lang")
+      val summary = b
+        .groupBy(col("__lang").as("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("ppl"), 2).as("ppl_min"),
+          round(max("ppl"), 2).as("ppl_max"))
+        .orderBy(col("lang"),
+          when(col("bucket") === "head", 1)
+            .when(col("bucket") === "middle", 2).otherwise(3))
+      out.println(graft.query.Render.table(summary))
     }
     // --rules: per-gate pass rates of the C4/Gopher rule pack —
     // what fraction of the corpus each published filter would keep

@@ -77,6 +77,12 @@ object DistributedRank {
   private def rankedWithTotal(
       df: DataFrame, sortCols: Seq[Column],
       requestedPartitions: Int): (DataFrame, Long) = {
+    // loud failure instead of silently overwriting-then-dropping a
+    // caller column that collides with the internal working names
+    for (reserved <- Seq("__pid", "__off"))
+      require(!df.columns.contains(reserved),
+        s"DistributedRank: input already has a '$reserved' column — " +
+          "rename it before ranking")
     val numPartitions = resolvePartitions(df, requestedPartitions)
     // localCheckpoint (eager) pins the partitioning — the count pass and
     // the rank pass must see identical pids, and repartitionByRange

@@ -474,6 +474,13 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(deep.linesIterator.exists(l =>
       l.contains("| 1 ") && l.contains("| e ") && l.contains("| </w> ")),
       deep)
+    // profile --buckets: per-language CCNet terciles — 4 en docs split
+    // head/middle/tail with 2/1/1 (ntile remainder to the head)
+    val (rc9, buck) = cli(dir, "profile", "notes",
+      "--text-column", "note", "--buckets")
+    assert(rc9 == 0, buck)
+    assert(buck.contains("bucket") && buck.contains("head"), buck)
+    assert(buck.contains("middle") && buck.contains("tail"), buck)
     // retention: age out the first two notes (before 10:02), keep two
     val (rc5, ret) = cli(dir, "retention", "notes",
       "--older-than", "2024-05-01T10:02:00")
