@@ -363,6 +363,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Topic cells over hashed document vectors: feature-hashed
+    // bag-of-tokens (TextVectors.hashed, md5-bucket counts — exact
+    // integers) fed to distributed k-means — the embedding-free
+    // corpus-clustering chain. The oracle rebuilds the vectors and
+    // replays both Lloyd rounds in SQL.
+    "qt37_topic_cells" -> ((s, dir) => {
+      val v = graft.operators.TextVectors.hashed(docs(s, dir),
+        "doc_id", "text", dim = 64)
+      graft.operators.KMeans.assign(v, "doc_id", "vector",
+          k = 8, iters = 2, scale = 1)
+        .orderBy("doc_id")
+    }),
+
     // CCNet head/middle/tail split: per-language perplexity terciles
     // via the grouped distributed ntile (DistributedRank.ntileBy — one
     // global range-partitioned rank, never a per-language task). Ties
@@ -893,6 +906,67 @@ object TextQueries {
              round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4) AS ppl
       FROM toks t JOIN c USING (tok) CROSS JOIN s
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "qt37_topic_cells" -> """
+      WITH toks AS (SELECT doc_id, tok FROM (
+               SELECT doc_id, unnest(string_split_regex(
+                 regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                 '\s+')) AS tok
+               FROM documents) WHERE tok <> ''),
+      b AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT)
+                AS bk,
+              count(*) AS c
+            FROM toks GROUP BY doc_id, bk),
+      e AS (SELECT doc_id AS vec_id, list(coalesce(c, 0) ORDER BY pos) AS v
+            FROM (SELECT d.doc_id, p.pos, b.c
+                  FROM (SELECT DISTINCT doc_id FROM toks) d
+                  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+                  LEFT JOIN b ON b.doc_id = d.doc_id AND b.bk = p.pos)
+            GROUP BY doc_id),
+      init AS (SELECT v,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) - 1 AS cell
+               FROM e
+               QUALIFY cell < 8),
+      c0 AS (SELECT cell, v AS s, CAST(1 AS BIGINT) AS n,
+               list_inner_product(
+                 list_transform(v, x -> CAST(x AS DOUBLE)),
+                 list_transform(v, x -> CAST(x AS DOUBLE))) AS ss
+             FROM init),
+      a1 AS (SELECT vec_id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (SELECT cell, pos, sum(x) AS sx, count(*) AS cnt
+             FROM (SELECT cell, unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS pos
+                   FROM a1)
+             GROUP BY cell, pos),
+      c1 AS (SELECT cell, s, n,
+               list_inner_product(
+                 list_transform(s, x -> CAST(x AS DOUBLE)),
+                 list_transform(s, x -> CAST(x AS DOUBLE))) AS ss
+             FROM (SELECT cell, list(sx ORDER BY pos) AS s,
+                     max(cnt) AS n
+                   FROM s1 GROUP BY cell)),
+      a2 AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1)
+      SELECT vec_id AS doc_id, CAST(cell AS INT) AS cell FROM a2
+      ORDER BY doc_id""",
     "qt36_ccnet_buckets" -> """
       WITH toks AS (SELECT doc_id, tok FROM (
                SELECT doc_id, unnest(string_split_regex(

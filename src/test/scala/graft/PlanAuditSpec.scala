@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt16_bloom_decontam", "qt19_passage_dedup", "qt20_unigram_freq",
     "qt21_corpus_shuffle", "qt22_chunking", "qt29_cdc_chunking",
     "qt23_mixture_sample", "qt30_substring_dedup", "qt31_quality_rules",
-    "qt34_perplexity", "qt36_ccnet_buckets",
+    "qt34_perplexity", "qt36_ccnet_buckets", "qt37_topic_cells",
     "qt24_heavy_hitters", "qt25_dsir_weights", "qt26_export_manifest",
     "qe02_ann_lsh", "qe03_cosine_neardup",
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
