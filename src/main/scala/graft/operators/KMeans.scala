@@ -83,8 +83,17 @@ object KMeans {
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, scale: Int = 100): DataFrame = {
     require(k >= 1 && iters >= 1, s"kmeans: bad k=$k / iters=$iters")
+    // localCheckpoint (eager): init, every iteration's aggregate, and
+    // the caller's materialization all replay this projection — without
+    // it the upstream pipeline (a parquet scan, or a whole
+    // TextVectors.hashed shuffle) re-executes 2 + iters times (the r8
+    // bench measured qt37 at 12.8 s for exactly that; 4.5 s after).
+    // Caching the quantized training set is the standard k-means trade
+    // (MLlib does the same); unlike persist() the checkpoint blocks are
+    // reclaimed by the ContextCleaner once the result is dropped.
     val q = df.select(col(idCol).as("__id"),
       quantize(col(vecCol), scale).as("__qv"))
+      .localCheckpoint()
 
     // init: the k smallest md5(id) vectors, cell = md5 order. k rows
     // collected — metadata-sized, like every centroid exchange below.

@@ -31,8 +31,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product of two float-array columns — the
+    * codegen'd [[graft.functions.VectorFns]] expression (registered on
+    * the thread's active session; every caller here runs inside one).
+    * Bit-identical to the HOF formulation [[dotHof]], which VectorFnsSpec
+    * pins; the expression form keeps |Q|·|C|-pair scoring inside
+    * WholeStageCodegen instead of interpreted lambda calls per element.
+    */
   def dotD(a: Column, b: Column): Column =
+    graft.functions.VectorFns.dotCol(SparkSession.active, a, b)
+
+  /** The original higher-order-function formulation, kept as the
+    * bit-compatibility reference for the codegen'd expression.
+    */
+  private[operators] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -49,11 +61,18 @@ object Similarity {
   def bruteForceKnn(
       queries: DataFrame, candidates: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val joined = candidates.crossJoin(broadcast(queries))
+    // hoist the norms: computed once per ROW before the join, not per
+    // PAIR after it (same expression, bit-identical sim — but one
+    // higher-order aggregate per pair instead of three; HOFs evaluate
+    // interpreted, so this is 3× the scoring cost at |Q|·|C| pairs)
+    val q = queries.withColumn("__qn", norm(col("qvec")))
+    val c = candidates.withColumn("__cn", norm(col("cvec")))
+    val joined = c.crossJoin(broadcast(q))
     val scored = joined
       .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 4).as("sim"))
+        round(dotD(col("qvec"), col("cvec"))
+          / (col("__qn") * col("__cn")), 4).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
