@@ -67,8 +67,7 @@ object Main {
     */
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
-      "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
-      "buckets")
+      "backup", "restore", "reindex", "force", "progress", "rules", "ppl")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -173,6 +172,7 @@ object Main {
         case Some("profile")   => profileCmd(spark, lake, opts, out)
         case Some("retention") => retentionCmd(spark, lake, opts, out)
         case Some("vacuum")    => vacuumCmd(spark, lake, opts, out)
+        case Some("curate")    => curateCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -190,7 +190,7 @@ object Main {
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
       |          format plugin import export dedup profile retention
-      |          vacuum
+      |          vacuum curate
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
@@ -200,6 +200,10 @@ object Main {
       |          [--k TOKENS]
       |profile:  graft profile <table> --text-column COL [--top K]
       |          [--rules] [--ppl] [--bpe N] [--buckets]
+      |curate:   graft curate <table> <out-dir> --id-column COL
+      |          --text-column COL [--gates gopher|c4|both|none]
+      |          [--dedup exact|normalized|near|none] [--threshold J]
+      |          [--buckets head,middle,tail]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
@@ -285,6 +289,104 @@ object Main {
     }
     out.println(s"Exported $table to $outDir ($shards shards)")
     out.println(graft.query.Render.table(manifest))
+  }
+
+  /** `curate <table> <out-dir> --id-column --text-column [--gates]
+    * [--dedup] [--threshold] [--buckets]` — the one-command
+    * training-data funnel: published quality gates (C4/Gopher) →
+    * content dedup (exact / normalized / sketch-verified near) →
+    * CCNet perplexity-tercile selection → curated parquet, with a
+    * per-stage rows-in → rows-out report. Every stage is the same
+    * oracle-gated operator the query surface pins (QualityRules qt31,
+    * Dedup qt04/qt05/qt07+qt18, Perplexity.buckets qt36) — the CLI
+    * only composes them. Beyond-reference.
+    *
+    * Each surviving set is localCheckpoint'ed at the stage boundary:
+    * the report needs a count per stage anyway, and without it stage
+    * N+1's lineage would replay stages 1..N (and the final write all
+    * of them) — the funnel is materialize-as-you-go by design.
+    */
+  private def curateCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{Components, Dedup, Perplexity}
+    val table = opts.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "curate requires <table> <out-dir> arguments"))
+    val outDir = opts.positional.lift(1).getOrElse(
+      throw new IllegalArgumentException(
+        "curate requires an <out-dir> argument"))
+    val idCol = opts.flag("id-column").getOrElse(
+      throw new IllegalArgumentException("curate requires --id-column COL"))
+    val textCol = opts.flag("text-column").getOrElse(
+      throw new IllegalArgumentException("curate requires --text-column COL"))
+    // "--gates", not "--rules": the profile command owns --rules as a
+    // boolean switch, and BoolFlags parsing would swallow the value
+    val rules = opts.flag("gates").getOrElse("gopher")
+    val dedupMode = opts.flag("dedup").getOrElse("exact")
+    var df = lake.read(spark, table)
+    Seq(idCol, textCol).foreach(c => require(df.columns.contains(c),
+      s"curate: column '$c' not found in $table " +
+        s"(columns: ${df.columns.mkString(", ")})"))
+    var n = df.count()
+    out.println(s"Curate $table: $n docs")
+    def stage(name: String)(
+        step: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      df = step(df).localCheckpoint()
+      val after = df.count()
+      out.println(s"  $name: $n -> $after")
+      n = after
+    }
+    if (rules != "none") stage(s"rules ($rules)") { d =>
+      val r = graft.functions.QualityRules(d, idCol, textCol)
+      val keep = rules match {
+        case "gopher" => col("keep_gopher")
+        case "c4"     => col("keep_c4")
+        case "both"   => col("keep_gopher") && col("keep_c4")
+        case other => throw new IllegalArgumentException(
+          s"curate: unknown --gates '$other' (gopher|c4|both|none)")
+      }
+      d.join(r.where(keep).select(col(idCol)), Seq(idCol), "left_semi")
+    }
+    dedupMode match {
+      case "none" =>
+      case "exact" | "normalized" => stage(s"dedup ($dedupMode)") { d =>
+        val groups = if (dedupMode == "exact") Dedup.exact(d, idCol, textCol)
+          else Dedup.normalized(d, idCol, textCol)
+        d.join(groups.select(col("keep_id").as(idCol)), Seq(idCol),
+          "left_semi")
+      }
+      case "near" => stage("dedup (near)") { d =>
+        val threshold = opts.flag("threshold").map(_.toDouble).getOrElse(0.8)
+        val cands = Dedup.minhashLshCandidates(d, idCol, textCol,
+          numHashes = 128, bands = 32, shingle = 3)
+        val verified = Dedup.exactJaccardFor(cands, d, idCol, textCol,
+            n = 3, minJaccard = threshold)
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b")
+        val dropIds = Components.connectedComponents(verified)
+          .where(col("id") =!= col("component"))
+        d.join(dropIds, d(idCol).cast("long") === dropIds("id"),
+          "left_anti")
+      }
+      case other => throw new IllegalArgumentException(
+        s"curate: unknown --dedup '$other' (exact|normalized|near|none)")
+    }
+    opts.flag("buckets").foreach { sel =>
+      val keep = sel.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      require(keep.nonEmpty && keep.subsetOf(Set("head", "middle", "tail")),
+        s"curate: --buckets must select from head,middle,tail (got '$sel')")
+      stage(s"buckets (${keep.toSeq.sorted.mkString(",")})") { d =>
+        val withLang = d.withColumn("__lang", TF.langId(col(textCol)))
+        val b = Perplexity.buckets(withLang, idCol, textCol, "__lang")
+        d.join(b.where(col("bucket").isin(keep.toSeq: _*)).select(col(idCol)),
+          Seq(idCol), "left_semi")
+      }
+    }
+    df.write.mode("overwrite").parquet(outDir)
+    out.println(s"Wrote $n docs to $outDir")
   }
 
   /** `dedup <table> --id-column --text-column [--mode] [--threshold]` —
@@ -431,7 +533,10 @@ object Main {
     // --buckets: CCNet head/middle/tail — per-language perplexity
     // terciles with doc counts and ppl ranges (what a curation run
     // samples at different rates)
-    if (opts.flag("buckets").contains("true")) {
+    // NOT a BoolFlags entry (curate's --buckets takes a value), so a
+    // bare `--buckets` parses to "true" only when nothing follows —
+    // accept anything but an explicit off
+    if (opts.flag("buckets").exists(v => v != "false" && v != "off")) {
       // NOT "__pid" like the other branches: DistributedRank (under
       // Perplexity.buckets) reserves that name and fails loudly on it
       val withId = df.withColumn("__did", monotonically_increasing_id())

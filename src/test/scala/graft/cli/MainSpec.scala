@@ -494,6 +494,76 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc6 == 1 && bad2.contains("older-than"), bad2)
   }
 
+  test("curate runs the funnel and writes survivors") {
+    val dir = Files.createTempDirectory("graft_curate_cli").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "notes").mkdirs()
+    write(new File(dir, "notes/notes.csv"),
+      """timestamp,note_id,note
+        |2024-05-01T10:00:00Z,1,the quick brown fox jumps over the lazy dog in the warm sun today
+        |2024-05-01T10:01:00Z,2,the quick brown fox jumps over the lazy dog in the warm sun today
+        |2024-05-01T10:02:00Z,3,the quick brown fox jumps over the lazy dog in the warm sun yesterday evening
+        |2024-05-01T10:03:00Z,4,completely unrelated content about spark streaming state management
+        |""".stripMargin)
+    write(new File(dir, "config/notes.tpc"),
+      s"""format "delimited" "notes" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |
+         |table "notes" {
+         |  format = format.delimited.notes
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "note_id" { type = "bigint" }
+         |  column "note" { type = "varchar" }
+         |}
+         |
+         |partition "notes" "local" {
+         |  source "file" {
+         |    format = format.delimited.notes
+         |    paths = ["${dir.getPath}/notes/"]
+         |    file_layout = "notes.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rcC, outC) = cli(dir, "collect", "notes.local")
+    assert(rcC == 0, outC)
+    // near dedup folds {1,2,3} to note 1; note 4 untouched
+    val out1 = new File(dir, "curated1").getPath
+    val (rc1, rep1) = cli(dir, "curate", "notes", out1,
+      "--id-column", "note_id", "--text-column", "note",
+      "--gates", "none", "--dedup", "near", "--threshold", "0.6")
+    assert(rc1 == 0, rep1)
+    assert(rep1.contains("Curate notes: 4 docs"), rep1)
+    assert(rep1.contains("dedup (near): 4 -> 2"), rep1)
+    assert(rep1.contains("Wrote 2 docs"), rep1)
+    val ids = spark.read.parquet(out1)
+      .select("note_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L))
+    // the Gopher gate honestly rejects the fox corpus (one stopword of
+    // the required eight, far under 50 words)
+    val (rc2, rep2) = cli(dir, "curate", "notes",
+      new File(dir, "curated2").getPath,
+      "--id-column", "note_id", "--text-column", "note",
+      "--gates", "gopher", "--dedup", "none")
+    assert(rc2 == 0, rep2)
+    assert(rep2.contains("rules (gopher): 4 -> 0"), rep2)
+    assert(rep2.contains("Wrote 0 docs"), rep2)
+    // perplexity tercile selection: head of each language survives
+    val (rc3, rep3) = cli(dir, "curate", "notes",
+      new File(dir, "curated3").getPath,
+      "--id-column", "note_id", "--text-column", "note",
+      "--gates", "none", "--dedup", "none", "--buckets", "head")
+    assert(rc3 == 0, rep3)
+    assert(rep3.contains("buckets (head):"), rep3)
+    // bad selector fails loudly
+    val (rc4, rep4) = cli(dir, "curate", "notes",
+      new File(dir, "curated4").getPath,
+      "--id-column", "note_id", "--text-column", "note",
+      "--buckets", "heads")
+    assert(rc4 == 1 && rep4.contains("head,middle,tail"), rep4)
+  }
+
   test("profile survives a table whose text values are all NULL") {
     val dir = Files.createTempDirectory("graft_profile_null").toFile
     new File(dir, "config").mkdirs()
