@@ -48,9 +48,17 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Exact integer dot product of two long-array columns, in long. */
+  /** Dot product of two long-array columns via the codegen'd
+    * [[graft.functions.VectorFns]] expression — double accumulation,
+    * which in the exact range (scaladoc above) is bit-identical to
+    * long arithmetic AND is precisely what the SQL oracle's
+    * `list_inner_product` computes, so Spark and oracle stay agreed
+    * even outside the exact range (both round the same way, where
+    * long math would silently wrap).
+    */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFns.dotCol(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   private[operators] def quantize(vec: Column, scale: Int): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
