@@ -365,6 +365,40 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Per-benchmark-document contamination report (the GPT-3 appendix-C
+    * "dirty" audit, Brown et al. 2020): for each eval document, the
+    * fraction of its DISTINCT token n-grams that occur ANYWHERE in the
+    * training corpus. [[containmentPairs]]/[[bloomDecontaminate]]
+    * answer "which corpus docs should be dropped"; this answers the
+    * complementary audit question "how compromised is each eval doc",
+    * which needs no pairing — only membership in the corpus-wide gram
+    * universe.
+    *
+    * Scale shape: the corpus side collapses to DISTINCT gram digests
+    * (map-side combine — the universe is vocabulary-like, far smaller
+    * than the corpus) before the join; the probe side shuffles only
+    * (bench_id, digest). The callers' corpus must already exclude the
+    * bench ids themselves, or every fraction is trivially 1.
+    *
+    * @return (bench_id, n_grams, n_hit, dirty_frac) per bench doc
+    */
+  def contaminationReport(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("g"))
+    val cg = corpus.select(
+        explode(array_distinct(shingleHashes(col(textCol), n))).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    bg.join(cg, Seq("g"), "left")
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .select(col("bench_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("dirty_frac"))
+  }
+
   /** Bloom-prefiltered benchmark decontamination: identical output to
     * [[containmentPairs]], but almost all corpus documents are dropped
     * by a ZERO-SHUFFLE map-side membership test before the exact

@@ -147,6 +147,23 @@ object TextQueries {
         .orderBy("corpus_id", "bench_id")
     }),
 
+    // Contamination audit (GPT-3 appx C "dirty" fraction): per eval
+    // doc, the share of its distinct 3-grams present anywhere in the
+    // training corpus. The corpus keeps planted near-copies of eval
+    // docs 25-49 (those audit fully dirty, 1.0) but NOT of 0-24,
+    // whose fractions fall to the honest template-overlap level — the
+    // split a real audit is run to find. Counts are integers over the
+    // corpus-wide distinct-gram join, so the oracle replays exactly.
+    "qt38_contamination" -> ((s, dir) => {
+      val corpus = planted(s, dir).where(col("doc_id") >= 50 &&
+        (col("doc_id") < 1000000 || col("doc_id") >= 1000025))
+      val bench = docs(s, dir).where(col("doc_id") < 50)
+        .select("doc_id", "text")
+      graft.operators.Dedup.contaminationReport(corpus, bench,
+          "doc_id", "text", n = 3)
+        .orderBy("bench_id")
+    }),
+
     // Repetition-quality metrics (Gopher-style): most-frequent-token
     // and most-frequent-bigram counts per document via the sorted-run
     // trick — everything is row-local higher-order-function work inside
@@ -790,6 +807,28 @@ object TextQueries {
       FROM inter JOIN bsizes USING (bench_id)
       WHERE inter::DOUBLE / bsz >= 0.8
       ORDER BY corpus_id, bench_id"""),
+    "qt38_contamination" -> (P + """
+      , csub AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 50
+                 AND (doc_id < 1000000 OR doc_id >= 1000025)),
+      ct AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+             FROM csub),
+      cg AS (SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS g
+             FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 2))) AS i
+                   FROM ct)),
+      bt AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+             FROM documents WHERE doc_id < 50),
+      bg AS (SELECT DISTINCT doc_id AS bench_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS g
+             FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 1, 2))) AS i
+                   FROM bt)),
+      r AS (SELECT b.bench_id, count(*) AS n_grams, count(c.g) AS n_hit
+            FROM bg b LEFT JOIN cg c ON b.g = c.g
+            GROUP BY b.bench_id)
+      SELECT bench_id, cast(n_grams AS bigint) AS n_grams,
+             cast(n_hit AS bigint) AS n_hit,
+             round(n_hit::DOUBLE / n_grams, 4) AS dirty_frac
+      FROM r ORDER BY bench_id"""),
     "qt17_repetition" -> ("""
       WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
                     FROM documents),

@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
   private val audited = Seq(
     "qt04_dedup_exact", "qt05_dedup_norm", "qt06_fingerprint",
     "qt07_minhash_lsh", "qt08_simhash", "qt09_ngram_jaccard",
-    "qt10_stratified_sample", "qt13_decontaminate", "qt14_tfidf",
+    "qt10_stratified_sample", "qt13_decontaminate", "qt38_contamination",
+    "qt14_tfidf",
     "qt16_bloom_decontam", "qt19_passage_dedup", "qt20_unigram_freq",
     "qt21_corpus_shuffle", "qt22_chunking", "qt29_cdc_chunking",
     "qt23_mixture_sample", "qt30_substring_dedup", "qt31_quality_rules",

@@ -126,4 +126,19 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet === Set((1L, 2L)))
   }
+
+  test("contamination report: dirty fraction of eval grams in corpus") {
+    // bench doc 1: 4 tokens -> 2 distinct 3-grams ("a b c", "b c d");
+    // corpus contains "a b c" (via doc 10) but never "b c d" -> 1/2.
+    // bench doc 2 shares nothing -> 0/1.
+    val corpus = Seq(
+      (10L, "x y a b c z"), (11L, "unrelated corpus content here"))
+      .toDF("id", "text")
+    val bench = Seq((1L, "a b c d"), (2L, "q r s")).toDF("id", "text")
+    val got = Dedup.contaminationReport(corpus, bench, "id", "text", n = 3)
+      .collect().map(r => (r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("dirty_frac"))).toSet
+    assert(got === Set((1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0)))
+  }
 }
