@@ -52,6 +52,52 @@ object Perplexity {
         round(exp(-col("__mlp")), 4).as("ppl"))
   }
 
+  /** Add-1 bigram LM scoring — the second-order refinement of the
+    * unigram score above: p(t_i | t_{i-1}) = (c2(t_{i-1},t_i) + 1) /
+    * (c1(t_{i-1}) + V), perplexity over a document's transitions.
+    * Bigram perplexity separates shuffled-word soup from fluent text
+    * that unigram frequency alone scores identically — the standard
+    * step up the n-gram ladder before a neural LM.
+    *
+    * Scale shape:
+    *  - Bigrams are built MAP-SIDE from each document's token array
+    *    (`zip_with(init, tail)`) — no window, no per-doc shuffle
+    *    state, unlike a lag() formulation.
+    *  - The model is bigram-vocabulary-sized: c2 = one aggregate over
+    *    transitions; c1 (context totals) is a re-aggregate OF c2, not
+    *    a second corpus pass; V is one scalar.
+    *  - Scoring is the same postings-join-model shape as the unigram
+    *    scorer: AQE broadcasts the model when small, skew-splits the
+    *    "the *" hot contexts when not.
+    *
+    * @return (idCol, n_bigrams, ppl2) one row per doc with >=2 tokens
+    */
+  def bigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      filter(TF.tokens(col(textCol)), x => x =!= "").as("__t"))
+      .where(size(col("__t")) >= 2)
+    val bg = toks.select(col("__id"),
+        explode(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("p"), b.as("c")))).as("b"))
+      .select(col("__id"), col("b.p").as("p"), col("b.c").as("c"))
+    val c2 = bg.groupBy("p", "c").agg(count(lit(1)).as("c2"))
+    val model = c2.join(c2.groupBy("p").agg(sum("c2").as("c1")), "p")
+    // V = unigram vocabulary over the scored (>=2-token) docs — one
+    // driver-side scalar, same normalizer family as the unigram LM
+    val vocab = toks.select(explode(col("__t")).as("tok"))
+      .agg(count_distinct(col("tok"))).head().getLong(0)
+    bg.join(model, Seq("p", "c"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c2") + 1).cast("double") /
+          (col("c1") + vocab).cast("double"))).as("__mlp"))
+      .select(col("__id").as(idCol),
+        col("n_bigrams"),
+        round(exp(-col("__mlp")), 4).as("ppl2"))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): within
     * each language, rank documents by LM perplexity and cut into exact
     * terciles — "head" is the most corpus-like third, "tail" the

@@ -78,6 +78,60 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Two-stage truncated-dimension rerank (the Matryoshka-embedding
+    * retrieval pattern, Kusupati et al. 2022): score ALL pairs on only
+    * the first `prefixDim` components, keep the top `m` per query,
+    * then rerank just those survivors with the exact full-dimension
+    * cosine. Beyond-reference.
+    *
+    * Scale shape: the all-pairs stage touches `prefixDim/d` of the
+    * vector bytes (at 100 TB the prefix lives as its own column /
+    * truncated copy, so the scan is proportionally smaller), and its
+    * per-pair cost shrinks by the same factor; full vectors are read
+    * for only |Q|·m survivor rows via the rejoin. Both top-k filters
+    * are `row_number <= n` over (score desc, id) — compiled to
+    * WindowGroupLimit, i.e. per-mapper partial top-k before the
+    * per-query shuffle, never a global sort. Deterministic end to end:
+    * 4dp-rounded scores, id tiebreaks, so the survivor CUT itself is
+    * reproducible by the oracle.
+    *
+    * @param queries    (qid, qvec) — small (broadcast side)
+    * @param candidates (cid, cvec) — arbitrarily large
+    * @param prefixDim  leading components scored in stage 1
+    * @param m          survivors per query fed to the exact rerank
+    */
+  def truncatedRerank(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      prefixDim: Int, m: Int, excludeSelf: Boolean = true): DataFrame = {
+    val qp = queries.select(col("qid"),
+        slice(col("qvec"), 1, prefixDim).as("__qp"))
+      .withColumn("__qpn", norm(col("__qp")))
+    val cp = candidates.select(col("cid"),
+        slice(col("cvec"), 1, prefixDim).as("__cp"))
+      .withColumn("__cpn", norm(col("__cp")))
+    val pre = cp.crossJoin(broadcast(qp))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
+      .select(col("qid"), col("cid"),
+        round(dotD(col("__qp"), col("__cp"))
+          / (col("__qpn") * col("__cpn")), 4).as("psim"))
+    val wp = Window.partitionBy("qid").orderBy(col("psim").desc, col("cid"))
+    val survivors = pre.withColumn("__pr", row_number().over(wp))
+      .where(col("__pr") <= m)
+      .select("qid", "cid")
+    // survivors are |Q|·m rows — AQE broadcasts them into the rejoin,
+    // so the full-vector read is a semi-join-pruned scan, not a shuffle
+    val q = queries.withColumn("__qn", norm(col("qvec")))
+    val c = candidates.withColumn("__cn", norm(col("cvec")))
+    val rer = survivors.join(c, "cid").join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        round(dotD(col("qvec"), col("cvec"))
+          / (col("__qn") * col("__cn")), 4).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    rer.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
   /** kNN majority-vote label classification — propagate labels from a
     * curated seed set to unlabeled documents by embedding similarity
     * (the scalable stand-in for a trained quality/topic classifier:

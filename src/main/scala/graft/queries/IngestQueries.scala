@@ -548,6 +548,40 @@ object IngestQueries {
         .orderBy("event_id")
     }),
 
+    // Bucketed co-located join (lake/Bucketing.scala): orders and
+    // customer are both written bucketed by custkey, then joined and
+    // aggregated ON that key — the whole plan runs with ZERO shuffle
+    // exchanges (PlanAuditSpec pins it). The write-once-join-free
+    // contract is what a daily 100 TB join pipeline buys with
+    // bucketing; the oracle is the plain join + group-by, so layout
+    // must not change a single value.
+    "qi17_bucketed_join" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi17"
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.lake.Bucketing.writeBucketed(s,
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        s"graft_bkt_orders_$tag", "o_custkey", buckets = 8,
+        s"$root/orders")
+      graft.lake.Bucketing.writeBucketed(s,
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        s"graft_bkt_customer_$tag", "c_custkey", buckets = 8,
+        s"$root/customer")
+      val o = s.table(s"graft_bkt_orders_$tag")
+      val c = s.table(s"graft_bkt_customer_$tag")
+      // MERGE hint: at sf0.001 the planner would broadcast the tiny
+      // customer side (adding the plan's only exchange); at the scale
+      // bucketing exists for, both sides are big and SMJ is what the
+      // planner picks anyway — pin that shape so the zero-exchange
+      // property PlanAuditSpec asserts is the one that holds at 100 TB
+      o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_custkey")
+    }),
+
     "qi12_catalog_table" -> ((s, dir) => {
       val lake = sharedLake(s, dir)
       lake.registerCatalogTable(s, "events_lake")
@@ -616,6 +650,12 @@ object IngestQueries {
         SELECT 'rows_invalid',
                count(*) FILTER (WHERE ts IS NULL OR user_id IS NULL) FROM e)
       ORDER BY metric""",
+    "qi17_bucketed_join" -> """
+      SELECT c.c_custkey, c.c_mktsegment,
+             cast(count(*) AS bigint) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2 ORDER BY c_custkey""",
     "qi03_filtered_view" -> (aggByIndex + """
       WHERE cast(ts AS timestamp) >= TIMESTAMP '2024-01-05 00:00:00'
         AND cast(ts AS timestamp) <= TIMESTAMP '2024-01-20 00:00:00'

@@ -380,6 +380,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM scoring: the second-order companion to qt34 —
+    // transitions built map-side from each doc's token array (no
+    // window), model = one transition aggregate + its re-aggregate,
+    // scores reproduced exactly by the oracle from the same counts.
+    "qt39_bigram_lm" -> ((s, dir) => {
+      graft.operators.Perplexity.bigram(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Topic cells over hashed document vectors: feature-hashed
     // bag-of-tokens (TextVectors.hashed, md5-bucket counts — exact
     // integers) fed to distributed k-means — the embedding-free
@@ -945,6 +954,26 @@ object TextQueries {
              round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4) AS ppl
       FROM toks t JOIN c USING (tok) CROSS JOIN s
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "qt39_bigram_lm" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                 '\s+'), x -> x <> '') AS t
+        FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_slice(t, 1, len(t) - 1)) AS p,
+                    unnest(list_slice(t, 2, len(t))) AS c
+             FROM toks WHERE len(t) >= 2),
+      c2 AS (SELECT p, c, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT p, sum(c2) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM
+              (SELECT unnest(t) AS tok FROM toks WHERE len(t) >= 2))
+      SELECT bg.doc_id, cast(count(*) AS bigint) AS n_bigrams,
+             round(exp(-avg(ln((c2.c2 + 1)::DOUBLE
+               / (c1.c1 + v.v)::DOUBLE))), 4) AS ppl2
+      FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) CROSS JOIN v
+      GROUP BY bg.doc_id ORDER BY doc_id""",
     "qt37_topic_cells" -> """
       WITH toks AS (SELECT doc_id, tok FROM (
                SELECT doc_id, unnest(string_split_regex(

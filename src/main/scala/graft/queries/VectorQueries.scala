@@ -284,6 +284,22 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Two-stage truncated-dim rerank (Matryoshka retrieval): stage 1
+    // scores every pair on the first 32 of 64 components and keeps the
+    // top-20 per query, stage 2 reranks only those survivors with the
+    // exact full-dim cosine. Both cuts are deterministic (4dp, id
+    // tiebreak), so the oracle reproduces the survivor set exactly —
+    // including any stage-1 misses vs the true top-5, which both
+    // engines then agree to miss (the approximation under test).
+    "qe16_truncated_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.truncatedRerank(q, c, k = 5, prefixDim = 32, m = 20)
+        .orderBy("qid", "rank")
+    }),
+
     // Per-label embedding statistics (norms, first-component mean).
     "qe04_embedding_stats" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -440,6 +456,30 @@ object VectorQueries {
       SELECT qid, cast(label AS int) AS pred_label,
              cast(n_votes AS bigint) AS n_votes
       FROM p WHERE pr = 1 ORDER BY qid""",
+    "qe16_truncated_rerank" -> """
+      WITH q AS (SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings),
+      p AS (SELECT qid, cid,
+              round(list_cosine_similarity(
+                list_slice(qv, 1, 32), list_slice(cv, 1, 32)), 4) AS psim
+            FROM q, c WHERE qid <> cid),
+      surv AS (SELECT qid, cid FROM (
+                 SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                   ORDER BY psim DESC, cid) AS pr
+                 FROM p) WHERE pr <= 20),
+      r AS (SELECT s.qid, s.cid,
+              round(list_cosine_similarity(q.qv, c.cv), 4) AS sim
+            FROM surv s JOIN q ON q.qid = s.qid JOIN c ON c.cid = s.cid),
+      f AS (SELECT qid, cid, sim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS int) AS rank
+            FROM r)
+      SELECT qid, cid, sim, rank FROM f WHERE rank <= 5
+      ORDER BY qid, rank""",
     "qe01_knn_brute" -> """
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt24_heavy_hitters", "qt25_dsir_weights", "qt26_export_manifest",
     "qe02_ann_lsh", "qe03_cosine_neardup",
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
-    "qe11_mips", "qe12_ivf_index", "qe14_kmeans", "qe15_semdedup")
+    "qe11_mips", "qe12_ivf_index", "qe14_kmeans", "qe15_semdedup",
+    "qt39_bigram_lm", "qe16_truncated_rerank")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
@@ -102,6 +103,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       assert(scans == 1,
         s"$name plans $scans corpus scans (expected 1):\n$plan")
     }
+  }
+
+  test("bucketed co-located join plans ZERO exchanges") {
+    // the property bucketing exists for: two tables bucketed on the
+    // join key, joined and aggregated ON that key, must plan with no
+    // ShuffleExchange (and the pinned merge join means no
+    // BroadcastExchange either) — scan → sort → SMJ → agg, end to end
+    val df = SparkEntry.queries("qi17_bucketed_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join plans an exchange:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed join did not plan the pinned merge join:\n$plan")
+  }
+
+  test("truncatedRerank survivor top-k compiles to WindowGroupLimit") {
+    // both cut points (prefix top-m and final top-k) are rank filters
+    // over (score desc, id) — they must push per-mapper partial top-k
+    // (InferWindowGroupLimit), not sort whole per-query groups
+    val q = embs.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+    val c = embs.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"))
+    val plan = graft.operators.Similarity
+      .truncatedRerank(q.limit(5), c, k = 3, prefixDim = 16, m = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"truncatedRerank lost its WindowGroupLimit:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("weightedSample grouped top-k compiles to WindowGroupLimit") {

@@ -33,6 +33,37 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
     assert(e.count() == 1)
   }
 
+  test("add-1 bigram perplexity matches hand math") {
+    // doc1 "a a b" -> (a,a),(a,b); doc2 "b a" -> (b,a)
+    // c2: each pair once; c1: a->2, b->1; V={a,b}=2
+    // p(a|a)=p(b|a)=2/4, p(a|b)=2/3 -> ppl2: doc1=2.0, doc2=1.5 exact
+    val df = Seq((1L, "a a b"), (2L, "b a")).toDF("id", "text")
+    val got = Perplexity.bigram(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl2")))).toMap
+    assert(got(1L) == ((2L, 2.0)))
+    assert(got(2L) == ((1L, 1.5)))
+  }
+
+  test("bigram score separates word order that unigrams cannot see") {
+    // same bag of words, shuffled transitions: unigram ppl identical,
+    // bigram ppl must rank the corpus-consistent order lower
+    val fluent = (1 to 30).map(i => (i.toLong, "the cat sat on the mat"))
+    val shuffled = Seq((99L, "mat the on sat cat the"))
+    val df = (fluent ++ shuffled).toDF("id", "text")
+    val uni = Perplexity(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("ppl")).toMap
+    assert(uni(1L) == uni(99L)) // unigram LM is order-blind
+    val bi = Perplexity.bigram(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("ppl2")).toMap
+    assert(bi(1L) < bi(99L))
+    // sub-2-token docs are absent, not NaN
+    val e = Perplexity.bigram(
+      Seq((1L, "x y"), (2L, "solo"), (3L, " ")).toDF("id", "text"),
+      "id", "text")
+    assert(e.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("ccnet buckets: per-language exact terciles of perplexity rank") {
     // lang en: 7 docs (tercile sizes 3/2/2), lang fr: 2 docs (fewer
     // rows than tiles -> ranks become tiles: head, middle)
