@@ -63,8 +63,9 @@ object KMeans {
   private[operators] def quantize(vec: Column, scale: Int): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Argmin cell for quantized vector `qv` against literal centroids
-    * (cell, s, n, ss): minimize ss/n² − 2·vs/n, ties to smaller cell.
+  /** Argmin (score, cell) struct for quantized vector `qv` against
+    * literal centroids (cell, s, n, ss): minimize ss/n² − 2·vs/n,
+    * ties to smaller cell.
     */
   private def bestCell(
       centArr: Column, qv: Column): Column = {
@@ -73,7 +74,7 @@ object KMeans {
         - lit(2.0) * dotL(qv, c.getField("s")).cast("double")
           / c.getField("n").cast("double")).as("score"),
       c.getField("cell").as("cell")))
-    element_at(array_sort(scored), 1).getField("cell")
+    element_at(array_sort(scored), 1)
   }
 
   private final case class Cent(cell: Int, s: Seq[Long], n: Long) {
@@ -89,7 +90,40 @@ object KMeans {
 
   def assign(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, scale: Int = 100): DataFrame = {
+      iters: Int, scale: Int = 100): DataFrame =
+    run(df, idCol, vecCol, k, iters, scale)
+      .select(col(idCol), col("cell"))
+
+  /** Assignment plus distance-to-centroid — the out-of-distribution
+    * score (far from every centroid = outlier: mislabeled scrape,
+    * encoding garbage, off-domain content — the SemDeDup paper's
+    * complementary use of the same clustering). `dist` is the
+    * Euclidean distance to the assigned (nearest) centroid in
+    * original vector units.
+    *
+    * Exactness: the argmin score omits the per-row |v|² term (it
+    * cannot change the argmin); adding it back gives the true squared
+    * distance in quantized units: |v|² + ss/n² − 2·vs/n. |v|² is an
+    * exact integer dot; the additions/sqrt/divide are the same IEEE
+    * operand tree the SQL oracle writes, so the 4dp round is
+    * engine-stable (same contract as the assignment itself).
+    */
+  def assignDist(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Int = 100): DataFrame =
+    run(df, idCol, vecCol, k, iters, scale)
+      .select(col(idCol), col("cell"),
+        round(sqrt(greatest(
+          dotL(col("__qv"), col("__qv")).cast("double") + col("__score"),
+          lit(0.0))) / scale.toDouble, 4).as("dist"))
+
+  /** Lloyd loop; returns (idCol, cell, __score, __qv) where __score =
+    * ss/n² − 2·vs/n against the assigned centroid (quantized units,
+    * |v|² omitted).
+    */
+  private def run(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"kmeans: bad k=$k / iters=$iters")
     // localCheckpoint (eager): init, every iteration's aggregate, and
     // the caller's materialization all replay this projection — without
@@ -112,7 +146,8 @@ object KMeans {
 
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      assigned = q.withColumn("__cell", bestCell(centLiteral(cents), col("__qv")))
+      assigned = q.withColumn("__best", bestCell(centLiteral(cents), col("__qv")))
+        .withColumn("__cell", col("__best").getField("cell"))
       if (i < iters) {
         // one aggregate: per-(cell, pos) sums + per-cell counts — k·dim
         // result rows, metadata-sized
@@ -127,6 +162,7 @@ object KMeans {
         }.toSeq
       }
     }
-    assigned.select(col("__id").as(idCol), col("__cell").as("cell"))
+    assigned.select(col("__id").as(idCol), col("__cell").as("cell"),
+      col("__best").getField("score").as("__score"), col("__qv"))
   }
 }

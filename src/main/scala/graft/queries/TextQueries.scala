@@ -560,6 +560,17 @@ object TextQueries {
           min("shuffle_pos").as("first_pos"),
           max("shuffle_pos").as("last_pos"))
         .orderBy("block_id")
+    }),
+
+    // Seed-labeled Naive Bayes quality classifier: src0–src2 as the
+    // curated seed corpus, multinomial NB with add-1 smoothing over
+    // whitespace tokens, per-doc log-odds. Every count is an exact
+    // integer; only the final ln/sum are floating point, so the 4dp
+    // round is engine-stable (NaiveBayes scaladoc).
+    "qt40_nb_quality" -> ((s, dir) => {
+      graft.operators.NaiveBayes.scoreBySeed(docs(s, dir), "doc_id",
+          "text", col("source").isin("src0", "src1", "src2"))
+        .orderBy("doc_id")
     })
   )
 
@@ -954,6 +965,33 @@ object TextQueries {
              round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4) AS ppl
       FROM toks t JOIN c USING (tok) CROSS JOIN s
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "qt40_nb_quality" -> """
+      WITH toks AS (SELECT doc_id, seed, tok FROM (
+               SELECT doc_id, source IN ('src0','src1','src2') AS seed,
+                      unnest(string_split_regex(
+                 regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                 '\s+')) AS tok
+               FROM documents) WHERE tok <> ''),
+      c AS (SELECT tok,
+              sum(CASE WHEN seed THEN 1 ELSE 0 END) AS cpos,
+              sum(CASE WHEN seed THEN 0 ELSE 1 END) AS cneg
+            FROM toks GROUP BY 1),
+      t AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg,
+                   count(*) AS v FROM c),
+      d AS (SELECT sum(CASE WHEN source IN ('src0','src1','src2')
+                       THEN 1 ELSE 0 END) AS npos,
+                   sum(CASE WHEN source IN ('src0','src1','src2')
+                       THEN 0 ELSE 1 END) AS nneg FROM documents),
+      w AS (SELECT tok,
+              ln((cpos + 1)::DOUBLE / (t.tpos + t.v))
+                - ln((cneg + 1)::DOUBLE / (t.tneg + t.v)) AS w
+            FROM c CROSS JOIN t),
+      g AS (SELECT tk.doc_id, cast(count(*) AS bigint) AS n_tokens,
+              round(ln(d.npos::DOUBLE / d.nneg) + sum(w.w), 4) AS log_odds
+            FROM toks tk JOIN w USING (tok) CROSS JOIN d
+            GROUP BY tk.doc_id, d.npos, d.nneg)
+      SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS pred
+      FROM g ORDER BY doc_id""",
     "qt39_bigram_lm" -> """
       WITH toks AS (
         SELECT doc_id,

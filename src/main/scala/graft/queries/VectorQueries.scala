@@ -311,6 +311,18 @@ object VectorQueries {
           round(avg("nrm"), 4).as("avg_norm"),
           round(avg("d0"), 4).as("avg_d0"))
         .orderBy("label")
+    }),
+
+    // Out-of-distribution score: distance to the nearest k-means
+    // centroid (same clustering as qe14) — far-from-every-centroid
+    // rows are the off-domain/garbage outliers a curation pipeline
+    // drops. The |v|² term omitted from the assignment argmin is
+    // added back for the true distance; the oracle replays both Lloyd
+    // rounds AND the distance tree (KMeans.assignDist scaladoc).
+    "qe17_ood_distance" -> ((s, dir) => {
+      graft.operators.KMeans.assignDist(emb(s, dir), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .orderBy("vec_id")
     })
   )
 
@@ -433,6 +445,64 @@ object VectorQueries {
                FROM e CROSS JOIN c1 c) WHERE rn = 1)
       SELECT vec_id, CAST(cell AS INT) AS cell FROM a2
       ORDER BY vec_id""",
+    "qe17_ood_distance" -> """
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+             FROM embeddings),
+      init AS (SELECT v,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) - 1 AS cell
+               FROM e
+               QUALIFY cell < 8),
+      c0 AS (SELECT cell, v AS s, CAST(1 AS BIGINT) AS n,
+               list_inner_product(
+                 list_transform(v, x -> CAST(x AS DOUBLE)),
+                 list_transform(v, x -> CAST(x AS DOUBLE))) AS ss
+             FROM init),
+      a1 AS (SELECT vec_id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (SELECT cell, pos, sum(x) AS sx, count(*) AS cnt
+             FROM (SELECT cell, unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS pos
+                   FROM a1)
+             GROUP BY cell, pos),
+      c1 AS (SELECT cell, s, n,
+               list_inner_product(
+                 list_transform(s, x -> CAST(x AS DOUBLE)),
+                 list_transform(s, x -> CAST(x AS DOUBLE))) AS ss
+             FROM (SELECT cell, list(sx ORDER BY pos) AS s,
+                     max(cnt) AS n
+                   FROM s1 GROUP BY cell)),
+      a2 AS (SELECT vec_id, cell, score, vv FROM (
+               SELECT e.vec_id, c.cell,
+                 c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE) AS score,
+                 list_inner_product(
+                   list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                   list_transform(e.v, x -> CAST(x AS DOUBLE))) AS vv,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1)
+      SELECT vec_id, CAST(cell AS INT) AS cell,
+             round(sqrt(greatest(vv + score, 0)) / 100.0, 4) AS dist
+      FROM a2 ORDER BY vec_id""",
     "qe13_knn_classify" -> """
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

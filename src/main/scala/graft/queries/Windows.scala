@@ -220,6 +220,16 @@ object Windows {
           col("window.end").as("w_end"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // Batch gap-based sessionization: events into visits by 30-minute
+    // inactivity gap, rolled up per session. One shuffle by user; gap
+    // math in exact integer microseconds (Sessionize scaladoc).
+    "q42_sessionize" -> ((s, dir) => {
+      graft.operators.Sessionize.sessions(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+          gapSeconds = 1800)
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -250,6 +260,25 @@ object Windows {
       SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
              count(*) AS n, round(sum(value), 4) AS sum_value
       FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""),
+    "q42_sessionize" -> (E + """
+      , p AS (SELECT user_id, ts, event_id, value,
+                lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+              FROM e),
+      n AS (SELECT *, CASE WHEN prev IS NULL
+                             OR ts - prev > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new FROM p),
+      s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id FROM n)
+      SELECT user_id, cast(session_id AS bigint) AS session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             cast(count(*) AS bigint) AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts)))
+               / 1000000.0 AS duration_s,
+             round(sum(value), 4) AS sum_value
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""),
     "q24_window_topn" -> """
       SELECT * FROM (
         SELECT cast(year(o_orderdate) AS int) AS y,

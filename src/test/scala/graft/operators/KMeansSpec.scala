@@ -35,5 +35,29 @@ class KMeansSpec extends AnyFunSuite with SparkTest {
     assert(got.count() == 2)
   }
 
+  test("assignDist: distance to the converged centroid, cells match assign") {
+    // k=1 removes init nondeterminism: after one update the single
+    // centroid is the mean (400,200)/3 in quantized units; distances
+    // follow by hand. (With k≥2 an extreme outlier legitimately
+    // becomes its own centroid at dist 0 — that's Lloyd, not a bug.)
+    val df = Seq(
+      (1L, vec(0.0, 0.0)), (2L, vec(0.0, 2.0)), (3L, vec(4.0, 0.0))
+    ).toDF("id", "v")
+    val d = KMeans.assignDist(df, "id", "v", k = 1, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Double]("dist")))).toMap
+    val a = KMeans.assign(df, "id", "v", k = 1, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    assert(d.view.mapValues(_._1).toMap == a)
+    assert(d.values.forall(_._2 >= 0.0))
+    // p1=(0,0): dist = sqrt(ss/n²)/scale with s=(400,200), n=3
+    val ss = 400.0 * 400 + 200.0 * 200
+    val exp1 = BigDecimal(math.sqrt(ss / 9.0) / 100.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d(1L)._2 == exp1)
+    // the point farthest from the mean carries the largest distance
+    assert(d(3L)._2 > d(2L)._2 && d(2L)._2 > d(1L)._2)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
