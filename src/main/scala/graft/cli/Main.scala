@@ -203,6 +203,8 @@ object Main {
       |curate:   graft curate <table> <out-dir> --id-column COL
       |          --text-column COL [--gates gopher|c4|both|none]
       |          [--dedup exact|normalized|near|none] [--threshold J]
+      |          [--classify-column COL --classify-seeds v1,v2
+      |           [--classify-min ODDS]]
       |          [--buckets head,middle,tail]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
@@ -292,13 +294,15 @@ object Main {
   }
 
   /** `curate <table> <out-dir> --id-column --text-column [--gates]
-    * [--dedup] [--threshold] [--buckets]` — the one-command
-    * training-data funnel: published quality gates (C4/Gopher) →
-    * content dedup (exact / normalized / sketch-verified near) →
-    * CCNet perplexity-tercile selection → curated parquet, with a
-    * per-stage rows-in → rows-out report. Every stage is the same
-    * oracle-gated operator the query surface pins (QualityRules qt31,
-    * Dedup qt04/qt05/qt07+qt18, Perplexity.buckets qt36) — the CLI
+    * [--dedup] [--threshold] [--classify-column --classify-seeds
+    * [--classify-min]] [--buckets]` — the one-command training-data
+    * funnel: published quality gates (C4/Gopher) → content dedup
+    * (exact / normalized / sketch-verified near) → seed-labeled
+    * Naive Bayes classifier gate → CCNet perplexity-tercile
+    * selection → curated parquet, with a per-stage rows-in →
+    * rows-out report. Every stage is the same oracle-gated operator
+    * the query surface pins (QualityRules qt31, Dedup qt04/qt05/
+    * qt07+qt18, NaiveBayes qt40, Perplexity.buckets qt36) — the CLI
     * only composes them. Beyond-reference.
     *
     * Each surviving set is localCheckpoint'ed at the stage boundary:
@@ -373,6 +377,25 @@ object Main {
       }
       case other => throw new IllegalArgumentException(
         s"curate: unknown --dedup '$other' (exact|normalized|near|none)")
+    }
+    // model-based quality gate (the CCNet/DCLM ordering: dedup first,
+    // then the classifier — duplicates would otherwise vote in training)
+    opts.flag("classify-seeds").foreach { seeds =>
+      val seedCol = opts.flag("classify-column").getOrElse(
+        throw new IllegalArgumentException(
+          "curate: --classify-seeds requires --classify-column COL"))
+      require(df.columns.contains(seedCol),
+        s"curate: column '$seedCol' not found in $table " +
+          s"(columns: ${df.columns.mkString(", ")})")
+      val set = seeds.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(set.nonEmpty, "curate: --classify-seeds needs at least one value")
+      val minOdds = opts.flag("classify-min").map(_.toDouble).getOrElse(0.0)
+      stage(s"classify ($seedCol in ${set.mkString(",")})") { d =>
+        val scored = graft.operators.NaiveBayes.scoreBySeed(
+          d, idCol, textCol, col(seedCol).isin(set: _*))
+        d.join(scored.where(col("log_odds") > minOdds).select(col(idCol)),
+          Seq(idCol), "left_semi")
+      }
     }
     opts.flag("buckets").foreach { sel =>
       val keep = sel.split(',').map(_.trim).filter(_.nonEmpty).toSet

@@ -562,6 +562,29 @@ class MainSpec extends AnyFunSuite with SparkTest {
       "--id-column", "note_id", "--text-column", "note",
       "--buckets", "heads")
     assert(rc4 == 1 && rep4.contains("head,middle,tail"), rep4)
+    // NB classifier gate: seed-label exactly note 1 (by its text
+    // value); notes 2-3 share its fox vocabulary and score positive,
+    // note 4's disjoint vocabulary scores negative and is filtered
+    val (rc5, rep5) = cli(dir, "curate", "notes",
+      new File(dir, "curated5").getPath,
+      "--id-column", "note_id", "--text-column", "note",
+      "--gates", "none", "--dedup", "none",
+      "--classify-column", "note", "--classify-seeds",
+      "the quick brown fox jumps over the lazy dog in the warm sun today")
+    assert(rc5 == 0, rep5)
+    // notes 1-3 share the fox vocabulary -> positive log-odds; note 4's
+    // vocabulary lives in the negative class -> filtered out
+    assert(rep5.contains("classify (note in"), rep5)
+    assert(rep5.contains(": 4 -> 3"), rep5)
+    val ids5 = spark.read.parquet(new File(dir, "curated5").getPath)
+      .select("note_id").collect().map(_.getLong(0)).toSet
+    assert(ids5 === Set(1L, 2L, 3L))
+    // --classify-seeds without --classify-column fails loudly
+    val (rc6, rep6) = cli(dir, "curate", "notes",
+      new File(dir, "curated6").getPath,
+      "--id-column", "note_id", "--text-column", "note",
+      "--classify-seeds", "x")
+    assert(rc6 == 1 && rep6.contains("--classify-column"), rep6)
   }
 
   test("profile survives a table whose text values are all NULL") {
