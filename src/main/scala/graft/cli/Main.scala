@@ -173,6 +173,7 @@ object Main {
         case Some("retention") => retentionCmd(spark, lake, opts, out)
         case Some("vacuum")    => vacuumCmd(spark, lake, opts, out)
         case Some("curate")    => curateCmd(spark, lake, opts, out)
+        case Some("sessions")  => sessionsCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -190,7 +191,7 @@ object Main {
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
       |          format plugin import export dedup profile retention
-      |          vacuum curate
+      |          vacuum curate sessions
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
@@ -206,6 +207,8 @@ object Main {
       |          [--classify-column COL --classify-seeds v1,v2
       |           [--classify-min ODDS]]
       |          [--buckets head,middle,tail]
+      |sessions: graft sessions <table> --user-column COL
+      |          [--ts-column COL] [--gap SECONDS] [--value-column COL]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
@@ -410,6 +413,50 @@ object Main {
     }
     df.write.mode("overwrite").parquet(outDir)
     out.println(s"Wrote $n docs to $outDir")
+  }
+
+  /** `sessions <table> --user-column COL [--ts-column COL]
+    * [--gap SECONDS] [--value-column COL]` — gap-based session report
+    * over a collected log table: the first analysis every log
+    * pipeline runs on the reference's domain data (visits, incident
+    * windows, activity bursts), via the oracle-gated [[
+    * graft.operators.Sessionize]] (q42). Defaults: `tp_timestamp` as
+    * the clock, 1800 s gap. Beyond-reference command.
+    */
+  private def sessionsCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit}
+    val table = opts.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "sessions requires a <table> argument"))
+    val userCol = opts.flag("user-column").getOrElse(
+      throw new IllegalArgumentException(
+        "sessions requires --user-column COL"))
+    val tsCol = opts.flag("ts-column").getOrElse("tp_timestamp")
+    val gap = opts.flag("gap").map(_.toLong).getOrElse(1800L)
+    val df = lake.read(spark, table)
+    (Seq(userCol, tsCol) ++ opts.flag("value-column")).foreach(c =>
+      require(df.columns.contains(c),
+        s"sessions: column '$c' not found in $table " +
+          s"(columns: ${df.columns.mkString(", ")})"))
+    val base = opts.flag("value-column") match {
+      case Some(c) => df.withColumn("__value", col(c).cast("double"))
+      case None    => df.withColumn("__value", lit(0.0))
+    }
+    val sess = graft.operators.Sessionize.sessions(
+      base, userCol, tsCol, tsCol, "__value", gap)
+    val shown = if (opts.flag("value-column").isEmpty)
+      sess.drop("sum_value") else sess
+    val events = df.count()
+    val a = sess.agg(count(lit(1)), countDistinct(col(userCol)),
+      avg("n_events"), avg("duration_s")).head()
+    out.println(s"Table $table: $events events, ${a.getLong(0)} sessions " +
+      s"across ${a.getLong(1)} users (gap ${gap}s)")
+    out.println(f"mean ${a.getDouble(2)}%.1f events / " +
+      f"${a.getDouble(3)}%.1f s per session")
+    out.println(graft.query.Render.table(
+      shown.orderBy(col("n_events").desc, col(userCol), col("session_id"))
+        .limit(20)))
   }
 
   /** `dedup <table> --id-column --text-column [--mode] [--threshold]` —

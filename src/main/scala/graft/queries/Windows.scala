@@ -222,6 +222,22 @@ object Windows {
         .orderBy("w_start", "event_type")
     }),
 
+    // Trailing event-time RANGE frame: per-user rolling 1-hour count
+    // and value sum — the interval-bounded frame class (distinct from
+    // the row-counted frames of q25/q27). Spark expresses the interval
+    // bound as a numeric range over exact integer microseconds; both
+    // engines include frame endpoints, so the row sets agree exactly.
+    "q43_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum("value").over(w), 4).as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Batch gap-based sessionization: events into visits by 30-minute
     // inactivity gap, rolled up per session. One shuffle by user; gap
     // math in exact integer microseconds (Sessionize scaladoc).
@@ -260,6 +276,15 @@ object Windows {
       SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
              count(*) AS n, round(sum(value), 4) AS sum_value
       FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""),
+    "q43_rolling_window" -> (E + """
+      SELECT user_id, event_id, ts,
+             count(*) OVER w AS n_1h,
+             round(sum(value) OVER w, 4) AS sum_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
     "q42_sessionize" -> (E + """
       , p AS (SELECT user_id, ts, event_id, value,
                 lag(ts) OVER (PARTITION BY user_id

@@ -587,6 +587,58 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc6 == 1 && rep6.contains("--classify-column"), rep6)
   }
 
+  test("sessions reports gap-based visits over a collected table") {
+    val dir = Files.createTempDirectory("graft_sessions_cli").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "visits").mkdirs()
+    // user u1: 2 events 5 min apart, then one 40 min later -> 2 sessions
+    // user u2: 1 event -> 1 session
+    write(new File(dir, "visits/visits.csv"),
+      """timestamp,who,amount
+        |2024-05-01T10:00:00Z,u1,1.5
+        |2024-05-01T10:05:00Z,u1,2.5
+        |2024-05-01T10:45:00Z,u1,4.0
+        |2024-05-01T09:00:00Z,u2,7.0
+        |""".stripMargin)
+    write(new File(dir, "config/visits.tpc"),
+      s"""format "delimited" "visits" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |
+         |table "visits" {
+         |  format = format.delimited.visits
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "who" { type = "varchar" }
+         |  column "amount" { type = "double" }
+         |}
+         |
+         |partition "visits" "local" {
+         |  source "file" {
+         |    format = format.delimited.visits
+         |    paths = ["${dir.getPath}/visits/"]
+         |    file_layout = "visits.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rcC, outC) = cli(dir, "collect", "visits.local")
+    assert(rcC == 0, outC)
+    val (rc, rep) = cli(dir, "sessions", "visits",
+      "--user-column", "who", "--value-column", "amount")
+    assert(rc == 0, rep)
+    assert(rep.contains("4 events, 3 sessions across 2 users (gap 1800s)"),
+      rep)
+    // the 2-event session: 2 events over 300 s, amounts summed to 4
+    assert(rep.contains("| 2        | 300        | 4         |"), rep)
+    // without --value-column the sum column is absent
+    val (rc2, rep2) = cli(dir, "sessions", "visits", "--user-column", "who")
+    assert(rc2 == 0 && !rep2.contains("sum_value"), rep2)
+    // unknown column fails loudly
+    val (rc3, rep3) = cli(dir, "sessions", "visits",
+      "--user-column", "nope")
+    assert(rc3 == 1 && rep3.contains("not found"), rep3)
+  }
+
   test("profile survives a table whose text values are all NULL") {
     val dir = Files.createTempDirectory("graft_profile_null").toFile
     new File(dir, "config").mkdirs()
