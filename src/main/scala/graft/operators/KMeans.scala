@@ -117,6 +117,34 @@ object KMeans {
           dotL(col("__qv"), col("__qv")).cast("double") + col("__score"),
           lit(0.0))) / scale.toDouble, 4).as("dist"))
 
+  /** Cluster-balanced sample: at most `perCell` rows from each
+    * k-means cell, keeping md5(id) order — the coverage-preserving
+    * subsample (SemDeDup/DCLM practice: cap dense clusters instead of
+    * uniform sampling, which would keep boilerplate-heavy modes
+    * over-represented and starve rare ones). Deterministic: any
+    * engine reproduces the draw from ids alone (the [[Sampling]]
+    * auditability contract).
+    *
+    * Scale shape: the per-cell rank filter compiles to
+    * WindowGroupLimit (per-mapper partial top-k below the shuffle —
+    * same plan pin as Sampling.weightedSample); cells number k, but
+    * the partial top-k means no task ever holds a cell.
+    *
+    * @return (idCol, cell) — the kept rows
+    */
+  def clusterSample(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, perCell: Int, scale: Int = 100): DataFrame = {
+    require(perCell >= 1, s"clusterSample: perCell must be >= 1, got $perCell")
+    val assigned = assign(df, idCol, vecCol, k, iters, scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assigned.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= perCell)
+      .select(col(idCol), col("cell"))
+  }
+
   /** Lloyd loop; returns (idCol, cell, __score, __qv) where __score =
     * ss/n² − 2·vs/n against the assigned centroid (quantized units,
     * |v|² omitted).

@@ -323,6 +323,17 @@ object VectorQueries {
       graft.operators.KMeans.assignDist(emb(s, dir), "vec_id",
           "embedding", k = 8, iters = 2)
         .orderBy("vec_id")
+    }),
+
+    // Cluster-balanced sampling: ≤ 20 vectors per k-means cell in
+    // md5(id) order — the coverage-preserving subsample (cap dense
+    // clusters, keep rare ones whole). The oracle replays the
+    // clustering and the per-cell draw; the rank filter compiles to
+    // WindowGroupLimit (PlanAuditSpec).
+    "qe18_cluster_sample" -> ((s, dir) => {
+      graft.operators.KMeans.clusterSample(emb(s, dir), "vec_id",
+          "embedding", k = 8, iters = 2, perCell = 20)
+        .orderBy("vec_id")
     })
   )
 
@@ -444,6 +455,59 @@ object VectorQueries {
                    c.cell) AS rn
                FROM e CROSS JOIN c1 c) WHERE rn = 1)
       SELECT vec_id, CAST(cell AS INT) AS cell FROM a2
+      ORDER BY vec_id""",
+    "qe18_cluster_sample" -> """
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+             FROM embeddings),
+      init AS (SELECT v,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) - 1 AS cell
+               FROM e
+               QUALIFY cell < 8),
+      c0 AS (SELECT cell, v AS s, CAST(1 AS BIGINT) AS n,
+               list_inner_product(
+                 list_transform(v, x -> CAST(x AS DOUBLE)),
+                 list_transform(v, x -> CAST(x AS DOUBLE))) AS ss
+             FROM init),
+      a1 AS (SELECT vec_id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (SELECT cell, pos, sum(x) AS sx, count(*) AS cnt
+             FROM (SELECT cell, unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS pos
+                   FROM a1)
+             GROUP BY cell, pos),
+      c1 AS (SELECT cell, s, n,
+               list_inner_product(
+                 list_transform(s, x -> CAST(x AS DOUBLE)),
+                 list_transform(s, x -> CAST(x AS DOUBLE))) AS ss
+             FROM (SELECT cell, list(sx ORDER BY pos) AS s,
+                     max(cnt) AS n
+                   FROM s1 GROUP BY cell)),
+      a2 AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1)
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM a2) WHERE rk <= 20
       ORDER BY vec_id""",
     "qe17_ood_distance" -> """
       WITH e AS (SELECT vec_id,

@@ -33,7 +33,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
     "qe11_mips", "qe12_ivf_index", "qe14_kmeans", "qe15_semdedup",
     "qt39_bigram_lm", "qe16_truncated_rerank", "qe17_ood_distance",
-    "qt40_nb_quality")
+    "qt40_nb_quality", "qe18_cluster_sample")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
@@ -157,6 +157,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"grouped weightedSample lost its WindowGroupLimit:\n$plan")
+  }
+
+  test("clusterSample per-cell top-k compiles to WindowGroupLimit") {
+    // same property for the cluster-balanced sample: the perCell rank
+    // filter must push a per-mapper partial top-k, never sort whole
+    // cells in one task
+    val plan = graft.operators.KMeans.clusterSample(
+        embs, "vec_id", "embedding", k = 4, iters = 1, perCell = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"clusterSample lost its WindowGroupLimit:\n$plan")
   }
 
   test("substringDedup plans three corpus evaluations, all map-side") {

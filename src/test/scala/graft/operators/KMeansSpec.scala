@@ -59,5 +59,23 @@ class KMeansSpec extends AnyFunSuite with SparkTest {
     assert(d(3L)._2 > d(2L)._2 && d(2L)._2 > d(1L)._2)
   }
 
+  test("clusterSample caps each cell, keeps small cells whole") {
+    // two tight groups; cap 2 per cell: the 3-member group loses one
+    // member, the 2-member group survives whole
+    val df = Seq(
+      (1L, vec(0.0, 0)), (2L, vec(0.1, 0)), (3L, vec(0.2, 0)),
+      (4L, vec(5.0, 0)), (5L, vec(5.1, 0))).toDF("id", "v")
+    val kept = KMeans.clusterSample(df, "id", "v", k = 2, iters = 2,
+      perCell = 2)
+    val byCell = kept.collect()
+      .groupBy(_.getAs[Int]("cell")).view.mapValues(_.length).toMap
+    assert(byCell.values.forall(_ <= 2), s"cell over cap: $byCell")
+    assert(kept.count() == 4)
+    // deterministic: same draw twice
+    val again = KMeans.clusterSample(df, "id", "v", k = 2, iters = 2,
+      perCell = 2).collect().map(_.getLong(0)).toSet
+    assert(again == kept.collect().map(_.getLong(0)).toSet)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
