@@ -86,6 +86,19 @@ object DialectShims {
     Literal(UTF8String.fromString(cFormatToJava(litString(e, fn))),
       StringType)
 
+  /** Session-timezone-aware cast to TIMESTAMP (LTZ). A bare
+    * `Cast(e, TimestampType)` stays UNRESOLVED when `e` is
+    * TIMESTAMP_NTZ (the NTZ→LTZ cast is timezone-dependent and the
+    * manually-built node never meets the ResolveTimeZone rule inside a
+    * RuntimeReplaceable), which surfaced as an INTERNAL_ERROR on
+    * `epoch_ms(min(ts))` over parquet `timestamp[us]` columns — Spark 4
+    * reads those as NTZ. DuckDB's timestamps are naive, and the session
+    * runs in UTC, so naive-as-UTC is exactly the oracle's reading.
+    */
+  private[functions] def tzCast(e: Expression): Expression =
+    Cast(e, TimestampType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+
   /** name → expression builder, the registry-agnostic shim table —
     * consumed by [[register]] (imperative, per-session) and
     * [[graft.GraftExtensions]] (`spark.sql.extensions` injection).
@@ -98,7 +111,7 @@ object DialectShims {
     "epoch_ms" -> { es: Seq[Expression] => EpochMs(es.head) },
     // DuckDB: DOUBLE seconds incl. fraction
     "epoch" -> { es: Seq[Expression] =>
-      Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType),
+      Divide(Cast(UnixMicros(tzCast(es.head)), DoubleType),
         Literal(1e6)) },
     // NOTE: DuckDB's date_diff/datediff (boundary-crossing counts)
     // CANNOT be shimmed: both spellings are Spark PARSER syntax
@@ -338,7 +351,7 @@ case class EpochMs(child: Expression) extends Expression
   override lazy val replacement: Expression = child.dataType match {
     case LongType | IntegerType | ShortType =>
       MillisToTimestamp(Cast(child, LongType))
-    case _ => UnixMillis(Cast(child, TimestampType))
+    case _ => UnixMillis(DialectShims.tzCast(child))
   }
   override def prettyName: String = "epoch_ms"
   override protected def withNewChildInternal(c: Expression): EpochMs =

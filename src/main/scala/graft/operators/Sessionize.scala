@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** `unix_micros` over a column that may be TIMESTAMP_NTZ (Spark 4
+    * reads tz-less parquet `timestamp[us]` — every driver-generated
+    * events table — as NTZ, and `unix_micros` accepts only LTZ). The
+    * session runs in UTC, so the NTZ→LTZ cast reads naive-as-UTC,
+    * matching the oracle; on an LTZ input the cast is a no-op Catalyst
+    * folds away.
+    */
+  private[graft] def micros(c: Column): Column =
+    unix_micros(c.cast("timestamp"))
+
   /** Per-event session assignment: input columns plus `session_id`. */
   def assign(
       events: DataFrame, userCol: String, tsCol: String,
@@ -41,7 +51,7 @@ object Sessionize {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(ordCol))
     val prev = lag(col(tsCol), 1).over(w)
     val isNew = when(prev.isNull ||
-      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L,
+      micros(col(tsCol)) - micros(prev) > gapSeconds * 1000000L,
       1L).otherwise(0L)
     events.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -63,7 +73,7 @@ object Sessionize {
         // ONE IEEE division — bit-identical on any engine, while a 4dp
         // round would hit exact decimal .5 ties (µs durations have 6
         // decimal digits) where HALF_UP engines disagree
-        ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+        ((micros(max(col(tsCol))) - micros(min(col(tsCol))))
           .cast("double") / lit(1000000.0)).as("duration_s"),
         round(sum(col(valueCol)), 4).as("sum_value"))
   }

@@ -228,8 +228,10 @@ object Windows {
     // bound as a numeric range over exact integer microseconds; both
     // engines include frame endpoints, so the row sets agree exactly.
     "q43_rolling_window" -> ((s, dir) => {
+      // cast: events.ts is TIMESTAMP_NTZ (tz-less parquet); unix_micros
+      // accepts only LTZ, and the UTC session makes the cast exact
       val w = Window.partitionBy("user_id")
-        .orderBy(unix_micros(col("ts")))
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
         .rangeBetween(-3600000000L, 0L)
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"),

@@ -52,6 +52,23 @@ class DialectShimsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(v - 1709633472.345) < 1e-6)
   }
 
+  test("epoch_ms / epoch accept TIMESTAMP_NTZ (tz-less parquet read type)") {
+    // r8 regression: the shims' bare Cast(_, TimestampType) never got a
+    // timeZoneId, so an NTZ input (how Spark 4 reads the driver's
+    // timestamp[us] parquet) died with INTERNAL_ERROR at analysis —
+    // q35_dialect red at sf0.1. UTC session ⇒ naive-as-UTC, DuckDB's own
+    // reading of the same value.
+    assert(sql1("SELECT epoch_ms(timestamp_ntz '2024-03-05 10:11:12.345')") ==
+      1709633472345L)
+    val v = sql1("SELECT epoch(timestamp_ntz '2024-03-05 10:11:12.345')")
+      .asInstanceOf[Double]
+    assert(math.abs(v - 1709633472.345) < 1e-6)
+    // aggregate-wrapped, the exact shape q35 uses
+    assert(sql1("SELECT epoch_ms(min(t)) FROM VALUES " +
+      "(timestamp_ntz '2024-03-05 10:11:12.345') AS v(t)") ==
+      1709633472345L)
+  }
+
   test("date_diff spellings stay Spark parser syntax (documented divergence)") {
     // DuckDB's boundary-crossing date_diff cannot be shimmed — both
     // spellings are parser-reserved; Spark's native semantics apply

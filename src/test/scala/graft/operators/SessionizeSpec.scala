@@ -58,4 +58,20 @@ class SessionizeSpec extends AnyFunSuite with SparkTest {
       Sessionize.assign(events, "user_id", "ts", "event_id", 0L)
     }
   }
+
+  // Spark 4 reads tz-less parquet timestamp[us] — every driver events
+  // table — as TIMESTAMP_NTZ; r8's unix_micros(ts) failed analysis on
+  // exactly that type (q42/q43 red at sf0.1). Pin the NTZ path.
+  test("accepts a TIMESTAMP_NTZ event-time column") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ntz = events.withColumn("ts",
+      col("ts").cast("timestamp_ntz"))
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val out = Sessionize.sessions(ntz, "user_id", "ts", "event_id",
+        "value", 1800L)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Double]("duration_s") == 600.0)
+  }
 }
