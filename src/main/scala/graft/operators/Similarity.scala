@@ -132,6 +132,45 @@ object Similarity {
       .select("qid", "cid", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive training — for each anchor,
+    * the top-`k` most-similar candidates whose label DIFFERS from the
+    * anchor's. This is the batch-mining step of embedding-model
+    * training loops (triplet / InfoNCE): the negatives that matter are
+    * the ones the current embedding already confuses with the anchor,
+    * and those are exactly the wrong-label nearest neighbors.
+    * Beyond-reference.
+    *
+    * Scale shape: identical to [[bruteForceKnn]] — anchors are the
+    * small broadcast side, the corpus streams through map-side scoring,
+    * and the label inequality filters BEFORE scoring so same-label
+    * pairs are never scored. The per-anchor top-k is row_number over a
+    * qid-partitioned window: WindowGroupLimit prunes to k per mapper
+    * before the (anchor-count-sized) shuffle. At full corpus scale,
+    * generate candidates with [[annLsh]]/[[annIvf]] and apply the same
+    * wrong-label filter before rerank — composition, not new code.
+    *
+    * Determinism: 4dp-rounded sim, cid tiebreak — same oracle contract
+    * as every retrieval operator here.
+    *
+    * @param anchors    (qid, qvec, qlabel) — small (broadcast side)
+    * @param candidates (cid, cvec, clabel) — arbitrarily large
+    * @return (qid, qlabel, cid, clabel, sim, rank), ≤`k` rows per qid
+    */
+  def hardNegatives(
+      anchors: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = anchors.withColumn("__qn", norm(col("qvec")))
+    val c = candidates.withColumn("__cn", norm(col("cvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid") &&
+        !(col("clabel") <=> col("qlabel")))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(dotD(col("qvec"), col("cvec"))
+          / (col("__qn") * col("__cn")), 4).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** kNN majority-vote label classification — propagate labels from a
     * curated seed set to unlabeled documents by embedding similarity
     * (the scalable stand-in for a trained quality/topic classifier:

@@ -100,6 +100,49 @@ object TfIdf {
           .as("mean_freq"))
   }
 
+  /** Per-group vocabulary-growth / lexical-diversity report — the
+    * corpus-health numbers (type-token ratio, hapax share) a data
+    * curator reads before and after dedup/filtering: a falling TTR or
+    * hapax ratio across pipeline stages means the filters are
+    * collapsing lexical diversity, a rising one that boilerplate was
+    * removed (Heaps'-law-style diagnostics, beyond-reference).
+    *
+    * Output per `groupCol` value: n_docs, n_tokens, n_types (distinct
+    * terms), n_hapax (terms occurring exactly once in the group), and
+    * the two exact ratios ttr = types/tokens, hapax_ratio =
+    * hapax/types.
+    *
+    * Scale shape: tokenize → `groupBy(group, term).count` — the ONLY
+    * per-token shuffle, with map-side combine collapsing each mapper's
+    * repeats of a term to one row, so hot terms ("the") cost one row
+    * per mapper, never a skewed reduce — then a (group, term)-sized
+    * second aggregate down to |groups| rows. Distinct-doc counts ride
+    * the same first aggregate (`countDistinct(doc)` per (group, term)
+    * would be wrong AND heavy; a separate map-side `groupBy(group)
+    * .agg(countDistinct)` over just (group, doc_id) columns is exact
+    * and scan-pruned).
+    */
+  def vocabStats(corpus: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val terms = corpus.select(col(groupCol).as("group"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("group", "term").agg(count(lit(1)).as("cnt"))
+    val byGroup = terms.groupBy("group").agg(
+      sum("cnt").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val docs = corpus.select(col(groupCol).as("group"), col(idCol))
+      .groupBy("group").agg(countDistinct(col(idCol)).as("n_docs"))
+    docs.join(byGroup, Seq("group"))
+      .select(col("group"), col("n_docs"), col("n_tokens"),
+        col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 4)
+          .as("hapax_ratio"))
+  }
+
   /** Top-`k` from a precomputed (doc_id, term, tf) relation — the one-
     * tokenize-pass path for corpora where `tf` is materialized as a
     * table. `nDocs` is a 1-row (n_docs) frame, kept in-plan (no

@@ -571,6 +571,27 @@ object TextQueries {
       graft.operators.NaiveBayes.scoreBySeed(docs(s, dir), "doc_id",
           "text", col("source").isin("src0", "src1", "src2"))
         .orderBy("doc_id")
+    }),
+
+    // Padding-waste report for pad-to-bucket-max batching: width-32
+    // token buckets per language, exact integer waste arithmetic
+    // (Batching scaladoc). One map-side length pass + one shuffle.
+    "qt41_length_buckets" -> ((s, dir) => {
+      graft.operators.Batching.lengthBuckets(
+          docs(s, dir), TF.tokenCount(col("text")), col("lang"),
+          width = 32)
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang", "bucket_lo")
+    }),
+
+    // Lexical-diversity corpus health: type-token ratio and hapax
+    // share per source (TfIdf.vocabStats scaladoc). The per-token
+    // shuffle is the map-side-combined (group, term) count.
+    "qt42_vocab_growth" -> ((s, dir) => {
+      graft.operators.TfIdf.vocabStats(docs(s, dir), "doc_id", "text",
+          "source")
+        .withColumnRenamed("group", "source")
+        .orderBy("source")
     })
   )
 
@@ -992,6 +1013,43 @@ object TextQueries {
             GROUP BY tk.doc_id, d.npos, d.nneg)
       SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS pred
       FROM g ORDER BY doc_id""",
+    "qt41_length_buckets" -> """
+      WITH d AS (SELECT lang,
+                   cast(len(string_split_regex(
+                     regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                     '\s+')) AS int) AS n_tokens
+                 FROM documents),
+      b AS (SELECT lang,
+              cast(floor(n_tokens / 32) * 32 AS int) AS bucket_lo,
+              n_tokens
+            FROM d)
+      SELECT lang, bucket_lo,
+             count(*) AS n_docs,
+             cast(sum(n_tokens) AS bigint) AS sum_tokens,
+             cast(max(n_tokens) AS int) AS max_tokens,
+             round((count(*) * max(n_tokens) - sum(n_tokens))::DOUBLE
+               / (count(*) * max(n_tokens)), 4) AS pad_waste_pct
+      FROM b GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo""",
+    "qt42_vocab_growth" -> """
+      WITH toks AS (
+        SELECT source, t AS term FROM (
+          SELECT source,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+          FROM documents) WHERE t <> ''),
+      tc AS (SELECT source, term, count(*) AS cnt
+             FROM toks GROUP BY 1, 2),
+      g AS (SELECT source,
+              cast(sum(cnt) AS bigint) AS n_tokens,
+              count(*) AS n_types,
+              cast(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS bigint)
+                AS n_hapax
+            FROM tc GROUP BY source),
+      d AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+            FROM documents GROUP BY source)
+      SELECT g.source, d.n_docs, g.n_tokens, g.n_types, g.n_hapax,
+             round(g.n_types::DOUBLE / g.n_tokens, 4) AS ttr,
+             round(g.n_hapax::DOUBLE / g.n_types, 4) AS hapax_ratio
+      FROM g JOIN d USING (source) ORDER BY g.source""",
     "qt39_bigram_lm" -> """
       WITH toks AS (
         SELECT doc_id,

@@ -334,10 +334,42 @@ object VectorQueries {
       graft.operators.KMeans.clusterSample(emb(s, dir), "vec_id",
           "embedding", k = 8, iters = 2, perCell = 20)
         .orderBy("vec_id")
+    }),
+
+    // Hard-negative mining for contrastive training: for each anchor
+    // (vec_id < 20), the 5 most-similar vectors with a DIFFERENT
+    // label — the wrong-label nearest neighbors an embedding trainer
+    // pairs with each anchor (Similarity.hardNegatives scaladoc).
+    "qe19_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label").as("clabel"))
+      Similarity.hardNegatives(q, c, k = 5)
+        .select("qid", "qlabel", "cid", "clabel", "sim", "rank")
+        .orderBy("qid", "rank")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "qe19_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS cid, label AS clabel,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings),
+      s AS (SELECT qid, qlabel, cid, clabel,
+              round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q, c WHERE qid <> cid AND clabel <> qlabel),
+      r AS (SELECT qid, qlabel, cid, clabel, sim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS int) AS rank
+            FROM s)
+      SELECT qid, qlabel, cid, clabel, sim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
     "qe15_semdedup" -> """
       WITH e0 AS (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv

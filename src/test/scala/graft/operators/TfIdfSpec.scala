@@ -66,4 +66,32 @@ class TfIdfSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("No Partition Defined"),
       "window must never collapse to a single partition")
   }
+
+  test("vocabStats: exact types/tokens/hapax per group") {
+    val byGroup = Seq(
+      ("s1", 1L, "apple apple banana"),     // s1: tokens=5, types=3
+      ("s1", 2L, "apple cherry"),           //   apple×3 banana×1 cherry×1
+      ("s2", 3L, "date date date")          // s2: 3 tokens, 1 type, 0 hapax
+    ).toDF("source", "doc_id", "text")
+    val out = TfIdf.vocabStats(byGroup, "doc_id", "text", "source")
+      .orderBy("group").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") == 2L)
+    assert(s1.getAs[Long]("n_tokens") == 5L)
+    assert(s1.getAs[Long]("n_types") == 3L)
+    assert(s1.getAs[Long]("n_hapax") == 2L) // banana, cherry
+    assert(s1.getAs[Double]("ttr") == 0.6)  // 3/5 exactly
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_types") == 1L)
+    assert(s2.getAs[Long]("n_hapax") == 0L)
+    assert(s2.getAs[Double]("hapax_ratio") == 0.0)
+  }
+
+  test("vocabStats: hot-term count is a partial-aggregated groupBy, not a window") {
+    val byGroup = Seq(("s1", 1L, "a b c")).toDF("source", "doc_id", "text")
+    val plan = TfIdf.vocabStats(byGroup, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("partial_"))
+  }
 }
