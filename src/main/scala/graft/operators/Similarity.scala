@@ -816,4 +816,80 @@ object Similarity {
         round(cosine(col("va"), col("vb")), 4).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    * 1998) — greedy re-ranking that trades query relevance against
+    * redundancy with what was already picked:
+    * `pick_i = argmax λ·sim(q,d) − (1−λ)·max_{p∈picked} sim(d,p)`.
+    * The retrieval-side sibling of [[semDedup]]: instead of deleting
+    * near-duplicates from the corpus, it keeps them but never SELECTS
+    * two of them for the same query — the standard de-redundancy step
+    * for RAG context assembly and per-query training-subset selection.
+    * Beyond-reference.
+    *
+    * Scale shape: stage 1 is [[bruteForceKnn]]'s broadcast scoring
+    * cut to a per-query `pool` (WindowGroupLimit — never a global
+    * sort); everything after runs on |Q|·pool rows. The pairwise
+    * diversity matrix is a qid-keyed pool self-join (|Q|·pool² rows,
+    * CAPPED by the pool parameter, independent of corpus size), and
+    * each greedy step is one qid-partitioned argmax window plus one
+    * broadcast join against the |Q| new picks — k small fixed
+    * iterations of metadata-light plans, no driver-side loop over
+    * data.
+    *
+    * Determinism (the oracle contract): pool sims and pairwise sims
+    * round to 4dp FIRST; the mmr score is then one fused multiply-add
+    * over identical doubles on any engine, ties break by cid, and the
+    * running `maxdiv` starts at −1 (cosine's floor) so the greatest
+    * chain is exact from the first update.
+    *
+    * @param queries    (qid, qvec) — small (broadcast side)
+    * @param candidates (cid, cvec) — arbitrarily large
+    * @param k          picks per query
+    * @param lam        relevance weight λ in [0, 1]
+    * @param pool       relevance pool per query fed to the greedy stage
+    * @return (qid, cid, sim, pick) — pick = 1-based selection order
+    */
+  def mmrDiversify(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      lam: Double, pool: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && pool >= k, s"mmr: need pool >= k > 0, got k=$k pool=$pool")
+    require(lam >= 0 && lam <= 1, s"mmr: lambda must be in [0,1], got $lam")
+    val top = bruteForceKnn(queries, candidates, pool, excludeSelf)
+      .select("qid", "cid", "sim")
+    // re-attach vectors once, build the qid-local diversity matrix
+    val vecs = top.join(
+      candidates.select(col("cid"), col("cvec")), "cid")
+    val a = vecs.select(col("qid"), col("cid").as("a"), col("cvec").as("va"))
+    val b = vecs.select(col("qid").as("qid_b"), col("cid").as("b"),
+      col("cvec").as("vb"))
+    val pw = a.join(b, col("qid") === col("qid_b") && col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 4).as("d"))
+    var rem = top.withColumn("maxdiv", lit(-1.0))
+    var picks: DataFrame = null
+    for (i <- 1 to k) {
+      val score =
+        if (i == 1) col("sim")
+        else lit(lam) * col("sim") - lit(1.0 - lam) * col("maxdiv")
+      val w = Window.partitionBy("qid").orderBy(score.desc, col("cid"))
+      val pick = rem.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("qid"), col("cid"), col("sim"), lit(i).as("pick"))
+      picks = if (picks == null) pick else picks.unionByName(pick)
+      if (i < k) {
+        val justPicked = pick.select(col("qid").as("qid_p"),
+          col("cid").as("__pick"))
+        rem = rem.join(broadcast(justPicked),
+            col("qid") === col("qid_p") && col("cid") =!= col("__pick"))
+          .join(pw.select(col("qid").as("qid_w"), col("a"), col("b"),
+              col("d")),
+            col("qid") === col("qid_w") && col("cid") === col("a") &&
+              col("__pick") === col("b"))
+          .select(col("qid"), col("cid"), col("sim"),
+            greatest(col("maxdiv"), col("d")).as("maxdiv"))
+      }
+    }
+    picks
+  }
 }

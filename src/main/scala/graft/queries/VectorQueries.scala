@@ -350,10 +350,71 @@ object VectorQueries {
       Similarity.hardNegatives(q, c, k = 5)
         .select("qid", "qlabel", "cid", "clabel", "sim", "rank")
         .orderBy("qid", "rank")
+    }),
+
+    // MMR diversification: greedy λ-tradeoff between query relevance
+    // and redundancy with prior picks, λ=0.5 over a 20-candidate pool
+    // (Similarity.mmrDiversify scaladoc). The oracle replays the greedy
+    // loop unrolled — one CTE pair per pick — so a single divergent
+    // pick anywhere in the sequence breaks the hash.
+    "qe20_mmr_diversify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.mmrDiversify(q, c, k = 5, lam = 0.5, pool = 20)
+        .orderBy("qid", "pick")
     })
   )
 
+  /** One unrolled MMR greedy step: pick CTE `p$i` from remaining
+    * `r${i-1}`, then the updated remaining `r$i` (maxdiv folded with
+    * the new pick's pairwise sim).
+    */
+  private def mmrStep(i: Int): String = {
+    val score =
+      if (i == 1) "sim" else "0.5 * sim - 0.5 * maxdiv"
+    val pick = s"""
+      p$i AS (SELECT qid, cid, sim, $i AS pick FROM (
+          SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
+            ORDER BY ($score) DESC, cid) AS rn
+          FROM r${i - 1}) WHERE rn = 1)"""
+    val next = s"""
+      r$i AS (SELECT r.qid, r.cid, r.sim,
+                greatest(r.maxdiv, w.d) AS maxdiv
+              FROM r${i - 1} r
+              JOIN p$i p ON r.qid = p.qid AND r.cid <> p.cid
+              JOIN pw w ON w.qid = r.qid AND w.a = r.cid
+                AND w.b = p.cid)"""
+    if (i < 5) pick + "," + next else pick
+  }
+
   val oracle: Map[String, String] = Map(
+    "qe20_mmr_diversify" -> ("""
+      WITH q AS (SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings),
+      s AS (SELECT qid, cid,
+              round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q, c WHERE qid <> cid),
+      pool AS (SELECT qid, cid, sim FROM (
+          SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, cid) AS rn FROM s) WHERE rn <= 20),
+      pv AS (SELECT pool.qid, pool.cid, pool.sim, c.cv
+             FROM pool JOIN c USING (cid)),
+      pw AS (SELECT x.qid, x.cid AS a, y.cid AS b,
+               round(list_cosine_similarity(x.cv, y.cv), 4) AS d
+             FROM pv x JOIN pv y ON x.qid = y.qid AND x.cid <> y.cid),
+      r0 AS (SELECT qid, cid, sim, -1.0 AS maxdiv FROM pool),""" +
+      (1 to 5).map(mmrStep).mkString(",") + """
+      SELECT qid, cid, sim, pick FROM (
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+        UNION ALL SELECT * FROM p5)
+      ORDER BY qid, pick"""),
     "qe19_hard_negatives" -> """
       WITH q AS (SELECT vec_id AS qid, label AS qlabel,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
