@@ -113,6 +113,45 @@ object StreamIngest {
         col("window.end").as("w_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join — correlate two live
+    * streams by key within a bounded event-time window (each left row
+    * pairs with right rows of the same key whose timestamp lies in
+    * `[leftTs − before, leftTs + after]`). The log-pipeline staple:
+    * requests to their responses, auth events to the activity they
+    * authorize, alerts to nearby errors.
+    *
+    * Bounded state is the entire design: BOTH sides carry watermarks
+    * and the join condition carries the event-time range, which is
+    * exactly what Spark's symmetric hash join needs to prove an old
+    * buffered row can never match again and evict it — each side's
+    * state holds only `watermark + range` worth of rows at any moment,
+    * independent of stream history (the only shape that survives an
+    * unbounded stream; without the range bound Spark would buffer one
+    * side forever). Late rows beyond the watermark fall to the at-rest
+    * join, the same late-data division every operator here uses.
+    *
+    * Column names must be disjoint across the two sides (the caller
+    * aliases; enforced here so the failure is immediate, not a
+    * mid-stream analysis error).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      before: String, after: String,
+      leftDelay: String, rightDelay: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin: column names must be disjoint, both sides have: " +
+        overlap.mkString(", "))
+    val l = left.withWatermark(leftTs, leftDelay)
+    val r = right.withWatermark(rightTs, rightDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+  }
+
   /** Streaming exact dedup with bounded state: drops rows whose key was
     * already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the streaming twin of

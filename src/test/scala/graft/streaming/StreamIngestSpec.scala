@@ -226,6 +226,56 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(out == Seq(("a", 1.0), ("b", 3.0)))
   }
 
+  test("intervalJoin: correlates two streams by key within the time " +
+      "range, across batches, with symmetric-hash state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Timestamp, String, Long)]
+    val resps = MemoryStream[(Timestamp, String, Int)]
+    val joined = StreamIngest.intervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      before = "0 minutes", after = "10 minutes",
+      leftDelay = "5 minutes", rightDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    reqs.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "alice", 1L),
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "bob", 2L))
+    q.processAllAvailable()
+    // a later batch's response still joins the buffered request —
+    // in range for alice (+3 min), OUT of range for bob (+11 min)
+    resps.addData(
+      (Timestamp.valueOf("2024-03-01 10:03:00"), "alice", 200),
+      (Timestamp.valueOf("2024-03-01 10:11:00"), "bob", 500))
+    q.processAllAvailable()
+    val out = spark.table("ij_out")
+      .select("req_id", "status").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 200)))
+    q.stop()
+    // bounded-state shape: watermarks on both sides reach the join
+    // (what lets Spark evict old buffered rows)
+    assert(joined.queryExecution.analyzed.toString
+      .toLowerCase.contains("watermark"))
+  }
+
+  test("intervalJoin rejects colliding column names") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Timestamp, String)]
+    val b = MemoryStream[(Timestamp, String)]
+    intercept[IllegalArgumentException] {
+      StreamIngest.intervalJoin(
+        a.toDF().toDF("ts", "user"), b.toDF().toDF("ts", "user"),
+        "user", "user", "ts", "ts", "0 minutes", "5 minutes",
+        "1 minute", "1 minute")
+    }
+  }
+
   test("sessionize: gap-based sessions emit on event-time timeout") {
     val s = spark
     import s.implicits._
