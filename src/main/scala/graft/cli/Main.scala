@@ -67,7 +67,8 @@ object Main {
     */
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
-      "backup", "restore", "reindex", "force", "progress", "rules", "ppl")
+      "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
+      "vocab")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -200,7 +201,8 @@ object Main {
       |          [--mode exact|normalized|near|substring] [--threshold J]
       |          [--k TOKENS]
       |profile:  graft profile <table> --text-column COL [--top K]
-      |          [--rules] [--ppl] [--bpe N] [--buckets]
+      |          [--rules] [--ppl] [--bpe N] [--buckets] [--vocab]
+      |          [--batching WIDTH]
       |curate:   graft curate <table> <out-dir> --id-column COL
       |          --text-column COL [--gates gopher|c4|both|none]
       |          [--dedup exact|normalized|near|none] [--threshold J]
@@ -622,6 +624,28 @@ object Main {
           when(col("bucket") === "head", 1)
             .when(col("bucket") === "middle", 2).otherwise(3))
       out.println(graft.query.Render.table(summary))
+    }
+    // --vocab: lexical-diversity corpus health per detected language
+    // (TfIdf.vocabStats — TTR / hapax share; falling values across
+    // pipeline stages mean the filters are collapsing diversity)
+    if (opts.flag("vocab").contains("true")) {
+      val withId = df.withColumn("__vid", monotonically_increasing_id())
+        .withColumn("__lang", TF.langId(t))
+      val v = graft.operators.TfIdf
+        .vocabStats(withId, "__vid", textCol, "__lang")
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang")
+      out.println(graft.query.Render.table(v))
+    }
+    // --batching N: padding-waste report for width-N token buckets
+    // (Batching.lengthBuckets) — what pad-to-bucket-max batching
+    // burns at each sequence-length tier
+    opts.flag("batching").map(_.toInt).foreach { width =>
+      val b = graft.operators.Batching
+        .lengthBuckets(df, TF.tokenCount(t), TF.langId(t), width)
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang", "bucket_lo")
+      out.println(graft.query.Render.table(b))
     }
     // --rules: per-gate pass rates of the C4/Gopher rule pack —
     // what fraction of the corpus each published filter would keep

@@ -481,6 +481,12 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc9 == 0, buck)
     assert(buck.contains("bucket") && buck.contains("head"), buck)
     assert(buck.contains("middle") && buck.contains("tail"), buck)
+    // profile --vocab + --batching: lexical diversity and padding waste
+    val (rc10, vb) = cli(dir, "profile", "notes",
+      "--text-column", "note", "--vocab", "--batching", "8")
+    assert(rc10 == 0, vb)
+    assert(vb.contains("n_types") && vb.contains("hapax_ratio"), vb)
+    assert(vb.contains("bucket_lo") && vb.contains("pad_waste_pct"), vb)
     // retention: age out the first two notes (before 10:02), keep two
     val (rc5, ret) = cli(dir, "retention", "notes",
       "--older-than", "2024-05-01T10:02:00")
