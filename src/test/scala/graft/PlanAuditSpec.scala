@@ -33,7 +33,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qe05_ann_ivf", "qe08_ann_ivfpq", "qe10_ann_binary",
     "qe11_mips", "qe12_ivf_index", "qe14_kmeans", "qe15_semdedup",
     "qt39_bigram_lm", "qe16_truncated_rerank", "qe17_ood_distance",
-    "qt40_nb_quality", "qe18_cluster_sample")
+    "qt40_nb_quality", "qe18_cluster_sample",
+    "qt41_length_buckets", "qt42_vocab_growth", "qe19_hard_negatives",
+    "qe20_mmr_diversify")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
@@ -194,6 +196,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     val scans = plan.linesIterator.count(_.contains("FileScan"))
     assert(scans == 2, s"perplexity plans $scans scans (expected 2):\n$plan")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("hardNegatives pool cut compiles to WindowGroupLimit with the " +
+      "label filter inside the broadcast join") {
+    val q = embs.limit(5).select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), col("label").as("qlabel"))
+    val c = embs.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"), col("label").as("clabel"))
+    val plan = graft.operators.Similarity.hardNegatives(q, c, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"hardNegatives lost its WindowGroupLimit:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("mmrDiversify greedy steps never plan a cartesian product and " +
+      "keep every window qid-partitioned") {
+    val q = embs.limit(3).select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+    val c = embs.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"))
+    val plan = graft.operators.Similarity
+      .mmrDiversify(q, c, k = 3, lam = 0.5, pool = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"mmr planned a cartesian product:\n$plan")
+    assert(!plan.contains("No Partition Defined"),
+      "mmr window must never collapse to a single partition")
   }
 
   test("annLsh plans no Window over LSH buckets (rank-only windows)") {
