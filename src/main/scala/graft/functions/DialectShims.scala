@@ -99,6 +99,16 @@ object DialectShims {
     Cast(e, TimestampType,
       Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
 
+  /** Coerce any numeric-element array to array<double> for the vector
+    * shims: SQL literals like `list_value(1.5, 2.5)` parse as
+    * DECIMAL arrays, which the dot/L2 static loops don't read (they
+    * handle float/double/long/int — the stored embedding types).
+    * DuckDB applies the same implicit DOUBLE coercion in its list
+    * functions, so byte-identical SQL agrees.
+    */
+  private def dvec(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
   /** name → expression builder, the registry-agnostic shim table —
     * consumed by [[register]] (imperative, per-session) and
     * [[graft.GraftExtensions]] (`spark.sql.extensions` injection).
@@ -170,6 +180,32 @@ object DialectShims {
     "string_agg" -> { es: Seq[Expression] =>
       new ListAgg(es(0), es(1), Nil, 0, 0) },
     "json_structure" -> { es: Seq[Expression] => JsonStructure(es.head) },
+    // VSS/vector surface (DuckDB core list fns + vss extension
+    // spellings): double-precision, codegen'd via the same static-call
+    // expressions the Similarity operators score with — reference
+    // users' embedding SQL runs unmodified AND stays in
+    // whole-stage codegen
+    "list_value" -> { es: Seq[Expression] => CreateArray(es) },
+    "list_inner_product" -> { es: Seq[Expression] =>
+      DotProduct(dvec(es(0)), dvec(es(1))) },
+    "list_dot_product" -> { es: Seq[Expression] =>
+      DotProduct(dvec(es(0)), dvec(es(1))) },
+    "list_negative_inner_product" -> { es: Seq[Expression] =>
+      UnaryMinus(DotProduct(dvec(es(0)), dvec(es(1)))) },
+    // sqrt(aa)·sqrt(bb) (not sqrt(aa·bb)) — the exact arithmetic
+    // Similarity.cosine uses, so shimmed SQL matches operator output
+    // bit for bit
+    "list_cosine_similarity" -> { es: Seq[Expression] =>
+      val (a, b) = (dvec(es(0)), dvec(es(1)))
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b)))) },
+    "list_cosine_distance" -> { es: Seq[Expression] =>
+      val (a, b) = (dvec(es(0)), dvec(es(1)))
+      Subtract(Literal(1.0),
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))) },
+    "list_distance" -> { es: Seq[Expression] =>
+      L2Distance(dvec(es(0)), dvec(es(1))) },
     // inet-extension surface (reference auto-loads `inet`): address
     // strings, not a dedicated type — host strips the /mask, family
     // sniffs v4 vs v6

@@ -61,6 +61,37 @@ object VectorFns {
     java.lang.Double.valueOf(sum)
   }
 
+  /** Static entry point for L2 distance — same contract as [[dot]]
+    * (null on mismatch/null element) but accumulating (x−y)² directly:
+    * the sqrt(aa − 2ab + bb) composition would cancel catastrophically
+    * for the near-identical vectors distance queries care most about.
+    */
+  def l2(a: ArrayData, aKind: Int, b: ArrayData, bKind: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = aKind match {
+        case 0 => a.getFloat(i).toDouble
+        case 1 => a.getDouble(i)
+        case 2 => a.getLong(i).toDouble
+        case _ => a.getInt(i).toDouble
+      }
+      val y = bKind match {
+        case 0 => b.getFloat(i).toDouble
+        case 1 => b.getDouble(i)
+        case 2 => b.getLong(i).toDouble
+        case _ => b.getInt(i).toDouble
+      }
+      val d = x - y
+      sum += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(sum))
+  }
+
   def register(spark: SparkSession): Unit =
     Registered.once(spark, "vector") {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -101,5 +132,33 @@ case class DotProduct(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `list_distance(a, b)` scalar expression: double Euclidean distance,
+  * null-safe, codegen'd via a static call — [[DotProduct]]'s twin with
+  * direct (x−y)² accumulation (see [[VectorFns.l2]]).
+  */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "list_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ak, bk) = VectorFns.kinds(left, right)
+    VectorFns.l2(a.asInstanceOf[ArrayData], ak, b.asInstanceOf[ArrayData], bk)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ak, bk) = VectorFns.kinds(left, right)
+      val r = ctx.freshName("l2Res")
+      s"""
+        java.lang.Double $r = graft.functions.VectorFns.l2($a, $ak, $b, $bk);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.doubleValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance =
     copy(left = newLeft, right = newRight)
 }

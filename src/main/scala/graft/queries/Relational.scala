@@ -358,6 +358,9 @@ object Relational {
              len(min(event_type)) AS type_len,
              strpos(event_type, 'e') AS e_pos,
              starts_with(event_type, 'c') AS starts_c,
+             round(list_cosine_similarity(list_value(1.0, 2.0, 2.0), list_value(2.0, 1.0, 2.0)), 4) AS vec_cos,
+             round(list_distance(list_value(0.0, 0.0), list_value(3.0, 4.0)), 4) AS vec_l2,
+             round(list_inner_product(list_value(1.5, 2.5), list_value(2.0, 4.0)), 4) AS vec_dot,
              string_agg(DISTINCT substr(event_type, 1, 2), '~') AS prefix_agg,
              array_to_string(string_split_regex(min(event_type), '[aeiou]+'), '-') AS consonant_runs,
              count(*) AS n

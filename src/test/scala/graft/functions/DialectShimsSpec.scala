@@ -52,6 +52,23 @@ class DialectShimsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(v - 1709633472.345) < 1e-6)
   }
 
+  test("vector shims: list_value / inner product / cosine / distance") {
+    assert(sql1("SELECT list_inner_product(list_value(1.5, 2.5), " +
+      "list_value(2.0, 4.0))") == 13.0)
+    assert(sql1("SELECT round(list_cosine_similarity(" +
+      "list_value(1.0, 2.0, 2.0), list_value(2.0, 1.0, 2.0)), 4)") ==
+      0.8889) // 8 / (3·3)
+    assert(sql1("SELECT list_distance(list_value(0.0, 0.0), " +
+      "list_value(3.0, 4.0))") == 5.0)
+    assert(sql1("SELECT list_negative_inner_product(" +
+      "list_value(1.0, 1.0), list_value(2.0, 3.0))") == -5.0)
+    assert(sql1("SELECT round(list_cosine_distance(" +
+      "list_value(1.0, 0.0), list_value(0.0, 1.0)), 4)") == 1.0)
+    // length mismatch is NULL, not an error (DotProduct contract)
+    assert(sql1("SELECT list_inner_product(list_value(1.0), " +
+      "list_value(1.0, 2.0)) IS NULL") == true)
+  }
+
   test("epoch_ms / epoch accept TIMESTAMP_NTZ (tz-less parquet read type)") {
     // r8 regression: the shims' bare Cast(_, TimestampType) never got a
     // timeZoneId, so an NTZ input (how Spark 4 reads the driver's
