@@ -829,22 +829,28 @@ object Similarity {
     *
     * Scale shape: stage 1 is [[bruteForceKnn]]'s broadcast scoring
     * cut to a per-query `pool` (WindowGroupLimit — never a global
-    * sort); everything after runs on |Q|·pool rows. The pairwise
-    * diversity matrix is a qid-keyed pool self-join (|Q|·pool² rows,
-    * CAPPED by the pool parameter, independent of corpus size), and
-    * each greedy step is one qid-partitioned argmax window plus one
-    * broadcast join against the |Q| new picks — k small fixed
-    * iterations of metadata-light plans, no driver-side loop over
-    * data.
+    * sort); the corpus-scale work ends there, fully relational and
+    * codegen'd. The greedy selection then runs per query in ONE
+    * `flatMapGroups` pass over the |Q|·pool pooled rows — pool² dot
+    * products and k argmax scans per query, both CAPPED by the pool
+    * parameter and independent of corpus size. The typed boundary
+    * deserializes only the pooled rows, never the corpus (the
+    * relational-loop alternative — k windows + 2k joins — plans
+    * either 2^k growing trees or k eager checkpoint jobs; measured
+    * 5-7 s on KB of pooled data against ~1 s for this shape).
     *
     * Determinism (the oracle contract): pool sims and pairwise sims
-    * round to 4dp FIRST; the mmr score is then one fused multiply-add
-    * over identical doubles on any engine, ties break by cid, and the
-    * running `maxdiv` starts at −1 (cosine's floor) so the greatest
-    * chain is exact from the first update.
+    * round to 4dp FIRST (pairwise via the same HALF_UP
+    * `BigDecimal.valueOf` arithmetic Spark's `round` applies, and the
+    * dot products accumulate left-to-right in double exactly like
+    * [[graft.functions.VectorFns.dot]]); the mmr score is then one
+    * multiply-subtract over identical doubles on any engine, ties
+    * break by cid, and the running `maxdiv` starts at −1 (cosine's
+    * floor) so the max chain is exact from the first update.
     *
-    * @param queries    (qid, qvec) — small (broadcast side)
-    * @param candidates (cid, cvec) — arbitrarily large
+    * @param queries    (qid, qvec) — small (broadcast side); qid must
+    *                   be integral (cast to long in the output)
+    * @param candidates (cid, cvec) — arbitrarily large; cid integral
     * @param k          picks per query
     * @param lam        relevance weight λ in [0, 1]
     * @param pool       relevance pool per query fed to the greedy stage
@@ -855,41 +861,77 @@ object Similarity {
       lam: Double, pool: Int, excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && pool >= k, s"mmr: need pool >= k > 0, got k=$k pool=$pool")
     require(lam >= 0 && lam <= 1, s"mmr: lambda must be in [0,1], got $lam")
-    val top = bruteForceKnn(queries, candidates, pool, excludeSelf)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pooled = bruteForceKnn(queries, candidates, pool, excludeSelf)
       .select("qid", "cid", "sim")
-    // re-attach vectors once, build the qid-local diversity matrix
-    val vecs = top.join(
-      candidates.select(col("cid"), col("cvec")), "cid")
-    val a = vecs.select(col("qid"), col("cid").as("a"), col("cvec").as("va"))
-    val b = vecs.select(col("qid").as("qid_b"), col("cid").as("b"),
-      col("cvec").as("vb"))
-    val pw = a.join(b, col("qid") === col("qid_b") && col("a") =!= col("b"))
-      .select(col("qid"), col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 4).as("d"))
-    var rem = top.withColumn("maxdiv", lit(-1.0))
-    var picks: DataFrame = null
-    for (i <- 1 to k) {
-      val score =
-        if (i == 1) col("sim")
-        else lit(lam) * col("sim") - lit(1.0 - lam) * col("maxdiv")
-      val w = Window.partitionBy("qid").orderBy(score.desc, col("cid"))
-      val pick = rem.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("qid"), col("cid"), col("sim"), lit(i).as("pick"))
-      picks = if (picks == null) pick else picks.unionByName(pick)
-      if (i < k) {
-        val justPicked = pick.select(col("qid").as("qid_p"),
-          col("cid").as("__pick"))
-        rem = rem.join(broadcast(justPicked),
-            col("qid") === col("qid_p") && col("cid") =!= col("__pick"))
-          .join(pw.select(col("qid").as("qid_w"), col("a"), col("b"),
-              col("d")),
-            col("qid") === col("qid_w") && col("cid") === col("a") &&
-              col("__pick") === col("b"))
-          .select(col("qid"), col("cid"), col("sim"),
-            greatest(col("maxdiv"), col("d")).as("maxdiv"))
+      .join(candidates.select(col("cid"), col("cvec")), "cid")
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("sim").cast("double"),
+        col("cvec").cast("array<double>").as("vec"))
+      .as[(Long, Long, Double, Array[Double])]
+    pooled.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rows = it.toArray
+      val n = rows.length
+      val picksN = math.min(k, n)
+      val maxdiv = Array.fill(n)(-1.0)
+      val chosen = new Array[Boolean](n)
+      val out = Array.newBuilder[(Long, Long, Double, Int)]
+      var i = 1
+      while (i <= picksN) {
+        var best = -1
+        var bestScore = 0.0
+        var j = 0
+        while (j < n) {
+          if (!chosen(j)) {
+            val s =
+              if (i == 1) rows(j)._3
+              else lam * rows(j)._3 - (1.0 - lam) * maxdiv(j)
+            if (best == -1 || s > bestScore ||
+                (s == bestScore && rows(j)._2 < rows(best)._2)) {
+              best = j; bestScore = s
+            }
+          }
+          j += 1
+        }
+        chosen(best) = true
+        out += ((qid, rows(best)._2, rows(best)._3, i))
+        if (i < picksN) {
+          val bv = rows(best)._4
+          var m = 0
+          while (m < n) {
+            if (!chosen(m)) {
+              val d = round4(cosineLocal(rows(m)._4, bv))
+              if (d > maxdiv(m)) maxdiv(m) = d
+            }
+            m += 1
+          }
+        }
+        i += 1
       }
+      out.result().iterator
+    }.toDF("qid", "cid", "sim", "pick")
+  }
+
+  /** Spark `round(_, 4)` semantics (HALF_UP over the decimal string
+    * form) — keeps the mapGroups arithmetic bit-identical to the
+    * relational `round` the oracle mirrors.
+    */
+  private def round4(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Double cosine, left-to-right accumulation — the scalar twin of
+    * [[graft.functions.VectorFns.dot]] / [[cosine]].
+    */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
+      i += 1
     }
-    picks
+    ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 }
