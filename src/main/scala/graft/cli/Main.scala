@@ -175,6 +175,7 @@ object Main {
         case Some("vacuum")    => vacuumCmd(spark, lake, opts, out)
         case Some("curate")    => curateCmd(spark, lake, opts, out)
         case Some("sessions")  => sessionsCmd(spark, lake, opts, out)
+        case Some("index")     => indexCmd(spark, lake, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -211,6 +212,11 @@ object Main {
       |          [--buckets head,middle,tail]
       |sessions: graft sessions <table> --user-column COL
       |          [--ts-column COL] [--gap SECONDS] [--value-column COL]
+      |index:    graft index build <table> <dir> --id-column COL
+      |            --vector-column COL [--nlist N]
+      |          graft index append <table> <dir> (same columns)
+      |          graft index query <dir> --table TABLE (same columns)
+      |            [--k K] [--nprobe N] [--min-sim S]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
@@ -459,6 +465,79 @@ object Main {
     out.println(graft.query.Render.table(
       shown.orderBy(col("n_events").desc, col(userCol), col("session_id"))
         .limit(20)))
+  }
+
+  /** `index build|append|query` — the persisted-IVF ANN surface as a
+    * lake-level artifact (Similarity.buildIvfIndex /
+    * appendToIvfIndex / probeIvfIndex, the qe12-gated operators):
+    * build writes a cell-partitioned parquet index from a vector
+    * column, append assigns new vectors to the stored centroids with
+    * no rebuild, query probes nprobe cells as a partition-pruned
+    * scan. Beyond-reference (the reference has no vector surface);
+    * same library-completeness tier as import/export/dedup.
+    */
+  private def indexCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions._
+    def vectors(table: String): org.apache.spark.sql.DataFrame = {
+      val idCol = opts.flag("id-column").getOrElse(
+        throw new IllegalArgumentException("index requires --id-column COL"))
+      val vecCol = opts.flag("vector-column").getOrElse(
+        throw new IllegalArgumentException(
+          "index requires --vector-column COL"))
+      val df = lake.read(spark, table)
+      for (c <- Seq(idCol, vecCol))
+        require(df.columns.contains(c),
+          s"index: column '$c' not found in $table " +
+            s"(columns: ${df.columns.mkString(", ")})")
+      df.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+        .where(col("cvec").isNotNull)
+    }
+    opts.positional.headOption match {
+      case Some("build") =>
+        val (table, dir) = (opts.positional.lift(1), opts.positional.lift(2)) match {
+          case (Some(t), Some(d)) => (t, d)
+          case _ => throw new IllegalArgumentException(
+            "index build requires <table> <index-dir>")
+        }
+        val nlist = opts.flag("nlist").map(_.toInt).getOrElse(64)
+        val c = vectors(table)
+        graft.operators.Similarity.buildIvfIndex(spark, c, nlist, dir)
+        val n = spark.read.parquet(s"$dir/cells").count()
+        out.println(s"Index built: $dir ($n vectors, $nlist cells)")
+      case Some("append") =>
+        val (table, dir) = (opts.positional.lift(1), opts.positional.lift(2)) match {
+          case (Some(t), Some(d)) => (t, d)
+          case _ => throw new IllegalArgumentException(
+            "index append requires <table> <index-dir>")
+        }
+        val c = vectors(table)
+        val before = spark.read.parquet(s"$dir/cells").count()
+        graft.operators.Similarity.appendToIvfIndex(spark, c, dir)
+        val after = spark.read.parquet(s"$dir/cells").count()
+        out.println(s"Index appended: $dir (+${after - before} vectors, " +
+          s"$after total)")
+      case Some("query") =>
+        val dir = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "index query requires an <index-dir>"))
+        val table = opts.flag("table").getOrElse(
+          throw new IllegalArgumentException(
+            "index query requires --table TABLE (the query vectors)"))
+        val k = opts.flag("k").map(_.toInt).getOrElse(5)
+        val nprobe = opts.flag("nprobe").map(_.toInt).getOrElse(8)
+        val minSim = opts.flag("min-sim").map(_.toDouble)
+          .getOrElse(Double.NegativeInfinity)
+        val q = vectors(table)
+          .select(col("cid").as("qid"), col("cvec").as("qvec"))
+        val hits = graft.operators.Similarity
+          .probeIvfIndex(spark, dir, q, k, nprobe, minSim)
+          .orderBy("qid", "rank")
+        out.println(graft.query.Render.table(hits))
+      case other => throw new IllegalArgumentException(
+        s"index: expected build|append|query, got ${other.getOrElse("nothing")}")
+    }
   }
 
   /** `dedup <table> --id-column --text-column [--mode] [--threshold]` —

@@ -982,6 +982,51 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(out3.contains("Reindexed access_log: 0 rows migrated"), out3)
   }
 
+  test("index build/append/query: persisted IVF over a lake vector table") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_index").toFile
+    // 40 base vectors on distinct rays + a planted near-copy of id 0:
+    // dim-2 rays (cos i, sin i) so every pair is well separated
+    def rays(n: Int, offset: Long) = spark.range(n).select(
+      (col("id") + offset).as("vec_id"),
+      expr("timestamp'2024-03-01 00:00:00'").as("seen_at"),
+      array(cos(col("id") * 0.15), sin(col("id") * 0.15)).as("emb"))
+    rays(40, 0).write.parquet(s"${dir.getPath}/base")
+    val (rcI, _) = cli(root, "import", s"${dir.getPath}/base", "vecs.base",
+      "--timestamp-column", "seen_at")
+    assert(rcI == 0)
+    val idx = s"${dir.getPath}/ivf"
+    val (rcB, built) = cli(root, "index", "build", "vecs", idx,
+      "--id-column", "vec_id", "--vector-column", "emb", "--nlist", "8")
+    assert(rcB == 0, built)
+    assert(built.contains("Index built") && built.contains("40 vectors"),
+      built)
+    // append two near-copies of vectors 0 and 1 without a rebuild
+    rays(2, 1000).write.parquet(s"${dir.getPath}/more")
+    val (rcI2, _) = cli(root, "import", s"${dir.getPath}/more", "vecs2.more",
+      "--timestamp-column", "seen_at")
+    assert(rcI2 == 0)
+    val (rcA, app) = cli(root, "index", "append", "vecs2", idx,
+      "--id-column", "vec_id", "--vector-column", "emb")
+    assert(rcA == 0, app)
+    assert(app.contains("+2 vectors") && app.contains("42 total"), app)
+    // probing with the appended table finds each copy's original at
+    // rank 1 with sim 1.0 (identical rays)
+    val (rcQ, q) = cli(root, "index", "query", idx, "--table", "vecs2",
+      "--id-column", "vec_id", "--vector-column", "emb",
+      "--k", "1", "--nprobe", "4")
+    assert(rcQ == 0, q)
+    // each appended copy finds its original ray at rank 1, sim 1
+    assert(q.linesIterator.exists(l =>
+      l.contains("| 1000 ") && l.contains("| 0 ")), q)
+    assert(q.linesIterator.exists(l =>
+      l.contains("| 1001 ") && l.contains("| 1 ")), q)
+    // missing column fails loudly
+    val (rcBad, bad) = cli(root, "index", "build", "vecs", idx,
+      "--id-column", "nope", "--vector-column", "emb")
+    assert(rcBad == 1 && bad.contains("nope"), bad)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==
