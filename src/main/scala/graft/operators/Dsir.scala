@@ -109,4 +109,48 @@ object Dsir {
       .agg(first("ts").as("n_tokens"),
         round(sum(col("p") * log(col("p") / col("q"))), 4).as("kl"))
   }
+
+  /** Pairwise cross-source n-gram overlap matrix — the corpus-health
+    * report that answers "which of my sources are the same data":
+    * distinct word-n-gram Jaccard for every source pair that shares at
+    * least one gram. [[sourceDivergence]] positions each source
+    * against the corpus mixture; this positions sources against EACH
+    * OTHER, which is what catches a crawl ingested twice under two
+    * names before dedup spends a cluster pass proving it.
+    * Beyond-reference.
+    *
+    * Scale shape: one distinct over (source, gram-hash) postings
+    * (map-side combine — repeated grams within a source collapse per
+    * mapper), then a gram-keyed self-join whose per-key fan-out is
+    * bounded by the SOURCE count (a gram pairs at most C(|S|,2) ways —
+    * |S| is tens, not corpus-sized), then a (s1, s2)-keyed count with
+    * partial aggregation. Grams travel as xxhash64 digests (the
+    * [[Dedup.shingleHashes]] contract: 64-bit collisions are noise at
+    * any realistic vocabulary; the oracle replays with raw gram
+    * strings and has matched every gram operator since qt06).
+    *
+    * @return (s1, s2, n1, n2, n_common, jaccard) with s1 < s2, only
+    *         pairs with n_common > 0
+    */
+  def sourceOverlap(
+      corpus: DataFrame, sourceCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n > 0, s"sourceOverlap: gram size must be positive, got $n")
+    val grams = corpus
+      .select(col(sourceCol).as("source"),
+        explode(graft.operators.Dedup.shingleHashes(col(textCol), n))
+          .as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n1"))
+    val inter = grams.select(col("source").as("s1"), col("g"))
+      .join(grams.select(col("source").as("s2"), col("g")), "g")
+      .where(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("s1"), col("n1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("n1").as("n2")), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")), 4).as("jaccard"))
+  }
 }

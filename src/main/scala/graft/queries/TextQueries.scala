@@ -592,6 +592,14 @@ object TextQueries {
           "source")
         .withColumnRenamed("group", "source")
         .orderBy("source")
+    }),
+
+    // Cross-source 3-gram overlap matrix: distinct-gram Jaccard per
+    // source pair — which sources are the same data
+    // (Dsir.sourceOverlap scaladoc).
+    "qt43_source_overlap" -> ((s, dir) => {
+      graft.operators.Dsir.sourceOverlap(docs(s, dir), "source", "text")
+        .orderBy("s1", "s2")
     })
   )
 
@@ -1050,6 +1058,29 @@ object TextQueries {
              round(g.n_types::DOUBLE / g.n_tokens, 4) AS ttr,
              round(g.n_hapax::DOUBLE / g.n_types, 4) AS hapax_ratio
       FROM g JOIN d USING (source) ORDER BY g.source""",
+    "qt43_source_overlap" -> """
+      WITH toks AS (SELECT source,
+                      string_split_regex(regexp_replace(lower(text),
+                        '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+                    FROM documents),
+      idx AS (SELECT source, t,
+                unnest(range(1, greatest(len(t) - 1, 2))) AS i
+              FROM toks),
+      grams AS (SELECT DISTINCT source,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      sizes AS (SELECT source, count(*) AS sz FROM grams GROUP BY source),
+      inter AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT s1, s2, sa.sz AS n1, sb.sz AS n2, n_common,
+             round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 4)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.source = s1
+      JOIN sizes sb ON sb.source = s2
+      ORDER BY s1, s2""",
     "qt39_bigram_lm" -> """
       WITH toks AS (
         SELECT doc_id,

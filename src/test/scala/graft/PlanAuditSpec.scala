@@ -34,8 +34,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qe11_mips", "qe12_ivf_index", "qe14_kmeans", "qe15_semdedup",
     "qt39_bigram_lm", "qe16_truncated_rerank", "qe17_ood_distance",
     "qt40_nb_quality", "qe18_cluster_sample",
-    "qt41_length_buckets", "qt42_vocab_growth", "qe19_hard_negatives",
-    "qe20_mmr_diversify")
+    "qt41_length_buckets", "qt42_vocab_growth", "qt43_source_overlap",
+    "qe19_hard_negatives", "qe20_mmr_diversify")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {

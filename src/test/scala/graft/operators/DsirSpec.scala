@@ -65,4 +65,29 @@ class DsirSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("sourceOverlap: exact pairwise gram Jaccard, identical sources at 1") {
+    // a and b are the same 2 docs under two names; c shares nothing
+    val df = Seq(
+      ("a", "one two three four"), ("a", "five six seven eight"),
+      ("b", "one two three four"), ("b", "five six seven eight"),
+      ("c", "nine ten eleven twelve")
+    ).toDF("source", "text")
+    val out = Dsir.sourceOverlap(df, "source", "text", n = 3)
+      .orderBy("s1", "s2").collect()
+    // only (a, b) overlaps; c pairs are absent entirely
+    assert(out.length == 1)
+    val ab = out.head
+    assert(ab.getAs[String]("s1") == "a" && ab.getAs[String]("s2") == "b")
+    assert(ab.getAs[Long]("n_common") == 4L) // 2 grams per 4-token doc
+    assert(ab.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("sourceOverlap: no window, partial-aggregated counts") {
+    val df = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+    val plan = Dsir.sourceOverlap(df, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_"))
+  }
 }
