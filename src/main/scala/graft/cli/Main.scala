@@ -199,8 +199,8 @@ object Main {
       |export:   graft export <table> <out-dir> --shards N --id-column COL
       |          [--seed S] [--token-column COL [--budget TOKENS]]
       |dedup:    graft dedup <table> --id-column COL --text-column COL
-      |          [--mode exact|normalized|near|substring] [--threshold J]
-      |          [--k TOKENS]
+      |          [--mode exact|normalized|near|substring|incremental]
+      |          [--threshold J] [--k TOKENS] [--index DIR]
       |profile:  graft profile <table> --text-column COL [--top K]
       |          [--rules] [--ppl] [--bpe N] [--buckets] [--vocab]
       |          [--batching WIDTH]
@@ -613,9 +613,29 @@ object Main {
         out.println(graft.query.Render.table(
           cut.select(col(idCol), col("n_tokens"), col("n_removed"))
             .orderBy(col("n_removed").desc, col(idCol)).limit(20)))
+      case "incremental" =>
+        // persisted-digest-index path (Dedup.buildDigestIndex): accept
+        // rows new relative to the index, then fold them in — the
+        // cross-collection dedup loop a recurring collect runs
+        val idxDir = opts.flag("index").getOrElse(
+          throw new IllegalArgumentException(
+            "dedup --mode incremental requires --index DIR"))
+        val exists = new java.io.File(idxDir).exists()
+        if (!exists) {
+          Dedup.buildDigestIndex(df, textCol, idxDir)
+          out.println(s"Table $table: $total rows, index created at " +
+            s"$idxDir (all rows new)")
+        } else {
+          val fresh = Dedup.filterAgainstIndex(df, textCol, idxDir)
+          val newRows = fresh.count()
+          Dedup.appendToDigestIndex(fresh, textCol, idxDir)
+          out.println(s"Table $table: $total rows, $newRows new vs index " +
+            s"$idxDir (${total - newRows} already seen; index updated)")
+        }
       case other =>
         throw new IllegalArgumentException(
-          s"dedup: unknown --mode '$other' (exact|normalized|near|substring)")
+          s"dedup: unknown --mode '$other' " +
+            "(exact|normalized|near|substring|incremental)")
     }
   }
 

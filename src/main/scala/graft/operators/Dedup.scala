@@ -38,6 +38,51 @@ object Dedup {
         trim(regexp_replace(lower(col(textCol)), "\\s+", " "))),
       idCol, textCol)
 
+  /** Persisted digest index for INCREMENTAL exact dedup — dedup each
+    * new batch against everything already accepted WITHOUT rescanning
+    * the corpus (the batch-side twin of
+    * [[graft.streaming.StreamIngest.streamingDedup]], whose state the
+    * watermark bounds; here history is unbounded, so it lives as a
+    * parquet digest set on disk, the same artifact pattern as the
+    * persisted IVF index).
+    *
+    * The index stores ONLY `content_hash` (md5, 32 bytes/row — a
+    * petabyte corpus indexes in tens of GB), written with a parquet
+    * bloom filter on the digest column so the anti-join's index-side
+    * scan can skip row groups that cannot contain a probe digest.
+    * [[filterAgainstIndex]] is a digest-keyed LEFT ANTI join: the new
+    * batch shuffles digests only (never text), the index side streams,
+    * and AQE broadcasts whichever side is actually small — typically
+    * the BATCH, making the pass one index scan with a broadcast probe.
+    * [[appendToDigestIndex]] accepts a batch's distinct digests with
+    * O(|batch|) work.
+    */
+  def buildDigestIndex(
+      df: DataFrame, textCol: String, path: String): Unit =
+    df.select(md5(col(textCol)).as("content_hash")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#content_hash", "true")
+      .parquet(path)
+
+  /** Append a batch's digests to an existing index (distinct within
+    * the batch; cross-batch repeats are fine — the anti-join
+    * semantics are set membership).
+    */
+  def appendToDigestIndex(
+      df: DataFrame, textCol: String, path: String): Unit =
+    df.select(md5(col(textCol)).as("content_hash")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("parquet.bloom.filter.enabled#content_hash", "true")
+      .parquet(path)
+
+  /** Rows of `batch` whose content digest is NOT in the index. */
+  def filterAgainstIndex(
+      batch: DataFrame, textCol: String, path: String): DataFrame = {
+    val idx = batch.sparkSession.read.parquet(path)
+      .select(col("content_hash").as("__seen"))
+    batch.join(idx, md5(col(textCol)) === col("__seen"), "left_anti")
+  }
+
   /** Passage-level duplicate stats (the CCNet/Gopher "duplicate
     * passage fraction" filter stage): chunk each document into
     * consecutive `window`-word passages, hash each passage, and report

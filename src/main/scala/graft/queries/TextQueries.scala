@@ -600,6 +600,20 @@ object TextQueries {
     "qt43_source_overlap" -> ((s, dir) => {
       graft.operators.Dsir.sourceOverlap(docs(s, dir), "source", "text")
         .orderBy("s1", "s2")
+    }),
+
+    // Incremental dedup against a persisted digest index: accept only
+    // rows whose content digest is new relative to the already-indexed
+    // history (Dedup.buildDigestIndex scaladoc) — the near-dup copies
+    // survive (tail-modified text), exact re-sends do not.
+    "qt44_incremental_dedup" -> ((s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_work/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/qt44_idx"
+      Dedup.buildDigestIndex(
+        docs(s, dir).where(col("doc_id") < 300), "text", root)
+      Dedup.filterAgainstIndex(planted(s, dir), "text", root)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1081,6 +1095,11 @@ object TextQueries {
       JOIN sizes sa ON sa.source = s1
       JOIN sizes sb ON sb.source = s2
       ORDER BY s1, s2""",
+    "qt44_incremental_dedup" -> (P + """
+      , idx AS (SELECT DISTINCT text FROM documents WHERE doc_id < 300)
+      SELECT doc_id, md5(text) AS content_hash FROM corpus
+      WHERE text NOT IN (SELECT text FROM idx)
+      ORDER BY doc_id"""),
     "qt39_bigram_lm" -> """
       WITH toks AS (
         SELECT doc_id,

@@ -487,6 +487,20 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc10 == 0, vb)
     assert(vb.contains("n_types") && vb.contains("hapax_ratio"), vb)
     assert(vb.contains("bucket_lo") && vb.contains("pad_waste_pct"), vb)
+    // dedup --mode incremental: first run builds the index, second run
+    // reports everything as already seen and keeps the index current
+    val idxDir = s"${dir.getPath}/digest_idx"
+    val (rc11, inc1) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "incremental", "--index", idxDir)
+    assert(rc11 == 0, inc1)
+    assert(inc1.contains("index created") && inc1.contains("all rows new"),
+      inc1)
+    val (rc12, inc2) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "incremental", "--index", idxDir)
+    assert(rc12 == 0, inc2)
+    assert(inc2.contains("0 new vs index"), inc2)
     // retention: age out the first two notes (before 10:02), keep two
     val (rc5, ret) = cli(dir, "retention", "notes",
       "--older-than", "2024-05-01T10:02:00")

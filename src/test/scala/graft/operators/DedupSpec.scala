@@ -141,4 +141,28 @@ class DedupSpec extends AnyFunSuite with SparkTest {
         r.getAs[Double]("dirty_frac"))).toSet
     assert(got === Set((1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0)))
   }
+
+  test("digest index: build, filter, append accumulates across batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_didx").toFile.getPath + "/idx"
+    val batch1 = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    Dedup.buildDigestIndex(batch1, "text", dir)
+    // batch 2: one re-send of "alpha", one new row
+    val batch2 = Seq((3L, "alpha"), (4L, "gamma")).toDF("id", "text")
+    val fresh2 = Dedup.filterAgainstIndex(batch2, "text", dir)
+      .select("id").as[Long].collect().toSet
+    assert(fresh2 == Set(4L))
+    Dedup.appendToDigestIndex(
+      batch2.where($"id" === 4L), "text", dir)
+    // batch 3 re-sends rows from BOTH earlier batches
+    val batch3 = Seq((5L, "beta"), (6L, "gamma"), (7L, "delta"))
+      .toDF("id", "text")
+    val fresh3 = Dedup.filterAgainstIndex(batch3, "text", dir)
+      .select("id").as[Long].collect().toSet
+    assert(fresh3 == Set(7L))
+    // the index stores digests only — one 32-char hex column
+    val idx = spark.read.parquet(dir)
+    assert(idx.columns.toSeq == Seq("content_hash"))
+    assert(idx.count() == 3)
+  }
 }
