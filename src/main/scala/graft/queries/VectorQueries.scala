@@ -364,6 +364,28 @@ object VectorQueries {
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.mmrDiversify(q, c, k = 5, lam = 0.5, pool = 20)
         .orderBy("qid", "pick")
+    }),
+
+    // Cross-surface semantic filter: select documents by embedding
+    // cosine against a probe vector (vec_id 0's embedding, broadcast
+    // as the accepted 1-row pattern), then join BACK to the text table
+    // for the text-side fields — the retrieve-then-read integration
+    // every RAG/curation pipeline runs. Map-side scoring (codegen'd
+    // dot), equi-join on id; the oracle replays with a scalar-subquery
+    // probe.
+    "qe21_semantic_filter" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probe = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("pvec"))
+      val scored = e.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("pvec")), 4)
+            .as("sim"))
+        .where(col("sim") >= 0.2 && col("vec_id") =!= 0)
+      scored.join(graft.Tables.load(s, dir, "documents"),
+          scored("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("sim"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -390,6 +412,19 @@ object VectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "qe21_semantic_filter" -> """
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      s AS (SELECT vec_id,
+              round(list_cosine_similarity(v, (SELECT pv FROM p)), 4)
+                AS sim
+            FROM e)
+      SELECT d.doc_id, s.sim, d.lang, d.n_chars
+      FROM s JOIN documents d ON d.doc_id = s.vec_id
+      WHERE s.sim >= 0.2 AND s.vec_id <> 0
+      ORDER BY d.doc_id""",
     "qe20_mmr_diversify" -> ("""
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

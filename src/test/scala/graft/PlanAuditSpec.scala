@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt39_bigram_lm", "qe16_truncated_rerank", "qe17_ood_distance",
     "qt40_nb_quality", "qe18_cluster_sample",
     "qt41_length_buckets", "qt42_vocab_growth", "qt43_source_overlap",
-    "qt44_incremental_dedup", "qe19_hard_negatives", "qe20_mmr_diversify")
+    "qt44_incremental_dedup", "qe19_hard_negatives", "qe20_mmr_diversify",
+    "qe21_semantic_filter")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
