@@ -200,6 +200,41 @@ object Dedup {
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
+  /** Per-document n-gram novelty: the fraction of a document's
+    * DISTINCT word n-grams that appear nowhere else in the corpus
+    * (corpus df = 1). The corpus-health twin of the dedup family —
+    * low novelty flags boilerplate/template documents that near-dup
+    * sketches may still miss, and the aggregate novelty distribution
+    * is the "how much of this crawl is actually new text" dashboard
+    * number a corpus curator reads first.
+    *
+    * Scale shape: the (id, gram-hash) postings projection is evaluated
+    * twice — once under the map-side-combined df aggregate (whose
+    * output is VOCABULARY-sized), once as the probe side of the join —
+    * both as streaming map-side passes over the scan, the same
+    * two-evaluation trade [[substringDedup]] documents (persisting the
+    * exploded postings would cost k× the corpus in storage; re-running
+    * a codegen'd split+hash projection is cheaper at any scale; pinned
+    * at 2 scans by PlanAuditSpec). The join keys the vocabulary-sized
+    * aggregate against the postings on the gram hash, and the final
+    * per-doc aggregate shuffles id-keyed counts only. No all-pairs
+    * join at any point, so the plan survives corpus scale unchanged.
+    */
+  def noveltyScore(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+  }
+
   /** MinHash signatures: (id, sig Array[Long](numHashes)). One scan,
     * one partial-aggregated shuffle of fixed-size buffers.
     */

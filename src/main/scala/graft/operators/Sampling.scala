@@ -158,6 +158,67 @@ object Sampling {
     sampled.drop("__es")
   }
 
+  /** Per-group document cap — the RefinedWeb/C4 "host-level cap" step:
+    * no single domain (source, site, license bucket, …) may contribute
+    * more than `n` documents, keeping the best ones by `order`. This is
+    * the anti-monoculture gate web-corpus pipelines run after dedup:
+    * without it one boilerplate-heavy host dominates the mixture.
+    *
+    * Scale shape: `row_number <= n` over a groupKeys-partitioned
+    * window compiles to WindowGroupLimit (Spark 3.5+) — per-mapper
+    * partial top-n BEFORE the shuffle, so per-task state is n-bounded
+    * even when one domain holds billions of rows; the shuffle carries
+    * at most n·mappers rows per group, never the full group. Pinned by
+    * PlanAuditSpec alongside [[weightedSample]]'s grouped path.
+    *
+    * Determinism: callers pass a total `order` (score desc + id
+    * tiebreak) so the kept set is oracle-reproducible.
+    *
+    * @param order total order within a group; FIRST rows are kept
+    * @return input rows that survive the cap, plus `rankCol` (1..n)
+    */
+  def groupCap(
+      df: DataFrame, groupKeys: Seq[String], order: Seq[Column], n: Int,
+      rankCol: String = "cap_rank"): DataFrame = {
+    require(n >= 1, s"groupCap: n must be >= 1, got $n")
+    require(groupKeys.nonEmpty, "groupCap: need at least one group key")
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .where(col(rankCol) <= n)
+  }
+
+  /** Epoch mixing with fractional repeats — the data-recipe step that
+    * realizes per-source epoch counts (public recipes: LLaMA's
+    * "Wikipedia 2.45 epochs, CommonCrawl 0.67 epochs" table): each row
+    * is replicated `floor(w)` times plus one more with probability
+    * `frac(w)`, where `w` comes from `weightCol` (typically a
+    * broadcast-joined per-source weight). The fractional coin is the
+    * same deterministic md5 unit as the samplers — membership of the
+    * extra copy is a pure function of (id), so the realized corpus is
+    * reproducible across engines, retries, and incremental growth.
+    *
+    * Scale shape: a codegen'd projection (copies column) plus
+    * `explode(sequence(1, copies))` — per-row fan-out bounded by
+    * ceil(w), no shuffle introduced; rows with copies = 0 are filtered
+    * before the explode. Downstream shuffling (the corpus shuffle
+    * before sharding) treats each copy as an independent row via the
+    * `epoch_copy` index.
+    *
+    * @return one row per realized copy, with `epoch_copy` (1-based)
+    */
+  def epochMix(
+      df: DataFrame, idCol: String, weightCol: String,
+      copyCol: String = "epoch_copy"): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val copies = (floor(w) +
+      when(hashUnit(col(idCol)) < (w - floor(w)), 1).otherwise(0))
+      .cast("int")
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Deterministic global corpus shuffle — the "randomize training
     * order" step every pretraining pipeline runs before sharding.
     * Each row gets `shuffle_pos`: its 1-based position in the

@@ -218,6 +218,39 @@ object Similarity {
       .select(col("qid"), col(labelCol).as("pred_label"), col("n_votes"))
   }
 
+  /** Retrieval-quality evaluation: recall@k of an approximate
+    * retriever against exact ground truth. The standard ANN yardstick
+    * (every FAISS/ScaNN paper reports it); running it INSIDE the engine
+    * is what makes index tuning (nprobe, prefix dims, LSH tables) a
+    * measured decision instead of a guess. Beyond-reference.
+    *
+    * Both inputs are (qid, cid) result sets, one row per returned
+    * neighbor, ranks already cut to k. Per query:
+    * `n_hit = |approx ∩ exact|`, `recall = n_hit / |exact|`.
+    *
+    * Scale shape: both sides are |Q|·k rows — metadata-sized relative
+    * to the corpus that produced them, so the inner join and the
+    * per-qid aggregate are trivially partitioned by qid with map-side
+    * combine; the expensive work (the retrieval itself) already
+    * happened upstream. A LEFT join from exact keeps queries the
+    * approximate side missed entirely (n_hit = 0), so a total recall
+    * miss cannot silently drop the row.
+    *
+    * @param exact  ground-truth neighbors (qid, cid), the denominator
+    * @param approx approximate neighbors (qid, cid)
+    * @return (qid, n_exact, n_hit, recall) — recall rounded to 4dp
+    */
+  def retrievalRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("qid"), col("cid"))
+    val a = approx.select(col("qid"), col("cid"), lit(1).as("__hit"))
+    e.join(a, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("__hit")).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings with [[KMeans]], score
     * pairwise cosine WITHIN each cluster only, and keep one

@@ -614,6 +614,85 @@ object TextQueries {
       Dedup.filterAgainstIndex(planted(s, dir), "text", root)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
         .orderBy("doc_id")
+    }),
+
+    // RefinedWeb-style per-domain cap: each (source, lang) stratum
+    // keeps its 3 longest documents (n_chars desc, doc_id tiebreak).
+    // WindowGroupLimit prunes to 3 per mapper before the shuffle —
+    // PlanAuditSpec pins it.
+    "qt45_domain_cap" -> ((s, dir) => {
+      graft.operators.Sampling.groupCap(docs(s, dir),
+          Seq("source", "lang"),
+          Seq(col("n_chars").desc, col("doc_id").asc), n = 3)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("cap_rank"))
+        .orderBy("source", "lang", "cap_rank")
+    }),
+
+    // Length-based curriculum order: global training positions sorted
+    // by length band (short documents first), pseudo-randomly shuffled
+    // within a band by md5 — integer-exact banding (n_chars div 200,
+    // capped at 4), global numbering via the two-pass DistributedRank
+    // (never a single-partition window).
+    "qt46_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        least(lit(4L), floor(col("n_chars") / 200)).as("band"),
+        substring(md5(concat(lit("cur:"), col("doc_id").cast("string"))),
+          1, 8).as("__hx"))
+      graft.operators.DistributedRank.withGlobalRowNumber(d,
+          Seq(col("band").asc, col("__hx").asc, col("doc_id").asc))
+        .select(col("doc_id"), col("band"), col("__rn").as("pos"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document 3-gram novelty: fraction of a doc's distinct grams
+    // that exist nowhere else in the corpus (df = 1). Two streaming
+    // map-side evaluations of the postings projection — the
+    // substringDedup trade, pinned at 2 scans by PlanAuditSpec.
+    "qt47_ngram_novelty" -> ((s, dir) => {
+      Dedup.noveltyScore(docs(s, dir), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Tokenizer fertility per language: BPE tokens per word and the
+    // corpus-level token counts, from the same 3-round learned
+    // tokenizer as qt35 — the "how expensive is each language to
+    // train on" report multilingual recipes start from.
+    "qt48_fertility" -> ((s, dir) => {
+      graft.operators.BpeEncode(docs(s, dir), "doc_id", "text",
+          rounds = 3)
+        .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"),
+          sum("n_tokens").as("n_tokens"),
+          round(sum("n_tokens").cast("double") / sum("n_words"), 4)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
+    // Epoch mixing with fractional repeats (LLaMA-recipe style):
+    // even-numbered sources run 1.5 epochs, odd 0.75 — copies =
+    // floor(w) + a deterministic md5 coin for the fraction. Reported
+    // as per-source realized expansion (dyadic weights make the coin
+    // threshold integer-exact in 32-bit hash space, so the oracle
+    // reproduces every copy decision).
+    "qt49_source_epochs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val weighted = d.withColumn("__w",
+        when(regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+          % 2 === 0, lit(1.5)).otherwise(lit(0.75)))
+      val mixed = graft.operators.Sampling.epochMix(
+        weighted, "doc_id", "__w")
+      val emitted = mixed.groupBy("source")
+        .agg(count(lit(1)).as("n_emitted"))
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(emitted, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+          round(coalesce(col("n_emitted"), lit(0L)).cast("double")
+            / col("n_docs"), 4).as("realized_ratio"))
+        .orderBy("source")
     })
   )
 
@@ -658,6 +737,66 @@ object TextQueries {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $t
       ORDER BY id_a, id_b"""
+
+  /** Shared BPE-tokenizer oracle CTEs (3 merge rounds, corpus-trained):
+    * `tok` = per-word token count under the learned merges, `dw` = the
+    * (doc_id, word) instance relation. qt35 aggregates per doc,
+    * qt48 per language.
+    */
+  private val bpeCtes = """
+      WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents)
+        WHERE w <> '' GROUP BY w),
+      v0 AS (SELECT w, chr(1) || chr(1) || array_to_string(
+               list_append(string_split(w, ''), '</w>'),
+               chr(1) || chr(1)) || chr(1) || chr(1) AS seq, freq
+             FROM words),
+      p1 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v0))
+             GROUP BY 1, 2),
+      t1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+      v1 AS (SELECT w, replace(seq,
+               chr(1) || t1.l || chr(1) || chr(1) || t1.r || chr(1),
+               chr(1) || t1.l || t1.r || chr(1)) AS seq, freq
+             FROM v0, t1),
+      p2 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v1))
+             GROUP BY 1, 2),
+      t2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+      v2 AS (SELECT w, replace(seq,
+               chr(1) || t2.l || chr(1) || chr(1) || t2.r || chr(1),
+               chr(1) || t2.l || t2.r || chr(1)) AS seq, freq
+             FROM v1, t2),
+      p3 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
+             FROM (SELECT freq, unnest(list_zip(
+                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                   FROM (SELECT freq, list_filter(
+                           string_split(seq, chr(1) || chr(1)),
+                           x -> x <> '') AS syms FROM v2))
+             GROUP BY 1, 2),
+      t3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1),
+      v3 AS (SELECT w, replace(seq,
+               chr(1) || t3.l || chr(1) || chr(1) || t3.r || chr(1),
+               chr(1) || t3.l || t3.r || chr(1)) AS seq
+             FROM v2, t3),
+      tok AS (SELECT w, len(list_filter(
+                string_split(seq, chr(1) || chr(1)),
+                x -> x <> '')) AS n_tok FROM v3),
+      dw AS (SELECT doc_id, w FROM (
+               SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS w
+               FROM documents)
+             WHERE w <> '')"""
 
   val oracle: Map[String, String] = Map(
     "qt15_seq_pack" -> """
@@ -1266,66 +1405,75 @@ object TextQueries {
             UNION ALL
             SELECT 3, l, r, n FROM t3)
       ORDER BY merge_rank""",
-    "qt35_bpe_encode" -> """
-      WITH words AS (
-        SELECT w, count(*) AS freq FROM (
-          SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
-          FROM documents)
-        WHERE w <> '' GROUP BY w),
-      v0 AS (SELECT w, chr(1) || chr(1) || array_to_string(
-               list_append(string_split(w, ''), '</w>'),
-               chr(1) || chr(1)) || chr(1) || chr(1) AS seq, freq
-             FROM words),
-      p1 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
-             FROM (SELECT freq, unnest(list_zip(
-                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
-                   FROM (SELECT freq, list_filter(
-                           string_split(seq, chr(1) || chr(1)),
-                           x -> x <> '') AS syms FROM v0))
-             GROUP BY 1, 2),
-      t1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
-      v1 AS (SELECT w, replace(seq,
-               chr(1) || t1.l || chr(1) || chr(1) || t1.r || chr(1),
-               chr(1) || t1.l || t1.r || chr(1)) AS seq, freq
-             FROM v0, t1),
-      p2 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
-             FROM (SELECT freq, unnest(list_zip(
-                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
-                   FROM (SELECT freq, list_filter(
-                           string_split(seq, chr(1) || chr(1)),
-                           x -> x <> '') AS syms FROM v1))
-             GROUP BY 1, 2),
-      t2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
-      v2 AS (SELECT w, replace(seq,
-               chr(1) || t2.l || chr(1) || chr(1) || t2.r || chr(1),
-               chr(1) || t2.l || t2.r || chr(1)) AS seq, freq
-             FROM v1, t2),
-      p3 AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS n
-             FROM (SELECT freq, unnest(list_zip(
-                     syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
-                   FROM (SELECT freq, list_filter(
-                           string_split(seq, chr(1) || chr(1)),
-                           x -> x <> '') AS syms FROM v2))
-             GROUP BY 1, 2),
-      t3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1),
-      v3 AS (SELECT w, replace(seq,
-               chr(1) || t3.l || chr(1) || chr(1) || t3.r || chr(1),
-               chr(1) || t3.l || t3.r || chr(1)) AS seq
-             FROM v2, t3),
-      tok AS (SELECT w, len(list_filter(
-                string_split(seq, chr(1) || chr(1)),
-                x -> x <> '')) AS n_tok FROM v3),
-      dw AS (SELECT doc_id, w FROM (
-               SELECT doc_id,
-                 unnest(string_split_regex(trim(text), '\s+')) AS w
-               FROM documents)
-             WHERE w <> '')
+    "qt45_domain_cap" -> """
+      WITH r AS (SELECT doc_id, source, lang, n_chars,
+               cast(row_number() OVER (PARTITION BY source, lang
+                 ORDER BY n_chars DESC, doc_id) AS int) AS cap_rank
+             FROM documents)
+      SELECT doc_id, source, lang, n_chars, cap_rank
+      FROM r WHERE cap_rank <= 3
+      ORDER BY source, lang, cap_rank""",
+    "qt46_curriculum" -> """
+      WITH b AS (SELECT doc_id,
+               least(4, n_chars // 200) AS band,
+               substr(md5('cur:' || cast(doc_id AS varchar)), 1, 8) AS hx
+             FROM documents)
+      SELECT doc_id, band,
+             row_number() OVER (ORDER BY band, hx, doc_id) AS pos
+      FROM b ORDER BY doc_id""",
+    "qt47_ngram_novelty" -> """
+      WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+                    FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+      SELECT doc_id,
+             count(*) AS n_grams,
+             cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS bigint) AS n_novel,
+             round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 4) AS novelty
+      FROM grams JOIN dfreq USING (g)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+    "qt48_fertility" -> (bpeCtes + """
+      , per AS (SELECT doc_id, count(*) AS n_words, sum(n_tok) AS n_tokens
+                FROM dw JOIN tok USING (w)
+                GROUP BY doc_id)
+      SELECT d.lang,
+             cast(sum(per.n_words) AS bigint) AS n_words,
+             cast(sum(per.n_tokens) AS bigint) AS n_tokens,
+             round(sum(per.n_tokens)::DOUBLE / sum(per.n_words), 4)
+               AS fertility
+      FROM per JOIN documents d USING (doc_id)
+      GROUP BY d.lang
+      ORDER BY d.lang"""),
+    "qt49_source_epochs" -> """
+      WITH h AS (SELECT doc_id, source,
+               substr(md5(cast(doc_id AS varchar)), 1, 8) AS hx,
+               CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS int)
+                 % 2 = 0 THEN 1.5 ELSE 0.75 END AS w
+             FROM documents),
+      c AS (SELECT source,
+              CAST(floor(w) AS int)
+              + (CASE WHEN hx < (CASE WHEN w = 1.5
+                   THEN '80000000' ELSE 'c0000000' END)
+                 THEN 1 ELSE 0 END) AS copies
+            FROM h)
+      SELECT source,
+             count(*) AS n_docs,
+             cast(sum(copies) AS bigint) AS n_emitted,
+             round(sum(copies)::DOUBLE / count(*), 4) AS realized_ratio
+      FROM c GROUP BY source
+      ORDER BY source""",
+    "qt35_bpe_encode" -> (bpeCtes + """
       SELECT doc_id,
              cast(count(*) AS bigint) AS n_words,
              cast(sum(n_tok) AS bigint) AS n_tokens
       FROM dw JOIN tok USING (w)
       GROUP BY doc_id
-      ORDER BY doc_id""",
+      ORDER BY doc_id"""),
     "qt31_quality_rules" -> """
       WITH w AS (SELECT doc_id, text,
                string_split_regex(trim(text), '\s+') AS words,

@@ -386,6 +386,26 @@ object VectorQueries {
           scored("vec_id") === col("doc_id"))
         .select(col("doc_id"), col("sim"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // Retrieval-quality harness: recall@10 of the Matryoshka
+    // truncated-prefix retriever (stage-1 on 8 of 64 dims, m=15
+    // survivors) against exact brute-force ground truth. The 8-dim
+    // prefix is deliberately harsh — it loses real neighbors at the
+    // survivor cut, so the recall column is a non-trivial measurement
+    // (not identically 1.0), yet fully deterministic: both retrievers
+    // round scores to 4dp and tiebreak on cid, so the oracle reproduces
+    // the exact survivor cut and the exact hit set.
+    "qe22_truncation_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val exact = Similarity.bruteForceKnn(q, c, k = 10)
+      val approx = Similarity.truncatedRerank(q, c, k = 10,
+        prefixDim = 8, m = 15)
+      Similarity.retrievalRecall(exact, approx)
+        .orderBy("qid")
     })
   )
 
@@ -412,6 +432,42 @@ object VectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "qe22_truncation_recall" -> """
+      WITH q AS (SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings),
+      s AS (SELECT qid, cid,
+              round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q, c WHERE qid <> cid),
+      exact AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, cid) AS rn
+                  FROM s) WHERE rn <= 10),
+      p AS (SELECT qid, cid,
+              round(list_cosine_similarity(
+                list_slice(qv, 1, 8), list_slice(cv, 1, 8)), 4) AS psim
+            FROM q, c WHERE qid <> cid),
+      surv AS (SELECT qid, cid FROM (
+                 SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                   ORDER BY psim DESC, cid) AS pr
+                 FROM p) WHERE pr <= 15),
+      rer AS (SELECT s2.qid, s2.cid,
+                round(list_cosine_similarity(q.qv, c.cv), 4) AS sim
+              FROM surv s2 JOIN q ON q.qid = s2.qid
+              JOIN c ON c.cid = s2.cid),
+      approx AS (SELECT qid, cid FROM (
+                   SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, cid) AS rn
+                   FROM rer) WHERE rn <= 10)
+      SELECT e.qid AS qid, count(*) AS n_exact, count(a.cid) AS n_hit,
+             round(count(a.cid)::DOUBLE / count(*), 4) AS recall
+      FROM exact e LEFT JOIN approx a
+        ON a.qid = e.qid AND a.cid = e.cid
+      GROUP BY e.qid
+      ORDER BY e.qid""",
     "qe21_semantic_filter" -> """
       WITH e AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

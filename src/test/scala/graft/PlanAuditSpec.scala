@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt40_nb_quality", "qe18_cluster_sample",
     "qt41_length_buckets", "qt42_vocab_growth", "qt43_source_overlap",
     "qt44_incremental_dedup", "qe19_hard_negatives", "qe20_mmr_diversify",
-    "qe21_semantic_filter")
+    "qe21_semantic_filter",
+    "qt45_domain_cap", "qt46_curriculum", "qt47_ngram_novelty",
+    "qt48_fertility", "qt49_source_epochs", "qe22_truncation_recall")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
@@ -185,6 +187,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       .queryExecution.executedPlan.toString
     val scans = plan.linesIterator.count(_.contains("FileScan"))
     assert(scans == 3, s"substringDedup plans $scans scans (expected 3):\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
+
+  test("noveltyScore plans two corpus evaluations, both map-side") {
+    // postings feed the vocabulary-sized df aggregate AND the probe
+    // join — two streaming evaluations of the codegen'd split+hash
+    // projection (the substringDedup trade). Pin the shape.
+    val plan = graft.operators.Dedup
+      .noveltyScore(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 2, s"noveltyScore plans $scans scans (expected 2):\n$plan")
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
 

@@ -165,4 +165,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(idx.columns.toSeq == Seq("content_hash"))
     assert(idx.count() == 3)
   }
+
+  test("noveltyScore: df=1 grams are novel, shared grams are not") {
+    // B and C are identical -> every gram of theirs has df >= 2 ->
+    // novelty 0.0; A shares no vocabulary -> all grams df=1 -> 1.0
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "one two three four five")).toDF("id", "text")
+    val got = Dedup.noveltyScore(df, "id", "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+  }
 }

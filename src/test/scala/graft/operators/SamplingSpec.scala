@@ -155,4 +155,51 @@ class SamplingSpec extends AnyFunSuite with SparkTest {
     val evalN = out.where(col("is_eval")).count()
     assert(math.abs(evalN - 5000.0) / 5000.0 < 0.07)
   }
+
+  test("groupCap keeps at most n best rows per group, ranked") {
+    val df = ids.limit(100)
+      .withColumn("g", (col("id") % 4).cast("string"))
+      .withColumn("score", col("id").cast("double"))
+    val got = Sampling.groupCap(df, Seq("g"),
+      Seq(col("score").desc, col("id")), n = 5)
+    val byG = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.values.forall(_ == 5L), s"cap violated: $byG")
+    // the kept rows are the HIGHEST scores of each group, rank 1..5
+    val g0 = got.where(col("g") === "0")
+      .select("id", "cap_rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g0 == Map(96L -> 1, 92L -> 2, 88L -> 3, 84L -> 4, 80L -> 5))
+    // plan: the rank filter compiles to WindowGroupLimit, so per-task
+    // state is n-bounded before the shuffle
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("epochMix: integer weights replicate exactly, fractions " +
+    "approximate, copies indexed and deterministic") {
+    val df = ids.limit(4000)
+      .withColumn("w", when(col("id") % 2 === 0, 2.0).otherwise(0.75))
+    val got = Sampling.epochMix(df, "id", "w")
+    // every even id appears exactly twice, with copies 1 and 2
+    val even = got.where(col("id") % 2 === 0)
+    assert(even.count() == 4000)
+    assert(even.groupBy("id").count().where(col("count") =!= 2)
+      .count() == 0)
+    assert(even.select("epoch_copy").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // odd ids (w = 0.75): each 0 or 1 copies, ~75% overall
+    val odd = got.where(col("id") % 2 === 1)
+    val oddN = odd.count()
+    assert(math.abs(oddN - 1500.0) / 1500.0 < 0.07, s"got $oddN of ~1500")
+    assert(odd.groupBy("id").count().where(col("count") =!= 1)
+      .count() == 0)
+    // deterministic under repartition: identical realized multiset
+    val again = Sampling.epochMix(df.repartition(11), "id", "w")
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = got.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first)
+  }
 }
