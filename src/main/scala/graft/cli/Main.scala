@@ -25,7 +25,8 @@ import graft.query.{Metaquery, Render, Views}
   *     (cmd/connect.go:94-173)
   *   - `compact [table]` (cmd/compact.go:25-50)
   *   - `partition list|show|delete` (cmd/partition.go:31-240)
-  *   - `table list|show` (cmd/table.go:22-126)
+  *   - `table list|show` (cmd/table.go:22-126) + `table diff`
+  *     (beyond-reference: metadata diff vs the last manifest snapshot)
   *   - `source list|show`, `format list|show` (cmd/source.go,
   *     cmd/format.go)
   *
@@ -220,6 +221,8 @@ object Main {
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
+      |table:    graft table list | show <name> | diff <name>
+      |          (diff: file add/remove/change vs the last snapshot)
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -1216,8 +1219,33 @@ object Main {
         val t = opts.positional.lift(1).getOrElse(
           throw new IllegalArgumentException("table show requires a name"))
         out.println(Metaquery.inspectSchema(spark, lake, t))
+      case Some("diff") =>
+        // metadata diff vs the last manifest snapshot (the one vacuum
+        // --backup / collect records): file-level add/remove/change
+        // counts, then the changed files themselves
+        val t = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("table diff requires a name"))
+        val d = graft.lake.Maintenance.snapshotDiff(spark, lake, t)
+          .where(org.apache.spark.sql.functions.col("status")
+            =!= "unchanged")
+          .orderBy("status", "file")
+          .collect() // metadata-sized: one row per changed FILE
+        val counts = d.groupBy(_.getAs[String]("status"))
+          .view.mapValues(_.length).toMap
+        out.println(
+          s"added=${counts.getOrElse("added", 0)} " +
+            s"removed=${counts.getOrElse("removed", 0)} " +
+            s"changed=${counts.getOrElse("changed", 0)}")
+        val rows = Seq("File", "Status", "Old Rows", "New Rows") +:
+          d.toSeq.map(r => Seq(
+            lake.relOf(t, r.getAs[String]("file")),
+            r.getAs[String]("status"),
+            Option(r.get(2)).map(_.toString).getOrElse("-"),
+            Option(r.get(3)).map(_.toString).getOrElse("-")))
+        if (d.nonEmpty)
+          out.println(Render.renderTable(rows, headerRow = true))
       case other => throw new IllegalArgumentException(
-        s"table: expected list|show, got ${other.getOrElse("nothing")}")
+        s"table: expected list|show|diff, got ${other.getOrElse("nothing")}")
     }
 
   private def sourceCmd(

@@ -410,11 +410,76 @@ object Maintenance {
         fs.delete(dst, true) // same-second re-backup: replace
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
           /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+        // record the LIVE file set at snapshot time: the manifest is
+        // append-only (superseded rows linger), so the diff needs this
+        // listing to tell "removed since snapshot" from "was already
+        // dead at snapshot time". Underscore-prefixed name keeps it
+        // invisible to the parquet reader if the dir is ever replayed
+        // over _graft_manifest by restore.
+        val live = lake.dataFiles(spark, table)
+        val out = fs.create(new Path(dst, "_live_files"), true)
+        try out.write(live.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
         listBackups(fs, lake, table).filter(_.getName != dst.getName)
           .foreach(p => fs.delete(p, true))
         Some(dst.toUri.getPath)
       }
     }
+
+  /** What changed since the last manifest snapshot — the metadata diff
+    * a curator reads before trusting an incremental export ("did this
+    * collect add what I think it added, and did retention remove more
+    * than it should?"). One row per data file with its row count on
+    * each side:
+    *
+    *  - `added`     — live now, not live at snapshot time
+    *  - `removed`   — live at snapshot time, gone now
+    *  - `changed`   — live on both sides but the manifest row count
+    *                  differs (a swap reused the file name)
+    *  - `unchanged` — live on both sides, same stats
+    *
+    * Snapshot-side liveness comes from the `_live_files` listing the
+    * backup records (not from the append-only manifest, whose
+    * superseded rows would misreport files already dead at snapshot
+    * time as "removed"). Pre-listing backups (no `_live_files`) fall
+    * back to the reconciled manifest content, documented fuzziness.
+    *
+    * Everything here is metadata-sized (one row per file on each
+    * side), so the full-outer join is trivial at any table size.
+    *
+    * @return (file, status, old_rows, new_rows)
+    */
+  def snapshotDiff(
+      spark: SparkSession, lake: Lake, table: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tdir = new Path(lake.tableDir(table))
+    val fs = tdir.getFileSystem(conf)
+    val backup = listBackups(fs, lake, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest backup to diff against for table '$table'"))
+    import spark.implicits._
+    val snapStats = spark.read.parquet(backup.toString)
+      .groupBy("file")
+      .agg(max_by(col("rows"), col("seq")).as("old_rows"))
+    val liveList = new Path(backup, "_live_files")
+    val old =
+      if (fs.exists(liveList)) {
+        val in = fs.open(liveList)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        val files = txt.split("\n").toSeq.filter(_.nonEmpty)
+        snapStats.join(files.toDF("file"), Seq("file"), "left_semi")
+      } else snapStats
+    val cur = lake.fileStats(spark, table)
+      .select(col("file"), col("rows").as("new_rows"))
+    old.join(cur, Seq("file"), "full_outer")
+      .select(col("file"),
+        when(col("old_rows").isNull, "added")
+          .when(col("new_rows").isNull, "removed")
+          .when(col("old_rows") =!= col("new_rows"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_rows"), col("new_rows"))
+  }
 
   /** Replay the newest manifest snapshot over a lost/corrupt manifest —
     * file stats come back without re-scanning the data (the restore

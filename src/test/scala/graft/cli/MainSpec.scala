@@ -223,6 +223,41 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(spark.sql("select count(*) from access_log").head().getLong(0) == 2)
   }
 
+  test("table diff reports what the last collect changed") {
+    val dir = Files.createTempDirectory("graft_cli_diff").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/access_log.csv"),
+      new String(Files.readAllBytes(
+        new File(root, "logs/access_log.csv").toPath), "UTF-8"))
+    write(new File(dir, "config/access.tpc"),
+      new String(Files.readAllBytes(
+        new File(root, "config/access.tpc").toPath), "UTF-8")
+        .replace(root.getPath, dir.getPath))
+
+    cli(dir, "collect", "access_log.local")
+    // second collect: the pre-collect snapshot captures state after
+    // collect #1; a new row lands a new file
+    val f = new File(dir, "logs/access_log.csv")
+    write(f, new String(Files.readAllBytes(f.toPath), "UTF-8") +
+      "2024-05-02T09:00:00Z,172.16.0.9,\"curl/8.1\",500\n")
+    cli(dir, "collect", "access_log.local")
+
+    val (rc, out) = cli(dir, "table", "diff", "access_log")
+    assert(rc == 0, out)
+    // the incremental collect lands the merged partition as a NEW file
+    // replacing the old one: one added (4 rows), one removed (3 rows)
+    assert(out.linesIterator.next() == "added=1 removed=1 changed=0", out)
+    val lines = out.linesIterator.toSeq
+    assert(lines.exists(l => l.contains("| added") && l.contains("| 4 ")),
+      out)
+    assert(lines.exists(l => l.contains("| removed") && l.contains("| 3 ")),
+      out)
+    // diff against a table with no snapshot errors cleanly
+    val (rc2, out2) = cli(dir, "table", "diff", "nope")
+    assert(rc2 == 1 && out2.contains("no manifest backup"), out2)
+  }
+
   test("collection state makes repeated collect incremental; --overwrite re-collects") {
     val dir = Files.createTempDirectory("graft_cli_state").toFile
     new File(dir, "config").mkdirs()

@@ -462,6 +462,37 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "t").count() == 10)
   }
 
+  test("snapshotDiff reports added/removed/changed files vs the last snapshot") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(30))
+    assert(Maintenance.backupManifest(spark, lake, "t").isDefined)
+    val before = lake.dataFiles(spark, "t").toSet
+
+    // mutate: drop one file's worth of data (delete a file directly —
+    // the diff works from listings, not from any delete API), append
+    // a new batch
+    val conf = spark.sparkContext.hadoopConfiguration
+    val victim = new org.apache.hadoop.fs.Path(before.head)
+    victim.getFileSystem(conf).delete(victim, false)
+    lake.append(spark, "t", sampleBatch(10))
+
+    val d = Maintenance.snapshotDiff(spark, lake, "t").collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[String]("status"))
+      .toMap
+    assert(d(before.head) == "removed")
+    val added = d.filter(_._2 == "added").keySet
+    assert(added.nonEmpty && added.forall(!before.contains(_)))
+    assert((d.keySet -- added - before.head)
+      .forall(f => d(f) == "unchanged"))
+    // snapshot-time liveness comes from the recorded _live_files
+    // listing, so the diff is exact, not manifest-history-fuzzy
+    val backupDirs = victim.getFileSystem(conf)
+      .listStatus(new org.apache.hadoop.fs.Path(lake.tableDir("t")))
+      .map(_.getPath).filter(_.getName.startsWith("_graft_manifest_backup_"))
+    assert(backupDirs.exists(p => victim.getFileSystem(conf)
+      .exists(new org.apache.hadoop.fs.Path(p, "_live_files"))))
+  }
+
   test("reindex migrates tp_index to the newly-configured column, moving partition dirs") {
     val lake = newLake()
     // collected under tp_index = idx (values 0/1/2); the raw rows also
