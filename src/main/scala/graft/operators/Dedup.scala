@@ -75,10 +75,18 @@ object Dedup {
       .option("parquet.bloom.filter.enabled#content_hash", "true")
       .parquet(path)
 
-  /** Rows of `batch` whose content digest is NOT in the index. */
+  /** Rows of `batch` whose content digest is NOT in the index. A
+    * missing index (first batch of a fresh stream) means nothing has
+    * been accepted yet — every row passes.
+    */
   def filterAgainstIndex(
       batch: DataFrame, textCol: String, path: String): DataFrame = {
-    val idx = batch.sparkSession.read.parquet(path)
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(p)
+    if (!exists) return batch
+    val idx = spark.read.parquet(path)
       .select(col("content_hash").as("__seen"))
     batch.join(idx, md5(col(textCol)) === col("__seen"), "left_anti")
   }

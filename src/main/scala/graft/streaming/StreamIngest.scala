@@ -169,6 +169,63 @@ object StreamIngest {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** One micro-batch of the incremental-dedup ingest: probe the
+    * persisted digest index, collapse within-batch repeats to the
+    * min-id row (Dedup.exact semantics), land survivors under a
+    * batch-id partition, then index their digests. Public so batch
+    * callers (and the spec) can drive it without a streaming query.
+    *
+    * Crash-safety is ordering + idempotence, not transactions:
+    * survivors are written FIRST with dynamic partition overwrite on
+    * `__batch_id` (a replay rewrites the same directory, never
+    * duplicates it), digests are appended LAST (set semantics — a
+    * replayed append is harmless). A crash between the two replays
+    * the batch: the anti-join result is deterministic, so the rewrite
+    * is byte-equivalent and the index append completes the pair.
+    */
+  def incrementalDedupBatch(
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      indexPath: String, outPath: String): Unit = {
+    val cols = batch.columns
+    val fresh = graft.operators.Dedup
+      .filterAgainstIndex(batch, textCol, indexPath)
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
+      // two consumers below (data write + index append); micro-batches
+      // are bounded, so pinning the anti-join result is cheap and keeps
+      // the two writes seeing the identical row set
+      .localCheckpoint()
+    fresh.withColumn("__batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(outPath)
+    graft.operators.Dedup.appendToDigestIndex(fresh, textCol, indexPath)
+  }
+
+  /** Streaming incremental dedup against the PERSISTED digest index —
+    * the streaming twin of `dedup --mode incremental` (qt44), for the
+    * history [[streamingDedup]] cannot hold: watermark state bounds
+    * dedup to a time horizon, while the digest index is the unbounded
+    * "everything ever accepted" set, living as bloom-filtered parquet
+    * on disk instead of in stream state. Each micro-batch pays one
+    * index probe (anti-join; AQE broadcasts the batch side) — the
+    * index grows with accepted rows only, 32 bytes per digest.
+    */
+  def incrementalDedupSink(
+      stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalDedupBatch(
+          batch, batchId, idCol, textCol, indexPath, outPath)
+      }
+      .start()
+
   /** Emitted near-duplicate candidate: `doc_id` collided with the
     * bucket's canonical `dup_of` document on fingerprint `fp`.
     */

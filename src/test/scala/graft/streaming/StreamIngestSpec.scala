@@ -308,4 +308,31 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     val u2 = rows.find(_.getString(0) == "u2").get
     assert(u2.getLong(3) == 1 && u2.getDouble(4) == 0.0)
   }
+
+  test("incremental dedup sink: digest index spans micro-batches, " +
+    "within-batch repeats keep the min id") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inc_dedup").toString
+    val (idx, out, ckpt) = (s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamIngest.incrementalDedupSink(
+      in.toDF().toDF("id", "text"), "id", "text", idx, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    // batch 1: "a" repeats within the batch -> min id 1 survives
+    in.addData(1L -> "a", 2L -> "a", 3L -> "b")
+    q.processAllAvailable()
+    // batch 2: "a" re-sent across batches -> dropped by the index;
+    // "c" is new
+    in.addData(4L -> "a", 5L -> "c")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L))
+    // the index holds exactly the accepted digest set
+    assert(spark.read.parquet(idx).distinct().count() == 3)
+  }
 }
