@@ -211,6 +211,8 @@ object Main {
       |          [--classify-column COL --classify-seeds v1,v2
       |           [--classify-min ODDS]]
       |          [--buckets head,middle,tail]
+      |          [--domain-column COL [--domain-cap N]
+      |           [--epochs dom1=1.5,dom2=0.75]]
       |sessions: graft sessions <table> --user-column COL
       |          [--ts-column COL] [--gap SECONDS] [--value-column COL]
       |index:    graft index build <table> <dir> --id-column COL
@@ -420,6 +422,53 @@ object Main {
         val b = Perplexity.buckets(withLang, idCol, textCol, "__lang")
         d.join(b.where(col("bucket").isin(keep.toSeq: _*)).select(col(idCol)),
           Seq(idCol), "left_semi")
+      }
+    }
+    // anti-monoculture gate (RefinedWeb host-cap, qt45): at most N
+    // docs per domain value, keeping the longest (text length desc,
+    // id tiebreak — deterministic)
+    opts.flag("domain-cap").foreach { nStr =>
+      val cap = nStr.toInt
+      val domCol = opts.flag("domain-column").getOrElse(
+        throw new IllegalArgumentException(
+          "curate: --domain-cap requires --domain-column COL"))
+      require(df.columns.contains(domCol),
+        s"curate: column '$domCol' not found in $table " +
+          s"(columns: ${df.columns.mkString(", ")})")
+      stage(s"domain-cap ($domCol <= $cap)") { d =>
+        graft.operators.Sampling.groupCap(d, Seq(domCol),
+          Seq(org.apache.spark.sql.functions.length(col(textCol)).desc,
+            col(idCol).asc), cap)
+          .drop("cap_rank")
+      }
+    }
+    // epoch mixing (qt49): replicate rows per-domain by fractional
+    // epoch weights ("src1=1.5,src2=0.75"; unlisted domains 1.0) as
+    // the LAST stage — the written corpus is the realized mixture,
+    // each copy tagged with epoch_copy
+    opts.flag("epochs").foreach { spec =>
+      val domCol = opts.flag("domain-column").getOrElse(
+        throw new IllegalArgumentException(
+          "curate: --epochs requires --domain-column COL"))
+      require(df.columns.contains(domCol),
+        s"curate: column '$domCol' not found in $table " +
+          s"(columns: ${df.columns.mkString(", ")})")
+      val weights = spec.split(',').map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> v.toDouble
+        }.toMap
+      stage(s"epochs (${weights.map { case (k, v) => s"$k=$v" }
+          .toSeq.sorted.mkString(",")})") { d =>
+        val w = weights.foldLeft(
+          org.apache.spark.sql.functions.lit(1.0)) {
+          case (acc, (k, v)) =>
+            org.apache.spark.sql.functions
+              .when(col(domCol) === k, v).otherwise(acc)
+        }
+        graft.operators.Sampling.epochMix(
+          d.withColumn("__epoch_w", w), idCol, "__epoch_w")
+          .drop("__epoch_w")
       }
     }
     df.write.mode("overwrite").parquet(outDir)

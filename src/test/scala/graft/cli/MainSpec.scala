@@ -640,6 +640,42 @@ class MainSpec extends AnyFunSuite with SparkTest {
       "--id-column", "note_id", "--text-column", "note",
       "--classify-seeds", "x")
     assert(rc6 == 1 && rep6.contains("--classify-column"), rep6)
+
+    // domain cap: every note shares tp_partition="local" — cap 2 keeps
+    // the 2 longest texts (note 3's longer tail at 78 chars, then
+    // note 4 at 67; the 66-char fox twins lose)
+    val out7 = new File(dir, "curated7").getPath
+    val (rc7, rep7) = cli(dir, "curate", "notes", out7,
+      "--id-column", "note_id", "--text-column", "note",
+      "--gates", "none", "--dedup", "none",
+      "--domain-column", "tp_partition", "--domain-cap", "2")
+    assert(rc7 == 0, rep7)
+    assert(rep7.contains("domain-cap (tp_partition <= 2): 4 -> 2"), rep7)
+    val ids7 = spark.read.parquet(out7)
+      .select("note_id").collect().map(_.getLong(0)).toSet
+    assert(ids7 === Set(3L, 4L))
+    // epoch mixing: 1.5 epochs of the one domain -> floor 1 copy per
+    // doc plus an md5 coin for the half — deterministic, so the count
+    // is stable; every emitted row carries epoch_copy
+    val out8 = new File(dir, "curated8").getPath
+    val (rc8, rep8) = cli(dir, "curate", "notes", out8,
+      "--id-column", "note_id", "--text-column", "note",
+      "--gates", "none", "--dedup", "none",
+      "--domain-column", "tp_partition", "--epochs", "local=1.5")
+    assert(rc8 == 0, rep8)
+    assert(rep8.contains("epochs (local=1.5): 4 -> "), rep8)
+    val mixed = spark.read.parquet(out8)
+    assert(mixed.columns.contains("epoch_copy"))
+    val n8 = mixed.count()
+    assert(n8 >= 4 && n8 <= 8, s"realized $n8 of 4 docs at 1.5 epochs")
+    // every original doc is represented at least once
+    assert(mixed.select("note_id").distinct().count() == 4)
+    // --domain-cap without --domain-column fails loudly
+    val (rc9, rep9) = cli(dir, "curate", "notes",
+      new File(dir, "curated9").getPath,
+      "--id-column", "note_id", "--text-column", "note",
+      "--domain-cap", "2")
+    assert(rc9 == 1 && rep9.contains("--domain-column"), rep9)
   }
 
   test("sessions reports gap-based visits over a collected table") {
