@@ -62,8 +62,9 @@ final class Repl(
     */
   def complete(prefix: String): Seq[String] = {
     val p = prefix.toLowerCase
-    val dots = Seq(".autocomplete", ".clear", ".exit", ".header", ".help",
-      ".inspect", ".multi", ".output", ".quit", ".separator")
+    val dots = Seq(".autocomplete", ".clear", ".exit", ".explain",
+      ".header", ".help", ".inspect", ".multi", ".output", ".quit",
+      ".separator")
     val keywords = Seq("select", "from", "where", "group by", "order by",
       "limit", "join", "left join", "inner join", "union", "with",
       "having", "distinct", "count", "sum", "min", "max", "avg")

@@ -63,6 +63,10 @@ object Metaquery {
         require(args.length <= 1, ".inspect takes at most one argument")
         if (args.isEmpty) inspectTables(spark, lake, config)
         else inspectSchema(spark, lake, args.head)
+      case ".explain" =>
+        val sql = line.trim.stripPrefix(".explain").trim
+        require(sql.nonEmpty, ".explain requires a SQL statement")
+        explain(spark, sql)
       case other =>
         throw new IllegalArgumentException(s"unknown command '$other'")
     }
@@ -121,6 +125,41 @@ object Metaquery {
     * ONLY — `spark.sql(q).schema` resolves the plan without running a
     * job; column types come back in engine vocabulary.
     */
+  /** `.explain <sql>` — the physical plan plus scale-antipattern
+    * warnings. The warnings encode the plan-audit rules this engine
+    * holds its own operators to (PlanAuditSpec): the same analysis a
+    * user needs before pointing an ad-hoc query at a 100 TB table.
+    * Beyond-reference (the reference delegates EXPLAIN to DuckDB
+    * verbatim; here the plan is Spark's, and the audit is the point).
+    */
+  def explain(spark: SparkSession, query: String): String = {
+    val plan = spark.sql(query.trim.stripSuffix(";"))
+      .queryExecution.executedPlan.toString.stripLineEnd
+    val warnings = planWarnings(plan)
+    if (warnings.isEmpty) plan
+    else plan + "\n" + warnings.map("WARNING: " + _).mkString("\n")
+  }
+
+  /** Scale-antipattern scan of a physical-plan string. Each rule names
+    * the operator, why it dies at scale, and the rewrite.
+    */
+  def planWarnings(plan: String): Seq[String] = {
+    val w = Seq.newBuilder[String]
+    if (plan.contains("CartesianProduct"))
+      w += ("CartesianProduct joins every row pair — quadratic work " +
+        "and no pruning; add an equality predicate (equi-join) or " +
+        "broadcast() a provably small side")
+    if (plan.contains("Window") && plan.contains("Exchange SinglePartition"))
+      w += ("window without PARTITION BY shuffles ALL rows into one " +
+        "task; partition the window, or use a two-pass global rank " +
+        "for whole-table numbering")
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      w += ("BroadcastNestedLoopJoin evaluates a non-equi predicate " +
+        "per row pair — acceptable only when the broadcast side is " +
+        "tiny; consider bucketing the predicate into an equi-join key")
+    w.result()
+  }
+
   def describe(spark: SparkSession, query: String): Seq[(String, String)] = {
     val clean = query.trim.stripSuffix(";")
     spark.sql(clean).schema.fields.toSeq
@@ -132,6 +171,7 @@ object Metaquery {
       |  .autocomplete   Enable or disable auto-completion: on, off
       |  .clear          Clear the console
       |  .exit           Exit from the terminal
+      |  .explain        Show the physical plan + scale warnings for a query
       |  .header         Enable or disable column headers: on, off
       |  .help           Show help
       |  .inspect        View tables & column information

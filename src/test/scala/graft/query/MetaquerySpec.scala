@@ -71,4 +71,29 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](
       Metaquery.handle(spark, lake, st, ".bogus"))
   }
+
+  test(".explain prints the physical plan; clean queries get no warnings") {
+    Views.register(spark, lake, Views.Filters())
+    val st = Metaquery.QueryState()
+    val out = Metaquery.handle(spark, lake, st,
+      ".explain select region, count(*) from metrics group by region")
+    assert(out.contains("HashAggregate"), out)
+    assert(!out.contains("WARNING"), out)
+  }
+
+  test(".explain flags cartesian joins and single-partition windows") {
+    Views.register(spark, lake, Views.Filters())
+    val st = Metaquery.QueryState()
+    val cart = Metaquery.handle(spark, lake, st,
+      ".explain select * from metrics a, metrics b where a.score < b.score")
+    // plans CartesianProduct or BroadcastNestedLoopJoin depending on
+    // size estimates — both are per-row-pair shapes and both warn
+    assert(cart.contains("WARNING") && cart.contains("row pair"), cart)
+    val win = Metaquery.handle(spark, lake, st,
+      ".explain select id, row_number() over (order by id) rn from metrics")
+    assert(win.contains("WARNING") && win.contains("PARTITION BY"), win)
+    // the empty statement errors loudly
+    intercept[IllegalArgumentException](
+      Metaquery.handle(spark, lake, st, ".explain"))
+  }
 }
