@@ -177,6 +177,7 @@ object Main {
         case Some("curate")    => curateCmd(spark, lake, opts, out)
         case Some("sessions")  => sessionsCmd(spark, lake, opts, out)
         case Some("index")     => indexCmd(spark, lake, opts, out)
+        case Some("rollup")    => rollupCmd(spark, lake, config, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
         case None =>
@@ -194,7 +195,7 @@ object Main {
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
       |          format plugin import export dedup profile retention
-      |          vacuum curate sessions
+      |          vacuum curate sessions index rollup
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
@@ -225,6 +226,10 @@ object Main {
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
       |table:    graft table list | show <name> | diff <name>
       |          (diff: file add/remove/change vs the last snapshot)
+      |rollup:   graft rollup list | refresh <table.name>
+      |          (config block: rollup "table" "name" { group_by = [..]
+      |           aggregate "col" { function = "count|sum|..." } };
+      |           collect refreshes touched months incrementally)
       |plugin:   list | show <name> | install [ref…] | update [--all|ref…]
       |          | uninstall <ref>   (ref = [org/]name[@version];
       |          registry: --registry DIR or GRAFT_PLUGIN_REGISTRY)""".stripMargin
@@ -984,8 +989,47 @@ object Main {
         if (after != before)
           out.println(s"Compacted ${p.table}: $before files -> $after files")
       }
+      // incremental rollup maintenance: recompute exactly the month
+      // partitions this collect touched (RollupSpec scaladoc)
+      config.rollups.values.filter(_.table == p.table).foreach { r =>
+        val m = graft.lake.Rollup.refreshTouched(
+          spark, lake, r, res.touchedDirs)
+        if (m == -1L) out.println(s"Rollup ${r.id}: built")
+        else if (m > 0) out.println(s"Rollup ${r.id}: refreshed $m month(s)")
+      }
     }
   }
+
+  /** `rollup list | refresh <table.name>` — materialized-rollup
+    * surface over the config's `rollup` blocks ([[graft.lake.Rollup]];
+    * beyond-reference). Collect maintains rollups incrementally;
+    * `refresh` is the explicit full rebuild (bootstrap, group-key
+    * change, or after retention/compaction rewrote history).
+    */
+  private def rollupCmd(
+      spark: SparkSession, lake: Lake, config: Hcl.Config,
+      opts: Opts, out: PrintStream): Unit =
+    opts.positional.headOption match {
+      case Some("list") | None =>
+        val rows = Seq("Rollup", "View", "Group By", "Aggregates",
+          "Materialized") +:
+          config.rollups.values.toSeq.sortBy(_.id).map(r => Seq(
+            r.id, r.viewName, r.groupBy.mkString(", "),
+            r.aggs.map(a => s"${a.name}=${a.function}").mkString(", "),
+            graft.lake.Rollup.exists(spark, lake, r).toString))
+        out.println(Render.renderTable(rows, headerRow = true))
+      case Some("refresh") =>
+        val id = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "rollup refresh requires a <table.name> argument"))
+        val r = config.rollups.getOrElse(id,
+          throw new IllegalArgumentException(s"unknown rollup '$id' " +
+            s"(configured: ${config.rollups.keys.toSeq.sorted.mkString(", ")})"))
+        val n = graft.lake.Rollup.refresh(spark, lake, r)
+        out.println(s"Rollup $id: rebuilt, $n rows")
+      case Some(other) => throw new IllegalArgumentException(
+        s"rollup: expected list|refresh, got $other")
+    }
 
   /** Wildcard partition resolution (`*` in either segment; bare table
     * name matches all its partitions) — cmd/collect.go:207-243.
@@ -1016,7 +1060,8 @@ object Main {
     // the interactive branch skips registration — Repl.loop registers
     // the same views itself (doing both would double the manifest
     // reads and file listings at shell startup)
-    if (opts.positional.nonEmpty) Views.register(spark, lake, filters)
+    if (opts.positional.nonEmpty)
+      Views.register(spark, lake, filters, config.rollups.values.toSeq)
     val state = Metaquery.QueryState(
       output = opts.flag("output").getOrElse("table"),
       header = !opts.flag("header").contains("false") &&

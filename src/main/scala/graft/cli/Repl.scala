@@ -88,7 +88,7 @@ final class Repl(
 
   /** Run the session to EOF or `.exit`. */
   def loop(): Unit = {
-    Views.register(spark, lake, filters)
+    Views.register(spark, lake, filters, config.rollups.values.toSeq)
     val buf = new StringBuilder
     var line = prompt(buf.nonEmpty)
     while (line != null && !state.done) {

@@ -27,7 +27,8 @@ object ConfigLoader {
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
       .foldLeft(Hcl.Config(Map.empty, Map.empty, Map.empty)) { (a, b) =>
         Hcl.Config(a.formats ++ b.formats, a.tables ++ b.tables,
-          a.partitions ++ b.partitions, a.connections ++ b.connections)
+          a.partitions ++ b.partitions, a.connections ++ b.connections,
+          a.rollups ++ b.rollups)
       }
   }
 }

@@ -253,7 +253,8 @@ object Hcl {
       formats: Map[String, FormatSpec],
       tables: Map[String, TableSpec],
       partitions: Map[String, PartitionSpec],
-      connections: Map[String, ConnectionSpec] = Map.empty)
+      connections: Map[String, ConnectionSpec] = Map.empty,
+      rollups: Map[String, RollupSpec] = Map.empty)
 
   /** Decode `partition`/`table`/`format` blocks, with the reference's
     * validation rules (table.go:110-117: source+transform mutually
@@ -371,7 +372,29 @@ object Hcl {
       p.id -> p
     }.pipe(ps => unique(ps, (_, p: PartitionSpec) => s"partition ${p.name} already exists for table ${p.table}"))
 
-    Config(formats, tables, partitions, connections)
+    val rollups = blocks.filter(_.kind == "rollup").map { b =>
+      require(b.labels.length == 2,
+        "'rollup' block requires 2 labels, 'table' and 'name'")
+      val Seq(table, name) = b.labels
+      val aggs = b.blocks.filter(_.kind == "aggregate").map { a =>
+        require(a.labels.length == 1, "'aggregate' block requires 1 label")
+        RollupAggSpec(
+          name = a.labels.head,
+          function = a.str("function").getOrElse(throw
+            new IllegalArgumentException(
+              s"aggregate '${a.labels.head}': function = \"...\" required")),
+          column = a.str("column"))
+      }
+      val r = RollupSpec(
+        table = table,
+        name = name,
+        groupBy = b.strings("group_by").getOrElse(Seq.empty),
+        aggs = aggs)
+      r.id -> r
+    }.pipe(ps => unique(ps,
+      (k, _: RollupSpec) => s"rollup $k already exists"))
+
+    Config(formats, tables, partitions, connections, rollups)
   }
 
   /** `tp_` common-field names whose types are known a priori (reference

@@ -121,6 +121,56 @@ final case class ConnectionSpec(
   def id: String = s"$kind.$name"
 }
 
+/** One aggregate column of a [[RollupSpec]]: `aggregate "<name>" {
+  * function = "count|sum|min|max|avg|count_distinct" [column = "c"] }`.
+  */
+final case class RollupAggSpec(
+    name: String,
+    function: String,
+    column: Option[String]) {
+  require(RollupAggSpec.Functions.contains(function),
+    s"aggregate '$name': unknown function '$function' " +
+      s"(${RollupAggSpec.Functions.mkString(", ")})")
+  require(function == "count" || column.isDefined,
+    s"aggregate '$name': function '$function' requires column = \"...\"")
+}
+
+object RollupAggSpec {
+  val Functions: Set[String] =
+    Set("count", "sum", "min", "max", "avg", "count_distinct")
+}
+
+/** A materialized rollup over a lake table, maintained incrementally
+  * at collect time (beyond-reference: the reference re-aggregates from
+  * raw rows on every dashboard query; at 100 TB the aggregate must be
+  * maintained, not recomputed).
+  *
+  * Maintenance grain is the lake's physical partition month
+  * (tp_year/tp_month are implicit leading group keys): a collect
+  * recomputes ONLY the months its batch touched — a pruned scan of
+  * those months, never history — and atomically swaps those rollup
+  * partitions. Cross-month totals are a query-time aggregate over the
+  * (tiny) rollup rows. Arbitrary aggregate functions are therefore
+  * safe, including non-mergeable ones (avg, count_distinct): each
+  * month slice is recomputed from its data, not merged.
+  */
+final case class RollupSpec(
+    table: String,
+    name: String,
+    groupBy: Seq[String],
+    aggs: Seq[RollupAggSpec]) {
+  require(groupBy.nonEmpty, s"rollup $id: group_by must be non-empty")
+  require(aggs.nonEmpty, s"rollup $id: needs at least one aggregate block")
+  require(!groupBy.exists(Set("tp_year", "tp_month")),
+    s"rollup $id: tp_year/tp_month are implicit group keys")
+  private val dup = (groupBy ++ aggs.map(_.name))
+    .groupBy(identity).collectFirst { case (k, vs) if vs.length > 1 => k }
+  require(dup.isEmpty, s"rollup $id: duplicate output column '${dup.get}'")
+  def id: String = s"$table.$name"
+  /** View name the query surface registers for this rollup. */
+  def viewName: String = s"${table}_rollup_$name"
+}
+
 /** A format block (reference internal/config/format.go): `delimited`
   * (header/delimiter → csv reader) or `grok` (pattern → regex
   * projection) or `jsonl`.

@@ -36,7 +36,10 @@ object Ingest {
       rowsInvalid: Long,
       nullsByColumn: Map[String, Long],
       chunksProcessed: Int,
-      maxTimestamp: Option[Timestamp] = None) {
+      maxTimestamp: Option[Timestamp] = None,
+      // relative partition dirs the appends wrote into — incremental
+      // consumers (rollup refresh) scope their recompute to these
+      touchedDirs: Seq[String] = Seq.empty) {
     def merge(o: IngestResult): IngestResult = IngestResult(
       rowsIngested + o.rowsIngested,
       rowsInvalid + o.rowsInvalid,
@@ -48,7 +51,8 @@ object Ingest {
       // truncated, and a backwards high-water mark re-ingests rows
       // within the same millisecond on resume
       (maxTimestamp.toSeq ++ o.maxTimestamp.toSeq)
-        .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b))
+        .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b),
+      (touchedDirs ++ o.touchedDirs).distinct)
   }
 
   /** Ingest JSONL chunk files into `lake`/`spec.table`.
@@ -161,9 +165,9 @@ object Ingest {
     val staged = filtered.persist()
     try {
       val v = Validation.validate(staged, required)
-      lake.append(spark, spec.table, v.clean)
+      val touched = lake.append(spark, spec.table, v.clean)
       IngestResult(v.totalRows - v.invalidRows, v.invalidRows,
-        v.nullsByColumn, chunks, v.maxTimestamp)
+        v.nullsByColumn, chunks, v.maxTimestamp, touched)
     } finally { staged.unpersist() }
   }
 }

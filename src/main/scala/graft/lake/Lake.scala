@@ -63,7 +63,8 @@ final case class Lake(root: String) {
     * (the same division of labor as the reference: convert appends,
     * compact merges — compact.go:80-89).
     */
-  def append(spark: SparkSession, table: String, batch: DataFrame): Unit =
+  def append(
+      spark: SparkSession, table: String, batch: DataFrame): Seq[String] =
     Lake.withTableLock(root, table) {
       val dir = tableDir(table)
       // scope new-file discovery to the partition dirs this batch
@@ -79,6 +80,9 @@ final case class Lake(root: String) {
         .parquet(dir)
       val added = dataFilesUnder(spark, table, touched).filterNot(before)
       recordStats(spark, table, added)
+      // the touched relative dirs: incremental consumers (rollup
+      // refresh) scope their work to these
+      touched
     }
 
   /** Relative partition dirs (Hive-escaped) a batch will write to. */

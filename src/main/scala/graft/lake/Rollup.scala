@@ -1,0 +1,109 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.RollupSpec
+
+/** Materialized rollup maintenance (beyond-reference; see
+  * [[graft.config.RollupSpec]] for the model and the month-grain
+  * incremental contract).
+  *
+  * Storage: parquet under `<table>/_graft_rollup_<name>` — an
+  * underscore-prefixed sibling of the data, invisible to table scans
+  * like the manifest — partitioned by (tp_year, tp_month), the lake's
+  * own physical grain.
+  *
+  * Scale shape: a collect triggers [[refreshTouched]] with the batch's
+  * touched partition dirs; the recompute is one PRUNED scan of those
+  * months (partition pruning on tp_year/tp_month — the same pruned-read
+  * discipline as Maintenance), one map-side-combined aggregate, and a
+  * dynamic partition overwrite that atomically swaps exactly the
+  * recomputed month slices. History is never read, never rewritten.
+  * [[refresh]] (full rebuild) exists for bootstrap and for group-key
+  * changes, and costs one full scan — the thing the incremental path
+  * exists to avoid.
+  */
+object Rollup {
+
+  def dir(lake: Lake, spec: RollupSpec): String =
+    s"${lake.tableDir(spec.table)}/_graft_rollup_${spec.name}"
+
+  private def aggColumns(spec: RollupSpec): Seq[Column] =
+    spec.aggs.map { a =>
+      val f = a.function match {
+        case "count"          => count(lit(1))
+        case "sum"            => sum(col(a.column.get))
+        case "min"            => min(col(a.column.get))
+        case "max"            => max(col(a.column.get))
+        case "avg"            => avg(col(a.column.get))
+        case "count_distinct" => countDistinct(col(a.column.get))
+      }
+      f.as(a.name)
+    }
+
+  private def aggregate(rows: DataFrame, spec: RollupSpec): DataFrame = {
+    val aggs = aggColumns(spec)
+    rows.groupBy(
+        (Seq(TpSchema.Year, TpSchema.Month) ++ spec.groupBy).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Full rebuild: one table scan → overwrite every rollup partition.
+    * @return rollup rows written
+    */
+  def refresh(spark: SparkSession, lake: Lake, spec: RollupSpec): Long = {
+    val out = aggregate(lake.read(spark, spec.table), spec)
+      .localCheckpoint() // count + write below share one evaluation
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(TpSchema.Year, TpSchema.Month)
+      .parquet(dir(lake, spec))
+    out.count()
+  }
+
+  /** Month-scoped incremental refresh: recompute rollup rows for
+    * exactly the (tp_year, tp_month) months covered by `touchedDirs`
+    * (the relative partition dirs a collect's append returned) and
+    * dynamically overwrite those rollup partitions. A fresh rollup
+    * (no dir yet) bootstraps with a full [[refresh]].
+    *
+    * @return number of month partitions recomputed
+    */
+  def refreshTouched(
+      spark: SparkSession, lake: Lake, spec: RollupSpec,
+      touchedDirs: Seq[String]): Long = {
+    val p = new Path(dir(lake, spec))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { refresh(spark, lake, spec); return -1L }
+    val months = touchedDirs
+      .map(lake.partitionValues)
+      .flatMap(vs => for {
+        y <- vs.get(TpSchema.Year); m <- vs.get(TpSchema.Month)
+      } yield (y, m))
+      .distinct
+    if (months.isEmpty) return 0L
+    val pruned = months
+      .map { case (y, m) =>
+        col(TpSchema.Year) === y.toInt && col(TpSchema.Month) === m.toInt
+      }
+      .reduce(_ || _)
+    aggregate(lake.read(spark, spec.table).where(pruned), spec)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(TpSchema.Year, TpSchema.Month)
+      .parquet(dir(lake, spec))
+    months.length.toLong
+  }
+
+  /** The rollup as a DataFrame (empty-schema-safe: throws if never
+    * refreshed — callers register views only for existing dirs).
+    */
+  def read(spark: SparkSession, lake: Lake, spec: RollupSpec): DataFrame =
+    spark.read.parquet(dir(lake, spec))
+
+  def exists(spark: SparkSession, lake: Lake, spec: RollupSpec): Boolean = {
+    val p = new Path(dir(lake, spec))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

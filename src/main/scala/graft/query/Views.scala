@@ -75,7 +75,8 @@ object Views {
     * present (views.go:30: `create or replace view t as select * from
     * cat.t where ...`). Returns the registered table names.
     */
-  def register(spark: SparkSession, lake: Lake, f: Filters): Seq[String] = {
+  def register(spark: SparkSession, lake: Lake, f: Filters,
+      rollups: Seq[graft.config.RollupSpec] = Seq.empty): Seq[String] = {
     // a table whose every row was deleted still has a directory (and
     // manifest) but no data files — spark.read would fail schema
     // inference and one emptied table would break the whole session.
@@ -83,7 +84,15 @@ object Views {
     val tables = lake.listTables(spark)
       .filter(t => lake.dataFiles(spark, t).nonEmpty)
     tables.foreach(t => filtered(spark, lake, t, f).createOrReplaceTempView(t))
-    tables
+    // materialized rollups surface as <table>_rollup_<name> views —
+    // refreshed-at-collect aggregates, so the dashboard query reads
+    // rollup rows, never the raw table (RollupSpec scaladoc). Views
+    // appear only once the rollup has been materialized.
+    val live = rollups.filter(r =>
+      graft.lake.Rollup.exists(spark, lake, r))
+    live.foreach(r => graft.lake.Rollup.read(spark, lake, r)
+      .createOrReplaceTempView(r.viewName))
+    tables ++ live.map(_.viewName)
   }
 
   /** The filtered DataFrame for one table (the view body). A time

@@ -190,7 +190,8 @@ object StreamIngest {
     val fresh = graft.operators.Dedup
       .filterAgainstIndex(batch, textCol, indexPath)
       .groupBy(md5(col(textCol)).as("__digest"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .agg(min_by(struct(cols.toIndexedSeq.map(col): _*), col(idCol))
+        .as("__row"))
       .select(col("__row.*"))
       // two consumers below (data write + index append); micro-batches
       // are bounded, so pinning the anti-join result is cheap and keeps

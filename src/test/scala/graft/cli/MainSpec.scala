@@ -258,6 +258,63 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc2 == 1 && out2.contains("no manifest backup"), out2)
   }
 
+  test("rollup: collect maintains the materialized aggregate; " +
+    "view queries read rollup rows; refresh rebuilds") {
+    val dir = Files.createTempDirectory("graft_cli_rollup").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/access_log.csv"),
+      new String(Files.readAllBytes(
+        new File(root, "logs/access_log.csv").toPath), "UTF-8"))
+    write(new File(dir, "config/access.tpc"),
+      new String(Files.readAllBytes(
+        new File(root, "config/access.tpc").toPath), "UTF-8")
+        .replace(root.getPath, dir.getPath) +
+        """
+          |rollup "access_log" "by_status" {
+          |  group_by = ["status_code"]
+          |  aggregate "n" { function = "count" }
+          |  aggregate "last_seen" {
+          |    function = "max"
+          |    column = "tp_timestamp"
+          |  }
+          |}
+          |""".stripMargin)
+
+    // first collect bootstraps the rollup
+    val (rc1, out1) = cli(dir, "collect", "access_log.local")
+    assert(rc1 == 0, out1)
+    assert(out1.contains("Rollup access_log.by_status: built"), out1)
+    // the rollup view answers the dashboard query (month cols implicit)
+    val (rc2, q1) = cli(dir, "query",
+      "select status_code, n from access_log_rollup_by_status " +
+        "order by status_code", "--output", "csv")
+    assert(rc2 == 0, q1)
+    assert(q1 == "status_code,n\n200,2\n404,1", q1)
+
+    // incremental: a new row lands in the same month -> 1 month refresh
+    val f = new File(dir, "logs/access_log.csv")
+    write(f, new String(Files.readAllBytes(f.toPath), "UTF-8") +
+      "2024-05-01T10:40:00Z,172.16.0.9,\"curl/8.1\",500\n")
+    val (rc3, out3) = cli(dir, "collect", "access_log.local")
+    assert(rc3 == 0, out3)
+    assert(out3.contains("Rollup access_log.by_status: refreshed 1 month(s)"),
+      out3)
+    val (_, q2) = cli(dir, "query",
+      "select status_code, n from access_log_rollup_by_status " +
+        "order by status_code", "--output", "csv")
+    assert(q2 == "status_code,n\n200,2\n404,1\n500,1", q2)
+
+    // list + explicit full rebuild
+    val (_, lst) = cli(dir, "rollup", "list")
+    assert(lst.contains("access_log.by_status") && lst.contains("true"), lst)
+    val (rc4, out4) = cli(dir, "rollup", "refresh", "access_log.by_status")
+    assert(rc4 == 0 && out4.contains("rebuilt, 3 rows"), out4)
+    // unknown rollup errors loudly
+    val (rc5, out5) = cli(dir, "rollup", "refresh", "nope.x")
+    assert(rc5 == 1 && out5.contains("unknown rollup"), out5)
+  }
+
   test("collection state makes repeated collect incremental; --overwrite re-collects") {
     val dir = Files.createTempDirectory("graft_cli_state").toFile
     new File(dir, "config").mkdirs()

@@ -247,4 +247,57 @@ class HclSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Hcl.decode("""partition "only_one_label" { }"""))
   }
+
+  test("rollup blocks decode; invalid functions/keys fail at load") {
+    val cfg = Hcl.decode(
+      """rollup "access_log" "status_daily" {
+        |  group_by = ["tp_date", "status_code"]
+        |  aggregate "n" { function = "count" }
+        |  aggregate "max_ts" {
+        |    function = "max"
+        |    column = "tp_timestamp"
+        |  }
+        |}
+        |""".stripMargin)
+    val r = cfg.rollups("access_log.status_daily")
+    assert(r.groupBy == Seq("tp_date", "status_code"))
+    assert(r.aggs.map(a => (a.name, a.function)) ==
+      Seq(("n", "count"), ("max_ts", "max")))
+    assert(r.viewName == "access_log_rollup_status_daily")
+    // unknown function
+    val e1 = intercept[IllegalArgumentException](Hcl.decode(
+      """rollup "t" "r" {
+        |  group_by = ["k"]
+        |  aggregate "m" {
+        |    function = "median"
+        |    column = "v"
+        |  }
+        |}""".stripMargin))
+    assert(e1.getMessage.contains("unknown function"))
+    // non-count aggregates need a column
+    val e2 = intercept[IllegalArgumentException](Hcl.decode(
+      """rollup "t" "r" {
+        |  group_by = ["k"]
+        |  aggregate "s" { function = "sum" }
+        |}""".stripMargin))
+    assert(e2.getMessage.contains("requires column"))
+    // tp_year/tp_month are implicit — declaring them is an error
+    val e3 = intercept[IllegalArgumentException](Hcl.decode(
+      """rollup "t" "r" {
+        |  group_by = ["tp_year"]
+        |  aggregate "n" { function = "count" }
+        |}""".stripMargin))
+    assert(e3.getMessage.contains("implicit"))
+    // empty group_by / no aggregates / duplicate names
+    intercept[IllegalArgumentException](Hcl.decode(
+      """rollup "t" "r" { aggregate "n" { function = "count" } }"""))
+    intercept[IllegalArgumentException](Hcl.decode(
+      """rollup "t" "r" { group_by = ["k"] }"""))
+    val e4 = intercept[IllegalArgumentException](Hcl.decode(
+      """rollup "t" "r" {
+        |  group_by = ["k"]
+        |  aggregate "k" { function = "count" }
+        |}""".stripMargin))
+    assert(e4.getMessage.contains("duplicate output column"))
+  }
 }
