@@ -582,6 +582,44 @@ object IngestQueries {
         .orderBy("c_custkey")
     }),
 
+    // Materialized rollup across two incremental collects (beyond-
+    // reference; RollupSpec scaladoc): each collect is followed by the
+    // month-scoped refresh the CLI performs, and the final rollup rows
+    // must equal a from-scratch aggregate over ALL the data — the
+    // incremental path (pruned recompute + dynamic partition
+    // overwrite) provably loses nothing and double-counts nothing.
+    "qi18_rollup" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi18"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_r", "p0",
+        tpIndexColumn = Some("event_type"))
+      val rspec = graft.config.RollupSpec("events_r", "daily",
+        groupBy = Seq("tp_date", "event_type"),
+        aggs = Seq(
+          graft.config.RollupAggSpec("n", "count", None),
+          graft.config.RollupAggSpec("users", "count_distinct",
+            Some("user_id")),
+          graft.config.RollupAggSpec("sum_value", "sum", Some("value")),
+          graft.config.RollupAggSpec("vmax", "max", Some("value"))))
+      val src = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      Seq(src.where(col("event_id") % 2 === 0),
+          src.where(col("event_id") % 2 === 1)).foreach { b =>
+        val res = Ingest.collectBatch(s, lake, spec, b,
+          timestampColumn = "ts")
+        graft.lake.Rollup.refreshTouched(s, lake, rspec, res.touchedDirs)
+      }
+      graft.lake.Rollup.read(s, lake, rspec)
+        .select(col("tp_year").cast("int").as("tp_year"),
+          col("tp_month").cast("int").as("tp_month"),
+          col("tp_date"), col("event_type"), col("n"), col("users"),
+          round(col("sum_value"), 2).as("sum_value"), col("vmax"))
+        .orderBy("tp_date", "event_type")
+    }),
+
     "qi12_catalog_table" -> ((s, dir) => {
       val lake = sharedLake(s, dir)
       lake.registerCatalogTable(s, "events_lake")
@@ -650,6 +688,21 @@ object IngestQueries {
         SELECT 'rows_invalid',
                count(*) FILTER (WHERE ts IS NULL OR user_id IS NULL) FROM e)
       ORDER BY metric""",
+    "qi18_rollup" -> """
+      WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts,
+                   user_id, event_type, value
+                 FROM events)
+      SELECT cast(year(ts) AS int) AS tp_year,
+             cast(month(ts) AS int) AS tp_month,
+             cast(date_trunc('day', ts) AS date) AS tp_date,
+             event_type,
+             count(*) AS n,
+             cast(count(DISTINCT user_id) AS bigint) AS users,
+             round(sum(value), 2) AS sum_value,
+             max(value) AS vmax
+      FROM e
+      GROUP BY 1, 2, 3, 4
+      ORDER BY tp_date, event_type""",
     "qi17_bucketed_join" -> """
       SELECT c.c_custkey, c.c_mktsegment,
              cast(count(*) AS bigint) AS n_orders,
