@@ -1,0 +1,80 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.config.{PartitionSpec, RollupAggSpec, RollupSpec}
+
+class RollupOpSpec extends AnyFunSuite with SparkTest {
+
+  private def batch(startDay: String, n: Int) = {
+    val raw = spark.range(n).select(
+      col("id").as("event_id"),
+      expr(s"timestamp '$startDay 00:00:00' + " +
+        "make_interval(0,0,0,0,0,0, id * 3600)").as("tp_timestamp"),
+      lit("a").as("idx"),
+      (col("id") * 2).as("v"))
+    TpSchema.enrich(raw, PartitionSpec("t", "p0",
+      tpIndexColumn = Some("idx")))
+  }
+
+  private val rspec = RollupSpec("t", "daily",
+    groupBy = Seq("tp_date"),
+    aggs = Seq(RollupAggSpec("n", "count", None),
+      RollupAggSpec("vsum", "sum", Some("v"))))
+
+  private def rollupFiles(lake: Lake): Map[String, Long] = {
+    def rec(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(rec) else Seq(f)
+    rec(new java.io.File(Rollup.dir(lake, rspec)))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("refreshTouched recomputes only the touched months; " +
+    "final rows equal a full rebuild") {
+    val lake = Lake(Files.createTempDirectory("graft_rollup_op").toString)
+    // January + February data
+    val t1 = lake.append(spark, "t",
+      batch("2024-01-10", 48).unionByName(batch("2024-02-10", 24)))
+    assert(Rollup.refreshTouched(spark, lake, rspec, t1) == -1L) // bootstrap
+    val febBefore = rollupFiles(lake).filter(_._1.contains("tp_month=2"))
+    assert(febBefore.nonEmpty)
+
+    // a second collect touches ONLY January
+    val t2 = lake.append(spark, "t", batch("2024-01-11", 24))
+    assert(Rollup.refreshTouched(spark, lake, rspec, t2) == 1L)
+
+    // February rollup files are byte-for-byte the same ones on disk —
+    // the refresh never rewrote the untouched month
+    val febAfter = rollupFiles(lake).filter(_._1.contains("tp_month=2"))
+    assert(febAfter == febBefore, s"$febBefore vs $febAfter")
+
+    // January reflects both appends: the first batch's 48 hourly rows
+    // cover Jan 10-11; the second adds 24 more on Jan 11
+    val rows = Rollup.read(spark, lake, rspec)
+      .select(col("tp_date").cast("string"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2024-01-10") == 24L)
+    assert(rows("2024-01-11") == 24L + 24L)
+    assert(rows("2024-02-10") == 24L)
+
+    // and the incremental result equals a from-scratch rebuild
+    val incremental = Rollup.read(spark, lake, rspec)
+      .collect().map(_.toString).sorted.toSeq
+    Rollup.refresh(spark, lake, rspec)
+    val full = Rollup.read(spark, lake, rspec)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incremental == full)
+  }
+
+  test("refreshTouched with no touched dirs is a no-op") {
+    val lake = Lake(Files.createTempDirectory("graft_rollup_op2").toString)
+    lake.append(spark, "t", batch("2024-01-10", 5))
+    Rollup.refresh(spark, lake, rspec)
+    assert(Rollup.refreshTouched(spark, lake, rspec, Seq.empty) == 0L)
+  }
+}
