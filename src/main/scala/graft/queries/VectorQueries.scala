@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Similarity
@@ -406,6 +407,47 @@ object VectorQueries {
         prefixDim = 8, m = 15)
       Similarity.retrievalRecall(exact, approx)
         .orderBy("qid")
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009): a lexical leg (total occurrences of the query terms,
+    // integer) and a vector leg (cosine to the probe embedding), each
+    // cut to top-20 as TakeOrderedAndProject (driver k-bounded, never
+    // a global sort), fused by rank only — rrf = 1/(60+r_lex) +
+    // 1/(60+r_vec). Ranks are integers and the fusion adds exactly two
+    // doubles, so the score is FP-order-invariant and the oracle
+    // reproduces the exact top-10. The bare rank windows sit above the
+    // 20-row cuts (metadata-sized — the HeavyHitters pattern).
+    "qe23_hybrid_rrf" -> ((s, dir) => {
+      val terms = Seq("join", "scan", "filter")
+      val d = graft.Tables.load(s, dir, "documents")
+      val lexTop = d.select(col("doc_id"),
+          size(filter(graft.functions.TextFunctions.tokens(col("text")),
+            t => t.isin(terms: _*))).as("matches"))
+        .orderBy(col("matches").desc, col("doc_id")).limit(20)
+      val wl = Window.orderBy(col("matches").desc, col("doc_id"))
+      val lex = lexTop.withColumn("lex_rank", row_number().over(wl))
+        .select("doc_id", "lex_rank")
+      val e = emb(s, dir)
+      val probe = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("pvec"))
+      val vecTop = e.crossJoin(broadcast(probe))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.cosine(col("embedding"), col("pvec")), 4)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(20)
+      val wv = Window.orderBy(col("sim").desc, col("doc_id"))
+      val vec = vecTop.withColumn("vec_rank", row_number().over(wv))
+        .select("doc_id", "vec_rank")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+            6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -432,6 +474,34 @@ object VectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "qe23_hybrid_rrf" -> """
+      WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+                    FROM documents),
+      lexall AS (SELECT doc_id,
+                   len(list_filter(t, x -> x IN ('join', 'scan', 'filter')))
+                     AS matches
+                 FROM toks),
+      lex AS (SELECT doc_id, cast(row_number() OVER (
+                  ORDER BY matches DESC, doc_id) AS int) AS lex_rank
+              FROM lexall ORDER BY matches DESC, doc_id LIMIT 20),
+      e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      simall AS (SELECT vec_id AS doc_id,
+                   round(list_cosine_similarity(v, pv), 4) AS sim
+                 FROM e, p WHERE vec_id <> 0),
+      vec AS (SELECT doc_id, cast(row_number() OVER (
+                  ORDER BY sim DESC, doc_id) AS int) AS vec_rank
+              FROM simall ORDER BY sim DESC, doc_id LIMIT 20),
+      f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+              l.lex_rank, v.vec_rank,
+              round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE)
+                + coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0.0::DOUBLE),
+                6) AS rrf
+            FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id)
+      SELECT doc_id, lex_rank, vec_rank, rrf FROM f
+      ORDER BY rrf DESC, doc_id LIMIT 10""",
     "qe22_truncation_recall" -> """
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt44_incremental_dedup", "qe19_hard_negatives", "qe20_mmr_diversify",
     "qe21_semantic_filter",
     "qt45_domain_cap", "qt46_curriculum", "qt47_ngram_novelty",
-    "qt48_fertility", "qt49_source_epochs", "qe22_truncation_recall")
+    "qt48_fertility", "qt49_source_epochs", "qe22_truncation_recall",
+    "qe23_hybrid_rrf", "qi18_rollup")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
