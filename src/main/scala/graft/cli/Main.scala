@@ -69,7 +69,7 @@ object Main {
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
       "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
-      "vocab")
+      "vocab", "novelty")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -205,7 +205,7 @@ object Main {
       |          [--threshold J] [--k TOKENS] [--index DIR]
       |profile:  graft profile <table> --text-column COL [--top K]
       |          [--rules] [--ppl] [--bpe N] [--buckets] [--vocab]
-      |          [--batching WIDTH]
+      |          [--batching WIDTH] [--novelty]
       |curate:   graft curate <table> <out-dir> --id-column COL
       |          --text-column COL [--gates gopher|c4|both|none]
       |          [--dedup exact|normalized|near|none] [--threshold J]
@@ -818,6 +818,20 @@ object Main {
         round(avg((col("n_sentences") >= 3).cast("double")), 4)
           .as("sentences_3plus"))
       out.println(graft.query.Render.table(rates))
+    }
+    // --novelty: corpus-redundancy dashboard (Dedup.noveltyScore) —
+    // the share of each doc's distinct 3-grams that appear nowhere
+    // else; a LOW corpus mean means boilerplate the near-dup sketches
+    // should be tuned to catch
+    if (opts.flag("novelty").contains("true")) {
+      val withId = df.withColumn("__nid", monotonically_increasing_id())
+      val n = graft.operators.Dedup.noveltyScore(withId, "__nid", textCol)
+      out.println(graft.query.Render.table(n.agg(
+        round(avg("novelty"), 4).as("novelty_mean"),
+        round(expr("percentile_approx(novelty, 0.5)"), 4)
+          .as("novelty_median"),
+        round(avg((col("novelty") < 0.1).cast("double")), 4)
+          .as("share_below_0_1"))))
     }
   }
 

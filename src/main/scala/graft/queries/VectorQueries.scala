@@ -448,6 +448,25 @@ object VectorQueries {
             6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // Filtered (metadata-constrained) ANN — "find neighbors among
+    // label-eligible vectors only", the vector-database capability
+    // every RAG stack needs for tenancy/recency/ACL constraints. The
+    // predicate applies BEFORE scoring (filter-then-search): here it
+    // prunes the scan; composed with the persisted IVF index the same
+    // predicate prunes inside each probed cell, and recall is exact
+    // w.r.t. the filtered corpus either way — never the post-filtered
+    // top-k, which silently returns < k when the filter is selective.
+    "qe24_filtered_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.where(col("label") % 3 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.bruteForceKnn(q, c, k = 5)
+        .select("qid", "cid", "sim", "rank")
+        .orderBy("qid", "rank")
     })
   )
 
@@ -474,6 +493,22 @@ object VectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "qe24_filtered_ann" -> """
+      WITH q AS (SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE label % 3 = 0),
+      s AS (SELECT qid, cid,
+              round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q, c WHERE qid <> cid),
+      r AS (SELECT qid, cid, sim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, cid) AS int) AS rank
+            FROM s)
+      SELECT qid, cid, sim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
     "qe23_hybrid_rrf" -> """
       WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
                     FROM documents),

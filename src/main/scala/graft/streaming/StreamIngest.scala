@@ -61,7 +61,12 @@ object StreamIngest {
       tableSpec: TableSpec = TableSpec(""),
       timestampColumn: String = "tp_timestamp",
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 2000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 2000,
+      // materialized rollups maintained per micro-batch: each batch's
+      // append is followed by the same month-scoped refresh the batch
+      // collect runs (graft.lake.Rollup.refreshTouched), so dashboards
+      // read from-the-stream aggregates without a scheduled rebuild
+      rollups: Seq[graft.config.RollupSpec] = Seq.empty): StreamingQuery = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -70,8 +75,10 @@ object StreamIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ingest.collectBatch(spark, lake, spec, batch, tableSpec,
+        val res = Ingest.collectBatch(spark, lake, spec, batch, tableSpec,
           timestampColumn)
+        rollups.foreach(r => graft.lake.Rollup
+          .refreshTouched(spark, lake, r, res.touchedDirs))
         ()
       }
       .start()

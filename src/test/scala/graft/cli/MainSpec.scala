@@ -579,6 +579,13 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc10 == 0, vb)
     assert(vb.contains("n_types") && vb.contains("hapax_ratio"), vb)
     assert(vb.contains("bucket_lo") && vb.contains("pad_waste_pct"), vb)
+    // profile --novelty: corpus-redundancy dashboard — notes 2 and 3
+    // repeat note 1's fox phrasing, so mean novelty sits well below 1
+    val (rcN, nov) = cli(dir, "profile", "notes",
+      "--text-column", "note", "--novelty")
+    assert(rcN == 0, nov)
+    assert(nov.contains("novelty_mean") &&
+      nov.contains("share_below_0_1"), nov)
     // dedup --mode incremental: first run builds the index, second run
     // reports everything as already seen and keeps the index current
     val idxDir = s"${dir.getPath}/digest_idx"

@@ -29,11 +29,15 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       """{"id": 3, "ts": "2024-04-02 09:00:00", "v": 4.0}"""))
 
     val lake = Lake(s"$root/lake")
+    val rspec = graft.config.RollupSpec("events_stream", "daily",
+      groupBy = Seq("tp_date"),
+      aggs = Seq(graft.config.RollupAggSpec("n", "count", None)))
     val schema = SchemaInference.inferJson(spark,
       Seq(s"$inbox/c0.json", s"$inbox/c1.json"))
     val q = StreamIngest.collectStream(spark, lake,
       PartitionSpec("events_stream", "p0"),
-      inbox, schema, s"$root/ckpt", timestampColumn = "ts")
+      inbox, schema, s"$root/ckpt", timestampColumn = "ts",
+      rollups = Seq(rspec))
     q.awaitTermination()
 
     val got = lake.read(spark, "events_stream")
@@ -43,7 +47,8 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     // restart with the same checkpoint: nothing new → no re-ingest
     val q2 = StreamIngest.collectStream(spark, lake,
       PartitionSpec("events_stream", "p0"),
-      inbox, schema, s"$root/ckpt", timestampColumn = "ts")
+      inbox, schema, s"$root/ckpt", timestampColumn = "ts",
+      rollups = Seq(rspec))
     q2.awaitTermination()
     assert(lake.read(spark, "events_stream").count() == 3)
 
@@ -52,9 +57,18 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       """{"id": 4, "ts": "2024-04-02 10:00:00", "v": 0.5}"""))
     val q3 = StreamIngest.collectStream(spark, lake,
       PartitionSpec("events_stream", "p0"),
-      inbox, schema, s"$root/ckpt", timestampColumn = "ts")
+      inbox, schema, s"$root/ckpt", timestampColumn = "ts",
+      rollups = Seq(rspec))
     q3.awaitTermination()
     assert(lake.read(spark, "events_stream").count() == 4)
+
+    // the rollup followed the stream: per-day counts current after the
+    // incremental chunk (April 2 got its second event)
+    val roll = graft.lake.Rollup.read(spark, lake, rspec)
+      .select(org.apache.spark.sql.functions.col("tp_date")
+        .cast("string"), org.apache.spark.sql.functions.col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roll == Map("2024-03-01" -> 2L, "2024-04-02" -> 2L), roll)
   }
 
   test("quality rule pack gates a stream statelessly (no state store)") {
