@@ -218,6 +218,59 @@ object Similarity {
       .select(col("qid"), col(labelCol).as("pred_label"), col("n_votes"))
   }
 
+  /** Late-interaction retrieval (the ColBERT MaxSim operator,
+    * Khattab & Zaharia 2020): queries and documents are BAGS of `m`
+    * subvectors (token embeddings); a document's score is the sum over
+    * query subvectors of its best-matching document subvector —
+    * `Σ_j max_c cos(q_j, d_c)` — which preserves token-level matching
+    * that single-vector cosine averages away. Beyond-reference.
+    *
+    * Here the bag is modeled as `m` contiguous `subDim` slices of one
+    * vector column (the storage layout multi-vector systems actually
+    * use: one fixed-width row per document, sliced at scan time).
+    *
+    * Scale shape: identical to [[bruteForceKnn]] — queries broadcast,
+    * candidates stream through a codegen'd projection computing all
+    * m×m subvector cosines map-side; the per-query top-k is a
+    * WindowGroupLimit rank filter. m²·subDim multiplies per pair =
+    * m× the single-vector cost, the price of late interaction; at
+    * corpus scale the standard play is single-vector ANN for
+    * candidates then MaxSim as the rerank — compose with
+    * [[annIvf]]/[[probeIvfIndex]] exactly like [[truncatedRerank]].
+    *
+    * Determinism: `max` is order-invariant; each per-subvector maximum
+    * is rounded to 4dp BEFORE the sum (the same rounding contract as
+    * every retrieval operator here, applied at the only place engine
+    * ulps could leak into an addition), and the sum over the m rounded
+    * maxima is pinned to an explicit left-to-right chain (NOT a
+    * reorderable aggregate) — identical inputs in identical order give
+    * the identical double on any engine.
+    *
+    * @param queries    (qid, qvec) — small (broadcast side)
+    * @param candidates (cid, cvec) — arbitrarily large
+    * @param m          subvectors per row
+    * @param subDim     dimensions per subvector
+    */
+  def maxSim(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int, subDim: Int, excludeSelf: Boolean = true): DataFrame = {
+    def sub(v: Column, j: Int): Column = slice(v, j * subDim + 1, subDim)
+    val joined = candidates.crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
+    val maxima = (0 until m).map { j =>
+      round((0 until m).map { c =>
+        cosine(sub(col("qvec"), j), sub(col("cvec"), c))
+      }.reduce((a, b) => greatest(a, b)), 4)
+    }
+    // explicit left-to-right addition chain — deterministic FP order
+    val score = maxima.reduceLeft(_ + _)
+    val scored = joined.select(col("qid"), col("cid"),
+      round(score, 4).as("maxsim"))
+    val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Retrieval-quality evaluation: recall@k of an approximate
     * retriever against exact ground truth. The standard ANN yardstick
     * (every FAISS/ScaNN paper reports it); running it INSIDE the engine

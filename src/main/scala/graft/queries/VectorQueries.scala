@@ -467,6 +467,23 @@ object VectorQueries {
       Similarity.bruteForceKnn(q, c, k = 5)
         .select("qid", "cid", "sim", "rank")
         .orderBy("qid", "rank")
+    }),
+
+    // Late-interaction MaxSim retrieval (ColBERT-style): each 64-dim
+    // row is a bag of four 16-dim subvectors; score = Σ_j max_c
+    // cos(q_j, d_c). Token-level matching single-vector cosine
+    // averages away — and the FP-order-pinned score chain
+    // (Similarity.maxSim scaladoc) makes the exact top-5 reproducible
+    // by the oracle.
+    "qe25_maxsim" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      Similarity.maxSim(q, c, k = 5, m = 4, subDim = 16)
+        .select("qid", "cid", "maxsim", "rank")
+        .orderBy("qid", "rank")
     })
   )
 
@@ -492,7 +509,38 @@ object VectorQueries {
     if (i < 5) pick + "," + next else pick
   }
 
+  /** qe25's MaxSim score as explicit SQL: per query-subvector j the
+    * greatest of the four candidate-subvector cosines rounded to 4dp,
+    * then the left-associative `+` chain SQL guarantees — mirroring
+    * the operator's pinned FP order term for term.
+    */
+  private def maxSimOracleScore: String = {
+    def sl(v: String, j: Int) =
+      s"list_slice($v, ${j * 16 + 1}, ${(j + 1) * 16})"
+    (0 until 4).map { j =>
+      "round(greatest(" + (0 until 4).map { c =>
+        s"list_cosine_similarity(${sl("qv", j)}, ${sl("cv", c)})"
+      }.mkString(", ") + "), 4)"
+    }.mkString(" + ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "qe25_maxsim" -> s"""
+      WITH q AS (SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings),
+      s AS (SELECT qid, cid,
+              round($maxSimOracleScore, 4) AS maxsim
+            FROM q, c WHERE qid <> cid),
+      r AS (SELECT qid, cid, maxsim,
+              cast(row_number() OVER (PARTITION BY qid
+                ORDER BY maxsim DESC, cid) AS int) AS rank
+            FROM s)
+      SELECT qid, cid, maxsim, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""",
     "qe24_filtered_ann" -> """
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

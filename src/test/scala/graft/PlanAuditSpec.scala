@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qe21_semantic_filter",
     "qt45_domain_cap", "qt46_curriculum", "qt47_ngram_novelty",
     "qt48_fertility", "qt49_source_epochs", "qe22_truncation_recall",
-    "qe23_hybrid_rrf", "qi18_rollup", "qe24_filtered_ann")
+    "qe23_hybrid_rrf", "qi18_rollup", "qe24_filtered_ann",
+    "qe25_maxsim")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
