@@ -200,6 +200,7 @@ object Main {
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
       |          [--seed S] [--token-column COL [--budget TOKENS]]
+      |          [--format parquet|jsonl]
       |dedup:    graft dedup <table> --id-column COL --text-column COL
       |          [--mode exact|normalized|near|substring|incremental]
       |          [--threshold J] [--k TOKENS] [--index DIR]
@@ -292,6 +293,7 @@ object Main {
         "export requires --id-column COL (a unique, stable row id — " +
           "shard membership is a pure function of it)"))
     val seed = opts.flag("seed").getOrElse("0")
+    val format = opts.flag("format").getOrElse("parquet")
     val df = lake.read(spark, table)
     require(df.columns.contains(idCol),
       s"export: column '$idCol' not found in $table " +
@@ -299,16 +301,16 @@ object Main {
     val manifest = (opts.flag("token-column"), opts.flag("budget")) match {
       case (Some(tc), Some(b)) =>
         graft.lake.Export.exportPacked(spark, df, idCol, tc, outDir,
-          shards, budget = b.toLong, seed = seed)
+          shards, budget = b.toLong, seed = seed, format = format)
       case (Some(tc), None) =>
         graft.lake.Export.exportShards(spark, df, idCol, outDir, shards,
-          seed, tokenCol = Some(tc))
+          seed, tokenCol = Some(tc), format = format)
       case (None, Some(_)) =>
         throw new IllegalArgumentException(
           "export: --budget requires --token-column")
       case (None, None) =>
         graft.lake.Export.exportShards(spark, df, idCol, outDir, shards,
-          seed)
+          seed, format = format)
     }
     out.println(s"Exported $table to $outDir ($shards shards)")
     out.println(graft.query.Render.table(manifest))

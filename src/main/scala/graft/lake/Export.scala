@@ -58,7 +58,8 @@ object Export {
   def exportShards(
       spark: SparkSession, df: DataFrame, idCol: String,
       outDir: String, shards: Int, seed: String = "0",
-      tokenCol: Option[String] = None): DataFrame = {
+      tokenCol: Option[String] = None,
+      format: String = "parquet"): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     requireNoReserved(df, Seq("shuffle_pos", "shard", "__n"))
     val ordered = Sampling.shuffled(df, idCol, seed)
@@ -66,9 +67,8 @@ object Export {
     val sharded = ordered.crossJoin(broadcast(n))
       .withColumn("shard", shardOf(shards))
       .drop("__n")
-    sharded.write.mode(SaveMode.Overwrite)
-      .partitionBy("shard").parquet(outDir)
-    val written = spark.read.parquet(outDir)
+    writeOut(sharded, outDir, format)
+    val written = readBack(spark, outDir, format)
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
       min("shuffle_pos").as("first_pos"),
@@ -86,7 +86,8 @@ object Export {
   def exportPacked(
       spark: SparkSession, df: DataFrame, idCol: String,
       tokenCol: String, outDir: String, shards: Int,
-      budget: Long, seed: String = "0"): DataFrame = {
+      budget: Long, seed: String = "0",
+      format: String = "parquet"): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     requireNoReserved(df, Seq("shuffle_pos", "shard", "__n",
       "tokens_before", "block_id", "n_blocks"))
@@ -96,12 +97,36 @@ object Export {
     val sharded = packed.crossJoin(broadcast(n))
       .withColumn("shard", shardOf(shards))
       .drop("__n")
-    sharded.write.mode(SaveMode.Overwrite)
-      .partitionBy("shard").parquet(outDir)
-    spark.read.parquet(outDir).groupBy("shard")
+    writeOut(sharded, outDir, format)
+    readBack(spark, outDir, format).groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol).cast("long")).as("n_tokens"),
         countDistinct("block_id").as("n_blocks"))
       .orderBy("shard")
   }
+
+  /** Output format dispatch: `parquet` (columnar, the lake default) or
+    * `jsonl` (Spark's JSON-Lines writer — what most tokenizer/training
+    * loaders ingest directly). Both lay out `shard=N/` partition dirs;
+    * the manifest is computed from a read-back of what actually landed
+    * on disk, so a lost task cannot leave a silently short shard.
+    */
+  private def writeOut(df: DataFrame, outDir: String, format: String): Unit =
+    format match {
+      case "parquet" => df.write.mode(SaveMode.Overwrite)
+        .partitionBy("shard").parquet(outDir)
+      case "jsonl" => df.write.mode(SaveMode.Overwrite)
+        .partitionBy("shard").json(outDir)
+      case other => throw new IllegalArgumentException(
+        s"export: unknown format '$other' (parquet, jsonl)")
+    }
+
+  private def readBack(
+      spark: SparkSession, outDir: String, format: String): DataFrame =
+    format match {
+      case "parquet" => spark.read.parquet(outDir)
+      case "jsonl"   => spark.read.json(outDir)
+      case other => throw new IllegalArgumentException(
+        s"export: unknown format '$other' (parquet, jsonl)")
+    }
 }

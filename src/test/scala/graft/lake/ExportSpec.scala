@@ -87,4 +87,34 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     }
     assert(e2.getMessage.contains("block_id"))
   }
+
+  test("jsonl export: same shard membership as parquet, .json files") {
+    val outP = Files.createTempDirectory("graft_export_p").toString
+    val outJ = Files.createTempDirectory("graft_export_j").toString
+    Export.exportShards(spark, corpus, "id", outP, shards = 4, seed = "s2")
+    val mj = Export.exportShards(spark, corpus, "id", outJ, shards = 4,
+      seed = "s2", format = "jsonl")
+    assert(mj.as[(Int, Long, Long, Long)].collect().map(_._2).sum == 1000L)
+    // identical deterministic membership across formats
+    val p = spark.read.parquet(outP).select("id", "shard")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").intValue).toMap
+    val j = spark.read.json(outJ).select("id", "shard")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").intValue).toMap
+    assert(p == j)
+    // the layout really is JSON-Lines under shard=N dirs
+    def rec(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(rec) else Seq(f)
+    val files = rec(new java.io.File(outJ))
+      .filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty && files.forall(_.getPath.contains("shard=")))
+    val firstLine = scala.io.Source.fromFile(files.head).getLines().next()
+    assert(firstLine.startsWith("{") && firstLine.contains("\"id\""))
+    // unknown format fails loudly
+    val e3 = intercept[IllegalArgumentException] {
+      Export.exportShards(spark, corpus, "id", outJ, 2, format = "orcish")
+    }
+    assert(e3.getMessage.contains("unknown format"))
+  }
 }
