@@ -161,7 +161,7 @@ object Main {
       args.headOption match {
         case Some("collect")   => collect(spark, lake, config, opts, out)
         case Some("query")     => query(spark, lake, config, opts, out)
-        case Some("connect")   => connect(spark, lake, opts, out)
+        case Some("connect")   => connect(spark, lake, config, opts, out)
         case Some("compact")   => compact(spark, lake, config, opts, out)
         case Some("partition") => partitionCmd(spark, lake, config, opts, out)
         case Some("table")     => tableCmd(spark, lake, config, opts, out)
@@ -1164,7 +1164,8 @@ object Main {
     * cmd/connect.go:127-173).
     */
   private def connect(
-      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+      spark: SparkSession, lake: Lake, config: Hcl.Config,
+      opts: Opts, out: PrintStream): Unit = {
     // resolved workspace limits ride along as comments: the init
     // script's consumer (spark-submit wrapper, session factory) sizes
     // JVMs at launch, where an in-process cap can't
@@ -1197,6 +1198,15 @@ object Main {
         s"CREATE OR REPLACE TEMPORARY VIEW $t AS SELECT * FROM " +
           s"parquet.`${lake.tableDir(t)}`$where;")
     }
+    // materialized rollups ride along unfiltered (they are aggregates;
+    // the time/partition predicates above are row-level filters)
+    config.rollups.values.toSeq.sortBy(_.id)
+      .filter(r => graft.lake.Rollup.exists(spark, lake, r))
+      .foreach { r =>
+        out.println(
+          s"CREATE OR REPLACE TEMPORARY VIEW ${r.viewName} AS " +
+            s"SELECT * FROM parquet.`${graft.lake.Rollup.dir(lake, r)}`;")
+      }
   }
 
   // ---- maintenance -----------------------------------------------------

@@ -313,6 +313,11 @@ class MainSpec extends AnyFunSuite with SparkTest {
     // unknown rollup errors loudly
     val (rc5, out5) = cli(dir, "rollup", "refresh", "nope.x")
     assert(rc5 == 1 && out5.contains("unknown rollup"), out5)
+    // connect scripts expose the materialized rollup as a view too
+    val (rc6, script) = cli(dir, "connect")
+    assert(rc6 == 0, script)
+    assert(script.contains(
+      "TEMPORARY VIEW access_log_rollup_by_status AS"), script)
   }
 
   test("collection state makes repeated collect incremental; --overwrite re-collects") {
