@@ -319,7 +319,8 @@ object Hcl {
         mapFields = b.strings("map_fields").getOrElse(Seq("*")),
         nullIf = b.str("null_if"),
         format = b.str("format"),
-        description = b.str("description"))
+        description = b.str("description"),
+        evolution = b.bool("evolution").getOrElse(false))
       t.name -> t
     }.pipe(ps => unique(ps, (k, _: TableSpec) => s"table $k already exists"))
 

@@ -52,7 +52,13 @@ final case class TableSpec(
     mapFields: Seq[String] = Seq("*"),
     nullIf: Option[String] = None,
     format: Option[String] = None, // "<kind>.<name>" format reference
-    description: Option[String] = None) {
+    description: Option[String] = None,
+    // `evolution = true`: NEW source columns are adopted as nullable
+    // instead of raising the drift error (type CHANGES still fail —
+    // silent widening corrupts readers). Beyond-reference, the Delta
+    // mergeSchema trade: reads of an evolved table merge parquet
+    // footers (see Lake.read), paying planning cost for flexibility.
+    evolution: Boolean = false) {
   def column(n: String): Option[ColumnSpec] = columns.find(_.name == n)
 }
 

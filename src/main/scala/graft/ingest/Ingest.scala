@@ -95,7 +95,25 @@ object Ingest {
       // batch). Saves a full JSON parse of every other file.
       val inferred = SchemaInference.inferJson(spark, files.take(1))
       established match {
-        case None => established = Some(inferred)
+        case None =>
+          established = Some(inferred)
+          // cross-COLLECT evolution: a later collect whose source grew
+          // a column appends files the existing table lacks — mark so
+          // reads merge footers (within-collect evolution marks below)
+          if (tableSpec.evolution && lake.tableExists(spark, spec.table)) {
+            val existing = lake.schemaOf(spark, spec.table).fieldNames.toSet
+            if (inferred.fieldNames.exists(!existing(_)))
+              lake.markEvolved(spark, spec.table)
+          }
+        case Some(e) if tableSpec.evolution =>
+          // evolution mode: adopt new columns (nullable), still fail
+          // on type changes; mark the table so lake reads merge
+          // footers (SchemaInference.evolve scaladoc)
+          val (wider, added) = SchemaInference.evolve(e, inferred, pinned)
+          if (added.nonEmpty) {
+            established = Some(wider)
+            lake.markEvolved(spark, spec.table)
+          }
         case Some(e) => SchemaInference.checkDrift(e, inferred, pinned)
       }
       // read with the ESTABLISHED schema, not the batch's own: drift

@@ -61,4 +61,34 @@ object SchemaInference {
     }
     if (changes.nonEmpty) throw new SchemaChangeError(changes)
   }
+
+  /** Evolution-mode drift handling (`table { evolution = true }`):
+    * NEW unpinned columns are adopted into the conversion schema as
+    * nullable fields — the batch that introduces them writes them,
+    * earlier files simply lack them and read as NULL via the lake's
+    * footer-merging read. Type CHANGES on existing columns still
+    * throw: silently widening `integer -> varchar` would corrupt every
+    * reader that bound the old type.
+    *
+    * @return the (possibly wider) established schema and the names of
+    *         the columns adopted by this batch
+    */
+  def evolve(
+      established: StructType, chunk: StructType,
+      pinned: Set[String] = Set.empty): (StructType, Seq[String]) = {
+    val typeChanges = chunk.fields.toSeq
+      .filterNot(f => pinned(f.name)).flatMap { f =>
+        established.fields.find(_.name == f.name) match {
+          case Some(e) if e.dataType != f.dataType =>
+            Some(SchemaChange(f.name, Types.name(e.dataType),
+              Types.name(f.dataType)))
+          case _ => None
+        }
+      }
+    if (typeChanges.nonEmpty) throw new SchemaChangeError(typeChanges)
+    val have = established.fieldNames.toSet
+    val added = chunk.fields.toSeq.filterNot(f => have(f.name))
+    (StructType(established.fields.toSeq ++
+      added.map(_.copy(nullable = true))), added.map(_.name))
+  }
 }

@@ -47,9 +47,32 @@ final case class Lake(root: String) {
     * parquet min/max stats. `basePath` keeps partition columns in the
     * schema when reading a pruned subtree.
     */
-  def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.option("basePath", tableDir(table))
-      .parquet(tableDir(table))
+  def read(spark: SparkSession, table: String): DataFrame = {
+    // evolved tables (schema grew across collects) must merge parquet
+    // footers, or Spark binds the schema of an arbitrary file and the
+    // adopted columns vanish from reads nondeterministically. The
+    // marker is written once at the first evolving collect; the
+    // planning cost (a footer read per file, parallelized) is the
+    // documented price of `evolution = true` — non-evolved tables pay
+    // nothing.
+    val base = spark.read.option("basePath", tableDir(table))
+    val reader = if (isEvolved(spark, table))
+      base.option("mergeSchema", "true") else base
+    reader.parquet(tableDir(table))
+  }
+
+  private def evolvedMarker(table: String): Path =
+    new Path(s"${tableDir(table)}/_graft_evolved")
+
+  /** Mark a table as schema-evolved (reads merge footers from now on). */
+  def markEvolved(spark: SparkSession, table: String): Unit = {
+    val p = evolvedMarker(table)
+    val f = fs(spark, root)
+    if (!f.exists(p)) f.create(p, true).close()
+  }
+
+  def isEvolved(spark: SparkSession, table: String): Boolean =
+    fs(spark, root).exists(evolvedMarker(table))
 
   def schemaOf(spark: SparkSession, table: String): StructType =
     read(spark, table).schema

@@ -137,4 +137,59 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     SchemaInference.checkDrift(b,
       StructType(Seq(StructField("y", StringType))), pinned = Set.empty)
   }
+
+  test("SchemaInference.evolve adopts new columns, still rejects type changes") {
+    val a = StructType(Seq(StructField("x", LongType),
+      StructField("y", StringType)))
+    val grown = StructType(Seq(StructField("x", LongType),
+      StructField("z", BooleanType)))
+    val (wider, added) = SchemaInference.evolve(a, grown)
+    assert(added == Seq("z"))
+    assert(wider.fieldNames.toSeq == Seq("x", "y", "z"))
+    assert(wider("z").nullable)
+    // unchanged chunk adds nothing
+    assert(SchemaInference.evolve(wider, a)._2.isEmpty)
+    // a type CHANGE is never adopted
+    val changed = StructType(Seq(StructField("x", DoubleType)))
+    val e = intercept[SchemaInference.SchemaChangeError](
+      SchemaInference.evolve(a, changed))
+    assert(e.changes.map(_.column) == Seq("x"))
+    // unless pinned by config
+    assert(SchemaInference.evolve(a, changed, pinned = Set("x"))._2.isEmpty)
+  }
+
+  test("evolution = true: a later collect's new column lands, old rows read NULL") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    def chunk(name: String, rows: Seq[String]): String = {
+      val p = s"$root/$name"
+      val w = new java.io.PrintWriter(p)
+      try rows.foreach(w.println) finally w.close()
+      p
+    }
+    val c1 = chunk("c1.json", Seq(
+      """{"id": 1, "ts": "2024-03-01 10:00:00", "v": 1.5}"""))
+    val c2 = chunk("c2.json", Seq(
+      """{"id": 2, "ts": "2024-03-02 10:00:00", "v": 2.5, "extra": "new"}"""))
+    val lake = graft.lake.Lake(s"$root/lake")
+    val spec = graft.config.PartitionSpec("evt", "p0")
+    val evolving = graft.config.TableSpec("evt", evolution = true)
+    // two separate collects (established resets between calls)
+    Ingest.collectJsonl(spark, lake, spec, Seq(c1), evolving,
+      timestampColumn = "ts")
+    assert(!lake.isEvolved(spark, "evt"))
+    Ingest.collectJsonl(spark, lake, spec, Seq(c2), evolving,
+      timestampColumn = "ts")
+    assert(lake.isEvolved(spark, "evt"))
+    val got = lake.read(spark, "evt")
+      .select("id", "extra").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("new")))
+    // without evolution, within-call drift still fails fast
+    val strict = graft.config.TableSpec("evt2")
+    intercept[SchemaInference.SchemaChangeError](
+      Ingest.collectJsonl(spark, lake,
+        graft.config.PartitionSpec("evt2", "p0"), Seq(c1, c2), strict,
+        timestampColumn = "ts", maxChunksPerBatch = 1))
+  }
 }
