@@ -145,6 +145,91 @@ object KMeans {
       .select(col(idCol), col("cell"))
   }
 
+  /** External cluster evaluation: pair-counting Adjusted Rand Index
+    * (Hubert & Arabie 1985) and purity of the k-means assignment
+    * against a ground-truth `labelCol` — the "did the clustering find
+    * the real structure" gate a curation pipeline runs before trusting
+    * cluster-balanced sampling or SemDeDup cells.
+    *
+    * Scale shape: ONE map-side-combined `groupBy(cell, label).count()`
+    * over the assigned corpus; everything after operates on the k×L
+    * contingency table — model-sized by construction (k cells × label
+    * vocabulary), folded on the driver like every centroid exchange in
+    * this file. All pair counts are exact integers; ARI reduces to one
+    * double division of doubled pair counts,
+    * `2(cp2·t2 − ap2·bp2) / (t2(ap2+bp2) − 2·ap2·bp2)`, with products
+    * taken in double (the integer products can exceed Long at
+    * 100 TB cardinalities) — the oracle writes the identical operand
+    * tree, so the 4dp round is engine-stable.
+    *
+    * @return one row: (n_points, n_cells, purity, ari)
+    */
+  def clusterEval(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, iters: Int, scale: Int = 100): DataFrame = {
+    val cont = assign(df, idCol, vecCol, k, iters, scale)
+      .join(df.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy("cell", labelCol).agg(count(lit(1)).as("nij"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2))).toSeq
+    val byCell = cont.groupBy(_._1).values.map(_.map(_._3)).toSeq
+    val byLabel = cont.groupBy(_._2).values.map(_.map(_._3)).toSeq
+    val n = cont.map(_._3).sum
+    val t2 = n * (n - 1)
+    val cp2 = cont.map(x => x._3 * (x._3 - 1)).sum
+    val ap2 = byCell.map { v => val s = v.sum; s * (s - 1) }.sum
+    val bp2 = byLabel.map { v => val s = v.sum; s * (s - 1) }.sum
+    val purity = byCell.map(_.max).sum.toDouble / n.toDouble
+    val ari = 2.0 * (cp2.toDouble * t2.toDouble - ap2.toDouble * bp2.toDouble) /
+      (t2.toDouble * (ap2 + bp2).toDouble - 2.0 * ap2.toDouble * bp2.toDouble)
+    df.sparkSession.range(1).select(
+      lit(n).as("n_points"), lit(byCell.size).as("n_cells"),
+      round(lit(purity), 4).as("purity"), round(lit(ari), 4).as("ari"))
+  }
+
+  /** Simplified (centroid-based) silhouette: per-point width
+    * `sil = (b − a) / max(a, b)` with a = distance to the own
+    * (nearest) centroid and b = distance to the second-nearest — the
+    * published large-scale surrogate for the classic silhouette
+    * (O(n·k) map-side arithmetic instead of O(n²) pairwise), the
+    * standard "is k right / are cells tight" diagnostic before
+    * trusting cluster-balanced sampling or SemDeDup cells.
+    *
+    * Exactness: distances share [[assignDist]]'s quantized operand
+    * tree (`sqrt(greatest(|v|² + score, 0)) / scale` per centroid);
+    * a and b are 4dp-rounded BEFORE the ratio and the ratio rounded
+    * after, so the oracle reproduces the chain operand-for-operand.
+    * Scale shape: after training, one map-side pass — the k-struct
+    * score array sorts per row, no join, no shuffle.
+    *
+    * @return (idCol, cell, dist_own, dist_next, sil) per point
+    */
+  def silhouette(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Int = 100): DataFrame = {
+    require(k >= 2, s"silhouette: need k >= 2 cells, got $k")
+    val q = df.select(col(idCol).as("__id"),
+      quantize(col(vecCol), scale).as("__qv"))
+      .localCheckpoint()
+    val cents = trainCents(q, k, iters)
+    val scored = array_sort(transform(centLiteral(cents), c => struct(
+      (c.getField("ss") / (c.getField("n") * c.getField("n")).cast("double")
+        - lit(2.0) * dotL(col("__qv"), c.getField("s")).cast("double")
+          / c.getField("n").cast("double")).as("score"),
+      c.getField("cell").as("cell"))))
+    val vv = dotL(col("__qv"), col("__qv")).cast("double")
+    def dist(slot: Int) = round(
+      sqrt(greatest(vv + element_at(col("__sc"), slot).getField("score"),
+        lit(0.0))) / scale.toDouble, 4)
+    q.withColumn("__sc", scored)
+      .select(col("__id").as(idCol),
+        element_at(col("__sc"), 1).getField("cell").as("cell"),
+        dist(1).as("dist_own"), dist(2).as("dist_next"))
+      .withColumn("sil", round(
+        when(greatest(col("dist_own"), col("dist_next")) === 0.0, lit(0.0))
+          .otherwise((col("dist_next") - col("dist_own"))
+            / greatest(col("dist_own"), col("dist_next"))), 4))
+  }
+
   /** Lloyd loop; returns (idCol, cell, __score, __qv) where __score =
     * ss/n² − 2·vs/n against the assigned centroid (quantized units,
     * |v|² omitted).
@@ -164,33 +249,38 @@ object KMeans {
     val q = df.select(col(idCol).as("__id"),
       quantize(col(vecCol), scale).as("__qv"))
       .localCheckpoint()
+    val cents = trainCents(q, k, iters)
+    q.withColumn("__best", bestCell(centLiteral(cents), col("__qv")))
+      .select(col("__id").as(idCol),
+        col("__best").getField("cell").as("cell"),
+        col("__best").getField("score").as("__score"), col("__qv"))
+  }
 
-    // init: the k smallest md5(id) vectors, cell = md5 order. k rows
-    // collected — metadata-sized, like every centroid exchange below.
+  /** Lloyd training on the quantized projection `q` (__id, __qv):
+    * md5-ordered init + (iters − 1) centroid updates; the caller runs
+    * the final assignment pass against the returned centroids. Each
+    * update is one per-(cell, pos) aggregate — k·dim result rows,
+    * metadata-sized, like the init sample.
+    */
+  private def trainCents(q: DataFrame, k: Int, iters: Int): Seq[Cent] = {
     var cents: Seq[Cent] = q
       .orderBy(md5(col("__id").cast("string")), col("__id"))
       .limit(k).collect().zipWithIndex
       .map { case (r, i) => Cent(i, r.getSeq[Long](1), 1L) }.toSeq
-
-    var assigned: DataFrame = null
-    for (i <- 1 to iters) {
-      assigned = q.withColumn("__best", bestCell(centLiteral(cents), col("__qv")))
+    for (_ <- 1 until iters) {
+      val assigned = q
+        .withColumn("__best", bestCell(centLiteral(cents), col("__qv")))
         .withColumn("__cell", col("__best").getField("cell"))
-      if (i < iters) {
-        // one aggregate: per-(cell, pos) sums + per-cell counts — k·dim
-        // result rows, metadata-sized
-        val sums = assigned
-          .select(col("__cell"), posexplode(col("__qv")).as(Seq("__pos", "__x")))
-          .groupBy("__cell", "__pos")
-          .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
-          .collect()
-        cents = sums.groupBy(_.getInt(0)).map { case (cell, rows) =>
-          val byPos = rows.sortBy(_.getInt(1))
-          Cent(cell, byPos.map(_.getLong(2)).toSeq, byPos.head.getLong(3))
-        }.toSeq
-      }
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("__qv")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        val byPos = rows.sortBy(_.getInt(1))
+        Cent(cell, byPos.map(_.getLong(2)).toSeq, byPos.head.getLong(3))
+      }.toSeq
     }
-    assigned.select(col("__id").as(idCol), col("__cell").as("cell"),
-      col("__best").getField("score").as("__score"), col("__qv"))
+    cents
   }
 }

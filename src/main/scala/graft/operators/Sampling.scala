@@ -219,6 +219,41 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Budget-constrained greedy selection — "give me the best documents
+    * that fit N training tokens", the knapsack-by-density cut every
+    * token-budgeted data recipe ends with (quality-ranked corpus,
+    * fixed compute budget). Rows are laid out in `orderKey` order
+    * (a TOTAL order, best-first — encode descending value
+    * monotonically, e.g. `1.0 - quality`, and ride the id along as
+    * tiebreaker) and kept while the running `tokenCol` total fits
+    * `budget`.
+    *
+    * Scale shape: the running total is [[Packing.prefixSum]] — two-pass
+    * range-partitioned, never a single-partition window — and the cut
+    * is pure column arithmetic after it, so selection costs one extra
+    * scan over the scored corpus at any corpus size. Greedy-by-rank is
+    * the standard practice (exact knapsack is NP-hard and pointless at
+    * 4dp score granularity).
+    *
+    * @return the kept rows + `cum_tokens` (inclusive running total)
+    */
+  def budgetSelect(
+      df: DataFrame, orderKey: Seq[Column], tokenCol: String,
+      budget: Long,
+      numPartitions: Int = DistributedRank.SessionDefault): DataFrame = {
+    require(budget > 0, s"budgetSelect: budget must be positive, got $budget")
+    require(orderKey.nonEmpty, "budgetSelect: orderKey must be non-empty")
+    val key = struct(orderKey.zipWithIndex.map {
+      case (c, i) => c.as(s"k$i")
+    }: _*)
+    Packing.prefixSum(df.withColumn("__bk", key), col("__bk"),
+        col(tokenCol), numPartitions)
+      .withColumn("cum_tokens",
+        col("tokens_before") + col(tokenCol).cast("long"))
+      .where(col("cum_tokens") <= budget)
+      .drop("__bk", "tokens_before")
+  }
+
   /** Deterministic global corpus shuffle — the "randomize training
     * order" step every pretraining pipeline runs before sharding.
     * Each row gets `shuffle_pos`: its 1-based position in the

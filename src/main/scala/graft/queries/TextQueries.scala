@@ -693,6 +693,24 @@ object TextQueries {
           round(coalesce(col("n_emitted"), lit(0L)).cast("double")
             / col("n_docs"), 4).as("realized_ratio"))
         .orderBy("source")
+    }),
+
+    // Budget-constrained greedy selection: the highest-quality
+    // documents whose cumulative whitespace-token count fits an 8k
+    // training budget — quality desc (encoded monotonically as
+    // 1.0 − quality asc), doc_id tiebreak, running total from the
+    // two-pass range-partitioned prefix sum (Sampling.budgetSelect;
+    // never a single-partition window).
+    "qt50_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        round(TF.qualityScore(col("text")), 4).as("quality"))
+      graft.operators.Sampling.budgetSelect(d,
+          Seq(lit(1.0) - col("quality"), col("doc_id")), "n_tokens",
+          budget = 8000L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -893,6 +911,28 @@ object TextQueries {
                + 0.4 * least(1.0, stop_r * 4)
                + 0.2 * (1.0 - least(1.0, punct_r * 5)))), 4) AS quality
       FROM m ORDER BY doc_id""",
+    "qt50_token_budget" -> s"""
+      WITH d AS (SELECT doc_id, text,
+                   string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+              $stopRatio AS stop_r,
+              (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END) AS punct_r,
+              len(toks) AS n_tok
+            FROM d),
+      q AS (SELECT doc_id, cast(n_tok AS int) AS n_tokens,
+              round(least(1.0, greatest(0.0,
+                0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                + 0.4 * least(1.0, stop_r * 4)
+                + 0.2 * (1.0 - least(1.0, punct_r * 5)))), 4) AS quality
+            FROM m),
+      c AS (SELECT doc_id, quality, n_tokens,
+              cast(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_tokens
+            FROM q)
+      SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 8000 ORDER BY doc_id""",
     "qt03_langid" -> s"""
       WITH d AS (SELECT lang, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks
                  FROM documents),

@@ -484,6 +484,27 @@ object VectorQueries {
       Similarity.maxSim(q, c, k = 5, m = 4, subDim = 16)
         .select("qid", "cid", "maxsim", "rank")
         .orderBy("qid", "rank")
+    }),
+
+    // External cluster evaluation: pair-counting Adjusted Rand Index +
+    // purity of the qe14 clustering against the stored `label` column —
+    // integer pair combinatorics over the k×L contingency table, so the
+    // oracle replays both Lloyd rounds AND the exact ARI arithmetic
+    // (KMeans.clusterEval scaladoc).
+    "qe26_cluster_eval" -> ((s, dir) => {
+      graft.operators.KMeans.clusterEval(emb(s, dir), "vec_id",
+        "embedding", "label", k = 8, iters = 2)
+    }),
+
+    // Simplified silhouette over the qe14 clustering: per-point
+    // (b − a)/max(a, b) against the nearest and second-nearest
+    // centroids — O(n·k) map-side, no shuffle after training, and the
+    // oracle replays both Lloyd rounds plus the full distance/ratio
+    // operand tree (KMeans.silhouette scaladoc).
+    "qe27_silhouette" -> ((s, dir) => {
+      graft.operators.KMeans.silhouette(emb(s, dir), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .orderBy("vec_id")
     })
   )
 
@@ -524,7 +545,110 @@ object VectorQueries {
     }.mkString(" + ")
   }
 
+  /** The qe14 k-means replay (2 Lloyd rounds, k=8, md5 init,
+    * ×100-quantized integer vectors) through the final-round centroid
+    * CTE `c1` — shared by the qe26/qe27 evaluation oracles.
+    */
+  private val kmeansC1Ctes = """
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+             FROM embeddings),
+      init AS (SELECT v,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) - 1 AS cell
+               FROM e
+               QUALIFY cell < 8),
+      c0 AS (SELECT cell, v AS s, CAST(1 AS BIGINT) AS n,
+               list_inner_product(
+                 list_transform(v, x -> CAST(x AS DOUBLE)),
+                 list_transform(v, x -> CAST(x AS DOUBLE))) AS ss
+             FROM init),
+      a1 AS (SELECT vec_id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (SELECT cell, pos, sum(x) AS sx, count(*) AS cnt
+             FROM (SELECT cell, unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS pos
+                   FROM a1)
+             GROUP BY cell, pos),
+      c1 AS (SELECT cell, s, n,
+               list_inner_product(
+                 list_transform(s, x -> CAST(x AS DOUBLE)),
+                 list_transform(s, x -> CAST(x AS DOUBLE))) AS ss
+             FROM (SELECT cell, list(sx ORDER BY pos) AS s,
+                     max(cnt) AS n
+                   FROM s1 GROUP BY cell))"""
+
+  /** [[kmeansC1Ctes]] extended with the final assignment CTE `a2`. */
+  private val kmeansA2Ctes = kmeansC1Ctes + """
+      , a2 AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE),
+                   c.cell) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+
   val oracle: Map[String, String] = Map(
+    "qe27_silhouette" -> (kmeansC1Ctes + """
+      , sc AS (SELECT e.vec_id, c.cell,
+                 c.ss / CAST(c.n * c.n AS DOUBLE)
+                   - 2.0 * list_inner_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.s, x -> CAST(x AS DOUBLE)))
+                     / CAST(c.n AS DOUBLE) AS score,
+                 list_inner_product(
+                   list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                   list_transform(e.v, x -> CAST(x AS DOUBLE))) AS vv
+               FROM e CROSS JOIN c1 c),
+      r AS (SELECT vec_id, cell, score, vv,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY score, cell) AS rn
+            FROM sc),
+      d AS (SELECT a.vec_id, a.cell,
+              round(sqrt(greatest(a.vv + a.score, 0)) / 100.0, 4)
+                AS dist_own,
+              round(sqrt(greatest(b.vv + b.score, 0)) / 100.0, 4)
+                AS dist_next
+            FROM r a JOIN r b ON a.vec_id = b.vec_id
+              AND a.rn = 1 AND b.rn = 2)
+      SELECT vec_id, CAST(cell AS INT) AS cell, dist_own, dist_next,
+             round(CASE WHEN greatest(dist_own, dist_next) = 0.0 THEN 0.0
+               ELSE (dist_next - dist_own) / greatest(dist_own, dist_next)
+               END, 4) AS sil
+      FROM d ORDER BY vec_id"""),
+    "qe26_cluster_eval" -> (kmeansA2Ctes + """
+      , cont AS (SELECT a2.cell, t.label, count(*) AS nij
+                 FROM a2 JOIN embeddings t USING (vec_id)
+                 GROUP BY 1, 2),
+      rc AS (SELECT cell, sum(nij) AS ai, max(nij) AS mx
+             FROM cont GROUP BY cell),
+      lc AS (SELECT label, sum(nij) AS bj FROM cont GROUP BY label),
+      s AS (SELECT
+              (SELECT sum(nij * (nij - 1)) FROM cont) AS cp2,
+              (SELECT sum(ai * (ai - 1)) FROM rc) AS ap2,
+              (SELECT sum(bj * (bj - 1)) FROM lc) AS bp2,
+              (SELECT sum(nij) FROM cont) AS n,
+              (SELECT count(*) FROM rc) AS n_cells,
+              (SELECT sum(mx) FROM rc) AS mxs),
+      f AS (SELECT *, n * (n - 1) AS t2 FROM s)
+      SELECT cast(n AS bigint) AS n_points, cast(n_cells AS int) AS n_cells,
+             round(mxs::DOUBLE / n::DOUBLE, 4) AS purity,
+             round(2.0 * (cp2::DOUBLE * t2::DOUBLE - ap2::DOUBLE * bp2::DOUBLE)
+               / (t2::DOUBLE * (ap2 + bp2)::DOUBLE
+                  - 2.0 * ap2::DOUBLE * bp2::DOUBLE), 4) AS ari
+      FROM f"""),
     "qe25_maxsim" -> s"""
       WITH q AS (SELECT vec_id AS qid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

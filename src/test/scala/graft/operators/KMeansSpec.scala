@@ -77,5 +77,50 @@ class KMeansSpec extends AnyFunSuite with SparkTest {
     assert(again == kept.collect().map(_.getLong(0)).toSet)
   }
 
+  test("clusterEval: perfect clustering scores ARI = purity = 1") {
+    val df = Seq(
+      (1L, vec(0.0, 0), 7), (2L, vec(0.1, 0), 7),
+      (3L, vec(5.0, 0), 9), (4L, vec(5.1, 0), 9)
+    ).toDF("id", "v", "lab")
+    val r = KMeans.clusterEval(df, "id", "v", "lab", k = 2, iters = 2)
+      .head()
+    assert(r.getAs[Long]("n_points") == 4L)
+    assert(r.getAs[Int]("n_cells") == 2)
+    assert(r.getAs[Double]("purity") == 1.0)
+    assert(r.getAs[Double]("ari") == 1.0)
+  }
+
+  test("clusterEval: a single truth label scores chance-level ARI = 0") {
+    // two real cells but only one label: agreement is exactly what
+    // chance predicts (expected index = index), so ARI must be 0 while
+    // purity is trivially 1
+    val df = Seq(
+      (1L, vec(0.0, 0), 1), (2L, vec(0.1, 0), 1),
+      (3L, vec(5.0, 0), 1), (4L, vec(5.1, 0), 1)
+    ).toDF("id", "v", "lab")
+    val r = KMeans.clusterEval(df, "id", "v", "lab", k = 2, iters = 2)
+      .head()
+    assert(r.getAs[Double]("ari") == 0.0)
+    assert(r.getAs[Double]("purity") == 1.0)
+  }
+
+  test("silhouette: tight well-separated groups score near 1, cells " +
+    "match assign") {
+    val df = Seq(
+      (1L, vec(0.0, 0)), (2L, vec(0.1, 0)),
+      (3L, vec(5.0, 0)), (4L, vec(5.1, 0))).toDF("id", "v")
+    val sil = KMeans.silhouette(df, "id", "v", k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Double]("dist_own"),
+          r.getAs[Double]("dist_next"), r.getAs[Double]("sil")))).toMap
+    val cells = KMeans.assign(df, "id", "v", k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    sil.foreach { case (id, (cell, a, b, s)) =>
+      assert(cell == cells(id), s"cell mismatch for $id")
+      assert(a < b, s"own centroid must be nearer for $id")
+      assert(s > 0.8, s"tight separated groups: sil ~1, got $s for $id")
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

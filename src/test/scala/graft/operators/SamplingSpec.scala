@@ -202,4 +202,25 @@ class SamplingSpec extends AnyFunSuite with SparkTest {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == first)
   }
+
+  test("budgetSelect: prefix cut in key order, inclusive boundary, " +
+    "stable under repartition") {
+    val df = Seq((1L, 5), (2L, 4), (3L, 3), (4L, 2), (5L, 1))
+      .toDF("id", "toks")
+    // id order → cum 5, 9, 12, 14, 15; budget 12 keeps exactly 1..3
+    val got = Sampling.budgetSelect(df, Seq(col("id")), "toks", 12L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens"))
+      .toMap
+    assert(got == Map(1L -> 5L, 2L -> 9L, 3L -> 12L))
+    // budget below the first row's cost keeps nothing (prefix cut, not
+    // best-fit skip)
+    assert(Sampling.budgetSelect(df, Seq(col("id")), "toks", 4L)
+      .count() == 0)
+    // a different key order changes the prefix: value-ascending order
+    // (toks asc = id desc here) packs the small docs first
+    val rev = Sampling.budgetSelect(df.repartition(7),
+        Seq(col("toks"), col("id")), "toks", 6L)
+      .collect().map(_.getLong(0)).toSet
+    assert(rev == Set(5L, 4L, 3L))
+  }
 }
