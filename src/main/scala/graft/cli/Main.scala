@@ -1364,8 +1364,21 @@ object Main {
             Option(r.get(3)).map(_.toString).getOrElse("-")))
         if (d.nonEmpty)
           out.println(Render.renderTable(rows, headerRow = true))
+      case Some("snapshot") =>
+        // time-travel read: the table as of the last manifest backup
+        // (the state before the most recent collect/retention); --limit
+        // renders the first N rows, the default prints the roll-up
+        val t = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("table snapshot requires a name"))
+        val snap = graft.lake.Maintenance.readSnapshot(spark, lake, t)
+        opts.flag("limit").map(_.toInt) match {
+          case Some(n) =>
+            out.println(graft.query.Render.table(snap.limit(n)))
+          case None =>
+            out.println(s"snapshot of '$t': ${snap.count()} rows")
+        }
       case other => throw new IllegalArgumentException(
-        s"table: expected list|show|diff, got ${other.getOrElse("nothing")}")
+        s"table: expected list|show|diff|snapshot, got ${other.getOrElse("nothing")}")
     }
 
   private def sourceCmd(

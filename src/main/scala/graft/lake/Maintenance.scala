@@ -512,6 +512,53 @@ object Maintenance {
       newest.toUri.getPath
     }
 
+  /** Time-travel read: the table AS OF the newest manifest snapshot —
+    * exactly the `_live_files` the backup recorded (collect takes one
+    * before every mutation, mirroring the reference's metadata-DB
+    * backup boundary, internal/database/backup.go:26). Partition
+    * columns are rederived via basePath, so the frame is
+    * indistinguishable from a live read of the old state — "what did
+    * this table look like before the last collect/retention run".
+    *
+    * Files removed since the snapshot (compaction or retention rewrote
+    * them) fail LOUDLY with the missing list: a silent partial
+    * snapshot would be a wrong answer, and the remedies
+    * ([[restoreManifest]], or vacuuming less eagerly) are the
+    * operator's call. The existence pre-check is one driver-side RPC
+    * per snapshot file — manifest-sized, the same budget every
+    * maintenance entry point here spends.
+    */
+  def readSnapshot(
+      spark: SparkSession, lake: Lake, table: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tdir = new Path(lake.tableDir(table))
+    val fs = tdir.getFileSystem(conf)
+    val backup = listBackups(fs, lake, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest backup to read as-of for table '$table'"))
+    val liveList = new Path(backup, "_live_files")
+    if (!fs.exists(liveList))
+      throw new IllegalArgumentException(
+        s"backup ${backup.getName} predates live-file listings; " +
+          "cannot snapshot-read (take a fresh backup first)")
+    val in = fs.open(liveList)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val files = txt.split("\n").toSeq.filter(_.nonEmpty)
+    if (files.isEmpty) return lake.read(spark, table).limit(0)
+    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot read impossible for '$table': ${missing.size} of " +
+          s"${files.size} snapshot file(s) were removed since backup " +
+          s"${backup.getName} (compaction/retention) — first: " +
+          missing.take(3).mkString(", "))
+    val base = spark.read.option("basePath", lake.tableDir(table))
+    val reader = if (lake.isEvolved(spark, table))
+      base.option("mergeSchema", "true") else base
+    reader.parquet(files: _*)
+  }
+
   /** Manifest backup dirs of a table, oldest → newest (stamp order). */
   private def listBackups(
       fs: org.apache.hadoop.fs.FileSystem, lake: Lake,

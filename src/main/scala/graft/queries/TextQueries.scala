@@ -711,6 +711,63 @@ object TextQueries {
         .select(col("doc_id"), col("quality"), col("n_tokens"),
           col("cum_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // Selection-bias audit for the qt50 budget cut: KL divergence of
+    // the kept and dropped populations against the full-corpus token
+    // mixture over the same smoothed hashed-unigram buckets as qt28 —
+    // the "did quality filtering skew the language distribution" check
+    // every aggressive curation step should close with. Pure
+    // composition of two oracle-gated operators (budgetSelect →
+    // sourceDivergence with the keep flag as the group key).
+    "qt51_selection_bias" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        round(TF.qualityScore(col("text")), 4).as("quality"))
+      val kept = graft.operators.Sampling.budgetSelect(d,
+          Seq(lit(1.0) - col("quality"), col("doc_id")), "n_tokens",
+          budget = 8000L)
+        .select(col("doc_id"), lit(1).as("__k"))
+      graft.operators.Dsir.sourceDivergence(
+          d.join(kept, Seq("doc_id"), "left")
+            .withColumn("grp",
+              when(col("__k").isNotNull, lit("kept"))
+                .otherwise(lit("dropped"))),
+          "grp", "text", buckets = 128)
+        .withColumnRenamed("source", "grp")
+        .orderBy("grp")
+    }),
+
+    // Quality-canonical cluster dedup: same verified-pair components
+    // as qt18, but the keeper is the HIGHEST-QUALITY member (id
+    // tiebreak), not the smallest id — the policy real pipelines use
+    // (keep the cleanest copy, drop the rest). The per-cluster argmax
+    // compiles to WindowGroupLimit; the oracle recomputes exact pairs,
+    // closes them transitively, and replays the quality argmax.
+    "qt52_canonical_dedup" -> ((s, dir) => {
+      val corpus = planted(s, dir)
+      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, shingle = 3)
+      val verified = Dedup.exactJaccardFor(cands, corpus, "doc_id",
+          "text", n = 3, minJaccard = 0.8)
+        .where(col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+      val labeled = graft.operators.Components.connectedComponents(verified)
+      val quality = corpus.select(col("doc_id").as("id"),
+        round(TF.qualityScore(col("text")), 4).as("quality"))
+      val withQ = labeled.join(quality, "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+        .orderBy(col("quality").desc, col("id").asc)
+      val keepers = withQ.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("component"), col("id").as("keep_id"),
+          col("quality").as("keep_quality"))
+      withQ.groupBy("component").agg(count(lit(1)).as("n_members"))
+        .join(keepers, "component")
+        .select(col("component"), col("n_members"), col("keep_id"),
+          col("keep_quality"))
+        .orderBy("component")
     })
   )
 
@@ -933,6 +990,103 @@ object TextQueries {
             FROM q)
       SELECT doc_id, quality, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 8000 ORDER BY doc_id""",
+    "qt51_selection_bias" -> s"""
+      WITH d AS (SELECT doc_id, text,
+                   string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+              $stopRatio AS stop_r,
+              (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END) AS punct_r,
+              len(toks) AS n_tok
+            FROM d),
+      q AS (SELECT doc_id, cast(n_tok AS int) AS n_tokens,
+              round(least(1.0, greatest(0.0,
+                0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                + 0.4 * least(1.0, stop_r * 4)
+                + 0.2 * (1.0 - least(1.0, punct_r * 5)))), 4) AS quality
+            FROM m),
+      c AS (SELECT doc_id,
+              cast(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS bigint) AS cum
+            FROM q),
+      kept AS (SELECT doc_id FROM c WHERE cum <= 8000),
+      tagged AS (SELECT dd.doc_id, dd.text,
+                   CASE WHEN k.doc_id IS NOT NULL THEN 'kept'
+                        ELSE 'dropped' END AS grp
+                 FROM documents dd LEFT JOIN kept k USING (doc_id)),
+      tk AS (SELECT grp,
+               unnest(string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+')) AS g
+             FROM tagged),
+      bkt AS (SELECT grp,
+                ('0x' || substr(md5(g), 1, 8))::BIGINT % 128 AS bucket
+              FROM tk),
+      counts AS (SELECT grp, bucket, count(*) AS n FROM bkt GROUP BY 1, 2),
+      grid AS (SELECT s.grp, r.bucket
+               FROM (SELECT DISTINCT grp FROM counts) s
+               CROSS JOIN (SELECT unnest(range(0, 128)) AS bucket) r),
+      fl AS (SELECT g.grp, g.bucket, coalesce(cc.n, 0) AS n
+             FROM grid g LEFT JOIN counts cc USING (grp, bucket)),
+      nb AS (SELECT bucket, cast(sum(n) AS BIGINT) AS nb FROM fl GROUP BY 1),
+      ts AS (SELECT grp, cast(sum(n) AS BIGINT) AS ts FROM fl GROUP BY 1),
+      t AS (SELECT cast(sum(nb) AS BIGINT) AS t FROM nb)
+      SELECT f.grp, ts.ts AS n_tokens,
+             round(sum(((f.n + 1.0) / (ts.ts + 128.0))
+               * ln(((f.n + 1.0) / (ts.ts + 128.0))
+                    / ((nb.nb + 1.0) / (t.t + 128.0)))), 4) AS kl
+      FROM fl f JOIN nb USING (bucket) JOIN ts USING (grp) CROSS JOIN t
+      GROUP BY 1, 2 ORDER BY grp""",
+    "qt52_canonical_dedup" -> (P.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+      , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id AS id, e.dst AS r
+        FROM reach JOIN edges e ON e.src = reach.r),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      qd AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks,
+               text
+             FROM corpus),
+      qm AS (SELECT doc_id,
+               $stopRatio AS stop_r,
+               (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END) AS punct_r,
+               len(toks) AS n_tok
+             FROM qd),
+      qq AS (SELECT doc_id AS id, round(least(1.0, greatest(0.0,
+                 0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * least(1.0, stop_r * 4)
+                 + 0.2 * (1.0 - least(1.0, punct_r * 5)))), 4) AS quality
+             FROM qm),
+      j AS (SELECT comp.component, comp.id, qq.quality
+            FROM comp JOIN qq USING (id)),
+      agg AS (SELECT component, cast(count(*) AS bigint) AS n_members
+              FROM j GROUP BY 1),
+      k AS (SELECT component, id AS keep_id, quality AS keep_quality
+            FROM (SELECT j.*, row_number() OVER (PARTITION BY component
+                    ORDER BY quality DESC, id) AS rn FROM j) x
+            WHERE rn = 1)
+      SELECT cast(a.component AS bigint) AS component, a.n_members,
+             k.keep_id, k.keep_quality
+      FROM agg a JOIN k USING (component) ORDER BY component"""),
     "qt03_langid" -> s"""
       WITH d AS (SELECT lang, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks
                  FROM documents),

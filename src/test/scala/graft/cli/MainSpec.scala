@@ -256,6 +256,25 @@ class MainSpec extends AnyFunSuite with SparkTest {
     // diff against a table with no snapshot errors cleanly
     val (rc2, out2) = cli(dir, "table", "diff", "nope")
     assert(rc2 == 1 && out2.contains("no manifest backup"), out2)
+
+    // time travel to the pre-collect-#2 state is impossible — the
+    // incremental collect REWROTE the May partition file the snapshot
+    // lists. The read must refuse loudly, not return a partial state.
+    val (rc3, out3) = cli(dir, "table", "snapshot", "access_log")
+    assert(rc3 == 1 && out3.contains("removed since backup"), out3)
+
+    // a collect that only ADDS a partition (June row) leaves the May
+    // file intact, so the pre-collect-#3 snapshot is readable: 4 rows
+    // (with the May curl hit), while the live table already has 5
+    write(f, new String(Files.readAllBytes(f.toPath), "UTF-8") +
+      "2024-06-02T09:00:00Z,172.16.0.77,\"curl/8.1\",500\n")
+    cli(dir, "collect", "access_log.local")
+    val (rc4, out4) = cli(dir, "table", "snapshot", "access_log")
+    assert(rc4 == 0 && out4.contains("4 rows"), out4)
+    val (rc5, out5) =
+      cli(dir, "table", "snapshot", "access_log", "--limit", "10")
+    assert(rc5 == 0 && out5.contains("172.16.0.9")
+      && !out5.contains("172.16.0.77"), out5)
   }
 
   test("rollup: collect maintains the materialized aggregate; " +

@@ -493,6 +493,34 @@ class LakeSpec extends AnyFunSuite with SparkTest {
       .exists(new org.apache.hadoop.fs.Path(p, "_live_files"))))
   }
 
+  test("readSnapshot time-travels to the backup state, fails loudly " +
+    "after compaction removes snapshot files") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(30))
+    assert(Maintenance.backupManifest(spark, lake, "t").isDefined)
+    val atBackup = lake.dataFiles(spark, "t")
+
+    // appends after the backup are invisible to the snapshot read
+    lake.append(spark, "t", sampleBatch(10))
+    assert(lake.read(spark, "t").count() == 40)
+    val snap = Maintenance.readSnapshot(spark, lake, "t")
+    assert(snap.count() == 30)
+    // partition columns rederived via basePath, like a live read
+    assert(Seq("tp_partition", "tp_year", "tp_month")
+      .forall(snap.columns.contains))
+
+    // delete a snapshot-member file (what compaction/retention would
+    // do): the time travel must refuse, not return a silent partial
+    // state
+    val conf = spark.sparkContext.hadoopConfiguration
+    val victim = new org.apache.hadoop.fs.Path(atBackup.head)
+    victim.getFileSystem(conf).delete(victim, false)
+    val e = intercept[IllegalStateException] {
+      Maintenance.readSnapshot(spark, lake, "t")
+    }
+    assert(e.getMessage.contains("removed since backup"))
+  }
+
   test("reindex migrates tp_index to the newly-configured column, moving partition dirs") {
     val lake = newLake()
     // collected under tp_index = idx (values 0/1/2); the raw rows also
