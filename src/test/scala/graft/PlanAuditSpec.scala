@@ -40,7 +40,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt45_domain_cap", "qt46_curriculum", "qt47_ngram_novelty",
     "qt48_fertility", "qt49_source_epochs", "qe22_truncation_recall",
     "qe23_hybrid_rrf", "qi18_rollup", "qe24_filtered_ann",
-    "qe25_maxsim")
+    "qe25_maxsim",
+    "qt50_token_budget", "qt51_selection_bias", "qt52_canonical_dedup",
+    "qe26_cluster_eval", "qe27_silhouette")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
@@ -153,6 +155,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("WindowGroupLimit"),
       s"truncatedRerank lost its WindowGroupLimit:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("budgetSelect's running total is the __pid-partitioned two-pass " +
+    "prefix sum, never a single-partition window") {
+    val df = spark.range(500).select(col("id"),
+      (col("id") % 7 + 1).cast("int").as("toks"))
+    val sel = graft.operators.Sampling.budgetSelect(
+      df, Seq(col("id")), "toks", 900L)
+    sel.collect()
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"budgetSelect lost the two-pass prefix sum:\n$plan")
+  }
+
+  test("canonical-dedup keeper argmax compiles to WindowGroupLimit") {
+    // qt52's per-component best-quality pick is a rank-1 filter over
+    // (quality desc, id) — it must push per-mapper partial top-1, not
+    // sort whole components in one task
+    val labeled = spark.range(100).select(col("id"),
+      (col("id") % 10).as("component"),
+      (col("id") % 13).cast("double").as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("quality").desc, col("id").asc)
+    val keepers = labeled
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rk") === 1)
+    val plan = keepers.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"keeper argmax lost its WindowGroupLimit:\n$plan")
   }
 
   test("weightedSample grouped top-k compiles to WindowGroupLimit") {
