@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -83,6 +83,80 @@ object StreamIngest {
       }
       .start()
   }
+
+  /** [[collectStream]] with a quality gate and a DEAD-LETTER path:
+    * every micro-batch splits on the rule pack — rows passing ALL
+    * rules run the normal collect pipeline; failing rows are written
+    * to the table's quarantine directory with the names of the failed
+    * rules recorded. Bad data in a live feed is a fact, not an
+    * exception: dropping it silently destroys auditability, and
+    * failing the stream on it stops ingestion — the router keeps both
+    * properties (the dead-letter-queue pattern).
+    *
+    * The quarantine sink is IDEMPOTENT under micro-batch replay: each
+    * batch overwrites its own `batch_id=N` directory, so the crash
+    * replay foreachBatch permits rewrites the same rows instead of
+    * appending twice (the standard batch-id-scoped-overwrite pattern;
+    * the clean side keeps collectStream's documented at-least-once
+    * contract with the dedup backstop). A NULL rule verdict counts as
+    * a failure — unparseable rows are exactly what quarantine is for.
+    *
+    * @param rules (name, pass-predicate) pairs; a row must pass all
+    */
+  def routedCollectStream(
+      spark: SparkSession,
+      lake: Lake,
+      spec: PartitionSpec,
+      inboxDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      rules: Seq[(String, Column)],
+      tableSpec: TableSpec = TableSpec(""),
+      timestampColumn: String = "tp_timestamp",
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 2000): StreamingQuery = {
+    require(rules.nonEmpty, "routedCollectStream: need at least one rule")
+    val passAll = rules.map(r => coalesce(r._2, lit(false))).reduce(_ && _)
+    val reasons = concat_ws(",", rules.map { case (n, c) =>
+      when(!coalesce(c, lit(false)), lit(n))
+    }: _*)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inboxDir)
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one pass over the source batch feeds both sides
+        val b = batch.persist()
+        try {
+          Ingest.collectBatch(spark, lake, spec, b.where(passAll),
+            tableSpec, timestampColumn)
+          b.where(!passAll).withColumn("_reject_reason", reasons)
+            .write.mode("overwrite")
+            .parquet(s"${quarantineDir(lake, spec.table)}/batch_id=$batchId")
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** Quarantine directory of a table — under the lake root's
+    * underscore-prefixed `_quarantine` tree, invisible to table scans
+    * and `listTables`.
+    */
+  def quarantineDir(lake: Lake, table: String): String =
+    s"${lake.root}/_quarantine/$table"
+
+  /** The quarantined rows of a table, with their `batch_id` partition
+    * and `_reject_reason` — what an operator replays after fixing the
+    * feed (fix upstream → re-drop into the inbox → vacuum quarantine).
+    */
+  def readQuarantine(
+      spark: SparkSession, lake: Lake, table: String): DataFrame =
+    spark.read.option("basePath", quarantineDir(lake, table))
+      .parquet(quarantineDir(lake, table))
 
   /** Watermarked tumbling-window counts/sums per key — the canonical
     * streaming aggregation. State is bounded: windows older than the

@@ -71,6 +71,46 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(roll == Map("2024-03-01" -> 2L, "2024-04-02" -> 2L), roll)
   }
 
+  test("routedCollectStream: clean rows ingest, failing rows land in " +
+    "quarantine with reasons; quarantine writes are replay-idempotent") {
+    val root = Files.createTempDirectory("graft_routed").toString
+    val inbox = s"$root/inbox"
+    new java.io.File(inbox).mkdirs()
+    def writeChunk(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$inbox/$name")
+      try rows.foreach(w.println) finally w.close()
+    }
+    writeChunk("c0.json", Seq(
+      """{"id": 1, "ts": "2024-03-01 10:00:00", "v": 2.5}""",
+      """{"id": 2, "ts": "2024-03-01 11:00:00", "v": -1.0}""",
+      """{"id": 3, "ts": null, "v": 3.0}"""))
+
+    val lake = Lake(s"$root/lake")
+    val schema = SchemaInference.inferJson(spark, Seq(s"$inbox/c0.json"))
+    val rules = Seq(
+      "ts_present" -> col("ts").isNotNull,
+      "v_nonneg" -> (col("v") >= 0))
+    def run(ckpt: String) = {
+      val q = StreamIngest.routedCollectStream(spark, lake,
+        PartitionSpec("routed_stream", "p0"), inbox, schema,
+        ckpt, rules, timestampColumn = "ts")
+      q.awaitTermination()
+    }
+    run(s"$root/ckpt")
+
+    assert(lake.read(spark, "routed_stream").count() == 1)
+    val quar = StreamIngest.readQuarantine(spark, lake, "routed_stream")
+      .select(col("id"), col("_reject_reason")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(quar == Map(2L -> "v_nonneg", 3L -> "ts_present"), quar)
+
+    // replaying the same batch (fresh checkpoint, same inbox) rewrites
+    // the same batch_id directory: the quarantine does not double
+    run(s"$root/ckpt2")
+    assert(StreamIngest.readQuarantine(spark, lake, "routed_stream")
+      .count() == 2)
+  }
+
   test("quality rule pack gates a stream statelessly (no state store)") {
     // QualityRules is pure per-row column algebra, so it composes into
     // a streaming pipeline with no watermark and no state — the shape
