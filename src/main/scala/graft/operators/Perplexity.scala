@@ -98,6 +98,52 @@ object Perplexity {
         round(exp(-col("__mlp")), 4).as("ppl2"))
   }
 
+  /** Jelinek–Mercer interpolated bigram LM (Chen & Goodman 1999's
+    * baseline smoother): P(c|p) = λ·c2/c1 + (1−λ)·(cu+1)/(T+V) — the
+    * MLE bigram backed off into the add-1 unigram, the step between
+    * [[bigram]]'s pure add-1 and a production-smoothed LM. The unigram
+    * term is always positive, so unseen bigrams cannot zero a
+    * document's probability (OOV-safe by construction).
+    *
+    * Model sizes and plan shape are [[bigram]]'s (bigram-table and
+    * vocabulary-sized joins against one corpus pass) plus one unigram
+    * count join; T and V are one driver-side scalar aggregate, the
+    * same normalizer family as [[apply]]. The score's operand tree
+    * (λ·c2/c1 then the unigram term, left-to-right) is what the
+    * oracle writes, so the 4dp round is engine-stable.
+    *
+    * @return (idCol, n_bigrams, ppl_jm) for docs with >= 2 tokens
+    */
+  def interpolatedBigram(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1,
+      s"interpolatedBigram: lambda must be in (0,1), got $lambda")
+    val toks = df.select(col(idCol).as("__id"),
+      filter(TF.tokens(col(textCol)), x => x =!= "").as("__t"))
+      .where(size(col("__t")) >= 2)
+    val bg = toks.select(col("__id"),
+        explode(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("p"), b.as("c")))).as("b"))
+      .select(col("__id"), col("b.p").as("p"), col("b.c").as("c"))
+    val c2 = bg.groupBy("p", "c").agg(count(lit(1)).as("c2"))
+    val model = c2.join(c2.groupBy("p").agg(
+      sum("c2").cast("long").as("c1")), "p")
+    val uni = toks.select(explode(col("__t")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cu"))
+    val tv = uni.agg(sum("cu").cast("long"), count(lit(1))).head()
+    val (t, v) = (tv.getLong(0), tv.getLong(1))
+    bg.join(model, Seq("p", "c")).join(uni, Seq("c"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(lit(lambda) * col("c2") / col("c1")
+          + lit(1.0 - lambda) * (col("cu") + 1) / lit(t + v))).as("__mlp"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        round(exp(-col("__mlp")), 4).as("ppl_jm"))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): within
     * each language, rank documents by LM perplexity and cut into exact
     * terciles — "head" is the most corpus-like third, "tail" the

@@ -768,6 +768,17 @@ object TextQueries {
         .select(col("component"), col("n_members"), col("keep_id"),
           col("keep_quality"))
         .orderBy("component")
+    }),
+
+    // Jelinek–Mercer interpolated bigram perplexity (λ = 0.75): the
+    // MLE bigram backed off into the add-1 unigram — qt39's pure
+    // bigram with real smoothing, scored per document. The operand
+    // tree is pinned (Perplexity.interpolatedBigram scaladoc), so the
+    // oracle replays the model joins and the score chain exactly.
+    "qt53_interp_lm" -> ((s, dir) => {
+      graft.operators.Perplexity.interpolatedBigram(
+          docs(s, dir), "doc_id", "text", lambda = 0.75)
+        .orderBy("doc_id")
     })
   )
 
@@ -1433,6 +1444,29 @@ object TextQueries {
       SELECT doc_id, md5(text) AS content_hash FROM corpus
       WHERE text NOT IN (SELECT text FROM idx)
       ORDER BY doc_id"""),
+    "qt53_interp_lm" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                 '\s+'), x -> x <> '') AS t
+        FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_slice(t, 1, len(t) - 1)) AS p,
+                    unnest(list_slice(t, 2, len(t))) AS c
+             FROM toks WHERE len(t) >= 2),
+      c2 AS (SELECT p, c, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT p, cast(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      uni AS (SELECT tok AS c, count(*) AS cu FROM
+                (SELECT unnest(t) AS tok FROM toks WHERE len(t) >= 2)
+              GROUP BY 1),
+      tv AS (SELECT cast(sum(cu) AS BIGINT) AS t, count(*) AS v FROM uni)
+      SELECT bg.doc_id, cast(count(*) AS bigint) AS n_bigrams,
+             round(exp(-avg(ln(0.75 * c2.c2 / c1.c1
+               + 0.25 * (uni.cu + 1) / (tv.t + tv.v)))), 4) AS ppl_jm
+      FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) JOIN uni USING (c)
+      CROSS JOIN tv
+      GROUP BY bg.doc_id ORDER BY doc_id""",
     "qt39_bigram_lm" -> """
       WITH toks AS (
         SELECT doc_id,

@@ -64,6 +64,27 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
     assert(e.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("interpolatedBigram: hand-traced JM mixture on a tiny corpus, " +
+    "OOV-safe where the pure bigram saturates") {
+    // corpus "a b a b": bigrams (a,b)x2, (b,a)x1; c1: a->2, b->1;
+    // unigrams a->2, b->2, T=4, V=2. P(b|a) = .75*2/2 + .25*3/6 = .875;
+    // P(a|b) = .75*1/1 + .25*3/6 = .875 → ppl = 1/0.875 = 1.1429
+    val df = Seq((1L, "a b a b")).toDF("id", "text")
+    val r = Perplexity.interpolatedBigram(df, "id", "text").head()
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Double]("ppl_jm") == 1.1429)
+    // an unseen transition ("b b") still scores via the unigram term
+    // instead of collapsing to the add-1 floor alone: JM ppl for the
+    // shuffled doc stays finite and above the fluent doc's
+    val corpus = ((1 to 30).map(i => (i.toLong, "the cat sat on the mat"))
+      :+ (99L, "mat the on sat cat the")).toDF("id", "text")
+    val jm = Perplexity.interpolatedBigram(corpus, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("ppl_jm"))
+      .toMap
+    assert(jm(1L) < jm(99L))
+    assert(jm(99L).isFinite)
+  }
+
   test("ccnet buckets: per-language exact terciles of perplexity rank") {
     // lang en: 7 docs (tercile sizes 3/2/2), lang fr: 2 docs (fewer
     // rows than tiles -> ranks become tiles: head, middle)
