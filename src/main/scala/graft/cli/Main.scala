@@ -644,15 +644,32 @@ object Main {
             n = 3, minJaccard = threshold)
           .where(col("jaccard") >= threshold)
           .select("id_a", "id_b")
-        val stats = Components.componentStats(
-          Components.connectedComponents(verified))
-        val clusters = stats.count()
-        val dropped = if (clusters == 0) 0L
-          else stats.agg(sum("n_dropped")).head().getLong(0)
-        out.println(s"Table $table: $total rows, $clusters near-dup " +
-          s"clusters at jaccard >= $threshold, $dropped droppable rows")
-        out.println(graft.query.Render.table(
-          stats.orderBy(col("n_members").desc, col("component")).limit(20)))
+        val labeled = Components.connectedComponents(verified)
+        if (opts.flag("keep").contains("best")) {
+          // quality-canonical policy: keep the cleanest member of each
+          // cluster (Components.canonicalBy), not the smallest id
+          val quality = df.select(col(idCol).as("id"),
+            org.apache.spark.sql.functions.round(
+              graft.functions.TextFunctions.qualityScore(col(textCol)), 4)
+              .as("quality"))
+          val kept = Components.canonicalBy(labeled, quality)
+          val clusters = kept.count()
+          out.println(s"Table $table: $total rows, $clusters near-dup " +
+            s"clusters at jaccard >= $threshold (keep=best quality)")
+          out.println(graft.query.Render.table(
+            kept.orderBy(col("n_members").desc, col("component"))
+              .limit(20)))
+        } else {
+          val stats = Components.componentStats(labeled)
+          val clusters = stats.count()
+          val dropped = if (clusters == 0) 0L
+            else stats.agg(sum("n_dropped")).head().getLong(0)
+          out.println(s"Table $table: $total rows, $clusters near-dup " +
+            s"clusters at jaccard >= $threshold, $dropped droppable rows")
+          out.println(graft.query.Render.table(
+            stats.orderBy(col("n_members").desc, col("component"))
+              .limit(20)))
+        }
       case "substring" =>
         // Lee et al. ExactSubstr (Dedup.substringDedup): report how
         // many tokens duplicated k-gram spans would cut

@@ -123,4 +123,30 @@ object Components {
       .agg(count(lit(1)).as("n_members"),
         sum(when(col("id") =!= col("component"), 1L).otherwise(0L))
           .as("n_dropped"))
+
+  /** Quality-canonical keeper per component: instead of the smallest
+    * id, keep the member with the HIGHEST score (id tiebreak) — the
+    * policy real dedup pipelines use (keep the cleanest copy, drop the
+    * rest). `quality` is (id, quality); the per-component argmax is a
+    * rank-1 filter over (quality desc, id) and compiles to
+    * WindowGroupLimit — per-mapper partial top-1 below the shuffle, so
+    * no task ever holds a whole component (PlanAuditSpec pin).
+    *
+    * @return (component, n_members, keep_id, keep_quality)
+    */
+  def canonicalBy(labeled: DataFrame, quality: DataFrame): DataFrame = {
+    val withQ = labeled.join(quality, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("quality").desc, col("id").asc)
+    val keepers = withQ
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("component"), col("id").as("keep_id"),
+        col("quality").as("keep_quality"))
+    withQ.groupBy("component").agg(count(lit(1)).as("n_members"))
+      .join(keepers, "component")
+      .select(col("component"), col("n_members"), col("keep_id"),
+        col("keep_quality"))
+  }
 }

@@ -755,18 +755,7 @@ object TextQueries {
       val labeled = graft.operators.Components.connectedComponents(verified)
       val quality = corpus.select(col("doc_id").as("id"),
         round(TF.qualityScore(col("text")), 4).as("quality"))
-      val withQ = labeled.join(quality, "id")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("component")
-        .orderBy(col("quality").desc, col("id").asc)
-      val keepers = withQ.withColumn("__rk", row_number().over(w))
-        .where(col("__rk") === 1)
-        .select(col("component"), col("id").as("keep_id"),
-          col("quality").as("keep_quality"))
-      withQ.groupBy("component").agg(count(lit(1)).as("n_members"))
-        .join(keepers, "component")
-        .select(col("component"), col("n_members"), col("keep_id"),
-          col("keep_quality"))
+      graft.operators.Components.canonicalBy(labeled, quality)
         .orderBy("component")
     }),
 

@@ -554,6 +554,20 @@ class MainSpec extends AnyFunSuite with SparkTest {
     // notes 1,2,3 cluster (1,2 identical; 3 a near-copy); 4 alone
     assert(near.contains("1 near-dup clusters"), near)
     assert(near.contains("2 droppable rows"), near)
+    // keep=best: quality-canonical keeper policy. All three cluster
+    // members score the capped quality 1.0 here, so the id tiebreak
+    // keeps note 1 — the policy itself (higher quality beats smaller
+    // id) is pinned by ComponentsSpec.canonicalBy
+    val (rcB, best) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.6", "--keep", "best")
+    assert(rcB == 0, best)
+    assert(best.contains("1 near-dup clusters"), best)
+    assert(best.contains("keep=best"), best)
+    assert(best.contains("keep_quality"), best)
+    assert("\\|\\s*1\\s*\\|\\s*1(\\.0)?\\s*\\|\\s*$".r
+      .findFirstIn(best.linesIterator
+        .find(_.contains("| 3")).getOrElse("")).isDefined, best)
     // bad column fails loudly
     val (rc3, bad) = cli(dir, "dedup", "notes",
       "--id-column", "nope", "--text-column", "note")

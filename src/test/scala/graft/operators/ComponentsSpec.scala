@@ -64,6 +64,21 @@ class ComponentsSpec extends AnyFunSuite with SparkTest {
     assert(after <= before + 1, s"persistent RDDs grew $before -> $after")
   }
 
+  test("canonicalBy keeps the highest-quality member, id tiebreak") {
+    // cluster {1,2,3}: 3 has the best quality and wins despite the
+    // largest id; cluster {10,11}: tie on quality → smaller id keeps
+    val labeled = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("id", "component")
+    val quality = Seq((1L, 0.5), (2L, 0.7), (3L, 0.9), (10L, 0.8),
+      (11L, 0.8)).toDF("id", "quality")
+    val got = Components.canonicalBy(labeled, quality).collect()
+      .map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("keep_id"),
+          r.getAs[Double]("keep_quality")))).toMap
+    assert(got(1L) == ((3L, 3L, 0.9)))
+    assert(got(10L) == ((2L, 10L, 0.8)))
+  }
+
   test("maxIter exhaustion throws instead of returning under-merged labels") {
     // path 0-1-...-7 has diameter 7 > maxIter=2: propagation cannot
     // finish, and a silent partial merge would corrupt dedup groups
