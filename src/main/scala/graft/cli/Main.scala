@@ -69,7 +69,7 @@ object Main {
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
       "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
-      "vocab", "novelty")
+      "vocab", "novelty", "readability")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -821,6 +821,23 @@ object Main {
         .withColumnRenamed("group", "lang")
         .orderBy("lang", "bucket_lo")
       out.println(graft.query.Render.table(b))
+    }
+    // --readability: Flesch ease / FK grade distribution from the
+    // dictionary-free sentence+syllable heuristics (TextFunctions) —
+    // the readability band a quality gate keys on
+    if (opts.flag("readability").contains("true")) {
+      val m = df.select(
+        TF.tokenCount(t).as("w"), TF.sentenceCount(t).as("s"),
+        TF.syllableCount(t).as("y"))
+        .where(col("w") > 0)
+        .select(TF.fleschEase(col("w"), col("s"), col("y")).as("flesch"),
+          TF.fkGrade(col("w"), col("s"), col("y")).as("fk"))
+      out.println(graft.query.Render.table(m.agg(
+        round(min("flesch"), 1).as("flesch_min"),
+        round(expr("percentile_approx(flesch, 0.5)"), 1)
+          .as("flesch_median"),
+        round(max("flesch"), 1).as("flesch_max"),
+        round(expr("percentile_approx(fk, 0.5)"), 1).as("fk_median"))))
     }
     // --rules: per-gate pass rates of the C4/Gopher rule pack —
     // what fraction of the corpus each published filter would keep

@@ -54,6 +54,48 @@ object TextFunctions {
       size(regexp_extract_all(lower(text), lit("[^a-z0-9\\s]"), lit(0)))
         .cast("double") / length(text))
 
+  /** Sentence count: runs of terminal punctuation, floored at 1 so
+    * unpunctuated text (transcripts, logs, title-cased fragments)
+    * counts as one sentence instead of dividing by zero.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))))
+
+  /** Heuristic syllable count: vowel-group runs per word, floored at 1
+    * per word (every word has at least one spoken syllable — "qt",
+    * "b2"). The standard dictionary-free approximation readability
+    * formulas are calibrated against.
+    */
+  def syllableCount(text: Column): Column =
+    letBind(tokens(text), toks =>
+      aggregate(
+        transform(filter(toks, w => w =!= ""), w =>
+          greatest(lit(1),
+            size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+        lit(0), (acc, x) => acc + x))
+
+  /** Flesch reading ease: 206.835 − 1.015·(W/S) − 84.6·(Syl/W).
+    * All three inputs are exact integers, the formula is one pinned
+    * double-operand tree, so the 4dp round is engine-stable. Higher =
+    * easier; unpunctuated synthetic text scores deeply negative (one
+    * "sentence" of W words), which is itself the signal a quality
+    * gate keys on.
+    */
+  def fleschEase(words: Column, sentences: Column,
+      syllables: Column): Column =
+    lit(206.835) -
+      lit(1.015) * words.cast("double") / sentences.cast("double") -
+      lit(84.6) * syllables.cast("double") / words.cast("double")
+
+  /** Flesch–Kincaid grade level:
+    * 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+    */
+  def fkGrade(words: Column, sentences: Column,
+      syllables: Column): Column =
+    lit(0.39) * words.cast("double") / sentences.cast("double") +
+      lit(11.8) * syllables.cast("double") / words.cast("double") -
+      lit(15.59)
+
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "from", "this", "that", "be")

@@ -768,6 +768,25 @@ object TextQueries {
       graft.operators.Perplexity.interpolatedBigram(
           docs(s, dir), "doc_id", "text", lambda = 0.75)
         .orderBy("doc_id")
+    }),
+
+    // Readability metrics (Flesch ease + Flesch–Kincaid grade) from
+    // dictionary-free sentence/syllable heuristics — pure per-row
+    // integer counting plus two pinned double formulas, so the whole
+    // query is map-side (no shuffle but the presentation sort) and
+    // the oracle replays it exactly.
+    "qt54_readability" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_words"),
+        TF.sentenceCount(col("text")).as("n_sentences"),
+        TF.syllableCount(col("text")).as("n_syllables"))
+      d.select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(TF.fleschEase(col("n_words"), col("n_sentences"),
+            col("n_syllables")), 4).as("flesch"),
+          round(TF.fkGrade(col("n_words"), col("n_sentences"),
+            col("n_syllables")), 4).as("fk_grade"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1433,6 +1452,25 @@ object TextQueries {
       SELECT doc_id, md5(text) AS content_hash FROM corpus
       WHERE text NOT IN (SELECT text FROM idx)
       ORDER BY doc_id"""),
+    "qt54_readability" -> """
+      WITH d AS (SELECT doc_id, text,
+                   string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+              cast(len(toks) AS int) AS n_words,
+              cast(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                AS int) AS n_sentences,
+              cast(coalesce(list_sum(list_transform(
+                list_filter(toks, w -> w <> ''),
+                w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+                0) AS int) AS n_syllables
+            FROM d)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             round(206.835 - 1.015 * n_words / n_sentences
+               - 84.6 * n_syllables / n_words, 4) AS flesch,
+             round(0.39 * n_words / n_sentences
+               + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade
+      FROM m ORDER BY doc_id""",
     "qt53_interp_lm" -> """
       WITH toks AS (
         SELECT doc_id,

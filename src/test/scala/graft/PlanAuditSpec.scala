@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qe23_hybrid_rrf", "qi18_rollup", "qe24_filtered_ann",
     "qe25_maxsim",
     "qt50_token_budget", "qt51_selection_bias", "qt52_canonical_dedup",
-    "qe26_cluster_eval", "qe27_silhouette", "qt53_interp_lm")
+    "qe26_cluster_eval", "qe27_silhouette", "qt53_interp_lm",
+    "qt54_readability")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {

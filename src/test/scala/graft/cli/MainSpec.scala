@@ -579,6 +579,12 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(prof.contains("Table notes: 4 docs"), prof)
     assert(prof.contains("lang"), prof)
     assert(prof.contains("the"), prof) // top term of the fox corpus
+    // --readability: the Flesch/FK distribution table renders
+    val (rcR, profR) = cli(dir, "profile", "notes",
+      "--text-column", "note", "--readability")
+    assert(rcR == 0, profR)
+    assert(profR.contains("flesch_median") && profR.contains("fk_median"),
+      profR)
     // substring mode: notes 2 and 3 are covered by note 1's 8-gram
     // spans (14/14 and 13/15 tokens respectively)
     val (rcS, sub) = cli(dir, "dedup", "notes",

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.functions.{TextFunctions => TF}
+
+class ReadabilitySpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def metrics(text: String) = {
+    val r = Seq((1L, text)).toDF("id", "text").select(
+      TF.tokenCount(col("text")).as("w"),
+      TF.sentenceCount(col("text")).as("s"),
+      TF.syllableCount(col("text")).as("y")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  test("sentence and syllable heuristics on hand-counted text") {
+    // "the cat sat. it sat on a mat! did it?" — 3 sentences; every
+    // word monosyllabic → 10 syllables for 10 words
+    val (w, s, y) = metrics("the cat sat. it sat on a mat! did it?")
+    assert(w == 10 && s == 3 && y == 10, ((w, s, y)))
+    // vowel-group runs: "beautiful" = eau|i|u → 3; "rhythm" has no
+    // aeiouy-vowel... y counts: rh-y-thm → 1; "qt" floors at 1
+    assert(metrics("beautiful") == ((1, 1, 3)))
+    assert(metrics("rhythm") == ((1, 1, 1)))
+    assert(metrics("qt") == ((1, 1, 1)))
+    // no terminal punctuation → one sentence, never divide-by-zero
+    assert(metrics("words without any stops")._2 == 1)
+  }
+
+  test("flesch/fk formulas match the hand calculation") {
+    // W=10, S=3, Syl=10: ease = 206.835 − 1.015·(10/3) − 84.6·1
+    //                    grade = 0.39·(10/3) + 11.8·1 − 15.59
+    val df = Seq((10, 3, 10)).toDF("w", "s", "y")
+    val r = df.select(
+      round(TF.fleschEase(col("w"), col("s"), col("y")), 4).as("f"),
+      round(TF.fkGrade(col("w"), col("s"), col("y")), 4).as("g")).head()
+    assert(math.abs(r.getDouble(0) - 118.8517) < 1e-9, r.getDouble(0))
+    assert(math.abs(r.getDouble(1) - (-2.49)) < 1e-9, r.getDouble(1))
+  }
+}
