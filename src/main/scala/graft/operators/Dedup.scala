@@ -534,6 +534,63 @@ object Dedup {
       corpus.where(hitCount >= minHits), bench, idCol, textCol, n, threshold)
   }
 
+  /** Span-level decontamination — the APPLY step behind
+    * [[containmentPairs]]/[[contaminationReport]]'s detection: drop
+    * every token covered by an n-gram that appears anywhere in the
+    * eval benchmark, emit the redacted text plus counts. Removing just
+    * the overlapping spans (instead of the whole document) is what
+    * eval-decontamination recipes do when the document is otherwise
+    * good data.
+    *
+    * Scale shape: bench grams are one distinct projection
+    * (benchmark-sized — AQE broadcasts it); corpus gram starts stream
+    * map-side through the gram equi-join; covered positions explode
+    * from the matched starts only; reassembly is a per-document
+    * collect_list — bounded by the document's own token count, the
+    * same per-row bound every text metric here carries. Grams travel
+    * as raw strings so the DuckDB oracle replays the join exactly.
+    *
+    * @return (idCol, n_tokens, n_dirty, clean_text)
+    */
+  def redactContaminated(
+      corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    require(n >= 2, s"redactContaminated: gram size must be >= 2, got $n")
+    val ct = corpus.select(col(idCol).as("__id"),
+      TF.tokens(col(textCol)).as("__t"))
+    val starts = greatest(size(col("__t")) - (n - 1), lit(1))
+    val cg = ct
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), starts)).as("__i"))
+      .select(col("__id"), col("__i"),
+        array_join(slice(col("__t"), col("__i"), lit(n)), " ").as("__g"))
+    val bg = bench.select(TF.tokens(col(textCol)).as("__t"))
+      .select(col("__t"),
+        explode(sequence(lit(1), starts)).as("__i"))
+      .select(array_join(slice(col("__t"), col("__i"), lit(n)), " ").as("__g"))
+      .distinct()
+    val dirty = cg.join(bg, "__g")
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__pos"))
+      .distinct()
+    val toks = ct
+      .select(col("__id"), posexplode(col("__t")).as(Seq("__p0", "__tok")))
+      .select(col("__id"), (col("__p0") + 1).as("__pos"), col("__tok"))
+    val agg = toks.join(dirty, Seq("__id", "__pos"), "left_anti")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("clean_text"))
+    ct.select(col("__id"), size(col("__t")).as("n_tokens"))
+      .join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).cast("int")
+          .as("n_dirty"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs sharing at least one
     * (non-stop) shingle — inverted-index self-join.
     *

@@ -770,6 +770,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Span-level decontamination APPLY (the fix behind qt13/qt38's
+    // detection): corpus = the 100 planted near-copies, bench = docs
+    // < 50. Copies of bench docs redact to almost nothing (only the
+    // mutated tail survives); copies of non-bench docs lose only their
+    // honest template-overlap spans. Exact set math end to end — the
+    // oracle rebuilds every redacted string token-for-token.
+    "qt55_decontam_apply" -> ((s, dir) => {
+      val corpus = planted(s, dir).where(col("doc_id") >= 1000000)
+      val bench = docs(s, dir).where(col("doc_id") < 50)
+        .select("doc_id", "text")
+      Dedup.redactContaminated(corpus, bench, "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Readability metrics (Flesch ease + Flesch–Kincaid grade) from
     // dictionary-free sentence/syllable heuristics — pure per-row
     // integer counting plus two pinned double formulas, so the whole
@@ -1452,6 +1466,37 @@ object TextQueries {
       SELECT doc_id, md5(text) AS content_hash FROM corpus
       WHERE text NOT IN (SELECT text FROM idx)
       ORDER BY doc_id"""),
+    "qt55_decontam_apply" -> (P + """
+      , c AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
+      ct AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+             FROM c),
+      cg AS (SELECT doc_id, i,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS g
+             FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 1, 2))) AS i
+                   FROM ct)),
+      bt AS (SELECT string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
+             FROM documents WHERE doc_id < 50),
+      bg AS (SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS g
+             FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 2))) AS i
+                   FROM bt)),
+      dirty AS (SELECT DISTINCT doc_id, pos FROM (
+                  SELECT cg.doc_id, unnest(range(cg.i, cg.i + 3)) AS pos
+                  FROM cg JOIN bg USING (g))),
+      toks AS (SELECT doc_id, unnest(t) AS tok,
+                 unnest(generate_series(1, len(t))) AS pos
+               FROM ct),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+               WHERE NOT EXISTS (SELECT 1 FROM dirty d
+                 WHERE d.doc_id = t.doc_id AND d.pos = t.pos)),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+              FROM kept GROUP BY doc_id),
+      o AS (SELECT doc_id, len(t) AS n_tokens FROM ct)
+      SELECT o.doc_id, cast(o.n_tokens AS int) AS n_tokens,
+             cast(o.n_tokens - coalesce(a.n_kept, 0) AS int) AS n_dirty,
+             coalesce(a.clean_text, '') AS clean_text
+      FROM o LEFT JOIN agg a USING (doc_id) ORDER BY o.doc_id"""),
     "qt54_readability" -> """
       WITH d AS (SELECT doc_id, text,
                    string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS toks

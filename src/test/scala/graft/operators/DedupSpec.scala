@@ -182,4 +182,23 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got(2L) == ((3L, 0L, 0.0)))
     assert(got(3L) == ((3L, 0L, 0.0)))
   }
+
+  test("redactContaminated drops exactly the covered spans, " +
+    "hand-traced") {
+    val bench = Seq((100L, "a b c d")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "x a b c y"), // "a b c" at pos 2 → drop 2,3,4 → "x y"
+      (2L, "p q r"),     // untouched
+      (3L, "a b c d"),   // both bench grams → fully redacted
+      (4L, "a b")        // 2 tokens: its single short gram ≠ any 3-gram
+    ).toDF("id", "text")
+    val got = Dedup.redactContaminated(corpus, bench, "id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_dirty"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((5, 3, "x y")), got(1L))
+    assert(got(2L) == ((3, 0, "p q r")), got(2L))
+    assert(got(3L) == ((4, 4, "")), got(3L))
+    assert(got(4L) == ((2, 0, "a b")), got(4L))
+  }
 }
