@@ -999,6 +999,60 @@ object Similarity {
     }.toDF("qid", "cid", "sim", "pick")
   }
 
+  /** Greedy k-center (farthest-point traversal) diversity sample — the
+    * "maximally spread subset" coreset: seed with the smallest md5(id)
+    * (the k-means init rule), then repeatedly take the point FARTHEST
+    * from everything already chosen. The classic 2-approximation to
+    * the k-center objective, and the diversity-first complement of
+    * [[KMeans.clusterSample]]'s density capping.
+    *
+    * Exactness: vectors are ×scale-quantized integers, so every
+    * squared distance is an exact integer (computed as Σ(aᵢ−bᵢ)² in
+    * Long; the oracle's |a|²+|b|²−2ab in double is the same value
+    * exactly below 2⁵³) — the argmax chain is FP-free and ties break
+    * on id, so any engine replays the pick sequence.
+    *
+    * Scale shape: inherently k rounds; each is ONE map-side scan
+    * (distance to ≤k literal centers) reduced by a global top-1 —
+    * no shuffle beyond the single-row reduce, and the scan count is
+    * k−1, not corpus². The chosen set lives on the driver
+    * (k·dim literals — model-sized, the centroid-exchange budget).
+    *
+    * @return (idCol, pick (1-based), dist) — dist = distance to the
+    *         previously-chosen set in original units, 0.0 for the seed
+    */
+  def kCenterSample(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      scale: Int = 100): DataFrame = {
+    require(k >= 1, s"kCenterSample: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).as("__id"),
+      KMeans.quantize(col(vecCol), scale).as("__qv"))
+      .localCheckpoint()
+    val seed = q.orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(1).collect()(0)
+    var chosen = Vector[(Long, Seq[Long], Long)](
+      (seed.getLong(0), seed.getSeq[Long](1), 0L))
+    for (_ <- 2 to k) {
+      val dists = chosen.map { case (_, c, _) =>
+        aggregate(
+          zip_with(col("__qv"), lit(c.toArray), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val md2 = if (dists.size == 1) dists.head else least(dists: _*)
+      val top = q.select(col("__id"), md2.as("__md2"), col("__qv"))
+        .orderBy(desc("__md2"), col("__id")).limit(1).collect()(0)
+      chosen :+= ((top.getLong(0), top.getSeq[Long](2), top.getLong(1)))
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, _, d2), i) => (id, i + 1, d2) }
+      .toDF("__id", "pick", "__d2")
+      .select(col("__id").as(idCol), col("pick"),
+        round(sqrt(col("__d2").cast("double")) / scale.toDouble, 4)
+          .as("dist"))
+  }
+
   /** Spark `round(_, 4)` semantics (HALF_UP over the decimal string
     * form) — keeps the mapGroups arithmetic bit-identical to the
     * relational `round` the oracle mirrors.

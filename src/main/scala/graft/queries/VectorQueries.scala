@@ -505,6 +505,16 @@ object VectorQueries {
       graft.operators.KMeans.silhouette(emb(s, dir), "vec_id",
           "embedding", k = 8, iters = 2)
         .orderBy("vec_id")
+    }),
+
+    // Greedy k-center diversity sample (farthest-point traversal,
+    // k = 5): integer-quantized distances make every argmax FP-free,
+    // so the oracle replays the exact pick sequence round by round
+    // (Similarity.kCenterSample scaladoc).
+    "qe28_kcenter_diverse" -> ((s, dir) => {
+      Similarity.kCenterSample(emb(s, dir), "vec_id", "embedding",
+          k = 5)
+        .orderBy("pick")
     })
   )
 
@@ -600,7 +610,38 @@ object VectorQueries {
                    c.cell) AS rn
                FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
 
+  /** One unrolled k-center round: `m$t` = per-point min squared
+    * distance to the chosen set `ch${t-1}`, `p$t` = the farthest point
+    * (id tiebreak), `ch$t` = chosen ∪ pick. Distances are exact
+    * integers in double form (quantized vectors), so the argmax chain
+    * is FP-free.
+    */
+  private def kcRound(t: Int): String = s"""
+      m$t AS (SELECT e.vec_id, min(
+            list_inner_product(e.dv, e.dv) + list_inner_product(c.dv, c.dv)
+            - 2.0 * list_inner_product(e.dv, c.dv)) AS md2
+          FROM ed e CROSS JOIN ch${t - 1} c GROUP BY e.vec_id),
+      p$t AS (SELECT vec_id, md2 FROM m$t ORDER BY md2 DESC, vec_id LIMIT 1),
+      ch$t AS (SELECT * FROM ch${t - 1} UNION ALL
+               SELECT e.vec_id, e.dv FROM ed e
+               WHERE e.vec_id = (SELECT vec_id FROM p$t))"""
+
   val oracle: Map[String, String] = Map(
+    "qe28_kcenter_diverse" -> ("""
+      WITH ed AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)
+                   AS DOUBLE)) AS dv
+             FROM embeddings),
+      ch1 AS (SELECT vec_id, dv FROM ed
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),""" +
+      (2 to 5).map(kcRound).mkString(",") + """
+      SELECT vec_id, 1 AS pick, 0.0 AS dist FROM ch1
+      UNION ALL SELECT vec_id, 2 AS pick, round(sqrt(md2) / 100.0, 4) FROM p2
+      UNION ALL SELECT vec_id, 3 AS pick, round(sqrt(md2) / 100.0, 4) FROM p3
+      UNION ALL SELECT vec_id, 4 AS pick, round(sqrt(md2) / 100.0, 4) FROM p4
+      UNION ALL SELECT vec_id, 5 AS pick, round(sqrt(md2) / 100.0, 4) FROM p5
+      ORDER BY pick"""),
     "qe27_silhouette" -> (kmeansC1Ctes + """
       , sc AS (SELECT e.vec_id, c.cell,
                  c.ss / CAST(c.n * c.n AS DOUBLE)
