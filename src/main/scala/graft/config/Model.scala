@@ -142,8 +142,16 @@ final case class RollupAggSpec(
 }
 
 object RollupAggSpec {
+  /** `ndv` stores a MERGEABLE DataSketches HLL sketch per rollup row
+    * (binary `<name>_sketch` column) and surfaces the per-row estimate
+    * as `<name>` at read time — unlike `count_distinct` (exact within
+    * a month slice, not combinable across rows), sketches union: a
+    * cross-month distinct count is
+    * `hll_sketch_estimate(hll_union_agg(<name>_sketch))` over the
+    * rollup rows, no raw-table scan at any range length.
+    */
   val Functions: Set[String] =
-    Set("count", "sum", "min", "max", "avg", "count_distinct")
+    Set("count", "sum", "min", "max", "avg", "count_distinct", "ndv")
 }
 
 /** A materialized rollup over a lake table, maintained incrementally

@@ -32,15 +32,19 @@ object Rollup {
 
   private def aggColumns(spec: RollupSpec): Seq[Column] =
     spec.aggs.map { a =>
-      val f = a.function match {
-        case "count"          => count(lit(1))
-        case "sum"            => sum(col(a.column.get))
-        case "min"            => min(col(a.column.get))
-        case "max"            => max(col(a.column.get))
-        case "avg"            => avg(col(a.column.get))
-        case "count_distinct" => countDistinct(col(a.column.get))
+      a.function match {
+        case "count"          => count(lit(1)).as(a.name)
+        case "sum"            => sum(col(a.column.get)).as(a.name)
+        case "min"            => min(col(a.column.get)).as(a.name)
+        case "max"            => max(col(a.column.get)).as(a.name)
+        case "avg"            => avg(col(a.column.get)).as(a.name)
+        case "count_distinct" => countDistinct(col(a.column.get)).as(a.name)
+        // mergeable NDV: the stored column is the binary sketch —
+        // read() surfaces the per-row estimate under the agg name
+        // (RollupAggSpec scaladoc)
+        case "ndv" =>
+          hll_sketch_agg(col(a.column.get)).as(a.name + "_sketch")
       }
-      f.as(a.name)
     }
 
   private def aggregate(rows: DataFrame, spec: RollupSpec): DataFrame = {
@@ -98,9 +102,17 @@ object Rollup {
 
   /** The rollup as a DataFrame (empty-schema-safe: throws if never
     * refreshed — callers register views only for existing dirs).
+    * `ndv` aggregates surface both the per-row estimate (`<name>`,
+    * bigint) and the raw mergeable sketch (`<name>_sketch`, binary)
+    * so range queries can `hll_union_agg` across rollup rows.
     */
-  def read(spark: SparkSession, lake: Lake, spec: RollupSpec): DataFrame =
-    spark.read.parquet(dir(lake, spec))
+  def read(spark: SparkSession, lake: Lake, spec: RollupSpec): DataFrame = {
+    val base = spark.read.parquet(dir(lake, spec))
+    spec.aggs.filter(_.function == "ndv").foldLeft(base) { (df, a) =>
+      df.withColumn(a.name,
+        hll_sketch_estimate(col(a.name + "_sketch")))
+    }
+  }
 
   def exists(spark: SparkSession, lake: Lake, spec: RollupSpec): Boolean = {
     val p = new Path(dir(lake, spec))

@@ -77,4 +77,41 @@ class RollupOpSpec extends AnyFunSuite with SparkTest {
     Rollup.refresh(spark, lake, rspec)
     assert(Rollup.refreshTouched(spark, lake, rspec, Seq.empty) == 0L)
   }
+
+  test("ndv aggregate: per-month sketch estimates are exact at small " +
+    "cardinality and union across months without a raw scan") {
+    val lake = Lake(Files.createTempDirectory("graft_rollup_ndv").toString)
+    val nspec = RollupSpec("t", "users",
+      groupBy = Seq("tp_date"),
+      aggs = Seq(RollupAggSpec("uniq", "ndv", Some("event_id")),
+        RollupAggSpec("n", "count", None)))
+    // Jan: event_ids 0..47 over 2 days; Feb: 0..23 (overlapping ids)
+    val t1 = lake.append(spark, "t",
+      batch("2024-01-10", 48).unionByName(batch("2024-02-10", 24)))
+    Rollup.refreshTouched(spark, lake, nspec, t1)
+
+    val r = Rollup.read(spark, lake, nspec)
+    // read() surfaces both the estimate and the raw sketch
+    assert(r.columns.contains("uniq") && r.columns.contains("uniq_sketch"))
+    // DataSketches HLL is exact at these cardinalities: each hourly
+    // batch day holds 24 distinct event_ids
+    val perDay = r.select(col("tp_date").cast("string"), col("uniq"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(perDay.values.forall(_ == 24L), perDay)
+
+    // cross-month distinct via sketch union over ROLLUP rows only:
+    // Jan ids 0..47 ∪ Feb ids 0..23 = 48 distinct
+    val total = r.agg(
+      hll_sketch_estimate(hll_union_agg(col("uniq_sketch"))).as("u"))
+      .head().getLong(0)
+    assert(total == 48L, total)
+
+    // incremental month-scoped refresh maintains the sketches too
+    val t2 = lake.append(spark, "t", batch("2024-03-05", 10))
+    assert(Rollup.refreshTouched(spark, lake, nspec, t2) == 1L)
+    val total2 = Rollup.read(spark, lake, nspec).agg(
+      hll_sketch_estimate(hll_union_agg(col("uniq_sketch"))).as("u"))
+      .head().getLong(0)
+    assert(total2 == 48L) // ids 0..9 already counted
+  }
 }
