@@ -784,6 +784,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-free train/eval split: near-duplicate CLUSTERS are the
+    // split unit, not documents — a near-copy of a training doc landing
+    // in eval is silent contamination, so every verified cluster hashes
+    // to one side via its component root (singletons via their own id).
+    // Composition of three oracle-gated operators (LSH candidates →
+    // exact verify → components → frozen hash split).
+    "qt56_leakage_split" -> ((s, dir) => {
+      val corpus = planted(s, dir)
+      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, shingle = 3)
+      val verified = Dedup.exactJaccardFor(cands, corpus, "doc_id",
+          "text", n = 3, minJaccard = 0.8)
+        .where(col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+      val labeled = graft.operators.Components
+        .connectedComponents(verified)
+        .withColumnRenamed("id", "doc_id")
+      val grouped = corpus.select("doc_id")
+        .join(labeled, Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("component"), col("doc_id")))
+      graft.operators.Sampling.withSplit(grouped, "group_key", 0.2)
+        .select(col("doc_id"), col("group_key"), col("is_eval"))
+        .orderBy("doc_id")
+    }),
+
     // Readability metrics (Flesch ease + Flesch–Kincaid grade) from
     // dictionary-free sentence/syllable heuristics — pure per-row
     // integer counting plus two pinned double formulas, so the whole
@@ -1466,6 +1491,39 @@ object TextQueries {
       SELECT doc_id, md5(text) AS content_hash FROM corpus
       WHERE text NOT IN (SELECT text FROM idx)
       ORDER BY doc_id"""),
+    "qt56_leakage_split" -> (P.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+      , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS t
+                 FROM corpus),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, i, i + 2), ' ') AS g
+                FROM idx),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id AS id, e.dst AS r
+        FROM reach JOIN edges e ON e.src = reach.r),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      grouped AS (SELECT c.doc_id,
+                    coalesce(comp.component, c.doc_id) AS group_key
+                  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id)
+      SELECT doc_id, cast(group_key AS bigint) AS group_key,
+             ('0x' || substr(md5(cast(group_key AS varchar)), 1, 8))::BIGINT
+               / 4294967296.0 < 0.2 AS is_eval
+      FROM grouped ORDER BY doc_id"""),
     "qt55_decontam_apply" -> (P + """
       , c AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
       ct AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
