@@ -401,6 +401,25 @@ object Main {
       case other => throw new IllegalArgumentException(
         s"curate: unknown --dedup '$other' (exact|normalized|near|none)")
     }
+    // eval-set decontamination (qt55's span redaction): drop every
+    // token covered by an eval-table n-gram, keep the rest of the
+    // document, and drop docs redacted to nothing — placed after
+    // dedup so the span join runs on the surviving corpus only
+    opts.flag("decontaminate").foreach { evalTable =>
+      val evalText = opts.flag("eval-text-column").getOrElse(textCol)
+      val bench = lake.read(spark, evalTable)
+      require(bench.columns.contains(evalText),
+        s"curate: column '$evalText' not found in $evalTable " +
+          s"(columns: ${bench.columns.mkString(", ")})")
+      stage(s"decontaminate (vs $evalTable)") { d =>
+        val red = Dedup.redactContaminated(d,
+          bench.select(col(evalText).as(textCol)), idCol, textCol, n = 3)
+        d.drop(textCol)
+          .join(red.select(col(idCol), col("clean_text").as(textCol)),
+            Seq(idCol))
+          .where(col(textCol) =!= "")
+      }
+    }
     // model-based quality gate (the CCNet/DCLM ordering: dedup first,
     // then the classifier — duplicates would otherwise vote in training)
     opts.flag("classify-seeds").foreach { seeds =>

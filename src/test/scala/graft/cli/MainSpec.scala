@@ -725,6 +725,15 @@ class MainSpec extends AnyFunSuite with SparkTest {
       "--id-column", "note_id", "--text-column", "note",
       "--buckets", "heads")
     assert(rc4 == 1 && rep4.contains("head,middle,tail"), rep4)
+    // decontamination stage: redacting against ITSELF covers every
+    // 3-gram, so all docs collapse to empty and are dropped — the
+    // loudest possible proof the span redaction ran
+    val (rcD, repD) = cli(dir, "curate", "notes",
+      new File(dir, "curatedD").getPath,
+      "--id-column", "note_id", "--text-column", "note",
+      "--gates", "none", "--dedup", "none", "--decontaminate", "notes")
+    assert(rcD == 0, repD)
+    assert(repD.contains("decontaminate (vs notes): 4 -> 0"), repD)
     // NB classifier gate: seed-label exactly note 1 (by its text
     // value); notes 2-3 share its fox vocabulary and score positive,
     // note 4's disjoint vocabulary scores negative and is filtered
