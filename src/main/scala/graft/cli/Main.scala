@@ -69,7 +69,7 @@ object Main {
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
       "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
-      "vocab", "novelty", "readability")
+      "vocab", "novelty", "readability", "tune")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -630,6 +630,22 @@ object Main {
       spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
     import org.apache.spark.sql.functions.{col, sum}
     import graft.operators.{Components, Dedup}
+    // --tune: the LSH banding planner — no table needed, pure s-curve
+    // arithmetic over the hash budget (Dedup.lshPlan scaladoc)
+    if (opts.flag("tune").contains("true")) {
+      val target = opts.flag("threshold").map(_.toDouble).getOrElse(0.8)
+      val hashes = opts.flag("hashes").map(_.toInt).getOrElse(128)
+      val plan = Dedup.lshPlan(hashes, target)
+      val rec = Dedup.lshRecommend(hashes, target)
+      out.println(graft.query.Render.renderTable(
+        Seq("Bands", "Rows", "Curve Threshold", "P(catch @ target)") +:
+          plan.map(c => Seq(c.bands.toString, c.rows.toString,
+            f"${c.curveThreshold}%.4f", f"${c.pAtTarget}%.6f")),
+        headerRow = true))
+      out.println(s"Recommended: ${rec.bands} bands x ${rec.rows} rows " +
+        f"(catches jaccard >= $target%.2f with p = ${rec.pAtTarget}%.6f)")
+      return
+    }
     val table = opts.positional.headOption.getOrElse(
       throw new IllegalArgumentException(
         "dedup requires a <table> argument"))

@@ -534,6 +534,48 @@ object Dedup {
       corpus.where(hitCount >= minHits), bench, idCol, textCol, n, threshold)
   }
 
+  /** One LSH banding choice: P(candidate | jaccard = j) =
+    * 1 − (1 − j^rows)^bands; `curveThreshold` = (1/bands)^(1/rows),
+    * where the s-curve is steepest (pairs below it are mostly
+    * ignored, above it mostly caught).
+    */
+  final case class LshChoice(
+      bands: Int, rows: Int, curveThreshold: Double, pAtTarget: Double)
+
+  /** LSH banding planner (the standard s-curve analysis): enumerate
+    * every (bands, rows) split of `numHashes` with its detection
+    * probability at the target Jaccard. Driver-side arithmetic over
+    * the divisors of numHashes — nothing distributed to plan a
+    * distributed job.
+    */
+  def lshPlan(numHashes: Int, target: Double): Seq[LshChoice] = {
+    require(numHashes >= 2, s"lshPlan: need >= 2 hashes, got $numHashes")
+    require(target > 0 && target < 1,
+      s"lshPlan: target must be in (0,1), got $target")
+    (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { b =>
+        val r = numHashes / b
+        LshChoice(b, r, math.pow(1.0 / b, 1.0 / r),
+          1.0 - math.pow(1.0 - math.pow(target, r), b))
+      }
+  }
+
+  /** The recommended banding: the FEWEST bands (steepest curve →
+    * fewest sub-threshold candidate pairs to verify) that still catch
+    * a target-similarity pair with probability ≥ `minRecall`. The
+    * shipped 128-hash/32-band default of [[minhashLshCandidates]]'s
+    * callers is exactly this recommendation at target 0.8
+    * (P(miss) ≈ 5e-8 — DedupSpec pins the derivation).
+    */
+  def lshRecommend(
+      numHashes: Int, target: Double,
+      minRecall: Double = 0.999): LshChoice =
+    lshPlan(numHashes, target)
+      .sortBy(_.bands)
+      .find(_.pAtTarget >= minRecall)
+      .getOrElse(lshPlan(numHashes, target).maxBy(_.pAtTarget))
+
   /** Span-level decontamination — the APPLY step behind
     * [[containmentPairs]]/[[contaminationReport]]'s detection: drop
     * every token covered by an n-gram that appears anywhere in the

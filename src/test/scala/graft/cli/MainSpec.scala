@@ -572,6 +572,11 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rc3, bad) = cli(dir, "dedup", "notes",
       "--id-column", "nope", "--text-column", "note")
     assert(rc3 == 1 && bad.contains("nope"), bad)
+    // --tune: the LSH banding planner needs no table and recommends
+    // the shipped 32x4 split for the default 128-hash/0.8 target
+    val (rcT, tuneOut) = cli(dir, "dedup", "--tune")
+    assert(rcT == 0, tuneOut)
+    assert(tuneOut.contains("Recommended: 32 bands x 4 rows"), tuneOut)
     // profile over the same table: summary + language mix + top terms
     val (rc4, prof) = cli(dir, "profile", "notes",
       "--text-column", "note", "--top", "3")

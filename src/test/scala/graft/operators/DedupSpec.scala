@@ -201,4 +201,18 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got(3L) == ((4, 4, "")), got(3L))
     assert(got(4L) == ((2, 0, "a b")), got(4L))
   }
+
+  test("lshRecommend independently derives the shipped 128/32 banding " +
+    "at target 0.8") {
+    val rec = Dedup.lshRecommend(128, 0.8)
+    assert(rec.bands == 32 && rec.rows == 4, rec)
+    assert(rec.pAtTarget > 0.9999, rec.pAtTarget) // P(miss) ~ 5e-8
+    // the next-steeper split (16x8) misses too often to ship
+    val sixteen = Dedup.lshPlan(128, 0.8).find(_.bands == 16).get
+    assert(sixteen.pAtTarget < 0.999, sixteen.pAtTarget)
+    // a stricter target needs more rows per band (steeper curve):
+    // at 0.95 the planner can afford 16 bands
+    val strict = Dedup.lshRecommend(128, 0.95)
+    assert(strict.bands <= 32, strict)
+  }
 }
