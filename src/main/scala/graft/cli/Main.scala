@@ -117,6 +117,12 @@ object Main {
       Timestamp.valueOf(t)
     case _ if s.length == 10 =>
       Timestamp.valueOf(LocalDate.parse(s).atStartOfDay())
+    // RFC 3339 with an explicit offset ("+05:30") — normalized to UTC,
+    // the session zone. The reference SKIPS this form (from_and_to
+    // .bats:86, open ducklake issue #543); we accept it.
+    case _ if s.matches(""".*[+-]\d{2}:\d{2}$""") =>
+      Timestamp.valueOf(java.time.OffsetDateTime.parse(s)
+        .withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime)
     case _ =>
       val norm = s.stripSuffix("Z").replace('T', ' ')
       Timestamp.valueOf(norm)

@@ -1248,5 +1248,13 @@ class MainSpec extends AnyFunSuite with SparkTest {
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
     assert(Main.parseTime("2024-01-01T10:30:45.5") ==
       java.sql.Timestamp.valueOf("2024-01-01 10:30:45.5"))
+    // RFC 3339 with explicit offset → UTC (the reference's skipped
+    // from_and_to case, implemented here)
+    assert(Main.parseTime("2024-01-01T10:30:45+05:30") ==
+      java.sql.Timestamp.valueOf("2024-01-01 05:00:45"))
+    assert(Main.parseTime("2024-01-01T10:30:45-02:00") ==
+      java.sql.Timestamp.valueOf("2024-01-01 12:30:45"))
+    assert(Main.parseTime("2024-01-01T10:30:45Z") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:30:45"))
   }
 }
