@@ -1234,6 +1234,62 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rcBad == 1 && bad.contains("nope"), bad)
   }
 
+  test("wildcard collect: multiple matching partitions in one run, " +
+    "non-matching pattern is a clean error") {
+    // partition_tests.bats:188-260 — collect table.prefix_* hits every
+    // matching partition; a pattern matching nothing errors without
+    // mutating anything
+    val dir = Files.createTempDirectory("graft_wildcard").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/a.csv"),
+      """timestamp,v
+        |2024-05-01T10:30:45Z,1
+        |""".stripMargin)
+    write(new File(dir, "logs/b.csv"),
+      """timestamp,v
+        |2024-05-02T10:30:45Z,2
+        |""".stripMargin)
+    write(new File(dir, "config/wc.tpc"),
+      s"""format "delimited" "wc" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |
+         |table "wc_log" {
+         |  format = format.delimited.wc
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "v" { type = "integer" }
+         |}
+         |
+         |partition "wc_log" "wild_a" {
+         |  source "file" {
+         |    format = format.delimited.wc
+         |    paths = ["${dir.getPath}/logs/"]
+         |    file_layout = "a.csv"
+         |  }
+         |}
+         |
+         |partition "wc_log" "wild_b" {
+         |  source "file" {
+         |    format = format.delimited.wc
+         |    paths = ["${dir.getPath}/logs/"]
+         |    file_layout = "b.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc, outW) = cli(dir, "collect", "wc_log.wild_*")
+    assert(rc == 0, outW)
+    assert(outW.contains("wc_log.wild_a") && outW.contains("wc_log.wild_b"),
+      outW)
+    val rows = spark.read.parquet(s"${dir.getPath}/lake/wc_log")
+    assert(rows.count() == 2)
+    assert(rows.select("tp_partition").distinct().count() == 2)
+    // non-matching pattern: clean error, nothing collected
+    val (rcN, outN) = cli(dir, "collect", "wc_log.nomatch_*")
+    assert(rcN == 1 && outN.contains("no partitions match"), outN)
+  }
+
   test("relative time parsing") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 12, 0, 0)
     assert(Main.parseTime("T-7d", now) ==
