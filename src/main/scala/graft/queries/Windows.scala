@@ -240,6 +240,31 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // Rate-spike (burst) detection: per event-type minute counts
+    // against a trailing 30-minute baseline that EXCLUDES the current
+    // minute (upper bound −1 min), flagging minutes at >3× baseline —
+    // the alerting primitive every log pipeline runs. One
+    // map-side-combined bucket count, then an interval-RANGE window
+    // per type; the baseline average divides an exact integer sum, so
+    // the trunc4'd value and the flag are engine-stable.
+    "q44_burst_detect" -> ((s, dir) => {
+      val mc = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(unix_micros(col("minute").cast("timestamp")))
+        .rangeBetween(-1800000000L, -60000000L)
+      mc.select(col("event_type"), col("minute"), col("n"),
+          avg(col("n")).over(w).as("__base"))
+        .select(col("event_type"), col("minute"), col("n"),
+          graft.functions.TextFunctions.trunc4(col("__base"))
+            .as("base_avg"),
+          (col("__base").isNotNull &&
+            col("n") > lit(3.0) * col("__base")).as("is_burst"))
+        .orderBy("event_type", "minute")
+    }),
+
     // Batch gap-based sessionization: events into visits by 30-minute
     // inactivity gap, rolled up per session. One shuffle by user; gap
     // math in exact integer microseconds (Sessionize scaladoc).
@@ -287,6 +312,19 @@ object Windows {
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
       ORDER BY user_id, event_id"""),
+    "q44_burst_detect" -> (E + """
+      , mc AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+                 count(*) AS n
+               FROM e GROUP BY 1, 2),
+      b AS (SELECT event_type, minute, n,
+              avg(n) OVER (PARTITION BY event_type ORDER BY minute
+                RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                  AND INTERVAL 1 MINUTE PRECEDING) AS base
+            FROM mc)
+      SELECT event_type, minute, cast(n AS bigint) AS n,
+             floor(base * 10000) / 10000 AS base_avg,
+             (base IS NOT NULL AND n > 3.0::DOUBLE * base) AS is_burst
+      FROM b ORDER BY event_type, minute"""),
     "q42_sessionize" -> (E + """
       , p AS (SELECT user_id, ts, event_id, value,
                 lag(ts) OVER (PARTITION BY user_id
