@@ -265,6 +265,62 @@ object Windows {
         .orderBy("event_type", "minute")
     }),
 
+    // Ordered conversion funnel (view → click → purchase within 72 h
+    // of the first step): each stage is a user-keyed min-timestamp
+    // aggregate joined forward with a strictly-after condition — three
+    // map-side-combined aggregates, no window over event history, no
+    // sequence explosion. The final rate divides two exact integers
+    // (trunc4'd); the 3-row stage summary legitimately uses a bare
+    // window (metadata-sized, the Sampling.scala:105 convention).
+    "q45_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 72 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+      val s3 = e.where(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .where(col("ts") > col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 72 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val stages = s1.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(s2.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(s3.select(lit("3_purchase").as("stage"),
+          col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      val wAll = Window.partitionBy()
+      stages.select(col("stage"), col("n_users"),
+          graft.functions.TextFunctions.trunc4(
+            col("n_users").cast("double")
+              / max(when(col("stage") === "1_view", col("n_users")))
+                .over(wAll).cast("double")).as("conv"))
+        .orderBy("stage")
+    }),
+
+    // Weekly retention cohorts: cohort = week of a user's first event,
+    // cell = distinct users active at each week offset — integer-exact
+    // (aligned week truncation, µs offsets divide evenly), two
+    // map-side-combined aggregates and one user-keyed join.
+    "q46_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val cohort = e.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cw"))
+      val active = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("aw")).distinct()
+      active.join(cohort, "user_id")
+        .select(col("cw").as("cohort_week"),
+          ((unix_micros(col("aw").cast("timestamp"))
+            - unix_micros(col("cw").cast("timestamp")))
+            / lit(604800000000L)).cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Batch gap-based sessionization: events into visits by 30-minute
     // inactivity gap, rolled up per session. One shuffle by user; gap
     // math in exact integer microseconds (Sessionize scaladoc).
@@ -312,6 +368,40 @@ object Windows {
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
       ORDER BY user_id, event_id"""),
+    "q45_funnel" -> (E + """
+      , s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+             FROM e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+               AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+             GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               AND e.ts <= s2.t1 + INTERVAL 72 HOUR
+             GROUP BY 1),
+      st AS (SELECT '1_view' AS stage, user_id FROM s1
+             UNION ALL SELECT '2_click', user_id FROM s2
+             UNION ALL SELECT '3_purchase', user_id FROM s3),
+      c AS (SELECT stage, count(*) AS n_users FROM st GROUP BY 1)
+      SELECT stage, cast(n_users AS bigint) AS n_users,
+             floor(n_users::DOUBLE
+               / (SELECT max(CASE WHEN stage = '1_view' THEN n_users END)
+                  FROM c)::DOUBLE * 10000) / 10000 AS conv
+      FROM c ORDER BY stage"""),
+    "q46_retention" -> (E + """
+      , c AS (SELECT user_id,
+                cast(date_trunc('week', min(ts)) AS timestamp) AS cw
+              FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT user_id,
+              cast(date_trunc('week', ts) AS timestamp) AS aw FROM e)
+      SELECT c.cw AS cohort_week,
+             cast((epoch_us(a.aw) - epoch_us(c.cw)) / 604800000000
+               AS bigint) AS week_offset,
+             cast(count(DISTINCT a.user_id) AS bigint) AS n_users
+      FROM a JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
     "q44_burst_detect" -> (E + """
       , mc AS (SELECT event_type, date_trunc('minute', ts) AS minute,
                  count(*) AS n

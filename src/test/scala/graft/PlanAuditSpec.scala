@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt50_token_budget", "qt51_selection_bias", "qt52_canonical_dedup",
     "qe26_cluster_eval", "qe27_silhouette", "qt53_interp_lm",
     "qt54_readability", "qt55_decontam_apply", "qe28_kcenter_diverse",
-    "qt56_leakage_split", "q44_burst_detect")
+    "qt56_leakage_split", "q44_burst_detect", "q45_funnel",
+    "q46_retention")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
