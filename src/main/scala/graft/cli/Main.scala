@@ -619,8 +619,32 @@ object Main {
           .probeIvfIndex(spark, dir, q, k, nprobe, minSim)
           .orderBy("qid", "rank")
         out.println(graft.query.Render.table(hits))
+      case Some("stats") =>
+        // index health: cell balance decides probe cost — a skewed
+        // coarse quantizer (hot cells from appended drift) makes
+        // nprobe scans uneven, and the fix (rebuild) is the operator's
+        // call. One metadata-sized aggregate over the cell partitions.
+        val dir = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "index stats requires an <index-dir>"))
+        val cells = spark.read.parquet(s"$dir/cells")
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vectors"),
+            min("n").as("min_cell"), max("n").as("max_cell"),
+            round(avg("n"), 1).as("avg_cell"))
+          .head()
+        val skew = cells.getLong(3).toDouble /
+          math.max(1.0, cells.getDouble(4))
+        out.println(s"Index $dir: ${cells.getLong(1)} vectors in " +
+          s"${cells.getLong(0)} cells (min ${cells.getLong(2)}, " +
+          s"avg ${cells.getDouble(4)}, max ${cells.getLong(3)}, " +
+          f"skew ${skew}%.1fx)")
+        if (skew > 4.0)
+          out.println("Warning: cell skew > 4x — appended vectors have " +
+            "drifted from the trained quantizer; consider `index build` " +
+            "to recluster")
       case other => throw new IllegalArgumentException(
-        s"index: expected build|append|query, got ${other.getOrElse("nothing")}")
+        s"index: expected build|append|query|stats, got ${other.getOrElse("nothing")}")
     }
   }
 

@@ -1232,6 +1232,10 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rcBad, bad) = cli(root, "index", "build", "vecs", idx,
       "--id-column", "nope", "--vector-column", "emb")
     assert(rcBad == 1 && bad.contains("nope"), bad)
+    // stats: cell-balance health report over the persisted index
+    val (rcS, st) = cli(root, "index", "stats", idx)
+    assert(rcS == 0, st)
+    assert(st.contains("42 vectors") && st.contains("cells (min "), st)
   }
 
   test("wildcard collect: multiple matching partitions in one run, " +
