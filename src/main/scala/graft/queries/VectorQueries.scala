@@ -515,6 +515,31 @@ object VectorQueries {
       Similarity.kCenterSample(emb(s, dir), "vec_id", "embedding",
           k = 5)
         .orderBy("pick")
+    }),
+
+    // Embedding-space geometry histogram: pairwise inner products of a
+    // deterministic 100-vector sample (md5 order), binned — the
+    // "is my embedding space collapsing/anisotropic" health check run
+    // before trusting any cosine threshold. Vectors are ×100-quantized
+    // integers and the dot/bin math is integer-exact (the vectors are
+    // pre-normalized, so qdot ≈ cosine·10⁴ and bins read as 0.1-wide
+    // cosine bands) — no FP boundary anywhere, and the 100×100 pair
+    // square is a broadcast nested loop over a sample, not the corpus.
+    "qe29_sim_histogram" -> ((s, dir) => {
+      val q = emb(s, dir)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(100)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 100).cast("long")).as("qv"))
+      val a = q.select(col("vec_id").as("ia"), col("qv").as("qa"))
+      val b = q.select(col("vec_id").as("ib"), col("qv").as("qb"))
+      a.join(broadcast(b), col("ia") < col("ib"))
+        .select(aggregate(zip_with(col("qa"), col("qb"),
+          (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("qdot"))
+        .select(floor(col("qdot") / 1000).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")
     })
   )
 
@@ -627,6 +652,20 @@ object VectorQueries {
                WHERE e.vec_id = (SELECT vec_id FROM p$t))"""
 
   val oracle: Map[String, String] = Map(
+    "qe29_sim_histogram" -> """
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+             FROM embeddings),
+      s AS (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100),
+      p AS (SELECT list_inner_product(
+               list_transform(a.v, x -> CAST(x AS DOUBLE)),
+               list_transform(b.v, x -> CAST(x AS DOUBLE))) AS qdot
+            FROM s a JOIN s b ON a.vec_id < b.vec_id)
+      SELECT cast(floor(qdot / 1000) AS int) AS bin,
+             cast(count(*) AS bigint) AS n_pairs
+      FROM p GROUP BY 1 ORDER BY bin""",
     "qe28_kcenter_diverse" -> ("""
       WITH ed AS (SELECT vec_id,
                list_transform(embedding,
