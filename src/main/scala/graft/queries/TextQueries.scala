@@ -809,6 +809,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Length↔quality Pearson correlation — the "is my quality score
+    // secretly a length detector" audit every learned-or-heuristic
+    // quality gate needs. Both variables are EXACT integers (n_chars;
+    // quality re-scaled to 4dp units), so the five sufficient
+    // statistics are exact longs from ONE map-side-combined aggregate,
+    // and the Pearson formula is a single pinned double tree over them
+    // — no FP accumulation anywhere.
+    "qt57_len_quality_corr" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("n_chars").cast("long").as("x"),
+        round(round(TF.qualityScore(col("text")), 4) * 10000)
+          .cast("long").as("y"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      d.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_docs"),
+          TF.trunc4((D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+            / sqrt((D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+              * (D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))))
+            .as("r"))
+    }),
+
     // Readability metrics (Flesch ease + Flesch–Kincaid grade) from
     // dictionary-free sentence/syllable heuristics — pure per-row
     // integer counting plus two pinned double formulas, so the whole
@@ -1491,6 +1515,35 @@ object TextQueries {
       SELECT doc_id, md5(text) AS content_hash FROM corpus
       WHERE text NOT IN (SELECT text FROM idx)
       ORDER BY doc_id"""),
+    "qt57_len_quality_corr" -> s"""
+      WITH d AS (SELECT doc_id, text, n_chars,
+                   string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id, n_chars,
+              $stopRatio AS stop_r,
+              (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END) AS punct_r,
+              len(toks) AS n_tok
+            FROM d),
+      q AS (SELECT cast(n_chars AS bigint) AS x,
+              cast(round(round(least(1.0, greatest(0.0,
+                0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                + 0.4 * least(1.0, stop_r * 4)
+                + 0.2 * (1.0 - least(1.0, punct_r * 5)))), 4) * 10000)
+                AS bigint) AS y
+            FROM m),
+      s AS (SELECT cast(count(*) AS bigint) AS n,
+              cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+              cast(sum(x * x) AS bigint) AS sxx,
+              cast(sum(y * y) AS bigint) AS syy,
+              cast(sum(x * y) AS bigint) AS sxy
+            FROM q)
+      SELECT n AS n_docs,
+             floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+               * 10000) / 10000 AS r
+      FROM s""",
     "qt56_leakage_split" -> (P.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
       , toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '(^\\s+)|(\\s+$$)', '', 'g'), '\\s+') AS t
                  FROM corpus),
