@@ -321,6 +321,28 @@ object Windows {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // First-order event-transition matrix: per user, each event's
+    // successor (lag over the (ts, event_id) total order), rolled up
+    // to (from, to) counts and row-normalized probabilities — the
+    // Markov-chain view of user behavior. One user-partitioned window
+    // + one map-side-combined count; the probability divides exact
+    // integers (trunc4'd).
+    "q47_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag("to_type", 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy("from_type")
+      pairs.select(col("from_type"), col("to_type"), col("n"),
+          graft.functions.TextFunctions.trunc4(
+            col("n").cast("double")
+              / sum("n").over(wf).cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Batch gap-based sessionization: events into visits by 30-minute
     // inactivity gap, rolled up per session. One shuffle by user; gap
     // math in exact integer microseconds (Sessionize scaladoc).
@@ -368,6 +390,17 @@ object Windows {
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
       ORDER BY user_id, event_id"""),
+    "q47_transitions" -> (E + """
+      , p AS (SELECT user_id, event_type AS to_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS from_type
+              FROM e),
+      c AS (SELECT from_type, to_type, count(*) AS n
+            FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, cast(n AS bigint) AS n,
+             floor(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE
+               * 10000) / 10000 AS p
+      FROM c ORDER BY from_type, to_type"""),
     "q45_funnel" -> (E + """
       , s1 AS (SELECT user_id, min(ts) AS t1 FROM e
                WHERE event_type = 'view' GROUP BY 1),

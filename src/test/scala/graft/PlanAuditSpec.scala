@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qe26_cluster_eval", "qe27_silhouette", "qt53_interp_lm",
     "qt54_readability", "qt55_decontam_apply", "qe28_kcenter_diverse",
     "qt56_leakage_split", "q44_burst_detect", "q45_funnel",
-    "q46_retention", "qe29_sim_histogram", "qt57_len_quality_corr")
+    "q46_retention", "qe29_sim_histogram", "qt57_len_quality_corr",
+    "q47_transitions")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
