@@ -343,6 +343,33 @@ object Windows {
         .orderBy("from_type", "to_type")
     }),
 
+    // Trailing active-user counts (DAU / 7-day WAU / 30-day MAU per
+    // day): the user-day relation is deduped ONCE (map-side-combined
+    // distinct), then the small day grid broadcast-joins user-days
+    // within the 30-day horizon — the corpus never self-joins, and the
+    // per-day distincts are one conditional-countDistinct aggregate.
+    // Day arithmetic in exact integer microseconds over aligned
+    // truncations.
+    "q48_active_users" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      def um(c: org.apache.spark.sql.Column) =
+        unix_micros(c.cast("timestamp"))
+      val j = du.join(broadcast(days),
+        um(col("d")) - um(col("day")) >= 0L &&
+          um(col("d")) - um(col("day")) <= 29L * 86400000000L)
+        .withColumn("diff",
+          ((um(col("d")) - um(col("day"))) / 86400000000L).cast("int"))
+      j.groupBy("d")
+        .agg(
+          countDistinct(when(col("diff") === 0, col("user_id"))).as("dau"),
+          countDistinct(when(col("diff") <= 6, col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+        .orderBy("d")
+    }),
+
     // Batch gap-based sessionization: events into visits by 30-minute
     // inactivity gap, rolled up per session. One shuffle by user; gap
     // math in exact integer microseconds (Sessionize scaladoc).
@@ -390,6 +417,22 @@ object Windows {
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
       ORDER BY user_id, event_id"""),
+    "q48_active_users" -> (E + """
+      , du AS (SELECT DISTINCT user_id,
+                 cast(date_trunc('day', ts) AS timestamp) AS day FROM e),
+      days AS (SELECT DISTINCT day AS d FROM du),
+      j AS (SELECT days.d, du.user_id,
+              cast((epoch_us(days.d) - epoch_us(du.day)) / 86400000000
+                AS int) AS diff
+            FROM du JOIN days ON du.day <= days.d
+              AND du.day >= days.d - INTERVAL 29 DAY)
+      SELECT d,
+             cast(count(DISTINCT CASE WHEN diff = 0 THEN user_id END)
+               AS bigint) AS dau,
+             cast(count(DISTINCT CASE WHEN diff <= 6 THEN user_id END)
+               AS bigint) AS wau,
+             cast(count(DISTINCT user_id) AS bigint) AS mau
+      FROM j GROUP BY d ORDER BY d"""),
     "q47_transitions" -> (E + """
       , p AS (SELECT user_id, event_type AS to_type,
                 lag(event_type) OVER (PARTITION BY user_id

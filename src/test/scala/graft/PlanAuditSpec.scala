@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "qt54_readability", "qt55_decontam_apply", "qe28_kcenter_diverse",
     "qt56_leakage_split", "q44_burst_detect", "q45_funnel",
     "q46_retention", "qe29_sim_histogram", "qt57_len_quality_corr",
-    "q47_transitions")
+    "q47_transitions", "q48_active_users")
 
   for (name <- audited)
     test(s"$name plans no CartesianProduct") {
