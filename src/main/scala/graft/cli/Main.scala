@@ -69,7 +69,7 @@ object Main {
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
       "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
-      "vocab", "novelty", "readability", "tune")
+      "vocab", "novelty", "readability", "tune", "dry-run")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -1034,6 +1034,24 @@ object Main {
         if (overwrite) None
         else graft.ingest.CollectionState
           .read(spark, lake, p.table, p.name).map(_.resumeFrom))
+      // --dry-run: report what WOULD be collected (resolved window,
+      // matched source files with sizes) and touch nothing — no
+      // pre-delete, no backup, no ingest, no collection-state advance
+      if (opts.flag("dry-run").contains("true")) {
+        out.println(s"[dry-run] would collect ${p.id} " +
+          s"(source ${src.kind})" +
+          from.map(f => s" from $f").getOrElse(" from beginning") +
+          to.map(t => s" to $t").getOrElse(""))
+        if (src.kind == "file") {
+          val files = graft.ingest.Formats
+            .resolveFiles(src.paths, src.fileLayout)
+          files.foreach { f =>
+            out.println(s"[dry-run]   $f " +
+              s"(${new java.io.File(f).length()} bytes)")
+          }
+          out.println(s"[dry-run] ${files.length} file(s)")
+        }
+      } else {
       if (overwrite && lake.tableExists(spark, p.table)) {
         // pre-delete the window so re-collection can't duplicate
         // (collector.go:171-186, cleanup.go:14-51)
@@ -1112,6 +1130,7 @@ object Main {
         if (m == -1L) out.println(s"Rollup ${r.id}: built")
         else if (m > 0) out.println(s"Rollup ${r.id}: refreshed $m month(s)")
       }
+      } // end non-dry-run branch
     }
   }
 

@@ -1282,6 +1282,14 @@ class MainSpec extends AnyFunSuite with SparkTest {
          |  }
          |}
          |""".stripMargin)
+    // --dry-run first: reports the plan (window, matched files) and
+    // touches nothing — no lake directory appears
+    val (rcD, outD) = cli(dir, "collect", "wc_log.wild_a", "--dry-run")
+    assert(rcD == 0, outD)
+    assert(outD.contains("[dry-run] would collect wc_log.wild_a"), outD)
+    assert(outD.contains("a.csv") && outD.contains("1 file(s)"), outD)
+    assert(!new File(dir, "lake/wc_log").exists(), outD)
+
     val (rc, outW) = cli(dir, "collect", "wc_log.wild_*")
     assert(rc == 0, outW)
     assert(outW.contains("wc_log.wild_a") && outW.contains("wc_log.wild_b"),
