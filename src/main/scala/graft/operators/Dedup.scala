@@ -601,13 +601,18 @@ object Dedup {
     require(n >= 2, s"redactContaminated: gram size must be >= 2, got $n")
     val ct = corpus.select(col(idCol).as("__id"),
       TF.tokens(col(textCol)).as("__t"))
-    val starts = greatest(size(col("__t")) - (n - 1), lit(1))
+    // Exactly-n grams on BOTH sides: documents shorter than n tokens
+    // produce no grams (and so can neither match nor be redacted) —
+    // the stated n-gram contract, with no sub-n edge grams.
+    val starts = size(col("__t")) - (n - 1)
     val cg = ct
+      .where(size(col("__t")) >= n)
       .select(col("__id"), col("__t"),
         explode(sequence(lit(1), starts)).as("__i"))
       .select(col("__id"), col("__i"),
         array_join(slice(col("__t"), col("__i"), lit(n)), " ").as("__g"))
     val bg = bench.select(TF.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= n)
       .select(col("__t"),
         explode(sequence(lit(1), starts)).as("__i"))
       .select(array_join(slice(col("__t"), col("__i"), lit(n)), " ").as("__g"))

@@ -174,13 +174,17 @@ object KMeans {
     val byCell = cont.groupBy(_._1).values.map(_.map(_._3)).toSeq
     val byLabel = cont.groupBy(_._2).values.map(_.map(_._3)).toSeq
     val n = cont.map(_._3).sum
-    val t2 = n * (n - 1)
-    val cp2 = cont.map(x => x._3 * (x._3 - 1)).sum
-    val ap2 = byCell.map { v => val s = v.sum; s * (s - 1) }.sum
-    val bp2 = byLabel.map { v => val s = v.sum; s * (s - 1) }.sum
+    // Pair counts in Double from the first multiply: n(n-1) and the
+    // marginal sums-of-products exceed Long past ~3e9 points, and a
+    // silent Long overflow here would corrupt ARI at exactly the
+    // cardinalities this operator claims to serve.
+    val t2 = n.toDouble * (n - 1).toDouble
+    val cp2 = cont.map(x => x._3.toDouble * (x._3 - 1).toDouble).sum
+    val ap2 = byCell.map { v => val s = v.sum; s.toDouble * (s - 1).toDouble }.sum
+    val bp2 = byLabel.map { v => val s = v.sum; s.toDouble * (s - 1).toDouble }.sum
     val purity = byCell.map(_.max).sum.toDouble / n.toDouble
-    val ari = 2.0 * (cp2.toDouble * t2.toDouble - ap2.toDouble * bp2.toDouble) /
-      (t2.toDouble * (ap2 + bp2).toDouble - 2.0 * ap2.toDouble * bp2.toDouble)
+    val ari = 2.0 * (cp2 * t2 - ap2 * bp2) /
+      (t2 * (ap2 + bp2) - 2.0 * ap2 * bp2)
     df.sparkSession.range(1).select(
       lit(n).as("n_points"), lit(byCell.size).as("n_cells"),
       round(lit(purity), 4).as("purity"), round(lit(ari), 4).as("ari"))
@@ -211,6 +215,12 @@ object KMeans {
       quantize(col(vecCol), scale).as("__qv"))
       .localCheckpoint()
     val cents = trainCents(q, k, iters)
+    // Lloyd updates can collapse cells on duplicate-heavy input; with a
+    // single surviving centroid dist_next would be null and the result
+    // silently diverges from the oracle's rn=2 join. Fail loudly instead.
+    require(cents.size >= 2,
+      s"silhouette: only ${cents.size} centroid(s) survived training " +
+        s"(k=$k); need >= 2 for a second-nearest distance")
     val scored = array_sort(transform(centLiteral(cents), c => struct(
       (c.getField("ss") / (c.getField("n") * c.getField("n")).cast("double")
         - lit(2.0) * dotL(col("__qv"), c.getField("s")).cast("double")

@@ -1012,11 +1012,21 @@ object Similarity {
     * exactly below 2⁵³) — the argmax chain is FP-free and ties break
     * on id, so any engine replays the pick sequence.
     *
-    * Scale shape: inherently k rounds; each is ONE map-side scan
-    * (distance to ≤k literal centers) reduced by a global top-1 —
-    * no shuffle beyond the single-row reduce, and the scan count is
-    * k−1, not corpus². The chosen set lives on the driver
-    * (k·dim literals — model-sized, the centroid-exchange budget).
+    * Scale shape: inherently k rounds, but each round computes ONE new
+    * distance (to the latest pick) and folds it into a running
+    * `least(min_d2, new)` column that is localCheckpoint'd per round —
+    * O(k·N) distance work with a constant-size plan, the same
+    * carry-the-state pattern [[KMeans]] uses for Lloyd iterations
+    * (vs the naive rebuild-`least(all chosen)` form, which is O(k²·N)
+    * and grows a k-wide expression tree Catalyst must re-plan every
+    * round). The chosen set lives on the driver (k·dim literals —
+    * model-sized, the centroid-exchange budget).
+    *
+    * The id column is kept generic (any orderable type — ties break on
+    * it); picking stops early when the max min-distance hits 0, i.e.
+    * every remaining point coincides with a chosen one, so k larger
+    * than the distinct-vector count yields fewer rows, never duplicate
+    * picks.
     *
     * @return (idCol, pick (1-based), dist) — dist = distance to the
     *         previously-chosen set in original units, 0.0 for the seed
@@ -1031,26 +1041,49 @@ object Similarity {
       .localCheckpoint()
     val seed = q.orderBy(md5(col("__id").cast("string")), col("__id"))
       .limit(1).collect()(0)
-    var chosen = Vector[(Long, Seq[Long], Long)](
-      (seed.getLong(0), seed.getSeq[Long](1), 0L))
-    for (_ <- 2 to k) {
-      val dists = chosen.map { case (_, c, _) =>
-        aggregate(
-          zip_with(col("__qv"), lit(c.toArray), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+    var picks = Vector[(Any, Long)]((seed.get(0), 0L))
+    var lastVec = seed.getSeq[Long](1)
+    // Running min-distance-to-chosen-set; seeded at "infinity" so the
+    // first fold reduces it to the distance-to-seed.
+    var cur = q.withColumn("__md2", lit(Long.MaxValue))
+    var done = false
+    for (_ <- 2 to k if !done) {
+      cur = kCenterRound(cur, lastVec).localCheckpoint()
+      val top = cur.orderBy(desc("__md2"), col("__id")).limit(1).collect()(0)
+      if (top.getLong(2) == 0L) done = true // all remaining coincide with chosen
+      else {
+        picks :+= ((top.get(0), top.getLong(2)))
+        lastVec = top.getSeq[Long](1)
       }
-      val md2 = if (dists.size == 1) dists.head else least(dists: _*)
-      val top = q.select(col("__id"), md2.as("__md2"), col("__qv"))
-        .orderBy(desc("__md2"), col("__id")).limit(1).collect()(0)
-      chosen :+= ((top.getLong(0), top.getSeq[Long](2), top.getLong(1)))
     }
-    import spark.implicits._
-    chosen.zipWithIndex
-      .map { case ((id, _, d2), i) => (id, i + 1, d2) }
-      .toDF("__id", "pick", "__d2")
+    val idType = q.schema("__id").dataType
+    val rows = picks.zipWithIndex.map { case ((id, d2), i) =>
+      org.apache.spark.sql.Row(id, i + 1, d2)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__id", idType),
+        org.apache.spark.sql.types.StructField("pick",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__d2",
+          org.apache.spark.sql.types.LongType, nullable = false))))
       .select(col("__id").as(idCol), col("pick"),
         round(sqrt(col("__d2").cast("double")) / scale.toDouble, 4)
           .as("dist"))
+  }
+
+  /** One k-center round: fold the distance to the newest chosen center
+    * into the running `__md2` (min squared distance to the chosen set).
+    * Exactly ONE zip_with/aggregate pair per round by construction —
+    * DiversitySpec pins that shape on the analyzed plan.
+    */
+  private[graft] def kCenterRound(
+      cur: DataFrame, center: Seq[Long]): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("__qv"), lit(center.toArray), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    cur.withColumn("__md2", least(col("__md2"), d2))
   }
 
   /** Spark `round(_, 4)` semantics (HALF_UP over the decimal string

@@ -1584,12 +1584,12 @@ object TextQueries {
       cg AS (SELECT doc_id, i,
                array_to_string(list_slice(t, i, i + 2), ' ') AS g
              FROM (SELECT doc_id, t,
-                     unnest(range(1, greatest(len(t) - 1, 2))) AS i
+                     unnest(range(1, len(t) - 1)) AS i
                    FROM ct)),
       bt AS (SELECT string_split_regex(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'), '\s+') AS t
              FROM documents WHERE doc_id < 50),
       bg AS (SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS g
-             FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 2))) AS i
+             FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
                    FROM bt)),
       dirty AS (SELECT DISTINCT doc_id, pos FROM (
                   SELECT cg.doc_id, unnest(range(cg.i, cg.i + 3)) AS pos

@@ -202,6 +202,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got(4L) == ((2, 0, "a b")), got(4L))
   }
 
+  test("redactContaminated: sub-n documents emit no grams on either side") {
+    // a 2-token bench row must NOT redact exact 2-token corpus docs —
+    // the exactly-n contract (no sub-n edge grams), on both sides
+    val bench = Seq((100L, "a b")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "a b"),     // identical to the short bench row: untouched
+      (2L, "x a b y")  // contains "a b" but no 3-gram matches
+    ).toDF("id", "text")
+    val got = Dedup.redactContaminated(corpus, bench, "id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_dirty"), r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((0, "a b")), got(1L))
+    assert(got(2L) == ((0, "x a b y")), got(2L))
+  }
+
   test("lshRecommend independently derives the shipped 128/32 banding " +
     "at target 0.8") {
     val rec = Dedup.lshRecommend(128, 0.8)

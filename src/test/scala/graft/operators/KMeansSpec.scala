@@ -122,5 +122,19 @@ class KMeansSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("silhouette fails loudly when Lloyd collapses to one cell") {
+    // duplicate-heavy input: every vector identical → the k=2 seeds
+    // coincide, the first update folds all mass into one cell, and a
+    // single surviving centroid has no second-nearest distance — the
+    // operator must refuse rather than emit null/diverging rows
+    val df = Seq(
+      (1L, vec(1.0, 1)), (2L, vec(1.0, 1)), (3L, vec(1.0, 1)),
+      (4L, vec(1.0, 1))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.silhouette(df, "id", "v", k = 2, iters = 2).collect()
+    }
+    assert(e.getMessage.contains("centroid"), e.getMessage)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
