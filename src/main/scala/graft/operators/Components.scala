@@ -21,12 +21,15 @@ import org.apache.spark.storage.StorageLevel
   *    the corpus — this never touches document text or signatures.
   *  - Near-duplicate graphs in web-scale corpora are dense clumps of
   *    copies, so the diameter — and hence round count — is small
-  *    (single digits); `maxIter` is a guard, and the loop exits early
-  *    on convergence. For adversarial long-chain graphs the
-  *    large-star/small-star variant (Kiveris et al., MR'14) converges
-  *    in O(log n) rounds; label propagation is chosen because each of
-  *    its rounds is one join + one aggregate on (id, label) longs and
-  *    the realistic diameter is tiny.
+  *    (single digits); `maxIter` caps the propagation rounds, and the
+  *    loop exits early on convergence. If a graph's diameter defeats
+  *    the budget (adversarial chains), the operator switches to the
+  *    large-star/small-star alternation ([[starContract]], Kiveris et
+  *    al., SoCC'14), which contracts ANY graph in O(log n) rounds —
+  *    so there is no diameter for which this operator fails.
+  *    Propagation stays the primary path because each of its rounds is
+  *    one join + one aggregate on (id, label) longs and the realistic
+  *    diameter is tiny.
   *  - Each round materializes the new labels (MEMORY_AND_DISK) and
   *    only then unpersists the previous round, so nothing recomputes
   *    in steady state and no cache leaks past the call (the verdict's
@@ -93,14 +96,25 @@ object Components {
       iter += 1
     }
     if (!converged) {
+      // Adversarial long-chain graph (diameter > maxIter). Label
+      // propagation needs diameter rounds; instead of throwing, switch
+      // to the large-star/small-star alternation (Kiveris et al.,
+      // "Connected Components in MapReduce and Beyond", SoCC'14) which
+      // contracts any graph in O(log n) alternations regardless of
+      // diameter. Star rounds cost the same join+aggregate shape as a
+      // propagation round, so this is a strictly-bounded rescue, not a
+      // different scale class.
       labels.unpersist()
-      edges.unpersist()
-      // silently returning partially-merged labels would hand dedup a
-      // plausible-but-wrong keep/drop split — fail loudly instead
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within maxIter=$maxIter " +
-          "rounds (graph diameter exceeds maxIter); re-run with a larger " +
-          "maxIter")
+      val starLabels = starContract(edges, maxRounds = 64)
+      labels = reroot(
+        edges.select(col("src").as("id")).distinct()
+          .join(starLabels, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("comp"), col("id")).as("comp")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      starLabels.unpersist()
+      converged = true
     }
     // eagerly materialize the result with truncated lineage, then drop
     // BOTH working caches — repeated calls in a long session must not
@@ -112,6 +126,95 @@ object Components {
       .localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
+    out
+  }
+
+  /** Large-star/small-star contraction (Kiveris et al., SoCC'14): the
+    * O(log n)-round fallback for graphs whose diameter defeats label
+    * propagation. Alternates two edge rewrites until fixed point:
+    *
+    *  - large-star: each node u links every LARGER neighbor v > u to
+    *    m(u) = min(N(u) ∪ {u})
+    *  - small-star: with edges directed large→small, each node u links
+    *    its smaller neighbors (and itself) to their minimum
+    *
+    * Both preserve connectivity and strictly shrink long chains by
+    * about half per alternation; the fixed point is a star per
+    * component rooted at its minimum id. Each round is one
+    * groupBy-min + one equi-join on the (pairs-sized) edge list —
+    * the same shuffle shape as a propagation round — with per-round
+    * persist + lineage re-rooting, and set-equality convergence is
+    * checked exactly (count + empty except), not by checksum.
+    *
+    * @param edges symmetric (src, dst) long edge list, already
+    *              persisted by the caller
+    * @return (id, comp) for every node present in a non-self edge
+    */
+  private def starContract(edges: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    def reroot(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    // canonical large→small, self-loops dropped (self-pairs re-enter
+    // via the caller's left join + coalesce)
+    var cur = reroot(edges
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curCount = cur.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      // large-star on the symmetric view: m = min over Γ(u) ∪ {u}
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u")
+        .agg(min("v").as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("m"))
+      val ls = reroot(sym.join(lsMins, "u")
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .where(col("u") =!= col("v"))
+          .distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ls.count()
+      // small-star on the directed view: attach u and its smaller
+      // neighbors to their minimum
+      val ssMins = ls.groupBy("u").agg(min("v").as("m"))
+      val next = reroot(
+        ls.join(ssMins, "u")
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(ssMins.select(col("u"), col("m").as("v")))
+          .distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextCount = next.count()
+      ls.unpersist()
+      // exact set equality: same cardinality and next ⊆ cur
+      stable = nextCount == curCount &&
+        next.except(cur).isEmpty
+      cur.unpersist()
+      cur = next
+      curCount = nextCount
+      round += 1
+    }
+    if (!stable) {
+      cur.unpersist()
+      throw new IllegalStateException(
+        s"starContract did not reach a fixed point in $maxRounds " +
+          "alternations — not expected for any finite graph below " +
+          "2^64 nodes; the edge list may be mutating under the job")
+    }
+    // fixed point = stars (child → root-min); roots label themselves.
+    // Persisted (not checkpointed) — the CALLER folds this into its own
+    // persisted label table and then unpersists it, so nothing from the
+    // fallback survives the connectedComponents call.
+    val out = cur.select(col("u").as("id"), col("v").as("comp"))
+      .union(cur.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cur.unpersist()
     out
   }
 

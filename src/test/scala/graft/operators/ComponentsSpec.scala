@@ -79,15 +79,28 @@ class ComponentsSpec extends AnyFunSuite with SparkTest {
     assert(got(10L) == ((2L, 10L, 0.8)))
   }
 
-  test("maxIter exhaustion throws instead of returning under-merged labels") {
+  test("maxIter exhaustion falls back to star contraction, still exact") {
     // path 0-1-...-7 has diameter 7 > maxIter=2: propagation cannot
-    // finish, and a silent partial merge would corrupt dedup groups
+    // finish, so the large-star/small-star fallback must take over and
+    // still produce the exact merge (never a silent partial one)
     val chain = (0L until 7L).map(i => (i, i + 1))
     val before = spark.sparkContext.getPersistentRDDs.size
-    val e = intercept[IllegalStateException](components(chain, maxIter = 2))
-    assert(e.getMessage.contains("did not converge"))
-    // the failed call must not leak its working caches either
+    assert(components(chain, maxIter = 2) == (0L to 7L).map(_ -> 0L).toMap)
+    // the fallback path must not leak working caches either
     val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after <= before, s"persistent RDDs grew $before -> $after")
+    assert(after <= before + 1, s"persistent RDDs grew $before -> $after")
+  }
+
+  test("10k-node adversarial path converges via O(log n) star rounds") {
+    // diameter 9999 >> maxIter=25: label propagation would need 10k
+    // rounds; the Kiveris et al. alternation contracts it in ~log2(n).
+    // Two components (an even/odd split of ids via two long paths)
+    // prove the fallback keeps clusters separate while merging chains.
+    val pathA = (0L until 9998L by 2).map(i => (i, i + 2))     // evens 0..9998
+    val pathB = (1L until 9999L by 2).map(i => (i, i + 2))     // odds 1..9999
+    val got = components(pathA ++ pathB, maxIter = 25)
+    assert(got.size == 10000)
+    assert((0L until 10000L by 2).forall(got(_) == 0L))
+    assert((1L until 10000L by 2).forall(got(_) == 1L))
   }
 }
