@@ -183,6 +183,8 @@ object Main {
         case Some("curate")    => curateCmd(spark, lake, opts, out)
         case Some("sessions")  => sessionsCmd(spark, lake, opts, out)
         case Some("index")     => indexCmd(spark, lake, opts, out)
+        case Some("tokenizer") => tokenizerCmd(spark, lake, opts, out)
+        case Some("lm")        => lmCmd(spark, lake, opts, out)
         case Some("rollup")    => rollupCmd(spark, lake, config, opts, out)
         case Some(other) =>
           out.println(s"unknown command: $other"); return 1
@@ -201,7 +203,7 @@ object Main {
     """usage: graft <command> [args] [--lake-dir DIR] [--config-dir DIR]
       |commands: collect query connect compact partition table source
       |          format plugin import export dedup profile retention
-      |          vacuum curate sessions index rollup
+      |          vacuum curate sessions index tokenizer lm rollup
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
@@ -228,6 +230,14 @@ object Main {
       |          graft index append <table> <dir> (same columns)
       |          graft index query <dir> --table TABLE (same columns)
       |            [--k K] [--nprobe N] [--min-sim S]
+      |tokenizer: graft tokenizer train <table> <dir> --text-column COL
+      |            [--rounds N]
+      |          graft tokenizer show <dir>
+      |          graft tokenizer encode <table> <dir> --id-column COL
+      |            --text-column COL
+      |lm:       graft lm train <table> <dir> --text-column COL
+      |          graft lm score <table> <dir> --text-column COL
+      |            [--model unigram|bigram|jm]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore]
@@ -645,6 +655,134 @@ object Main {
             "to recluster")
       case other => throw new IllegalArgumentException(
         s"index: expected build|append|query|stats, got ${other.getOrElse("nothing")}")
+    }
+  }
+
+  /** `tokenizer train|show|encode` — the BPE tokenizer as a persisted
+    * lake artifact, mirroring `index build/query`: `train` learns the
+    * merge table + word vocabulary once and stores them as parquet
+    * (BpeMerges.save); `encode` tokenizes any table against the stored
+    * artifact with ZERO training work (the vocabulary lookup join
+    * BpeEncode's scaladoc describes); `show` prints the learned
+    * merges. Beyond-reference: what stops profiling surfaces
+    * (qt35/qt48) from retraining the same tokenizer per query.
+    */
+  private def tokenizerCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{BpeEncode, BpeMerges}
+    def textCol: String = opts.flag("text-column").getOrElse(
+      throw new IllegalArgumentException(
+        "tokenizer requires --text-column COL"))
+    opts.positional.headOption match {
+      case Some("train") =>
+        val (table, dir) =
+          (opts.positional.lift(1), opts.positional.lift(2)) match {
+            case (Some(t), Some(d)) => (t, d)
+            case _ => throw new IllegalArgumentException(
+              "tokenizer train requires <table> <tokenizer-dir>")
+          }
+        val rounds = opts.flag("rounds").map(_.toInt).getOrElse(16)
+        val df = lake.read(spark, table)
+        require(df.columns.contains(textCol),
+          s"tokenizer: column '$textCol' not found in $table")
+        val t = BpeMerges.train(df, textCol, rounds)
+        BpeMerges.save(t, dir)
+        val nMerges = t.merges.count()
+        val nWords = spark.read.parquet(s"$dir/vocab").count()
+        t.release()
+        out.println(s"Tokenizer trained: $dir ($nMerges merges, " +
+          s"$nWords-word vocabulary)")
+      case Some("show") =>
+        val dir = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "tokenizer show requires a <tokenizer-dir>"))
+        out.println(graft.query.Render.table(
+          spark.read.parquet(s"$dir/merges").orderBy("merge_rank")))
+      case Some("encode") =>
+        val (table, dir) =
+          (opts.positional.lift(1), opts.positional.lift(2)) match {
+            case (Some(t), Some(d)) => (t, d)
+            case _ => throw new IllegalArgumentException(
+              "tokenizer encode requires <table> <tokenizer-dir>")
+          }
+        val idCol = opts.flag("id-column").getOrElse(
+          throw new IllegalArgumentException(
+            "tokenizer encode requires --id-column COL"))
+        val df = lake.read(spark, table)
+        for (c <- Seq(idCol, textCol))
+          require(df.columns.contains(c),
+            s"tokenizer: column '$c' not found in $table")
+        val enc = BpeEncode(df, idCol, textCol, BpeMerges.load(spark, dir))
+        out.println(graft.query.Render.table(enc.agg(
+          count(lit(1)).as("docs"),
+          sum("n_words").as("words"), sum("n_tokens").as("tokens"),
+          round(sum("n_tokens").cast("double") / sum("n_words"), 4)
+            .as("fertility"))))
+      case other => throw new IllegalArgumentException(
+        s"tokenizer: expected train|show|encode, got " +
+          other.getOrElse("nothing"))
+    }
+  }
+
+  /** `lm train|score` — the corpus LM count tables as a persisted lake
+    * artifact (Perplexity.saveLm): `train` runs the counting passes
+    * once; `score` rates any table against the stored model (unigram,
+    * bigram, or Jelinek-Mercer interpolated) without retraining — the
+    * frozen-reference-LM workflow CCNet-style filtering actually uses
+    * (score new data against a FIXED clean-corpus model).
+    */
+  private def lmCmd(
+      spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Perplexity
+    def textCol: String = opts.flag("text-column").getOrElse(
+      throw new IllegalArgumentException("lm requires --text-column COL"))
+    opts.positional.headOption match {
+      case Some("train") =>
+        val (table, dir) =
+          (opts.positional.lift(1), opts.positional.lift(2)) match {
+            case (Some(t), Some(d)) => (t, d)
+            case _ => throw new IllegalArgumentException(
+              "lm train requires <table> <lm-dir>")
+          }
+        val df = lake.read(spark, table)
+        require(df.columns.contains(textCol),
+          s"lm: column '$textCol' not found in $table")
+        Perplexity.saveLm(df, textCol, dir)
+        val v = spark.read.parquet(s"$dir/unigrams").count()
+        val b = spark.read.parquet(s"$dir/bigrams").count()
+        out.println(s"LM trained: $dir ($v-word vocabulary, " +
+          s"$b bigram transitions)")
+      case Some("score") =>
+        val (table, dir) =
+          (opts.positional.lift(1), opts.positional.lift(2)) match {
+            case (Some(t), Some(d)) => (t, d)
+            case _ => throw new IllegalArgumentException(
+              "lm score requires <table> <lm-dir>")
+          }
+        val df = lake.read(spark, table)
+          .withColumn("__pid", monotonically_increasing_id())
+        val model = opts.flag("model").getOrElse("unigram")
+        val (scored, pplCol) = model match {
+          case "unigram" =>
+            (Perplexity.applyWith(df, "__pid", textCol, dir), "ppl")
+          case "bigram" =>
+            (Perplexity.bigramWith(df, "__pid", textCol, dir), "ppl2")
+          case "jm" =>
+            (Perplexity.interpolatedBigramWith(df, "__pid", textCol, dir),
+              "ppl_jm")
+          case o => throw new IllegalArgumentException(
+            s"lm score: --model must be unigram|bigram|jm, got $o")
+        }
+        out.println(graft.query.Render.table(scored.agg(
+          count(lit(1)).as("docs"),
+          round(min(pplCol), 2).as("ppl_min"),
+          round(expr(s"percentile_approx($pplCol, 0.5)"), 2)
+            .as("ppl_median"),
+          round(max(pplCol), 2).as("ppl_max"))))
+      case other => throw new IllegalArgumentException(
+        s"lm: expected train|score, got ${other.getOrElse("nothing")}")
     }
   }
 

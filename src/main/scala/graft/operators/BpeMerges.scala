@@ -116,4 +116,42 @@ object BpeMerges {
     */
   def symbols(seq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(seq, SS), x => x =!= "")
+
+  /** Persist a trained tokenizer as a lake artifact: `merges` and the
+    * fully-merged word vocabulary as parquet under `path`. Both tables
+    * are vocabulary-sized; encoding a corpus against a saved tokenizer
+    * ([[load]] + [[BpeEncode]]) is then a lookup join with ZERO
+    * training work — the `index build`/`index query` split applied to
+    * tokenizers, so profiling queries stop retraining per call.
+    */
+  def save(t: Trained, path: String): Unit = {
+    t.merges.coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    t.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a tokenizer saved by [[save]]. The vocab reads straight from
+    * parquet (already materialized — no persist to release; `release()`
+    * on the result is a harmless no-op).
+    */
+  def load(spark: SparkSession, path: String): Trained =
+    Trained(
+      spark.read.parquet(s"$path/merges"),
+      spark.read.parquet(s"$path/vocab"))
+
+  /** Build-if-stale wrapper: train on `df` and [[save]] under `path`
+    * unless a fresh artifact (same rounds + corpus row count) already
+    * exists. Returns the loaded tokenizer either way — callers like
+    * qt35/qt48 share one training per corpus instead of one per query.
+    */
+  def ensureTrained(
+      df: DataFrame, textCol: String, rounds: Int,
+      path: String, sourceFp: String = ""): Trained = {
+    val fp = s"bpe;rounds=$rounds;col=$textCol;n=${df.count()};src=$sourceFp"
+    graft.lake.Artifacts.ensure(path, fp) {
+      val t = train(df, textCol, rounds)
+      save(t, path)
+      t.release()
+    }
+    load(df.sparkSession, path)
+  }
 }

@@ -32,11 +32,34 @@ import graft.functions.{TextFunctions => TF}
   */
 object Perplexity {
 
-  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreUnigram(df, idCol, textCol, unigramCounts(df, textCol))
+
+  /** Score against a PERSISTED unigram LM ([[saveLm]]) instead of
+    * retraining — counts read from parquet, the rest of the operand
+    * tree identical to [[apply]], so scoring the training corpus
+    * itself reproduces [[apply]] exactly.
+    */
+  def applyWith(
+      df: DataFrame, idCol: String, textCol: String,
+      lmPath: String): DataFrame =
+    scoreUnigram(df, idCol, textCol,
+      df.sparkSession.read.parquet(s"$lmPath/unigrams"))
+
+  /** The unigram LM's count table (tok, c) — one map-side-combined
+    * corpus pass; vocabulary-sized.
+    */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TF.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  private def scoreUnigram(
+      df: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(TF.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     // two scalars: total token count and vocabulary size (driver-side,
     // metadata-sized — the LM normalizer)
     val Array(n, v) = counts.agg(sum("c"), count(lit(1))).head() match {
@@ -73,6 +96,44 @@ object Perplexity {
     * @return (idCol, n_bigrams, ppl2) one row per doc with >=2 tokens
     */
   def bigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (c2, uni2) = bigramTables(df, textCol)
+    scoreBigram(df, idCol, textCol, c2, uni2)
+  }
+
+  /** [[bigram]] against a persisted LM ([[saveLm]]). */
+  def bigramWith(
+      df: DataFrame, idCol: String, textCol: String,
+      lmPath: String): DataFrame = {
+    val spark = df.sparkSession
+    scoreBigram(df, idCol, textCol,
+      spark.read.parquet(s"$lmPath/bigrams"),
+      spark.read.parquet(s"$lmPath/uni2"))
+  }
+
+  /** The bigram LM's tables, both model-sized: transition counts
+    * (p, c, c2) and the unigram counts (c, cu) over the same >=2-token
+    * documents (the bigram/JM normalizer side). c1 context totals are
+    * NOT stored — they re-aggregate from c2 (model-sized) on load.
+    */
+  def bigramTables(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val toks = df.select(
+      filter(TF.tokens(col(textCol)), x => x =!= "").as("__t"))
+      .where(size(col("__t")) >= 2)
+    val bg = toks.select(
+        explode(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("p"), b.as("c")))).as("b"))
+      .select(col("b.p").as("p"), col("b.c").as("c"))
+    val c2 = bg.groupBy("p", "c").agg(count(lit(1)).as("c2"))
+    val uni2 = toks.select(explode(col("__t")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cu"))
+    (c2, uni2)
+  }
+
+  private def scoreBigram(
+      df: DataFrame, idCol: String, textCol: String,
+      c2: DataFrame, uni2: DataFrame): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       filter(TF.tokens(col(textCol)), x => x =!= "").as("__t"))
       .where(size(col("__t")) >= 2)
@@ -82,12 +143,10 @@ object Perplexity {
           slice(col("__t"), lit(2), size(col("__t")) - 1),
           (a, b) => struct(a.as("p"), b.as("c")))).as("b"))
       .select(col("__id"), col("b.p").as("p"), col("b.c").as("c"))
-    val c2 = bg.groupBy("p", "c").agg(count(lit(1)).as("c2"))
     val model = c2.join(c2.groupBy("p").agg(sum("c2").as("c1")), "p")
     // V = unigram vocabulary over the scored (>=2-token) docs — one
     // driver-side scalar, same normalizer family as the unigram LM
-    val vocab = toks.select(explode(col("__t")).as("tok"))
-      .agg(count_distinct(col("tok"))).head().getLong(0)
+    val vocab = uni2.count()
     bg.join(model, Seq("p", "c"))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -117,6 +176,23 @@ object Perplexity {
   def interpolatedBigram(
       df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75): DataFrame = {
+    val (c2, uni2) = bigramTables(df, textCol)
+    scoreInterpolated(df, idCol, textCol, c2, uni2, lambda)
+  }
+
+  /** [[interpolatedBigram]] against a persisted LM ([[saveLm]]). */
+  def interpolatedBigramWith(
+      df: DataFrame, idCol: String, textCol: String, lmPath: String,
+      lambda: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    scoreInterpolated(df, idCol, textCol,
+      spark.read.parquet(s"$lmPath/bigrams"),
+      spark.read.parquet(s"$lmPath/uni2"), lambda)
+  }
+
+  private def scoreInterpolated(
+      df: DataFrame, idCol: String, textCol: String,
+      c2: DataFrame, uni2: DataFrame, lambda: Double): DataFrame = {
     require(lambda > 0 && lambda < 1,
       s"interpolatedBigram: lambda must be in (0,1), got $lambda")
     val toks = df.select(col(idCol).as("__id"),
@@ -128,20 +204,44 @@ object Perplexity {
           slice(col("__t"), lit(2), size(col("__t")) - 1),
           (a, b) => struct(a.as("p"), b.as("c")))).as("b"))
       .select(col("__id"), col("b.p").as("p"), col("b.c").as("c"))
-    val c2 = bg.groupBy("p", "c").agg(count(lit(1)).as("c2"))
     val model = c2.join(c2.groupBy("p").agg(
       sum("c2").cast("long").as("c1")), "p")
-    val uni = toks.select(explode(col("__t")).as("c"))
-      .groupBy("c").agg(count(lit(1)).as("cu"))
-    val tv = uni.agg(sum("cu").cast("long"), count(lit(1))).head()
+    val tv = uni2.agg(sum("cu").cast("long"), count(lit(1))).head()
     val (t, v) = (tv.getLong(0), tv.getLong(1))
-    bg.join(model, Seq("p", "c")).join(uni, Seq("c"))
+    bg.join(model, Seq("p", "c")).join(uni2, Seq("c"))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
         avg(log(lit(lambda) * col("c2") / col("c1")
           + lit(1.0 - lambda) * (col("cu") + 1) / lit(t + v))).as("__mlp"))
       .select(col("__id").as(idCol), col("n_bigrams"),
         round(exp(-col("__mlp")), 4).as("ppl_jm"))
+  }
+
+  /** Persist the corpus LM as a lake artifact: add-1 unigram counts
+    * (all documents), bigram transition counts and the >=2-token
+    * unigram side — everything [[applyWith]]/[[bigramWith]]/
+    * [[interpolatedBigramWith]] need to score WITHOUT a training pass.
+    * All three tables are model-sized. [[ensureLm]] is the
+    * build-if-stale gate (same pattern as the persisted IVF index and
+    * BPE tokenizer).
+    */
+  def saveLm(df: DataFrame, textCol: String, path: String): Unit = {
+    unigramCounts(df, textCol)
+      .write.mode("overwrite").parquet(s"$path/unigrams")
+    val (c2, uni2) = bigramTables(df, textCol)
+    c2.write.mode("overwrite").parquet(s"$path/bigrams")
+    uni2.write.mode("overwrite").parquet(s"$path/uni2")
+  }
+
+  /** Train-and-save under `path` unless a fresh artifact (same text
+    * column + corpus row count) exists; returns `path` for chaining.
+    */
+  def ensureLm(
+      df: DataFrame, textCol: String, path: String,
+      sourceFp: String = ""): String = {
+    val fp = s"lm;col=$textCol;n=${df.count()};src=$sourceFp"
+    graft.lake.Artifacts.ensure(path, fp)(saveLm(df, textCol, path))
+    path
   }
 
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): within
@@ -162,8 +262,12 @@ object Perplexity {
     */
   def buckets(
       df: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
-    val ppl = apply(df, idCol, textCol).select(col(idCol), col("ppl"))
+      langCol: String, lmPath: Option[String] = None): DataFrame = {
+    val scored = lmPath match {
+      case Some(p) => applyWith(df, idCol, textCol, p)
+      case None    => apply(df, idCol, textCol)
+    }
+    val ppl = scored.select(col(idCol), col("ppl"))
     val withLang = ppl.join(df.select(col(idCol), col(langCol)), Seq(idCol))
     DistributedRank.ntileBy(withLang, 3, Seq(langCol),
         Seq(col("ppl"), col(idCol)))

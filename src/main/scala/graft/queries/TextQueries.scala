@@ -23,6 +23,26 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Persisted corpus-LM count tables for the documents table —
+    * trained once per corpus (build-if-stale), shared by
+    * qt34/qt36/qt39/qt53 instead of each query rebuilding them.
+    */
+  private def lmArtifact(s: SparkSession, dir: String): String =
+    graft.operators.Perplexity.ensureLm(docs(s, dir), "text",
+      graft.lake.Artifacts.workRoot(dir) + "/lm_documents",
+      graft.lake.Artifacts.sourceFingerprint(s"$dir/documents.parquet"))
+
+  /** Persisted 3-round BPE tokenizer for the documents table — trained
+    * once per corpus, shared by qt35/qt48 (qt32 IS the training query
+    * and stays a from-scratch run).
+    */
+  private def bpeArtifact(
+      s: SparkSession, dir: String): graft.operators.BpeMerges.Trained =
+    graft.operators.BpeMerges.ensureTrained(docs(s, dir), "text",
+      rounds = 3,
+      graft.lake.Artifacts.workRoot(dir) + "/tokenizer_documents_r3",
+      graft.lake.Artifacts.sourceFingerprint(s"$dir/documents.parquet"))
+
   /** documents ∪ near-duplicate copies of doc_id < 100. */
   private def planted(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).where(col("doc_id") < 2000)
@@ -374,18 +394,24 @@ object TextQueries {
     // unigram LM trained on the corpus itself, so the operator is
     // closed over its input). All counts are exact integers — only the
     // final mean/exp are floating point, so the 4dp round is engine-
-    // stable and the oracle reproduces every score.
+    // stable and the oracle reproduces every score. The LM count
+    // tables are a persisted lake artifact (Perplexity.ensureLm):
+    // qt34/qt36/qt39/qt53 share ONE training pass per corpus instead
+    // of each rebuilding the counts.
     "qt34_perplexity" -> ((s, dir) => {
-      graft.operators.Perplexity(docs(s, dir), "doc_id", "text")
+      graft.operators.Perplexity.applyWith(docs(s, dir), "doc_id",
+          "text", lmArtifact(s, dir))
         .orderBy("doc_id")
     }),
 
     // Bigram-LM scoring: the second-order companion to qt34 —
     // transitions built map-side from each doc's token array (no
-    // window), model = one transition aggregate + its re-aggregate,
-    // scores reproduced exactly by the oracle from the same counts.
+    // window), model = the persisted transition counts + their
+    // re-aggregate, scores reproduced exactly by the oracle from the
+    // same counts.
     "qt39_bigram_lm" -> ((s, dir) => {
-      graft.operators.Perplexity.bigram(docs(s, dir), "doc_id", "text")
+      graft.operators.Perplexity.bigramWith(docs(s, dir), "doc_id",
+          "text", lmArtifact(s, dir))
         .orderBy("doc_id")
     }),
 
@@ -409,7 +435,7 @@ object TextQueries {
     // stable and the oracle replays the whole split with SQL ntile.
     "qt36_ccnet_buckets" -> ((s, dir) => {
       graft.operators.Perplexity.buckets(docs(s, dir), "doc_id",
-          "text", "lang")
+          "text", "lang", lmPath = Some(lmArtifact(s, dir)))
         .orderBy("doc_id")
     }),
 
@@ -447,7 +473,7 @@ object TextQueries {
     // then reproduces the join + roll-up.
     "qt35_bpe_encode" -> ((s, dir) => {
       graft.operators.BpeEncode(docs(s, dir), "doc_id", "text",
-          rounds = 3)
+          bpeArtifact(s, dir))
         .orderBy("doc_id")
     }),
 
@@ -656,12 +682,13 @@ object TextQueries {
     }),
 
     // Tokenizer fertility per language: BPE tokens per word and the
-    // corpus-level token counts, from the same 3-round learned
-    // tokenizer as qt35 — the "how expensive is each language to
-    // train on" report multilingual recipes start from.
+    // corpus-level token counts, from the SAME persisted 3-round
+    // tokenizer as qt35 (bpeArtifact — encode-only cost here, no
+    // retraining) — the "how expensive is each language to train on"
+    // report multilingual recipes start from.
     "qt48_fertility" -> ((s, dir) => {
       graft.operators.BpeEncode(docs(s, dir), "doc_id", "text",
-          rounds = 3)
+          bpeArtifact(s, dir))
         .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(sum("n_words").as("n_words"),
@@ -765,8 +792,9 @@ object TextQueries {
     // tree is pinned (Perplexity.interpolatedBigram scaladoc), so the
     // oracle replays the model joins and the score chain exactly.
     "qt53_interp_lm" -> ((s, dir) => {
-      graft.operators.Perplexity.interpolatedBigram(
-          docs(s, dir), "doc_id", "text", lambda = 0.75)
+      graft.operators.Perplexity.interpolatedBigramWith(
+          docs(s, dir), "doc_id", "text", lmArtifact(s, dir),
+          lambda = 0.75)
         .orderBy("doc_id")
     }),
 

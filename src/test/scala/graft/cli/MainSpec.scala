@@ -1238,6 +1238,80 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(st.contains("42 vectors") && st.contains("cells (min "), st)
   }
 
+  test("tokenizer and lm artifacts: train once, encode/score from the store") {
+    val dir = Files.createTempDirectory("graft_tok_cli").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "notes").mkdirs()
+    write(new File(dir, "notes/notes.csv"),
+      """timestamp,note_id,note
+        |2024-05-01T10:00:00Z,1,the quick brown fox jumps over the lazy dog
+        |2024-05-01T10:01:00Z,2,the slow red fox walks under the eager dog
+        |2024-05-01T10:02:00Z,3,a completely different note about spark
+        |""".stripMargin)
+    write(new File(dir, "config/notes.tpc"),
+      s"""format "delimited" "notes" {
+         |  delimiter = ","
+         |  header = true
+         |}
+         |
+         |table "notes" {
+         |  format = format.delimited.notes
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "note_id" { type = "bigint" }
+         |  column "note" { type = "varchar" }
+         |}
+         |
+         |partition "notes" "local" {
+         |  source "file" {
+         |    format = format.delimited.notes
+         |    paths = ["${dir.getPath}/notes/"]
+         |    file_layout = "notes.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rcC, outC) = cli(dir, "collect", "notes.local")
+    assert(rcC == 0, outC)
+    // train a 2-round tokenizer into a persisted artifact
+    val tok = s"${dir.getPath}/tok"
+    val (rcT, trained) = cli(dir, "tokenizer", "train", "notes", tok,
+      "--text-column", "note", "--rounds", "2")
+    assert(rcT == 0, trained)
+    assert(trained.contains("Tokenizer trained") &&
+      trained.contains("2 merges"), trained)
+    // show renders the stored merge table ('the' dominates → (e,</w>))
+    val (rcS, shown) = cli(dir, "tokenizer", "show", tok)
+    assert(rcS == 0, shown)
+    assert(shown.contains("merge_rank"), shown)
+    assert(shown.linesIterator.exists(l =>
+      l.contains("| 1 ") && l.contains("| e ") && l.contains("| </w> ")),
+      shown)
+    // encode against the stored artifact — no retraining
+    val (rcE, enc) = cli(dir, "tokenizer", "encode", "notes", tok,
+      "--id-column", "note_id", "--text-column", "note")
+    assert(rcE == 0, enc)
+    assert(enc.contains("fertility"), enc)
+    assert(enc.linesIterator.exists(_.startsWith("| 3 ")), enc) // 3 docs
+    // LM artifact: one training, scored under all three models
+    val lm = s"${dir.getPath}/lm"
+    val (rcL, lmOut) = cli(dir, "lm", "train", "notes", lm,
+      "--text-column", "note")
+    assert(rcL == 0, lmOut)
+    assert(lmOut.contains("LM trained") && lmOut.contains("vocabulary"),
+      lmOut)
+    val (rcU, uni) = cli(dir, "lm", "score", "notes", lm,
+      "--text-column", "note")
+    assert(rcU == 0, uni)
+    assert(uni.contains("ppl_median"), uni)
+    val (rcJ, jm) = cli(dir, "lm", "score", "notes", lm,
+      "--text-column", "note", "--model", "jm")
+    assert(rcJ == 0, jm)
+    assert(jm.contains("ppl_median"), jm)
+    // bad model name fails loudly
+    val (rcBad, bad) = cli(dir, "lm", "score", "notes", lm,
+      "--text-column", "note", "--model", "nope")
+    assert(rcBad == 1 && bad.contains("nope"), bad)
+  }
+
   test("wildcard collect: multiple matching partitions in one run, " +
     "non-matching pattern is a clean error") {
     // partition_tests.bats:188-260 — collect table.prefix_* hits every

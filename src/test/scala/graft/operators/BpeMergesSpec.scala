@@ -44,4 +44,28 @@ class BpeMergesSpec extends AnyFunSuite with SparkTest {
     assert((r1(1).getAs[String]("lhs"), r1(1).getAs[String]("rhs")) ==
       ("aa", BpeMerges.Eow))
   }
+
+  test("saved tokenizer round-trips: load+encode == train+encode") {
+    val df = Seq((1L, "low lower lowest"), (2L, "new newer newest"),
+      (3L, "low new")).toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_rt").toString + "/tok"
+    val direct = BpeMerges.train(df, "text", rounds = 3)
+    BpeMerges.save(direct, path)
+    val loaded = BpeMerges.load(spark, path)
+    assert(loaded.merges.orderBy("merge_rank").collect().map(_.toSeq).toSeq ==
+      direct.merges.orderBy("merge_rank").collect().map(_.toSeq).toSeq)
+    def enc(t: BpeMerges.Trained) =
+      BpeEncode(df, "id", "text", t).orderBy("id")
+        .collect().map(_.toSeq).toSeq
+    assert(enc(loaded) == enc(direct))
+    direct.release()
+    // ensureTrained: second call with the same corpus loads, no retrain
+    val e1 = BpeMerges.ensureTrained(df, "text", 3, path + "2")
+    val mf = new java.io.File(path + "2", "_manifest.json")
+    val stamp = mf.lastModified()
+    val e2 = BpeMerges.ensureTrained(df, "text", 3, path + "2")
+    assert(mf.lastModified() == stamp, "fresh hit must not rebuild")
+    assert(enc(e2) == enc(e1))
+  }
 }

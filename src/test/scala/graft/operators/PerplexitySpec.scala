@@ -116,4 +116,29 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
     assert(got === expect(en.map(_._1)) ++ expect(fr.map(_._1)))
     assert(got(100L) == "head" && got(101L) == "middle")
   }
+
+  test("persisted LM scores are identical to the from-scratch run") {
+    val df = Seq((1L, "a a b c"), (2L, "a b a c"), (3L, "c b a"),
+      (4L, "zz yy xx")).toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lm_rt").toString + "/lm"
+    Perplexity.ensureLm(df, "text", path)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(rows(Perplexity.applyWith(df, "id", "text", path)) ==
+      rows(Perplexity(df, "id", "text")))
+    assert(rows(Perplexity.bigramWith(df, "id", "text", path)) ==
+      rows(Perplexity.bigram(df, "id", "text")))
+    assert(rows(Perplexity.interpolatedBigramWith(df, "id", "text", path)) ==
+      rows(Perplexity.interpolatedBigram(df, "id", "text")))
+    // a second ensure with the same corpus is a no-op hit
+    assert(!graft.lake.Artifacts.ensure(path, s"lm;col=text;n=${df.count()};src=") {
+      fail("ensure must not rebuild on a fresh fingerprint")
+    })
+    // a changed corpus (different fingerprint) rebuilds
+    val df2 = df.union(Seq((5L, "new doc entirely")).toDF("id", "text"))
+    Perplexity.ensureLm(df2, "text", path)
+    assert(rows(Perplexity.applyWith(df2, "id", "text", path)) ==
+      rows(Perplexity(df2, "id", "text")))
+  }
 }
