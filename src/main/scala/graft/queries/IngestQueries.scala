@@ -628,6 +628,71 @@ object IngestQueries {
         .groupBy(col("tp_year"), col("tp_month"), col("tp_date"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("tp_year", "tp_month", "tp_date")
+    }),
+
+    // Vacuum + manifest backup/restore round-trip (SURVEY §2A row 19,
+    // previously spec-only): two collects leave superseded rows in the
+    // append-only manifest; backup snapshots it, vacuum compacts it to
+    // live files, then the manifest is DELETED outright (simulated
+    // metadata loss) and restored from the snapshot. The final read
+    // must still produce exactly the source-derived table — a restore
+    // that dropped files, resurrected superseded stats as data, or
+    // left the table unreadable breaks the hash.
+    "qi19_vacuum_restore" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi19"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_v", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      Seq(src.where(col("event_id") % 2 === 0),
+          src.where(col("event_id") % 2 === 1))
+        .foreach(b => Ingest.collectBatch(s, lake, spec, b,
+          timestampColumn = "ts"))
+      Maintenance.backupManifest(s, lake, "events_v")
+      Maintenance.vacuum(s, lake, "events_v")
+      rmrf(s"${lake.tableDir("events_v")}/_graft_manifest")
+      Maintenance.restoreManifest(s, lake, "events_v")
+      lake.read(s, "events_v")
+        .groupBy(col("tp_index").cast("string").as("tp_index"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min("tp_timestamp").as("min_ts"), max("tp_timestamp").as("max_ts"))
+        .orderBy("tp_index")
+    }),
+
+    // Snapshot time-travel read vs live (SURVEY §2A row 19's read
+    // side, previously spec-only): collect the even half, snapshot,
+    // collect the odd half — the as-of read must see ONLY the first
+    // collect while the live read sees both, per event type, from the
+    // same session. A snapshot that leaks post-backup files (or loses
+    // pre-backup ones) diverges from the oracle's parity split.
+    "qi20_snapshot_read" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi20"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_s", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      Ingest.collectBatch(s, lake, spec,
+        src.where(col("event_id") % 2 === 0), timestampColumn = "ts")
+      Maintenance.backupManifest(s, lake, "events_s")
+      Ingest.collectBatch(s, lake, spec,
+        src.where(col("event_id") % 2 === 1), timestampColumn = "ts")
+      val snap = Maintenance.readSnapshot(s, lake, "events_s")
+        .groupBy(col("tp_index").cast("string").as("tp_index"))
+        .agg(count(lit(1)).as("n_snapshot"),
+          round(sum("value"), 2).as("sum_snapshot"))
+      val live = lake.read(s, "events_s")
+        .groupBy(col("tp_index").cast("string").as("tp_index"))
+        .agg(count(lit(1)).as("n_live"),
+          round(sum("value"), 2).as("sum_live"))
+      snap.join(live, Seq("tp_index")).orderBy("tp_index")
     }))
 
   // ---- oracles -------------------------------------------------------
@@ -768,6 +833,16 @@ object IngestQueries {
       FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
     "qi07_compact" -> (aggByIndex + """
       GROUP BY event_type ORDER BY tp_index"""),
+    "qi19_vacuum_restore" -> (aggByIndex + """
+      GROUP BY event_type ORDER BY tp_index"""),
+    "qi20_snapshot_read" -> """
+      SELECT event_type AS tp_index,
+             count(*) FILTER (WHERE event_id % 2 = 0) AS n_snapshot,
+             round(sum(value) FILTER (WHERE event_id % 2 = 0), 2)
+               AS sum_snapshot,
+             count(*) AS n_live,
+             round(sum(value), 2) AS sum_live
+      FROM events GROUP BY 1 ORDER BY tp_index""",
     "qi08_grok_ingest" -> """
       SELECT event_id,
              cast(ts AS timestamp) AS tp_timestamp,
