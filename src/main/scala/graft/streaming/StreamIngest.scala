@@ -93,15 +93,28 @@ object StreamIngest {
     * failing the stream on it stops ingestion — the router keeps both
     * properties (the dead-letter-queue pattern).
     *
-    * The quarantine sink is IDEMPOTENT under micro-batch replay: each
-    * batch overwrites its own `batch_id=N` directory, so the crash
-    * replay foreachBatch permits rewrites the same rows instead of
-    * appending twice (the standard batch-id-scoped-overwrite pattern;
-    * the clean side keeps collectStream's documented at-least-once
-    * contract with the dedup backstop). A NULL rule verdict counts as
-    * a failure — unparseable rows are exactly what quarantine is for.
+    * BOTH sinks are IDEMPOTENT under micro-batch replay:
+    *  - quarantine: each batch overwrites its own `batch_id=N`
+    *    directory (the standard batch-id-scoped-overwrite pattern)
+    *  - clean side: the collect is guarded by a batch COMMIT MARKER
+    *    (`_stream_commits/<batchId>` under the table dir, written
+    *    immediately after the append job commits). A crash replay
+    *    finds the marker and skips the re-append instead of
+    *    duplicating it. The parquet job commit is atomic (files land
+    *    only on job commit), so the only remaining duplication window
+    *    is a crash BETWEEN the append's job commit and the marker
+    *    creation — one metadata write wide; within it the contract
+    *    degrades to collectStream's documented at-least-once with the
+    *    dedup backstop.
+    *
+    * A NULL rule verdict counts as a failure — unparseable rows are
+    * exactly what quarantine is for.
     *
     * @param rules (name, pass-predicate) pairs; a row must pass all
+    * @param faultInjector test-only crash-point hook, invoked after
+    *        the clean commit + marker and before the quarantine write
+    *        (the worst replay point); production callers leave the
+    *        default no-op
     */
   def routedCollectStream(
       spark: SparkSession,
@@ -114,7 +127,8 @@ object StreamIngest {
       tableSpec: TableSpec = TableSpec(""),
       timestampColumn: String = "tp_timestamp",
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 2000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 2000,
+      faultInjector: Long => Unit = _ => ()): StreamingQuery = {
     require(rules.nonEmpty, "routedCollectStream: need at least one rule")
     val passAll = rules.map(r => coalesce(r._2, lit(false))).reduce(_ && _)
     val reasons = concat_ws(",", rules.map { case (n, c) =>
@@ -131,8 +145,17 @@ object StreamIngest {
         // one pass over the source batch feeds both sides
         val b = batch.persist()
         try {
-          Ingest.collectBatch(spark, lake, spec, b.where(passAll),
-            tableSpec, timestampColumn)
+          val marker = new org.apache.hadoop.fs.Path(
+            s"${lake.tableDir(spec.table)}/_stream_commits/$batchId")
+          val fs = marker.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            Ingest.collectBatch(spark, lake, spec, b.where(passAll),
+              tableSpec, timestampColumn)
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          }
+          faultInjector(batchId)
           b.where(!passAll).withColumn("_reject_reason", reasons)
             .write.mode("overwrite")
             .parquet(s"${quarantineDir(lake, spec.table)}/batch_id=$batchId")

@@ -111,6 +111,63 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       .count() == 2)
   }
 
+  test("routedCollectStream mid-batch crash: checkpoint restart neither " +
+    "duplicates nor loses rows on either side") {
+    val root = Files.createTempDirectory("graft_routed_crash").toString
+    val inbox = s"$root/inbox"
+    new java.io.File(inbox).mkdirs()
+    val w = new java.io.PrintWriter(s"$inbox/c0.json")
+    try {
+      w.println("""{"id": 1, "ts": "2024-03-01 10:00:00", "v": 2.5}""")
+      w.println("""{"id": 2, "ts": "2024-03-01 11:00:00", "v": 1.5}""")
+      w.println("""{"id": 3, "ts": "2024-03-01 12:00:00", "v": -9.0}""")
+    } finally w.close()
+    val lake = Lake(s"$root/lake")
+    val schema = SchemaInference.inferJson(spark, Seq(s"$inbox/c0.json"))
+    val rules = Seq("v_nonneg" -> (col("v") >= 0))
+    // crash at the WORST point: clean rows committed + marker written,
+    // quarantine not yet — the replay must skip the re-append (marker)
+    // and still complete the quarantine side
+    @volatile var crashed = false
+    val q = StreamIngest.routedCollectStream(spark, lake,
+      PartitionSpec("routed_crash", "p0"), inbox, schema,
+      s"$root/ckpt", rules, timestampColumn = "ts",
+      faultInjector = _ => if (!crashed) {
+        crashed = true
+        throw new RuntimeException("injected mid-batch crash")
+      })
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("injected mid-batch crash") ||
+      Option(e.getCause).exists(_.getMessage.contains("injected")), e)
+    // the crash landed after the clean commit, before quarantine
+    assert(lake.read(spark, "routed_crash").count() == 2)
+    assert(!new java.io.File(
+      StreamIngest.quarantineDir(lake, "routed_crash")).exists())
+    // restart from the SAME checkpoint, no injector: the uncommitted
+    // batch replays — table must NOT double, quarantine must appear
+    val q2 = StreamIngest.routedCollectStream(spark, lake,
+      PartitionSpec("routed_crash", "p0"), inbox, schema,
+      s"$root/ckpt", rules, timestampColumn = "ts")
+    q2.awaitTermination()
+    val ids = lake.read(spark, "routed_crash").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"clean side duplicated or lost: $ids")
+    val quar = StreamIngest.readQuarantine(spark, lake, "routed_crash")
+      .select("id", "_reject_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(quar == Seq(3L -> "v_nonneg"), quar)
+    // a third run over the drained checkpoint changes nothing
+    val q3 = StreamIngest.routedCollectStream(spark, lake,
+      PartitionSpec("routed_crash", "p0"), inbox, schema,
+      s"$root/ckpt", rules, timestampColumn = "ts")
+    q3.awaitTermination()
+    assert(lake.read(spark, "routed_crash").count() == 2)
+    assert(StreamIngest.readQuarantine(spark, lake, "routed_crash")
+      .count() == 1)
+  }
+
   test("quality rule pack gates a stream statelessly (no state store)") {
     // QualityRules is pure per-row column algebra, so it composes into
     // a streaming pipeline with no watermark and no state — the shape
