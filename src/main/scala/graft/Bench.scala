@@ -47,29 +47,51 @@ object Bench {
       Thread.sleep(250)
       System.gc()
     }
-    val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      settle()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // record the failure in the machine-readable output too — a
-        // query that dies in 50 ms must not read as a 50 ms speedup
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // PERF.md contamination protocol, now executed by the harness
+    // itself instead of by hand across sessions: run the FULL suite
+    // N times (default 2), report the LOWER total as the round number,
+    // and carry every run's total in the output so BENCH_rN.json is
+    // self-describing. Fixture caches are cleared between runs so each
+    // run times the identical build+query path (per-query timings come
+    // from the chosen run only, keeping the JSON line inside the
+    // driver's bounded tail window).
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    case class Run(results: Seq[(String, Double)], failed: Seq[String]) {
+      def total: Double = results.map(_._2).sum
     }
+    val runs = (1 to math.max(1, nRuns)).map { _ =>
+      graft.queries.IngestQueries.resetFixtures()
+      val failed = Seq.newBuilder[String]
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+          settle()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            // record the failure in the machine-readable output too — a
+            // query that dies in 50 ms must not read as a 50 ms speedup
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      Run(results, failed.result())
+    }
+    // chosen = lowest CLEAN total (fewest failures first: a run where a
+    // query died early must not win on wall clock)
+    val chosenIdx = runs.zipWithIndex
+      .minBy { case (r, _) => (r.failed.size, r.total) }._2
+    val chosen = runs(chosenIdx)
     // 3-decimal timings: the driver recovers this line from a bounded
-    // tail of the sbt output, so the 71-entry map must stay well under
+    // tail of the sbt output, so the per-query map must stay well under
     // that window (9-decimal doubles overflowed it in r3 -> parsed=null)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = chosen.results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedJson = chosen.failed.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val runsJson = runs.map(r => f"${r.total}%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

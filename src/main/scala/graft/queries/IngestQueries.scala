@@ -61,6 +61,13 @@ object IngestQueries {
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, Lake]()
 
+  /** Drop the per-JVM fixture cache so a subsequent run rebuilds the
+    * shared lake from scratch — Bench uses this between protocol runs
+    * so both time the SAME code path (build + query), not run 1 the
+    * build and run 2 a warm read.
+    */
+  private[graft] def resetFixtures(): Unit = fixtures.clear()
+
   private[graft] def sharedLake(spark: SparkSession, sfDir: String): Lake =
     fixtures.computeIfAbsent(sfDir, { _ =>
       val root = s"${workRoot(sfDir)}/lake"
