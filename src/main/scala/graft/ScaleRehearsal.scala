@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the heavy operator families — converts the
+  * "scales" design claims (plan shape, no cartesians, bounded state)
+  * into MEASUREMENTS by running each family at 1×/10×/… its bench-SF
+  * input size on statistically self-similar synthetic data, and
+  * reporting the empirical scaling exponent
+  * `log(t_hi / t_lo) / log(mult_hi / mult_lo)` per family (≈1.0 =
+  * linear; anything clearly super-linear is a plan bug to chase).
+  *
+  * Inputs are DETERMINISTIC hash-generated datasets whose workload
+  * characteristics stay constant as N grows:
+  *  - documents: 50–149-token word-soup docs over a fixed ~10k-word
+  *    skewed vocabulary, with a 2% planted near-duplicate rate (each
+  *    copy appends a distinct tail, the qt18 fixture convention) — so
+  *    the LSH candidate and component workload grows proportionally,
+  *    not pathologically
+  *  - embeddings: 32-dim hash-uniform vectors
+  *  - events: 30-day timestamp spread over 5 event types (the qi07
+  *    compaction shape), appended in 3 interleaved batches so every
+  *    partition dir starts fragmented
+  *
+  * Every input is WRITTEN TO PARQUET first (untimed) and read back for
+  * the timed run — the operator cost measured is scan→operator, the
+  * same path production takes, not expression-generation.
+  *
+  * Usage: runMain graft.ScaleRehearsal [multipliers] [families]
+  *   multipliers: comma ints, default "1,10"
+  *   families: comma subset of
+  *     lsh,chain,substring,kcenter,ivf,compact (default all)
+  * One JSON line per (family, multiplier) + per-family exponent lines.
+  */
+object ScaleRehearsal {
+
+  // sf0.1 base sizes (documents/embeddings/events row counts)
+  private val DocsBase = 5000L
+  private val VecsBase = 2000L
+  private val EventsBase = 100000L
+
+  /** Word-soup corpus: deterministic, self-similar, 2% near-dups. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val isCopy = col("id") % 50 === 1 && col("id") > 0
+    val src = when(isCopy, col("id") - 1).otherwise(col("id"))
+    val len = pmod(xxhash64(src, lit("len")), lit(100)) + lit(50)
+    // product of two ~uniform[0,100) terms: low word-ids dominate — a
+    // cheap Zipf-ish skew so shingle document frequencies look like
+    // text, not like uniform noise
+    def word(j: org.apache.spark.sql.Column) = concat(lit("w"),
+      pmod(pmod(xxhash64(src, j, lit("a")), lit(100)) *
+        pmod(xxhash64(src, j, lit("b")), lit(100)), lit(9973)))
+    val body = array_join(
+      transform(sequence(lit(1), len), j => word(j)), " ")
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(isCopy, concat(body, lit(" neardup tail marker "),
+        col("id"))).otherwise(body).as("text"))
+  }
+
+  /** 32-dim hash-uniform vectors in [-1, 1). */
+  def vectors(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("cid"),
+      transform(sequence(lit(1), lit(32)),
+        j => (pmod(xxhash64(col("id"), j, lit("v")), lit(2000)) - lit(1000))
+          .cast("double") / 1000.0).as("cvec"))
+
+  /** Events spread over 30 days / 5 types (the compaction fixture). */
+  def events(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1704067200L) +
+        pmod(xxhash64(col("id"), lit("t")), lit(2592000L))).as("ts"),
+      pmod(xxhash64(col("id"), lit("u")), lit(1000)).as("user_id"),
+      element_at(
+        array(lit("click"), lit("view"), lit("purchase"), lit("signup"),
+          lit("error")),
+        (pmod(xxhash64(col("id"), lit("e")), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit("v")), lit(10000)).cast("double") / 100.0)
+        .as("value"))
+
+  private def rmrf(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rec(f)
+  }
+
+  private def time(block: => Unit): Double = {
+    val t0 = System.nanoTime()
+    block
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val mults = args.lift(0).getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val families = args.lift(1)
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
+        "compact"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = sys.props("java.io.tmpdir") + "/graft_scale"
+    // untimed warmup (same rationale as Bench)
+    spark.range(1000000).selectExpr("id % 97 as k", "id * 1.5 as v")
+      .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
+    def record(family: String, mult: Int, rows: Long, sec: Double): Unit = {
+      results += ((family, mult, rows, sec))
+      println(f"""{"family":"$family","mult":$mult,"rows":$rows,"sec":$sec%.2f}""")
+    }
+
+    for (m <- mults) {
+      // ---- text families over the same persisted corpus ----
+      if (Seq("lsh", "chain", "substring").exists(families)) {
+        val n = DocsBase * m
+        val cPath = s"$root/docs_x$m"
+        if (!new java.io.File(s"$cPath/_SUCCESS").exists())
+          corpus(spark, n).write.mode("overwrite").parquet(cPath)
+        val docs = spark.read.parquet(cPath)
+        if (families("lsh"))
+          record("lsh", m, n, time {
+            noop(operators.Dedup.minhashLshCandidates(docs, "doc_id",
+              "text", numHashes = 128, bands = 32, shingle = 3))
+          })
+        if (families("chain"))
+          record("chain", m, n, time {
+            val cands = operators.Dedup.minhashLshCandidates(docs,
+              "doc_id", "text", numHashes = 128, bands = 32, shingle = 3)
+            val verified = operators.Dedup.exactJaccardFor(cands, docs,
+                "doc_id", "text", n = 3, minJaccard = 0.8)
+              .where(col("jaccard") >= 0.8)
+              .select("id_a", "id_b")
+            val labeled = operators.Components.connectedComponents(verified)
+            noop(operators.Components.componentStats(labeled))
+          })
+        if (families("substring"))
+          record("substring", m, n, time {
+            noop(operators.Dedup.substringDedup(docs, "doc_id", "text",
+              k = 8))
+          })
+      }
+      // ---- vector families ----
+      if (Seq("kcenter", "ivf").exists(families)) {
+        val n = VecsBase * m
+        val vPath = s"$root/vecs_x$m"
+        if (!new java.io.File(s"$vPath/_SUCCESS").exists())
+          vectors(spark, n).write.mode("overwrite").parquet(vPath)
+        val vecs = spark.read.parquet(vPath)
+        if (families("kcenter"))
+          record("kcenter", m, n, time {
+            noop(operators.Similarity.kCenterSample(
+              vecs.select(col("cid").as("vec_id"),
+                col("cvec").as("embedding")),
+              "vec_id", "embedding", k = 50))
+          })
+        if (families("ivf")) {
+          val idx = s"$root/ivf_x$m"
+          rmrf(idx)
+          record("ivf_build", m, n, time {
+            operators.Similarity.buildIvfIndex(spark, vecs, nlist = 64,
+              path = idx)
+          })
+          val queries = vecs.where(col("cid") < 100)
+            .select(col("cid").as("qid"), col("cvec").as("qvec"))
+          record("ivf_probe", m, n, time {
+            noop(operators.Similarity.probeIvfIndex(spark, idx, queries,
+              k = 5, nprobe = 8))
+          })
+        }
+      }
+      // ---- compaction over a fragmented lake table ----
+      if (families("compact")) {
+        val n = EventsBase * m
+        val lakeRoot = s"$root/lake_x$m"
+        rmrf(lakeRoot)
+        val lake = graft.lake.Lake(lakeRoot)
+        val spec = graft.config.PartitionSpec("events_scale", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        // 3 interleaved appends → overlapping time ranges per dir
+        (0 until 3).foreach { i =>
+          graft.ingest.Ingest.collectBatch(spark, lake, spec,
+            src.where(pmod(col("event_id"), lit(3)) === i),
+            timestampColumn = "ts")
+        }
+        record("compact", m, n, time {
+          graft.lake.Maintenance.compact(spark, lake, "events_scale")
+        })
+      }
+    }
+
+    // per-family empirical exponent between the lowest and highest mult
+    for ((fam, rs) <- results.groupBy(_._1).toSeq.sortBy(_._1)
+         if rs.size >= 2) {
+      val lo = rs.minBy(_._2)
+      val hi = rs.maxBy(_._2)
+      if (hi._2 > lo._2 && lo._4 > 0) {
+        val exp = math.log(hi._4 / lo._4) /
+          math.log(hi._2.toDouble / lo._2)
+        println(f"""{"family":"$fam","exponent":$exp%.2f,"lo_mult":${lo._2},"lo_sec":${lo._4}%.2f,"hi_mult":${hi._2},"hi_sec":${hi._4}%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}
