@@ -36,13 +36,17 @@ object StreamIngest {
     * batch runs the SAME pipeline as batch collect — declared-schema
     * conversion, tp_ enrichment, required-column validation, partitioned
     * append. The checkpoint is the collection state: restarts resume
-    * from the last committed batch. Delivery is AT-LEAST-ONCE at the
-    * crash boundary — foreachBatch can replay a micro-batch whose
-    * append committed but whose offset did not, re-appending those
-    * rows (the standard foreachBatch contract with a non-transactional
-    * sink). [[streamingDedup]] upstream, or the at-rest dedup
-    * operators, are the backstop — the same division of labor as the
-    * batch inbox (`Ingest.collectJsonl` deleteProcessed).
+    * from the last committed batch. The append is guarded by a batch
+    * COMMIT MARKER (`_stream_commits/<batchId>`, created right after
+    * the append job commits, carrying the batch's touched partition
+    * dirs): a crash replay finds the marker, skips the re-append, and
+    * still re-runs the idempotent rollup refresh from the recorded
+    * dirs — so the crash boundary is exactly-once except for the
+    * one-metadata-write window between job commit and marker creation,
+    * where the contract degrades to at-least-once with
+    * [[streamingDedup]]/at-rest dedup as the backstop (the same
+    * division of labor as the batch inbox,
+    * `Ingest.collectJsonl` deleteProcessed).
     *
     * @param schema explicit source schema (streaming readers require
     *               one; infer from the first chunk via
@@ -66,7 +70,10 @@ object StreamIngest {
       // append is followed by the same month-scoped refresh the batch
       // collect runs (graft.lake.Rollup.refreshTouched), so dashboards
       // read from-the-stream aggregates without a scheduled rebuild
-      rollups: Seq[graft.config.RollupSpec] = Seq.empty): StreamingQuery = {
+      rollups: Seq[graft.config.RollupSpec] = Seq.empty,
+      // test-only crash-point hook: invoked after append + marker,
+      // before the rollup refresh (see routedCollectStream)
+      faultInjector: Long => Unit = _ => ()): StreamingQuery = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -74,11 +81,30 @@ object StreamIngest {
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val res = Ingest.collectBatch(spark, lake, spec, batch, tableSpec,
-          timestampColumn)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${lake.tableDir(spec.table)}/_stream_commits/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val touched: Seq[String] =
+          if (fs.exists(marker)) {
+            // crash replay of a committed batch: skip the re-append,
+            // recover the touched dirs for the (idempotent) refresh
+            val in = fs.open(marker)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString finally in.close()
+            txt.split("\n").toSeq.filter(_.nonEmpty)
+          } else {
+            val res = Ingest.collectBatch(spark, lake, spec, batch,
+              tableSpec, timestampColumn)
+            fs.mkdirs(marker.getParent)
+            val out = fs.create(marker, true)
+            try out.write(res.touchedDirs.mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+            res.touchedDirs
+          }
+        faultInjector(batchId)
         rollups.foreach(r => graft.lake.Rollup
-          .refreshTouched(spark, lake, r, res.touchedDirs))
+          .refreshTouched(spark, lake, r, touched))
         ()
       }
       .start()

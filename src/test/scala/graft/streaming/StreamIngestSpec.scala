@@ -111,6 +111,47 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       .count() == 2)
   }
 
+  test("collectStream mid-batch crash: replay skips the re-append and " +
+    "still refreshes the rollup from the recorded dirs") {
+    val root = Files.createTempDirectory("graft_stream_crash").toString
+    val inbox = s"$root/inbox"
+    new java.io.File(inbox).mkdirs()
+    val w = new java.io.PrintWriter(s"$inbox/c0.json")
+    try {
+      w.println("""{"id": 1, "ts": "2024-03-01 10:00:00", "v": 2.5}""")
+      w.println("""{"id": 2, "ts": "2024-03-02 11:00:00", "v": 1.0}""")
+    } finally w.close()
+    val lake = Lake(s"$root/lake")
+    val rspec = graft.config.RollupSpec("crash_stream", "daily",
+      groupBy = Seq("tp_date"),
+      aggs = Seq(graft.config.RollupAggSpec("n", "count", None)))
+    val schema = SchemaInference.inferJson(spark, Seq(s"$inbox/c0.json"))
+    @volatile var crashed = false
+    val q = StreamIngest.collectStream(spark, lake,
+      PartitionSpec("crash_stream", "p0"), inbox, schema,
+      s"$root/ckpt", timestampColumn = "ts", rollups = Seq(rspec),
+      faultInjector = _ => if (!crashed) {
+        crashed = true
+        throw new RuntimeException("injected post-commit crash")
+      })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // append committed before the crash; rollup refresh did not run
+    assert(lake.read(spark, "crash_stream").count() == 2)
+    // restart: the replayed batch finds its commit marker — no double
+    // append — and completes the rollup refresh from the recorded dirs
+    val q2 = StreamIngest.collectStream(spark, lake,
+      PartitionSpec("crash_stream", "p0"), inbox, schema,
+      s"$root/ckpt", timestampColumn = "ts", rollups = Seq(rspec))
+    q2.awaitTermination()
+    assert(lake.read(spark, "crash_stream").count() == 2)
+    val roll = graft.lake.Rollup.read(spark, lake, rspec)
+      .select(col("tp_date").cast("string"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roll == Map("2024-03-01" -> 1L, "2024-03-02" -> 1L), roll)
+  }
+
   test("routedCollectStream mid-batch crash: checkpoint restart neither " +
     "duplicates nor loses rows on either side") {
     val root = Files.createTempDirectory("graft_routed_crash").toString
