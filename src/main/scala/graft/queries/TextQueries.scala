@@ -43,6 +43,31 @@ object TextQueries {
       graft.lake.Artifacts.workRoot(dir) + "/tokenizer_documents_r3",
       graft.lake.Artifacts.sourceFingerprint(s"$dir/documents.parquet"))
 
+  /** Persisted verified near-dup pairs of the planted corpus — the
+    * LSH(128/32/3) → exact-Jaccard(n=3) ≥ 0.8 chain that qt07, qt18,
+    * qt52 and qt56 all start from, computed ONCE per corpus (the same
+    * build-if-stale artifact discipline as the tokenizer/LM): the
+    * first chain query pays the sketch-and-verify cost, the rest load
+    * the pairs-sized parquet. Stored jaccard doubles round-trip
+    * bit-exact, so every downstream oracle is unchanged.
+    */
+  private def verifiedPairsArtifact(
+      s: SparkSession, dir: String): DataFrame = {
+    val path = graft.lake.Artifacts.workRoot(dir) + "/verified_pairs_planted"
+    graft.lake.Artifacts.ensure(path,
+      "pairs;mh128;b32;sh3;n3;j0.8;src=" +
+        graft.lake.Artifacts.sourceFingerprint(s"$dir/documents.parquet")) {
+      val corpus = planted(s, dir)
+      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, shingle = 3)
+      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3,
+          minJaccard = 0.8)
+        .where(col("jaccard") >= 0.8)
+        .write.mode("overwrite").parquet(s"$path/pairs")
+    }
+    s.read.parquet(s"$path/pairs")
+  }
+
   /** documents ∪ near-duplicate copies of doc_id < 100. */
   private def planted(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).where(col("doc_id") < 2000)
@@ -125,12 +150,7 @@ object TextQueries {
     // bands: P(miss at j=0.8) = (1-0.8^4)^32 ≈ 5e-8), verified by exact
     // n-gram Jaccard — same recall-gated oracle design as qt06.
     "qt07_minhash_lsh" -> ((s, dir) => {
-      val corpus = planted(s, dir)
-      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
-        numHashes = 128, bands = 32, shingle = 3)
-      Dedup.exactJaccardFor(cands, corpus, "doc_id", "text", n = 3,
-          minJaccard = 0.8)
-        .where(col("jaccard") >= 0.8)
+      verifiedPairsArtifact(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -313,13 +333,7 @@ object TextQueries {
     // with a recursive CTE — a label-propagation bug (missed merge,
     // early exit before convergence) breaks the hash.
     "qt18_cluster_dedup" -> ((s, dir) => {
-      val corpus = planted(s, dir)
-      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
-        numHashes = 128, bands = 32, shingle = 3)
-      val verified = Dedup.exactJaccardFor(cands, corpus, "doc_id", "text",
-          n = 3, minJaccard = 0.8)
-        .where(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
+      val verified = verifiedPairsArtifact(s, dir).select("id_a", "id_b")
       val labeled = graft.operators.Components.connectedComponents(verified)
       graft.operators.Components.componentStats(labeled)
         .select(col("component"), col("n_members"), col("n_dropped"))
@@ -773,12 +787,7 @@ object TextQueries {
     // closes them transitively, and replays the quality argmax.
     "qt52_canonical_dedup" -> ((s, dir) => {
       val corpus = planted(s, dir)
-      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
-        numHashes = 128, bands = 32, shingle = 3)
-      val verified = Dedup.exactJaccardFor(cands, corpus, "doc_id",
-          "text", n = 3, minJaccard = 0.8)
-        .where(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
+      val verified = verifiedPairsArtifact(s, dir).select("id_a", "id_b")
       val labeled = graft.operators.Components.connectedComponents(verified)
       val quality = corpus.select(col("doc_id").as("id"),
         round(TF.qualityScore(col("text")), 4).as("quality"))
@@ -820,12 +829,7 @@ object TextQueries {
     // exact verify → components → frozen hash split).
     "qt56_leakage_split" -> ((s, dir) => {
       val corpus = planted(s, dir)
-      val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
-        numHashes = 128, bands = 32, shingle = 3)
-      val verified = Dedup.exactJaccardFor(cands, corpus, "doc_id",
-          "text", n = 3, minJaccard = 0.8)
-        .where(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
+      val verified = verifiedPairsArtifact(s, dir).select("id_a", "id_b")
       val labeled = graft.operators.Components
         .connectedComponents(verified)
         .withColumnRenamed("id", "doc_id")
