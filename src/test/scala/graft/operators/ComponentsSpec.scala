@@ -91,6 +91,44 @@ class ComponentsSpec extends AnyFunSuite with SparkTest {
     assert(after <= before + 1, s"persistent RDDs grew $before -> $after")
   }
 
+  test("star contraction agrees with union-find on seeded random graphs") {
+    // force the fallback on every shape (maxIter=1 defeats propagation
+    // for any graph of diameter > 1) and check the exact component
+    // labeling against a local union-find reference — the property the
+    // Kiveris alternation must hold on clumps, chains, rings and
+    // disconnected mixtures alike
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val nNodes = 20 + rnd.nextInt(60)
+      val nEdges = 10 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // union-find reference
+        val parent = Array.tabulate(nNodes)(identity)
+        def find(x: Int): Int = {
+          var r = x; while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val present = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = present.map { id =>
+          // component = min id within the union-find class among present nodes
+          val root = find(id.toInt)
+          id -> present.filter(p => find(p.toInt) == root).min
+        }.toMap
+        val got = components(edges, maxIter = 1)
+        assert(got == expect, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("10k-node adversarial path converges via O(log n) star rounds") {
     // diameter 9999 >> maxIter=25: label propagation would need 10k
     // rounds; the Kiveris et al. alternation contracts it in ~log2(n).
