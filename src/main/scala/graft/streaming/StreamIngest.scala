@@ -96,10 +96,7 @@ object StreamIngest {
           } else {
             val res = Ingest.collectBatch(spark, lake, spec, batch,
               tableSpec, timestampColumn)
-            fs.mkdirs(marker.getParent)
-            val out = fs.create(marker, true)
-            try out.write(res.touchedDirs.mkString("\n").getBytes("UTF-8"))
-            finally out.close()
+            writeMarker(fs, marker, res.touchedDirs.mkString("\n"))
             res.touchedDirs
           }
         faultInjector(batchId)
@@ -178,8 +175,7 @@ object StreamIngest {
           if (!fs.exists(marker)) {
             Ingest.collectBatch(spark, lake, spec, b.where(passAll),
               tableSpec, timestampColumn)
-            fs.mkdirs(marker.getParent)
-            fs.create(marker, true).close()
+            writeMarker(fs, marker, "")
           }
           faultInjector(batchId)
           b.where(!passAll).withColumn("_reject_reason", reasons)
@@ -189,6 +185,33 @@ object StreamIngest {
         } finally { b.unpersist(); () }
       }
       .start()
+  }
+
+  /** How many trailing commit markers to keep per table. Markers only
+    * matter for replay of the LAST uncommitted batch (Structured
+    * Streaming replays at most the batches after the checkpoint's
+    * committed offset), so a trailing window is safe — without
+    * pruning, a long-running stream accumulates one tiny file per
+    * micro-batch forever.
+    */
+  private[streaming] val MarkerKeep = 100L
+
+  /** Create `_stream_commits/<batchId>` with `content`, then prune
+    * markers older than the trailing window. One directory list per
+    * batch — metadata-sized.
+    */
+  private[streaming] def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, content: String): Unit = {
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val cutoff = marker.getName.toLong - MarkerKeep
+    if (cutoff > 0)
+      fs.listStatus(marker.getParent).foreach { st =>
+        val id = scala.util.Try(st.getPath.getName.toLong).toOption
+        if (id.exists(_ < cutoff)) { fs.delete(st.getPath, false); () }
+      }
   }
 
   /** Quarantine directory of a table — under the lake root's

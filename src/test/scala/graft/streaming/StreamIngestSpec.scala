@@ -209,6 +209,22 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       .count() == 1)
   }
 
+  test("commit markers prune to a trailing window (no per-batch file leak)") {
+    val root = Files.createTempDirectory("graft_markers").toString
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_stream_commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a long-running stream: batches 0..MarkerKeep+49
+    (0L to StreamIngest.MarkerKeep + 49).foreach { id =>
+      StreamIngest.writeMarker(fs,
+        new org.apache.hadoop.fs.Path(dir, id.toString), s"dirs-$id")
+    }
+    val kept = fs.listStatus(dir).map(_.getPath.getName.toLong).sorted
+    // everything below (last - MarkerKeep) is pruned; the window stays
+    assert(kept.length <= StreamIngest.MarkerKeep + 1, kept.length)
+    assert(kept.head >= 49, s"oldest surviving marker: ${kept.head}")
+    assert(kept.last == StreamIngest.MarkerKeep + 49)
+  }
+
   test("quality rule pack gates a stream statelessly (no state store)") {
     // QualityRules is pure per-row column algebra, so it composes into
     // a streaming pipeline with no watermark and no state — the shape
