@@ -236,6 +236,7 @@ object Main {
       |          graft tokenizer encode <table> <dir> --id-column COL
       |            --text-column COL
       |lm:       graft lm train <table> <dir> --text-column COL
+      |          graft lm append <table> <dir> --text-column COL
       |          graft lm score <table> <dir> --text-column COL
       |            [--model unigram|bigram|jm]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
@@ -754,6 +755,20 @@ object Main {
         val b = spark.read.parquet(s"$dir/bigrams").count()
         out.println(s"LM trained: $dir ($v-word vocabulary, " +
           s"$b bigram transitions)")
+      case Some("append") =>
+        val (table, dir) =
+          (opts.positional.lift(1), opts.positional.lift(2)) match {
+            case (Some(t), Some(d)) => (t, d)
+            case _ => throw new IllegalArgumentException(
+              "lm append requires <table> <lm-dir>")
+          }
+        val df = lake.read(spark, table)
+        require(df.columns.contains(textCol),
+          s"lm: column '$textCol' not found in $table")
+        val before = spark.read.parquet(s"$dir/unigrams").count()
+        Perplexity.appendLm(df, textCol, dir)
+        val after = spark.read.parquet(s"$dir/unigrams").count()
+        out.println(s"LM appended: $dir (vocabulary $before -> $after)")
       case Some("score") =>
         val (table, dir) =
           (opts.positional.lift(1), opts.positional.lift(2)) match {
@@ -782,7 +797,7 @@ object Main {
             .as("ppl_median"),
           round(max(pplCol), 2).as("ppl_max"))))
       case other => throw new IllegalArgumentException(
-        s"lm: expected train|score, got ${other.getOrElse("nothing")}")
+        s"lm: expected train|append|score, got ${other.getOrElse("nothing")}")
     }
   }
 

@@ -244,6 +244,47 @@ object Perplexity {
     path
   }
 
+  /** Fold a NEW corpus into a persisted LM without retraining on the
+    * old one — count tables are mergeable (union → sum per key), so
+    * maintenance costs O(|new|), the `index append` property applied
+    * to language models. Merging is EXACT: counts over A∪B equal the
+    * per-key sums of counts over A and counts over B (document-wise
+    * tokenization, no cross-document state), so an appended model is
+    * indistinguishable from one trained on the concatenation
+    * (spec-pinned). Each merged table lands via the aside→in→drop
+    * swap (vacuum's crash discipline); any ensure-manifest is removed
+    * because the artifact no longer corresponds to a single-corpus
+    * training.
+    */
+  def appendLm(df: DataFrame, textCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    def merge(name: String, fresh: DataFrame, keys: Seq[String],
+        cnt: String): Unit = {
+      val stored = spark.read.parquet(s"$path/$name")
+      val merged = stored.unionByName(fresh)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(cnt).cast("long").as(cnt))
+      val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+      val fs = p.getFileSystem(conf)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(p)) fs.rename(p, old)
+      fs.rename(tmp, p)
+      fs.delete(old, true)
+    }
+    merge("unigrams", unigramCounts(df, textCol), Seq("tok"), "c")
+    val (c2, uni2) = bigramTables(df, textCol)
+    merge("bigrams", c2, Seq("p", "c"), "c2")
+    merge("uni2", uni2, Seq("c"), "cu")
+    val mf = new org.apache.hadoop.fs.Path(s"$path/_manifest.json")
+    val fs = mf.getFileSystem(conf)
+    fs.delete(mf, false)
+    ()
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): within
     * each language, rank documents by LM perplexity and cut into exact
     * terciles — "head" is the most corpus-like third, "tail" the

@@ -1310,6 +1310,16 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rcBad, bad) = cli(dir, "lm", "score", "notes", lm,
       "--text-column", "note", "--model", "nope")
     assert(rcBad == 1 && bad.contains("nope"), bad)
+    // append folds the same table's counts back in (vocabulary stays,
+    // counts double) — the O(|new|) maintenance path
+    val (rcApp, app) = cli(dir, "lm", "append", "notes", lm,
+      "--text-column", "note")
+    assert(rcApp == 0, app)
+    assert(app.contains("LM appended"), app)
+    val (rcU2, uni2) = cli(dir, "lm", "score", "notes", lm,
+      "--text-column", "note")
+    assert(rcU2 == 0, uni2)
+    assert(uni2.contains("ppl_median"), uni2)
   }
 
   test("wildcard collect: multiple matching partitions in one run, " +

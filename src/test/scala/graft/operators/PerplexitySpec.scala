@@ -141,4 +141,31 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
     assert(rows(Perplexity.applyWith(df2, "id", "text", path)) ==
       rows(Perplexity(df2, "id", "text")))
   }
+
+  test("appendLm folds a new corpus exactly: appended == trained on union") {
+    val a = Seq((1L, "a a b c"), (2L, "a b a c")).toDF("id", "text")
+    val b = Seq((3L, "c b a d"), (4L, "d d e")).toDF("id", "text")
+    val union = a.union(b)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lm_app").toString
+    Perplexity.saveLm(a, "text", s"$base/appended")
+    Perplexity.appendLm(b, "text", s"$base/appended")
+    Perplexity.saveLm(union, "text", s"$base/full")
+    // table-for-table exact equality
+    for (t <- Seq("unigrams", "bigrams", "uni2")) {
+      val got = spark.read.parquet(s"$base/appended/$t")
+        .collect().map(_.toSeq).toSet
+      val want = spark.read.parquet(s"$base/full/$t")
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"table $t diverged")
+    }
+    // and the scores the artifact serves are the union-trained scores
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(rows(Perplexity.applyWith(union, "id", "text", s"$base/appended")) ==
+      rows(Perplexity(union, "id", "text")))
+    assert(rows(Perplexity.interpolatedBigramWith(
+        union, "id", "text", s"$base/appended")) ==
+      rows(Perplexity.interpolatedBigram(union, "id", "text")))
+  }
 }
