@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleRehearsal [multipliers] [families]
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
-  *     lsh,chain,substring,kcenter,ivf,compact (default all)
+  *     lsh,chain,substring,kcenter,ivf,starpath,compact (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -106,7 +106,7 @@ object ScaleRehearsal {
     val families = args.lift(1)
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
-        "compact"))
+        "starpath", "compact"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -185,6 +185,23 @@ object ScaleRehearsal {
               k = 5, nprobe = 8))
           })
         }
+      }
+      // ---- star-contraction fallback on an adversarial path graph ----
+      if (families("starpath")) {
+        // nodes 0..N-1 in a single path: diameter N-1 defeats label
+        // propagation instantly (maxIter=1), so this times the
+        // large-star/small-star fallback pure — the O(log n) claim
+        // under measurement. Expect sec ~ log(N) * per-round cost.
+        val n = 10000L * m
+        val pPath = s"$root/path_x$m"
+        if (!new java.io.File(s"$pPath/_SUCCESS").exists())
+          spark.range(n - 1).select(col("id").as("id_a"),
+            (col("id") + 1).as("id_b"))
+            .write.mode("overwrite").parquet(pPath)
+        val pairs = spark.read.parquet(pPath)
+        record("starpath", m, n, time {
+          noop(operators.Components.connectedComponents(pairs, maxIter = 1))
+        })
       }
       // ---- compaction over a fragmented lake table ----
       if (families("compact")) {
