@@ -346,6 +346,12 @@ final case class Lake(root: String) {
     val colDdl = (dataCols ++ schema.fields
       .filter(f => TpSchema.partitionCols.contains(f.name)))
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    // A filtered TEMP view (Views.register) with the same name shadows
+    // the identifier: DROP TABLE would resolve to the view, leave a
+    // previous catalog entry in place, and the CREATE below would then
+    // fail with ALREADY_EXISTS on re-registration. Catalog
+    // registration owns the name — drop the shadow first.
+    spark.catalog.dropTempView(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(
       s"CREATE TABLE `$table` ($colDdl) USING parquet " +

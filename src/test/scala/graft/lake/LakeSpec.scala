@@ -673,6 +673,25 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     spark.sql("DROP TABLE cat_t")
   }
 
+  test("catalog DDL is idempotent even when a filtered temp view " +
+    "shadows the name") {
+    // the two-run bench caught this: Views.register leaves a TEMP view
+    // with the table's name; DROP TABLE then resolves to the view,
+    // leaves the old catalog entry alive, and re-registration dies
+    // with ALREADY_EXISTS. Registration must own the name.
+    val lake = newLake()
+    lake.append(spark, "cat_i", sampleBatch(10))
+    lake.registerCatalogTable(spark, "cat_i")
+    assert(spark.table("cat_i").count() == 10)
+    // a filtered temp view shadows the catalog name (qi03's shape)
+    spark.table("cat_i").where(col("tp_index") === "1")
+      .createOrReplaceTempView("cat_i")
+    // re-registration succeeds and the catalog table wins the name
+    lake.registerCatalogTable(spark, "cat_i")
+    assert(spark.table("cat_i").count() == 10)
+    spark.sql("DROP TABLE cat_i")
+  }
+
   test("overlap sweep: disjoint sorted ranges are not overlapping") {
     def fr(a: String, b: String) = Maintenance.FileRange("f", 1,
       Some(Timestamp.valueOf(a)), Some(Timestamp.valueOf(b)))
