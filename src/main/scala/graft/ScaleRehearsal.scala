@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleRehearsal [multipliers] [families]
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
-  *     lsh,chain,substring,kcenter,ivf,starpath,compact (default all)
+  *     lsh,chain,substring,kcenter,ivf,starpath,upsert,rollup,compact
+  *     (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -106,7 +107,7 @@ object ScaleRehearsal {
     val families = args.lift(1)
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
-        "starpath", "compact"))
+        "starpath", "upsert", "rollup", "compact"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -201,6 +202,57 @@ object ScaleRehearsal {
         val pairs = spark.read.parquet(pPath)
         record("starpath", m, n, time {
           noop(operators.Components.connectedComponents(pairs, maxIter = 1))
+        })
+      }
+      // ---- CDC upsert against a populated lake table ----
+      if (families("upsert")) {
+        // fixture: N-row table (untimed); timed: a changelog of N/100
+        // corrections + N/200 inserts through the dynamic-overwrite
+        // merge — the qi16 shape. Cost should track the TOUCHED dirs,
+        // not the table size.
+        val n = EventsBase * m
+        val lakeRoot = s"$root/uplake_x$m"
+        rmrf(lakeRoot)
+        val lake = graft.lake.Lake(lakeRoot)
+        val spec = graft.config.PartitionSpec("events_up", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        graft.ingest.Ingest.collectBatch(spark, lake, spec, src,
+          timestampColumn = "ts")
+        val updates = src.where(col("event_id") % 100 === 0)
+          .withColumn("value", col("value") + 1000.0)
+        val inserts = src.where(col("event_id") % 200 === 0)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+        val batch = updates.unionByName(inserts)
+        record("upsert", m, n, time {
+          graft.lake.Upsert.upsert(spark, lake, "events_up", batch,
+            spec, keyCols = Seq("event_id"), timestampColumn = "ts")
+          ()
+        })
+      }
+      // ---- incremental rollup refresh after a second collect ----
+      if (families("rollup")) {
+        val n = EventsBase * m
+        val lakeRoot = s"$root/rolllake_x$m"
+        rmrf(lakeRoot)
+        val lake = graft.lake.Lake(lakeRoot)
+        val spec = graft.config.PartitionSpec("events_r", "p0",
+          tpIndexColumn = Some("event_type"))
+        val rspec = graft.config.RollupSpec("events_r", "daily",
+          groupBy = Seq("tp_date", "event_type"),
+          aggs = Seq(
+            graft.config.RollupAggSpec("n", "count", None),
+            graft.config.RollupAggSpec("sum_value", "sum", Some("value"))))
+        val src = events(spark, n)
+        val r1 = graft.ingest.Ingest.collectBatch(spark, lake, spec,
+          src.where(col("event_id") % 2 === 0), timestampColumn = "ts")
+        graft.lake.Rollup.refreshTouched(spark, lake, rspec, r1.touchedDirs)
+        val r2 = graft.ingest.Ingest.collectBatch(spark, lake, spec,
+          src.where(col("event_id") % 2 === 1), timestampColumn = "ts")
+        record("rollup", m, n, time {
+          graft.lake.Rollup.refreshTouched(spark, lake, rspec,
+            r2.touchedDirs)
+          ()
         })
       }
       // ---- compaction over a fragmented lake table ----
