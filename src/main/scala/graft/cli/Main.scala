@@ -231,7 +231,7 @@ object Main {
       |          graft index query <dir> --table TABLE (same columns)
       |            [--k K] [--nprobe N] [--min-sim S]
       |tokenizer: graft tokenizer train <table> <dir> --text-column COL
-      |            [--rounds N]
+      |            [--rounds N] [--sample K  (train on a ~1/K hash-sample)]
       |          graft tokenizer show <dir>
       |          graft tokenizer encode <table> <dir> --id-column COL
       |            --text-column COL
@@ -684,9 +684,22 @@ object Main {
               "tokenizer train requires <table> <tokenizer-dir>")
           }
         val rounds = opts.flag("rounds").map(_.toInt).getOrElse(16)
-        val df = lake.read(spark, table)
-        require(df.columns.contains(textCol),
+        val df0 = lake.read(spark, table)
+        require(df0.columns.contains(textCol),
           s"tokenizer: column '$textCol' not found in $table")
+        // --sample K: train on a deterministic ~1/K hash-sample of the
+        // corpus — what tokenizer training actually does at 100 TB
+        // (the merge table converges long before the full corpus is
+        // seen; word-frequency RANKS are what matter and a uniform
+        // sample preserves them). xxhash64 of the text keeps the
+        // sample reproducible across runs and engines.
+        val df = opts.flag("sample").map(_.toLong) match {
+          case Some(k) if k > 1 =>
+            df0.where(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(col(textCol)),
+              org.apache.spark.sql.functions.lit(k)) === 0)
+          case _ => df0
+        }
         val t = BpeMerges.train(df, textCol, rounds)
         BpeMerges.save(t, dir)
         val nMerges = t.merges.count()

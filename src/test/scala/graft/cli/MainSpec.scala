@@ -1291,6 +1291,13 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rcE == 0, enc)
     assert(enc.contains("fertility"), enc)
     assert(enc.linesIterator.exists(_.startsWith("| 3 ")), enc) // 3 docs
+    // --sample K trains on a deterministic hash-sample (still a valid
+    // artifact even if the tiny fixture samples down to few/no docs)
+    val (rcSm, sm) = cli(dir, "tokenizer", "train", "notes",
+      s"${dir.getPath}/tok_s", "--text-column", "note",
+      "--rounds", "2", "--sample", "2")
+    assert(rcSm == 0, sm)
+    assert(sm.contains("Tokenizer trained"), sm)
     // LM artifact: one training, scored under all three models
     val lm = s"${dir.getPath}/lm"
     val (rcL, lmOut) = cli(dir, "lm", "train", "notes", lm,
