@@ -279,6 +279,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       "mmr window must never collapse to a single partition")
   }
 
+  test("qt07 serves the persisted verified-pairs artifact, not the " +
+    "sketch chain") {
+    // the four chain queries share one LSH→verify computation: after
+    // the artifact exists, qt07's own plan must be a parquet read of
+    // the pairs store — no minhash aggregation, no shingling — which
+    // is what makes qt18/qt52/qt56 load instead of recompute
+    val df = SparkEntry.queries("qt07_minhash_lsh")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("verified_pairs_planted"),
+      s"qt07 does not read the pairs artifact:\n${plan.take(1500)}")
+    assert(!plan.toLowerCase.contains("minhash"),
+      "qt07 replanned the sketch chain instead of reading the artifact")
+  }
+
   test("annLsh plans no Window over LSH buckets (rank-only windows)") {
     val q = embs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .limit(5)
