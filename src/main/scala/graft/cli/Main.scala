@@ -212,6 +212,8 @@ object Main {
       |dedup:    graft dedup <table> --id-column COL --text-column COL
       |          [--mode exact|normalized|near|substring|incremental]
       |          [--threshold J] [--k TOKENS] [--index DIR]
+      |          [--pairs-out DIR | --pairs-in DIR  (near mode: persist /
+      |           reuse the verified pair list)]
       |profile:  graft profile <table> --text-column COL [--top K]
       |          [--rules] [--ppl] [--bpe N] [--buckets] [--vocab]
       |          [--batching WIDTH] [--novelty]
@@ -869,12 +871,32 @@ object Main {
           groups.orderBy(col("n_copies").desc, col("keep_id")).limit(20)))
       case "near" =>
         val threshold = opts.flag("threshold").map(_.toDouble).getOrElse(0.8)
-        val cands = Dedup.minhashLshCandidates(df, idCol, textCol,
-          numHashes = 128, bands = 32, shingle = 3)
-        val verified = Dedup.exactJaccardFor(cands, df, idCol, textCol,
-            n = 3, minJaccard = threshold)
-          .where(col("jaccard") >= threshold)
-          .select("id_a", "id_b")
+        // --pairs-in DIR: reuse a verified pair list persisted by an
+        // earlier run's --pairs-out — iterating on keep policy or
+        // reporting does not re-pay the sketch-and-verify cost (the
+        // same shared-artifact discipline the query surface uses for
+        // qt07/qt18/qt52/qt56)
+        val verified = opts.flag("pairs-in") match {
+          case Some(dir) =>
+            spark.read.parquet(dir).select("id_a", "id_b")
+          case None =>
+            val cands = Dedup.minhashLshCandidates(df, idCol, textCol,
+              numHashes = 128, bands = 32, shingle = 3)
+            val v = Dedup.exactJaccardFor(cands, df, idCol, textCol,
+                n = 3, minJaccard = threshold)
+              .where(col("jaccard") >= threshold)
+            opts.flag("pairs-out").foreach { dir =>
+              v.write.mode("overwrite").parquet(dir)
+              out.println(s"Verified pairs written to $dir")
+            }
+            // when persisted, read BACK from the store so the
+            // components pass reuses the materialization instead of
+            // recomputing the chain a second time
+            opts.flag("pairs-out") match {
+              case Some(dir) => spark.read.parquet(dir).select("id_a", "id_b")
+              case None      => v.select("id_a", "id_b")
+            }
+        }
         val labeled = Components.connectedComponents(verified)
         if (opts.flag("keep").contains("best")) {
           // quality-canonical policy: keep the cleanest member of each

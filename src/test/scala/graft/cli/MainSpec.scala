@@ -568,6 +568,21 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert("\\|\\s*1\\s*\\|\\s*1(\\.0)?\\s*\\|\\s*$".r
       .findFirstIn(best.linesIterator
         .find(_.contains("| 3")).getOrElse("")).isDefined, best)
+    // --pairs-out persists the verified pair list; --pairs-in reuses it
+    // (identical cluster report without re-running the sketch chain)
+    val pairsDir = s"${dir.getPath}/pairs"
+    val (rcPO, po) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.6", "--pairs-out", pairsDir)
+    assert(rcPO == 0, po)
+    assert(po.contains(s"Verified pairs written to $pairsDir"), po)
+    assert(po.contains("1 near-dup clusters"), po)
+    val (rcPI, pi) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.6", "--pairs-in", pairsDir)
+    assert(rcPI == 0, pi)
+    assert(pi.contains("1 near-dup clusters") &&
+      pi.contains("2 droppable rows"), pi)
     // bad column fails loudly
     val (rc3, bad) = cli(dir, "dedup", "notes",
       "--id-column", "nope", "--text-column", "note")
