@@ -51,16 +51,20 @@ object Bench {
     // itself instead of by hand across sessions: run the FULL suite
     // N times (default 2), report the LOWER total as the round number,
     // and carry every run's total in the output so BENCH_rN.json is
-    // self-describing. Fixture caches are cleared between runs so each
-    // run times the identical build+query path (per-query timings come
-    // from the chosen run only, keeping the JSON line inside the
-    // driver's bounded tail window).
+    // self-describing. BOTH caches are cleared before every run — the
+    // in-JVM fixture map AND the on-disk ensure-managed artifacts
+    // (tokenizer/LM/verified-pairs), which otherwise survive runs and
+    // whole sessions — so each run times the identical build+query
+    // path, training included (per-query timings come from the chosen
+    // run only, keeping the JSON line inside the driver's bounded
+    // tail window).
     val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     case class Run(results: Seq[(String, Double)], failed: Seq[String]) {
       def total: Double = results.map(_._2).sum
     }
     val runs = (1 to math.max(1, nRuns)).map { _ =>
       graft.queries.IngestQueries.resetFixtures()
+      graft.lake.Artifacts.resetManaged(sfDir)
       val failed = Seq.newBuilder[String]
       val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }

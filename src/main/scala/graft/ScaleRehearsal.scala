@@ -92,6 +92,27 @@ object ScaleRehearsal {
     if (f.exists()) rec(f)
   }
 
+  /** Build-if-stale fixture guard keyed by a GENERATOR fingerprint
+    * (params + row count), the Artifacts.ensure discipline applied to
+    * rehearsal inputs: a bare `_SUCCESS` check keyed only by the
+    * multiplier left stale parquet behind whenever the generator
+    * changed (vocab size, dup rate, base sizes), silently skewing the
+    * measured exponents the spec pins (ADVICE r10). The fingerprint
+    * is committed LAST, after the parquet lands — a crashed build
+    * rebuilds next run.
+    */
+  private def ensureFixture(path: String, fp: String)(build: => Unit): Unit = {
+    val f = new java.io.File(s"$path/_gen_fp")
+    val fresh = f.isFile && new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == fp
+    if (!fresh) {
+      rmrf(path)
+      build
+      java.nio.file.Files.write(f.toPath, fp.getBytes("UTF-8"))
+      ()
+    }
+  }
+
   private def time(block: => Unit): Double = {
     val t0 = System.nanoTime()
     block
@@ -133,8 +154,10 @@ object ScaleRehearsal {
       if (Seq("lsh", "chain", "substring").exists(families)) {
         val n = DocsBase * m
         val cPath = s"$root/docs_x$m"
-        if (!new java.io.File(s"$cPath/_SUCCESS").exists())
+        ensureFixture(cPath,
+          s"corpus;v1;n=$n;vocab=9973;len=50..149;dup=1/50") {
           corpus(spark, n).write.mode("overwrite").parquet(cPath)
+        }
         val docs = spark.read.parquet(cPath)
         if (families("lsh"))
           record("lsh", m, n, time {
@@ -162,8 +185,9 @@ object ScaleRehearsal {
       if (Seq("kcenter", "ivf").exists(families)) {
         val n = VecsBase * m
         val vPath = s"$root/vecs_x$m"
-        if (!new java.io.File(s"$vPath/_SUCCESS").exists())
+        ensureFixture(vPath, s"vectors;v1;n=$n;dim=32;range=[-1,1)") {
           vectors(spark, n).write.mode("overwrite").parquet(vPath)
+        }
         val vecs = spark.read.parquet(vPath)
         if (families("kcenter"))
           record("kcenter", m, n, time {
@@ -195,10 +219,11 @@ object ScaleRehearsal {
         // under measurement. Expect sec ~ log(N) * per-round cost.
         val n = 10000L * m
         val pPath = s"$root/path_x$m"
-        if (!new java.io.File(s"$pPath/_SUCCESS").exists())
+        ensureFixture(pPath, s"path;v1;n=$n") {
           spark.range(n - 1).select(col("id").as("id_a"),
             (col("id") + 1).as("id_b"))
             .write.mode("overwrite").parquet(pPath)
+        }
         val pairs = spark.read.parquet(pPath)
         record("starpath", m, n, time {
           noop(operators.Components.connectedComponents(pairs, maxIter = 1))

@@ -805,12 +805,15 @@ object Main {
           case o => throw new IllegalArgumentException(
             s"lm score: --model must be unigram|bigram|jm, got $o")
         }
+        // oov_tokens > 0 flags frozen-model scoring of a diverged
+        // corpus — the CCNet workflow's first sanity check
         out.println(graft.query.Render.table(scored.agg(
           count(lit(1)).as("docs"),
           round(min(pplCol), 2).as("ppl_min"),
           round(expr(s"percentile_approx($pplCol, 0.5)"), 2)
             .as("ppl_median"),
-          round(max(pplCol), 2).as("ppl_max"))))
+          round(max(pplCol), 2).as("ppl_max"),
+          sum(col("n_oov")).as("oov_tokens"))))
       case other => throw new IllegalArgumentException(
         s"lm: expected train|append|score, got ${other.getOrElse("nothing")}")
     }
@@ -878,7 +881,39 @@ object Main {
         // qt07/qt18/qt52/qt56)
         val verified = opts.flag("pairs-in") match {
           case Some(dir) =>
-            spark.read.parquet(dir).select("id_a", "id_b")
+            // the persisted pairs are only as good as the run that
+            // wrote them: verify the manifest (threshold, LSH params,
+            // source fingerprint — the Artifacts.ensure discipline)
+            // before trusting them, and re-apply the jaccard filter
+            // since a HIGHER --threshold is servable from stored
+            // jaccard while a LOWER one is not (ADVICE r10)
+            val mf = new java.io.File(dir, "_pairs_manifest.json")
+            require(mf.isFile,
+              s"dedup --pairs-in: no _pairs_manifest.json in $dir — " +
+                "refusing unverifiable pairs; re-persist with --pairs-out")
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+            def field(k: String): String =
+              ("\"" + k + "\":\"?([^\",}]*)").r
+                .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+            require(field("table") == table,
+              s"dedup --pairs-in: pairs were persisted for table " +
+                s"'${field("table")}', not '$table'")
+            val storedThr = field("threshold").toDouble
+            require(threshold >= storedThr,
+              f"dedup --pairs-in: pairs persisted at threshold " +
+                f"$storedThr%.2f cannot serve --threshold $threshold%.2f " +
+                "(pairs below the stored cutoff were never verified); " +
+                "re-run with --pairs-out at the lower threshold")
+            val curFp = graft.lake.Artifacts
+              .sourceFingerprint(lake.tableDir(table))
+            require(field("source_fp") == curFp,
+              s"dedup --pairs-in: table '$table' changed since " +
+                "--pairs-out (source fingerprint mismatch); stale pairs " +
+                "would produce wrong clusters — re-persist")
+            spark.read.parquet(dir)
+              .where(col("jaccard") >= threshold)
+              .select("id_a", "id_b")
           case None =>
             val cands = Dedup.minhashLshCandidates(df, idCol, textCol,
               numHashes = 128, bands = 32, shingle = 3)
@@ -887,6 +922,16 @@ object Main {
               .where(col("jaccard") >= threshold)
             opts.flag("pairs-out").foreach { dir =>
               v.write.mode("overwrite").parquet(dir)
+              // manifest AFTER the pairs land (underscore-prefixed →
+              // invisible to the parquet reader); records everything
+              // a later --pairs-in must match
+              val fp = graft.lake.Artifacts
+                .sourceFingerprint(lake.tableDir(table))
+              java.nio.file.Files.write(
+                new java.io.File(dir, "_pairs_manifest.json").toPath,
+                (s"""{"table":"$table","threshold":$threshold,""" +
+                  s""""hashes":128,"bands":32,"shingle":3,"ngram":3,""" +
+                  s""""source_fp":"$fp"}""").getBytes("UTF-8"))
               out.println(s"Verified pairs written to $dir")
             }
             // when persisted, read BACK from the store so the

@@ -59,6 +59,22 @@ object Artifacts {
     }
   }
 
+  /** Delete every ensure-managed artifact — any direct subdirectory
+    * of `workRoot(sfDir)` holding a `_manifest.json` — so the next
+    * ensure retrains from scratch. Bench calls this between protocol
+    * runs: without it the tokenizer/LM/verified-pairs artifacts
+    * survive run 1 (and prior sessions), run 2 is warm for every
+    * artifact-backed query, and the lowest-total selection
+    * systematically reports the training-free run (ADVICE r10).
+    */
+  def resetManaged(sfDir: String): Unit = {
+    val root = new File(workRoot(sfDir))
+    if (root.isDirectory)
+      root.listFiles()
+        .filter(d => d.isDirectory && manifest(d.getPath).isFile)
+        .foreach(deleteRecursively)
+  }
+
   /** Metadata fingerprint of a source file/dir (sizes + mtimes, no
     * data pass): regenerated source data invalidates dependent
     * artifacts even when row counts happen to match.

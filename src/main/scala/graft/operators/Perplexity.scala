@@ -38,13 +38,20 @@ object Perplexity {
   /** Score against a PERSISTED unigram LM ([[saveLm]]) instead of
     * retraining — counts read from parquet, the rest of the operand
     * tree identical to [[apply]], so scoring the training corpus
-    * itself reproduces [[apply]] exactly.
+    * itself reproduces [[apply]] exactly (every token seen → every
+    * `n_oov` 0 → identical scores). Against a FROZEN reference model
+    * (the CCNet workflow: Wikipedia LM, web corpus) unseen tokens are
+    * NOT dropped: each scores the add-1 UNK mass 1/(N+V) — the
+    * probability the smoothing already assigns zero-count events —
+    * and the per-doc `n_oov` column reports how many, so all-junk
+    * text scores HIGH perplexity instead of vanishing from the
+    * output (ADVICE r10).
     */
   def applyWith(
       df: DataFrame, idCol: String, textCol: String,
       lmPath: String): DataFrame =
     scoreUnigram(df, idCol, textCol,
-      df.sparkSession.read.parquet(s"$lmPath/unigrams"))
+      df.sparkSession.read.parquet(s"$lmPath/unigrams"), emitOov = true)
 
   /** The unigram LM's count table (tok, c) — one map-side-combined
     * corpus pass; vocabulary-sized.
@@ -56,7 +63,7 @@ object Perplexity {
 
   private def scoreUnigram(
       df: DataFrame, idCol: String, textCol: String,
-      counts: DataFrame): DataFrame = {
+      counts: DataFrame, emitOov: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(TF.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
@@ -66,13 +73,21 @@ object Perplexity {
       case r => Array(r.getLong(0), r.getLong(1))
     }
     val denom = (n + v).toDouble
-    toks.join(counts, Seq("tok"))
+    // LEFT join: a token absent from the model (possible only against
+    // a frozen LM) keeps its posting with c=0 and scores the add-1
+    // UNK mass 1/(N+V) — an inner join would silently drop it and
+    // make junk text look corpus-like (ADVICE r10)
+    val scored = toks.join(counts, Seq("tok"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tokens"),
-        avg(log((col("c") + 1).cast("double") / denom)).as("__mlp"))
+        count(when(col("c").isNull, 1)).as("n_oov"),
+        avg(log((coalesce(col("c"), lit(0L)) + 1).cast("double") / denom))
+          .as("__mlp"))
       .select(col("__id").as(idCol),
         col("n_tokens"),
-        round(exp(-col("__mlp")), 4).as("ppl"))
+        round(exp(-col("__mlp")), 4).as("ppl"),
+        col("n_oov"))
+    if (emitOov) scored else scored.drop("n_oov")
   }
 
   /** Add-1 bigram LM scoring — the second-order refinement of the
@@ -100,14 +115,19 @@ object Perplexity {
     scoreBigram(df, idCol, textCol, c2, uni2)
   }
 
-  /** [[bigram]] against a persisted LM ([[saveLm]]). */
+  /** [[bigram]] against a persisted LM ([[saveLm]]). Frozen-model
+    * semantics: an unseen transition backs off to the add-1 floor
+    * (c2=0 → (0+1)/(c1+V); unseen context additionally has c1=0 →
+    * 1/V) instead of being dropped, and `n_oov` counts them per doc —
+    * see [[applyWith]].
+    */
   def bigramWith(
       df: DataFrame, idCol: String, textCol: String,
       lmPath: String): DataFrame = {
     val spark = df.sparkSession
     scoreBigram(df, idCol, textCol,
       spark.read.parquet(s"$lmPath/bigrams"),
-      spark.read.parquet(s"$lmPath/uni2"))
+      spark.read.parquet(s"$lmPath/uni2"), emitOov = true)
   }
 
   /** The bigram LM's tables, both model-sized: transition counts
@@ -133,7 +153,7 @@ object Perplexity {
 
   private def scoreBigram(
       df: DataFrame, idCol: String, textCol: String,
-      c2: DataFrame, uni2: DataFrame): DataFrame = {
+      c2: DataFrame, uni2: DataFrame, emitOov: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       filter(TF.tokens(col(textCol)), x => x =!= "").as("__t"))
       .where(size(col("__t")) >= 2)
@@ -143,18 +163,29 @@ object Perplexity {
           slice(col("__t"), lit(2), size(col("__t")) - 1),
           (a, b) => struct(a.as("p"), b.as("c")))).as("b"))
       .select(col("__id"), col("b.p").as("p"), col("b.c").as("c"))
-    val model = c2.join(c2.groupBy("p").agg(sum("c2").as("c1")), "p")
     // V = unigram vocabulary over the scored (>=2-token) docs — one
     // driver-side scalar, same normalizer family as the unigram LM
     val vocab = uni2.count()
-    bg.join(model, Seq("p", "c"))
+    // TWO left joins, not one inner join against a pre-joined model:
+    // a transition unseen in a frozen LM must still pick up its
+    // CONTEXT total c1 (seen context, unseen pair → (0+1)/(c1+V));
+    // only a fully unseen context falls to the 1/V floor. The inner
+    // join dropped both cases (ADVICE r10).
+    val c1t = c2.groupBy("p").agg(sum("c2").cast("long").as("c1"))
+    val scored = bg
+      .join(c2, Seq("p", "c"), "left")
+      .join(c1t, Seq("p"), "left")
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(log((col("c2") + 1).cast("double") /
-          (col("c1") + vocab).cast("double"))).as("__mlp"))
+        count(when(col("c2").isNull, 1)).as("n_oov"),
+        avg(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab).cast("double")))
+          .as("__mlp"))
       .select(col("__id").as(idCol),
         col("n_bigrams"),
-        round(exp(-col("__mlp")), 4).as("ppl2"))
+        round(exp(-col("__mlp")), 4).as("ppl2"),
+        col("n_oov"))
+    if (emitOov) scored else scored.drop("n_oov")
   }
 
   /** Jelinek–Mercer interpolated bigram LM (Chen & Goodman 1999's
@@ -180,19 +211,26 @@ object Perplexity {
     scoreInterpolated(df, idCol, textCol, c2, uni2, lambda)
   }
 
-  /** [[interpolatedBigram]] against a persisted LM ([[saveLm]]). */
+  /** [[interpolatedBigram]] against a persisted LM ([[saveLm]]).
+    * Frozen-model semantics: an unseen transition keeps its unigram
+    * backoff term (that is the whole point of JM smoothing) instead
+    * of being dropped, an OOV word contributes the (0+1)/(T+V) add-1
+    * unigram floor, and `n_oov` counts unseen transitions per doc —
+    * see [[applyWith]].
+    */
   def interpolatedBigramWith(
       df: DataFrame, idCol: String, textCol: String, lmPath: String,
       lambda: Double = 0.75): DataFrame = {
     val spark = df.sparkSession
     scoreInterpolated(df, idCol, textCol,
       spark.read.parquet(s"$lmPath/bigrams"),
-      spark.read.parquet(s"$lmPath/uni2"), lambda)
+      spark.read.parquet(s"$lmPath/uni2"), lambda, emitOov = true)
   }
 
   private def scoreInterpolated(
       df: DataFrame, idCol: String, textCol: String,
-      c2: DataFrame, uni2: DataFrame, lambda: Double): DataFrame = {
+      c2: DataFrame, uni2: DataFrame, lambda: Double,
+      emitOov: Boolean = false): DataFrame = {
     require(lambda > 0 && lambda < 1,
       s"interpolatedBigram: lambda must be in (0,1), got $lambda")
     val toks = df.select(col(idCol).as("__id"),
@@ -204,17 +242,31 @@ object Perplexity {
           slice(col("__t"), lit(2), size(col("__t")) - 1),
           (a, b) => struct(a.as("p"), b.as("c")))).as("b"))
       .select(col("__id"), col("b.p").as("p"), col("b.c").as("c"))
-    val model = c2.join(c2.groupBy("p").agg(
-      sum("c2").cast("long").as("c1")), "p")
     val tv = uni2.agg(sum("cu").cast("long"), count(lit(1))).head()
     val (t, v) = (tv.getLong(0), tv.getLong(1))
-    bg.join(model, Seq("p", "c")).join(uni2, Seq("c"))
+    // left joins so frozen-model scoring keeps unseen transitions:
+    // the bigram term is 0 when c2 is absent (guarded — 0/0 when the
+    // context is also unseen), the unigram term is the add-1 floor
+    // when the word is OOV (cu→0); on the training corpus every join
+    // matches and the operand tree evaluates exactly as before
+    val c1t = c2.groupBy("p").agg(sum("c2").cast("long").as("c1"))
+    val bigramTerm = when(coalesce(col("c1"), lit(0L)) > 0,
+      lit(lambda) * coalesce(col("c2"), lit(0L)) / col("c1"))
+      .otherwise(lit(0.0))
+    val scored = bg
+      .join(c2, Seq("p", "c"), "left")
+      .join(c1t, Seq("p"), "left")
+      .join(uni2, Seq("c"), "left")
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(log(lit(lambda) * col("c2") / col("c1")
-          + lit(1.0 - lambda) * (col("cu") + 1) / lit(t + v))).as("__mlp"))
+        count(when(col("c2").isNull, 1)).as("n_oov"),
+        avg(log(bigramTerm
+          + lit(1.0 - lambda) * (coalesce(col("cu"), lit(0L)) + 1)
+            / lit(t + v))).as("__mlp"))
       .select(col("__id").as(idCol), col("n_bigrams"),
-        round(exp(-col("__mlp")), 4).as("ppl_jm"))
+        round(exp(-col("__mlp")), 4).as("ppl_jm"),
+        col("n_oov"))
+    if (emitOov) scored else scored.drop("n_oov")
   }
 
   /** Persist the corpus LM as a lake artifact: add-1 unigram counts

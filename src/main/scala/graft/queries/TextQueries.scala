@@ -1452,8 +1452,10 @@ object TextQueries {
       c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
       s AS (SELECT sum(c) AS n, count(*) AS v FROM c)
       SELECT t.doc_id, cast(count(*) AS bigint) AS n_tokens,
-             round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4) AS ppl
-      FROM toks t JOIN c USING (tok) CROSS JOIN s
+             round(exp(-avg(ln((c.c + 1)::DOUBLE / (s.n + s.v)))), 4) AS ppl,
+             cast(sum(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_oov
+      FROM toks t LEFT JOIN c USING (tok) CROSS JOIN s
       GROUP BY t.doc_id ORDER BY t.doc_id""",
     "qt40_nb_quality" -> """
       WITH toks AS (SELECT doc_id, seed, tok FROM (
@@ -1681,9 +1683,11 @@ object TextQueries {
       tv AS (SELECT cast(sum(cu) AS BIGINT) AS t, count(*) AS v FROM uni)
       SELECT bg.doc_id, cast(count(*) AS bigint) AS n_bigrams,
              round(exp(-avg(ln(0.75 * c2.c2 / c1.c1
-               + 0.25 * (uni.cu + 1) / (tv.t + tv.v)))), 4) AS ppl_jm
-      FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) JOIN uni USING (c)
-      CROSS JOIN tv
+               + 0.25 * (uni.cu + 1) / (tv.t + tv.v)))), 4) AS ppl_jm,
+             cast(sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_oov
+      FROM bg LEFT JOIN c2 USING (p, c) LEFT JOIN c1 USING (p)
+      LEFT JOIN uni USING (c) CROSS JOIN tv
       GROUP BY bg.doc_id ORDER BY doc_id""",
     "qt39_bigram_lm" -> """
       WITH toks AS (
@@ -1702,8 +1706,10 @@ object TextQueries {
               (SELECT unnest(t) AS tok FROM toks WHERE len(t) >= 2))
       SELECT bg.doc_id, cast(count(*) AS bigint) AS n_bigrams,
              round(exp(-avg(ln((c2.c2 + 1)::DOUBLE
-               / (c1.c1 + v.v)::DOUBLE))), 4) AS ppl2
-      FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) CROSS JOIN v
+               / (c1.c1 + v.v)::DOUBLE))), 4) AS ppl2,
+             cast(sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_oov
+      FROM bg LEFT JOIN c2 USING (p, c) LEFT JOIN c1 USING (p) CROSS JOIN v
       GROUP BY bg.doc_id ORDER BY doc_id""",
     "qt37_topic_cells" -> """
       WITH toks AS (SELECT doc_id, tok FROM (

@@ -37,9 +37,10 @@ object StreamIngest {
     * conversion, tp_ enrichment, required-column validation, partitioned
     * append. The checkpoint is the collection state: restarts resume
     * from the last committed batch. The append is guarded by a batch
-    * COMMIT MARKER (`_stream_commits/<batchId>`, created right after
-    * the append job commits, carrying the batch's touched partition
-    * dirs): a crash replay finds the marker, skips the re-append, and
+    * COMMIT MARKER (`_stream_commits/<queryId>/<batchId>`, created
+    * right after the append job commits, carrying the batch's touched
+    * partition dirs): a crash replay finds the marker, skips the
+    * re-append, and
     * still re-runs the idempotent rollup refresh from the recorded
     * dirs — so the crash boundary is exactly-once except for the
     * one-metadata-write window between job commit and marker creation,
@@ -78,12 +79,18 @@ object StreamIngest {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inboxDir)
+    // markers are namespaced by the stream's persistent query id so a
+    // rebuilt checkpoint (batchIds restart at 0) or a second stream on
+    // the same table can never match another run's stale marker and
+    // silently skip its append; evaluated lazily because Spark writes
+    // the checkpoint metadata at .start(), before the first batch
+    lazy val ns = queryNamespace(spark, checkpointDir)
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new org.apache.hadoop.fs.Path(
-          s"${lake.tableDir(spec.table)}/_stream_commits/$batchId")
+          s"${lake.tableDir(spec.table)}/_stream_commits/$ns/$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val touched: Seq[String] =
           if (fs.exists(marker)) {
@@ -120,7 +127,7 @@ object StreamIngest {
     *  - quarantine: each batch overwrites its own `batch_id=N`
     *    directory (the standard batch-id-scoped-overwrite pattern)
     *  - clean side: the collect is guarded by a batch COMMIT MARKER
-    *    (`_stream_commits/<batchId>` under the table dir, written
+    *    (`_stream_commits/<queryId>/<batchId>` under the table dir, written
     *    immediately after the append job commits). A crash replay
     *    finds the marker and skips the re-append instead of
     *    duplicating it. The parquet job commit is atomic (files land
@@ -161,6 +168,7 @@ object StreamIngest {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inboxDir)
+    lazy val ns = queryNamespace(spark, checkpointDir)
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -169,7 +177,7 @@ object StreamIngest {
         val b = batch.persist()
         try {
           val marker = new org.apache.hadoop.fs.Path(
-            s"${lake.tableDir(spec.table)}/_stream_commits/$batchId")
+            s"${lake.tableDir(spec.table)}/_stream_commits/$ns/$batchId")
           val fs = marker.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
@@ -195,6 +203,31 @@ object StreamIngest {
     * micro-batch forever.
     */
   private[streaming] val MarkerKeep = 100L
+
+  /** The stream's PERSISTENT query id, read from the checkpoint's
+    * `metadata` file (Spark writes `{"id":"<uuid>"}` there at query
+    * start and reuses it across restarts of the same checkpoint).
+    * This is the marker namespace: stable across crash/restart replay
+    * of one stream, but fresh for a rebuilt checkpoint or a second
+    * stream writing the same table — the two cases where a
+    * batchId-only marker would alias another run's commit and
+    * silently drop an append (the Delta `(appId, version)` txn
+    * pattern). Falls back to the literal `default` only if the
+    * metadata file is missing/unparseable, which restores the old
+    * single-namespace behavior rather than failing the stream.
+    */
+  private[streaming] def queryNamespace(
+      spark: SparkSession, checkpointDir: String): String = {
+    val meta = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parsed = scala.util.Try {
+      val in = fs.open(meta)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }.toOption.flatten
+    parsed.getOrElse("default")
+  }
 
   /** Create `_stream_commits/<batchId>` with `content`, then prune
     * markers older than the trailing window. One directory list per

@@ -583,6 +583,37 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rcPI == 0, pi)
     assert(pi.contains("1 near-dup clusters") &&
       pi.contains("2 droppable rows"), pi)
+    // --pairs-out wrote a manifest; --pairs-in validates it (ADVICE
+    // r10): a LOWER threshold cannot be served from stored pairs...
+    assert(new File(pairsDir, "_pairs_manifest.json").isFile)
+    val (rcLo, lo) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.4", "--pairs-in", pairsDir)
+    assert(rcLo == 1 && lo.contains("cannot serve"), lo)
+    // ...a HIGHER one filters the stored jaccard (the identical
+    // cluster here survives 0.7; the direction is what's pinned)
+    val (rcHi, hi) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.7", "--pairs-in", pairsDir)
+    assert(rcHi == 0, hi)
+    // ...a manifest-less dir is refused, not silently trusted...
+    new File(pairsDir, "_pairs_manifest.json").delete()
+    val (rcNoMf, noMf) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.6", "--pairs-in", pairsDir)
+    assert(rcNoMf == 1 && noMf.contains("_pairs_manifest.json"), noMf)
+    // ...and a table that changed since --pairs-out fails the
+    // source-fingerprint check instead of reporting stale clusters
+    val (rcPO2, _) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.6", "--pairs-out", pairsDir)
+    assert(rcPO2 == 0)
+    val (rcC2, outC2) = cli(dir, "collect", "notes.local", "--overwrite")
+    assert(rcC2 == 0, outC2)
+    val (rcStale, stale) = cli(dir, "dedup", "notes",
+      "--id-column", "note_id", "--text-column", "note",
+      "--mode", "near", "--threshold", "0.6", "--pairs-in", pairsDir)
+    assert(rcStale == 1 && stale.contains("fingerprint"), stale)
     // bad column fails loudly
     val (rc3, bad) = cli(dir, "dedup", "notes",
       "--id-column", "nope", "--text-column", "note")

@@ -123,10 +123,13 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
     val path = java.nio.file.Files
       .createTempDirectory("graft_lm_rt").toString + "/lm"
     Perplexity.ensureLm(df, "text", path)
+    // frozen scoring of the training corpus == from-scratch scores,
+    // with every n_oov 0 (drop it for the row-for-row identity)
     def rows(d: org.apache.spark.sql.DataFrame) =
-      d.orderBy("id").collect().map(_.toSeq).toSeq
-    assert(rows(Perplexity.applyWith(df, "id", "text", path)) ==
-      rows(Perplexity(df, "id", "text")))
+      d.drop("n_oov").orderBy("id").collect().map(_.toSeq).toSeq
+    val uniW = Perplexity.applyWith(df, "id", "text", path)
+    assert(uniW.select("n_oov").collect().forall(_.getLong(0) == 0L))
+    assert(rows(uniW) == rows(Perplexity(df, "id", "text")))
     assert(rows(Perplexity.bigramWith(df, "id", "text", path)) ==
       rows(Perplexity.bigram(df, "id", "text")))
     assert(rows(Perplexity.interpolatedBigramWith(df, "id", "text", path)) ==
@@ -140,6 +143,61 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
     Perplexity.ensureLm(df2, "text", path)
     assert(rows(Perplexity.applyWith(df2, "id", "text", path)) ==
       rows(Perplexity(df2, "id", "text")))
+  }
+
+  test("frozen-LM scoring keeps OOV tokens: junk scores HIGH, " +
+    "all-OOV docs stay in the output") {
+    // ADVICE r10: the inner join dropped OOV tokens, so junk text
+    // scored artificially LOW and all-OOV documents vanished — the
+    // opposite of the CCNet fixed-reference-model contract.
+    val train = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lm_oov").toString + "/lm"
+    Perplexity.ensureLm(train, "text", path)
+    val eval = Seq(
+      (1L, "the cat sat"),        // fully in-model
+      (2L, "the cat zzz"),        // one OOV token
+      (3L, "qqq zzz www")         // all OOV
+    ).toDF("id", "text")
+    val uni = Perplexity.applyWith(eval, "id", "text", path)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("ppl")))).toMap
+    assert(uni.keySet == Set(1L, 2L, 3L), "all-OOV doc vanished")
+    assert(uni(1L)._2 == 0L && uni(2L)._2 == 1L && uni(3L)._2 == 3L)
+    // n_tokens counts ALL tokens, not just matched ones
+    assert(uni(2L)._1 == 3L && uni(3L)._1 == 3L)
+    // junk ranks ABOVE fluent text, and the all-OOV doc scores the
+    // exact UNK-floor perplexity (N+V)/1 per token
+    assert(uni(1L)._3 < uni(2L)._3 && uni(2L)._3 < uni(3L)._3)
+    val Array(n, v) = spark.read.parquet(s"$path/unigrams")
+      .agg(org.apache.spark.sql.functions.sum("c"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    assert(uni(3L)._3 == BigDecimal((n + v).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // bigram: unseen pair with SEEN context backs off to (0+1)/(c1+V),
+    // not to the 1/V unseen-context floor; n_oov reports it
+    val bi = Perplexity.bigramWith(eval, "id", "text", path)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("ppl2")))).toMap
+    assert(bi.keySet == Set(1L, 2L, 3L))
+    assert(bi(1L)._2 == 0L && bi(2L)._2 == 1L && bi(3L)._2 == 2L)
+    assert(bi(1L)._1 == 2L && bi(2L)._1 == 2L)
+    // fluent text still scores lowest; the all-unseen doc sits exactly
+    // on the 1/V unseen-context floor (training vocab V=5 → ppl2=5)
+    assert(bi(1L)._3 < bi(2L)._3 && bi(1L)._3 < bi(3L)._3)
+    assert(bi(3L)._3 == 5.0, bi(3L))
+    // JM: unseen transitions survive on the unigram term; finite
+    val jm = Perplexity.interpolatedBigramWith(eval, "id", "text", path)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_oov"), r.getAs[Double]("ppl_jm")))).toMap
+    assert(jm.keySet == Set(1L, 2L, 3L))
+    assert(jm(3L)._2.isFinite && jm(1L)._2 < jm(3L)._2)
   }
 
   test("appendLm folds a new corpus exactly: appended == trained on union") {
@@ -161,7 +219,7 @@ class PerplexitySpec extends AnyFunSuite with SparkTest {
     }
     // and the scores the artifact serves are the union-trained scores
     def rows(d: org.apache.spark.sql.DataFrame) =
-      d.orderBy("id").collect().map(_.toSeq).toSeq
+      d.drop("n_oov").orderBy("id").collect().map(_.toSeq).toSeq
     assert(rows(Perplexity.applyWith(union, "id", "text", s"$base/appended")) ==
       rows(Perplexity(union, "id", "text")))
     assert(rows(Perplexity.interpolatedBigramWith(

@@ -209,6 +209,56 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       .count() == 1)
   }
 
+  test("rebuilt checkpoint cannot alias another run's commit markers " +
+    "(no silent append loss)") {
+    // ADVICE r10: markers keyed only by batchId meant a rebuilt
+    // checkpoint (batchIds restart at 0) found run 1's marker 0 and
+    // silently skipped its append. Markers are now namespaced by the
+    // checkpoint's persistent query id, so run 2 re-appends — the
+    // documented at-least-once with the dedup backstop, never loss.
+    val root = Files.createTempDirectory("graft_marker_ns").toString
+    val inbox = s"$root/inbox"
+    new java.io.File(inbox).mkdirs()
+    def writeChunk(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$inbox/$name")
+      try rows.foreach(w.println) finally w.close()
+    }
+    writeChunk("c0.json", Seq(
+      """{"id": 1, "ts": "2024-03-01 10:00:00", "v": 2.5}"""))
+    val lake = Lake(s"$root/lake")
+    val schema = SchemaInference.inferJson(spark, Seq(s"$inbox/c0.json"))
+    val q = StreamIngest.collectStream(spark, lake,
+      PartitionSpec("ns_stream", "p0"), inbox, schema,
+      s"$root/ckpt", timestampColumn = "ts")
+    q.awaitTermination()
+    assert(lake.read(spark, "ns_stream").count() == 1)
+    // two distinct query-id namespaces never collide on batch 0
+    val commits = new java.io.File(
+      s"${lake.tableDir("ns_stream")}/_stream_commits")
+    assert(commits.listFiles().forall(_.isDirectory), "flat markers")
+    // checkpoint rebuilt + NEW data: new batch 0 must not match run
+    // 1's marker 0 — id=2 MUST land (old code silently dropped it)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/ckpt"))
+    writeChunk("c1.json", Seq(
+      """{"id": 2, "ts": "2024-03-02 10:00:00", "v": 1.0}"""))
+    val q2 = StreamIngest.collectStream(spark, lake,
+      PartitionSpec("ns_stream", "p0"), inbox, schema,
+      s"$root/ckpt", timestampColumn = "ts")
+    q2.awaitTermination()
+    val ids = lake.read(spark, "ns_stream").select("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.contains(2L), s"new-run append silently lost: $ids")
+    // id=1 re-appended under the fresh checkpoint — at-least-once,
+    // the documented contract for a rebuilt checkpoint
+    assert(ids.sorted == Seq(1L, 1L, 2L), ids.sorted)
+    assert(commits.listFiles().length == 2,
+      "expected one namespace dir per query id")
+  }
+
   test("commit markers prune to a trailing window (no per-batch file leak)") {
     val root = Files.createTempDirectory("graft_markers").toString
     val dir = new org.apache.hadoop.fs.Path(s"$root/_stream_commits")
