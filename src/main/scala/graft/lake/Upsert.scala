@@ -26,14 +26,51 @@ import graft.config.PartitionSpec
   * Scale shape: the batch's distinct (tp_index, tp_year, tp_month)
   * triples — exactly the physical partition directories dynamic
   * overwrite will swap — prune the existing-table read to the touched
-  * directories (the predicate is an OR-chain over partition columns,
-  * so Catalyst prunes at planning time); the winner-per-key window
+  * directories. Up to [[Upsert.ChainMax]] triples that is an OR-chain
+  * over partition columns (Catalyst prunes at planning time, zero
+  * joins); past it — a backfill touching thousands of directories —
+  * the chain would be an O(dirs) boolean tree that analysis/codegen
+  * choke on (the DistributedRank.ChainMax hazard), so the scope
+  * becomes a broadcast semi-join on the partition columns instead:
+  * the dirs frame is dirs-sized, and because the join keys ARE the
+  * partition columns, dynamic partition pruning keeps the scan from
+  * reading untouched directories. The winner-per-key window
   * partitions by (date, key) — parallel across keys, never a
   * single-partition window; the write is the same dynamic partition
   * overwrite compaction uses. Cost scales with touched partitions,
   * not table size.
   */
 object Upsert {
+
+  /** Above this many touched directories the pruning predicate
+    * switches from a literal OR-chain to a broadcast semi-join —
+    * same bound and reasoning as DistributedRank.ChainMax (a linear
+    * boolean tree degrades analysis/codegen past a few thousand
+    * branches).
+    */
+  private[lake] val ChainMax = 1024
+
+  /** Restrict `df` to the touched (index, year, month) directories —
+    * OR-chain below [[ChainMax]], broadcast semi-join above it.
+    */
+  private[lake] def scopeToTouched(
+      df: DataFrame, touched: Seq[(String, Int, Int)]): DataFrame =
+    if (touched.size <= ChainMax) {
+      val pred = touched.map { case (i, y, m) =>
+        col(TpSchema.Index).cast("string") === i &&
+          col(TpSchema.Year) === y && col(TpSchema.Month) === m
+      }.reduce(_ || _)
+      df.where(pred)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dirs = touched.toDF("__ti", "__ty", "__tm")
+      df.join(broadcast(dirs),
+        col(TpSchema.Index).cast("string") === col("__ti") &&
+          col(TpSchema.Year) === col("__ty") &&
+          col(TpSchema.Month) === col("__tm"),
+        "left_semi")
+    }
 
   /** Apply `updates` (source-schema rows, like an ingest batch) to
     * `table`. With `report=true` returns (rowsBefore, rowsAfter) over
@@ -59,11 +96,7 @@ object Upsert {
       .distinct().collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
     require(touched.nonEmpty, "upsert: empty update batch")
-    val touchedPred = touched.map { case (i, y, m) =>
-      col(TpSchema.Index).cast("string") === i &&
-        col(TpSchema.Year) === y && col(TpSchema.Month) === m
-    }.reduce(_ || _)
-    val current = lake.read(spark, table).where(touchedPred)
+    val current = scopeToTouched(lake.read(spark, table), touched)
     val before = if (report) current.count() else -1L
     val cols = current.columns.toSeq
     val combined = current.select(cols.map(col): _*)
@@ -84,7 +117,8 @@ object Upsert {
       .drop("__rn", "__src")
     lake.overwritePartitions(spark, table, winners)
     val after =
-      if (report) lake.read(spark, table).where(touchedPred).count() else -1L
+      if (report) scopeToTouched(lake.read(spark, table), touched).count()
+      else -1L
     (before, after)
   }
 }

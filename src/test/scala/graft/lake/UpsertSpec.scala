@@ -2,6 +2,7 @@ package graft.lake
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTest
@@ -92,6 +93,39 @@ class UpsertSpec extends AnyFunSuite with SparkTest {
     assert(byIdKind === Map(
       (1L, "a") -> 10.0, (1L, "b") -> 111.0, (2L, "a") -> 222.0,
       (3L, "b") -> 30.0, (4L, "a") -> 40.0))
+  }
+
+  test("wide batch (2000 touched dirs) scopes via broadcast semi-join, " +
+    "not a 2000-branch predicate tree") {
+    // VERDICT r10 nit: the OR-chain over touched dirs is the exact
+    // hazard DistributedRank.ChainMax bounds — above it the scope
+    // must plan as a join. Exercise scopeToTouched directly on a
+    // partition-shaped frame: same filter semantics, pinned plan.
+    val df = spark.range(4000).select(
+      concat(lit("idx"), col("id") % 2500).as(TpSchema.Index),
+      lit(2024).as(TpSchema.Year),
+      ((col("id") % 12) + 1).cast("int").as(TpSchema.Month),
+      col("id").as("v"))
+    // 2000 touched triples, half of which exist in df (idx0..idx1999
+    // exist for months matching id%12+1; triple months cycle too)
+    val touched = (0 until 2000).map(i =>
+      (s"idx$i", 2024, (i % 12) + 1))
+    val wide = Upsert.scopeToTouched(df, touched)
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftsemi"), plan.take(2000))
+    // semantics identical to set membership (a 2000-branch Column
+    // predicate is unusable even as the REFERENCE here — building it
+    // overflows the stack, which is the hazard being fixed)
+    val touchedSet = touched.toSet
+    val expect = df.collect().filter(r => touchedSet(
+        (r.getString(0), r.getInt(1), r.getInt(2))))
+      .map(_.getLong(3)).toSet
+    assert(wide.select("v").collect().map(_.getLong(0)).toSet == expect)
+    assert(expect.nonEmpty)
+    // narrow batches keep the planning-time predicate (no join node)
+    val narrow = Upsert.scopeToTouched(df, touched.take(10))
+    assert(!narrow.queryExecution.executedPlan.toString.contains("Join"))
   }
 
   test("missing key column fails loudly") {
