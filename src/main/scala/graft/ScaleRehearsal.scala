@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleRehearsal [multipliers] [families]
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
-  *     lsh,chain,substring,kcenter,ivf,starpath,upsert,rollup,compact
-  *     (default all)
+  *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
+  *     rollup,compact (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -41,17 +41,40 @@ object ScaleRehearsal {
   private val VecsBase = 2000L
   private val EventsBase = 100000L
 
+  // Generator parameters, shared between the generator bodies and the
+  // fixture fingerprints below — so editing a generator parameter
+  // cannot leave a matching-but-stale fingerprint behind (ADVICE
+  // r11). Changing generator LOGIC without touching a parameter still
+  // requires bumping the version constant next to it.
+  private val CorpusVersion = "v1"
+  private val CorpusVocab = 9973L   // word-id modulus
+  private val CorpusLenMin = 50L    // doc length lower bound
+  private val CorpusLenSpread = 100L // doc length range width
+  private val CorpusCopyEvery = 50L // 1-in-N planted near-dup rate
+  private val VecVersion = "v1"
+  private val VecDim = 32
+  private val VecHalfRange = 1000L  // values in [-1, 1) at 1/1000 grain
+  private val PathVersion = "v1"
+
+  private[graft] def corpusFp(n: Long): String =
+    s"corpus;$CorpusVersion;n=$n;vocab=$CorpusVocab;" +
+      s"len=$CorpusLenMin..${CorpusLenMin + CorpusLenSpread - 1};" +
+      s"dup=1/$CorpusCopyEvery"
+  private[graft] def vectorsFp(n: Long): String =
+    s"vectors;$VecVersion;n=$n;dim=$VecDim;range=[-1,1)"
+
   /** Word-soup corpus: deterministic, self-similar, 2% near-dups. */
   def corpus(spark: SparkSession, n: Long): DataFrame = {
-    val isCopy = col("id") % 50 === 1 && col("id") > 0
+    val isCopy = col("id") % CorpusCopyEvery === 1 && col("id") > 0
     val src = when(isCopy, col("id") - 1).otherwise(col("id"))
-    val len = pmod(xxhash64(src, lit("len")), lit(100)) + lit(50)
+    val len = pmod(xxhash64(src, lit("len")), lit(CorpusLenSpread)) +
+      lit(CorpusLenMin)
     // product of two ~uniform[0,100) terms: low word-ids dominate — a
     // cheap Zipf-ish skew so shingle document frequencies look like
     // text, not like uniform noise
     def word(j: org.apache.spark.sql.Column) = concat(lit("w"),
       pmod(pmod(xxhash64(src, j, lit("a")), lit(100)) *
-        pmod(xxhash64(src, j, lit("b")), lit(100)), lit(9973)))
+        pmod(xxhash64(src, j, lit("b")), lit(100)), lit(CorpusVocab)))
     val body = array_join(
       transform(sequence(lit(1), len), j => word(j)), " ")
     spark.range(n).select(
@@ -64,9 +87,10 @@ object ScaleRehearsal {
   def vectors(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
       col("id").as("cid"),
-      transform(sequence(lit(1), lit(32)),
-        j => (pmod(xxhash64(col("id"), j, lit("v")), lit(2000)) - lit(1000))
-          .cast("double") / 1000.0).as("cvec"))
+      transform(sequence(lit(1), lit(VecDim)),
+        j => (pmod(xxhash64(col("id"), j, lit("v")),
+            lit(2 * VecHalfRange)) - lit(VecHalfRange))
+          .cast("double") / VecHalfRange.toDouble).as("cvec"))
 
   /** Events spread over 30 days / 5 types (the compaction fixture). */
   def events(spark: SparkSession, n: Long): DataFrame =
@@ -119,6 +143,46 @@ object ScaleRehearsal {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-family shuffle audit (r11 verdict task 2): aggregate shuffle
+    * read/write bytes and stage count from completed-stage events, so
+    * a super-linear TIME exponent can be attributed — is the family
+    * moving super-linear BYTES (a plan defect) or paying linear bytes
+    * plus per-round fixed costs (scheduling)? Events arrive on the
+    * async listener bus; `settle` waits for the bus to drain between
+    * the timed block and the snapshot (bounded wait — measurement
+    * harness, not production path).
+    */
+  private class ShuffleAudit
+      extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val stages = new java.util.concurrent.atomic.AtomicInteger
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+        : Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+      stages.incrementAndGet()
+      ()
+    }
+    def snapshot(): (Long, Long, Int) =
+      (read.get(), write.get(), stages.get())
+    /** Wait until the counters stop moving (listener bus drained). */
+    def settle(): Unit = {
+      var prev = snapshot()
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = snapshot()
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+    }
+  }
+
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -128,7 +192,7 @@ object ScaleRehearsal {
     val families = args.lift(1)
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
-        "starpath", "upsert", "rollup", "compact"))
+        "ivf_scaled", "starpath", "upsert", "rollup", "compact"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -142,11 +206,22 @@ object ScaleRehearsal {
     spark.range(1000000).selectExpr("id % 97 as k", "id * 1.5 as v")
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
 
+    val audit = new ShuffleAudit
+    spark.sparkContext.addSparkListener(audit)
+
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
-    def record(family: String, mult: Int, rows: Long, sec: Double): Unit = {
-      results += ((family, mult, rows, sec))
-      println(f"""{"family":"$family","mult":$mult,"rows":$rows,"sec":$sec%.2f}""")
+    // `sec` is BY-NAME: every call site passes `time { ... }`, and
+    // evaluating it here brackets the timed block with shuffle-audit
+    // snapshots without touching the call sites
+    def record(family: String, mult: Int, rows: Long, sec: => Double): Unit = {
+      audit.settle()
+      val (r0, w0, s0) = audit.snapshot()
+      val t = sec
+      audit.settle()
+      val (r1, w1, s1) = audit.snapshot()
+      results += ((family, mult, rows, t))
+      println(f"""{"family":"$family","mult":$mult,"rows":$rows,"sec":$t%.2f,"shuffle_read_mb":${(r1 - r0) / 1048576L},"shuffle_write_mb":${(w1 - w0) / 1048576L},"stages":${s1 - s0}}""")
     }
 
     for (m <- mults) {
@@ -154,8 +229,7 @@ object ScaleRehearsal {
       if (Seq("lsh", "chain", "substring").exists(families)) {
         val n = DocsBase * m
         val cPath = s"$root/docs_x$m"
-        ensureFixture(cPath,
-          s"corpus;v1;n=$n;vocab=9973;len=50..149;dup=1/50") {
+        ensureFixture(cPath, corpusFp(n)) {
           corpus(spark, n).write.mode("overwrite").parquet(cPath)
         }
         val docs = spark.read.parquet(cPath)
@@ -182,10 +256,10 @@ object ScaleRehearsal {
           })
       }
       // ---- vector families ----
-      if (Seq("kcenter", "ivf").exists(families)) {
+      if (Seq("kcenter", "ivf", "ivf_scaled").exists(families)) {
         val n = VecsBase * m
         val vPath = s"$root/vecs_x$m"
-        ensureFixture(vPath, s"vectors;v1;n=$n;dim=32;range=[-1,1)") {
+        ensureFixture(vPath, vectorsFp(n)) {
           vectors(spark, n).write.mode("overwrite").parquet(vPath)
         }
         val vecs = spark.read.parquet(vPath)
@@ -210,6 +284,28 @@ object ScaleRehearsal {
               k = 5, nprobe = 8))
           })
         }
+        // ivf_scaled: the same build+probe but under the √N nlist
+        // operating rule (`index build --nlist auto`). At FIXED
+        // nlist=64 the probed cells' population — the exact-scoring
+        // work — is nprobe·N/64, i.e. linear in N (the 0.72 exponent
+        // the ivf_probe family measured); under nlist=√N it is
+        // nprobe·√N. This family turns that prose rule into a
+        // measured probe exponent (expect ≈0.5, clearly below the
+        // fixed-nlist curve).
+        if (families("ivf_scaled")) {
+          val idx = s"$root/ivfs_x$m"
+          rmrf(idx)
+          val nlist = operators.Similarity.autoNlist(n)
+          record("ivf_scaled_build", m, n, time {
+            operators.Similarity.buildIvfIndex(spark, vecs, nlist, idx)
+          })
+          val queries = vecs.where(col("cid") < 100)
+            .select(col("cid").as("qid"), col("cvec").as("qvec"))
+          record("ivf_scaled_probe", m, n, time {
+            noop(operators.Similarity.probeIvfIndex(spark, idx, queries,
+              k = 5, nprobe = 8))
+          })
+        }
       }
       // ---- star-contraction fallback on an adversarial path graph ----
       if (families("starpath")) {
@@ -219,7 +315,7 @@ object ScaleRehearsal {
         // under measurement. Expect sec ~ log(N) * per-round cost.
         val n = 10000L * m
         val pPath = s"$root/path_x$m"
-        ensureFixture(pPath, s"path;v1;n=$n") {
+        ensureFixture(pPath, s"path;$PathVersion;n=$n") {
           spark.range(n - 1).select(col("id").as("id_a"),
             (col("id") + 1).as("id_b"))
             .write.mode("overwrite").parquet(pPath)

@@ -228,7 +228,7 @@ object Main {
       |sessions: graft sessions <table> --user-column COL
       |          [--ts-column COL] [--gap SECONDS] [--value-column COL]
       |index:    graft index build <table> <dir> --id-column COL
-      |            --vector-column COL [--nlist N]
+      |            --vector-column COL [--nlist N|auto]
       |          graft index append <table> <dir> (same columns)
       |          graft index query <dir> --table TABLE (same columns)
       |            [--k K] [--nprobe N] [--min-sim S]
@@ -598,8 +598,16 @@ object Main {
           case _ => throw new IllegalArgumentException(
             "index build requires <table> <index-dir>")
         }
-        val nlist = opts.flag("nlist").map(_.toInt).getOrElse(64)
         val c = vectors(table)
+        // --nlist auto: the √N operating rule (Similarity.autoNlist
+        // scaladoc) — one metadata count sizes the coarse quantizer
+        // so probe cost stays O(√N) as the table grows
+        val nlist = opts.flag("nlist") match {
+          case Some("auto") =>
+            graft.operators.Similarity.autoNlist(c.count())
+          case Some(v) => v.toInt
+          case None => 64
+        }
         graft.operators.Similarity.buildIvfIndex(spark, c, nlist, dir)
         val n = spark.read.parquet(s"$dir/cells").count()
         out.println(s"Index built: $dir ($n vectors, $nlist cells)")
@@ -805,15 +813,20 @@ object Main {
           case o => throw new IllegalArgumentException(
             s"lm score: --model must be unigram|bigram|jm, got $o")
         }
-        // oov_tokens > 0 flags frozen-model scoring of a diverged
-        // corpus — the CCNet workflow's first sanity check
+        // a nonzero OOV count flags frozen-model scoring of a
+        // diverged corpus — the CCNet workflow's first sanity check.
+        // Name the column by what n_oov actually counts: unseen
+        // TOKENS for the unigram model, unseen TRANSITIONS (bigrams)
+        // for the bigram/jm models (ADVICE r11)
+        val oovLabel =
+          if (model == "unigram") "oov_tokens" else "oov_bigrams"
         out.println(graft.query.Render.table(scored.agg(
           count(lit(1)).as("docs"),
           round(min(pplCol), 2).as("ppl_min"),
           round(expr(s"percentile_approx($pplCol, 0.5)"), 2)
             .as("ppl_median"),
           round(max(pplCol), 2).as("ppl_max"),
-          sum(col("n_oov")).as("oov_tokens"))))
+          sum(col("n_oov")).as(oovLabel))))
       case other => throw new IllegalArgumentException(
         s"lm: expected train|append|score, got ${other.getOrElse("nothing")}")
     }
@@ -891,15 +904,35 @@ object Main {
             require(mf.isFile,
               s"dedup --pairs-in: no _pairs_manifest.json in $dir — " +
                 "refusing unverifiable pairs; re-persist with --pairs-out")
-            val txt = new String(
-              java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
-            def field(k: String): String =
-              ("\"" + k + "\":\"?([^\",}]*)").r
-                .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+            // a real JSON parse (Jackson ships with Spark) — a
+            // hand-edited or truncated manifest must fail with
+            // "corrupt manifest", not a bare NumberFormatException or
+            // a silently-truncated value at the first comma/quote
+            val node =
+              try new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(mf)
+              catch { case e: java.io.IOException =>
+                throw new IllegalArgumentException(
+                  s"dedup --pairs-in: corrupt _pairs_manifest.json in " +
+                    s"$dir (${e.getMessage}); re-persist with --pairs-out")
+              }
+            def field(k: String): String = {
+              val v = node.path(k)
+              require(!v.isMissingNode && !v.isNull,
+                s"dedup --pairs-in: _pairs_manifest.json in $dir is " +
+                  s"missing '$k' — corrupt manifest; re-persist with " +
+                  "--pairs-out")
+              v.asText()
+            }
             require(field("table") == table,
               s"dedup --pairs-in: pairs were persisted for table " +
                 s"'${field("table")}', not '$table'")
-            val storedThr = field("threshold").toDouble
+            val thrNode = node.path("threshold")
+            require(thrNode.isNumber,
+              s"dedup --pairs-in: 'threshold' in _pairs_manifest.json " +
+                "is not a number — corrupt manifest; re-persist with " +
+                "--pairs-out")
+            val storedThr = thrNode.asDouble()
             require(threshold >= storedThr,
               f"dedup --pairs-in: pairs persisted at threshold " +
                 f"$storedThr%.2f cannot serve --threshold $threshold%.2f " +

@@ -652,6 +652,21 @@ object Similarity {
     * and Spark's partition pruning is the posting-list seek. No
     * rebuild, no full scan, per batch.
     */
+  /** The √N operating rule for `nlist`, made executable (`index build
+    * --nlist auto`). Probe cost per query is
+    * `nprobe · N/nlist` exact scorings (the probed cells' population)
+    * plus `nlist` centroid dot products for quantization; `nlist ∝
+    * √N` balances the two, so a fixed-query probe batch scales as
+    * O(√N) instead of the O(N) a FIXED nlist degrades to (the 0.72
+    * exponent PERF.md measured at nlist=64). Floor 16 keeps tiny
+    * corpora from degenerating into brute force; cap 1<<16 keeps the
+    * centroid sidecar metadata-sized (65536×32 doubles ≈ 16 MB plan
+    * literal — the ceiling of "broadcastable as a typedLit").
+    */
+  def autoNlist(n: Long): Int =
+    math.min(1L << 16,
+      math.max(16L, math.round(math.sqrt(n.toDouble)))).toInt
+
   def buildIvfIndex(
       spark: SparkSession, candidates: DataFrame, nlist: Int,
       path: String): Unit = {
@@ -661,6 +676,14 @@ object Similarity {
     candidates
       .withColumn("cell",
         bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent"))
+      // co-locate each cell before the partitioned write: without
+      // this, EVERY write task holds rows of ~every cell, so the
+      // output is tasks×nlist fragment files — at nlist=√N that
+      // explodes (measured: 45 s vs 7 s building 200k vectors), and
+      // the probe pays the open-file tax on every batch forever. One
+      // shuffle at build time buys one coherent file per cell — the
+      // read-optimized layout an inverted file exists for.
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$path/cells")
     cents.toDF("cell", "centroid").coalesce(1)

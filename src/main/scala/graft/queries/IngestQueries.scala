@@ -487,6 +487,92 @@ object IngestQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // Streaming quality router end-to-end (the dead-letter-queue
+    // pattern): the JSONL inbox through routedCollectStream with a
+    // two-rule pack — rows passing BOTH rules take the normal collect
+    // pipeline into the lake; failures land in quarantine with their
+    // failed-rule names. The result unions both end states, so the
+    // oracle (a DuckDB replay of the rule predicates over the source
+    // table) catches a row routed to the wrong side, a dropped or
+    // double-ingested micro-batch on either sink, and a wrong or
+    // misordered _reject_reason string.
+    "qi21_stream_router" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi21"
+      rmrf(root)
+      writeEventsJsonl(s, dir, s"$root/inbox", chunks = 4)
+      val lake = Lake(s"$root/lake")
+      val schema = s.read.json(s"$root/inbox").schema
+      val rules = Seq(
+        "value_cap" -> (col("value") <= 100.0),
+        "not_error" -> (col("event_type") =!= "error"))
+      val q = graft.streaming.StreamIngest.routedCollectStream(s, lake,
+        PartitionSpec("events_routed", "p0",
+          tpIndexColumn = Some("event_type")),
+        s"$root/inbox", schema, s"$root/ckpt", rules,
+        timestampColumn = "ts")
+      q.awaitTermination()
+      val accepted = lake.read(s, "events_routed")
+        .groupBy(col("tp_index").cast("string").as("key"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(lit("accepted").as("side"), col("key"), col("n"),
+          col("sum_value"))
+      val quarantined = graft.streaming.StreamIngest
+        .readQuarantine(s, lake, "events_routed")
+        .groupBy(col("_reject_reason").as("key"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(lit("quarantined").as("side"), col("key"), col("n"),
+          col("sum_value"))
+      accepted.unionByName(quarantined).orderBy("side", "key")
+    }),
+
+    // Streaming interval join end-to-end: purchases and errors split
+    // into two JSONL inboxes, replayed as two file-source streams
+    // through StreamIngest.intervalJoin (symmetric watermarks + the
+    // event-time range condition — the bounded-state stream-stream
+    // join), append-mode memory sink. The oracle is a DuckDB range
+    // join over the same source rows, so a dropped match (state
+    // evicted too early), a phantom match (range condition off by a
+    // boundary), or a micro-batch replay duplicate breaks the hash.
+    // delta_us is an exact integer micros difference — no
+    // seconds-truncation ambiguity between engines.
+    "qi22_stream_interval_join" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi22"
+      rmrf(root)
+      val src = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"))
+      src.where(col("event_type") === "purchase")
+        .repartition(2).write.mode("overwrite").json(s"$root/purchases")
+      src.where(col("event_type") === "error")
+        .repartition(2).write.mode("overwrite").json(s"$root/errors")
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val lSchema = s.read.json(s"$root/purchases").schema
+      val rSchema = s.read.json(s"$root/errors").schema
+      val lhs = s.readStream.schema(lSchema).json(s"$root/purchases")
+        .select(col("event_id").as("p_id"),
+          to_timestamp(col("ts"), fmt).as("p_ts"),
+          col("user_id").as("p_user"))
+      val rhs = s.readStream.schema(rSchema).json(s"$root/errors")
+        .select(col("event_id").as("e_id"),
+          to_timestamp(col("ts"), fmt).as("e_ts"),
+          col("user_id").as("e_user"))
+      val joined = graft.streaming.StreamIngest.intervalJoin(
+        lhs, rhs, "p_user", "e_user", "p_ts", "e_ts",
+        before = "30 minutes", after = "30 minutes",
+        leftDelay = "1 hour", rightDelay = "1 hour")
+      val q = joined.writeStream.format("memory")
+        .queryName("qi22_mem").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("qi22_mem")
+        .select(col("p_id"), col("e_id"), col("p_user"),
+          (unix_micros(col("e_ts")) - unix_micros(col("p_ts")))
+            .as("delta_us"))
+        .orderBy("p_id", "e_id")
+    }),
+
     // CDC upsert (MERGE, latest-wins by key): a changelog batch of
     // same-event-time corrections plus brand-new rows applied through
     // lake.Upsert — dynamic partition overwrite of exactly the touched
@@ -814,6 +900,36 @@ object IngestQueries {
       GROUP BY event_type ORDER BY tp_index"""),
     "qi13_stream_ingest" -> (aggByIndex + """
       GROUP BY event_type ORDER BY tp_index"""),
+    "qi21_stream_router" -> """
+      WITH flags AS (
+        SELECT event_type, value,
+               (value <= 100) AS ok_cap,
+               (event_type <> 'error') AS ok_err
+        FROM events)
+      SELECT 'accepted' AS side, event_type AS key,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM flags WHERE ok_cap AND ok_err GROUP BY 2
+      UNION ALL
+      SELECT 'quarantined' AS side,
+             concat_ws(',',
+               CASE WHEN NOT ok_cap THEN 'value_cap' END,
+               CASE WHEN NOT ok_err THEN 'not_error' END) AS key,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM flags WHERE NOT (ok_cap AND ok_err) GROUP BY 2
+      ORDER BY side, key""",
+    "qi22_stream_interval_join" -> """
+      SELECT l.event_id AS p_id, r.event_id AS e_id,
+             l.user_id AS p_user,
+             date_diff('microsecond', cast(l.ts AS timestamp),
+                       cast(r.ts AS timestamp)) AS delta_us
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND l.event_type = 'purchase' AND r.event_type = 'error'
+       AND cast(r.ts AS timestamp)
+             >= cast(l.ts AS timestamp) - INTERVAL 30 MINUTE
+       AND cast(r.ts AS timestamp)
+             <= cast(l.ts AS timestamp) + INTERVAL 30 MINUTE
+      ORDER BY p_id, e_id""",
     "qi16_upsert" -> """
       WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts,
                         event_type, value FROM events),

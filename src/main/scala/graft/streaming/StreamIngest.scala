@@ -229,9 +229,16 @@ object StreamIngest {
     parsed.getOrElse("default")
   }
 
-  /** Create `_stream_commits/<batchId>` with `content`, then prune
-    * markers older than the trailing window. One directory list per
-    * batch — metadata-sized.
+  /** Create `_stream_commits/<queryId>/<batchId>` with `content`,
+    * then prune markers older than the trailing window. Also sweeps
+    * any LEGACY flat markers (`_stream_commits/<batchId>`, written
+    * before markers were queryId-namespaced): they are never
+    * consulted — matching them against a possibly-rebuilt checkpoint
+    * is exactly the aliasing hazard the namespacing closed, and a
+    * wrong match silently DROPS a batch, which is strictly worse than
+    * the one-batch duplicate append the sweep admits (at-least-once,
+    * dedup backstop; ADVICE r11) — so without the sweep they leak
+    * forever. Two directory lists per batch — metadata-sized.
     */
   private[streaming] def writeMarker(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -245,6 +252,16 @@ object StreamIngest {
         val id = scala.util.Try(st.getPath.getName.toLong).toOption
         if (id.exists(_ < cutoff)) { fs.delete(st.getPath, false); () }
       }
+    // one-time upgrade sweep: flat FILES with numeric names directly
+    // under _stream_commits/ are pre-namespacing markers — delete
+    // them (namespace dirs are untouched); after the first batch of
+    // an upgraded stream this list finds nothing
+    fs.listStatus(marker.getParent.getParent).foreach { st =>
+      if (st.isFile &&
+          scala.util.Try(st.getPath.getName.toLong).isSuccess) {
+        fs.delete(st.getPath, false); ()
+      }
+    }
   }
 
   /** Quarantine directory of a table — under the lake root's

@@ -1282,6 +1282,14 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rcS, st) = cli(root, "index", "stats", idx)
     assert(rcS == 0, st)
     assert(st.contains("42 vectors") && st.contains("cells (min "), st)
+    // --nlist auto: the √N operating rule picks the cell count from
+    // the table size (√40 ≈ 6 → clamped to the floor of 16)
+    val idxAuto = s"${dir.getPath}/ivf_auto"
+    val (rcAu, au) = cli(root, "index", "build", "vecs", idxAuto,
+      "--id-column", "vec_id", "--vector-column", "emb",
+      "--nlist", "auto")
+    assert(rcAu == 0, au)
+    assert(au.contains("40 vectors, 16 cells"), au)
   }
 
   test("tokenizer and lm artifacts: train once, encode/score from the store") {

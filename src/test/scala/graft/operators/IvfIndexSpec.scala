@@ -89,6 +89,19 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("autoNlist: the √N rule, clamped to [16, 65536]") {
+    assert(Similarity.autoNlist(1L) == 16)        // floor
+    assert(Similarity.autoNlist(40L) == 16)       // √40 ≈ 6 → floor
+    assert(Similarity.autoNlist(10000L) == 100)   // exact √
+    assert(Similarity.autoNlist(1000000L) == 1000)
+    assert(Similarity.autoNlist(Long.MaxValue) == 65536) // cap
+    // monotone over a realistic range — a bigger table never gets a
+    // smaller quantizer
+    val pts = Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L)
+      .map(Similarity.autoNlist)
+    assert(pts == pts.sorted, pts)
+  }
+
   test("index round-trips centroids: rebuild-free probe is deterministic") {
     val path = Files.createTempDirectory("graft_ivf").toString
     Similarity.buildIvfIndex(spark, corpus, nlist = 8, path = path)
