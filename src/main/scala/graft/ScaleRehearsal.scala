@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
   *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
-  *     rollup,compact (default all)
+  *     rollup,compact,partition_stress (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -156,6 +156,7 @@ object ScaleRehearsal {
       extends org.apache.spark.scheduler.SparkListener {
     private val read = new java.util.concurrent.atomic.AtomicLong
     private val write = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
     private val stages = new java.util.concurrent.atomic.AtomicInteger
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -164,12 +165,13 @@ object ScaleRehearsal {
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
       }
       stages.incrementAndGet()
       ()
     }
-    def snapshot(): (Long, Long, Int) =
-      (read.get(), write.get(), stages.get())
+    def snapshot(): (Long, Long, Long, Int) =
+      (read.get(), write.get(), spill.get(), stages.get())
     /** Wait until the counters stop moving (listener bus drained). */
     def settle(): Unit = {
       var prev = snapshot()
@@ -192,7 +194,8 @@ object ScaleRehearsal {
     val families = args.lift(1)
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
-        "ivf_scaled", "starpath", "upsert", "rollup", "compact"))
+        "ivf_scaled", "starpath", "upsert", "rollup", "compact",
+        "partition_stress"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -216,12 +219,12 @@ object ScaleRehearsal {
     // snapshots without touching the call sites
     def record(family: String, mult: Int, rows: Long, sec: => Double): Unit = {
       audit.settle()
-      val (r0, w0, s0) = audit.snapshot()
+      val (r0, w0, sp0, s0) = audit.snapshot()
       val t = sec
       audit.settle()
-      val (r1, w1, s1) = audit.snapshot()
+      val (r1, w1, sp1, s1) = audit.snapshot()
       results += ((family, mult, rows, t))
-      println(f"""{"family":"$family","mult":$mult,"rows":$rows,"sec":$t%.2f,"shuffle_read_mb":${(r1 - r0) / 1048576L},"shuffle_write_mb":${(w1 - w0) / 1048576L},"stages":${s1 - s0}}""")
+      println(f"""{"family":"$family","mult":$mult,"rows":$rows,"sec":$t%.2f,"shuffle_read_mb":${(r1 - r0) / 1048576L},"shuffle_write_mb":${(w1 - w0) / 1048576L},"spill_mb":${(sp1 - sp0) / 1048576L},"stages":${s1 - s0}}""")
     }
 
     for (m <- mults) {
@@ -393,6 +396,65 @@ object ScaleRehearsal {
         }
         record("compact", m, n, time {
           graft.lake.Maintenance.compact(spark, lake, "events_scale")
+        })
+      }
+      // ---- high-cardinality partition PLANNING stress (r11 task 5) --
+      // The upsert predicate path is pinned to 2000 dirs (UpsertSpec);
+      // this measures the other planning surfaces — Spark's file-index
+      // listing behind a pruned read, the lake's own recursive
+      // enumeration (manifest/compaction input), and a steady-state
+      // compact pass — on a table that is WIDE in directories, not
+      // rows: (100·m indexes) × 12 months × 1 file, ~8 rows per dir.
+      // mult 1 → 1 200 leaf dirs, mult 10 → 12 000 (the 1k–10k range a
+      // 1000-index × 36-month production table occupies). Times are
+      // planning-dominated by construction; the exponent vs dirs is
+      // the number to watch.
+      if (families("partition_stress")) {
+        val idxN = 100 * m
+        val dirs = idxN * 12L
+        val n = dirs * 8
+        val lakeRoot = s"$root/pstress_x$m"
+        val lake = graft.lake.Lake(lakeRoot)
+        // batch split is a HASH parity, not event_id%2 — id%2 aliases
+        // with idx=id%idxN (even ids → even indexes), which hands each
+        // dir to exactly one batch and the table is born compact
+        ensureFixture(lakeRoot, s"pstress;v3;idx=$idxN;months=12;rpd=8;b=2") {
+          val spec = graft.config.PartitionSpec("events_wide", "p0",
+            tpIndexColumn = Some("idx"))
+          val src = spark.range(n).select(
+            col("id").as("event_id"),
+            // deterministic spread over exactly 12 months of 2024
+            timestamp_seconds(lit(1704067200L) +
+              pmod(xxhash64(col("id"), lit("t")), lit(31622400L))).as("ts"),
+            concat(lit("i"), pmod(col("id"), lit(idxN))).as("idx"),
+            (pmod(xxhash64(col("id"), lit("v")), lit(1000)).cast("double")
+              / 10.0).as("value"))
+          // two interleaved appends so every dir holds 2 overlapping
+          // files — the rebalanced append writes one file per dir per
+          // batch, and a single-batch table would be born compact,
+          // leaving pstress_compact nothing to rewrite
+          (0 until 2).foreach { i =>
+            graft.ingest.Ingest.collectBatch(spark, lake, spec,
+              src.where(pmod(xxhash64(col("event_id"), lit("b")),
+                lit(2)) === i),
+              timestampColumn = "ts")
+          }
+          ()
+        }
+        record("pstress_read", m, dirs, time {
+          // pruned count: one index, one month — planning lists the
+          // directory tree; the scan itself is one file
+          lake.read(spark, "events_wide")
+            .where(col("tp_index") === "i7" && col("tp_month") === 3)
+            .count()
+          ()
+        })
+        record("pstress_list", m, dirs, time {
+          val files = lake.dataFiles(spark, "events_wide")
+          require(files.nonEmpty)
+        })
+        record("pstress_compact", m, dirs, time {
+          graft.lake.Maintenance.compact(spark, lake, "events_wide")
         })
       }
     }

@@ -206,6 +206,8 @@ object Main {
       |          vacuum curate sessions index tokenizer lm rollup
       |import:   graft import <parquet-dir> <table>[.<partition>]
       |          [--timestamp-column COL] [--index-column COL]
+      |          graft import --legacy <workspace-dir>
+      |          [--timestamp-column COL]
       |export:   graft export <table> <out-dir> --shards N --id-column COL
       |          [--seed S] [--token-column COL [--budget TOKENS]]
       |          [--format parquet|jsonl]
@@ -270,6 +272,25 @@ object Main {
     */
   private def importCmd(
       spark: SparkSession, lake: Lake, opts: Opts, out: PrintStream): Unit = {
+    // --legacy <workspace>: whole-workspace migration — discover
+    // tp_table= dirs against the views.sql catalog, migrate matched,
+    // archive unmatched (Importer.importLegacyWorkspace scaladoc)
+    if (opts.flag("legacy").isDefined) {
+      val ws = opts.flag("legacy").get
+      val res = graft.ingest.Importer.importLegacyWorkspace(spark, lake, ws,
+        timestampColumn =
+          opts.flag("timestamp-column").getOrElse("tp_timestamp"))
+      res.migrated.foreach { case (t, n) =>
+        out.println(s"Migrated $t.legacy: $n rows")
+      }
+      res.archived.foreach { d =>
+        out.println(s"Archived $d to unmigrated/ (no view in views.sql)")
+      }
+      out.println(s"Legacy migration complete: ${res.migrated.size} " +
+        s"tables, ${res.migrated.map(_._2).sum} rows, " +
+        s"${res.archived.size} archived")
+      return
+    }
     val src = opts.positional.headOption.getOrElse(
       throw new IllegalArgumentException(
         "import requires <parquet-dir> <table>[.<partition>] arguments"))

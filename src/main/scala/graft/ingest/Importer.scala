@@ -76,4 +76,93 @@ object Importer {
 
     Ingest.collectBatch(spark, lake, spec, raw, tableSpec, timestampColumn)
   }
+
+  /** One legacy workspace migration outcome. */
+  case class LegacyMigration(
+      migrated: Seq[(String, Long)], // (table, rows)
+      archived: Seq[String])         // tp_table dirs without a view
+
+  /** Whole-workspace legacy migration — the reference's pre-DuckLake
+    * startup migration (internal/migration/migration.go:39-247) as an
+    * explicit `import --legacy` command. The legacy layout is a
+    * workspace directory of Hive-style `tp_table=<name>/` parquet
+    * trees plus a view catalog; the reference discovers the view list
+    * from the legacy `tailpipe.db` (DuckDB file,
+    * internal/database/tables.go:70-132) — the Spark-native stand-in
+    * is a `views.sql` of CREATE VIEW statements, same discovery
+    * contract, no embedded-DuckDB dependency.
+    *
+    * Reference semantics preserved:
+    *  - only `tp_table=` dirs WITH a discovered view are migrated
+    *    (migration.go:151-167); each runs the standard import
+    *    pipeline (tp_ regeneration, validation, partitioned append)
+    *    into table `<name>`, partition `legacy`
+    *  - dirs with parquet but NO view are moved aside to
+    *    `unmigrated/` rather than guessed at (archiveUnmatchedDirs)
+    *  - each successfully-migrated dir is moved to `migrated/`, so a
+    *    crashed run RESUMES from where it stopped instead of
+    *    double-appending (the reference's leaf-by-leaf move,
+    *    migration.go:518-541, done per-table here because the import
+    *    itself is one distributed job, not a per-leaf loop)
+    *  - a `migration_status.json` summary lands in the workspace
+    *    (status.go's WriteStatusToFile)
+    */
+  def importLegacyWorkspace(
+      spark: SparkSession,
+      lake: Lake,
+      workspace: String,
+      timestampColumn: String = TpSchema.Timestamp): LegacyMigration = {
+    import java.io.File
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ws = new File(workspace)
+    require(ws.isDirectory, s"import --legacy: '$workspace' is not a directory")
+    val viewsSql = new File(ws, "views.sql")
+    require(viewsSql.isFile,
+      s"import --legacy: no views.sql in $workspace — the legacy view " +
+        "catalog names the tables to migrate; without it every " +
+        "tp_table directory is unmatched (refusing to guess)")
+    val sql = new String(Files.readAllBytes(viewsSql.toPath), "UTF-8")
+    val views = """(?i)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"?([A-Za-z0-9_]+)"?"""
+      .r.findAllMatchIn(sql).map(_.group(1)).toSet
+
+    def hasParquet(d: File): Boolean = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
+        kids.exists(f => f.isDirectory && hasParquet(f))
+    }
+    val tableDirs = Option(ws.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("tp_table="))
+      .filter(hasParquet)
+      .sortBy(_.getName)
+
+    def moveTo(d: File, bucket: String): Unit = {
+      val destDir = new File(ws, bucket)
+      destDir.mkdirs()
+      Files.move(d.toPath, Paths.get(destDir.getPath, d.getName),
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
+    val (matched, unmatched) = tableDirs.partition { d =>
+      views.contains(d.getName.stripPrefix("tp_table="))
+    }
+    unmatched.foreach(moveTo(_, "unmigrated"))
+    val migrated = matched.toSeq.map { d =>
+      val table = d.getName.stripPrefix("tp_table=")
+      val res = importParquet(spark, lake, d.getPath,
+        graft.config.PartitionSpec(table, "legacy"),
+        timestampColumn = timestampColumn)
+      moveTo(d, "migrated")
+      (table, res.rowsIngested)
+    }
+
+    val status =
+      s"""{"migrated_tables":${migrated.size},""" +
+        s""""migrated_rows":${migrated.map(_._2).sum},""" +
+        s""""archived_dirs":${unmatched.length},""" +
+        s""""outcome":"${if (migrated.nonEmpty) "COMPLETED" else "NOTHING_TO_MIGRATE"}"}"""
+    Files.write(Paths.get(ws.getPath, "migration_status.json"),
+      status.getBytes("UTF-8"))
+    LegacyMigration(migrated, unmatched.map(_.getName).toSeq)
+  }
 }

@@ -97,7 +97,18 @@ final case class Lake(root: String) {
       // recursive before/after tree walk per append would dominate
       val touched = touchedDirs(batch)
       val before = dataFilesUnder(spark, table, touched).toSet
-      batch.write
+      // REBALANCE on the partition columns before the partitioned
+      // write: without it every write task holds rows of ~every
+      // touched dir, so one append emits tasks×dirs fragment files —
+      // ~8 files per 8-row directory on a 12k-dir import
+      // (partition_stress finding; the same defect buildIvfIndex had
+      // with cells). The AQE rebalance hint co-locates each dir into
+      // one task AND splits a skewed dir across tasks when it exceeds
+      // the advisory partition size — hash repartition alone would
+      // serialize a hot directory. One linear shuffle per batch buys
+      // a file count proportional to dirs, not dirs×tasks.
+      batch.hint("rebalance", TpSchema.partitionCols.map(col): _*)
+        .write
         .partitionBy(TpSchema.partitionCols: _*)
         .mode(SaveMode.Append)
         .parquet(dir)
@@ -120,25 +131,57 @@ final case class Lake(root: String) {
         }.mkString("/")
       }
 
+  /** Recursive (path, size) enumeration of every FILE under `base`.
+    * Two paths by filesystem kind:
+    *  - local (`file:`/bare): java.nio Files.walk — Hadoop's
+    *    LocalFileSystem recursive `listFiles` pays per-file
+    *    checksum-probe + located-status overhead (measured 38.7 s on
+    *    a 17k-file / 1 400-dir tree that NIO walks in 30 ms; the
+    *    partition_stress rehearsal's first finding)
+    *  - remote (s3a/hdfs/…): Hadoop's `listFiles(recursive)` — on
+    *    object stores that is one batched flat LIST per few thousand
+    *    keys, exactly what a 100 TB lake wants; never walk those
+    *    dir-by-dir
+    */
+  private def walkFiles(f: FileSystem, base: Path): Seq[(String, Long)] = {
+    val isLocal = f.getScheme == "file" ||
+      f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val start = java.nio.file.Paths.get(base.toUri.getPath)
+      if (!java.nio.file.Files.exists(start)) return Seq.empty
+      val stream = java.nio.file.Files.walk(start)
+      try {
+        val out = Seq.newBuilder[(String, Long)]
+        stream.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            out += ((p.toString, java.nio.file.Files.size(p)))
+        }
+        out.result()
+      } finally stream.close()
+    } else {
+      if (!f.exists(base)) return Seq.empty
+      val it = f.listFiles(base, true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) out += ((st.getPath.toUri.getPath, st.getLen))
+      }
+      out.result()
+    }
+  }
+
   /** [[dataFiles]] restricted to the given relative partition dirs. */
   private def dataFilesUnder(
       spark: SparkSession, table: String, relDirs: Seq[String]): Seq[String] = {
     val f = fs(spark, root)
     relDirs.flatMap { rel =>
       val base = new Path(s"${tableDir(table)}/$rel")
-      if (!f.exists(base)) Seq.empty
-      else {
-        val it = f.listFiles(base, true)
-        val out = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val st = it.next()
-          val p = st.getPath.toUri.getPath
-          if (st.isFile && p.endsWith(".parquet") &&
-            !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-            out += p
-        }
-        out.result()
+      walkFiles(f, base).collect {
+        case (p, _) if p.endsWith(".parquet") && {
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          !name.startsWith("_") && !name.startsWith(".")
+        } => p
       }
     }.sorted
   }
@@ -150,24 +193,19 @@ final case class Lake(root: String) {
   def dataFiles(spark: SparkSession, table: String): Seq[String] = {
     val f = fs(spark, root)
     val base = new Path(tableDir(table))
-    if (!f.exists(base)) return Seq.empty
-    val it = f.listFiles(base, true)
-    val out = Seq.newBuilder[String]
     val baseUri = base.toUri.getPath
-    while (it.hasNext) {
-      val s = it.next()
-      val p = s.getPath.toUri.getPath
-      // skip hidden trees (same rule as Spark's scan): any path segment
-      // below the table root starting with '_' or '.' — this covers the
-      // manifest, staging, AND a crashed job's leftover _temporary task
-      // files, which must never enter the manifest or compaction plans
-      val rel = p.stripPrefix(baseUri).stripPrefix("/")
-      val hidden = rel.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (s.isFile && p.endsWith(".parquet") && !hidden)
-        out += p
-    }
-    out.result().sorted
+    walkFiles(f, base).collect {
+      case (p, _) if p.endsWith(".parquet") && {
+        // skip hidden trees (same rule as Spark's scan): any path
+        // segment below the table root starting with '_' or '.' —
+        // this covers the manifest, staging, AND a crashed job's
+        // leftover _temporary task files, which must never enter the
+        // manifest or compaction plans
+        val rel = p.stripPrefix(baseUri).stripPrefix("/")
+        !rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+      } => p
+    }.sorted
   }
 
   /** (file count, total bytes) of one partition's data files, via the
@@ -176,10 +214,18 @@ final case class Lake(root: String) {
   def partitionFileSize(
       spark: SparkSession, table: String, partition: String): (Long, Long) = {
     val marker = s"/tp_partition=$partition/"
-    val files = dataFiles(spark, table).filter(_.contains(marker))
-    val f = fs(spark, root)
-    val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
-    (files.size.toLong, bytes)
+    val base = new Path(tableDir(table))
+    val baseUri = base.toUri.getPath
+    // sizes come from the same single walk as the enumeration — a
+    // second per-file getFileStatus loop doubles the metadata cost
+    val files = walkFiles(fs(spark, root), base).filter { case (p, _) =>
+      p.contains(marker) && p.endsWith(".parquet") && {
+        val rel = p.stripPrefix(baseUri).stripPrefix("/")
+        !rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+      }
+    }
+    (files.size.toLong, files.map(_._2).sum)
   }
 
   /** Compute + append manifest rows for newly added files: one row per

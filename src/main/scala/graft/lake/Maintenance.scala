@@ -58,8 +58,9 @@ object Maintenance {
     if (perDir.isEmpty) return 0L
     val deleted = perDir.map(_.getAs[Long]("hit")).sum
 
-    val hitDirPred = dirPredicate(perDir.toIndexedSeq)
-    val keep = lake.read(spark, table).where(scope && hitDirPred && !cond)
+    val keep = scopeToDirs(
+      lake.read(spark, table).where(scope && !cond),
+      perDir.toIndexedSeq.map(r => lake.partitionValues(relDirOf(r))))
     lake.overwritePartitions(spark, table, keep,
       touched = Some(perDir.toIndexedSeq.map(relDirOf)))
     // dirs whose every row matched have nothing written → remove them
@@ -98,18 +99,42 @@ object Maintenance {
     }
     if (work.isEmpty) return (before, before)
 
-    val rows = work.values.flatten.map(_.rows).sum
-    val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
-    val workPred = work.keys.map(relDir => dirValuesPredicate(
-      lake.partitionValues(relDir))).reduce(_ || _)
-    // range partition on (physical key, time) then sort within: each
-    // output file covers one dir and a disjoint time slice
+    // Two rewrite regimes, split by per-dir volume (partition_stress
+    // finding: ceil(totalRows/target) slices is 1 for a many-dir
+    // small-file table, serializing a 10k-dir rewrite into ONE task;
+    // but blindly adding range slices splits dirs at range boundaries
+    // and breaks compaction's fixed point):
+    //  - SMALL dirs (≤ targetFileRows rows): hash-repartition on the
+    //    partition columns — every dir lands whole in one task, so the
+    //    output is exactly one file per dir, the write parallelizes
+    //    across min(dirs, cores), and a second compact is a no-op.
+    //  - BIG dirs: range partition on (physical key, time) and sort
+    //    within, so each output file covers one dir and a disjoint
+    //    time slice at the target size — the original shape.
     val sortKey = TpSchema.partitionCols.map(col) :+ col(TpSchema.Timestamp)
-    val df = lake.read(spark, table).where(workPred)
-      .repartitionByRange(nOut, sortKey: _*)
-      .sortWithinPartitions(sortKey: _*)
-    lake.overwritePartitions(spark, table, df,
-      touched = Some(work.keys.toSeq))
+    val (bigWork, smallWork) = work.partition { case (_, fs) =>
+      fs.map(_.rows).sum > targetFileRows
+    }
+    if (smallWork.nonEmpty) {
+      val slices = math.max(1, math.min(smallWork.size,
+        spark.sparkContext.defaultParallelism))
+      val df = scopeToDirs(lake.read(spark, table),
+          smallWork.keys.toSeq.map(lake.partitionValues))
+        .repartition(slices, TpSchema.partitionCols.map(col): _*)
+        .sortWithinPartitions(sortKey: _*)
+      lake.overwritePartitions(spark, table, df,
+        touched = Some(smallWork.keys.toSeq))
+    }
+    if (bigWork.nonEmpty) {
+      val rows = bigWork.values.flatten.map(_.rows).sum
+      val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+      val df = scopeToDirs(lake.read(spark, table),
+          bigWork.keys.toSeq.map(lake.partitionValues))
+        .repartitionByRange(nOut, sortKey: _*)
+        .sortWithinPartitions(sortKey: _*)
+      lake.overwritePartitions(spark, table, df,
+        touched = Some(bigWork.keys.toSeq))
+    }
     (before, lake.dataFiles(spark, table).size.toLong)
   }
 
@@ -571,14 +596,38 @@ object Maintenance {
 
   // ---- helpers ---------------------------------------------------------
 
-  /** OR-of-conjunctions predicate selecting exactly the given physical
-    * dirs (rows carry the partition-column values).
+  /** Restrict `df` to exactly the given physical dirs: a literal
+    * OR-of-conjunctions below [[Upsert.ChainMax]] (Catalyst folds it
+    * straight into partition pruning) and a broadcast left-semi join
+    * on the partition columns above it. A linear boolean tree a few
+    * thousand branches deep overflows the column-converter/analyzer
+    * stacks — found EMPIRICALLY by the partition_stress rehearsal:
+    * the first compact of a freshly-collected 1 200-dir table (every
+    * dir fragmented by the fan-out append) died in
+    * ColumnNodeToExpressionConverter before this fix. Join keys are
+    * the partition columns, so dynamic partition pruning still skips
+    * untouched directories (the Upsert.scopeToTouched pattern, same
+    * bound, generalized to all four partition columns).
     */
-  private def dirPredicate(dirs: Seq[Row]): Column =
-    dirs.map { r =>
-      TpSchema.partitionCols.map(c =>
-        col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
-    }.reduce(_ || _)
+  private[lake] def scopeToDirs(
+      df: DataFrame, dirs: Seq[Map[String, String]]): DataFrame =
+    if (dirs.size <= Upsert.ChainMax)
+      df.where(dirs.map(dirValuesPredicate).reduce(_ || _))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dirRows = dirs.map { vals =>
+        (vals(TpSchema.Partition), vals(TpSchema.Index),
+          vals(TpSchema.Year).toInt, vals(TpSchema.Month).toInt)
+      }
+      val dirsDf = dirRows.toDF("__dp", "__di", "__dy", "__dm")
+      df.join(broadcast(dirsDf),
+        col(TpSchema.Partition) === col("__dp") &&
+          col(TpSchema.Index).cast("string") === col("__di") &&
+          col(TpSchema.Year) === col("__dy") &&
+          col(TpSchema.Month) === col("__dm"),
+        "left_semi")
+    }
 
   private def dirValuesPredicate(vals: Map[String, String]): Column =
     TpSchema.partitionCols.map { c =>

@@ -491,6 +491,61 @@ class MainSpec extends AnyFunSuite with SparkTest {
       msg3.contains("host"), msg3)
   }
 
+  test("import --legacy migrates a pre-DuckLake workspace") {
+    import org.apache.spark.sql.functions._
+    val ws = Files.createTempDirectory("graft_legacy_ws").toFile
+    // legacy layout: tp_table= hive dirs + a views.sql catalog; only
+    // audit_log has a view — orphan_log is parquet with no view and
+    // must be archived, not guessed at (migration.go:160-167)
+    def legacyRows(n: Int) = spark.range(n).select(
+      expr("timestamp'2024-04-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)")
+        .as("tp_timestamp"),
+      concat(lit("r"), col("id")).as("request"),
+      (col("id") % 2 === 0).as("ok"))
+    legacyRows(6).write.parquet(s"${ws.getPath}/tp_table=audit_log")
+    legacyRows(3).write.parquet(s"${ws.getPath}/tp_table=orphan_log")
+    write(new File(ws, "views.sql"),
+      """CREATE VIEW audit_log AS SELECT * FROM read_parquet('...');
+        |CREATE VIEW unrelated AS SELECT 1;
+        |""".stripMargin)
+    // no views.sql → refuse loudly (checked against a sibling dir)
+    val empty = Files.createTempDirectory("graft_legacy_empty").toFile
+    val (rcNo, no) = cli(root, "import", "--legacy", empty.getPath)
+    assert(rcNo == 1 && no.contains("views.sql"), no)
+
+    val (rc, msg) = cli(root, "import", "--legacy", ws.getPath)
+    assert(rc == 0, msg)
+    assert(msg.contains("Migrated audit_log.legacy: 6 rows"), msg)
+    assert(msg.contains("Archived tp_table=orphan_log"), msg)
+    assert(msg.contains("Legacy migration complete: 1 tables, 6 rows, " +
+      "1 archived"), msg)
+    // the migrated table is queryable through the normal lake path
+    val (rcQ, csv) = cli(root, "query",
+      "select count(*) as n, sum(case when ok then 1 else 0 end) as n_ok " +
+        "from audit_log", "--output", "csv")
+    assert(rcQ == 0, csv)
+    assert(csv == "n,n_ok\n6,3", csv)
+    // workspace rearranged: matched dir under migrated/, orphan under
+    // unmigrated/, status summary written
+    assert(new File(ws, "migrated/tp_table=audit_log").isDirectory)
+    assert(new File(ws, "unmigrated/tp_table=orphan_log").isDirectory)
+    assert(!new File(ws, "tp_table=audit_log").exists)
+    val status = new String(Files.readAllBytes(
+      new File(ws, "migration_status.json").toPath), "UTF-8")
+    assert(status.contains("\"migrated_tables\":1") &&
+      status.contains("\"migrated_rows\":6") &&
+      status.contains("\"archived_dirs\":1") &&
+      status.contains("\"outcome\":\"COMPLETED\""), status)
+    // resume semantics: a second run finds nothing left to migrate
+    // and does NOT double-append
+    val (rc2, msg2) = cli(root, "import", "--legacy", ws.getPath)
+    assert(rc2 == 0, msg2)
+    assert(msg2.contains("0 tables, 0 rows, 0 archived"), msg2)
+    val (_, csv2) = cli(root, "query",
+      "select count(*) as n from audit_log", "--output", "csv")
+    assert(csv2 == "n\n6", csv2)
+  }
+
   test("export writes balanced shuffled shards with a manifest") {
     val dir = Files.createTempDirectory("graft_export_cli").toFile
     val out = s"${dir.getPath}/shards"

@@ -193,6 +193,42 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "t").count() == 50)
   }
 
+  test("wide dir scope (2000 dirs) plans as broadcast semi-join, " +
+    "not a predicate tree") {
+    // the compact/delete twin of UpsertSpec's wide-batch case: the
+    // partition_stress rehearsal killed compact with a
+    // StackOverflowError at 1 200 dirs (every dir of a fresh wide
+    // collect is fragmented, so the whole table is the work list) —
+    // scopeToDirs must switch to a join above ChainMax
+    val df = spark.range(4000).select(
+      lit("p0").as(TpSchema.Partition),
+      concat(lit("i"), col("id") % 2500).as(TpSchema.Index),
+      lit(2024).as(TpSchema.Year),
+      ((col("id") % 12) + 1).cast("int").as(TpSchema.Month),
+      col("id").as("v"))
+    val dirs = (0 until 2000).map(i => Map(
+      TpSchema.Partition -> "p0", TpSchema.Index -> s"i$i",
+      TpSchema.Year -> "2024", TpSchema.Month -> ((i % 12) + 1).toString))
+    val wide = Maintenance.scopeToDirs(df, dirs)
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftsemi"), plan.take(2000))
+    val dirSet = dirs.map(m =>
+      (m(TpSchema.Index), m(TpSchema.Month).toInt)).toSet
+    val expect = df.collect()
+      .filter(r => dirSet((r.getString(1), r.getInt(3))))
+      .map(_.getLong(4)).toSet
+    assert(expect.nonEmpty)
+    assert(wide.select("v").collect().map(_.getLong(0)).toSet == expect)
+    // narrow scopes keep the literal predicate (planning-time pruning)
+    val narrow = Maintenance.scopeToDirs(df, dirs.take(10))
+    assert(!narrow.queryExecution.executedPlan.toString.contains("Join"))
+    assert(narrow.select("v").collect().map(_.getLong(0)).toSet ==
+      df.collect().filter(r => dirs.take(10).map(m =>
+        (m(TpSchema.Index), m(TpSchema.Month).toInt)).toSet(
+          (r.getString(1), r.getInt(3)))).map(_.getLong(4)).toSet)
+  }
+
   test("compaction merges small files and orders by time; content unchanged") {
     val lake = newLake()
     // 3 appends of interleaved time ranges → ≥3 overlapping files/dir
