@@ -625,17 +625,48 @@ object Similarity {
     else slice(reverse(array_sort(scored)), 1, n)
   }
 
+  /** Cell ASSIGNMENT for corpus rows: flat argmax over all centroids.
+    *
+    * Deliberately NOT a two-level (FAISS-style coarse-quantizer)
+    * hierarchy — that was built and MEASURED this round, and rejected
+    * on the numbers. At 2M rows × nlist=1414 a best-cell-of-best-super
+    * scheme (g=⌈√nlist⌉ supers, literal member map, `element_at`
+    * lookup) cut build 51.6→11.8 s, but probing the resulting index
+    * took 9.8–10.7 s vs 5.8 s on the flat-assigned index — with
+    * IDENTICAL shuffle bytes (132 vs 133 MB). The slowdown is scan
+    * volume: two-level assignment funnels Voronoi-boundary mass into
+    * hub cells (max cell 12 457 rows = 8.8× the mean), hub cells are
+    * exactly the ones probes hit, and the partition-pruned scan reads
+    * whole cells before the join filters. An index is built once and
+    * probed forever — trading recurring probe scan volume for
+    * one-time build FLOPs is the wrong direction, so assignment
+    * stays exact. (The flat build is a map-side FLOP-bound stage
+    * with linear bytes — it scales out horizontally; PERF.md
+    * round 12.)
+    */
+  private def assignCell(
+      cents: Seq[(Int, Seq[Double])], vec: Column): Column =
+    bestCells(typedLit(cents), vec, 1).getItem(0).getField("cent")
+
+  /** Probe cells for a query: array<struct<cs,cent>> of the top
+    * `nprobe` cells by centroid dot (full sort — query batches are
+    * small; see [[assignCell]] for why there is no hierarchy here).
+    */
+  private def probeCells(
+      cents: Seq[(Int, Seq[Double])], vec: Column, nprobe: Int): Column =
+    bestCells(typedLit(cents), vec, nprobe)
+
   def annIvf(
       queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 256, nprobe: Int = 8,
       minSim: Double = Double.NegativeInfinity): DataFrame = {
-    val centArr = typedLit(coarseCentroids(candidates, nlist))
+    val cents = coarseCentroids(candidates, nlist)
 
     // id+cell only — vectors re-attach after the probe join
     val celled = candidates.select(col("cid"),
-      bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent").as("cell"))
+      assignCell(cents, col("cvec")).as("cell"))
     val probes = queries.select(col("qid"),
-        explode(bestCells(centArr, col("qvec"), nprobe)).as("p"))
+        explode(probeCells(cents, col("qvec"), nprobe)).as("p"))
       .select(col("qid"), col("p.cent").as("cell"))
     val pairs = celled.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("cid"))
@@ -680,10 +711,8 @@ object Similarity {
       path: String): Unit = {
     import spark.implicits._
     val cents = coarseCentroids(candidates, nlist)
-    val centArr = typedLit(cents)
     candidates
-      .withColumn("cell",
-        bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent"))
+      .withColumn("cell", assignCell(cents, col("cvec")))
       // co-locate each cell before the partitioned write: without
       // this, EVERY write task holds rows of ~every cell, so the
       // output is tasks×nlist fragment files — at nlist=√N that
@@ -713,10 +742,8 @@ object Similarity {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val centArr = typedLit(cents)
     candidates
-      .withColumn("cell",
-        bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent"))
+      .withColumn("cell", assignCell(cents, col("cvec")))
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$path/cells")
   }
@@ -734,9 +761,8 @@ object Similarity {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val centArr = typedLit(cents)
     val probes = queries.select(col("qid"),
-        explode(bestCells(centArr, col("qvec"), nprobe)).as("p"))
+        explode(probeCells(cents, col("qvec"), nprobe)).as("p"))
       .select(col("qid"), col("p.cent").as("cell"))
     // |Q|·nprobe cell ids — metadata-sized, becomes the partition filter
     val probedCells = probes.select("cell").distinct()
@@ -868,15 +894,15 @@ object Similarity {
   private[graft] def ivfPqShortlist(
       queries: DataFrame, candidates: DataFrame,
       nlist: Int, nprobe: Int, m: Int, ksub: Int, rerank: Int): DataFrame = {
-    val centArr = typedLit(coarseCentroids(candidates, nlist))
+    val cents = coarseCentroids(candidates, nlist)
     val idx = buildPqIndex(candidates, m, ksub)
     // ONE map-side pass over the corpus computes both index columns
     // (cell + codes); the scan output is ids + m codes, never vectors
     val enc = candidates.select(col("cid"),
-      bestCells(centArr, col("cvec"), 1).getItem(0).getField("cent").as("cell"),
+      assignCell(cents, col("cvec")).as("cell"),
       pqEncode(idx, col("cvec")).as("codes"))
     val probes = queries.select(col("qid"),
-        explode(bestCells(centArr, col("qvec"), nprobe)).as("p"))
+        explode(probeCells(cents, col("qvec"), nprobe)).as("p"))
       .select(col("qid"), col("p.cent").as("cell"))
     val qt = queries.select(col("qid"), pqQTable(idx, col("qvec")).as("qtable"))
     val adc = enc.join(broadcast(probes), Seq("cell"))

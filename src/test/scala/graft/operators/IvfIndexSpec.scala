@@ -89,6 +89,46 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("large-nlist quantizer contract: planted copies land with " +
+    "their originals and probe at rank 1") {
+    // nlist=200 ≈ one cell per two corpus vectors — the degenerate
+    // high-resolution regime. This pins the properties any future
+    // quantizer swap must preserve (the round-12 two-level experiment
+    // was measured against exactly these before being rejected —
+    // assignCell scaladoc): argmax-over-dots is scale-invariant, so a
+    // near-copy picks the same cell as its original, lands in its
+    // directory, and probes back at rank 1, deterministically.
+    val path = Files.createTempDirectory("graft_ivf_hier").toString
+    Similarity.buildIvfIndex(spark, corpus, nlist = 200, path = path)
+    // ~one vector per two cells: the planted copy must share its
+    // original's cell directory
+    val cells = spark.read.parquet(s"$path/cells")
+      .select("cid", "cell").as[(Long, Int)].collect().toMap
+    (0L until 6L).foreach { id =>
+      assert(cells(id + 1000) == cells(id),
+        s"copy of $id landed in cell ${cells(id + 1000)}, " +
+          s"original in ${cells(id)}")
+    }
+    val hits = Similarity.probeIvfIndex(spark, path, queries, k = 1,
+        nprobe = 4, minSim = 0.99)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(hits === (0L until 6L).map(id => (id, id + 1000)).toSet)
+    // deterministic: a second probe returns the identical set
+    val again = Similarity.probeIvfIndex(spark, path, queries, k = 1,
+        nprobe = 4, minSim = 0.99)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(again === hits)
+    // append path uses the same two-level rule: re-adding a copy of
+    // vector 7 lands in vector 7's cell
+    Similarity.appendToIvfIndex(spark,
+      corpus.where($"cid" === 7)
+        .select(($"cid" + 5000).as("cid"),
+          transform($"cvec", x => x * 3.0).as("cvec")), path)
+    val cells2 = spark.read.parquet(s"$path/cells")
+      .select("cid", "cell").as[(Long, Int)].collect().toMap
+    assert(cells2(5007L) == cells2(7L))
+  }
+
   test("autoNlist: the √N rule, clamped to [16, 65536]") {
     assert(Similarity.autoNlist(1L) == 16)        // floor
     assert(Similarity.autoNlist(40L) == 16)       // √40 ≈ 6 → floor
