@@ -92,6 +92,20 @@ object ScaleRehearsal {
             lit(2 * VecHalfRange)) - lit(VecHalfRange))
           .cast("double") / VecHalfRange.toDouble).as("cvec"))
 
+  /** Directory-wide events: `idxN` index values × 12 months of 2024,
+    * ~`n/(idxN·12)` rows per leaf dir (the partition_stress fixture —
+    * wide in directories, thin in rows).
+    */
+  def wideEvents(spark: SparkSession, idxN: Int, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      // deterministic spread over exactly 12 months of 2024
+      timestamp_seconds(lit(1704067200L) +
+        pmod(xxhash64(col("id"), lit("t")), lit(31622400L))).as("ts"),
+      concat(lit("i"), pmod(col("id"), lit(idxN))).as("idx"),
+      (pmod(xxhash64(col("id"), lit("v")), lit(1000)).cast("double")
+        / 10.0).as("value"))
+
   /** Events spread over 30 days / 5 types (the compaction fixture). */
   def events(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
@@ -421,14 +435,7 @@ object ScaleRehearsal {
         ensureFixture(lakeRoot, s"pstress;v3;idx=$idxN;months=12;rpd=8;b=2") {
           val spec = graft.config.PartitionSpec("events_wide", "p0",
             tpIndexColumn = Some("idx"))
-          val src = spark.range(n).select(
-            col("id").as("event_id"),
-            // deterministic spread over exactly 12 months of 2024
-            timestamp_seconds(lit(1704067200L) +
-              pmod(xxhash64(col("id"), lit("t")), lit(31622400L))).as("ts"),
-            concat(lit("i"), pmod(col("id"), lit(idxN))).as("idx"),
-            (pmod(xxhash64(col("id"), lit("v")), lit(1000)).cast("double")
-              / 10.0).as("value"))
+          val src = wideEvents(spark, idxN, n)
           // two interleaved appends so every dir holds 2 overlapping
           // files — the rebalanced append writes one file per dir per
           // batch, and a single-batch table would be born compact,

@@ -41,6 +41,25 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkTest {
     assert(v == v2)
   }
 
+  test("wideEvents: 12-month 2024 window, full index cardinality, " +
+    "deterministic") {
+    val e = ScaleRehearsal.wideEvents(spark, 50, 3000).collect()
+    assert(e.length == 3000)
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    e.foreach { r =>
+      val ts = r.getTimestamp(1)
+      assert(!ts.before(lo) && ts.before(hi), ts)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 100.0)
+    }
+    // every index value appears — the dir fan-out the stress family
+    // advertises is real, not an upper bound
+    assert(e.map(_.getString(2)).toSet.size == 50)
+    val again = ScaleRehearsal.wideEvents(spark, 50, 3000).collect()
+      .map(_.toString).toSeq
+    assert(again == e.map(_.toString).toSeq)
+  }
+
   test("events: 30-day window, 5 types, non-negative values") {
     val e = ScaleRehearsal.events(spark, 500).collect()
     assert(e.length == 500)
