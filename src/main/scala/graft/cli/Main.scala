@@ -276,7 +276,12 @@ object Main {
     // tp_table= dirs against the views.sql catalog, migrate matched,
     // archive unmatched (Importer.importLegacyWorkspace scaladoc)
     if (opts.flag("legacy").isDefined) {
-      val ws = opts.flag("legacy").get
+      // `--legacy <dir>` or `--legacy` + positional dir; a bare
+      // --legacy parses as value "true" — don't mistake it for a path
+      val ws = opts.flag("legacy").filterNot(_ == "true")
+        .orElse(opts.positional.headOption)
+        .getOrElse(throw new IllegalArgumentException(
+          "import --legacy requires a <workspace-dir> argument"))
       val res = graft.ingest.Importer.importLegacyWorkspace(spark, lake, ws,
         timestampColumn =
           opts.flag("timestamp-column").getOrElse("tp_timestamp"))

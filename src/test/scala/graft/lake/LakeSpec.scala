@@ -193,6 +193,29 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "t").count() == 50)
   }
 
+  test("append writes one file per touched dir, not one per task") {
+    // the REBALANCE-on-partition-columns pin: without it a 32-thread
+    // append of a 60-dir batch emits up to tasks×dirs fragment files
+    // (~8 per 8-row dir measured on the 12k-dir import), and every
+    // downstream read/compact pays the open-file tax
+    val lake = newLake()
+    val raw = spark.range(480).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, id % 720, 0, 0)").as("tp_timestamp"),
+      concat(lit("x"), col("id") % 60).as("idx"),
+      col("id").cast("double").as("v"))
+    lake.append(spark, "wide",
+      TpSchema.enrich(raw, PartitionSpec("wide", "p0",
+        tpIndexColumn = Some("idx"))))
+    val files = lake.dataFiles(spark, "wide")
+    val perDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(perDir.values.forall(_.size == 1),
+      s"fragmented dirs: ${perDir.filter(_._2.size > 1).keys.take(3)}")
+    assert(perDir.size >= 60, s"expected ≥60 dirs, got ${perDir.size}")
+    assert(lake.read(spark, "wide").count() == 480)
+  }
+
   test("wide dir scope (2000 dirs) plans as broadcast semi-join, " +
     "not a predicate tree") {
     // the compact/delete twin of UpsertSpec's wide-batch case: the
