@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
   *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
-  *     rollup,compact,partition_stress (default all)
+  *     rollup,compact,partition_stress,stream (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -209,7 +209,7 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
-        "partition_stress"))
+        "partition_stress", "stream"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -411,6 +411,155 @@ object ScaleRehearsal {
         record("compact", m, n, time {
           graft.lake.Maintenance.compact(spark, lake, "events_scale")
         })
+      }
+      // ---- streaming bounded-state rehearsal (interval join +
+      // sessionize). The streaming claim in StreamIngest's scaladoc —
+      // "bounded state is what survives an unbounded stream at
+      // 100 TB/day" — has exponents nowhere; this family measures it.
+      // Fixture: the events corpus split into TIME-ORDERED inbox
+      // files (slice i = the i-th 1/8 of the 30-day range, written
+      // sequentially so file mod-times, which the file source orders
+      // batches by, advance with event time). That is the production
+      // inbox shape: the watermark then moves monotonically, state
+      // evicts as it goes, and nothing is dropped as late. Timed:
+      // drain all 8 micro-batches (maxFilesPerTrigger=1) through
+      //  - stream_ijoin: the qi22 interval join (±30 min, 1 h
+      //    watermark, shuffle partitions sized to key cardinality
+      //    BEFORE the first checkpoint — the qi22 rule), and
+      //  - stream_sess: flatMapGroupsWithState sessionize (30 min
+      //    gap, 1 h watermark),
+      // both into a checkpointed noop sink. The claims under test:
+      // wall ≈ linear in rows at constant batch count (per-batch
+      // state-store commit overhead amortizes), and peak state rows
+      // track ACTIVE KEYS (flat 1k users), not input size — the
+      // max-over-progress numRowsTotal is printed alongside.
+      if (families("stream")) {
+        val n = EventsBase * m
+        val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        def mkInbox(sroot: String, slices: Int): Unit =
+          ensureFixture(sroot, s"stream;v1;n=$n;slices=$slices") {
+            val src = events(spark, n)
+              .withColumn("slice",
+                least(floor((unix_timestamp(col("ts")) - lit(1704067200L))
+                  / lit(2592000L / slices)), lit(slices - 1L)))
+            for (i <- 0 until slices) {
+              val s = src.where(col("slice") === i)
+              s.where(col("event_type") === "purchase")
+                .select(col("event_id").as("p_id"),
+                  date_format(col("ts"), fmt).as("ts"),
+                  col("user_id").as("p_user"))
+                .coalesce(1).write.mode("append").json(s"$sroot/purchases")
+              s.where(col("event_type") === "error")
+                .select(col("event_id").as("e_id"),
+                  date_format(col("ts"), fmt).as("ts"),
+                  col("user_id").as("e_user"))
+                .coalesce(1).write.mode("append").json(s"$sroot/errors")
+              s.select(concat(lit("u"), col("user_id")).as("key"),
+                  date_format(col("ts"), fmt).as("ts"))
+                .coalesce(1).write.mode("append").json(s"$sroot/all")
+            }
+          }
+        val sroot = s"$root/stream_x$m"
+        mkInbox(sroot, slices = 8)
+        def inbox(dir: String, idCol: String, tsOut: String,
+            keyOut: String): DataFrame = {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(keyOut,
+              org.apache.spark.sql.types.LongType)))
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(dir)
+            .select(col(idCol), to_timestamp(col("ts"), fmt).as(tsOut),
+              col(keyOut))
+        }
+        def drainStateRows(q: org.apache.spark.sql.streaming
+            .StreamingQuery): Long = {
+          q.awaitTermination()
+          q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max)
+        }
+        def drainIjoin(root0: String): Long = {
+          val joined = graft.streaming.StreamIngest.intervalJoin(
+            inbox(s"$root0/purchases", "p_id", "p_ts", "p_user"),
+            inbox(s"$root0/errors", "e_id", "e_ts", "e_user"),
+            "p_user", "e_user", "p_ts", "e_ts",
+            before = "30 minutes", after = "30 minutes",
+            leftDelay = "1 hour", rightDelay = "1 hour")
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          val q = try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            joined.writeStream.format("noop")
+              .option("checkpointLocation", s"$root0/ckpt_ij")
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+          drainStateRows(q)
+        }
+        // untimed warmup ONCE, at the first multiplier: the first
+        // streaming query in a JVM pays state-store provider and
+        // FileStreamSource class-init/JIT that contaminated the 1×
+        // point (first measured run: 13.5 s at 1× vs 10.4 s at 10× —
+        // a negative exponent from pure warmup). Drain the join once
+        // on the smallest inbox, throw the time away.
+        if (m == mults.min) {
+          rmrf(s"$sroot/ckpt_ij")
+          drainIjoin(sroot)
+          ()
+        }
+        rmrf(s"$sroot/ckpt_ij")
+        var ijState = 0L
+        record("stream_ijoin", m, n, time { ijState = drainIjoin(sroot) })
+        println(s"""{"family":"stream_ijoin","mult":$m,"max_state_rows":$ijState}""")
+        // trigger-granularity variant at the top multiplier: same
+        // corpus split into 4× more files (32 micro-batches). Interval-
+        // join state holds (current batch span + watermark) of BOTH
+        // sides, so max state rows should drop ≈4× while wall pays 4×
+        // more per-batch commits — the trigger-interval knob measured:
+        // state is bounded by arrival-rate × (trigger + watermark),
+        // not by history.
+        if (m == mults.max) {
+          val froot = s"$root/streamfine_x$m"
+          mkInbox(froot, slices = 32)
+          rmrf(s"$froot/ckpt_ij")
+          var fState = 0L
+          record("stream_ijoin32", m, n, time {
+            fState = drainIjoin(froot)
+          })
+          println(s"""{"family":"stream_ijoin32","mult":$m,"max_state_rows":$fState}""")
+        }
+        rmrf(s"$sroot/ckpt_sess")
+        var sessState = 0L
+        record("stream_sess", m, n, time {
+          import spark.implicits._
+          val evs = spark.readStream.schema(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("key",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("ts",
+                  org.apache.spark.sql.types.StringType))))
+            .option("maxFilesPerTrigger", 1).json(s"$sroot/all")
+            .select(col("key"), to_timestamp(col("ts"), fmt).as("ts"))
+            .as[graft.streaming.StreamIngest.Event]
+          val sess = graft.streaming.StreamIngest.sessionize(evs,
+            gapSecs = 1800, watermarkDelay = "1 hour")
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          val q = try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            sess.writeStream.format("noop")
+              .option("checkpointLocation", s"$sroot/ckpt_sess")
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+          sessState = drainStateRows(q)
+        })
+        println(s"""{"family":"stream_sess","mult":$m,"max_state_rows":$sessState}""")
       }
       // ---- high-cardinality partition PLANNING stress (r11 task 5) --
       // The upsert predicate path is pinned to 2000 dirs (UpsertSpec);
