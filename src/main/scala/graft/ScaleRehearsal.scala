@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
   *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
-  *     rollup,compact,partition_stress,stream (default all)
+  *     rollup,compact,partition_stress,stream,wide_schema (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -209,7 +209,7 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
-        "partition_stress", "stream"))
+        "partition_stress", "stream", "wide_schema"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -410,6 +410,74 @@ object ScaleRehearsal {
         }
         record("compact", m, n, time {
           graft.lake.Maintenance.compact(spark, lake, "events_scale")
+        })
+      }
+      // ---- wide-schema stress: the multiplier scales COLUMN COUNT
+      // (100·m columns, rows fixed at 20k) through the full ingest
+      // path — JSONL parse under a declared 100·m-column TableSpec,
+      // Conversion's per-column cast projection, Validation's
+      // single-aggregate over the required columns, the partitioned
+      // append, then a 1-column pruned aggregate and a compact pass.
+      // This is the CloudTrail-shaped table (hundreds of sparse
+      // columns) the row-scaled families never exercise; the failure
+      // modes hunted are width-quadratic analysis, codegen falling
+      // over the 64KB method limit on the validation aggregate, and a
+      // pruned read that fails to prune (wall would track width, not
+      // the 1 column read).
+      if (families("wide_schema")) {
+        val w = 100 * m
+        val rows = 20000L
+        val wroot = s"$root/wide_x$m"
+        val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ensureFixture(wroot, s"wide;v1;w=$w;rows=$rows;files=4") {
+          val cols = (0 until w).map { j =>
+            val v = (pmod(xxhash64(col("event_id"), lit(j)), lit(10000))
+              .cast("double") / 100.0)
+            // ~1% planted nulls on one required and one optional
+            // column so validation's violated-column path runs
+            if (j == 5 || j == 50)
+              when(pmod(col("event_id"), lit(100)) === 7 + j % 100,
+                  lit(null))
+                .otherwise(v).as(s"c$j")
+            else v.as(s"c$j")
+          }
+          events(spark, rows)
+            .select(Seq(col("event_id"),
+              date_format(col("ts"), fmt).as("ts"),
+              col("event_type")) ++ cols.map(c => c): _*)
+            .repartition(4).write.mode("overwrite").json(s"$wroot/jsonl")
+        }
+        val chunkFiles = new java.io.File(s"$wroot/jsonl").listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".json"))
+          .map(_.getPath).toSeq.sorted
+        val tspec = graft.config.TableSpec(s"events_w$w",
+          Seq(graft.config.ColumnSpec("event_id", Some("bigint"),
+            required = true),
+            graft.config.ColumnSpec("ts", Some("timestamp")),
+            graft.config.ColumnSpec("event_type", Some("varchar"))) ++
+            (0 until w).map(j => graft.config.ColumnSpec(s"c$j",
+              Some("double"), required = j < 10)))
+        val lakeRoot = s"$wroot/lake"
+        rmrf(lakeRoot)
+        val lake = graft.lake.Lake(lakeRoot)
+        val spec = graft.config.PartitionSpec(s"events_w$w", "p0",
+          tpIndexColumn = Some("event_type"))
+        record("ws_collect", m, w, time {
+          // two interleaved collects → 2 overlapping files per dir, so
+          // ws_compact below has real work at every width
+          chunkFiles.grouped((chunkFiles.size + 1) / 2).foreach { files =>
+            graft.ingest.Ingest.collectJsonl(spark, lake, spec, files,
+              tspec, timestampColumn = "ts")
+          }
+        })
+        record("ws_pruned", m, w, time {
+          // 2 of 100·m+8 columns: wall must track the columns READ
+          lake.read(spark, s"events_w$w")
+            .agg(sum(col("c0")), max(col("tp_timestamp"))).head()
+          ()
+        })
+        record("ws_compact", m, w, time {
+          graft.lake.Maintenance.compact(spark, lake, s"events_w$w")
         })
       }
       // ---- streaming bounded-state rehearsal (interval join +
