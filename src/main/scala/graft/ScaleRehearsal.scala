@@ -586,10 +586,13 @@ object ScaleRehearsal {
         // trigger-granularity variant at the top multiplier: same
         // corpus split into 4× more files (32 micro-batches). Interval-
         // join state holds (current batch span + watermark) of BOTH
-        // sides, so max state rows should drop ≈4× while wall pays 4×
-        // more per-batch commits — the trigger-interval knob measured:
-        // state is bounded by arrival-rate × (trigger + watermark),
-        // not by history.
+        // sides, so max state rows drop ≈4×; wall trades per-batch
+        // commit overhead against the join probe, which is QUADRATIC
+        // in per-key batch span (state is keyed, not time-indexed —
+        // each row scans all same-key state). Measured crossover: at
+        // 1M events coarse wins (9.6 vs 30.9 s, commit-bound); at 10M
+        // fine wins (53.4 vs 138.8 s, probe-bound). See the
+        // intervalJoin scaladoc operating rule + PERF.md.
         if (m == mults.max) {
           val froot = s"$root/streamfine_x$m"
           mkInbox(froot, slices = 32)

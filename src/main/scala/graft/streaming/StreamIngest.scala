@@ -336,6 +336,21 @@ object StreamIngest {
     * Column names must be disjoint across the two sides (the caller
     * aliases; enforced here so the failure is immediate, not a
     * mid-stream analysis error).
+    *
+    * Operating rule, measured (PERF.md round-12 stream family): the
+    * join state is keyed but NOT time-indexed — every arriving row
+    * retrieves ALL same-key state rows (the full trigger span +
+    * watermark horizon) and filters the range predicate row by row,
+    * so probe work per trigger is rows_per_trigger ×
+    * state_rows_per_key, quadratic in per-key trigger span. The
+    * trigger interval therefore has a floor (per-trigger state-store
+    * commit cost, ~1 s × stores × partitions here) AND a ceiling
+    * (the quadratic probe: 8 vs 32 triggers over the same 10M events
+    * measured 138.8 vs 53.4 s) — size it with arrival rate so
+    * per-key rows per trigger stay near the join window's occupancy,
+    * and keep `leftDelay`/`rightDelay` as tight as late data allows:
+    * watermark slack is state the probe re-scans every trigger, not
+    * just memory.
     */
   def intervalJoin(
       left: DataFrame, right: DataFrame,
