@@ -103,7 +103,11 @@ object Importer {
     *    crashed run RESUMES from where it stopped instead of
     *    double-appending (the reference's leaf-by-leaf move,
     *    migration.go:518-541, done per-table here because the import
-    *    itself is one distributed job, not a per-leaf loop)
+    *    itself is one distributed job, not a per-leaf loop); the
+    *    append→move window is closed by a `.migrate_done_<table>`
+    *    marker written between the committed append and the move —
+    *    a rerun that finds the marker finishes the move without
+    *    re-importing
     *  - a `migration_status.json` summary lands in the workspace
     *    (status.go's WriteStatusToFile)
     */
@@ -122,8 +126,14 @@ object Importer {
         "catalog names the tables to migrate; without it every " +
         "tp_table directory is unmatched (refusing to guess)")
     val sql = new String(Files.readAllBytes(viewsSql.toPath), "UTF-8")
-    val views = """(?i)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"?([A-Za-z0-9_]+)"?"""
-      .r.findAllMatchIn(sql).map(_.group(1)).toSet
+    // the view name may be schema-qualified (CREATE VIEW main.audit_log
+    // AS ...) — capture the LAST identifier of the dotted name, else the
+    // schema would register as the view and the real table's dir would
+    // be silently archived as unmatched (ADVICE r12)
+    val views =
+      ("""(?i)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+""" +
+        """(?:"?[A-Za-z0-9_]+"?\.)?"?([A-Za-z0-9_]+)"?""")
+        .r.findAllMatchIn(sql).map(_.group(1)).toSet
 
     def hasParquet(d: File): Boolean = {
       val kids = Option(d.listFiles()).getOrElse(Array.empty)
@@ -147,14 +157,39 @@ object Importer {
       views.contains(d.getName.stripPrefix("tp_table="))
     }
     unmatched.foreach(moveTo(_, "unmigrated"))
+    // crash-window closure (ADVICE r12): the append commits before the
+    // dir moves to migrated/, so a crash between the two would leave
+    // the dir in place and a rerun would double-append. A per-table
+    // completion marker written AFTER the commit but BEFORE the move
+    // lets the rerun distinguish crashed-mid-move (marker present →
+    // just finish the move, do not re-import) from not-started. The
+    // marker is deleted after the move; one orphaned after a crash
+    // between move and delete points at a dir that no longer exists
+    // and is swept below.
+    def markerOf(table: String) = new File(ws, s".migrate_done_$table")
     val migrated = matched.toSeq.map { d =>
       val table = d.getName.stripPrefix("tp_table=")
-      val res = importParquet(spark, lake, d.getPath,
-        graft.config.PartitionSpec(table, "legacy"),
-        timestampColumn = timestampColumn)
+      val marker = markerOf(table)
+      val rows =
+        if (marker.isFile) {
+          new String(Files.readAllBytes(marker.toPath), "UTF-8").trim.toLong
+        } else {
+          val res = importParquet(spark, lake, d.getPath,
+            graft.config.PartitionSpec(table, "legacy"),
+            timestampColumn = timestampColumn)
+          Files.write(marker.toPath,
+            res.rowsIngested.toString.getBytes("UTF-8"))
+          res.rowsIngested
+        }
       moveTo(d, "migrated")
-      (table, res.rowsIngested)
+      Files.deleteIfExists(marker.toPath)
+      (table, rows)
     }
+    // sweep markers orphaned by a crash after the move: their dir is
+    // already in migrated/, the work is done, only the marker remains
+    Option(ws.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".migrate_done_"))
+      .foreach(f => Files.deleteIfExists(f.toPath))
 
     val status =
       s"""{"migrated_tables":${migrated.size},""" +

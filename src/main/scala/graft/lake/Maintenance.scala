@@ -610,7 +610,23 @@ object Maintenance {
     * bound, generalized to all four partition columns).
     */
   private[lake] def scopeToDirs(
-      df: DataFrame, dirs: Seq[Map[String, String]]): DataFrame =
+      df: DataFrame, dirs: Seq[Map[String, String]]): DataFrame = {
+    // a __HIVE_DEFAULT_PARTITION__ segment means a null partition
+    // value: toInt below would throw opaquely, and an equality join
+    // can NEVER match a null — maintenance would silently skip the
+    // dir. The normal enrich path cannot produce one (tp_index is
+    // coalesced, the timestamp is required), so fail loudly here in
+    // case a future ingest path admits nulls (ADVICE r12).
+    val DefaultPart = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    dirs.foreach { vals =>
+      TpSchema.partitionCols.foreach { c =>
+        require(vals(c) != DefaultPart,
+          s"maintenance: null-valued partition segment $c=$DefaultPart " +
+            "cannot be scoped (equality predicates never match null); " +
+            "repair the partition value before compacting/deleting it")
+      }
+    }
     if (dirs.size <= Upsert.ChainMax)
       df.where(dirs.map(dirValuesPredicate).reduce(_ || _))
     else {
@@ -628,6 +644,7 @@ object Maintenance {
           col(TpSchema.Month) === col("__dm"),
         "left_semi")
     }
+  }
 
   private def dirValuesPredicate(vals: Map[String, String]): Column =
     TpSchema.partitionCols.map { c =>

@@ -229,16 +229,27 @@ object StreamIngest {
     parsed.getOrElse("default")
   }
 
+  /** `_stream_commits/` trees whose legacy flat markers were already
+    * swept in this JVM — the upgrade sweep is genuinely one-time per
+    * query start, not per micro-batch (ADVICE r12: the per-batch
+    * re-list was an extra LIST + potential DELETE per trigger for the
+    * stream's lifetime on an object store).
+    */
+  private val sweptCommitRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Create `_stream_commits/<queryId>/<batchId>` with `content`,
-    * then prune markers older than the trailing window. Also sweeps
-    * any LEGACY flat markers (`_stream_commits/<batchId>`, written
-    * before markers were queryId-namespaced): they are never
-    * consulted — matching them against a possibly-rebuilt checkpoint
-    * is exactly the aliasing hazard the namespacing closed, and a
-    * wrong match silently DROPS a batch, which is strictly worse than
-    * the one-batch duplicate append the sweep admits (at-least-once,
+    * then prune markers older than the trailing window. On the FIRST
+    * marker write of a commit root in this JVM, also sweeps any
+    * LEGACY flat markers (`_stream_commits/<batchId>`, written before
+    * markers were queryId-namespaced): they are never consulted —
+    * matching them against a possibly-rebuilt checkpoint is exactly
+    * the aliasing hazard the namespacing closed, and a wrong match
+    * silently DROPS a batch, which is strictly worse than the
+    * one-batch duplicate append the sweep admits (at-least-once,
     * dedup backstop; ADVICE r11) — so without the sweep they leak
-    * forever. Two directory lists per batch — metadata-sized.
+    * forever. One directory list per batch plus one extra at query
+    * start — metadata-sized.
     */
   private[streaming] def writeMarker(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -252,16 +263,14 @@ object StreamIngest {
         val id = scala.util.Try(st.getPath.getName.toLong).toOption
         if (id.exists(_ < cutoff)) { fs.delete(st.getPath, false); () }
       }
-    // one-time upgrade sweep: flat FILES with numeric names directly
-    // under _stream_commits/ are pre-namespacing markers — delete
-    // them (namespace dirs are untouched); after the first batch of
-    // an upgraded stream this list finds nothing
-    fs.listStatus(marker.getParent.getParent).foreach { st =>
-      if (st.isFile &&
-          scala.util.Try(st.getPath.getName.toLong).isSuccess) {
-        fs.delete(st.getPath, false); ()
+    val commitRoot = marker.getParent.getParent
+    if (sweptCommitRoots.add(commitRoot.toString))
+      fs.listStatus(commitRoot).foreach { st =>
+        if (st.isFile &&
+            scala.util.Try(st.getPath.getName.toLong).isSuccess) {
+          fs.delete(st.getPath, false); ()
+        }
       }
-    }
   }
 
   /** Quarantine directory of a table — under the lake root's

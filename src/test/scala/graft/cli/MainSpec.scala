@@ -546,6 +546,47 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(csv2 == "n\n6", csv2)
   }
 
+  test("import --legacy: qualified view names match; completion marker " +
+    "closes the append-then-move crash window") {
+    import org.apache.spark.sql.functions._
+    val ws = Files.createTempDirectory("graft_legacy_ws2").toFile
+    def legacyRows(n: Int) = spark.range(n).select(
+      expr("timestamp'2024-05-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)")
+        .as("tp_timestamp"),
+      concat(lit("r"), col("id")).as("request"),
+      (col("id") % 2 === 0).as("ok"))
+    // schema-qualified CREATE VIEW must register 'audit2', not 'main'
+    legacyRows(5).write.parquet(s"${ws.getPath}/tp_table=audit2")
+    // crash simulation: a prior run appended crash_log and wrote its
+    // completion marker, then died before moving the dir — the rerun
+    // must finish the move WITHOUT re-importing (no double-append;
+    // here the table was never created, so re-importing would create
+    // it — its absence proves the skip)
+    legacyRows(4).write.parquet(s"${ws.getPath}/tp_table=crash_log")
+    write(new File(ws, ".migrate_done_crash_log"), "4")
+    write(new File(ws, "views.sql"),
+      """CREATE VIEW main.audit2 AS SELECT * FROM read_parquet('...');
+        |CREATE OR REPLACE VIEW "main"."crash_log" AS SELECT 1;
+        |""".stripMargin)
+    val (rc, msg) = cli(root, "import", "--legacy", ws.getPath)
+    assert(rc == 0, msg)
+    assert(msg.contains("Migrated audit2.legacy: 5 rows"), msg)
+    assert(msg.contains("Migrated crash_log.legacy: 4 rows"), msg)
+    assert(!msg.contains("Archived"), msg)
+    assert(new File(ws, "migrated/tp_table=audit2").isDirectory)
+    assert(new File(ws, "migrated/tp_table=crash_log").isDirectory)
+    // markers consumed after the move
+    assert(!new File(ws, ".migrate_done_audit2").exists)
+    assert(!new File(ws, ".migrate_done_crash_log").exists)
+    val (rcQ, csv) = cli(root, "query",
+      "select count(*) as n from audit2", "--output", "csv")
+    assert(rcQ == 0 && csv == "n\n5", csv)
+    // crash_log was NOT re-imported: the lake never saw its rows
+    val (rcC, msgC) = cli(root, "query",
+      "select count(*) as n from crash_log", "--output", "csv")
+    assert(rcC == 1, s"crash_log should not exist in the lake: $msgC")
+  }
+
   test("export writes balanced shuffled shards with a manifest") {
     val dir = Files.createTempDirectory("graft_export_cli").toFile
     val out = s"${dir.getPath}/shards"

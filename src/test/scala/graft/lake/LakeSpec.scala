@@ -252,6 +252,26 @@ class LakeSpec extends AnyFunSuite with SparkTest {
           (r.getString(1), r.getInt(3)))).map(_.getLong(4)).toSet)
   }
 
+  test("scopeToDirs refuses a null-valued (__HIVE_DEFAULT_PARTITION__) " +
+    "segment loudly") {
+    // equality predicates/joins can never match a null partition value,
+    // so maintenance would crash (toInt) or silently skip the dir —
+    // both worse than a clear error (ADVICE r12)
+    val df = spark.range(4).select(
+      lit("p0").as(TpSchema.Partition), lit("i0").as(TpSchema.Index),
+      lit(2024).as(TpSchema.Year), lit(1).as(TpSchema.Month),
+      col("id").as("v"))
+    val nullDir = Map(
+      TpSchema.Partition -> "p0", TpSchema.Index -> "i0",
+      TpSchema.Year -> "__HIVE_DEFAULT_PARTITION__",
+      TpSchema.Month -> "1")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.scopeToDirs(df, Seq(nullDir))
+    }
+    assert(e.getMessage.contains("null-valued partition segment"),
+      e.getMessage)
+  }
+
   test("compaction merges small files and orders by time; content unchanged") {
     val lake = newLake()
     // 3 appends of interleaved time ranges → ≥3 overlapping files/dir

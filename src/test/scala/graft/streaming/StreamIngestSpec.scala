@@ -275,6 +275,30 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(kept.last == StreamIngest.MarkerKeep + 49)
   }
 
+  test("legacy flat-marker sweep runs once per commit root, not per batch") {
+    val root = Files.createTempDirectory("graft_markers_sweep").toString
+    val commits = new org.apache.hadoop.fs.Path(s"$root/_stream_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(commits)
+    // a pre-namespacing flat marker left by an older build
+    val legacy = new org.apache.hadoop.fs.Path(commits, "7")
+    val out = fs.create(legacy, true)
+    out.write("old".getBytes("UTF-8")); out.close()
+    // first namespaced write sweeps it ...
+    StreamIngest.writeMarker(fs,
+      new org.apache.hadoop.fs.Path(commits, "qid-a/0"), "d0")
+    assert(!fs.exists(legacy), "legacy flat marker not swept at start")
+    // ... and later batches do NOT re-list the root: plant another
+    // flat file and confirm subsequent writes leave it alone (ADVICE
+    // r12 — the per-batch sweep was an extra LIST+DELETE per trigger)
+    val planted = new org.apache.hadoop.fs.Path(commits, "9")
+    val out2 = fs.create(planted, true)
+    out2.write("x".getBytes("UTF-8")); out2.close()
+    StreamIngest.writeMarker(fs,
+      new org.apache.hadoop.fs.Path(commits, "qid-a/1"), "d1")
+    assert(fs.exists(planted), "sweep ran again on a later batch")
+  }
+
   test("quality rule pack gates a stream statelessly (no state store)") {
     // QualityRules is pure per-row column algebra, so it composes into
     // a streaming pipeline with no watermark and no state — the shape
