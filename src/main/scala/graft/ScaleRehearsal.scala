@@ -529,38 +529,39 @@ object ScaleRehearsal {
           }
         val sroot = s"$root/stream_x$m"
         mkInbox(sroot, slices = 8)
-        def inbox(dir: String, idCol: String, tsOut: String,
-            keyOut: String): DataFrame = {
-          val schema = org.apache.spark.sql.types.StructType(Seq(
+        def jschema(idCol: String, keyOut: String) =
+          org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField(idCol,
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("ts",
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField(keyOut,
               org.apache.spark.sql.types.LongType)))
-          spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).json(dir)
+        def inbox(dir: String, idCol: String, tsOut: String,
+            keyOut: String, mfpt: Int): DataFrame =
+          spark.readStream.schema(jschema(idCol, keyOut))
+            .option("maxFilesPerTrigger", mfpt).json(dir)
             .select(col(idCol), to_timestamp(col("ts"), fmt).as(tsOut),
               col(keyOut))
-        }
         def drainStateRows(q: org.apache.spark.sql.streaming
             .StreamingQuery): Long = {
           q.awaitTermination()
           q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
             .foldLeft(0L)(math.max)
         }
-        def drainIjoin(root0: String): Long = {
+        def drainIjoin(root0: String, parts: Int, mfpt: Int,
+            ckpt: String = "ckpt_ij"): Long = {
           val joined = graft.streaming.StreamIngest.intervalJoin(
-            inbox(s"$root0/purchases", "p_id", "p_ts", "p_user"),
-            inbox(s"$root0/errors", "e_id", "e_ts", "e_user"),
+            inbox(s"$root0/purchases", "p_id", "p_ts", "p_user", mfpt),
+            inbox(s"$root0/errors", "e_id", "e_ts", "e_user", mfpt),
             "p_user", "e_user", "p_ts", "e_ts",
             before = "30 minutes", after = "30 minutes",
             leftDelay = "1 hour", rightDelay = "1 hour")
           val prev = spark.conf.get("spark.sql.shuffle.partitions")
           val q = try {
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
             joined.writeStream.format("noop")
-              .option("checkpointLocation", s"$root0/ckpt_ij")
+              .option("checkpointLocation", s"$root0/$ckpt")
               .outputMode("append")
               .trigger(org.apache.spark.sql.streaming.Trigger
                 .AvailableNow())
@@ -576,13 +577,51 @@ object ScaleRehearsal {
         // on the smallest inbox, throw the time away.
         if (m == mults.min) {
           rmrf(s"$sroot/ckpt_ij")
-          drainIjoin(sroot)
+          drainIjoin(sroot, parts = 8, mfpt = 1)
           ()
         }
         rmrf(s"$sroot/ckpt_ij")
         var ijState = 0L
-        record("stream_ijoin", m, n, time { ijState = drainIjoin(sroot) })
+        record("stream_ijoin", m, n, time {
+          ijState = drainIjoin(sroot, parts = 8, mfpt = 1)
+        })
         println(s"""{"family":"stream_ijoin","mult":$m,"max_state_rows":$ijState}""")
+        // AUTO mode (verdict r12 task 1): the same join on a 32-slice
+        // inbox with autoState choosing BOTH knobs — shuffle
+        // partitions from key cardinality and files-per-trigger from
+        // the commit/probe cost balance. The claim under test: auto
+        // matches or beats the best hand-tuned variant at EVERY
+        // multiplier (coarse-8 wins at 1M, fine-32 wins at 10M — auto
+        // must track whichever is right with no crossover cliff).
+        val aroot = s"$root/streamfine_x$m"
+        mkInbox(aroot, slices = 32)
+        rmrf(s"$aroot/ckpt_ij_auto")
+        var aState = 0L
+        var sz: graft.streaming.StreamIngest.StreamSizing = null
+        record("stream_ijoin_auto", m, n, time {
+          // the sizing pass is INSIDE the timed run — it is part of
+          // what the operating mode costs. inboxSample parses only 4
+          // files per side and extrapolates rows by byte ratio (the
+          // full-inbox aggregate measured as 15% of the whole 100×
+          // drain — a day's scan at a 100 TB/day inbox)
+          val (ps, psB, ptB) = graft.streaming.StreamIngest.inboxSample(
+            spark, s"$aroot/purchases", jschema("p_id", "p_user"))
+          val (es, esB, etB) = graft.streaming.StreamIngest.inboxSample(
+            spark, s"$aroot/errors", jschema("e_id", "e_user"))
+          val sample = ps.select(col("p_user").as("k"),
+              to_timestamp(col("ts"), fmt).as("t"))
+            .unionByName(es.select(col("e_user").as("k"),
+              to_timestamp(col("ts"), fmt).as("t")))
+          sz = graft.streaming.StreamIngest.autoState(
+            sample, "k", "t", horizonSecs = 3600L + 3600L,
+            rowScale = (ptB + etB).toDouble / (psB + esB))
+          aState = drainIjoin(aroot, sz.shufflePartitions,
+            sz.maxFilesPerTrigger(32), ckpt = "ckpt_ij_auto")
+        })
+        println(s"""{"family":"stream_ijoin_auto","mult":$m,""" +
+          s""""max_state_rows":$aState,"parts":${sz.shufflePartitions},""" +
+          s""""triggers":${sz.triggers},""" +
+          s""""mfpt":${sz.maxFilesPerTrigger(32)}}""")
         // trigger-granularity variant at the top multiplier: same
         // corpus split into 4× more files (32 micro-batches). Interval-
         // join state holds (current batch span + watermark) of BOTH
@@ -599,7 +638,7 @@ object ScaleRehearsal {
           rmrf(s"$froot/ckpt_ij")
           var fState = 0L
           record("stream_ijoin32", m, n, time {
-            fState = drainIjoin(froot)
+            fState = drainIjoin(froot, parts = 8, mfpt = 1)
           })
           println(s"""{"family":"stream_ijoin32","mult":$m,"max_state_rows":$fState}""")
         }

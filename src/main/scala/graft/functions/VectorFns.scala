@@ -96,12 +96,23 @@ object VectorFns {
     Registered.once(spark, "vector") {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_argmax_cell", es => ArgmaxDotCell(es(0), es(1)), "built-in")
     }
 
   /** Column wrapper; requires [[register]] on the active session. */
   def dotCol(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Column wrapper for [[ArgmaxDotCell]]: `cents` must be a FOLDABLE
+    * literal of `array<struct<_1:int,_2:array<double>>>` (a
+    * `typedLit(Seq[(Int, Seq[Double])])`).
+    */
+  def argmaxCellCol(spark: SparkSession, vec: Column, cents: Column): Column = {
+    register(spark)
+    call_function("graft_argmax_cell", vec, cents)
   }
 
   private[functions] def kinds(l: Expression, r: Expression): (Int, Int) =
@@ -132,6 +143,126 @@ case class DotProduct(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_argmax_cell(vec, cents)` — the IVF cell-assignment argmax as
+  * ONE blocked expression: the id of the centroid with the maximum dot
+  * product against `vec`, ties to the HIGHEST id (the `array_max` over
+  * `struct(score, id)` tie-break).
+  *
+  * This replaces the per-centroid HOF pipeline
+  * `array_max(transform(centsLit, c → struct(graft_dot(vec, c._2),
+  * c._1)))`, whose cost at build time was dominated by plumbing, not
+  * FLOPs: per corpus row × per centroid it extracted a struct field
+  * into ArrayData, made a static dot call with per-element kind
+  * dispatch and null checks, and allocated a result struct — at
+  * N=2M × nlist=1414 that was 29.7–51.6 s of wall (PERF.md r12
+  * ivf_scaled) for what is arithmetically ~180 GFLOP. Here the
+  * centroid matrix is flattened ONCE per executor into a primitive
+  * `double[]` (row-major, `nlist × dim`) and each row runs a tight
+  * two-level loop — same multiply-add sequence in the same
+  * left-to-right order as [[VectorFns.dot]], so scores and therefore
+  * assignments are BIT-IDENTICAL (VectorFnsSpec pins this against the
+  * HOF formulation, IvfIndexSpec's contract is unchanged).
+  *
+  * Degenerate-input contract (matches the HOF formulation exactly):
+  * a vec whose length ≠ dim, or containing a null element, nulled
+  * every dot, and `array_max` over all-null scores fell through to
+  * the id tie-break → the MAX id. NaN elements propagate NaN scores,
+  * and `java.lang.Double.compare` ranks NaN above every real score —
+  * the same ordering Spark's struct comparison uses.
+  *
+  * `cents` must be FOLDABLE (a `typedLit`) — enforced at construction;
+  * the centroid matrix is evaluated once lazily, not per row.
+  */
+case class ArgmaxDotCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+  require(right.foldable,
+    "graft_argmax_cell: centroid literal must be foldable")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable
+
+  @transient private lazy val vecKind: Int = left.dataType match {
+    case ArrayType(FloatType, _)   => 0
+    case ArrayType(DoubleType, _)  => 1
+    case ArrayType(LongType, _)    => 2
+    case ArrayType(IntegerType, _) => 3
+    case other =>
+      throw new IllegalArgumentException(s"graft_argmax_cell: $other")
+  }
+
+  // (ids, flat row-major matrix, dim, max id) — parsed once per
+  // executor from the foldable literal
+  @transient private lazy val parsed: (Array[Int], Array[Double], Int, Int) = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    require(n > 0, "graft_argmax_cell: empty centroid list")
+    val rows = (0 until n).map { i =>
+      val s = arr.getStruct(i, 2)
+      (s.getInt(0), s.getArray(1).toDoubleArray())
+    }
+    val dim = rows.head._2.length
+    require(rows.forall(_._2.length == dim),
+      "graft_argmax_cell: ragged centroid matrix")
+    val ids = rows.map(_._1).toArray
+    val flat = new Array[Double](n * dim)
+    var i = 0
+    while (i < n) {
+      System.arraycopy(rows(i)._2, 0, flat, i * dim, dim); i += 1
+    }
+    (ids, flat, dim, ids.max)
+  }
+
+  /** Tight-loop argmax; called from both eval and generated code. */
+  def compute(v: ArrayData): Int = {
+    val (ids, flat, dim, maxId) = parsed
+    if (v.numElements() != dim) return maxId
+    val vd = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return maxId
+      vd(j) = vecKind match {
+        case 0 => v.getFloat(j).toDouble
+        case 1 => v.getDouble(j)
+        case 2 => v.getLong(j).toDouble
+        case _ => v.getInt(j).toDouble
+      }
+      j += 1
+    }
+    var best = Double.NegativeInfinity
+    var bestId = Int.MinValue
+    var first = true
+    var c = 0
+    val n = ids.length
+    while (c < n) {
+      var s = 0.0
+      val off = c * dim
+      var k = 0
+      while (k < dim) { s += vd(k) * flat(off + k); k += 1 }
+      val cmp = java.lang.Double.compare(s, best)
+      if (first || cmp > 0 || (cmp == 0 && ids(c) > bestId)) {
+        best = s; bestId = ids(c); first = false
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the right child is a Literal — its genCode is a plan-constant
+    // reference, so "evaluating" it per row below costs nothing
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val self = ctx.addReferenceObj("argmaxCell", this,
+        classOf[ArgmaxDotCell].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgmaxDotCell =
     copy(left = newLeft, right = newRight)
 }
 

@@ -643,8 +643,24 @@ object Similarity {
     * stays exact. (The flat build is a map-side FLOP-bound stage
     * with linear bytes — it scales out horizontally; PERF.md
     * round 12.)
+    *
+    * Round 13 cut the CONSTANT instead of the FLOPs: the per-centroid
+    * HOF pipeline (struct extraction + static dot call + struct
+    * allocation per centroid per row) is now one blocked expression,
+    * [[graft.functions.ArgmaxDotCell]] — bit-identical scores and
+    * tie-break (VectorFnsSpec pins it against the HOF formulation),
+    * same exact assignment, ~n× less plumbing per row.
     */
   private def assignCell(
+      cents: Seq[(Int, Seq[Double])], vec: Column): Column =
+    graft.functions.VectorFns.argmaxCellCol(
+      SparkSession.active, vec, typedLit(cents))
+
+  /** The pre-r13 HOF formulation of [[assignCell]] — kept as the
+    * bit-compatibility reference (the [[dotHof]] pattern);
+    * VectorFnsSpec pins [[graft.functions.ArgmaxDotCell]] against it.
+    */
+  private[operators] def assignCellHof(
       cents: Seq[(Int, Seq[Double])], vec: Column): Column =
     bestCells(typedLit(cents), vec, 1).getItem(0).getField("cent")
 

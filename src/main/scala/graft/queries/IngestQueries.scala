@@ -563,14 +563,23 @@ object IngestQueries {
         leftDelay = "1 hour", rightDelay = "1 hour")
       // stream-stream join state = 4 stores PER shuffle partition,
       // each paying commit/snapshot overhead every micro-batch — the
-      // standard production knob is to size shuffle partitions to the
-      // stream's key cardinality BEFORE the first checkpoint (the
-      // count is frozen into the state layout). 8 partitions for a
-      // 1.5k-user join: measured 9.0 → ~4 s; restored after start so
+      // partition count is frozen into the state layout at the first
+      // checkpoint, so it must be derived BEFORE start(). autoState
+      // computes it from the observed key cardinality (the hand-set 8
+      // of round 12, now an operating mode); restored after start so
       // batch queries keep the session default.
+      val sizing = graft.streaming.StreamIngest.autoState(
+        s.read.schema(lSchema).json(s"$root/purchases")
+          .select(col("user_id").as("k"),
+            to_timestamp(col("ts"), fmt).as("t"))
+          .unionByName(s.read.schema(rSchema).json(s"$root/errors")
+            .select(col("user_id").as("k"),
+              to_timestamp(col("ts"), fmt).as("t"))),
+        "k", "t", horizonSecs = 3600L + 3600L)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sizing.shufflePartitions.toString)
         joined.writeStream.format("memory")
           .queryName("qi22_mem").outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -379,6 +379,136 @@ object StreamIngest {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
   }
 
+  /** Keys per state-store shuffle partition — the qi22 rule as a
+    * constant: the 1.5k-user interval join measured best at 8
+    * partitions (9.0 → 4.4 s), i.e. ~200 keys per partition. Each
+    * stream-stream-join partition carries 4 state stores, each paying
+    * a commit per micro-batch, so partitions beyond what key
+    * parallelism can use are pure per-trigger overhead.
+    */
+  val KeysPerStatePartition = 200L
+
+  /** Per-row-pair probe cost over per-trigger commit cost, fitted
+    * from the round-12 stream rehearsal (PERF.md "streaming
+    * bounded-state rehearsal"): commit ≈ 0.9 s/trigger, probe ≈
+    * 1.9e-8 s per (arriving row × same-key state row). Only the RATIO
+    * enters the trigger-count optimum, and both terms scale with the
+    * same hardware (CPU + local I/O), so the constant transfers
+    * across rigs to the order of magnitude — which is all the
+    * optimum needs: wall is within ~20% of minimum anywhere inside
+    * 2× of T* (the a·T + c/T curve is flat around its minimum).
+    */
+  val ProbeCommitRatio = 2e-8
+
+  /** Derived sizing for a stateful streaming query over a sampled
+    * inbox. `triggers` is the target number of micro-batches for a
+    * bounded replay (AvailableNow); a live stream uses the same
+    * number as `spanSecs / triggers` → trigger interval.
+    */
+  final case class StreamSizing(
+      shufflePartitions: Int, triggers: Int,
+      rows: Long, keys: Long, spanSecs: Long) {
+    /** File-source translation: files per trigger that yields the
+      * target trigger count on an inbox of `inboxFiles` files (per
+      * side, for a two-sided join whose sides are sliced alike).
+      */
+    def maxFilesPerTrigger(inboxFiles: Int): Int =
+      math.max(1, inboxFiles / math.max(1, triggers))
+  }
+
+  /** Auto-size the state layout and trigger granularity of a stateful
+    * stream — the round-12 measured sizing rules as an operating mode
+    * (the `--nlist auto` of streaming):
+    *
+    *  - shuffle partitions = ceil(keys / [[KeysPerStatePartition]]),
+    *    capped at default parallelism. The count is frozen into the
+    *    state layout at the first checkpoint, so this must be set
+    *    BEFORE `start()`.
+    *  - trigger count T from the measured two-regime cost model.
+    *    Per-trigger commit cost is a constant `a`; the symmetric-hash
+    *    probe retrieves ALL same-key state per arriving row (state is
+    *    keyed, not time-indexed), so probe cost totals
+    *    `b · N · N/(K·T)` when the per-trigger batch span dominates
+    *    the horizon. Minimizing `a·T + b·N²/(K·T)` gives
+    *    `T* = N · sqrt((b/a)/K)` — the event-time window span drops
+    *    out of the optimum and returns only as a CAP: once the
+    *    per-trigger batch span is inside `horizonSecs` (join window +
+    *    watermark slack), finer triggers cannot shrink per-key state
+    *    further (its floor is the horizon occupancy) and only add
+    *    commits, so T ≤ spanSecs/horizonSecs.
+    *
+    * Against the r12 measurements (1k keys): T*(1M rows) ≈ 4 —
+    * matches coarse-8 beating fine-32 (9.6 vs 30.9 s); T*(10M) ≈ 45 —
+    * matches fine-32 beating coarse-8 (53.4 vs 138.8 s). The
+    * rehearsal's `stream_ijoin_auto` family holds this to the
+    * measured optimum at both scales (no crossover cliff).
+    *
+    * `sample` is a batch read of the inbox or — the at-scale path — a
+    * file subset from [[inboxSample]], with `rowScale` extrapolating
+    * the sampled row count to the full inbox (byte ratio). Keys and
+    * span come straight from the sample: key cardinality saturates
+    * within a few files, and [[inboxSample]] includes the first and
+    * last files by modification time so the span ends are covered.
+    */
+  def autoState(
+      sample: DataFrame, keyCol: String, tsCol: String,
+      horizonSecs: Long, rowScale: Double = 1.0): StreamSizing = {
+    val spark = sample.sparkSession
+    val agg = sample.where(col(tsCol).isNotNull).agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(col(keyCol)).as("k"),
+      ((unix_micros(max(col(tsCol)).cast("timestamp")) -
+        unix_micros(min(col(tsCol)).cast("timestamp"))) / 1000000L)
+        .cast("long").as("span")).head()
+    val n = math.round(agg.getLong(0) * math.max(1.0, rowScale))
+    val k = math.max(1L, if (agg.isNullAt(1)) 1L else agg.getLong(1))
+    val span = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+    val maxP = math.max(1, spark.sparkContext.defaultParallelism)
+    val parts = math.min(maxP.toLong,
+      (k + KeysPerStatePartition - 1) / KeysPerStatePartition).toInt
+    val tStar = math.round(n * math.sqrt(ProbeCommitRatio / k))
+    val tCap = if (horizonSecs <= 0) Long.MaxValue
+      else math.max(1L, span / horizonSecs)
+    val triggers = math.max(1L, math.min(tStar, tCap)).toInt
+    StreamSizing(math.max(1, parts), triggers, n, k, span)
+  }
+
+  /** Cheap sizing sample over a file inbox: parse only `sampleFiles`
+    * files — the first and last by modification time (the span ends;
+    * inbox mtime order is arrival order, which tracks event time in a
+    * live feed) plus evenly-spaced middles (rate and key coverage) —
+    * and return the byte ratio for [[autoState]]'s `rowScale`. At a
+    * 100 TB/day inbox the full-parse alternative IS a day's scan; the
+    * r13 stream rehearsal measured it as 15% of the whole 10M-event
+    * drain before this sampler existed.
+    *
+    * Returns (sample, sampledBytes, totalBytes); combine sides of a
+    * join by unioning the mapped samples and blending the byte
+    * ratios.
+    */
+  def inboxSample(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sampleFiles: Int = 4): (DataFrame, Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getModificationTime)
+    require(files.nonEmpty, s"inboxSample: no data files under $dir")
+    val k = math.min(math.max(2, sampleFiles), files.size)
+    val picks =
+      if (files.size <= k) files
+      else (0 until k).map(i =>
+        files(((files.size - 1).toLong * i / (k - 1)).toInt)).distinct
+    val sampledBytes = picks.map(_.getLen).sum
+    val totalBytes = files.map(_.getLen).sum
+    val sample = spark.read.schema(schema)
+      .json(picks.map(_.getPath.toString): _*)
+    (sample, sampledBytes, totalBytes)
+  }
+
   /** Streaming exact dedup with bounded state: drops rows whose key was
     * already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the streaming twin of

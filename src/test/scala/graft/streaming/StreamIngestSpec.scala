@@ -275,6 +275,91 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(kept.last == StreamIngest.MarkerKeep + 49)
   }
 
+  test("autoState derives state layout and trigger count from the " +
+    "observed stream shape") {
+    // 1M rows, ~1k keys, 30-day span — the r12 rehearsal shape. Pins:
+    // partitions ≈ keys/KeysPerStatePartition, triggers ≈ the
+    // commit/probe balance T* = N·sqrt(ratio/K) ≈ 4..5 (matches the
+    // measured optimum: coarse-8 beat fine-32 at this size). Key
+    // cardinality is approx_count_distinct (±5%), so asserts carry
+    // that tolerance.
+    val sample = spark.range(1000000).select(
+      pmod(col("id"), lit(1000)).as("k"),
+      timestamp_seconds(lit(1704067200L) + pmod(col("id") * 37,
+        lit(2592000L))).as("t"))
+    val sz = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 7200L)
+    assert(sz.rows == 1000000L, sz)
+    assert(sz.keys >= 900 && sz.keys <= 1100, sz)
+    assert(sz.spanSecs >= 2500000L && sz.spanSecs <= 2592000L, sz)
+    val wantParts = math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (sz.keys + StreamIngest.KeysPerStatePartition - 1) /
+        StreamIngest.KeysPerStatePartition).toInt
+    assert(sz.shufflePartitions == wantParts, sz)
+    assert(sz.triggers >= 4 && sz.triggers <= 5, sz)
+    // file-source translation: 32 inbox files at ~4 triggers → 8/side
+    assert(sz.maxFilesPerTrigger(32) == 32 / sz.triggers, sz)
+    assert(StreamIngest.StreamSizing(1, 50, 0, 0, 0)
+      .maxFilesPerTrigger(32) == 1)
+
+    // horizon cap: a span shorter than the state horizon caps
+    // triggers at 1 — finer batches cannot shrink per-key state
+    // below the horizon occupancy, they only add commits
+    val narrow = spark.range(1000000).select(
+      pmod(col("id"), lit(100)).as("k"),
+      timestamp_seconds(lit(1704067200L) + pmod(col("id"), lit(360L)))
+        .as("t"))
+    val szN = StreamIngest.autoState(narrow, "k", "t",
+      horizonSecs = 3600L)
+    assert(szN.triggers == 1, szN)
+    assert(szN.shufflePartitions == 1, szN)
+
+    // empty sample degrades to the 1/1 floor, no divide-by-zero
+    val szE = StreamIngest.autoState(
+      sample.where(col("k") < 0), "k", "t", horizonSecs = 3600L)
+    assert(szE.shufflePartitions == 1 && szE.triggers == 1, szE)
+  }
+
+  test("inboxSample parses a file subset spanning first/last by mtime " +
+    "and extrapolates rows by byte ratio") {
+    val root = Files.createTempDirectory("graft_inbox_sample").toString
+    val inbox = new java.io.File(root, "inbox"); inbox.mkdirs()
+    // 8 files × 10 rows, mtimes ascending; rows carry their file index
+    (0 until 8).foreach { i =>
+      val f = new java.io.File(inbox, s"chunk$i.json")
+      val w = new java.io.PrintWriter(f)
+      try (0 until 10).foreach { j =>
+        w.println(s"""{"k": ${i * 10 + j}, "ts": "2024-03-0${i + 1} 10:00:00"}""")
+      } finally w.close()
+      f.setLastModified(1700000000000L + i * 60000L); ()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType)))
+    val (sample, sampledB, totalB) = StreamIngest.inboxSample(
+      spark, inbox.getPath, schema, sampleFiles = 4)
+    val got = sample.collect()
+    assert(got.length == 40, got.length)
+    // first and last files (by mtime) must be in the pick — they carry
+    // the event-time span ends
+    val fileIdx = got.map(_.getLong(0) / 10).toSet
+    assert(fileIdx.contains(0L) && fileIdx.contains(7L), fileIdx)
+    val scale = totalB.toDouble / sampledB
+    assert(scale > 1.8 && scale < 2.2, scale)
+    // the extrapolated row count feeds autoState's N
+    val sz = StreamIngest.autoState(
+      sample.select(col("k"), to_timestamp(col("ts")).as("t")),
+      "k", "t", horizonSecs = 1L, rowScale = scale)
+    assert(sz.rows >= 72 && sz.rows <= 88, sz)
+    // fewer files than sampleFiles → everything, scale 1
+    val (all, sb, tb) = StreamIngest.inboxSample(
+      spark, inbox.getPath, schema, sampleFiles = 100)
+    assert(all.count() == 80 && sb == tb)
+  }
+
   test("legacy flat-marker sweep runs once per commit root, not per batch") {
     val root = Files.createTempDirectory("graft_markers_sweep").toString
     val commits = new org.apache.hadoop.fs.Path(s"$root/_stream_commits")
