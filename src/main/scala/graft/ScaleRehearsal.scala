@@ -130,6 +130,23 @@ object ScaleRehearsal {
     if (f.exists()) rec(f)
   }
 
+  /** Local recursive copy (fixture → scratch run dir); rehearsals are
+    * local-only, so plain NIO is the right tool.
+    */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    val stream = java.nio.file.Files.walk(s)
+    try stream.forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally stream.close()
+  }
+
   /** Build-if-stale fixture guard keyed by a GENERATOR fingerprint
     * (params + row count), the Artifacts.ensure discipline applied to
     * rehearsal inputs: a bare `_SUCCESS` check keyed only by the
@@ -642,6 +659,58 @@ object ScaleRehearsal {
           })
           println(s"""{"family":"stream_ijoin32","mult":$m,"max_state_rows":$fState}""")
         }
+        // ---- streaming quality router (verdict r12 task 6): the qi21
+        // dead-letter pattern under scale and reject-rate skew. The
+        // router is STATELESS (foreachBatch fan-out, no state store),
+        // so the scale claims are linear wall/bytes and sane file
+        // layout on BOTH sinks: the accepted side's REBALANCE append
+        // writes ≤1 file per touched dir per micro-batch, and the
+        // quarantine stays one batch_id dir per trigger — including
+        // the 99%-quarantine worst case, where the dead-letter side IS
+        // the volume.
+        def drainRouter(tag: String, rules: Seq[(String,
+            org.apache.spark.sql.Column)]): (Long, Long, Int) = {
+          val rschema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("key",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.StringType)))
+          rmrf(s"$sroot/lake_$tag"); rmrf(s"$sroot/ckpt_$tag")
+          val rlake = graft.lake.Lake(s"$sroot/lake_$tag")
+          val q = graft.streaming.StreamIngest.routedCollectStream(
+            spark, rlake,
+            graft.config.PartitionSpec("routed", "p0"),
+            s"$sroot/all", rschema, s"$sroot/ckpt_$tag", rules,
+            timestampColumn = "ts", maxFilesPerTrigger = 1)
+          q.awaitTermination()
+          val acc = rlake.read(spark, "routed").count()
+          val quar = graft.streaming.StreamIngest
+            .readQuarantine(spark, rlake, "routed").count()
+          require(acc + quar == n, s"router lost rows: $acc + $quar != $n")
+          val files = rlake.dataFiles(spark, "routed")
+          val maxPerDir = files
+            .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+            .values.map(_.size).max
+          (acc, quar, maxPerDir)
+        }
+        var rt: (Long, Long, Int) = null
+        record("stream_router", m, n, time {
+          rt = drainRouter("bal",
+            Seq("not_nine" -> !col("key").endsWith("9")))
+        })
+        println(s"""{"family":"stream_router","mult":$m,""" +
+          s""""accepted":${rt._1},"quarantined":${rt._2},""" +
+          s""""max_files_per_dir":${rt._3}}""")
+        if (m == mults.max) {
+          var sk: (Long, Long, Int) = null
+          record("stream_router_skew99", m, n, time {
+            sk = drainRouter("skew",
+              Seq("vip_only" -> col("key").endsWith("99")))
+          })
+          println(s"""{"family":"stream_router_skew99","mult":$m,""" +
+            s""""accepted":${sk._1},"quarantined":${sk._2},""" +
+            s""""max_files_per_dir":${sk._3}}""")
+        }
         rmrf(s"$sroot/ckpt_sess")
         var sessState = 0L
         record("stream_sess", m, n, time {
@@ -691,7 +760,10 @@ object ScaleRehearsal {
         // batch split is a HASH parity, not event_id%2 — id%2 aliases
         // with idx=id%idxN (even ids → even indexes), which hands each
         // dir to exactly one batch and the table is born compact
-        ensureFixture(lakeRoot, s"pstress;v3;idx=$idxN;months=12;rpd=8;b=2") {
+        // v4: v3 fixtures were mutated IN PLACE by r12's timed compact
+        // (the probes now run on a scratch copy, but the cached v3
+        // trees are already compact — rebuild once)
+        ensureFixture(lakeRoot, s"pstress;v4;idx=$idxN;months=12;rpd=8;b=2") {
           val spec = graft.config.PartitionSpec("events_wide", "p0",
             tpIndexColumn = Some("idx"))
           val src = wideEvents(spark, idxN, n)
@@ -707,20 +779,95 @@ object ScaleRehearsal {
           }
           ()
         }
+        // the timed compacts MUTATE the table, which would leave the
+        // cached fixture compact and silently turn every later run's
+        // pstress_compact into a no-op measurement — probe a scratch
+        // COPY instead (copy untimed; the fixture stays pristine)
+        val runRoot = s"$root/pstress_run_x$m"
+        rmrf(runRoot)
+        copyTree(lakeRoot, runRoot)
+        // the manifest stores ABSOLUTE file paths (they must compare
+        // equal to input_file_name()), so a copied lake's manifest
+        // still points at the fixture tree — fileStats would reconcile
+        // to empty and every compact below would silently no-op (this
+        // exact bug shipped one bogus rehearsal run). Retarget it.
+        locally {
+          val man = s"$runRoot/events_wide/_graft_manifest"
+          val rows = spark.read.parquet(man).collect().toSeq
+          val schema = spark.read.parquet(man).schema
+          val moved = rows.map { r =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(schema.fieldIndex("file"),
+                r.getAs[String]("file").replace(lakeRoot, runRoot)))
+          }
+          rmrf(man)
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(moved, 1), schema)
+            .write.mode("overwrite").parquet(man)
+        }
+        val lakeRun = graft.lake.Lake(runRoot)
+        // guard: the copy must see every file through the manifest, or
+        // the probes below measure no-ops
+        require(lakeRun.fileStats(spark, "events_wide").count() ==
+          lakeRun.dataFiles(spark, "events_wide").size,
+          "pstress run-copy manifest retarget failed")
         record("pstress_read", m, dirs, time {
           // pruned count: one index, one month — planning lists the
           // directory tree; the scan itself is one file
-          lake.read(spark, "events_wide")
+          lakeRun.read(spark, "events_wide")
             .where(col("tp_index") === "i7" && col("tp_month") === 3)
             .count()
           ()
         })
         record("pstress_list", m, dirs, time {
-          val files = lake.dataFiles(spark, "events_wide")
+          val files = lakeRun.dataFiles(spark, "events_wide")
           require(files.nonEmpty)
         })
+        // the OBJECT-STORE listing branch (Hadoop listFiles(recursive))
+        // over the same tree — the branch the r12 NIO fix bypassed on
+        // local FS and a 100 TB deployment actually runs. On
+        // RawLocalFileSystem it pays per-file checksum probes, so this
+        // is an upper bound, not an object-store estimate; measured so
+        // the branch has a number at all (verdict r12 task 4).
+        record("pstress_list_hadoop", m, dirs, time {
+          val base = new org.apache.hadoop.fs.Path(
+            lakeRun.tableDir("events_wide"))
+          val hfs = base.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val it = hfs.listFiles(base, true)
+          var n0 = 0L
+          while (it.hasNext) { if (it.next().isFile) n0 += 1 }
+          require(n0 > 0)
+        })
+        // manifest-served planning: the exact fileStats call compact
+        // plans from, WITHOUT the live-listing reconciliation — what
+        // an object store runs every compact (tombstone mode)
+        record("pstress_stats_manifest", m, dirs, time {
+          val n1 = lakeRun.fileStats(spark, "events_wide",
+            reconcileWithListing = false).count()
+          require(n1 > 0)
+        })
         record("pstress_compact", m, dirs, time {
-          graft.lake.Maintenance.compact(spark, lake, "events_wide")
+          graft.lake.Maintenance.compact(spark, lakeRun, "events_wide")
+        })
+        // steady state: a second compact of the now-compact table must
+        // cost O(manifest scan), not O(all dirs) — the daily-compaction
+        // shape (verdict r12 task 3)
+        record("pstress_recompact", m, dirs, time {
+          val (b, a) = graft.lake.Maintenance.compact(
+            spark, lakeRun, "events_wide")
+          require(b == a, s"recompact rewrote files: $b -> $a")
+        })
+        // incremental: one more batch into a single index (12 of the
+        // 1200·m dirs), then compact — cost should track the TOUCHED
+        // dirs, not the table width
+        graft.ingest.Ingest.collectBatch(spark, lakeRun,
+          graft.config.PartitionSpec("events_wide", "p0",
+            tpIndexColumn = Some("idx")),
+          wideEvents(spark, idxN, n).where(col("idx") === "i7"),
+          timestampColumn = "ts")
+        record("pstress_incr_compact", m, dirs, time {
+          graft.lake.Maintenance.compact(spark, lakeRun, "events_wide")
         })
       }
     }

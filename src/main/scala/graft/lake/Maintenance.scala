@@ -80,11 +80,16 @@ object Maintenance {
       spark: SparkSession, lake: Lake, table: String,
       targetFileRows: Long = 5000000): (Long, Long) = lake.locked(table) {
     replayPendingRemovals(spark, lake, table)
-    val before = lake.dataFiles(spark, table).size.toLong
+    // planning AND the before/after accounting are manifest-served —
+    // no full-tree walk anywhere in this method (on local FS the
+    // manifest read still reconciles against the ~free NIO walk; on
+    // object stores it trusts tombstones — fileStats scaladoc). The
+    // only listings below are SCOPED to the rewritten dirs.
     val stats = lake.fileStats(spark, table).collect().map(r =>
       FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
         Option(r.getAs[Timestamp]("min_ts")),
         Option(r.getAs[Timestamp]("max_ts"))))
+    val before = stats.length.toLong
     val byDir = stats.groupBy(f => dirOf(lake, table, f.file))
     // a dir needs work when its file count differs from what the
     // target size implies (too many small files OR too-large files) or
@@ -135,7 +140,9 @@ object Maintenance {
       lake.overwritePartitions(spark, table, df,
         touched = Some(bigWork.keys.toSeq))
     }
-    (before, lake.dataFiles(spark, table).size.toLong)
+    val rewritten = lake
+      .dataFilesUnder(spark, table, work.keys.toSeq).size.toLong
+    (before, before - work.values.map(_.length).sum + rewritten)
   }
 
   /** `compact --reindex` (cmd/compact.go:34; compact.go:350-354): set
@@ -387,8 +394,11 @@ object Maintenance {
     lake.locked(table) {
       replayPendingRemovals(spark, lake, table)
       // the lock keeps a concurrent append from writing manifest rows
-      // between our snapshot and the swap (they would be destroyed)
-      val live = lake.fileStats(spark, table)
+      // between our snapshot and the swap (they would be destroyed).
+      // Reconciliation is FORCED here regardless of filesystem kind:
+      // vacuum is the valve that re-syncs a drifted manifest to
+      // listing truth (and drops accumulated tombstone rows)
+      val live = lake.fileStats(spark, table, reconcileWithListing = true)
         .withColumn("seq", lit(System.nanoTime()))
       val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
       val tmp = s"${lake.tableDir(table)}/_graft_manifest_new"
@@ -486,6 +496,7 @@ object Maintenance {
     val snapStats = spark.read.parquet(backup.toString)
       .groupBy("file")
       .agg(max_by(col("rows"), col("seq")).as("old_rows"))
+      .where(col("old_rows") >= 0L) // tombstoned-at-snapshot = dead
     val liveList = new Path(backup, "_live_files")
     val old =
       if (fs.exists(liveList)) {
@@ -700,6 +711,13 @@ object Maintenance {
     try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
     fs.delete(p, false)
     fs.rename(tmp, p)
+    // one batched tombstone append for every file about to go —
+    // BEFORE the physical deletes, so a crash mid-removal leaves the
+    // manifest already-correct (the journal replay finishes the
+    // deletes; a still-live-but-tombstoned file is just an early
+    // answer to a committed removal)
+    lake.noteRemoved(spark, table,
+      lake.dataFilesUnder(spark, table, dirs))
     dirs.foreach(removeDir(spark, lake, table, _))
     fs.delete(p, false)
   }
@@ -722,6 +740,10 @@ object Maintenance {
           new String(bos.toByteArray, "UTF-8")
         } finally in.close()
         val dirs = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        // re-tombstone whatever survives in the journaled dirs — the
+        // crash may have landed between journal write and tombstone
+        lake.noteRemoved(spark, table,
+          lake.dataFilesUnder(spark, table, dirs))
         dirs.foreach(removeDir(spark, lake, table, _))
         fs.delete(p, false)
         dirs.size.toLong

@@ -593,6 +593,50 @@ object IngestQueries {
         .orderBy("p_id", "e_id")
     }),
 
+    // Wide-schema end-to-end (verdict r12 task 5): a 300+-column table
+    // — 300 derived bigint columns plus a struct and an array — through
+    // the FULL pipeline (enrichment, validation, partitioned append),
+    // then two reads union'd: a PRUNED per-type aggregate touching 2 of
+    // the 300 data columns (PlanAuditSpec pins the 2-column ReadSchema)
+    // and a full-width checksum row folding every one of the 300
+    // columns, the struct field and both array elements into exact
+    // bigints — a dropped column, a reordered struct rebuild, or a
+    // null-poisoned cast anywhere in the width breaks the hash.
+    "qi23_wide_collect" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi23"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_w300", "p0",
+        tpIndexColumn = Some("event_type"))
+      val base = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"))
+      // ONE select, not 300 withColumn round-trips through the analyzer
+      val wide = base.select(
+        base.columns.map(col) ++
+          (1 to 300).map(i =>
+            ((col("event_id") * i + col("user_id")) % 1000003L)
+              .as(f"c$i%03d")) ++
+          Seq(struct(col("user_id").as("u"), col("event_type").as("t"))
+              .as("meta"),
+            array(col("event_id") % 7, col("event_id") % 11).as("tags")): _*)
+      Ingest.collectBatch(s, lake, spec, wide, timestampColumn = "ts")
+      val t = lake.read(s, "events_w300")
+      val pruned = t
+        .groupBy(col("tp_index").cast("string").as("key"))
+        .agg(count(lit(1)).as("n"),
+          sum("c007").as("s1"), sum("c300").as("s2"))
+      val checksum = t.agg(
+          count(lit(1)).as("n"),
+          (1 to 300).map(i => sum(col(f"c$i%03d"))).reduce(_ + _).as("s1"),
+          (sum(col("meta.u")) + sum(element_at(col("tags"), 1)) +
+            sum(element_at(col("tags"), 2))).as("s2"))
+        .select(lit("__checksum").as("key"),
+          col("n"), col("s1"), col("s2"))
+      pruned.unionByName(checksum).orderBy("key")
+    }),
+
     // CDC upsert (MERGE, latest-wins by key): a changelog batch of
     // same-event-time corrections plus brand-new rows applied through
     // lake.Upsert — dynamic partition overwrite of exactly the touched
@@ -808,6 +852,16 @@ object IngestQueries {
       snap.join(live, Seq("tp_index")).orderBy("tp_index")
     }))
 
+  /** The pruned half of qi23 alone — PlanAuditSpec asserts its parquet
+    * scan reads 2 of the 300 data columns (plus partition dirs). Call
+    * AFTER qi23 has built the lake for `dir`.
+    */
+  private[graft] def widePruned(s: SparkSession, dir: String): DataFrame =
+    Lake(s"${workRoot(dir)}/qi23/lake").read(s, "events_w300")
+      .groupBy(col("tp_index").cast("string").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum("c007").as("s1"), sum("c300").as("s2"))
+
   // ---- oracles -------------------------------------------------------
 
   private val aggByIndex =
@@ -818,6 +872,26 @@ object IngestQueries {
       |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // all 300 derived columns re-derived and folded — bigint-exact
+    // arithmetic, so both engines must agree to the last digit (the
+    // sum is cast back from DuckDB's HUGEINT to match Spark's bigint).
+    // The fold runs as an unnest(range) cross join, NOT a 300-term `+`
+    // chain — DuckDB's binder caps expression nesting at 128
+    "qi23_wide_collect" -> """
+      SELECT event_type AS key, count(*) AS n,
+             cast(sum((event_id * 7 + user_id) % 1000003) AS bigint) AS s1,
+             cast(sum((event_id * 300 + user_id) % 1000003) AS bigint) AS s2
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT '__checksum',
+             (SELECT count(*) FROM events),
+             cast((SELECT sum((event_id * i + user_id) % 1000003)
+                   FROM events
+                   CROSS JOIN (SELECT unnest(range(1, 301)) AS i) g)
+               AS bigint),
+             cast((SELECT sum(user_id) + sum(event_id % 7)
+                        + sum(event_id % 11) FROM events) AS bigint)
+      ORDER BY key""",
     "qi14_legacy_import" -> """
       SELECT event_id,
              cast(ts AS timestamp) AS tp_timestamp,

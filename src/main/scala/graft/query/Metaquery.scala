@@ -135,15 +135,24 @@ object Metaquery {
   def explain(spark: SparkSession, query: String): String = {
     val plan = spark.sql(query.trim.stripSuffix(";"))
       .queryExecution.executedPlan.toString.stripLineEnd
-    val warnings = planWarnings(plan)
+    val warnings = planWarnings(plan,
+      spark.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(v => scala.util.Try(v.toInt).toOption))
     if (warnings.isEmpty) plan
     else plan + "\n" + warnings.map("WARNING: " + _).mkString("\n")
   }
 
   /** Scale-antipattern scan of a physical-plan string. Each rule names
-    * the operator, why it dies at scale, and the rewrite.
+    * the operator, why it dies at scale, and the rewrite. Pass the
+    * session's shuffle-partition setting to also catch the
+    * default-partitioned streaming-state trap (r12's measured qi22
+    * lesson) — stringly-typed because `.explain` output is what a REPL
+    * user has in hand.
     */
-  def planWarnings(plan: String): Seq[String] = {
+  def planWarnings(plan: String): Seq[String] = planWarnings(plan, None)
+
+  def planWarnings(
+      plan: String, sessionShufflePartitions: Option[Int]): Seq[String] = {
     val w = Seq.newBuilder[String]
     if (plan.contains("CartesianProduct"))
       w += ("CartesianProduct joins every row pair — quadratic work " +
@@ -157,6 +166,41 @@ object Metaquery {
       w += ("BroadcastNestedLoopJoin evaluates a non-equi predicate " +
         "per row pair — acceptable only when the broadcast side is " +
         "tiny; consider bucketing the predicate into an equi-join key")
+    // r13: stream-stream join state partitioned at the session default
+    // (the qi22 trap — the count freezes into the checkpoint's state
+    // layout at first start; 200 near-empty stores each pay a commit
+    // per micro-batch forever)
+    if (plan.contains("StreamingSymmetricHashJoin"))
+      sessionShufflePartitions.foreach { d =>
+        val parts = ("""hashpartitioning\([^()]*,\s*(\d+)\)""".r
+          .findAllMatchIn(plan).map(_.group(1).toInt) ++
+          """numPartitions\s*=\s*(\d+)""".r
+            .findAllMatchIn(plan).map(_.group(1).toInt)).toSeq
+        if (parts.contains(d))
+          w += (s"stream-stream join state uses the session default of " +
+            s"$d shuffle partitions — the count is frozen into the " +
+            "checkpoint state layout at first start, and each " +
+            "partition carries 4 state stores paying a commit every " +
+            "micro-batch; size it to key cardinality before start() " +
+            "(StreamIngest.autoState)")
+      }
+    // r13: partitioned file write with no upstream repartition/REBALANCE
+    // on the partition columns — every task writes a file into every
+    // partition dir it holds rows for, so output fragments as
+    // tasks × live dirs (the IVF fragment-file explosion, measured 45 s
+    // vs 7 s at 200k vectors)
+    val partitionedWrite =
+      """InsertIntoHadoopFsRelationCommand [^,]+, [^,]+, \[\w""".r
+        .findFirstIn(plan).isDefined
+    val shuffled = plan.contains("REBALANCE_PARTITIONS_BY_COL") ||
+      plan.contains("REBALANCE_PARTITIONS_BY_NONE") ||
+      plan.contains("hashpartitioning(")
+    if (partitionedWrite && !shuffled)
+      w += ("partitioned write with no upstream repartition/REBALANCE " +
+        "on the partition columns — every task writes a file into " +
+        "every partition dir it holds rows for (tasks × dirs " +
+        "fragments); repartition(partitionCols) or hint REBALANCE " +
+        "before the write")
     w.result()
   }
 

@@ -56,6 +56,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
         s"$name planned a cartesian product:\n$plan")
     }
 
+  test("qi23 pruned aggregate scans 2 of the 300 wide columns") {
+    // the verdict r12 task-5 pin: column pruning must reach the
+    // parquet scan through the full collect pipeline — a 300-column
+    // table read for a 2-column aggregate reads 2 columns
+    SparkEntry.queries("qi23_wide_collect")(spark, dir).collect()
+    val plan = graft.queries.IngestQueries.widePruned(spark, dir)
+      .queryExecution.executedPlan.toString
+    val rs = """ReadSchema: [^\n]*""".r.findFirstIn(plan)
+      .getOrElse(fail(s"no ReadSchema in plan:\n${plan.take(2000)}"))
+    assert(rs.contains("c007") && rs.contains("c300"), rs)
+    assert(!rs.contains("c001") && !rs.contains("c299") &&
+      !rs.contains("meta") && !rs.contains("tags"), rs)
+  }
+
   // ---------------------------------------------------------------
   // Bucket-cap plan shape: the "drop oversized buckets" step of every
   // candidate generator must be the ONE-PASS bounded-collect aggregate

@@ -252,6 +252,81 @@ class LakeSpec extends AnyFunSuite with SparkTest {
           (r.getString(1), r.getInt(3)))).map(_.getLong(4)).toSet)
   }
 
+  test("manifest tombstones keep listing-free fileStats equal to the " +
+    "reconciled mode across every mutation path") {
+    // the object-store planning contract (verdict r12 task 4): append,
+    // compact (dynamic-overwrite replace), partition delete (overwrite
+    // + journaled dir removal) all tombstone what they remove, so
+    // fileStats(reconcileWithListing = false) — pure manifest, zero
+    // listing — answers identically to the listing-reconciled mode
+    val lake = newLake()
+    def raw(offset: Int) = spark.range(120).select(
+      (col("id") + offset).as("event_id"),
+      expr("timestamp '2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, id % 56, 1, 0, 0)").as("tp_timestamp"),
+      concat(lit("x"), col("id") % 3).as("idx"),
+      col("id").cast("double").as("v"))
+    def statsEqual(where: String): Unit = {
+      val rec = lake.fileStats(spark, "tomb", reconcileWithListing = true)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val man = lake.fileStats(spark, "tomb", reconcileWithListing = false)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rec == man, s"$where: reconciled=${rec.size} manifest=${man.size} " +
+        s"diff=${(rec diff man) ++ (man diff rec)}")
+      // and both match the physical truth
+      assert(rec.map(_._1) == lake.dataFiles(spark, "tomb").toSet, where)
+    }
+    val spec = PartitionSpec("tomb", "p0", tpIndexColumn = Some("idx"))
+    graft.ingest.Ingest.collectBatch(spark, lake, spec, raw(0))
+    statsEqual("after first append")
+    graft.ingest.Ingest.collectBatch(spark, lake, spec, raw(1000000))
+    statsEqual("after second append (fragmented dirs)")
+    Maintenance.compact(spark, lake, "tomb")
+    statsEqual("after compact (overwrite replaced files)")
+    val del = Maintenance.deletePartitionRange(spark, lake, "tomb", "p0",
+      from = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      to = Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    assert(del > 0)
+    statsEqual("after partition delete (journaled dir removals)")
+    // vacuum re-syncs and drops tombstone rows; equality must survive
+    Maintenance.vacuum(spark, lake, "tomb")
+    statsEqual("after vacuum")
+  }
+
+  test("second compact is a fixed-point no-op; a single-dir append " +
+    "recompacts only that dir") {
+    val lake = newLake()
+    def raw(offset: Int, idxMod: Int) = spark.range(90).select(
+      (col("id") + offset).as("event_id"),
+      expr("timestamp '2024-02-01 00:00:00' + " +
+        "make_interval(0, 0, 0, id % 28, 1, 0, 0)").as("tp_timestamp"),
+      concat(lit("x"), col("id") % idxMod).as("idx"),
+      col("id").cast("double").as("v"))
+    val spec = PartitionSpec("steady", "p0", tpIndexColumn = Some("idx"))
+    graft.ingest.Ingest.collectBatch(spark, lake, spec, raw(0, 3))
+    graft.ingest.Ingest.collectBatch(spark, lake, spec, raw(1000000, 3))
+    val (b1, a1) = Maintenance.compact(spark, lake, "steady")
+    assert(a1 < b1, s"first compact merged nothing: $b1 -> $a1")
+    val files1 = lake.dataFiles(spark, "steady")
+    // steady state: nothing to do, nothing rewritten
+    val (b2, a2) = Maintenance.compact(spark, lake, "steady")
+    assert(b2 == a2 && b2 == a1, s"recompact not a no-op: $b2 -> $a2")
+    assert(lake.dataFiles(spark, "steady") == files1,
+      "recompact rewrote files")
+    // daily increment: append rows for ONE index value only — compact
+    // must rewrite exactly the fragmented dirs, leaving every other
+    // file physically untouched
+    graft.ingest.Ingest.collectBatch(spark, lake, spec,
+      raw(2000000, 3).where(col("idx") === "x1"))
+    val untouched = files1.filterNot(_.contains("/tp_index=x1/")).toSet
+    Maintenance.compact(spark, lake, "steady")
+    val after = lake.dataFiles(spark, "steady").toSet
+    assert(untouched.subsetOf(after),
+      s"incremental compact rewrote untouched dirs: " +
+        s"${(untouched diff after).take(3)}")
+    assert(lake.read(spark, "steady").count() == 90 * 2 + 30)
+  }
+
   test("scopeToDirs refuses a null-valued (__HIVE_DEFAULT_PARTITION__) " +
     "segment loudly") {
     // equality predicates/joins can never match a null partition value,

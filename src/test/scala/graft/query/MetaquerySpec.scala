@@ -96,4 +96,83 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](
       Metaquery.handle(spark, lake, st, ".explain"))
   }
+
+  test("planWarnings flags a stream-stream join left at the session " +
+    "default partition count, quiet once sized") {
+    // the qi22 trap: the state partition count freezes into the
+    // checkpoint layout at first start. A streaming physical plan only
+    // exists once a batch ran, so drive a real micro-query on memory
+    // streams and capture its executed plan — not a crafted string.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def ijoinPlan(parts: Int, tag: String): String = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        val l = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val r = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Long)]
+        l.addData((1L, t0, 1L)); r.addData((2L, t0, 1L))
+        val joined = graft.streaming.StreamIngest.intervalJoin(
+          l.toDF().toDF("l_id", "l_ts", "l_k"),
+          r.toDF().toDF("r_id", "r_ts", "r_k"),
+          "l_k", "r_k", "l_ts", "r_ts",
+          before = "10 minutes", after = "10 minutes",
+          leftDelay = "30 minutes", rightDelay = "30 minutes")
+        val q = joined.writeStream.format("memory")
+          .queryName(s"mq_plan_$tag").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val baos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+          q.explain()
+        }
+        baos.toString("UTF-8")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val plan = ijoinPlan(default, "default")
+    assert(plan.contains("StreamingSymmetricHashJoin"), plan.take(1500))
+    val fired = Metaquery.planWarnings(plan, Some(default))
+    assert(fired.exists(_.contains("frozen into the checkpoint")),
+      s"$fired\n${plan.take(1500)}")
+    // the FIXED plan: partitions sized to key cardinality ≠ default
+    val quiet = Metaquery.planWarnings(ijoinPlan(7, "sized"), Some(default))
+    assert(!quiet.exists(_.contains("frozen into the checkpoint")), quiet)
+  }
+
+  test("planWarnings flags an unhinted partitioned write, quiet with " +
+    "REBALANCE or repartition upstream") {
+    // the fragment-explosion trap: tasks × live dirs output files
+    val root = Files.createTempDirectory("graft_pw").toString
+    spark.sql(s"CREATE TABLE pw_t (v BIGINT, p INT) USING parquet " +
+      s"PARTITIONED BY (p) LOCATION '$root/pw_t'")
+    try {
+      def planOf(sql: String): String =
+        spark.sql(sql).queryExecution.executedPlan.toString
+      val naked = planOf(
+        "INSERT INTO pw_t SELECT id AS v, cast(id % 5 AS int) AS p " +
+          "FROM range(100)")
+      val fired = Metaquery.planWarnings(naked, None)
+      assert(fired.exists(_.contains("partitioned write")),
+        s"$fired\n${naked.take(1500)}")
+      val hinted = planOf(
+        "INSERT INTO pw_t SELECT /*+ REBALANCE(p) */ id AS v, " +
+          "cast(id % 5 AS int) AS p FROM range(100)")
+      val quiet = Metaquery.planWarnings(hinted, None)
+      assert(!quiet.exists(_.contains("partitioned write")),
+        s"$quiet\n${hinted.take(1500)}")
+      val repart = planOf(
+        "INSERT INTO pw_t SELECT /*+ REPARTITION(p) */ id AS v, " +
+          "cast(id % 5 AS int) AS p FROM range(100)")
+      assert(!Metaquery.planWarnings(repart, None)
+        .exists(_.contains("partitioned write")), repart.take(1500))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pw_t")
+      ()
+    }
+  }
 }
