@@ -21,12 +21,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (selected(name)) {
+        def once(): Unit = fn(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        // one retry: a transient (executor hiccup, fixture race) must
+        // not zero a correctness row; a REAL failure fails twice and
+        // is reported with both messages
+        try once()
+        catch { case e1: Throwable =>
+          System.err.println(s"[verify] $name failed once: " +
+            s"${e1.getMessage}; retrying")
+          try once()
+          catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name failed: " +
+              s"${e2.getMessage} (first attempt: ${e1.getMessage})")
+          }
         }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
