@@ -245,7 +245,7 @@ object Main {
       |            [--model unigram|bigram|jm]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
-      |vacuum:   graft vacuum [table] [--backup] | [--restore]
+      |vacuum:   graft vacuum [table] [--backup] | [--restore] | [--relocate]
       |table:    graft table list | show <name> | diff <name>
       |          (diff: file add/remove/change vs the last snapshot)
       |rollup:   graft rollup list | refresh <table.name>
@@ -1267,7 +1267,15 @@ object Main {
     val tables = opts.positional.headOption
       .map(Seq(_)).getOrElse(lake.listTables(spark))
     tables.foreach { t =>
-      if (opts.flag("restore").contains("true")) {
+      if (opts.flag("relocate").contains("true")) {
+        // repair for a moved/renamed lake root: respline manifest
+        // paths at the current table dir (else reconciliation matches
+        // nothing and a later vacuum wipes the stats)
+        val n = Maintenance.relocate(spark, lake, t)
+        out.println(
+          if (n == 0) s"Manifest for $t already at this root"
+          else s"Relocated $n manifest rows for $t")
+      } else if (opts.flag("restore").contains("true")) {
         val b = Maintenance.restoreManifest(spark, lake, t)
         out.println(s"Restored manifest for $t from $b")
       } else {

@@ -416,6 +416,55 @@ object Maintenance {
       fs.delete(new Path(old), true)
     }
 
+  /** Retarget manifest file paths at the table's CURRENT directory —
+    * the repair for a moved, renamed, or restored-to-a-new-root lake.
+    * Manifest rows hold ABSOLUTE paths (they must compare equal to
+    * `input_file_name()`), so after a physical move the live-file
+    * reconciliation matches nothing: planning sees zero stats,
+    * compaction sees zero work, and a vacuum would then REWRITE the
+    * manifest empty — silent, permanent stats loss (found by the r13
+    * rehearsal, whose fixture-copy probes hit exactly this). Each
+    * row's path is respliced at its `/<table>/` anchor onto the
+    * current table dir; rows already under it pass through unchanged,
+    * so the operation is idempotent. Same metadata-sized atomic swap
+    * discipline as [[vacuum]].
+    *
+    * @return rows whose path changed (0 = manifest already home)
+    */
+  def relocate(spark: SparkSession, lake: Lake, table: String): Long =
+    lake.locked(table) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
+      val p = new Path(manifestDir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return 0L
+      val home = new Path(lake.tableDir(table)).toUri.getPath
+      val rows = spark.read.parquet(manifestDir).collect().toSeq
+      val schema = spark.read.parquet(manifestDir).schema
+      val fileIdx = schema.fieldIndex("file")
+      var moved = 0L
+      val fixed = rows.map { r =>
+        val f = r.getString(fileIdx)
+        if (f.startsWith(home + "/")) r
+        else {
+          moved += 1
+          Row.fromSeq(r.toSeq.updated(fileIdx,
+            s"$home/${lake.relOf(table, f)}"))
+        }
+      }
+      if (moved == 0) return 0L
+      val tmp = new Path(s"${lake.tableDir(table)}/_graft_manifest_new")
+      val old = new Path(s"${lake.tableDir(table)}/_graft_manifest_old")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(fixed, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(p)) fs.rename(p, old)
+      fs.rename(tmp, p)
+      fs.delete(old, true)
+      moved
+    }
+
   /** Timestamped manifest snapshot (the reference's metadata backup
     * before each collect, internal/database/backup.go:26-90: copy the
     * metadata DB to `*.backup.YYYYMMDDHHMMSS`, keep only the most

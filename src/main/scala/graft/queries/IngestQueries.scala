@@ -608,10 +608,16 @@ object IngestQueries {
       val lake = Lake(s"$root/lake")
       val spec = PartitionSpec("events_w300", "p0",
         tpIndexColumn = Some("event_type"))
-      val base = Tables.load(s, dir, "events").select(
-        col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-        col("user_id"), col("event_type"))
+      // 1-in-7 deterministic sample: WIDTH is what this query gates
+      // (the wide_schema rehearsal owns width×volume mechanics), and
+      // the unsampled 300-column partitioned write alone was 33 s of
+      // bench at sf0.1 — all volume, no extra coverage
+      val base = Tables.load(s, dir, "events")
+        .where(col("event_id") % 7 === 0)
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"))
       // ONE select, not 300 withColumn round-trips through the analyzer
       val wide = base.select(
         base.columns.map(col) ++
@@ -878,19 +884,20 @@ object IngestQueries {
     // The fold runs as an unnest(range) cross join, NOT a 300-term `+`
     // chain — DuckDB's binder caps expression nesting at 128
     "qi23_wide_collect" -> """
+      WITH e AS (SELECT * FROM events WHERE event_id % 7 = 0)
       SELECT event_type AS key, count(*) AS n,
              cast(sum((event_id * 7 + user_id) % 1000003) AS bigint) AS s1,
              cast(sum((event_id * 300 + user_id) % 1000003) AS bigint) AS s2
-      FROM events GROUP BY 1
+      FROM e GROUP BY 1
       UNION ALL
       SELECT '__checksum',
-             (SELECT count(*) FROM events),
+             (SELECT count(*) FROM e),
              cast((SELECT sum((event_id * i + user_id) % 1000003)
-                   FROM events
+                   FROM e
                    CROSS JOIN (SELECT unnest(range(1, 301)) AS i) g)
                AS bigint),
              cast((SELECT sum(user_id) + sum(event_id % 7)
-                        + sum(event_id % 11) FROM events) AS bigint)
+                        + sum(event_id % 11) FROM e) AS bigint)
       ORDER BY key""",
     "qi14_legacy_import" -> """
       SELECT event_id,

@@ -293,6 +293,50 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     statsEqual("after vacuum")
   }
 
+  test("vacuum --relocate repairs a physically moved lake's manifest") {
+    // manifest rows hold absolute paths; after a root move the
+    // reconciliation matches nothing (stats invisible) and a vacuum
+    // would wipe them — relocate resplices every row at the new root
+    val oldRoot = java.nio.file.Files
+      .createTempDirectory("graft_reloc_a").toString
+    val lakeA = Lake(oldRoot)
+    def raw(offset: Int) = spark.range(60).select(
+      (col("id") + offset).as("event_id"),
+      expr("timestamp '2024-03-01 00:00:00' + " +
+        "make_interval(0, 0, 0, id % 20, 1, 0, 0)").as("tp_timestamp"),
+      concat(lit("x"), col("id") % 2).as("idx"),
+      col("id").cast("double").as("v"))
+    val spec = PartitionSpec("mv", "p0", tpIndexColumn = Some("idx"))
+    graft.ingest.Ingest.collectBatch(spark, lakeA, spec, raw(0))
+    graft.ingest.Ingest.collectBatch(spark, lakeA, spec, raw(1000))
+    Maintenance.compact(spark, lakeA, "mv") // adds tombstones too
+    val expect = lakeA.fileStats(spark, "mv").collect()
+      .map(r => (lakeA.relOf("mv", r.getString(0)), r.getLong(1))).toSet
+
+    val newRoot = java.nio.file.Files
+      .createTempDirectory("graft_reloc_b").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(newRoot))
+    java.nio.file.Files.move(java.nio.file.Paths.get(oldRoot),
+      java.nio.file.Paths.get(newRoot))
+    val lakeB = Lake(newRoot)
+    // before relocate: data reads fine, but stats are invisible
+    assert(lakeB.read(spark, "mv").count() == 120)
+    assert(lakeB.fileStats(spark, "mv").count() == 0,
+      "moved manifest should reconcile to nothing before relocate")
+    val moved = Maintenance.relocate(spark, lakeB, "mv")
+    assert(moved > 0, "relocate found nothing to fix")
+    val gotB = lakeB.fileStats(spark, "mv").collect()
+      .map(r => (lakeB.relOf("mv", r.getString(0)), r.getLong(1))).toSet
+    assert(gotB == expect, s"stats diverged after relocate: " +
+      s"${(gotB diff expect) ++ (expect diff gotB)}")
+    // both liveness modes agree at the new root; second relocate no-ops
+    val man = lakeB.fileStats(spark, "mv", reconcileWithListing = false)
+      .collect().map(r => (lakeB.relOf("mv", r.getString(0)),
+        r.getLong(1))).toSet
+    assert(man == expect)
+    assert(Maintenance.relocate(spark, lakeB, "mv") == 0)
+  }
+
   test("second compact is a fixed-point no-op; a single-dir append " +
     "recompacts only that dir") {
     val lake = newLake()
