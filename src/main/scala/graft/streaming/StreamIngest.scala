@@ -443,6 +443,13 @@ object StreamIngest {
     * rehearsal's `stream_ijoin_auto` family holds this to the
     * measured optimum at both scales (no crossover cliff).
     *
+    * Scope: the trigger-count optimum models SYMMETRIC-HASH JOIN
+    * state, whose probe rescans all same-key state per arriving row.
+    * Keyed-ACCUMULATOR state (sessionize, windowed aggs) has no
+    * quadratic probe regime — there, only the partition rule applies
+    * and fewer, larger triggers are strictly cheaper until a single
+    * trigger's input stops fitting in memory.
+    *
     * `sample` is a batch read of the inbox or — the at-scale path — a
     * file subset from [[inboxSample]], with `rowScale` extrapolating
     * the sampled row count to the full inbox (byte ratio). Keys and
