@@ -869,6 +869,21 @@ object ScaleRehearsal {
         record("pstress_incr_compact", m, dirs, time {
           graft.lake.Maintenance.compact(spark, lakeRun, "events_wide")
         })
+        // catalog registration at width: recoverPartitions is the
+        // known many-partition pain point (driver-side discovery +
+        // per-partition catalog inserts) — measure it, and measure the
+        // catalog-PLANNED pruned read it buys (vs pstress_read's
+        // file-index path)
+        record("pstress_catalog_register", m, dirs, time {
+          lakeRun.registerCatalogTable(spark, "events_wide")
+        })
+        record("pstress_catalog_read", m, dirs, time {
+          spark.table("events_wide")
+            .where(col("tp_index") === "i7" && col("tp_month") === 3)
+            .count()
+          ()
+        })
+        spark.sql("DROP TABLE IF EXISTS events_wide")
       }
     }
 

@@ -114,9 +114,71 @@ final case class Lake(root: String) {
         .parquet(dir)
       val added = dataFilesUnder(spark, table, touched).filterNot(before)
       recordStats(spark, table, added)
+      syncCatalogPartitions(spark, table, touched)
       // the touched relative dirs: incremental consumers (rollup
       // refresh) scope their work to these
       touched
+    }
+
+  /** The catalog entry for `table` IF [[registerCatalogTable]] created
+    * one over this lake's directory (a temp view or an unrelated
+    * same-named table doesn't count).
+    */
+  private def catalogEntry(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))).toOption
+      .filter(m => Option(m.location).exists(
+        _.getPath == new Path(tableDir(table)).toUri.getPath))
+
+  private def partitionSpecSql(rel: String): String =
+    "PARTITION (" + TpSchema.partitionCols.map { c =>
+      val v = partitionValues(rel).getOrElse(c,
+        throw new IllegalArgumentException(
+          s"partition dir '$rel' missing segment $c"))
+      s"`$c`='${v.replace("'", "''")}'"
+    }.mkString(", ") + ")"
+
+  /** Keep a [[registerCatalogTable]] registration fresh: after an
+    * append or overwrite lands NEW partition dirs, a catalog-planned
+    * `spark.table(t)` would silently MISS them until someone reruns a
+    * full `recoverPartitions` — at 100 TB that recover is a whole-tree
+    * listing, and "silently missing the last collect" is a correctness
+    * bug, not a performance one. This adds exactly the touched dirs
+    * (`ALTER TABLE ADD IF NOT EXISTS PARTITION`, batched), O(batch)
+    * driver-side metadata. No-op when the table isn't registered.
+    */
+  private def syncCatalogPartitions(
+      spark: SparkSession, table: String, touched: Seq[String]): Unit =
+    if (touched.nonEmpty && catalogEntry(spark, table).isDefined) {
+      touched.grouped(500).foreach { grp =>
+        spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS " +
+          grp.map(partitionSpecSql).mkString(" "))
+        ()
+      }
+      // drop cached file listings for the touched dirs — appends into
+      // an EXISTING partition dir change no catalog entry, so only
+      // this invalidation keeps a catalog-planned scan from serving
+      // the stale FileStatusCache
+      spark.catalog.refreshTable(s"`$table`")
+    }
+
+  /** The removal twin of [[syncCatalogPartitions]]: a catalog
+    * partition left pointing at a deleted dir fails the next
+    * catalog-planned scan outright (missing path) — drop the entries
+    * with the dirs. No-op when the table isn't registered.
+    */
+  private[lake] def dropCatalogPartitions(
+      spark: SparkSession, table: String, removed: Seq[String]): Unit =
+    if (removed.nonEmpty && catalogEntry(spark, table).isDefined) {
+      removed.grouped(500).foreach { grp =>
+        // note the dialect asymmetry: ADD takes space-separated
+        // PARTITION specs, DROP takes comma-separated
+        spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
+          grp.map(partitionSpecSql).mkString(", "))
+        ()
+      }
+      spark.catalog.refreshTable(s"`$table`")
     }
 
   /** Relative partition dirs (Hive-escaped) a batch will write to. */
@@ -430,6 +492,13 @@ final case class Lake(root: String) {
       // dynamic overwrite implicitly deleted the replaced files —
       // tombstone them so the manifest stays listing-free current
       noteRemoved(spark, table, (before -- after.toSet).toSeq.sorted)
+      // dirs holding files after the overwrite (scoped to `touched`
+      // when given): a registered catalog must learn any NEW ones
+      syncCatalogPartitions(spark, table,
+        after.map { f =>
+          val rel = relOf(table, f)
+          rel.substring(0, rel.lastIndexOf('/'))
+        }.distinct)
     }
 
   /** Register a lake table in the Spark session catalog as a
@@ -439,8 +508,12 @@ final case class Lake(root: String) {
     * DuckLake). After registration the catalog owns partition
     * metadata: `spark.table(t)` plans partition pruning from catalog
     * entries instead of listing the whole tree, `SHOW PARTITIONS`
-    * works, and appends only need `recoverPartitions` for the dirs
-    * they add — the catalog-driven planning path a 100 TB lake needs.
+    * works, and the registration stays FRESH automatically — append/
+    * overwrite add their touched dirs and partition removals drop
+    * theirs (syncCatalogPartitions/dropCatalogPartitions, O(touched)
+    * ALTER TABLE batches), so no full `recoverPartitions` rerun is
+    * ever needed — the catalog-driven planning path a 100 TB lake
+    * needs, without the silently-stale-after-collect trap.
     */
   def registerCatalogTable(spark: SparkSession, table: String): Unit = {
     require(tableExists(spark, table), s"no lake table '$table'")

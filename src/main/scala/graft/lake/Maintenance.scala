@@ -768,6 +768,9 @@ object Maintenance {
     lake.noteRemoved(spark, table,
       lake.dataFilesUnder(spark, table, dirs))
     dirs.foreach(removeDir(spark, lake, table, _))
+    // a registered catalog partition pointing at a deleted dir fails
+    // the next catalog-planned scan — drop the entries with the dirs
+    lake.dropCatalogPartitions(spark, table, dirs)
     fs.delete(p, false)
   }
 
@@ -794,6 +797,7 @@ object Maintenance {
         lake.noteRemoved(spark, table,
           lake.dataFilesUnder(spark, table, dirs))
         dirs.foreach(removeDir(spark, lake, table, _))
+        lake.dropCatalogPartitions(spark, table, dirs)
         fs.delete(p, false)
         dirs.size.toLong
       }

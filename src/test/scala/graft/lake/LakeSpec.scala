@@ -871,6 +871,50 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     spark.sql("DROP TABLE cat_t")
   }
 
+  test("registered catalog table stays fresh through append, compact " +
+    "and partition delete (no recoverPartitions reruns)") {
+    val lake = newLake()
+    def batch(offset: Int, month: Int, n: Int) = {
+      val raw = spark.range(n).select(
+        (col("id") + offset).as("event_id"),
+        expr(s"timestamp '2024-0$month-05 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id * 40000)").as("tp_timestamp"),
+        (col("id") % 2).cast("string").as("idx"),
+        (col("id") * 1.5).as("v"))
+      TpSchema.enrich(raw, PartitionSpec("cat_s", "p0",
+        tpIndexColumn = Some("idx")))
+    }
+    lake.append(spark, "cat_s", batch(0, 1, 40))
+    lake.registerCatalogTable(spark, "cat_s")
+    assert(spark.table("cat_s").count() == 40)
+    // append a NEW month: the catalog must learn the new dirs without
+    // a recoverPartitions rerun — before the sync this read silently
+    // missed the whole second collect
+    lake.append(spark, "cat_s", batch(100000, 2, 30))
+    assert(spark.table("cat_s").count() == 70,
+      "catalog-planned read missed freshly appended partitions")
+    assert(spark.sql("SHOW PARTITIONS cat_s").count() >= 4)
+    // append into an EXISTING dir (no new partitions, only new files):
+    // the FileStatusCache must not serve the stale listing
+    lake.append(spark, "cat_s", batch(200000, 2, 10))
+    assert(spark.table("cat_s").count() == 80,
+      "catalog-planned read served a stale file listing")
+    // compact rewrites via dynamic overwrite — still fresh
+    Maintenance.compact(spark, lake, "cat_s")
+    assert(spark.table("cat_s").count() == 80)
+    // delete everything in month 2: its dirs are physically removed —
+    // a catalog partition left behind would fail the scan outright
+    Maintenance.deletePartitionRange(spark, lake, "cat_s", "p0",
+      from = Some(Timestamp.valueOf("2024-02-01 00:00:00")),
+      to = Some(Timestamp.valueOf("2024-03-01 00:00:00")))
+    assert(spark.table("cat_s").count() == 40,
+      "catalog-planned read broken or stale after partition delete")
+    assert(spark.sql("SHOW PARTITIONS cat_s").collect()
+      .forall(!_.getString(0).contains("tp_month=2")),
+      "removed dirs still registered in the catalog")
+    spark.sql("DROP TABLE cat_s")
+  }
+
   test("catalog DDL is idempotent even when a filtered temp view " +
     "shadows the name") {
     // the two-run bench caught this: Views.register leaves a TEMP view
