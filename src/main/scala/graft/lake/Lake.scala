@@ -492,10 +492,14 @@ final case class Lake(root: String) {
       // dynamic overwrite implicitly deleted the replaced files —
       // tombstone them so the manifest stays listing-free current
       noteRemoved(spark, table, (before -- after.toSet).toSeq.sorted)
-      // dirs holding files after the overwrite (scoped to `touched`
-      // when given): a registered catalog must learn any NEW ones
+      // dirs that actually RECEIVED files: a registered catalog must
+      // learn any new ones (ADD IF NOT EXISTS makes the rest no-ops;
+      // deriving from `added` rather than `after` keeps an unscoped
+      // upsert from issuing the whole table's dir list every run —
+      // dynamic overwrite never empties a dir it doesn't write, so no
+      // other dir changes state here)
       syncCatalogPartitions(spark, table,
-        after.map { f =>
+        added.map { f =>
           val rel = relOf(table, f)
           rel.substring(0, rel.lastIndexOf('/'))
         }.distinct)
