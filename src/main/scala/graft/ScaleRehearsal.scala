@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
   *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
-  *     rollup,compact,partition_stress,stream,wide_schema (default all)
+  *     rollup,compact,partition_stress,stream,wide_schema,skewjoin
+  *     (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -226,7 +227,7 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
-        "partition_stress", "stream", "wide_schema"))
+        "partition_stress", "stream", "wide_schema", "skewjoin"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -358,6 +359,94 @@ object ScaleRehearsal {
         record("starpath", m, n, time {
           noop(operators.Components.connectedComponents(pairs, maxIter = 1))
         })
+      }
+      // ---- skewed-key join: AQE split vs salted (SkewJoin claims) --
+      if (families("skewjoin")) {
+        // 50% of the fact side lands on ONE key; the dim side is one
+        // row per key and broadcast is DISABLED (at real scale the dim
+        // side outgrows the threshold — that is when skew matters at
+        // all). Three variants over identical inputs:
+        //  - skewjoin_aqe:    vanilla join, AQE skew split ON (default)
+        //  - skewjoin_noaqe:  AQE skew split OFF — the one-monster-task
+        //    regime (and the regime STREAMING joins always run in,
+        //    since AQE is disabled in stateful workloads)
+        //  - skewjoin_aqe_tuned: AQE skew thresholds lowered so the
+        //    split actually FIRES at rehearsal scale (the default
+        //    256 MB/5x thresholds are sized for cluster-scale
+        //    partitions; a 10M-row local hot partition is ~11 MB and
+        //    never trips them)
+        //  - skewjoin_salted: SkewJoin.salted, factor 32
+        // Row counts are asserted identical across variants.
+        val n = EventsBase * m
+        val fPath = s"$root/skewfact_x$m"
+        ensureFixture(fPath, s"skewfact;v1;n=$n;hot=0.5;keys=10000") {
+          spark.range(n).select(
+            col("id").as("fid"),
+            when(pmod(xxhash64(col("id"), lit("h")), lit(2)) === 0,
+              lit(0L)).otherwise(
+              pmod(xxhash64(col("id"), lit("k")), lit(10000L)))
+              .as("key"),
+            (pmod(xxhash64(col("id"), lit("v")), lit(1000)).cast("double")
+              / 10.0).as("fval"))
+            .write.mode("overwrite").parquet(fPath)
+        }
+        val dPath = s"$root/skewdim"
+        ensureFixture(dPath, "skewdim;v1;keys=10000") {
+          spark.range(10000).select(col("id").as("dkey"),
+            (col("id") % 97).as("dval"))
+            .write.mode("overwrite").parquet(dPath)
+        }
+        val fact = spark.read.parquet(fPath)
+        val dim = spark.read.parquet(dPath)
+        def withConf(kvs: (String, String)*)(body: => Long): Long = {
+          val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+          try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+          finally prev.foreach { case (k, o) =>
+            o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+        }
+        val noBcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+        // untimed warmup ONCE, at the first multiplier: the first
+        // join in the JVM pays codegen + scan class-init that
+        // contaminated the 1× aqe point (1.97 s vs 0.68 s for the
+        // IDENTICAL noaqe plan run second).
+        if (m == mults.min) {
+          withConf(noBcast) {
+            fact.join(dim, col("key") === col("dkey")).count()
+          }
+          ()
+        }
+        var c1 = 0L; var c2 = 0L; var c3 = 0L; var c4 = 0L
+        record("skewjoin_aqe", m, n, time {
+          c1 = withConf(noBcast) {
+            fact.join(dim, col("key") === col("dkey")).count()
+          }
+        })
+        record("skewjoin_noaqe", m, n, time {
+          c2 = withConf(noBcast,
+            "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+            fact.join(dim, col("key") === col("dkey")).count()
+          }
+        })
+        record("skewjoin_aqe_tuned", m, n, time {
+          c3 = withConf(noBcast,
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+              -> "1m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+            // splitting a skewed SHUFFLED-HASH partition needs the
+            // sort-merge path; force it so the split is eligible
+            "spark.sql.join.preferSortMergeJoin" -> "true") {
+            fact.join(dim, col("key") === col("dkey")).count()
+          }
+        })
+        record("skewjoin_salted", m, n, time {
+          c4 = withConf(noBcast) {
+            operators.SkewJoin.salted(fact, dim, "key", "dkey",
+              Seq("dval"), factor = 32).count()
+          }
+        })
+        require(c1 == n && c2 == n && c3 == n && c4 == n,
+          s"skew join variants disagree: $c1 / $c2 / $c3 / $c4 vs $n")
       }
       // ---- CDC upsert against a populated lake table ----
       if (families("upsert")) {
