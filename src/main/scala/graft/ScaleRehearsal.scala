@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   *   multipliers: comma ints, default "1,10"
   *   families: comma subset of
   *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
-  *     rollup,compact,partition_stress,stream,wide_schema,skewjoin
-  *     (default all)
+  *     rollup,compact,partition_stress,stream,wide_schema,skewjoin,
+  *     stream_skew (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -227,7 +227,8 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
-        "partition_stress", "stream", "wide_schema", "skewjoin"))
+        "partition_stress", "stream", "wide_schema", "skewjoin",
+        "stream_skew"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -447,6 +448,136 @@ object ScaleRehearsal {
         })
         require(c1 == n && c2 == n && c3 == n && c4 == n,
           s"skew join variants disagree: $c1 / $c2 / $c3 / $c4 vs $n")
+      }
+      // ---- hot-key STREAMING interval join: plain vs salted --------
+      // The one skew regime AQE can never rescue (stateful plans pin
+      // their hash partitioning into the state layout): a key holding
+      // 25% of both streams serializes its whole symmetric-hash probe
+      // — quadratic in per-key batch span — into ONE state
+      // partition's task. Variants over identical inboxes:
+      //  - stream_skew_plain: intervalJoin at the qi22-style hand
+      //    layout (8 partitions, 1 file/trigger)
+      //  - stream_skew_salted: saltedIntervalJoin sized END-TO-END by
+      //    autoState's skew mode (sampled hottest-share → saltFactor,
+      //    second-moment c2 → trigger count) — the sizing pass runs
+      //    INSIDE the timed region, it is what the mode costs.
+      // Claim: salted ≈ plain at 1× (commit-floor-bound, salt pays a
+      // small partition tax) and clearly ahead at 10× (probe-bound,
+      // the hot task divides by the fan-out). Correctness of the salt
+      // machinery is owned by qi24 + StreamIngestSpec, not here.
+      if (families("stream_skew")) {
+        val n = EventsBase * m
+        val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        val slices = 16
+        val skroot = s"$root/stream_skew_x$m"
+        ensureFixture(skroot,
+          s"stream_skew;v1;n=$n;hot=0.25;keys=1000;slices=$slices") {
+          // 25% of rows on user -1, the rest uniform over 1000 users;
+          // event times uniform over 30 days, sliced into arrival
+          // files by time (inbox mtime order = event-time order, the
+          // live-feed shape inboxSample assumes)
+          val src = spark.range(n).select(
+            col("id").as("event_id"),
+            when(pmod(xxhash64(col("id"), lit("h")), lit(4)) === 0,
+              lit(-1L)).otherwise(
+              pmod(xxhash64(col("id"), lit("k")), lit(1000L)))
+              .as("user_id"),
+            timestamp_seconds(lit(1704067200L) +
+              pmod(xxhash64(col("id"), lit("t")), lit(2592000L)))
+              .as("ts"),
+            (pmod(xxhash64(col("id"), lit("e")), lit(2)) === 0)
+              .as("is_purchase"))
+            .withColumn("slice",
+              least(floor((unix_timestamp(col("ts")) - lit(1704067200L))
+                / lit(2592000L / slices)), lit(slices - 1L)))
+          for (i <- 0 until slices) {
+            val sl = src.where(col("slice") === i)
+            sl.where(col("is_purchase"))
+              .select(col("event_id").as("p_id"),
+                date_format(col("ts"), fmt).as("ts"),
+                col("user_id").as("p_user"))
+              .coalesce(1).write.mode("append").json(s"$skroot/purchases")
+            sl.where(!col("is_purchase"))
+              .select(col("event_id").as("e_id"),
+                date_format(col("ts"), fmt).as("ts"),
+                col("user_id").as("e_user"))
+              .coalesce(1).write.mode("append").json(s"$skroot/errors")
+          }
+        }
+        def jschema(idCol: String, keyCol: String) =
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(keyCol,
+              org.apache.spark.sql.types.LongType)))
+        def inbox(dir: String, idCol: String, tsOut: String,
+            keyCol: String, mfpt: Int): DataFrame =
+          spark.readStream.schema(jschema(idCol, keyCol))
+            .option("maxFilesPerTrigger", mfpt).json(dir)
+            .select(col(idCol), to_timestamp(col("ts"), fmt).as(tsOut),
+              col(keyCol))
+        def drain(parts: Int, mfpt: Int, factor: Int,
+            ckpt: String): Long = {
+          val joined = graft.streaming.StreamIngest.saltedIntervalJoin(
+            inbox(s"$skroot/purchases", "p_id", "p_ts", "p_user", mfpt),
+            inbox(s"$skroot/errors", "e_id", "e_ts", "e_user", mfpt),
+            "p_user", "e_user", "p_ts", "e_ts",
+            before = "5 minutes", after = "5 minutes",
+            leftDelay = "1 hour", rightDelay = "1 hour",
+            factor = factor)
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          val q = try {
+            spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+            joined.writeStream.format("noop")
+              .option("checkpointLocation", s"$skroot/$ckpt")
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+          q.awaitTermination()
+          q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max)
+        }
+        if (m == mults.min) {   // JVM streaming warmup, untimed
+          rmrf(s"$skroot/ckpt_warm")
+          drain(parts = 8, mfpt = slices, factor = 1, ckpt = "ckpt_warm")
+          ()
+        }
+        rmrf(s"$skroot/ckpt_plain")
+        var plainState = 0L
+        record("stream_skew_plain", m, n, time {
+          plainState = drain(parts = 8, mfpt = 1, factor = 1,
+            ckpt = "ckpt_plain")
+        })
+        println(s"""{"family":"stream_skew_plain","mult":$m,""" +
+          s""""max_state_rows":$plainState}""")
+        rmrf(s"$skroot/ckpt_salted")
+        var saltState = 0L
+        var sz: graft.streaming.StreamIngest.StreamSizing = null
+        record("stream_skew_salted", m, n, time {
+          val (ps, psB, ptB) = graft.streaming.StreamIngest.inboxSample(
+            spark, s"$skroot/purchases", jschema("p_id", "p_user"))
+          val (es, esB, etB) = graft.streaming.StreamIngest.inboxSample(
+            spark, s"$skroot/errors", jschema("e_id", "e_user"))
+          val sample = ps.select(col("p_user").as("k"),
+              to_timestamp(col("ts"), fmt).as("t"))
+            .unionByName(es.select(col("e_user").as("k"),
+              to_timestamp(col("ts"), fmt).as("t")))
+          sz = graft.streaming.StreamIngest.autoState(
+            sample, "k", "t", horizonSecs = 3600L + 600L,
+            rowScale = (ptB + etB).toDouble / (psB + esB))
+          saltState = drain(sz.shufflePartitions,
+            sz.maxFilesPerTrigger(slices), sz.saltFactor,
+            ckpt = "ckpt_salted")
+        })
+        println(s"""{"family":"stream_skew_salted","mult":$m,""" +
+          s""""max_state_rows":$saltState,"salt":${sz.saltFactor},""" +
+          s""""parts":${sz.shufflePartitions},""" +
+          s""""triggers":${sz.triggers},""" +
+          s""""mfpt":${sz.maxFilesPerTrigger(slices)}}""")
       }
       // ---- CDC upsert against a populated lake table ----
       if (families("upsert")) {

@@ -643,6 +643,67 @@ object IngestQueries {
       pruned.unionByName(checksum).orderBy("key")
     }),
 
+    // The SALTED stream-stream interval join against the same DuckDB
+    // range-join oracle as qi22: the salt machinery (left-side column
+    // hash, right-side ×factor explode, (key, salt) state layout) must
+    // be row-invisible — a duplicate match (a row reaching two salts),
+    // a dropped match (salt mismatch between a row and its replica),
+    // or a state-eviction change breaks the hash. factor is FORCED to
+    // 4 because this table's user keys are near-uniform and autoState
+    // would correctly derive 1 (= plain qi22, exercising nothing);
+    // the skew-triggered derivation is pinned in StreamIngestSpec and
+    // measured in the stream_skew rehearsal.
+    "qi24_stream_ijoin_salted" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi24"
+      rmrf(root)
+      val src = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"))
+      src.where(col("event_type") === "purchase")
+        .repartition(2).write.mode("overwrite").json(s"$root/purchases")
+      src.where(col("event_type") === "error")
+        .repartition(2).write.mode("overwrite").json(s"$root/errors")
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val lSchema = s.read.json(s"$root/purchases").schema
+      val rSchema = s.read.json(s"$root/errors").schema
+      val lhs = s.readStream.schema(lSchema).json(s"$root/purchases")
+        .select(col("event_id").as("p_id"),
+          to_timestamp(col("ts"), fmt).as("p_ts"),
+          col("user_id").as("p_user"))
+      val rhs = s.readStream.schema(rSchema).json(s"$root/errors")
+        .select(col("event_id").as("e_id"),
+          to_timestamp(col("ts"), fmt).as("e_ts"),
+          col("user_id").as("e_user"))
+      val joined = graft.streaming.StreamIngest.saltedIntervalJoin(
+        lhs, rhs, "p_user", "e_user", "p_ts", "e_ts",
+        before = "30 minutes", after = "30 minutes",
+        leftDelay = "1 hour", rightDelay = "1 hour", factor = 4)
+      val sizing = graft.streaming.StreamIngest.autoState(
+        s.read.schema(lSchema).json(s"$root/purchases")
+          .select(col("user_id").as("k"),
+            to_timestamp(col("ts"), fmt).as("t"))
+          .unionByName(s.read.schema(rSchema).json(s"$root/errors")
+            .select(col("user_id").as("k"),
+              to_timestamp(col("ts"), fmt).as("t"))),
+        "k", "t", horizonSecs = 3600L + 3600L)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          sizing.shufflePartitions.toString)
+        joined.writeStream.format("memory")
+          .queryName("qi24_mem").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      s.table("qi24_mem")
+        .select(col("p_id"), col("e_id"), col("p_user"),
+          (unix_micros(col("e_ts")) - unix_micros(col("p_ts")))
+            .as("delta_us"))
+        .orderBy("p_id", "e_id")
+    }),
+
     // CDC upsert (MERGE, latest-wins by key): a changelog batch of
     // same-event-time corrections plus brand-new rows applied through
     // lake.Upsert — dynamic partition overwrite of exactly the touched
@@ -1019,6 +1080,21 @@ object IngestQueries {
       FROM flags WHERE NOT (ok_cap AND ok_err) GROUP BY 2
       ORDER BY side, key""",
     "qi22_stream_interval_join" -> """
+      SELECT l.event_id AS p_id, r.event_id AS e_id,
+             l.user_id AS p_user,
+             date_diff('microsecond', cast(l.ts AS timestamp),
+                       cast(r.ts AS timestamp)) AS delta_us
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND l.event_type = 'purchase' AND r.event_type = 'error'
+       AND cast(r.ts AS timestamp)
+             >= cast(l.ts AS timestamp) - INTERVAL 30 MINUTE
+       AND cast(r.ts AS timestamp)
+             <= cast(l.ts AS timestamp) + INTERVAL 30 MINUTE
+      ORDER BY p_id, e_id""",
+
+    // identical oracle to qi22 on purpose: the salt must be invisible
+    "qi24_stream_ijoin_salted" -> """
       SELECT l.event_id AS p_id, r.event_id AS e_id,
              l.user_id AS p_user,
              date_diff('microsecond', cast(l.ts AS timestamp),

@@ -379,6 +379,74 @@ object StreamIngest {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
   }
 
+  /** [[intervalJoin]] with the hot-key salt applied INSIDE the
+    * stream — the skew lever for the one regime where Spark's own
+    * remedy cannot reach. AQE's skew split only rewrites sort-merge
+    * shuffle partitions of BATCH plans; a stateful stream-stream join
+    * freezes its hash partitioning into the state layout at the first
+    * checkpoint, so a key carrying half the stream serializes half
+    * the probe work into one state partition's task forever (measured
+    * in the skewjoin + stream_skew rehearsal families, PERF.md).
+    *
+    * Mechanics — the streaming twin of `operators.SkewJoin.salted`:
+    * each left row gets a deterministic salt in `[0, factor)` hashed
+    * from ALL its columns; each right row is exploded into `factor`
+    * copies, one per salt; salt equality joins the equi-condition, so
+    * the state key becomes `(key, salt)` and the hot key's state and
+    * probe work spread over `factor` partitions. Every (left, right)
+    * match survives exactly once — a left row owns ONE salt and meets
+    * the single right copy carrying it — so output is row-identical
+    * to the unsalted join (qi24 pins this against the qi22 DuckDB
+    * oracle). Cost: right-side state ×factor, the right trade when
+    * the right stream is the smaller side (responses, errors, alerts).
+    *
+    * The salt hashes columns, not a row id: `monotonically_increasing
+    * _id` is attempt-nondeterministic, and a map-retry that re-salts
+    * rows after a partial shuffle fetch could land a row in TWO state
+    * partitions (duplicate matches) — batch SkewJoin tolerates that,
+    * checkpointed exactly-once state cannot. The price is that
+    * fully-identical left duplicates share a salt; event streams
+    * carry timestamps, so full-row duplicates are the degenerate
+    * case, and they stay CORRECT — just unspread.
+    *
+    * `factor` comes from [[autoState]]'s `saltFactor` (derived from
+    * the sampled hottest-key share); `factor == 1` degrades to the
+    * plain [[intervalJoin]] plan.
+    */
+  def saltedIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      before: String, after: String,
+      leftDelay: String, rightDelay: String,
+      factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    if (factor == 1)
+      intervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+        before, after, leftDelay, rightDelay)
+    else {
+      val overlap = left.columns.toSet.intersect(right.columns.toSet)
+      require(overlap.isEmpty,
+        s"saltedIntervalJoin: column names must be disjoint, both " +
+          s"sides have: ${overlap.mkString(", ")}")
+      val l = left
+        .withColumn("__salt_l",
+          pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*),
+            lit(factor.toLong)).cast("int"))
+        .withWatermark(leftTs, leftDelay)
+      val r = right
+        .withColumn("__salt_r",
+          explode(array((0 until factor).map(i => lit(i)): _*)))
+        .withWatermark(rightTs, rightDelay)
+      l.join(r,
+        col(leftKey) === col(rightKey) &&
+          col("__salt_l") === col("__salt_r") &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+        .drop("__salt_l", "__salt_r")
+    }
+  }
+
   /** Keys per state-store shuffle partition — the qi22 rule as a
     * constant: the 1.5k-user interval join measured best at 8
     * partitions (9.0 → 4.4 s), i.e. ~200 keys per partition. Each
@@ -407,7 +475,8 @@ object StreamIngest {
     */
   final case class StreamSizing(
       shufflePartitions: Int, triggers: Int,
-      rows: Long, keys: Long, spanSecs: Long) {
+      rows: Long, keys: Long, spanSecs: Long,
+      saltFactor: Int = 1, keyMass2: Double = 0.0) {
     /** File-source translation: files per trigger that yields the
       * target trigger count on an inbox of `inboxFiles` files (per
       * side, for a two-sided join whose sides are sliced alike).
@@ -443,6 +512,15 @@ object StreamIngest {
     * rehearsal's `stream_ijoin_auto` family holds this to the
     * measured optimum at both scales (no crossover cliff).
     *
+    *  - skew: the sampled key distribution's second moment `c2`
+    *    replaces the uniform 1/K in the trigger optimum (`T* =
+    *    N·sqrt((b/a)·c2)`, identical for uniform keys), and a
+    *    hottest-key share that out-fills its fair machine share by
+    *    ≥ [[MinSaltFactor]] derives a `saltFactor` for
+    *    [[saltedIntervalJoin]] — stateful plans are the one place
+    *    AQE's skew split can never rescue a hot key (PERF.md
+    *    "skew-join regimes").
+    *
     * Scope: the trigger-count optimum models SYMMETRIC-HASH JOIN
     * state, whose probe rescans all same-key state per arriving row.
     * Keyed-ACCUMULATOR state (sessionize, windowed aggs) has no
@@ -461,6 +539,20 @@ object StreamIngest {
       sample: DataFrame, keyCol: String, tsCol: String,
       horizonSecs: Long, rowScale: Double = 1.0): StreamSizing = {
     val spark = sample.sparkSession
+    // one extra bounded aggregate over the sample gives the key
+    // distribution's SECOND MOMENT c2 = Σ(n_k/N)² and the single
+    // hottest key's share. Shares are scale-free, so neither needs
+    // rowScale. c2 generalizes the uniform-key trigger formula: the
+    // symmetric-hash probe totals b·Σ_k n_k²/T = b·N²·c2/T per the
+    // r12 cost model, and uniform keys give c2 = 1/K exactly — the
+    // formula autoState shipped with — while a skewed stream
+    // concentrates c2 in its hot keys and needs coarser triggers.
+    val dist = sample.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("k_exact"),
+        max(col("c")).as("top"),
+        sum(col("c").cast("double") * col("c")).as("m2")).head()
     val agg = sample.where(col(tsCol).isNotNull).agg(
       count(lit(1)).as("n"),
       approx_count_distinct(col(keyCol)).as("k"),
@@ -470,15 +562,42 @@ object StreamIngest {
     val n = math.round(agg.getLong(0) * math.max(1.0, rowScale))
     val k = math.max(1L, if (agg.isNullAt(1)) 1L else agg.getLong(1))
     val span = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+    val nSample = if (dist.isNullAt(0)) 0L else dist.getLong(0)
+    val topShare = if (nSample <= 0L) 0.0
+      else dist.getLong(2).toDouble / nSample
+    val c2 = if (nSample <= 0L) 1.0 / k
+      else dist.getDouble(3) / (nSample.toDouble * nSample)
     val maxP = math.max(1, spark.sparkContext.defaultParallelism)
-    val parts = math.min(maxP.toLong,
-      (k + KeysPerStatePartition - 1) / KeysPerStatePartition).toInt
-    val tStar = math.round(n * math.sqrt(ProbeCommitRatio / k))
+    // salt when the hottest key alone would out-fill its fair share
+    // of the machine by ≥ MinSaltFactor; spread it over ~topShare·maxP
+    // sub-keys so its state partition carries an average load again
+    val rawF = math.ceil(topShare * maxP).toLong
+    val saltF = if (rawF >= MinSaltFactor)
+      math.min(maxP.toLong, rawF).toInt else 1
+    // salting splits the hot key's probe mass f ways:
+    // (topShare/f)²·f = topShare²/f
+    val c2eff = if (saltF > 1)
+      c2 - topShare * topShare + topShare * topShare / saltF else c2
+    val partsUnsalted = math.min(maxP.toLong,
+      (k + KeysPerStatePartition - 1) / KeysPerStatePartition)
+    // a salted hot key only reaches f DISTINCT partitions if the
+    // layout has comfortably more than f slots for its sub-keys
+    val parts = if (saltF > 1)
+      math.min(maxP.toLong, math.max(partsUnsalted, 2L * saltF)).toInt
+    else partsUnsalted.toInt
+    val tStar = math.round(n * math.sqrt(ProbeCommitRatio * c2eff))
     val tCap = if (horizonSecs <= 0) Long.MaxValue
       else math.max(1L, span / horizonSecs)
     val triggers = math.max(1L, math.min(tStar, tCap)).toInt
-    StreamSizing(math.max(1, parts), triggers, n, k, span)
+    StreamSizing(math.max(1, parts), triggers, n, k, span,
+      saltFactor = saltF, keyMass2 = c2)
   }
+
+  /** Smallest salt fan-out worth its replication cost: below this the
+    * hot key fits ~MinSaltFactor partitions' fair share and AQE-less
+    * stateful plans still keep every core busy with other keys.
+    */
+  val MinSaltFactor = 4
 
   /** Cheap sizing sample over a file inbox: parse only `sampleFiles`
     * files — the first and last by modification time (the span ends;

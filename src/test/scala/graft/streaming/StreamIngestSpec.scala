@@ -298,6 +298,9 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
         StreamIngest.KeysPerStatePartition).toInt
     assert(sz.shufflePartitions == wantParts, sz)
     assert(sz.triggers >= 4 && sz.triggers <= 5, sz)
+    // uniform keys: no hot share, no salt; c2 recovers ~1/K
+    assert(sz.saltFactor == 1, sz)
+    assert(sz.keyMass2 > 0.0008 && sz.keyMass2 < 0.0012, sz)
     // file-source translation: 32 inbox files at ~4 triggers → 8/side
     assert(sz.maxFilesPerTrigger(32) == 32 / sz.triggers, sz)
     assert(StreamIngest.StreamSizing(1, 50, 0, 0, 0)
@@ -601,6 +604,96 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
         "user", "user", "ts", "ts", "0 minutes", "5 minutes",
         "1 minute", "1 minute")
     }
+  }
+
+  test("saltedIntervalJoin is row-identical to intervalJoin across " +
+      "batches and keys state by (key, salt)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Timestamp, String, Long)]
+    val resps = MemoryStream[(Timestamp, String, Int)]
+    val joined = StreamIngest.saltedIntervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      before = "0 minutes", after = "10 minutes",
+      leftDelay = "5 minutes", rightDelay = "5 minutes", factor = 3)
+    val q = joined.writeStream.format("memory").queryName("sij_out")
+      .outputMode("append").start()
+    // a hot key with several distinct rows (distinct salts) plus a
+    // cold key; responses arrive a BATCH LATER so every match crosses
+    // buffered state, and one is out of range
+    reqs.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "hot", 1L),
+      (Timestamp.valueOf("2024-03-01 10:01:00"), "hot", 2L),
+      (Timestamp.valueOf("2024-03-01 10:02:00"), "hot", 3L),
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "cold", 4L))
+    q.processAllAvailable()
+    resps.addData(
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "hot", 200),
+      (Timestamp.valueOf("2024-03-01 10:09:00"), "cold", 201),
+      (Timestamp.valueOf("2024-03-01 10:13:00"), "hot", 500))
+    q.processAllAvailable()
+    val out = spark.table("sij_out")
+      .select("req_id", "status").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // every in-range (req, resp) pair exactly ONCE: a row reaching
+    // two salts would duplicate a pair, a salt mismatch would drop
+    // one. The 10:13 "hot" response is +13/+12/+11 min from reqs
+    // 1/2/3 — beyond the 10-minute `after` bound for all three.
+    assert(out == Seq((1L, 200), (2L, 200), (3L, 200), (4L, 201)))
+    q.stop()
+    // the salt reaches the state layout: both equi-keys appear in the
+    // analyzed join condition, and no salt column survives the output
+    val plan = joined.queryExecution.analyzed.toString
+    assert(plan.contains("__salt_l") && plan.contains("__salt_r"))
+    assert(!joined.columns.exists(_.startsWith("__salt")))
+    // factor == 1 short-circuits to the plain plan
+    val plain = StreamIngest.saltedIntervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      "0 minutes", "10 minutes", "5 minutes", "5 minutes", factor = 1)
+    assert(!plain.queryExecution.analyzed.toString.contains("__salt"))
+  }
+
+  test("autoState detects a hot key: salt factor from the hottest " +
+      "share, trigger optimum from the key-mass second moment") {
+    // 90% of 1M rows on ONE key, the rest uniform over 100 keys.
+    // c2 ≈ 0.81 → the uniform-formula triggers (which saw ~100 keys)
+    // would be far too fine; the hot share out-fills its fair machine
+    // share → saltFactor fires. All expectations computed from the
+    // same formulas with the session's real parallelism, like the
+    // uniform test above.
+    val maxP = spark.sparkContext.defaultParallelism
+    val sample = spark.range(1000000).select(
+      when(pmod(col("id"), lit(10)) < 9, lit(-1L))
+        .otherwise(pmod(col("id"), lit(100))).as("k"),
+      timestamp_seconds(lit(1704067200L) + pmod(col("id") * 37,
+        lit(2592000L))).as("t"))
+    val sz = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 7200L)
+    assert(sz.keyMass2 > 0.80 && sz.keyMass2 < 0.82, sz)
+    val wantF = {
+      val raw = math.ceil(0.9 * maxP).toLong
+      if (raw >= StreamIngest.MinSaltFactor)
+        math.min(maxP.toLong, raw).toInt else 1
+    }
+    assert(sz.saltFactor == wantF, s"$sz vs wantF=$wantF maxP=$maxP")
+    // triggers follow c2eff = c2 − s² + s²/f, not 1/K
+    val c2eff = sz.keyMass2 - 0.81 + 0.81 / math.max(1, sz.saltFactor)
+    val wantT = math.round(1000000L *
+      math.sqrt(StreamIngest.ProbeCommitRatio * c2eff))
+    assert(math.abs(sz.triggers - wantT) <= math.max(1, wantT / 10),
+      s"$sz vs wantT=$wantT")
+    // salted layout gets enough partition slots for the fan-out
+    if (sz.saltFactor > 1)
+      assert(sz.shufflePartitions ==
+        math.min(maxP, math.max(
+          ((sz.keys + StreamIngest.KeysPerStatePartition - 1) /
+            StreamIngest.KeysPerStatePartition).toInt,
+          2 * sz.saltFactor)), sz)
   }
 
   test("sessionize: gap-based sessions emit on event-time timeout") {
