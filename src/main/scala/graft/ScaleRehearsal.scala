@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   *   families: comma subset of
   *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
   *     rollup,compact,partition_stress,stream,wide_schema,skewjoin,
-  *     stream_skew (default all)
+  *     stream_skew,stream_state,zorder (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -189,6 +189,7 @@ object ScaleRehearsal {
     private val read = new java.util.concurrent.atomic.AtomicLong
     private val write = new java.util.concurrent.atomic.AtomicLong
     private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val input = new java.util.concurrent.atomic.AtomicLong
     private val stages = new java.util.concurrent.atomic.AtomicInteger
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -198,12 +199,13 @@ object ScaleRehearsal {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spill.addAndGet(m.diskBytesSpilled)
+        input.addAndGet(m.inputMetrics.bytesRead)
       }
       stages.incrementAndGet()
       ()
     }
-    def snapshot(): (Long, Long, Long, Int) =
-      (read.get(), write.get(), spill.get(), stages.get())
+    def snapshot(): (Long, Long, Long, Long, Int) =
+      (read.get(), write.get(), spill.get(), input.get(), stages.get())
     /** Wait until the counters stop moving (listener bus drained). */
     def settle(): Unit = {
       var prev = snapshot()
@@ -228,7 +230,7 @@ object ScaleRehearsal {
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
         "partition_stress", "stream", "wide_schema", "skewjoin",
-        "stream_skew"))
+        "stream_skew", "stream_state", "zorder"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -252,12 +254,12 @@ object ScaleRehearsal {
     // snapshots without touching the call sites
     def record(family: String, mult: Int, rows: Long, sec: => Double): Unit = {
       audit.settle()
-      val (r0, w0, sp0, s0) = audit.snapshot()
+      val (r0, w0, sp0, i0, s0) = audit.snapshot()
       val t = sec
       audit.settle()
-      val (r1, w1, sp1, s1) = audit.snapshot()
+      val (r1, w1, sp1, i1, s1) = audit.snapshot()
       results += ((family, mult, rows, t))
-      println(f"""{"family":"$family","mult":$mult,"rows":$rows,"sec":$t%.2f,"shuffle_read_mb":${(r1 - r0) / 1048576L},"shuffle_write_mb":${(w1 - w0) / 1048576L},"spill_mb":${(sp1 - sp0) / 1048576L},"stages":${s1 - s0}}""")
+      println(f"""{"family":"$family","mult":$mult,"rows":$rows,"sec":$t%.2f,"shuffle_read_mb":${(r1 - r0) / 1048576L},"shuffle_write_mb":${(w1 - w0) / 1048576L},"spill_mb":${(sp1 - sp0) / 1048576L},"input_mb":${(i1 - i0) / 1048576L},"stages":${s1 - s0}}""")
     }
 
     for (m <- mults) {
@@ -959,6 +961,183 @@ object ScaleRehearsal {
           sessState = drainStateRows(q)
         })
         println(s"""{"family":"stream_sess","mult":$m,"max_state_rows":$sessState}""")
+      }
+      // ---- state-store backend: heap (default) vs RocksDB ----------
+      // Same inbox, same 8-partition layout, same AvailableNow drain —
+      // the only variable is the state store provider. The claim under
+      // test: RocksDB (the backend that bounds executor heap at its
+      // block cache and, with changelog checkpointing, ships per-batch
+      // deltas instead of SST re-uploads) costs a bounded wall premium
+      // at local scale — the price of the only provider that survives
+      // state > heap at a 100 TB streaming fan-in. max_state_rows must
+      // MATCH across providers (identical batching ⇒ identical state
+      // semantics); the require below pins that.
+      if (families("stream_state")) {
+        val n = EventsBase * m
+        val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        val sroot = s"$root/stream_x$m"
+        // identical fingerprint + contents as the stream family's
+        // mkInbox(slices = 8): whichever family runs first builds it
+        ensureFixture(sroot, s"stream;v1;n=$n;slices=8") {
+          val slices = 8
+          val src = events(spark, n)
+            .withColumn("slice",
+              least(floor((unix_timestamp(col("ts")) - lit(1704067200L))
+                / lit(2592000L / slices)), lit(slices - 1L)))
+          for (i <- 0 until slices) {
+            val s = src.where(col("slice") === i)
+            s.where(col("event_type") === "purchase")
+              .select(col("event_id").as("p_id"),
+                date_format(col("ts"), fmt).as("ts"),
+                col("user_id").as("p_user"))
+              .coalesce(1).write.mode("append").json(s"$sroot/purchases")
+            s.where(col("event_type") === "error")
+              .select(col("event_id").as("e_id"),
+                date_format(col("ts"), fmt).as("ts"),
+                col("user_id").as("e_user"))
+              .coalesce(1).write.mode("append").json(s"$sroot/errors")
+            s.select(concat(lit("u"), col("user_id")).as("key"),
+                date_format(col("ts"), fmt).as("ts"))
+              .coalesce(1).write.mode("append").json(s"$sroot/all")
+          }
+        }
+        def sschema(idCol: String, keyCol: String) =
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(keyCol,
+              org.apache.spark.sql.types.LongType)))
+        def sInbox(dir: String, idCol: String, tsOut: String,
+            keyCol: String): DataFrame =
+          spark.readStream.schema(sschema(idCol, keyCol))
+            .option("maxFilesPerTrigger", 1).json(dir)
+            .select(col(idCol), to_timestamp(col("ts"), fmt).as(tsOut),
+              col(keyCol))
+        // returns (max state rows, max rocksdb sst bytes on local disk,
+        // max rocksdb pinned-block heap bytes)
+        def drainBackend(ckpt: String, rocks: Boolean): (Long, Long, Long) = {
+          val joined = graft.streaming.StreamIngest.intervalJoin(
+            sInbox(s"$sroot/purchases", "p_id", "p_ts", "p_user"),
+            sInbox(s"$sroot/errors", "e_id", "e_ts", "e_user"),
+            "p_user", "e_user", "p_ts", "e_ts",
+            before = "30 minutes", after = "30 minutes",
+            leftDelay = "1 hour", rightDelay = "1 hour")
+          def start() = joined.writeStream.format("noop")
+            .option("checkpointLocation", s"$sroot/$ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .start()
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          val q = try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            if (rocks)
+              graft.streaming.StreamIngest.withRocksDBState(spark)(
+                start())
+            else start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+          q.awaitTermination()
+          val ops = q.recentProgress.toSeq.flatMap(_.stateOperators)
+          val st = ops.map(_.numRowsTotal).foldLeft(0L)(math.max)
+          def metricMax(k: String) = ops.flatMap(o =>
+              Option(o.customMetrics.get(k)).map(_.longValue()))
+            .foldLeft(0L)(math.max)
+          (st, metricMax("rocksdbSstFileSize"),
+            metricMax("rocksdbPinnedBlocksMemoryUsage"))
+        }
+        if (m == mults.min) {     // per-provider warmup, untimed
+          rmrf(s"$sroot/ckpt_ssw_h"); rmrf(s"$sroot/ckpt_ssw_r")
+          drainBackend("ckpt_ssw_h", rocks = false)
+          drainBackend("ckpt_ssw_r", rocks = true)
+          ()
+        }
+        rmrf(s"$sroot/ckpt_ss_heap")
+        var hs: (Long, Long, Long) = (0L, 0L, 0L)
+        record("stream_state_heap", m, n, time {
+          hs = drainBackend("ckpt_ss_heap", rocks = false)
+        })
+        println(s"""{"family":"stream_state_heap","mult":$m,""" +
+          s""""max_state_rows":${hs._1}}""")
+        rmrf(s"$sroot/ckpt_ss_rocksdb")
+        var rs: (Long, Long, Long) = (0L, 0L, 0L)
+        record("stream_state_rocksdb", m, n, time {
+          rs = drainBackend("ckpt_ss_rocksdb", rocks = true)
+        })
+        println(s"""{"family":"stream_state_rocksdb","mult":$m,""" +
+          s""""max_state_rows":${rs._1},""" +
+          s""""rocksdb_sst_bytes":${rs._2},""" +
+          s""""rocksdb_pinned_bytes":${rs._3}}""")
+        require(hs._1 == rs._1,
+          s"state rows diverge across providers: ${hs._1} vs ${rs._1}")
+      }
+      // ---- z-order clustering payoff: 2-D selective scan ------------
+      // Two copies of a one-day corpus (a single partition dir, so
+      // CLUSTERING is the only variable, not dir layout), both rewritten
+      // by compactZorder into the same ~64-file budget: one clustered on
+      // tp_timestamp (the time-ordered layout plain compaction produces),
+      // one on (user_id, value). The probe is a conjunctive 2-D range
+      // predicate on the z-columns (~0.24% of rows). Time-clustered
+      // files each span the full user×value space — every row group
+      // matches the parquet min/max check and the scan reads the whole
+      // table; z-clustered files confine the query rectangle to a few
+      // z-ranges and the reader skips the rest on footer stats alone.
+      // input_bytes (exact, from the stage-metrics audit) is the claim:
+      // wall follows bytes once files are large enough to amortize
+      // footer reads. Builds are timed too — the z-rewrite pays two
+      // quantile passes + the same one-job rewrite as plain compaction.
+      if (families("zorder")) {
+        val n = EventsBase * m
+        val zroot = s"$root/zorder_x$m"
+        rmrf(zroot)
+        val zlake = graft.lake.Lake(zroot)
+        val src = events(spark, n).withColumn("ts",
+          timestamp_seconds(lit(1704067200L) +
+            pmod(unix_timestamp(col("ts")), lit(86400L))))
+        for (t <- Seq("by_time", "by_z")) {
+          graft.ingest.Ingest.collectBatch(spark, zlake,
+            graft.config.PartitionSpec(t, "p0"), src,
+            timestampColumn = "ts")
+        }
+        val fileRows = math.max(1L, n / 64)
+        record("zorder_build_time", m, n, time {
+          graft.lake.Maintenance.compactZorder(spark, zlake, "by_time",
+            Seq(graft.lake.TpSchema.Timestamp),
+            targetFileRows = fileRows)
+          ()
+        })
+        record("zorder_build_z", m, n, time {
+          graft.lake.Maintenance.compactZorder(spark, zlake, "by_z",
+            Seq("user_id", "value"), targetFileRows = fileRows)
+          ()
+        })
+        def probe(table: String): (Long, Double) = {
+          val r = zlake.read(spark, table)
+            .where(col("user_id").between(100, 115) &&
+              col("value").between(10.0, 25.0))
+            .agg(count(lit(1)), sum("value")).head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        def scanBytes(table: String, fam: String): (Long, Double) = {
+          audit.settle()
+          val (_, _, _, ib0, _) = audit.snapshot()
+          var res: (Long, Double) = (0L, 0.0)
+          record(fam, m, n, time { res = probe(table) })
+          audit.settle()
+          val (_, _, _, ib1, _) = audit.snapshot()
+          println(s"""{"family":"$fam","mult":$m,""" +
+            s""""input_bytes":${ib1 - ib0},"hit_rows":${res._1}}""")
+          res
+        }
+        probe("by_time")              // page-cache + footer warm, untimed
+        probe("by_z")
+        val a = scanBytes("by_time", "zorder_scan_time")
+        val b = scanBytes("by_z", "zorder_scan_z")
+        // counts exact; the double sum only to addition-order tolerance
+        require(a._1 == b._1 &&
+          math.abs(a._2 - b._2) <= 1e-6 * math.max(1.0, math.abs(a._2)),
+          s"layouts disagree on the probe: $a vs $b")
       }
       // ---- high-cardinality partition PLANNING stress (r11 task 5) --
       // The upsert predicate path is pinned to 2000 dirs (UpsertSpec);

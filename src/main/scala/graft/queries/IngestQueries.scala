@@ -704,6 +704,53 @@ object IngestQueries {
         .orderBy("p_id", "e_id")
     }),
 
+    // Streaming incremental dedup, end state: the documents corpus plus
+    // an injected "re-crawl" (every 3rd doc re-emitted under a fresh
+    // higher id) replayed as a 6-slice file-source stream, one file per
+    // micro-batch, through incrementalDedupSink — so later batches are
+    // rejected by the PERSISTED digest index written by earlier ones,
+    // not by in-batch grouping. Slices are cut along doc_id order and
+    // mtime-stamped in slice order, making first-seen = min id; the
+    // oracle recomputes keepers as arg-min-by-id per text group. A
+    // replayed batch double-write, an index row lost between batches,
+    // or a digest mismatch across the JSONL round-trip breaks the hash.
+    "qi25_stream_incremental_dedup" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi25"
+      rmrf(root)
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val feed = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(maxId + 1L)))
+      val slices = 6
+      val bounds = (1 until slices).map(i =>
+        feed.stat.approxQuantile("doc_id",
+          Array(i.toDouble / slices), 0.0).head)
+      val sliceOf = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("doc_id") >= lit(b), 1).otherwise(0) }
+      val inboxDir = new java.io.File(s"$root/inbox")
+      for (i <- 0 until slices) {
+        feed.where(sliceOf === i)
+          .coalesce(1).write.mode("append").json(s"$root/inbox")
+        // pin inbox mtimes to slice order — FileStreamSource replays
+        // oldest-first, and first-seen-wins needs that order exact
+        inboxDir.listFiles().filter(_.getName.endsWith(".json"))
+          .filter(_.lastModified > 1000000000000L + i * 60000L)
+          .foreach(_.setLastModified(1000000000000L + i * 60000L))
+      }
+      val schema = s.read.json(s"$root/inbox").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(s"$root/inbox")
+      val q = graft.streaming.StreamIngest.incrementalDedupSink(
+        stream, "doc_id", "text",
+        s"$root/index", s"$root/out", s"$root/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // CDC upsert (MERGE, latest-wins by key): a changelog batch of
     // same-event-time corrections plus brand-new rows applied through
     // lake.Upsert — dynamic partition overwrite of exactly the touched
@@ -1107,6 +1154,20 @@ object IngestQueries {
        AND cast(r.ts AS timestamp)
              <= cast(l.ts AS timestamp) + INTERVAL 30 MINUTE
       ORDER BY p_id, e_id""",
+
+    // first-seen = arg-min-by-id because the stream replays slices in
+    // doc_id order; covers the injected re-crawl AND natural dup texts
+    "qi25_stream_incremental_dedup" -> """
+      WITH feed AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+               text, source, n_chars
+        FROM documents WHERE doc_id % 3 = 0)
+      SELECT min(doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source,
+             min(n_chars) AS n_chars
+      FROM feed GROUP BY text ORDER BY doc_id""",
     "qi16_upsert" -> """
       WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts,
                         event_type, value FROM events),

@@ -658,6 +658,54 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(!plain.queryExecution.analyzed.toString.contains("__salt"))
   }
 
+  test("withRocksDBState: interval join result-identical on the " +
+      "RocksDB provider, conf restored, provider actually engaged") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val reqs = MemoryStream[(Timestamp, String, Long)]
+    val resps = MemoryStream[(Timestamp, String, Int)]
+    val joined = StreamIngest.intervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      before = "0 minutes", after = "10 minutes",
+      leftDelay = "5 minutes", rightDelay = "5 minutes")
+    val q = StreamIngest.withRocksDBState(spark) {
+      assert(spark.conf.get(provKey) == StreamIngest.RocksDBProvider)
+      joined.writeStream.format("memory").queryName("rdb_out")
+        .outputMode("append").start()
+    }
+    // scope-bound: the session conf is back to the default provider
+    // right after start — later queries are NOT switched (getOption
+    // reports the built-in default, so compare values, not presence)
+    assert(spark.conf.get(provKey) != StreamIngest.RocksDBProvider)
+    // matches cross micro-batches, so they traverse RocksDB-buffered
+    // state, not just in-batch rows
+    reqs.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "a", 1L),
+      (Timestamp.valueOf("2024-03-01 10:01:00"), "b", 2L))
+    q.processAllAvailable()
+    resps.addData(
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "a", 200),
+      (Timestamp.valueOf("2024-03-01 10:09:00"), "b", 201),
+      (Timestamp.valueOf("2024-03-01 10:12:00"), "b", 502))
+    q.processAllAvailable()
+    val out = spark.table("rdb_out")
+      .select("req_id", "status").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(out == Seq((1L, 200), (2L, 201)))
+    // the provider really engaged: the state operator reports
+    // RocksDB-specific custom metrics
+    import scala.jdk.CollectionConverters._
+    val cms = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.keySet().asScala)
+    assert(cms.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb metrics in: ${cms.distinct.sorted}")
+    q.stop()
+  }
+
   test("autoState detects a hot key: salt factor from the hottest " +
       "share, trigger optimum from the key-mass second moment") {
     // 90% of 1M rows on ONE key, the rest uniform over 100 keys.
