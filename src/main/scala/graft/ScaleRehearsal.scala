@@ -1189,22 +1189,12 @@ object ScaleRehearsal {
         // equal to input_file_name()), so a copied lake's manifest
         // still points at the fixture tree — fileStats would reconcile
         // to empty and every compact below would silently no-op (this
-        // exact bug shipped one bogus rehearsal run). Retarget it.
-        locally {
-          val man = s"$runRoot/events_wide/_graft_manifest"
-          val rows = spark.read.parquet(man).collect().toSeq
-          val schema = spark.read.parquet(man).schema
-          val moved = rows.map { r =>
-            org.apache.spark.sql.Row.fromSeq(
-              r.toSeq.updated(schema.fieldIndex("file"),
-                r.getAs[String]("file").replace(lakeRoot, runRoot)))
-          }
-          rmrf(man)
-          spark.createDataFrame(
-            spark.sparkContext.parallelize(moved, 1), schema)
-            .write.mode("overwrite").parquet(man)
-        }
+        // exact bug shipped one bogus rehearsal run). Retarget it with
+        // the production repair (vacuum --relocate) rather than a
+        // hand-rolled path rewrite — same lock/atomic-swap discipline,
+        // and the rehearsal exercises the operator users run.
         val lakeRun = graft.lake.Lake(runRoot)
+        graft.lake.Maintenance.relocate(spark, lakeRun, "events_wide")
         // guard: the copy must see every file through the manifest, or
         // the probes below measure no-ops
         require(lakeRun.fileStats(spark, "events_wide").count() ==

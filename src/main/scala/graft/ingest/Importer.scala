@@ -157,38 +157,66 @@ object Importer {
       views.contains(d.getName.stripPrefix("tp_table="))
     }
     unmatched.foreach(moveTo(_, "unmigrated"))
-    // crash-window closure (ADVICE r12): the append commits before the
-    // dir moves to migrated/, so a crash between the two would leave
-    // the dir in place and a rerun would double-append. A per-table
-    // completion marker written AFTER the commit but BEFORE the move
-    // lets the rerun distinguish crashed-mid-move (marker present →
-    // just finish the move, do not re-import) from not-started. The
-    // marker is deleted after the move; one orphaned after a crash
-    // between move and delete points at a dir that no longer exists
-    // and is swept below.
+    // Crash-safety, two markers per table (ADVICE r12 + r13). The
+    // migration is IDEMPOTENT under a crash at any point:
+    //  - `.migrate_intent_<t>` records the table's live rowcount
+    //    BEFORE the import starts. On rerun its presence means a prior
+    //    attempt crashed somewhere past this line; comparing the
+    //    current count against the recorded one tells whether that
+    //    attempt's append COMMITTED (count grew → skip the re-import
+    //    that would double the rows — the r13 residual window) or not
+    //    (count unchanged → import fresh).
+    //  - `.migrate_done_<t>` is written after the commit and before
+    //    the dir moves to migrated/, so a crash between the two
+    //    resumes as just-finish-the-move.
+    // The count probe reads the actual table (not the manifest —
+    // append commits data before its manifest row, so a crash between
+    // them would make a manifest-based count under-read and re-import
+    // anyway). Recovery assumes the rerun happens before unrelated
+    // appends land on the same table, the normal single-writer
+    // migration discipline; both markers are deleted on success.
     def markerOf(table: String) = new File(ws, s".migrate_done_$table")
+    def intentOf(table: String) = new File(ws, s".migrate_intent_$table")
+    def liveRows(table: String): Long =
+      if (!lake.tableExists(spark, table)) 0L
+      else lake.read(spark, table).count()
     val migrated = matched.toSeq.map { d =>
       val table = d.getName.stripPrefix("tp_table=")
       val marker = markerOf(table)
+      val intent = intentOf(table)
       val rows =
         if (marker.isFile) {
           new String(Files.readAllBytes(marker.toPath), "UTF-8").trim.toLong
         } else {
-          val res = importParquet(spark, lake, d.getPath,
-            graft.config.PartitionSpec(table, "legacy"),
-            timestampColumn = timestampColumn)
-          Files.write(marker.toPath,
-            res.rowsIngested.toString.getBytes("UTF-8"))
-          res.rowsIngested
+          val resuming = intent.isFile
+          val preCount =
+            if (resuming)
+              new String(Files.readAllBytes(intent.toPath), "UTF-8")
+                .trim.toLong
+            else {
+              val c = liveRows(table)
+              Files.write(intent.toPath, c.toString.getBytes("UTF-8"))
+              c
+            }
+          val committed = if (resuming) liveRows(table) - preCount else 0L
+          val ingested =
+            if (committed > 0L) committed // crashed AFTER the commit
+            else importParquet(spark, lake, d.getPath,
+              graft.config.PartitionSpec(table, "legacy"),
+              timestampColumn = timestampColumn).rowsIngested
+          Files.write(marker.toPath, ingested.toString.getBytes("UTF-8"))
+          ingested
         }
       moveTo(d, "migrated")
       Files.deleteIfExists(marker.toPath)
+      Files.deleteIfExists(intent.toPath)
       (table, rows)
     }
     // sweep markers orphaned by a crash after the move: their dir is
-    // already in migrated/, the work is done, only the marker remains
+    // already in migrated/, the work is done, only the markers remain
     Option(ws.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(".migrate_done_"))
+      .filter(f => f.isFile && (f.getName.startsWith(".migrate_done_") ||
+        f.getName.startsWith(".migrate_intent_")))
       .foreach(f => Files.deleteIfExists(f.toPath))
 
     val status =

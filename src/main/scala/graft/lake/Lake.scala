@@ -299,60 +299,82 @@ final case class Lake(root: String) {
     (files.size.toLong, files.map(_._2).sum)
   }
 
-  /** Compute + append manifest rows for newly added files: one row per
-    * file with rowcount and min/max tp_timestamp. One narrow scan over
-    * just the new files (timestamp column only — column pruning keeps
-    * this cheap).
+  /** Next manifest `seq` for this table — monotonic across processes
+    * (see [[Lake.seqCounters]]). The floor read costs one tiny
+    * driver-side aggregate over the coalesced manifest, paid ONCE per
+    * table per JVM; every later issue is an atomic increment.
     */
-  private def recordStats(
-      spark: SparkSession, table: String, added: Seq[String]): Unit = {
-    if (added.isEmpty) return
-    val raw = spark.read
-      .option("basePath", tableDir(table)).parquet(added: _*)
-      .select(col(TpSchema.Timestamp))
-      .withColumn("file", input_file_name())
-      .groupBy("file")
-      .agg(count(lit(1)).as("rows"),
-        min(TpSchema.Timestamp).as("min_ts"),
-        max(TpSchema.Timestamp).as("max_ts"))
-      .collect() // one row per ADDED file — metadata-sized
-    // input_file_name() yields percent-encoded URIs (scheme +
-    // authority); java.net.URI.getPath both strips them and decodes,
-    // landing on exactly the form dataFiles' Path.toUri.getPath
-    // produces — a regex scheme-strip would keep the authority and
-    // the %-escapes, so manifest paths would never match on s3a/hdfs
-    // roots or escaped partition values
-    val seqNo = System.nanoTime()
-    val rows = raw.toSeq.map { r =>
-      (new java.net.URI(r.getString(0)).getPath,
-        r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), seqNo)
+  private[lake] def nextSeq(spark: SparkSession, table: String): Long =
+    Lake.nextSeq(root, table, manifestMaxSeq(spark, table))
+
+  private def manifestMaxSeq(spark: SparkSession, table: String): Long = {
+    if (!fs(spark, root).exists(new Path(manifestDir(table)))) 0L
+    else {
+      val r = spark.read.parquet(manifestDir(table)).agg(max("seq")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    import spark.implicits._
-    rows.toDF("file", "rows", "min_ts", "max_ts", "seq")
-      .coalesce(1).write.mode(SaveMode.Append)
-      .parquet(manifestDir(table))
   }
 
-  /** Append TOMBSTONE manifest rows (`rows = -1`) for removed files —
-    * same columns, so old and new manifest files mix without schema
-    * merging, and `max_by(seq)` reconciliation makes the newest row
-    * win naturally. With every removal path tombstoning, the manifest
-    * alone answers "what files are live" and planning never needs a
-    * live recursive listing (verdict r12 task 4) — the listing
+  /** ONE manifest append covering a whole mutation: stats rows for the
+    * files it added AND tombstone rows (`rows = -1`) for the files it
+    * removed, sharing the columns so old and new manifest files mix
+    * without schema merging and `max_by(seq)` reconciliation makes the
+    * newest row win. A mutation's added and removed sets are disjoint,
+    * so one `seq` covers both halves — and one `coalesce(1)` parquet
+    * append (plus, when files were added, one narrow pruned scan of
+    * just those files for rowcount + min/max tp_timestamp) is the
+    * mutation's entire manifest cost; the r13 shape paid two append
+    * jobs per overwrite. With every removal path tombstoning, the
+    * manifest alone answers "what files are live" and planning never
+    * needs a live recursive listing (verdict r12 task 4) — the listing
     * reconciliation remains as [[fileStats]]' local-FS mode and
     * [[Maintenance.vacuum]]'s re-sync valve.
     */
-  private[lake] def noteRemoved(
-      spark: SparkSession, table: String, removed: Seq[String]): Unit = {
-    if (removed.isEmpty) return
+  private[lake] def manifestAppend(
+      spark: SparkSession, table: String,
+      added: Seq[String], removed: Seq[String]): Unit = {
+    if (added.isEmpty && removed.isEmpty) return
+    val seqNo = nextSeq(spark, table)
+    val statsRows: Seq[(String, Long, Timestamp, Timestamp, Long)] =
+      if (added.isEmpty) Seq.empty
+      else {
+        val raw = spark.read
+          .option("basePath", tableDir(table)).parquet(added: _*)
+          .select(col(TpSchema.Timestamp))
+          .withColumn("file", input_file_name())
+          .groupBy("file")
+          .agg(count(lit(1)).as("rows"),
+            min(TpSchema.Timestamp).as("min_ts"),
+            max(TpSchema.Timestamp).as("max_ts"))
+          .collect() // one row per ADDED file — metadata-sized
+        // input_file_name() yields percent-encoded URIs (scheme +
+        // authority); java.net.URI.getPath both strips them and
+        // decodes, landing on exactly the form dataFiles'
+        // Path.toUri.getPath produces — a regex scheme-strip would
+        // keep the authority and the %-escapes, so manifest paths
+        // would never match on s3a/hdfs roots or escaped partition
+        // values
+        raw.toSeq.map { r =>
+          (new java.net.URI(r.getString(0)).getPath,
+            r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), seqNo)
+        }
+      }
+    val tombRows = removed.map(f =>
+      (f, -1L, null: Timestamp, null: Timestamp, seqNo))
     import spark.implicits._
-    val seqNo = System.nanoTime()
-    removed.map(f =>
-        (f, -1L, null: Timestamp, null: Timestamp, seqNo))
+    (statsRows ++ tombRows)
       .toDF("file", "rows", "min_ts", "max_ts", "seq")
       .coalesce(1).write.mode(SaveMode.Append)
       .parquet(manifestDir(table))
   }
+
+  private def recordStats(
+      spark: SparkSession, table: String, added: Seq[String]): Unit =
+    manifestAppend(spark, table, added, Seq.empty)
+
+  private[lake] def noteRemoved(
+      spark: SparkSession, table: String, removed: Seq[String]): Unit =
+    manifestAppend(spark, table, Seq.empty, removed)
 
   /** Per-file stats from the manifest, restricted to files that still
     * exist (compaction/retention replace files; their manifest rows
@@ -488,10 +510,12 @@ final case class Lake(root: String) {
       }
       val after = files()
       val added = after.filterNot(before)
-      recordStats(spark, table, added)
-      // dynamic overwrite implicitly deleted the replaced files —
-      // tombstone them so the manifest stays listing-free current
-      noteRemoved(spark, table, (before -- after.toSet).toSeq.sorted)
+      // one combined append: stats for the new files plus tombstones
+      // for the files the dynamic overwrite implicitly deleted, so the
+      // manifest stays listing-free current at the cost of a single
+      // write job per mutation (r13 paid two)
+      manifestAppend(spark, table, added,
+        (before -- after.toSet).toSeq.sorted)
       // dirs that actually RECEIVED files: a registered catalog must
       // learn any new ones (ADD IF NOT EXISTS makes the rest no-ops;
       // deriving from `added` rather than `after` keeps an unscoped
@@ -589,5 +613,34 @@ object Lake {
   private def withTableLock[T](root: String, table: String)(body: => T): T = {
     val lock = locks.computeIfAbsent(s"$root#$table", _ => new Object)
     lock.synchronized(body)
+  }
+
+  /** Per-(lake, table) monotonic manifest `seq` issuance, shared by
+    * every `Lake` instance in the JVM (keyed like [[locks]], so two
+    * instances over the same root can't race out duplicate values).
+    * Each issued value is `max(previous + 1, epoch-micros)`:
+    * epoch-anchored so rows written by DIFFERENT processes or after a
+    * reboot still order by wall clock (`System.nanoTime`'s origin is
+    * arbitrary per JVM — a tombstone from a later run could LOSE
+    * `max_by(seq)` to an older stats row, leaving a deleted file
+    * "live" in listing-free planning until the next vacuum), and
+    * floored at the table's current manifest max so manifests that
+    * predate the epoch anchoring (or a writer with a skewed clock)
+    * can never out-rank new rows. Residual cross-machine ordering is
+    * wall-clock with millisecond grain: sequential runs are what the
+    * manifest must order (the table lock serializes writers within a
+    * JVM; the single-writer deployment model covers across), and
+    * seconds of clock skew sit far below real mutation spacing.
+    */
+  private val seqCounters =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[lake] def nextSeq(
+      root: String, table: String, floor: => Long): Long = {
+    val ctr = seqCounters.computeIfAbsent(s"$root#$table",
+      _ => new java.util.concurrent.atomic.AtomicLong(floor))
+    ctr.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis() * 1000L))
   }
 }

@@ -399,7 +399,7 @@ object Maintenance {
       // vacuum is the valve that re-syncs a drifted manifest to
       // listing truth (and drops accumulated tombstone rows)
       val live = lake.fileStats(spark, table, reconcileWithListing = true)
-        .withColumn("seq", lit(System.nanoTime()))
+        .withColumn("seq", lit(lake.nextSeq(spark, table)))
       val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
       val tmp = s"${lake.tableDir(table)}/_graft_manifest_new"
       val old = s"${lake.tableDir(table)}/_graft_manifest_old"

@@ -189,18 +189,28 @@ object Metaquery {
     // partition dir it holds rows for, so output fragments as
     // tasks × live dirs (the IVF fragment-file explosion, measured 45 s
     // vs 7 s at 200k vectors)
-    val partitionedWrite =
-      """InsertIntoHadoopFsRelationCommand [^,]+, [^,]+, \[\w""".r
-        .findFirstIn(plan).isDefined
-    val shuffled = plan.contains("REBALANCE_PARTITIONS_BY_COL") ||
-      plan.contains("REBALANCE_PARTITIONS_BY_NONE") ||
-      plan.contains("hashpartitioning(")
-    if (partitionedWrite && !shuffled)
-      w += ("partitioned write with no upstream repartition/REBALANCE " +
-        "on the partition columns — every task writes a file into " +
-        "every partition dir it holds rows for (tasks × dirs " +
-        "fragments); repartition(partitionCols) or hint REBALANCE " +
-        "before the write")
+    """InsertIntoHadoopFsRelationCommand [^,]+, [^,]+, \[(\w[^\]]*)\]""".r
+      .findFirstMatchIn(plan).foreach { m =>
+        val partCols = m.group(1).split(",").toSeq
+          .map(_.trim.takeWhile(_ != '#')).filter(_.nonEmpty)
+        // a hash exchange counts only when it shuffles ON the write's
+        // partition columns — matching `hashpartitioning(` anywhere
+        // let any unrelated exchange (the aggregate feeding the write
+        // is the common one) suppress the warning, a systematic false
+        // negative for the agg-then-write shape (r13 ADVICE)
+        val hashOnPartCols = """hashpartitioning\(([^()]*)\)""".r
+          .findAllMatchIn(plan).exists(h =>
+            h.group(1).split(",").map(_.trim).exists(arg =>
+              partCols.exists(c => arg.startsWith(c + "#"))))
+        val shuffled = plan.contains("REBALANCE_PARTITIONS_BY_COL") ||
+          plan.contains("REBALANCE_PARTITIONS_BY_NONE") || hashOnPartCols
+        if (!shuffled)
+          w += ("partitioned write with no upstream repartition/" +
+            "REBALANCE on the partition columns — every task writes a " +
+            "file into every partition dir it holds rows for (tasks × " +
+            "dirs fragments); repartition(partitionCols) or hint " +
+            "REBALANCE before the write")
+      }
     w.result()
   }
 

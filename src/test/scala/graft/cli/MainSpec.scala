@@ -587,6 +587,36 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rcC == 1, s"crash_log should not exist in the lake: $msgC")
   }
 
+  test("import --legacy: intent marker makes a crash AFTER the commit " +
+    "but BEFORE the done marker idempotent (no double-append)") {
+    import org.apache.spark.sql.functions._
+    val ws = Files.createTempDirectory("graft_legacy_ws3").toFile
+    def legacyRows(n: Int) = spark.range(n).select(
+      expr("timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)")
+        .as("tp_timestamp"),
+      concat(lit("r"), col("id")).as("request"))
+    legacyRows(4).write.parquet(s"${ws.getPath}/tp_table=crash2")
+    write(new File(ws, "views.sql"),
+      "CREATE VIEW crash2 AS SELECT 1;\n")
+    // first run imports normally…
+    val (rc1, msg1) = cli(root, "import", "--legacy", ws.getPath)
+    assert(rc1 == 0 && msg1.contains("Migrated crash2.legacy: 4 rows"), msg1)
+    // …now reconstruct the r13 residual crash window: append COMMITTED
+    // (4 rows live) but the done marker was never written and the dir
+    // never moved — only the intent marker (pre-import count 0) is on
+    // disk. A rerun must detect the committed rows and NOT re-import.
+    java.nio.file.Files.move(
+      new File(ws, "migrated/tp_table=crash2").toPath,
+      new File(ws, "tp_table=crash2").toPath)
+    write(new File(ws, ".migrate_intent_crash2"), "0")
+    val (rc2, msg2) = cli(root, "import", "--legacy", ws.getPath)
+    assert(rc2 == 0 && msg2.contains("Migrated crash2.legacy: 4 rows"), msg2)
+    val (rcQ, csv) = cli(root, "query",
+      "select count(*) as n from crash2", "--output", "csv")
+    assert(rcQ == 0 && csv == "n\n4", s"double-append detected: $csv")
+    assert(!new File(ws, ".migrate_intent_crash2").exists)
+  }
+
   test("export writes balanced shuffled shards with a manifest") {
     val dir = Files.createTempDirectory("graft_export_cli").toFile
     val out = s"${dir.getPath}/shards"

@@ -11,6 +11,16 @@ import graft.config.PartitionSpec
 import graft.ingest.Ingest
 import graft.query.Views
 
+/** Latches for the catalog-sync-inside-lock pin: top-level so the
+  * gate UDF's closure captures a static module reference (local-mode
+  * tasks share the JVM, so the appender's tasks and the test thread
+  * rendezvous on the same latches).
+  */
+private object LakeSpecGate {
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  val release = new java.util.concurrent.CountDownLatch(1)
+}
+
 class LakeSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
@@ -291,6 +301,124 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     // vacuum re-syncs and drops tombstone rows; equality must survive
     Maintenance.vacuum(spark, lake, "tomb")
     statsEqual("after vacuum")
+  }
+
+  test("manifest seq is monotonic across writer generations: a " +
+    "tombstone written after a legacy high-seq row still wins") {
+    // the r13 defect: seq came from System.nanoTime(), whose origin is
+    // arbitrary per JVM/boot — a stats row written by a long-uptime
+    // machine could permanently out-rank a LATER tombstone from a
+    // fresh machine, so listing-free planning kept serving a deleted
+    // file. The fix floors the per-table counter at the manifest's
+    // current max and anchors new values at epoch-micros.
+    val lake = newLake()
+    val dir = s"${lake.tableDir("t")}/_graft_manifest"
+    // a legacy row whose seq simulates nanoTime on a ~25-day-uptime
+    // writer: three orders of magnitude above epoch-micros
+    val legacySeq = System.currentTimeMillis() * 1000L * 1000L
+    val f = "/elsewhere/t/tp_partition=p0/f1.parquet"
+    Seq((f, 10L, null: Timestamp, null: Timestamp, legacySeq))
+      .toDF("file", "rows", "min_ts", "max_ts", "seq")
+      .coalesce(1).write.parquet(dir)
+    // this JVM's writer — its very first issue must floor at the
+    // legacy max, so the tombstone out-ranks the stats row
+    lake.noteRemoved(spark, "t", Seq(f))
+    assert(lake.fileStats(spark, "t", reconcileWithListing = false)
+      .collect().isEmpty, "tombstone lost max_by(seq) to the legacy row")
+    // and subsequent issues keep strictly increasing past the floor
+    val s1 = lake.nextSeq(spark, "t")
+    val s2 = lake.nextSeq(spark, "t")
+    assert(s1 > legacySeq && s2 > s1)
+  }
+
+  test("manifest seq is epoch-anchored on fresh tables") {
+    // cross-process ordering contract: absent a legacy floor, seq IS
+    // wall-clock (micros), so rows from separate runs/machines order
+    // by time instead of by arbitrary per-boot nanoTime origins
+    val lake = newLake()
+    val before = System.currentTimeMillis() * 1000L
+    lake.append(spark, "t", sampleBatch(10))
+    val seqs = spark.read
+      .parquet(s"${lake.tableDir("t")}/_graft_manifest")
+      .select("seq").as[Long].collect()
+    assert(seqs.nonEmpty && seqs.forall(_ >= before))
+  }
+
+  test("a mutation appends exactly ONE manifest file — stats and " +
+    "tombstones combined") {
+    // the r13 shape paid two coalesce(1) append jobs per overwrite
+    // (recordStats then noteRemoved) — a measurable per-mutation tax
+    // at the bench. One mutation = one manifest parquet append.
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(100))
+    def manifestFiles = new java.io.File(
+        s"${lake.tableDir("t")}/_graft_manifest")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = manifestFiles
+    // replaces every dir it writes: adds files AND tombstones the old
+    lake.overwritePartitions(spark, "t", sampleBatch(100))
+    assert(manifestFiles == before + 1,
+      "overwrite must write stats + tombstones in a single append")
+    // and reconciliation still balances
+    val stats = lake.fileStats(spark, "t", reconcileWithListing = false)
+      .collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum == 100)
+    assert(stats.forall(_.getAs[Long]("rows") >= 0))
+    assert(lake.read(spark, "t").count() == 100)
+  }
+
+  test("catalog partition sync happens INSIDE the table write lock") {
+    // verdict r13 task 7: the ALTER TABLE ADD PARTITION batch and the
+    // refreshTable must run while the appender still holds the table
+    // lock — moved outside it, an interleaved writer/reader could
+    // enter between the data commit and the sync and observe (or
+    // race) a files-but-no-catalog half-state. Pin: while an append
+    // is paused mid-body (a gated column expression), a
+    // lock-acquiring probe stays BLOCKED; the instant it unblocks the
+    // catalog already lists the new partitions.
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val lake = newLake()
+    lake.append(spark, "reg_lock", sampleBatch(20))
+    lake.registerCatalogTable(spark, "reg_lock")
+    try {
+      val partsBefore = spark.sessionState.catalog
+        .listPartitionNames(TableIdentifier("reg_lock")).size
+      val gate = udf { (x: Long) =>
+        LakeSpecGate.entered.countDown()
+        LakeSpecGate.release.await(
+          30, java.util.concurrent.TimeUnit.SECONDS)
+        x
+      }
+      // p1 → new partition dirs → the sync must ADD them
+      val batch = sampleBatch(30, partition = "p1")
+        .withColumn("event_id", gate(col("event_id")))
+      @volatile var partsAtEntry = -1
+      val appender = new Thread(() => {
+        lake.append(spark, "reg_lock", batch); ()
+      })
+      appender.start()
+      assert(LakeSpecGate.entered.await(
+        30, java.util.concurrent.TimeUnit.SECONDS))
+      val probe = new Thread(() =>
+        lake.locked("reg_lock") {
+          partsAtEntry = spark.sessionState.catalog
+            .listPartitionNames(TableIdentifier("reg_lock")).size
+        })
+      probe.start()
+      probe.join(500)
+      assert(probe.isAlive, "probe entered the table lock mid-append — " +
+        "the append body (write + catalog sync) must hold it throughout")
+      LakeSpecGate.release.countDown()
+      appender.join(60000); probe.join(60000)
+      assert(!appender.isAlive && !probe.isAlive)
+      assert(partsAtEntry > partsBefore,
+        s"probe acquired the lock but the catalog listed $partsAtEntry " +
+          s"partitions (pre-append $partsBefore) — the sync escaped " +
+          "the lock")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS reg_lock")
+      ()
+    }
   }
 
   test("vacuum --relocate repairs a physically moved lake's manifest") {

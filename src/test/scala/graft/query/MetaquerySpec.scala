@@ -170,6 +170,16 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
           "cast(id % 5 AS int) AS p FROM range(100)")
       assert(!Metaquery.planWarnings(repart, None)
         .exists(_.contains("partitioned write")), repart.take(1500))
+      // the agg-then-write shape: the aggregate's exchange hashes on
+      // the GROUP BY key, NOT the write's partition column — r13's
+      // lint accepted any hashpartitioning anywhere and went quiet
+      // here (systematic false negative, r13 ADVICE)
+      val aggFed = planOf(
+        "INSERT INTO pw_t SELECT sum(id) AS v, " +
+          "cast(max(id) % 5 AS int) AS p FROM range(100) GROUP BY id % 3")
+      assert(aggFed.contains("hashpartitioning("), aggFed.take(1500))
+      assert(Metaquery.planWarnings(aggFed, None)
+        .exists(_.contains("partitioned write")), aggFed.take(1500))
     } finally {
       spark.sql("DROP TABLE IF EXISTS pw_t")
       ()
