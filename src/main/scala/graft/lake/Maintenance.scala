@@ -275,13 +275,20 @@ object Maintenance {
     * comparisons per column — small enough that the whole z-value
     * stays inside one whole-stage-codegen'd projection.
     *
-    * String columns (the common case: `tp_index` is a string) bin by
-    * sampled lexicographic rank: one bounded-size deterministic sample,
-    * sorted driver-side, with every nBins-th sample value becoming a
-    * boundary — the same estimator Spark's own RangePartitioner uses
-    * for ORDER BY, so bins stay ~equal-count in expectation at any
-    * scale. The bin expression is then the same codegen'd when-chain,
-    * just with string `>=` (binary collation) instead of double.
+    * ALL boundary estimation comes from ONE bounded deterministic
+    * sample over just the z-columns (~128 sampled rows per target
+    * bin — the density Spark's own RangePartitioner uses for ORDER
+    * BY), sorted driver-side with every stride-th value becoming a
+    * boundary; strings bin by lexicographic rank (binary collation),
+    * numerics by double rank, through the same codegen'd when-chain.
+    * r13 instead ran a full `approxQuantile(ε=0.001)` pass for the
+    * numeric columns plus the sample pass for strings, and the
+    * rehearsal priced the z-build at 3.7× a plain time-order rewrite —
+    * mostly those summaries. Sampled boundaries are coarser (bin mass
+    * ±a few percent), but that only blurs bin EDGES: output file
+    * sizes are balanced downstream by `repartitionByRange`'s own
+    * sampling of the z-value, so boundary precision buys nothing
+    * beyond marginal skipping resolution.
     */
   def compactZorder(
       spark: SparkSession, lake: Lake, table: String,
@@ -310,53 +317,57 @@ object Maintenance {
     val rows = Option(lake.fileStats(spark, table)
         .agg(sum("rows")).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(data.count())
-    val numCols = zCols.filter(c =>
-      data.schema(c).dataType != org.apache.spark.sql.types.StringType)
-    val strCols = zCols.filterNot(numCols.contains)
-    val probes = (1 until nBins).map(_.toDouble / nBins).toArray
-    // numeric boundary arrays: ≤ (2^bits - 1) doubles per column,
-    // driver-side; the multi-column overload computes every column in
-    // ONE pass over the table (N separate scans would multiply the
-    // planning cost at scale)
-    val numBounds: Map[String, Array[Double]] =
-      if (numCols.isEmpty) Map.empty
+    val isStr = zCols.map(c =>
+      c -> (data.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType)).toMap
+    // ONE bounded sample pass yields every z-column's boundaries —
+    // numeric columns ride along as doubles, strings as-is; each
+    // sampled row contributes a value for EVERY column, so the
+    // per-column density is the full nBins×128 regardless of how many
+    // columns are clustered. Column-pruned scan, driver-side sort +
+    // stride pick: metadata-sized like RangePartitioner's estimator.
+    val target = nBins * 128
+    val fraction = math.min(1.0, target.toDouble / math.max(1L, rows))
+    val sampled = data
+      .select(zCols.map(c =>
+        if (isStr(c)) col(c) else col(c).cast("double").as(c)): _*)
+      .sample(withReplacement = false, fraction, seed = 42L).collect()
+    def strideBounds[T](vs: Array[T])(implicit ord: Ordering[T],
+        ct: scala.reflect.ClassTag[T]): Array[T] =
+      if (vs.isEmpty) Array.empty[T]
       else {
-        val casted = data.select(numCols.zipWithIndex.map { case (c, i) =>
-          col(c).cast("double").as(s"__z$i") }: _*)
-        val all = casted.stat.approxQuantile(
-          numCols.indices.map(i => s"__z$i").toArray, probes, 0.001)
-        numCols.zip(all.map(_.distinct.sorted)).toMap
+        val s = vs.sorted
+        (1 until nBins)
+          .map(b => s(math.min(s.length - 1, b * s.length / nBins)))
+          .distinct.toArray
       }
-    // string boundaries: one bounded sample over ALL string z-cols
-    // (≈128 values per target bin — RangePartitioner's density), then
-    // per-column sort + stride pick, all driver-side metadata
-    val strBounds: Map[String, Array[String]] =
-      if (strCols.isEmpty) Map.empty
-      else {
-        val target = nBins * 128
-        val fraction = math.min(1.0, target.toDouble / math.max(1L, rows))
-        val sampled = data.select(strCols.map(col): _*)
-          .sample(withReplacement = false, fraction, seed = 42L).collect()
-        strCols.zipWithIndex.map { case (c, i) =>
-          val vs = sampled.flatMap(r => Option(r.getString(i))).sorted
-          val bs =
-            if (vs.isEmpty) Array.empty[String]
-            else (1 until nBins)
-              .map(b => vs(math.min(vs.length - 1, b * vs.length / nBins)))
-              .distinct.toArray
-          c -> bs
-        }.toMap
+    val bins = zCols.zipWithIndex.map { case (c, i) =>
+      if (isStr(c)) {
+        val bs = strideBounds(sampled.flatMap(r => Option(r.getString(i))))
+        binExpr(col(c), bs.map(lit))
+      } else {
+        val bs = strideBounds(sampled.collect {
+          case r if !r.isNullAt(i) => r.getDouble(i) })(
+          Ordering.Double.TotalOrdering, implicitly)
+        binExpr(col(c).cast("double"), bs.map(lit))
       }
-    val bins = zCols.map { c =>
-      if (numBounds.contains(c))
-        binExpr(col(c).cast("double"), numBounds(c).map(lit))
-      else binExpr(col(c), strBounds(c).map(lit))
     }
     val zValue = interleaved(bins, bitsPerCol)
     val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
-    val sortKey = TpSchema.partitionCols.map(col) :+ zValue
-    val df = data.repartitionByRange(nOut, sortKey: _*)
+    // MATERIALIZE the z-value as a column before the exchange and sort
+    // key it by reference: as a raw sort-key expression the
+    // 2^bits-term when-chain leaves whole-stage codegen in the
+    // shuffle's key extraction and gets re-evaluated interpreted —
+    // measured 57.6 s vs 8.8 s for the same 10M-row range+sort+write
+    // when pre-materialized (the bulk of the r13 "z-build 3.7× a plain
+    // rewrite" premium). The column is computed once in the scan
+    // projection (codegen'd), costs 8 bytes/row of shuffle, and is
+    // dropped before the write.
+    val sortKey = TpSchema.partitionCols.map(col) :+ col("__graft_zvalue")
+    val df = data.withColumn("__graft_zvalue", zValue)
+      .repartitionByRange(nOut, sortKey: _*)
       .sortWithinPartitions(sortKey: _*)
+      .drop("__graft_zvalue")
     lake.overwritePartitions(spark, table, df)
     (before, lake.dataFiles(spark, table).size.toLong)
   }

@@ -751,6 +751,37 @@ object IngestQueries {
         .orderBy("doc_id")
     }),
 
+    // §2A row 18b (beyond-reference): z-order compaction — the lake
+    // rewritten clustered on the bit-interleaved (user_id, value)
+    // rank (Maintenance.compactZorder, the Delta OPTIMIZE ZORDER BY
+    // capability). The oracle gates BOTH halves in one result: a full
+    // row-level dump (the rewrite is row-identical — nothing lost,
+    // duplicated, or changed by the bin/interleave/range-sort
+    // machinery) and the rows of a selective 2-D rectangle probe (the
+    // read the z-layout exists to serve; at scale it reads ~9% of the
+    // bytes a time-ordered layout does — PERF.md round-14 zorder).
+    "qi26_zorder_compact" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi26"
+      rmrf(root)
+      writeEventsJsonl(s, dir, s"$root/jsonl", chunks = 4)
+      val lake = Lake(s"$root/lake")
+      Ingest.collectJsonl(s, lake,
+        PartitionSpec("events_z", "p0", tpIndexColumn = Some("event_type")),
+        jsonlFiles(s"$root/jsonl"), timestampColumn = "ts")
+      // ~8 z-range output slices at sf0.01 — enough files that the
+      // probe's footer-stats skipping is a real multi-file path
+      Maintenance.compactZorder(s, lake, "events_z",
+        Seq("user_id", "value"), targetFileRows = 1250)
+      def shaped(d: DataFrame, part: String) = d.select(
+        col("event_id"), col("user_id"), col("value"),
+        col("tp_timestamp"), lit(part).as("part"))
+      val full = shaped(lake.read(s, "events_z"), "full")
+      val probe = shaped(lake.read(s, "events_z")
+        .where(col("user_id").between(100, 115) &&
+          col("value").between(10.0, 25.0)), "probe")
+      full.unionByName(probe).orderBy("part", "event_id")
+    }),
+
     // CDC upsert (MERGE, latest-wins by key): a changelog batch of
     // same-event-time corrections plus brand-new rows applied through
     // lake.Upsert — dynamic partition overwrite of exactly the touched
@@ -1168,6 +1199,16 @@ object IngestQueries {
              arg_min(source, doc_id) AS source,
              min(n_chars) AS n_chars
       FROM feed GROUP BY text ORDER BY doc_id""",
+    "qi26_zorder_compact" -> """
+      WITH e AS (SELECT event_id, user_id, value,
+                        cast(ts AS timestamp) AS tp_timestamp FROM events)
+      SELECT event_id, user_id, value, tp_timestamp, 'full' AS part
+      FROM e
+      UNION ALL
+      SELECT event_id, user_id, value, tp_timestamp, 'probe' AS part
+      FROM e
+      WHERE user_id BETWEEN 100 AND 115 AND value BETWEEN 10.0 AND 25.0
+      ORDER BY part, event_id""",
     "qi16_upsert" -> """
       WITH e AS (SELECT event_id, cast(ts AS timestamp) AS ts,
                         event_type, value FROM events),
