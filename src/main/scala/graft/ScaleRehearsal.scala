@@ -1017,13 +1017,16 @@ object ScaleRehearsal {
               col(keyCol))
         // returns (max state rows, max rocksdb sst bytes on local disk,
         // max rocksdb pinned-block heap bytes)
-        def drainBackend(ckpt: String, rocks: Boolean): (Long, Long, Long) = {
+        def drainBackend(ckpt: String, rocks: Boolean,
+            extraConf: Map[String, String] = Map.empty,
+            delay: String = "1 hour",
+            partitions: Int = 8): (Long, Long, Long) = {
           val joined = graft.streaming.StreamIngest.intervalJoin(
             sInbox(s"$sroot/purchases", "p_id", "p_ts", "p_user"),
             sInbox(s"$sroot/errors", "e_id", "e_ts", "e_user"),
             "p_user", "e_user", "p_ts", "e_ts",
             before = "30 minutes", after = "30 minutes",
-            leftDelay = "1 hour", rightDelay = "1 hour")
+            leftDelay = delay, rightDelay = delay)
           def start() = joined.writeStream.format("noop")
             .option("checkpointLocation", s"$sroot/$ckpt")
             .outputMode("append")
@@ -1032,10 +1035,11 @@ object ScaleRehearsal {
             .start()
           val prev = spark.conf.get("spark.sql.shuffle.partitions")
           val q = try {
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions",
+              partitions.toString)
             if (rocks)
-              graft.streaming.StreamIngest.withRocksDBState(spark)(
-                start())
+              graft.streaming.StreamIngest.withRocksDBState(
+                spark, extraConf)(start())
             else start()
           } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
           q.awaitTermination()
@@ -1071,6 +1075,52 @@ object ScaleRehearsal {
           s""""rocksdb_pinned_bytes":${rs._3}}""")
         require(hs._1 == rs._1,
           s"state rows diverge across providers: ${hs._1} vs ${rs._1}")
+        // FORCED-FLUSH variant (verdict r13 task 2): both prior runs
+        // reported sst_bytes = 0 at every scale — with a 1 h watermark
+        // the live state (≈5k rows, ~60 KB/store) never crosses even
+        // a floor-sized memtable, so the disk path the provider exists
+        // for had never executed. Three levers together get there
+        // honestly: a 720 h watermark retains EVERY arrived row in
+        // state (state rows = inbox join rows — the 100 TB fan-in
+        // shape, where state outgrows memory), a 2-partition layout
+        // concentrates it (~3.5 MB/store at 1×), and a 1 MB write
+        // buffer (the conf's floor) lowers the spill threshold to what
+        // local volumes can cross. A heap drain at the SAME
+        // delay/layout pins state-row identity, and its checkpoint
+        // size is the changelog-vs-heap footprint comparison.
+        rmrf(s"$sroot/ckpt_ss_hwide"); rmrf(s"$sroot/ckpt_ss_rflush")
+        var hw: (Long, Long, Long) = (0L, 0L, 0L)
+        record("stream_state_heap_wide", m, n, time {
+          hw = drainBackend("ckpt_ss_hwide", rocks = false,
+            delay = "720 hours", partitions = 2)
+        })
+        println(s"""{"family":"stream_state_heap_wide","mult":$m,""" +
+          s""""max_state_rows":${hw._1}}""")
+        var rf: (Long, Long, Long) = (0L, 0L, 0L)
+        record("stream_state_rocksdb_flush", m, n, time {
+          rf = drainBackend("ckpt_ss_rflush", rocks = true,
+            delay = "720 hours", partitions = 2, extraConf =
+              Map("spark.sql.streaming.stateStore.rocksdb." +
+                "writeBufferSizeMB" -> "1"))
+        })
+        def ckptBytes(ckpt: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isFile) f.length
+            else Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+          walk(new java.io.File(s"$sroot/$ckpt"))
+        }
+        println(s"""{"family":"stream_state_rocksdb_flush","mult":$m,""" +
+          s""""max_state_rows":${rf._1},""" +
+          s""""rocksdb_sst_bytes":${rf._2},""" +
+          s""""rocksdb_pinned_bytes":${rf._3},""" +
+          s""""ckpt_bytes_heap_wide":${ckptBytes("ckpt_ss_hwide")},""" +
+          s""""ckpt_bytes_rocksdb":${ckptBytes("ckpt_ss_rocksdb")},""" +
+          s""""ckpt_bytes_rocksdb_flush":${ckptBytes("ckpt_ss_rflush")}}""")
+        require(hw._1 == rf._1,
+          s"state rows diverge under forced flush: ${hw._1} vs ${rf._1}")
+        require(rf._2 > 0L,
+          "forced-flush run still never wrote an SST — the variant " +
+            "exists to exercise exactly that path")
       }
       // ---- z-order clustering payoff: 2-D selective scan ------------
       // Two copies of a one-day corpus (a single partition dir, so

@@ -481,20 +481,27 @@ object StreamIngest {
     * queries are unaffected, and the scope documents exactly which
     * queries opted in.
     */
-  def withRocksDBState[T](spark: SparkSession)(body: => T): T = {
+  def withRocksDBState[T](spark: SparkSession)(body: => T): T =
+    withRocksDBState(spark, Map.empty[String, String])(body)
+
+  /** As above, plus caller-scoped RocksDB tuning confs (e.g.
+    * `…rocksdb.writeBufferSizeMB` — the rehearsal's forced-flush
+    * variant drives the memtable→SST spill path with it, since local
+    * state volumes never cross the 64 MB default organically). Every
+    * key is saved/restored around `body` like the provider conf.
+    */
+  def withRocksDBState[T](
+      spark: SparkSession, extraConf: Map[String, String])(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val logKey = "spark.sql.streaming.stateStore.rocksdb." +
       "changelogCheckpointing.enabled"
-    val prevProv = spark.conf.getOption(provKey)
-    val prevLog = spark.conf.getOption(logKey)
-    spark.conf.set(provKey, RocksDBProvider)
-    spark.conf.set(logKey, "true")
+    val confs = Map(provKey -> RocksDBProvider, logKey -> "true") ++
+      extraConf
+    val prevs = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally {
-      prevProv.fold(spark.conf.unset(provKey))(
-        spark.conf.set(provKey, _))
-      prevLog.fold(spark.conf.unset(logKey))(
-        spark.conf.set(logKey, _))
+    finally prevs.foreach { case (k, p) =>
+      p.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 
