@@ -520,14 +520,17 @@ object ScaleRehearsal {
             .option("maxFilesPerTrigger", mfpt).json(dir)
             .select(col(idCol), to_timestamp(col("ts"), fmt).as(tsOut),
               col(keyCol))
+        // returns (max state rows, total sink output rows) — output
+        // identity across variants is the cheap in-family correctness
+        // valve (full row-level correctness is qi24's oracle)
         def drain(parts: Int, mfpt: Int, factor: Int,
-            ckpt: String): Long = {
+            ckpt: String, delay: String = "1 hour"): (Long, Long) = {
           val joined = graft.streaming.StreamIngest.saltedIntervalJoin(
             inbox(s"$skroot/purchases", "p_id", "p_ts", "p_user", mfpt),
             inbox(s"$skroot/errors", "e_id", "e_ts", "e_user", mfpt),
             "p_user", "e_user", "p_ts", "e_ts",
             before = "5 minutes", after = "5 minutes",
-            leftDelay = "1 hour", rightDelay = "1 hour",
+            leftDelay = delay, rightDelay = delay,
             factor = factor)
           val prev = spark.conf.get("spark.sql.shuffle.partitions")
           val q = try {
@@ -540,8 +543,10 @@ object ScaleRehearsal {
               .start()
           } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
           q.awaitTermination()
-          q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
-            .foldLeft(0L)(math.max)
+          (q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max),
+            q.recentProgress.map(_.sink.numOutputRows)
+              .filter(_ > 0).sum)
         }
         if (m == mults.min) {   // JVM streaming warmup, untimed
           rmrf(s"$skroot/ckpt_warm")
@@ -549,17 +554,15 @@ object ScaleRehearsal {
           ()
         }
         rmrf(s"$skroot/ckpt_plain")
-        var plainState = 0L
+        var plain = (0L, 0L)
         record("stream_skew_plain", m, n, time {
-          plainState = drain(parts = 8, mfpt = 1, factor = 1,
+          plain = drain(parts = 8, mfpt = 1, factor = 1,
             ckpt = "ckpt_plain")
         })
         println(s"""{"family":"stream_skew_plain","mult":$m,""" +
-          s""""max_state_rows":$plainState}""")
-        rmrf(s"$skroot/ckpt_salted")
-        var saltState = 0L
-        var sz: graft.streaming.StreamIngest.StreamSizing = null
-        record("stream_skew_salted", m, n, time {
+          s""""max_state_rows":${plain._1}}""")
+        def sizing(horizonSecs: Long)
+            : graft.streaming.StreamIngest.StreamSizing = {
           val (ps, psB, ptB) = graft.streaming.StreamIngest.inboxSample(
             spark, s"$skroot/purchases", jschema("p_id", "p_user"))
           val (es, esB, etB) = graft.streaming.StreamIngest.inboxSample(
@@ -568,18 +571,52 @@ object ScaleRehearsal {
               to_timestamp(col("ts"), fmt).as("t"))
             .unionByName(es.select(col("e_user").as("k"),
               to_timestamp(col("ts"), fmt).as("t")))
-          sz = graft.streaming.StreamIngest.autoState(
-            sample, "k", "t", horizonSecs = 3600L + 600L,
+          graft.streaming.StreamIngest.autoState(
+            sample, "k", "t", horizonSecs = horizonSecs,
             rowScale = (ptB + etB).toDouble / (psB + esB))
-          saltState = drain(sz.shufflePartitions,
+        }
+        rmrf(s"$skroot/ckpt_salted")
+        var salted = (0L, 0L)
+        var sz: graft.streaming.StreamIngest.StreamSizing = null
+        record("stream_skew_salted", m, n, time {
+          sz = sizing(3600L + 600L)
+          salted = drain(sz.shufflePartitions,
             sz.maxFilesPerTrigger(slices), sz.saltFactor,
             ckpt = "ckpt_salted")
         })
         println(s"""{"family":"stream_skew_salted","mult":$m,""" +
-          s""""max_state_rows":$saltState,"salt":${sz.saltFactor},""" +
+          s""""max_state_rows":${salted._1},"salt":${sz.saltFactor},""" +
           s""""parts":${sz.shufflePartitions},""" +
           s""""triggers":${sz.triggers},""" +
           s""""mfpt":${sz.maxFilesPerTrigger(slices)}}""")
+        // WATERMARK LEVER (verdict r13 task 4): the salted join's
+        // residual >1 exponent is per-salt probe work — the symmetric
+        // hash rescans same-(key,salt) state per arriving row, and
+        // state occupancy is ∝ (join window + watermark slack). Same
+        // ±5 min join window, slack 1 h → 15 min: occupancy shrinks
+        // ~3.4×, probe work with it. Output rows must MATCH the 1 h
+        // run — slack ≥ the join window preserves every match on this
+        // in-order inbox, so the slack is pure state-retention cost
+        // and the lever is free correctness-wise until arrival
+        // disorder exceeds it.
+        rmrf(s"$skroot/ckpt_salted_wm")
+        var wm = (0L, 0L)
+        var szw: graft.streaming.StreamIngest.StreamSizing = null
+        record("stream_skew_salted_wm15", m, n, time {
+          szw = sizing(900L + 600L)
+          wm = drain(szw.shufflePartitions,
+            szw.maxFilesPerTrigger(slices), szw.saltFactor,
+            ckpt = "ckpt_salted_wm", delay = "15 minutes")
+        })
+        println(s"""{"family":"stream_skew_salted_wm15","mult":$m,""" +
+          s""""max_state_rows":${wm._1},"salt":${szw.saltFactor},""" +
+          s""""parts":${szw.shufflePartitions},""" +
+          s""""triggers":${szw.triggers},""" +
+          s""""mfpt":${szw.maxFilesPerTrigger(slices)},""" +
+          s""""output_rows":${wm._2}}""")
+        require(salted._2 == wm._2,
+          s"tighter watermark changed the join output: " +
+            s"${salted._2} vs ${wm._2}")
       }
       // ---- CDC upsert against a populated lake table ----
       if (families("upsert")) {

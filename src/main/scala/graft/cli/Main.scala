@@ -17,7 +17,8 @@ import graft.query.{Metaquery, Render, Views}
 /** The `graft` command-line surface — the engine's counterpart of the
   * reference CLI (SURVEY §2C; /root/reference/cmd/):
   *
-  *   - `collect <table.partition|wildcard> [--from --to]`
+  *   - `collect <table.partition|wildcard> [--from --to] [--stream
+  *     [--auto-size=false] [--max-files-per-trigger N] [--checkpoint]]`
   *     (cmd/collect.go:34-61)
   *   - `query "<sql>" [--output table|csv|json|line] [--from --to
   *     --partition --index --header --separator]` (cmd/query.go:25-61)
@@ -69,7 +70,8 @@ object Main {
   private val BoolFlags =
     Set("overwrite", "header", "compact", "config-dump", "all",
       "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
-      "vocab", "novelty", "readability", "tune", "dry-run")
+      "vocab", "novelty", "readability", "tune", "dry-run", "stream",
+      "auto-size")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -1351,6 +1353,54 @@ object Main {
           }
           out.println(s"[dry-run] ${files.length} file(s)")
         }
+      } else if (opts.flag("stream").contains("true")) {
+        // STREAMING collect (beyond-reference): the file source's
+        // first path is watched as a Structured Streaming JSONL inbox
+        // draining through the SAME batch pipeline
+        // (StreamIngest.collectStream — checkpointed exactly-once
+        // appends, per-batch rollup refresh). Sizing is AUTO by
+        // default: an inbox sample derives files-per-trigger (the
+        // measured operating mode, like `index --nlist auto`) and the
+        // derived sizes print in the collect report;
+        // --auto-size=false or an explicit --max-files-per-trigger
+        // opts out.
+        require(src.kind == "file",
+          s"collect --stream needs a file source (got '${src.kind}')")
+        val inbox = src.paths.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"partition ${p.id} source has no paths"))
+        val pth = new org.apache.hadoop.fs.Path(inbox)
+        val hfs = pth.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val dataFiles = hfs.listStatus(pth).toSeq.filter(st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        require(dataFiles.nonEmpty,
+          s"collect --stream: no files under $inbox")
+        // schema from a bounded sample, not a full-inbox inference scan
+        val schema = spark.read.json(
+          dataFiles.sortBy(_.getModificationTime)
+            .take(2).map(_.getPath.toString): _*).schema
+        val ckpt = opts.flag("checkpoint").getOrElse(
+          s"${lake.tableDir(p.table)}/_stream_ckpt/${p.name}")
+        val mfpt = opts.flag("max-files-per-trigger").map(_.toInt)
+          .getOrElse(
+            if (opts.flag("auto-size").contains("false")) 2000 else 0)
+        def liveRows = if (!lake.tableExists(spark, p.table)) 0L
+          else lake.read(spark, p.table).count()
+        val rowsBefore = liveRows
+        val q = graft.streaming.StreamIngest.collectStream(
+          spark, lake, p, inbox, schema, ckpt, tableSpec,
+          maxFilesPerTrigger = mfpt,
+          rollups = config.rollups.values
+            .filter(_.table == p.table).toSeq,
+          onSizing = sz => out.println(
+            s"Stream sizing (auto): ${sz.files} files, " +
+              s"~${sz.rows} rows, ~${sz.keys} keys -> " +
+              s"${sz.maxFilesPerTrigger} files/trigger"))
+        q.awaitTermination()
+        out.println(
+          s"Collected ${p.id} (stream): ${liveRows - rowsBefore} rows")
       } else {
       if (overwrite && lake.tableExists(spark, p.table)) {
         // pre-delete the window so re-collection can't duplicate

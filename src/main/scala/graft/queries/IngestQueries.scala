@@ -633,9 +633,16 @@ object IngestQueries {
         .groupBy(col("tp_index").cast("string").as("key"))
         .agg(count(lit(1)).as("n"),
           sum("c007").as("s1"), sum("c300").as("s2"))
+      // ONE sum over a row-level 300-term addition tree, not 300
+      // separate sum buffers: the aggregate still gates every column
+      // (any dropped/corrupted cNNN shifts the grand total — columns
+      // are non-null by construction, so row-level addition is
+      // value-identical to per-column sums) while the agg width drops
+      // 300× (r13 verdict task 6; the row expression stays inside
+      // whole-stage codegen)
       val checksum = t.agg(
           count(lit(1)).as("n"),
-          (1 to 300).map(i => sum(col(f"c$i%03d"))).reduce(_ + _).as("s1"),
+          sum((1 to 300).map(i => col(f"c$i%03d")).reduce(_ + _)).as("s1"),
           (sum(col("meta.u")) + sum(element_at(col("tags"), 1)) +
             sum(element_at(col("tags"), 2))).as("s2"))
         .select(lit("__checksum").as("key"),

@@ -66,7 +66,10 @@ object StreamIngest {
       tableSpec: TableSpec = TableSpec(""),
       timestampColumn: String = "tp_timestamp",
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 2000,
+      // 0 = AUTO (the default operating mode, like `index --nlist
+      // auto`): derive files-per-trigger from an inbox sample via
+      // [[autoCollectSizing]]; pass an explicit count to opt out
+      maxFilesPerTrigger: Int = 0,
       // materialized rollups maintained per micro-batch: each batch's
       // append is followed by the same month-scoped refresh the batch
       // collect runs (graft.lake.Rollup.refreshTouched), so dashboards
@@ -74,10 +77,19 @@ object StreamIngest {
       rollups: Seq[graft.config.RollupSpec] = Seq.empty,
       // test-only crash-point hook: invoked after append + marker,
       // before the rollup refresh (see routedCollectStream)
-      faultInjector: Long => Unit = _ => ()): StreamingQuery = {
+      faultInjector: Long => Unit = _ => (),
+      // observer for the derived sizes (the CLI prints them in the
+      // collect report); called only when auto-sizing actually ran
+      onSizing: CollectSizing => Unit = _ => ()): StreamingQuery = {
+    val mfpt =
+      if (maxFilesPerTrigger > 0) maxFilesPerTrigger
+      else autoCollectSizing(spark, inboxDir, schema, spec, tableSpec,
+          timestampColumn)
+        .map { sz => onSizing(sz); sz.maxFilesPerTrigger }
+        .getOrElse(2000)
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFilesPerTrigger", mfpt)
       .json(inboxDir)
     // markers are namespaced by the stream's persistent query id so a
     // rebuilt checkpoint (batchIds restart at 0) or a second stream on
@@ -157,16 +169,24 @@ object StreamIngest {
       tableSpec: TableSpec = TableSpec(""),
       timestampColumn: String = "tp_timestamp",
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 2000,
-      faultInjector: Long => Unit = _ => ()): StreamingQuery = {
+      // 0 = AUTO, like [[collectStream]]; explicit count opts out
+      maxFilesPerTrigger: Int = 0,
+      faultInjector: Long => Unit = _ => (),
+      onSizing: CollectSizing => Unit = _ => ()): StreamingQuery = {
     require(rules.nonEmpty, "routedCollectStream: need at least one rule")
     val passAll = rules.map(r => coalesce(r._2, lit(false))).reduce(_ && _)
     val reasons = concat_ws(",", rules.map { case (n, c) =>
       when(!coalesce(c, lit(false)), lit(n))
     }: _*)
+    val mfpt =
+      if (maxFilesPerTrigger > 0) maxFilesPerTrigger
+      else autoCollectSizing(spark, inboxDir, schema, spec, tableSpec,
+          timestampColumn)
+        .map { sz => onSizing(sz); sz.maxFilesPerTrigger }
+        .getOrElse(2000)
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFilesPerTrigger", mfpt)
       .json(inboxDir)
     lazy val ns = queryNamespace(spark, checkpointDir)
     stream.writeStream
@@ -359,7 +379,14 @@ object StreamIngest {
     * per-key rows per trigger stay near the join window's occupancy,
     * and keep `leftDelay`/`rightDelay` as tight as late data allows:
     * watermark slack is state the probe re-scans every trigger, not
-    * just memory.
+    * just memory. Measured boundary on that last rule (r14
+    * stream_skew_salted_wm15): slack only matters once it RIVALS the
+    * per-trigger event-time span — on a bounded replay whose triggers
+    * each cover days, 1 h → 15 min slack moved the 10× wall just
+    * 320.6 → 300.2 s (exponent 1.14 → 1.12), because the current
+    * trigger's own span is the occupancy floor the probe pays either
+    * way. The lever belongs to LIVE streams with minute-scale
+    * triggers, where slack is the dominant term of (span + slack).
     */
   def intervalJoin(
       left: DataFrame, right: DataFrame,
@@ -670,6 +697,57 @@ object StreamIngest {
     * join by unioning the mapped samples and blending the byte
     * ratios.
     */
+  /** Derived sizing for a STATELESS collect stream (no state store —
+    * the foreachBatch append is the whole sink). The lever here is
+    * trigger GRANULARITY alone: with no symmetric-hash probe, fewer,
+    * larger triggers are strictly cheaper (each trigger pays a
+    * checkpoint commit + append + marker + manifest write) until a
+    * single trigger's input stops fitting, so the files-per-trigger
+    * budget is one full-size scan partition per core
+    * (`maxPartitionBytes × defaultParallelism`). rows/keys/span come
+    * from the same [[inboxSample]]+[[autoState]] pass the stateful
+    * sizes use and surface in the CLI collect report.
+    */
+  final case class CollectSizing(
+      maxFilesPerTrigger: Int, files: Int, totalBytes: Long,
+      rows: Long, keys: Long, spanSecs: Long)
+
+  /** Size a collect stream from a bounded inbox sample. `None` when
+    * the inbox has no data files yet (a live stream watching an empty
+    * dir) — callers fall back to a fixed files-per-trigger. The
+    * timestamp column is resolved through `tableSpec`'s `source =`
+    * rename, so the raw inbox schema is what gets sampled.
+    */
+  def autoCollectSizing(
+      spark: SparkSession, inboxDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      spec: PartitionSpec, tableSpec: TableSpec,
+      timestampColumn: String): Option[CollectSizing] = {
+    val p = new org.apache.hadoop.fs.Path(inboxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    if (files.isEmpty) return None
+    val rawTs = tableSpec.column(timestampColumn)
+      .flatMap(_.source).getOrElse(timestampColumn)
+    if (!schema.fieldNames.contains(rawTs)) return None
+    val (sample, sBytes, tBytes) = inboxSample(spark, inboxDir, schema)
+    val keyCol = spec.tpIndexColumn
+      .filter(schema.fieldNames.contains).getOrElse(rawTs)
+    val sz = autoState(sample, keyCol, rawTs, horizonSecs = 0L,
+      rowScale = tBytes.toDouble / math.max(1L, sBytes))
+    val budget =
+      math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes) *
+        math.max(1, spark.sparkContext.defaultParallelism)
+    val avgFile = math.max(1L, tBytes / files.size)
+    val mfpt = math.max(1L, math.min(Int.MaxValue.toLong,
+      budget / avgFile)).toInt
+    Some(CollectSizing(mfpt, files.size, tBytes,
+      sz.rows, sz.keys, sz.spanSecs))
+  }
+
   def inboxSample(
       spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,

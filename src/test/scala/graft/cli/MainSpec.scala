@@ -617,6 +617,69 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(!new File(ws, ".migrate_intent_crash2").exists)
   }
 
+  test("collect --stream drains a JSONL inbox with auto-derived sizing " +
+    "in the report; --auto-size=false opts out") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_cli").toFile
+    new File(dir, "config").mkdirs()
+    val inbox = new File(dir, "inbox"); inbox.mkdirs()
+    // 3 arrival files of 40 rows each
+    val src = spark.range(120).select(
+      col("id").as("event_id"),
+      expr("timestamp'2024-07-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)")
+        .cast("string").as("ts"),
+      concat(lit("k"), col("id") % 5).as("kind"))
+    for (i <- 0 until 3)
+      src.where(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("append").json(inbox.getPath)
+    write(new File(dir, "config/stream.tpc"),
+      s"""table "clicks" {
+         |  column "tp_timestamp" {
+         |    source = "ts"
+         |  }
+         |  column "event_id" { type = "bigint" }
+         |  column "kind" { type = "varchar" }
+         |}
+         |
+         |partition "clicks" "live" {
+         |  source "file" {
+         |    paths = ["${inbox.getPath}"]
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc, msg) = cli(dir, "collect", "clicks.live", "--stream")
+    assert(rc == 0, msg)
+    // the auto-derived sizes are part of the collect report: the tiny
+    // inbox fits one trigger's byte budget, so all files batch together
+    assert(msg.contains("Stream sizing (auto): 3 files"), msg)
+    assert(msg.contains("files/trigger"), msg)
+    assert(msg.contains("Collected clicks.live (stream): 120 rows"), msg)
+    // replay is exactly-once: a second drain adds nothing
+    val (rc2, msg2) = cli(dir, "collect", "clicks.live", "--stream")
+    assert(rc2 == 0 && msg2.contains(
+      "Collected clicks.live (stream): 0 rows"), msg2)
+    // opt-out: no sizing line, fixed files-per-trigger
+    val inbox2 = new File(dir, "inbox2"); inbox2.mkdirs()
+    src.coalesce(1).write.mode("append").json(inbox2.getPath)
+    write(new File(dir, "config/stream2.tpc"),
+      s"""table "clicks2" {
+         |  column "tp_timestamp" {
+         |    source = "ts"
+         |  }
+         |}
+         |partition "clicks2" "live" {
+         |  source "file" {
+         |    paths = ["${inbox2.getPath}"]
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc3, msg3) = cli(dir, "collect", "clicks2.live", "--stream",
+      "--auto-size", "false")
+    assert(rc3 == 0, msg3)
+    assert(!msg3.contains("Stream sizing"), msg3)
+    assert(msg3.contains("Collected clicks2.live (stream): 120 rows"), msg3)
+  }
+
   test("export writes balanced shuffled shards with a manifest") {
     val dir = Files.createTempDirectory("graft_export_cli").toFile
     val out = s"${dir.getPath}/shards"
