@@ -189,6 +189,30 @@ object Metaquery {
     // partition dir it holds rows for, so output fragments as
     // tasks × live dirs (the IVF fragment-file explosion, measured 45 s
     // vs 7 s at 200k vectors)
+    // r14: a heavyweight expression used directly as a RANGE-PARTITION
+    // key is evaluated outside whole-stage codegen in the exchange's
+    // key extraction (sampling + partition-id + sort key) — measured
+    // on the z-order rewrite: a 126-term when-chain as a raw sort key
+    // cost 57.6 s where the same key pre-materialized as a column cost
+    // 8.8 s (PERF.md round-14 zorder). Flag when-chains of ≥16 terms
+    // inside rangepartitioning(...): compute the key once with
+    // withColumn and range-partition by the column reference instead.
+    plan.indexOf("rangepartitioning(") match {
+      case -1 => ()
+      case i =>
+        val window = plan.substring(i,
+          math.min(plan.length, i + 4000))
+          .takeWhile(_ != '\n')
+        val whens = "CASE WHEN".r.findAllIn(window).size
+        if (whens >= 16)
+          w += (s"range partitioning keyed by a $whens-branch CASE " +
+            "expression — the exchange evaluates the raw key " +
+            "expression outside whole-stage codegen (sampling, " +
+            "partition-id and sort-key extraction each re-run it " +
+            "interpreted); materialize it once with withColumn and " +
+            "range-partition by the column reference (measured 6.5× " +
+            "on the z-order rewrite)")
+    }
     """InsertIntoHadoopFsRelationCommand [^,]+, [^,]+, \[(\w[^\]]*)\]""".r
       .findFirstMatchIn(plan).foreach { m =>
         val partCols = m.group(1).split(",").toSeq

@@ -170,6 +170,28 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
           "cast(id % 5 AS int) AS p FROM range(100)")
       assert(!Metaquery.planWarnings(repart, None)
         .exists(_.contains("partitioned write")), repart.take(1500))
+      // a fat CASE expression as a raw range-partition key: the
+      // exchange evaluates it interpreted (the r14 zorder finding,
+      // 57.6 vs 8.8 s at 10M) — warn; the materialized-column form of
+      // the SAME key is quiet
+      import org.apache.spark.sql.functions.{col => c, lit, when => w}
+      val chain = (1 to 20).foldLeft(lit(0L)) { (acc, i) =>
+        acc + w(c("id") >= i, 1L).otherwise(0L)
+      }
+      val rawKeyPlan = spark.range(1000).toDF("id")
+        .repartitionByRange(4, chain)
+        .queryExecution.executedPlan.toString
+      assert(rawKeyPlan.contains("rangepartitioning("), rawKeyPlan.take(800))
+      assert(Metaquery.planWarnings(rawKeyPlan, None)
+        .exists(_.contains("range partitioning keyed")),
+        rawKeyPlan.take(1500))
+      val matKeyPlan = spark.range(1000).toDF("id")
+        .withColumn("z", chain)
+        .repartitionByRange(4, c("z"))
+        .queryExecution.executedPlan.toString
+      assert(!Metaquery.planWarnings(matKeyPlan, None)
+        .exists(_.contains("range partitioning keyed")),
+        matKeyPlan.take(1500))
       // the agg-then-write shape: the aggregate's exchange hashes on
       // the GROUP BY key, NOT the write's partition column — r13's
       // lint accepted any hashpartitioning anywhere and went quiet
