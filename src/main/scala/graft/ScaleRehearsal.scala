@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   *   families: comma subset of
   *     lsh,chain,substring,kcenter,ivf,ivf_scaled,starpath,upsert,
   *     rollup,compact,partition_stress,stream,wide_schema,skewjoin,
-  *     stream_skew,stream_state,zorder (default all)
+  *     stream_skew,stream_state,zorder,bloomjoin (default all)
   * One JSON line per (family, multiplier) + per-family exponent lines.
   */
 object ScaleRehearsal {
@@ -230,7 +230,7 @@ object ScaleRehearsal {
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
         "partition_stress", "stream", "wide_schema", "skewjoin",
-        "stream_skew", "stream_state", "zorder"))
+        "stream_skew", "stream_state", "zorder", "bloomjoin"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -450,6 +450,83 @@ object ScaleRehearsal {
         })
         require(c1 == n && c2 == n && c3 == n && c4 == n,
           s"skew join variants disagree: $c1 / $c2 / $c3 / $c4 vs $n")
+      }
+      // ---- runtime BLOOM-FILTER join pruning: does the engine let
+      // Spark's InjectRuntimeFilter fire, and what does it buy? ------
+      // The 100 TB join shape DPP can't help: fact ⋈ selectively-
+      // filtered dim on a NON-partition column, both sides above the
+      // broadcast threshold → shuffle join, and without a runtime
+      // filter the fact side shuffles EVERY row only for the join to
+      // discard ~98% of them. Spark's runtime bloom filter builds a
+      // sketch of the dim's join keys and injects a might_contain
+      // row filter into the fact scan, cutting the fact's shuffle
+      // write by the dim's selectivity. Local caveat, stated: the
+      // application-side threshold defaults to 10 GB (below that the
+      // planner assumes the shuffle isn't worth a sketch); the ON
+      // variant lowers it to fixture scale — at 100 TB the fact
+      // trivially clears the real threshold.
+      if (families("bloomjoin")) {
+        val n = EventsBase * m
+        val fPath = s"$root/bloomfact_x$m"
+        ensureFixture(fPath, s"bloomfact;v1;n=$n;keys=100000") {
+          spark.range(n).select(
+            col("id").as("fid"),
+            pmod(xxhash64(col("id"), lit("bk")), lit(100000L)).as("key"),
+            (pmod(xxhash64(col("id"), lit("bv")), lit(1000))
+              .cast("double") / 10.0).as("fval"))
+            .write.mode("overwrite").parquet(fPath)
+        }
+        val dPath = s"$root/bloomdim"
+        ensureFixture(dPath, "bloomdim;v1;keys=100000;sel=0.02") {
+          spark.range(100000).select(col("id").as("key"),
+            (col("id") % 50).as("grp"))
+            .write.mode("overwrite").parquet(dPath)
+        }
+        val fact = spark.read.parquet(fPath)
+        def dim = spark.read.parquet(dPath).where(col("grp") === 0)
+        def withConf(kvs: (String, String)*)(body: => Long): Long = {
+          val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+          try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+          finally prev.foreach { case (k, o) =>
+            o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+        }
+        val shuffleOnly = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val bloomOff = shuffleOnly :+
+          ("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
+        val bloomOn = shuffleOnly ++ Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter." +
+            "applicationSideScanSizeThreshold" -> "1MB")
+        def joined = fact.join(dim, Seq("key"))
+        // plan pin: the ON variant must actually inject might_contain
+        // into the fact side — a silent non-fire would "measure" two
+        // identical plans
+        withConf(bloomOn: _*) {
+          val p = joined.queryExecution.executedPlan.toString
+          require(p.contains("might_contain"),
+            s"runtime bloom filter did not inject:\n${p.take(2000)}")
+          0L
+        }
+        withConf(bloomOff: _*) {
+          val p = joined.queryExecution.executedPlan.toString
+          require(!p.contains("might_contain"),
+            "bloom injected with the feature disabled")
+          0L
+        }
+        if (m == mults.min) { // untimed codegen/scan warmup
+          withConf(bloomOff: _*)(joined.count()); ()
+        }
+        var cOff = 0L; var cOn = 0L
+        record("bloomjoin_off", m, n, time {
+          cOff = withConf(bloomOff: _*)(joined.count())
+        })
+        record("bloomjoin_on", m, n, time {
+          cOn = withConf(bloomOn: _*)(joined.count())
+        })
+        require(cOff == cOn && cOff > 0,
+          s"bloom changed the join result: $cOff vs $cOn")
       }
       // ---- hot-key STREAMING interval join: plain vs salted --------
       // The one skew regime AQE can never rescue (stateful plans pin

@@ -421,6 +421,32 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("lake join on a partition column plans dynamic partition pruning") {
+    // the 100 TB join shape: fact (lake, partitioned by tp_month et
+    // al.) ⋈ filtered dim on the partition column must prune fact
+    // DIRECTORIES at runtime from the dim's broadcast — without DPP
+    // the scan reads every month and filters rows after I/O. Pinned
+    // here so a reader-path change (basePath handling, catalog vs
+    // path-based planning) can't silently drop the insert.
+    val lake = newLake()
+    lake.append(spark, "dpp_t", sampleBatch(100)) // spans months 1, 2
+    val fact = lake.read(spark, "dpp_t")
+    // the dim must be FILE-BACKED: a local relation constant-folds its
+    // filter away and the pruning rule sees no selective predicate
+    val dimPath = s"${lake.root}/_dim"
+    Seq((1, "jan"), (2, "feb")).toDF("m", "label")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("label") === "jan")
+    val joined = fact.join(dim, fact("tp_month") === dim("m"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP in the fact scan's PartitionFilters:\n${plan.take(2500)}")
+    // and the pruned join is value-correct: only month-1 rows survive
+    val got = joined.count()
+    val want = fact.where(col("tp_month") === 1).count()
+    assert(got == want && want > 0, s"$got vs $want")
+  }
+
   test("vacuum --relocate repairs a physically moved lake's manifest") {
     // manifest rows hold absolute paths; after a root move the
     // reconciliation matches nothing (stats invisible) and a vacuum
