@@ -1845,8 +1845,30 @@ object Main {
           case None =>
             out.println(s"snapshot of '$t': ${snap.count()} rows")
         }
+      case Some("analyze") =>
+        // catalog statistics WITHOUT the ANALYZE TABLE scan: rows from
+        // the transactionally-maintained manifest, size from a 4-file
+        // FileStatus sample — then registered into the session catalog
+        // so join sizing and CBO cardinality plan from table stats
+        // instead of file listings (Lake.syncCatalogStats scaladoc).
+        // Registers the table first if it isn't yet.
+        val t = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException("table analyze requires a name"))
+        require(lake.tableExists(spark, t), s"no lake table '$t'")
+        if (scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))).isFailure)
+          lake.registerCatalogTable(spark, t)
+        lake.syncCatalogStats(spark, t) match {
+          case Some((rows, bytes)) =>
+            out.println(s"Analyzed $t: $rows rows, ~$bytes bytes " +
+              "(from manifest, no scan)")
+          case None =>
+            out.println(s"Analyzed $t: no live rows in the manifest " +
+              "(run vacuum to re-sync, or collect first)")
+        }
       case other => throw new IllegalArgumentException(
-        s"table: expected list|show|diff|snapshot, got ${other.getOrElse("nothing")}")
+        s"table: expected list|show|diff|snapshot|analyze, " +
+          s"got ${other.getOrElse("nothing")}")
     }
 
   private def sourceCmd(

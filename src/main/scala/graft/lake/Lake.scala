@@ -163,6 +163,53 @@ final case class Lake(root: String) {
       spark.catalog.refreshTable(s"`$table`")
     }
 
+  /** Catalog table STATISTICS without a scan or a listing — the
+    * `ANALYZE TABLE` result from metadata the lake already maintains.
+    * Row count comes from the manifest (`max_by(seq)` reconciliation,
+    * listing-free); size comes from that row count × a bytes-per-row
+    * ratio sampled from ≤4 live files' FileStatus (4 metadata RPCs at
+    * ANY table size). `ANALYZE TABLE … COMPUTE STATISTICS` recomputes
+    * the same two numbers with a full data scan — at 100 TB that scan
+    * is exactly what this method exists to avoid, and the manifest is
+    * already transactionally maintained by every mutation.
+    *
+    * What the stats buy: a registered table's `sizeInBytes` feeds
+    * Spark's join-strategy sizing and `rowCount` feeds CBO
+    * cardinality estimation (`spark.sql.cbo.enabled`) — without
+    * catalog stats a 100 TB plan reasons from file-listing sizes
+    * alone. Returns `(rowCount, sizeInBytes)`, or None when the table
+    * has no manifest rows; the catalog is updated only when the table
+    * is [[registerCatalogTable registered]].
+    */
+  def syncCatalogStats(
+      spark: SparkSession, table: String): Option[(Long, Long)] = {
+    val live = fileStats(spark, table, reconcileWithListing = false)
+    val tot = live.agg(sum("rows")).head()
+    if (tot.isNullAt(0) || tot.getLong(0) <= 0L) return None
+    val rows = tot.getLong(0)
+    val f = fs(spark, root)
+    val sampled = live.select(col("file"), col("rows"))
+      .where(col("rows") > 0).limit(4).collect()
+      .flatMap { r =>
+        scala.util.Try(
+          (f.getFileStatus(new Path(r.getString(0))).getLen,
+            r.getLong(1))).toOption
+      }
+    val bytesPerRow =
+      if (sampled.isEmpty) 64.0 // no reachable file: nominal row width
+      else sampled.map(_._1).sum.toDouble /
+        math.max(1L, sampled.map(_._2).sum)
+    val size = math.max(1L, math.round(rows * bytesPerRow))
+    if (catalogEntry(spark, table).isDefined) {
+      spark.sessionState.catalog.alterTableStats(
+        org.apache.spark.sql.catalyst.TableIdentifier(table),
+        Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          BigInt(size), Some(BigInt(rows)))))
+      spark.catalog.refreshTable(s"`$table`")
+    }
+    Some((rows, size))
+  }
+
   /** The removal twin of [[syncCatalogPartitions]]: a catalog
     * partition left pointing at a deleted dir fails the next
     * catalog-planned scan outright (missing path) — drop the entries

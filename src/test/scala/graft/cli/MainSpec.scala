@@ -680,6 +680,21 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(msg3.contains("Collected clicks2.live (stream): 120 rows"), msg3)
   }
 
+  test("table analyze registers + syncs catalog stats from the " +
+    "manifest without a scan") {
+    val (rc, msg) = cli(root, "table", "analyze", "access_log")
+    assert(rc == 0, msg)
+    assert(msg.matches(
+      """Analyzed access_log: 3 rows, ~\d+ bytes \(from manifest, no scan\)"""),
+      msg)
+    // idempotent: a second analyze re-syncs (no ALREADY_EXISTS from
+    // the registration step)
+    val (rc2, msg2) = cli(root, "table", "analyze", "access_log")
+    assert(rc2 == 0 && msg2.contains("3 rows"), msg2)
+    val (rcBad, bad) = cli(root, "table", "analyze", "no_such")
+    assert(rcBad == 1, bad)
+  }
+
   test("export writes balanced shuffled shards with a manifest") {
     val dir = Files.createTempDirectory("graft_export_cli").toFile
     val out = s"${dir.getPath}/shards"

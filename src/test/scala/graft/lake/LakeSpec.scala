@@ -447,6 +447,43 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(got == want && want > 0, s"$got vs $want")
   }
 
+  test("syncCatalogStats feeds exact manifest row counts into " +
+    "stats-driven planning, scan-free") {
+    // ANALYZE-equivalent statistics from metadata the lake already
+    // maintains: rows from the manifest, size from a 4-file sample.
+    // Pin: the registered table's optimized plan carries the EXACT
+    // rowCount under CBO — the cardinality 100 TB join reordering
+    // plans from — and a sane size estimate, without any data scan.
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val lake = newLake()
+    lake.append(spark, "stats_t", sampleBatch(200))
+    lake.registerCatalogTable(spark, "stats_t")
+    try {
+      val Some((rows, bytes)) = lake.syncCatalogStats(spark, "stats_t")
+      assert(rows == 200L)
+      val actual = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier("stats_t")).stats.get
+      assert(actual.rowCount.contains(BigInt(200)))
+      // size estimate within 2× of the real on-disk footprint
+      val real = lake.dataFiles(spark, "stats_t")
+        .map(f => new java.io.File(f).length()).sum
+      assert(bytes >= real / 2 && bytes <= real * 2, s"$bytes vs $real")
+      // planner-visible: under CBO the optimized plan's row estimate
+      // IS the manifest count
+      val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        val st = spark.table("stats_t")
+          .queryExecution.optimizedPlan.stats
+        assert(st.rowCount.contains(BigInt(200)), st)
+      } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS stats_t")
+      ()
+    }
+  }
+
   test("vacuum --relocate repairs a physically moved lake's manifest") {
     // manifest rows hold absolute paths; after a root move the
     // reconciliation matches nothing (stats invisible) and a vacuum
