@@ -597,15 +597,26 @@ object ScaleRehearsal {
             .option("maxFilesPerTrigger", mfpt).json(dir)
             .select(col(idCol), to_timestamp(col("ts"), fmt).as(tsOut),
               col(keyCol))
+        // variant subset for single-variant iteration (the plain drain
+        // alone is ~21 min at 10×); default all
+        val variants = sys.env.get("SPARK_GRAFT_SKEW_VARIANTS")
+          .map(_.split(",").map(_.trim).toSet)
+          .getOrElse(Set("plain", "salted", "wm15", "bucketed"))
         // returns (max state rows, total sink output rows) — output
         // identity across variants is the cheap in-family correctness
-        // valve (full row-level correctness is qi24's oracle)
+        // valve (full row-level correctness is qi24's/qi27's oracle)
         def drain(parts: Int, mfpt: Int, factor: Int,
-            ckpt: String, delay: String = "1 hour"): (Long, Long) = {
-          val joined = graft.streaming.StreamIngest.saltedIntervalJoin(
-            inbox(s"$skroot/purchases", "p_id", "p_ts", "p_user", mfpt),
-            inbox(s"$skroot/errors", "e_id", "e_ts", "e_user", mfpt),
-            "p_user", "e_user", "p_ts", "e_ts",
+            ckpt: String, delay: String = "1 hour",
+            bucketed: Boolean = false): (Long, Long) = {
+          val l = inbox(s"$skroot/purchases", "p_id", "p_ts", "p_user", mfpt)
+          val r = inbox(s"$skroot/errors", "e_id", "e_ts", "e_user", mfpt)
+          val joined = if (bucketed)
+            graft.streaming.StreamIngest.bucketedIntervalJoin(
+              l, r, "p_user", "e_user", "p_ts", "e_ts",
+              before = "5 minutes", after = "5 minutes",
+              leftDelay = delay, rightDelay = delay, factor = factor)
+          else graft.streaming.StreamIngest.saltedIntervalJoin(
+            l, r, "p_user", "e_user", "p_ts", "e_ts",
             before = "5 minutes", after = "5 minutes",
             leftDelay = delay, rightDelay = delay,
             factor = factor)
@@ -630,14 +641,16 @@ object ScaleRehearsal {
           drain(parts = 8, mfpt = slices, factor = 1, ckpt = "ckpt_warm")
           ()
         }
-        rmrf(s"$skroot/ckpt_plain")
-        var plain = (0L, 0L)
-        record("stream_skew_plain", m, n, time {
-          plain = drain(parts = 8, mfpt = 1, factor = 1,
-            ckpt = "ckpt_plain")
-        })
-        println(s"""{"family":"stream_skew_plain","mult":$m,""" +
-          s""""max_state_rows":${plain._1}}""")
+        if (variants("plain")) {
+          rmrf(s"$skroot/ckpt_plain")
+          var plain = (0L, 0L)
+          record("stream_skew_plain", m, n, time {
+            plain = drain(parts = 8, mfpt = 1, factor = 1,
+              ckpt = "ckpt_plain")
+          })
+          println(s"""{"family":"stream_skew_plain","mult":$m,""" +
+            s""""max_state_rows":${plain._1}}""")
+        }
         def sizing(horizonSecs: Long)
             : graft.streaming.StreamIngest.StreamSizing = {
           val (ps, psB, ptB) = graft.streaming.StreamIngest.inboxSample(
@@ -652,20 +665,22 @@ object ScaleRehearsal {
             sample, "k", "t", horizonSecs = horizonSecs,
             rowScale = (ptB + etB).toDouble / (psB + esB))
         }
-        rmrf(s"$skroot/ckpt_salted")
         var salted = (0L, 0L)
-        var sz: graft.streaming.StreamIngest.StreamSizing = null
-        record("stream_skew_salted", m, n, time {
-          sz = sizing(3600L + 600L)
-          salted = drain(sz.shufflePartitions,
-            sz.maxFilesPerTrigger(slices), sz.saltFactor,
-            ckpt = "ckpt_salted")
-        })
-        println(s"""{"family":"stream_skew_salted","mult":$m,""" +
-          s""""max_state_rows":${salted._1},"salt":${sz.saltFactor},""" +
-          s""""parts":${sz.shufflePartitions},""" +
-          s""""triggers":${sz.triggers},""" +
-          s""""mfpt":${sz.maxFilesPerTrigger(slices)}}""")
+        if (variants("salted")) {
+          rmrf(s"$skroot/ckpt_salted")
+          var sz: graft.streaming.StreamIngest.StreamSizing = null
+          record("stream_skew_salted", m, n, time {
+            sz = sizing(3600L + 600L)
+            salted = drain(sz.shufflePartitions,
+              sz.maxFilesPerTrigger(slices), sz.saltFactor,
+              ckpt = "ckpt_salted")
+          })
+          println(s"""{"family":"stream_skew_salted","mult":$m,""" +
+            s""""max_state_rows":${salted._1},"salt":${sz.saltFactor},""" +
+            s""""parts":${sz.shufflePartitions},""" +
+            s""""triggers":${sz.triggers},""" +
+            s""""mfpt":${sz.maxFilesPerTrigger(slices)}}""")
+        }
         // WATERMARK LEVER (verdict r13 task 4): the salted join's
         // residual >1 exponent is per-salt probe work — the symmetric
         // hash rescans same-(key,salt) state per arriving row, and
@@ -676,24 +691,54 @@ object ScaleRehearsal {
         // in-order inbox, so the slack is pure state-retention cost
         // and the lever is free correctness-wise until arrival
         // disorder exceeds it.
-        rmrf(s"$skroot/ckpt_salted_wm")
-        var wm = (0L, 0L)
-        var szw: graft.streaming.StreamIngest.StreamSizing = null
-        record("stream_skew_salted_wm15", m, n, time {
-          szw = sizing(900L + 600L)
-          wm = drain(szw.shufflePartitions,
-            szw.maxFilesPerTrigger(slices), szw.saltFactor,
-            ckpt = "ckpt_salted_wm", delay = "15 minutes")
-        })
-        println(s"""{"family":"stream_skew_salted_wm15","mult":$m,""" +
-          s""""max_state_rows":${wm._1},"salt":${szw.saltFactor},""" +
-          s""""parts":${szw.shufflePartitions},""" +
-          s""""triggers":${szw.triggers},""" +
-          s""""mfpt":${szw.maxFilesPerTrigger(slices)},""" +
-          s""""output_rows":${wm._2}}""")
-        require(salted._2 == wm._2,
-          s"tighter watermark changed the join output: " +
-            s"${salted._2} vs ${wm._2}")
+        if (variants("wm15")) {
+          rmrf(s"$skroot/ckpt_salted_wm")
+          var wm = (0L, 0L)
+          var szw: graft.streaming.StreamIngest.StreamSizing = null
+          record("stream_skew_salted_wm15", m, n, time {
+            szw = sizing(900L + 600L)
+            wm = drain(szw.shufflePartitions,
+              szw.maxFilesPerTrigger(slices), szw.saltFactor,
+              ckpt = "ckpt_salted_wm", delay = "15 minutes")
+          })
+          println(s"""{"family":"stream_skew_salted_wm15","mult":$m,""" +
+            s""""max_state_rows":${wm._1},"salt":${szw.saltFactor},""" +
+            s""""parts":${szw.shufflePartitions},""" +
+            s""""triggers":${szw.triggers},""" +
+            s""""mfpt":${szw.maxFilesPerTrigger(slices)},""" +
+            s""""output_rows":${wm._2}}""")
+          if (variants("salted"))
+            require(salted._2 == wm._2,
+              s"tighter watermark changed the join output: " +
+                s"${salted._2} vs ${wm._2}")
+        }
+        // TIME-BUCKETED variant (r14): the (key, salt, bucket) state
+        // layout bounds the symmetric-hash probe to one window-width
+        // of state per arriving row — the occupancy-floor fix the
+        // wm15 measurement showed watermarks cannot deliver on coarse
+        // triggers. Same autoState sizing as the salted run; output
+        // rows must match it exactly (row-identity is qi27's oracle).
+        if (variants("bucketed")) {
+          rmrf(s"$skroot/ckpt_bucketed")
+          var bk = (0L, 0L)
+          var szb: graft.streaming.StreamIngest.StreamSizing = null
+          record("stream_skew_bucketed", m, n, time {
+            szb = sizing(3600L + 600L)
+            bk = drain(szb.shufflePartitions,
+              szb.maxFilesPerTrigger(slices), szb.saltFactor,
+              ckpt = "ckpt_bucketed", bucketed = true)
+          })
+          println(s"""{"family":"stream_skew_bucketed","mult":$m,""" +
+            s""""max_state_rows":${bk._1},"salt":${szb.saltFactor},""" +
+            s""""parts":${szb.shufflePartitions},""" +
+            s""""triggers":${szb.triggers},""" +
+            s""""mfpt":${szb.maxFilesPerTrigger(slices)},""" +
+            s""""output_rows":${bk._2}}""")
+          if (variants("salted"))
+            require(salted._2 == bk._2,
+              s"bucketing changed the join output: " +
+                s"${salted._2} vs ${bk._2}")
+        }
       }
       // ---- CDC upsert against a populated lake table ----
       if (families("upsert")) {

@@ -711,6 +711,52 @@ object IngestQueries {
         .orderBy("p_id", "e_id")
     }),
 
+    // The time-BUCKETED salted interval join against the same DuckDB
+    // range-join oracle as qi22/qi24: the (key, salt, bucket) state
+    // layout — buckets bound the symmetric-hash probe to one
+    // window-width of state per row, the salt spreads hot keys — must
+    // be row-invisible. A boundary error in the ±1 bucket replication
+    // (a match straddling a bucket edge dropped or doubled), a
+    // floor-division defect on the bucket id, or a salt/bucket
+    // interaction breaks the hash.
+    "qi27_stream_ijoin_bucketed" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi27"
+      rmrf(root)
+      val src = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"))
+      src.where(col("event_type") === "purchase")
+        .repartition(2).write.mode("overwrite").json(s"$root/purchases")
+      src.where(col("event_type") === "error")
+        .repartition(2).write.mode("overwrite").json(s"$root/errors")
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val lSchema = s.read.json(s"$root/purchases").schema
+      val rSchema = s.read.json(s"$root/errors").schema
+      val lhs = s.readStream.schema(lSchema).json(s"$root/purchases")
+        .select(col("event_id").as("p_id"),
+          to_timestamp(col("ts"), fmt).as("p_ts"),
+          col("user_id").as("p_user"))
+      val rhs = s.readStream.schema(rSchema).json(s"$root/errors")
+        .select(col("event_id").as("e_id"),
+          to_timestamp(col("ts"), fmt).as("e_ts"),
+          col("user_id").as("e_user"))
+      val joined = graft.streaming.StreamIngest.bucketedIntervalJoin(
+        lhs, rhs, "p_user", "e_user", "p_ts", "e_ts",
+        before = "30 minutes", after = "30 minutes",
+        leftDelay = "1 hour", rightDelay = "1 hour", factor = 3)
+      val q = joined.writeStream.format("memory")
+        .queryName("qi27_mem").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("qi27_mem")
+        .select(col("p_id"), col("e_id"), col("p_user"),
+          (unix_micros(col("e_ts")) - unix_micros(col("p_ts")))
+            .as("delta_us"))
+        .orderBy("p_id", "e_id")
+    }),
+
     // Streaming incremental dedup, end state: the documents corpus plus
     // an injected "re-crawl" (every 3rd doc re-emitted under a fresh
     // higher id) replayed as a 6-slice file-source stream, one file per
@@ -1180,6 +1226,22 @@ object IngestQueries {
 
     // identical oracle to qi22 on purpose: the salt must be invisible
     "qi24_stream_ijoin_salted" -> """
+      SELECT l.event_id AS p_id, r.event_id AS e_id,
+             l.user_id AS p_user,
+             date_diff('microsecond', cast(l.ts AS timestamp),
+                       cast(r.ts AS timestamp)) AS delta_us
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND l.event_type = 'purchase' AND r.event_type = 'error'
+       AND cast(r.ts AS timestamp)
+             >= cast(l.ts AS timestamp) - INTERVAL 30 MINUTE
+       AND cast(r.ts AS timestamp)
+             <= cast(l.ts AS timestamp) + INTERVAL 30 MINUTE
+      ORDER BY p_id, e_id""",
+
+    // identical oracle to qi22/qi24 — bucketing + salt must be
+    // row-invisible
+    "qi27_stream_ijoin_bucketed" -> """
       SELECT l.event_id AS p_id, r.event_id AS e_id,
              l.user_id AS p_user,
              date_diff('microsecond', cast(l.ts AS timestamp),

@@ -387,6 +387,10 @@ object StreamIngest {
     * trigger's own span is the occupancy floor the probe pays either
     * way. The lever belongs to LIVE streams with minute-scale
     * triggers, where slack is the dominant term of (span + slack).
+    * The occupancy floor itself is fixable: [[bucketedIntervalJoin]]
+    * time-buckets the state key so a probe touches one window-width
+    * of state regardless of span or slack — measured exponent
+    * 1.14 → 0.89 and 6.9× the salted wall at 10× (PERF.md r14).
     */
   def intervalJoin(
       left: DataFrame, right: DataFrame,
@@ -472,6 +476,93 @@ object StreamIngest {
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
         .drop("__salt_l", "__salt_r")
     }
+  }
+
+  /** [[intervalJoin]] with the state key TIME-BUCKETED — the lever
+    * for the probe cost the salt cannot touch. Spark's symmetric-hash
+    * join state is keyed but not time-indexed: every arriving row
+    * retrieves ALL same-key state and filters the range predicate row
+    * by row, so probe work scales with whatever the watermark + the
+    * trigger's own event-time span keep live — the r14
+    * stream_skew_salted_wm15 measurement showed tightening the
+    * watermark barely moves it because the TRIGGER SPAN is the
+    * occupancy floor. Bucketing fixes the probe itself.
+    *
+    * Mechanics: both sides derive an integer bucket
+    * `floor(event_micros / W)` with `W = max(before, after)`; the
+    * range `|t_r − t_l| ≤ W` confines any match to buckets
+    * `{b_l−1, b_l, b_l+1}`, so each LEFT row is exploded into three
+    * replicas targeting those buckets and bucket equality joins the
+    * key. The state key becomes `(key, bucket)` — a probe now
+    * iterates only rows within one window-width of the probing row,
+    * regardless of how many days of state the watermark or a coarse
+    * trigger keeps live. Every (left, right) match survives exactly
+    * once (the single left replica whose target equals the right
+    * row's bucket), so output is row-identical to [[intervalJoin]] —
+    * qi27 pins this against the same DuckDB range-join oracle as
+    * qi22/qi24. Cost: left-side state ×3; the exact range predicate
+    * still rides the join condition, so watermark state eviction is
+    * unchanged.
+    *
+    * `factor > 1` composes the [[saltedIntervalJoin]] hot-key salt on
+    * top (state key `(key, salt, bucket)`) — buckets bound the probe
+    * per key, the salt spreads a hot key's buckets across partitions;
+    * the two levers are orthogonal and qi27 exercises both.
+    *
+    * Calendar-unit windows (months) are rejected: bucket width must
+    * be a fixed physical duration.
+    */
+  def bucketedIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      before: String, after: String,
+      leftDelay: String, rightDelay: String,
+      factor: Int = 1): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"bucketedIntervalJoin: column names must be disjoint, both " +
+        s"sides have: ${overlap.mkString(", ")}")
+    def micros(d: String): Long = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d))
+      require(iv.months == 0,
+        s"bucketedIntervalJoin: calendar-unit window '$d' has no fixed " +
+          "physical width; use days or smaller")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val w = math.max(micros(before), micros(after))
+    require(w > 0, s"window must be positive, got before=$before after=$after")
+    // exact floor division in long math (micros - pmod keeps negatives
+    // correct; a double division would be within mantissa range today
+    // but one refactor away from a silent rounding bug)
+    def bucketOf(ts: String): Column = {
+      val us = unix_micros(col(ts).cast("timestamp"))
+      ((us - pmod(us, lit(w))) / lit(w)).cast("long")
+    }
+    val l0 = left
+      .withColumn("__bkt_l",
+        explode(array((-1 to 1).map(i => bucketOf(leftTs) + i): _*)))
+    val l1 = if (factor == 1) l0
+      else l0.withColumn("__salt_l",
+        pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*),
+          lit(factor.toLong)).cast("int"))
+    val r0 = right.withColumn("__bkt_r", bucketOf(rightTs))
+    val r1 = if (factor == 1) r0
+      else r0.withColumn("__salt_r",
+        explode(array((0 until factor).map(i => lit(i)): _*)))
+    val l = l1.withWatermark(leftTs, leftDelay)
+    val r = r1.withWatermark(rightTs, rightDelay)
+    val equi = col(leftKey) === col(rightKey) &&
+      col("__bkt_l") === col("__bkt_r") &&
+      (if (factor == 1) lit(true)
+       else col("__salt_l") === col("__salt_r"))
+    l.join(r, equi &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+      .drop("__bkt_l", "__bkt_r", "__salt_l", "__salt_r")
   }
 
   /** Spark's disk-backed state store implementation — shipped with

@@ -658,6 +658,60 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(!plain.queryExecution.analyzed.toString.contains("__salt"))
   }
 
+  test("bucketedIntervalJoin is row-identical to intervalJoin, " +
+      "including matches that straddle a bucket edge") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Timestamp, String, Long)]
+    val resps = MemoryStream[(Timestamp, String, Int)]
+    // window ±10 min → bucket width 10 min, edges at :00/:10/:20…
+    val joined = StreamIngest.bucketedIntervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      before = "10 minutes", after = "10 minutes",
+      leftDelay = "5 minutes", rightDelay = "5 minutes", factor = 2)
+    val q = joined.writeStream.format("memory").queryName("bij_out")
+      .outputMode("append").start()
+    reqs.addData(
+      // sits 1 min BEFORE a bucket edge: its in-range responses live
+      // in the NEXT bucket — only the +1 replica can find them
+      (Timestamp.valueOf("2024-03-01 10:09:00"), "u1", 1L),
+      // sits 1 min AFTER an edge: in-range responses behind it live
+      // in the PREVIOUS bucket — only the −1 replica can find them
+      (Timestamp.valueOf("2024-03-01 10:11:00"), "u2", 2L),
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "u3", 3L))
+    q.processAllAvailable()
+    resps.addData(
+      (Timestamp.valueOf("2024-03-01 10:12:00"), "u1", 200), // +3, next bucket
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "u2", 201), // −6, prev bucket
+      (Timestamp.valueOf("2024-03-01 10:10:00"), "u3", 202), // +10, ON the bound
+      (Timestamp.valueOf("2024-03-01 10:30:00"), "u3", 500)) // +30, out of range
+    q.processAllAvailable()
+    val out = spark.table("bij_out")
+      .select("req_id", "status").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // every in-range pair exactly once — a replica missing a bucket
+    // drops an edge match, a double-covered bucket duplicates one
+    assert(out == Seq((1L, 200), (2L, 201), (3L, 202)))
+    q.stop()
+    // bucket AND salt both reach the state key; neither survives output
+    val plan = joined.queryExecution.analyzed.toString
+    assert(plan.contains("__bkt_l") && plan.contains("__bkt_r"))
+    assert(plan.contains("__salt_l") && plan.contains("__salt_r"))
+    assert(!joined.columns.exists(c =>
+      c.startsWith("__bkt") || c.startsWith("__salt")))
+    // calendar-unit windows have no fixed bucket width
+    intercept[IllegalArgumentException] {
+      StreamIngest.bucketedIntervalJoin(
+        reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+        resps.toDF().toDF("resp_ts", "resp_user", "status"),
+        "req_user", "resp_user", "req_ts", "resp_ts",
+        "1 month", "1 month", "5 minutes", "5 minutes")
+    }
+  }
+
   test("withRocksDBState: interval join result-identical on the " +
       "RocksDB provider, conf restored, provider actually engaged") {
     val s = spark
