@@ -745,10 +745,26 @@ object IngestQueries {
         lhs, rhs, "p_user", "e_user", "p_ts", "e_ts",
         before = "30 minutes", after = "30 minutes",
         leftDelay = "1 hour", rightDelay = "1 hour", factor = 3)
-      val q = joined.writeStream.format("memory")
-        .queryName("qi27_mem").outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // size the frozen state layout before start() (the qi22 lesson;
+      // same derivation as qi24 — session-default partitions would pay
+      // 4 stores × 32 partitions of commit per trigger)
+      val sizing = graft.streaming.StreamIngest.autoState(
+        s.read.schema(lSchema).json(s"$root/purchases")
+          .select(col("user_id").as("k"),
+            to_timestamp(col("ts"), fmt).as("t"))
+          .unionByName(s.read.schema(rSchema).json(s"$root/errors")
+            .select(col("user_id").as("k"),
+              to_timestamp(col("ts"), fmt).as("t"))),
+        "k", "t", horizonSecs = 3600L + 3600L)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          sizing.shufflePartitions.toString)
+        joined.writeStream.format("memory")
+          .queryName("qi27_mem").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table("qi27_mem")
         .select(col("p_id"), col("e_id"), col("p_user"),
