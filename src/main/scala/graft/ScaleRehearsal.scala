@@ -651,7 +651,7 @@ object ScaleRehearsal {
           println(s"""{"family":"stream_skew_plain","mult":$m,""" +
             s""""max_state_rows":${plain._1}}""")
         }
-        def sizing(horizonSecs: Long)
+        def sizing(horizonSecs: Long, bucketed: Boolean = false)
             : graft.streaming.StreamIngest.StreamSizing = {
           val (ps, psB, ptB) = graft.streaming.StreamIngest.inboxSample(
             spark, s"$skroot/purchases", jschema("p_id", "p_user"))
@@ -663,7 +663,8 @@ object ScaleRehearsal {
               to_timestamp(col("ts"), fmt).as("t")))
           graft.streaming.StreamIngest.autoState(
             sample, "k", "t", horizonSecs = horizonSecs,
-            rowScale = (ptB + etB).toDouble / (psB + esB))
+            rowScale = (ptB + etB).toDouble / (psB + esB),
+            bucketed = bucketed)
         }
         var salted = (0L, 0L)
         if (variants("salted")) {
@@ -723,7 +724,7 @@ object ScaleRehearsal {
           var bk = (0L, 0L)
           var szb: graft.streaming.StreamIngest.StreamSizing = null
           record("stream_skew_bucketed", m, n, time {
-            szb = sizing(3600L + 600L)
+            szb = sizing(3600L + 600L, bucketed = true)
             bk = drain(szb.shufflePartitions,
               szb.maxFilesPerTrigger(slices), szb.saltFactor,
               ckpt = "ckpt_bucketed", bucketed = true)
@@ -738,6 +739,25 @@ object ScaleRehearsal {
             require(salted._2 == bk._2,
               s"bucketing changed the join output: " +
                 s"${salted._2} vs ${bk._2}")
+          // COARSE check: autoState's T* models the QUADRATIC probe
+          // the bucket just removed — with probe work linear per row,
+          // commit cost should dominate and ONE trigger should win.
+          // If this beats the sized run, autoState needs a bucketed
+          // mode (fewer, larger triggers).
+          rmrf(s"$skroot/ckpt_bucketed_c")
+          var bkc = (0L, 0L)
+          record("stream_skew_bucketed_coarse", m, n, time {
+            bkc = drain(szb.shufflePartitions, mfpt = slices,
+              factor = szb.saltFactor,
+              ckpt = "ckpt_bucketed_c", bucketed = true)
+          })
+          println(
+            s"""{"family":"stream_skew_bucketed_coarse","mult":$m,""" +
+            s""""max_state_rows":${bkc._1},""" +
+            s""""output_rows":${bkc._2}}""")
+          require(bk._2 == bkc._2,
+            s"trigger granularity changed the join output: " +
+              s"${bk._2} vs ${bkc._2}")
         }
       }
       // ---- CDC upsert against a populated lake table ----

@@ -711,9 +711,41 @@ object StreamIngest {
     * within a few files, and [[inboxSample]] includes the first and
     * last files by modification time so the span ends are covered.
     */
+  /** State-row multiplier of a [[bucketedIntervalJoin]] drain over
+    * its inbox rows: left rows store ×3 (the bucket replicas), right
+    * rows ×saltFactor share. Measured 5.5× at the stream_skew fixture
+    * (549k state rows on a 100k inbox); 6 is the rounded-up planning
+    * constant.
+    */
+  val BucketedStateExpansion = 6.0
+
+  /** Per-state-partition row budget for [[autoState]]'s bucketed
+    * trigger sizing — the HDFS-backed provider keeps live state on
+    * executor heap, so per-trigger state must fit it; 1M rows ≈
+    * 150–300 MB/partition leaves headroom on a 1–4 GB executor (the
+    * RocksDB provider relaxes this — see [[withRocksDBState]]).
+    */
+  val BucketedStateRowsPerPartition = 1000000L
+
   def autoState(
       sample: DataFrame, keyCol: String, tsCol: String,
-      horizonSecs: Long, rowScale: Double = 1.0): StreamSizing = {
+      horizonSecs: Long, rowScale: Double = 1.0): StreamSizing =
+    autoState(sample, keyCol, tsCol, horizonSecs, rowScale,
+      bucketed = false)
+
+  /** As above; `bucketed = true` sizes for a [[bucketedIntervalJoin]]
+    * plan, whose probe is LINEAR per row (one window-width of state,
+    * by construction) — the quadratic `a·T + b·N²·c2/T` optimum
+    * degenerates to "the fewest commits whose per-trigger state
+    * fits": `T = ceil(N · expansion / (budget · partitions))`.
+    * Measured (stream_skew_bucketed_coarse): one trigger at 10× runs
+    * 3.5× faster than the quadratic-optimal twelve (11.1 vs 38.3 s),
+    * exponent 0.38 — commits were the only remaining term.
+    */
+  def autoState(
+      sample: DataFrame, keyCol: String, tsCol: String,
+      horizonSecs: Long, rowScale: Double,
+      bucketed: Boolean): StreamSizing = {
     val spark = sample.sparkSession
     // one extra bounded aggregate over the sample gives the key
     // distribution's SECOND MOMENT c2 = Σ(n_k/N)² and the single
@@ -761,10 +793,20 @@ object StreamIngest {
     val parts = if (saltF > 1)
       math.min(maxP.toLong, math.max(partsUnsalted, 2L * saltF)).toInt
     else partsUnsalted.toInt
-    val tStar = math.round(n * math.sqrt(ProbeCommitRatio * c2eff))
-    val tCap = if (horizonSecs <= 0) Long.MaxValue
-      else math.max(1L, span / horizonSecs)
-    val triggers = math.max(1L, math.min(tStar, tCap)).toInt
+    val triggers =
+      if (bucketed)
+        // linear probe → fewest commits whose per-trigger state fits
+        // the heap-resident layout; the horizon cap is irrelevant
+        // (buckets already bound what a probe touches)
+        math.max(1L, math.ceil(n * BucketedStateExpansion /
+          (BucketedStateRowsPerPartition.toDouble *
+            math.max(1, parts))).toLong).toInt
+      else {
+        val tStar = math.round(n * math.sqrt(ProbeCommitRatio * c2eff))
+        val tCap = if (horizonSecs <= 0) Long.MaxValue
+          else math.max(1L, span / horizonSecs)
+        math.max(1L, math.min(tStar, tCap)).toInt
+      }
     StreamSizing(math.max(1, parts), triggers, n, k, span,
       saltFactor = saltF, keyMass2 = c2)
   }

@@ -322,6 +322,28 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     val szE = StreamIngest.autoState(
       sample.where(col("k") < 0), "k", "t", horizonSecs = 3600L)
     assert(szE.shufflePartitions == 1 && szE.triggers == 1, szE)
+
+    // bucketed mode: the probe is linear (one window-width of state
+    // per row, by construction), so the quadratic optimum is replaced
+    // by memory fit — fewest commits whose per-trigger state fits the
+    // heap-resident layout (measured 3.5× over the quadratic sizing
+    // at 10×, stream_skew_bucketed_coarse). 1M rows × expansion 6 /
+    // (1M budget × parts) → ceil at the partition count.
+    val szB = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 7200L, rowScale = 1.0, bucketed = true)
+    val wantB = math.max(1L, math.ceil(
+      szB.rows * StreamIngest.BucketedStateExpansion /
+        (StreamIngest.BucketedStateRowsPerPartition.toDouble *
+          szB.shufflePartitions)).toLong).toInt
+    assert(szB.triggers == wantB, szB)
+    assert(szB.triggers < sz.triggers,
+      s"bucketed sizing should coarsen triggers: $szB vs $sz")
+    // and it scales with volume: 20× the rows → proportionally more
+    // triggers, never fewer than the memory fit demands
+    val szB20 = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 7200L, rowScale = 20.0, bucketed = true)
+    assert(szB20.triggers >= 20 * szB.triggers / 2 &&
+      szB20.rows == 20000000L, szB20)
   }
 
   test("inboxSample parses a file subset spanning first/last by mtime " +
