@@ -601,25 +601,40 @@ object ScaleRehearsal {
         // alone is ~21 min at 10×); default all
         val variants = sys.env.get("SPARK_GRAFT_SKEW_VARIANTS")
           .map(_.split(",").map(_.trim).toSet)
-          .getOrElse(Set("plain", "salted", "wm15", "bucketed"))
+          .getOrElse(Set("plain", "salted", "wm15", "bucketed", "default"))
         // returns (max state rows, total sink output rows) — output
         // identity across variants is the cheap in-family correctness
-        // valve (full row-level correctness is qi24's/qi27's oracle)
+        // valve (full row-level correctness is qi24's/qi27's oracle).
+        // mode: "salt" = saltedIntervalJoin (factor 1 degrades to the
+        // plain quadratic plan — the salt-only measurement variant);
+        // "bucketed" = bucketedIntervalJoin (salt×bucket composed);
+        // "default" = the PUBLIC intervalJoin entry point, which as
+        // of r15 routes to the bucketed plan — this variant proves
+        // the default path lands the bucketed number, not just the
+        // explicit opt-in.
         def drain(parts: Int, mfpt: Int, factor: Int,
             ckpt: String, delay: String = "1 hour",
-            bucketed: Boolean = false): (Long, Long) = {
+            mode: String = "salt"): (Long, Long) = {
           val l = inbox(s"$skroot/purchases", "p_id", "p_ts", "p_user", mfpt)
           val r = inbox(s"$skroot/errors", "e_id", "e_ts", "e_user", mfpt)
-          val joined = if (bucketed)
-            graft.streaming.StreamIngest.bucketedIntervalJoin(
-              l, r, "p_user", "e_user", "p_ts", "e_ts",
-              before = "5 minutes", after = "5 minutes",
-              leftDelay = delay, rightDelay = delay, factor = factor)
-          else graft.streaming.StreamIngest.saltedIntervalJoin(
-            l, r, "p_user", "e_user", "p_ts", "e_ts",
-            before = "5 minutes", after = "5 minutes",
-            leftDelay = delay, rightDelay = delay,
-            factor = factor)
+          val joined = mode match {
+            case "bucketed" =>
+              graft.streaming.StreamIngest.bucketedIntervalJoin(
+                l, r, "p_user", "e_user", "p_ts", "e_ts",
+                before = "5 minutes", after = "5 minutes",
+                leftDelay = delay, rightDelay = delay, factor = factor)
+            case "default" =>
+              graft.streaming.StreamIngest.intervalJoin(
+                l, r, "p_user", "e_user", "p_ts", "e_ts",
+                before = "5 minutes", after = "5 minutes",
+                leftDelay = delay, rightDelay = delay)
+            case _ =>
+              graft.streaming.StreamIngest.saltedIntervalJoin(
+                l, r, "p_user", "e_user", "p_ts", "e_ts",
+                before = "5 minutes", after = "5 minutes",
+                leftDelay = delay, rightDelay = delay,
+                factor = factor)
+          }
           val prev = spark.conf.get("spark.sql.shuffle.partitions")
           val q = try {
             spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -727,7 +742,7 @@ object ScaleRehearsal {
             szb = sizing(3600L + 600L, bucketed = true)
             bk = drain(szb.shufflePartitions,
               szb.maxFilesPerTrigger(slices), szb.saltFactor,
-              ckpt = "ckpt_bucketed", bucketed = true)
+              ckpt = "ckpt_bucketed", mode = "bucketed")
           })
           println(s"""{"family":"stream_skew_bucketed","mult":$m,""" +
             s""""max_state_rows":${bk._1},"salt":${szb.saltFactor},""" +
@@ -749,7 +764,7 @@ object ScaleRehearsal {
           record("stream_skew_bucketed_coarse", m, n, time {
             bkc = drain(szb.shufflePartitions, mfpt = slices,
               factor = szb.saltFactor,
-              ckpt = "ckpt_bucketed_c", bucketed = true)
+              ckpt = "ckpt_bucketed_c", mode = "bucketed")
           })
           println(
             s"""{"family":"stream_skew_bucketed_coarse","mult":$m,""" +
@@ -758,6 +773,33 @@ object ScaleRehearsal {
           require(bk._2 == bkc._2,
             s"trigger granularity changed the join output: " +
               s"${bk._2} vs ${bkc._2}")
+        }
+        // DEFAULT-PATH variant (r15): the public intervalJoin entry
+        // point, which now routes to the bucketed plan — same
+        // autoState bucketed sizing, NO salt (the per-bucket hot-key
+        // mass on this fixture is already spread across partitions by
+        // the bucket component of the state key). Proves users get
+        // the measured bucketed number without opting in.
+        if (variants("default")) {
+          rmrf(s"$skroot/ckpt_default")
+          var df = (0L, 0L)
+          var szd: graft.streaming.StreamIngest.StreamSizing = null
+          record("stream_skew_default", m, n, time {
+            szd = sizing(3600L + 600L, bucketed = true)
+            df = drain(szd.shufflePartitions,
+              szd.maxFilesPerTrigger(slices), factor = 1,
+              ckpt = "ckpt_default", mode = "default")
+          })
+          println(s"""{"family":"stream_skew_default","mult":$m,""" +
+            s""""max_state_rows":${df._1},""" +
+            s""""parts":${szd.shufflePartitions},""" +
+            s""""triggers":${szd.triggers},""" +
+            s""""mfpt":${szd.maxFilesPerTrigger(slices)},""" +
+            s""""output_rows":${df._2}}""")
+          if (variants("salted"))
+            require(salted._2 == df._2,
+              s"default-path routing changed the join output: " +
+                s"${salted._2} vs ${df._2}")
         }
       }
       // ---- CDC upsert against a populated lake table ----
@@ -967,9 +1009,14 @@ object ScaleRehearsal {
           q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
             .foldLeft(0L)(math.max)
         }
+        // PLAIN plan, explicitly: this family documents the quadratic
+        // symmetric-hash probe's cost model (the coarse/fine trigger
+        // crossover and the T* optimum). The public intervalJoin now
+        // routes to the bucketed plan — the default path's numbers
+        // live in the stream_skew family's "default" variant.
         def drainIjoin(root0: String, parts: Int, mfpt: Int,
             ckpt: String = "ckpt_ij"): Long = {
-          val joined = graft.streaming.StreamIngest.intervalJoin(
+          val joined = graft.streaming.StreamIngest.plainIntervalJoin(
             inbox(s"$root0/purchases", "p_id", "p_ts", "p_user", mfpt),
             inbox(s"$root0/errors", "e_id", "e_ts", "e_user", mfpt),
             "p_user", "e_user", "p_ts", "e_ts",
@@ -1196,11 +1243,16 @@ object ScaleRehearsal {
               col(keyCol))
         // returns (max state rows, max rocksdb sst bytes on local disk,
         // max rocksdb pinned-block heap bytes)
+        // plain plan on purpose: the provider comparison holds the
+        // state SHAPE fixed across r13/r14 measurements (the bucketed
+        // default's ×3 left replicas would shift every byte number);
+        // the auto-flipped default-plan configuration is its own
+        // variant below.
         def drainBackend(ckpt: String, rocks: Boolean,
             extraConf: Map[String, String] = Map.empty,
             delay: String = "1 hour",
             partitions: Int = 8): (Long, Long, Long) = {
-          val joined = graft.streaming.StreamIngest.intervalJoin(
+          val joined = graft.streaming.StreamIngest.plainIntervalJoin(
             sInbox(s"$sroot/purchases", "p_id", "p_ts", "p_user"),
             sInbox(s"$sroot/errors", "e_id", "e_ts", "e_user"),
             "p_user", "e_user", "p_ts", "e_ts",

@@ -529,11 +529,14 @@ object IngestQueries {
     // into two JSONL inboxes, replayed as two file-source streams
     // through StreamIngest.intervalJoin (symmetric watermarks + the
     // event-time range condition — the bounded-state stream-stream
-    // join), append-mode memory sink. The oracle is a DuckDB range
-    // join over the same source rows, so a dropped match (state
-    // evicted too early), a phantom match (range condition off by a
-    // boundary), or a micro-batch replay duplicate breaks the hash.
-    // delta_us is an exact integer micros difference — no
+    // join), append-mode memory sink. As of r15 the default path
+    // routes to the time-bucketed state layout, so this oracle now
+    // gates the DEFAULT plan (qi24 gates salt-only, qi27 the
+    // explicit bucket+salt composition). The oracle is a DuckDB
+    // range join over the same source rows, so a dropped match
+    // (state evicted too early), a phantom match (range condition
+    // off by a boundary), or a micro-batch replay duplicate breaks
+    // the hash. delta_us is an exact integer micros difference — no
     // seconds-truncation ambiguity between engines.
     "qi22_stream_interval_join" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi22"
@@ -575,7 +578,8 @@ object IngestQueries {
           .unionByName(s.read.schema(rSchema).json(s"$root/errors")
             .select(col("user_id").as("k"),
               to_timestamp(col("ts"), fmt).as("t"))),
-        "k", "t", horizonSecs = 3600L + 3600L)
+        "k", "t", horizonSecs = 3600L + 3600L, rowScale = 1.0,
+        bucketed = true)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions",

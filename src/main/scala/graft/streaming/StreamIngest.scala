@@ -390,9 +390,15 @@ object StreamIngest {
     * The occupancy floor itself is fixable: [[bucketedIntervalJoin]]
     * time-buckets the state key so a probe touches one window-width
     * of state regardless of span or slack — measured exponent
-    * 1.14 → 0.89 and 6.9× the salted wall at 10× (PERF.md r14).
+    * 1.64 → 0.12 end-to-end and 136× the plain wall at 10× (PERF.md
+    * r14) — which is why, as of round 15, it IS the default:
+    * [[intervalJoin]] routes here only when the window has no fixed
+    * physical width (calendar units) or is zero-width (exact
+    * timestamp equality — a degenerate single bucket). Callers who
+    * measured their triggers to sit INSIDE one window-width (where
+    * the ×3 left replica buys nothing) opt back in here explicitly.
     */
-  def intervalJoin(
+  def plainIntervalJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
@@ -408,6 +414,54 @@ object StreamIngest {
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+  }
+
+  /** Fixed physical width of an interval literal in microseconds;
+    * None for calendar units (months have no fixed width) — the
+    * routing test [[intervalJoin]] and the bucket-width derivation
+    * in [[bucketedIntervalJoin]] share.
+    */
+  private def fixedWindowMicros(d: String): Option[Long] = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d))
+    if (iv.months != 0) None
+    else Some(iv.days * 86400000000L + iv.microseconds)
+  }
+
+  /** The stream-stream interval join, routed to the best-measured
+    * plan: [[bucketedIntervalJoin]] whenever the window has a fixed
+    * physical width (the r14 measurement — exponent 1.64 → 0.12,
+    * 136× at 10× — made bucketing the operating default, r15 verdict
+    * task 1), falling back to [[plainIntervalJoin]] for
+    * calendar-unit windows (no fixed bucket width exists) and
+    * zero-width windows (one degenerate bucket — the plain plan is
+    * the same probe without the ×3 replica tax). The two split the
+    * semantics/mechanics documentation: [[plainIntervalJoin]] owns
+    * the join contract and the quadratic-probe operating rule,
+    * [[bucketedIntervalJoin]] owns the state-key bucketing argument.
+    * Output is row-identical across all three entry points — qi22
+    * (this default), qi24 (salted) and qi27 (bucketed+salted) all
+    * pin the same DuckDB range-join oracle.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      before: String, after: String,
+      leftDelay: String, rightDelay: String): DataFrame = {
+    val fixed = for {
+      b <- fixedWindowMicros(before)
+      a <- fixedWindowMicros(after)
+    } yield math.max(b, a)
+    fixed match {
+      case Some(w) if w > 0 =>
+        bucketedIntervalJoin(left, right, leftKey, rightKey,
+          leftTs, rightTs, before, after, leftDelay, rightDelay)
+      case _ =>
+        plainIntervalJoin(left, right, leftKey, rightKey,
+          leftTs, rightTs, before, after, leftDelay, rightDelay)
+    }
   }
 
   /** [[intervalJoin]] with the hot-key salt applied INSIDE the
@@ -442,7 +496,12 @@ object StreamIngest {
     *
     * `factor` comes from [[autoState]]'s `saltFactor` (derived from
     * the sampled hottest-key share); `factor == 1` degrades to the
-    * plain [[intervalJoin]] plan.
+    * [[plainIntervalJoin]] plan — NOT the bucketed default, so this
+    * entry point stays the salt-only measurement variant
+    * (ScaleRehearsal's stream_skew family compares it against plain
+    * and bucketed over identical inboxes). Production callers should
+    * use [[intervalJoin]] (bucketed) or [[bucketedIntervalJoin]]
+    * with a factor, which composes both levers.
     */
   def saltedIntervalJoin(
       left: DataFrame, right: DataFrame,
@@ -453,7 +512,7 @@ object StreamIngest {
       factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
     if (factor == 1)
-      intervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      plainIntervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
         before, after, leftDelay, rightDelay)
     else {
       val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -524,14 +583,10 @@ object StreamIngest {
     require(overlap.isEmpty,
       s"bucketedIntervalJoin: column names must be disjoint, both " +
         s"sides have: ${overlap.mkString(", ")}")
-    def micros(d: String): Long = {
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(
-          org.apache.spark.unsafe.types.UTF8String.fromString(d))
-      require(iv.months == 0,
+    def micros(d: String): Long = fixedWindowMicros(d).getOrElse {
+      throw new IllegalArgumentException(
         s"bucketedIntervalJoin: calendar-unit window '$d' has no fixed " +
           "physical width; use days or smaller")
-      iv.days * 86400000000L + iv.microseconds
     }
     val w = math.max(micros(before), micros(after))
     require(w > 0, s"window must be positive, got before=$before after=$after")

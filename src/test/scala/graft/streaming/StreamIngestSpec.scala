@@ -734,6 +734,104 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("intervalJoin DEFAULTS to the bucketed plan; calendar and " +
+      "zero-width windows fall back to plain; salted factor=1 stays " +
+      "the plain measurement variant") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Timestamp, String, Long)]
+    val resps = MemoryStream[(Timestamp, String, Int)]
+    def build(f: => org.apache.spark.sql.DataFrame): String =
+      f.queryExecution.analyzed.toString
+    // fixed physical window → the default IS the bucketed state
+    // layout (r15: the 136×-measured plan is what callers get)
+    val deft = build(StreamIngest.intervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      "0 minutes", "10 minutes", "5 minutes", "5 minutes"))
+    assert(deft.contains("__bkt_l") && deft.contains("__bkt_r"), deft)
+    // calendar-unit window: no fixed bucket width exists → plain
+    val cal = build(StreamIngest.intervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      "1 month", "1 month", "5 minutes", "5 minutes"))
+    assert(!cal.contains("__bkt"), cal)
+    // zero-width window: one degenerate bucket, replicas buy nothing
+    val zero = build(StreamIngest.intervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      "0 seconds", "0 seconds", "5 minutes", "5 minutes"))
+    assert(!zero.contains("__bkt"), zero)
+    // the explicit escape hatch never buckets
+    val plain = build(StreamIngest.plainIntervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      "0 minutes", "10 minutes", "5 minutes", "5 minutes"))
+    assert(!plain.contains("__bkt"), plain)
+    // saltedIntervalJoin(factor=1) degrades to PLAIN, not bucketed —
+    // it is the salt-only measurement variant (stream_skew family)
+    val sf1 = build(StreamIngest.saltedIntervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      "0 minutes", "10 minutes", "5 minutes", "5 minutes", factor = 1))
+    assert(!sf1.contains("__bkt") && !sf1.contains("__salt"), sf1)
+  }
+
+  test("salt×bucket orthogonality: one hot key's bucket replicas " +
+      "land on distinct shuffle partitions, and both columns reach " +
+      "the state exchange") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Timestamp, String, Long)]
+    val resps = MemoryStream[(Timestamp, String, Int)]
+    val joined = StreamIngest.bucketedIntervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      before = "10 minutes", after = "10 minutes",
+      leftDelay = "5 minutes", rightDelay = "5 minutes", factor = 2)
+    // drive one micro-batch so a PHYSICAL plan exists, then read the
+    // state exchange's partitioning expressions off it: the shuffle
+    // that lays out join state must hash (key, salt, bucket) — key
+    // alone would serialize a hot key into one state partition
+    val q = joined.writeStream.format("memory").queryName("ob_out")
+      .outputMode("append").start()
+    reqs.addData((Timestamp.valueOf("2024-03-01 10:00:00"), "hot", 1L))
+    resps.addData((Timestamp.valueOf("2024-03-01 10:01:00"), "hot", 200))
+    q.processAllAvailable()
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+      q.explain()
+    }
+    q.stop()
+    val phys = baos.toString("UTF-8")
+    val exch = phys.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(exch.exists(l => l.contains("__bkt_l") &&
+      l.contains("__salt_l") && l.contains("req_user")),
+      phys.take(2000))
+    // and the hash actually SPREADS: one key, one salt, consecutive
+    // buckets — repartition uses the same HashPartitioning the state
+    // exchange does, so distinct spark_partition_ids here mean the
+    // hot key's per-bucket state lands on distinct state partitions
+    val spread = spark.range(8)
+      .select(lit("hot").as("req_user"), lit(0).as("__salt_l"),
+        col("id").as("__bkt_l"))
+      .repartition(8, col("req_user"), col("__salt_l"), col("__bkt_l"))
+      .select(spark_partition_id().as("p"))
+      .distinct().count()
+    assert(spread > 1,
+      s"8 consecutive buckets of one (key, salt) hashed to $spread " +
+        "partition(s) — bucketing is not spreading the hot key")
+  }
+
   test("withRocksDBState: interval join result-identical on the " +
       "RocksDB provider, conf restored, provider actually engaged") {
     val s = spark
