@@ -237,6 +237,12 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the streaming drains read totals off q.recentProgress, which
+      // retains only this many entries (default 100) — a >100-trigger
+      // run would silently under-count max_state_rows/output_rows and
+      // the cross-variant identity valves would compare truncated
+      // sums (r14 advice). Headroom far above any drain here.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = sys.props("java.io.tmpdir") + "/graft_scale"
@@ -601,7 +607,8 @@ object ScaleRehearsal {
         // alone is ~21 min at 10×); default all
         val variants = sys.env.get("SPARK_GRAFT_SKEW_VARIANTS")
           .map(_.split(",").map(_.trim).toSet)
-          .getOrElse(Set("plain", "salted", "wm15", "bucketed", "default"))
+          .getOrElse(Set("plain", "salted", "wm15", "bucketed", "default",
+            "autoback"))
         // returns (max state rows, total sink output rows) — output
         // identity across variants is the cheap in-family correctness
         // valve (full row-level correctness is qi24's/qi27's oracle).
@@ -614,7 +621,7 @@ object ScaleRehearsal {
         // explicit opt-in.
         def drain(parts: Int, mfpt: Int, factor: Int,
             ckpt: String, delay: String = "1 hour",
-            mode: String = "salt"): (Long, Long) = {
+            mode: String = "salt", rocks: Boolean = false): (Long, Long) = {
           val l = inbox(s"$skroot/purchases", "p_id", "p_ts", "p_user", mfpt)
           val r = inbox(s"$skroot/errors", "e_id", "e_ts", "e_user", mfpt)
           val joined = mode match {
@@ -638,12 +645,15 @@ object ScaleRehearsal {
           val prev = spark.conf.get("spark.sql.shuffle.partitions")
           val q = try {
             spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-            joined.writeStream.format("noop")
+            def start() = joined.writeStream.format("noop")
               .option("checkpointLocation", s"$skroot/$ckpt")
               .outputMode("append")
               .trigger(org.apache.spark.sql.streaming.Trigger
                 .AvailableNow())
               .start()
+            if (rocks)
+              graft.streaming.StreamIngest.withRocksDBState(spark)(start())
+            else start()
           } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
           q.awaitTermination()
           (q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
@@ -666,7 +676,9 @@ object ScaleRehearsal {
           println(s"""{"family":"stream_skew_plain","mult":$m,""" +
             s""""max_state_rows":${plain._1}}""")
         }
-        def sizing(horizonSecs: Long, bucketed: Boolean = false)
+        def sizing(horizonSecs: Long, bucketed: Boolean = false,
+            heapRows: Long = graft.streaming.StreamIngest
+              .BucketedStateRowsPerPartition)
             : graft.streaming.StreamIngest.StreamSizing = {
           val (ps, psB, ptB) = graft.streaming.StreamIngest.inboxSample(
             spark, s"$skroot/purchases", jschema("p_id", "p_user"))
@@ -679,7 +691,7 @@ object ScaleRehearsal {
           graft.streaming.StreamIngest.autoState(
             sample, "k", "t", horizonSecs = horizonSecs,
             rowScale = (ptB + etB).toDouble / (psB + esB),
-            bucketed = bucketed)
+            bucketed = bucketed, heapRowsPerPartition = heapRows)
         }
         var salted = (0L, 0L)
         if (variants("salted")) {
@@ -800,6 +812,41 @@ object ScaleRehearsal {
             require(salted._2 == df._2,
               s"default-path routing changed the join output: " +
                 s"${salted._2} vs ${df._2}")
+        }
+        // AUTO-BACKEND variant (r15 task 2): a full-span watermark —
+        // the "retain everything for late data" shape whose horizon
+        // state floor NO trigger granularity can shrink — sized on a
+        // small-heap executor profile (100k state rows/partition, a
+        // 1 GB container with fat rows). autoState must DERIVE the
+        // RocksDB flip + the single-trigger drain, and the flipped
+        // configuration must run end-to-end with output identical to
+        // every other variant. The 720 h delay exceeds the fixture's
+        // 30-day span, so no row is ever dropped as late and nothing
+        // evicts — exactly the state≫heap regime the flip exists for.
+        if (variants("autoback")) {
+          rmrf(s"$skroot/ckpt_autoback")
+          var ab = (0L, 0L)
+          var sza: graft.streaming.StreamIngest.StreamSizing = null
+          record("stream_skew_autoback", m, n, time {
+            sza = sizing(2592000L + 3600L, bucketed = true,
+              heapRows = 100000L)
+            require(sza.backend == "rocksdb",
+              s"full-span horizon on a 100k-row budget must flip: $sza")
+            ab = drain(sza.shufflePartitions,
+              sza.maxFilesPerTrigger(slices), sza.saltFactor,
+              ckpt = "ckpt_autoback", delay = "720 hours",
+              mode = "default", rocks = sza.backend == "rocksdb")
+          })
+          println(s"""{"family":"stream_skew_autoback","mult":$m,""" +
+            s""""max_state_rows":${ab._1},"backend":"${sza.backend}",""" +
+            s""""state_rows_derived":${sza.stateRows},""" +
+            s""""parts":${sza.shufflePartitions},""" +
+            s""""triggers":${sza.triggers},""" +
+            s""""output_rows":${ab._2}}""")
+          if (variants("salted"))
+            require(salted._2 == ab._2,
+              s"auto-backend flip changed the join output: " +
+                s"${salted._2} vs ${ab._2}")
         }
       }
       // ---- CDC upsert against a populated lake table ----

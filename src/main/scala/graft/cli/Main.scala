@@ -1377,10 +1377,31 @@ object Main {
             !st.getPath.getName.startsWith("."))
         require(dataFiles.nonEmpty,
           s"collect --stream: no files under $inbox")
-        // schema from a bounded sample, not a full-inbox inference scan
+        // schema from a bounded REPRESENTATIVE sample, not a
+        // full-inbox inference scan: first + last by mtime plus
+        // spaced middles (the inboxSample pick), so a column that
+        // appears only in later files still reaches the inferred
+        // schema — two-files-by-mtime silently dropped such columns
+        // for every row of the stream (r14 advice)
+        val sorted = dataFiles.sortBy(_.getModificationTime)
+        val sk = math.min(4, sorted.size)
+        val picks = if (sorted.size <= sk) sorted
+          else (0 until sk).map(i =>
+            sorted(((sorted.size - 1).toLong * i / (sk - 1)).toInt))
+            .distinct
         val schema = spark.read.json(
-          dataFiles.sortBy(_.getModificationTime)
-            .take(2).map(_.getPath.toString): _*).schema
+          picks.map(_.getPath.toString): _*).schema
+        // and fail LOUDLY if a declared source column still isn't in
+        // the sample — better a hard error than a lake of nulls
+        val declared = tableSpec.columns
+          .filter(c => c.transform.isEmpty)
+          .map(c => c.source.getOrElse(c.name))
+        val missing = declared.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"collect --stream: declared source column(s) " +
+            s"${missing.mkString(", ")} absent from the sampled inbox " +
+            s"schema (${sk} of ${sorted.size} files); widen the sample " +
+            "or fix the table spec")
         val ckpt = opts.flag("checkpoint").getOrElse(
           s"${lake.tableDir(p.table)}/_stream_ckpt/${p.name}")
         val mfpt = opts.flag("max-files-per-trigger").map(_.toInt)
@@ -1397,7 +1418,8 @@ object Main {
           onSizing = sz => out.println(
             s"Stream sizing (auto): ${sz.files} files, " +
               s"~${sz.rows} rows, ~${sz.keys} keys -> " +
-              s"${sz.maxFilesPerTrigger} files/trigger"))
+              s"${sz.maxFilesPerTrigger} files/trigger, " +
+              s"${sz.backend} state"))
         q.awaitTermination()
         out.println(
           s"Collected ${p.id} (stream): ${liveRows - rowsBefore} rows")

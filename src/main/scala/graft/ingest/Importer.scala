@@ -200,8 +200,16 @@ object Importer {
             }
           val committed = if (resuming) liveRows(table) - preCount else 0L
           val ingested =
-            if (committed > 0L) committed // crashed AFTER the commit
-            else importParquet(spark, lake, d.getPath,
+            if (committed > 0L) {
+              // crashed AFTER the data commit — but possibly BEFORE
+              // its manifest append, which would leave listing-free
+              // planning (fileStats, compact, retention) under-reading
+              // the table forever (r14 advice). vacuum's forced
+              // listing reconciliation re-syncs the manifest to data
+              // truth before the done marker declares recovery clean.
+              graft.lake.Maintenance.vacuum(spark, lake, table)
+              committed
+            } else importParquet(spark, lake, d.getPath,
               graft.config.PartitionSpec(table, "legacy"),
               timestampColumn = timestampColumn).rowsIngested
           Files.write(marker.toPath, ingested.toString.getBytes("UTF-8"))

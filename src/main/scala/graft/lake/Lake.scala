@@ -377,34 +377,47 @@ final case class Lake(root: String) {
     * reconciliation remains as [[fileStats]]' local-FS mode and
     * [[Maintenance.vacuum]]'s re-sync valve.
     */
+  /** Per-file (rows, min_ts, max_ts) computed by scanning exactly
+    * `files` — the stats a manifest row carries. One output row per
+    * file; metadata-sized. Shared by [[manifestAppend]] (stats for an
+    * append's new files) and [[Maintenance.vacuum]] (stats for files
+    * a crashed run committed but never recorded).
+    */
+  private[lake] def statsFor(
+      spark: SparkSession, table: String,
+      files: Seq[String]): Seq[(String, Long, Timestamp, Timestamp)] =
+    if (files.isEmpty) Seq.empty
+    else {
+      val raw = spark.read
+        .option("basePath", tableDir(table)).parquet(files: _*)
+        .select(col(TpSchema.Timestamp))
+        .withColumn("file", input_file_name())
+        .groupBy("file")
+        .agg(count(lit(1)).as("rows"),
+          min(TpSchema.Timestamp).as("min_ts"),
+          max(TpSchema.Timestamp).as("max_ts"))
+        .collect()
+      // input_file_name() yields percent-encoded URIs (scheme +
+      // authority); java.net.URI.getPath both strips them and
+      // decodes, landing on exactly the form dataFiles'
+      // Path.toUri.getPath produces — a regex scheme-strip would
+      // keep the authority and the %-escapes, so manifest paths
+      // would never match on s3a/hdfs roots or escaped partition
+      // values
+      raw.toSeq.map { r =>
+        (new java.net.URI(r.getString(0)).getPath,
+          r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))
+      }
+    }
+
   private[lake] def manifestAppend(
       spark: SparkSession, table: String,
       added: Seq[String], removed: Seq[String]): Unit = {
     if (added.isEmpty && removed.isEmpty) return
     val seqNo = nextSeq(spark, table)
     val statsRows: Seq[(String, Long, Timestamp, Timestamp, Long)] =
-      if (added.isEmpty) Seq.empty
-      else {
-        val raw = spark.read
-          .option("basePath", tableDir(table)).parquet(added: _*)
-          .select(col(TpSchema.Timestamp))
-          .withColumn("file", input_file_name())
-          .groupBy("file")
-          .agg(count(lit(1)).as("rows"),
-            min(TpSchema.Timestamp).as("min_ts"),
-            max(TpSchema.Timestamp).as("max_ts"))
-          .collect() // one row per ADDED file — metadata-sized
-        // input_file_name() yields percent-encoded URIs (scheme +
-        // authority); java.net.URI.getPath both strips them and
-        // decodes, landing on exactly the form dataFiles'
-        // Path.toUri.getPath produces — a regex scheme-strip would
-        // keep the authority and the %-escapes, so manifest paths
-        // would never match on s3a/hdfs roots or escaped partition
-        // values
-        raw.toSeq.map { r =>
-          (new java.net.URI(r.getString(0)).getPath,
-            r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), seqNo)
-        }
+      statsFor(spark, table, added).map {
+        case (f, n, lo, hi) => (f, n, lo, hi, seqNo)
       }
     val tombRows = removed.map(f =>
       (f, -1L, null: Timestamp, null: Timestamp, seqNo))

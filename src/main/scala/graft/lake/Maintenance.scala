@@ -406,11 +406,24 @@ object Maintenance {
       replayPendingRemovals(spark, lake, table)
       // the lock keeps a concurrent append from writing manifest rows
       // between our snapshot and the swap (they would be destroyed).
-      // Reconciliation is FORCED here regardless of filesystem kind:
-      // vacuum is the valve that re-syncs a drifted manifest to
-      // listing truth (and drops accumulated tombstone rows)
-      val live = lake.fileStats(spark, table, reconcileWithListing = true)
-        .withColumn("seq", lit(lake.nextSeq(spark, table)))
+      // Reconciliation is FORCED here regardless of filesystem kind
+      // and runs BOTH ways: manifest rows whose file is gone are
+      // dropped (the semi-join), and data files the manifest never
+      // recorded — a crash between a data commit and its manifest
+      // append (r14 advice) — get stats computed by scanning exactly
+      // those files. vacuum is the valve that re-syncs a drifted
+      // manifest to listing truth, in full.
+      val known = lake.fileStats(spark, table, reconcileWithListing = true)
+      val knownFiles = known.select("file").collect()
+        .map(_.getString(0)).toSet // metadata-sized: one path per file
+      val unrecorded = lake.dataFiles(spark, table)
+        .filterNot(knownFiles)
+      val recovered = lake.statsFor(spark, table, unrecorded)
+      val live = {
+        import spark.implicits._
+        known.unionByName(
+          recovered.toDF("file", "rows", "min_ts", "max_ts"))
+      }.withColumn("seq", lit(lake.nextSeq(spark, table)))
       val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
       val tmp = s"${lake.tableDir(table)}/_graft_manifest_new"
       val old = s"${lake.tableDir(table)}/_graft_manifest_old"

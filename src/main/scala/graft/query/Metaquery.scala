@@ -197,22 +197,24 @@ object Metaquery {
     // 8.8 s (PERF.md round-14 zorder). Flag when-chains of ≥16 terms
     // inside rangepartitioning(...): compute the key once with
     // withColumn and range-partition by the column reference instead.
-    plan.indexOf("rangepartitioning(") match {
-      case -1 => ()
-      case i =>
-        val window = plan.substring(i,
-          math.min(plan.length, i + 4000))
+    // ALL occurrences, not just the first: a plan whose first range
+    // exchange is benign (an ORDER BY) must not mask a later exchange
+    // keyed by a fat CASE chain (r14 advice)
+    val fatCase = "rangepartitioning\\(".r.findAllMatchIn(plan)
+      .map { mm =>
+        val window = plan.substring(mm.start,
+          math.min(plan.length, mm.start + 4000))
           .takeWhile(_ != '\n')
-        val whens = "CASE WHEN".r.findAllIn(window).size
-        if (whens >= 16)
-          w += (s"range partitioning keyed by a $whens-branch CASE " +
-            "expression — the exchange evaluates the raw key " +
-            "expression outside whole-stage codegen (sampling, " +
-            "partition-id and sort-key extraction each re-run it " +
-            "interpreted); materialize it once with withColumn and " +
-            "range-partition by the column reference (measured 6.5× " +
-            "on the z-order rewrite)")
-    }
+        "CASE WHEN".r.findAllIn(window).size
+      }.foldLeft(0)(math.max)
+    if (fatCase >= 16)
+      w += (s"range partitioning keyed by a $fatCase-branch CASE " +
+        "expression — the exchange evaluates the raw key " +
+        "expression outside whole-stage codegen (sampling, " +
+        "partition-id and sort-key extraction each re-run it " +
+        "interpreted); materialize it once with withColumn and " +
+        "range-partition by the column reference (measured 6.5× " +
+        "on the z-order rewrite)")
     """InsertIntoHadoopFsRelationCommand [^,]+, [^,]+, \[(\w[^\]]*)\]""".r
       .findFirstMatchIn(plan).foreach { m =>
         val partCols = m.group(1).split(",").toSeq

@@ -707,7 +707,8 @@ object StreamIngest {
   final case class StreamSizing(
       shufflePartitions: Int, triggers: Int,
       rows: Long, keys: Long, spanSecs: Long,
-      saltFactor: Int = 1, keyMass2: Double = 0.0) {
+      saltFactor: Int = 1, keyMass2: Double = 0.0,
+      backend: String = "heap", stateRows: Long = 0L) {
     /** File-source translation: files per trigger that yields the
       * target trigger count on an inbox of `inboxFiles` files (per
       * side, for a two-sided join whose sides are sliced alike).
@@ -768,11 +769,23 @@ object StreamIngest {
     */
   /** State-row multiplier of a [[bucketedIntervalJoin]] drain over
     * its inbox rows: left rows store ×3 (the bucket replicas), right
-    * rows ×saltFactor share. Measured 5.5× at the stream_skew fixture
-    * (549k state rows on a 100k inbox); 6 is the rounded-up planning
-    * constant.
+    * rows ×saltFactor — an even left/right split gives
+    * `(3 + saltFactor) / 2`. The stream_skew fixture measured 5.5×
+    * at its derived saltFactor 8: exactly (3+8)/2 — the formula IS
+    * the measurement, not a fit. Computing it from the derived salt
+    * (r14 advice) keeps a hot-skew inbox whose autoState derives a
+    * large factor from silently overrunning the per-partition heap
+    * budget the sizing promises, and stops unsalted bucketed plans
+    * (expansion 2) from over-paying triggers against the old fixed 6.
     */
-  val BucketedStateExpansion = 6.0
+  def bucketedStateExpansion(saltFactor: Int): Double =
+    (3.0 + saltFactor) / 2.0
+
+  /** Expansion of a NON-bucketed (plain/salted) join's state over its
+    * inbox rows: left ×1, right ×saltFactor, even split.
+    */
+  def plainStateExpansion(saltFactor: Int): Double =
+    (1.0 + saltFactor) / 2.0
 
   /** Per-state-partition row budget for [[autoState]]'s bucketed
     * trigger sizing — the HDFS-backed provider keeps live state on
@@ -800,7 +813,21 @@ object StreamIngest {
   def autoState(
       sample: DataFrame, keyCol: String, tsCol: String,
       horizonSecs: Long, rowScale: Double,
-      bucketed: Boolean): StreamSizing = {
+      bucketed: Boolean): StreamSizing =
+    autoState(sample, keyCol, tsCol, horizonSecs, rowScale, bucketed,
+      BucketedStateRowsPerPartition)
+
+  /** As above with the per-partition heap state budget explicit —
+    * executor heaps differ across deployments (the 1M-row default
+    * models 1–4 GB executors; a 100 TB rig with fat rows or small
+    * containers budgets less), and the budget is what decides both
+    * the heap-fitting trigger count and the heap→RocksDB backend
+    * flip.
+    */
+  def autoState(
+      sample: DataFrame, keyCol: String, tsCol: String,
+      horizonSecs: Long, rowScale: Double,
+      bucketed: Boolean, heapRowsPerPartition: Long): StreamSizing = {
     val spark = sample.sparkSession
     // one extra bounded aggregate over the sample gives the key
     // distribution's SECOND MOMENT c2 = Σ(n_k/N)² and the single
@@ -848,22 +875,45 @@ object StreamIngest {
     val parts = if (saltF > 1)
       math.min(maxP.toLong, math.max(partsUnsalted, 2L * saltF)).toInt
     else partsUnsalted.toInt
+    val expansion = if (bucketed) bucketedStateExpansion(saltF)
+      else plainStateExpansion(saltF)
+    val heapBudget = heapRowsPerPartition * math.max(1, parts)
+    // the state floor NO trigger granularity can shrink: rows inside
+    // the watermark horizon stay live until the watermark passes them,
+    // so a horizon that admits more state than the heap budget means
+    // the heap provider WILL be evicted at scale regardless of sizing
+    // — flip to RocksDB (disk-backed, heap bounded at the block
+    // cache; measured single-digit-% wall premium, stream_state
+    // rehearsal) instead of recommending a layout that OOMs at 100×.
+    val horizonRows = if (horizonSecs <= 0 || span <= 0) 0L
+      else math.round(n * math.min(1.0, horizonSecs.toDouble / span)
+        * expansion)
+    val backend = if (horizonRows > heapBudget) "rocksdb" else "heap"
     val triggers =
-      if (bucketed)
-        // linear probe → fewest commits whose per-trigger state fits
-        // the heap-resident layout; the horizon cap is irrelevant
-        // (buckets already bound what a probe touches)
-        math.max(1L, math.ceil(n * BucketedStateExpansion /
-          (BucketedStateRowsPerPartition.toDouble *
-            math.max(1, parts))).toLong).toInt
-      else {
+      if (bucketed) {
+        if (backend == "rocksdb") 1 // heap fit no longer constrains:
+          // with a linear probe, commits are the only remaining term
+          // and fewest commits = one trigger (measured 3.5× over the
+          // quadratic sizing, stream_skew_bucketed_coarse)
+        else
+          // linear probe → fewest commits whose per-trigger state fits
+          // the heap-resident layout; the horizon cap is irrelevant
+          // (buckets already bound what a probe touches)
+          math.max(1L, math.ceil(n * expansion /
+            heapBudget.toDouble).toLong).toInt
+      } else {
+        // quadratic probe: T* stands regardless of backend — RocksDB
+        // relaxes memory, not the per-row probe work
         val tStar = math.round(n * math.sqrt(ProbeCommitRatio * c2eff))
         val tCap = if (horizonSecs <= 0) Long.MaxValue
           else math.max(1L, span / horizonSecs)
         math.max(1L, math.min(tStar, tCap)).toInt
       }
+    val stateRows = math.max(horizonRows,
+      math.round(n * expansion / math.max(1, triggers)))
     StreamSizing(math.max(1, parts), triggers, n, k, span,
-      saltFactor = saltF, keyMass2 = c2)
+      saltFactor = saltF, keyMass2 = c2,
+      backend = backend, stateRows = stateRows)
   }
 
   /** Smallest salt fan-out worth its replication cost: below this the
@@ -898,7 +948,8 @@ object StreamIngest {
     */
   final case class CollectSizing(
       maxFilesPerTrigger: Int, files: Int, totalBytes: Long,
-      rows: Long, keys: Long, spanSecs: Long)
+      rows: Long, keys: Long, spanSecs: Long,
+      backend: String = "heap")
 
   /** Size a collect stream from a bounded inbox sample. `None` when
     * the inbox has no data files yet (a live stream watching an empty
@@ -933,7 +984,7 @@ object StreamIngest {
     val mfpt = math.max(1L, math.min(Int.MaxValue.toLong,
       budget / avgFile)).toInt
     Some(CollectSizing(mfpt, files.size, tBytes,
-      sz.rows, sz.keys, sz.spanSecs))
+      sz.rows, sz.keys, sz.spanSecs, backend = sz.backend))
   }
 
   def inboxSample(

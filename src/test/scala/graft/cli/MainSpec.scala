@@ -609,12 +609,32 @@ class MainSpec extends AnyFunSuite with SparkTest {
       new File(ws, "migrated/tp_table=crash2").toPath,
       new File(ws, "tp_table=crash2").toPath)
     write(new File(ws, ".migrate_intent_crash2"), "0")
+    // …and make the crash land BETWEEN the data commit and its
+    // manifest append (r14 advice): wipe the manifest, so a recovery
+    // that merely skips re-import would leave listing-free planning
+    // under-reading the table forever
+    val lake = graft.lake.Lake(s"${root.getPath}/lake")
+    val mdir = new File(s"${lake.tableDir("crash2")}/_graft_manifest")
+    assert(mdir.isDirectory, mdir)
+    def rmAll(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAll)
+      f.delete(); ()
+    }
+    rmAll(mdir)
     val (rc2, msg2) = cli(root, "import", "--legacy", ws.getPath)
     assert(rc2 == 0 && msg2.contains("Migrated crash2.legacy: 4 rows"), msg2)
     val (rcQ, csv) = cli(root, "query",
       "select count(*) as n from crash2", "--output", "csv")
     assert(rcQ == 0 && csv == "n\n4", s"double-append detected: $csv")
     assert(!new File(ws, ".migrate_intent_crash2").exists)
+    // recovery re-synced the manifest (vacuum reconciliation), so
+    // listing-free planning sees the committed rows again
+    import org.apache.spark.sql.functions.sum
+    val manifestRows = lake.fileStats(spark, "crash2",
+        reconcileWithListing = false)
+      .agg(sum("rows")).head().getLong(0)
+    assert(manifestRows == 4L,
+      s"manifest under-reads after recovery: $manifestRows")
   }
 
   test("collect --stream drains a JSONL inbox with auto-derived sizing " +
@@ -678,6 +698,63 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc3 == 0, msg3)
     assert(!msg3.contains("Stream sizing"), msg3)
     assert(msg3.contains("Collected clicks2.live (stream): 120 rows"), msg3)
+  }
+
+  test("collect --stream schema sample spans the inbox: a column " +
+    "present only in LATE files reaches the lake (and a declared " +
+    "column missing from the sample fails loudly)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_het").toFile
+    new File(dir, "config").mkdirs()
+    val inbox = new File(dir, "inbox"); inbox.mkdirs()
+    // 5 arrival files; only the LAST carries `region` — the old
+    // 2-files-by-mtime inference dropped it silently for every row
+    for (i <- 0 until 5) {
+      val extra = i == 4
+      val f = new File(inbox, s"chunk$i.json")
+      val w = new PrintWriter(f)
+      try (0 until 10).foreach { j =>
+        val id = i * 10 + j
+        w.println(s"""{"event_id": $id, "ts": "2024-07-0${i + 1} 10:00:00"""" +
+          (if (extra) s""", "region": "r${id % 3}"}""" else "}"))
+      } finally w.close()
+      f.setLastModified(1720000000000L + i * 60000L); ()
+    }
+    write(new File(dir, "config/het.tpc"),
+      s"""table "het" {
+         |  column "tp_timestamp" {
+         |    source = "ts"
+         |  }
+         |}
+         |partition "het" "live" {
+         |  source "file" {
+         |    paths = ["${inbox.getPath}"]
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc, msg) = cli(dir, "collect", "het.live", "--stream")
+    assert(rc == 0, msg)
+    assert(msg.contains("Collected het.live (stream): 50 rows"), msg)
+    val t = graft.lake.Lake(s"${dir.getPath}/lake").read(spark, "het")
+    assert(t.columns.contains("region"),
+      s"late-file column dropped: ${t.columns.mkString(",")}")
+    assert(t.where(col("region").isNotNull).count() == 10)
+    // declared-but-absent source column: loud failure, not null lake
+    write(new File(dir, "config/het2.tpc"),
+      s"""table "het2" {
+         |  column "tp_timestamp" {
+         |    source = "ts"
+         |  }
+         |  column "missing_col" { type = "varchar" }
+         |}
+         |partition "het2" "live" {
+         |  source "file" {
+         |    paths = ["${inbox.getPath}"]
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc2, msg2) = cli(dir, "collect", "het2.live", "--stream")
+    assert(rc2 == 1 && msg2.contains("missing_col"), s"$rc2: $msg2")
   }
 
   test("table analyze registers + syncs catalog stats from the " +

@@ -192,6 +192,20 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
       assert(!Metaquery.planWarnings(matKeyPlan, None)
         .exists(_.contains("range partitioning keyed")),
         matKeyPlan.take(1500))
+      // a BENIGN first range exchange (plain ORDER BY) must not mask
+      // a later fat-CASE one — the lint scans ALL occurrences (r14
+      // advice: indexOf stopped at the first)
+      // plan string prints top-down, so the final orderBy's benign
+      // range exchange is the FIRST `rangepartitioning(` occurrence
+      val masked = spark.range(1000).toDF("id")
+        .repartitionByRange(4, chain)
+        .orderBy(c("id"))
+        .queryExecution.executedPlan.toString
+      assert("rangepartitioning\\(".r.findAllMatchIn(masked).size >= 2,
+        masked.take(1500))
+      assert(Metaquery.planWarnings(masked, None)
+        .exists(_.contains("range partitioning keyed")),
+        masked.take(1500))
       // the agg-then-write shape: the aggregate's exchange hashes on
       // the GROUP BY key, NOT the write's partition column — r13's
       // lint accepted any hashpartitioning anywhere and went quiet

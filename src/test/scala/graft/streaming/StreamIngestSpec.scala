@@ -327,23 +327,71 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     // per row, by construction), so the quadratic optimum is replaced
     // by memory fit — fewest commits whose per-trigger state fits the
     // heap-resident layout (measured 3.5× over the quadratic sizing
-    // at 10×, stream_skew_bucketed_coarse). 1M rows × expansion 6 /
-    // (1M budget × parts) → ceil at the partition count.
+    // at 10×, stream_skew_bucketed_coarse). Expansion comes from the
+    // DERIVED salt factor — (3 + saltF)/2, the stream_skew fixture's
+    // measured 5.5 at saltF 8 — not a fixed constant (r14 advice:
+    // the constant 6 under-provisioned hot-skew inboxes and
+    // over-paid triggers on unsalted plans).
     val szB = StreamIngest.autoState(sample, "k", "t",
       horizonSecs = 7200L, rowScale = 1.0, bucketed = true)
+    assert(StreamIngest.bucketedStateExpansion(8) == 5.5)
+    assert(StreamIngest.bucketedStateExpansion(1) == 2.0)
     val wantB = math.max(1L, math.ceil(
-      szB.rows * StreamIngest.BucketedStateExpansion /
+      szB.rows * StreamIngest.bucketedStateExpansion(szB.saltFactor) /
         (StreamIngest.BucketedStateRowsPerPartition.toDouble *
           szB.shufflePartitions)).toLong).toInt
     assert(szB.triggers == wantB, szB)
-    assert(szB.triggers < sz.triggers,
-      s"bucketed sizing should coarsen triggers: $szB vs $sz")
-    // and it scales with volume: 20× the rows → proportionally more
-    // triggers, never fewer than the memory fit demands
+    assert(szB.triggers <= sz.triggers,
+      s"bucketed sizing should not exceed the quadratic triggers: " +
+        s"$szB vs $sz")
+    // and it scales with volume: 20× the rows → the memory-fit
+    // formula tracks proportionally (same expansion, same parts)
     val szB20 = StreamIngest.autoState(sample, "k", "t",
       horizonSecs = 7200L, rowScale = 20.0, bucketed = true)
-    assert(szB20.triggers >= 20 * szB.triggers / 2 &&
-      szB20.rows == 20000000L, szB20)
+    val wantB20 = math.max(1L, math.ceil(
+      szB20.rows * StreamIngest.bucketedStateExpansion(szB20.saltFactor) /
+        (StreamIngest.BucketedStateRowsPerPartition.toDouble *
+          szB20.shufflePartitions)).toLong).toInt
+    assert(szB20.triggers == wantB20 && szB20.rows == 20000000L, szB20)
+    assert(szB20.triggers > szB.triggers, s"$szB20 vs $szB")
+  }
+
+  test("autoState flips the state backend to RocksDB when the horizon " +
+      "state floor exceeds the heap budget — the floor no trigger " +
+      "granularity can shrink") {
+    // 1M rows over a 30-day span, ~1k keys → parts ≈ keys/200
+    val sample = spark.range(1000000).select(
+      pmod(col("id"), lit(1000)).as("k"),
+      timestamp_seconds(lit(1704067200L) + pmod(col("id") * 37,
+        lit(2592000L))).as("t"))
+    // short horizon: live state ≪ heap budget → heap, sized triggers
+    val heap = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 7200L, rowScale = 100.0, bucketed = true)
+    assert(heap.backend == "heap", heap)
+    assert(heap.triggers > 1, heap) // memory-fit sizing engaged
+    // full-span horizon at 100×: every row stays live until the
+    // watermark passes — horizon floor = n·expansion ≫ budget·parts.
+    // No trigger count fixes that: flip to RocksDB, and with heap no
+    // longer a constraint the linear-probe optimum is ONE trigger
+    val flip = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 2592000L, rowScale = 100.0, bucketed = true)
+    assert(flip.backend == "rocksdb", flip)
+    assert(flip.triggers == 1, flip)
+    assert(flip.stateRows > StreamIngest.BucketedStateRowsPerPartition *
+      flip.shufflePartitions, flip)
+    // the threshold is the budget itself: same horizon, 1× volume
+    // fits (1M × expansion 2 = 2M ≤ 1M × parts for parts ≥ 2)
+    val fits = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 2592000L, rowScale = 1.0, bucketed = true)
+    assert(fits.backend == (if (fits.stateRows >
+      StreamIngest.BucketedStateRowsPerPartition *
+        fits.shufflePartitions) "rocksdb" else "heap"), fits)
+    // non-bucketed plans flip too (the quadratic T* stands — RocksDB
+    // relaxes memory, not probe work)
+    val plainFlip = StreamIngest.autoState(sample, "k", "t",
+      horizonSecs = 2592000L, rowScale = 100.0, bucketed = false)
+    assert(plainFlip.backend == "rocksdb", plainFlip)
+    assert(plainFlip.triggers >= 1, plainFlip)
   }
 
   test("inboxSample parses a file subset spanning first/last by mtime " +
