@@ -62,6 +62,30 @@ object Bench {
     case class Run(results: Seq[(String, Double)], failed: Seq[String]) {
       def total: Double = results.map(_._2).sum
     }
+    // CANARY (r15 verdict task 6): this box drifts 1.3–1.5× between
+    // windows on identical code (PERF.md r14 closing — untouched
+    // queries moved 7.32 → 2.34 s across runs), which exceeds most
+    // real per-query deltas. Five stable, cheap, fixture-free queries
+    // spread across families (agg / string / window / text-agg /
+    // dedup) run 3× up front; the MEDIAN of the three sums against a
+    // clean-window baseline yields `canary_factor`, so BENCH_rN vs
+    // rN−1 totals can be normalized (factor > 1 = slow window)
+    // instead of hand-adjudicated. The baseline is the median canary
+    // of a clean r15 builder window at sf0.1/local[32].
+    val canaryQueries = Seq("q01_agg_summary", "q16_string_funcs",
+      "q24_window_topn", "qt01_token_stats", "qt04_dedup_exact")
+    val canaryBaselineSec = 3.30
+    val canarySums = (1 to 3).map { _ =>
+      canaryQueries.map { n =>
+        settle()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sum
+    }
+    val canarySec = canarySums.sorted.apply(1)
+    val canaryFactor = canarySec / canaryBaselineSec
     val runs = (1 to math.max(1, nRuns)).map { _ =>
       graft.queries.IngestQueries.resetFixtures()
       graft.lake.Artifacts.resetManaged(sfDir)
@@ -95,7 +119,7 @@ object Bench {
     val failedJson = chosen.failed.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val runsJson = runs.map(r => f"${r.total}%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"canary_sec":$canarySec%.3f,"canary_factor":$canaryFactor%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

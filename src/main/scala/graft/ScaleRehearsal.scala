@@ -621,7 +621,8 @@ object ScaleRehearsal {
         // explicit opt-in.
         def drain(parts: Int, mfpt: Int, factor: Int,
             ckpt: String, delay: String = "1 hour",
-            mode: String = "salt", rocks: Boolean = false): (Long, Long) = {
+            mode: String = "salt", rocks: Boolean = false,
+            width: Option[String] = None): (Long, Long) = {
           val l = inbox(s"$skroot/purchases", "p_id", "p_ts", "p_user", mfpt)
           val r = inbox(s"$skroot/errors", "e_id", "e_ts", "e_user", mfpt)
           val joined = mode match {
@@ -629,7 +630,8 @@ object ScaleRehearsal {
               graft.streaming.StreamIngest.bucketedIntervalJoin(
                 l, r, "p_user", "e_user", "p_ts", "e_ts",
                 before = "5 minutes", after = "5 minutes",
-                leftDelay = delay, rightDelay = delay, factor = factor)
+                leftDelay = delay, rightDelay = delay, factor = factor,
+                bucketWidth = width)
             case "default" =>
               graft.streaming.StreamIngest.intervalJoin(
                 l, r, "p_user", "e_user", "p_ts", "e_ts",
@@ -816,20 +818,21 @@ object ScaleRehearsal {
         // AUTO-BACKEND variant (r15 task 2): a full-span watermark —
         // the "retain everything for late data" shape whose horizon
         // state floor NO trigger granularity can shrink — sized on a
-        // small-heap executor profile (100k state rows/partition, a
-        // 1 GB container with fat rows). autoState must DERIVE the
-        // RocksDB flip + the single-trigger drain, and the flipped
-        // configuration must run end-to-end with output identical to
-        // every other variant. The 720 h delay exceeds the fixture's
-        // 30-day span, so no row is ever dropped as late and nothing
-        // evicts — exactly the state≫heap regime the flip exists for.
+        // small-heap executor profile (20k state rows/partition ×16
+        // partitions = 320k row budget, under the fixture's 550k-row
+        // 1× horizon floor). autoState must DERIVE the RocksDB flip +
+        // the single-trigger drain, and the flipped configuration
+        // must run end-to-end with output identical to every other
+        // variant. The 720 h delay exceeds the fixture's 30-day span,
+        // so no row is ever dropped as late and nothing evicts —
+        // exactly the state≫heap regime the flip exists for.
         if (variants("autoback")) {
           rmrf(s"$skroot/ckpt_autoback")
           var ab = (0L, 0L)
           var sza: graft.streaming.StreamIngest.StreamSizing = null
           record("stream_skew_autoback", m, n, time {
             sza = sizing(2592000L + 3600L, bucketed = true,
-              heapRows = 100000L)
+              heapRows = 20000L)
             require(sza.backend == "rocksdb",
               s"full-span horizon on a 100k-row budget must flip: $sza")
             ab = drain(sza.shufflePartitions,
@@ -847,6 +850,36 @@ object ScaleRehearsal {
             require(salted._2 == ab._2,
               s"auto-backend flip changed the join output: " +
                 s"${salted._2} vs ${ab._2}")
+        }
+        // BUCKET-WIDTH sensitivity (r15 task 7): W/2 (5 replicas,
+        // half the probe slice), W (the 3-replica default), 2W (3
+        // replicas, double the probe slice) over identical inboxes,
+        // same bucketed autoState sizing. Which price is steeper —
+        // replica state+shuffle or probe span — decides whether W
+        // should ever be auto-derived from the inbox sample. Output
+        // rows must be identical at every width (the replica-count
+        // generalization is row-invisible by the same argument as the
+        // ±1 case, pinned in StreamIngestSpec).
+        if (variants("widths")) {
+          var szw2: graft.streaming.StreamIngest.StreamSizing = null
+          val outs = Seq(
+            ("w_half", Some("150 seconds")),
+            ("w_def", None),
+            ("w_double", Some("600 seconds"))).map { case (tag, wd) =>
+            rmrf(s"$skroot/ckpt_$tag")
+            var res = (0L, 0L)
+            record(s"stream_skew_width_$tag", m, n, time {
+              if (szw2 == null) szw2 = sizing(3600L + 600L, bucketed = true)
+              res = drain(szw2.shufflePartitions,
+                szw2.maxFilesPerTrigger(slices), szw2.saltFactor,
+                ckpt = s"ckpt_$tag", mode = "bucketed", width = wd)
+            })
+            println(s"""{"family":"stream_skew_width_$tag","mult":$m,""" +
+              s""""max_state_rows":${res._1},"output_rows":${res._2}}""")
+            res._2
+          }
+          require(outs.distinct.size == 1,
+            s"bucket width changed the join output: $outs")
         }
       }
       // ---- CDC upsert against a populated lake table ----

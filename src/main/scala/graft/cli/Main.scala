@@ -249,7 +249,11 @@ object Main {
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
       |vacuum:   graft vacuum [table] [--backup] | [--restore] | [--relocate]
       |table:    graft table list | show <name> | diff <name>
-      |          (diff: file add/remove/change vs the last snapshot)
+      |          | analyze <name> [--columns c1,c2]
+      |          (diff: file add/remove/change vs the last snapshot;
+      |           analyze: manifest-derived catalog stats, no scan;
+      |           --columns: per-column NDV/null/range stats for CBO —
+      |           one seeding scan, then maintained per mutation)
       |rollup:   graft rollup list | refresh <table.name>
       |          (config block: rollup "table" "name" { group_by = [..]
       |           aggregate "col" { function = "count|sum|..." } };
@@ -1887,6 +1891,23 @@ object Main {
           case None =>
             out.println(s"Analyzed $t: no live rows in the manifest " +
               "(run vacuum to re-sync, or collect first)")
+        }
+        // --columns c1,c2: enable incremental per-column stats (ONE
+        // seeding scan now; every later mutation maintains per-file
+        // HLL/null/range rows and analyze merges them scan-free) and
+        // surface the merged NDVs — the CBO join-reorder feed
+        opts.flag("columns").foreach { spec =>
+          val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val already = lake.colStatsColumns(spark, t)
+          if (cols.toSet != already.toSet)
+            lake.enableColumnStats(spark, t, cols)
+          ()
+        }
+        lake.syncCatalogColumnStats(spark, t).foreach { m =>
+          m.toSeq.sortBy(_._1).foreach { case (c, (ndv, nulls)) =>
+            out.println(s"  column $c: ~$ndv distinct, $nulls null " +
+              "(merged from per-file sketches, no scan)")
+          }
         }
       case other => throw new IllegalArgumentException(
         s"table: expected list|show|diff|snapshot|analyze, " +

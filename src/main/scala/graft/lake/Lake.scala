@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
   * `.inspect`-style metadata without touching data files. At 100 TB the
   * manifest stays metadata-sized: one row per file.
   */
-final case class Lake(root: String) {
+/** @param manifestCompactThreshold manifest files before
+  *   [[manifestAppend]] self-compacts — see that method; the default
+  *   bounds planning reads at ~64 footer pages while amortizing the
+  *   rewrite to O(1/64) per mutation. Tests lower it to exercise the
+  *   compaction without a 100-append storm.
+  */
+final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
 
   def tableDir(table: String): String = s"$root/$table"
   private def manifestDir(table: String): String =
@@ -201,13 +207,220 @@ final case class Lake(root: String) {
         math.max(1L, sampled.map(_._2).sum)
     val size = math.max(1L, math.round(rows * bytesPerRow))
     if (catalogEntry(spark, table).isDefined) {
+      // preserve any per-column stats a prior
+      // [[syncCatalogColumnStats]] wrote — this sync refreshes the
+      // table-level numbers, it must not wipe the column ones
+      val prevCols = catalogEntry(spark, table)
+        .flatMap(_.stats).map(_.colStats).getOrElse(Map.empty)
       spark.sessionState.catalog.alterTableStats(
         org.apache.spark.sql.catalyst.TableIdentifier(table),
         Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-          BigInt(size), Some(BigInt(rows)))))
+          BigInt(size), Some(BigInt(rows)), prevCols)))
       spark.catalog.refreshTable(s"`$table`")
     }
     Some((rows, size))
+  }
+
+  // ------- per-column stats: the CBO join-reordering feed -------
+  //
+  // Spark's own `ANALYZE TABLE … FOR COLUMNS` re-scans the whole table
+  // every time — a day's I/O at 100 TB. Here the scan happens ONCE
+  // (enable time); after that every mutation's manifestAppend also
+  // writes per-file, per-column stat rows — a mergeable HLL NDV
+  // sketch, null count, length and numeric-range aggregates — into a
+  // `_graft_colstats` sidecar (the DuckLake ducklake_file_column_stats
+  // shape, compaction_types.go:64-120), and `table analyze` merges
+  // the sketches (hll_union_agg) into CatalogColumnStat at constant
+  // metadata cost. Liveness needs no tombstones: data files are
+  // immutable and replaced by new names, so a semi-join against the
+  // manifest's live file set at merge time is exact.
+
+  private def colStatsDir(table: String): String =
+    s"${tableDir(table)}/_graft_colstats"
+
+  private def colStatsMarker(table: String): Path =
+    new Path(s"${tableDir(table)}/_graft_colstats_cols")
+
+  /** Columns under incremental stats maintenance (empty = disabled —
+    * the default: per-append sketching of a 300-column table nobody
+    * analyzes would be pure ingest tax).
+    */
+  def colStatsColumns(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, root)
+    val p = colStatsMarker(table)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** `input_file_name()` → the scheme-less, percent-decoded path form
+    * manifest rows use — as a Column expression, because colstats
+    * seeding is a DISTRIBUTED write (files × columns rows at 100 TB;
+    * the collect-based java.net.URI normalization statsFor uses is
+    * fine per-append but not per-table).
+    */
+  private def normalizedFileCol(c: Column): Column =
+    url_decode(regexp_replace(regexp_replace(c,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/"))
+
+  /** One scan of exactly `files` → per-(file, column) stat rows
+    * appended to the sidecar: HLL sketch (int/long/string/binary
+    * natively, everything else through a string cast — NDV is
+    * cast-invariant), null count, row count, string length sums and
+    * numeric min/max as doubles (mergeable forms of avgLen/maxLen and
+    * range bounds).
+    */
+  private def appendColStats(
+      spark: SparkSession, table: String,
+      files: Seq[String], columns: Seq[String]): Unit = {
+    if (files.isEmpty || columns.isEmpty) return
+    val seqNo = nextSeq(spark, table)
+    val src = spark.read.option("basePath", tableDir(table))
+      .parquet(files: _*)
+      .withColumn("__file", normalizedFileCol(input_file_name()))
+    val schema = src.schema
+    val aggs = columns.flatMap { c =>
+      val dt = schema(c).dataType
+      val sketchIn = dt match {
+        case IntegerType | LongType | StringType | BinaryType => col(c)
+        case _ => col(c).cast("string")
+      }
+      val isStr = dt == StringType
+      val isNum = dt.isInstanceOf[NumericType]
+      Seq(
+        hll_sketch_agg(sketchIn).as(s"__sk_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
+        (if (isStr) sum(length(col(c)).cast("long"))
+         else max(lit(null).cast("long"))).as(s"__sl_$c"),
+        (if (isStr) max(length(col(c)).cast("long"))
+         else max(lit(null).cast("long"))).as(s"__ml_$c"),
+        (if (isNum) min(col(c).cast("double"))
+         else min(lit(null).cast("double"))).as(s"__mn_$c"),
+        (if (isNum) max(col(c).cast("double"))
+         else max(lit(null).cast("double"))).as(s"__mx_$c"))
+    }
+    val allAggs = count(lit(1)).as("__n") +: aggs
+    val perFile = src.groupBy(col("__file"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val rows = columns.map { c =>
+      perFile.select(
+        col("__file").as("file"), lit(c).as("column"),
+        col(s"__sk_$c").as("sketch"), col(s"__nl_$c").as("nulls"),
+        col("__n").as("n"), col(s"__sl_$c").as("sum_len"),
+        col(s"__ml_$c").as("max_len"), col(s"__mn_$c").as("min_d"),
+        col(s"__mx_$c").as("max_d"), lit(seqNo).as("seq"))
+    }.reduce(_.unionByName(_))
+    rows.coalesce(1).write.mode(SaveMode.Append)
+      .parquet(colStatsDir(table))
+  }
+
+  /** Enable incremental column stats for `columns`: ONE seeding scan
+    * over the current live files now, then every mutation maintains
+    * the sidecar and [[syncCatalogColumnStats]] merges it scan-free —
+    * "analyze once, incremental forever" where Spark's ANALYZE
+    * re-scans per invocation. Re-enabling re-seeds (newest seq wins
+    * at merge). The marker lands AFTER the seed, so a crash mid-seed
+    * retries cleanly.
+    */
+  def enableColumnStats(
+      spark: SparkSession, table: String,
+      columns: Seq[String]): Unit = locked(table) {
+    val schema = read(spark, table).schema
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"enableColumnStats: table '$table' has no column '$c'"))
+    require(columns.nonEmpty, "enableColumnStats: no columns given")
+    val f = fs(spark, root)
+    f.delete(new Path(colStatsDir(table)), true)
+    val live = fileStats(spark, table, reconcileWithListing = false)
+      .select("file").collect().map(_.getString(0)).toSeq
+    appendColStats(spark, table, live, columns)
+    val out = f.create(colStatsMarker(table), true)
+    try out.write(columns.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Merge the sidecar into per-column `CatalogColumnStat`s and write
+    * them to the catalog (with the manifest-derived rowCount/size) —
+    * metadata-sized: sketches union, counters sum, no data scan.
+    * Returns (column → (ndv, nullCount)) for reporting, or None when
+    * column stats aren't enabled.
+    */
+  def syncCatalogColumnStats(
+      spark: SparkSession, table: String)
+      : Option[Map[String, (Long, Long)]] = {
+    val cols = colStatsColumns(spark, table)
+    if (cols.isEmpty) return None
+    val f = fs(spark, root)
+    if (!f.exists(new Path(colStatsDir(table)))) return None
+    val live = fileStats(spark, table, reconcileWithListing = false)
+      .select("file")
+    val merged = spark.read.parquet(colStatsDir(table))
+      .groupBy("file", "column")
+      .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
+        col("sum_len"), col("max_len"), col("min_d"), col("max_d")),
+        col("seq")).as("s"))
+      .select(col("file"), col("column"), col("s.*"))
+      .join(live, Seq("file"), "left_semi")
+      .groupBy("column").agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("ndv"),
+        sum("nulls").as("nulls"), sum("n").as("n"),
+        sum("sum_len").as("sum_len"), max("max_len").as("max_len"),
+        min("min_d").as("min_d"), max("max_d").as("max_d"))
+      .collect()
+    val schema = read(spark, table).schema
+    def extString(dt: DataType, d: Double): Option[String] = dt match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        Some(math.round(d).toString)
+      case DoubleType => Some(d.toString)
+      case FloatType => Some(d.toFloat.toString)
+      case _ => None // timestamps/decimals: external-string format is
+        // formatter-dependent — a wrong range bound misestimates
+        // silently, so omit rather than guess
+    }
+    val stats = merged.map { r =>
+      val c = r.getString(0)
+      val dt = schema(c).dataType
+      val ndv = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val nulls = r.getLong(2)
+      val n = r.getLong(3)
+      val nonNull = math.max(0L, n - nulls)
+      val avgLen = if (!r.isNullAt(4) && nonNull > 0)
+        Some(math.max(1L, math.round(r.getLong(4).toDouble / nonNull)))
+        else None
+      val maxLen = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      val minS = if (r.isNullAt(6)) None
+        else extString(dt, r.getDouble(6))
+      val maxS = if (r.isNullAt(7)) None
+        else extString(dt, r.getDouble(7))
+      c -> (org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+        distinctCount = Some(BigInt(ndv)),
+        min = minS, max = maxS,
+        nullCount = Some(BigInt(nulls)),
+        avgLen = avgLen, maxLen = maxLen),
+        (ndv, nulls))
+    }.toMap
+    if (catalogEntry(spark, table).isDefined) {
+      // table-level numbers first (manifest-derived), then ONE alter
+      // carrying both so the column stats land atomically with them
+      val base = syncCatalogStats(spark, table)
+      base.foreach { case (rows, size) =>
+        spark.sessionState.catalog.alterTableStats(
+          org.apache.spark.sql.catalyst.TableIdentifier(table),
+          Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+            BigInt(size), Some(BigInt(rows)),
+            stats.map { case (k, v) => k -> v._1 })))
+        spark.catalog.refreshTable(s"`$table`")
+      }
+    }
+    Some(stats.map { case (k, v) => k -> v._2 })
   }
 
   /** The removal twin of [[syncCatalogPartitions]]: a catalog
@@ -426,6 +639,71 @@ final case class Lake(root: String) {
       .toDF("file", "rows", "min_ts", "max_ts", "seq")
       .coalesce(1).write.mode(SaveMode.Append)
       .parquet(manifestDir(table))
+    // incremental column stats, when enabled: the same added files,
+    // one extra scan of exactly them (removals need nothing — merge
+    // time semi-joins against the live manifest)
+    val csCols = colStatsColumns(spark, table)
+    if (csCols.nonEmpty && added.nonEmpty)
+      appendColStats(spark, table, added, csCols)
+    maybeCompactManifest(spark, table)
+  }
+
+  /** Collapse the manifest to its newest-row-per-file live shape once
+    * it exceeds `manifestCompactThreshold` files — one `coalesce(1)`
+    * append per mutation is the right write shape, but a
+    * mutation-heavy table that is never vacuumed accumulates one tiny
+    * parquet file per mutation and every planning read
+    * ([[manifestMaxSeq]], [[fileStats]]) then opens N small files
+    * (r14 verdict task 4). This is vacuum's rewrite minus the listing
+    * reconciliation (pure metadata, no filesystem walk), under the
+    * same table lock and the same aside→in→drop swap (a crash at any
+    * point leaves the old or the new manifest whole). Stats are
+    * IDENTICAL before and after by construction: fileStats reads
+    * newest-per-file and drops tombstoned files, which is exactly the
+    * row set this rewrite keeps.
+    */
+  private def maybeCompactManifest(
+      spark: SparkSession, table: String): Unit = {
+    val filesys = fs(spark, root)
+    def countFiles(dir: Path): Int =
+      if (!filesys.exists(dir)) 0
+      else filesys.listStatus(dir).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    def swap(dir: Path, rows: DataFrame): Unit = {
+      val tmp = new Path(dir.toString + "_new")
+      val old = new Path(dir.toString + "_old")
+      rows.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      filesys.delete(old, true)
+      if (filesys.exists(dir)) filesys.rename(dir, old)
+      filesys.rename(tmp, dir)
+      filesys.delete(old, true)
+      ()
+    }
+    val mdir = new Path(manifestDir(table))
+    if (countFiles(mdir) > manifestCompactThreshold) locked(table) {
+      swap(mdir,
+        fileStats(spark, table, reconcileWithListing = false)
+          .withColumn("seq", lit(nextSeq(spark, table))))
+    }
+    // the colstats sidecar accumulates the same way (one file per
+    // mutation on an enabled table): same threshold, same swap —
+    // newest row per (file, column), dead files dropped
+    val cdir = new Path(colStatsDir(table))
+    if (countFiles(cdir) > manifestCompactThreshold) locked(table) {
+      val live = fileStats(spark, table, reconcileWithListing = false)
+        .select("file")
+      swap(cdir,
+        spark.read.parquet(cdir.toString)
+          .groupBy("file", "column")
+          .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
+            col("sum_len"), col("max_len"), col("min_d"),
+            col("max_d"), col("seq")), col("seq")).as("s"))
+          .select(col("file"), col("column"), col("s.*"))
+          .join(live, Seq("file"), "left_semi"))
+    }
   }
 
   private def recordStats(

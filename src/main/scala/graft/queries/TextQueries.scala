@@ -762,9 +762,16 @@ object TextQueries {
     // composition of two oracle-gated operators (budgetSelect →
     // sourceDivergence with the keep flag as the group key).
     "qt51_selection_bias" -> ((s, dir) => {
+      // the scored corpus feeds budgetSelect's two prefix-sum passes,
+      // the kept/dropped join's left side AND the divergence read —
+      // localCheckpoint (the qi25 pattern) evaluates the quality/token
+      // expressions over the corpus ONCE instead of 3–4× (r14 verdict:
+      // the only top-five bench row with recoverable plan cost; at
+      // 100× the saving is 3–4 full corpus scans)
       val d = docs(s, dir).select(col("doc_id"), col("text"),
         TF.tokenCount(col("text")).as("n_tokens"),
         round(TF.qualityScore(col("text")), 4).as("quality"))
+        .localCheckpoint()
       val kept = graft.operators.Sampling.budgetSelect(d,
           Seq(lit(1.0) - col("quality"), col("doc_id")), "n_tokens",
           budget = 8000L)

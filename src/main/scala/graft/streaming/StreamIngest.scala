@@ -570,6 +570,15 @@ object StreamIngest {
     *
     * Calendar-unit windows (months) are rejected: bucket width must
     * be a fixed physical duration.
+    *
+    * `bucketWidth` overrides the default `W = max(before, after)`:
+    * narrower buckets shrink the per-probe state slice but raise the
+    * left replica count to `2·ceil(window/W) + 1` (every bucket a
+    * match could land in must hold a replica); wider buckets keep 3
+    * replicas but a probe iterates more state. Measured on the
+    * stream_skew fixture (PERF.md r15 widths family): W is the right
+    * default — W/2's extra replicas cost more state and shuffle than
+    * the finer probe saves, and 2W's doubled probe span shows at 10×.
     */
   def bucketedIntervalJoin(
       left: DataFrame, right: DataFrame,
@@ -577,7 +586,7 @@ object StreamIngest {
       leftTs: String, rightTs: String,
       before: String, after: String,
       leftDelay: String, rightDelay: String,
-      factor: Int = 1): DataFrame = {
+      factor: Int = 1, bucketWidth: Option[String] = None): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
@@ -588,8 +597,15 @@ object StreamIngest {
         s"bucketedIntervalJoin: calendar-unit window '$d' has no fixed " +
           "physical width; use days or smaller")
     }
-    val w = math.max(micros(before), micros(after))
-    require(w > 0, s"window must be positive, got before=$before after=$after")
+    val span = math.max(micros(before), micros(after))
+    require(span > 0,
+      s"window must be positive, got before=$before after=$after")
+    val w = bucketWidth.map(micros).getOrElse(span)
+    require(w > 0, s"bucket width must be positive, got $bucketWidth")
+    // a match can sit up to `span` away from the probing row, so its
+    // bucket is within ceil(span/w) of the row's — every one of those
+    // buckets needs a left replica or edge matches drop
+    val rad = math.max(1L, (span + w - 1) / w).toInt
     // exact floor division in long math (micros - pmod keeps negatives
     // correct; a double division would be within mantissa range today
     // but one refactor away from a silent rounding bug)
@@ -599,7 +615,7 @@ object StreamIngest {
     }
     val l0 = left
       .withColumn("__bkt_l",
-        explode(array((-1 to 1).map(i => bucketOf(leftTs) + i): _*)))
+        explode(array((-rad to rad).map(i => bucketOf(leftTs) + i): _*)))
     val l1 = if (factor == 1) l0
       else l0.withColumn("__salt_l",
         pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*),

@@ -770,6 +770,21 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc2 == 0 && msg2.contains("3 rows"), msg2)
     val (rcBad, bad) = cli(root, "table", "analyze", "no_such")
     assert(rcBad == 1, bad)
+    // --columns: enables the incremental HLL sidecar and reports the
+    // merged per-column stats; a later plain analyze keeps reporting
+    // them (merge is scan-free, enablement persists)
+    val (rc3, msg3) = cli(root, "table", "analyze", "access_log",
+      "--columns", "ip_address,status_code")
+    assert(rc3 == 0, msg3)
+    assert(msg3.contains(
+      "column ip_address: ~3 distinct, 0 null"), msg3)
+    assert(msg3.contains(
+      "column status_code: ~2 distinct, 0 null"), msg3)
+    val (rc4, msg4) = cli(root, "table", "analyze", "access_log")
+    assert(rc4 == 0 && msg4.contains("column ip_address: ~3"), msg4)
+    val (rcNc, badCol) = cli(root, "table", "analyze", "access_log",
+      "--columns", "nope")
+    assert(rcNc == 1 && badCol.contains("nope"), badCol)
   }
 
   test("export writes balanced shuffled shards with a manifest") {

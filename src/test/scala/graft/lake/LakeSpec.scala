@@ -85,6 +85,117 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(stats.map(_.getAs[String]("file")).distinct.length == stats.length)
   }
 
+  test("manifest self-compacts past the file threshold: a mutation " +
+      "storm leaves <= K+1 files with stats identical to the unbounded " +
+      "shape") {
+    // K = 8 so the storm stays spec-sized; production default 64 only
+    // changes WHEN the same rewrite fires (r15 verdict task 4)
+    val root = Files.createTempDirectory("graft_lake_mc").toString
+    val lake = Lake(root, manifestCompactThreshold = 8)
+    val unbounded = Lake(
+      Files.createTempDirectory("graft_lake_mc_u").toString)
+    def manifestFiles(l: Lake): Int = {
+      val d = new java.io.File(s"${l.tableDir("t")}/_graft_manifest")
+      Option(d.listFiles()).getOrElse(Array.empty).count { f =>
+        f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")
+      }
+    }
+    // 24 mutations: each append lands one manifest file; the bounded
+    // lake must rewrite at >8 while the unbounded one accumulates
+    for (i <- 0 until 24) {
+      lake.append(spark, "t", sampleBatch(4, s"p$i"))
+      unbounded.append(spark, "t", sampleBatch(4, s"p$i"))
+    }
+    assert(manifestFiles(lake) <= 9,
+      s"self-compaction never fired: ${manifestFiles(lake)} files")
+    assert(manifestFiles(unbounded) == 24, manifestFiles(unbounded))
+    // stats identical to the unbounded shape — keyed by partition dir
+    // (part-file basenames are per-write UUIDs, so per-dir multisets
+    // are the cross-lake-comparable form)
+    def stats(l: Lake) = l.fileStats(spark, "t")
+      .select(col("file"), col("rows"), col("min_ts"), col("max_ts"))
+      .collect().map(r => (r.getString(0).split('/').dropRight(1)
+        .takeRight(4).mkString("/"), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+      .sorted.toSeq
+    assert(stats(lake) == stats(unbounded))
+    assert(lake.read(spark, "t").count() == 96)
+    // and mutations KEEP working after a compaction (seq monotonicity
+    // survived the rewrite)
+    lake.append(spark, "t", sampleBatch(4, "p_after"))
+    assert(lake.fileStats(spark, "t").agg(sum("rows"))
+      .head().getLong(0) == 100L)
+  }
+
+  test("per-column HLL sidecar stats drive CBO to REORDER a 3-table " +
+      "join it gets wrong without them, and stay current through " +
+      "mutations without re-scanning") {
+    val lake = newLake()
+    def mk(table: String, n: Int, extra: Seq[(String,
+        org.apache.spark.sql.Column)]): Unit = {
+      val raw = spark.range(n).select(
+        (Seq(col("id").as("event_id"),
+          expr("timestamp '2024-01-05 00:00:00' + " +
+            "make_interval(0,0,0,0,0,0, id)").as("tp_timestamp")) ++
+          extra.map { case (nm, e) => e.as(nm) }): _*)
+      lake.append(spark, table,
+        TpSchema.enrich(raw, PartitionSpec(table, "p0")))
+      ()
+    }
+    // fact: 10k rows, both keys ndv ~1000. d1: 10 rows (k1-selective
+    // — f⋈d1 ≈ 100 rows). d2: 1000 rows (f⋈d2 ≈ 10000 rows). The
+    // query JOINS d2 FIRST, the wrong order by 100×.
+    mk("cbo_f", 10000, Seq(
+      "k1" -> pmod(col("id"), lit(1000)),
+      "k2" -> pmod(col("id") * 7, lit(1000))))
+    mk("cbo_d1", 10, Seq("d1k" -> col("id")))
+    mk("cbo_d2", 1000, Seq("d2k" -> col("id")))
+    Seq("cbo_f", "cbo_d1", "cbo_d2")
+      .foreach(lake.registerCatalogTable(spark, _))
+    val sql = "SELECT count(*) AS n FROM cbo_f " +
+      "JOIN cbo_d2 ON cbo_f.k2 = cbo_d2.d2k " +
+      "JOIN cbo_d1 ON cbo_f.k1 = cbo_d1.d1k"
+    def joinOrder(): (Int, Int) = {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      (p.indexOf("cbo_d1"), p.indexOf("cbo_d2"))
+    }
+    val confs = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    try {
+      confs.foreach(spark.conf.set(_, "true"))
+      // WITHOUT column stats: no reliable cardinalities, the written
+      // order stands — d2 joined before d1
+      val (d1a, d2a) = joinOrder()
+      assert(d2a >= 0 && d1a > d2a, s"expected written order, got $d1a/$d2a")
+      // enable + merge column stats on the join keys of all three
+      lake.enableColumnStats(spark, "cbo_f", Seq("k1", "k2"))
+      lake.enableColumnStats(spark, "cbo_d1", Seq("d1k"))
+      lake.enableColumnStats(spark, "cbo_d2", Seq("d2k"))
+      val fStats = lake.syncCatalogColumnStats(spark, "cbo_f").get
+      assert(lake.syncCatalogColumnStats(spark, "cbo_d1").isDefined)
+      assert(lake.syncCatalogColumnStats(spark, "cbo_d2").isDefined)
+      // HLL NDV within sketch tolerance of the true 1000
+      assert(fStats("k1")._1 > 900 && fStats("k1")._1 < 1100, fStats)
+      assert(fStats("k1")._2 == 0L, fStats)
+      // WITH stats: CBO reorders — d1 (the 100-row intermediate)
+      // joins first
+      val (d1b, d2b) = joinOrder()
+      assert(d1b >= 0 && d1b < d2b,
+        s"CBO did not reorder: d1@$d1b d2@$d2b")
+      // result unchanged by the reorder
+      assert(spark.sql(sql).head().getLong(0) == 100L)
+      // incremental: a later append is picked up by merge alone (the
+      // manifestAppend hook wrote its sidecar rows — no re-seed scan)
+      mk("cbo_d1", 40, Seq("d1k" -> (col("id") + 10)))
+      val after = lake.syncCatalogColumnStats(spark, "cbo_d1").get
+      assert(after("d1k")._1 > 45 && after("d1k")._1 < 55, after)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("crash-leftover _temporary task files never enter the manifest") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(10))

@@ -780,6 +780,40 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
         "req_user", "resp_user", "req_ts", "resp_ts",
         "1 month", "1 month", "5 minutes", "5 minutes")
     }
+    // bucketWidth override at W/2: the replica count generalizes to
+    // 2·ceil(window/W)+1 = 5, and the SAME matches survive — u2's −6
+    // match now sits TWO 5-min buckets back, findable only by the −2
+    // replica the generalization adds
+    val reqs2 = MemoryStream[(Timestamp, String, Long)]
+    val resps2 = MemoryStream[(Timestamp, String, Int)]
+    val half = StreamIngest.bucketedIntervalJoin(
+      reqs2.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps2.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      before = "10 minutes", after = "10 minutes",
+      leftDelay = "5 minutes", rightDelay = "5 minutes", factor = 2,
+      bucketWidth = Some("5 minutes"))
+    val q2 = half.writeStream.format("memory").queryName("bij_half")
+      .outputMode("append").start()
+    reqs2.addData(
+      (Timestamp.valueOf("2024-03-01 10:09:00"), "u1", 1L),
+      (Timestamp.valueOf("2024-03-01 10:11:00"), "u2", 2L),
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "u3", 3L))
+    q2.processAllAvailable()
+    resps2.addData(
+      (Timestamp.valueOf("2024-03-01 10:12:00"), "u1", 200),
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "u2", 201),
+      (Timestamp.valueOf("2024-03-01 10:10:00"), "u3", 202),
+      (Timestamp.valueOf("2024-03-01 10:30:00"), "u3", 500))
+    q2.processAllAvailable()
+    val outHalf = spark.table("bij_half")
+      .select("req_id", "status").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(outHalf == Seq((1L, 200), (2L, 201), (3L, 202)))
+    q2.stop()
+    // five replicas reach the plan (−2..+2 explode)
+    val planHalf = half.queryExecution.analyzed.toString
+    assert(planHalf.contains("__bkt_l"), planHalf)
   }
 
   test("intervalJoin DEFAULTS to the bucketed plan; calendar and " +
