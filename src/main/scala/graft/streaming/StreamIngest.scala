@@ -576,9 +576,19 @@ object StreamIngest {
     * left replica count to `2·ceil(window/W) + 1` (every bucket a
     * match could land in must hold a replica); wider buckets keep 3
     * replicas but a probe iterates more state. Measured on the
-    * stream_skew fixture (PERF.md r15 widths family): W is the right
-    * default — W/2's extra replicas cost more state and shuffle than
-    * the finer probe saves, and 2W's doubled probe span shows at 10×.
+    * stream_skew fixture (PERF.md r15 widths family, 1×/10×): the
+    * REPLICA price is the steeper one — W/2 lost at both scales
+    * (16.2 vs 12.2 s at 10×, +17% state, +18% shuffle) — and 2W WON
+    * at 10× (8.3 vs 12.2 s, same state rows), because at this
+    * fixture's occupancy (avg ≪ 1 row per (key, salt, bucket)) the
+    * per-state-key bookkeeping, not the probe span, is the dominant
+    * term; halving the key count beat halving the probe slice.
+    * Operating rule: never go below W; widen toward
+    * `W ≈ span·keys·expansion/N` (avg ≥ ~1 row per state key) when
+    * the inbox sample shows sparse occupancy, until probe span
+    * (which grows linearly with W once buckets are dense) pushes
+    * back. The default stays `max(before, after)` — correct at every
+    * occupancy and within 1.5× of the best measured width.
     */
   def bucketedIntervalJoin(
       left: DataFrame, right: DataFrame,
