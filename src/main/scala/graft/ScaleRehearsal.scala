@@ -230,7 +230,8 @@ object ScaleRehearsal {
       .getOrElse(Set("lsh", "chain", "substring", "kcenter", "ivf",
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
         "partition_stress", "stream", "wide_schema", "skewjoin",
-        "stream_skew", "stream_state", "zorder", "bloomjoin"))
+        "stream_skew", "stream_state", "zorder", "bloomjoin",
+        "colprune"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -533,6 +534,63 @@ object ScaleRehearsal {
         })
         require(cOff == cOn && cOff > 0,
           s"bloom changed the join result: $cOff vs $cOn")
+      }
+      // ---- colstats ZONE-MAP pruning (r15): per-file min/max from
+      // the _graft_colstats sidecar skip whole files on a
+      // NON-partition numeric predicate — the file-skipping move
+      // partition pruning can't make (value isn't a partition column)
+      // and tp_timestamp readPruned can't either (wrong column). The
+      // claims: pruned input bytes track the SELECTED BAND's share of
+      // the table, not the table size, and results are identical to
+      // the full scan. Fixture: 8 value-banded appends (disjoint
+      // per-file ranges, the layout CDC/value-ordered ingest
+      // produces), colstats on `value`.
+      if (families("colprune")) {
+        val n = EventsBase * m
+        val zroot = s"$root/zonelake_x$m"
+        rmrf(zroot)
+        val zlake = graft.lake.Lake(zroot)
+        val zspec = graft.config.PartitionSpec("events_zone", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        var buildOk = 0L
+        record("colprune_build", m, n, time {
+          for (i <- 0 until 8)
+            graft.ingest.Ingest.collectBatch(spark, zlake, zspec,
+              src.where(col("value") >= i * 12.5 &&
+                col("value") < (i + 1) * 12.5),
+              timestampColumn = "ts")
+          zlake.enableColumnStats(spark, "events_zone", Seq("value"))
+          buildOk = 1L
+        })
+        def agg(df: DataFrame): (Long, Double) = {
+          val r = df.where(col("value") >= 50.0 && col("value") < 62.5)
+            .agg(count(lit(1)), sum("value")).head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        if (m == mults.min) { agg(zlake.read(spark, "events_zone")); () }
+        var fullR: (Long, Double) = null
+        record("colprune_full", m, n, time {
+          fullR = agg(zlake.read(spark, "events_zone"))
+        })
+        var prunedR: (Long, Double) = null
+        record("colprune_pruned", m, n, time {
+          prunedR = agg(zlake.readPrunedByColumn(
+            spark, "events_zone", "value", 50.0, 62.5))
+        })
+        // counts exact; the double sum is order-sensitive across scan
+        // orders (fewer files = different reduce order), so ULP-band it
+        require(fullR._1 == prunedR._1 && fullR._1 > 0 &&
+          math.abs(fullR._2 - prunedR._2) <= 1e-6 * math.abs(fullR._2),
+          s"zone-map pruning changed the result: $fullR vs $prunedR")
+        val fullFiles = zlake.read(spark, "events_zone")
+          .inputFiles.length
+        val prunedFiles = zlake.readPrunedByColumn(
+          spark, "events_zone", "value", 50.0, 62.5).inputFiles.length
+        println(s"""{"family":"colprune_files","mult":$m,""" +
+          s""""full_files":$fullFiles,"pruned_files":$prunedFiles}""")
+        require(prunedFiles * 4 <= fullFiles,
+          s"1/8 band should prune ~7/8 of files: $prunedFiles/$fullFiles")
       }
       // ---- hot-key STREAMING interval join: plain vs salted --------
       // The one skew regime AQE can never rescue (stateful plans pin

@@ -798,6 +798,42 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     else spark.read.option("basePath", tableDir(table)).parquet(files: _*)
   }
 
+  /** ZONE-MAP pruned read over ANY numeric column with colstats
+    * enabled — the generalization of [[readPruned]]'s tp_timestamp
+    * skipping, fed by the same per-file `_graft_colstats` rows the
+    * CBO merge uses (their min_d/max_d are per-file zone maps, the
+    * DuckLake/Delta file-skipping move for non-partition columns).
+    * Skip a file only when its live range for `column` PROVABLY
+    * misses `[lo, hi]`. Conservative by construction: no sidecar at
+    * all, no live row for the file, or a null range (all-null file —
+    * a range predicate can't match null anyway, but a caller might
+    * compose with IS NULL, so include it) → the file is read. The
+    * caller still applies the row-level filter — this prunes I/O,
+    * not rows, so a lagging sidecar can only over-read, never drop.
+    * Like [[readPruned]], the sidecar read is metadata-sized and the
+    * driver holds only the surviving path list.
+    */
+  def readPrunedByColumn(
+      spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    if (!fs(spark, root).exists(new Path(colStatsDir(table))))
+      return read(spark, table)
+    val flags = spark.read.parquet(colStatsDir(table))
+      .where(col("column") === column)
+      .groupBy("file")
+      .agg(max_by(struct(col("min_d"), col("max_d")), col("seq"))
+        .as("s"))
+      .select(col("file"), col("s.min_d").as("mn"),
+        col("s.max_d").as("mx")).collect()
+      .map(r => r.getString(0) ->
+        (r.isNullAt(1) || r.isNullAt(2) ||
+          (r.getDouble(1) <= hi && r.getDouble(2) >= lo))).toMap
+    val files = dataFiles(spark, table)
+      .filter(f => flags.getOrElse(f, true))
+    if (files.isEmpty) read(spark, table).where(lit(false))
+    else spark.read.option("basePath", tableDir(table)).parquet(files: _*)
+  }
+
   /** Run `body` holding this table's writer lock — for multi-step
     * maintenance (plan + rewrite) that must not interleave with
     * appends: `spark.read.parquet` snapshots the file list EAGERLY at

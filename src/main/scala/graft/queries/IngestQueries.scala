@@ -777,6 +777,45 @@ object IngestQueries {
         .orderBy("p_id", "e_id")
     }),
 
+    // Zone-map pruned scan from the colstats sidecar: events land in
+    // three VALUE-BANDED appends (per-file value ranges disjoint — the
+    // layout zone maps reward), column stats are enabled on `value`,
+    // and the probe reads through readPrunedByColumn for a band that
+    // lives entirely inside the middle append. The require pins that
+    // pruning actually skipped files; the DuckDB oracle recomputes the
+    // filtered aggregate from the raw table, so a zone map that skips
+    // a file holding in-range rows (stale range, off-by-boundary
+    // comparison, a file missing from the sidecar read as skippable)
+    // breaks the hash — conservativeness is the gated property.
+    "qi28_colstats_pruned_scan" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi28"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_zone", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("value"))
+      for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
+          (40.0, 80.0), (80.0, Double.PositiveInfinity)))
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("value") >= loB && col("value") < hiB),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_zone", Seq("value"))
+      val pruned = lake.readPrunedByColumn(s, "events_zone", "value",
+        45.0, 70.0)
+      val full = lake.read(s, "events_zone")
+      require(pruned.inputFiles.length < full.inputFiles.length,
+        s"zone maps pruned nothing: ${pruned.inputFiles.length} of " +
+          s"${full.inputFiles.length} files")
+      pruned
+        .where(col("value") >= 45.0 && col("value") <= 70.0)
+        .groupBy(col("tp_index").cast("string").as("etype"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("etype")
+    }),
+
     // Streaming incremental dedup, end state: the documents corpus plus
     // an injected "re-crawl" (every 3rd doc re-emitted under a fresh
     // higher id) replayed as a 6-slice file-source stream, one file per
@@ -1274,6 +1313,15 @@ object IngestQueries {
        AND cast(r.ts AS timestamp)
              <= cast(l.ts AS timestamp) + INTERVAL 30 MINUTE
       ORDER BY p_id, e_id""",
+
+    // the raw-table recompute: a zone map that skips in-range rows
+    // breaks this hash
+    "qi28_colstats_pruned_scan" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE value >= 45.0 AND value <= 70.0
+      GROUP BY 1 ORDER BY 1""",
 
     // first-seen = arg-min-by-id because the stream replays slices in
     // doc_id order; covers the injected re-crawl AND natural dup texts
