@@ -793,7 +793,11 @@ object IngestQueries {
       val lake = Lake(s"$root/lake")
       val spec = PartitionSpec("events_zone", "p0",
         tpIndexColumn = Some("event_type"))
+      // 1-in-5 deterministic sample (the qi23 rationale): the gated
+      // property is zone-map CONSERVATIVENESS, not write volume — the
+      // colprune rehearsal owns the volume axis
       val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
           col("event_type"), col("value"))
@@ -1320,7 +1324,7 @@ object IngestQueries {
       SELECT event_type AS etype, count(*) AS n,
              round(sum(value), 2) AS sum_value
       FROM events
-      WHERE value >= 45.0 AND value <= 70.0
+      WHERE event_id % 5 = 0 AND value >= 45.0 AND value <= 70.0
       GROUP BY 1 ORDER BY 1""",
 
     // first-seen = arg-min-by-id because the stream replays slices in
