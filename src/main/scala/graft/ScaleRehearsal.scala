@@ -923,7 +923,8 @@ object ScaleRehearsal {
           val outs = Seq(
             ("w_half", Some("150 seconds")),
             ("w_def", None),
-            ("w_double", Some("600 seconds"))).map { case (tag, wd) =>
+            ("w_double", Some("600 seconds")),
+            ("w_oct", Some("2400 seconds"))).map { case (tag, wd) =>
             rmrf(s"$skroot/ckpt_$tag")
             var res = (0L, 0L)
             record(s"stream_skew_width_$tag", m, n, time {
@@ -938,6 +939,91 @@ object ScaleRehearsal {
           }
           require(outs.distinct.size == 1,
             s"bucket width changed the join output: $outs")
+        }
+        // DENSE-occupancy width probe (the widths family's open
+        // question): the sparse fixture (1000 keys × salt ≈ 0.04
+        // rows per state key) showed per-key bookkeeping dominating
+        // — 2W won. Here 10 uniform keys put ~12 rows in every
+        // (key, bucket) at 10×, so the probe's linear-in-span term
+        // has real rows to iterate: where 2W/4W stop winning is the
+        // occupancy crossover that would justify auto-deriving W.
+        if (variants("widths_dense")) {
+          val droot = s"$root/stream_dense_x$m"
+          ensureFixture(droot,
+            s"stream_dense;v1;n=$n;keys=10;slices=$slices") {
+            val src = spark.range(n).select(
+              col("id").as("event_id"),
+              pmod(xxhash64(col("id"), lit("k")), lit(10L))
+                .as("user_id"),
+              timestamp_seconds(lit(1704067200L) +
+                pmod(xxhash64(col("id"), lit("t")), lit(2592000L)))
+                .as("ts"),
+              (pmod(xxhash64(col("id"), lit("e")), lit(2)) === 0)
+                .as("is_purchase"))
+              .withColumn("slice",
+                least(floor((unix_timestamp(col("ts")) -
+                  lit(1704067200L)) / lit(2592000L / slices)),
+                  lit(slices - 1L)))
+            for (i <- 0 until slices) {
+              val sl = src.where(col("slice") === i)
+              sl.where(col("is_purchase"))
+                .select(col("event_id").as("p_id"),
+                  date_format(col("ts"), fmt).as("ts"),
+                  col("user_id").as("p_user"))
+                .coalesce(1).write.mode("append")
+                .json(s"$droot/purchases")
+              sl.where(!col("is_purchase"))
+                .select(col("event_id").as("e_id"),
+                  date_format(col("ts"), fmt).as("ts"),
+                  col("user_id").as("e_user"))
+                .coalesce(1).write.mode("append").json(s"$droot/errors")
+            }
+          }
+          def drainDense(ckpt: String, width: Option[String])
+              : (Long, Long) = {
+            val l = inbox(s"$droot/purchases", "p_id", "p_ts",
+              "p_user", slices)
+            val r = inbox(s"$droot/errors", "e_id", "e_ts",
+              "e_user", slices)
+            val joined = graft.streaming.StreamIngest
+              .bucketedIntervalJoin(
+                l, r, "p_user", "e_user", "p_ts", "e_ts",
+                before = "5 minutes", after = "5 minutes",
+                leftDelay = "1 hour", rightDelay = "1 hour",
+                factor = 1, bucketWidth = width)
+            val prev = spark.conf.get("spark.sql.shuffle.partitions")
+            val q = try {
+              spark.conf.set("spark.sql.shuffle.partitions", "8")
+              joined.writeStream.format("noop")
+                .option("checkpointLocation", s"$droot/$ckpt")
+                .outputMode("append")
+                .trigger(org.apache.spark.sql.streaming.Trigger
+                  .AvailableNow())
+                .start()
+            } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+            q.awaitTermination()
+            (q.recentProgress
+              .flatMap(_.stateOperators.map(_.numRowsTotal))
+              .foldLeft(0L)(math.max),
+              q.recentProgress.map(_.sink.numOutputRows)
+                .filter(_ > 0).sum)
+          }
+          val dOuts = Seq(
+            ("w_def", None),
+            ("w_double", Some("600 seconds")),
+            ("w_quad", Some("1200 seconds"))).map { case (tag, wd) =>
+            rmrf(s"$droot/ckpt_$tag")
+            var res = (0L, 0L)
+            record(s"stream_dense_width_$tag", m, n, time {
+              res = drainDense(s"ckpt_$tag", wd)
+            })
+            println(
+              s"""{"family":"stream_dense_width_$tag","mult":$m,""" +
+              s""""max_state_rows":${res._1},"output_rows":${res._2}}""")
+            res._2
+          }
+          require(dOuts.distinct.size == 1,
+            s"bucket width changed the dense-join output: $dOuts")
         }
       }
       // ---- CDC upsert against a populated lake table ----

@@ -948,6 +948,42 @@ object StreamIngest {
     */
   val MinSaltFactor = 4
 
+  /** Occupancy (rows per (key, salt, bucket) state slot at the
+    * default width) below which [[suggestedBucketWidth]] widens — the
+    * measured flat-optimum boundary: the sparse fixture (0.006 rows)
+    * ran 27% faster widened, the dense one (5.8 rows) strictly worse.
+    */
+  val BucketOccupancyFloor = 1.0
+
+  /** Measured bucket-width suggestion for [[bucketedIntervalJoin]]
+    * (PERF.md r15 widths + widths_dense families). The cost curve in
+    * the width is `a·occupancy + b/occupancy` (probe span vs per-key
+    * store bookkeeping) with a FLAT optimum near ~1 row per
+    * (key, salt, bucket): the sparse fixture (occupancy 0.006 at the
+    * default W) ran 27% faster at 2W and stayed flat through 8W
+    * (9.72/10.27 vs 13.39 s at 10×); the dense fixture (occupancy
+    * 5.8) ran best AT the default and strictly worse widened (+9% at
+    * 2W, +40% at 4W). So: ONE validated bit of widening — 2W when
+    * the sampled occupancy at the default width is under
+    * [[BucketOccupancyFloor]], the default otherwise, and NEVER
+    * narrower (W/2 lost at every occupancy measured — the replica
+    * tax). None = use the default; the return slots straight into
+    * `bucketedIntervalJoin(..., bucketWidth = ...)`. Occupancy comes
+    * from the same [[autoState]] sample the rest of the sizing uses
+    * (rows/2 ≈ the stored side of an evenly split two-sided sample).
+    */
+  def suggestedBucketWidth(
+      sz: StreamSizing, windowSecs: Long): Option[String] = {
+    require(windowSecs > 0, s"window must be positive: $windowSecs")
+    val slots = math.max(1L, sz.keys) *
+      math.max(1, sz.saltFactor) *
+      math.max(1L, sz.spanSecs / windowSecs)
+    val occ = (sz.rows / 2.0) / slots
+    if (occ < BucketOccupancyFloor)
+      Some(s"${2 * windowSecs} seconds")
+    else None
+  }
+
   /** Cheap sizing sample over a file inbox: parse only `sampleFiles`
     * files — the first and last by modification time (the span ends;
     * inbox mtime order is arrival order, which tracks event time in a

@@ -394,6 +394,23 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(plainFlip.triggers >= 1, plainFlip)
   }
 
+  test("suggestedBucketWidth: one validated bit of widening — 2W " +
+      "under the occupancy floor, the default above it, never " +
+      "narrower") {
+    // the r15 sparse fixture's shape: 1M rows / 30 days / 1000 keys /
+    // salt 9 → 0.006 rows per (key, salt, bucket) at W = 300 s
+    val sparse = StreamIngest.StreamSizing(16, 1, 1000000L, 1000L,
+      2592000L, saltFactor = 9)
+    assert(StreamIngest.suggestedBucketWidth(sparse, 300L)
+      .contains("600 seconds"))
+    // the dense fixture's shape: 10 keys, no salt → 5.8 rows per slot
+    val dense = StreamIngest.StreamSizing(8, 1, 1000000L, 10L, 2592000L)
+    assert(StreamIngest.suggestedBucketWidth(dense, 300L).isEmpty)
+    intercept[IllegalArgumentException] {
+      StreamIngest.suggestedBucketWidth(dense, 0L)
+    }
+  }
+
   test("inboxSample parses a file subset spanning first/last by mtime " +
     "and extrapolates rows by byte ratio") {
     val root = Files.createTempDirectory("graft_inbox_sample").toString
