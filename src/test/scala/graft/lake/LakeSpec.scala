@@ -191,6 +191,12 @@ class LakeSpec extends AnyFunSuite with SparkTest {
       mk("cbo_d1", 40, Seq("d1k" -> (col("id") + 10)))
       val after = lake.syncCatalogColumnStats(spark, "cbo_d1").get
       assert(after("d1k")._1 > 45 && after("d1k")._1 < 55, after)
+      // compaction replaces files by name: the hook sketches the
+      // rewritten files and the merge's live semi-join drops the dead
+      // ones — NDV unchanged through the rewrite
+      Maintenance.compact(spark, lake, "cbo_d1")
+      val afterC = lake.syncCatalogColumnStats(spark, "cbo_d1").get
+      assert(afterC("d1k")._1 > 45 && afterC("d1k")._1 < 55, afterC)
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
