@@ -70,9 +70,9 @@ object Bench {
     // dedup) serve as the box-speed probe. Two readings land in the
     // JSON:
     //  - canary_start_sec: median of 3 up-front passes — an early
-    //    window reading, but it runs on a barely-JIT-warmed JVM and
-    //    measured ~1.5× the same queries' in-suite cost (5.74 vs
-    //    3.92, first r15 window), so it is NOT the normalizer;
+    //    window reading on a barely-JIT-warmed JVM (5.74 vs 3.92
+    //    in-suite in one r15 window, 2.58 vs 2.81 in another —
+    //    position-noisy either way), so it is NOT the normalizer;
     //  - canary_factor: the five queries' CHOSEN-RUN times (same JVM
     //    state as every other row) against the clean-window baseline
     //    — calibration-correct because baseline and reading sit in

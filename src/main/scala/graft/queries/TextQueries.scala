@@ -764,20 +764,26 @@ object TextQueries {
     "qt51_selection_bias" -> ((s, dir) => {
       // the scored corpus feeds budgetSelect's two prefix-sum passes,
       // the kept/dropped join's left side AND the divergence read —
-      // localCheckpoint (the qi25 pattern) evaluates the quality/token
-      // expressions over the corpus ONCE instead of 3–4× (r14 verdict:
-      // the only top-five bench row with recoverable plan cost; at
-      // 100× the saving is 3–4 full corpus scans)
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
+      // without a cut, the quality/token expressions re-ran over the
+      // corpus 3–4× (r14 verdict: the only top-five bench row with
+      // recoverable plan cost). localCheckpoint ONLY the score
+      // columns (the qi25 pattern, minus the text payload: the
+      // checkpoint materializes what budgetSelect's two passes and
+      // the join probe re-read, and `text` would multiply its size
+      // ~50× for a single consumer); the divergence side streams
+      // text straight from parquet exactly once and picks the
+      // checkpointed scores up by join.
+      val scores = docs(s, dir).select(col("doc_id"),
         TF.tokenCount(col("text")).as("n_tokens"),
         round(TF.qualityScore(col("text")), 4).as("quality"))
         .localCheckpoint()
-      val kept = graft.operators.Sampling.budgetSelect(d,
+      val kept = graft.operators.Sampling.budgetSelect(scores,
           Seq(lit(1.0) - col("quality"), col("doc_id")), "n_tokens",
           budget = 8000L)
         .select(col("doc_id"), lit(1).as("__k"))
       graft.operators.Dsir.sourceDivergence(
-          d.join(kept, Seq("doc_id"), "left")
+          docs(s, dir).select(col("doc_id"), col("text"))
+            .join(kept, Seq("doc_id"), "left")
             .withColumn("grp",
               when(col("__k").isNotNull, lit("kept"))
                 .otherwise(lit("dropped"))),
