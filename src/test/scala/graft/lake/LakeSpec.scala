@@ -246,6 +246,48 @@ class LakeSpec extends AnyFunSuite with SparkTest {
       .inputFiles.length == other.read(spark, "t").inputFiles.length)
   }
 
+  test("concurrent appends on a colstats-enabled, low-threshold lake: " +
+      "manifest + sidecar stay exact through racing mutations and " +
+      "mid-storm self-compactions") {
+    // the r15 surfaces under one race: 4 threads × 8 appends against
+    // manifestCompactThreshold=8 forces several manifest AND sidecar
+    // rewrites to interleave with appends; the table lock must keep
+    // every stats row and every sketch
+    val lake = Lake(Files.createTempDirectory("graft_lake_race").toString,
+      manifestCompactThreshold = 8)
+    lake.append(spark, "t", sampleBatch(10, "seed"))
+    lake.enableColumnStats(spark, "t", Seq("idx"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { ti =>
+      new Thread(() =>
+        try (0 until 8).foreach { i =>
+          lake.append(spark, "t", sampleBatch(10, s"p$ti-$i")); ()
+        }
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    assert(lake.read(spark, "t").count() == 330)
+    val stats = lake.fileStats(spark, "t").collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum == 330)
+    assert(stats.map(_.getAs[String]("file")).distinct.length ==
+      stats.length)
+    // sidecar merged: idx has 3 distinct values in every batch; no
+    // append's sketch was lost to a racing rewrite (a lost file's
+    // sketch would not change NDV here, so ALSO pin per-file
+    // coverage: every live file has a sidecar row)
+    val m = lake.syncCatalogColumnStats(spark, "t").get
+    assert(m("idx")._1 >= 3 && m("idx")._2 == 0L, m)
+    val live = stats.map(_.getAs[String]("file")).toSet
+    val covered = spark.read.parquet(
+        s"${lake.tableDir("t")}/_graft_colstats")
+      .where(col("column") === "idx")
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(live.subsetOf(covered),
+      s"files missing sidecar rows: ${(live -- covered).take(3)}")
+  }
+
   test("crash-leftover _temporary task files never enter the manifest") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(10))
