@@ -305,7 +305,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
         (if (isNum) min(col(c).cast("double"))
          else min(lit(null).cast("double"))).as(s"__mn_$c"),
         (if (isNum) max(col(c).cast("double"))
-         else max(lit(null).cast("double"))).as(s"__mx_$c"))
+         else max(lit(null).cast("double"))).as(s"__mx_$c"),
+        // string zone maps: lexicographic per-file range — prunes
+        // source/URL/category predicates the numeric range can't
+        (if (isStr) min(col(c))
+         else min(lit(null).cast("string"))).as(s"__ms_$c"),
+        (if (isStr) max(col(c))
+         else max(lit(null).cast("string"))).as(s"__xs_$c"))
     }
     val allAggs = count(lit(1)).as("__n") +: aggs
     val perFile = src.groupBy(col("__file"))
@@ -316,7 +322,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
         col(s"__sk_$c").as("sketch"), col(s"__nl_$c").as("nulls"),
         col("__n").as("n"), col(s"__sl_$c").as("sum_len"),
         col(s"__ml_$c").as("max_len"), col(s"__mn_$c").as("min_d"),
-        col(s"__mx_$c").as("max_d"), lit(seqNo).as("seq"))
+        col(s"__mx_$c").as("max_d"), col(s"__ms_$c").as("min_s"),
+        col(s"__xs_$c").as("max_s"), lit(seqNo).as("seq"))
     }.reduce(_.unionByName(_))
     rows.coalesce(1).write.mode(SaveMode.Append)
       .parquet(colStatsDir(table))
@@ -700,7 +707,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
           .groupBy("file", "column")
           .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
             col("sum_len"), col("max_len"), col("min_d"),
-            col("max_d"), col("seq")), col("seq")).as("s"))
+            col("max_d"), col("min_s"), col("max_s"), col("seq")),
+            col("seq")).as("s"))
           .select(col("file"), col("column"), col("s.*"))
           .join(live, Seq("file"), "left_semi"))
     }
@@ -815,19 +823,37 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     */
   def readPrunedByColumn(
       spark: SparkSession, table: String, column: String,
-      lo: Double, hi: Double): DataFrame = {
+      lo: Double, hi: Double): DataFrame =
+    readPrunedFlags(spark, table, column, "min_d", "max_d",
+      r => r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getDouble(1) <= hi && r.getDouble(2) >= lo))
+
+  /** String twin of [[readPrunedByColumn]]: lexicographic per-file
+    * ranges (`min_s`/`max_s` in the sidecar) skip files whose string
+    * range misses `[lo, hi]` — the pruning shape for source/URL/
+    * category predicates, including prefix scans (`lo = "s3://a/"`,
+    * `hi = "s3://a/" + '￿'`). Same conservative fallbacks.
+    */
+  def readPrunedByColumn(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame =
+    readPrunedFlags(spark, table, column, "min_s", "max_s",
+      r => r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getString(1) <= hi && r.getString(2) >= lo))
+
+  private def readPrunedFlags(
+      spark: SparkSession, table: String, column: String,
+      loCol: String, hiCol: String,
+      keep: org.apache.spark.sql.Row => Boolean): DataFrame = {
     if (!fs(spark, root).exists(new Path(colStatsDir(table))))
       return read(spark, table)
     val flags = spark.read.parquet(colStatsDir(table))
       .where(col("column") === column)
       .groupBy("file")
-      .agg(max_by(struct(col("min_d"), col("max_d")), col("seq"))
-        .as("s"))
-      .select(col("file"), col("s.min_d").as("mn"),
-        col("s.max_d").as("mx")).collect()
-      .map(r => r.getString(0) ->
-        (r.isNullAt(1) || r.isNullAt(2) ||
-          (r.getDouble(1) <= hi && r.getDouble(2) >= lo))).toMap
+      .agg(max_by(struct(col(loCol), col(hiCol)), col("seq")).as("s"))
+      .select(col("file"), col(s"s.$loCol"), col(s"s.$hiCol"))
+      .collect()
+      .map(r => r.getString(0) -> keep(r)).toMap
     val files = dataFiles(spark, table)
       .filter(f => flags.getOrElse(f, true))
     if (files.isEmpty) read(spark, table).where(lit(false))

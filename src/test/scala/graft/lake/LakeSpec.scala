@@ -244,6 +244,32 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     other.append(spark, "t", banded(0, 10))
     assert(other.readPrunedByColumn(spark, "t", "v", 0.0, 1.0)
       .inputFiles.length == other.read(spark, "t").inputFiles.length)
+    // STRING zone maps: lexicographically banded appends on a string
+    // column prune the same way (the source/URL-prefix shape)
+    val slake = Lake(Files.createTempDirectory("graft_zone_s").toString)
+    def sbanded(prefix: String) = {
+      val raw = spark.range(50).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-01-05 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id)").as("tp_timestamp"),
+        concat(lit(prefix), col("id")).as("src"))
+      TpSchema.enrich(raw, PartitionSpec("t", "p0"))
+    }
+    slake.append(spark, "t", sbanded("alpha/"))
+    slake.append(spark, "t", sbanded("beta/"))
+    slake.append(spark, "t", sbanded("gamma/"))
+    slake.enableColumnStats(spark, "t", Seq("src"))
+    val sFull = slake.read(spark, "t")
+    // prefix scan: [lo, lo + maxChar)
+    val sPruned = slake.readPrunedByColumn(spark, "t", "src",
+      "beta/", "beta/￿")
+    assert(sPruned.inputFiles.length < sFull.inputFiles.length,
+      s"${sPruned.inputFiles.length} vs ${sFull.inputFiles.length}")
+    def srcRows(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("src").startsWith("beta/"))
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(srcRows(sPruned) == srcRows(sFull))
+    assert(srcRows(sPruned).size == 50)
   }
 
   test("concurrent appends on a colstats-enabled, low-threshold lake: " +
