@@ -91,6 +91,13 @@ object Dsir {
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
           % buckets).as("bucket"))
       .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+      // ≤ sources × buckets rows, but its LINEAGE is the whole corpus
+      // tokenization — and four downstream references (the source
+      // grid's distinct, `full`, and both marginals) would each
+      // re-run it. localCheckpoint pins the tiny aggregate so the
+      // corpus tokenizes exactly once (the qt51/qi25 lesson applied
+      // at the operator, where every caller inherits it).
+      .localCheckpoint()
     val grid = counts.select("source").distinct()
       .crossJoin(broadcast(
         corpus.sparkSession.range(buckets).select(col("id").as("bucket"))))
