@@ -53,6 +53,11 @@ object Dsir {
     val stats = grams.groupBy("bucket").agg(
       count(lit(1)).as("cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      // ≤ `buckets` rows with the whole gram explosion as lineage;
+      // both `tot` and `lam` reference it — pin it so the explosion
+      // runs once for the λ table (the per-doc pass below is the one
+      // corpus-sized evaluation that remains, and must)
+      .localCheckpoint()
     val tot = stats.agg(sum("cr").as("tr"), sum("ct").as("tt"))
     val lam = stats.crossJoin(broadcast(tot))
       .select(col("bucket"),
