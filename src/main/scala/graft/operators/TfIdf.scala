@@ -88,6 +88,11 @@ object TfIdf {
   /** Score from a precomputed (doc_id, term, tf) relation. */
   def unigramFreqFromTf(tf: DataFrame): DataFrame = {
     val counts = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      // vocabulary-sized, but its lineage is tf (a corpus tokenize
+      // unless the caller materialized it) and BOTH `total` and the
+      // term join reference it — pin it so the lineage runs once
+      // (the Dsir lesson; vocab rows ≪ corpus rows at any scale)
+      .localCheckpoint()
     val total = counts.agg(sum("cnt").as("total"))
     tf.join(counts, "term")
       .groupBy("doc_id")
