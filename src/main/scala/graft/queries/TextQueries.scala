@@ -743,9 +743,13 @@ object TextQueries {
     // two-pass range-partitioned prefix sum (Sampling.budgetSelect;
     // never a single-partition window).
     "qt50_token_budget" -> ((s, dir) => {
+      // budgetSelect is two-pass by contract — checkpoint the small
+      // score projection so the quality/token expressions tokenize
+      // the corpus once (the qt51 pattern)
       val d = docs(s, dir).select(col("doc_id"),
         TF.tokenCount(col("text")).as("n_tokens"),
         round(TF.qualityScore(col("text")), 4).as("quality"))
+        .localCheckpoint()
       graft.operators.Sampling.budgetSelect(d,
           Seq(lit(1.0) - col("quality"), col("doc_id")), "n_tokens",
           budget = 8000L)
