@@ -66,6 +66,23 @@ class DsirSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("plan stays lazy end-to-end: no eager pin serializing the stages") {
+    // r16 adjudication of the qt25 bench regression: lazy 2.04 s vs
+    // localCheckpoint 3.14 s vs collect-to-driver 3.07 s at sf0.1 ×5,
+    // one window. The lazy plan's stats consumers are independent AQE
+    // shuffle stages that materialize concurrently; any eager pin
+    // (checkpoint RDD scan or a collected LocalTableScan replacing the
+    // λ lineage) serializes behind a barrier job. Pin: the λ side is
+    // still real lineage under one AdaptiveSparkPlan — no checkpoint
+    // scan node — and the λ join is broadcast.
+    val df = Dsir.importanceWeights(corpus, "doc_id", "text",
+      col("is_target"), buckets = 64)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), s"eager pin leaked in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("sourceOverlap: exact pairwise gram Jaccard, identical sources at 1") {
     // a and b are the same 2 docs under two names; c shares nothing
     val df = Seq(
