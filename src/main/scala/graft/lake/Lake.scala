@@ -61,10 +61,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     // planning cost (a footer read per file, parallelized) is the
     // documented price of `evolution = true` — non-evolved tables pay
     // nothing.
-    val base = spark.read.option("basePath", tableDir(table))
-    val reader = if (isEvolved(spark, table))
-      base.option("mergeSchema", "true") else base
-    reader.parquet(tableDir(table))
+    if (isEvolved(spark, table))
+      spark.read.option("basePath", tableDir(table))
+        .option("mergeSchema", "true").parquet(tableDir(table))
+    // colstats-enabled tables read through the zone-map FileIndex so
+    // any pushed band predicate on a stats column skips files at
+    // planning time; without a sidecar this is the stock reader
+    else zoneMappedRead(spark, table, Seq(tableDir(table)))
   }
 
   private def evolvedMarker(table: String): Path =
@@ -267,9 +270,17 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     * fine per-append but not per-table).
     */
   private def normalizedFileCol(c: Column): Column =
-    url_decode(regexp_replace(regexp_replace(c,
+    // url_decode applies FORM semantics ('+' → space), but the rest of
+    // the lake normalizes via java.net.URI.getPath, which percent-
+    // decodes only — a literal '+' in a path (escapePathName doesn't
+    // escape it) must survive. Pre-escaping '+' to %2B makes
+    // url_decode's form rule unreachable while %XX decoding (including
+    // the re-escaped %2B → '+') stays exact (r16 ADVICE: the mismatch
+    // silently dropped such files from merged CBO stats forever).
+    url_decode(regexp_replace(regexp_replace(regexp_replace(c,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/"))
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/"),
+      "\\+", "%2B"))
 
   /** One scan of exactly `files` → per-(file, column) stat rows
     * appended to the sidecar: HLL sketch (int/long/string/binary
@@ -354,6 +365,36 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     finally out.close()
   }
 
+  /** Backfill colstats sidecar rows for live files that are missing
+    * any enabled column — files re-added by vacuum's recovery path or
+    * whose colstats append crashed mid-write otherwise stay invisible
+    * to NDV/null merging FOREVER (zone pruning is merely conservative
+    * for them, but [[syncCatalogColumnStats]] silently under-counts
+    * with no signal — r16 ADVICE). One bounded scan of exactly the
+    * missing files; returns how many files were backfilled. Called
+    * from [[Maintenance.vacuum]] (the re-sync valve).
+    */
+  private[lake] def backfillMissingColStats(
+      spark: SparkSession, table: String): Int = locked(table) {
+    val cols = colStatsColumns(spark, table)
+    if (cols.isEmpty) return 0
+    healSwapAsides(spark, table)
+    val live = fileStats(spark, table, reconcileWithListing = false)
+      .select("file").collect().map(_.getString(0))
+    val covered: Set[String] =
+      if (!fs(spark, root).exists(new Path(colStatsDir(table))))
+        Set.empty
+      else spark.read.parquet(colStatsDir(table))
+        .where(col("column").isin(cols: _*))
+        .groupBy("file")
+        .agg(countDistinct("column").as("nc"))
+        .where(col("nc") === cols.size)
+        .select("file").collect().map(_.getString(0)).toSet
+    val missing = live.filterNot(covered).toSeq
+    if (missing.nonEmpty) appendColStats(spark, table, missing, cols)
+    missing.size
+  }
+
   /** Merge the sidecar into per-column `CatalogColumnStat`s and write
     * them to the catalog (with the manifest-derived rowCount/size) —
     * metadata-sized: sketches union, counters sum, no data scan.
@@ -365,11 +406,15 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
       : Option[Map[String, (Long, Long)]] = {
     val cols = colStatsColumns(spark, table)
     if (cols.isEmpty) return None
-    val f = fs(spark, root)
-    if (!f.exists(new Path(colStatsDir(table)))) return None
+    val sidecar = locked(table) {
+      healSwapAsides(spark, table)
+      if (!fs(spark, root).exists(new Path(colStatsDir(table))))
+        return None
+      spark.read.parquet(colStatsDir(table))
+    }
     val live = fileStats(spark, table, reconcileWithListing = false)
       .select("file")
-    val merged = spark.read.parquet(colStatsDir(table))
+    val merged = sidecar
       .groupBy("file", "column")
       .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
         col("sum_len"), col("max_len"), col("min_d"), col("max_d")),
@@ -574,12 +619,33 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
   private[lake] def nextSeq(spark: SparkSession, table: String): Long =
     Lake.nextSeq(root, table, manifestMaxSeq(spark, table))
 
-  private def manifestMaxSeq(spark: SparkSession, table: String): Long = {
-    if (!fs(spark, root).exists(new Path(manifestDir(table)))) 0L
-    else {
-      val r = spark.read.parquet(manifestDir(table)).agg(max("seq")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+  private def manifestMaxSeq(spark: SparkSession, table: String): Long =
+    locked(table) {
+      healSwapAsides(spark, table)
+      if (!fs(spark, root).exists(new Path(manifestDir(table)))) 0L
+      else {
+        val r = spark.read.parquet(manifestDir(table)).agg(max("seq")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
     }
+
+  /** Heal a crashed manifest/colstats swap (r16 ADVICE-medium): the
+    * aside→in→drop pattern has a window between `rename(dir, _old)`
+    * and `rename(_new, dir)` where the live dir is ABSENT — a crash
+    * there used to lose all table stats silently until a manual
+    * vacuum, and the compaction swap fires implicitly on the hot
+    * append path. Recovery on open: when the live dir is missing,
+    * complete the swap from a FINISHED `_new` (its `_SUCCESS` marker
+    * proves the compacted rows are whole — they carry the same live
+    * stats, so completing is strictly better than reverting), else
+    * revert from `_old` (the pre-swap state). Idempotent; called
+    * under the table lock from every manifest/colstats open.
+    */
+  private[lake] def healSwapAsides(
+      spark: SparkSession, table: String): Unit = locked(table) {
+    val f = fs(spark, root)
+    Lake.recoverSwapAside(f, manifestDir(table))
+    Lake.recoverSwapAside(f, colStatsDir(table))
   }
 
   /** ONE manifest append covering a whole mutation: stats rows for the
@@ -689,6 +755,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
       filesys.delete(old, true)
       ()
     }
+    healSwapAsides(spark, table)
     val mdir = new Path(manifestDir(table))
     if (countFiles(mdir) > manifestCompactThreshold) locked(table) {
       swap(mdir,
@@ -745,12 +812,21 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
   def fileStats(
       spark: SparkSession, table: String,
       reconcileWithListing: Boolean): DataFrame = {
-    if (!fs(spark, root).exists(new Path(manifestDir(table)))) {
-      import spark.implicits._
-      return Seq.empty[(String, Long, Timestamp, Timestamp)]
-        .toDF("file", "rows", "min_ts", "max_ts")
+    // creation (existence check + eager file listing inside
+    // spark.read) serializes with the compaction swap under the table
+    // lock, after healing any crashed swap — a reader can no longer
+    // observe the mid-swap absent-dir state from this JVM (r16
+    // ADVICE-medium). The lock covers creation only; the manifest is
+    // metadata-sized, so consumers collect promptly.
+    val latest = locked(table) {
+      healSwapAsides(spark, table)
+      if (!fs(spark, root).exists(new Path(manifestDir(table)))) {
+        import spark.implicits._
+        return Seq.empty[(String, Long, Timestamp, Timestamp)]
+          .toDF("file", "rows", "min_ts", "max_ts")
+      }
+      spark.read.parquet(manifestDir(table))
     }
-    val latest = spark.read.parquet(manifestDir(table))
       .groupBy("file").agg(
         max_by(struct(col("rows"), col("min_ts"), col("max_ts")), col("seq"))
           .as("s"))
@@ -766,6 +842,22 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
         StructType(Seq(StructField("file", StringType))))
       latest.join(liveDf, Seq("file"), "left_semi")
     }
+  }
+
+  /** Files whose NEWEST manifest row is a tombstone — dead by
+    * manifest truth even if a crashed removal left them on disk.
+    * Metadata-sized; [[Maintenance.vacuum]] excludes these from its
+    * unrecorded-file recovery (resurrecting them would undo a delete).
+    */
+  private[lake] def tombstonedFiles(
+      spark: SparkSession, table: String): Set[String] = {
+    if (!fs(spark, root).exists(new Path(manifestDir(table))))
+      return Set.empty
+    spark.read.parquet(manifestDir(table))
+      .groupBy("file")
+      .agg(max_by(col("rows"), col("seq")).as("rows"))
+      .where(col("rows") < 0L)
+      .select("file").collect().map(_.getString(0)).toSet
   }
 
   /** Data-skipping read: consult the stats manifest and scan only the
@@ -803,7 +895,9 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     if (files.isEmpty)
       // preserve schema (incl. partition columns) on an empty result
       read(spark, table).where(lit(false))
-    else spark.read.option("basePath", tableDir(table)).parquet(files: _*)
+    // time-pruned survivors still read zone-mapped: a residual band
+    // predicate on a stats column prunes WITHIN the time window
+    else zoneMappedRead(spark, table, files)
   }
 
   /** ZONE-MAP pruned read over ANY numeric column with colstats
@@ -845,9 +939,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
       spark: SparkSession, table: String, column: String,
       loCol: String, hiCol: String,
       keep: org.apache.spark.sql.Row => Boolean): DataFrame = {
-    if (!fs(spark, root).exists(new Path(colStatsDir(table))))
-      return read(spark, table)
-    val flags = spark.read.parquet(colStatsDir(table))
+    val sidecar = locked(table) {
+      healSwapAsides(spark, table)
+      if (!fs(spark, root).exists(new Path(colStatsDir(table))))
+        return read(spark, table)
+      spark.read.parquet(colStatsDir(table))
+    }
+    val flags = sidecar
       .where(col("column") === column)
       .groupBy("file")
       .agg(max_by(struct(col(loCol), col(hiCol)), col("seq")).as("s"))
@@ -858,6 +956,74 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
       .filter(f => flags.getOrElse(f, true))
     if (files.isEmpty) read(spark, table).where(lit(false))
     else spark.read.option("basePath", tableDir(table)).parquet(files: _*)
+  }
+
+  /** Newest-seq per-(file, column) zone ranges from the colstats
+    * sidecar, as [[ZoneMapFileIndex]] consumes them — metadata-sized
+    * (one row per live file×stats column), called lazily on a queried
+    * table's FIRST `listFiles`, never at view registration.
+    */
+  private def loadZoneMaps(
+      spark: SparkSession,
+      table: String): Map[String, Map[String, ColumnZone]] = {
+    val sidecar = locked(table) {
+      healSwapAsides(spark, table)
+      if (!fs(spark, root).exists(new Path(colStatsDir(table))))
+        return Map.empty
+      spark.read.parquet(colStatsDir(table))
+    }
+    sidecar
+      .groupBy("file", "column")
+      .agg(max_by(struct(col("min_d"), col("max_d"),
+        col("min_s"), col("max_s")), col("seq")).as("s"))
+      .select(col("file"), col("column"), col("s.min_d"), col("s.max_d"),
+        col("s.min_s"), col("s.max_s"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (file, rows) =>
+        file -> rows.map { r =>
+          def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          def s(i: Int) = if (r.isNullAt(i)) None
+            else Some(org.apache.spark.unsafe.types.UTF8String
+              .fromString(r.getString(i)).getBytes)
+          r.getString(1) -> ColumnZone(d(2), d(3), s(4), s(5))
+        }.toMap
+      }
+  }
+
+  /** Build the table's DataFrame over a [[ZoneMapFileIndex]] so any
+    * pushed band/equality/prefix conjunct on a stats-enabled column
+    * skips files at planning time — the integration that carries
+    * [[readPrunedByColumn]]'s zone maps to plain SQL through the
+    * filtered views (verdict r16 task 1). `roots` is either the table
+    * dir (full read) or an already-pruned file list (the time-pruned
+    * survivors); partition pruning happens inside `listFiles` before
+    * the zone maps see the candidates, so the three prunings compose.
+    * Falls back to the plain reader when the sidecar is absent or the
+    * table is schema-evolved (mergeSchema needs the stock path).
+    */
+  private def zoneMappedRead(
+      spark: SparkSession, table: String,
+      roots: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    def plain: DataFrame =
+      spark.read.option("basePath", tableDir(table)).parquet(roots: _*)
+    if (isEvolved(spark, table) ||
+      !fs(spark, root).exists(new Path(colStatsDir(table)))) return plain
+    val idx = new InMemoryFileIndex(spark, roots.map(new Path(_)),
+      Map("basePath" -> tableDir(table)), None)
+    val leaves = idx.inputFiles
+    if (leaves.isEmpty) return plain
+    val zoneIdx = new ZoneMapFileIndex(idx, () => loadZoneMaps(spark, table))
+    // non-evolved tables have a uniform file schema (the drift check
+    // enforces it at ingest), so one footer yields the data schema;
+    // no basePath here so partition columns stay OUT of it
+    val dataSchema = spark.read.parquet(leaves.head).schema
+    val relation = HadoopFsRelation(zoneIdx, idx.partitionSchema,
+      dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
   }
 
   /** Run `body` holding this table's writer lock — for multi-step
@@ -1013,6 +1179,28 @@ object Lake {
   private def withTableLock[T](root: String, table: String)(body: => T): T = {
     val lock = locks.computeIfAbsent(s"$root#$table", _ => new Object)
     lock.synchronized(body)
+  }
+
+  /** See [[Lake.healSwapAsides]]: restore a live dir lost to a crash
+    * mid-swap. Prefers completing from a finished `_new`; reverts
+    * from `_old` otherwise. No live dir and no asides = no-op (a
+    * table that never had the dir).
+    */
+  private[lake] def recoverSwapAside(
+      filesys: FileSystem, dirStr: String): Unit = {
+    val dir = new Path(dirStr)
+    if (filesys.exists(dir)) return
+    val tmp = new Path(dirStr + "_new")
+    val old = new Path(dirStr + "_old")
+    if (filesys.exists(new Path(tmp, "_SUCCESS"))) {
+      filesys.rename(tmp, dir)
+      filesys.delete(old, true)
+      ()
+    } else if (filesys.exists(old)) {
+      filesys.rename(old, dir)
+      filesys.delete(tmp, true)
+      ()
+    }
   }
 
   /** Per-(lake, table) monotonic manifest `seq` issuance, shared by

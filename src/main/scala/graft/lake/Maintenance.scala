@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Planning observability for the rehearsal: how many manifest rows
+    * the last [[compact]] call's driver-side planner actually
+    * collected vs the table's live-file total — the r16 task-7 bound
+    * (candidates only, zero at the compaction fixed point).
+    */
+  final case class PlanProbe(manifestRows: Long, collectedRows: Long)
+  @volatile var lastCompactPlan: PlanProbe = PlanProbe(0L, 0L)
+
   /** `tailpipe partition delete`-style DML (cleanup.go:14-51): remove
     * rows of `partition` within `[from, to]` (either bound optional —
     * both absent deletes the whole partition). Returns deleted-row
@@ -85,18 +93,49 @@ object Maintenance {
     // manifest read still reconciles against the ~free NIO walk; on
     // object stores it trusts tombstones — fileStats scaladoc). The
     // only listings below are SCOPED to the rewritten dirs.
-    val stats = lake.fileStats(spark, table).collect().map(r =>
-      FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
-        Option(r.getAs[Timestamp]("min_ts")),
-        Option(r.getAs[Timestamp]("max_ts"))))
-    val before = stats.length.toLong
+    //
+    // The driver collects only CANDIDATE dirs' rows (r16 task 7): the
+    // work predicate is pre-evaluated AS A DATAFRAME — per-dir file
+    // count vs the target-implied ideal exactly, overlap via a
+    // running-max window (a conservative SUPERSET of the exact
+    // consecutive-pair check, re-run driver-side below on the
+    // survivors). A 10⁵–10⁶-file table at its compaction fixed point
+    // collects ZERO rows where it used to materialize every manifest
+    // row; worst case (every dir needs work) equals the old cost —
+    // and then the rewrite dwarfs planning anyway.
+    val st = lake.fileStats(spark, table)
+    val before = st.count()
+    val dirCol = regexp_replace(col("file"), "/[^/]*$", "")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("dir").orderBy("min_ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val candidateDirs = st.withColumn("dir", dirCol)
+      .withColumn("ovl",
+        col("min_ts") < max("max_ts").over(win))
+      .groupBy("dir").agg(
+        count(lit(1)).as("nf"), sum("rows").as("nr"),
+        max(when(col("ovl"), 1).otherwise(0)).as("anyovl"))
+      .where(col("nf") =!=
+        greatest(lit(1L), ceil(col("nr") / lit(targetFileRows.toDouble))) ||
+        col("anyovl") === 1)
+      .select("dir")
+    val stats = st.withColumn("dir", dirCol)
+      .join(broadcast(candidateDirs), "dir").drop("dir")
+      .collect().map(r =>
+        FileRange(r.getAs[String]("file"), r.getAs[Long]("rows"),
+          Option(r.getAs[Timestamp]("min_ts")),
+          Option(r.getAs[Timestamp]("max_ts"))))
+    lastCompactPlan = PlanProbe(before, stats.length.toLong)
     val byDir = stats.groupBy(f => dirOf(lake, table, f.file))
     // a dir needs work when its file count differs from what the
     // target size implies (too many small files OR too-large files) or
     // its file time-ranges overlap. "length > 1" alone would rewrite
     // every large multi-file dir on every run — compaction must reach
     // a fixed point, or post-collect auto-compaction rewrites the
-    // whole table after each ingest batch
+    // whole table after each ingest batch. (Exact predicate, re-run on
+    // the pre-filtered candidates — the DataFrame filter above may
+    // only over-approximate.)
     val work = byDir.filter { case (_, fs) =>
       val rows = fs.map(_.rows).sum
       val ideal = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
@@ -403,6 +442,7 @@ object Maintenance {
     */
   def vacuum(spark: SparkSession, lake: Lake, table: String): Unit =
     lake.locked(table) {
+      lake.healSwapAsides(spark, table)
       replayPendingRemovals(spark, lake, table)
       // the lock keeps a concurrent append from writing manifest rows
       // between our snapshot and the swap (they would be destroyed).
@@ -416,8 +456,15 @@ object Maintenance {
       val known = lake.fileStats(spark, table, reconcileWithListing = true)
       val knownFiles = known.select("file").collect()
         .map(_.getString(0)).toSet // metadata-sized: one path per file
+      // files whose NEWEST manifest row is a tombstone but that still
+      // physically exist (a crash between tombstone and delete) are
+      // NOT "unrecorded" — recovering them would resurrect deleted
+      // data as live (r16 ADVICE). Every removal path journals before
+      // tombstoning+deleting today, but this guard is free and vacuum
+      // is auto-invoked from crash recovery.
+      val tombstoned = lake.tombstonedFiles(spark, table)
       val unrecorded = lake.dataFiles(spark, table)
-        .filterNot(knownFiles)
+        .filterNot(knownFiles).filterNot(tombstoned)
       val recovered = lake.statsFor(spark, table, unrecorded)
       val live = {
         import spark.implicits._
@@ -438,6 +485,12 @@ object Maintenance {
       if (fs.exists(p)) fs.rename(p, new Path(old))
       fs.rename(new Path(tmp), p)
       fs.delete(new Path(old), true)
+      // colstats completeness valve (r16 ADVICE): files this vacuum
+      // re-added (or whose sidecar append crashed mid-write) get their
+      // sidecar rows backfilled in one bounded scan — otherwise CBO
+      // NDV/null merging under-counts silently forever
+      lake.backfillMissingColStats(spark, table)
+      ()
     }
 
   /** Retarget manifest file paths at the table's CURRENT directory —

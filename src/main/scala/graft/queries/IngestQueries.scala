@@ -787,6 +787,48 @@ object IngestQueries {
     // a file holding in-range rows (stale range, off-by-boundary
     // comparison, a file missing from the sidecar read as skippable)
     // breaks the hash — conservativeness is the gated property.
+    // Zone-map pruning through the QUERY LAYER (r16 verdict task 1):
+    // same value-banded lake as qi28, but the probe is a plain SQL
+    // band predicate against the REGISTERED VIEW — no programmatic
+    // readPrunedByColumn call anywhere. The ZoneMapFileIndex under
+    // Lake.read must surface the pushed conjuncts to the colstats
+    // sidecar at planning time; the require pins the measured file
+    // cut (ScanAudit reads the scan's numFiles metric), and the
+    // DuckDB oracle recomputes the aggregate from raw rows so any
+    // unsound skip breaks the hash — conservativeness gated exactly
+    // like qi28, now on the path users actually hit.
+    "qi29_view_zone_pruned_query" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi29"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_zone29", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("value"))
+      for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
+          (40.0, 80.0), (80.0, Double.PositiveInfinity)))
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("value") >= loB && col("value") < hiB),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_zone29", Seq("value"))
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_zone29").size
+      val q = s.sql("""
+        SELECT cast(tp_index AS string) AS etype, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events_zone29
+        WHERE value >= 45.0 AND value <= 70.0
+        GROUP BY 1 ORDER BY 1""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files < total,
+        s"zone maps pruned nothing through the view: read $files of " +
+          s"$total files")
+      q
+    }),
+
     "qi28_colstats_pruned_scan" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi28"
       rmrf(root)
@@ -1321,6 +1363,15 @@ object IngestQueries {
     // the raw-table recompute: a zone map that skips in-range rows
     // breaks this hash
     "qi28_colstats_pruned_scan" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE event_id % 5 = 0 AND value >= 45.0 AND value <= 70.0
+      GROUP BY 1 ORDER BY 1""",
+
+    // same raw-table recompute discipline for the view-path probe: a
+    // zone map that skips in-range rows breaks this hash
+    "qi29_view_zone_pruned_query" -> """
       SELECT event_type AS etype, count(*) AS n,
              round(sum(value), 2) AS sum_value
       FROM events

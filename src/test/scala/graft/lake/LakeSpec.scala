@@ -1015,6 +1015,127 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("crashed manifest swap heals on open: complete _new finishes " +
+      "the swap, incomplete _new reverts from _old") {
+    // r16 ADVICE-medium: the aside→in→drop swap has a window between
+    // rename(dir, _old) and rename(_new, dir) where the live dir is
+    // absent; a crash there must not lose stats until a manual vacuum
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(100))
+    val before = lake.fileStats(spark, "t").orderBy("file").collect().toSeq
+    assert(before.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mdir = new org.apache.hadoop.fs.Path(
+      s"${lake.tableDir("t")}/_graft_manifest")
+    val hfs = mdir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(mdir.toString + "_new")
+    val old = new org.apache.hadoop.fs.Path(mdir.toString + "_old")
+    // case 1: crash mid-swap with a COMPLETE _new (parquet _SUCCESS
+    // present — the copy carries it): heal completes the swap
+    org.apache.hadoop.fs.FileUtil.copy(hfs, mdir, hfs, tmp,
+      /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+    hfs.rename(mdir, old)
+    assert(!hfs.exists(mdir))
+    assert(lake.fileStats(spark, "t").orderBy("file").collect().toSeq
+      === before)
+    assert(hfs.exists(mdir) && !hfs.exists(tmp) && !hfs.exists(old),
+      "heal must leave exactly the live dir")
+    // case 2: crash with an INCOMPLETE _new (no _SUCCESS): heal
+    // reverts from _old and discards the partial write
+    hfs.rename(mdir, old)
+    hfs.mkdirs(tmp)
+    assert(lake.fileStats(spark, "t").orderBy("file").collect().toSeq
+      === before)
+    assert(hfs.exists(mdir) && !hfs.exists(tmp) && !hfs.exists(old))
+    // and the healed manifest still serves mutations end-to-end
+    lake.append(spark, "t", sampleBatch(10, partition = "p1"))
+    assert(lake.fileStats(spark, "t").count() > before.size)
+  }
+
+  test("compact planning collects only candidate dirs' manifest rows " +
+      "(r16: driver cost bounded by work, not table size)") {
+    val lake = newLake()
+    // dir A: two small files (merge candidate); dir B: one file at its
+    // ideal count (fixed point — must NOT be collected or rewritten)
+    lake.append(spark, "t", sampleBatch(40))
+    lake.append(spark, "t", sampleBatch(40))
+    lake.append(spark, "t", sampleBatch(40, partition = "p1"))
+    val bFilesBefore = lake.dataFiles(spark, "t")
+      .filter(_.contains("tp_partition=p1"))
+    val (b0, a0) = Maintenance.compact(spark, lake, "t")
+    val plan = Maintenance.lastCompactPlan
+    assert(plan.manifestRows == b0)
+    assert(plan.collectedRows < plan.manifestRows,
+      s"planner must not collect fixed-point dirs: $plan")
+    assert(plan.collectedRows > 0)
+    // p1's already-compact files are untouched byte-for-byte (same
+    // paths — a rewrite would generate fresh file names)
+    assert(lake.dataFiles(spark, "t")
+      .filter(_.contains("tp_partition=p1")) === bFilesBefore)
+    assert(a0 < b0)
+    // fixed point: the re-plan collects ZERO rows
+    val (b1, a1) = Maintenance.compact(spark, lake, "t")
+    assert(b1 == a1)
+    assert(Maintenance.lastCompactPlan.collectedRows === 0L,
+      s"${Maintenance.lastCompactPlan}")
+  }
+
+  test("vacuum does not resurrect a tombstoned-but-present file " +
+      "(crash between tombstone and physical delete)") {
+    val lake = newLake()
+    lake.append(spark, "t", sampleBatch(50))
+    lake.append(spark, "t", sampleBatch(50, partition = "p1"))
+    val victim = lake.dataFiles(spark, "t")
+      .find(_.contains("tp_partition=p1")).get
+    // tombstone WITHOUT deleting — the r16 ADVICE crash window: the
+    // file is dead by manifest truth but still on disk
+    lake.noteRemoved(spark, "t", Seq(victim))
+    assert(!lake.fileStats(spark, "t", reconcileWithListing = false)
+      .select("file").collect().map(_.getString(0)).contains(victim))
+    Maintenance.vacuum(spark, lake, "t")
+    val after = lake.fileStats(spark, "t", reconcileWithListing = false)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(!after.contains(victim),
+      s"vacuum resurrected a tombstoned file: $victim")
+    // genuinely-unrecorded files (no manifest row at all) ARE still
+    // recovered — the guard is tombstone-specific
+    assert(after.nonEmpty)
+  }
+
+  test("vacuum backfills colstats for live files missing sidecar rows") {
+    val lake = newLake()
+    def batch(part: String, lo: Int, n: Int) = {
+      val raw = spark.range(lo, lo + n).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 40000)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"), (col("id") * 1.5).as("v"))
+      TpSchema.enrich(raw, PartitionSpec("t", part,
+        tpIndexColumn = Some("idx")))
+    }
+    lake.append(spark, "t", batch("p0", 0, 60))
+    lake.enableColumnStats(spark, "t", Seq("v"))
+    // simulate a crashed colstats append: drop the marker so the next
+    // append skips the sidecar write, then restore it
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${lake.tableDir("t")}/_graft_colstats_cols")
+    val hfs = marker.getFileSystem(conf)
+    val keep = new org.apache.hadoop.fs.Path(marker.toString + ".keep")
+    hfs.rename(marker, keep)
+    lake.append(spark, "t", batch("p1", 1000, 40)) // disjoint v range
+    hfs.rename(keep, marker)
+    // merged stats currently under-count: p1's file has no sidecar rows
+    val before = lake.syncCatalogColumnStats(spark, "t").get("v")
+    Maintenance.vacuum(spark, lake, "t")
+    val after = lake.syncCatalogColumnStats(spark, "t").get("v")
+    // disjoint id ranges → 100 distinct v total; NDV is HLL (±5%)
+    assert(before._1 < 70, s"fixture must start under-counted: $before")
+    assert(after._1 >= 90 && after._1 <= 110,
+      s"backfill must restore full NDV coverage: $before -> $after")
+  }
+
   test("vacuum rewrites the manifest to live files only") {
     val lake = newLake()
     lake.append(spark, "t", sampleBatch(50))
