@@ -11,8 +11,77 @@ import org.apache.spark.sql.SparkSession
   * it — the honest end-to-end cost.
   */
 object Bench {
+
+  /** Five stable, cheap, fixture-free queries spread across families
+    * (agg / string / window / text-agg / dedup) — the box-speed probe.
+    */
+  val canaryQueries: Seq[String] = Seq("q01_agg_summary",
+    "q16_string_funcs", "q24_window_topn", "qt01_token_stats",
+    "qt04_dedup_exact")
+
+  /** Last-resort canary baseline when no calibration artifact exists:
+    * the five canary queries summed in the r14 round-close clean run
+    * of THE ORIGINAL BOX (/tmp/bench_r14c.log, total 259.3 s). On any
+    * other machine this number is meaningless — run
+    * `runMain graft.Bench --calibrate` once per box instead.
+    */
+  val FallbackCanaryBaselineSec = 3.218
+
+  /** Calibration artifact (value + provenance), next to BASELINE.json
+    * in the repo root. Written by `--calibrate`, read by every bench
+    * run — the r16 fix for the hard-coded box constant: a new box or
+    * Spark upgrade re-calibrates instead of silently skewing every
+    * canary_factor.
+    */
+  val BaselineArtifact = "canary_baseline.json"
+
+  /** Something that changes when the hardware does: core count + CPU
+    * model. Recorded in the artifact so a baseline read on different
+    * iron is detectable.
+    */
+  def boxFingerprint(): String = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val model = try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try src.getLines().find(_.startsWith("model name"))
+        .map(_.split(":").last.trim).getOrElse("unknown")
+      finally src.close()
+    } catch { case _: Throwable => "unknown" }
+    s"${cores}x $model"
+  }
+
+  /** (baselineSec, source tag) — the artifact when present and
+    * parseable, the literal (with a loud stderr warning) otherwise.
+    */
+  def readCanaryBaseline(): (Double, String) = {
+    val p = java.nio.file.Paths.get(BaselineArtifact)
+    if (java.nio.file.Files.exists(p)) {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val re = """"canary_baseline_sec"\s*:\s*([0-9.]+)""".r
+      re.findFirstMatchIn(text).map(_.group(1).toDouble) match {
+        case Some(v) if v > 0 =>
+          val boxRe = """"box"\s*:\s*"([^"]*)"""".r
+          val recorded = boxRe.findFirstMatchIn(text).map(_.group(1))
+          if (!recorded.contains(boxFingerprint()))
+            System.err.println(s"[bench] WARNING: $BaselineArtifact was " +
+              s"calibrated on '${recorded.getOrElse("?")}' but this box " +
+              s"is '${boxFingerprint()}' — re-run --calibrate")
+          return (v, "artifact")
+        case _ =>
+          System.err.println(
+            s"[bench] WARNING: $BaselineArtifact unparseable — " +
+              "falling back to the r14 literal")
+      }
+    } else System.err.println(
+      s"[bench] WARNING: no $BaselineArtifact — canary_factor uses the " +
+        "r14 literal baseline of a DIFFERENT box; run " +
+        "`runMain graft.Bench --calibrate` once on this machine")
+    (FallbackCanaryBaselineSec, "literal")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.contains("--calibrate")) { calibrate(sfDir); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,12 +147,12 @@ object Bench {
     //    — calibration-correct because baseline and reading sit in
     //    the identical position. Normalize rN vs rN−1 totals by this
     //    (factor > 1 = slow window) instead of hand-adjudicating.
-    // Baseline: the same five queries summed in the r14 round-close
-    // clean run (/tmp/bench_r14c.log, total 259.3 s — the round's
-    // accepted number): 3.218 s.
-    val canaryQueries = Seq("q01_agg_summary", "q16_string_funcs",
-      "q24_window_topn", "qt01_token_stats", "qt04_dedup_exact")
-    val canaryBaselineSec = 3.218
+    // Baseline: the per-box calibration artifact (r16 task 6) — the
+    // same five queries measured by `--calibrate` on THIS machine,
+    // probe-warmed like the in-suite reading (r15 ADVICE: the old
+    // in-suite-vs-cold-baseline comparison was systematically biased
+    // low). Falls back to the r14 literal with a warning.
+    val (canaryBaselineSec, canaryBaselineSrc) = readCanaryBaseline()
     // skipped under SPARK_GRAFT_ONLY — subset iteration shouldn't pay
     // the ~17 s probe, and its factor is meaningless without the full
     // suite anyway
@@ -140,7 +209,50 @@ object Bench {
       if (chosen.results.count(r => canaryQueries.contains(r._1)) ==
         canaryQueries.size) canaryInSuite / canaryBaselineSec
       else 0.0
-    println(f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"canary_start_sec":$canaryStartSec%.3f,"canary_in_suite_sec":$canaryInSuite%.3f,"canary_factor":$canaryFactor%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"canary_start_sec":$canaryStartSec%.3f,"canary_in_suite_sec":$canaryInSuite%.3f,"canary_factor":$canaryFactor%.3f,"canary_baseline_sec":$canaryBaselineSec%.3f,"canary_baseline_src":"$canaryBaselineSrc","sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Calibration: measure the five canary queries on THIS box under
+    * the bench's own conditions — warmup write, then the 3-pass probe
+    * (so the recorded baseline is probe-warmed exactly like the
+    * in-suite reading it will normalize — the r15 ADVICE bias fix),
+    * then two settled passes over the canary set, min total wins —
+    * and write `canary_baseline.json` with provenance. Run once per
+    * box (or Spark upgrade), on an idle machine.
+    */
+  private def calibrate(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("id % 97 as k", "id * 1.5 as v")
+      .groupBy("k").sum("v")
+      .write.format("noop").mode("overwrite").save()
+    def settle(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(250); System.gc()
+    }
+    def pass(): Double = canaryQueries.map { n =>
+      settle()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sum
+    (1 to 3).foreach(_ => pass()) // the probe the real bench runs
+    val chosen = Seq(pass(), pass()).min
+    val date = java.time.LocalDate.now().toString
+    val json =
+      f"""{"canary_baseline_sec":$chosen%.3f,"calibrated":"$date","box":"${boxFingerprint()}","sf":"$sfDir","queries":${canaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"protocol":"warmup + 3 probe passes + min of 2 settled passes"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(BaselineArtifact),
+      json.getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -694,7 +694,8 @@ object ScaleRehearsal {
               graft.streaming.StreamIngest.intervalJoin(
                 l, r, "p_user", "e_user", "p_ts", "e_ts",
                 before = "5 minutes", after = "5 minutes",
-                leftDelay = delay, rightDelay = delay)
+                leftDelay = delay, rightDelay = delay,
+                bucketWidth = width)
             case _ =>
               graft.streaming.StreamIngest.saltedIntervalJoin(
                 l, r, "p_user", "e_user", "p_ts", "e_ts",
@@ -738,7 +739,8 @@ object ScaleRehearsal {
         }
         def sizing(horizonSecs: Long, bucketed: Boolean = false,
             heapRows: Long = graft.streaming.StreamIngest
-              .BucketedStateRowsPerPartition)
+              .BucketedStateRowsPerPartition,
+            windowSecs: Long = 0L)
             : graft.streaming.StreamIngest.StreamSizing = {
           val (ps, psB, ptB) = graft.streaming.StreamIngest.inboxSample(
             spark, s"$skroot/purchases", jschema("p_id", "p_user"))
@@ -751,7 +753,8 @@ object ScaleRehearsal {
           graft.streaming.StreamIngest.autoState(
             sample, "k", "t", horizonSecs = horizonSecs,
             rowScale = (ptB + etB).toDouble / (psB + esB),
-            bucketed = bucketed, heapRowsPerPartition = heapRows)
+            bucketed = bucketed, heapRowsPerPartition = heapRows,
+            windowSecs = windowSecs)
         }
         var salted = (0L, 0L)
         if (variants("salted")) {
@@ -872,6 +875,41 @@ object ScaleRehearsal {
             require(salted._2 == df._2,
               s"default-path routing changed the join output: " +
                 s"${salted._2} vs ${df._2}")
+        }
+        // AUTO-WIDTH variant (r16 task 3): the public intervalJoin
+        // path with the bucket width DERIVED by autoState's occupancy
+        // rule instead of the default W. This sparse fixture (1000
+        // keys × salt, occupancy ≪ 1 row per (key, salt, bucket))
+        // must derive 2W — the width the widths family measured 27%
+        // faster at 10× — and land it end-to-end through the default
+        // routing with output identity. The require on the derived
+        // value pins the derivation; the timing row shows whether the
+        // sparse-fixture win survives the operating path.
+        if (variants("autowidth")) {
+          rmrf(s"$skroot/ckpt_autowidth")
+          var aw = (0L, 0L)
+          var szaw: graft.streaming.StreamIngest.StreamSizing = null
+          record("stream_skew_autowidth", m, n, time {
+            szaw = sizing(3600L + 600L, bucketed = true,
+              windowSecs = 300L)
+            require(szaw.bucketWidth == Some("600 seconds"),
+              s"sparse fixture must derive 2W=600s, got " +
+                s"${szaw.bucketWidth}")
+            aw = drain(szaw.shufflePartitions,
+              szaw.maxFilesPerTrigger(slices), factor = 1,
+              ckpt = "ckpt_autowidth", mode = "default",
+              width = szaw.bucketWidth)
+          })
+          println(s"""{"family":"stream_skew_autowidth","mult":$m,""" +
+            s""""max_state_rows":${aw._1},""" +
+            s""""width":"${szaw.bucketWidth.getOrElse("default")}",""" +
+            s""""parts":${szaw.shufflePartitions},""" +
+            s""""triggers":${szaw.triggers},""" +
+            s""""output_rows":${aw._2}}""")
+          if (variants("salted"))
+            require(salted._2 == aw._2,
+              s"auto-width routing changed the join output: " +
+                s"${salted._2} vs ${aw._2}")
         }
         // AUTO-BACKEND variant (r15 task 2): a full-span watermark —
         // the "retain everything for late data" shape whose horizon
@@ -1744,6 +1782,13 @@ object ScaleRehearsal {
         record("pstress_compact", m, dirs, time {
           graft.lake.Maintenance.compact(spark, lakeRun, "events_wide")
         })
+        // r16 task 7: first compact legitimately collects every row
+        // (every dir holds 2 overlapping files — all candidates)
+        println(s"""{"family":"pstress_compact_plan","mult":$m,""" +
+          s""""manifest_rows":${graft.lake.Maintenance
+            .lastCompactPlan.manifestRows},""" +
+          s""""collected_rows":${graft.lake.Maintenance
+            .lastCompactPlan.collectedRows}}""")
         // steady state: a second compact of the now-compact table must
         // cost O(manifest scan), not O(all dirs) — the daily-compaction
         // shape (verdict r12 task 3)
@@ -1752,6 +1797,17 @@ object ScaleRehearsal {
             spark, lakeRun, "events_wide")
           require(b == a, s"recompact rewrote files: $b -> $a")
         })
+        // r16 task 7: at the fixed point the planner must collect ZERO
+        // rows no matter how many live files the manifest holds — the
+        // driver-memory bound that holds at 10⁵–10⁶ files
+        require(graft.lake.Maintenance.lastCompactPlan.collectedRows == 0L,
+          s"fixed-point recompact collected rows: " +
+            s"${graft.lake.Maintenance.lastCompactPlan}")
+        println(s"""{"family":"pstress_recompact_plan","mult":$m,""" +
+          s""""manifest_rows":${graft.lake.Maintenance
+            .lastCompactPlan.manifestRows},""" +
+          s""""collected_rows":${graft.lake.Maintenance
+            .lastCompactPlan.collectedRows}}""")
         // incremental: one more batch into a single index (12 of the
         // 1200·m dirs), then compact — cost should track the TOUCHED
         // dirs, not the table width

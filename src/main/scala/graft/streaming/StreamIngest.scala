@@ -449,15 +449,20 @@ object StreamIngest {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       before: String, after: String,
-      leftDelay: String, rightDelay: String): DataFrame = {
+      leftDelay: String, rightDelay: String,
+      bucketWidth: Option[String] = None): DataFrame = {
     val fixed = for {
       b <- fixedWindowMicros(before)
       a <- fixedWindowMicros(after)
     } yield math.max(b, a)
     fixed match {
       case Some(w) if w > 0 =>
+        // `bucketWidth` is the autoState-derived occupancy answer
+        // (StreamSizing.bucketWidth) or a caller override; None keeps
+        // the measured-safe default W = max(before, after)
         bucketedIntervalJoin(left, right, leftKey, rightKey,
-          leftTs, rightTs, before, after, leftDelay, rightDelay)
+          leftTs, rightTs, before, after, leftDelay, rightDelay,
+          bucketWidth = bucketWidth)
       case _ =>
         plainIntervalJoin(left, right, leftKey, rightKey,
           leftTs, rightTs, before, after, leftDelay, rightDelay)
@@ -734,7 +739,8 @@ object StreamIngest {
       shufflePartitions: Int, triggers: Int,
       rows: Long, keys: Long, spanSecs: Long,
       saltFactor: Int = 1, keyMass2: Double = 0.0,
-      backend: String = "heap", stateRows: Long = 0L) {
+      backend: String = "heap", stateRows: Long = 0L,
+      bucketWidth: Option[String] = None) {
     /** File-source translation: files per trigger that yields the
       * target trigger count on an inbox of `inboxFiles` files (per
       * side, for a two-sided join whose sides are sliced alike).
@@ -853,7 +859,27 @@ object StreamIngest {
   def autoState(
       sample: DataFrame, keyCol: String, tsCol: String,
       horizonSecs: Long, rowScale: Double,
-      bucketed: Boolean, heapRowsPerPartition: Long): StreamSizing = {
+      bucketed: Boolean, heapRowsPerPartition: Long): StreamSizing =
+    autoState(sample, keyCol, tsCol, horizonSecs, rowScale, bucketed,
+      heapRowsPerPartition, windowSecs = 0L)
+
+  /** As above, plus the JOIN WINDOW width (`max(before, after)` in
+    * seconds) so the sizing can derive the bucket width too: with
+    * `bucketed = true` and a positive `windowSecs`, the returned
+    * sizing carries [[suggestedBucketWidth]]'s occupancy-rule answer
+    * in `bucketWidth` — `Some("2W seconds")` when the sampled
+    * occupancy at the default width is under [[BucketOccupancyFloor]]
+    * (the measured 27% sparse-fixture win), `None` (use the default)
+    * otherwise. `windowSecs = 0` (unknown) never widens. This
+    * completes the derivation set: partitions, triggers, salt,
+    * backend, and now width all come from the same inbox sample
+    * (r16 verdict task 3).
+    */
+  def autoState(
+      sample: DataFrame, keyCol: String, tsCol: String,
+      horizonSecs: Long, rowScale: Double,
+      bucketed: Boolean, heapRowsPerPartition: Long,
+      windowSecs: Long): StreamSizing = {
     val spark = sample.sparkSession
     // one extra bounded aggregate over the sample gives the key
     // distribution's SECOND MOMENT c2 = Σ(n_k/N)² and the single
@@ -937,9 +963,12 @@ object StreamIngest {
       }
     val stateRows = math.max(horizonRows,
       math.round(n * expansion / math.max(1, triggers)))
-    StreamSizing(math.max(1, parts), triggers, n, k, span,
+    val sz = StreamSizing(math.max(1, parts), triggers, n, k, span,
       saltFactor = saltF, keyMass2 = c2,
       backend = backend, stateRows = stateRows)
+    if (bucketed && windowSecs > 0)
+      sz.copy(bucketWidth = suggestedBucketWidth(sz, windowSecs))
+    else sz
   }
 
   /** Smallest salt fan-out worth its replication cost: below this the

@@ -411,6 +411,38 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("autoState derives bucketWidth from the sampled occupancy " +
+      "(r16: the last sizing knob joins the derivation set)") {
+    // sparse shape (~1k keys over 30 days, 1M rows): occupancy at
+    // W=300s is ≪ 1 row per (key, salt, bucket) → derive 2W
+    val sparse = spark.range(1000000).select(
+      pmod(col("id"), lit(1000)).as("k"),
+      timestamp_seconds(lit(1704067200L) + pmod(col("id") * 37,
+        lit(2592000L))).as("t"))
+    val szS = StreamIngest.autoState(sparse, "k", "t",
+      horizonSecs = 4200L, rowScale = 1.0, bucketed = true,
+      StreamIngest.BucketedStateRowsPerPartition, windowSecs = 300L)
+    assert(szS.bucketWidth.contains("600 seconds"), szS)
+    // dense shape (10 keys): ≥ 1 row per slot → keep the default
+    val dense = spark.range(1000000).select(
+      pmod(col("id"), lit(10)).as("k"),
+      timestamp_seconds(lit(1704067200L) + pmod(col("id") * 37,
+        lit(2592000L))).as("t"))
+    val szD = StreamIngest.autoState(dense, "k", "t",
+      horizonSecs = 4200L, rowScale = 1.0, bucketed = true,
+      StreamIngest.BucketedStateRowsPerPartition, windowSecs = 300L)
+    assert(szD.bucketWidth.isEmpty, szD)
+    // unknown window or non-bucketed mode: no width derivation
+    val szU = StreamIngest.autoState(sparse, "k", "t",
+      horizonSecs = 4200L, rowScale = 1.0, bucketed = true,
+      StreamIngest.BucketedStateRowsPerPartition, windowSecs = 0L)
+    assert(szU.bucketWidth.isEmpty, szU)
+    val szP = StreamIngest.autoState(sparse, "k", "t",
+      horizonSecs = 4200L, rowScale = 1.0, bucketed = false,
+      StreamIngest.BucketedStateRowsPerPartition, windowSecs = 300L)
+    assert(szP.bucketWidth.isEmpty, szP)
+  }
+
   test("inboxSample parses a file subset spanning first/last by mtime " +
     "and extrapolates rows by byte ratio") {
     val root = Files.createTempDirectory("graft_inbox_sample").toString
@@ -872,6 +904,18 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
       "req_user", "resp_user", "req_ts", "resp_ts",
       "0 minutes", "10 minutes", "5 minutes", "5 minutes"))
     assert(!plain.contains("__bkt"), plain)
+    // a derived/override width reaches the bucketed plan through the
+    // default routing: W=600s on a ±10 min window means bucket radius
+    // 1 — replicas -1..1, same as default — but the bucket expression
+    // divides by 600s; pin via the analyzed plan's literal
+    val widened = build(StreamIngest.intervalJoin(
+      reqs.toDF().toDF("req_ts", "req_user", "req_id"),
+      resps.toDF().toDF("resp_ts", "resp_user", "status"),
+      "req_user", "resp_user", "req_ts", "resp_ts",
+      "0 minutes", "10 minutes", "5 minutes", "5 minutes",
+      bucketWidth = Some("20 minutes")))
+    assert(widened.contains("__bkt_l") &&
+      widened.contains("1200000000"), widened) // 20 min in micros
     // saltedIntervalJoin(factor=1) degrades to PLAIN, not bucketed —
     // it is the salt-only measurement variant (stream_skew family)
     val sf1 = build(StreamIngest.saltedIntervalJoin(
