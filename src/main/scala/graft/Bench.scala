@@ -213,15 +213,23 @@ object Bench {
     spark.stop()
   }
 
-  /** Calibration: measure the five canary queries on THIS box under
-    * the bench's own conditions — warmup write, then the 3-pass probe
-    * (so the recorded baseline is probe-warmed exactly like the
-    * in-suite reading it will normalize — the r15 ADVICE bias fix),
-    * then two settled passes over the canary set, min total wins —
-    * and write `canary_baseline.json` with provenance. Run once per
-    * box (or Spark upgrade), on an idle machine.
+  /** Calibration: run ONE FULL bench suite on THIS box (identical
+    * warmup, probe, settle, and run-order conditions to every future
+    * reading — in-suite position effects like neighbor GC pressure
+    * are part of what the canary measures, so the baseline must sit
+    * in the same position; a probe-warmed idle-JVM mini-calibration
+    * read 2.28 s where the in-suite value reads ~3.2, which would
+    * have skewed every factor ~1.4× high) and record the chosen run's
+    * in-suite canary sum as `canary_baseline.json` with provenance.
+    * Run once per box (or Spark upgrade), on an idle machine in a
+    * clean window — by construction that run's canary_factor is 1.0.
     */
-  private def calibrate(sfDir: String): Unit = {
+  /** One full bench suite under main()'s exact protocol (warmup,
+    * 3-pass probe, per-query settle, N runs with fixture resets,
+    * chosen = lowest clean total); returns the chosen run's in-suite
+    * canary sum.
+    */
+  private def runSuite(sfDir: String): Double = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -237,22 +245,44 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       System.gc(); Thread.sleep(250); System.gc()
     }
-    def pass(): Double = canaryQueries.map { n =>
-      settle()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }.sum
-    (1 to 3).foreach(_ => pass()) // the probe the real bench runs
-    val chosen = Seq(pass(), pass()).min
+    (1 to 3).foreach { _ =>
+      canaryQueries.foreach { n =>
+        settle()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val runs = (1 to math.max(1, nRuns)).map { _ =>
+      graft.queries.IngestQueries.resetFixtures()
+      graft.lake.Artifacts.resetManaged(sfDir)
+      var failed = 0
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .map { case (name, fn) =>
+          settle()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            failed += 1
+            System.err.println(s"[calibrate] $name failed: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      (failed, results)
+    }
+    val chosen = runs.minBy { case (f, rs) => (f, rs.map(_._2).sum) }._2
+    spark.stop()
+    chosen.filter(r => canaryQueries.contains(r._1)).map(_._2).sum
+  }
+
+  private def calibrate(sfDir: String): Unit = {
+    val canarySum = runSuite(sfDir)
     val date = java.time.LocalDate.now().toString
     val json =
-      f"""{"canary_baseline_sec":$chosen%.3f,"calibrated":"$date","box":"${boxFingerprint()}","sf":"$sfDir","queries":${canaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"protocol":"warmup + 3 probe passes + min of 2 settled passes"}"""
+      f"""{"canary_baseline_sec":$canarySum%.3f,"calibrated":"$date","box":"${boxFingerprint()}","sf":"$sfDir","queries":${canaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"protocol":"in-suite canary sum of the chosen run of one full bench suite"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(BaselineArtifact),
       json.getBytes("UTF-8"))
     println(json)
-    spark.stop()
   }
 }

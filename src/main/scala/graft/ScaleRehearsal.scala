@@ -568,10 +568,16 @@ object ScaleRehearsal {
             .agg(count(lit(1)), sum("value")).head()
           (r.getLong(0), r.getDouble(1))
         }
-        if (m == mults.min) { agg(zlake.read(spark, "events_zone")); () }
+        // baseline = the STOCK reader: as of r16 Lake.read itself is
+        // zone-mapped (any pushed band prunes), so an honest unpruned
+        // arm must bypass the lake read path entirely
+        def stockRead() = spark.read
+          .option("basePath", zlake.tableDir("events_zone"))
+          .parquet(zlake.tableDir("events_zone"))
+        if (m == mults.min) { agg(stockRead()); () }
         var fullR: (Long, Double) = null
         record("colprune_full", m, n, time {
-          fullR = agg(zlake.read(spark, "events_zone"))
+          fullR = agg(stockRead())
         })
         var prunedR: (Long, Double) = null
         record("colprune_pruned", m, n, time {
@@ -583,14 +589,33 @@ object ScaleRehearsal {
         require(fullR._1 == prunedR._1 && fullR._1 > 0 &&
           math.abs(fullR._2 - prunedR._2) <= 1e-6 * math.abs(fullR._2),
           s"zone-map pruning changed the result: $fullR vs $prunedR")
-        val fullFiles = zlake.read(spark, "events_zone")
-          .inputFiles.length
+        // the r16 QUERY path: a plain SQL band through the registered
+        // view must land the same file cut with no programmatic call
+        // (qi29's oracle owns correctness; this is the scale axis)
+        var viewR: (Long, Double) = null
+        var viewFiles = -1L
+        record("colprune_view_query", m, n, time {
+          graft.query.Views.register(spark, zlake, graft.query.Views.Filters())
+          val q = spark.sql("SELECT count(*) AS c, sum(value) AS s " +
+            "FROM events_zone WHERE value >= 50.0 AND value < 62.5")
+          val row = q.head()
+          viewR = (row.getLong(0), row.getDouble(1))
+          viewFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        require(viewR._1 == fullR._1 &&
+          math.abs(viewR._2 - fullR._2) <= 1e-6 * math.abs(fullR._2),
+          s"view-path zone pruning changed the result: $fullR vs $viewR")
+        val fullFiles = stockRead().inputFiles.length
         val prunedFiles = zlake.readPrunedByColumn(
           spark, "events_zone", "value", 50.0, 62.5).inputFiles.length
         println(s"""{"family":"colprune_files","mult":$m,""" +
-          s""""full_files":$fullFiles,"pruned_files":$prunedFiles}""")
+          s""""full_files":$fullFiles,"pruned_files":$prunedFiles,""" +
+          s""""view_query_files":$viewFiles}""")
         require(prunedFiles * 4 <= fullFiles,
           s"1/8 band should prune ~7/8 of files: $prunedFiles/$fullFiles")
+        require(viewFiles * 4 <= fullFiles,
+          s"view path should prune like the programmatic one: " +
+            s"$viewFiles/$fullFiles")
       }
       // ---- hot-key STREAMING interval join: plain vs salted --------
       // The one skew regime AQE can never rescue (stateful plans pin

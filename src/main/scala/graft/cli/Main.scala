@@ -1331,6 +1331,27 @@ object Main {
         throw new IllegalArgumentException(
           s"no source adapter for kind '${src.kind}'"))
       val tableSpec = config.tables.getOrElse(p.table, TableSpec(p.table))
+      // stats_columns knob (r16 task 5): arm per-column stats BEFORE
+      // the first append so the sidecar exists from file one — no
+      // post-hoc analyze + backfill scan. Explicit list wins; absent →
+      // the columns the partition's own filter references plus
+      // tp_index (what this table's queries will prune on);
+      // `stats_columns = []` opts out. Only armed once (the marker is
+      // the latch) — `table analyze --columns` remains the
+      // reconfiguration path.
+      val statsCols = tableSpec.statsColumns.getOrElse(
+        (p.filter.toSeq.flatMap(f =>
+          spark.sessionState.sqlParser.parseExpression(f).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+          }) :+ graft.lake.TpSchema.Index).distinct)
+      if (statsCols.nonEmpty &&
+        !opts.flag("dry-run").contains("true") &&
+        lake.colStatsColumns(spark, p.table).isEmpty) {
+        lake.enableColumnStats(spark, p.table, statsCols)
+        out.println(s"Column stats enabled for ${p.table}: " +
+          statsCols.mkString(", "))
+      }
       // collection window: explicit --from, else resume from the
       // partition's collection-state high-water mark (reference
       // collection_state.json, plugin_manager.go:90-111) — unless
@@ -1411,7 +1432,7 @@ object Main {
         val mfpt = opts.flag("max-files-per-trigger").map(_.toInt)
           .getOrElse(
             if (opts.flag("auto-size").contains("false")) 2000 else 0)
-        def liveRows = if (!lake.tableExists(spark, p.table)) 0L
+        def liveRows = if (!lake.hasData(spark, p.table)) 0L
           else lake.read(spark, p.table).count()
         val rowsBefore = liveRows
         val q = graft.streaming.StreamIngest.collectStream(
@@ -1428,7 +1449,7 @@ object Main {
         out.println(
           s"Collected ${p.id} (stream): ${liveRows - rowsBefore} rows")
       } else {
-      if (overwrite && lake.tableExists(spark, p.table)) {
+      if (overwrite && lake.hasData(spark, p.table)) {
         // pre-delete the window so re-collection can't duplicate
         // (collector.go:171-186, cleanup.go:14-51)
         val n = Maintenance.deletePartitionRange(spark, lake, p.table,
@@ -1904,9 +1925,20 @@ object Main {
           ()
         }
         lake.syncCatalogColumnStats(spark, t).foreach { m =>
+          // histogram presence comes from the catalog the sync just
+          // wrote (the merged KLL union, when every live file has one)
+          val colStats = scala.util.Try(
+            spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t))
+              .stats.map(_.colStats).getOrElse(Map.empty))
+            .getOrElse(Map.empty)
           m.toSeq.sortBy(_._1).foreach { case (c, (ndv, nulls)) =>
-            out.println(s"  column $c: ~$ndv distinct, $nulls null " +
-              "(merged from per-file sketches, no scan)")
+            val hist = colStats.get(c).flatMap(_.histogram)
+              .map(h => s", equi-height histogram " +
+                s"${h.bins.length} bins x ~${math.round(h.height)} rows")
+              .getOrElse("")
+            out.println(s"  column $c: ~$ndv distinct, $nulls null" +
+              s"$hist (merged from per-file sketches, no scan)")
           }
         }
       case other => throw new IllegalArgumentException(

@@ -320,7 +320,8 @@ object Hcl {
         nullIf = b.str("null_if"),
         format = b.str("format"),
         description = b.str("description"),
-        evolution = b.bool("evolution").getOrElse(false))
+        evolution = b.bool("evolution").getOrElse(false),
+        statsColumns = b.strings("stats_columns"))
       t.name -> t
     }.pipe(ps => unique(ps, (k, _: TableSpec) => s"table $k already exists"))
 

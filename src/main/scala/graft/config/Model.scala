@@ -58,7 +58,17 @@ final case class TableSpec(
     // silent widening corrupts readers). Beyond-reference, the Delta
     // mergeSchema trade: reads of an evolved table merge parquet
     // footers (see Lake.read), paying planning cost for flexibility.
-    evolution: Boolean = false) {
+    evolution: Boolean = false,
+    // `stats_columns = ["c1", ...]`: per-column stats (HLL NDV + KLL
+    // histogram + zone maps) maintained from the table's FIRST append
+    // — no post-hoc `table analyze --columns` + backfill scan needed.
+    // None (attr absent) = the HCL collect path derives a default
+    // (the partition filter's columns + tp_index); Some(Nil)
+    // (`stats_columns = []`) disables auto-stats explicitly.
+    // Programmatic TableSpec construction leaves None and the ingest
+    // layer applies NO default (library callers opt in via
+    // Lake.enableColumnStats).
+    statsColumns: Option[Seq[String]] = None) {
   def column(n: String): Option[ColumnSpec] = columns.find(_.name == n)
 }
 

@@ -51,7 +51,7 @@ object Importer {
         s"(columns: ${raw.columns.mkString(", ")}); " +
         "pass --timestamp-column to name the event-time column")
 
-    if (lake.tableExists(spark, spec.table)) {
+    if (lake.hasData(spark, spec.table)) {
       val existingSchema = lake.schemaOf(spark, spec.table)
       val existing = existingSchema
         .fieldNames.filterNot(TpSchema.reserved).toSet - TpSchema.Timestamp
@@ -178,7 +178,7 @@ object Importer {
     def markerOf(table: String) = new File(ws, s".migrate_done_$table")
     def intentOf(table: String) = new File(ws, s".migrate_intent_$table")
     def liveRows(table: String): Long =
-      if (!lake.tableExists(spark, table)) 0L
+      if (!lake.hasData(spark, table)) 0L
       else lake.read(spark, table).count()
     val migrated = matched.toSeq.map { d =>
       val table = d.getName.stripPrefix("tp_table=")

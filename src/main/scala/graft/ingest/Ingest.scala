@@ -100,7 +100,7 @@ object Ingest {
           // cross-COLLECT evolution: a later collect whose source grew
           // a column appends files the existing table lacks — mark so
           // reads merge footers (within-collect evolution marks below)
-          if (tableSpec.evolution && lake.tableExists(spark, spec.table)) {
+          if (tableSpec.evolution && lake.hasData(spark, spec.table)) {
             val existing = lake.schemaOf(spark, spec.table).fieldNames.toSet
             if (inferred.fieldNames.exists(!existing(_)))
               lake.markEvolved(spark, spec.table)

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   *   rewrite to O(1/64) per mutation. Tests lower it to exercise the
   *   compaction without a 100-append storm.
   */
-final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
+final case class Lake(root: String, manifestCompactThreshold: Int = 64)
+  extends org.apache.spark.internal.Logging {
 
   def tableDir(table: String): String = s"$root/$table"
   private def manifestDir(table: String): String =
@@ -39,6 +40,15 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
 
   def tableExists(spark: SparkSession, table: String): Boolean =
     fs(spark, root).exists(new Path(tableDir(table)))
+
+  /** Existence check for READ guards: a table dir can exist with zero
+    * data files (all rows deleted, or stats_columns armed the marker
+    * before the first collect — the marker write creates the dir), and
+    * `read` on it fails schema inference. `tableExists → read` call
+    * sites must use this instead.
+    */
+  def hasData(spark: SparkSession, table: String): Boolean =
+    tableExists(spark, table) && dataFiles(spark, table).nonEmpty
 
   def listTables(spark: SparkSession): Seq[String] = {
     val f = fs(spark, root)
@@ -291,13 +301,23 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     */
   private def appendColStats(
       spark: SparkSession, table: String,
-      files: Seq[String], columns: Seq[String]): Unit = {
-    if (files.isEmpty || columns.isEmpty) return
+      files: Seq[String], allColumns: Seq[String]): Unit = {
+    if (files.isEmpty || allColumns.isEmpty) return
     val seqNo = nextSeq(spark, table)
     val src = spark.read.option("basePath", tableDir(table))
       .parquet(files: _*)
       .withColumn("__file", normalizedFileCol(input_file_name()))
     val schema = src.schema
+    // a marker written before the first append (fresh-table
+    // stats_columns) may name columns the data turned out not to
+    // carry — skip them loudly rather than failing the ingest
+    val columns = allColumns.filter { c =>
+      val known = schema.fieldNames.contains(c)
+      if (!known) logWarning(
+        s"colstats: table '$table' has no column '$c' — skipping")
+      known
+    }
+    if (columns.isEmpty) return
     val aggs = columns.flatMap { c =>
       val dt = schema(c).dataType
       val sketchIn = dt match {
@@ -308,6 +328,11 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
       val isNum = dt.isInstanceOf[NumericType]
       Seq(
         hll_sketch_agg(sketchIn).as(s"__sk_$c"),
+        // per-file KLL quantile sketch (numeric only): the mergeable
+        // distribution feed for CatalogColumnStat.histogram — CBO's
+        // answer to skewed-value filter selectivity (r16 task 4)
+        (if (isNum) graft.functions.KllFns.kllAgg(spark, col(c))
+         else max(lit(null).cast("binary"))).as(s"__kll_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
         (if (isStr) sum(length(col(c)).cast("long"))
          else max(lit(null).cast("long"))).as(s"__sl_$c"),
@@ -334,7 +359,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
         col("__n").as("n"), col(s"__sl_$c").as("sum_len"),
         col(s"__ml_$c").as("max_len"), col(s"__mn_$c").as("min_d"),
         col(s"__mx_$c").as("max_d"), col(s"__ms_$c").as("min_s"),
-        col(s"__xs_$c").as("max_s"), lit(seqNo).as("seq"))
+        col(s"__xs_$c").as("max_s"), col(s"__kll_$c").as("kll"),
+        lit(seqNo).as("seq"))
     }.reduce(_.unionByName(_))
     rows.coalesce(1).write.mode(SaveMode.Append)
       .parquet(colStatsDir(table))
@@ -351,15 +377,24 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
   def enableColumnStats(
       spark: SparkSession, table: String,
       columns: Seq[String]): Unit = locked(table) {
-    val schema = read(spark, table).schema
-    columns.foreach(c => require(schema.fieldNames.contains(c),
-      s"enableColumnStats: table '$table' has no column '$c'"))
     require(columns.nonEmpty, "enableColumnStats: no columns given")
     val f = fs(spark, root)
-    f.delete(new Path(colStatsDir(table)), true)
     val live = fileStats(spark, table, reconcileWithListing = false)
       .select("file").collect().map(_.getString(0)).toSeq
-    appendColStats(spark, table, live, columns)
+    if (live.nonEmpty) {
+      val schema = read(spark, table).schema
+      columns.foreach(c => require(schema.fieldNames.contains(c),
+        s"enableColumnStats: table '$table' has no column '$c'"))
+      f.delete(new Path(colStatsDir(table)), true)
+      appendColStats(spark, table, live, columns)
+    } else
+      // FRESH table (HCL `stats_columns` enables stats before the
+      // first collect): nothing to seed — the marker alone arms the
+      // per-append sidecar writes, so the first append already has
+      // stats rows (r16 task 5). Column names can't be validated yet;
+      // appendColStats skips (and warns on) names absent from the
+      // data when it runs.
+      f.delete(new Path(colStatsDir(table)), true)
     val out = f.create(colStatsMarker(table), true)
     try out.write(columns.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -403,6 +438,17 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     */
   def syncCatalogColumnStats(
       spark: SparkSession, table: String)
+      : Option[Map[String, (Long, Long)]] =
+    syncCatalogColumnStats(spark, table, histograms = true)
+
+  /** As above with the histogram merge explicit: `histograms = false`
+    * writes min/max/NDV/null stats only — the measurement control for
+    * the broadcast-flip pin (skewed-value filter selectivity is
+    * exactly where min/max uniformity misestimates by orders of
+    * magnitude, LakeSpec).
+    */
+  def syncCatalogColumnStats(
+      spark: SparkSession, table: String, histograms: Boolean)
       : Option[Map[String, (Long, Long)]] = {
     val cols = colStatsColumns(spark, table)
     if (cols.isEmpty) return None
@@ -414,10 +460,11 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
     }
     val live = fileStats(spark, table, reconcileWithListing = false)
       .select("file")
-    val merged = sidecar
+    val merged = sidecarWithKll(sidecar)
       .groupBy("file", "column")
       .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
-        col("sum_len"), col("max_len"), col("min_d"), col("max_d")),
+        col("sum_len"), col("max_len"), col("min_d"), col("max_d"),
+        col("kll")),
         col("seq")).as("s"))
       .select(col("file"), col("column"), col("s.*"))
       .join(live, Seq("file"), "left_semi")
@@ -425,7 +472,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("ndv"),
         sum("nulls").as("nulls"), sum("n").as("n"),
         sum("sum_len").as("sum_len"), max("max_len").as("max_len"),
-        min("min_d").as("min_d"), max("max_d").as("max_d"))
+        min("min_d").as("min_d"), max("max_d").as("max_d"),
+        // table-level distribution: union of the per-file KLL
+        // sketches — valid only when EVERY live file contributed one
+        // (a partial union would mis-weight the histogram, which can
+        // bias estimates either direction; missing-sketch files flip
+        // histograms off instead, conservatively)
+        graft.functions.KllFns.kllMerge(spark, col("kll")).as("kllm"),
+        sum(when(col("kll").isNull, 1L).otherwise(0L)).as("kll_missing"))
       .collect()
     val schema = read(spark, table).schema
     def extString(dt: DataType, d: Double): Option[String] = dt match {
@@ -452,11 +506,20 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
         else extString(dt, r.getDouble(6))
       val maxS = if (r.isNullAt(7)) None
         else extString(dt, r.getDouble(7))
+      // equi-height histogram from the merged KLL union — only when
+      // every live file contributed a sketch (see the agg comment)
+      val histogram =
+        if (histograms && dt.isInstanceOf[NumericType] &&
+          !r.isNullAt(8) && r.getLong(9) == 0L)
+          graft.functions.KllFns.equiHeightHistogram(
+            r.getAs[Array[Byte]](8), Lake.HistogramBins, ndv)
+        else None
       c -> (org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
         distinctCount = Some(BigInt(ndv)),
         min = minS, max = maxS,
         nullCount = Some(BigInt(nulls)),
-        avgLen = avgLen, maxLen = maxLen),
+        avgLen = avgLen, maxLen = maxLen,
+        histogram = histogram),
         (ndv, nulls))
     }.toMap
     if (catalogEntry(spark, table).isDefined) {
@@ -770,16 +833,26 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
       val live = fileStats(spark, table, reconcileWithListing = false)
         .select("file")
       swap(cdir,
-        spark.read.parquet(cdir.toString)
+        sidecarWithKll(spark.read.parquet(cdir.toString))
           .groupBy("file", "column")
           .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
             col("sum_len"), col("max_len"), col("min_d"),
-            col("max_d"), col("min_s"), col("max_s"), col("seq")),
+            col("max_d"), col("min_s"), col("max_s"), col("kll"),
+            col("seq")),
             col("seq")).as("s"))
           .select(col("file"), col("column"), col("s.*"))
           .join(live, Seq("file"), "left_semi"))
     }
   }
+
+  /** Pre-KLL sidecars (written before r16) have no `kll` column; a
+    * null stands in so every downstream shape is uniform (null kll =
+    * "no distribution sketch for this file" — histograms then stay
+    * off until a re-seed or new appends cover every live file).
+    */
+  private def sidecarWithKll(df: DataFrame): DataFrame =
+    if (df.columns.contains("kll")) df
+    else df.withColumn("kll", lit(null).cast("binary"))
 
   private def recordStats(
       spark: SparkSession, table: String, added: Seq[String]): Unit =
@@ -1166,6 +1239,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64) {
 }
 
 object Lake {
+
+  /** Equi-height histogram bin count for the catalog column stats —
+    * a quarter of Spark's ANALYZE default (254): the sidecar merge is
+    * metadata-sized either way, and 64 bins resolve skew well past
+    * the broadcast-threshold decisions they exist to flip.
+    */
+  val HistogramBins = 64
   /** Per-(lake, table) write serialization — the reference's
     * single-writer model (one DuckDB connection + converter process
     * lock, duck_db.go:63, convertor.go:131-141). Concurrent appends

@@ -390,6 +390,46 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(out.contains("no data has been collected for table 'uncollected_logs'"))
   }
 
+  test("stats_columns arms column stats at first collect; analyze " +
+      "reports the merged NDV + histogram with no scan") {
+    val dir = Files.createTempDirectory("graft_cli_stats").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    write(new File(dir, "logs/m.csv"),
+      """timestamp,status_code
+        |2024-05-01T10:30:45Z,200
+        |2024-05-01T10:31:00Z,404
+        |2024-05-01T10:32:15Z,200
+        |""".stripMargin)
+    write(new File(dir, "config/m.tpc"),
+      s"""format "delimited" "m" { delimiter = "," }
+         |table "metrics" {
+         |  format = format.delimited.m
+         |  stats_columns = ["status_code"]
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "status_code" { type = "integer" }
+         |}
+         |partition "metrics" "local" {
+         |  source "file" {
+         |    format = format.delimited.m
+         |    paths = ["${dir.getPath}/logs/"]
+         |    file_layout = "m.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc, outTxt) = cli(dir, "collect", "metrics.local")
+    assert(rc == 0, outTxt)
+    assert(outTxt.contains(
+      "Column stats enabled for metrics: status_code"), outTxt)
+    assert(outTxt.contains("Collected metrics.local: 3 rows"), outTxt)
+    // the FIRST append wrote the sidecar (marker was armed pre-append):
+    // analyze merges scan-free and reports NDV + the KLL histogram
+    val (rc2, rep) = cli(dir, "table", "analyze", "metrics")
+    assert(rc2 == 0, rep)
+    assert(rep.contains("column status_code: ~2 distinct, 0 null"), rep)
+    assert(rep.contains("equi-height histogram 64 bins"), rep)
+  }
+
   test("grok end-to-end: config-driven collect of a dated log file") {
     val dir = Files.createTempDirectory("graft_cli4").toFile
     new File(dir, "config").mkdirs()
@@ -761,9 +801,12 @@ class MainSpec extends AnyFunSuite with SparkTest {
     "manifest without a scan") {
     val (rc, msg) = cli(root, "table", "analyze", "access_log")
     assert(rc == 0, msg)
-    assert(msg.matches(
+    // first line is the table-level sync; the collect-time
+    // stats_columns default (r16) means per-column lines follow
+    assert(msg.linesIterator.next().matches(
       """Analyzed access_log: 3 rows, ~\d+ bytes \(from manifest, no scan\)"""),
       msg)
+    assert(msg.contains("column tp_index: ~1 distinct"), msg)
     // idempotent: a second analyze re-syncs (no ALREADY_EXISTS from
     // the registration step)
     val (rc2, msg2) = cli(root, "table", "analyze", "access_log")

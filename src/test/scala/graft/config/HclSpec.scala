@@ -241,6 +241,18 @@ class HclSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2 labels"), e.getMessage)
   }
 
+  test("stats_columns decodes: explicit list, explicit empty opt-out, " +
+      "absent = None (collect-time default)") {
+    val cfg = Hcl.decode(
+      """table "a" { stats_columns = ["v", "src"] }
+        |table "b" { stats_columns = [] }
+        |table "c" { }
+        |""".stripMargin)
+    assert(cfg.tables("a").statsColumns.contains(Seq("v", "src")))
+    assert(cfg.tables("b").statsColumns.contains(Seq.empty))
+    assert(cfg.tables("c").statsColumns.isEmpty)
+  }
+
   test("malformed input fails with a parse error, not silently") {
     intercept[IllegalArgumentException](Hcl.parse("""table "t" {"""))
     intercept[IllegalArgumentException](Hcl.parse("""table { a = }"""))

@@ -1053,6 +1053,98 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.fileStats(spark, "t").count() > before.size)
   }
 
+  test("enableColumnStats on a FRESH table arms the sidecar: the first " +
+      "append already writes stats rows; unknown columns skip loudly") {
+    val lake = newLake()
+    // no table dir yet — the stats_columns collect path enables first
+    lake.enableColumnStats(spark, "t", Seq("v", "no_such_col"))
+    assert(lake.colStatsColumns(spark, "t") === Seq("v", "no_such_col"))
+    lake.append(spark, "t", sampleBatch(30))
+    // first append wrote sidecar rows for the column that exists —
+    // no analyze/backfill scan ever ran
+    val stats = lake.syncCatalogColumnStats(spark, "t").get
+    assert(stats.contains("v") && stats("v")._1 >= 28, stats)
+    assert(!stats.contains("no_such_col"))
+    // and the zone maps are live from file one
+    val q = lake.read(spark, "t").where(col("v") > 1e9)
+    assert(graft.query.ScanAudit.filesReadAfterRun(q) === 0L)
+  }
+
+  test("KLL equi-height histogram fixes skewed-filter selectivity and " +
+      "flips a broadcast decision min/max uniformity gets wrong") {
+    val lake = newLake()
+    // fact: 100k rows, v EXTREMELY skewed — 99.9% in {0..4}, 100 rows
+    // spread over [500000, 599000]. min/max uniformity estimates
+    // v >= 500000 at ~17% of the table; the truth is 0.1%.
+    val fRaw = spark.range(100000).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id)")
+        .as("tp_timestamp"),
+      when(col("id") < 99900, pmod(col("id"), lit(5)))
+        .otherwise(lit(500000) + (col("id") - 99900) * 1000)
+        .cast("long").as("v"))
+    lake.append(spark, "kf", TpSchema.enrich(fRaw, PartitionSpec("kf", "p0")))
+    // dimension: 40k rows, big enough that IT never broadcasts
+    val dRaw = spark.range(40000).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id)")
+        .as("tp_timestamp"),
+      (col("id") * 13 + 500000).as("k"))
+    lake.append(spark, "kd", TpSchema.enrich(dRaw, PartitionSpec("kd", "p0")))
+    Seq("kf", "kd").foreach(lake.registerCatalogTable(spark, _))
+    lake.enableColumnStats(spark, "kf", Seq("v"))
+    lake.enableColumnStats(spark, "kd", Seq("k"))
+    val filterSql = "SELECT v FROM kf WHERE v >= 500000"
+    val joinSql = "SELECT count(*) AS n FROM kd JOIN kf ON kd.k = kf.v " +
+      "WHERE kf.v >= 500000"
+    val confs = Seq("spark.sql.cbo.enabled")
+    val prevs = (confs :+ "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      confs.foreach(spark.conf.set(_, "true"))
+      def estBytes(): BigInt = {
+        val st = spark.sql(filterSql).queryExecution
+          .optimizedPlan.stats
+        st.sizeInBytes
+      }
+      assert(lake.syncCatalogColumnStats(spark, "kf",
+        histograms = false).isDefined)
+      assert(lake.syncCatalogColumnStats(spark, "kd",
+        histograms = false).isDefined)
+      val estUniform = estBytes()
+      assert(lake.syncCatalogColumnStats(spark, "kf").isDefined)
+      assert(lake.syncCatalogColumnStats(spark, "kd").isDefined)
+      val estHist = estBytes()
+      // the histogram must collapse the estimate by well over 4×
+      // (truth is ~170× below uniform; one equi-height bin bounds the
+      // histogram estimate at ~1/64 of the table)
+      assert(estHist * 4 < estUniform,
+        s"histogram did not fix selectivity: $estUniform -> $estHist")
+      // threshold between the two estimates → the broadcast decision
+      // is exactly the selectivity difference
+      val mid = (estUniform + estHist) / 2
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", mid.toString)
+      def staticJoin(): String =
+        spark.sql(joinSql).queryExecution.sparkPlan.toString
+      val withHist = staticJoin()
+      assert(withHist.contains("BroadcastHashJoin"),
+        s"histogram estimate must broadcast the filtered fact:\n$withHist")
+      // strip histograms (min/max only): same threshold, same query —
+      // the uniform over-estimate forces the shuffle join
+      assert(lake.syncCatalogColumnStats(spark, "kf",
+        histograms = false).isDefined)
+      val noHist = staticJoin()
+      assert(noHist.contains("SortMergeJoin") &&
+        !noHist.contains("BroadcastHashJoin"),
+        s"uniform estimate should have picked the shuffle join:\n$noHist")
+      // and the answer itself is identical either way
+      assert(spark.sql(joinSql).head().getLong(0) ==
+        spark.sql(joinSql).head().getLong(0))
+    } finally prevs.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("compact planning collects only candidate dirs' manifest rows " +
       "(r16: driver cost bounded by work, not table size)") {
     val lake = newLake()
