@@ -1048,9 +1048,10 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     sidecar
       .groupBy("file", "column")
       .agg(max_by(struct(col("min_d"), col("max_d"),
-        col("min_s"), col("max_s")), col("seq")).as("s"))
+        col("min_s"), col("max_s"), col("nulls"), col("n")),
+        col("seq")).as("s"))
       .select(col("file"), col("column"), col("s.min_d"), col("s.max_d"),
-        col("s.min_s"), col("s.max_s"))
+        col("s.min_s"), col("s.max_s"), col("s.nulls"), col("s.n"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (file, rows) =>
@@ -1059,7 +1060,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           def s(i: Int) = if (r.isNullAt(i)) None
             else Some(org.apache.spark.unsafe.types.UTF8String
               .fromString(r.getString(i)).getBytes)
-          r.getString(1) -> ColumnZone(d(2), d(3), s(4), s(5))
+          def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getString(1) -> ColumnZone(d(2), d(3), s(4), s(5), l(6), l(7))
         }.toMap
       }
   }

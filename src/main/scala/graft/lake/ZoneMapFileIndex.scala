@@ -6,28 +6,25 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Per-file zone ranges for one column, as the `_graft_colstats`
-  * sidecar records them: numeric `[minD, maxD]` (double-widened) and
+/** Per-file zone statistics for one column, as the `_graft_colstats`
+  * sidecar records them: numeric `[minD, maxD]` (double-widened),
   * lexicographic `[minS, maxS]` (UTF8 binary order — Spark's
-  * `min`/`max` on StringType). `None` bounds mean "unknown / all-null
-  * file" and never prune.
+  * `min`/`max` on StringType), plus the file's null count and row
+  * count for this column. `None` bounds mean "unknown / all-null
+  * file" and never prune on range — but `nulls`/`n` still prune
+  * null-test predicates and comparisons against an all-null file.
   */
 private[lake] final case class ColumnZone(
     minD: Option[Double], maxD: Option[Double],
-    minS: Option[Array[Byte]], maxS: Option[Array[Byte]])
-
-/** The band a query's pushed conjuncts pin on one column: numeric
-  * `[loD, hiD]` and byte-lexicographic `[loS, hiS]`, both optional and
-  * both CLOSED intervals. Bands from multiple conjuncts intersect.
-  */
-private[lake] final case class QueryBand(
-    loD: Double = Double.NegativeInfinity,
-    hiD: Double = Double.PositiveInfinity,
-    loS: Option[Array[Byte]] = None,
-    hiS: Option[Array[Byte]] = None) {
-  def isUseful: Boolean =
-    loD != Double.NegativeInfinity || hiD != Double.PositiveInfinity ||
-      loS.isDefined || hiS.isDefined
+    minS: Option[Array[Byte]], maxS: Option[Array[Byte]],
+    nulls: Option[Long] = None, n: Option[Long] = None) {
+  /** Every value of this column in the file is NULL (so any
+    * comparison/IN/prefix predicate on it matches no row).
+    */
+  def allNull: Boolean = (nulls, n) match {
+    case (Some(nl), Some(total)) => total > 0 && nl == total
+    case _ => false
+  }
 }
 
 /** A [[FileIndex]] that composes Spark's native partition pruning with
@@ -41,14 +38,21 @@ private[lake] final case class QueryBand(
   * `partitionFilters` by the time the zone maps see the survivors —
   * the two prunings compose by construction).
   *
-  * Conservative by construction, same contract as
-  * [[Lake.readPrunedByColumn]]: a file is skipped only when a pushed
-  * band/equality/prefix conjunct on a stats-covered column PROVABLY
-  * misses the file's live range; files absent from the sidecar, null
-  * ranges, non-literal or OR'd conjuncts, and cast-wrapped columns all
-  * keep the file. Row-level filtering still applies in full — pruning
-  * is a scan reduction, never a semantics change (the qi29 oracle
-  * recomputes the answer from the raw rows and gates exactly this).
+  * Pruning is THREE-VALUED evaluation of each pushed conjunct against
+  * the file's zones ([[ZoneMapFileIndex.mayMatch]]): a file is skipped
+  * only when some conjunct PROVABLY matches no row of the file.
+  * Handled shapes: `=`, `<=>`, `<`, `<=`, `>`, `>=` against a literal
+  * on a bare attribute (both operand orders), `StartsWith`, `IN`
+  * (literal list and the optimizer's `InSet` form), `IS NULL` /
+  * `IS NOT NULL` (via the sidecar's per-file null counts), and
+  * arbitrary `AND`/`OR` nesting — `v < 10 OR v > 5000` prunes the
+  * files BOTH branches miss, which single-band folding cannot.
+  * Everything else (casts, functions, subquery results, `NOT`)
+  * evaluates to "may match" and keeps the file; files absent from the
+  * sidecar and null ranges keep the file. Row-level filtering still
+  * applies in full — pruning is a scan reduction, never a semantics
+  * change (the qi29 oracle recomputes the answer from the raw rows
+  * and gates exactly this).
   *
   * Scale shape: the sidecar read is metadata-sized (one row per
   * file×column, newest-seq wins) and loads LAZILY on the first
@@ -57,12 +61,12 @@ private[lake] final case class QueryBand(
   * one `(file → column → zone)` map per queried table, the same
   * footprint Delta's log replay accepts.
   *
-  * Numeric bands are widened one ULP on extraction (`nextDown`/
-  * `nextUp`): zone bounds are double-cast aggregates, so a long-typed
-  * literal above 2^53 could otherwise round across a file's true
-  * bound. String bounds compare in UTF8 BYTE order (not Java UTF-16
-  * order — they differ above the BMP) because that is the order
-  * Spark's min/max computed the sidecar bounds in.
+  * Numeric comparisons widen one ULP (`nextDown`/`nextUp`): zone
+  * bounds are double-cast aggregates, so a long-typed literal above
+  * 2^53 could otherwise round across a file's true bound. String
+  * bounds compare in UTF8 BYTE order (not Java UTF-16 order — they
+  * differ above the BMP) because that is the order Spark's min/max
+  * computed the sidecar bounds in.
   */
 private[lake] class ZoneMapFileIndex(
     delegate: FileIndex,
@@ -82,12 +86,12 @@ private[lake] class ZoneMapFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = delegate.listFiles(partitionFilters, dataFilters)
-    val bands = ZoneMapFileIndex.extractBands(dataFilters)
-    if (bands.isEmpty || zones.isEmpty) base
+    val prunable = dataFilters.filter(ZoneMapFileIndex.isPrunable)
+    if (prunable.isEmpty || zones.isEmpty) base
     else {
       val pruned = base
         .map(pd => PartitionDirectory(pd.values,
-          pd.files.filter(f => keepFile(f.getPath, bands))))
+          pd.files.filter(f => keepFile(f.getPath, prunable))))
         .filter(_.files.nonEmpty)
       // preserve "empty scan still has a schema": an all-pruned scan
       // returns no directories, which FileSourceScanExec handles
@@ -95,34 +99,14 @@ private[lake] class ZoneMapFileIndex(
     }
   }
 
-  private def keepFile(
-      p: Path, bands: Map[String, QueryBand]): Boolean = {
+  private def keepFile(p: Path, prunable: Seq[Expression]): Boolean = {
     val key = p.toUri.getPath // scheme-less decoded form = sidecar key
     zones.get(key) match {
       case None => true // unknown file: never prune
       case Some(cols) =>
-        bands.forall { case (column, band) =>
-          cols.get(column) match {
-            case None => true // column not stats-covered
-            case Some(z) =>
-              val numOk =
-                (z.minD, z.maxD) match {
-                  case (Some(mn), Some(mx)) =>
-                    mn <= band.hiD && mx >= band.loD
-                  case _ => true
-                }
-              val strOk =
-                (z.minS, z.maxS) match {
-                  case (Some(mn), Some(mx)) =>
-                    band.hiS.forall(hi =>
-                      ZoneMapFileIndex.byteCompare(mn, hi) <= 0) &&
-                      band.loS.forall(lo =>
-                        ZoneMapFileIndex.byteCompare(mx, lo) >= 0)
-                  case _ => true
-                }
-              numOk && strOk
-          }
-        }
+        // pushed dataFilters are implicitly AND'd: a file survives
+        // only if EVERY conjunct may match some row of it
+        prunable.forall(e => ZoneMapFileIndex.mayMatch(e, cols))
     }
   }
 }
@@ -152,9 +136,9 @@ private[lake] object ZoneMapFileIndex {
     out
   }
 
-  private def numericLit(l: Literal): Option[Double] = l.value match {
+  private def numericValue(v: Any, dt: DataType): Option[Double] = v match {
     case null => None
-    case v => l.dataType match {
+    case _ => dt match {
       case ByteType    => Some(v.asInstanceOf[Byte].toDouble)
       case ShortType   => Some(v.asInstanceOf[Short].toDouble)
       case IntegerType => Some(v.asInstanceOf[Int].toDouble)
@@ -167,65 +151,155 @@ private[lake] object ZoneMapFileIndex {
     }
   }
 
-  private def stringLit(l: Literal): Option[Array[Byte]] = l.value match {
-    case u: UTF8String if l.dataType == StringType => Some(u.getBytes)
+  private def numericLit(l: Literal): Option[Double] =
+    numericValue(l.value, l.dataType)
+
+  private def stringValue(v: Any): Option[Array[Byte]] = v match {
+    case u: UTF8String => Some(u.getBytes)
     case _ => None
   }
 
-  /** Fold the pushed conjuncts into per-column closed bands. Handled
-    * shapes (both operand orders): `=`, `<`, `<=`, `>`, `>=` against a
-    * literal on a BARE attribute, `StartsWith`, and nested `And`.
-    * Anything else contributes nothing (conservative). Numeric bounds
-    * widen one ULP — see class scaladoc.
+  private def stringLit(l: Literal): Option[Array[Byte]] =
+    if (l.dataType == StringType) stringValue(l.value) else None
+
+  /** Quick structural check: does this conjunct contain any shape
+    * [[mayMatch]] can ever prune on? Lets `listFiles` skip the
+    * per-file walk (and the lazy sidecar load) for filter sets made
+    * entirely of non-prunable expressions.
     */
-  def extractBands(filters: Seq[Expression]): Map[String, QueryBand] = {
-    var bands = Map.empty[String, QueryBand]
-    def band(name: String): QueryBand =
-      bands.getOrElse(name, QueryBand())
-    def narrowLoD(a: String, v: Double): Unit = {
-      val b = band(a); bands += a -> b.copy(loD = math.max(b.loD, Math.nextDown(v)))
+  def isPrunable(e: Expression): Boolean = e match {
+    case And(l, r) => isPrunable(l) || isPrunable(r)
+    case Or(l, r) => isPrunable(l) && isPrunable(r)
+    case EqualTo(_: AttributeReference, _: Literal) => true
+    case EqualTo(_: Literal, _: AttributeReference) => true
+    case EqualNullSafe(_: AttributeReference, _: Literal) => true
+    case EqualNullSafe(_: Literal, _: AttributeReference) => true
+    case _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual => e.children match {
+      case Seq(_: AttributeReference, _: Literal) => true
+      case Seq(_: Literal, _: AttributeReference) => true
+      case _ => false
     }
-    def narrowHiD(a: String, v: Double): Unit = {
-      val b = band(a); bands += a -> b.copy(hiD = math.min(b.hiD, Math.nextUp(v)))
-    }
-    def narrowLoS(a: String, v: Array[Byte]): Unit = {
-      val b = band(a)
-      val lo = b.loS.filter(cur => byteCompare(cur, v) >= 0).getOrElse(v)
-      bands += a -> b.copy(loS = Some(lo))
-    }
-    def narrowHiS(a: String, v: Array[Byte]): Unit = {
-      val b = band(a)
-      val hi = b.hiS.filter(cur => byteCompare(cur, v) <= 0).getOrElse(v)
-      bands += a -> b.copy(hiS = Some(hi))
-    }
-    def visit(e: Expression): Unit = e match {
-      case And(l, r) => visit(l); visit(r)
-      case EqualTo(a: AttributeReference, l: Literal) => eq(a.name, l)
-      case EqualTo(l: Literal, a: AttributeReference) => eq(a.name, l)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => lo(a.name, l)
-      case GreaterThan(a: AttributeReference, l: Literal) => lo(a.name, l)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => hi(a.name, l)
-      case LessThan(a: AttributeReference, l: Literal) => hi(a.name, l)
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => hi(a.name, l)
-      case GreaterThan(l: Literal, a: AttributeReference) => hi(a.name, l)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => lo(a.name, l)
-      case LessThan(l: Literal, a: AttributeReference) => lo(a.name, l)
-      case StartsWith(a: AttributeReference, l: Literal) =>
-        stringLit(l).filter(_.nonEmpty).foreach { p =>
-          narrowLoS(a.name, p); narrowHiS(a.name, prefixUpperBound(p))
-        }
-      case _ => // non-prunable conjunct: contributes nothing
-    }
-    def eq(a: String, l: Literal): Unit = { lo(a, l); hi(a, l) }
-    def lo(a: String, l: Literal): Unit = {
-      numericLit(l).foreach(narrowLoD(a, _))
-      stringLit(l).foreach(narrowLoS(a, _))
-    }
-    def hi(a: String, l: Literal): Unit = {
-      numericLit(l).foreach(narrowHiD(a, _))
-      stringLit(l).foreach(narrowHiS(a, _))
-    }
-    filters.foreach(visit)
-    bands.filter(_._2.isUseful)
+    case StartsWith(_: AttributeReference, _: Literal) => true
+    case In(_: AttributeReference, list) => list.forall(_.isInstanceOf[Literal])
+    case InSet(_: AttributeReference, _) => true
+    case IsNull(_: AttributeReference) => true
+    case IsNotNull(_: AttributeReference) => true
+    case _ => false
   }
+
+  /** Three-valued zone evaluation: `false` only when `e` PROVABLY
+    * matches no row of a file with column zones `cols` — the sound
+    * direction for pruning. Unknown shapes, uncovered columns, and
+    * missing bounds all return `true` (keep).
+    */
+  def mayMatch(e: Expression, cols: Map[String, ColumnZone]): Boolean = {
+    def zone(a: AttributeReference): Option[ColumnZone] = cols.get(a.name)
+
+    // a comparison/IN/prefix leaf on an ALL-NULL file matches no row
+    // regardless of the literal; otherwise check the range
+    def leaf(a: AttributeReference)(rangeOk: ColumnZone => Boolean): Boolean =
+      zone(a) match {
+        case None => true
+        case Some(z) => !z.allNull && rangeOk(z)
+      }
+
+    def numOk(z: ColumnZone)(ok: (Double, Double) => Boolean): Boolean =
+      (z.minD, z.maxD) match {
+        case (Some(mn), Some(mx)) => ok(mn, mx)
+        case _ => true
+      }
+    def strOk(z: ColumnZone)(ok: (Array[Byte], Array[Byte]) => Boolean): Boolean =
+      (z.minS, z.maxS) match {
+        case (Some(mn), Some(mx)) => ok(mn, mx)
+        case _ => true
+      }
+
+    // closed-interval overlap tests, one-ULP-widened on the numeric
+    // side; strict < / > fall back to the inclusive test (sound)
+    def eqHit(a: AttributeReference, l: Literal): Boolean = leaf(a) { z =>
+      numericLit(l).forall(v =>
+        numOk(z)((mn, mx) => mn <= Math.nextUp(v) && mx >= Math.nextDown(v))) &&
+        stringLit(l).forall(v =>
+          strOk(z)((mn, mx) =>
+            byteCompare(mn, v) <= 0 && byteCompare(mx, v) >= 0))
+    }
+    def geHit(a: AttributeReference, l: Literal): Boolean = leaf(a) { z =>
+      numericLit(l).forall(v => numOk(z)((_, mx) => mx >= Math.nextDown(v))) &&
+        stringLit(l).forall(v => strOk(z)((_, mx) => byteCompare(mx, v) >= 0))
+    }
+    def leHit(a: AttributeReference, l: Literal): Boolean = leaf(a) { z =>
+      numericLit(l).forall(v => numOk(z)((mn, _) => mn <= Math.nextUp(v))) &&
+        stringLit(l).forall(v => strOk(z)((mn, _) => byteCompare(mn, v) <= 0))
+    }
+
+    e match {
+      case And(l, r) => mayMatch(l, cols) && mayMatch(r, cols)
+      case Or(l, r) => mayMatch(l, cols) || mayMatch(r, cols)
+
+      case EqualTo(a: AttributeReference, l: Literal) => eqHit(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eqHit(a, l)
+      // null-safe equality: `a <=> null` is IS NULL; non-null literal
+      // behaves like `=` for zone purposes
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) nullHit(a, cols) else eqHit(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        if (l.value == null) nullHit(a, cols) else eqHit(a, l)
+
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => geHit(a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) => geHit(a, l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => leHit(a, l)
+      case LessThan(a: AttributeReference, l: Literal) => leHit(a, l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => leHit(a, l)
+      case GreaterThan(l: Literal, a: AttributeReference) => leHit(a, l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => geHit(a, l)
+      case LessThan(l: Literal, a: AttributeReference) => geHit(a, l)
+
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        stringLit(l).filter(_.nonEmpty) match {
+          case None => true
+          case Some(p) => leaf(a) { z =>
+            strOk(z) { (mn, mx) =>
+              byteCompare(mn, prefixUpperBound(p)) < 0 &&
+                byteCompare(mx, p) >= 0
+            }
+          }
+        }
+
+      // IN: keep the file iff at least one list value can hit its
+      // range. The optimizer rewrites lists past the InSet threshold
+      // into InSet whose values are raw Catalyst internals.
+      case In(a: AttributeReference, list)
+          if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists(l => eqHit(a, l.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, hset) =>
+        leaf(a) { z =>
+          hset.exists { v =>
+            numericValue(v, a.dataType).forall(d =>
+              numOk(z)((mn, mx) =>
+                mn <= Math.nextUp(d) && mx >= Math.nextDown(d))) &&
+              stringValue(v).forall(s =>
+                strOk(z)((mn, mx) =>
+                  byteCompare(mn, s) <= 0 && byteCompare(mx, s) >= 0))
+          }
+        }
+
+      case IsNull(a: AttributeReference) => nullHit(a, cols)
+      case IsNotNull(a: AttributeReference) =>
+        cols.get(a.name) match {
+          case Some(z) => !z.allNull // all-null file: no non-null row
+          case None => true
+        }
+
+      case _ => true // non-prunable: may match
+    }
+  }
+
+  /** `IS NULL` zone test: prune files the sidecar proves null-free. */
+  private def nullHit(
+      a: AttributeReference, cols: Map[String, ColumnZone]): Boolean =
+    cols.get(a.name) match {
+      case Some(z) => z.nulls.forall(_ > 0L)
+      case None => true
+    }
 }

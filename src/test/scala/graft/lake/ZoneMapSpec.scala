@@ -24,49 +24,96 @@ class ZoneMapSpec extends AnyFunSuite with SparkTest {
   private def attr(name: String, dt: DataType): AttributeReference =
     AttributeReference(name, dt)()
 
-  // ---- band extraction unit pins ----
+  // ---- three-valued evaluation unit pins ----
 
-  test("extractBands: closed numeric band from >= and <= conjuncts") {
+  private val zone100 = // a file holding v in [100, 199], no nulls
+    Map("v" -> ColumnZone(Some(100.0), Some(199.0), None, None,
+      Some(0L), Some(100L)))
+  private val zoneNull = // an all-null file for v
+    Map("v" -> ColumnZone(None, None, None, None, Some(50L), Some(50L)))
+
+  test("mayMatch: closed numeric bands, reversed operands, equality") {
     val a = attr("v", DoubleType)
-    val bands = ZoneMapFileIndex.extractBands(Seq(
-      GreaterThanOrEqual(a, Literal(45.0)),
-      LessThanOrEqual(a, Literal(70.0))))
-    val b = bands("v")
-    assert(b.loD <= 45.0 && b.loD > 44.999)
-    assert(b.hiD >= 70.0 && b.hiD < 70.001)
+    def may(e: Expression, z: Map[String, ColumnZone]) =
+      ZoneMapFileIndex.mayMatch(e, z)
+    assert(may(And(GreaterThanOrEqual(a, Literal(150.0)),
+      LessThanOrEqual(a, Literal(180.0))), zone100))
+    assert(!may(GreaterThanOrEqual(a, Literal(250.0)), zone100))
+    assert(!may(LessThan(Literal(250.0), a), zone100)) // reversed operand
+    assert(!may(EqualTo(a, Literal(99.0)), zone100))
+    assert(may(EqualTo(a, Literal(100.0)), zone100)) // inclusive bound
+    // uncovered column: always may-match
+    assert(may(EqualTo(attr("other", DoubleType), Literal(1.0)), zone100))
   }
 
-  test("extractBands: reversed operands, equality, and And nesting") {
-    val a = attr("v", LongType)
-    val bands = ZoneMapFileIndex.extractBands(Seq(
-      And(LessThan(Literal(10L), a), GreaterThan(Literal(99L), a))))
-    assert(bands("v").loD <= 10.0 && bands("v").hiD >= 99.0)
-    val eq = ZoneMapFileIndex.extractBands(Seq(
-      EqualTo(attr("k", IntegerType), Literal(7))))
-    assert(eq("k").loD <= 7.0 && eq("k").hiD >= 7.0 &&
-      eq("k").hiD < 7.001 && eq("k").loD > 6.999)
+  test("mayMatch: OR prunes only when BOTH branches provably miss") {
+    val a = attr("v", DoubleType)
+    val orMiss = Or(LessThan(a, Literal(10.0)),
+      GreaterThan(a, Literal(5000.0)))
+    assert(!ZoneMapFileIndex.mayMatch(orMiss, zone100))
+    val orHit = Or(LessThan(a, Literal(150.0)),
+      GreaterThan(a, Literal(5000.0)))
+    assert(ZoneMapFileIndex.mayMatch(orHit, zone100))
+    // OR with a non-prunable branch: always keep
+    val orUnknown = Or(GreaterThan(a, Literal(5000.0)),
+      GreaterThan(Cast(a, StringType), Literal(UTF8String.fromString("x"),
+        StringType)))
+    assert(ZoneMapFileIndex.mayMatch(orUnknown, zone100))
+    assert(!ZoneMapFileIndex.isPrunable(orUnknown))
   }
 
-  test("extractBands: string equality and prefix; OR and cast contribute nothing") {
+  test("mayMatch: IN list and InSet prune when every value misses the zone") {
+    val a = attr("v", DoubleType)
+    val inMiss = In(a, Seq(Literal(5.0), Literal(250.0), Literal(999.0)))
+    assert(!ZoneMapFileIndex.mayMatch(inMiss, zone100))
+    val inHit = In(a, Seq(Literal(5.0), Literal(150.0)))
+    assert(ZoneMapFileIndex.mayMatch(inHit, zone100))
+    assert(!ZoneMapFileIndex.mayMatch(
+      InSet(a, Set[Any](5.0, 250.0)), zone100))
+    assert(ZoneMapFileIndex.mayMatch(
+      InSet(a, Set[Any](5.0, 150.0)), zone100))
+  }
+
+  test("mayMatch: null tests use the sidecar null counts; all-null file " +
+      "fails every comparison") {
+    val a = attr("v", DoubleType)
+    assert(!ZoneMapFileIndex.mayMatch(IsNull(a), zone100)) // 0 nulls
+    assert(ZoneMapFileIndex.mayMatch(IsNull(a), zoneNull))
+    assert(ZoneMapFileIndex.mayMatch(IsNotNull(a), zone100))
+    assert(!ZoneMapFileIndex.mayMatch(IsNotNull(a), zoneNull))
+    // comparisons and IN on an all-null file match no row
+    assert(!ZoneMapFileIndex.mayMatch(EqualTo(a, Literal(1.0)), zoneNull))
+    assert(!ZoneMapFileIndex.mayMatch(
+      In(a, Seq(Literal(1.0), Literal(2.0))), zoneNull))
+    // null-safe equality against null = IS NULL semantics
+    assert(!ZoneMapFileIndex.mayMatch(
+      EqualNullSafe(a, Literal(null, DoubleType)), zone100))
+    assert(ZoneMapFileIndex.mayMatch(
+      EqualNullSafe(a, Literal(null, DoubleType)), zoneNull))
+  }
+
+  test("mayMatch: string equality and prefix; cast stays conservative") {
     val s = attr("src", StringType)
-    val eq = ZoneMapFileIndex.extractBands(Seq(
-      EqualTo(s, Literal(UTF8String.fromString("web"), StringType))))
-    assert(eq("src").loS.isDefined && eq("src").hiS.isDefined)
-    val pre = ZoneMapFileIndex.extractBands(Seq(
-      StartsWith(s, Literal(UTF8String.fromString("s3://a/"), StringType))))
-    val hi = pre("src").hiS.get
-    assert(ZoneMapFileIndex.byteCompare(
-      UTF8String.fromString("s3://a/zzz").getBytes, hi) < 0,
-      "every prefixed string must sit below the upper bound")
-    // OR'd conjunct: no band (pruning would be unsound)
-    val or = ZoneMapFileIndex.extractBands(Seq(
-      Or(GreaterThan(attr("v", LongType), Literal(5L)),
-        LessThan(attr("v", LongType), Literal(1L)))))
-    assert(or.isEmpty)
-    // cast-wrapped attribute: no band
-    val cast = ZoneMapFileIndex.extractBands(Seq(
-      GreaterThan(Cast(attr("v", LongType), DoubleType), Literal(5.0))))
-    assert(cast.isEmpty)
+    def sz(lo: String, hi: String) = Map("src" -> ColumnZone(None, None,
+      Some(UTF8String.fromString(lo).getBytes),
+      Some(UTF8String.fromString(hi).getBytes), Some(0L), Some(10L)))
+    assert(ZoneMapFileIndex.mayMatch(
+      EqualTo(s, Literal(UTF8String.fromString("web"), StringType)),
+      sz("app", "zzz")))
+    assert(!ZoneMapFileIndex.mayMatch(
+      EqualTo(s, Literal(UTF8String.fromString("web"), StringType)),
+      sz("a", "m")))
+    val pre = StartsWith(s,
+      Literal(UTF8String.fromString("s3://a/"), StringType))
+    assert(ZoneMapFileIndex.mayMatch(pre, sz("s3://a/x", "s3://a/z")))
+    assert(!ZoneMapFileIndex.mayMatch(pre, sz("s3://b/", "s4://")))
+    // cast-wrapped attribute: no pruning
+    val cast = GreaterThan(Cast(attr("v", LongType), DoubleType),
+      Literal(5.0))
+    assert(ZoneMapFileIndex.mayMatch(cast,
+      Map("v" -> ColumnZone(Some(0.0), Some(1.0), None, None,
+        Some(0L), Some(5L)))))
+    assert(!ZoneMapFileIndex.isPrunable(cast))
   }
 
   test("prefixUpperBound bounds all continuations; byteCompare is UTF8 order") {
@@ -102,13 +149,26 @@ class ZoneMapSpec extends AnyFunSuite with SparkTest {
       TpSchema.enrich(raw, PartitionSpec("tz", part,
         tpIndexColumn = Some("idx")))
     }
+    // a fifth file whose v is ALL NULL: null-count pruning fodder
+    def nullBatch(lo: Int, n: Int) = {
+      val raw = spark.range(lo, lo + n).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00' + make_interval(0,0,0,0,0,0, id*1000)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        lit(null).cast("double").as("v"),
+        concat(lit("p0-null-"), col("id")).as("src"))
+      TpSchema.enrich(raw, PartitionSpec("tz", "p0",
+        tpIndexColumn = Some("idx")))
+    }
     lake.append(spark, "tz", batch("p0", 0, 100))
     lake.append(spark, "tz", batch("p0", 100, 100))
     lake.append(spark, "tz", batch("p0", 200, 100))
     lake.append(spark, "tz", batch("p1", 300, 100))
+    lake.append(spark, "tz", nullBatch(1000, 50))
     lake.enableColumnStats(spark, "tz", Seq("v", "src"))
     val total = lake.dataFiles(spark, "tz").size
-    assert(total >= 4, s"fixture must have >=4 files, got $total")
+    assert(total >= 5, s"fixture must have >=5 files, got $total")
     (lake, total)
   }
 
@@ -144,6 +204,49 @@ class ZoneMapSpec extends AnyFunSuite with SparkTest {
     val files = ScanAudit.filesReadAfterRun(q)
     assert(files === 1, s"string zones should isolate 1 of $total files, read $files")
     assert(q.head().getLong(0) === 100) // p1-300..p1-399 all match 'p1-3%'
+  }
+
+  test("IN-list predicates prune to the files holding the listed values") {
+    val (lake, total) = bandedLake()
+    Views.register(spark, lake, Views.Filters())
+    // two values, two files (the all-null file fails any comparison)
+    val q = spark.sql("SELECT count(*) AS n FROM tz WHERE v IN (10, 205)")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 2, s"IN should isolate 2 of $total files, read $files")
+    assert(q.head().getLong(0) === 2)
+    // a list long enough for OptimizeIn to rewrite into InSet
+    val many = (5 to 18).mkString(", ") // 14 values, all in file 1
+    val q2 = spark.sql(s"SELECT count(*) AS n FROM tz WHERE v IN ($many)")
+    val files2 = ScanAudit.filesReadAfterRun(q2)
+    assert(files2 === 1, s"InSet should isolate 1 of $total files, read $files2")
+    assert(q2.head().getLong(0) === 14)
+  }
+
+  test("OR'd bands prune the files both branches miss") {
+    val (lake, total) = bandedLake()
+    Views.register(spark, lake, Views.Filters())
+    // misses file [100,199] and the all-null file; keeps 3
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM tz WHERE v < 50 OR v > 250")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 3, s"OR bands should isolate 3 of $total files, read $files")
+    assert(q.head().getLong(0) === 50 + 49 + 100)
+  }
+
+  test("IS NULL / IS NOT NULL prune via the sidecar null counts") {
+    val (lake, total) = bandedLake()
+    Views.register(spark, lake, Views.Filters())
+    val qNull = spark.sql("SELECT count(*) AS n FROM tz WHERE v IS NULL")
+    val filesNull = ScanAudit.filesReadAfterRun(qNull)
+    assert(filesNull === 1,
+      s"IS NULL should isolate the all-null file, read $filesNull of $total")
+    assert(qNull.head().getLong(0) === 50)
+    val qNotNull = spark.sql(
+      "SELECT count(*) AS n FROM tz WHERE v IS NOT NULL")
+    val filesNotNull = ScanAudit.filesReadAfterRun(qNotNull)
+    assert(filesNotNull === total - 1,
+      s"IS NOT NULL should skip the all-null file: $filesNotNull of $total")
+    assert(qNotNull.head().getLong(0) === 400)
   }
 
   test("band missing every file reads zero files, empty result, full schema") {
