@@ -231,7 +231,7 @@ object ScaleRehearsal {
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
         "partition_stress", "stream", "wide_schema", "skewjoin",
         "stream_skew", "stream_state", "zorder", "bloomjoin",
-        "colprune"))
+        "colprune", "timeprune"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -617,6 +617,68 @@ object ScaleRehearsal {
           s"view path should prune like the programmatic one: " +
             s"$viewFiles/$fullFiles")
       }
+      // ---- manifest-derived TIME zone maps through the SQL path ----
+      // The r16 follow-on to colprune: a plain SQL time band (the
+      // reference's dominant query shape) must skip files via the
+      // manifest's per-file min_ts/max_ts with NO colstats sidecar.
+      // qi30's oracle owns correctness; this is the scale axis — the
+      // file cut must hold at 10× and planning stays metadata-sized.
+      if (families("timeprune")) {
+        val n = EventsBase * m
+        val troot = s"$root/timelake_x$m"
+        rmrf(troot)
+        val tlake = graft.lake.Lake(troot)
+        val tspec = graft.config.PartitionSpec("events_time", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        val t0 = 1704067200L // events() epoch start; span = 30 days
+        val slice = 2592000L / 8 // 3.75-day ingest slices
+        record("timeprune_build", m, n, time {
+          for (i <- 0 until 8)
+            graft.ingest.Ingest.collectBatch(spark, tlake, tspec,
+              src.where(col("ts") >= timestamp_seconds(lit(t0 + i * slice)) &&
+                col("ts") < timestamp_seconds(lit(t0 + (i + 1) * slice))),
+              timestampColumn = "ts")
+          // deliberately NO enableColumnStats: manifest zones only
+        })
+        def stockRead() = spark.read
+          .option("basePath", tlake.tableDir("events_time"))
+          .parquet(tlake.tableDir("events_time"))
+        val band = ("2024-01-16 12:00:00", "2024-01-19 00:00:00") // inside slice 4
+        def agg(df: DataFrame): (Long, Double) = {
+          val r = df.where(
+            col("tp_timestamp") >= lit(band._1).cast("timestamp") &&
+              col("tp_timestamp") < lit(band._2).cast("timestamp"))
+            .agg(count(lit(1)), sum("value")).head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        if (m == mults.min) { agg(stockRead()); () }
+        var fullR: (Long, Double) = null
+        record("timeprune_full", m, n, time { fullR = agg(stockRead()) })
+        var viewR: (Long, Double) = null
+        var viewFiles = -1L
+        record("timeprune_view_query", m, n, time {
+          graft.query.Views.register(spark, tlake,
+            graft.query.Views.Filters())
+          val q = spark.sql("SELECT count(*) AS c, sum(value) AS s " +
+            s"FROM events_time WHERE tp_timestamp >= " +
+            s"timestamp'${band._1}' AND tp_timestamp < " +
+            s"timestamp'${band._2}'")
+          val row = q.head()
+          viewR = (row.getLong(0), row.getDouble(1))
+          viewFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        require(viewR._1 == fullR._1 && fullR._1 > 0 &&
+          math.abs(viewR._2 - fullR._2) <= 1e-6 * math.abs(fullR._2),
+          s"time-zone pruning changed the result: $fullR vs $viewR")
+        val fullFiles = stockRead().inputFiles.length
+        println(s"""{"family":"timeprune_files","mult":$m,""" +
+          s""""full_files":$fullFiles,"view_query_files":$viewFiles}""")
+        require(viewFiles * 4 <= fullFiles,
+          s"a 2.5-day band over 30 days should prune >3/4 of files: " +
+            s"$viewFiles/$fullFiles")
+      }
+
       // ---- hot-key STREAMING interval join: plain vs salted --------
       // The one skew regime AQE can never rescue (stateful plans pin
       // their hash partitioning into the state layout): a key holding

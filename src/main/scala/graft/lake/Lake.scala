@@ -74,9 +74,10 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     if (isEvolved(spark, table))
       spark.read.option("basePath", tableDir(table))
         .option("mergeSchema", "true").parquet(tableDir(table))
-    // colstats-enabled tables read through the zone-map FileIndex so
-    // any pushed band predicate on a stats column skips files at
-    // planning time; without a sidecar this is the stock reader
+    // reads go through the zone-map FileIndex: pushed band predicates
+    // on colstats-enabled columns AND on tp_timestamp/tp_date (zones
+    // derived from the manifest's per-file min_ts/max_ts — present
+    // for every table) skip files at planning time
     else zoneMappedRead(spark, table, Seq(tableDir(table)))
   }
 
@@ -1066,16 +1067,58 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       }
   }
 
+  /** Synthetic zones for `tp_timestamp`/`tp_date` from the manifest's
+    * per-file `min_ts`/`max_ts` — so a plain SQL time band (the
+    * reference's dominant query shape) skips files at planning time
+    * on EVERY lake table, no stats enablement required. Units match
+    * Catalyst literal internals: epoch micros for the timestamp,
+    * epoch days for the date. The day range widens ±1 day because
+    * `tp_date` was truncated in the WRITER's session timezone while
+    * this derivation runs in the reader's — a zone, not a value, so
+    * widening only costs pruning power, never correctness. Null
+    * min/max (all-null-ts file) → unknown bounds, never pruned.
+    */
+  private def loadTsZones(
+      spark: SparkSession,
+      table: String): Map[String, Map[String, ColumnZone]] = {
+    if (!fs(spark, root).exists(new Path(manifestDir(table))))
+      return Map.empty
+    fileStats(spark, table)
+      .select(col("file"),
+        unix_micros(col("min_ts")).as("lo_us"),
+        unix_micros(col("max_ts")).as("hi_us"),
+        unix_date(to_date(col("min_ts"))).as("lo_day"),
+        unix_date(to_date(col("max_ts"))).as("hi_day"),
+        col("rows"))
+      .collect()
+      .map { r =>
+        def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        def day(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+        val n = Some(r.getLong(5))
+        r.getString(0) -> Map(
+          TpSchema.Timestamp -> ColumnZone(
+            l(1).map(_.toDouble), l(2).map(_.toDouble),
+            None, None, None, n),
+          TpSchema.Date -> ColumnZone(
+            day(3).map(d => (d - 1).toDouble),
+            day(4).map(d => (d + 1).toDouble),
+            None, None, None, n))
+      }.toMap
+  }
+
   /** Build the table's DataFrame over a [[ZoneMapFileIndex]] so any
-    * pushed band/equality/prefix conjunct on a stats-enabled column
-    * skips files at planning time — the integration that carries
-    * [[readPrunedByColumn]]'s zone maps to plain SQL through the
-    * filtered views (verdict r16 task 1). `roots` is either the table
-    * dir (full read) or an already-pruned file list (the time-pruned
-    * survivors); partition pruning happens inside `listFiles` before
-    * the zone maps see the candidates, so the three prunings compose.
-    * Falls back to the plain reader when the sidecar is absent or the
-    * table is schema-evolved (mergeSchema needs the stock path).
+    * pushed band/equality/prefix conjunct on a stats-enabled column —
+    * or on `tp_timestamp`/`tp_date` via the manifest-derived time
+    * zones — skips files at planning time: the integration that
+    * carries [[readPrunedByColumn]]'s zone maps to plain SQL through
+    * the filtered views (verdict r16 task 1). `roots` is either the
+    * table dir (full read) or an already-pruned file list (the
+    * time-pruned survivors); partition pruning happens inside
+    * `listFiles` before the zone maps see the candidates, so the
+    * prunings compose. Falls back to the plain reader when the table
+    * is schema-evolved (mergeSchema needs the stock path); both zone
+    * families load lazily and only when a pushed conjunct references
+    * them, so a filter-free scan pays nothing.
     */
   private def zoneMappedRead(
       spark: SparkSession, table: String,
@@ -1085,20 +1128,49 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     def plain: DataFrame =
       spark.read.option("basePath", tableDir(table)).parquet(roots: _*)
-    if (isEvolved(spark, table) ||
-      !fs(spark, root).exists(new Path(colStatsDir(table)))) return plain
+    if (isEvolved(spark, table)) return plain
     val idx = new InMemoryFileIndex(spark, roots.map(new Path(_)),
       Map("basePath" -> tableDir(table)), None)
-    val leaves = idx.inputFiles
+    val leaves = idx.allFiles()
     if (leaves.isEmpty) return plain
-    val zoneIdx = new ZoneMapFileIndex(idx, () => loadZoneMaps(spark, table))
+    val zoneIdx = new ZoneMapFileIndex(idx,
+      () => loadZoneMaps(spark, table),
+      () => loadTsZones(spark, table))
     // non-evolved tables have a uniform file schema (the drift check
-    // enforces it at ingest), so one footer yields the data schema;
-    // no basePath here so partition columns stay OUT of it
-    val dataSchema = spark.read.parquet(leaves.head).schema
+    // enforces it at ingest), so one footer yields the data schema.
+    // Read it through the FileStatus, NOT a path string: a Hive-escaped
+    // partition value ('%3A' etc.) does not survive the
+    // Path→String→DataFrameReader round-trip (the '%' re-escapes).
+    // Partition columns stay out of it (footer holds data columns only).
+    // Force nullability the way DataFrameReader does: a footer written
+    // from a non-nullable batch marks the field REQUIRED, and binding
+    // that schema table-wide would let Catalyst fold `col IS NULL` to
+    // false even though OTHER files hold nulls.
+    val fmt = new ParquetFileFormat
+    val dataSchema = forceNullable(fmt
+      .inferSchema(spark, Map.empty[String, String], leaves.take(1))
+      .getOrElse(return plain))
     val relation = HadoopFsRelation(zoneIdx, idx.partitionSchema,
-      dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
+      dataSchema, None, fmt, Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
+  }
+
+  /** The nullability-forcing `spark.read` applies to every source
+    * schema, reimplemented for the footer-derived one (Spark's own
+    * `asNullable` is private): all fields and nested element/value
+    * types become nullable.
+    */
+  private def forceNullable(st: StructType): StructType = {
+    def dt(d: DataType): DataType = d match {
+      case s: StructType => forceNullable(s)
+      case a: ArrayType =>
+        a.copy(elementType = dt(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = dt(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+    StructType(st.fields.map(f =>
+      f.copy(dataType = dt(f.dataType), nullable = true)))
   }
 
   /** Run `body` holding this table's writer lock — for multi-step

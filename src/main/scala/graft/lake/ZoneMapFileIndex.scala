@@ -70,10 +70,21 @@ private[lake] final case class ColumnZone(
   */
 private[lake] class ZoneMapFileIndex(
     delegate: FileIndex,
-    loadZones: () => Map[String, Map[String, ColumnZone]])
+    loadZones: () => Map[String, Map[String, ColumnZone]],
+    loadTsZones: () => Map[String, Map[String, ColumnZone]] = () => Map.empty)
   extends FileIndex {
 
   private lazy val zones: Map[String, Map[String, ColumnZone]] = loadZones()
+
+  /** Synthetic `tp_timestamp`/`tp_date` zones derived from the
+    * manifest's per-file `min_ts`/`max_ts` — present for EVERY lake
+    * table (no stats enablement needed), so the reference's dominant
+    * query shape (a SQL time band) skips files at planning time.
+    * Loaded lazily, and only for queries whose pushed conjuncts
+    * actually reference the time columns.
+    */
+  private lazy val tsZones: Map[String, Map[String, ColumnZone]] =
+    loadTsZones()
 
   override def rootPaths: Seq[Path] = delegate.rootPaths
   override def inputFiles: Array[String] = delegate.inputFiles
@@ -87,11 +98,31 @@ private[lake] class ZoneMapFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = delegate.listFiles(partitionFilters, dataFilters)
     val prunable = dataFilters.filter(ZoneMapFileIndex.isPrunable)
-    if (prunable.isEmpty || zones.isEmpty) base
+    if (prunable.isEmpty) return base
+    // load only the zone families the query's conjuncts can use: the
+    // manifest-backed time zones for tp_timestamp/tp_date, the
+    // colstats sidecar for everything else — a time-band query on a
+    // stats-free table costs one manifest read, no sidecar probe
+    val attrs = prunable.flatMap(_.references.map(_.name)).toSet
+    val wantTs = attrs.exists(ZoneMapFileIndex.TimeColumns)
+    val wantValue = (attrs -- ZoneMapFileIndex.TimeColumns).nonEmpty
+    val effective: Map[String, Map[String, ColumnZone]] =
+      (if (wantValue) zones else Map.empty[String, Map[String, ColumnZone]],
+        if (wantTs) tsZones else Map.empty[String, Map[String, ColumnZone]]) match {
+        case (v, t) if t.isEmpty => v
+        case (v, t) if v.isEmpty => t
+        case (v, t) =>
+          // per-file union of the two column maps; sidecar rows win a
+          // (never-expected) name collision
+          (v.keySet ++ t.keySet).map(f =>
+            f -> (t.getOrElse(f, Map.empty) ++ v.getOrElse(f, Map.empty)))
+            .toMap
+      }
+    if (effective.isEmpty) base
     else {
       val pruned = base
         .map(pd => PartitionDirectory(pd.values,
-          pd.files.filter(f => keepFile(f.getPath, prunable))))
+          pd.files.filter(f => keepFile(f.getPath, prunable, effective))))
         .filter(_.files.nonEmpty)
       // preserve "empty scan still has a schema": an all-pruned scan
       // returns no directories, which FileSourceScanExec handles
@@ -99,9 +130,11 @@ private[lake] class ZoneMapFileIndex(
     }
   }
 
-  private def keepFile(p: Path, prunable: Seq[Expression]): Boolean = {
+  private def keepFile(
+      p: Path, prunable: Seq[Expression],
+      effective: Map[String, Map[String, ColumnZone]]): Boolean = {
     val key = p.toUri.getPath // scheme-less decoded form = sidecar key
-    zones.get(key) match {
+    effective.get(key) match {
       case None => true // unknown file: never prune
       case Some(cols) =>
         // pushed dataFilters are implicitly AND'd: a file survives
@@ -112,6 +145,9 @@ private[lake] class ZoneMapFileIndex(
 }
 
 private[lake] object ZoneMapFileIndex {
+
+  /** Columns whose zones come from the manifest, not the sidecar. */
+  val TimeColumns: Set[String] = Set("tp_timestamp", "tp_date")
 
   /** Unsigned lexicographic byte comparison — UTF8String order. */
   def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
@@ -147,6 +183,13 @@ private[lake] object ZoneMapFileIndex {
       case DoubleType  => Some(v.asInstanceOf[Double])
       case _: DecimalType =>
         Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+      // time literals: Catalyst's internal forms are epoch micros
+      // (Long) and epoch days (Int) — both exact in a double (micros
+      // stay under 2^53 until the year ~2255), and the same units the
+      // manifest-derived zones carry
+      case TimestampType | TimestampNTZType =>
+        Some(v.asInstanceOf[Long].toDouble)
+      case DateType => Some(v.asInstanceOf[Int].toDouble)
       case _ => None
     }
   }

@@ -829,6 +829,48 @@ object IngestQueries {
       q
     }),
 
+    // Time-zone-map pruning through the query path with NO colstats
+    // sidecar: the manifest's per-file min_ts/max_ts become synthetic
+    // tp_timestamp/tp_date zones, so a plain SQL time band — the
+    // reference's dominant query shape (tailpipe's initial collection
+    // and every `--from/--to` query are time ranges) — skips files at
+    // planning time on every lake table. The require pins the file
+    // cut; the DuckDB oracle recomputes the aggregate from raw rows,
+    // so an unsound skip breaks the hash.
+    "qi30_view_time_pruned_query" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi30"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_time30", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("value"))
+      // three decade-of-January slices: disjoint per-file time zones
+      for ((loB, hiB) <- Seq(("2024-01-01", "2024-01-11"),
+          ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")))
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("ts") >= loB && col("ts") < hiB),
+          timestampColumn = "ts")
+      // NO enableColumnStats: time zones come from the manifest alone
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_time30").size
+      val q = s.sql("""
+        SELECT cast(tp_index AS string) AS etype, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events_time30
+        WHERE tp_timestamp >= timestamp'2024-01-12 00:00:00'
+          AND tp_timestamp < timestamp'2024-01-18 00:00:00'
+        GROUP BY 1 ORDER BY 1""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files < total,
+        s"manifest time zones pruned nothing through the view: read " +
+          s"$files of $total files")
+      q
+    }),
+
     "qi28_colstats_pruned_scan" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi28"
       rmrf(root)
@@ -1376,6 +1418,18 @@ object IngestQueries {
              round(sum(value), 2) AS sum_value
       FROM events
       WHERE event_id % 5 = 0 AND value >= 45.0 AND value <= 70.0
+      GROUP BY 1 ORDER BY 1""",
+
+    // same discipline for the manifest-derived TIME zones: the oracle
+    // recomputes the band from raw rows, so a file skipped in error
+    // (or a row dropped by the slicing) breaks the hash
+    "qi30_view_time_pruned_query" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(ts AS timestamp) >= timestamp '2024-01-12 00:00:00'
+        AND cast(ts AS timestamp) < timestamp '2024-01-18 00:00:00'
       GROUP BY 1 ORDER BY 1""",
 
     // first-seen = arg-min-by-id because the stream replays slices in

@@ -249,6 +249,106 @@ class ZoneMapSpec extends AnyFunSuite with SparkTest {
     assert(qNotNull.head().getLong(0) === 400)
   }
 
+  test("SQL time band prunes via manifest-derived tp_timestamp zones") {
+    val (lake, total) = bandedLake()
+    Views.register(spark, lake, Views.Filters())
+    // ts = base + id*1000 SECONDS, so file 2 (ids 100..199) spans
+    // [2024-03-06 03:46:40, 2024-03-07 07:16:40]; this band sits
+    // strictly inside it → ids 101..172 = 72 rows, 1 file
+    val q = spark.sql("""
+      SELECT count(*) AS n FROM tz
+      WHERE tp_timestamp >= timestamp'2024-03-06 04:00:00'
+        AND tp_timestamp < timestamp'2024-03-07 00:00:00'""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 1,
+      s"time zones should isolate 1 of $total files, read $files")
+    assert(q.head().getLong(0) === 72)
+  }
+
+  test("tp_date equality prunes via the ±1-day-widened manifest day range") {
+    val (lake, total) = bandedLake()
+    Views.register(spark, lake, Views.Filters())
+    // a date far outside every file's range: all files pruned
+    val qMiss = spark.sql(
+      "SELECT count(*) AS n FROM tz WHERE tp_date = date'2030-01-01'")
+    assert(ScanAudit.filesReadAfterRun(qMiss) === 0)
+    assert(qMiss.head().getLong(0) === 0)
+    // the fixture's first day: Mar 5 rows are ids 0..86 (86400 s cut)
+    val qHit = spark.sql(
+      "SELECT count(*) AS n FROM tz WHERE tp_date = date'2024-03-05'")
+    assert(qHit.head().getLong(0) === 87)
+    // one day past the p1 file's widened range: files read only where
+    // widening keeps them (conservative) but row filtering yields zero
+    val qEdge = spark.sql(
+      "SELECT count(*) AS n FROM tz WHERE tp_date = date'2024-03-10'")
+    assert(qEdge.head().getLong(0) === 0)
+  }
+
+  test("time zones prune tables with NO colstats sidecar (manifest only)") {
+    val lake = Lake(Files.createTempDirectory("graft_zonemap_ts").toString)
+    def batch(lo: Int, n: Int) = {
+      val raw = spark.range(lo, lo + n).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00' + make_interval(0,0,0,0,0,0, id*1000)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"), col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, PartitionSpec("tt", "p0",
+        tpIndexColumn = Some("idx")))
+    }
+    lake.append(spark, "tt", batch(0, 100))
+    lake.append(spark, "tt", batch(100, 100))
+    // deliberately NO enableColumnStats
+    val total = lake.dataFiles(spark, "tt").size
+    assert(total >= 2)
+    // file 2 starts at id 100 → 100000 s → 2024-03-06 03:46:40; a
+    // cut at 04:00 keeps ids 101..199 = 99 rows, all in file 2
+    val cut = lit("2024-03-06 04:00:00").cast("timestamp")
+    val q = lake.read(spark, "tt")
+      .where(col("tp_timestamp") >= cut)
+      .agg(count(lit(1)).as("n"))
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 1,
+      s"manifest time zones should isolate 1 of $total files, read $files")
+    assert(lake.read(spark, "tt")
+      .where(col("tp_timestamp") >= cut).count() === 99)
+  }
+
+  test("time zones and value zones compose in one predicate") {
+    val (lake, total) = bandedLake()
+    Views.register(spark, lake, Views.Filters())
+    // the time band alone keeps files 1-2 (ids 0..172); the value band
+    // alone keeps file 2 (v 100..199) and within it rows 150..199; the
+    // intersection must read exactly 1 file and return ids 150..172
+    val q = spark.sql("""
+      SELECT count(*) AS n, min(event_id) AS lo, max(event_id) AS hi
+      FROM tz
+      WHERE tp_timestamp < timestamp'2024-03-07 00:00:00'
+        AND v >= 150""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 1,
+      s"time+value zones should isolate 1 of $total files, read $files")
+    val r = q.head()
+    assert(r.getLong(0) === 23 && r.getLong(1) === 150 && r.getLong(2) === 172)
+  }
+
+  test("conservativeness holds for time bands: zoned vs plain identical") {
+    val (lake, _) = bandedLake()
+    val zoned = lake.read(spark, "tz")
+    val plain = spark.read.option("basePath", lake.tableDir("tz"))
+      .parquet(lake.tableDir("tz"))
+    for ((lo, hi) <- Seq(
+        ("2024-03-05 00:00:00", "2024-03-06 04:00:00"), // spans files 1-2
+        ("2024-03-07 00:00:00", "2024-03-08 12:00:00"), // spans files 3-4
+        ("2024-03-16 00:00:00", "2024-03-18 00:00:00"), // the null-v file
+        ("2024-03-04 00:00:00", "2024-03-20 00:00:00"))) { // everything
+      def f(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("tp_timestamp") >= lit(lo).cast("timestamp") &&
+          col("tp_timestamp") <= lit(hi).cast("timestamp"))
+        .agg(count(lit(1)), sum("event_id")).head()
+      assert(f(zoned) === f(plain), s"time band [$lo,$hi]")
+    }
+  }
+
   test("band missing every file reads zero files, empty result, full schema") {
     val (lake, _) = bandedLake()
     Views.register(spark, lake, Views.Filters())
@@ -307,7 +407,7 @@ class ZoneMapSpec extends AnyFunSuite with SparkTest {
     assert(q.count() === 31)
   }
 
-  test("no sidecar: read falls back to the stock plan and full scans still work") {
+  test("no sidecar: value predicates read everything, results intact") {
     val lake = Lake(Files.createTempDirectory("graft_zonemap_plain").toString)
     val raw = spark.range(50).select(
       col("id").as("event_id"),
