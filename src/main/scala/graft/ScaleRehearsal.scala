@@ -598,7 +598,9 @@ object ScaleRehearsal {
           graft.query.Views.register(spark, zlake, graft.query.Views.Filters())
           val q = spark.sql("SELECT count(*) AS c, sum(value) AS s " +
             "FROM events_zone WHERE value >= 50.0 AND value < 62.5")
-          val row = q.head()
+          // collect(), not head(): head() plans a SEPARATE limited
+          // query, leaving this df's scan metrics at zero
+          val row = q.collect()(0)
           viewR = (row.getLong(0), row.getDouble(1))
           viewFiles = graft.query.ScanAudit.filesRead(q)
         })
@@ -664,7 +666,9 @@ object ScaleRehearsal {
             s"FROM events_time WHERE tp_timestamp >= " +
             s"timestamp'${band._1}' AND tp_timestamp < " +
             s"timestamp'${band._2}'")
-          val row = q.head()
+          // collect(), not head(): head() plans a SEPARATE limited
+          // query, leaving this df's scan metrics at zero
+          val row = q.collect()(0)
           viewR = (row.getLong(0), row.getDouble(1))
           viewFiles = graft.query.ScanAudit.filesRead(q)
         })
