@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1030,6 +1030,305 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       .filter(f => flags.getOrElse(f, true))
     if (files.isEmpty) read(spark, table).where(lit(false))
     else spark.read.option("basePath", tableDir(table)).parquet(files: _*)
+  }
+
+  /** JOIN-KEY file skipping: the runtime-filter move at the FILE
+    * level. For `fact JOIN dim ON fact.column = dim.key` with a
+    * selective dim predicate, the surviving key set is collected from
+    * `keys` (the dim side AFTER its filters — the same small side a
+    * broadcast join ships anyway) and fact files whose zone range for
+    * `column` provably contains NONE of the keys are skipped before
+    * the scan. Spark's own `InjectRuntimeFilter` prunes at the
+    * ROW-GROUP level inside files it has already opened; this prunes
+    * whole files from the plan using the `_graft_colstats` sidecar,
+    * which at 100 TB is the difference between listing+opening 10⁶
+    * footers and skipping them. The reference gets the equivalent from
+    * DuckDB's dynamic filter pushdown over DuckLake stats.
+    *
+    * Semantics: the result contains AT LEAST every fact row whose
+    * `column` value appears in `keys` — the caller still performs the
+    * join, so pruning is a scan reduction, never a semantics change
+    * (the qi32 oracle recomputes the join from raw rows and gates
+    * exactly this). Conservative fallbacks mirror
+    * [[readPrunedByColumn]]: no sidecar, a file missing stats, or null
+    * zone bounds keep the file.
+    *
+    * Scale shape: `keys` is distinct-collected to the driver capped at
+    * `maxKeys` values (the DPP/broadcast-side footprint); past the cap
+    * ONE aggregate job reduces the key set to its [min, max] band and
+    * pruning degrades gracefully to the band test. Per-file key
+    * membership is a binary search over the sorted key array —
+    * O(files · log keys) driver work on metadata the driver already
+    * holds. Numeric ranges widen one ULP (zone bounds are double-cast
+    * aggregates); string keys compare in UTF8 BYTE order, the order
+    * the sidecar's min/max were computed in. NaN keys disable pruning
+    * entirely (Spark joins treat NaN = NaN as a match; zone ranges
+    * can't see it soundly).
+    */
+  def readJoinPruned(
+      spark: SparkSession, table: String, column: String,
+      keys: DataFrame, maxKeys: Int = 4096): DataFrame = {
+    require(keys.schema.length == 1,
+      s"readJoinPruned: keys must have exactly one column, got " +
+        s"${keys.schema.fieldNames.mkString(", ")}")
+    val dt = keys.schema.head.dataType
+    val keyCol = keys.schema.head.name
+    // NOT na.drop: that drops NaN keys too, and a NaN key must reach
+    // the NaN valve below (Spark joins match NaN = NaN — silently
+    // dropping it would prune files holding NaN rows)
+    val nonNull = keys.where(col(keyCol).isNotNull)
+    val distinct = nonNull.distinct().limit(maxKeys + 1).collect()
+    // an empty key set joins to nothing: preserve schema, scan nothing
+    if (distinct.isEmpty) return read(spark, table).where(lit(false))
+    if (distinct.length > maxKeys) dt match {
+      // past the cap: ONE agg job reduces the keys to a band
+      case StringType =>
+        val r = nonNull.agg(min(col(keyCol)), max(col(keyCol))).head()
+        readPrunedByColumn(spark, table, column,
+          r.getString(0), r.getString(1))
+      case _: NumericType =>
+        val r = nonNull.select(col(keyCol).cast("double").as("k"))
+          .agg(min(col("k")), max(col("k"))).head()
+        readPrunedByColumn(spark, table, column,
+          Math.nextDown(r.getDouble(0)), Math.nextUp(r.getDouble(1)))
+      case _ => read(spark, table) // unsupported key type: no pruning
+    } else dt match {
+      case StringType =>
+        import org.apache.spark.unsafe.types.UTF8String
+        val ks: Array[Array[Byte]] = distinct
+          .map(r => UTF8String.fromString(r.getString(0)).getBytes)
+          .sortWith((a, b) => ZoneMapFileIndex.byteCompare(a, b) < 0)
+        def lowerBound(lo: Array[Byte]): Int = {
+          var l = 0; var h = ks.length
+          while (l < h) {
+            val m = (l + h) >>> 1
+            if (ZoneMapFileIndex.byteCompare(ks(m), lo) < 0) l = m + 1
+            else h = m
+          }
+          l
+        }
+        readPrunedFlags(spark, table, column, "min_s", "max_s", r =>
+          r.isNullAt(1) || r.isNullAt(2) || {
+            val lo = UTF8String.fromString(r.getString(1)).getBytes
+            val hi = UTF8String.fromString(r.getString(2)).getBytes
+            val i = lowerBound(lo)
+            i < ks.length && ZoneMapFileIndex.byteCompare(ks(i), hi) <= 0
+          })
+      case _: NumericType =>
+        val ks: Array[Double] = distinct
+          .map(_.get(0).asInstanceOf[Number].doubleValue).sorted
+        if (ks.exists(_.isNaN)) return read(spark, table)
+        readPrunedFlags(spark, table, column, "min_d", "max_d", r =>
+          r.isNullAt(1) || r.isNullAt(2) || {
+            val lo = Math.nextDown(r.getDouble(1))
+            val hi = Math.nextUp(r.getDouble(2))
+            val res = java.util.Arrays.binarySearch(ks, lo)
+            val i = if (res >= 0) res else -(res + 1)
+            i < ks.length && ks(i) <= hi
+          })
+      case _ => read(spark, table) // unsupported key type: no pruning
+    }
+  }
+
+  // ------- metadata-only aggregates: the scan-free answer path -------
+
+  /** Exactness threshold for integer bounds stored as doubles: at and
+    * above 2^53 a double no longer represents every long, so a stored
+    * zone bound may have rounded across the true extreme — files whose
+    * long-typed bounds reach this magnitude fall back to the residual
+    * scan instead of answering from metadata.
+    */
+  private val ExactLongBound: Double = 9007199254740992.0 // 2^53
+
+  /** Answer `count(*)`, `count(c)`, `min(c)`, `max(c)` from metadata
+    * the lake already maintains — the manifest (per-file row counts +
+    * `tp_timestamp` ranges) and the `_graft_colstats` sidecar (per-file
+    * null counts and min/max zones) — WITHOUT scanning data files.
+    * Spark's `OptimizeMetadataOnlyQuery` only serves partition-column
+    * aggregates from listings; Delta/DuckLake answer these from their
+    * file statistics, and at 100 TB the difference is a full corpus
+    * scan vs a metadata read (the reference inherits the same move from
+    * DuckDB over ducklake_file_column_stats, compaction_types.go:64-120).
+    *
+    * HYBRID by construction, exact always: files the metadata cannot
+    * answer exactly — missing a sidecar row for a requested column, a
+    * live data file the manifest hasn't recorded (crashed append before
+    * vacuum's re-sync), a long column whose stored double bounds reach
+    * 2^53, an unsupported min/max type — are scanned in ONE residual
+    * aggregate job and combined with the metadata partial. A fully
+    * covered table costs zero data I/O; a fully uncovered one costs
+    * exactly the scan a plain query would. `tp_timestamp` min/max is
+    * served by the manifest on EVERY table, no stats enablement needed
+    * (its `count` still needs the sidecar: the manifest has no null
+    * counts).
+    *
+    * Returns one row: `n_rows` plus `n_<c>`, `min_<c>`, `max_<c>` per
+    * requested column, typed as the column itself. SQL semantics:
+    * `count` ignores nulls, `min`/`max` over an all-null column are
+    * null. Supported min/max types: integral, float/double, string,
+    * and `tp_timestamp`; other types force the residual scan for every
+    * file (exact, just not metadata-served).
+    */
+  def statsAggregate(
+      spark: SparkSession, table: String,
+      columns: Seq[String]): DataFrame =
+    statsAggregateAudited(spark, table, columns)._1
+
+  /** [[statsAggregate]] plus the audit trail: the residual files the
+    * metadata could not answer for (empty = the aggregate was served
+    * entirely scan-free). The qi31 oracle and LakeSpec pin on it.
+    */
+  def statsAggregateAudited(
+      spark: SparkSession, table: String,
+      columns: Seq[String]): (DataFrame, Seq[String]) = {
+    require(columns.nonEmpty, "statsAggregate: no columns given")
+    require(hasData(spark, table),
+      s"statsAggregate: table '$table' has no data files")
+    val schema = schemaOf(spark, table)
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"statsAggregate: table '$table' has no column '$c'"))
+    def dtOf(c: String): DataType = schema(c).dataType
+    def minMaxFromZones(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _ => false
+    }
+
+    // live truth = the LISTING; manifest rows keyed by file (already
+    // reconciled to the listing when local). A live file with no
+    // manifest row is scan-residual — the manifest must not be trusted
+    // for counts it never recorded.
+    val live = dataFiles(spark, table)
+    val manifest: Map[String, Row] = fileStats(spark, table).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    // newest sidecar row per (file, column), requested columns only
+    val sidecar: Map[(String, String), Row] = {
+      val df = locked(table) {
+        healSwapAsides(spark, table)
+        if (!fs(spark, root).exists(new Path(colStatsDir(table)))) None
+        else Some(spark.read.parquet(colStatsDir(table)))
+      }
+      df match {
+        case None => Map.empty
+        case Some(sc) => sc
+          .where(col("column").isin(columns: _*))
+          .groupBy("file", "column")
+          .agg(max_by(struct(col("nulls"), col("n"), col("min_d"),
+            col("max_d"), col("min_s"), col("max_s")), col("seq")).as("s"))
+          .select(col("file"), col("column"), col("s.nulls"), col("s.n"),
+            col("s.min_d"), col("s.max_d"), col("s.min_s"), col("s.max_s"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+      }
+    }
+    // sidecar row layout: 2=nulls, 3=n, 4=min_d, 5=max_d, 6=min_s, 7=max_s
+
+    def usable(file: String, rows: Long, c: String): Boolean = {
+      val cov = sidecar.get((file, c))
+      // count(c): needs the sidecar's null/row counts, and they must
+      // describe THIS file state (n == manifest rows; files are
+      // immutable, so a mismatch means a stale or foreign row)
+      val countOk = cov.exists(r => r.getLong(3) == rows)
+      if (!countOk) return false
+      if (c == TpSchema.Timestamp) return true // min/max manifest-served
+      val dt = dtOf(c)
+      minMaxFromZones(dt) && (dt match {
+        case LongType => cov.exists { r =>
+          (r.isNullAt(4) || math.abs(r.getDouble(4)) < ExactLongBound) &&
+            (r.isNullAt(5) || math.abs(r.getDouble(5)) < ExactLongBound)
+        }
+        case _ => true
+      })
+    }
+
+    val residual: Seq[String] = live.filter { f =>
+      manifest.get(f) match {
+        case None => true // live but unrecorded: scan it
+        case Some(m) => !columns.forall(c => usable(f, m.getLong(1), c))
+      }
+    }
+    val residualSet = residual.toSet
+    val covered: Seq[Row] =
+      manifest.valuesIterator.filterNot(r => residualSet(r.getString(0)))
+        .toSeq
+
+    // ---- metadata partial (driver-side, metadata-sized) ----
+    def fromDouble(dt: DataType, d: Double): Any = dt match {
+      case ByteType => d.toByte
+      case ShortType => d.toShort
+      case IntegerType => d.toInt
+      case LongType => d.toLong
+      case FloatType => d.toFloat
+      case _ => d
+    }
+    def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case FloatType | DoubleType =>
+        a.asInstanceOf[Number].doubleValue < b.asInstanceOf[Number].doubleValue
+      case StringType => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case TimestampType | TimestampNTZType =>
+        a.asInstanceOf[Timestamp].compareTo(b.asInstanceOf[Timestamp]) < 0
+      case _ =>
+        a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    }
+
+    var nRows: Long = covered.map(_.getLong(1)).sum
+    val cnt = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val mn = scala.collection.mutable.Map[String, Any]()
+    val mx = scala.collection.mutable.Map[String, Any]()
+    def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
+      if (lo != null && (!mn.contains(c) || lt(dt, lo, mn(c)))) mn(c) = lo
+      if (hi != null && (!mx.contains(c) || lt(dt, mx(c), hi))) mx(c) = hi
+    }
+    covered.foreach { m =>
+      val file = m.getString(0)
+      columns.foreach { c =>
+        val r = sidecar((file, c))
+        cnt(c) += r.getLong(3) - r.getLong(2)
+        val dt = dtOf(c)
+        if (c == TpSchema.Timestamp)
+          merge(c, dt,
+            if (m.isNullAt(2)) null else m.getTimestamp(2),
+            if (m.isNullAt(3)) null else m.getTimestamp(3))
+        else if (dt == StringType)
+          merge(c, dt,
+            if (r.isNullAt(6)) null else r.getString(6),
+            if (r.isNullAt(7)) null else r.getString(7))
+        else
+          merge(c, dt,
+            if (r.isNullAt(4)) null else fromDouble(dt, r.getDouble(4)),
+            if (r.isNullAt(5)) null else fromDouble(dt, r.getDouble(5)))
+      }
+    }
+
+    // ---- residual scan: ONE aggregate job over exactly the gap ----
+    if (residual.nonEmpty) {
+      val df = spark.read.option("basePath", tableDir(table))
+        .parquet(residual: _*)
+      val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+        count(col(c)).as(s"__c_$c"),
+        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      nRows += r.getAs[Long]("__n")
+      columns.foreach { c =>
+        cnt(c) += r.getAs[Long](s"__c_$c")
+        merge(c, dtOf(c), r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+      }
+    }
+
+    val fields = StructField("n_rows", LongType, nullable = false) +:
+      columns.flatMap { c =>
+        Seq(StructField(s"n_$c", LongType, nullable = false),
+          StructField(s"min_$c", dtOf(c)),
+          StructField(s"max_$c", dtOf(c)))
+      }
+    val values: Seq[Any] = nRows +: columns.flatMap(c =>
+      Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(values)),
+      StructType(fields))
+    (out, residual)
   }
 
   /** Newest-seq per-(file, column) zone ranges from the colstats

@@ -871,6 +871,100 @@ object IngestQueries {
       q
     }),
 
+    // Metadata-only aggregate: count(*)/count(c)/min(c)/max(c) answered
+    // from the manifest + colstats sidecar with ZERO data-file reads
+    // (the in-query require pins residual == empty — statsAggregate's
+    // audit trail of files it had to scan). The DuckDB oracle
+    // recomputes every aggregate from the raw rows, so a stale sidecar
+    // row, a double-rounded long bound, a missed null count, or a
+    // dropped file breaks the hash — metadata EXACTNESS is the gated
+    // property. Nulls are injected into `value` so count(value) !=
+    // count(*) exercises the null-count arithmetic, and tp_timestamp's
+    // min/max rides the manifest (no sidecar ranges exist for
+    // timestamps) while its count rides the sidecar.
+    "qi31_metadata_only_aggregate" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi31"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_meta31", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"),
+          when(col("event_id") % 20 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val bands = Seq(
+        col("value").isNull || col("value") < 40.0,
+        col("value") >= 40.0 && col("value") < 80.0,
+        col("value") >= 80.0)
+      for (b <- bands)
+        Ingest.collectBatch(s, lake, spec, src.where(b),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_meta31",
+        Seq("value", "user_id", "event_type", "tp_timestamp"))
+      val (meta, residual) = lake.statsAggregateAudited(s, "events_meta31",
+        Seq("value", "user_id", "event_type", "tp_timestamp"))
+      require(residual.isEmpty,
+        s"metadata aggregate fell back to scanning: $residual")
+      meta.select(
+        col("n_rows"), col("n_value"),
+        col("min_value"), col("max_value"),
+        col("n_user_id").as("n_user"),
+        col("min_user_id").as("min_user"),
+        col("max_user_id").as("max_user"),
+        col("n_event_type").as("n_etype"),
+        col("min_event_type").as("min_etype"),
+        col("max_event_type").as("max_etype"),
+        col("n_tp_timestamp").as("n_ts"),
+        col("min_tp_timestamp").as("min_ts"),
+        col("max_tp_timestamp").as("max_ts"))
+    }),
+
+    // Join-key file skipping: the dim side's surviving keys (customer
+    // rows after a selective filter) prune fact files BEFORE the scan
+    // via the colstats zone ranges — the runtime-filter move at the
+    // file level (Spark's InjectRuntimeFilter prunes row groups inside
+    // files it already opened; this skips whole files). The require
+    // pins the measured cut; the DuckDB oracle recomputes the join
+    // from raw rows, so a file skipped in error (a key its zone range
+    // actually contains) breaks the hash — conservativeness gated the
+    // same way as qi28/qi29.
+    "qi32_join_pruned_scan" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi32"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_jp32", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+      // user_id-banded appends: per-file key ranges disjoint
+      for ((loB, hiB) <- Seq((Long.MinValue, 50L), (50L, 100L),
+          (100L, Long.MaxValue)))
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("user_id") >= loB && col("user_id") < hiB),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_jp32", Seq("user_id"))
+      val keys = Tables.load(s, dir, "customer")
+        .where(col("c_custkey").between(60, 90) &&
+          col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("user_id"))
+      val total = lake.dataFiles(s, "events_jp32").size
+      val pruned = lake.readJoinPruned(s, "events_jp32", "user_id", keys)
+      require(pruned.inputFiles.length > 0 &&
+        pruned.inputFiles.length < total,
+        s"join keys pruned nothing: ${pruned.inputFiles.length} of " +
+          s"$total files")
+      pruned.join(broadcast(keys), "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     "qi28_colstats_pruned_scan" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi28"
       rmrf(root)
@@ -1430,6 +1524,30 @@ object IngestQueries {
       WHERE event_id % 5 = 0
         AND cast(ts AS timestamp) >= timestamp '2024-01-12 00:00:00'
         AND cast(ts AS timestamp) < timestamp '2024-01-18 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
+
+    // the raw-row recompute of every metadata-served aggregate: a
+    // stale sidecar row, rounded long bound, or missed null breaks it
+    "qi31_metadata_only_aggregate" -> """
+      SELECT count(*) AS n_rows,
+             count(v) AS n_value, min(v) AS min_value, max(v) AS max_value,
+             count(user_id) AS n_user,
+             min(user_id) AS min_user, max(user_id) AS max_user,
+             count(event_type) AS n_etype,
+             min(event_type) AS min_etype, max(event_type) AS max_etype,
+             count(ts2) AS n_ts, min(ts2) AS min_ts, max(ts2) AS max_ts
+      FROM (SELECT CASE WHEN event_id % 20 = 0 THEN NULL
+                        ELSE value END AS v,
+                   user_id, event_type, cast(ts AS timestamp) AS ts2
+            FROM events WHERE event_id % 5 = 0)""",
+
+    // raw-row recompute of the join: a fact file skipped in error (a
+    // key its zone range actually contains) breaks this hash
+    "qi32_join_pruned_scan" -> """
+      SELECT e.user_id, count(*) AS n, round(sum(e.value), 2) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_id % 5 = 0
+        AND c.c_custkey BETWEEN 60 AND 90 AND c.c_custkey % 3 = 0
       GROUP BY 1 ORDER BY 1""",
 
     // first-seen = arg-min-by-id because the stream replays slices in

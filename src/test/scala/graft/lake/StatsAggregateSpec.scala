@@ -1,0 +1,224 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.config.PartitionSpec
+
+/** [[Lake.statsAggregate]]: count/min/max answered from the manifest +
+  * colstats sidecar, scan-free when covered, HYBRID (one residual scan
+  * over exactly the gap) when not. The property battery:
+  *
+  *  - exactness vs a direct scan on a multi-append fixture with nulls
+  *    and an all-null file, residual empty
+  *  - provably scan-free: data files physically corrupted after the
+  *    metadata exists, the metadata answer is still exact (a scan
+  *    would crash on the garbage bytes)
+  *  - hybrid: one file's sidecar rows removed → residual is exactly
+  *    that file, the combined answer unchanged
+  *  - an unrecorded live file (manifest never saw it) is residual and
+  *    its rows are counted — the manifest is not trusted for rows it
+  *    never recorded
+  *  - long columns whose zone bounds reach 2^53 are residual (double
+  *    bounds can round across the true extreme) and still exact
+  *
+  * The qi31 oracle gates the same exactness against DuckDB at sf0.01.
+  */
+class StatsAggregateSpec extends AnyFunSuite with SparkTest {
+
+  /** Three appends with disjoint v bands + one all-null-v file; v has
+    * scattered nulls (every 10th id), src is a string column.
+    */
+  private def fixture(): (Lake, String) = {
+    val lake = Lake(Files.createTempDirectory("graft_statsagg").toString)
+    val spec = PartitionSpec("sa", "p0", tpIndexColumn = Some("idx"))
+    def batch(lo: Int, n: Int) = {
+      val raw = spark.range(lo, lo + n).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id*1000)").as("tp_timestamp"),
+        lit("0").as("idx"),
+        when(col("id") % 10 === 0, lit(null))
+          .otherwise(col("id").cast("double")).as("v"),
+        concat(lit("s-"), lpad(col("id").cast("string"), 5, "0")).as("src"))
+      TpSchema.enrich(raw, spec)
+    }
+    def nullBatch(lo: Int, n: Int) = {
+      val raw = spark.range(lo, lo + n).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id*1000)").as("tp_timestamp"),
+        lit("0").as("idx"),
+        lit(null).cast("double").as("v"),
+        lit(null).cast("string").as("src"))
+      TpSchema.enrich(raw, spec)
+    }
+    lake.append(spark, "sa", batch(0, 100))
+    lake.append(spark, "sa", batch(100, 100))
+    lake.append(spark, "sa", batch(200, 100))
+    lake.append(spark, "sa", nullBatch(1000, 50))
+    lake.enableColumnStats(spark, "sa",
+      Seq("v", "src", "event_id", "tp_timestamp"))
+    (lake, "sa")
+  }
+
+  private val cols = Seq("v", "src", "event_id", "tp_timestamp")
+
+  /** The same aggregate computed by actually scanning the table. */
+  private def scanned(lake: Lake, t: String): Row = {
+    val df = lake.read(spark, t)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.agg(aggs.head, aggs.tail: _*).head()
+  }
+
+  private def assertMatches(meta: DataFrame, truth: Row): Unit = {
+    val m = meta.head()
+    val names = meta.schema.fieldNames
+    names.zipWithIndex.foreach { case (f, i) =>
+      assert(m.get(i) === truth.getAs[Any](f), s"field $f")
+    }
+  }
+
+  test("fully covered table answers exactly with zero residual files") {
+    val (lake, t) = fixture()
+    val truth = scanned(lake, t)
+    val (meta, residual) = lake.statsAggregateAudited(spark, t, cols)
+    assert(residual.isEmpty, s"expected scan-free, residual=$residual")
+    assertMatches(meta, truth)
+    // spot-check SQL semantics made it through: count ignores nulls,
+    // the all-null file contributes rows to n_rows only
+    val r = meta.head()
+    assert(r.getAs[Long]("n_rows") === 350L)
+    assert(r.getAs[Long]("n_v") === 270L) // 300 minus 30 null-ids, minus 0
+    assert(r.getAs[Long]("n_src") === 300L)
+    assert(r.getAs[Double]("min_v") === 1.0) // id 0 is a null slot
+    assert(r.getAs[Double]("max_v") === 299.0)
+    assert(r.getAs[String]("min_src") === "s-00000")
+    assert(r.getAs[String]("max_src") === "s-00299")
+  }
+
+  test("scan-free for real: data sections corrupted, metadata still answers") {
+    val (lake, t) = fixture()
+    val truth = scanned(lake, t) // computed BEFORE the corruption
+    // overwrite every file's DATA section (between the header magic and
+    // the footer metadata) with garbage: footers stay valid, so the
+    // one-footer schema inference works, but ANY row read decodes
+    // garbage — a correct answer proves the aggregate never scanned
+    lake.dataFiles(spark, t).foreach { p =>
+      val raf = new java.io.RandomAccessFile(p, "rw")
+      try {
+        val len = raf.length()
+        raf.seek(len - 8)
+        val b = new Array[Byte](4)
+        raf.readFully(b)
+        val footerLen = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val dataEnd = len - 8 - footerLen
+        if (dataEnd > 4) {
+          raf.seek(4)
+          raf.write(Array.fill((dataEnd - 4).toInt)(0x5a.toByte))
+        }
+      } finally raf.close()
+      // Hadoop's LocalFileSystem keeps a .crc sidecar; the raw edit
+      // above bypassed it — drop it so reads fail on parquet decode,
+      // not on the checksum layer
+      val file = new java.io.File(p)
+      new java.io.File(file.getParent, s".${file.getName}.crc").delete()
+    }
+    // the corruption is real: an actual scan now fails
+    intercept[Throwable] {
+      lake.read(spark, t).agg(sum(col("v"))).head()
+    }
+    val (meta, residual) = lake.statsAggregateAudited(spark, t, cols)
+    assert(residual.isEmpty)
+    assertMatches(meta, truth)
+  }
+
+  test("hybrid: a file missing sidecar rows is the exact residual set") {
+    val (lake, t) = fixture()
+    val truth = scanned(lake, t)
+    // strip one file's sidecar rows (rewrite the sidecar without them)
+    val victim = lake.fileStats(spark, t).orderBy("file")
+      .head().getString(0)
+    val sidecarDir = s"${lake.tableDir(t)}/_graft_colstats"
+    val kept = spark.read.parquet(sidecarDir)
+      .where(col("file") =!= victim)
+    val rows = kept.collect().toSeq
+    val schema = kept.schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(sidecarDir)
+    val (meta, residual) = lake.statsAggregateAudited(spark, t, cols)
+    assert(residual === Seq(victim))
+    assertMatches(meta, truth)
+  }
+
+  test("an unrecorded live file is residual and its rows are counted") {
+    val (lake, t) = fixture()
+    // clone a data file under a name the manifest has never seen
+    val f = new Path(lake.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val src = new Path(lake.dataFiles(spark, t).head)
+    val stray = new Path(src.getParent, "part-stray-duplicate.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f, stray, false,
+      spark.sparkContext.hadoopConfiguration)
+    val truth = scanned(lake, t) // read() lists the dir: stray included
+    val (meta, residual) = lake.statsAggregateAudited(spark, t, cols)
+    assert(residual === Seq(stray.toUri.getPath))
+    assertMatches(meta, truth)
+  }
+
+  test("long bounds at 2^53 force the residual scan and stay exact") {
+    val lake = Lake(Files.createTempDirectory("graft_statsagg53").toString)
+    val spec = PartitionSpec("big", "p0", tpIndexColumn = Some("idx"))
+    val big = (1L << 53) + 1L // not representable as a double
+    val raw = spark.range(0, 10).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-05 00:00:00'").as("tp_timestamp"),
+      lit("0").as("idx"),
+      (col("id") + lit(big)).as("huge"))
+    lake.append(spark, "big", TpSchema.enrich(raw, spec))
+    lake.enableColumnStats(spark, "big", Seq("huge"))
+    val (meta, residual) =
+      lake.statsAggregateAudited(spark, "big", Seq("huge"))
+    assert(residual.nonEmpty, "2^53-scale long bounds must not be " +
+      "served from double zones")
+    val r = meta.head()
+    assert(r.getAs[Long]("min_huge") === big)
+    assert(r.getAs[Long]("max_huge") === big + 9L)
+    assert(r.getAs[Long]("n_huge") === 10L)
+  }
+
+  test("tp_timestamp min/max is manifest-served; small longs are " +
+      "zone-served") {
+    val (lake, t) = fixture()
+    val (meta, residual) = lake.statsAggregateAudited(spark, t,
+      Seq("event_id", "tp_timestamp"))
+    assert(residual.isEmpty)
+    val r = meta.head()
+    assert(r.getAs[Long]("min_event_id") === 0L)
+    assert(r.getAs[Long]("max_event_id") === 1049L)
+    assert(r.getAs[java.sql.Timestamp]("min_tp_timestamp") ===
+      java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))
+    // max id is the null batch's 1049 → +1,049,000 s = 12d 3:23:20
+    assert(r.getAs[java.sql.Timestamp]("max_tp_timestamp") ===
+      java.sql.Timestamp.valueOf("2024-03-17 03:23:20"))
+  }
+
+  test("unknown column and empty-table guards") {
+    val (lake, t) = fixture()
+    intercept[IllegalArgumentException] {
+      lake.statsAggregate(spark, t, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      lake.statsAggregate(spark, "absent_table", Seq("v"))
+    }
+  }
+}
