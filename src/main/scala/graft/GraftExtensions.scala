@@ -21,11 +21,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // whole-table count/min/max over lake tables answered from the
+    // manifest+sidecar, scan-free. preCBO runs ONCE per query (the
+    // operator-optimization batch iterates to a fixed point, and the
+    // rule's metadata probe shouldn't be paid per iteration).
+    ext.injectPreCBORule(session =>
+      graft.lake.MetadataAggregateRule(session))
+  }
 }
 
 object GraftExtensions {

@@ -231,7 +231,7 @@ object ScaleRehearsal {
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
         "partition_stress", "stream", "wide_schema", "skewjoin",
         "stream_skew", "stream_state", "zorder", "bloomjoin",
-        "colprune", "timeprune"))
+        "colprune", "timeprune", "metaagg", "joinprune"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -681,6 +681,114 @@ object ScaleRehearsal {
         require(viewFiles * 4 <= fullFiles,
           s"a 2.5-day band over 30 days should prune >3/4 of files: " +
             s"$viewFiles/$fullFiles")
+      }
+
+      // ---- metadata-only aggregates: scan grows 10×, answer doesn't --
+      // The scale claim behind qi31/qi33: a whole-table
+      // count/count(c)/min/max through plain SQL is answered from the
+      // manifest + colstats sidecar (MetadataAggregateRule), so its
+      // cost is METADATA-sized while the honest scanning baseline grows
+      // with the data. Identity valve: both arms must agree exactly;
+      // the files-read pin must hold at every multiplier.
+      if (families("metaagg")) {
+        val n = EventsBase * m
+        val aroot = s"$root/metaagg_x$m"
+        rmrf(aroot)
+        val alake = graft.lake.Lake(aroot)
+        val aspec = graft.config.PartitionSpec("events_meta", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        record("metaagg_build", m, n, time {
+          for (i <- 0 until 8)
+            graft.ingest.Ingest.collectBatch(spark, alake, aspec,
+              src.where(col("value") >= i * 12.5 &&
+                col("value") < (i + 1) * 12.5),
+              timestampColumn = "ts")
+          alake.enableColumnStats(spark, "events_meta",
+            Seq("value", "user_id"))
+        })
+        def stockRead() = spark.read
+          .option("basePath", alake.tableDir("events_meta"))
+          .parquet(alake.tableDir("events_meta"))
+        def aggOf(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4), r.getLong(5))
+        if (m == mults.min) { stockRead().count(); () }
+        var fullR: (Long, Long, Double, Double, Long, Long) = null
+        record("metaagg_scan", m, n, time {
+          fullR = aggOf(stockRead().agg(count(lit(1)), count(col("value")),
+            min("value"), max("value"),
+            min("user_id"), max("user_id")).head())
+        })
+        var metaR: (Long, Long, Double, Double, Long, Long) = null
+        var metaFiles = -1L
+        record("metaagg_metadata", m, n, time {
+          graft.query.Views.register(spark, alake,
+            graft.query.Views.Filters())
+          val q = spark.sql("SELECT count(*), count(value), min(value), " +
+            "max(value), min(user_id), max(user_id) FROM events_meta")
+          val row = q.collect()(0)
+          metaR = aggOf(row)
+          metaFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        require(fullR == metaR && fullR._1 > 0,
+          s"metadata aggregate diverged from the scan: $fullR vs $metaR")
+        val fullFiles = stockRead().inputFiles.length
+        println(s"""{"family":"metaagg_files","mult":$m,""" +
+          s""""full_files":$fullFiles,"metadata_files":$metaFiles}""")
+        require(metaFiles == 0L,
+          s"metadata aggregate scanned $metaFiles files at x$m")
+      }
+
+      // ---- join-key file skipping at volume -------------------------
+      // The scale claim behind qi32: dim-side keys confined to one
+      // user_id band prune the fact scan to that band's files; the cut
+      // and the join identity must hold at 10×.
+      if (families("joinprune")) {
+        val n = EventsBase * m
+        val jroot = s"$root/joinprune_x$m"
+        rmrf(jroot)
+        val jlake = graft.lake.Lake(jroot)
+        val jspec = graft.config.PartitionSpec("events_jp", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        record("joinprune_build", m, n, time {
+          for (i <- 0 until 8) // user_id-banded: 8 slices of 125 ids
+            graft.ingest.Ingest.collectBatch(spark, jlake, jspec,
+              src.where(col("user_id") >= i * 125 &&
+                col("user_id") < (i + 1) * 125),
+              timestampColumn = "ts")
+          jlake.enableColumnStats(spark, "events_jp", Seq("user_id"))
+        })
+        // dim side: 40 keys inside band 4 (user_id 500..624)
+        val keys = spark.range(510, 590, 2).select(col("id").as("user_id"))
+        def joined(df: DataFrame): (Long, Double) = {
+          val r = df.join(broadcast(keys), "user_id")
+            .agg(count(lit(1)), sum("value")).head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        def stockRead() = spark.read
+          .option("basePath", jlake.tableDir("events_jp"))
+          .parquet(jlake.tableDir("events_jp"))
+        if (m == mults.min) { joined(stockRead()); () }
+        var fullR: (Long, Double) = null
+        record("joinprune_full", m, n, time { fullR = joined(stockRead()) })
+        var prunedR: (Long, Double) = null
+        var prunedFiles = -1
+        record("joinprune_pruned", m, n, time {
+          val pr = jlake.readJoinPruned(spark, "events_jp", "user_id", keys)
+          prunedFiles = pr.inputFiles.length
+          prunedR = joined(pr)
+        })
+        require(fullR._1 == prunedR._1 && fullR._1 > 0 &&
+          math.abs(fullR._2 - prunedR._2) <= 1e-6 * math.abs(fullR._2),
+          s"join-key pruning changed the result: $fullR vs $prunedR")
+        val fullFiles = stockRead().inputFiles.length
+        println(s"""{"family":"joinprune_files","mult":$m,""" +
+          s""""full_files":$fullFiles,"pruned_files":$prunedFiles}""")
+        require(prunedFiles * 4 <= fullFiles,
+          s"keys in 1 of 8 bands should prune >3/4 of files: " +
+            s"$prunedFiles/$fullFiles")
       }
 
       // ---- hot-key STREAMING interval join: plain vs salted --------

@@ -1941,8 +1941,34 @@ object Main {
               s"$hist (merged from per-file sketches, no scan)")
           }
         }
+      case Some("aggregate") =>
+        // count/min/max answered from the manifest + colstats sidecar
+        // — scan-free when every live file is covered, one bounded
+        // residual scan otherwise (Lake.statsAggregate scaladoc). The
+        // CLI face of the MetadataAggregateRule rewrite, for when the
+        // user wants the numbers (and the audit) without a SQL session.
+        val t = opts.positional.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "table aggregate requires a name"))
+        require(lake.tableExists(spark, t), s"no lake table '$t'")
+        val cols = opts.flag("columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(lake.colStatsColumns(spark, t))
+        require(cols.nonEmpty, "table aggregate requires --columns " +
+          "(or stats-enabled columns on the table)")
+        val (res, residual) = lake.statsAggregateAudited(spark, t, cols)
+        val row = res.head()
+        out.println(s"rows: ${row.getAs[Long]("n_rows")}")
+        cols.foreach { c =>
+          out.println(s"  column $c: count=${row.getAs[Long](s"n_$c")}" +
+            s" min=${Option(row.getAs[Any](s"min_$c")).getOrElse("-")}" +
+            s" max=${Option(row.getAs[Any](s"max_$c")).getOrElse("-")}")
+        }
+        out.println(
+          if (residual.isEmpty) "served from metadata (no data scan)"
+          else s"metadata + residual scan of ${residual.size} file(s)")
       case other => throw new IllegalArgumentException(
-        s"table: expected list|show|diff|snapshot|analyze, " +
+        s"table: expected list|show|diff|snapshot|analyze|aggregate, " +
           s"got ${other.getOrElse("nothing")}")
     }
 

@@ -1174,6 +1174,29 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       columns: Seq[String]): DataFrame =
     statsAggregateAudited(spark, table, columns)._1
 
+  import Lake.StatsAggParts
+
+  /** Metadata-only answer when EVERY live file is covered; None when a
+    * residual scan would be needed (or the table has no data). Runs
+    * only metadata-sized jobs — safe to call from an optimizer rule.
+    * `columns` may be empty (a pure `count(*)`: manifest row counts +
+    * the unrecorded-file check). `rangeColumns` is the subset whose
+    * min/max is actually wanted — a count-only column (say a decimal
+    * or a struct) needs just the sidecar's null/row counts, and
+    * demanding zone ranges for it would decline queries the metadata
+    * CAN answer.
+    */
+  private[lake] def statsAggregateIfCovered(
+      spark: SparkSession, table: String,
+      columns: Seq[String],
+      rangeColumns: Set[String]): Option[StatsAggParts] = {
+    if (!hasData(spark, table)) return None
+    val schema = schemaOf(spark, table)
+    if (!columns.forall(schema.fieldNames.contains)) return None
+    val parts = statsAggParts(spark, table, columns, schema, rangeColumns)
+    if (parts.residual.nonEmpty) None else Some(parts)
+  }
+
   /** [[statsAggregate]] plus the audit trail: the residual files the
     * metadata could not answer for (empty = the aggregate was served
     * entirely scan-free). The qi31 oracle and LakeSpec pin on it.
@@ -1187,6 +1210,59 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     val schema = schemaOf(spark, table)
     columns.foreach(c => require(schema.fieldNames.contains(c),
       s"statsAggregate: table '$table' has no column '$c'"))
+    def dtOf(c: String): DataType = schema(c).dataType
+    val parts = statsAggParts(spark, table, columns, schema,
+      rangeColumns = columns.toSet)
+    var nRows: Long = parts.nRows
+    val cnt = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    parts.counts.foreach { case (c, n) => cnt(c) = n }
+    val mn = scala.collection.mutable.Map[String, Any]() ++ parts.mins
+    val mx = scala.collection.mutable.Map[String, Any]() ++ parts.maxs
+    def lt(dt: DataType, a: Any, b: Any): Boolean =
+      Lake.statsLt(dt, a, b)
+    def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
+      if (lo != null && (!mn.contains(c) || lt(dt, lo, mn(c)))) mn(c) = lo
+      if (hi != null && (!mx.contains(c) || lt(dt, mx(c), hi))) mx(c) = hi
+    }
+
+    // ---- residual scan: ONE aggregate job over exactly the gap ----
+    if (parts.residual.nonEmpty) {
+      val df = spark.read.option("basePath", tableDir(table))
+        .parquet(parts.residual: _*)
+      val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+        count(col(c)).as(s"__c_$c"),
+        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      nRows += r.getAs[Long]("__n")
+      columns.foreach { c =>
+        cnt(c) += r.getAs[Long](s"__c_$c")
+        merge(c, dtOf(c), r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+      }
+    }
+
+    val fields = StructField("n_rows", LongType, nullable = false) +:
+      columns.flatMap { c =>
+        Seq(StructField(s"n_$c", LongType, nullable = false),
+          StructField(s"min_$c", dtOf(c)),
+          StructField(s"max_$c", dtOf(c)))
+      }
+    val values: Seq[Any] = nRows +: columns.flatMap(c =>
+      Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(values)),
+      StructType(fields))
+    (out, parts.residual)
+  }
+
+  /** Core: metadata partials + the residual list. Metadata-sized jobs
+    * only (the manifest read and one sidecar aggregate); never touches
+    * data files.
+    */
+  private def statsAggParts(
+      spark: SparkSession, table: String,
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String]): StatsAggParts = {
     def dtOf(c: String): DataType = schema(c).dataType
     def minMaxFromZones(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType |
@@ -1231,6 +1307,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // immutable, so a mismatch means a stale or foreign row)
       val countOk = cov.exists(r => r.getLong(3) == rows)
       if (!countOk) return false
+      if (!rangeColumns(c)) return true // count-only: null/row counts do
       if (c == TpSchema.Timestamp) return true // min/max manifest-served
       val dt = dtOf(c)
       minMaxFromZones(dt) && (dt match {
@@ -1262,15 +1339,6 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       case FloatType => d.toFloat
       case _ => d
     }
-    def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
-      case FloatType | DoubleType =>
-        a.asInstanceOf[Number].doubleValue < b.asInstanceOf[Number].doubleValue
-      case StringType => a.asInstanceOf[String] < b.asInstanceOf[String]
-      case TimestampType | TimestampNTZType =>
-        a.asInstanceOf[Timestamp].compareTo(b.asInstanceOf[Timestamp]) < 0
-      case _ =>
-        a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
-    }
 
     var nRows: Long = covered.map(_.getLong(1)).sum
     val cnt = scala.collection.mutable.Map[String, Long]()
@@ -1278,8 +1346,10 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     val mn = scala.collection.mutable.Map[String, Any]()
     val mx = scala.collection.mutable.Map[String, Any]()
     def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
-      if (lo != null && (!mn.contains(c) || lt(dt, lo, mn(c)))) mn(c) = lo
-      if (hi != null && (!mx.contains(c) || lt(dt, mx(c), hi))) mx(c) = hi
+      if (lo != null &&
+        (!mn.contains(c) || Lake.statsLt(dt, lo, mn(c)))) mn(c) = lo
+      if (hi != null &&
+        (!mx.contains(c) || Lake.statsLt(dt, mx(c), hi))) mx(c) = hi
     }
     covered.foreach { m =>
       val file = m.getString(0)
@@ -1287,7 +1357,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         val r = sidecar((file, c))
         cnt(c) += r.getLong(3) - r.getLong(2)
         val dt = dtOf(c)
-        if (c == TpSchema.Timestamp)
+        if (!rangeColumns(c)) () // count-only column: no range merge
+        else if (c == TpSchema.Timestamp)
           merge(c, dt,
             if (m.isNullAt(2)) null else m.getTimestamp(2),
             if (m.isNullAt(3)) null else m.getTimestamp(3))
@@ -1301,34 +1372,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
             if (r.isNullAt(5)) null else fromDouble(dt, r.getDouble(5)))
       }
     }
-
-    // ---- residual scan: ONE aggregate job over exactly the gap ----
-    if (residual.nonEmpty) {
-      val df = spark.read.option("basePath", tableDir(table))
-        .parquet(residual: _*)
-      val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
-        count(col(c)).as(s"__c_$c"),
-        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-      val r = df.agg(aggs.head, aggs.tail: _*).head()
-      nRows += r.getAs[Long]("__n")
-      columns.foreach { c =>
-        cnt(c) += r.getAs[Long](s"__c_$c")
-        merge(c, dtOf(c), r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
-      }
-    }
-
-    val fields = StructField("n_rows", LongType, nullable = false) +:
-      columns.flatMap { c =>
-        Seq(StructField(s"n_$c", LongType, nullable = false),
-          StructField(s"min_$c", dtOf(c)),
-          StructField(s"max_$c", dtOf(c)))
-      }
-    val values: Seq[Any] = nRows +: columns.flatMap(c =>
-      Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(Row.fromSeq(values)),
-      StructType(fields))
-    (out, residual)
+    StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap, residual)
   }
 
   /** Newest-seq per-(file, column) zone ranges from the colstats
@@ -1434,7 +1478,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     if (leaves.isEmpty) return plain
     val zoneIdx = new ZoneMapFileIndex(idx,
       () => loadZoneMaps(spark, table),
-      () => loadTsZones(spark, table))
+      () => loadTsZones(spark, table),
+      // owner only for WHOLE-table reads: a pre-pruned root set (the
+      // time-pruned survivors) must never let the metadata-aggregate
+      // rule answer for files the relation doesn't cover
+      owner = if (roots == Seq(tableDir(table))) Some((this, table))
+        else None)
     // non-evolved tables have a uniform file schema (the drift check
     // enforces it at ingest), so one footer yields the data schema.
     // Read it through the FileStatus, NOT a path string: a Hive-escaped
@@ -1612,6 +1661,42 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
 }
 
 object Lake {
+
+  /** The metadata-served portion of a stats aggregate: totals over the
+    * files the manifest+sidecar answer EXACTLY, plus the residual file
+    * list they cannot. Shared core of `statsAggregateAudited` (which
+    * scans the residual and combines) and `statsAggregateIfCovered`
+    * (the optimizer-rule feed, which declines instead of scanning).
+    */
+  private[lake] final case class StatsAggParts(
+      nRows: Long,
+      counts: Map[String, Long],
+      mins: Map[String, Any],
+      maxs: Map[String, Any],
+      residual: Seq[String])
+
+  /** Value ordering for stats merging, by column type: integrals
+    * compare as longs, floats as doubles, strings in UTF8 BINARY order
+    * (the order Spark's min/max computed the per-file extremes in —
+    * Java UTF-16 order differs above the BMP, and merging in a
+    * different total order than the one the inputs were reduced in
+    * could pick the wrong global extreme), timestamps via compareTo.
+    */
+  private[lake] def statsLt(dt: DataType, a: Any, b: Any): Boolean =
+    dt match {
+      case FloatType | DoubleType =>
+        a.asInstanceOf[Number].doubleValue <
+          b.asInstanceOf[Number].doubleValue
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String]).compareTo(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String])) < 0
+      case TimestampType | TimestampNTZType =>
+        a.asInstanceOf[Timestamp].compareTo(b.asInstanceOf[Timestamp]) < 0
+      case _ =>
+        a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    }
 
   /** Equi-height histogram bin count for the catalog column stats —
     * a quarter of Spark's ANALYZE default (254): the sidecar merge is

@@ -1,0 +1,151 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Answer whole-table `count(*) / count(c) / min(c) / max(c)` SQL from
+  * lake metadata — the query-path face of [[Lake.statsAggregate]], so a
+  * user typing `SELECT count(*), max(value) FROM t` against a
+  * registered view gets the manifest+sidecar answer with ZERO data-file
+  * reads. Spark's own `OptimizeMetadataOnlyQuery` serves only
+  * partition-column aggregates from listings; Delta rewrites
+  * count/min/max from its transaction log the same way this rule does
+  * from the `_graft_colstats` sidecar. At 100 TB the difference is a
+  * full-corpus scan vs a metadata read.
+  *
+  * Fires ONLY when every piece is provably exact:
+  *
+  *  - the plan is an ungrouped [[Aggregate]] whose child reaches a
+  *    [[ZoneMapFileIndex]]-backed lake relation through at most
+  *    column-pruning projections — any Filter, grouping, join, or
+  *    expression in between keeps the plan untouched
+  *  - every output is a non-distinct, unfiltered `count(literal)`,
+  *    `count(col)`, `min(col)`, `max(col)` (or a constant)
+  *  - the relation covers the WHOLE table ([[ZoneMapFileIndex.owner]]
+  *    is set only for full-table reads, never pre-pruned subsets)
+  *  - [[Lake.statsAggregateIfCovered]] confirms EVERY live file is
+  *    metadata-answerable (sidecar rows present and trusted, no
+  *    unrecorded files, long bounds under 2^53, supported types) —
+  *    otherwise the rule DECLINES rather than scan at optimize time,
+  *    and the query runs its normal plan
+  *
+  * The metadata probe itself is metadata-sized (a manifest read and
+  * one sidecar aggregate) and runs only after the full structural
+  * match, so non-candidate queries pay a pattern match and nothing
+  * else. The rewrite replaces the aggregate with a one-row
+  * [[LocalRelation]] carrying the same attribute ids, types and
+  * nullability, so downstream operators and reuse are unaffected.
+  * The qi33 oracle gates exactness (DuckDB recomputes from raw rows)
+  * and pins files-read == 0 through the SQL path.
+  */
+final case class MetadataAggregateRule(session: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  import MetadataAggregateRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      rewrite(agg).getOrElse(agg)
+  }
+
+  /** Descend through alias/view wrappers and PURE column-pruning
+    * projections to the relation; anything else disqualifies.
+    */
+  private def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case s: SubqueryAlias => unwrap(s.child)
+    case v: View => unwrap(v.child)
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(pr.child)
+    case lr: LogicalRelation => Some(lr)
+    case _ => None
+  }
+
+  private def classify(e: NamedExpression): Option[Spec] = e match {
+    case Alias(ae: AggregateExpression, _) => classifyAgg(ae)
+    case Alias(l: Literal, _) => Some(Passthrough(l.value))
+    case _ => None
+  }
+
+  private def classifyAgg(ae: AggregateExpression): Option[Spec] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) if l.value != null => Some(CountStar)
+      case Count(Seq(a: AttributeReference)) => Some(CountCol(a))
+      case Min(a: AttributeReference) => Some(MinCol(a))
+      case Max(a: AttributeReference) => Some(MaxCol(a))
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val lr = unwrap(agg.child).getOrElse(return None)
+    val (lake, table) = (lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case z: ZoneMapFileIndex => z.owner
+        case _ => None
+      }
+      case _ => None
+    }).getOrElse(return None)
+    val specs = agg.aggregateExpressions.map(classify)
+    if (specs.exists(_.isEmpty)) return None
+    val flat = specs.flatten
+    val cols = flat.collect {
+      case CountCol(a) => a.name
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.distinct
+    // count-only columns need just the sidecar's null/row counts; only
+    // min/max targets must also have exact zone ranges
+    val rangeCols = flat.collect {
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.toSet
+    val parts = lake.statsAggregateIfCovered(session, table, cols,
+      rangeCols).getOrElse(return None)
+    val values: Seq[Any] = flat.map {
+      case CountStar => parts.nRows
+      case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
+      case MinCol(a) =>
+        CatalystTypeConverters.convertToCatalyst(
+          parts.mins.get(a.name).orNull)
+      case MaxCol(a) =>
+        CatalystTypeConverters.convertToCatalyst(
+          parts.maxs.get(a.name).orNull)
+      case Passthrough(v) => v // Literal.value is already internal
+    }
+    logInfo(s"metadata-aggregate rewrite fired for lake table '$table': " +
+      s"${flat.size} aggregates answered from the manifest+sidecar")
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      Seq(InternalRow.fromSeq(values))))
+  }
+}
+
+object MetadataAggregateRule {
+
+  private sealed trait Spec
+  private case object CountStar extends Spec
+  private final case class CountCol(a: AttributeReference) extends Spec
+  private final case class MinCol(a: AttributeReference) extends Spec
+  private final case class MaxCol(a: AttributeReference) extends Spec
+  private final case class Passthrough(value: Any) extends Spec
+
+  /** Idempotent per-session install into
+    * `spark.experimental.extraOptimizations` — the embedded/library
+    * twin of the `spark.sql.extensions` deployment in GraftExtensions.
+    * Called from `Views.register`, so every session that registers
+    * lake views gets the rewrite.
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[MetadataAggregateRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          MetadataAggregateRule(spark)
+  }
+}

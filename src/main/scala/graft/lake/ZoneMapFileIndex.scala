@@ -68,10 +68,16 @@ private[lake] final case class ColumnZone(
   * differ above the BMP) because that is the order Spark's min/max
   * computed the sidecar bounds in.
   */
+/** @param owner the (lake, table) this index scans ALL live files of —
+  *   set only for whole-table reads, never for pre-pruned subsets, so
+  *   [[MetadataAggregateRule]] can safely answer whole-table aggregates
+  *   from the owner's metadata.
+  */
 private[lake] class ZoneMapFileIndex(
     delegate: FileIndex,
     loadZones: () => Map[String, Map[String, ColumnZone]],
-    loadTsZones: () => Map[String, Map[String, ColumnZone]] = () => Map.empty)
+    loadTsZones: () => Map[String, Map[String, ColumnZone]] = () => Map.empty,
+    val owner: Option[(Lake, String)] = None)
   extends FileIndex {
 
   private lazy val zones: Map[String, Map[String, ColumnZone]] = loadZones()

@@ -922,6 +922,53 @@ object IngestQueries {
         col("max_tp_timestamp").as("max_ts"))
     }),
 
+    // The SQL-path face of qi31: a user typing plain `SELECT count(*),
+    // min(v), max(v) ...` against the registered view gets the
+    // manifest+sidecar answer with ZERO data-file reads — the
+    // MetadataAggregateRule rewrite (installed by Views.register),
+    // pinned by the in-query require on ScanAudit's file metric. The
+    // DuckDB oracle recomputes every aggregate from raw rows, so a
+    // rewrite that fires when metadata is stale or incomplete breaks
+    // the hash — the decline-unless-provably-exact gate is the tested
+    // property.
+    "qi33_sql_metadata_aggregate" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi33"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_meta33", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"),
+          when(col("event_id") % 20 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val bands = Seq(
+        col("value").isNull || col("value") < 40.0,
+        col("value") >= 40.0 && col("value") < 80.0,
+        col("value") >= 80.0)
+      for (b <- bands)
+        Ingest.collectBatch(s, lake, spec, src.where(b),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_meta33",
+        Seq("value", "user_id", "event_type", "tp_timestamp"))
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT count(*) AS n_rows,
+               count(value) AS n_value,
+               min(value) AS min_value, max(value) AS max_value,
+               count(user_id) AS n_user,
+               min(user_id) AS min_user, max(user_id) AS max_user,
+               min(event_type) AS min_etype, max(event_type) AS max_etype,
+               min(tp_timestamp) AS min_ts, max(tp_timestamp) AS max_ts
+        FROM events_meta33""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0L,
+        s"metadata aggregate through SQL still scanned $files files")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1536,6 +1583,20 @@ object IngestQueries {
              count(event_type) AS n_etype,
              min(event_type) AS min_etype, max(event_type) AS max_etype,
              count(ts2) AS n_ts, min(ts2) AS min_ts, max(ts2) AS max_ts
+      FROM (SELECT CASE WHEN event_id % 20 = 0 THEN NULL
+                        ELSE value END AS v,
+                   user_id, event_type, cast(ts AS timestamp) AS ts2
+            FROM events WHERE event_id % 5 = 0)""",
+
+    // raw-row recompute of the SQL-path metadata aggregate: a rewrite
+    // fired on stale/incomplete metadata breaks this hash
+    "qi33_sql_metadata_aggregate" -> """
+      SELECT count(*) AS n_rows,
+             count(v) AS n_value, min(v) AS min_value, max(v) AS max_value,
+             count(user_id) AS n_user,
+             min(user_id) AS min_user, max(user_id) AS max_user,
+             min(event_type) AS min_etype, max(event_type) AS max_etype,
+             min(ts2) AS min_ts, max(ts2) AS max_ts
       FROM (SELECT CASE WHEN event_id % 20 = 0 THEN NULL
                         ELSE value END AS v,
                    user_id, event_type, cast(ts AS timestamp) AS ts2

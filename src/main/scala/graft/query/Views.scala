@@ -77,6 +77,9 @@ object Views {
     */
   def register(spark: SparkSession, lake: Lake, f: Filters,
       rollups: Seq[graft.config.RollupSpec] = Seq.empty): Seq[String] = {
+    // whole-table count/min/max SQL answers from the manifest+sidecar
+    // (scan-free) once views exist — idempotent per session
+    graft.lake.MetadataAggregateRule.install(spark)
     // a table whose every row was deleted still has a directory (and
     // manifest) but no data files — spark.read would fail schema
     // inference and one emptied table would break the whole session.

@@ -428,6 +428,13 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc2 == 0, rep)
     assert(rep.contains("column status_code: ~2 distinct, 0 null"), rep)
     assert(rep.contains("equi-height histogram 64 bins"), rep)
+    // table aggregate: the metadata-served count/min/max (defaults to
+    // the stats-enabled columns); the audit line pins scan-freeness
+    val (rc3, agg) = cli(dir, "table", "aggregate", "metrics")
+    assert(rc3 == 0, agg)
+    assert(agg.contains("rows: 3"), agg)
+    assert(agg.contains("column status_code: count=3 min=200 max=404"), agg)
+    assert(agg.contains("served from metadata (no data scan)"), agg)
   }
 
   test("grok end-to-end: config-driven collect of a dated log file") {

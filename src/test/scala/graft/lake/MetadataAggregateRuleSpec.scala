@@ -1,0 +1,184 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.config.PartitionSpec
+import graft.query.{ScanAudit, Views}
+
+/** [[MetadataAggregateRule]]: whole-table count/min/max SQL answered
+  * from the manifest + colstats sidecar with zero data-file reads —
+  * and, just as important, every case where it must NOT fire: filters,
+  * grouping, distinct, unsupported aggregates, missing coverage,
+  * pre-pruned relations. Exactness of the fired path is additionally
+  * DuckDB-gated by qi33.
+  */
+class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
+
+  /** Banded fixture with nulls: ids 0..299 over three appends (every
+    * 10th v is null) plus a 50-row all-null-v file.
+    */
+  private def fixture(): (Lake, String) = {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg").toString)
+    val spec = PartitionSpec("ma", "p0", tpIndexColumn = Some("idx"))
+    def batch(lo: Int, n: Int, nullV: Boolean = false) = {
+      val raw = spark.range(lo, lo + n).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id*1000)").as("tp_timestamp"),
+        lit("0").as("idx"),
+        (if (nullV) lit(null).cast("double")
+         else when(col("id") % 10 === 0, lit(null))
+           .otherwise(col("id").cast("double"))).as("v"),
+        concat(lit("s-"), lpad(col("id").cast("string"), 5, "0")).as("src"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (lo <- Seq(0, 100, 200)) lake.append(spark, "ma", batch(lo, 100))
+    lake.append(spark, "ma", batch(1000, 50, nullV = true))
+    lake.enableColumnStats(spark, "ma",
+      Seq("v", "src", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    (lake, "ma")
+  }
+
+  /** Ground truth through the PLAIN parquet reader (no zone index, so
+    * the rule cannot touch it).
+    */
+  private def truth(lake: Lake, t: String): Row = {
+    val df = spark.read.option("basePath", lake.tableDir(t))
+      .parquet(lake.tableDir(t))
+    df.agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min(col("v")).as("mnv"), max(col("v")).as("mxv"),
+      min(col("src")).as("mns"), max(col("src")).as("mxs"),
+      min(col("tp_timestamp")).as("mnt"),
+      max(col("tp_timestamp")).as("mxt")).head()
+  }
+
+  test("whole-table count/min/max SQL reads ZERO data files") {
+    val (lake, t) = fixture()
+    val want = truth(lake, t)
+    val q = spark.sql(s"""
+      SELECT count(*) AS n, count(v) AS nv, min(v) AS mnv, max(v) AS mxv,
+             min(src) AS mns, max(src) AS mxs,
+             min(tp_timestamp) AS mnt, max(tp_timestamp) AS mxt
+      FROM $t""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 0, s"metadata aggregate still scanned $files files")
+    assert(q.head() === want)
+  }
+
+  test("DataFrame-API whole-table aggregate is rewritten too") {
+    val (lake, t) = fixture()
+    val q = lake.read(spark, t).agg(
+      count(lit(1)).as("n"), max(col("v")).as("mxv"))
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 0)
+    val r = q.head()
+    assert(r.getLong(0) === 350L)
+    assert(r.getDouble(1) === 299.0)
+  }
+
+  test("a WHERE clause keeps the normal scanning plan") {
+    val (lake, t) = fixture()
+    val q = spark.sql(s"SELECT count(*) AS n FROM $t WHERE v > 150.0")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0, "filtered aggregate must not be metadata-served")
+    assert(q.head().getLong(0) ===
+      (151 to 299).count(_ % 10 != 0).toLong)
+  }
+
+  test("grouping, distinct, and unsupported aggregates decline") {
+    val (lake, t) = fixture()
+    val grouped = spark.sql(
+      s"SELECT idx, count(*) AS n FROM $t GROUP BY idx")
+    assert(ScanAudit.filesReadAfterRun(grouped) > 0)
+    val distinct = spark.sql(
+      s"SELECT count(DISTINCT v) AS n FROM $t")
+    assert(ScanAudit.filesReadAfterRun(distinct) > 0)
+    val summed = spark.sql(
+      s"SELECT count(*) AS n, sum(v) AS sv FROM $t")
+    assert(ScanAudit.filesReadAfterRun(summed) > 0)
+    // and each still answers correctly through the normal plan
+    assert(summed.head().getLong(0) === 350L)
+  }
+
+  test("missing sidecar coverage declines (normal plan, same answer)") {
+    val (lake, t) = fixture()
+    val want = truth(lake, t)
+    // strip one file's sidecar rows
+    val victim = lake.fileStats(spark, t).orderBy("file").head().getString(0)
+    val sidecarDir = s"${lake.tableDir(t)}/_graft_colstats"
+    val kept = spark.read.parquet(sidecarDir)
+      .where(col("file") =!= victim)
+    val rows = kept.collect().toSeq
+    val schema = kept.schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(sidecarDir)
+    val q = spark.sql(s"SELECT count(*) AS n, min(v) AS mnv FROM $t")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0, "uncovered table must scan, not trust metadata")
+    assert(q.head().getLong(0) === want.getAs[Long]("n"))
+    assert(q.head().getDouble(1) === want.getAs[Double]("mnv"))
+  }
+
+  test("count(*)-only needs no sidecar at all (manifest-served)") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_ns").toString)
+    val spec = PartitionSpec("ns", "p0", tpIndexColumn = Some("idx"))
+    val raw = spark.range(0, 123).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-05 00:00:00'").as("tp_timestamp"),
+      lit("0").as("idx"))
+    lake.append(spark, "ns", TpSchema.enrich(raw, spec))
+    Views.register(spark, lake, Views.Filters())
+    val q = spark.sql("SELECT count(*) AS n FROM ns")
+    assert(ScanAudit.filesReadAfterRun(q) === 0)
+    assert(q.head().getLong(0) === 123L)
+  }
+
+  test("count-only columns need no zone ranges; their min/max declines") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_co").toString)
+    val spec = PartitionSpec("co", "p0", tpIndexColumn = Some("idx"))
+    val raw = spark.range(0, 80).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-05 00:00:00' + " +
+        "make_interval(0,0,0,0,0,0, id*90000)").as("tp_timestamp"),
+      lit("0").as("idx"))
+    lake.append(spark, "co", TpSchema.enrich(raw, spec))
+    // tp_date is DateType: zone ranges are unsupported for it, but the
+    // sidecar's null/row counts still serve count(tp_date)
+    lake.enableColumnStats(spark, "co", Seq("tp_date"))
+    Views.register(spark, lake, Views.Filters())
+    val counted = spark.sql("SELECT count(tp_date) AS n FROM co")
+    assert(ScanAudit.filesReadAfterRun(counted) === 0)
+    assert(counted.head().getLong(0) === 80L)
+    val ranged = spark.sql("SELECT min(tp_date) AS d FROM co")
+    assert(ScanAudit.filesReadAfterRun(ranged) > 0,
+      "DateType min/max must scan, not trust double zones")
+    assert(ranged.head().getDate(0) ===
+      java.sql.Date.valueOf("2024-03-05"))
+  }
+
+  test("metadata answer stays consistent through append and delete") {
+    val (lake, t) = fixture()
+    val spec = PartitionSpec(t, "p0", tpIndexColumn = Some("idx"))
+    val more = spark.range(5000, 5010).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-06-01 00:00:00'").as("tp_timestamp"),
+      lit("0").as("idx"),
+      col("id").cast("double").as("v"),
+      lit("zzz").as("src"))
+    lake.append(spark, t, TpSchema.enrich(more, spec))
+    val q = spark.sql(s"SELECT count(*) AS n, max(v) AS mxv, " +
+      s"max(src) AS mxs FROM $t")
+    assert(ScanAudit.filesReadAfterRun(q) === 0)
+    val r = q.head()
+    assert(r.getLong(0) === 360L)
+    assert(r.getDouble(1) === 5009.0)
+    assert(r.getString(2) === "zzz")
+  }
+}
