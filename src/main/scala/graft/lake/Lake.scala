@@ -1255,14 +1255,59 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     (out, parts.residual)
   }
 
-  /** Core: metadata partials + the residual list. Metadata-sized jobs
-    * only (the manifest read and one sidecar aggregate); never touches
-    * data files.
-    */
+  /** Ungrouped core: one partial over all covered files. */
   private def statsAggParts(
       spark: SparkSession, table: String,
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String]): StatsAggParts = {
+    val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
+      schema, rangeColumns, _ => Nil)
+    groups.values.headOption
+      .map(_.copy(residual = residual))
+      .getOrElse(StatsAggParts(0L, Map.empty, Map.empty, Map.empty,
+        residual))
+  }
+
+  /** Metadata-only GROUPED answer over partition columns — per-group
+    * count/min/max from the manifest+sidecar, the grouped twin of
+    * [[statsAggregateIfCovered]]. Group keys are the files' DIRECTORY
+    * values (exactly the values the scan would surface: partitionBy
+    * strips the columns from the files, so directory truth IS column
+    * truth). None when any live file is uncovered, any group column
+    * isn't a physical partition column, or the table has no data.
+    * Keys are the raw (Hive-unescaped) directory strings in
+    * `groupCols` order; `__HIVE_DEFAULT_PARTITION__` means null.
+    */
+  private[lake] def statsAggregateGroupedIfCovered(
+      spark: SparkSession, table: String,
+      groupCols: Seq[String], columns: Seq[String],
+      rangeColumns: Set[String])
+      : Option[Seq[(Seq[String], StatsAggParts)]] = {
+    if (groupCols.isEmpty ||
+      !groupCols.forall(TpSchema.partitionCols.contains)) return None
+    if (!hasData(spark, table)) return None
+    val schema = schemaOf(spark, table)
+    if (!columns.forall(schema.fieldNames.contains)) return None
+    val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
+      schema, rangeColumns,
+      f => {
+        val pv = partitionValues(relOf(table, f))
+        groupCols.map(pv.getOrElse(_, null))
+      })
+    if (residual.nonEmpty) None else Some(groups.toSeq)
+  }
+
+  /** Core: per-group metadata partials + the global residual list.
+    * Metadata-sized jobs only (the manifest read and one sidecar
+    * aggregate); never touches data files. `groupOf` maps a file path
+    * to its group key (Nil = one global group).
+    */
+  private def statsAggPartsGrouped(
+      spark: SparkSession, table: String,
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String],
+      groupOf: String => Seq[String])
+      : (Map[Seq[String], StatsAggParts], Seq[String]) = {
     def dtOf(c: String): DataType = schema(c).dataType
     def minMaxFromZones(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType |
@@ -1340,39 +1385,43 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       case _ => d
     }
 
-    var nRows: Long = covered.map(_.getLong(1)).sum
-    val cnt = scala.collection.mutable.Map[String, Long]()
-      .withDefaultValue(0L)
-    val mn = scala.collection.mutable.Map[String, Any]()
-    val mx = scala.collection.mutable.Map[String, Any]()
-    def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
-      if (lo != null &&
-        (!mn.contains(c) || Lake.statsLt(dt, lo, mn(c)))) mn(c) = lo
-      if (hi != null &&
-        (!mx.contains(c) || Lake.statsLt(dt, mx(c), hi))) mx(c) = hi
-    }
-    covered.foreach { m =>
-      val file = m.getString(0)
-      columns.foreach { c =>
-        val r = sidecar((file, c))
-        cnt(c) += r.getLong(3) - r.getLong(2)
-        val dt = dtOf(c)
-        if (!rangeColumns(c)) () // count-only column: no range merge
-        else if (c == TpSchema.Timestamp)
-          merge(c, dt,
-            if (m.isNullAt(2)) null else m.getTimestamp(2),
-            if (m.isNullAt(3)) null else m.getTimestamp(3))
-        else if (dt == StringType)
-          merge(c, dt,
-            if (r.isNullAt(6)) null else r.getString(6),
-            if (r.isNullAt(7)) null else r.getString(7))
-        else
-          merge(c, dt,
-            if (r.isNullAt(4)) null else fromDouble(dt, r.getDouble(4)),
-            if (r.isNullAt(5)) null else fromDouble(dt, r.getDouble(5)))
+    val groups = covered.groupBy(m => groupOf(m.getString(0)))
+      .map { case (key, rows) =>
+        val nRows: Long = rows.map(_.getLong(1)).sum
+        val cnt = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
+        val mn = scala.collection.mutable.Map[String, Any]()
+        val mx = scala.collection.mutable.Map[String, Any]()
+        def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
+          if (lo != null &&
+            (!mn.contains(c) || Lake.statsLt(dt, lo, mn(c)))) mn(c) = lo
+          if (hi != null &&
+            (!mx.contains(c) || Lake.statsLt(dt, mx(c), hi))) mx(c) = hi
+        }
+        rows.foreach { m =>
+          val file = m.getString(0)
+          columns.foreach { c =>
+            val r = sidecar((file, c))
+            cnt(c) += r.getLong(3) - r.getLong(2)
+            val dt = dtOf(c)
+            if (!rangeColumns(c)) () // count-only column: no range merge
+            else if (c == TpSchema.Timestamp)
+              merge(c, dt,
+                if (m.isNullAt(2)) null else m.getTimestamp(2),
+                if (m.isNullAt(3)) null else m.getTimestamp(3))
+            else if (dt == StringType)
+              merge(c, dt,
+                if (r.isNullAt(6)) null else r.getString(6),
+                if (r.isNullAt(7)) null else r.getString(7))
+            else
+              merge(c, dt,
+                if (r.isNullAt(4)) null else fromDouble(dt, r.getDouble(4)),
+                if (r.isNullAt(5)) null else fromDouble(dt, r.getDouble(5)))
+          }
+        }
+        key -> StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap, Nil)
       }
-    }
-    StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap, residual)
+    (groups, residual)
   }
 
   /** Newest-seq per-(file, column) zone ranges from the colstats

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Answer whole-table `count(*) / count(c) / min(c) / max(c)` SQL from
   * lake metadata — the query-path face of [[Lake.statsAggregate]], so a
@@ -52,6 +53,14 @@ final case class MetadataAggregateRule(session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
       rewrite(agg).getOrElse(agg)
+    case agg: Aggregate
+        if agg.groupingExpressions.forall(g =>
+          g.isInstanceOf[AttributeReference] &&
+            graft.lake.TpSchema.partitionCols.contains(
+              g.asInstanceOf[AttributeReference].name)) =>
+      // GROUP BY physical partition columns: per-group counts/ranges
+      // come from the manifest+sidecar keyed by each file's directory
+      rewriteGrouped(agg).getOrElse(agg)
   }
 
   /** Descend through alias/view wrappers and PURE column-pruning
@@ -124,6 +133,78 @@ final case class MetadataAggregateRule(session: SparkSession)
     Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       Seq(InternalRow.fromSeq(values))))
   }
+
+  /** Partition-grouped rewrite: `GROUP BY tp_partition/tp_index/
+    * tp_year/tp_month` with the same aggregate family — one output row
+    * per partition group present in the manifest, group-key values
+    * taken from the files' directories (partitionBy strips the columns
+    * from the files, so directory truth IS column truth).
+    */
+  private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val lr = unwrap(agg.child).getOrElse(return None)
+    val (lake, table) = (lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case z: ZoneMapFileIndex => z.owner
+        case _ => None
+      }
+      case _ => None
+    }).getOrElse(return None)
+    val groupAttrs = agg.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference])
+    // group-key types the directory string can be converted to exactly
+    if (!groupAttrs.forall(a => a.dataType match {
+      case IntegerType | LongType | StringType => true
+      case _ => false
+    })) return None
+    def keyIndex(a: AttributeReference): Option[Int] = {
+      val i = groupAttrs.indexWhere(_.exprId == a.exprId)
+      if (i < 0) None else Some(i)
+    }
+    val specs: Seq[Option[Spec]] = agg.aggregateExpressions.map {
+      case a: AttributeReference => keyIndex(a).map(GroupKey)
+      case Alias(a: AttributeReference, _) => keyIndex(a).map(GroupKey)
+      case e => classify(e)
+    }
+    if (specs.exists(_.isEmpty)) return None
+    val flat = specs.flatten
+    val cols = flat.collect {
+      case CountCol(a) => a.name
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.distinct
+    val rangeCols = flat.collect {
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.toSet
+    val groups = lake.statsAggregateGroupedIfCovered(session, table,
+      groupAttrs.map(_.name), cols, rangeCols).getOrElse(return None)
+    def keyToInternal(s: String, dt: org.apache.spark.sql.types.DataType): Any =
+      if (s == null ||
+        s == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME) null
+      else dt match {
+        case IntegerType => s.toInt
+        case LongType => s.toLong
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      }
+    val rows = groups.map { case (key, parts) =>
+      InternalRow.fromSeq(flat.map {
+        case GroupKey(i) => keyToInternal(key(i), groupAttrs(i).dataType)
+        case CountStar => parts.nRows
+        case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
+        case MinCol(a) =>
+          CatalystTypeConverters.convertToCatalyst(
+            parts.mins.get(a.name).orNull)
+        case MaxCol(a) =>
+          CatalystTypeConverters.convertToCatalyst(
+            parts.maxs.get(a.name).orNull)
+        case Passthrough(v) => v
+      })
+    }
+    logInfo(s"metadata-aggregate GROUPED rewrite fired for lake table " +
+      s"'$table': ${groups.size} groups from the manifest+sidecar")
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute), rows))
+  }
 }
 
 object MetadataAggregateRule {
@@ -134,6 +215,7 @@ object MetadataAggregateRule {
   private final case class MinCol(a: AttributeReference) extends Spec
   private final case class MaxCol(a: AttributeReference) extends Spec
   private final case class Passthrough(value: Any) extends Spec
+  private final case class GroupKey(i: Int) extends Spec
 
   /** Idempotent per-session install into
     * `spark.experimental.extraOptimizations` — the embedded/library

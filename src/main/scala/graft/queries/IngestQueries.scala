@@ -969,6 +969,47 @@ object IngestQueries {
       q
     }),
 
+    // The GROUPED twin of qi33: GROUP BY a physical partition column
+    // (tp_index = event_type) is answered per-group from the manifest
+    // + sidecar keyed by each file's directory — one output row per
+    // partition group, zero data-file reads (require pins it). The
+    // DuckDB oracle recomputes the grouped aggregate from raw rows, so
+    // a group served from a wrong directory keying, a miscounted null,
+    // or a cross-group range leak breaks the hash.
+    "qi34_sql_grouped_metadata_aggregate" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi34"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_meta34", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"),
+          when(col("event_id") % 20 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val bands = Seq(
+        col("value").isNull || col("value") < 40.0,
+        col("value") >= 40.0 && col("value") < 80.0,
+        col("value") >= 80.0)
+      for (b <- bands)
+        Ingest.collectBatch(s, lake, spec, src.where(b),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_meta34", Seq("value"))
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT tp_index AS etype, count(*) AS n,
+               count(value) AS n_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events_meta34
+        GROUP BY tp_index ORDER BY etype""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0L,
+        s"grouped metadata aggregate still scanned $files files")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1601,6 +1642,19 @@ object IngestQueries {
                         ELSE value END AS v,
                    user_id, event_type, cast(ts AS timestamp) AS ts2
             FROM events WHERE event_id % 5 = 0)""",
+
+    // raw-row recompute of the GROUPED metadata aggregate: wrong
+    // directory keying, null miscounts, or range leaks break it
+    "qi34_sql_grouped_metadata_aggregate" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             count(CASE WHEN event_id % 20 = 0 THEN NULL
+                        ELSE value END) AS n_value,
+             min(CASE WHEN event_id % 20 = 0 THEN NULL
+                      ELSE value END) AS min_value,
+             max(CASE WHEN event_id % 20 = 0 THEN NULL
+                      ELSE value END) AS max_value
+      FROM events WHERE event_id % 5 = 0
+      GROUP BY 1 ORDER BY 1""",
 
     // raw-row recompute of the join: a fact file skipped in error (a
     // key its zone range actually contains) breaks this hash

@@ -140,6 +140,57 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(q.head().getLong(0) === 123L)
   }
 
+  test("GROUP BY partition columns is metadata-served per group") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_gp").toString)
+    // two partitions × banded appends: groups = directories
+    for (p <- Seq("p0", "p1")) {
+      val spec = PartitionSpec("gp", p, tpIndexColumn = Some("idx"))
+      val raw = spark.range(if (p == "p0") 0 else 500,
+        (if (p == "p0") 0 else 500) + 200).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id*1000)").as("tp_timestamp"),
+        (col("id") % 2).cast("string").as("idx"),
+        when(col("id") % 10 === 0, lit(null))
+          .otherwise(col("id").cast("double")).as("v"))
+      lake.append(spark, "gp", TpSchema.enrich(raw, spec))
+    }
+    lake.enableColumnStats(spark, "gp", Seq("v"))
+    Views.register(spark, lake, Views.Filters())
+    // truth through the PLAIN reader, grouped the same way
+    val want = spark.read.option("basePath", lake.tableDir("gp"))
+      .parquet(lake.tableDir("gp"))
+      .groupBy(col("tp_partition"), col("tp_index"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+      .orderBy("tp_partition", "tp_index")
+      .collect().toSeq
+    val q = spark.sql("""
+      SELECT tp_partition, tp_index, count(*) AS n, count(v) AS nv,
+             min(v) AS mnv, max(v) AS mxv
+      FROM gp GROUP BY tp_partition, tp_index
+      ORDER BY tp_partition, tp_index""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 0, s"grouped metadata aggregate scanned $files files")
+    assert(q.collect().toSeq === want)
+  }
+
+  test("GROUP BY a data column (or mixed) keeps the scanning plan") {
+    val (lake, t) = fixture()
+    val byData = spark.sql(
+      s"SELECT src, count(*) AS n FROM $t GROUP BY src")
+    assert(ScanAudit.filesReadAfterRun(byData) > 0)
+    val mixed = spark.sql(
+      s"SELECT tp_partition, src, count(*) AS n FROM $t " +
+        "GROUP BY tp_partition, src")
+    assert(ScanAudit.filesReadAfterRun(mixed) > 0)
+    // grouped + filter also declines
+    val filtered = spark.sql(
+      s"SELECT tp_partition, count(*) AS n FROM $t " +
+        "WHERE v > 10 GROUP BY tp_partition")
+    assert(ScanAudit.filesReadAfterRun(filtered) > 0)
+  }
+
   test("count-only columns need no zone ranges; their min/max declines") {
     val lake = Lake(Files.createTempDirectory("graft_metaagg_co").toString)
     val spec = PartitionSpec("co", "p0", tpIndexColumn = Some("idx"))
