@@ -1189,12 +1189,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   private[lake] def statsAggregateIfCovered(
       spark: SparkSession, table: String,
       columns: Seq[String],
-      rangeColumns: Set[String]): Option[StatsAggParts] = {
+      rangeColumns: Set[String],
+      fileFilter: String => Boolean = _ => true): Option[StatsAggParts] = {
     if (!hasData(spark, table)) return None
     val schema = schemaOf(spark, table)
     if (!columns.forall(schema.fieldNames.contains)) return None
-    val parts = statsAggParts(spark, table, columns, schema, rangeColumns)
-    if (parts.residual.nonEmpty) None else Some(parts)
+    val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
+      schema, rangeColumns, _ => Nil, fileFilter)
+    if (residual.nonEmpty) None
+    else Some(groups.values.headOption.getOrElse(
+      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Nil)))
   }
 
   /** [[statsAggregate]] plus the audit trail: the residual files the
@@ -1281,7 +1285,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   private[lake] def statsAggregateGroupedIfCovered(
       spark: SparkSession, table: String,
       groupCols: Seq[String], columns: Seq[String],
-      rangeColumns: Set[String])
+      rangeColumns: Set[String],
+      fileFilter: String => Boolean = _ => true)
       : Option[Seq[(Seq[String], StatsAggParts)]] = {
     if (groupCols.isEmpty ||
       !groupCols.forall(TpSchema.partitionCols.contains)) return None
@@ -1293,7 +1298,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       f => {
         val pv = partitionValues(relOf(table, f))
         groupCols.map(pv.getOrElse(_, null))
-      })
+      },
+      fileFilter)
     if (residual.nonEmpty) None else Some(groups.toSeq)
   }
 
@@ -1302,11 +1308,18 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     * aggregate); never touches data files. `groupOf` maps a file path
     * to its group key (Nil = one global group).
     */
+  /** @param fileFilter restricts the aggregate to files whose
+    *   partition directory passes a per-file-constant predicate (the
+    *   rule's partition-only WHERE support) — failing files leave BOTH
+    *   the totals and the residual set, exactly as partition pruning
+    *   would exclude them from a scan.
+    */
   private def statsAggPartsGrouped(
       spark: SparkSession, table: String,
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String],
-      groupOf: String => Seq[String])
+      groupOf: String => Seq[String],
+      fileFilter: String => Boolean = _ => true)
       : (Map[Seq[String], StatsAggParts], Seq[String]) = {
     def dtOf(c: String): DataType = schema(c).dataType
     def minMaxFromZones(dt: DataType): Boolean = dt match {
@@ -1319,9 +1332,9 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     // reconciled to the listing when local). A live file with no
     // manifest row is scan-residual — the manifest must not be trusted
     // for counts it never recorded.
-    val live = dataFiles(spark, table)
+    val live = dataFiles(spark, table).filter(fileFilter)
     val manifest: Map[String, Row] = fileStats(spark, table).collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => r.getString(0) -> r).filter(kv => fileFilter(kv._1)).toMap
 
     // newest sidecar row per (file, column), requested columns only
     val sidecar: Map[(String, String), Row] = {

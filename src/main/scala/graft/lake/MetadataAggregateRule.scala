@@ -63,18 +63,68 @@ final case class MetadataAggregateRule(session: SparkSession)
       rewriteGrouped(agg).getOrElse(agg)
   }
 
-  /** Descend through alias/view wrappers and PURE column-pruning
-    * projections to the relation; anything else disqualifies.
+  /** Descend through alias/view wrappers, PURE column-pruning
+    * projections, and Filter nodes (their AND-folded condition is
+    * returned for the partition-only check) to the relation; anything
+    * else disqualifies.
     */
-  private def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+  private def unwrap(p: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = p match {
     case s: SubqueryAlias => unwrap(s.child)
     case v: View => unwrap(v.child)
+    case f: Filter => unwrap(f.child).map { case (lr, c) =>
+      (lr, Some(c.map(And(f.condition, _)).getOrElse(f.condition)))
+    }
     case pr: Project
         if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
       unwrap(pr.child)
-    case lr: LogicalRelation => Some(lr)
+    case lr: LogicalRelation => Some((lr, None))
     case _ => None
   }
+
+  /** A WHERE clause is metadata-compatible iff it is deterministic and
+    * references ONLY physical partition columns of convertible types —
+    * then its truth is CONSTANT per file directory, and evaluating it
+    * against each file's directory values is EXACTLY the partition
+    * pruning a scan would do. Returns the per-file predicate, or None
+    * when the condition cannot be served (the rewrite then declines).
+    */
+  private def partitionFilePredicate(
+      lake: Lake, table: String,
+      cond: Expression): Option[String => Boolean] = {
+    if (!cond.deterministic) return None
+    val refs = cond.references.toSeq
+    val attrs = refs.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (!attrs.forall(a =>
+      graft.lake.TpSchema.partitionCols.contains(a.name))) return None
+    if (!attrs.forall(_.dataType match {
+      case IntegerType | LongType | StringType => true
+      case _ => false
+    })) return None
+    val bound = BindReferences.bindReference(cond,
+      org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+    Some { file =>
+      val pv = lake.partitionValues(lake.relOf(table, file))
+      val row = InternalRow.fromSeq(attrs.map(a =>
+        dirValueToInternal(pv.getOrElse(a.name, null), a.dataType)))
+      val r = bound.eval(row)
+      r != null && r.asInstanceOf[Boolean] // null = filtered out (SQL)
+    }
+  }
+
+  private def dirValueToInternal(
+      s: String, dt: org.apache.spark.sql.types.DataType): Any =
+    if (s == null ||
+      s == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME) null
+    else dt match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    }
 
   private def classify(e: NamedExpression): Option[Spec] = e match {
     case Alias(ae: AggregateExpression, _) => classifyAgg(ae)
@@ -93,7 +143,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val lr = unwrap(agg.child).getOrElse(return None)
+    val (lr, cond) = unwrap(agg.child).getOrElse(return None)
     val (lake, table) = (lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case z: ZoneMapFileIndex => z.owner
@@ -101,6 +151,15 @@ final case class MetadataAggregateRule(session: SparkSession)
       }
       case _ => None
     }).getOrElse(return None)
+    val fileFilter: String => Boolean = cond match {
+      case None => _ => true
+      case Some(c) =>
+        partitionFilePredicate(lake, table, c).getOrElse(return None)
+    }
+    // a WHERE that filters rows away can leave zero surviving rows in
+    // a group of aggregates whose types we can't synthesize a correct
+    // empty result for without the parts — handled below (nRows == 0
+    // still yields the correct count-0 / null-min row)
     val specs = agg.aggregateExpressions.map(classify)
     if (specs.exists(_.isEmpty)) return None
     val flat = specs.flatten
@@ -116,7 +175,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MaxCol(a) => a.name
     }.toSet
     val parts = lake.statsAggregateIfCovered(session, table, cols,
-      rangeCols).getOrElse(return None)
+      rangeCols, fileFilter).getOrElse(return None)
     val values: Seq[Any] = flat.map {
       case CountStar => parts.nRows
       case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
@@ -141,7 +200,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     * from the files, so directory truth IS column truth).
     */
   private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
-    val lr = unwrap(agg.child).getOrElse(return None)
+    val (lr, cond) = unwrap(agg.child).getOrElse(return None)
     val (lake, table) = (lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case z: ZoneMapFileIndex => z.owner
@@ -149,6 +208,11 @@ final case class MetadataAggregateRule(session: SparkSession)
       }
       case _ => None
     }).getOrElse(return None)
+    val fileFilter: String => Boolean = cond match {
+      case None => _ => true
+      case Some(c) =>
+        partitionFilePredicate(lake, table, c).getOrElse(return None)
+    }
     val groupAttrs = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference])
     // group-key types the directory string can be converted to exactly
@@ -177,19 +241,12 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MaxCol(a) => a.name
     }.toSet
     val groups = lake.statsAggregateGroupedIfCovered(session, table,
-      groupAttrs.map(_.name), cols, rangeCols).getOrElse(return None)
-    def keyToInternal(s: String, dt: org.apache.spark.sql.types.DataType): Any =
-      if (s == null ||
-        s == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .DEFAULT_PARTITION_NAME) null
-      else dt match {
-        case IntegerType => s.toInt
-        case LongType => s.toLong
-        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      }
+      groupAttrs.map(_.name), cols, rangeCols, fileFilter)
+      .getOrElse(return None)
     val rows = groups.map { case (key, parts) =>
       InternalRow.fromSeq(flat.map {
-        case GroupKey(i) => keyToInternal(key(i), groupAttrs(i).dataType)
+        case GroupKey(i) =>
+          dirValueToInternal(key(i), groupAttrs(i).dataType)
         case CountStar => parts.nRows
         case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
         case MinCol(a) =>

@@ -1010,6 +1010,47 @@ object IngestQueries {
       q
     }),
 
+    // Partition-filtered metadata aggregate: a WHERE referencing ONLY
+    // physical partition columns is constant per file directory, so
+    // the rule evaluates it against each file's directory values —
+    // exactly the partition pruning a scan would do — and still
+    // answers from the manifest+sidecar with zero data-file reads.
+    // Two partitions (odd/even event_id), the filter keeps one; the
+    // DuckDB oracle recomputes the filtered grouped aggregate from the
+    // same split, so a file mis-keyed into the wrong partition or a
+    // filter evaluated per-row differently than per-dir breaks the
+    // hash.
+    "qi35_sql_partition_filtered_metadata_aggregate" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi35"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("value"))
+      for ((p, pred) <- Seq(
+          ("even", col("event_id") % 2 === 0),
+          ("odd", col("event_id") % 2 === 1))) {
+        val spec = PartitionSpec("events_meta35", p,
+          tpIndexColumn = Some("event_type"))
+        Ingest.collectBatch(s, lake, spec, src.where(pred),
+          timestampColumn = "ts")
+      }
+      lake.enableColumnStats(s, "events_meta35", Seq("value"))
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT tp_index AS etype, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events_meta35
+        WHERE tp_partition = 'even' AND tp_year >= 2024
+        GROUP BY tp_index ORDER BY etype""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0L,
+        s"partition-filtered metadata aggregate scanned $files files")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1654,6 +1695,15 @@ object IngestQueries {
              max(CASE WHEN event_id % 20 = 0 THEN NULL
                       ELSE value END) AS max_value
       FROM events WHERE event_id % 5 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the partition-filtered grouped aggregate:
+    // the 'even' partition is exactly event_id % 2 = 0
+    "qi35_sql_partition_filtered_metadata_aggregate" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events
+      WHERE event_id % 5 = 0 AND event_id % 2 = 0
       GROUP BY 1 ORDER BY 1""",
 
     // raw-row recompute of the join: a fact file skipped in error (a

@@ -175,6 +175,59 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(q.collect().toSeq === want)
   }
 
+  test("partition-only WHERE clauses are metadata-served exactly") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_pf").toString)
+    for (p <- Seq("p0", "p1")) {
+      val spec = PartitionSpec("pf", p, tpIndexColumn = Some("idx"))
+      val raw = spark.range(if (p == "p0") 0 else 500,
+        (if (p == "p0") 0 else 500) + 200).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00' + " +
+          "make_interval(0,0,0,0,0,0, id*1000)").as("tp_timestamp"),
+        (col("id") % 2).cast("string").as("idx"),
+        col("id").cast("double").as("v"))
+      lake.append(spark, "pf", TpSchema.enrich(raw, spec))
+    }
+    lake.enableColumnStats(spark, "pf", Seq("v"))
+    Views.register(spark, lake, Views.Filters())
+    // equality + comparison + LIKE on partition columns: truth is
+    // per-directory constant, so the filter is EXACT on the manifest
+    val q = spark.sql("""
+      SELECT count(*) AS n, min(v) AS mnv, max(v) AS mxv
+      FROM pf WHERE tp_partition = 'p0' AND tp_year = 2024""")
+    assert(ScanAudit.filesReadAfterRun(q) === 0)
+    val r = q.head()
+    assert(r.getLong(0) === 200L)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 199.0)
+    val like = spark.sql(
+      "SELECT count(*) AS n FROM pf WHERE tp_partition LIKE 'p%'")
+    assert(ScanAudit.filesReadAfterRun(like) === 0)
+    assert(like.head().getLong(0) === 400L)
+    // a filter excluding every file: count 0 / null mins, still scan-free
+    val none = spark.sql(
+      "SELECT count(*) AS n, max(v) AS mxv FROM pf " +
+        "WHERE tp_partition = 'p9'")
+    assert(ScanAudit.filesReadAfterRun(none) === 0)
+    val n0 = none.head()
+    assert(n0.getLong(0) === 0L)
+    assert(n0.isNullAt(1))
+    // grouped + partition filter composes
+    val gq = spark.sql("""
+      SELECT tp_index, count(*) AS n FROM pf
+      WHERE tp_partition = 'p1' GROUP BY tp_index ORDER BY tp_index""")
+    assert(ScanAudit.filesReadAfterRun(gq) === 0)
+    // digit-valued tp_index dirs infer as INT partition values — the
+    // rule converts dir strings by the inferred type
+    assert(gq.collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
+      === Seq(("0", 100L), ("1", 100L)))
+    // mixed partition + data predicate declines to the scanning plan
+    val mixed = spark.sql(
+      "SELECT count(*) AS n FROM pf WHERE tp_partition = 'p0' AND v < 50")
+    assert(ScanAudit.filesReadAfterRun(mixed) > 0)
+    assert(mixed.head().getLong(0) === 50L)
+  }
+
   test("GROUP BY a data column (or mixed) keeps the scanning plan") {
     val (lake, t) = fixture()
     val byData = spark.sql(
