@@ -126,6 +126,52 @@ final case class MetadataAggregateRule(session: SparkSession)
       case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
     }
 
+  /** Explain-lint probe: Some(aggregated column names) when the
+    * OPTIMIZED plan still contains an Aggregate this rule was
+    * structurally able to serve — i.e. the rewrite was possible but
+    * DECLINED (missing sidecar coverage, unrecorded files, a bound
+    * past 2^53) — so `.explain` can tell the user what to enable.
+    * None when nothing was missed (not a candidate, or the rewrite
+    * fired and no Aggregate remains).
+    */
+  private[graft] def missedCandidate(
+      plan: LogicalPlan): Option[Seq[String]] =
+    plan.collectFirst(Function.unlift {
+      case agg: Aggregate => structuralCandidate(agg)
+      case _ => None
+    })
+
+  private def structuralCandidate(agg: Aggregate): Option[Seq[String]] = {
+    if (!agg.groupingExpressions.forall(g =>
+      g.isInstanceOf[AttributeReference] &&
+        graft.lake.TpSchema.partitionCols.contains(
+          g.asInstanceOf[AttributeReference].name))) return None
+    val (lr, cond) = unwrap(agg.child).getOrElse(return None)
+    val (lake, table) = (lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case z: ZoneMapFileIndex => z.owner
+        case _ => None
+      }
+      case _ => None
+    }).getOrElse(return None)
+    // a filter must itself be metadata-compatible, or "could be
+    // served" would be a false promise
+    if (cond.exists(c =>
+      partitionFilePredicate(lake, table, c).isEmpty)) return None
+    val specs = agg.aggregateExpressions.map {
+      // bare attrs are grouping-column pass-throughs in the grouped
+      // shape; the lint needn't re-validate their exprIds
+      case _: AttributeReference => Some(CountStar)
+      case e => classify(e)
+    }
+    if (specs.exists(_.isEmpty)) None
+    else Some(specs.flatten.collect {
+      case CountCol(a) => a.name
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.distinct)
+  }
+
   private def classify(e: NamedExpression): Option[Spec] = e match {
     case Alias(ae: AggregateExpression, _) => classifyAgg(ae)
     case Alias(l: Literal, _) => Some(Passthrough(l.value))

@@ -133,11 +133,27 @@ object Metaquery {
     * verbatim; here the plan is Spark's, and the audit is the point).
     */
   def explain(spark: SparkSession, query: String): String = {
-    val plan = spark.sql(query.trim.stripSuffix(";"))
-      .queryExecution.executedPlan.toString.stripLineEnd
+    val qe = spark.sql(query.trim.stripSuffix(";")).queryExecution
+    val plan = qe.executedPlan.toString.stripLineEnd
     val warnings = planWarnings(plan,
       spark.conf.getOption("spark.sql.shuffle.partitions")
-        .flatMap(v => scala.util.Try(v.toInt).toOption))
+        .flatMap(v => scala.util.Try(v.toInt).toOption)) ++
+      // a count/min/max the metadata-aggregate rewrite COULD have
+      // served but declined (missing stats coverage / manifest drift):
+      // tell the user the one command that makes it scan-free
+      scala.util.Try(graft.lake.MetadataAggregateRule(spark)
+        .missedCandidate(qe.optimizedPlan)).toOption.flatten.map { cols =>
+        if (cols.isEmpty)
+          "this count(*) could be answered from the table manifest " +
+            "with ZERO data reads — run vacuum to re-sync the manifest " +
+            "and the metadata-aggregate rewrite will serve it"
+        else
+          "this aggregate could be answered from lake metadata with " +
+            "ZERO data reads — enable per-column stats " +
+            s"(stats_columns or `table analyze --columns " +
+            s"${cols.mkString(",")}`) and the metadata-aggregate " +
+            "rewrite will serve it"
+      }
     if (warnings.isEmpty) plan
     else plan + "\n" + warnings.map("WARNING: " + _).mkString("\n")
   }

@@ -97,6 +97,23 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
       Metaquery.handle(spark, lake, st, ".explain"))
   }
 
+  test(".explain suggests metadata serving for a narrowly-missed " +
+      "aggregate; fires (and goes quiet) once stats exist") {
+    Views.register(spark, lake, Views.Filters())
+    val st = Metaquery.QueryState()
+    // no colstats yet: the rewrite is structurally possible but
+    // declines — the lint names the one command that enables it
+    val missed = Metaquery.handle(spark, lake, st,
+      ".explain select count(*) as n, max(score) as mx from metrics")
+    assert(missed.contains("WARNING") &&
+      missed.contains("table analyze --columns score"), missed)
+    lake.enableColumnStats(spark, "metrics", Seq("score"))
+    val served = Metaquery.handle(spark, lake, st,
+      ".explain select count(*) as n, max(score) as mx from metrics")
+    assert(served.contains("LocalTableScan"), served)
+    assert(!served.contains("could be answered"), served)
+  }
+
   test("planWarnings flags a stream-stream join left at the session " +
     "default partition count, quiet once sized") {
     // the qi22 trap: the state partition count freezes into the
