@@ -327,6 +327,10 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       }
       val isStr = dt == StringType
       val isNum = dt.isInstanceOf[NumericType]
+      val isIntegral = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
       Seq(
         hll_sketch_agg(sketchIn).as(s"__sk_$c"),
         // per-file KLL quantile sketch (numeric only): the mergeable
@@ -348,7 +352,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         (if (isStr) min(col(c))
          else min(lit(null).cast("string"))).as(s"__ms_$c"),
         (if (isStr) max(col(c))
-         else max(lit(null).cast("string"))).as(s"__xs_$c"))
+         else max(lit(null).cast("string"))).as(s"__xs_$c"),
+        // per-file value sum (integral columns only): integer addition
+        // is order-independent, so per-file sums merge into an EXACT
+        // table sum — the metadata-aggregate feed for sum(int_col).
+        // DECIMAL(38,0) accumulation: a long sum could overflow (ANSI
+        // would fail the ingest); the fold converts back at answer time
+        (if (isIntegral) sum(col(c).cast("decimal(38,0)"))
+         else max(lit(null).cast("decimal(38,0)"))).as(s"__sv_$c"))
     }
     val allAggs = count(lit(1)).as("__n") +: aggs
     val perFile = src.groupBy(col("__file"))
@@ -361,7 +372,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         col(s"__ml_$c").as("max_len"), col(s"__mn_$c").as("min_d"),
         col(s"__mx_$c").as("max_d"), col(s"__ms_$c").as("min_s"),
         col(s"__xs_$c").as("max_s"), col(s"__kll_$c").as("kll"),
-        lit(seqNo).as("seq"))
+        col(s"__sv_$c").as("sum_v"), lit(seqNo).as("seq"))
     }.reduce(_.unionByName(_))
     rows.coalesce(1).write.mode(SaveMode.Append)
       .parquet(colStatsDir(table))
@@ -834,12 +845,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       val live = fileStats(spark, table, reconcileWithListing = false)
         .select("file")
       swap(cdir,
-        sidecarWithKll(spark.read.parquet(cdir.toString))
+        sidecarWithSum(sidecarWithKll(spark.read.parquet(cdir.toString)))
           .groupBy("file", "column")
           .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
             col("sum_len"), col("max_len"), col("min_d"),
             col("max_d"), col("min_s"), col("max_s"), col("kll"),
-            col("seq")),
+            col("sum_v"), col("seq")),
             col("seq")).as("s"))
           .select(col("file"), col("column"), col("s.*"))
           .join(live, Seq("file"), "left_semi"))
@@ -854,6 +865,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   private def sidecarWithKll(df: DataFrame): DataFrame =
     if (df.columns.contains("kll")) df
     else df.withColumn("kll", lit(null).cast("binary"))
+
+  /** Pre-r16 sidecars lack the `sum_v` column — read them as null
+    * (sum queries fall back to the residual scan; re-enabling stats
+    * re-seeds with sums).
+    */
+  private def sidecarWithSum(df: DataFrame): DataFrame =
+    if (df.columns.contains("sum_v")) df
+    else df.withColumn("sum_v", lit(null).cast("decimal(38,0)"))
 
   private def recordStats(
       spark: SparkSession, table: String, added: Seq[String]): Unit =
@@ -1190,15 +1209,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       spark: SparkSession, table: String,
       columns: Seq[String],
       rangeColumns: Set[String],
+      sumColumns: Set[String] = Set.empty,
       fileFilter: String => Boolean = _ => true): Option[StatsAggParts] = {
     if (!hasData(spark, table)) return None
     val schema = schemaOf(spark, table)
     if (!columns.forall(schema.fieldNames.contains)) return None
     val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
-      schema, rangeColumns, _ => Nil, fileFilter)
+      schema, rangeColumns, sumColumns, _ => Nil, fileFilter)
     if (residual.nonEmpty) None
     else Some(groups.values.headOption.getOrElse(
-      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Nil)))
+      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil)))
   }
 
   /** [[statsAggregate]] plus the audit trail: the residual files the
@@ -1215,14 +1235,20 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     columns.foreach(c => require(schema.fieldNames.contains(c),
       s"statsAggregate: table '$table' has no column '$c'"))
     def dtOf(c: String): DataType = schema(c).dataType
+    def integral(c: String): Boolean = dtOf(c) match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val sumCols = columns.filter(integral)
     val parts = statsAggParts(spark, table, columns, schema,
-      rangeColumns = columns.toSet)
+      rangeColumns = columns.toSet, sumColumns = sumCols.toSet)
     var nRows: Long = parts.nRows
     val cnt = scala.collection.mutable.Map[String, Long]()
       .withDefaultValue(0L)
     parts.counts.foreach { case (c, n) => cnt(c) = n }
     val mn = scala.collection.mutable.Map[String, Any]() ++ parts.mins
     val mx = scala.collection.mutable.Map[String, Any]() ++ parts.maxs
+    val sm = scala.collection.mutable.Map[String, BigInt]() ++ parts.sums
     def lt(dt: DataType, a: Any, b: Any): Boolean =
       Lake.statsLt(dt, a, b)
     def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
@@ -1236,23 +1262,32 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         .parquet(parts.residual: _*)
       val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
         count(col(c)).as(s"__c_$c"),
-        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+        (if (integral(c)) sum(col(c).cast("decimal(38,0)"))
+         else max(lit(null).cast("decimal(38,0)"))).as(s"__sv_$c")))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       nRows += r.getAs[Long]("__n")
       columns.foreach { c =>
         cnt(c) += r.getAs[Long](s"__c_$c")
         merge(c, dtOf(c), r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+        val sv = r.getAs[java.math.BigDecimal](s"__sv_$c")
+        if (sv != null)
+          sm(c) = sm.getOrElse(c, BigInt(0)) + BigInt(sv.toBigInteger)
       }
     }
 
     val fields = StructField("n_rows", LongType, nullable = false) +:
-      columns.flatMap { c =>
+      (columns.flatMap { c =>
         Seq(StructField(s"n_$c", LongType, nullable = false),
           StructField(s"min_$c", dtOf(c)),
           StructField(s"max_$c", dtOf(c)))
-      }
-    val values: Seq[Any] = nRows +: columns.flatMap(c =>
-      Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))
+      } ++ sumCols.map(c => StructField(s"sum_$c", LongType)))
+    val values: Seq[Any] = (nRows +: columns.flatMap(c =>
+      Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))) ++
+      // longValueExact: a table sum past Long.MaxValue has no exact
+      // BIGINT representation — fail loudly rather than wrap silently
+      sumCols.map(c => sm.get(c).map(_.bigInteger.longValueExact())
+        .map(Long.box).orNull)
     val out = spark.createDataFrame(
       java.util.Arrays.asList(Row.fromSeq(values)),
       StructType(fields))
@@ -1263,13 +1298,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   private def statsAggParts(
       spark: SparkSession, table: String,
       columns: Seq[String], schema: StructType,
-      rangeColumns: Set[String]): StatsAggParts = {
+      rangeColumns: Set[String],
+      sumColumns: Set[String]): StatsAggParts = {
     val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
-      schema, rangeColumns, _ => Nil)
+      schema, rangeColumns, sumColumns, _ => Nil)
     groups.values.headOption
       .map(_.copy(residual = residual))
       .getOrElse(StatsAggParts(0L, Map.empty, Map.empty, Map.empty,
-        residual))
+        Map.empty, residual))
   }
 
   /** Metadata-only GROUPED answer over partition columns — per-group
@@ -1286,6 +1322,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       spark: SparkSession, table: String,
       groupCols: Seq[String], columns: Seq[String],
       rangeColumns: Set[String],
+      sumColumns: Set[String] = Set.empty,
       fileFilter: String => Boolean = _ => true)
       : Option[Seq[(Seq[String], StatsAggParts)]] = {
     if (groupCols.isEmpty ||
@@ -1294,7 +1331,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     val schema = schemaOf(spark, table)
     if (!columns.forall(schema.fieldNames.contains)) return None
     val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
-      schema, rangeColumns,
+      schema, rangeColumns, sumColumns,
       f => {
         val pv = partitionValues(relOf(table, f))
         groupCols.map(pv.getOrElse(_, null))
@@ -1318,6 +1355,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       spark: SparkSession, table: String,
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String],
+      sumColumns: Set[String],
       groupOf: String => Seq[String],
       fileFilter: String => Boolean = _ => true)
       : (Map[Seq[String], StatsAggParts], Seq[String]) = {
@@ -1345,18 +1383,21 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       }
       df match {
         case None => Map.empty
-        case Some(sc) => sc
+        case Some(sc) => sidecarWithSum(sc)
           .where(col("column").isin(columns: _*))
           .groupBy("file", "column")
           .agg(max_by(struct(col("nulls"), col("n"), col("min_d"),
-            col("max_d"), col("min_s"), col("max_s")), col("seq")).as("s"))
+            col("max_d"), col("min_s"), col("max_s"), col("sum_v")),
+            col("seq")).as("s"))
           .select(col("file"), col("column"), col("s.nulls"), col("s.n"),
-            col("s.min_d"), col("s.max_d"), col("s.min_s"), col("s.max_s"))
+            col("s.min_d"), col("s.max_d"), col("s.min_s"),
+            col("s.max_s"), col("s.sum_v"))
           .collect()
           .map(r => (r.getString(0), r.getString(1)) -> r).toMap
       }
     }
-    // sidecar row layout: 2=nulls, 3=n, 4=min_d, 5=max_d, 6=min_s, 7=max_s
+    // sidecar row layout: 2=nulls, 3=n, 4=min_d, 5=max_d,
+    //                     6=min_s, 7=max_s, 8=sum_v
 
     def usable(file: String, rows: Long, c: String): Boolean = {
       val cov = sidecar.get((file, c))
@@ -1365,6 +1406,10 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // immutable, so a mismatch means a stale or foreign row)
       val countOk = cov.exists(r => r.getLong(3) == rows)
       if (!countOk) return false
+      // sum(c): needs the per-file value sum — a null sum_v on a file
+      // with non-null rows is a pre-sum sidecar row (re-seed to fix)
+      if (sumColumns(c) && !cov.exists(r =>
+        !r.isNullAt(8) || r.getLong(2) == r.getLong(3))) return false
       if (!rangeColumns(c)) return true // count-only: null/row counts do
       if (c == TpSchema.Timestamp) return true // min/max manifest-served
       val dt = dtOf(c)
@@ -1405,6 +1450,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           .withDefaultValue(0L)
         val mn = scala.collection.mutable.Map[String, Any]()
         val mx = scala.collection.mutable.Map[String, Any]()
+        val sm = scala.collection.mutable.Map[String, BigInt]()
         def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
           if (lo != null &&
             (!mn.contains(c) || Lake.statsLt(dt, lo, mn(c)))) mn(c) = lo
@@ -1416,6 +1462,9 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           columns.foreach { c =>
             val r = sidecar((file, c))
             cnt(c) += r.getLong(3) - r.getLong(2)
+            if (sumColumns(c) && !r.isNullAt(8))
+              sm(c) = sm.getOrElse(c, BigInt(0)) +
+                BigInt(r.getDecimal(8).toBigInteger)
             val dt = dtOf(c)
             if (!rangeColumns(c)) () // count-only column: no range merge
             else if (c == TpSchema.Timestamp)
@@ -1432,7 +1481,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
                 if (r.isNullAt(5)) null else fromDouble(dt, r.getDouble(5)))
           }
         }
-        key -> StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap, Nil)
+        key -> StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap,
+          sm.toMap, Nil)
       }
     (groups, residual)
   }
@@ -1730,11 +1780,18 @@ object Lake {
     * scans the residual and combines) and `statsAggregateIfCovered`
     * (the optimizer-rule feed, which declines instead of scanning).
     */
+  /** `sums` carries EXACT integral-column totals (BigInt — integer
+    * addition is order-independent, so per-file sums merge exactly;
+    * the consumer converts to the SQL result type and declines on
+    * overflow); a column with zero non-null rows is absent (SQL sum
+    * of nothing is null).
+    */
   private[lake] final case class StatsAggParts(
       nRows: Long,
       counts: Map[String, Long],
       mins: Map[String, Any],
       maxs: Map[String, Any],
+      sums: Map[String, BigInt],
       residual: Seq[String])
 
   /** Value ordering for stats merging, by column type: integrals

@@ -169,6 +169,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case CountCol(a) => a.name
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
+      case SumCol(a) => a.name
     }.distinct)
   }
 
@@ -185,6 +186,19 @@ final case class MetadataAggregateRule(session: SparkSession)
       case Count(Seq(a: AttributeReference)) => Some(CountCol(a))
       case Min(a: AttributeReference) => Some(MinCol(a))
       case Max(a: AttributeReference) => Some(MaxCol(a))
+      // sum over an INTEGRAL column only: integer addition is
+      // order-independent, so per-file sums merge exactly; float sums
+      // are order-sensitive and never metadata-served. The result-type
+      // guard keeps decimal/interval inputs out.
+      case s: Sum if s.dataType == LongType => s.child match {
+        case a: AttributeReference => a.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               IntegerType | LongType => Some(SumCol(a))
+          case _ => None
+        }
+        case _ => None
+      }
       case _ => None
     }
 
@@ -213,15 +227,21 @@ final case class MetadataAggregateRule(session: SparkSession)
       case CountCol(a) => a.name
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
+      case SumCol(a) => a.name
     }.distinct
     // count-only columns need just the sidecar's null/row counts; only
-    // min/max targets must also have exact zone ranges
+    // min/max targets must also have exact zone ranges, and only sum
+    // targets the per-file value sums
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
     }.toSet
+    val sumCols = flat.collect { case SumCol(a) => a.name }.toSet
     val parts = lake.statsAggregateIfCovered(session, table, cols,
-      rangeCols, fileFilter).getOrElse(return None)
+      rangeCols, sumCols, fileFilter).getOrElse(return None)
+    // a sum past Long.MaxValue has no exact BIGINT value — decline
+    if (!flat.collect { case SumCol(a) => a.name }.forall(c =>
+      parts.sums.get(c).forall(_.isValidLong))) return None
     val values: Seq[Any] = flat.map {
       case CountStar => parts.nRows
       case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
@@ -231,6 +251,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MaxCol(a) =>
         CatalystTypeConverters.convertToCatalyst(
           parts.maxs.get(a.name).orNull)
+      case SumCol(a) =>
+        parts.sums.get(a.name).map(s => Long.box(s.toLong)).orNull
       case Passthrough(v) => v // Literal.value is already internal
     }
     logInfo(s"metadata-aggregate rewrite fired for lake table '$table': " +
@@ -281,14 +303,20 @@ final case class MetadataAggregateRule(session: SparkSession)
       case CountCol(a) => a.name
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
+      case SumCol(a) => a.name
     }.distinct
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
     }.toSet
+    val sumCols = flat.collect { case SumCol(a) => a.name }.toSet
     val groups = lake.statsAggregateGroupedIfCovered(session, table,
-      groupAttrs.map(_.name), cols, rangeCols, fileFilter)
+      groupAttrs.map(_.name), cols, rangeCols, sumCols, fileFilter)
       .getOrElse(return None)
+    // any group's sum past Long.MaxValue: decline the whole rewrite
+    if (!groups.forall { case (_, parts) =>
+      sumCols.forall(c => parts.sums.get(c).forall(_.isValidLong))
+    }) return None
     val rows = groups.map { case (key, parts) =>
       InternalRow.fromSeq(flat.map {
         case GroupKey(i) =>
@@ -301,6 +329,8 @@ final case class MetadataAggregateRule(session: SparkSession)
         case MaxCol(a) =>
           CatalystTypeConverters.convertToCatalyst(
             parts.maxs.get(a.name).orNull)
+        case SumCol(a) =>
+          parts.sums.get(a.name).map(s => Long.box(s.toLong)).orNull
         case Passthrough(v) => v
       })
     }
@@ -317,6 +347,7 @@ object MetadataAggregateRule {
   private final case class CountCol(a: AttributeReference) extends Spec
   private final case class MinCol(a: AttributeReference) extends Spec
   private final case class MaxCol(a: AttributeReference) extends Spec
+  private final case class SumCol(a: AttributeReference) extends Spec
   private final case class Passthrough(value: Any) extends Spec
   private final case class GroupKey(i: Int) extends Spec
 

@@ -1051,6 +1051,44 @@ object IngestQueries {
       q
     }),
 
+    // Metadata-served SUM: integer addition is order-independent, so
+    // the per-file value sums in the sidecar merge into an EXACT table
+    // sum — unlike doubles, where reduce order changes the bits. The
+    // grouped shape rides the same per-directory keying as qi34. The
+    // DuckDB oracle recomputes both sums (cast to BIGINT — DuckDB
+    // widens bigint sums to HUGEINT) from raw rows, so a missed file,
+    // a stale per-file sum, or an overflow-wrapped merge breaks the
+    // hash. files==0 pinned in-query.
+    "qi36_sql_metadata_sum" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi36"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_meta36", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+      for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
+          (40.0, 80.0), (80.0, Double.PositiveInfinity)))
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("value") >= loB && col("value") < hiB),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_meta36",
+        Seq("event_id", "user_id"))
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT tp_index AS etype, count(*) AS n,
+               sum(event_id) AS sum_event, sum(user_id) AS sum_user
+        FROM events_meta36
+        GROUP BY tp_index ORDER BY etype""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0L,
+        s"metadata sum through SQL still scanned $files files")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1704,6 +1742,15 @@ object IngestQueries {
              min(value) AS min_value, max(value) AS max_value
       FROM events
       WHERE event_id % 5 = 0 AND event_id % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the metadata-served sums (BIGINT casts:
+    // DuckDB widens bigint sums to HUGEINT)
+    "qi36_sql_metadata_sum" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             cast(sum(event_id) AS BIGINT) AS sum_event,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM events WHERE event_id % 5 = 0
       GROUP BY 1 ORDER BY 1""",
 
     // raw-row recompute of the join: a fact file skipped in error (a

@@ -175,6 +175,21 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(q.collect().toSeq === want)
   }
 
+  test("sum over integral columns is metadata-served; double sums " +
+      "decline (order-sensitive)") {
+    val (lake, t) = fixture()
+    val truth = spark.read.option("basePath", lake.tableDir(t))
+      .parquet(lake.tableDir(t))
+      .agg(sum(col("event_id"))).head().getLong(0)
+    val q = spark.sql(s"SELECT count(*) AS n, sum(event_id) AS s FROM $t")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "integral sum should be served from per-file sums")
+    assert(q.head().getLong(1) === truth)
+    // double sums are order-sensitive: never metadata-served
+    val dbl = spark.sql(s"SELECT sum(v) AS s FROM $t")
+    assert(ScanAudit.filesReadAfterRun(dbl) > 0)
+  }
+
   test("partition-only WHERE clauses are metadata-served exactly") {
     val lake = Lake(Files.createTempDirectory("graft_metaagg_pf").toString)
     for (p <- Seq("p0", "p1")) {

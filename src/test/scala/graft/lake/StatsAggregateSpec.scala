@@ -69,12 +69,16 @@ class StatsAggregateSpec extends AnyFunSuite with SparkTest {
 
   private val cols = Seq("v", "src", "event_id", "tp_timestamp")
 
-  /** The same aggregate computed by actually scanning the table. */
+  /** The same aggregate computed by actually scanning the table
+    * (sum for the one integral column, matching statsAggregate's
+    * output shape).
+    */
   private def scanned(lake: Lake, t: String): Row = {
     val df = lake.read(spark, t)
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+    val aggs = (count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"n_$c"),
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) :+
+      sum(col("event_id")).as("sum_event_id")
     df.agg(aggs.head, aggs.tail: _*).head()
   }
 
