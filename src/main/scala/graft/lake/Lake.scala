@@ -1294,6 +1294,143 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     (out, parts.residual)
   }
 
+  /** TIME-BAND hybrid aggregate — the reference's dominant query shape
+    * (`--from/--to`) answered mostly from metadata: files whose
+    * manifest `[min_ts, max_ts]` lies FULLY inside `[from, to]`
+    * contribute their counts/sums/ranges from the manifest + sidecar
+    * (every row of a contained file passes the band predicate, so the
+    * whole-file statistics apply verbatim); only files STRADDLING a
+    * band edge are scanned, with the row-level band filter applied.
+    * For a month-wide band over a year of files, that is two boundary
+    * days of I/O instead of a month.
+    *
+    * Soundness: a contained file's manifest row count equals its
+    * in-band row count ONLY if the file holds no null-`tp_timestamp`
+    * rows (null fails the band but still counts in `rows`), so
+    * containment additionally requires the sidecar to prove
+    * `tp_timestamp` null-free for that file — enable stats on
+    * `tp_timestamp` to arm the fast path; without it every overlapping
+    * file scans (correct, just not accelerated). Files the zones
+    * prove fully OUTSIDE the band are excluded exactly as
+    * [[readPruned]] would skip them. Returns the same one-row shape as
+    * [[statsAggregateAudited]] plus the audit: the files actually
+    * scanned.
+    */
+  def timeBandAggregateAudited(
+      spark: SparkSession, table: String,
+      from: Timestamp, to: Timestamp,
+      columns: Seq[String]): (DataFrame, Seq[String]) = {
+    require(columns.nonEmpty, "timeBandAggregate: no columns given")
+    require(hasData(spark, table),
+      s"timeBandAggregate: table '$table' has no data files")
+    require(!from.after(to), "timeBandAggregate: from > to")
+    val schema = schemaOf(spark, table)
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"timeBandAggregate: table '$table' has no column '$c'"))
+    def dtOf(c: String): DataType = schema(c).dataType
+    def integral(c: String): Boolean = dtOf(c) match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val sumCols = columns.filter(integral)
+
+    // classify every live file: contained / straddling / outside.
+    // Unknown bounds (no manifest row, null min/max) → straddler
+    // (scan), never excluded — conservativeness as in readPruned.
+    val bounds: Map[String, (Option[Timestamp], Option[Timestamp])] =
+      fileStats(spark, table).collect()
+        .map(r => r.getString(0) -> (
+          (if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
+            if (r.isNullAt(3)) None else Some(r.getTimestamp(3)))))
+        .toMap
+    // per-file tp_timestamp null counts from the sidecar (newest seq)
+    val tsNulls: Map[String, Long] = {
+      val dir = colStatsDir(table)
+      if (!fs(spark, root).exists(new Path(dir))) Map.empty
+      else {
+        locked(table)(healSwapAsides(spark, table))
+        spark.read.parquet(dir)
+          .where(col("column") === TpSchema.Timestamp)
+          .groupBy("file")
+          .agg(max_by(col("nulls"), col("seq")).as("nulls"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    }
+    val live = dataFiles(spark, table)
+    val (outside, overlapping) = live.partition { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) => mx.before(from) || mn.after(to)
+        case _ => false // unknown range: must consider it
+      }
+    }
+    val contained: Set[String] = overlapping.filter { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) =>
+          !mn.before(from) && !mx.after(to) &&
+            tsNulls.get(f).contains(0L) // proven null-ts-free
+        case _ => false
+      }
+    }.toSet
+
+    // metadata partial over the contained files; any contained file
+    // the sidecar can't answer for moves to the scan set
+    val (groups, residualContained) = statsAggPartsGrouped(spark, table,
+      columns, schema, rangeColumns = columns.toSet,
+      sumColumns = sumCols.toSet, _ => Nil, fileFilter = contained)
+    val parts = groups.values.headOption.getOrElse(
+      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil))
+    val toScan: Seq[String] =
+      (overlapping.filterNot(contained) ++ residualContained).distinct
+
+    var nRows: Long = parts.nRows
+    val cnt = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    parts.counts.foreach { case (c, n) => cnt(c) = n }
+    val mn = scala.collection.mutable.Map[String, Any]() ++ parts.mins
+    val mx = scala.collection.mutable.Map[String, Any]() ++ parts.maxs
+    val sm = scala.collection.mutable.Map[String, BigInt]() ++ parts.sums
+    def merge(c: String, dt: DataType, lo: Any, hi: Any): Unit = {
+      if (lo != null &&
+        (!mn.contains(c) || Lake.statsLt(dt, lo, mn(c)))) mn(c) = lo
+      if (hi != null &&
+        (!mx.contains(c) || Lake.statsLt(dt, mx(c), hi))) mx(c) = hi
+    }
+    if (toScan.nonEmpty) {
+      val df = spark.read.option("basePath", tableDir(table))
+        .parquet(toScan: _*)
+        .where(col(TpSchema.Timestamp) >= lit(from) &&
+          col(TpSchema.Timestamp) <= lit(to))
+      val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+        count(col(c)).as(s"__c_$c"),
+        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+        (if (integral(c)) sum(col(c).cast("decimal(38,0)"))
+         else max(lit(null).cast("decimal(38,0)"))).as(s"__sv_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      nRows += r.getAs[Long]("__n")
+      columns.foreach { c =>
+        cnt(c) += r.getAs[Long](s"__c_$c")
+        merge(c, dtOf(c), r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+        val sv = r.getAs[java.math.BigDecimal](s"__sv_$c")
+        if (sv != null)
+          sm(c) = sm.getOrElse(c, BigInt(0)) + BigInt(sv.toBigInteger)
+      }
+    }
+    val fields = StructField("n_rows", LongType, nullable = false) +:
+      (columns.flatMap { c =>
+        Seq(StructField(s"n_$c", LongType, nullable = false),
+          StructField(s"min_$c", dtOf(c)),
+          StructField(s"max_$c", dtOf(c)))
+      } ++ sumCols.map(c => StructField(s"sum_$c", LongType)))
+    val values: Seq[Any] = (nRows +: columns.flatMap(c =>
+      Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))) ++
+      sumCols.map(c => sm.get(c).map(_.bigInteger.longValueExact())
+        .map(Long.box).orNull)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(values)),
+      StructType(fields))
+    (out, toScan)
+  }
+
   /** Ungrouped core: one partial over all covered files. */
   private def statsAggParts(
       spark: SparkSession, table: String,

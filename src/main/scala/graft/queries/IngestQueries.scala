@@ -1089,6 +1089,51 @@ object IngestQueries {
       q
     }),
 
+    // TIME-BAND hybrid aggregate — the reference's dominant query
+    // shape (--from/--to) answered mostly from metadata: files fully
+    // inside the band (manifest range contained AND sidecar-proven
+    // null-ts-free) contribute counts/sums/ranges without being read;
+    // only edge-straddling files scan, with the row filter applied.
+    // The require pins that the scan set is a strict subset; the
+    // DuckDB oracle recomputes the banded aggregate from raw rows, so
+    // a file wrongly counted as contained (off-by-boundary, a null ts
+    // missed, a stale manifest range) breaks the hash.
+    "qi37_time_band_hybrid_aggregate" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi37"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_band37", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+      // six 5-day ingest slices: disjoint per-file time ranges
+      for (i <- 0 until 6)
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("ts") >= date_add(lit("2024-01-01"), i * 5) &&
+            col("ts") < date_add(lit("2024-01-01"), (i + 1) * 5)),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_band37",
+        Seq("value", "user_id", "tp_timestamp"))
+      val total = lake.dataFiles(s, "events_band37").size
+      // band = mid-slice-1 .. mid-slice-4: slices 2,3 contained,
+      // 1 and 4 straddle, 0 and 5 outside
+      val from = java.sql.Timestamp.valueOf("2024-01-08 12:00:00")
+      val to = java.sql.Timestamp.valueOf("2024-01-23 11:59:59")
+      val (res, scanned) = lake.timeBandAggregateAudited(
+        s, "events_band37", from, to, Seq("value", "user_id"))
+      require(scanned.nonEmpty && scanned.size * 2 < total,
+        s"time-band hybrid should scan only straddlers: " +
+          s"${scanned.size} of $total")
+      res.select(col("n_rows"), col("n_value"),
+        col("min_value"), col("max_value"),
+        col("min_user_id").as("min_user"),
+        col("max_user_id").as("max_user"),
+        col("sum_user_id").as("sum_user"))
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1743,6 +1788,18 @@ object IngestQueries {
       FROM events
       WHERE event_id % 5 = 0 AND event_id % 2 = 0
       GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the banded aggregate: containment errors
+    // (boundaries, missed nulls, stale ranges) break this hash
+    "qi37_time_band_hybrid_aggregate" -> """
+      SELECT count(*) AS n_rows, count(value) AS n_value,
+             min(value) AS min_value, max(value) AS max_value,
+             min(user_id) AS min_user, max(user_id) AS max_user,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(ts AS timestamp) >= timestamp '2024-01-08 12:00:00'
+        AND cast(ts AS timestamp) <= timestamp '2024-01-23 11:59:59'""",
 
     // raw-row recompute of the metadata-served sums (BIGINT casts:
     // DuckDB widens bigint sums to HUGEINT)

@@ -216,6 +216,64 @@ class StatsAggregateSpec extends AnyFunSuite with SparkTest {
       java.sql.Timestamp.valueOf("2024-03-17 03:23:20"))
   }
 
+  test("time-band hybrid: contained files from metadata, straddlers " +
+      "scanned, outsiders untouched") {
+    val lake = Lake(Files.createTempDirectory("graft_statsagg_tb").toString)
+    val spec = PartitionSpec("tb", "p0", tpIndexColumn = Some("idx"))
+    // 8 one-hour slices, one append (≥1 file) each
+    def slice(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-05 00:00:00' + " +
+          s"make_interval(0,0,0,0,$i,0, (id % 100) * 36)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 8) lake.append(spark, "tb", slice(i))
+    lake.enableColumnStats(spark, "tb",
+      Seq("v", "event_id", "tp_timestamp"))
+    val total = lake.dataFiles(spark, "tb").size
+    // band = mid-slice-2 .. mid-slice-5: slices 3,4 contained,
+    // 2 and 5 straddle, 0,1,6,7 outside
+    val from = java.sql.Timestamp.valueOf("2024-03-05 02:30:00")
+    val to = java.sql.Timestamp.valueOf("2024-03-05 05:30:00")
+    val cols = Seq("v", "event_id")
+    val (res, scanned) = lake.timeBandAggregateAudited(
+      spark, "tb", from, to, cols)
+    assert(scanned.nonEmpty && scanned.size < total / 2,
+      s"expected only straddlers scanned, got ${scanned.size} of $total")
+    // truth through the plain reader with the same band
+    val truth = spark.read.option("basePath", lake.tableDir("tb"))
+      .parquet(lake.tableDir("tb"))
+      .where(col("tp_timestamp") >= lit(from) &&
+        col("tp_timestamp") <= lit(to))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_v"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        count(col("event_id")).as("n_event_id"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        sum(col("event_id")).as("sum_event_id")).head()
+    val m = res.head()
+    res.schema.fieldNames.foreach { f =>
+      assert(m.getAs[Any](f) === truth.getAs[Any](f), s"field $f")
+    }
+    // no tp_timestamp stats → no containment proof → everything
+    // overlapping scans (correct, not accelerated)
+    val lake2 = Lake(Files.createTempDirectory("graft_statsagg_tb2").toString)
+    for (i <- 0 until 4) lake2.append(spark, "tb",
+      slice(i)) // reuse generator; table name inside spec is "tb"
+    lake2.enableColumnStats(spark, "tb", Seq("v", "event_id"))
+    val (_, scanned2) = lake2.timeBandAggregateAudited(spark, "tb",
+      java.sql.Timestamp.valueOf("2024-03-05 01:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-05 02:59:59"),
+      Seq("v"))
+    assert(scanned2.nonEmpty,
+      "without tp_timestamp stats nothing may be metadata-contained")
+  }
+
   test("unknown column and empty-table guards") {
     val (lake, t) = fixture()
     intercept[IllegalArgumentException] {
