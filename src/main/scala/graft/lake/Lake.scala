@@ -1334,53 +1334,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     }
     val sumCols = columns.filter(integral)
 
-    // classify every live file: contained / straddling / outside.
-    // Unknown bounds (no manifest row, null min/max) → straddler
-    // (scan), never excluded — conservativeness as in readPruned.
-    val bounds: Map[String, (Option[Timestamp], Option[Timestamp])] =
-      fileStats(spark, table).collect()
-        .map(r => r.getString(0) -> (
-          (if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
-            if (r.isNullAt(3)) None else Some(r.getTimestamp(3)))))
-        .toMap
-    // per-file tp_timestamp null counts from the sidecar (newest seq)
-    val tsNulls: Map[String, Long] = {
-      val dir = colStatsDir(table)
-      if (!fs(spark, root).exists(new Path(dir))) Map.empty
-      else {
-        locked(table)(healSwapAsides(spark, table))
-        spark.read.parquet(dir)
-          .where(col("column") === TpSchema.Timestamp)
-          .groupBy("file")
-          .agg(max_by(col("nulls"), col("seq")).as("nulls"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-    }
-    val live = dataFiles(spark, table)
-    val (outside, overlapping) = live.partition { f =>
-      bounds.get(f) match {
-        case Some((Some(mn), Some(mx))) => mx.before(from) || mn.after(to)
-        case _ => false // unknown range: must consider it
-      }
-    }
-    val contained: Set[String] = overlapping.filter { f =>
-      bounds.get(f) match {
-        case Some((Some(mn), Some(mx))) =>
-          !mn.before(from) && !mx.after(to) &&
-            tsNulls.get(f).contains(0L) // proven null-ts-free
-        case _ => false
-      }
-    }.toSet
-
-    // metadata partial over the contained files; any contained file
-    // the sidecar can't answer for moves to the scan set
-    val (groups, residualContained) = statsAggPartsGrouped(spark, table,
+    val fromUs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(from)
+    val toUs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(to)
+    val (parts, toScan, _) = timeBandParts(spark, table, fromUs, toUs,
       columns, schema, rangeColumns = columns.toSet,
-      sumColumns = sumCols.toSet, _ => Nil, fileFilter = contained)
-    val parts = groups.values.headOption.getOrElse(
-      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil))
-    val toScan: Seq[String] =
-      (overlapping.filterNot(contained) ++ residualContained).distinct
+      sumColumns = sumCols.toSet)
 
     var nRows: Long = parts.nRows
     val cnt = scala.collection.mutable.Map[String, Long]()
@@ -1429,6 +1389,72 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       java.util.Arrays.asList(Row.fromSeq(values)),
       StructType(fields))
     (out, toScan)
+  }
+
+  /** Band classification + contained-file metadata partial, micros
+    * domain (Catalyst `TimestampType` internal units — what the SQL
+    * rewrite extracts from literals). Returns the partial over files
+    * PROVEN fully inside `[fromUs, toUs]` (manifest range contained,
+    * sidecar-proven null-ts-free, every requested column covered) and
+    * the files that must scan (straddlers + unproven + uncovered).
+    * Files the manifest proves fully outside are in neither. Unknown
+    * ranges scan — conservativeness as in [[readPruned]].
+    */
+  private[lake] def timeBandParts(
+      spark: SparkSession, table: String,
+      fromUs: Long, toUs: Long,
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String], sumColumns: Set[String],
+      fileFilter: String => Boolean = _ => true)
+      : (StatsAggParts, Seq[String], Int) = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val bounds: Map[String, (Option[Long], Option[Long])] =
+      fileStats(spark, table).collect()
+        .map(r => r.getString(0) -> (
+          (if (r.isNullAt(2)) None
+           else Some(DateTimeUtils.fromJavaTimestamp(r.getTimestamp(2))),
+            if (r.isNullAt(3)) None
+            else Some(DateTimeUtils.fromJavaTimestamp(r.getTimestamp(3))))))
+        .toMap
+    // per-file tp_timestamp null counts from the sidecar (newest seq)
+    val tsNulls: Map[String, Long] = {
+      val dir = colStatsDir(table)
+      if (!fs(spark, root).exists(new Path(dir))) Map.empty
+      else {
+        locked(table)(healSwapAsides(spark, table))
+        spark.read.parquet(dir)
+          .where(col("column") === TpSchema.Timestamp)
+          .groupBy("file")
+          .agg(max_by(col("nulls"), col("seq")).as("nulls"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    }
+    val live = dataFiles(spark, table).filter(fileFilter)
+    val overlapping = live.filterNot { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) => mx < fromUs || mn > toUs
+        case _ => false // unknown range: must consider it
+      }
+    }
+    val contained: Set[String] = overlapping.filter { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) =>
+          mn >= fromUs && mx <= toUs &&
+            tsNulls.get(f).contains(0L) // proven null-ts-free
+        case _ => false
+      }
+    }.toSet
+    // metadata partial over the contained files; any contained file
+    // the sidecar can't answer for moves to the scan set
+    val (groups, residualContained) = statsAggPartsGrouped(spark, table,
+      columns, schema, rangeColumns, sumColumns, _ => Nil,
+      fileFilter = contained)
+    val parts = groups.values.headOption.getOrElse(
+      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil))
+    val toScan: Seq[String] =
+      (overlapping.filterNot(contained) ++ residualContained).distinct
+    (parts.copy(residual = Nil), toScan,
+      contained.size - residualContained.size)
   }
 
   /** Ungrouped core: one partial over all covered files. */

@@ -214,7 +214,13 @@ final case class MetadataAggregateRule(session: SparkSession)
     val fileFilter: String => Boolean = cond match {
       case None => _ => true
       case Some(c) =>
-        partitionFilePredicate(lake, table, c).getOrElse(return None)
+        partitionFilePredicate(lake, table, c) match {
+          case Some(p) => p
+          // not partition-only: a tp_timestamp band (plus optional
+          // partition conjuncts) gets the HYBRID rewrite — contained
+          // files from metadata, straddlers scanned in-plan
+          case None => return rewriteBand(agg, lr, lake, table, c)
+        }
     }
     // a WHERE that filters rows away can leave zero surviving rows in
     // a group of aggregates whose types we can't synthesize a correct
@@ -259,6 +265,222 @@ final case class MetadataAggregateRule(session: SparkSession)
       s"${flat.size} aggregates answered from the manifest+sidecar")
     Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       Seq(InternalRow.fromSeq(values))))
+  }
+
+  /** TIME-BAND hybrid rewrite — the reference's dominant query shape
+    * (`WHERE tp_timestamp BETWEEN a AND b`, optionally with partition
+    * conjuncts) as plain SQL: files the manifest proves fully inside
+    * the band (and the sidecar proves null-ts-free) contribute their
+    * counts/sums/ranges as a one-row [[LocalRelation]]; only the
+    * edge-straddling files stay IN the plan, as a partial aggregate
+    * over a relation restricted to exactly those files (the original
+    * filter still applied row-level), merged by a final aggregate
+    * carrying the original output attribute ids. For a month-wide band
+    * over a year of files, the scan is two boundary days — through
+    * SQL, with no API call. The classification runs metadata-sized
+    * jobs at optimize time; the straddler scan executes distributed in
+    * the plan, never at optimize time. Declines (whole plan untouched)
+    * when no file is provably contained — then the zone-map FileIndex
+    * already prunes the scan to the overlapping files and a hybrid
+    * buys nothing.
+    */
+  private def rewriteBand(
+      agg: Aggregate, lr: LogicalRelation,
+      lake: Lake, table: String,
+      cond: Expression): Option[LogicalPlan] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def isTs(a: AttributeReference): Boolean =
+      a.name == graft.lake.TpSchema.Timestamp &&
+        a.dataType == org.apache.spark.sql.types.TimestampType
+    def us(l: Literal): Option[Long] = l.dataType match {
+      case org.apache.spark.sql.types.TimestampType
+          if l.value != null => Some(l.value.asInstanceOf[Long])
+      case _ => None
+    }
+    // split the conjuncts: tp_timestamp bounds / band-neutral null
+    // guards / partition-only — anything else disqualifies
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var nBand = 0
+    val partConjs = Seq.newBuilder[Expression]
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+          if isTs(a) => us(l) match {
+        case Some(v) => lo = math.max(lo, v); nBand += 1
+        case None => return None
+      }
+      case GreaterThan(a: AttributeReference, l: Literal) if isTs(a) =>
+        us(l) match {
+          case Some(v) if v < Long.MaxValue =>
+            lo = math.max(lo, v + 1); nBand += 1
+          case _ => return None
+        }
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+          if isTs(a) => us(l) match {
+        case Some(v) => hi = math.min(hi, v); nBand += 1
+        case None => return None
+      }
+      case LessThan(a: AttributeReference, l: Literal) if isTs(a) =>
+        us(l) match {
+          case Some(v) if v > Long.MinValue =>
+            hi = math.min(hi, v - 1); nBand += 1
+          case _ => return None
+        }
+      // reversed operand orders
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+          if isTs(a) => us(l) match {
+        case Some(v) => lo = math.max(lo, v); nBand += 1
+        case None => return None
+      }
+      case LessThan(l: Literal, a: AttributeReference) if isTs(a) =>
+        us(l) match {
+          case Some(v) if v < Long.MaxValue =>
+            lo = math.max(lo, v + 1); nBand += 1
+          case _ => return None
+        }
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+          if isTs(a) => us(l) match {
+        case Some(v) => hi = math.min(hi, v); nBand += 1
+        case None => return None
+      }
+      case GreaterThan(l: Literal, a: AttributeReference) if isTs(a) =>
+        us(l) match {
+          case Some(v) if v > Long.MinValue =>
+            hi = math.min(hi, v - 1); nBand += 1
+          case _ => return None
+        }
+      // band-neutral: rows failing it fail the band anyway
+      case IsNotNull(a: AttributeReference) if isTs(a) => ()
+      case p => partConjs += p
+    }
+    if (nBand == 0 || lo > hi) return None
+    val partCond = partConjs.result().reduceOption(And)
+    val fileFilter: String => Boolean = partCond match {
+      case None => _ => true
+      case Some(pc) =>
+        partitionFilePredicate(lake, table, pc).getOrElse(return None)
+    }
+    val specs = agg.aggregateExpressions.map(classify)
+    if (specs.exists(s => s.isEmpty ||
+      s.get.isInstanceOf[Passthrough])) return None
+    val flat = specs.flatten
+    val cols = flat.collect {
+      case CountCol(a) => a.name
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+      case SumCol(a) => a.name
+    }.distinct
+    val rangeCols = flat.collect {
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.toSet
+    val sumColsS = flat.collect { case SumCol(a) => a.name }.toSet
+    if (!lake.hasData(session, table)) return None
+    val schema = lake.schemaOf(session, table)
+    if (!cols.forall(schema.fieldNames.contains)) return None
+    val (parts, straddlers, containedCount) = lake.timeBandParts(
+      session, table, lo, hi, cols, schema, rangeCols, sumColsS,
+      fileFilter)
+    if (containedCount <= 0) return None // hybrid buys nothing
+    if (!sumColsS.forall(c => parts.sums.get(c).forall(_.isValidLong)))
+      return None
+
+    // the metadata partial as internal values, one slot per aggregate
+    val localValues: Seq[Any] = flat.map {
+      case CountStar => parts.nRows
+      case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
+      case MinCol(a) =>
+        CatalystTypeConverters.convertToCatalyst(
+          parts.mins.get(a.name).orNull)
+      case MaxCol(a) =>
+        CatalystTypeConverters.convertToCatalyst(
+          parts.maxs.get(a.name).orNull)
+      case SumCol(a) =>
+        parts.sums.get(a.name).map(s => Long.box(s.toLong)).orNull
+      case _ => return None // GroupKey/Passthrough unreachable here
+    }
+    def slotType(s: Spec): org.apache.spark.sql.types.DataType = s match {
+      case CountStar | CountCol(_) | SumCol(_) => LongType
+      case MinCol(a) => a.dataType
+      case MaxCol(a) => a.dataType
+      case _ => LongType
+    }
+    val localAttrs: Seq[AttributeReference] = flat.zipWithIndex.map {
+      case (s, i) => AttributeReference(s"_band_$i", slotType(s))()
+    }
+    val local = LocalRelation(localAttrs,
+      Seq(InternalRow.fromSeq(localValues)))
+
+    if (straddlers.isEmpty) {
+      // nothing to scan: emit the final row directly
+      logInfo(s"time-band rewrite fired for '$table': fully contained, " +
+        s"no straddlers")
+      return Some(LocalRelation(
+        agg.aggregateExpressions.map(_.toAttribute),
+        Seq(InternalRow.fromSeq(localValues))))
+    }
+
+    // straddler-restricted relation with the ORIGINAL output attrs —
+    // the filter/projections above keep their bindings untouched
+    val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val straddlerIndex =
+      new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+        session, straddlers.map(new org.apache.hadoop.fs.Path(_)),
+        Map("basePath" -> lake.tableDir(table)), None)
+    val straddlerRel = HadoopFsRelation(straddlerIndex,
+      fsRel.partitionSchema, fsRel.dataSchema, fsRel.bucketSpec,
+      fsRel.fileFormat, fsRel.options)(session)
+    val swappedChild = agg.child.transform {
+      case l: LogicalRelation if l eq lr => lr.copy(relation = straddlerRel)
+    }
+    // prune the scan to the aggregated columns (the optimizer's
+    // ColumnPruning already ran; without this Project the straddler
+    // scan would read every column)
+    val neededNames = flat.collect {
+      case CountCol(a) => a; case MinCol(a) => a
+      case MaxCol(a) => a; case SumCol(a) => a
+    }.map(_.exprId).toSet
+    val needed = agg.child.output.filter(a => neededNames.contains(a.exprId))
+    val pruned =
+      if (needed.nonEmpty) Project(needed, swappedChild)
+      else swappedChild // pure count(*): the filter column is read anyway
+    val partialExprs: Seq[NamedExpression] = flat.zip(localAttrs).map {
+      case (s, slot) =>
+        val fn: AggregateFunction = s match {
+          case CountStar => Count(Literal(1))
+          case CountCol(a) => Count(a)
+          case MinCol(a) => Min(a)
+          case MaxCol(a) => Max(a)
+          case SumCol(a) => Sum(a)
+          case _ => return None
+        }
+        Alias(fn.toAggregateExpression(), slot.name)(exprId = slot.exprId)
+    }
+    val partial = Aggregate(Nil, partialExprs, pruned)
+    val union = Union(Seq(local, partial))
+    // merge under the ORIGINAL output names/exprIds: counts and sums
+    // add, ranges re-extremize
+    val unionOut = union.output
+    val mergeExprs: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(flat).zipWithIndex.map {
+        case ((orig, s), i) =>
+          val in = unionOut(i)
+          val fn: AggregateFunction = s match {
+            case CountStar | CountCol(_) | SumCol(_) => Sum(in)
+            case MinCol(_) => Min(in)
+            case MaxCol(_) => Max(in)
+            case _ => return None
+          }
+          Alias(fn.toAggregateExpression(), orig.name)(
+            exprId = orig.exprId)
+      }
+    logInfo(s"time-band rewrite fired for '$table': $containedCount " +
+      s"contained files from metadata, ${straddlers.size} straddlers " +
+      "scanned in-plan")
+    Some(Aggregate(Nil, mergeExprs, union))
   }
 
   /** Partition-grouped rewrite: `GROUP BY tp_partition/tp_index/

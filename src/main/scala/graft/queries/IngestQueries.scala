@@ -1134,6 +1134,49 @@ object IngestQueries {
         col("sum_user_id").as("sum_user"))
     }),
 
+    // The SQL-path face of qi37: a plain `WHERE tp_timestamp BETWEEN`
+    // aggregate through the registered view gets the HYBRID plan —
+    // contained files as a LocalRelation partial from the manifest +
+    // sidecar, straddlers as an in-plan partial aggregate over a
+    // relation restricted to exactly those files, merged under the
+    // original output ids. The require pins that the scan touched
+    // only a strict minority of files; the DuckDB oracle recomputes
+    // the banded aggregate (with an exact BIGINT sum) from raw rows,
+    // so a containment error or a bad merge breaks the hash.
+    "qi38_sql_time_band_hybrid" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/qi38"
+      rmrf(root)
+      val lake = Lake(s"$root/lake")
+      val spec = PartitionSpec("events_band38", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+      for (i <- 0 until 6)
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("ts") >= date_add(lit("2024-01-01"), i * 5) &&
+            col("ts") < date_add(lit("2024-01-01"), (i + 1) * 5)),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_band38",
+        Seq("value", "user_id", "tp_timestamp"))
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_band38").size
+      val q = s.sql("""
+        SELECT count(*) AS n_rows, count(value) AS n_value,
+               min(value) AS min_value, max(value) AS max_value,
+               sum(user_id) AS sum_user
+        FROM events_band38
+        WHERE tp_timestamp >= timestamp'2024-01-08 12:00:00'
+          AND tp_timestamp <= timestamp'2024-01-23 11:59:59'""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"band hybrid through SQL should scan only straddlers: " +
+          s"$files of $total")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1788,6 +1831,17 @@ object IngestQueries {
       FROM events
       WHERE event_id % 5 = 0 AND event_id % 2 = 0
       GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the SQL-path banded hybrid: containment or
+    // merge errors break this hash
+    "qi38_sql_time_band_hybrid" -> """
+      SELECT count(*) AS n_rows, count(value) AS n_value,
+             min(value) AS min_value, max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(ts AS timestamp) >= timestamp '2024-01-08 12:00:00'
+        AND cast(ts AS timestamp) <= timestamp '2024-01-23 11:59:59'""",
 
     // raw-row recompute of the banded aggregate: containment errors
     // (boundaries, missed nulls, stale ranges) break this hash

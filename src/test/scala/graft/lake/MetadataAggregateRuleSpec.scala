@@ -259,6 +259,74 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(ScanAudit.filesReadAfterRun(filtered) > 0)
   }
 
+  test("time-band SQL: contained files served from metadata, only " +
+      "straddlers scanned; fully-contained bands read zero files") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_tb").toString)
+    val spec = PartitionSpec("tbq", "p0", tpIndexColumn = Some("idx"))
+    def slice(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-05 00:00:00' + " +
+          s"make_interval(0,0,0,0,$i,0, (id % 100) * 36)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 8) lake.append(spark, "tbq", slice(i))
+    lake.enableColumnStats(spark, "tbq",
+      Seq("v", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    val total = lake.dataFiles(spark, "tbq").size
+    val band = "tp_timestamp >= timestamp'2024-03-05 02:30:00' AND " +
+      "tp_timestamp <= timestamp'2024-03-05 05:30:00'"
+    val truth = spark.read.option("basePath", lake.tableDir("tbq"))
+      .parquet(lake.tableDir("tbq"))
+      .where(col("tp_timestamp") >=
+        lit(java.sql.Timestamp.valueOf("2024-03-05 02:30:00")) &&
+        col("tp_timestamp") <=
+          lit(java.sql.Timestamp.valueOf("2024-03-05 05:30:00")))
+      .agg(count(lit(1)), min(col("v")), max(col("v")),
+        sum(col("event_id"))).head()
+    val q = spark.sql("SELECT count(*) AS n, min(v) AS mnv, " +
+      s"max(v) AS mxv, sum(event_id) AS s FROM tbq WHERE $band")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0 && files * 2 < total,
+      s"expected only straddlers scanned, got $files of $total")
+    assert(q.head() === truth)
+    // a band that lands exactly on file boundaries: zero files read
+    val q2 = spark.sql("SELECT count(*) AS n, sum(event_id) AS s " +
+      "FROM tbq WHERE tp_timestamp >= timestamp'2024-03-05 02:00:00' " +
+      "AND tp_timestamp < timestamp'2024-03-05 06:00:00'")
+    assert(ScanAudit.filesReadAfterRun(q2) === 0,
+      "fully-contained band must be served entirely from metadata")
+    val r2 = q2.head()
+    assert(r2.getLong(0) === 400L)
+    assert(r2.getLong(1) === (200 until 600).map(_.toLong).sum)
+    // without tp_timestamp stats there is no containment proof: the
+    // rewrite declines and the zoned scan reads the overlapping files
+    val lake2 = Lake(
+      Files.createTempDirectory("graft_metaagg_tb2").toString)
+    val spec2 = PartitionSpec("tbq2", "p0", tpIndexColumn = Some("idx"))
+    for (i <- 0 until 4) {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-05 00:00:00' + " +
+          s"make_interval(0,0,0,0,$i,0, (id % 100) * 36)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        col("id").cast("double").as("v"))
+      lake2.append(spark, "tbq2", TpSchema.enrich(raw, spec2))
+    }
+    lake2.enableColumnStats(spark, "tbq2", Seq("v", "event_id"))
+    Views.register(spark, lake2, Views.Filters())
+    val q3 = spark.sql("SELECT count(*) AS n FROM tbq2 WHERE " +
+      "tp_timestamp >= timestamp'2024-03-05 01:00:00' AND " +
+      "tp_timestamp <= timestamp'2024-03-05 02:59:59'")
+    assert(ScanAudit.filesReadAfterRun(q3) > 0)
+    assert(q3.head().getLong(0) === 200L)
+  }
+
   test("count-only columns need no zone ranges; their min/max declines") {
     val lake = Lake(Files.createTempDirectory("graft_metaagg_co").toString)
     val spec = PartitionSpec("co", "p0", tpIndexColumn = Some("idx"))
