@@ -231,7 +231,7 @@ object ScaleRehearsal {
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
         "partition_stress", "stream", "wide_schema", "skewjoin",
         "stream_skew", "stream_state", "zorder", "bloomjoin",
-        "colprune", "timeprune", "metaagg", "joinprune"))
+        "colprune", "timeprune", "metaagg", "joinprune", "bandagg"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -738,6 +738,74 @@ object ScaleRehearsal {
           s""""full_files":$fullFiles,"metadata_files":$metaFiles}""")
         require(metaFiles == 0L,
           s"metadata aggregate scanned $metaFiles files at x$m")
+      }
+
+      // ---- SQL time-band hybrid at volume ----------------------------
+      // The scale claim behind qi38: a wide tp_timestamp band through
+      // plain SQL scans ONLY the edge-straddling files; the contained
+      // middle is served from the manifest+sidecar. The honest
+      // baseline (zone-pruned stock behavior) reads every overlapping
+      // file — at 100 TB that is the difference between a month of
+      // I/O and two boundary days.
+      if (families("bandagg")) {
+        val n = EventsBase * m
+        val broot = s"$root/bandagg_x$m"
+        rmrf(broot)
+        val blake = graft.lake.Lake(broot)
+        val bspec = graft.config.PartitionSpec("events_band", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        val t0 = 1704067200L // events() epoch start; span = 30 days
+        val slice = 2592000L / 8
+        record("bandagg_build", m, n, time {
+          for (i <- 0 until 8)
+            graft.ingest.Ingest.collectBatch(spark, blake, bspec,
+              src.where(col("ts") >= timestamp_seconds(lit(t0 + i * slice)) &&
+                col("ts") < timestamp_seconds(lit(t0 + (i + 1) * slice))),
+              timestampColumn = "ts")
+          blake.enableColumnStats(spark, "events_band",
+            Seq("value", "tp_timestamp"))
+        })
+        // band = mid-slice-1 .. mid-slice-6: slices 2..5 contained,
+        // 1 and 6 straddle, 0 and 7 outside
+        val bandLo = "2024-01-05 12:00:00"
+        val bandHi = "2024-01-24 12:00:00"
+        def stockRead() = spark.read
+          .option("basePath", blake.tableDir("events_band"))
+          .parquet(blake.tableDir("events_band"))
+        def agg(df: DataFrame): (Long, Long, Double, Double) = {
+          val r = df.where(
+            col("tp_timestamp") >= lit(bandLo).cast("timestamp") &&
+              col("tp_timestamp") <= lit(bandHi).cast("timestamp"))
+            .agg(count(lit(1)), count(col("value")),
+              min("value"), max("value")).head()
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+        }
+        if (m == mults.min) { agg(stockRead()); () }
+        var fullR: (Long, Long, Double, Double) = null
+        record("bandagg_scan", m, n, time { fullR = agg(stockRead()) })
+        var hybR: (Long, Long, Double, Double) = null
+        var hybFiles = -1L
+        record("bandagg_hybrid", m, n, time {
+          graft.query.Views.register(spark, blake,
+            graft.query.Views.Filters())
+          val q = spark.sql("SELECT count(*), count(value), " +
+            "min(value), max(value) FROM events_band WHERE " +
+            s"tp_timestamp >= timestamp'$bandLo' AND " +
+            s"tp_timestamp <= timestamp'$bandHi'")
+          val row = q.collect()(0)
+          hybR = (row.getLong(0), row.getLong(1),
+            row.getDouble(2), row.getDouble(3))
+          hybFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        require(fullR == hybR && fullR._1 > 0,
+          s"band hybrid diverged from the scan: $fullR vs $hybR")
+        val fullFiles = stockRead().inputFiles.length
+        println(s"""{"family":"bandagg_files","mult":$m,""" +
+          s""""full_files":$fullFiles,"hybrid_files":$hybFiles}""")
+        require(hybFiles > 0 && hybFiles * 3 <= fullFiles,
+          s"band hybrid should scan only straddlers: " +
+            s"$hybFiles of $fullFiles")
       }
 
       // ---- join-key file skipping at volume -------------------------
