@@ -1956,7 +1956,16 @@ object Main {
           .getOrElse(lake.colStatsColumns(spark, t))
         require(cols.nonEmpty, "table aggregate requires --columns " +
           "(or stats-enabled columns on the table)")
-        val (res, residual) = lake.statsAggregateAudited(spark, t, cols)
+        // --from/--to: the TIME-BAND hybrid — contained files answer
+        // from metadata, only band-edge straddlers are scanned
+        val (res, residual) = (opts.ts("from"), opts.ts("to")) match {
+          case (None, None) => lake.statsAggregateAudited(spark, t, cols)
+          case (f, to) =>
+            lake.timeBandAggregateAudited(spark, t,
+              f.getOrElse(new java.sql.Timestamp(0L)),
+              to.getOrElse(Timestamp.valueOf("9999-12-31 00:00:00")),
+              cols)
+        }
         val row = res.head()
         out.println(s"rows: ${row.getAs[Long]("n_rows")}")
         cols.foreach { c =>

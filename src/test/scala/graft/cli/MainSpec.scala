@@ -405,7 +405,7 @@ class MainSpec extends AnyFunSuite with SparkTest {
       s"""format "delimited" "m" { delimiter = "," }
          |table "metrics" {
          |  format = format.delimited.m
-         |  stats_columns = ["status_code"]
+         |  stats_columns = ["status_code", "tp_timestamp"]
          |  column "tp_timestamp" { source = "timestamp" }
          |  column "status_code" { type = "integer" }
          |}
@@ -435,6 +435,18 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(agg.contains("rows: 3"), agg)
     assert(agg.contains("column status_code: count=3 min=200 max=404"), agg)
     assert(agg.contains("served from metadata (no data scan)"), agg)
+    // --from/--to: the time-band hybrid. A band containing the whole
+    // file stays scan-free; a band cutting into it scans the straddler
+    val (rc4, band) = cli(dir, "table", "aggregate", "metrics",
+      "--from", "2024-05-01", "--to", "2024-05-02")
+    assert(rc4 == 0, band)
+    assert(band.contains("rows: 3"), band)
+    assert(band.contains("served from metadata (no data scan)"), band)
+    val (rc5, band2) = cli(dir, "table", "aggregate", "metrics",
+      "--from", "2024-05-01 10:31:00", "--to", "2024-05-02")
+    assert(rc5 == 0, band2)
+    assert(band2.contains("rows: 2"), band2)
+    assert(band2.contains("metadata + residual scan of 1 file(s)"), band2)
   }
 
   test("grok end-to-end: config-driven collect of a dated log file") {
