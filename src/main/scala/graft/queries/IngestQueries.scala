@@ -28,6 +28,82 @@ object IngestQueries {
     s"${sys.props("java.io.tmpdir")}/graft_work/" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Build a fixture at most once per JVM: the FIRST query to touch
+    * `root` in this process rmrfs and rebuilds (so stale /tmp state
+    * from an earlier build never leaks in), later queries reuse it —
+    * qi31/qi33 and qi37/qi38 build byte-identical lakes, and paying
+    * the multi-append construction twice per bench run bought nothing.
+    * Queries stay independently runnable: whichever runs first builds.
+    */
+  private val builtFixtures =
+    scala.collection.mutable.Set.empty[String]
+  private def fixtureOnce(root: String)(build: => Unit): Unit =
+    builtFixtures.synchronized {
+      if (!builtFixtures.contains(root)) {
+        rmrf(root)
+        build
+        builtFixtures += root
+      }
+    }
+
+  /** Shared qi31/qi33 fixture: the value-banded events lake with
+    * injected nulls and stats on every probed column (table
+    * `events_meta31`). Built once per JVM.
+    */
+  private def metaAggFixture(
+      s: SparkSession, dir: String): graft.lake.Lake = {
+    val root = s"${workRoot(dir)}/meta3133"
+    val lake = graft.lake.Lake(s"$root/lake")
+    fixtureOnce(root) {
+      val spec = PartitionSpec("events_meta31", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"),
+          when(col("event_id") % 20 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val bands = Seq(
+        col("value").isNull || col("value") < 40.0,
+        col("value") >= 40.0 && col("value") < 80.0,
+        col("value") >= 80.0)
+      for (b <- bands)
+        Ingest.collectBatch(s, lake, spec, src.where(b),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_meta31",
+        Seq("value", "user_id", "event_type", "tp_timestamp"))
+    }
+    lake
+  }
+
+  /** Shared qi37/qi38 fixture: the six-slice time-banded events lake
+    * with stats arming the containment proof (table `events_band37`).
+    * Built once per JVM.
+    */
+  private def bandFixture(
+      s: SparkSession, dir: String): graft.lake.Lake = {
+    val root = s"${workRoot(dir)}/band3738"
+    val lake = graft.lake.Lake(s"$root/lake")
+    fixtureOnce(root) {
+      val spec = PartitionSpec("events_band37", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+      for (i <- 0 until 6)
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("ts") >= date_add(lit("2024-01-01"), i * 5) &&
+            col("ts") < date_add(lit("2024-01-01"), (i + 1) * 5)),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_band37",
+        Seq("value", "user_id", "tp_timestamp"))
+    }
+    lake
+  }
+
   private def rmrf(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rec)
@@ -883,27 +959,7 @@ object IngestQueries {
     // min/max rides the manifest (no sidecar ranges exist for
     // timestamps) while its count rides the sidecar.
     "qi31_metadata_only_aggregate" -> ((s, dir) => {
-      val root = s"${workRoot(dir)}/qi31"
-      rmrf(root)
-      val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_meta31", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("user_id"),
-          when(col("event_id") % 20 === 0, lit(null).cast("double"))
-            .otherwise(col("value")).as("value"))
-      val bands = Seq(
-        col("value").isNull || col("value") < 40.0,
-        col("value") >= 40.0 && col("value") < 80.0,
-        col("value") >= 80.0)
-      for (b <- bands)
-        Ingest.collectBatch(s, lake, spec, src.where(b),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_meta31",
-        Seq("value", "user_id", "event_type", "tp_timestamp"))
+      val lake = metaAggFixture(s, dir)
       val (meta, residual) = lake.statsAggregateAudited(s, "events_meta31",
         Seq("value", "user_id", "event_type", "tp_timestamp"))
       require(residual.isEmpty,
@@ -932,27 +988,7 @@ object IngestQueries {
     // the hash — the decline-unless-provably-exact gate is the tested
     // property.
     "qi33_sql_metadata_aggregate" -> ((s, dir) => {
-      val root = s"${workRoot(dir)}/qi33"
-      rmrf(root)
-      val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_meta33", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("user_id"),
-          when(col("event_id") % 20 === 0, lit(null).cast("double"))
-            .otherwise(col("value")).as("value"))
-      val bands = Seq(
-        col("value").isNull || col("value") < 40.0,
-        col("value") >= 40.0 && col("value") < 80.0,
-        col("value") >= 80.0)
-      for (b <- bands)
-        Ingest.collectBatch(s, lake, spec, src.where(b),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_meta33",
-        Seq("value", "user_id", "event_type", "tp_timestamp"))
+      val lake = metaAggFixture(s, dir) // shared with qi31
       Views.register(s, lake, Views.Filters())
       val q = s.sql("""
         SELECT count(*) AS n_rows,
@@ -962,7 +998,7 @@ object IngestQueries {
                min(user_id) AS min_user, max(user_id) AS max_user,
                min(event_type) AS min_etype, max(event_type) AS max_etype,
                min(tp_timestamp) AS min_ts, max(tp_timestamp) AS max_ts
-        FROM events_meta33""")
+        FROM events_meta31""")
       val files = graft.query.ScanAudit.filesReadAfterRun(q)
       require(files == 0L,
         s"metadata aggregate through SQL still scanned $files files")
@@ -1099,24 +1135,7 @@ object IngestQueries {
     // a file wrongly counted as contained (off-by-boundary, a null ts
     // missed, a stale manifest range) breaks the hash.
     "qi37_time_band_hybrid_aggregate" -> ((s, dir) => {
-      val root = s"${workRoot(dir)}/qi37"
-      rmrf(root)
-      val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_band37", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("user_id"), col("value"))
-      // six 5-day ingest slices: disjoint per-file time ranges
-      for (i <- 0 until 6)
-        Ingest.collectBatch(s, lake, spec,
-          src.where(col("ts") >= date_add(lit("2024-01-01"), i * 5) &&
-            col("ts") < date_add(lit("2024-01-01"), (i + 1) * 5)),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_band37",
-        Seq("value", "user_id", "tp_timestamp"))
+      val lake = bandFixture(s, dir) // shared with qi38
       val total = lake.dataFiles(s, "events_band37").size
       // band = mid-slice-1 .. mid-slice-4: slices 2,3 contained,
       // 1 and 4 straddle, 0 and 5 outside
@@ -1144,30 +1163,14 @@ object IngestQueries {
     // the banded aggregate (with an exact BIGINT sum) from raw rows,
     // so a containment error or a bad merge breaks the hash.
     "qi38_sql_time_band_hybrid" -> ((s, dir) => {
-      val root = s"${workRoot(dir)}/qi38"
-      rmrf(root)
-      val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_band38", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("user_id"), col("value"))
-      for (i <- 0 until 6)
-        Ingest.collectBatch(s, lake, spec,
-          src.where(col("ts") >= date_add(lit("2024-01-01"), i * 5) &&
-            col("ts") < date_add(lit("2024-01-01"), (i + 1) * 5)),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_band38",
-        Seq("value", "user_id", "tp_timestamp"))
+      val lake = bandFixture(s, dir) // shared with qi37
       Views.register(s, lake, Views.Filters())
-      val total = lake.dataFiles(s, "events_band38").size
+      val total = lake.dataFiles(s, "events_band37").size
       val q = s.sql("""
         SELECT count(*) AS n_rows, count(value) AS n_value,
                min(value) AS min_value, max(value) AS max_value,
                sum(user_id) AS sum_user
-        FROM events_band38
+        FROM events_band37
         WHERE tp_timestamp >= timestamp'2024-01-08 12:00:00'
           AND tp_timestamp <= timestamp'2024-01-23 11:59:59'""")
       val files = graft.query.ScanAudit.filesReadAfterRun(q)
