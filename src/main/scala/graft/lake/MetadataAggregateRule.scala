@@ -155,9 +155,21 @@ final case class MetadataAggregateRule(session: SparkSession)
       case _ => None
     }).getOrElse(return None)
     // a filter must itself be metadata-compatible, or "could be
-    // served" would be a false promise
-    if (cond.exists(c =>
-      partitionFilePredicate(lake, table, c).isEmpty)) return None
+    // served" would be a false promise: partition-only, or a
+    // tp_timestamp band (whose hybrid needs tp_timestamp stats — the
+    // lint then names that column in the enablement command)
+    val bandShaped = cond match {
+      case None => false
+      case Some(c) =>
+        if (partitionFilePredicate(lake, table, c).isDefined) false
+        else splitBand(c) match {
+          case Some((lo, hi, n, rest)) if n > 0 && lo <= hi &&
+              rest.forall(rc =>
+                partitionFilePredicate(lake, table, rc).isDefined) =>
+            true
+          case _ => return None
+        }
+    }
     val specs = agg.aggregateExpressions.map {
       // bare attrs are grouping-column pass-throughs in the grouped
       // shape; the lint needn't re-validate their exprIds
@@ -165,12 +177,13 @@ final case class MetadataAggregateRule(session: SparkSession)
       case e => classify(e)
     }
     if (specs.exists(_.isEmpty)) None
-    else Some(specs.flatten.collect {
+    else Some((specs.flatten.collect {
       case CountCol(a) => a.name
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
-    }.distinct)
+    } ++ (if (bandShaped) Seq(graft.lake.TpSchema.Timestamp)
+          else Nil)).distinct)
   }
 
   private def classify(e: NamedExpression): Option[Spec] = e match {
@@ -284,10 +297,14 @@ final case class MetadataAggregateRule(session: SparkSession)
     * already prunes the scan to the overlapping files and a hybrid
     * buys nothing.
     */
-  private def rewriteBand(
-      agg: Aggregate, lr: LogicalRelation,
-      lake: Lake, table: String,
-      cond: Expression): Option[LogicalPlan] = {
+  /** Split a WHERE into tp_timestamp band bounds (micros, strict
+    * bounds converted exactly: `> X` ≡ `>= X+1µs`) and the residual
+    * non-band conjuncts. None when a band conjunct has a null/odd
+    * literal; `(lo, hi, 0, Some(cond))` when no band conjunct exists.
+    * Shared by [[rewriteBand]] and the explain-lint probe.
+    */
+  private def splitBand(cond: Expression)
+      : Option[(Long, Long, Int, Option[Expression])] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -300,12 +317,10 @@ final case class MetadataAggregateRule(session: SparkSession)
           if l.value != null => Some(l.value.asInstanceOf[Long])
       case _ => None
     }
-    // split the conjuncts: tp_timestamp bounds / band-neutral null
-    // guards / partition-only — anything else disqualifies
     var lo = Long.MinValue
     var hi = Long.MaxValue
     var nBand = 0
-    val partConjs = Seq.newBuilder[Expression]
+    val rest = Seq.newBuilder[Expression]
     conjuncts(cond).foreach {
       case GreaterThanOrEqual(a: AttributeReference, l: Literal)
           if isTs(a) => us(l) match {
@@ -354,10 +369,17 @@ final case class MetadataAggregateRule(session: SparkSession)
         }
       // band-neutral: rows failing it fail the band anyway
       case IsNotNull(a: AttributeReference) if isTs(a) => ()
-      case p => partConjs += p
+      case p => rest += p
     }
+    Some((lo, hi, nBand, rest.result().reduceOption(And)))
+  }
+
+  private def rewriteBand(
+      agg: Aggregate, lr: LogicalRelation,
+      lake: Lake, table: String,
+      cond: Expression): Option[LogicalPlan] = {
+    val (lo, hi, nBand, partCond) = splitBand(cond).getOrElse(return None)
     if (nBand == 0 || lo > hi) return None
-    val partCond = partConjs.result().reduceOption(And)
     val fileFilter: String => Boolean = partCond match {
       case None => _ => true
       case Some(pc) =>

@@ -350,7 +350,7 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       java.sql.Date.valueOf("2024-03-05"))
   }
 
-  test("metadata answer stays consistent through append and delete") {
+  test("metadata answer stays fresh across appends (no stale caching)") {
     val (lake, t) = fixture()
     val spec = PartitionSpec(t, "p0", tpIndexColumn = Some("idx"))
     val more = spark.range(5000, 5010).select(

@@ -112,6 +112,13 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
       ".explain select count(*) as n, max(score) as mx from metrics")
     assert(served.contains("LocalTableScan"), served)
     assert(!served.contains("could be answered"), served)
+    // a tp_timestamp band that missed the HYBRID (no tp_timestamp
+    // stats → no containment proof) names that column in the hint
+    val bandMiss = Metaquery.handle(spark, lake, st,
+      ".explain select count(*) as n from metrics where " +
+        "tp_timestamp >= timestamp'2024-03-01 12:00:00'")
+    assert(bandMiss.contains("WARNING") &&
+      bandMiss.contains("tp_timestamp"), bandMiss)
   }
 
   test("planWarnings flags a stream-stream join left at the session " +
