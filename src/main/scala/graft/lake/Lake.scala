@@ -1407,6 +1407,28 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       rangeColumns: Set[String], sumColumns: Set[String],
       fileFilter: String => Boolean = _ => true)
       : (StatsAggParts, Seq[String], Int) = {
+    val (groups, toScan, contained) = timeBandPartsGrouped(spark, table,
+      fromUs, toUs, columns, schema, rangeColumns, sumColumns,
+      _ => Nil, fileFilter)
+    (groups.headOption.map(_._2).getOrElse(
+      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty,
+        Nil)),
+      toScan, contained)
+  }
+
+  /** Grouped twin of [[timeBandParts]]: per-group metadata partials
+    * over the contained files, keyed by `groupOf` (the rule passes the
+    * partition-directory projection). Same classification and
+    * conservativeness.
+    */
+  private[lake] def timeBandPartsGrouped(
+      spark: SparkSession, table: String,
+      fromUs: Long, toUs: Long,
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String], sumColumns: Set[String],
+      groupOf: String => Seq[String],
+      fileFilter: String => Boolean)
+      : (Seq[(Seq[String], StatsAggParts)], Seq[String], Int) = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     val bounds: Map[String, (Option[Long], Option[Long])] =
       fileStats(spark, table).collect()
@@ -1444,17 +1466,15 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         case _ => false
       }
     }.toSet
-    // metadata partial over the contained files; any contained file
-    // the sidecar can't answer for moves to the scan set
+    // metadata partials over the contained files; any contained file
+    // the sidecar can't answer for is excluded from the partials by
+    // statsAggPartsGrouped's own residual logic and moves to the scan
     val (groups, residualContained) = statsAggPartsGrouped(spark, table,
-      columns, schema, rangeColumns, sumColumns, _ => Nil,
+      columns, schema, rangeColumns, sumColumns, groupOf,
       fileFilter = contained)
-    val parts = groups.values.headOption.getOrElse(
-      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil))
     val toScan: Seq[String] =
       (overlapping.filterNot(contained) ++ residualContained).distinct
-    (parts.copy(residual = Nil), toScan,
-      contained.size - residualContained.size)
+    (groups.toSeq, toScan, contained.size - residualContained.size)
   }
 
   /** Ungrouped core: one partial over all covered files. */

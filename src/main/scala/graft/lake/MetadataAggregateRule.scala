@@ -505,6 +505,184 @@ final case class MetadataAggregateRule(session: SparkSession)
     Some(Aggregate(Nil, mergeExprs, union))
   }
 
+  /** GROUPED band hybrid: `GROUP BY partition columns` + a
+    * tp_timestamp band. Per-group metadata partials over the contained
+    * files become LOCAL rows (group-key slots + value slots); the
+    * straddler scan keeps the SAME grouping over the restricted
+    * relation, and the final GROUP BY over the union merges metadata
+    * groups with scanned groups wherever they overlap — no group
+    * alignment logic at all, the grouped merge IS the alignment.
+    */
+  private def rewriteBandGrouped(
+      agg: Aggregate, lr: LogicalRelation,
+      lake: Lake, table: String,
+      cond: Expression): Option[LogicalPlan] = {
+    val (lo, hi, nBand, partCond) = splitBand(cond).getOrElse(return None)
+    if (nBand == 0 || lo > hi) return None
+    val fileFilter: String => Boolean = partCond match {
+      case None => _ => true
+      case Some(pc) =>
+        partitionFilePredicate(lake, table, pc).getOrElse(return None)
+    }
+    val groupAttrs = agg.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference])
+    if (!groupAttrs.forall(a => a.dataType match {
+      case IntegerType | LongType | StringType => true
+      case _ => false
+    })) return None
+    def keyIndex(a: AttributeReference): Option[Int] = {
+      val i = groupAttrs.indexWhere(_.exprId == a.exprId)
+      if (i < 0) None else Some(i)
+    }
+    val specs: Seq[Option[Spec]] = agg.aggregateExpressions.map {
+      case a: AttributeReference => keyIndex(a).map(GroupKey)
+      case Alias(a: AttributeReference, _) => keyIndex(a).map(GroupKey)
+      case e => classify(e)
+    }
+    if (specs.exists(s => s.isEmpty || s.get.isInstanceOf[Passthrough]))
+      return None
+    val flat = specs.flatten
+    val valueSpecs = flat.filterNot(_.isInstanceOf[GroupKey])
+    val cols = valueSpecs.collect {
+      case CountCol(a) => a.name
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+      case SumCol(a) => a.name
+    }.distinct
+    val rangeCols = valueSpecs.collect {
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.toSet
+    val sumColsS = valueSpecs.collect { case SumCol(a) => a.name }.toSet
+    if (!lake.hasData(session, table)) return None
+    val schema = lake.schemaOf(session, table)
+    if (!cols.forall(schema.fieldNames.contains)) return None
+    val (groups, straddlers, containedCount) = lake.timeBandPartsGrouped(
+      session, table, lo, hi, cols, schema, rangeCols, sumColsS,
+      f => {
+        val pv = lake.partitionValues(lake.relOf(table, f))
+        groupAttrs.map(a => pv.getOrElse(a.name, null))
+      }, fileFilter)
+    if (containedCount <= 0) return None // hybrid buys nothing
+    if (!groups.forall { case (_, p) =>
+      sumColsS.forall(c => p.sums.get(c).forall(_.isValidLong))
+    }) return None
+
+    def valueOf(parts: Lake.StatsAggParts, s: Spec): Any = s match {
+      case CountStar => parts.nRows
+      case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
+      case MinCol(a) =>
+        CatalystTypeConverters.convertToCatalyst(
+          parts.mins.get(a.name).orNull)
+      case MaxCol(a) =>
+        CatalystTypeConverters.convertToCatalyst(
+          parts.maxs.get(a.name).orNull)
+      case SumCol(a) =>
+        parts.sums.get(a.name).map(v => Long.box(v.toLong)).orNull
+      case _ => null
+    }
+
+    if (straddlers.isEmpty) {
+      // fully contained: emit the final rows directly
+      val rows = groups.map { case (key, parts) =>
+        InternalRow.fromSeq(flat.map {
+          case GroupKey(i) =>
+            dirValueToInternal(key(i), groupAttrs(i).dataType)
+          case s => valueOf(parts, s)
+        })
+      }
+      logInfo(s"grouped time-band rewrite fired for '$table': fully " +
+        s"contained, ${groups.size} groups from metadata")
+      return Some(LocalRelation(
+        agg.aggregateExpressions.map(_.toAttribute), rows))
+    }
+
+    // local side: key slots then value slots, canonical order
+    def slotType(s: Spec): org.apache.spark.sql.types.DataType = s match {
+      case MinCol(a) => a.dataType
+      case MaxCol(a) => a.dataType
+      case _ => LongType
+    }
+    val nKeys = groupAttrs.size
+    val keySlots = groupAttrs.zipWithIndex.map { case (a, i) =>
+      AttributeReference(s"_bgk_$i", a.dataType)()
+    }
+    val valSlots = valueSpecs.zipWithIndex.map { case (s, i) =>
+      AttributeReference(s"_bgv_$i", slotType(s))()
+    }
+    val localRows = groups.map { case (key, parts) =>
+      InternalRow.fromSeq(
+        groupAttrs.indices.map(i =>
+          dirValueToInternal(key(i), groupAttrs(i).dataType)) ++
+          valueSpecs.map(s => valueOf(parts, s)))
+    }
+    val local = LocalRelation(keySlots ++ valSlots, localRows)
+
+    // straddler side: SAME grouping over the restricted relation
+    val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val straddlerIndex =
+      new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+        session, straddlers.map(new org.apache.hadoop.fs.Path(_)),
+        Map("basePath" -> lake.tableDir(table)), None)
+    val straddlerRel = HadoopFsRelation(straddlerIndex,
+      fsRel.partitionSchema, fsRel.dataSchema, fsRel.bucketSpec,
+      fsRel.fileFormat, fsRel.options)(session)
+    val swappedChild = agg.child.transform {
+      case l: LogicalRelation if l eq lr => lr.copy(relation = straddlerRel)
+    }
+    val neededIds = (valueSpecs.collect {
+      case CountCol(a) => a; case MinCol(a) => a
+      case MaxCol(a) => a; case SumCol(a) => a
+    } ++ groupAttrs).map(_.exprId).toSet
+    val needed = agg.child.output.filter(a => neededIds.contains(a.exprId))
+    val pruned =
+      if (needed.nonEmpty) Project(needed, swappedChild) else swappedChild
+    val partialValueExprs: Seq[NamedExpression] =
+      valueSpecs.zip(valSlots).map { case (s, slot) =>
+        val fn: AggregateFunction = s match {
+          case CountStar => Count(Literal(1))
+          case CountCol(a) => Count(a)
+          case MinCol(a) => Min(a)
+          case MaxCol(a) => Max(a)
+          case SumCol(a) => Sum(a)
+          case _ => return None
+        }
+        Alias(fn.toAggregateExpression(), slot.name)(exprId = slot.exprId)
+      }
+    val partial = Aggregate(groupAttrs,
+      groupAttrs.map(a => a: NamedExpression) ++ partialValueExprs,
+      pruned)
+    val union = Union(Seq(local, partial))
+    val unionOut = union.output
+    // value-slot index per flat position (duplicate specs are fine:
+    // the mapping is positional, never by equality)
+    val valueIdx: Map[Int, Int] = {
+      var v = -1
+      flat.zipWithIndex.flatMap {
+        case (s, i) if !s.isInstanceOf[GroupKey] => v += 1; Some(i -> v)
+        case _ => None
+      }.toMap
+    }
+    val mergeExprs: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(flat).zipWithIndex.map {
+        case (((orig, GroupKey(k))), _) =>
+          Alias(unionOut(k), orig.name)(exprId = orig.exprId)
+        case ((orig, s), i) =>
+          val in = unionOut(nKeys + valueIdx(i))
+          val fn: AggregateFunction = s match {
+            case CountStar | CountCol(_) | SumCol(_) => Sum(in)
+            case MinCol(_) => Min(in)
+            case MaxCol(_) => Max(in)
+            case _ => return None
+          }
+          Alias(fn.toAggregateExpression(), orig.name)(exprId = orig.exprId)
+      }
+    logInfo(s"grouped time-band rewrite fired for '$table': " +
+      s"${groups.size} metadata groups + ${straddlers.size} straddler " +
+      "files scanned in-plan")
+    Some(Aggregate(unionOut.take(nKeys), mergeExprs, union))
+  }
+
   /** Partition-grouped rewrite: `GROUP BY tp_partition/tp_index/
     * tp_year/tp_month` with the same aggregate family — one output row
     * per partition group present in the manifest, group-key values
@@ -523,7 +701,11 @@ final case class MetadataAggregateRule(session: SparkSession)
     val fileFilter: String => Boolean = cond match {
       case None => _ => true
       case Some(c) =>
-        partitionFilePredicate(lake, table, c).getOrElse(return None)
+        partitionFilePredicate(lake, table, c) match {
+          case Some(p) => p
+          // not partition-only: try the GROUPED band hybrid
+          case None => return rewriteBandGrouped(agg, lr, lake, table, c)
+        }
     }
     val groupAttrs = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference])

@@ -1180,6 +1180,31 @@ object IngestQueries {
       q
     }),
 
+    // The GROUPED band hybrid: GROUP BY a partition column + a
+    // tp_timestamp band — per-group metadata partials (local rows)
+    // merge with the straddler scan's groups through the final GROUP
+    // BY, so group alignment is the grouped merge itself. Same
+    // strict-minority files-read require; the DuckDB oracle recomputes
+    // the grouped banded aggregate (exact BIGINT sums) from raw rows.
+    "qi39_sql_grouped_time_band_hybrid" -> ((s, dir) => {
+      val lake = bandFixture(s, dir) // shared with qi37/qi38
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_band37").size
+      val q = s.sql("""
+        SELECT tp_index AS etype, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value,
+               sum(user_id) AS sum_user
+        FROM events_band37
+        WHERE tp_timestamp >= timestamp'2024-01-08 12:00:00'
+          AND tp_timestamp <= timestamp'2024-01-23 11:59:59'
+        GROUP BY tp_index ORDER BY etype""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"grouped band hybrid should scan only straddlers: " +
+          s"$files of $total")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1833,6 +1858,18 @@ object IngestQueries {
              min(value) AS min_value, max(value) AS max_value
       FROM events
       WHERE event_id % 5 = 0 AND event_id % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the GROUPED banded hybrid: group-merge or
+    // containment errors break this hash
+    "qi39_sql_grouped_time_band_hybrid" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             min(value) AS min_value, max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(ts AS timestamp) >= timestamp '2024-01-08 12:00:00'
+        AND cast(ts AS timestamp) <= timestamp '2024-01-23 11:59:59'
       GROUP BY 1 ORDER BY 1""",
 
     // raw-row recompute of the SQL-path banded hybrid: containment or

@@ -327,6 +327,57 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(q3.head().getLong(0) === 200L)
   }
 
+  test("GROUPED time-band SQL: per-group metadata partials merge with " +
+      "the straddler scan through the final GROUP BY") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_gb").toString)
+    val spec = PartitionSpec("gbq", "p0", tpIndexColumn = Some("idx"))
+    def slice(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-05 00:00:00' + " +
+          s"make_interval(0,0,0,0,$i,0, (id % 100) * 36)")
+          .as("tp_timestamp"),
+        concat(lit("t"), (col("id") % 2).cast("string")).as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 8) lake.append(spark, "gbq", slice(i))
+    lake.enableColumnStats(spark, "gbq",
+      Seq("v", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    val total = lake.dataFiles(spark, "gbq").size
+    val from = java.sql.Timestamp.valueOf("2024-03-05 02:30:00")
+    val to = java.sql.Timestamp.valueOf("2024-03-05 05:30:00")
+    val want = spark.read.option("basePath", lake.tableDir("gbq"))
+      .parquet(lake.tableDir("gbq"))
+      .where(col("tp_timestamp") >= lit(from) &&
+        col("tp_timestamp") <= lit(to))
+      .groupBy(col("tp_index"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mnv"),
+        max(col("v")).as("mxv"), sum(col("event_id")).as("s"))
+      .orderBy("tp_index").collect().toSeq
+    val q = spark.sql("""
+      SELECT tp_index, count(*) AS n, min(v) AS mnv, max(v) AS mxv,
+             sum(event_id) AS s
+      FROM gbq
+      WHERE tp_timestamp >= timestamp'2024-03-05 02:30:00'
+        AND tp_timestamp <= timestamp'2024-03-05 05:30:00'
+      GROUP BY tp_index ORDER BY tp_index""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0 && files * 2 < total,
+      s"grouped band should scan only straddlers: $files of $total")
+    assert(q.collect().toSeq === want)
+    // fully-contained grouped band: zero files
+    val q2 = spark.sql("""
+      SELECT tp_index, count(*) AS n FROM gbq
+      WHERE tp_timestamp >= timestamp'2024-03-05 02:00:00'
+        AND tp_timestamp < timestamp'2024-03-05 06:00:00'
+      GROUP BY tp_index ORDER BY tp_index""")
+    assert(ScanAudit.filesReadAfterRun(q2) === 0)
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("t0", 200L), ("t1", 200L)))
+  }
+
   test("count-only columns need no zone ranges; their min/max declines") {
     val lake = Lake(Files.createTempDirectory("graft_metaagg_co").toString)
     val spec = PartitionSpec("co", "p0", tpIndexColumn = Some("idx"))
