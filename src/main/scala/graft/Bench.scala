@@ -209,7 +209,21 @@ object Bench {
       if (chosen.results.count(r => canaryQueries.contains(r._1)) ==
         canaryQueries.size) canaryInSuite / canaryBaselineSec
       else 0.0
-    println(f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"canary_start_sec":$canaryStartSec%.3f,"canary_in_suite_sec":$canaryInSuite%.3f,"canary_factor":$canaryFactor%.3f,"canary_baseline_sec":$canaryBaselineSec%.3f,"canary_baseline_src":"$canaryBaselineSrc","sf":"$sfDir"}""")
+    val jsonLine = f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"canary_start_sec":$canaryStartSec%.3f,"canary_in_suite_sec":$canaryInSuite%.3f,"canary_factor":$canaryFactor%.3f,"canary_baseline_sec":$canaryBaselineSec%.3f,"canary_baseline_src":"$canaryBaselineSrc","sf":"$sfDir"}"""
+    println(jsonLine)
+    // full per-query artifact at the repo root: the driver recovers
+    // the stdout line from a BOUNDED tail that truncates as the suite
+    // grows (r16: 111 of 173 per-query rows lost to cross-round
+    // diffing) — this file is the same JSON, never truncated, written
+    // only on full-suite runs so a SPARK_GRAFT_ONLY subset can't
+    // clobber the round's record
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_latest.json"),
+        (jsonLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_latest.json write failed: $e")
+      }
     spark.stop()
   }
 

@@ -71,7 +71,7 @@ object Main {
     Set("overwrite", "header", "compact", "config-dump", "all",
       "backup", "restore", "reindex", "force", "progress", "rules", "ppl",
       "vocab", "novelty", "readability", "tune", "dry-run", "stream",
-      "auto-size")
+      "auto-size", "ndv")
   private val BoolWords = Set("true", "false", "on", "off")
 
   private[cli] def parseArgs(args: Seq[String]): Opts = {
@@ -1958,13 +1958,17 @@ object Main {
           "(or stats-enabled columns on the table)")
         // --from/--to: the TIME-BAND hybrid — contained files answer
         // from metadata, only band-edge straddlers are scanned
+        // withSums = false: this command prints count/min/max only —
+        // computing sums it never shows would add a coverage gate and
+        // an overflow hazard for nothing (r16 ADVICE-medium)
         val (res, residual) = (opts.ts("from"), opts.ts("to")) match {
-          case (None, None) => lake.statsAggregateAudited(spark, t, cols)
+          case (None, None) =>
+            lake.statsAggregateAudited(spark, t, cols, withSums = false)
           case (f, to) =>
             lake.timeBandAggregateAudited(spark, t,
               f.getOrElse(new java.sql.Timestamp(0L)),
               to.getOrElse(Timestamp.valueOf("9999-12-31 00:00:00")),
-              cols)
+              cols, withSums = false)
         }
         val row = res.head()
         out.println(s"rows: ${row.getAs[Long]("n_rows")}")
@@ -1976,6 +1980,37 @@ object Main {
         out.println(
           if (residual.isEmpty) "served from metadata (no data scan)"
           else s"metadata + residual scan of ${residual.size} file(s)")
+        // --ndv: approximate distinct counts — sidecar sketch union
+        // when every live file carries a blob (scan-free), one NdvAgg
+        // scan otherwise (same estimator, same lgK — see NdvFns)
+        if (opts.flag("ndv").contains("true")) {
+          import org.apache.spark.sql.functions.{col, lit}
+          val whole = opts.ts("from").isEmpty && opts.ts("to").isEmpty
+          val unioned =
+            if (whole) lake.statsAggregateIfCovered(spark, t, cols,
+              Set.empty, Set.empty, cols.toSet).map(_.ndvs)
+            else None
+          val est: Map[String, Long] = unioned.getOrElse {
+            val base = lake.read(spark, t)
+            val banded = (opts.ts("from"), opts.ts("to")) match {
+              case (None, None) => base
+              case (f, to) => base.where(
+                col(graft.lake.TpSchema.Timestamp) >=
+                  lit(f.getOrElse(new java.sql.Timestamp(0L))) &&
+                  col(graft.lake.TpSchema.Timestamp) <=
+                    lit(to.getOrElse(
+                      Timestamp.valueOf("9999-12-31 00:00:00"))))
+            }
+            val aggs = cols.map(c =>
+              graft.functions.NdvFns.ndv(spark, col(c)).as(s"__ndv_$c"))
+            val r = banded.agg(aggs.head, aggs.tail: _*).head()
+            cols.map(c => c -> r.getAs[Long](s"__ndv_$c")).toMap
+          }
+          cols.foreach(c =>
+            out.println(s"  ndv $c: ~${est.getOrElse(c, 0L)}" +
+              (if (unioned.isDefined) " (sketch union, no scan)"
+               else " (scanned)")))
+        }
       case other => throw new IllegalArgumentException(
         s"table: expected list|show|diff|snapshot|analyze|aggregate, " +
           s"got ${other.getOrElse("nothing")}")

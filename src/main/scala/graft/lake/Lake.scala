@@ -937,6 +937,88 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     }
   }
 
+  /** Change token over one metadata directory: sorted (name, size)
+    * pairs hashed. Every mutation appends NEW uuid-named part files
+    * (or swaps the dir for freshly-named compacted ones), so any
+    * manifest/sidecar change moves the token. Metadata-sized: the
+    * dirs hold one small parquet per mutation, self-compacted at the
+    * threshold.
+    */
+  private def dirToken(spark: SparkSession, dir: String): String = {
+    val files = walkFiles(fs(spark, root), new Path(dir))
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+    files.sortBy(_._1).foreach { case (p, len) =>
+      h.update(p.getBytes("UTF-8")); h.update(len.toString.getBytes)
+    }
+    java.util.Base64.getEncoder.encodeToString(h.digest()).take(16)
+  }
+
+  private[lake] def metaToken(spark: SparkSession, table: String): String =
+    dirToken(spark, manifestDir(table)) + "|" +
+      dirToken(spark, colStatsDir(table))
+
+  /** The table's [[Lake.MetaSnapshot]] — collected once per mutation,
+    * then served from the JVM-wide cache on a matching token (one
+    * cheap metadata-dir listing per probe instead of two Spark jobs).
+    */
+  private[lake] def metaSnapshot(
+      spark: SparkSession, table: String): Lake.MetaSnapshot = {
+    val key = s"$root#$table"
+    val probe = metaToken(spark, table)
+    Lake.cachedSnapshot(key).filter(_.token == probe) match {
+      case Some(hit) => Lake.noteHit(key); hit
+      case None =>
+        Lake.noteMiss(key)
+        val snap = locked(table) {
+          healSwapAsides(spark, table)
+          val f = fs(spark, root)
+          // token re-read AFTER healing (the heal may swap the dirs)
+          val token = metaToken(spark, table)
+          val manifest: Map[String, Lake.ManifestStat] =
+            if (!f.exists(new Path(manifestDir(table)))) Map.empty
+            else spark.read.parquet(manifestDir(table))
+              .groupBy("file").agg(
+                max_by(struct(col("rows"), col("min_ts"), col("max_ts")),
+                  col("seq")).as("s"))
+              .select(col("file"), col("s.rows"), col("s.min_ts"),
+                col("s.max_ts"))
+              .where(col("rows") >= 0L)
+              .collect().map { r =>
+                r.getString(0) -> Lake.ManifestStat(r.getLong(1),
+                  if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
+                  if (r.isNullAt(3)) None else Some(r.getTimestamp(3)))
+              }.toMap
+          val sidecar: Map[(String, String), Lake.SideStat] =
+            if (!f.exists(new Path(colStatsDir(table))))
+              Map.empty
+            else sidecarWithSum(spark.read.parquet(colStatsDir(table)))
+              .groupBy("file", "column")
+              .agg(max_by(struct(col("nulls"), col("n"), col("min_d"),
+                col("max_d"), col("min_s"), col("max_s"), col("sum_v"),
+                col("sketch")), col("seq")).as("s"))
+              .select(col("file"), col("column"), col("s.nulls"),
+                col("s.n"), col("s.min_d"), col("s.max_d"),
+                col("s.min_s"), col("s.max_s"), col("s.sum_v"),
+                col("s.sketch"))
+              .collect().map { r =>
+                (r.getString(0), r.getString(1)) -> Lake.SideStat(
+                  r.getLong(2), r.getLong(3),
+                  if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+                  if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+                  if (r.isNullAt(6)) None else Some(r.getString(6)),
+                  if (r.isNullAt(7)) None else Some(r.getString(7)),
+                  if (r.isNullAt(8)) None
+                  else Some(BigInt(r.getDecimal(8).toBigInteger)),
+                  if (r.isNullAt(9)) None
+                  else Some(r.getAs[Array[Byte]](9)))
+              }.toMap
+          Lake.MetaSnapshot(token, manifest, sidecar)
+        }
+        Lake.storeSnapshot(key, snap)
+        snap
+    }
+  }
+
   /** Files whose NEWEST manifest row is a tombstone — dead by
     * manifest truth even if a crashed removal left them on disk.
     * Metadata-sized; [[Maintenance.vacuum]] excludes these from its
@@ -1108,7 +1190,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       case _: NumericType =>
         val r = nonNull.select(col(keyCol).cast("double").as("k"))
           .agg(min(col("k")), max(col("k"))).head()
-        readPrunedByColumn(spark, table, column,
+        // the NaN valve, over-cap edition: Spark orders NaN greatest,
+        // so any NaN key surfaces as max = NaN here — and a [lo, NaN]
+        // band matches NO stats-covered file (min_d <= NaN is false),
+        // which would silently prune every file instead of none
+        // (r16 ADVICE-medium). NaN keys disable pruning entirely.
+        if (r.getDouble(0).isNaN || r.getDouble(1).isNaN)
+          read(spark, table)
+        else readPrunedByColumn(spark, table, column,
           Math.nextDown(r.getDouble(0)), Math.nextUp(r.getDouble(1)))
       case _ => read(spark, table) // unsupported key type: no pruning
     } else dt match {
@@ -1205,17 +1294,19 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     * demanding zone ranges for it would decline queries the metadata
     * CAN answer.
     */
-  private[lake] def statsAggregateIfCovered(
+  private[graft] def statsAggregateIfCovered(
       spark: SparkSession, table: String,
       columns: Seq[String],
       rangeColumns: Set[String],
       sumColumns: Set[String] = Set.empty,
+      ndvColumns: Set[String] = Set.empty,
       fileFilter: String => Boolean = _ => true): Option[StatsAggParts] = {
     if (!hasData(spark, table)) return None
     val schema = schemaOf(spark, table)
     if (!columns.forall(schema.fieldNames.contains)) return None
     val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
-      schema, rangeColumns, sumColumns, _ => Nil, fileFilter)
+      schema, rangeColumns, sumColumns, _ => Nil, fileFilter,
+      ndvColumns)
     if (residual.nonEmpty) None
     else Some(groups.values.headOption.getOrElse(
       StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil)))
@@ -1227,7 +1318,20 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     */
   def statsAggregateAudited(
       spark: SparkSession, table: String,
-      columns: Seq[String]): (DataFrame, Seq[String]) = {
+      columns: Seq[String]): (DataFrame, Seq[String]) =
+    statsAggregateAudited(spark, table, columns, withSums = true)
+
+  /** @param withSums false skips the `sum_<c>` outputs entirely — a
+    *   caller that only wants count/min/max (the CLI's `table
+    *   aggregate`) must not pay the sum coverage gate nor risk the
+    *   no-exact-BIGINT null on a column total past Long.MaxValue
+    *   (r16 ADVICE-medium: the unconditional sum turned a count
+    *   request over ~5M epoch-millis rows into an ArithmeticException).
+    */
+  def statsAggregateAudited(
+      spark: SparkSession, table: String,
+      columns: Seq[String],
+      withSums: Boolean): (DataFrame, Seq[String]) = {
     require(columns.nonEmpty, "statsAggregate: no columns given")
     require(hasData(spark, table),
       s"statsAggregate: table '$table' has no data files")
@@ -1239,7 +1343,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    val sumCols = columns.filter(integral)
+    val sumCols = if (withSums) columns.filter(integral) else Nil
     val parts = statsAggParts(spark, table, columns, schema,
       rangeColumns = columns.toSet, sumColumns = sumCols.toSet)
     var nRows: Long = parts.nRows
@@ -1263,7 +1367,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
         count(col(c)).as(s"__c_$c"),
         min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
-        (if (integral(c)) sum(col(c).cast("decimal(38,0)"))
+        (if (sumCols.contains(c)) sum(col(c).cast("decimal(38,0)"))
          else max(lit(null).cast("decimal(38,0)"))).as(s"__sv_$c")))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       nRows += r.getAs[Long]("__n")
@@ -1284,10 +1388,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       } ++ sumCols.map(c => StructField(s"sum_$c", LongType)))
     val values: Seq[Any] = (nRows +: columns.flatMap(c =>
       Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))) ++
-      // longValueExact: a table sum past Long.MaxValue has no exact
-      // BIGINT representation — fail loudly rather than wrap silently
-      sumCols.map(c => sm.get(c).map(_.bigInteger.longValueExact())
-        .map(Long.box).orNull)
+      // a table sum past Long.MaxValue has no exact BIGINT value:
+      // emit null (unknown-exactly), never wrap and never throw — the
+      // SQL rule declines the same way via isValidLong (r16
+      // ADVICE-medium: longValueExact crashed count/min/max requests
+      // that never asked for the sum)
+      sumCols.map(c => sm.get(c).filter(_.isValidLong)
+        .map(v => Long.box(v.toLong)).orNull)
     val out = spark.createDataFrame(
       java.util.Arrays.asList(Row.fromSeq(values)),
       StructType(fields))
@@ -1319,7 +1426,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   def timeBandAggregateAudited(
       spark: SparkSession, table: String,
       from: Timestamp, to: Timestamp,
-      columns: Seq[String]): (DataFrame, Seq[String]) = {
+      columns: Seq[String]): (DataFrame, Seq[String]) =
+    timeBandAggregateAudited(spark, table, from, to, columns,
+      withSums = true)
+
+  /** See [[statsAggregateAudited]]'s `withSums` — same contract. */
+  def timeBandAggregateAudited(
+      spark: SparkSession, table: String,
+      from: Timestamp, to: Timestamp,
+      columns: Seq[String],
+      withSums: Boolean): (DataFrame, Seq[String]) = {
     require(columns.nonEmpty, "timeBandAggregate: no columns given")
     require(hasData(spark, table),
       s"timeBandAggregate: table '$table' has no data files")
@@ -1332,7 +1448,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    val sumCols = columns.filter(integral)
+    val sumCols = if (withSums) columns.filter(integral) else Nil
 
     val fromUs = org.apache.spark.sql.catalyst.util.DateTimeUtils
       .fromJavaTimestamp(from)
@@ -1363,7 +1479,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
         count(col(c)).as(s"__c_$c"),
         min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
-        (if (integral(c)) sum(col(c).cast("decimal(38,0)"))
+        (if (sumCols.contains(c)) sum(col(c).cast("decimal(38,0)"))
          else max(lit(null).cast("decimal(38,0)"))).as(s"__sv_$c")))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       nRows += r.getAs[Long]("__n")
@@ -1383,8 +1499,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       } ++ sumCols.map(c => StructField(s"sum_$c", LongType)))
     val values: Seq[Any] = (nRows +: columns.flatMap(c =>
       Seq(cnt(c), mn.get(c).orNull, mx.get(c).orNull))) ++
-      sumCols.map(c => sm.get(c).map(_.bigInteger.longValueExact())
-        .map(Long.box).orNull)
+      sumCols.map(c => sm.get(c).filter(_.isValidLong)
+        .map(v => Long.box(v.toLong)).orNull)
     val out = spark.createDataFrame(
       java.util.Arrays.asList(Row.fromSeq(values)),
       StructType(fields))
@@ -1429,28 +1545,11 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       groupOf: String => Seq[String],
       fileFilter: String => Boolean)
       : (Seq[(Seq[String], StatsAggParts)], Seq[String], Int) = {
-    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val snap = metaSnapshot(spark, table)
     val bounds: Map[String, (Option[Long], Option[Long])] =
-      fileStats(spark, table).collect()
-        .map(r => r.getString(0) -> (
-          (if (r.isNullAt(2)) None
-           else Some(DateTimeUtils.fromJavaTimestamp(r.getTimestamp(2))),
-            if (r.isNullAt(3)) None
-            else Some(DateTimeUtils.fromJavaTimestamp(r.getTimestamp(3))))))
-        .toMap
+      snap.manifest.map { case (f, m) => f -> (m.minUs, m.maxUs) }
     // per-file tp_timestamp null counts from the sidecar (newest seq)
-    val tsNulls: Map[String, Long] = {
-      val dir = colStatsDir(table)
-      if (!fs(spark, root).exists(new Path(dir))) Map.empty
-      else {
-        locked(table)(healSwapAsides(spark, table))
-        spark.read.parquet(dir)
-          .where(col("column") === TpSchema.Timestamp)
-          .groupBy("file")
-          .agg(max_by(col("nulls"), col("seq")).as("nulls"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-    }
+    val tsNulls: Map[String, Long] = snap.tsNulls
     val live = dataFiles(spark, table).filter(fileFilter)
     val overlapping = live.filterNot { f =>
       bounds.get(f) match {
@@ -1506,6 +1605,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       groupCols: Seq[String], columns: Seq[String],
       rangeColumns: Set[String],
       sumColumns: Set[String] = Set.empty,
+      ndvColumns: Set[String] = Set.empty,
       fileFilter: String => Boolean = _ => true)
       : Option[Seq[(Seq[String], StatsAggParts)]] = {
     if (groupCols.isEmpty ||
@@ -1519,7 +1619,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         val pv = partitionValues(relOf(table, f))
         groupCols.map(pv.getOrElse(_, null))
       },
-      fileFilter)
+      fileFilter, ndvColumns)
     if (residual.nonEmpty) None else Some(groups.toSeq)
   }
 
@@ -1540,7 +1640,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       rangeColumns: Set[String],
       sumColumns: Set[String],
       groupOf: String => Seq[String],
-      fileFilter: String => Boolean = _ => true)
+      fileFilter: String => Boolean = _ => true,
+      ndvColumns: Set[String] = Set.empty)
       : (Map[Seq[String], StatsAggParts], Seq[String]) = {
     def dtOf(c: String): DataType = schema(c).dataType
     def minMaxFromZones(dt: DataType): Boolean = dt match {
@@ -1549,57 +1650,40 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       case _ => false
     }
 
-    // live truth = the LISTING; manifest rows keyed by file (already
-    // reconciled to the listing when local). A live file with no
-    // manifest row is scan-residual — the manifest must not be trusted
-    // for counts it never recorded.
+    // live truth = the LISTING; manifest/sidecar newest-seq rows come
+    // from the per-mutation MetaSnapshot (r16 verdict task 3: ten
+    // consecutive metadata-served queries paid the manifest read ten
+    // times — now one token probe each). A live file with no manifest
+    // row is scan-residual — the manifest must not be trusted for
+    // counts it never recorded; a manifest row for a file the listing
+    // no longer holds is ignored (the old reconcile, as a filter).
+    val snap = metaSnapshot(spark, table)
     val live = dataFiles(spark, table).filter(fileFilter)
-    val manifest: Map[String, Row] = fileStats(spark, table).collect()
-      .map(r => r.getString(0) -> r).filter(kv => fileFilter(kv._1)).toMap
-
-    // newest sidecar row per (file, column), requested columns only
-    val sidecar: Map[(String, String), Row] = {
-      val df = locked(table) {
-        healSwapAsides(spark, table)
-        if (!fs(spark, root).exists(new Path(colStatsDir(table)))) None
-        else Some(spark.read.parquet(colStatsDir(table)))
-      }
-      df match {
-        case None => Map.empty
-        case Some(sc) => sidecarWithSum(sc)
-          .where(col("column").isin(columns: _*))
-          .groupBy("file", "column")
-          .agg(max_by(struct(col("nulls"), col("n"), col("min_d"),
-            col("max_d"), col("min_s"), col("max_s"), col("sum_v")),
-            col("seq")).as("s"))
-          .select(col("file"), col("column"), col("s.nulls"), col("s.n"),
-            col("s.min_d"), col("s.max_d"), col("s.min_s"),
-            col("s.max_s"), col("s.sum_v"))
-          .collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r).toMap
-      }
-    }
-    // sidecar row layout: 2=nulls, 3=n, 4=min_d, 5=max_d,
-    //                     6=min_s, 7=max_s, 8=sum_v
+    val liveSet = live.toSet
+    val manifest: Map[String, Lake.ManifestStat] =
+      snap.manifest.filter { case (f, _) => liveSet(f) }
+    val sidecar = snap.sidecar
 
     def usable(file: String, rows: Long, c: String): Boolean = {
       val cov = sidecar.get((file, c))
       // count(c): needs the sidecar's null/row counts, and they must
       // describe THIS file state (n == manifest rows; files are
       // immutable, so a mismatch means a stale or foreign row)
-      val countOk = cov.exists(r => r.getLong(3) == rows)
+      val countOk = cov.exists(_.n == rows)
       if (!countOk) return false
       // sum(c): needs the per-file value sum — a null sum_v on a file
       // with non-null rows is a pre-sum sidecar row (re-seed to fix)
       if (sumColumns(c) && !cov.exists(r =>
-        !r.isNullAt(8) || r.getLong(2) == r.getLong(3))) return false
+        r.sumV.isDefined || r.nulls == r.n)) return false
+      // ndv(c): needs the per-file HLL blob to union
+      if (ndvColumns(c) && !cov.exists(_.sketch.isDefined)) return false
       if (!rangeColumns(c)) return true // count-only: null/row counts do
       if (c == TpSchema.Timestamp) return true // min/max manifest-served
       val dt = dtOf(c)
       minMaxFromZones(dt) && (dt match {
         case LongType => cov.exists { r =>
-          (r.isNullAt(4) || math.abs(r.getDouble(4)) < ExactLongBound) &&
-            (r.isNullAt(5) || math.abs(r.getDouble(5)) < ExactLongBound)
+          r.minD.forall(d => math.abs(d) < ExactLongBound) &&
+            r.maxD.forall(d => math.abs(d) < ExactLongBound)
         }
         case _ => true
       })
@@ -1608,13 +1692,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     val residual: Seq[String] = live.filter { f =>
       manifest.get(f) match {
         case None => true // live but unrecorded: scan it
-        case Some(m) => !columns.forall(c => usable(f, m.getLong(1), c))
+        case Some(m) => !columns.forall(c => usable(f, m.rows, c))
       }
     }
     val residualSet = residual.toSet
-    val covered: Seq[Row] =
-      manifest.valuesIterator.filterNot(r => residualSet(r.getString(0)))
-        .toSeq
+    val covered: Seq[(String, Lake.ManifestStat)] =
+      manifest.toSeq.filterNot(kv => residualSet(kv._1))
 
     // ---- metadata partial (driver-side, metadata-sized) ----
     def fromDouble(dt: DataType, d: Double): Any = dt match {
@@ -1626,9 +1709,9 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       case _ => d
     }
 
-    val groups = covered.groupBy(m => groupOf(m.getString(0)))
-      .map { case (key, rows) =>
-        val nRows: Long = rows.map(_.getLong(1)).sum
+    val groups = covered.groupBy(kv => groupOf(kv._1))
+      .map { case (key, files) =>
+        val nRows: Long = files.map(_._2.rows).sum
         val cnt = scala.collection.mutable.Map[String, Long]()
           .withDefaultValue(0L)
         val mn = scala.collection.mutable.Map[String, Any]()
@@ -1640,32 +1723,34 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           if (hi != null &&
             (!mx.contains(c) || Lake.statsLt(dt, mx(c), hi))) mx(c) = hi
         }
-        rows.foreach { m =>
-          val file = m.getString(0)
+        files.foreach { case (file, m) =>
           columns.foreach { c =>
             val r = sidecar((file, c))
-            cnt(c) += r.getLong(3) - r.getLong(2)
-            if (sumColumns(c) && !r.isNullAt(8))
-              sm(c) = sm.getOrElse(c, BigInt(0)) +
-                BigInt(r.getDecimal(8).toBigInteger)
+            cnt(c) += r.n - r.nulls
+            if (sumColumns(c))
+              r.sumV.foreach(v => sm(c) = sm.getOrElse(c, BigInt(0)) + v)
             val dt = dtOf(c)
             if (!rangeColumns(c)) () // count-only column: no range merge
             else if (c == TpSchema.Timestamp)
-              merge(c, dt,
-                if (m.isNullAt(2)) null else m.getTimestamp(2),
-                if (m.isNullAt(3)) null else m.getTimestamp(3))
+              merge(c, dt, m.minTs.orNull, m.maxTs.orNull)
             else if (dt == StringType)
-              merge(c, dt,
-                if (r.isNullAt(6)) null else r.getString(6),
-                if (r.isNullAt(7)) null else r.getString(7))
+              merge(c, dt, r.minS.orNull, r.maxS.orNull)
             else
               merge(c, dt,
-                if (r.isNullAt(4)) null else fromDouble(dt, r.getDouble(4)),
-                if (r.isNullAt(5)) null else fromDouble(dt, r.getDouble(5)))
+                r.minD.map(fromDouble(dt, _)).orNull,
+                r.maxD.map(fromDouble(dt, _)).orNull)
           }
         }
+        // ndv: one driver-side HLL union per requested column over the
+        // group's per-file sidecar sketches — usable() guaranteed every
+        // covered file carries a blob
+        val ndvs: Map[String, Long] = ndvColumns.intersect(columns.toSet)
+          .map { c =>
+            c -> graft.functions.NdvFns.unionEstimate(
+              files.flatMap { case (file, _) => sidecar((file, c)).sketch })
+          }.toMap
         key -> StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap,
-          sm.toMap, Nil)
+          sm.toMap, Nil, ndvs)
       }
     (groups, residual)
   }
@@ -1677,33 +1762,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     */
   private def loadZoneMaps(
       spark: SparkSession,
-      table: String): Map[String, Map[String, ColumnZone]] = {
-    val sidecar = locked(table) {
-      healSwapAsides(spark, table)
-      if (!fs(spark, root).exists(new Path(colStatsDir(table))))
-        return Map.empty
-      spark.read.parquet(colStatsDir(table))
-    }
-    sidecar
-      .groupBy("file", "column")
-      .agg(max_by(struct(col("min_d"), col("max_d"),
-        col("min_s"), col("max_s"), col("nulls"), col("n")),
-        col("seq")).as("s"))
-      .select(col("file"), col("column"), col("s.min_d"), col("s.max_d"),
-        col("s.min_s"), col("s.max_s"), col("s.nulls"), col("s.n"))
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (file, rows) =>
-        file -> rows.map { r =>
-          def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
-          def s(i: Int) = if (r.isNullAt(i)) None
-            else Some(org.apache.spark.unsafe.types.UTF8String
-              .fromString(r.getString(i)).getBytes)
-          def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-          r.getString(1) -> ColumnZone(d(2), d(3), s(4), s(5), l(6), l(7))
-        }.toMap
-      }
-  }
+      table: String): Map[String, Map[String, ColumnZone]] =
+    metaSnapshot(spark, table).zoneMaps
 
   /** Synthetic zones for `tp_timestamp`/`tp_date` from the manifest's
     * per-file `min_ts`/`max_ts` — so a plain SQL time band (the
@@ -1718,31 +1778,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     */
   private def loadTsZones(
       spark: SparkSession,
-      table: String): Map[String, Map[String, ColumnZone]] = {
-    if (!fs(spark, root).exists(new Path(manifestDir(table))))
-      return Map.empty
-    fileStats(spark, table)
-      .select(col("file"),
-        unix_micros(col("min_ts")).as("lo_us"),
-        unix_micros(col("max_ts")).as("hi_us"),
-        unix_date(to_date(col("min_ts"))).as("lo_day"),
-        unix_date(to_date(col("max_ts"))).as("hi_day"),
-        col("rows"))
-      .collect()
-      .map { r =>
-        def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-        def day(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
-        val n = Some(r.getLong(5))
-        r.getString(0) -> Map(
-          TpSchema.Timestamp -> ColumnZone(
-            l(1).map(_.toDouble), l(2).map(_.toDouble),
-            None, None, None, n),
-          TpSchema.Date -> ColumnZone(
-            day(3).map(d => (d - 1).toDouble),
-            day(4).map(d => (d + 1).toDouble),
-            None, None, None, n))
-      }.toMap
-  }
+      table: String): Map[String, Map[String, ColumnZone]] =
+    metaSnapshot(spark, table).tsZoneMaps
 
   /** Build the table's DataFrame over a [[ZoneMapFileIndex]] so any
     * pushed band/equality/prefix conjunct on a stats-enabled column —
@@ -1771,14 +1808,18 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       Map("basePath" -> tableDir(table)), None)
     val leaves = idx.allFiles()
     if (leaves.isEmpty) return plain
+    // owner only for WHOLE-table reads: a pre-pruned root set (the
+    // time-pruned survivors) must never let the metadata-aggregate
+    // rule answer for files the relation doesn't cover
+    val own = if (roots == Seq(tableDir(table))) Some((this, table))
+      else None
     val zoneIdx = new ZoneMapFileIndex(idx,
       () => loadZoneMaps(spark, table),
       () => loadTsZones(spark, table),
-      // owner only for WHOLE-table reads: a pre-pruned root set (the
-      // time-pruned survivors) must never let the metadata-aggregate
-      // rule answer for files the relation doesn't cover
-      owner = if (roots == Seq(tableDir(table))) Some((this, table))
-        else None)
+      owner = own,
+      // pin the freshness token NOW: the InMemoryFileIndex above just
+      // listed, so the first listFiles needn't re-list
+      initialToken = own.map(_ => metaToken(spark, table)))
     // non-evolved tables have a uniform file schema (the drift check
     // enforces it at ingest), so one footer yields the data schema.
     // Read it through the FileStatus, NOT a path string: a Hive-escaped
@@ -1975,7 +2016,112 @@ object Lake {
       mins: Map[String, Any],
       maxs: Map[String, Any],
       sums: Map[String, BigInt],
-      residual: Seq[String])
+      residual: Seq[String],
+      ndvs: Map[String, Long] = Map.empty)
+
+  /** Newest-seq manifest row for one live file. */
+  private[lake] final case class ManifestStat(
+      rows: Long,
+      minTs: Option[Timestamp], maxTs: Option[Timestamp]) {
+    def minUs: Option[Long] = minTs.map(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp)
+    def maxUs: Option[Long] = maxTs.map(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp)
+  }
+
+  /** Newest-seq colstats sidecar row for one (file, column). */
+  private[lake] final case class SideStat(
+      nulls: Long, n: Long,
+      minD: Option[Double], maxD: Option[Double],
+      minS: Option[String], maxS: Option[String],
+      sumV: Option[BigInt], sketch: Option[Array[Byte]])
+
+  /** One table's metadata, collected once per mutation: the newest-seq
+    * manifest rows (tombstones dropped) and newest-seq sidecar rows for
+    * every stats column — the shared feed for the optimize-time probes
+    * ([[Lake.statsAggregateIfCovered]], `timeBandParts*`) and the
+    * [[ZoneMapFileIndex]] loaders. Cached per `(root, table)` keyed by
+    * [[Lake.dirToken]] over the manifest + sidecar directories: every
+    * mutation path appends or swaps files there, so a token mismatch
+    * IS the invalidation (r16 verdict task 3 — ten consecutive
+    * metadata-served queries previously paid the manifest read ten
+    * times, and the probe latency IS the query latency once files
+    * aren't scanned). The derived zone-map forms memoize per snapshot.
+    */
+  private[lake] final case class MetaSnapshot(
+      token: String,
+      manifest: Map[String, ManifestStat],
+      sidecar: Map[(String, String), SideStat]) {
+
+    /** Sidecar rows as [[ColumnZone]]s, the value-column zone family. */
+    lazy val zoneMaps: Map[String, Map[String, ColumnZone]] =
+      sidecar.toSeq.groupBy(_._1._1).map { case (file, rows) =>
+        file -> rows.map { case ((_, c), s) =>
+          c -> ColumnZone(s.minD, s.maxD,
+            s.minS.map(v => org.apache.spark.unsafe.types.UTF8String
+              .fromString(v).getBytes),
+            s.maxS.map(v => org.apache.spark.unsafe.types.UTF8String
+              .fromString(v).getBytes),
+            Some(s.nulls), Some(s.n))
+        }.toMap
+      }
+
+    /** Manifest-derived `tp_timestamp`/`tp_date` zones (epoch micros /
+      * epoch days, ±1-day date widening for writer-TZ skew — see the
+      * loadTsZones scaladoc history in Lake).
+      */
+    lazy val tsZoneMaps: Map[String, Map[String, ColumnZone]] =
+      manifest.map { case (file, m) =>
+        val loUs = m.minUs
+        val hiUs = m.maxUs
+        def day(us: Long): Double =
+          Math.floorDiv(us, 86400000000L).toDouble
+        val n = Some(m.rows)
+        file -> Map(
+          TpSchema.Timestamp -> ColumnZone(
+            loUs.map(_.toDouble), hiUs.map(_.toDouble),
+            None, None, None, n),
+          TpSchema.Date -> ColumnZone(
+            loUs.map(day(_) - 1), hiUs.map(day(_) + 1),
+            None, None, None, n))
+      }
+
+    /** Per-file `tp_timestamp` null counts (band containment proof). */
+    lazy val tsNulls: Map[String, Long] = sidecar.collect {
+      case ((f, c), s) if c == TpSchema.Timestamp => f -> s.nulls
+    }
+  }
+
+  private val metaSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, MetaSnapshot]()
+
+  /** Per-(root#table) (hits, misses) — the probe-memoization pin. */
+  private val metaCacheCounters =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (java.util.concurrent.atomic.AtomicLong,
+        java.util.concurrent.atomic.AtomicLong)]()
+
+  private def countersFor(key: String) =
+    metaCacheCounters.computeIfAbsent(key,
+      _ => (new java.util.concurrent.atomic.AtomicLong(0),
+        new java.util.concurrent.atomic.AtomicLong(0)))
+
+  private[lake] def metaCacheStats(root: String, table: String)
+      : (Long, Long) = {
+    val (h, m) = countersFor(s"$root#$table")
+    (h.get(), m.get())
+  }
+
+  private[lake] def cachedSnapshot(key: String): Option[MetaSnapshot] =
+    Option(metaSnapshots.get(key))
+
+  private[lake] def storeSnapshot(key: String, s: MetaSnapshot): Unit =
+    metaSnapshots.put(key, s)
+
+  private[lake] def noteHit(key: String): Unit =
+    countersFor(key)._1.incrementAndGet()
+  private[lake] def noteMiss(key: String): Unit =
+    countersFor(key)._2.incrementAndGet()
 
   /** Value ordering for stats merging, by column type: integrals
     * compare as longs, floats as doubles, strings in UTF8 BINARY order
@@ -1987,8 +2133,15 @@ object Lake {
   private[lake] def statsLt(dt: DataType, a: Any, b: Any): Boolean =
     dt match {
       case FloatType | DoubleType =>
-        a.asInstanceOf[Number].doubleValue <
-          b.asInstanceOf[Number].doubleValue
+        // Spark's float/double TOTAL order (java.lang.Double.compare:
+        // NaN greatest, -0.0 < 0.0) — the order min/max computed the
+        // per-file extremes in. Plain `<` is order-dependent under
+        // NaN: lt(5.0, NaN) = false would let a finite max seen
+        // earlier beat a file whose true max is NaN (r16
+        // ADVICE-medium), diverging from the scan answer.
+        java.lang.Double.compare(
+          a.asInstanceOf[Number].doubleValue,
+          b.asInstanceOf[Number].doubleValue) < 0
       case StringType =>
         org.apache.spark.unsafe.types.UTF8String
           .fromString(a.asInstanceOf[String]).compareTo(

@@ -52,7 +52,7 @@ final case class MetadataAggregateRule(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      rewrite(agg).getOrElse(agg)
+      safely(agg)(rewrite(agg))
     case agg: Aggregate
         if agg.groupingExpressions.forall(g =>
           g.isInstanceOf[AttributeReference] &&
@@ -60,8 +60,25 @@ final case class MetadataAggregateRule(session: SparkSession)
               g.asInstanceOf[AttributeReference].name)) =>
       // GROUP BY physical partition columns: per-group counts/ranges
       // come from the manifest+sidecar keyed by each file's directory
-      rewriteGrouped(agg).getOrElse(agg)
+      safely(agg)(rewriteGrouped(agg))
   }
+
+  /** An OPTIONAL rewrite must never fail a query that would run fine
+    * unrewritten: any probe failure (an unevaluable shape the
+    * structural gates missed, a transient metadata I/O error) falls
+    * open to the original plan with a warning, never up to the user
+    * (r16 ADVICE-high: a subquery in the WHERE previously threw
+    * UnsupportedOperationException out of the optimizer).
+    */
+  private def safely(orig: Aggregate)
+      (attempt: => Option[LogicalPlan]): LogicalPlan =
+    try attempt.getOrElse(orig)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(
+          s"metadata-aggregate rewrite declined on error: ${e.getMessage}")
+        orig
+    }
 
   /** Descend through alias/view wrappers, PURE column-pruning
     * projections, and Filter nodes (their AND-folded condition is
@@ -93,6 +110,11 @@ final case class MetadataAggregateRule(session: SparkSession)
       lake: Lake, table: String,
       cond: Expression): Option[String => Boolean] = {
     if (!cond.deterministic) return None
+    // a subquery (ScalarSubquery/InSubquery/Exists) can reference only
+    // partition columns and still be Unevaluable at optimize time —
+    // per-file eval would throw inside the optimizer (r16 ADVICE-high)
+    if (cond.find(_.isInstanceOf[PlanExpression[_]]).isDefined)
+      return None
     val refs = cond.references.toSeq
     val attrs = refs.map {
       case a: AttributeReference => a
@@ -182,6 +204,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+      case NdvCol(a) => a.name
     } ++ (if (bandShaped) Seq(graft.lake.TpSchema.Timestamp)
           else Nil)).distinct)
   }
@@ -212,6 +236,32 @@ final case class MetadataAggregateRule(session: SparkSession)
         }
         case _ => None
       }
+      // avg over an INTEGRAL column: the sidecar's exact per-file sums
+      // and null counts give sum/count with one double division —
+      // declined for float/double (order-sensitive double sums) and
+      // decimal (different result type/rounding). Result type of
+      // integral avg is DoubleType for every evalMode.
+      case avg: Average => avg.child match {
+        case a: AttributeReference
+            if avg.dataType == org.apache.spark.sql.types.DoubleType =>
+          a.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 IntegerType | LongType => Some(AvgCol(a))
+            case _ => None
+          }
+        case _ => None
+      }
+      // ndv(c) — OUR registered HLL aggregate (never Spark's
+      // approx_count_distinct / hll_sketch_agg, whose estimator values
+      // must stay scan-derived): per-file sidecar sketches union into
+      // the same defined quantity. Served for the natively-hashed
+      // types (the sidecar and scan paths hash identically there).
+      case graft.functions.NdvFns.NdvAgg(a: AttributeReference, _, _) =>
+        a.dataType match {
+          case IntegerType | LongType | StringType => Some(NdvCol(a))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -247,20 +297,29 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+      case NdvCol(a) => a.name
     }.distinct
     // count-only columns need just the sidecar's null/row counts; only
-    // min/max targets must also have exact zone ranges, and only sum
-    // targets the per-file value sums
+    // min/max targets must also have exact zone ranges, only sum/avg
+    // targets the per-file value sums, and only ndv targets the blobs
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
     }.toSet
-    val sumCols = flat.collect { case SumCol(a) => a.name }.toSet
+    val sumCols = flat.collect {
+      case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+    }.toSet
+    val ndvCols = flat.collect { case NdvCol(a) => a.name }.toSet
     val parts = lake.statsAggregateIfCovered(session, table, cols,
-      rangeCols, sumCols, fileFilter).getOrElse(return None)
+      rangeCols, sumCols, ndvCols, fileFilter).getOrElse(return None)
     // a sum past Long.MaxValue has no exact BIGINT value — decline
     if (!flat.collect { case SumCol(a) => a.name }.forall(c =>
       parts.sums.get(c).forall(_.isValidLong))) return None
+    // an avg whose exact sum passes 2^53 loses double losslessness
+    if (!flat.collect { case AvgCol(a) => a.name }.forall(c =>
+      parts.sums.get(c).forall(_.abs <= MaxExactAvgSum))) return None
     val values: Seq[Any] = flat.map {
       case CountStar => parts.nRows
       case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
@@ -272,6 +331,12 @@ final case class MetadataAggregateRule(session: SparkSession)
           parts.maxs.get(a.name).orNull)
       case SumCol(a) =>
         parts.sums.get(a.name).map(s => Long.box(s.toLong)).orNull
+      case AvgCol(a) =>
+        val n = parts.counts.getOrElse(a.name, 0L)
+        if (n == 0L) null // SQL avg of no rows
+        else parts.sums.get(a.name)
+          .map(s => Double.box(s.toDouble / n)).orNull
+      case NdvCol(a) => Long.box(parts.ndvs.getOrElse(a.name, 0L))
       case Passthrough(v) => v // Literal.value is already internal
     }
     logInfo(s"metadata-aggregate rewrite fired for lake table '$table': " +
@@ -297,10 +362,22 @@ final case class MetadataAggregateRule(session: SparkSession)
     * already prunes the scan to the overlapping files and a hybrid
     * buys nothing.
     */
-  /** Split a WHERE into tp_timestamp band bounds (micros, strict
-    * bounds converted exactly: `> X` ≡ `>= X+1µs`) and the residual
-    * non-band conjuncts. None when a band conjunct has a null/odd
-    * literal; `(lo, hi, 0, Some(cond))` when no band conjunct exists.
+  /** Split a WHERE into a `tp_timestamp` band in micros and the
+    * residual non-band conjuncts. Strict bounds convert exactly
+    * (`> X` ≡ `>= X+1µs`); equality is the one-point band. `tp_date`
+    * comparisons fold into the SAME micros band (epoch-day × 86.4e9 —
+    * exact in a long for every representable date) because the engine
+    * derives `tp_date = date_trunc(day, tp_timestamp)` under its
+    * always-UTC sessions, so `tp_date >= D` ≡ `tp_timestamp >= D
+    * 00:00:00 UTC` row-for-row; pre-0.7 reference users filter on
+    * tp_date and previously paid a scan of every overlapping file
+    * (r16 verdict task 5). Date folding is gated on the READER
+    * session being UTC too — a non-UTC session parses date literals
+    * the same (days are TZ-free) but signals a deployment where the
+    * UTC-writer convention may not hold, so date conjuncts then land
+    * in the residual and the rewrite declines to the zoned scan.
+    * None when a band conjunct has a null/odd literal;
+    * `(lo, hi, 0, Some(cond))` when no band conjunct exists.
     * Shared by [[rewriteBand]] and the explain-lint probe.
     */
   private def splitBand(cond: Expression)
@@ -309,70 +386,206 @@ final case class MetadataAggregateRule(session: SparkSession)
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
+    val utc = session.sessionState.conf.sessionLocalTimeZone == "UTC"
     def isTs(a: AttributeReference): Boolean =
       a.name == graft.lake.TpSchema.Timestamp &&
         a.dataType == org.apache.spark.sql.types.TimestampType
+    def isDate(a: AttributeReference): Boolean =
+      utc && a.name == graft.lake.TpSchema.Date &&
+        a.dataType == org.apache.spark.sql.types.DateType
+    val DayUs = 86400000000L
+    // a comparison leaf as half-band bounds in micros:
+    // (loBound, hiBound) with None = unbounded on that side; returns
+    // None (decline) for a null literal on a matched column
+    sealed trait Half
+    case object NotBand extends Half
+    case object Bad extends Half
+    final case class Band(lo: Option[Long], hi: Option[Long]) extends Half
     def us(l: Literal): Option[Long] = l.dataType match {
       case org.apache.spark.sql.types.TimestampType
           if l.value != null => Some(l.value.asInstanceOf[Long])
       case _ => None
     }
+    def day(l: Literal): Option[Int] = l.dataType match {
+      case org.apache.spark.sql.types.DateType
+          if l.value != null => Some(l.value.asInstanceOf[Int])
+      case _ => None
+    }
+    // op ∈ {ge, gt, le, lt, eq} against (attr, literal) in attr-first
+    // orientation
+    def half(op: String, a: AttributeReference, l: Literal): Half =
+      if (isTs(a)) us(l) match {
+        case None => Bad
+        case Some(v) => op match {
+          case "ge" => Band(Some(v), None)
+          case "gt" => if (v < Long.MaxValue) Band(Some(v + 1), None)
+            else Bad
+          case "le" => Band(None, Some(v))
+          case "lt" => if (v > Long.MinValue) Band(None, Some(v - 1))
+            else Bad
+          case "eq" => Band(Some(v), Some(v))
+        }
+      } else if (isDate(a)) day(l) match {
+        case None => Bad
+        case Some(d) => op match {
+          // tp_date >= D ⇔ ts >= D·day; tp_date <= D ⇔ ts < (D+1)·day
+          case "ge" => Band(Some(d.toLong * DayUs), None)
+          case "gt" => Band(Some((d.toLong + 1) * DayUs), None)
+          case "le" => Band(None, Some((d.toLong + 1) * DayUs - 1))
+          case "lt" => Band(None, Some(d.toLong * DayUs - 1))
+          case "eq" => Band(Some(d.toLong * DayUs),
+            Some((d.toLong + 1) * DayUs - 1))
+        }
+      } else NotBand
+    def classifyLeaf(e: Expression): (Half, Expression) = e match {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        (half("ge", a, l), e)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        (half("gt", a, l), e)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        (half("le", a, l), e)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        (half("lt", a, l), e)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        (half("eq", a, l), e)
+      // reversed operand orders: lit OP attr ≡ attr FLIP(OP) lit
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        (half("le", a, l), e)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        (half("lt", a, l), e)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        (half("ge", a, l), e)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        (half("gt", a, l), e)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        (half("eq", a, l), e)
+      case _ => (NotBand, e)
+    }
     var lo = Long.MinValue
     var hi = Long.MaxValue
     var nBand = 0
     val rest = Seq.newBuilder[Expression]
-    conjuncts(cond).foreach {
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
-          if isTs(a) => us(l) match {
-        case Some(v) => lo = math.max(lo, v); nBand += 1
-        case None => return None
-      }
-      case GreaterThan(a: AttributeReference, l: Literal) if isTs(a) =>
-        us(l) match {
-          case Some(v) if v < Long.MaxValue =>
-            lo = math.max(lo, v + 1); nBand += 1
-          case _ => return None
+    conjuncts(cond).foreach { c =>
+      c match {
+        // band-neutral: rows failing them fail the band anyway, and
+        // tp_date is null exactly when tp_timestamp is (derived)
+        case IsNotNull(a: AttributeReference)
+            if isTs(a) || isDate(a) => ()
+        case other => classifyLeaf(other) match {
+          case (Band(l, h), _) =>
+            l.foreach(v => lo = math.max(lo, v))
+            h.foreach(v => hi = math.min(hi, v))
+            nBand += 1
+          case (Bad, _) => return None
+          case (NotBand, e) => rest += e
         }
-      case LessThanOrEqual(a: AttributeReference, l: Literal)
-          if isTs(a) => us(l) match {
-        case Some(v) => hi = math.min(hi, v); nBand += 1
-        case None => return None
       }
-      case LessThan(a: AttributeReference, l: Literal) if isTs(a) =>
-        us(l) match {
-          case Some(v) if v > Long.MinValue =>
-            hi = math.min(hi, v - 1); nBand += 1
-          case _ => return None
-        }
-      // reversed operand orders
-      case LessThanOrEqual(l: Literal, a: AttributeReference)
-          if isTs(a) => us(l) match {
-        case Some(v) => lo = math.max(lo, v); nBand += 1
-        case None => return None
-      }
-      case LessThan(l: Literal, a: AttributeReference) if isTs(a) =>
-        us(l) match {
-          case Some(v) if v < Long.MaxValue =>
-            lo = math.max(lo, v + 1); nBand += 1
-          case _ => return None
-        }
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
-          if isTs(a) => us(l) match {
-        case Some(v) => hi = math.min(hi, v); nBand += 1
-        case None => return None
-      }
-      case GreaterThan(l: Literal, a: AttributeReference) if isTs(a) =>
-        us(l) match {
-          case Some(v) if v > Long.MinValue =>
-            hi = math.min(hi, v - 1); nBand += 1
-          case _ => return None
-        }
-      // band-neutral: rows failing it fail the band anyway
-      case IsNotNull(a: AttributeReference) if isTs(a) => ()
-      case p => rest += p
     }
     Some((lo, hi, nBand, rest.result().reduceOption(And)))
   }
+
+  // ---- band-hybrid slot machinery (shared by both band rewrites) ----
+  //
+  // Most aggregates occupy ONE union slot (their mergeable partial is
+  // themselves: counts/sums add, ranges re-extremize). `avg` needs TWO
+  // — an exact DECIMAL(38,0) sum and a count — merged by one double
+  // division at the very top, so the hybrid answer equals the pure-
+  // metadata formula (exact total / count) regardless of how rows
+  // split between contained files and straddlers.
+
+  private def slotTypesOf(s: Spec): Seq[org.apache.spark.sql.types.DataType] =
+    s match {
+      case CountStar | CountCol(_) | SumCol(_) | NdvCol(_) => Seq(LongType)
+      case MinCol(a) => Seq(a.dataType)
+      case MaxCol(a) => Seq(a.dataType)
+      case AvgCol(_) =>
+        Seq(org.apache.spark.sql.types.DecimalType(38, 0), LongType)
+      case _ => Seq(LongType)
+    }
+
+  /** Metadata-partial values for one spec, one per slot. */
+  private def metaSlotValues(
+      parts: Lake.StatsAggParts, s: Spec): Seq[Any] = s match {
+    case CountStar => Seq(parts.nRows)
+    case CountCol(a) => Seq(parts.counts.getOrElse(a.name, 0L))
+    case MinCol(a) => Seq(CatalystTypeConverters.convertToCatalyst(
+      parts.mins.get(a.name).orNull))
+    case MaxCol(a) => Seq(CatalystTypeConverters.convertToCatalyst(
+      parts.maxs.get(a.name).orNull))
+    case SumCol(a) =>
+      Seq(parts.sums.get(a.name).map(s0 => Long.box(s0.toLong)).orNull)
+    case AvgCol(a) => Seq(
+      parts.sums.get(a.name).map(v =>
+        org.apache.spark.sql.types.Decimal(BigDecimal(v), 38, 0)).orNull,
+      parts.counts.getOrElse(a.name, 0L))
+    case _ => Seq(null)
+  }
+
+  /** FINAL value for one spec when the band is fully contained (no
+    * straddler scan): the same arithmetic the ungrouped/grouped
+    * metadata paths use.
+    */
+  private def metaFinalValue(parts: Lake.StatsAggParts, s: Spec): Any =
+    s match {
+      case AvgCol(a) =>
+        val n = parts.counts.getOrElse(a.name, 0L)
+        if (n == 0L) null
+        else parts.sums.get(a.name)
+          .map(v => Double.box(v.toDouble / n)).orNull
+      case other => metaSlotValues(parts, other).head
+    }
+
+  /** Straddler-scan partial aggregates for one spec, aliased onto its
+    * slots.
+    */
+  private def partialSlotExprs(
+      s: Spec, slots: Seq[AttributeReference]): Option[Seq[NamedExpression]] = {
+    def alias(fn: AggregateFunction, slot: AttributeReference) =
+      Alias(fn.toAggregateExpression(), slot.name)(exprId = slot.exprId)
+    s match {
+      case CountStar => Some(Seq(alias(Count(Literal(1)), slots.head)))
+      case CountCol(a) => Some(Seq(alias(Count(a), slots.head)))
+      case MinCol(a) => Some(Seq(alias(Min(a), slots.head)))
+      case MaxCol(a) => Some(Seq(alias(Max(a), slots.head)))
+      case SumCol(a) => Some(Seq(alias(Sum(a), slots.head)))
+      case AvgCol(a) => Some(Seq(
+        // exact decimal accumulation: a long-typed straddler sum must
+        // not wrap, and decimal(38,0) merges exactly with the metadata
+        // partial's BigInt total
+        alias(Sum(Cast(a,
+          org.apache.spark.sql.types.DecimalType(38, 0))), slots.head),
+        alias(Count(a), slots(1))))
+      case _ => None
+    }
+  }
+
+  /** Final merge expression over the union for one spec at its slot
+    * offset, carrying the ORIGINAL output name/exprId.
+    */
+  private def mergeExprFor(
+      s: Spec, orig: NamedExpression,
+      unionOut: Seq[Attribute], off: Int): Option[NamedExpression] =
+    s match {
+      case CountStar | CountCol(_) | SumCol(_) => Some(Alias(
+        Sum(unionOut(off)).toAggregateExpression(), orig.name)(
+        exprId = orig.exprId))
+      case MinCol(_) => Some(Alias(
+        Min(unionOut(off)).toAggregateExpression(), orig.name)(
+        exprId = orig.exprId))
+      case MaxCol(_) => Some(Alias(
+        Max(unionOut(off)).toAggregateExpression(), orig.name)(
+        exprId = orig.exprId))
+      case AvgCol(_) =>
+        val total = Sum(unionOut(off)).toAggregateExpression()
+        val n = Sum(unionOut(off + 1)).toAggregateExpression()
+        Some(Alias(
+          If(EqualTo(n, Literal(0L)),
+            Literal(null, org.apache.spark.sql.types.DoubleType),
+            Divide(Cast(total, org.apache.spark.sql.types.DoubleType),
+              Cast(n, org.apache.spark.sql.types.DoubleType))),
+          orig.name)(exprId = orig.exprId))
+      case _ => None
+    }
 
   private def rewriteBand(
       agg: Aggregate, lr: LogicalRelation,
@@ -389,17 +602,25 @@ final case class MetadataAggregateRule(session: SparkSession)
     if (specs.exists(s => s.isEmpty ||
       s.get.isInstanceOf[Passthrough])) return None
     val flat = specs.flatten
+    // ndv cannot ride the straddler union (its partial is a sketch,
+    // not a number) — band shapes decline it; the zone-map index still
+    // prunes the scan
+    if (flat.exists(_.isInstanceOf[NdvCol])) return None
     val cols = flat.collect {
       case CountCol(a) => a.name
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
+      case AvgCol(a) => a.name
     }.distinct
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
     }.toSet
-    val sumColsS = flat.collect { case SumCol(a) => a.name }.toSet
+    val sumColsS = flat.collect {
+      case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+    }.toSet
     if (!lake.hasData(session, table)) return None
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
@@ -407,32 +628,18 @@ final case class MetadataAggregateRule(session: SparkSession)
       session, table, lo, hi, cols, schema, rangeCols, sumColsS,
       fileFilter)
     if (containedCount <= 0) return None // hybrid buys nothing
-    if (!sumColsS.forall(c => parts.sums.get(c).forall(_.isValidLong)))
+    if (!flat.collect { case SumCol(a) => a.name }.toSet[String].forall(c =>
+      parts.sums.get(c).forall(_.isValidLong)))
       return None
 
-    // the metadata partial as internal values, one slot per aggregate
-    val localValues: Seq[Any] = flat.map {
-      case CountStar => parts.nRows
-      case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
-      case MinCol(a) =>
-        CatalystTypeConverters.convertToCatalyst(
-          parts.mins.get(a.name).orNull)
-      case MaxCol(a) =>
-        CatalystTypeConverters.convertToCatalyst(
-          parts.maxs.get(a.name).orNull)
-      case SumCol(a) =>
-        parts.sums.get(a.name).map(s => Long.box(s.toLong)).orNull
-      case _ => return None // GroupKey/Passthrough unreachable here
-    }
-    def slotType(s: Spec): org.apache.spark.sql.types.DataType = s match {
-      case CountStar | CountCol(_) | SumCol(_) => LongType
-      case MinCol(a) => a.dataType
-      case MaxCol(a) => a.dataType
-      case _ => LongType
-    }
-    val localAttrs: Seq[AttributeReference] = flat.zipWithIndex.map {
-      case (s, i) => AttributeReference(s"_band_$i", slotType(s))()
-    }
+    val slotGroups: Seq[Seq[AttributeReference]] =
+      flat.zipWithIndex.map { case (sp, i) =>
+        slotTypesOf(sp).zipWithIndex.map { case (dt, j) =>
+          AttributeReference(s"_band_${i}_$j", dt)()
+        }
+      }
+    val localAttrs: Seq[AttributeReference] = slotGroups.flatten
+    val localValues: Seq[Any] = flat.flatMap(metaSlotValues(parts, _))
     val local = LocalRelation(localAttrs,
       Seq(InternalRow.fromSeq(localValues)))
 
@@ -442,7 +649,7 @@ final case class MetadataAggregateRule(session: SparkSession)
         s"no straddlers")
       return Some(LocalRelation(
         agg.aggregateExpressions.map(_.toAttribute),
-        Seq(InternalRow.fromSeq(localValues))))
+        Seq(InternalRow.fromSeq(flat.map(metaFinalValue(parts, _))))))
     }
 
     // straddler-restricted relation with the ORIGINAL output attrs —
@@ -463,41 +670,27 @@ final case class MetadataAggregateRule(session: SparkSession)
     // scan would read every column)
     val neededNames = flat.collect {
       case CountCol(a) => a; case MinCol(a) => a
-      case MaxCol(a) => a; case SumCol(a) => a
+      case MaxCol(a) => a; case SumCol(a) => a; case AvgCol(a) => a
     }.map(_.exprId).toSet
     val needed = agg.child.output.filter(a => neededNames.contains(a.exprId))
     val pruned =
       if (needed.nonEmpty) Project(needed, swappedChild)
       else swappedChild // pure count(*): the filter column is read anyway
-    val partialExprs: Seq[NamedExpression] = flat.zip(localAttrs).map {
-      case (s, slot) =>
-        val fn: AggregateFunction = s match {
-          case CountStar => Count(Literal(1))
-          case CountCol(a) => Count(a)
-          case MinCol(a) => Min(a)
-          case MaxCol(a) => Max(a)
-          case SumCol(a) => Sum(a)
-          case _ => return None
-        }
-        Alias(fn.toAggregateExpression(), slot.name)(exprId = slot.exprId)
-    }
+    val partialExprs: Seq[NamedExpression] =
+      flat.zip(slotGroups).flatMap { case (s, slots) =>
+        partialSlotExprs(s, slots).getOrElse(return None)
+      }
     val partial = Aggregate(Nil, partialExprs, pruned)
     val union = Union(Seq(local, partial))
     // merge under the ORIGINAL output names/exprIds: counts and sums
-    // add, ranges re-extremize
+    // add, ranges re-extremize, avg divides merged sum by merged count
     val unionOut = union.output
+    val offsets: Seq[Int] =
+      slotGroups.scanLeft(0)(_ + _.size).init
     val mergeExprs: Seq[NamedExpression] =
-      agg.aggregateExpressions.zip(flat).zipWithIndex.map {
-        case ((orig, s), i) =>
-          val in = unionOut(i)
-          val fn: AggregateFunction = s match {
-            case CountStar | CountCol(_) | SumCol(_) => Sum(in)
-            case MinCol(_) => Min(in)
-            case MaxCol(_) => Max(in)
-            case _ => return None
-          }
-          Alias(fn.toAggregateExpression(), orig.name)(
-            exprId = orig.exprId)
+      agg.aggregateExpressions.zip(flat).zip(offsets).map {
+        case ((orig, s), off) =>
+          mergeExprFor(s, orig, unionOut, off).getOrElse(return None)
       }
     logInfo(s"time-band rewrite fired for '$table': $containedCount " +
       s"contained files from metadata, ${straddlers.size} straddlers " +
@@ -548,12 +741,19 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
+      case AvgCol(a) => a.name
     }.distinct
     val rangeCols = valueSpecs.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
     }.toSet
-    val sumColsS = valueSpecs.collect { case SumCol(a) => a.name }.toSet
+    val sumColsS = valueSpecs.collect {
+      case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+    }.toSet
+    // ndv declines in band shapes (sketches don't union through the
+    // straddler merge)
+    if (valueSpecs.exists(_.isInstanceOf[NdvCol])) return None
     if (!lake.hasData(session, table)) return None
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
@@ -564,23 +764,10 @@ final case class MetadataAggregateRule(session: SparkSession)
         groupAttrs.map(a => pv.getOrElse(a.name, null))
       }, fileFilter)
     if (containedCount <= 0) return None // hybrid buys nothing
+    val sumOnlyS = valueSpecs.collect { case SumCol(a) => a.name }.toSet
     if (!groups.forall { case (_, p) =>
-      sumColsS.forall(c => p.sums.get(c).forall(_.isValidLong))
+      sumOnlyS.forall(c => p.sums.get(c).forall(_.isValidLong))
     }) return None
-
-    def valueOf(parts: Lake.StatsAggParts, s: Spec): Any = s match {
-      case CountStar => parts.nRows
-      case CountCol(a) => parts.counts.getOrElse(a.name, 0L)
-      case MinCol(a) =>
-        CatalystTypeConverters.convertToCatalyst(
-          parts.mins.get(a.name).orNull)
-      case MaxCol(a) =>
-        CatalystTypeConverters.convertToCatalyst(
-          parts.maxs.get(a.name).orNull)
-      case SumCol(a) =>
-        parts.sums.get(a.name).map(v => Long.box(v.toLong)).orNull
-      case _ => null
-    }
 
     if (straddlers.isEmpty) {
       // fully contained: emit the final rows directly
@@ -588,7 +775,7 @@ final case class MetadataAggregateRule(session: SparkSession)
         InternalRow.fromSeq(flat.map {
           case GroupKey(i) =>
             dirValueToInternal(key(i), groupAttrs(i).dataType)
-          case s => valueOf(parts, s)
+          case s => metaFinalValue(parts, s)
         })
       }
       logInfo(s"grouped time-band rewrite fired for '$table': fully " +
@@ -597,24 +784,24 @@ final case class MetadataAggregateRule(session: SparkSession)
         agg.aggregateExpressions.map(_.toAttribute), rows))
     }
 
-    // local side: key slots then value slots, canonical order
-    def slotType(s: Spec): org.apache.spark.sql.types.DataType = s match {
-      case MinCol(a) => a.dataType
-      case MaxCol(a) => a.dataType
-      case _ => LongType
-    }
+    // local side: key slots then value slots, canonical order (avg
+    // spans two value slots — exact decimal sum + count)
     val nKeys = groupAttrs.size
     val keySlots = groupAttrs.zipWithIndex.map { case (a, i) =>
       AttributeReference(s"_bgk_$i", a.dataType)()
     }
-    val valSlots = valueSpecs.zipWithIndex.map { case (s, i) =>
-      AttributeReference(s"_bgv_$i", slotType(s))()
-    }
+    val valSlotGroups: Seq[Seq[AttributeReference]] =
+      valueSpecs.zipWithIndex.map { case (sp, i) =>
+        slotTypesOf(sp).zipWithIndex.map { case (dt, j) =>
+          AttributeReference(s"_bgv_${i}_$j", dt)()
+        }
+      }
+    val valSlots = valSlotGroups.flatten
     val localRows = groups.map { case (key, parts) =>
       InternalRow.fromSeq(
         groupAttrs.indices.map(i =>
           dirValueToInternal(key(i), groupAttrs(i).dataType)) ++
-          valueSpecs.map(s => valueOf(parts, s)))
+          valueSpecs.flatMap(s => metaSlotValues(parts, s)))
     }
     val local = LocalRelation(keySlots ++ valSlots, localRows)
 
@@ -632,34 +819,29 @@ final case class MetadataAggregateRule(session: SparkSession)
     }
     val neededIds = (valueSpecs.collect {
       case CountCol(a) => a; case MinCol(a) => a
-      case MaxCol(a) => a; case SumCol(a) => a
+      case MaxCol(a) => a; case SumCol(a) => a; case AvgCol(a) => a
     } ++ groupAttrs).map(_.exprId).toSet
     val needed = agg.child.output.filter(a => neededIds.contains(a.exprId))
     val pruned =
       if (needed.nonEmpty) Project(needed, swappedChild) else swappedChild
     val partialValueExprs: Seq[NamedExpression] =
-      valueSpecs.zip(valSlots).map { case (s, slot) =>
-        val fn: AggregateFunction = s match {
-          case CountStar => Count(Literal(1))
-          case CountCol(a) => Count(a)
-          case MinCol(a) => Min(a)
-          case MaxCol(a) => Max(a)
-          case SumCol(a) => Sum(a)
-          case _ => return None
-        }
-        Alias(fn.toAggregateExpression(), slot.name)(exprId = slot.exprId)
+      valueSpecs.zip(valSlotGroups).flatMap { case (s, slots) =>
+        partialSlotExprs(s, slots).getOrElse(return None)
       }
     val partial = Aggregate(groupAttrs,
       groupAttrs.map(a => a: NamedExpression) ++ partialValueExprs,
       pruned)
     val union = Union(Seq(local, partial))
     val unionOut = union.output
-    // value-slot index per flat position (duplicate specs are fine:
+    // value-slot OFFSET per flat position (duplicate specs are fine:
     // the mapping is positional, never by equality)
+    val valueOffsets: Seq[Int] =
+      valSlotGroups.scanLeft(0)(_ + _.size).init
     val valueIdx: Map[Int, Int] = {
       var v = -1
       flat.zipWithIndex.flatMap {
-        case (s, i) if !s.isInstanceOf[GroupKey] => v += 1; Some(i -> v)
+        case (s, i) if !s.isInstanceOf[GroupKey] =>
+          v += 1; Some(i -> valueOffsets(v))
         case _ => None
       }.toMap
     }
@@ -668,14 +850,8 @@ final case class MetadataAggregateRule(session: SparkSession)
         case (((orig, GroupKey(k))), _) =>
           Alias(unionOut(k), orig.name)(exprId = orig.exprId)
         case ((orig, s), i) =>
-          val in = unionOut(nKeys + valueIdx(i))
-          val fn: AggregateFunction = s match {
-            case CountStar | CountCol(_) | SumCol(_) => Sum(in)
-            case MinCol(_) => Min(in)
-            case MaxCol(_) => Max(in)
-            case _ => return None
-          }
-          Alias(fn.toAggregateExpression(), orig.name)(exprId = orig.exprId)
+          mergeExprFor(s, orig, unionOut, nKeys + valueIdx(i))
+            .getOrElse(return None)
       }
     logInfo(s"grouped time-band rewrite fired for '$table': " +
       s"${groups.size} metadata groups + ${straddlers.size} straddler " +
@@ -730,18 +906,29 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+      case NdvCol(a) => a.name
     }.distinct
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
     }.toSet
-    val sumCols = flat.collect { case SumCol(a) => a.name }.toSet
+    val sumCols = flat.collect {
+      case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+    }.toSet
+    val ndvCols = flat.collect { case NdvCol(a) => a.name }.toSet
     val groups = lake.statsAggregateGroupedIfCovered(session, table,
-      groupAttrs.map(_.name), cols, rangeCols, sumCols, fileFilter)
-      .getOrElse(return None)
-    // any group's sum past Long.MaxValue: decline the whole rewrite
+      groupAttrs.map(_.name), cols, rangeCols, sumCols, ndvCols,
+      fileFilter).getOrElse(return None)
+    // any group's sum past Long.MaxValue (or avg sum past 2^53):
+    // decline the whole rewrite
+    val sumOnly = flat.collect { case SumCol(a) => a.name }.toSet
+    val avgCols = flat.collect { case AvgCol(a) => a.name }.toSet
     if (!groups.forall { case (_, parts) =>
-      sumCols.forall(c => parts.sums.get(c).forall(_.isValidLong))
+      sumOnly.forall(c => parts.sums.get(c).forall(_.isValidLong)) &&
+        avgCols.forall(c =>
+          parts.sums.get(c).forall(_.abs <= MaxExactAvgSum))
     }) return None
     val rows = groups.map { case (key, parts) =>
       InternalRow.fromSeq(flat.map {
@@ -757,6 +944,12 @@ final case class MetadataAggregateRule(session: SparkSession)
             parts.maxs.get(a.name).orNull)
         case SumCol(a) =>
           parts.sums.get(a.name).map(s => Long.box(s.toLong)).orNull
+        case AvgCol(a) =>
+          val n = parts.counts.getOrElse(a.name, 0L)
+          if (n == 0L) null
+          else parts.sums.get(a.name)
+            .map(s => Double.box(s.toDouble / n)).orNull
+        case NdvCol(a) => Long.box(parts.ndvs.getOrElse(a.name, 0L))
         case Passthrough(v) => v
       })
     }
@@ -774,6 +967,15 @@ object MetadataAggregateRule {
   private final case class MinCol(a: AttributeReference) extends Spec
   private final case class MaxCol(a: AttributeReference) extends Spec
   private final case class SumCol(a: AttributeReference) extends Spec
+  private final case class AvgCol(a: AttributeReference) extends Spec
+  private final case class NdvCol(a: AttributeReference) extends Spec
+
+  /** Exactness bound for serving `avg`: with |exact sum| <= 2^53 the
+    * BigInt→double conversion is lossless and any per-row double
+    * accumulation of the same-signed values is too, so the metadata
+    * quotient bit-matches a scan's. Past it the rule declines.
+    */
+  private val MaxExactAvgSum: BigInt = BigInt(1) << 53
   private final case class Passthrough(value: Any) extends Spec
   private final case class GroupKey(i: Int) extends Spec
 

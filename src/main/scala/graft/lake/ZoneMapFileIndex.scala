@@ -73,28 +73,56 @@ private[lake] final case class ColumnZone(
   *   [[MetadataAggregateRule]] can safely answer whole-table aggregates
   *   from the owner's metadata.
   */
+/** @param initialToken the owner table's [[Lake.metaToken]] at
+  *   construction time (owner-set indexes only): `listFiles` re-probes
+  *   it and refreshes the delegate's eager listing when the table has
+  *   mutated since — so a long-lived registered view serves the SAME
+  *   state on the scanned path as the metadata-aggregate rule serves
+  *   on the rewritten path (r16 ADVICE-low: an in-session append used
+  *   to make a rewritten count fresh while a trivially-filtered count
+  *   scanned the stale registration-time snapshot). The token probe is
+  *   one metadata-dir listing; the re-list fires only on mutation.
+  */
 private[lake] class ZoneMapFileIndex(
     delegate: FileIndex,
     loadZones: () => Map[String, Map[String, ColumnZone]],
     loadTsZones: () => Map[String, Map[String, ColumnZone]] = () => Map.empty,
-    val owner: Option[(Lake, String)] = None)
+    val owner: Option[(Lake, String)] = None,
+    initialToken: Option[String] = None)
   extends FileIndex {
 
-  private lazy val zones: Map[String, Map[String, ColumnZone]] = loadZones()
-
-  /** Synthetic `tp_timestamp`/`tp_date` zones derived from the
-    * manifest's per-file `min_ts`/`max_ts` — present for EVERY lake
-    * table (no stats enablement needed), so the reference's dominant
-    * query shape (a SQL time band) skips files at planning time.
-    * Loaded lazily, and only for queries whose pushed conjuncts
-    * actually reference the time columns.
+  /** Owner token as of the delegate's last (re-)listing. None forces
+    * a refresh on the next `listFiles` (the explicit-`refresh()`
+    * state). The zone maps themselves are NOT cached here: the
+    * loaders ride [[Lake.MetaSnapshot]]'s per-mutation cache, so each
+    * call is a token probe, never a re-read — and zones can never go
+    * stale across appends the way the r16 lazy-once fields could
+    * (verdict task 4).
     */
-  private lazy val tsZones: Map[String, Map[String, ColumnZone]] =
-    loadTsZones()
+  @volatile private var lastToken: Option[String] = initialToken
+
+  /** Re-list the delegate iff the owner table mutated since the last
+    * listing (or an explicit `refresh()` cleared the token).
+    */
+  private def ensureFresh(): Unit = owner.foreach { case (lake, table) =>
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tok = lake.metaToken(spark, table)
+    if (!lastToken.contains(tok)) synchronized {
+      if (!lastToken.contains(tok)) {
+        delegate.refresh()
+        lastToken = Some(tok)
+      }
+    }
+  }
 
   override def rootPaths: Seq[Path] = delegate.rootPaths
   override def inputFiles: Array[String] = delegate.inputFiles
-  override def refresh(): Unit = delegate.refresh()
+  override def refresh(): Unit = {
+    delegate.refresh()
+    // zones are loader-derived per call (nothing cached to clear);
+    // dropping the token makes the next listFiles re-list too
+    lastToken = None
+  }
   override def sizeInBytes: Long = delegate.sizeInBytes
   override def partitionSchema: StructType = delegate.partitionSchema
   override def metadataOpsTimeNs: Option[Long] = delegate.metadataOpsTimeNs
@@ -102,6 +130,7 @@ private[lake] class ZoneMapFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    ensureFresh()
     val base = delegate.listFiles(partitionFilters, dataFilters)
     val prunable = dataFilters.filter(ZoneMapFileIndex.isPrunable)
     if (prunable.isEmpty) return base
@@ -113,8 +142,10 @@ private[lake] class ZoneMapFileIndex(
     val wantTs = attrs.exists(ZoneMapFileIndex.TimeColumns)
     val wantValue = (attrs -- ZoneMapFileIndex.TimeColumns).nonEmpty
     val effective: Map[String, Map[String, ColumnZone]] =
-      (if (wantValue) zones else Map.empty[String, Map[String, ColumnZone]],
-        if (wantTs) tsZones else Map.empty[String, Map[String, ColumnZone]]) match {
+      (if (wantValue) loadZones()
+       else Map.empty[String, Map[String, ColumnZone]],
+        if (wantTs) loadTsZones()
+        else Map.empty[String, Map[String, ColumnZone]]) match {
         case (v, t) if t.isEmpty => v
         case (v, t) if v.isEmpty => t
         case (v, t) =>

@@ -1013,32 +1013,15 @@ object IngestQueries {
     // a group served from a wrong directory keying, a miscounted null,
     // or a cross-group range leak breaks the hash.
     "qi34_sql_grouped_metadata_aggregate" -> ((s, dir) => {
-      val root = s"${workRoot(dir)}/qi34"
-      rmrf(root)
-      val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_meta34", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("user_id"),
-          when(col("event_id") % 20 === 0, lit(null).cast("double"))
-            .otherwise(col("value")).as("value"))
-      val bands = Seq(
-        col("value").isNull || col("value") < 40.0,
-        col("value") >= 40.0 && col("value") < 80.0,
-        col("value") >= 80.0)
-      for (b <- bands)
-        Ingest.collectBatch(s, lake, spec, src.where(b),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_meta34", Seq("value"))
+      // byte-identical to the qi31/qi33 lake — share it (the grouped
+      // rewrite needs only `value` coverage, a subset of its stats)
+      val lake = metaAggFixture(s, dir)
       Views.register(s, lake, Views.Filters())
       val q = s.sql("""
         SELECT tp_index AS etype, count(*) AS n,
                count(value) AS n_value,
                min(value) AS min_value, max(value) AS max_value
-        FROM events_meta34
+        FROM events_meta31
         GROUP BY tp_index ORDER BY etype""")
       val files = graft.query.ScanAudit.filesReadAfterRun(q)
       require(files == 0L,
@@ -1058,22 +1041,23 @@ object IngestQueries {
     // hash.
     "qi35_sql_partition_filtered_metadata_aggregate" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi35"
-      rmrf(root)
       val lake = Lake(s"$root/lake")
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("value"))
-      for ((p, pred) <- Seq(
-          ("even", col("event_id") % 2 === 0),
-          ("odd", col("event_id") % 2 === 1))) {
-        val spec = PartitionSpec("events_meta35", p,
-          tpIndexColumn = Some("event_type"))
-        Ingest.collectBatch(s, lake, spec, src.where(pred),
-          timestampColumn = "ts")
+      fixtureOnce(root) {
+        val src = Tables.load(s, dir, "events")
+          .where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("event_type"), col("value"))
+        for ((p, pred) <- Seq(
+            ("even", col("event_id") % 2 === 0),
+            ("odd", col("event_id") % 2 === 1))) {
+          val spec = PartitionSpec("events_meta35", p,
+            tpIndexColumn = Some("event_type"))
+          Ingest.collectBatch(s, lake, spec, src.where(pred),
+            timestampColumn = "ts")
+        }
+        lake.enableColumnStats(s, "events_meta35", Seq("value"))
       }
-      lake.enableColumnStats(s, "events_meta35", Seq("value"))
       Views.register(s, lake, Views.Filters())
       val q = s.sql("""
         SELECT tp_index AS etype, count(*) AS n,
@@ -1097,22 +1081,23 @@ object IngestQueries {
     // hash. files==0 pinned in-query.
     "qi36_sql_metadata_sum" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi36"
-      rmrf(root)
       val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_meta36", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("user_id"), col("value"))
-      for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
-          (40.0, 80.0), (80.0, Double.PositiveInfinity)))
-        Ingest.collectBatch(s, lake, spec,
-          src.where(col("value") >= loB && col("value") < hiB),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_meta36",
-        Seq("event_id", "user_id"))
+      fixtureOnce(root) {
+        val spec = PartitionSpec("events_meta36", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = Tables.load(s, dir, "events")
+          .where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("event_type"), col("user_id"), col("value"))
+        for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
+            (40.0, 80.0), (80.0, Double.PositiveInfinity)))
+          Ingest.collectBatch(s, lake, spec,
+            src.where(col("value") >= loB && col("value") < hiB),
+            timestampColumn = "ts")
+        lake.enableColumnStats(s, "events_meta36",
+          Seq("event_id", "user_id"))
+      }
       Views.register(s, lake, Views.Filters())
       val q = s.sql("""
         SELECT tp_index AS etype, count(*) AS n,
@@ -1201,6 +1186,59 @@ object IngestQueries {
       val files = graft.query.ScanAudit.filesReadAfterRun(q)
       require(files > 0 && files * 2 < total,
         s"grouped band hybrid should scan only straddlers: " +
+          s"$files of $total")
+      q
+    }),
+
+    // Metadata-served AVG (r17 verdict task 1): avg over an integral
+    // column is exact-sum/count — the sidecar's per-file DECIMAL sums
+    // merge into an exact total, one double division at the end. Both
+    // the ungrouped and the partition-grouped shape ride the rewrite
+    // with zero data-file reads (pinned in-query); the DuckDB oracle
+    // recomputes both avgs from raw rows — totals here sit far below
+    // 2^53, so DuckDB's double accumulation is exact and the hash
+    // match is bit-for-bit.
+    "qi40_sql_metadata_avg" -> ((s, dir) => {
+      val lake = metaAggFixture(s, dir) // shared with qi31/qi33/qi34
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT 'all' AS etype, avg(user_id) AS avg_user,
+               count(*) AS n, min(user_id) AS min_user
+        FROM events_meta31
+        UNION ALL
+        SELECT * FROM (
+          SELECT tp_index AS etype, avg(user_id) AS avg_user,
+                 count(*) AS n, min(user_id) AS min_user
+          FROM events_meta31
+          GROUP BY tp_index)
+        ORDER BY etype""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0L,
+        s"metadata avg through SQL still scanned $files files")
+      q
+    }),
+
+    // tp_date band hybrid (r17 verdict task 5): the reference keeps
+    // tp_date for pre-0.7 compatibility and users filter on it; date
+    // bounds fold exactly into the tp_timestamp micros band
+    // (epoch-day × 86.4e9 under the engine's always-UTC sessions), so
+    // a `WHERE tp_date BETWEEN ...` aggregate gets the same hybrid:
+    // contained slices from metadata, only the straddling slice
+    // scanned (pinned in-query as a strict minority). The DuckDB
+    // oracle recomputes from raw rows via cast(ts AS DATE).
+    "qi41_sql_date_band_hybrid" -> ((s, dir) => {
+      val lake = bandFixture(s, dir) // shared with qi37/qi38/qi39
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_band37").size
+      val q = s.sql("""
+        SELECT count(*) AS n_rows, count(value) AS n_value,
+               min(value) AS min_value, max(value) AS max_value,
+               sum(user_id) AS sum_user
+        FROM events_band37
+        WHERE tp_date >= DATE'2024-01-11' AND tp_date <= DATE'2024-01-18'""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"date-band hybrid should scan only straddlers: " +
           s"$files of $total")
       q
     }),
@@ -1897,6 +1935,32 @@ object IngestQueries {
 
     // raw-row recompute of the metadata-served sums (BIGINT casts:
     // DuckDB widens bigint sums to HUGEINT)
+    // raw-row recompute of the metadata avg (ungrouped + grouped):
+    // totals < 2^53 make DuckDB's double accumulation exact, so a
+    // wrong sum, count, or division breaks the hash bit-for-bit
+    "qi40_sql_metadata_avg" -> """
+      SELECT 'all' AS etype, avg(user_id) AS avg_user,
+             count(*) AS n, min(user_id) AS min_user
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT * FROM (
+        SELECT event_type AS etype, avg(user_id) AS avg_user,
+               count(*) AS n, min(user_id) AS min_user
+        FROM events WHERE event_id % 5 = 0
+        GROUP BY 1)
+      ORDER BY etype""",
+
+    // raw-row recompute of the DATE-banded hybrid: a date→micros fold
+    // off by a day or a containment error breaks this hash
+    "qi41_sql_date_band_hybrid" -> """
+      SELECT count(*) AS n_rows, count(value) AS n_value,
+             min(value) AS min_value, max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(cast(ts AS timestamp) AS DATE) >= DATE '2024-01-11'
+        AND cast(cast(ts AS timestamp) AS DATE) <= DATE '2024-01-18'""",
+
     "qi36_sql_metadata_sum" -> """
       SELECT event_type AS etype, count(*) AS n,
              cast(sum(event_id) AS BIGINT) AS sum_event,

@@ -80,6 +80,9 @@ object Views {
     // whole-table count/min/max SQL answers from the manifest+sidecar
     // (scan-free) once views exist — idempotent per session
     graft.lake.MetadataAggregateRule.install(spark)
+    // `ndv(col)` resolves in every view session; the rule serves it
+    // from the sidecar's per-file HLL sketches when covered
+    graft.functions.NdvFns.register(spark)
     // a table whose every row was deleted still has a directory (and
     // manifest) but no data files — spark.read would fail schema
     // inference and one emptied table would break the whole session.

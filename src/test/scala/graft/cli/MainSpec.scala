@@ -447,6 +447,12 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc5 == 0, band2)
     assert(band2.contains("rows: 2"), band2)
     assert(band2.contains("metadata + residual scan of 1 file(s)"), band2)
+    // --ndv: distinct-count estimates from the sidecar sketch union,
+    // scan-free when every live file carries a blob (3 rows, 2
+    // distinct status codes — small sets estimate exactly)
+    val (rc6, nd) = cli(dir, "table", "aggregate", "metrics", "--ndv")
+    assert(rc6 == 0, nd)
+    assert(nd.contains("ndv status_code: ~2 (sketch union, no scan)"), nd)
   }
 
   test("grok end-to-end: config-driven collect of a dated log file") {

@@ -113,6 +113,22 @@ class JoinPruneSpec extends AnyFunSuite with SparkTest {
     assert(kept.inputFiles.length === total)
   }
 
+  test("NaN keys past the cap disable pruning (not prune everything)") {
+    val (lake, t, total) = bandedLake()
+    import spark.implicits._
+    // 3 distinct keys with maxKeys = 1 takes the over-cap band branch,
+    // where Spark's max over a NaN-bearing key set returns NaN (NaN
+    // orders greatest) — without the valve the [lo, NaN] band matches
+    // NO file and every matching row silently vanishes (r16
+    // ADVICE-medium: the guard existed only under the cap)
+    val keys = Seq(120.0, 150.0, Double.NaN).toDF("key")
+    val kept = lake.readJoinPruned(spark, t, "k", keys, maxKeys = 1)
+    assert(kept.inputFiles.length === total,
+      "over-cap NaN must disable pruning entirely")
+    val joined = kept.join(keys, col("k").cast("double") === col("key"))
+    assert(joined.count() === 2L)
+  }
+
   test("no sidecar: every file kept, join intact") {
     val lake = Lake(Files.createTempDirectory("graft_joinprune_ns").toString)
     val spec = PartitionSpec("ns", "p0", tpIndexColumn = Some("idx"))

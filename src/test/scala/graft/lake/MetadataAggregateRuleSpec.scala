@@ -401,6 +401,202 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       java.sql.Date.valueOf("2024-03-05"))
   }
 
+  test("avg over integral columns is metadata-served; float/decimal/" +
+      "distinct decline") {
+    val (lake, t) = fixture()
+    val truth = lake.read(spark, t)
+      .agg(avg(col("event_id")), count(lit(1))).head()
+    val q = spark.sql(s"SELECT avg(event_id) AS a, count(*) AS n FROM $t")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "integral avg must be served from the sidecar sums")
+    val r = q.head()
+    assert(r.getDouble(0) === truth.getDouble(0))
+    assert(r.getLong(1) === truth.getLong(1))
+    // double column: order-sensitive double sum — must scan
+    val dq = spark.sql(s"SELECT avg(v) AS a FROM $t")
+    assert(ScanAudit.filesReadAfterRun(dq) > 0,
+      "avg over a double column must decline")
+    // DISTINCT declines
+    val dd = spark.sql(s"SELECT avg(DISTINCT event_id) AS a FROM $t")
+    assert(ScanAudit.filesReadAfterRun(dd) > 0)
+    // grouped: per-partition avg from the per-group sums
+    val gq = spark.sql(s"SELECT tp_index AS k, avg(event_id) AS a " +
+      s"FROM $t GROUP BY tp_index")
+    assert(ScanAudit.filesReadAfterRun(gq) === 0)
+    assert(gq.head().getDouble(1) === truth.getDouble(0)) // one group
+  }
+
+  test("avg rides the band hybrid: exact decimal sum + count slots " +
+      "merge with the straddler scan") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_av").toString)
+    val spec = PartitionSpec("avq", "p0", tpIndexColumn = Some("idx"))
+    def slice(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-05 00:00:00' + " +
+          s"make_interval(0,0,0,0,$i,0, (id % 100) * 36)")
+          .as("tp_timestamp"),
+        concat(lit("t"), (col("id") % 2).cast("string")).as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 8) lake.append(spark, "avq", slice(i))
+    lake.enableColumnStats(spark, "avq", Seq("event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    val total = lake.dataFiles(spark, "avq").size
+    val band = "tp_timestamp >= timestamp'2024-03-05 02:30:00' AND " +
+      "tp_timestamp <= timestamp'2024-03-05 05:30:00'"
+    val truth = spark.read.option("basePath", lake.tableDir("avq"))
+      .parquet(lake.tableDir("avq"))
+      .where(col("tp_timestamp") >=
+        lit(java.sql.Timestamp.valueOf("2024-03-05 02:30:00")) &&
+        col("tp_timestamp") <=
+          lit(java.sql.Timestamp.valueOf("2024-03-05 05:30:00")))
+      .agg(avg(col("event_id")), count(lit(1))).head()
+    val q = spark.sql(
+      s"SELECT avg(event_id) AS a, count(*) AS n FROM avq WHERE $band")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0 && files * 2 < total,
+      s"expected only straddlers scanned, got $files of $total")
+    val r = q.head()
+    assert(r.getDouble(0) === truth.getDouble(0))
+    assert(r.getLong(1) === truth.getLong(1))
+    // grouped band avg
+    val gTruth = spark.read.option("basePath", lake.tableDir("avq"))
+      .parquet(lake.tableDir("avq"))
+      .where(col("tp_timestamp") >=
+        lit(java.sql.Timestamp.valueOf("2024-03-05 02:30:00")) &&
+        col("tp_timestamp") <=
+          lit(java.sql.Timestamp.valueOf("2024-03-05 05:30:00")))
+      .groupBy("tp_index").agg(avg(col("event_id")).as("a"))
+      .orderBy("tp_index").collect()
+    val gq = spark.sql(s"SELECT tp_index AS k, avg(event_id) AS a " +
+      s"FROM avq WHERE $band GROUP BY tp_index ORDER BY k")
+    val gFiles = ScanAudit.filesReadAfterRun(gq)
+    assert(gFiles > 0 && gFiles * 2 < total)
+    val got = gq.collect()
+    assert(got.length === gTruth.length)
+    got.zip(gTruth).foreach { case (g, tr) =>
+      assert(g.getString(0) === tr.getString(0))
+      assert(g.getDouble(1) === tr.getDouble(1))
+    }
+    // fully-contained band: avg from metadata alone, zero reads
+    val fq = spark.sql("SELECT avg(event_id) AS a FROM avq " +
+      "WHERE tp_timestamp >= timestamp'2024-03-05 02:00:00' " +
+      "AND tp_timestamp < timestamp'2024-03-05 06:00:00'")
+    assert(ScanAudit.filesReadAfterRun(fq) === 0)
+    assert(fq.head().getDouble(0) ===
+      (200 until 600).map(_.toDouble).sum / 400.0)
+  }
+
+  test("tp_date bands fold into the micros band: contained slices from " +
+      "metadata, straddlers scanned, date equality is the one-day band") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_db").toString)
+    val spec = PartitionSpec("dbq", "p0", tpIndexColumn = Some("idx"))
+    // six one-day slices, rows spread through each day
+    def slice(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-01 00:00:00' + " +
+          s"make_interval(0,0,0,$i,0,0, (id % 100) * 860)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 6) lake.append(spark, "dbq", slice(i))
+    lake.enableColumnStats(spark, "dbq",
+      Seq("v", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    val total = lake.dataFiles(spark, "dbq").size
+    def truthFor(cond: org.apache.spark.sql.Column) =
+      spark.read.option("basePath", lake.tableDir("dbq"))
+        .parquet(lake.tableDir("dbq")).where(cond)
+        .agg(count(lit(1)), sum(col("event_id")), min(col("v"))).head()
+    // days 2..3 exactly → fully contained, zero reads
+    val fq = spark.sql("SELECT count(*) AS n, sum(event_id) AS s, " +
+      "min(v) AS mn FROM dbq WHERE tp_date >= DATE'2024-03-03' " +
+      "AND tp_date <= DATE'2024-03-04'")
+    assert(ScanAudit.filesReadAfterRun(fq) === 0,
+      "whole-day date band over whole-day files must be scan-free")
+    assert(fq.head() === truthFor(
+      col("tp_date") >= lit(java.sql.Date.valueOf("2024-03-03")) &&
+        col("tp_date") <= lit(java.sql.Date.valueOf("2024-03-04"))))
+    // a date lower bound + timestamp upper bound fold into ONE band:
+    // day 3 contained, day 4 straddled at noon
+    val hq = spark.sql("SELECT count(*) AS n, sum(event_id) AS s, " +
+      "min(v) AS mn FROM dbq WHERE tp_date >= DATE'2024-03-04' AND " +
+      "tp_timestamp <= timestamp'2024-03-05 12:00:00'")
+    val hFiles = ScanAudit.filesReadAfterRun(hq)
+    assert(hFiles === 1, s"expected 1 straddler of $total, got $hFiles")
+    assert(hq.head() === truthFor(
+      col("tp_date") >= lit(java.sql.Date.valueOf("2024-03-04")) &&
+        col("tp_timestamp") <=
+          lit(java.sql.Timestamp.valueOf("2024-03-05 12:00:00"))))
+    // date EQUALITY is the one-day band
+    val eq = spark.sql("SELECT count(*) AS n, sum(event_id) AS s, " +
+      "min(v) AS mn FROM dbq WHERE tp_date = DATE'2024-03-02'")
+    assert(ScanAudit.filesReadAfterRun(eq) === 0)
+    val er = eq.head()
+    assert(er.getLong(0) === 100L)
+    assert(er.getLong(1) === (100 until 200).map(_.toLong).sum)
+    // IS NULL on tp_date is not band-expressible: declines to the scan
+    val nq = spark.sql(
+      "SELECT count(*) AS n FROM dbq WHERE tp_date IS NULL")
+    assert(nq.head().getLong(0) === 0L)
+  }
+
+  test("ndv() is served by sidecar sketch union; unsupported types " +
+      "and band shapes fall back to the scan estimate") {
+    val (lake, t) = fixture()
+    val exactSrc = lake.read(spark, t)
+      .agg(countDistinct(col("src"))).head().getLong(0)
+    val exactId = lake.read(spark, t)
+      .agg(countDistinct(col("event_id"))).head().getLong(0)
+    val q = spark.sql(s"SELECT ndv(src) AS ns, ndv(event_id) AS ni FROM $t")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "ndv over stats columns must union sidecar sketches, not scan")
+    val r = q.head()
+    // lgK=12 HLL: ±1.6% at 2σ — allow 5%
+    assert(math.abs(r.getLong(0) - exactSrc) <= exactSrc / 20 + 2,
+      s"ndv(src)=${r.getLong(0)} vs exact $exactSrc")
+    assert(math.abs(r.getLong(1) - exactId) <= exactId / 20 + 2)
+    // grouped: per-partition sketch union, still scan-free
+    val gq = spark.sql(s"SELECT tp_partition AS p, ndv(src) AS ns " +
+      s"FROM $t GROUP BY tp_partition")
+    assert(ScanAudit.filesReadAfterRun(gq) === 0)
+    assert(math.abs(gq.head().getLong(1) - exactSrc) <= exactSrc / 20 + 2)
+    // a double column is not natively hashed: declines, scan answers
+    val dq = spark.sql(s"SELECT ndv(v) AS nv FROM $t")
+    assert(ScanAudit.filesReadAfterRun(dq) > 0)
+    val exactV = lake.read(spark, t)
+      .agg(countDistinct(col("v"))).head().getLong(0)
+    assert(math.abs(dq.head().getLong(0) - exactV) <= exactV / 20 + 2)
+    // scan path and metadata path estimate the same quantity: both
+    // within the published bound of the exact count (pinned above) —
+    // and a WHERE keeps the scanning plan
+    val wq = spark.sql(s"SELECT ndv(src) AS ns FROM $t WHERE v >= 0")
+    assert(ScanAudit.filesReadAfterRun(wq) > 0)
+  }
+
+  test("a subquery in the WHERE declines cleanly (no optimizer throw)") {
+    val (lake, t) = fixture()
+    // ScalarSubquery references only a partition column and is
+    // deterministic, but it is Unevaluable — per-file eval inside the
+    // optimizer would throw UnsupportedOperationException and FAIL a
+    // query that runs fine unrewritten (r16 ADVICE-high). The rule
+    // must decline; the plan scans and the answer stays right.
+    val q = spark.sql(
+      s"SELECT count(*) AS n FROM $t " +
+        s"WHERE tp_year = (SELECT max(tp_year) FROM $t)")
+    assert(q.head().getLong(0) === 350L) // every fixture row is 2024
+    // IN-subquery shape too
+    val q2 = spark.sql(
+      s"SELECT count(*) AS n, max(v) AS mx FROM $t " +
+        s"WHERE tp_partition IN (SELECT tp_partition FROM $t)")
+    assert(q2.head().getLong(0) === 350L)
+  }
+
   test("metadata answer stays fresh across appends (no stale caching)") {
     val (lake, t) = fixture()
     val spec = PartitionSpec(t, "p0", tpIndexColumn = Some("idx"))

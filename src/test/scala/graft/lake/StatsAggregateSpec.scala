@@ -179,6 +179,65 @@ class StatsAggregateSpec extends AnyFunSuite with SparkTest {
     assertMatches(meta, truth)
   }
 
+  test("NaN per-file extremes merge in Spark's total order (NaN wins max)") {
+    val lake = Lake(Files.createTempDirectory("graft_statsagg_nan").toString)
+    val spec = PartitionSpec("nn", "p0", tpIndexColumn = Some("idx"))
+    def batch(lo: Int, vCol: org.apache.spark.sql.Column) = {
+      val raw = spark.range(lo, lo + 10).select(
+        col("id").as("event_id"),
+        expr("timestamp '2024-03-05 00:00:00'").as("tp_timestamp"),
+        lit("0").as("idx"), vCol.as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    // file 1: a NaN row (its sidecar max_d is NaN — Spark's max orders
+    // NaN greatest); file 2: finite values, appended LATER so the
+    // merge sees the NaN extreme FIRST and the finite one second —
+    // plain < would let 99.0 beat NaN (r16 ADVICE-medium)
+    lake.append(spark, "nn", batch(0,
+      when(col("id") === 5, lit(Double.NaN))
+        .otherwise(col("id").cast("double"))))
+    lake.append(spark, "nn", batch(100,
+      (col("id") - lit(1.0)).cast("double")))
+    lake.enableColumnStats(spark, "nn", Seq("v"))
+    val (meta, residual) = lake.statsAggregateAudited(spark, "nn", Seq("v"))
+    assert(residual.isEmpty, "NaN bounds are still exact doubles — " +
+      "metadata must serve them")
+    val r = meta.head()
+    // the scan answer: Spark's max over a NaN-bearing column is NaN
+    assert(r.getAs[Double]("max_v").isNaN, "metadata max must be NaN")
+    assert(r.getAs[Double]("min_v") === 0.0)
+    val scanMax = lake.read(spark, "nn").agg(max(col("v"))).head().getDouble(0)
+    assert(scanMax.isNaN)
+  }
+
+  test("a sum past Long.MaxValue emits null, never throws or wraps") {
+    val lake = Lake(Files.createTempDirectory("graft_statsagg_of").toString)
+    val spec = PartitionSpec("of", "p0", tpIndexColumn = Some("idx"))
+    // three rows of 5e18: total 1.5e19 > Long.MaxValue (9.22e18); the
+    // 2^53-scale bounds also force the residual-scan path, so this
+    // exercises the scan-side sum fold too (r16 ADVICE-medium: the CLI
+    // crashed with ArithmeticException on epoch-millis sums)
+    val raw = spark.range(0, 3).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-05 00:00:00'").as("tp_timestamp"),
+      lit("0").as("idx"),
+      (col("id") + lit(5000000000000000000L)).as("huge"))
+    lake.append(spark, "of", TpSchema.enrich(raw, spec))
+    lake.enableColumnStats(spark, "of", Seq("huge"))
+    val (meta, _) = lake.statsAggregateAudited(spark, "of", Seq("huge"))
+    val r = meta.head()
+    assert(r.getAs[Long]("n_huge") === 3L)
+    assert(r.getAs[Long]("min_huge") === 5000000000000000000L)
+    assert(r.getAs[Any]("sum_huge") === null,
+      "no exact BIGINT sum exists — must be null, not a wrap or throw")
+    // withSums = false: the sum columns are absent entirely (the CLI
+    // shape — count/min/max must not pay the sum machinery)
+    val (lean, _) = lake.statsAggregateAudited(spark, "of", Seq("huge"),
+      withSums = false)
+    assert(!lean.schema.fieldNames.contains("sum_huge"))
+    assert(lean.head().getAs[Long]("max_huge") === 5000000000000000002L)
+  }
+
   test("long bounds at 2^53 force the residual scan and stay exact") {
     val lake = Lake(Files.createTempDirectory("graft_statsagg53").toString)
     val spec = PartitionSpec("big", "p0", tpIndexColumn = Some("idx"))
