@@ -59,6 +59,10 @@ object NdvFns {
     Math.round(u.getResult(TgtHllType.HLL_8).getEstimate)
   }
 
+  /** Estimate of one serialized sketch/union blob. */
+  def blobEstimate(blob: Array[Byte]): Long =
+    Math.round(HllSketch.heapify(Memory.wrap(blob)).getEstimate)
+
   case class NdvAgg(
       child: Expression,
       mutableAggBufferOffset: Int = 0,
@@ -76,20 +80,8 @@ object NdvFns {
     // native, and a union of unions equals a union of the parts
     override def createAggregationBuffer(): Union = new Union(LgK)
 
-    override def update(buf: Union, input: InternalRow): Union = {
-      val v = child.eval(input)
-      if (v != null) child.dataType match {
-        case ByteType => buf.update(v.asInstanceOf[Byte].toLong)
-        case ShortType => buf.update(v.asInstanceOf[Short].toLong)
-        case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
-        case LongType => buf.update(v.asInstanceOf[Long])
-        case StringType =>
-          buf.update(v.asInstanceOf[UTF8String].getBytes)
-        case BinaryType => buf.update(v.asInstanceOf[Array[Byte]])
-        case _ => buf.update(v.toString)
-      }
-      buf
-    }
+    override def update(buf: Union, input: InternalRow): Union =
+      NdvFns.updateUnion(buf, child, input)
 
     override def merge(a: Union, b: Union): Union = {
       a.update(b.getResult(TgtHllType.HLL_8)); a
@@ -112,6 +104,116 @@ object NdvFns {
       copy(inputAggBufferOffset = n)
     override protected def withNewChildInternal(
         newChild: Expression): NdvAgg = copy(child = newChild)
+  }
+
+  /** Union blob of per-file sketch blobs — driver-side twin of the
+    * plan-side [[NdvUnionAgg]], used by the band hybrid's LOCAL slot.
+    */
+  def unionBlob(blobs: Iterable[Array[Byte]]): Array[Byte] = {
+    val u = new Union(LgK)
+    blobs.foreach(b => u.update(HllSketch.heapify(Memory.wrap(b))))
+    u.getResult(TgtHllType.HLL_8).toUpdatableByteArray
+  }
+
+  /** [[NdvAgg]] that evals to the sketch BYTES instead of the
+    * estimate — the band hybrid's straddler-scan partial (sketches
+    * union exactly; estimates don't add).
+    */
+  case class NdvSketchAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union]
+    with UnaryLike[Expression] {
+
+    import org.apache.spark.sql.types._
+
+    override def prettyName: String = "ndv_sketch"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Union = new Union(LgK)
+    override def update(buf: Union, input: InternalRow): Union =
+      NdvFns.updateUnion(buf, child, input)
+    override def merge(a: Union, b: Union): Union = {
+      a.update(b.getResult(TgtHllType.HLL_8)); a
+    }
+    override def eval(buf: Union): Any =
+      buf.getResult(TgtHllType.HLL_8).toUpdatableByteArray
+    override def serialize(buf: Union): Array[Byte] =
+      buf.getResult(TgtHllType.HLL_8).toUpdatableByteArray
+    override def deserialize(bytes: Array[Byte]): Union = {
+      val u = new Union(LgK)
+      u.update(HllSketch.heapify(Memory.wrap(bytes)))
+      u
+    }
+    override def withNewMutableAggBufferOffset(n: Int): NdvSketchAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): NdvSketchAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(
+        newChild: Expression): NdvSketchAgg = copy(child = newChild)
+  }
+
+  /** Union a column of sketch BLOBS into the estimate — the band
+    * hybrid's final merge over (local union blob ∪ straddler blob).
+    */
+  case class NdvUnionAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union]
+    with UnaryLike[Expression] {
+
+    import org.apache.spark.sql.types._
+
+    override def prettyName: String = "ndv_union"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Union = new Union(LgK)
+    override def update(buf: Union, input: InternalRow): Union = {
+      val v = child.eval(input)
+      if (v != null)
+        buf.update(HllSketch.heapify(
+          Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf
+    }
+    override def merge(a: Union, b: Union): Union = {
+      a.update(b.getResult(TgtHllType.HLL_8)); a
+    }
+    override def eval(buf: Union): Any =
+      Math.round(buf.getResult(TgtHllType.HLL_8).getEstimate)
+    override def serialize(buf: Union): Array[Byte] =
+      buf.getResult(TgtHllType.HLL_8).toUpdatableByteArray
+    override def deserialize(bytes: Array[Byte]): Union = {
+      val u = new Union(LgK)
+      u.update(HllSketch.heapify(Memory.wrap(bytes)))
+      u
+    }
+    override def withNewMutableAggBufferOffset(n: Int): NdvUnionAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): NdvUnionAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(
+        newChild: Expression): NdvUnionAgg = copy(child = newChild)
+  }
+
+  /** Shared per-row update (NdvAgg + NdvSketchAgg): the hashing
+    * contract documented on the object.
+    */
+  private[functions] def updateUnion(
+      buf: Union, child: Expression, input: InternalRow): Union = {
+    import org.apache.spark.sql.types._
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case ByteType => buf.update(v.asInstanceOf[Byte].toLong)
+      case ShortType => buf.update(v.asInstanceOf[Short].toLong)
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case LongType => buf.update(v.asInstanceOf[Long])
+      case StringType => buf.update(v.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => buf.update(v.asInstanceOf[Array[Byte]])
+      case _ => buf.update(v.toString)
+    }
+    buf
   }
 
   def register(spark: SparkSession): Unit =

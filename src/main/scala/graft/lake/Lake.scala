@@ -1521,11 +1521,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       fromUs: Long, toUs: Long,
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String], sumColumns: Set[String],
-      fileFilter: String => Boolean = _ => true)
+      fileFilter: String => Boolean = _ => true,
+      ndvColumns: Set[String] = Set.empty)
       : (StatsAggParts, Seq[String], Int) = {
     val (groups, toScan, contained) = timeBandPartsGrouped(spark, table,
       fromUs, toUs, columns, schema, rangeColumns, sumColumns,
-      _ => Nil, fileFilter)
+      _ => Nil, fileFilter, ndvColumns)
     (groups.headOption.map(_._2).getOrElse(
       StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty,
         Nil)),
@@ -1543,7 +1544,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String], sumColumns: Set[String],
       groupOf: String => Seq[String],
-      fileFilter: String => Boolean)
+      fileFilter: String => Boolean,
+      ndvColumns: Set[String] = Set.empty)
       : (Seq[(Seq[String], StatsAggParts)], Seq[String], Int) = {
     val snap = metaSnapshot(spark, table)
     val bounds: Map[String, (Option[Long], Option[Long])] =
@@ -1570,7 +1572,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     // statsAggPartsGrouped's own residual logic and moves to the scan
     val (groups, residualContained) = statsAggPartsGrouped(spark, table,
       columns, schema, rangeColumns, sumColumns, groupOf,
-      fileFilter = contained)
+      fileFilter = contained, ndvColumns = ndvColumns)
     val toScan: Seq[String] =
       (overlapping.filterNot(contained) ++ residualContained).distinct
     (groups.toSeq, toScan, contained.size - residualContained.size)
@@ -1743,14 +1745,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         }
         // ndv: one driver-side HLL union per requested column over the
         // group's per-file sidecar sketches — usable() guaranteed every
-        // covered file carries a blob
-        val ndvs: Map[String, Long] = ndvColumns.intersect(columns.toSet)
-          .map { c =>
-            c -> graft.functions.NdvFns.unionEstimate(
+        // covered file carries a blob. The BLOB is kept (not just the
+        // estimate) so band hybrids can union it with the straddler
+        // scan's sketch in-plan.
+        val ndvBlobs: Map[String, Array[Byte]] =
+          ndvColumns.intersect(columns.toSet).map { c =>
+            c -> graft.functions.NdvFns.unionBlob(
               files.flatMap { case (file, _) => sidecar((file, c)).sketch })
           }.toMap
         key -> StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap,
-          sm.toMap, Nil, ndvs)
+          sm.toMap, Nil, ndvBlobs)
       }
     (groups, residual)
   }
@@ -2017,7 +2021,12 @@ object Lake {
       maxs: Map[String, Any],
       sums: Map[String, BigInt],
       residual: Seq[String],
-      ndvs: Map[String, Long] = Map.empty)
+      ndvBlobs: Map[String, Array[Byte]] = Map.empty) {
+    /** Estimates from the per-column union blobs (ndv columns only). */
+    def ndvs: Map[String, Long] = ndvBlobs.map { case (c, b) =>
+      c -> graft.functions.NdvFns.blobEstimate(b)
+    }
+  }
 
   /** Newest-seq manifest row for one live file. */
   private[lake] final case class ManifestStat(

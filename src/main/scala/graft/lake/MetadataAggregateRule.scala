@@ -495,11 +495,14 @@ final case class MetadataAggregateRule(session: SparkSession)
 
   private def slotTypesOf(s: Spec): Seq[org.apache.spark.sql.types.DataType] =
     s match {
-      case CountStar | CountCol(_) | SumCol(_) | NdvCol(_) => Seq(LongType)
+      case CountStar | CountCol(_) | SumCol(_) => Seq(LongType)
       case MinCol(a) => Seq(a.dataType)
       case MaxCol(a) => Seq(a.dataType)
       case AvgCol(_) =>
         Seq(org.apache.spark.sql.types.DecimalType(38, 0), LongType)
+      // ndv unions through the hybrid as sketch BYTES: estimates don't
+      // add, sketches do (register-max merge is exact)
+      case NdvCol(_) => Seq(org.apache.spark.sql.types.BinaryType)
       case _ => Seq(LongType)
     }
 
@@ -518,6 +521,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       parts.sums.get(a.name).map(v =>
         org.apache.spark.sql.types.Decimal(BigDecimal(v), 38, 0)).orNull,
       parts.counts.getOrElse(a.name, 0L))
+    case NdvCol(a) => Seq(parts.ndvBlobs.get(a.name).orNull)
     case _ => Seq(null)
   }
 
@@ -532,6 +536,7 @@ final case class MetadataAggregateRule(session: SparkSession)
         if (n == 0L) null
         else parts.sums.get(a.name)
           .map(v => Double.box(v.toDouble / n)).orNull
+      case NdvCol(a) => Long.box(parts.ndvs.getOrElse(a.name, 0L))
       case other => metaSlotValues(parts, other).head
     }
 
@@ -555,6 +560,8 @@ final case class MetadataAggregateRule(session: SparkSession)
         alias(Sum(Cast(a,
           org.apache.spark.sql.types.DecimalType(38, 0))), slots.head),
         alias(Count(a), slots(1))))
+      case NdvCol(a) => Some(Seq(
+        alias(graft.functions.NdvFns.NdvSketchAgg(a), slots.head)))
       case _ => None
     }
   }
@@ -584,6 +591,9 @@ final case class MetadataAggregateRule(session: SparkSession)
             Divide(Cast(total, org.apache.spark.sql.types.DoubleType),
               Cast(n, org.apache.spark.sql.types.DoubleType))),
           orig.name)(exprId = orig.exprId))
+      case NdvCol(_) => Some(Alias(
+        graft.functions.NdvFns.NdvUnionAgg(unionOut(off))
+          .toAggregateExpression(), orig.name)(exprId = orig.exprId))
       case _ => None
     }
 
@@ -602,17 +612,15 @@ final case class MetadataAggregateRule(session: SparkSession)
     if (specs.exists(s => s.isEmpty ||
       s.get.isInstanceOf[Passthrough])) return None
     val flat = specs.flatten
-    // ndv cannot ride the straddler union (its partial is a sketch,
-    // not a number) — band shapes decline it; the zone-map index still
-    // prunes the scan
-    if (flat.exists(_.isInstanceOf[NdvCol])) return None
     val cols = flat.collect {
       case CountCol(a) => a.name
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
+      case NdvCol(a) => a.name
     }.distinct
+    val ndvColsB = flat.collect { case NdvCol(a) => a.name }.toSet
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
@@ -626,7 +634,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     if (!cols.forall(schema.fieldNames.contains)) return None
     val (parts, straddlers, containedCount) = lake.timeBandParts(
       session, table, lo, hi, cols, schema, rangeCols, sumColsS,
-      fileFilter)
+      fileFilter, ndvColsB)
     if (containedCount <= 0) return None // hybrid buys nothing
     if (!flat.collect { case SumCol(a) => a.name }.toSet[String].forall(c =>
       parts.sums.get(c).forall(_.isValidLong)))
@@ -671,6 +679,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     val neededNames = flat.collect {
       case CountCol(a) => a; case MinCol(a) => a
       case MaxCol(a) => a; case SumCol(a) => a; case AvgCol(a) => a
+      case NdvCol(a) => a
     }.map(_.exprId).toSet
     val needed = agg.child.output.filter(a => neededNames.contains(a.exprId))
     val pruned =
@@ -742,6 +751,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MaxCol(a) => a.name
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
+      case NdvCol(a) => a.name
     }.distinct
     val rangeCols = valueSpecs.collect {
       case MinCol(a) => a.name
@@ -751,9 +761,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
     }.toSet
-    // ndv declines in band shapes (sketches don't union through the
-    // straddler merge)
-    if (valueSpecs.exists(_.isInstanceOf[NdvCol])) return None
+    val ndvColsG = valueSpecs.collect { case NdvCol(a) => a.name }.toSet
     if (!lake.hasData(session, table)) return None
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
@@ -762,7 +770,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       f => {
         val pv = lake.partitionValues(lake.relOf(table, f))
         groupAttrs.map(a => pv.getOrElse(a.name, null))
-      }, fileFilter)
+      }, fileFilter, ndvColsG)
     if (containedCount <= 0) return None // hybrid buys nothing
     val sumOnlyS = valueSpecs.collect { case SumCol(a) => a.name }.toSet
     if (!groups.forall { case (_, p) =>
@@ -820,6 +828,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     val neededIds = (valueSpecs.collect {
       case CountCol(a) => a; case MinCol(a) => a
       case MaxCol(a) => a; case SumCol(a) => a; case AvgCol(a) => a
+      case NdvCol(a) => a
     } ++ groupAttrs).map(_.exprId).toSet
     val needed = agg.child.output.filter(a => neededIds.contains(a.exprId))
     val pruned =

@@ -574,9 +574,29 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(dq.head().getLong(0) - exactV) <= exactV / 20 + 2)
     // scan path and metadata path estimate the same quantity: both
     // within the published bound of the exact count (pinned above) —
-    // and a WHERE keeps the scanning plan
+    // and a non-band WHERE keeps the scanning plan
     val wq = spark.sql(s"SELECT ndv(src) AS ns FROM $t WHERE v >= 0")
     assert(ScanAudit.filesReadAfterRun(wq) > 0)
+    // band hybrid: contained files' sidecar blobs union with the
+    // straddler scan's sketch IN-PLAN (sketch slots, register-max
+    // merge) — batch 1 contained, batches 0 and 2 straddle, the
+    // null batch (ts day 11+) is outside
+    val total = lake.dataFiles(spark, t).size
+    val bq = spark.sql(s"SELECT ndv(src) AS ns, count(*) AS n FROM $t " +
+      "WHERE tp_timestamp >= timestamp'2024-03-05 13:53:20' " +
+      "AND tp_timestamp <= timestamp'2024-03-07 21:26:40'")
+    val bFiles = ScanAudit.filesReadAfterRun(bq)
+    assert(bFiles > 0 && bFiles < total,
+      s"band ndv should scan only straddlers: $bFiles of $total")
+    val exactBand = lake.read(spark, t)
+      .where(col("tp_timestamp") >=
+        lit(java.sql.Timestamp.valueOf("2024-03-05 13:53:20")) &&
+        col("tp_timestamp") <=
+          lit(java.sql.Timestamp.valueOf("2024-03-07 21:26:40")))
+      .agg(countDistinct(col("src"))).head().getLong(0)
+    val br = bq.head()
+    assert(math.abs(br.getLong(0) - exactBand) <= exactBand / 20 + 2,
+      s"band ndv(src)=${br.getLong(0)} vs exact $exactBand")
   }
 
   test("a subquery in the WHERE declines cleanly (no optimizer throw)") {
