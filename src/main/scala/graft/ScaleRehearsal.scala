@@ -712,25 +712,28 @@ object ScaleRehearsal {
           .parquet(alake.tableDir("events_meta"))
         def aggOf(r: org.apache.spark.sql.Row) =
           (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-            r.getLong(4), r.getLong(5))
+            r.getLong(4), r.getLong(5), r.getDouble(6))
         if (m == mults.min) { stockRead().count(); () }
-        var fullR: (Long, Long, Double, Double, Long, Long) = null
+        var fullR: (Long, Long, Double, Double, Long, Long, Double) = null
         record("metaagg_scan", m, n, time {
           fullR = aggOf(stockRead().agg(count(lit(1)), count(col("value")),
             min("value"), max("value"),
-            min("user_id"), max("user_id")).head())
+            min("user_id"), max("user_id"), avg("user_id")).head())
         })
-        var metaR: (Long, Long, Double, Double, Long, Long) = null
+        var metaR: (Long, Long, Double, Double, Long, Long, Double) = null
         var metaFiles = -1L
         record("metaagg_metadata", m, n, time {
           graft.query.Views.register(spark, alake,
             graft.query.Views.Filters())
           val q = spark.sql("SELECT count(*), count(value), min(value), " +
-            "max(value), min(user_id), max(user_id) FROM events_meta")
+            "max(value), min(user_id), max(user_id), avg(user_id) " +
+            "FROM events_meta")
           val row = q.collect()(0)
           metaR = aggOf(row)
           metaFiles = graft.query.ScanAudit.filesRead(q)
         })
+        // avg identity holds EXACTLY: same-signed longs with a total
+        // far under 2^53 make the scan's double accumulation lossless
         require(fullR == metaR && fullR._1 > 0,
           s"metadata aggregate diverged from the scan: $fullR vs $metaR")
         val fullFiles = stockRead().inputFiles.length
@@ -738,6 +741,20 @@ object ScaleRehearsal {
           s""""full_files":$fullFiles,"metadata_files":$metaFiles}""")
         require(metaFiles == 0L,
           s"metadata aggregate scanned $metaFiles files at x$m")
+        // ndv: sketch-union answer scan-free, within the published
+        // error bound of the exact distinct count (lgK=12: ±1.6% 2σ;
+        // gate at 5%)
+        var ndvEst = -1L
+        record("metaagg_ndv", m, n, time {
+          val q = spark.sql("SELECT ndv(user_id) FROM events_meta")
+          ndvEst = q.collect()(0).getLong(0)
+          require(graft.query.ScanAudit.filesRead(q) == 0L,
+            "ndv must be served from sidecar sketches")
+        })
+        val ndvExact = stockRead()
+          .agg(countDistinct(col("user_id"))).head().getLong(0)
+        require(math.abs(ndvEst - ndvExact) <= ndvExact / 20 + 2,
+          s"ndv $ndvEst vs exact $ndvExact out of bound at x$m")
       }
 
       // ---- SQL time-band hybrid at volume ----------------------------
@@ -764,7 +781,7 @@ object ScaleRehearsal {
                 col("ts") < timestamp_seconds(lit(t0 + (i + 1) * slice))),
               timestampColumn = "ts")
           blake.enableColumnStats(spark, "events_band",
-            Seq("value", "tp_timestamp"))
+            Seq("value", "user_id", "tp_timestamp"))
         })
         // band = mid-slice-1 .. mid-slice-6: slices 2..5 contained,
         // 1 and 6 straddle, 0 and 7 outside
@@ -773,29 +790,33 @@ object ScaleRehearsal {
         def stockRead() = spark.read
           .option("basePath", blake.tableDir("events_band"))
           .parquet(blake.tableDir("events_band"))
-        def agg(df: DataFrame): (Long, Long, Double, Double) = {
+        def agg(df: DataFrame): (Long, Long, Double, Double, Double) = {
           val r = df.where(
             col("tp_timestamp") >= lit(bandLo).cast("timestamp") &&
               col("tp_timestamp") <= lit(bandHi).cast("timestamp"))
             .agg(count(lit(1)), count(col("value")),
-              min("value"), max("value")).head()
-          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+              min("value"), max("value"), avg("user_id")).head()
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4))
         }
         if (m == mults.min) { agg(stockRead()); () }
-        var fullR: (Long, Long, Double, Double) = null
+        var fullR: (Long, Long, Double, Double, Double) = null
         record("bandagg_scan", m, n, time { fullR = agg(stockRead()) })
-        var hybR: (Long, Long, Double, Double) = null
+        var hybR: (Long, Long, Double, Double, Double) = null
         var hybFiles = -1L
         record("bandagg_hybrid", m, n, time {
           graft.query.Views.register(spark, blake,
             graft.query.Views.Filters())
+          // avg rides the hybrid as two slots (exact decimal sum +
+          // count); identity vs the scan is exact (same-signed longs,
+          // totals far under 2^53)
           val q = spark.sql("SELECT count(*), count(value), " +
-            "min(value), max(value) FROM events_band WHERE " +
-            s"tp_timestamp >= timestamp'$bandLo' AND " +
+            "min(value), max(value), avg(user_id) FROM events_band " +
+            s"WHERE tp_timestamp >= timestamp'$bandLo' AND " +
             s"tp_timestamp <= timestamp'$bandHi'")
           val row = q.collect()(0)
           hybR = (row.getLong(0), row.getLong(1),
-            row.getDouble(2), row.getDouble(3))
+            row.getDouble(2), row.getDouble(3), row.getDouble(4))
           hybFiles = graft.query.ScanAudit.filesRead(q)
         })
         require(fullR == hybR && fullR._1 > 0,

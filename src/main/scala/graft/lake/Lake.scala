@@ -1681,6 +1681,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       if (ndvColumns(c) && !cov.exists(_.sketch.isDefined)) return false
       if (!rangeColumns(c)) return true // count-only: null/row counts do
       if (c == TpSchema.Timestamp) return true // min/max manifest-served
+      // tp_date min/max = day-truncated manifest ts extremes (dates
+      // are monotone in ts); exact only under the engine's UTC-writer
+      // convention, so gated on the reader session being UTC like the
+      // splitBand date fold
+      if (c == TpSchema.Date &&
+        spark.sessionState.conf.sessionLocalTimeZone == "UTC") return true
       val dt = dtOf(c)
       minMaxFromZones(dt) && (dt match {
         case LongType => cov.exists { r =>
@@ -1732,9 +1738,18 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
             if (sumColumns(c))
               r.sumV.foreach(v => sm(c) = sm.getOrElse(c, BigInt(0)) + v)
             val dt = dtOf(c)
+            def toDate(ts: Option[Timestamp]): java.sql.Date =
+              ts.map { t =>
+                val us = org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaTimestamp(t)
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+                  Math.floorDiv(us, 86400000000L)))
+              }.orNull
             if (!rangeColumns(c)) () // count-only column: no range merge
             else if (c == TpSchema.Timestamp)
               merge(c, dt, m.minTs.orNull, m.maxTs.orNull)
+            else if (c == TpSchema.Date && dt == DateType)
+              merge(c, dt, toDate(m.minTs), toDate(m.maxTs))
             else if (dt == StringType)
               merge(c, dt, r.minS.orNull, r.maxS.orNull)
             else
@@ -2158,6 +2173,9 @@ object Lake {
               .fromString(b.asInstanceOf[String])) < 0
       case TimestampType | TimestampNTZType =>
         a.asInstanceOf[Timestamp].compareTo(b.asInstanceOf[Timestamp]) < 0
+      case DateType =>
+        a.asInstanceOf[java.sql.Date]
+          .compareTo(b.asInstanceOf[java.sql.Date]) < 0
       case _ =>
         a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
     }

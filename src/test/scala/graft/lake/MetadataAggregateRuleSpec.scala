@@ -387,18 +387,24 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
         "make_interval(0,0,0,0,0,0, id*90000)").as("tp_timestamp"),
       lit("0").as("idx"))
     lake.append(spark, "co", TpSchema.enrich(raw, spec))
-    // tp_date is DateType: zone ranges are unsupported for it, but the
-    // sidecar's null/row counts still serve count(tp_date)
+    // tp_date is DateType: double zones are unsupported for it, but
+    // the sidecar's null/row counts serve count(tp_date) and its
+    // min/max is the day-truncated MANIFEST ts range (r17: dates are
+    // monotone in ts under the UTC-writer convention)
     lake.enableColumnStats(spark, "co", Seq("tp_date"))
     Views.register(spark, lake, Views.Filters())
     val counted = spark.sql("SELECT count(tp_date) AS n FROM co")
     assert(ScanAudit.filesReadAfterRun(counted) === 0)
     assert(counted.head().getLong(0) === 80L)
-    val ranged = spark.sql("SELECT min(tp_date) AS d FROM co")
-    assert(ScanAudit.filesReadAfterRun(ranged) > 0,
-      "DateType min/max must scan, not trust double zones")
-    assert(ranged.head().getDate(0) ===
-      java.sql.Date.valueOf("2024-03-05"))
+    val ranged = spark.sql(
+      "SELECT min(tp_date) AS d, max(tp_date) AS x FROM co")
+    assert(ScanAudit.filesReadAfterRun(ranged) === 0,
+      "tp_date min/max rides the manifest ts range")
+    val rr = ranged.head()
+    assert(rr.getDate(0) === java.sql.Date.valueOf("2024-03-05"))
+    // 79 * 90000 s = 7,110,000 s ≈ 82.3 days after Mar 5
+    assert(rr.getDate(1) === lake.read(spark, "co")
+      .agg(max(col("tp_date"))).head().getDate(0))
   }
 
   test("avg over integral columns is metadata-served; float/decimal/" +
