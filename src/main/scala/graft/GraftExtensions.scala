@@ -47,5 +47,11 @@ object GraftExtensions {
       "nfc_normalize" -> (es => NfcNormalize(es.head)),
       "graft_magic" -> (es => MagicType(es.head)),
       "graft_image_width" -> (es => ImageWidth(es.head)),
-      "graft_image_height" -> (es => ImageHeight(es.head)))
+      "graft_image_height" -> (es => ImageHeight(es.head)),
+      // metadata-servable estimator aggregates (NdvFns/QuantileFns):
+      // the injected MetadataAggregateRule answers them from the
+      // sidecar sketches when covered
+      "ndv" -> (es => NdvFns.NdvAgg(es.head).toAggregateExpression()),
+      "graft_quantile" -> (es =>
+        QuantileFns.QuantileAgg(es(0), es(1)).toAggregateExpression()))
 }

@@ -2011,6 +2011,54 @@ object Main {
               (if (unioned.isDefined) " (sketch union, no scan)"
                else " (scanned)")))
         }
+        // --quantiles p1,p2,...: approximate quantiles for the NUMERIC
+        // requested columns — per-file KLL sidecar blobs merged
+        // scan-free when covered, one QuantileAgg scan otherwise
+        // (identical estimator either way — see QuantileFns)
+        opts.flag("quantiles").foreach { spec =>
+          import org.apache.spark.sql.functions.col
+          val ps = spec.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(_.toDouble).toSeq
+          require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+            "--quantiles wants comma-separated probabilities in [0,1]")
+          val schema = lake.schemaOf(spark, t)
+          val numCols = cols.filter(c =>
+            schema(c).dataType.isInstanceOf[
+              org.apache.spark.sql.types.NumericType])
+          val whole = opts.ts("from").isEmpty && opts.ts("to").isEmpty
+          val merged =
+            if (whole) lake.statsAggregateIfCovered(spark, t, numCols,
+              Set.empty, Set.empty, Set.empty, _ => true,
+              numCols.toSet).map(_.kllBlobs)
+            else None
+          val rows: Map[String, Seq[Option[Double]]] = merged match {
+            case Some(blobs) => numCols.map(c => c -> ps.map(p =>
+              blobs.get(c).flatMap(
+                graft.functions.QuantileFns.blobQuantile(_, p)))).toMap
+            case None =>
+              val base = lake.read(spark, t)
+              val aggs = for { c <- numCols; p <- ps } yield
+                graft.functions.QuantileFns.quantile(spark, col(c), p)
+                  .as(s"__q_${c}_$p")
+              if (aggs.isEmpty) Map.empty
+              else {
+                val r = base.agg(aggs.head, aggs.tail: _*).head()
+                numCols.map(c => c -> ps.map { p =>
+                  val v = r.getAs[Any](s"__q_${c}_$p")
+                  Option(v).map(_.asInstanceOf[Double])
+                }).toMap
+              }
+          }
+          numCols.foreach { c =>
+            val line = ps.zip(rows.getOrElse(c, Nil)).map {
+              case (p, v) => s"p${(p * 100).round}=" +
+                v.map(d => f"$d%.4f").getOrElse("-")
+            }.mkString(" ")
+            out.println(s"  quantiles $c: $line" +
+              (if (merged.isDefined) " (KLL merge, no scan)"
+               else " (scanned)"))
+          }
+        }
       case other => throw new IllegalArgumentException(
         s"table: expected list|show|diff|snapshot|analyze|aggregate, " +
           s"got ${other.getOrElse("nothing")}")

@@ -991,15 +991,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           val sidecar: Map[(String, String), Lake.SideStat] =
             if (!f.exists(new Path(colStatsDir(table))))
               Map.empty
-            else sidecarWithSum(spark.read.parquet(colStatsDir(table)))
+            else sidecarWithKll(
+              sidecarWithSum(spark.read.parquet(colStatsDir(table))))
               .groupBy("file", "column")
               .agg(max_by(struct(col("nulls"), col("n"), col("min_d"),
                 col("max_d"), col("min_s"), col("max_s"), col("sum_v"),
-                col("sketch")), col("seq")).as("s"))
+                col("sketch"), col("kll")), col("seq")).as("s"))
               .select(col("file"), col("column"), col("s.nulls"),
                 col("s.n"), col("s.min_d"), col("s.max_d"),
                 col("s.min_s"), col("s.max_s"), col("s.sum_v"),
-                col("s.sketch"))
+                col("s.sketch"), col("s.kll"))
               .collect().map { r =>
                 (r.getString(0), r.getString(1)) -> Lake.SideStat(
                   r.getLong(2), r.getLong(3),
@@ -1010,7 +1011,9 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
                   if (r.isNullAt(8)) None
                   else Some(BigInt(r.getDecimal(8).toBigInteger)),
                   if (r.isNullAt(9)) None
-                  else Some(r.getAs[Array[Byte]](9)))
+                  else Some(r.getAs[Array[Byte]](9)),
+                  if (r.isNullAt(10)) None
+                  else Some(r.getAs[Array[Byte]](10)))
               }.toMap
           Lake.MetaSnapshot(token, manifest, sidecar)
         }
@@ -1300,13 +1303,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       rangeColumns: Set[String],
       sumColumns: Set[String] = Set.empty,
       ndvColumns: Set[String] = Set.empty,
-      fileFilter: String => Boolean = _ => true): Option[StatsAggParts] = {
+      fileFilter: String => Boolean = _ => true,
+      kllColumns: Set[String] = Set.empty): Option[StatsAggParts] = {
     if (!hasData(spark, table)) return None
     val schema = schemaOf(spark, table)
     if (!columns.forall(schema.fieldNames.contains)) return None
     val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
       schema, rangeColumns, sumColumns, _ => Nil, fileFilter,
-      ndvColumns)
+      ndvColumns, kllColumns)
     if (residual.nonEmpty) None
     else Some(groups.values.headOption.getOrElse(
       StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil)))
@@ -1522,11 +1526,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String], sumColumns: Set[String],
       fileFilter: String => Boolean = _ => true,
-      ndvColumns: Set[String] = Set.empty)
+      ndvColumns: Set[String] = Set.empty,
+      kllColumns: Set[String] = Set.empty)
       : (StatsAggParts, Seq[String], Int) = {
     val (groups, toScan, contained) = timeBandPartsGrouped(spark, table,
       fromUs, toUs, columns, schema, rangeColumns, sumColumns,
-      _ => Nil, fileFilter, ndvColumns)
+      _ => Nil, fileFilter, ndvColumns, kllColumns)
     (groups.headOption.map(_._2).getOrElse(
       StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty,
         Nil)),
@@ -1545,7 +1550,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       rangeColumns: Set[String], sumColumns: Set[String],
       groupOf: String => Seq[String],
       fileFilter: String => Boolean,
-      ndvColumns: Set[String] = Set.empty)
+      ndvColumns: Set[String] = Set.empty,
+      kllColumns: Set[String] = Set.empty)
       : (Seq[(Seq[String], StatsAggParts)], Seq[String], Int) = {
     val snap = metaSnapshot(spark, table)
     val bounds: Map[String, (Option[Long], Option[Long])] =
@@ -1572,7 +1578,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     // statsAggPartsGrouped's own residual logic and moves to the scan
     val (groups, residualContained) = statsAggPartsGrouped(spark, table,
       columns, schema, rangeColumns, sumColumns, groupOf,
-      fileFilter = contained, ndvColumns = ndvColumns)
+      fileFilter = contained, ndvColumns = ndvColumns,
+      kllColumns = kllColumns)
     val toScan: Seq[String] =
       (overlapping.filterNot(contained) ++ residualContained).distinct
     (groups.toSeq, toScan, contained.size - residualContained.size)
@@ -1608,7 +1615,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       rangeColumns: Set[String],
       sumColumns: Set[String] = Set.empty,
       ndvColumns: Set[String] = Set.empty,
-      fileFilter: String => Boolean = _ => true)
+      fileFilter: String => Boolean = _ => true,
+      kllColumns: Set[String] = Set.empty)
       : Option[Seq[(Seq[String], StatsAggParts)]] = {
     if (groupCols.isEmpty ||
       !groupCols.forall(TpSchema.partitionCols.contains)) return None
@@ -1621,7 +1629,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         val pv = partitionValues(relOf(table, f))
         groupCols.map(pv.getOrElse(_, null))
       },
-      fileFilter, ndvColumns)
+      fileFilter, ndvColumns, kllColumns)
     if (residual.nonEmpty) None else Some(groups.toSeq)
   }
 
@@ -1643,7 +1651,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       sumColumns: Set[String],
       groupOf: String => Seq[String],
       fileFilter: String => Boolean = _ => true,
-      ndvColumns: Set[String] = Set.empty)
+      ndvColumns: Set[String] = Set.empty,
+      kllColumns: Set[String] = Set.empty)
       : (Map[Seq[String], StatsAggParts], Seq[String]) = {
     def dtOf(c: String): DataType = schema(c).dataType
     def minMaxFromZones(dt: DataType): Boolean = dt match {
@@ -1679,6 +1688,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         r.sumV.isDefined || r.nulls == r.n)) return false
       // ndv(c): needs the per-file HLL blob to union
       if (ndvColumns(c) && !cov.exists(_.sketch.isDefined)) return false
+      // graft_quantile(c): needs the per-file KLL blob to merge
+      if (kllColumns(c) && !cov.exists(_.kll.isDefined)) return false
       if (!rangeColumns(c)) return true // count-only: null/row counts do
       if (c == TpSchema.Timestamp) return true // min/max manifest-served
       // tp_date min/max = day-truncated manifest ts extremes (dates
@@ -1768,8 +1779,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
             c -> graft.functions.NdvFns.unionBlob(
               files.flatMap { case (file, _) => sidecar((file, c)).sketch })
           }.toMap
+        // quantiles: the same move over the KLL distribution sketches
+        val kllBlobs: Map[String, Array[Byte]] =
+          kllColumns.intersect(columns.toSet).map { c =>
+            c -> graft.functions.QuantileFns.mergeBlobs(
+              files.flatMap { case (file, _) => sidecar((file, c)).kll })
+          }.toMap
         key -> StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap,
-          sm.toMap, Nil, ndvBlobs)
+          sm.toMap, Nil, ndvBlobs, kllBlobs)
       }
     (groups, residual)
   }
@@ -2036,7 +2053,8 @@ object Lake {
       maxs: Map[String, Any],
       sums: Map[String, BigInt],
       residual: Seq[String],
-      ndvBlobs: Map[String, Array[Byte]] = Map.empty) {
+      ndvBlobs: Map[String, Array[Byte]] = Map.empty,
+      kllBlobs: Map[String, Array[Byte]] = Map.empty) {
     /** Estimates from the per-column union blobs (ndv columns only). */
     def ndvs: Map[String, Long] = ndvBlobs.map { case (c, b) =>
       c -> graft.functions.NdvFns.blobEstimate(b)
@@ -2058,7 +2076,8 @@ object Lake {
       nulls: Long, n: Long,
       minD: Option[Double], maxD: Option[Double],
       minS: Option[String], maxS: Option[String],
-      sumV: Option[BigInt], sketch: Option[Array[Byte]])
+      sumV: Option[BigInt], sketch: Option[Array[Byte]],
+      kll: Option[Array[Byte]])
 
   /** One table's metadata, collected once per mutation: the newest-seq
     * manifest rows (tombstones dropped) and newest-seq sidecar rows for

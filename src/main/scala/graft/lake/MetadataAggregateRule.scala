@@ -10,24 +10,45 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-/** Answer whole-table `count(*) / count(c) / min(c) / max(c)` SQL from
-  * lake metadata — the query-path face of [[Lake.statsAggregate]], so a
-  * user typing `SELECT count(*), max(value) FROM t` against a
-  * registered view gets the manifest+sidecar answer with ZERO data-file
-  * reads. Spark's own `OptimizeMetadataOnlyQuery` serves only
-  * partition-column aggregates from listings; Delta rewrites
-  * count/min/max from its transaction log the same way this rule does
-  * from the `_graft_colstats` sidecar. At 100 TB the difference is a
-  * full-corpus scan vs a metadata read.
+/** Answer aggregate SQL from lake metadata — the query-path face of
+  * [[Lake.statsAggregate]], so a user typing `SELECT count(*),
+  * max(value) FROM t` against a registered view gets the
+  * manifest+sidecar answer with ZERO data-file reads. Spark's own
+  * `OptimizeMetadataOnlyQuery` serves only partition-column aggregates
+  * from listings; Delta rewrites count/min/max from its transaction
+  * log the same way this rule does from the `_graft_colstats` sidecar.
+  * At 100 TB the difference is a full-corpus scan vs a metadata read.
   *
-  * Fires ONLY when every piece is provably exact:
+  * Served aggregate family (each declining to the normal scan when
+  * its metadata precondition fails):
   *
-  *  - the plan is an ungrouped [[Aggregate]] whose child reaches a
+  *  - `count(*)` / `count(c)` — manifest row counts + sidecar nulls
+  *  - `min(c)` / `max(c)` — sidecar zones (integral under 2^53,
+  *    float/double in total order, strings in UTF8-byte order);
+  *    `tp_timestamp` and `tp_date` ride the manifest ts range on
+  *    EVERY table (dates are monotone in ts, UTC convention)
+  *  - `sum(c)` over integral columns — per-file DECIMAL sums merge in
+  *    BigInt, exact; declines past Long.MaxValue
+  *  - `avg(c)` over integral columns — exact sum / count with one
+  *    double division; declines past 2^53 and for float/double
+  *  - `ndv(c)` ([[graft.functions.NdvFns]]) — per-file HLL sketch
+  *    UNION for int/long/string columns
+  *  - `graft_quantile(c, p)` ([[graft.functions.QuantileFns]]) —
+  *    per-file KLL sketch MERGE for numeric columns
+  *
+  * Shapes: ungrouped, GROUP BY physical partition columns (per-group
+  * answers keyed by file directories), partition-only WHERE clauses
+  * (Catalyst-evaluated per directory), and tp_timestamp/tp_date BAND
+  * hybrids (contained files from metadata, straddlers scanned in-plan
+  * and merged — avg via exact sum+count slots, ndv/quantile via
+  * sketch-byte slots).
+  *
+  * Fires ONLY when every piece is provably exact or estimator-defined:
+  *
+  *  - the plan is an [[Aggregate]] whose child reaches a
   *    [[ZoneMapFileIndex]]-backed lake relation through at most
-  *    column-pruning projections — any Filter, grouping, join, or
-  *    expression in between keeps the plan untouched
-  *  - every output is a non-distinct, unfiltered `count(literal)`,
-  *    `count(col)`, `min(col)`, `max(col)` (or a constant)
+  *    column-pruning projections — any join or expression in between
+  *    keeps the plan untouched
   *  - the relation covers the WHOLE table ([[ZoneMapFileIndex.owner]]
   *    is set only for full-table reads, never pre-pruned subsets)
   *  - [[Lake.statsAggregateIfCovered]] confirms EVERY live file is
@@ -206,6 +227,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
+      case QuantileCol(a, _) => a.name
     } ++ (if (bandShaped) Seq(graft.lake.TpSchema.Timestamp)
           else Nil)).distinct)
   }
@@ -262,6 +284,17 @@ final case class MetadataAggregateRule(session: SparkSession)
           case IntegerType | LongType | StringType => Some(NdvCol(a))
           case _ => None
         }
+      // graft_quantile(c, p) — OUR KLL aggregate, the distribution
+      // twin of ndv: the sidecar maintains the identical sketch per
+      // (file, numeric column), so merging blobs answers it scan-free
+      case q: graft.functions.QuantileFns.QuantileAgg =>
+        (q.left, q.right) match {
+          case (a: AttributeReference, _: Literal)
+              if a.dataType.isInstanceOf[
+                org.apache.spark.sql.types.NumericType] =>
+            scala.util.Try(q.prob).toOption.map(QuantileCol(a, _))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -299,10 +332,12 @@ final case class MetadataAggregateRule(session: SparkSession)
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
+      case QuantileCol(a, _) => a.name
     }.distinct
     // count-only columns need just the sidecar's null/row counts; only
     // min/max targets must also have exact zone ranges, only sum/avg
-    // targets the per-file value sums, and only ndv targets the blobs
+    // targets the per-file value sums, and only ndv/quantile targets
+    // their blobs
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
@@ -312,8 +347,10 @@ final case class MetadataAggregateRule(session: SparkSession)
       case AvgCol(a) => a.name
     }.toSet
     val ndvCols = flat.collect { case NdvCol(a) => a.name }.toSet
+    val kllCols = flat.collect { case QuantileCol(a, _) => a.name }.toSet
     val parts = lake.statsAggregateIfCovered(session, table, cols,
-      rangeCols, sumCols, ndvCols, fileFilter).getOrElse(return None)
+      rangeCols, sumCols, ndvCols, fileFilter, kllCols)
+      .getOrElse(return None)
     // a sum past Long.MaxValue has no exact BIGINT value — decline
     if (!flat.collect { case SumCol(a) => a.name }.forall(c =>
       parts.sums.get(c).forall(_.isValidLong))) return None
@@ -337,6 +374,11 @@ final case class MetadataAggregateRule(session: SparkSession)
         else parts.sums.get(a.name)
           .map(s => Double.box(s.toDouble / n)).orNull
       case NdvCol(a) => Long.box(parts.ndvs.getOrElse(a.name, 0L))
+      case QuantileCol(a, prob) =>
+        parts.kllBlobs.get(a.name)
+          .flatMap(b =>
+            graft.functions.QuantileFns.blobQuantile(b, prob))
+          .map(Double.box).orNull
       case Passthrough(v) => v // Literal.value is already internal
     }
     logInfo(s"metadata-aggregate rewrite fired for lake table '$table': " +
@@ -500,9 +542,10 @@ final case class MetadataAggregateRule(session: SparkSession)
       case MaxCol(a) => Seq(a.dataType)
       case AvgCol(_) =>
         Seq(org.apache.spark.sql.types.DecimalType(38, 0), LongType)
-      // ndv unions through the hybrid as sketch BYTES: estimates don't
-      // add, sketches do (register-max merge is exact)
+      // ndv/quantile union through the hybrid as sketch BYTES:
+      // estimates don't add, sketches do
       case NdvCol(_) => Seq(org.apache.spark.sql.types.BinaryType)
+      case QuantileCol(_, _) => Seq(org.apache.spark.sql.types.BinaryType)
       case _ => Seq(LongType)
     }
 
@@ -522,6 +565,7 @@ final case class MetadataAggregateRule(session: SparkSession)
         org.apache.spark.sql.types.Decimal(BigDecimal(v), 38, 0)).orNull,
       parts.counts.getOrElse(a.name, 0L))
     case NdvCol(a) => Seq(parts.ndvBlobs.get(a.name).orNull)
+    case QuantileCol(a, _) => Seq(parts.kllBlobs.get(a.name).orNull)
     case _ => Seq(null)
   }
 
@@ -537,6 +581,11 @@ final case class MetadataAggregateRule(session: SparkSession)
         else parts.sums.get(a.name)
           .map(v => Double.box(v.toDouble / n)).orNull
       case NdvCol(a) => Long.box(parts.ndvs.getOrElse(a.name, 0L))
+      case QuantileCol(a, prob) =>
+        parts.kllBlobs.get(a.name)
+          .flatMap(b =>
+            graft.functions.QuantileFns.blobQuantile(b, prob))
+          .map(Double.box).orNull
       case other => metaSlotValues(parts, other).head
     }
 
@@ -562,6 +611,8 @@ final case class MetadataAggregateRule(session: SparkSession)
         alias(Count(a), slots(1))))
       case NdvCol(a) => Some(Seq(
         alias(graft.functions.NdvFns.NdvSketchAgg(a), slots.head)))
+      case QuantileCol(a, _) => Some(Seq(
+        alias(graft.functions.KllFns.KllSketchAgg(a), slots.head)))
       case _ => None
     }
   }
@@ -594,6 +645,10 @@ final case class MetadataAggregateRule(session: SparkSession)
       case NdvCol(_) => Some(Alias(
         graft.functions.NdvFns.NdvUnionAgg(unionOut(off))
           .toAggregateExpression(), orig.name)(exprId = orig.exprId))
+      case QuantileCol(_, prob) => Some(Alias(
+        graft.functions.QuantileFns.QuantileUnionAgg(unionOut(off),
+          Literal(prob)).toAggregateExpression(), orig.name)(
+        exprId = orig.exprId))
       case _ => None
     }
 
@@ -619,8 +674,10 @@ final case class MetadataAggregateRule(session: SparkSession)
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
+      case QuantileCol(a, _) => a.name
     }.distinct
     val ndvColsB = flat.collect { case NdvCol(a) => a.name }.toSet
+    val kllColsB = flat.collect { case QuantileCol(a, _) => a.name }.toSet
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
       case MaxCol(a) => a.name
@@ -634,7 +691,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     if (!cols.forall(schema.fieldNames.contains)) return None
     val (parts, straddlers, containedCount) = lake.timeBandParts(
       session, table, lo, hi, cols, schema, rangeCols, sumColsS,
-      fileFilter, ndvColsB)
+      fileFilter, ndvColsB, kllColsB)
     if (containedCount <= 0) return None // hybrid buys nothing
     if (!flat.collect { case SumCol(a) => a.name }.toSet[String].forall(c =>
       parts.sums.get(c).forall(_.isValidLong)))
@@ -679,7 +736,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     val neededNames = flat.collect {
       case CountCol(a) => a; case MinCol(a) => a
       case MaxCol(a) => a; case SumCol(a) => a; case AvgCol(a) => a
-      case NdvCol(a) => a
+      case NdvCol(a) => a; case QuantileCol(a, _) => a
     }.map(_.exprId).toSet
     val needed = agg.child.output.filter(a => neededNames.contains(a.exprId))
     val pruned =
@@ -752,6 +809,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
+      case QuantileCol(a, _) => a.name
     }.distinct
     val rangeCols = valueSpecs.collect {
       case MinCol(a) => a.name
@@ -762,6 +820,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       case AvgCol(a) => a.name
     }.toSet
     val ndvColsG = valueSpecs.collect { case NdvCol(a) => a.name }.toSet
+    val kllColsG =
+      valueSpecs.collect { case QuantileCol(a, _) => a.name }.toSet
     if (!lake.hasData(session, table)) return None
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
@@ -770,7 +830,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       f => {
         val pv = lake.partitionValues(lake.relOf(table, f))
         groupAttrs.map(a => pv.getOrElse(a.name, null))
-      }, fileFilter, ndvColsG)
+      }, fileFilter, ndvColsG, kllColsG)
     if (containedCount <= 0) return None // hybrid buys nothing
     val sumOnlyS = valueSpecs.collect { case SumCol(a) => a.name }.toSet
     if (!groups.forall { case (_, p) =>
@@ -828,7 +888,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     val neededIds = (valueSpecs.collect {
       case CountCol(a) => a; case MinCol(a) => a
       case MaxCol(a) => a; case SumCol(a) => a; case AvgCol(a) => a
-      case NdvCol(a) => a
+      case NdvCol(a) => a; case QuantileCol(a, _) => a
     } ++ groupAttrs).map(_.exprId).toSet
     val needed = agg.child.output.filter(a => neededIds.contains(a.exprId))
     val pruned =
@@ -917,6 +977,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case SumCol(a) => a.name
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
+      case QuantileCol(a, _) => a.name
     }.distinct
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
@@ -927,9 +988,10 @@ final case class MetadataAggregateRule(session: SparkSession)
       case AvgCol(a) => a.name
     }.toSet
     val ndvCols = flat.collect { case NdvCol(a) => a.name }.toSet
+    val kllCols = flat.collect { case QuantileCol(a, _) => a.name }.toSet
     val groups = lake.statsAggregateGroupedIfCovered(session, table,
       groupAttrs.map(_.name), cols, rangeCols, sumCols, ndvCols,
-      fileFilter).getOrElse(return None)
+      fileFilter, kllCols).getOrElse(return None)
     // any group's sum past Long.MaxValue (or avg sum past 2^53):
     // decline the whole rewrite
     val sumOnly = flat.collect { case SumCol(a) => a.name }.toSet
@@ -959,6 +1021,11 @@ final case class MetadataAggregateRule(session: SparkSession)
           else parts.sums.get(a.name)
             .map(s => Double.box(s.toDouble / n)).orNull
         case NdvCol(a) => Long.box(parts.ndvs.getOrElse(a.name, 0L))
+        case QuantileCol(a, prob) =>
+          parts.kllBlobs.get(a.name)
+            .flatMap(b =>
+              graft.functions.QuantileFns.blobQuantile(b, prob))
+            .map(Double.box).orNull
         case Passthrough(v) => v
       })
     }
@@ -978,6 +1045,8 @@ object MetadataAggregateRule {
   private final case class SumCol(a: AttributeReference) extends Spec
   private final case class AvgCol(a: AttributeReference) extends Spec
   private final case class NdvCol(a: AttributeReference) extends Spec
+  private final case class QuantileCol(
+      a: AttributeReference, p: Double) extends Spec
 
   /** Exactness bound for serving `avg`: with |exact sum| <= 2^53 the
     * BigInt→double conversion is lossless and any per-row double

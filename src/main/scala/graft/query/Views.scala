@@ -83,6 +83,8 @@ object Views {
     // `ndv(col)` resolves in every view session; the rule serves it
     // from the sidecar's per-file HLL sketches when covered
     graft.functions.NdvFns.register(spark)
+    // `graft_quantile(col, p)` — the KLL distribution twin of ndv
+    graft.functions.QuantileFns.register(spark)
     // a table whose every row was deleted still has a directory (and
     // manifest) but no data files — spark.read would fail schema
     // inference and one emptied table would break the whole session.

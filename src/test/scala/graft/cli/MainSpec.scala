@@ -453,6 +453,14 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rc6, nd) = cli(dir, "table", "aggregate", "metrics", "--ndv")
     assert(rc6 == 0, nd)
     assert(nd.contains("ndv status_code: ~2 (sketch union, no scan)"), nd)
+    // --quantiles: KLL-merged distribution points, scan-free when the
+    // sidecar covers (3 values [200,404,200]: p50 = 200)
+    val (rc7, qn) = cli(dir, "table", "aggregate", "metrics",
+      "--quantiles", "0.5,0.99")
+    assert(rc7 == 0, qn)
+    assert(qn.contains(
+      "quantiles status_code: p50=200.0000 p99=404.0000 " +
+        "(KLL merge, no scan)"), qn)
   }
 
   test("grok end-to-end: config-driven collect of a dated log file") {

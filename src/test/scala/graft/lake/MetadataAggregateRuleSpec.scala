@@ -605,6 +605,66 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       s"band ndv(src)=${br.getLong(0)} vs exact $exactBand")
   }
 
+  test("graft_quantile is served by sidecar KLL merge; bands merge " +
+      "sketches in-plan; non-covered columns scan") {
+    val (lake, t) = fixture()
+    // exact rank window for the estimate: k=200 KLL has ±1.65% rank
+    // error (99% conf) — gate each estimate between the exact
+    // percentiles at p ± 0.03
+    def exactBounds(df: org.apache.spark.sql.DataFrame,
+        p: Double): (Double, Double) = {
+      val r = df.agg(
+        expr(s"percentile(v, ${math.max(0, p - 0.03)})"),
+        expr(s"percentile(v, ${math.min(1, p + 0.03)})")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val q = spark.sql(
+      s"SELECT graft_quantile(v, 0.5) AS med, " +
+        s"graft_quantile(v, 0.9) AS p90 FROM $t")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "quantiles over stats columns must merge sidecar KLL, not scan")
+    val r = q.head()
+    val (lo50, hi50) = exactBounds(lake.read(spark, t), 0.5)
+    val (lo90, hi90) = exactBounds(lake.read(spark, t), 0.9)
+    assert(r.getDouble(0) >= lo50 && r.getDouble(0) <= hi50,
+      s"median ${r.getDouble(0)} outside [$lo50, $hi50]")
+    assert(r.getDouble(1) >= lo90 && r.getDouble(1) <= hi90)
+    // grouped: per-partition merge, still scan-free
+    val gq = spark.sql(s"SELECT tp_partition AS p, " +
+      s"graft_quantile(v, 0.5) AS med FROM $t GROUP BY tp_partition")
+    assert(ScanAudit.filesReadAfterRun(gq) === 0)
+    assert(gq.head().getDouble(1) >= lo50 && gq.head().getDouble(1) <= hi50)
+    // band hybrid: contained blobs merge with the straddler scan's
+    // KLL sketch in-plan
+    val total = lake.dataFiles(spark, t).size
+    val bandLo = "2024-03-05 13:53:20"
+    val bandHi = "2024-03-07 21:26:40"
+    val bq = spark.sql(s"SELECT graft_quantile(v, 0.5) AS med FROM $t " +
+      s"WHERE tp_timestamp >= timestamp'$bandLo' " +
+      s"AND tp_timestamp <= timestamp'$bandHi'")
+    val bFiles = ScanAudit.filesReadAfterRun(bq)
+    assert(bFiles > 0 && bFiles < total,
+      s"band quantile should scan only straddlers: $bFiles of $total")
+    val bandDf = lake.read(spark, t)
+      .where(col("tp_timestamp") >=
+        lit(java.sql.Timestamp.valueOf(bandLo)) &&
+        col("tp_timestamp") <= lit(java.sql.Timestamp.valueOf(bandHi)))
+    val (bLo, bHi) = exactBounds(bandDf, 0.5)
+    val bv = bq.head().getDouble(0)
+    assert(bv >= bLo && bv <= bHi, s"band median $bv outside [$bLo, $bHi]")
+    // every stats column serves — integral ones too
+    val uq = spark.sql(
+      s"SELECT graft_quantile(event_id, 0.5) AS med FROM $t")
+    assert(ScanAudit.filesReadAfterRun(uq) === 0)
+    // a non-constant p declines classification
+    val np = spark.sql(s"SELECT graft_quantile(v, v) AS x FROM $t " +
+      s"LIMIT 1")
+    // analysis-time require fires on eval — the plan must simply not
+    // be rewritten; running it throws the function's own contract
+    // error, not an optimizer failure
+    intercept[Exception] { np.collect() }
+  }
+
   test("a subquery in the WHERE declines cleanly (no optimizer throw)") {
     val (lake, t) = fixture()
     // ScalarSubquery references only a partition column and is
