@@ -77,6 +77,31 @@ object IngestQueries {
     lake
   }
 
+  /** Shared qi28/qi29 fixture: the value-banded events lake with
+    * stats on `value` (table `events_zoneb`). Built once per JVM.
+    */
+  private def valueBandFixture(
+      s: SparkSession, dir: String): graft.lake.Lake = {
+    val root = s"${workRoot(dir)}/zone2829"
+    val lake = graft.lake.Lake(s"$root/lake")
+    fixtureOnce(root) {
+      val spec = PartitionSpec("events_zoneb", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("value"))
+      for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
+          (40.0, 80.0), (80.0, Double.PositiveInfinity)))
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("value") >= loB && col("value") < hiB),
+          timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_zoneb", Seq("value"))
+    }
+    lake
+  }
+
   /** Shared qi37/qi38 fixture: the six-slice time-banded events lake
     * with stats arming the containment proof (table `events_band37`).
     * Built once per JVM.
@@ -874,28 +899,13 @@ object IngestQueries {
     // unsound skip breaks the hash — conservativeness gated exactly
     // like qi28, now on the path users actually hit.
     "qi29_view_zone_pruned_query" -> ((s, dir) => {
-      val root = s"${workRoot(dir)}/qi29"
-      rmrf(root)
-      val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_zone29", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("value"))
-      for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
-          (40.0, 80.0), (80.0, Double.PositiveInfinity)))
-        Ingest.collectBatch(s, lake, spec,
-          src.where(col("value") >= loB && col("value") < hiB),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_zone29", Seq("value"))
+      val lake = valueBandFixture(s, dir) // shared with qi28
       Views.register(s, lake, Views.Filters())
-      val total = lake.dataFiles(s, "events_zone29").size
+      val total = lake.dataFiles(s, "events_zoneb").size
       val q = s.sql("""
         SELECT cast(tp_index AS string) AS etype, count(*) AS n,
                round(sum(value), 2) AS sum_value
-        FROM events_zone29
+        FROM events_zoneb
         WHERE value >= 45.0 AND value <= 70.0
         GROUP BY 1 ORDER BY 1""")
       val files = graft.query.ScanAudit.filesReadAfterRun(q)
@@ -915,22 +925,23 @@ object IngestQueries {
     // so an unsound skip breaks the hash.
     "qi30_view_time_pruned_query" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi30"
-      rmrf(root)
       val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_time30", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("value"))
-      // three decade-of-January slices: disjoint per-file time zones
-      for ((loB, hiB) <- Seq(("2024-01-01", "2024-01-11"),
-          ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")))
-        Ingest.collectBatch(s, lake, spec,
-          src.where(col("ts") >= loB && col("ts") < hiB),
-          timestampColumn = "ts")
-      // NO enableColumnStats: time zones come from the manifest alone
+      fixtureOnce(root) {
+        val spec = PartitionSpec("events_time30", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = Tables.load(s, dir, "events")
+          .where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("event_type"), col("value"))
+        // three decade-of-January slices: disjoint per-file time zones
+        for ((loB, hiB) <- Seq(("2024-01-01", "2024-01-11"),
+            ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")))
+          Ingest.collectBatch(s, lake, spec,
+            src.where(col("ts") >= loB && col("ts") < hiB),
+            timestampColumn = "ts")
+        // NO enableColumnStats: time zones come from the manifest alone
+      }
       Views.register(s, lake, Views.Filters())
       val total = lake.dataFiles(s, "events_time30").size
       val q = s.sql("""
@@ -1254,22 +1265,23 @@ object IngestQueries {
     // same way as qi28/qi29.
     "qi32_join_pruned_scan" -> ((s, dir) => {
       val root = s"${workRoot(dir)}/qi32"
-      rmrf(root)
       val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_jp32", "p0",
-        tpIndexColumn = Some("event_type"))
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("user_id"), col("value"))
-      // user_id-banded appends: per-file key ranges disjoint
-      for ((loB, hiB) <- Seq((Long.MinValue, 50L), (50L, 100L),
-          (100L, Long.MaxValue)))
-        Ingest.collectBatch(s, lake, spec,
-          src.where(col("user_id") >= loB && col("user_id") < hiB),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_jp32", Seq("user_id"))
+      fixtureOnce(root) {
+        val spec = PartitionSpec("events_jp32", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = Tables.load(s, dir, "events")
+          .where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("event_type"), col("user_id"), col("value"))
+        // user_id-banded appends: per-file key ranges disjoint
+        for ((loB, hiB) <- Seq((Long.MinValue, 50L), (50L, 100L),
+            (100L, Long.MaxValue)))
+          Ingest.collectBatch(s, lake, spec,
+            src.where(col("user_id") >= loB && col("user_id") < hiB),
+            timestampColumn = "ts")
+        lake.enableColumnStats(s, "events_jp32", Seq("user_id"))
+      }
       val keys = Tables.load(s, dir, "customer")
         .where(col("c_custkey").between(60, 90) &&
           col("c_custkey") % 3 === 0)
@@ -1287,28 +1299,15 @@ object IngestQueries {
     }),
 
     "qi28_colstats_pruned_scan" -> ((s, dir) => {
-      val root = s"${workRoot(dir)}/qi28"
-      rmrf(root)
-      val lake = Lake(s"$root/lake")
-      val spec = PartitionSpec("events_zone", "p0",
-        tpIndexColumn = Some("event_type"))
       // 1-in-5 deterministic sample (the qi23 rationale): the gated
       // property is zone-map CONSERVATIVENESS, not write volume — the
-      // colprune rehearsal owns the volume axis
-      val src = Tables.load(s, dir, "events")
-        .where(col("event_id") % 5 === 0)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_type"), col("value"))
-      for ((loB, hiB) <- Seq((Double.NegativeInfinity, 40.0),
-          (40.0, 80.0), (80.0, Double.PositiveInfinity)))
-        Ingest.collectBatch(s, lake, spec,
-          src.where(col("value") >= loB && col("value") < hiB),
-          timestampColumn = "ts")
-      lake.enableColumnStats(s, "events_zone", Seq("value"))
-      val pruned = lake.readPrunedByColumn(s, "events_zone", "value",
+      // colprune rehearsal owns the volume axis. Byte-identical to
+      // qi29's lake — shared (qi28 exercises the PROGRAMMATIC
+      // readPrunedByColumn face, qi29 the SQL/view face).
+      val lake = valueBandFixture(s, dir) // shared with qi29
+      val pruned = lake.readPrunedByColumn(s, "events_zoneb", "value",
         45.0, 70.0)
-      val full = lake.read(s, "events_zone")
+      val full = lake.read(s, "events_zoneb")
       require(pruned.inputFiles.length < full.inputFiles.length,
         s"zone maps pruned nothing: ${pruned.inputFiles.length} of " +
           s"${full.inputFiles.length} files")

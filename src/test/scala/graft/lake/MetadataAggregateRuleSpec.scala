@@ -683,6 +683,24 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(q2.head().getLong(0) === 350L)
   }
 
+  test("HAVING / ORDER BY / LIMIT over metadata-served groups stay " +
+      "scan-free (operators compose above the LocalRelation)") {
+    val (lake, t) = fixture()
+    val q = spark.sql(
+      s"SELECT tp_index AS k, count(*) AS n, avg(event_id) AS a " +
+        s"FROM $t GROUP BY tp_index HAVING count(*) > 1 " +
+        s"ORDER BY n DESC LIMIT 5")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "HAVING/ORDER BY/LIMIT must ride above the rewritten aggregate")
+    val r = q.head()
+    assert(r.getLong(1) === 350L)
+    // a HAVING the groups fail filters to empty — still scan-free
+    val q2 = spark.sql(s"SELECT tp_index AS k, count(*) AS n FROM $t " +
+      s"GROUP BY tp_index HAVING count(*) > 1000000")
+    assert(ScanAudit.filesReadAfterRun(q2) === 0)
+    assert(q2.count() === 0L)
+  }
+
   test("metadata answer stays fresh across appends (no stale caching)") {
     val (lake, t) = fixture()
     val spec = PartitionSpec(t, "p0", tpIndexColumn = Some("idx"))
