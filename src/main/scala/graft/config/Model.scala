@@ -159,9 +159,17 @@ object RollupAggSpec {
     * cross-month distinct count is
     * `hll_sketch_estimate(hll_union_agg(<name>_sketch))` over the
     * rollup rows, no raw-table scan at any range length.
+    *
+    * `median` is the distribution twin: a MERGEABLE KLL quantile
+    * sketch per rollup row (same `<name>_sketch` binary convention),
+    * surfaced as the p50 estimate at read time; a cross-month median
+    * is `graft_kll_quantile(graft_kll_merge(<name>_sketch), 0.5)` —
+    * no raw-table scan at any range length, where a stored plain
+    * median can NEVER combine across rows.
     */
   val Functions: Set[String] =
-    Set("count", "sum", "min", "max", "avg", "count_distinct", "ndv")
+    Set("count", "sum", "min", "max", "avg", "count_distinct", "ndv",
+      "median")
 }
 
 /** A materialized rollup over a lake table, maintained incrementally

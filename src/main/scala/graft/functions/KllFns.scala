@@ -139,6 +139,38 @@ object KllFns {
         newChild: Expression): KllMergeAgg = copy(child = newChild)
   }
 
+  /** `graft_kll_quantile(sketchBinary, p)` → the sketch's INCLUSIVE
+    * quantile at `p`; null for an empty sketch. Scalar (rollup rows
+    * and sidecar rows are metadata-sized — interpreted eval is fine).
+    */
+  case class KllQuantile(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_kll_quantile"
+
+    override protected def nullSafeEval(blob: Any, p: Any): Any = {
+      val sk = KllDoublesSketch.heapify(
+        Memory.wrap(blob.asInstanceOf[Array[Byte]]))
+      if (sk.isEmpty) null
+      else {
+        val prob = p match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case dec: Decimal => dec.toDouble
+          case n: Number => n.doubleValue
+        }
+        sk.getQuantile(prob, QuantileSearchCriteria.INCLUSIVE)
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KllQuantile =
+      copy(left = newLeft, right = newRight)
+  }
+
   def register(spark: SparkSession): Unit =
     Registered.once(spark, "kll") {
       val reg = spark.sessionState.functionRegistry
@@ -146,7 +178,16 @@ object KllFns {
         es => KllSketchAgg(es.head).toAggregateExpression(), "built-in")
       reg.createOrReplaceTempFunction("graft_kll_merge",
         es => KllMergeAgg(es.head).toAggregateExpression(), "built-in")
+      reg.createOrReplaceTempFunction("graft_kll_quantile",
+        es => KllQuantile(es(0), es(1)), "built-in")
     }
+
+  /** Quantile of a sketch-binary column. */
+  def kllQuantile(spark: SparkSession, sketch: Column, p: Double): Column = {
+    register(spark)
+    call_function("graft_kll_quantile", sketch,
+      org.apache.spark.sql.functions.lit(p))
+  }
 
   /** Aggregate a numeric column into a KLL sketch (binary). */
   def kllAgg(spark: SparkSession, value: Column): Column = {

@@ -44,6 +44,13 @@ object Rollup {
         // (RollupAggSpec scaladoc)
         case "ndv" =>
           hll_sketch_agg(col(a.column.get)).as(a.name + "_sketch")
+        // mergeable MEDIAN: a KLL quantile sketch per rollup row —
+        // cross-range medians merge sketches instead of being
+        // uncombinable like a stored plain percentile
+        case "median" =>
+          graft.functions.KllFns.kllAgg(
+            org.apache.spark.sql.SparkSession.active,
+            col(a.column.get)).as(a.name + "_sketch")
       }
     }
 
@@ -108,9 +115,15 @@ object Rollup {
     */
   def read(spark: SparkSession, lake: Lake, spec: RollupSpec): DataFrame = {
     val base = spark.read.parquet(dir(lake, spec))
-    spec.aggs.filter(_.function == "ndv").foldLeft(base) { (df, a) =>
+    val withNdv =
+      spec.aggs.filter(_.function == "ndv").foldLeft(base) { (df, a) =>
+        df.withColumn(a.name,
+          hll_sketch_estimate(col(a.name + "_sketch")))
+      }
+    spec.aggs.filter(_.function == "median").foldLeft(withNdv) { (df, a) =>
       df.withColumn(a.name,
-        hll_sketch_estimate(col(a.name + "_sketch")))
+        graft.functions.KllFns.kllQuantile(spark,
+          col(a.name + "_sketch"), 0.5))
     }
   }
 

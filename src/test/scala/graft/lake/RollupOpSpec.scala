@@ -114,4 +114,42 @@ class RollupOpSpec extends AnyFunSuite with SparkTest {
       .head().getLong(0)
     assert(total2 == 48L) // ids 0..9 already counted
   }
+
+  test("median aggregate: per-row KLL sketch is exact at small n and " +
+    "MERGES across rollup rows for range medians without a raw scan") {
+    val lake = Lake(Files.createTempDirectory("graft_rollup_med").toString)
+    val mspec = RollupSpec("t", "vmed",
+      groupBy = Seq("tp_date"),
+      aggs = Seq(RollupAggSpec("vmed", "median", Some("v")),
+        RollupAggSpec("n", "count", None)))
+    // two days: v = id*2 over 0..23 per day (k=200 KLL stores all of
+    // them exactly — the estimate IS the discrete median)
+    val t1 = lake.append(spark, "t",
+      batch("2024-01-10", 48).unionByName(batch("2024-02-10", 24)))
+    Rollup.refreshTouched(spark, lake, mspec, t1)
+    val r = Rollup.read(spark, lake, mspec)
+    assert(r.columns.contains("vmed") && r.columns.contains("vmed_sketch"))
+    // per-day medians, EXACT (k=200 retains all 24 values): the 48-row
+    // hourly batch spans two days (ids 0..23 then 24..47, v = 2*id) —
+    // inclusive p50 is the 12th smallest of each day
+    val perDay = r.select(col("tp_date").cast("string"), col("vmed"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(perDay === Map("2024-01-10" -> 22.0, "2024-01-11" -> 70.0,
+      "2024-02-10" -> 22.0), perDay)
+    // cross-range median via sketch MERGE over ROLLUP rows only —
+    // exact here (all values retained): Jan v ∈ {0..94 even} ∪ Feb
+    // v ∈ {0..46 even}: 72 values, inclusive p50 = 36th smallest
+    graft.functions.KllFns.register(spark)
+    val merged = r.agg(
+      expr("graft_kll_quantile(graft_kll_merge(vmed_sketch), 0.5d)")
+        .as("m")).head().getDouble(0)
+    val exact = lake.read(spark, "t")
+      .agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    assert(math.abs(merged - exact) <= 4.0,
+      s"merged median $merged vs exact $exact")
+    // incremental refresh maintains sketches
+    val t2 = lake.append(spark, "t", batch("2024-03-05", 10))
+    assert(Rollup.refreshTouched(spark, lake, mspec, t2) == 1L)
+    assert(Rollup.read(spark, lake, mspec).count() >= perDay.size + 1)
+  }
 }
