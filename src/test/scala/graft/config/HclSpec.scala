@@ -276,12 +276,23 @@ class HclSpec extends AnyFunSuite {
     assert(r.aggs.map(a => (a.name, a.function)) ==
       Seq(("n", "count"), ("max_ts", "max")))
     assert(r.viewName == "access_log_rollup_status_daily")
+    // median (r17: mergeable KLL sketch aggregate) decodes
+    val med = Hcl.decode(
+      """rollup "t" "m" {
+        |  group_by = ["k"]
+        |  aggregate "vmed" {
+        |    function = "median"
+        |    column = "v"
+        |  }
+        |}""".stripMargin).rollups("t.m")
+    assert(med.aggs.map(a => (a.name, a.function)) ==
+      Seq(("vmed", "median")))
     // unknown function
     val e1 = intercept[IllegalArgumentException](Hcl.decode(
       """rollup "t" "r" {
         |  group_by = ["k"]
         |  aggregate "m" {
-        |    function = "median"
+        |    function = "mode"
         |    column = "v"
         |  }
         |}""".stripMargin))
