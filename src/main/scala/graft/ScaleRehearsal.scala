@@ -755,6 +755,23 @@ object ScaleRehearsal {
           .agg(countDistinct(col("user_id"))).head().getLong(0)
         require(math.abs(ndvEst - ndvExact) <= ndvExact / 20 + 2,
           s"ndv $ndvEst vs exact $ndvExact out of bound at x$m")
+        // quantile: per-file KLL blobs merge scan-free, value within
+        // the k=200 rank bound of the exact percentile (gate: the
+        // exact percentiles at p ± 0.03 bracket the estimate)
+        var qEst = Double.NaN
+        record("metaagg_quantile", m, n, time {
+          val q = spark.sql(
+            "SELECT graft_quantile(value, 0.5d) FROM events_meta")
+          qEst = q.collect()(0).getDouble(0)
+          require(graft.query.ScanAudit.filesRead(q) == 0L,
+            "quantile must be served from sidecar KLL blobs")
+        })
+        val qb = stockRead().agg(
+          expr("percentile(value, 0.47d)"),
+          expr("percentile(value, 0.53d)")).head()
+        require(qEst >= qb.getDouble(0) && qEst <= qb.getDouble(1),
+          s"median $qEst outside [${qb.getDouble(0)}, " +
+            s"${qb.getDouble(1)}] at x$m")
       }
 
       // ---- SQL time-band hybrid at volume ----------------------------

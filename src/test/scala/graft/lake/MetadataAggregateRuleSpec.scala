@@ -665,6 +665,42 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     intercept[Exception] { np.collect() }
   }
 
+  test("a non-UTC reader session declines the tp_date fold (and the " +
+      "manifest-served tp_date range): answers stay right via the scan") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_tz").toString)
+    val spec = PartitionSpec("tzq", "p0", tpIndexColumn = Some("idx"))
+    val raw = spark.range(0, 50).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-05 00:00:00' + " +
+        "make_interval(0,0,0,0,0,0, id*1000)").as("tp_timestamp"),
+      lit("0").as("idx"), col("id").cast("double").as("v"))
+    lake.append(spark, "tzq", TpSchema.enrich(raw, spec))
+    lake.enableColumnStats(spark, "tzq",
+      Seq("v", "tp_timestamp", "tp_date"))
+    Views.register(spark, lake, Views.Filters())
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      // the date→micros equivalence assumes the UTC convention; a
+      // non-UTC session signals a deployment where it may not hold,
+      // so date shapes must fall back to the (correct) scan
+      val dq = spark.sql("SELECT count(*) AS n FROM tzq " +
+        "WHERE tp_date = DATE'2024-03-05'")
+      assert(ScanAudit.filesReadAfterRun(dq) > 0,
+        "non-UTC session must not serve the date fold from metadata")
+      assert(dq.head().getLong(0) === 50L)
+      val rq = spark.sql("SELECT min(tp_date) AS d FROM tzq")
+      assert(ScanAudit.filesReadAfterRun(rq) > 0,
+        "non-UTC session must not serve tp_date ranges from the manifest")
+      assert(rq.head().getDate(0) === java.sql.Date.valueOf("2024-03-05"))
+    } finally spark.conf.set(tzKey, prev)
+    // back in UTC both serve scan-free
+    val uq = spark.sql("SELECT min(tp_date) AS d, count(*) AS n FROM tzq " +
+      "WHERE tp_date = DATE'2024-03-05'")
+    assert(ScanAudit.filesReadAfterRun(uq) === 0)
+  }
+
   test("a subquery in the WHERE declines cleanly (no optimizer throw)") {
     val (lake, t) = fixture()
     // ScalarSubquery references only a partition column and is
