@@ -73,6 +73,22 @@ object QuantileFns {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 
+    /** Fail at ANALYSIS, not mid-scan: the value operand must be
+      * numeric and the probability a foldable numeric constant.
+      */
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      if (!left.dataType.isInstanceOf[NumericType])
+        TypeCheckFailure(
+          s"graft_quantile: value must be numeric, got ${left.dataType.sql}")
+      else if (!right.foldable ||
+        !right.dataType.isInstanceOf[NumericType])
+        TypeCheckFailure(
+          "graft_quantile: p must be a numeric constant in [0, 1]")
+      else TypeCheckSuccess
+    }
+
     /** The probability operand must fold to a constant — the sketch
       * is rank-agnostic, but a per-row p has no aggregate meaning.
       */

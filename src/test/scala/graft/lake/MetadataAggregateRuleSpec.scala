@@ -656,13 +656,17 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     val uq = spark.sql(
       s"SELECT graft_quantile(event_id, 0.5) AS med FROM $t")
     assert(ScanAudit.filesReadAfterRun(uq) === 0)
-    // a non-constant p declines classification
-    val np = spark.sql(s"SELECT graft_quantile(v, v) AS x FROM $t " +
-      s"LIMIT 1")
-    // analysis-time require fires on eval — the plan must simply not
-    // be rewritten; running it throws the function's own contract
-    // error, not an optimizer failure
-    intercept[Exception] { np.collect() }
+    // a non-constant p fails at ANALYSIS with the function's own
+    // message (checkInputDataTypes), never inside the optimizer
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT graft_quantile(v, v) AS x FROM $t").collect()
+    }
+    assert(e.getMessage.contains("graft_quantile"), e.getMessage)
+    // and a non-numeric value column fails the same way
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT graft_quantile(src, 0.5) AS x FROM $t").collect()
+    }
+    assert(e2.getMessage.contains("graft_quantile"), e2.getMessage)
   }
 
   test("a non-UTC reader session declines the tp_date fold (and the " +
