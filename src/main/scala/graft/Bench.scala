@@ -211,19 +211,46 @@ object Bench {
       else 0.0
     val jsonLine = f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"canary_start_sec":$canaryStartSec%.3f,"canary_in_suite_sec":$canaryInSuite%.3f,"canary_factor":$canaryFactor%.3f,"canary_baseline_sec":$canaryBaselineSec%.3f,"canary_baseline_src":"$canaryBaselineSrc","sf":"$sfDir"}"""
     println(jsonLine)
+    // One-window outlier self-adjudication (r17 verdict task 2): a row
+    // inflated in ONE run but normal in the other is a load-smear
+    // window, not a code regression (the r17 qi26 6.6→32.6 s case cost
+    // a cross-session re-run to adjudicate). Flag rows >2.5× across
+    // runs on stderr; the full per-run maps below make the artifact
+    // itself adjudicable.
+    if (runs.size > 1) {
+      val maps = runs.map(_.results.toMap)
+      for ((name, t) <- chosen.results; other <- runs.indices
+           if other != chosenIdx;
+           ot = maps(other).getOrElse(name, t)
+           if math.max(t, ot) > 2.5 * math.max(0.05, math.min(t, ot)))
+        System.err.println(f"[bench] OUTLIER $name: chosen=$t%.2fs " +
+          f"run$other=$ot%.2fs (>2.5x across runs — likely a one-window " +
+          "smear; re-run isolated before reading it as a regression)")
+    }
     // full per-query artifact at the repo root: the driver recovers
     // the stdout line from a BOUNDED tail that truncates as the suite
     // grows (r16: 111 of 173 per-query rows lost to cross-round
     // diffing) — this file is the same JSON, never truncated, written
     // only on full-suite runs so a SPARK_GRAFT_ONLY subset can't
-    // clobber the round's record
-    if (only.isEmpty)
+    // clobber the round's record. It additionally carries EVERY run's
+    // per-query map (`runs_queries`, run order) — the stdout line
+    // can't afford them, but with both maps a spike in one run only is
+    // window contamination, a spike in both is suspect code (r17
+    // verdict task 2: qi26 was adjudicable only by re-running).
+    if (only.isEmpty) {
+      val runsQueries = runs.map { r =>
+        r.results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+      }.mkString("[", ",", "]")
+      val fileJson = jsonLine.dropRight(1) +
+        s""","runs_queries":$runsQueries}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_latest.json"),
-        (jsonLine + "\n").getBytes("UTF-8"))
+        (fileJson + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] bench_latest.json write failed: $e")
       }
+    }
     spark.stop()
   }
 

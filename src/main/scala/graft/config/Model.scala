@@ -166,6 +166,13 @@ object RollupAggSpec {
     * is `graft_kll_quantile(graft_kll_merge(<name>_sketch), 0.5)` —
     * no raw-table scan at any range length, where a stored plain
     * median can NEVER combine across rows.
+    *
+    * `avg` stores the MERGEABLE sum+count pair per rollup row
+    * (`<name>_sum`, `<name>_n`) and surfaces the quotient as `<name>`
+    * at read time: a cross-month avg is
+    * `sum(<name>_sum) / sum(<name>_n)` over the rollup rows — exact
+    * for integral columns — where a stored plain average can NEVER
+    * combine across rows (averages don't average).
     */
   val Functions: Set[String] =
     Set("count", "sum", "min", "max", "avg", "count_distinct", "ndv",

@@ -1855,7 +1855,11 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       owner = own,
       // pin the freshness token NOW: the InMemoryFileIndex above just
       // listed, so the first listFiles needn't re-list
-      initialToken = own.map(_ => metaToken(spark, table)))
+      initialToken = own.map(_ => metaToken(spark, table)),
+      // and the session: freshness probes must use the conf of the
+      // session that owns this relation, not whichever session is
+      // active at listFiles time (multi-session JVM)
+      owningSession = own.map(_ => spark))
     // non-evolved tables have a uniform file schema (the drift check
     // enforces it at ingest), so one footer yields the data schema.
     // Read it through the FileStatus, NOT a path string: a Hive-escaped
@@ -2135,8 +2139,23 @@ object Lake {
     }
   }
 
+  /** Cap on cached [[MetaSnapshot]]s (r17 verdict nit 2): each entry
+    * holds per-file maps including sketch blobs, and the cache is
+    * JVM-wide — a long-lived server churning ephemeral tables (the
+    * MainSpec/bench pattern over months) would otherwise grow it
+    * without bound. 64 concurrently-hot tables is far past any real
+    * interactive working set; eviction is access-ordered LRU, and an
+    * evicted table simply rebuilds on next probe (one metadata read).
+    */
+  private[lake] val MetaSnapshotCacheMax = 64
+
   private val metaSnapshots =
-    new java.util.concurrent.ConcurrentHashMap[String, MetaSnapshot]()
+    new java.util.LinkedHashMap[String, MetaSnapshot](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, MetaSnapshot]): Boolean =
+        size() > MetaSnapshotCacheMax
+    }
 
   /** Per-(root#table) (hits, misses) — the probe-memoization pin. */
   private val metaCacheCounters =
@@ -2156,10 +2175,17 @@ object Lake {
   }
 
   private[lake] def cachedSnapshot(key: String): Option[MetaSnapshot] =
-    Option(metaSnapshots.get(key))
+    metaSnapshots.synchronized { Option(metaSnapshots.get(key)) }
 
   private[lake] def storeSnapshot(key: String, s: MetaSnapshot): Unit =
-    metaSnapshots.put(key, s)
+    metaSnapshots.synchronized { metaSnapshots.put(key, s); () }
+
+  /** Test seam: the keys currently cached, LRU-first. */
+  private[lake] def cachedSnapshotKeys: Seq[String] =
+    metaSnapshots.synchronized {
+      import scala.jdk.CollectionConverters._
+      metaSnapshots.keySet().asScala.toSeq
+    }
 
   private[lake] def noteHit(key: String): Unit =
     countersFor(key)._1.incrementAndGet()

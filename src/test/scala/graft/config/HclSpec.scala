@@ -287,6 +287,17 @@ class HclSpec extends AnyFunSuite {
         |}""".stripMargin).rollups("t.m")
     assert(med.aggs.map(a => (a.name, a.function)) ==
       Seq(("vmed", "median")))
+    // avg (r18: mergeable sum+count pair) decodes
+    val av = Hcl.decode(
+      """rollup "t" "a" {
+        |  group_by = ["k"]
+        |  aggregate "vavg" {
+        |    function = "avg"
+        |    column = "v"
+        |  }
+        |}""".stripMargin).rollups("t.a")
+    assert(av.aggs.map(a => (a.name, a.function)) ==
+      Seq(("vavg", "avg")))
     // unknown function
     val e1 = intercept[IllegalArgumentException](Hcl.decode(
       """rollup "t" "r" {

@@ -79,4 +79,41 @@ class MetaCacheSpec extends AnyFunSuite with SparkTest {
     assert(m1 - m0 === 1,
       s"append must invalidate once and only once, got ${m1 - m0}")
   }
+
+  test("the snapshot cache is bounded: LRU eviction past the cap, " +
+    "evicted tables rebuild on re-access") {
+    // a real table first, so eviction-then-rebuild is pinned end to end
+    val (lake, t) = build()
+    val q0 = spark.sql(s"SELECT count(*) AS n FROM $t")
+    assert(graft.query.ScanAudit.filesReadAfterRun(q0) === 0)
+    assert(q0.head().getLong(0) === 300L)
+    val realKey = s"${lake.root}#$t"
+    assert(Lake.cachedSnapshotKeys.contains(realKey))
+    // flood the JVM-wide cache well past the cap (the fake entries
+    // stand in for months of ephemeral tables; building 70 real lakes
+    // would pin the same thing in minutes instead of milliseconds)
+    val fakes = (0 until Lake.MetaSnapshotCacheMax + 8)
+      .map(i => s"/graft_fake_root_$i#t")
+    fakes.foreach(k => Lake.storeSnapshot(k,
+      Lake.MetaSnapshot(s"tok_$k", Map.empty, Map.empty)))
+    assert(Lake.cachedSnapshotKeys.size <= Lake.MetaSnapshotCacheMax,
+      s"cache must stay bounded at ${Lake.MetaSnapshotCacheMax}, " +
+        s"got ${Lake.cachedSnapshotKeys.size}")
+    assert(Lake.cachedSnapshot(fakes.head).isEmpty,
+      "the eldest entry past the cap must be evicted")
+    assert(Lake.cachedSnapshot(fakes.last).isDefined,
+      "the newest entry must survive")
+    assert(Lake.cachedSnapshot(realKey).isEmpty,
+      "the real table (oldest of all) must have been evicted")
+    // re-access: the evicted table rebuilds exactly once and serves
+    // the same scan-free answer
+    val (_, m0) = Lake.metaCacheStats(lake.root, t)
+    val q1 = spark.sql(s"SELECT count(*) AS n, max(v) AS mx FROM $t")
+    assert(graft.query.ScanAudit.filesReadAfterRun(q1) === 0)
+    assert(q1.head().getLong(0) === 300L)
+    spark.sql(s"SELECT min(v) AS mn FROM $t").collect()
+    val (_, m1) = Lake.metaCacheStats(lake.root, t)
+    assert(m1 - m0 === 1,
+      s"evicted snapshot must rebuild exactly once, got ${m1 - m0}")
+  }
 }

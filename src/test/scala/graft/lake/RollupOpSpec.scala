@@ -152,4 +152,49 @@ class RollupOpSpec extends AnyFunSuite with SparkTest {
     assert(Rollup.refreshTouched(spark, lake, mspec, t2) == 1L)
     assert(Rollup.read(spark, lake, mspec).count() >= perDay.size + 1)
   }
+
+  test("avg aggregate: per-row quotient is exact and the sum+count " +
+    "pair MERGES across rollup rows — cross-range avg without a scan") {
+    val lake = Lake(Files.createTempDirectory("graft_rollup_avg").toString)
+    val aspec = RollupSpec("t", "vavg",
+      groupBy = Seq("tp_date"),
+      aggs = Seq(RollupAggSpec("vavg", "avg", Some("v")),
+        RollupAggSpec("n", "count", None)))
+    // UNEVEN slice sizes make the trap visible: the day-averages are
+    // 23.0 and 71.0 (24 rows each) and 11.0 (12 rows) — their naive
+    // mean is 35, the true global avg 39.8; only the sum+count merge
+    // gets it right
+    val t1 = lake.append(spark, "t",
+      batch("2024-01-10", 48).unionByName(batch("2024-02-10", 12)))
+    Rollup.refreshTouched(spark, lake, aspec, t1)
+    val r = Rollup.read(spark, lake, aspec)
+    assert(r.columns.contains("vavg") &&
+      r.columns.contains("vavg_sum") && r.columns.contains("vavg_n"))
+    // per-day quotients, exact: v = 2*id, day 1 ids 0..23 → avg 23,
+    // day 2 ids 24..47 → avg 71, Feb ids 0..11 → avg 11
+    val perDay = r.select(col("tp_date").cast("string"), col("vavg"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(perDay === Map("2024-01-10" -> 23.0, "2024-01-11" -> 71.0,
+      "2024-02-10" -> 11.0), perDay)
+    // cross-range avg from ROLLUP rows only = Σsum/Σn, EXACT — equals
+    // the raw-table recompute bit-for-bit (integral sums, one division)
+    val merged = r.agg((sum(col("vavg_sum")).cast("double") /
+      sum(col("vavg_n"))).as("a")).head().getDouble(0)
+    val exact = lake.read(spark, "t")
+      .agg(avg(col("v"))).head().getDouble(0)
+    assert(merged === exact, s"merged avg $merged vs exact $exact")
+    // and it differs from the naive avg-of-averages, pinning WHY the
+    // pair is stored
+    val naive = r.agg(avg(col("vavg"))).head().getDouble(0)
+    assert(naive !== exact, "fixture must make avg-of-averages wrong")
+    // incremental refresh maintains the pair; a re-read still merges
+    val t2 = lake.append(spark, "t", batch("2024-03-05", 10))
+    assert(Rollup.refreshTouched(spark, lake, aspec, t2) == 1L)
+    val r2 = Rollup.read(spark, lake, aspec)
+    val merged2 = r2.agg((sum(col("vavg_sum")).cast("double") /
+      sum(col("vavg_n"))).as("a")).head().getDouble(0)
+    val exact2 = lake.read(spark, "t")
+      .agg(avg(col("v"))).head().getDouble(0)
+    assert(merged2 === exact2)
+  }
 }

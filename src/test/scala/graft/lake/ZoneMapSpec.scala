@@ -457,6 +457,51 @@ class ZoneMapSpec extends AnyFunSuite with SparkTest {
     assert(df.count() === 450L)
   }
 
+  test("freshness probes run against the OWNING session: listFiles " +
+      "re-lists after an append even with no active session") {
+    // r17 verdict nit 1: ensureFresh used SparkSession.active, so in a
+    // multi-session JVM (Spark Connect-style serving) the token probe
+    // ran with whatever session the CALLING thread had active — a
+    // different tenant's conf, or none at all (then `active` throws).
+    // The index now pins the session that built it.
+    val (lake, _) = bandedLake()
+    val df = lake.read(spark, "tz")
+    val idx = df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.collect { case z: ZoneMapFileIndex => z }
+    assert(idx.isDefined, "lake reads must go through ZoneMapFileIndex")
+    val before = idx.get.listFiles(Nil, Nil).map(_.files.size).sum
+    val more = spark.range(900, 920).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-05 00:00:00'").as("tp_timestamp"),
+      lit("0").as("idx"),
+      col("id").cast("double").as("v"),
+      concat(lit("p0-"), col("id")).as("src"))
+    lake.append(spark, "tz",
+      TpSchema.enrich(more, PartitionSpec("tz", "p0",
+        tpIndexColumn = Some("idx"))))
+    // a thread with NO active/default session — the serving shape the
+    // nit describes; SparkSession.active would throw here
+    import org.apache.spark.sql.SparkSession
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val after = idx.get.listFiles(Nil, Nil).map(_.files.size).sum
+      assert(after > before,
+        "the owner-session probe must detect the append and re-list")
+    } finally {
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("no sidecar: value predicates read everything, results intact") {
     val lake = Lake(Files.createTempDirectory("graft_zonemap_plain").toString)
     val raw = spark.range(50).select(
