@@ -231,7 +231,8 @@ object ScaleRehearsal {
         "ivf_scaled", "starpath", "upsert", "rollup", "compact",
         "partition_stress", "stream", "wide_schema", "skewjoin",
         "stream_skew", "stream_state", "zorder", "bloomjoin",
-        "colprune", "timeprune", "metaagg", "joinprune", "bandagg"))
+        "colprune", "timeprune", "metaagg", "joinprune", "bandagg",
+        "bucketagg"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -843,6 +844,72 @@ object ScaleRehearsal {
           s""""full_files":$fullFiles,"hybrid_files":$hybFiles}""")
         require(hybFiles > 0 && hybFiles * 3 <= fullFiles,
           s"band hybrid should scan only straddlers: " +
+            s"$hybFiles of $fullFiles")
+      }
+
+      // ---- GROUP BY tp_date bucket hybrid at volume -------------------
+      // The scale claim behind qi42: the domain's reporting query
+      // (daily counts/sums) over day-contained files is served from
+      // per-day metadata partials; only the multi-day straddler files
+      // scan and group in-plan. At 100 TB a year-long daily report is
+      // kilobytes of metadata plus boundary files — the stock plan
+      // reads the year.
+      if (families("bucketagg")) {
+        val n = EventsBase * m
+        val kroot = s"$root/bucketagg_x$m"
+        rmrf(kroot)
+        val klake = graft.lake.Lake(kroot)
+        val kspec = graft.config.PartitionSpec("events_bk", "p0",
+          tpIndexColumn = Some("event_type"))
+        val src = events(spark, n)
+        val t0 = 1704067200L // events() epoch start (2024-01-01 UTC)
+        record("bucketagg_build", m, n, time {
+          // eight day-contained slices + one TWO-day straddler (the
+          // shape time-ordered compaction leaves behind)
+          for (i <- 0 until 8)
+            graft.ingest.Ingest.collectBatch(spark, klake, kspec,
+              src.where(col("ts") >=
+                timestamp_seconds(lit(t0 + i * 86400L)) &&
+                col("ts") < timestamp_seconds(lit(t0 + (i + 1) * 86400L))),
+              timestampColumn = "ts")
+          graft.ingest.Ingest.collectBatch(spark, klake, kspec,
+            src.where(col("ts") >=
+              timestamp_seconds(lit(t0 + 8 * 86400L)) &&
+              col("ts") < timestamp_seconds(lit(t0 + 10 * 86400L))),
+            timestampColumn = "ts")
+          klake.enableColumnStats(spark, "events_bk",
+            Seq("value", "user_id", "tp_timestamp"))
+        })
+        def stockRead() = spark.read
+          .option("basePath", klake.tableDir("events_bk"))
+          .parquet(klake.tableDir("events_bk"))
+        def daily(df: DataFrame): Seq[String] = df
+          .groupBy("tp_date")
+          .agg(count(lit(1)).as("n"), count(col("value")).as("nv"),
+            min("value"), max("value"), sum("user_id"), avg("user_id"))
+          .orderBy("tp_date").collect().map(_.toString).toSeq
+        if (m == mults.min) { daily(stockRead()); () }
+        var fullD: Seq[String] = null
+        record("bucketagg_scan", m, n, time { fullD = daily(stockRead()) })
+        var hybD: Seq[String] = null
+        var hybFiles = -1L
+        record("bucketagg_hybrid", m, n, time {
+          graft.query.Views.register(spark, klake,
+            graft.query.Views.Filters())
+          val q = spark.sql("SELECT tp_date, count(*) AS n, " +
+            "count(value) AS nv, min(value), max(value), " +
+            "sum(user_id), avg(user_id) FROM events_bk " +
+            "GROUP BY tp_date ORDER BY tp_date")
+          hybD = q.collect().map(_.toString).toSeq
+          hybFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        require(fullD == hybD && fullD.nonEmpty,
+          s"bucket hybrid diverged from the scan at x$m")
+        val fullFiles = stockRead().inputFiles.length
+        println(s"""{"family":"bucketagg_files","mult":$m,""" +
+          s""""full_files":$fullFiles,"hybrid_files":$hybFiles}""")
+        require(hybFiles > 0 && hybFiles * 3 <= fullFiles,
+          s"bucket hybrid should scan only the multi-day straddlers: " +
             s"$hybFiles of $fullFiles")
       }
 

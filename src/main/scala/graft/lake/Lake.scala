@@ -1538,6 +1538,56 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       toScan, contained)
   }
 
+  /** MULTI-band twin of [[timeBandParts]] (r17 verdict task 6 — the
+    * OR-of-bands dashboard shape): `bands` are DISJOINT sorted closed
+    * micros intervals (the rule merges overlaps before calling). A
+    * file is contained iff its manifest range sits inside ONE band and
+    * it is proven null-ts-free — a file spanning two bands has rows in
+    * the gap that fail the predicate, so it scans; a file provably
+    * outside EVERY band is excluded entirely. One global partial over
+    * the contained files (their full row sets all satisfy the union).
+    */
+  private[lake] def timeMultiBandParts(
+      spark: SparkSession, table: String,
+      bands: Seq[(Long, Long)],
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String], sumColumns: Set[String],
+      fileFilter: String => Boolean,
+      ndvColumns: Set[String] = Set.empty,
+      kllColumns: Set[String] = Set.empty)
+      : (StatsAggParts, Seq[String], Int) = {
+    val snap = metaSnapshot(spark, table)
+    val bounds: Map[String, (Option[Long], Option[Long])] =
+      snap.manifest.map { case (f, m) => f -> (m.minUs, m.maxUs) }
+    val tsNulls: Map[String, Long] = snap.tsNulls
+    val live = dataFiles(spark, table).filter(fileFilter)
+    val overlapping = live.filterNot { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) =>
+          bands.forall { case (lo, hi) => mx < lo || mn > hi }
+        case _ => false // unknown range: must consider it
+      }
+    }
+    val contained: Set[String] = overlapping.filter { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) =>
+          bands.exists { case (lo, hi) => mn >= lo && mx <= hi } &&
+            tsNulls.get(f).contains(0L)
+        case _ => false
+      }
+    }.toSet
+    val (groups, residualContained) = statsAggPartsGrouped(spark, table,
+      columns, schema, rangeColumns, sumColumns, _ => Nil,
+      fileFilter = contained, ndvColumns = ndvColumns,
+      kllColumns = kllColumns)
+    val toScan: Seq[String] =
+      (overlapping.filterNot(contained) ++ residualContained).distinct
+    (groups.values.headOption.getOrElse(
+      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty,
+        Nil)),
+      toScan, contained.size - residualContained.size)
+  }
+
   /** Grouped twin of [[timeBandParts]]: per-group metadata partials
     * over the contained files, keyed by `groupOf` (the rule passes the
     * partition-directory projection). Same classification and
@@ -1583,6 +1633,68 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     val toScan: Seq[String] =
       (overlapping.filterNot(contained) ++ residualContained).distinct
     (groups.toSeq, toScan, contained.size - residualContained.size)
+  }
+
+  /** TIME-BUCKET-grouped twin of [[timeBandPartsGrouped]] (r17 verdict
+    * task 1 — the domain's reporting shape, `GROUP BY tp_date` /
+    * `date_trunc` buckets): a file is metadata-eligible iff it is
+    * band-contained, proven null-ts-free, AND bucket-contained — its
+    * manifest ts range falls inside ONE `grainUs`-wide bucket — so
+    * every row of the file shares the file's bucket and the full-file
+    * stats ARE that bucket's partial. After time-ordered compaction
+    * (the reference orders by tp_timestamp precisely so files don't
+    * straddle, compact.go:264-416) most files are day-contained, so a
+    * daily report over a year reads kilobytes of metadata plus the
+    * handful of multi-day straddlers. Group key = (bucket index,
+    * partition-key projection); files that straddle a bucket OR the
+    * band (or lack coverage) go to the scan list, classified
+    * conservatively exactly as [[timeBandPartsGrouped]].
+    */
+  private[lake] def timeBucketPartsGrouped(
+      spark: SparkSession, table: String,
+      fromUs: Long, toUs: Long, grainUs: Long,
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String], sumColumns: Set[String],
+      partOf: String => Seq[String],
+      fileFilter: String => Boolean,
+      ndvColumns: Set[String] = Set.empty,
+      kllColumns: Set[String] = Set.empty)
+      : (Seq[((Long, Seq[String]), StatsAggParts)], Seq[String], Int) = {
+    require(grainUs > 0, "timeBucketPartsGrouped: grain must be positive")
+    val snap = metaSnapshot(spark, table)
+    val bounds: Map[String, (Option[Long], Option[Long])] =
+      snap.manifest.map { case (f, m) => f -> (m.minUs, m.maxUs) }
+    val tsNulls: Map[String, Long] = snap.tsNulls
+    val live = dataFiles(spark, table).filter(fileFilter)
+    val overlapping = live.filterNot { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) => mx < fromUs || mn > toUs
+        case _ => false // unknown range: must consider it
+      }
+    }
+    def bucketOf(us: Long): Long = Math.floorDiv(us, grainUs)
+    val contained: Set[String] = overlapping.filter { f =>
+      bounds.get(f) match {
+        case Some((Some(mn), Some(mx))) =>
+          mn >= fromUs && mx <= toUs &&
+            bucketOf(mn) == bucketOf(mx) &&
+            tsNulls.get(f).contains(0L) // proven null-ts-free
+        case _ => false
+      }
+    }.toSet
+    // per-(bucket, partition-key) metadata partials; a contained file
+    // the sidecar can't answer for moves to the scan via the residual
+    val (groups, residualContained) = statsAggPartsGrouped(spark, table,
+      columns, schema, rangeColumns, sumColumns,
+      f => bucketOf(bounds(f)._1.get).toString +: partOf(f),
+      fileFilter = contained, ndvColumns = ndvColumns,
+      kllColumns = kllColumns)
+    val toScan: Seq[String] =
+      (overlapping.filterNot(contained) ++ residualContained).distinct
+    val out = groups.toSeq.map { case (key, p) =>
+      ((key.head.toLong, key.tail), p)
+    }
+    (out, toScan, contained.size - residualContained.size)
   }
 
   /** Ungrouped core: one partial over all covered files. */

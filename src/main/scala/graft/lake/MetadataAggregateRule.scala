@@ -71,6 +71,8 @@ final case class MetadataAggregateRule(session: SparkSession)
 
   import MetadataAggregateRule._
 
+  private val DayUs = 86400000000L
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
       safely(agg)(rewrite(agg))
@@ -82,6 +84,72 @@ final case class MetadataAggregateRule(session: SparkSession)
       // GROUP BY physical partition columns: per-group counts/ranges
       // come from the manifest+sidecar keyed by each file's directory
       safely(agg)(rewriteGrouped(agg))
+    case agg: Aggregate
+        if agg.groupingExpressions.nonEmpty &&
+          agg.groupingExpressions.forall(g =>
+            g.isInstanceOf[AttributeReference] ||
+              bucketGrain(g).isDefined) =>
+      // GROUP BY a time bucket (`tp_date`, `date_trunc('day'/'hour'/
+      // 'minute', tp_timestamp)`), optionally with partition columns:
+      // THE reporting shape of the reference's domain — day-contained
+      // files contribute per-bucket metadata partials, straddlers
+      // scan and group in-plan, the final GROUP BY merges. The guard
+      // is structural only (the optimizer's PullOutGroupingExpressions
+      // hides `date_trunc` behind a `_groupingexpression` attribute
+      // computed in a Project below, so real classification needs the
+      // child); the rewrite resolves attrs through those aliases and
+      // declines cheaply when no bucket key emerges.
+      safely(agg)(rewriteBucketGrouped(agg))
+  }
+
+  /** Fixed micros width of a time-bucket grouping expression, or None
+    * when `e` isn't one this rule can serve. Two forms:
+    *
+    *  - the `tp_date` column itself (DateType) — day grain; the engine
+    *    derives `tp_date = date_trunc(day, tp_timestamp)` under its
+    *    always-UTC writer convention, so a file whose manifest ts
+    *    range is day-contained puts ALL its rows on one tp_date
+    *  - `date_trunc(grain, tp_timestamp)` for the fixed-width grains
+    *    DAY/DD/HOUR/MINUTE/SECOND — under a UTC session the truncation
+    *    is exactly `floorDiv(micros, grainUs) * grainUs`; WEEK would be
+    *    fixed-width too but anchors to Monday (offset, not just width)
+    *    and MONTH/YEAR aren't fixed-width, so those DECLINE
+    *
+    * Both are gated on the reader session being UTC (same reasoning as
+    * the splitBand date fold): a non-UTC session truncates in local
+    * time and signals a deployment where the UTC-writer convention may
+    * not hold.
+    */
+  private def bucketGrain(e: Expression): Option[Long] = {
+    if (session.sessionState.conf.sessionLocalTimeZone != "UTC")
+      return None
+    e match {
+      case a: AttributeReference
+          if a.name == graft.lake.TpSchema.Date &&
+            a.dataType == org.apache.spark.sql.types.DateType =>
+        Some(DayUs)
+      case TruncTimestamp(
+          Literal(fmt: org.apache.spark.unsafe.types.UTF8String, StringType),
+          ts: AttributeReference, _)
+          if ts.name == graft.lake.TpSchema.Timestamp &&
+            ts.dataType == org.apache.spark.sql.types.TimestampType =>
+        fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
+          case "DAY" | "DD" => Some(DayUs)
+          case "HOUR" => Some(3600000000L)
+          case "MINUTE" => Some(60000000L)
+          case "SECOND" => Some(1000000L)
+          case _ => None // WEEK/MONTH/...: not a pure fixed width
+        }
+      // `cast(tp_timestamp AS date)` / `to_date(tp_timestamp)` — the
+      // third spelling of the day bucket: under UTC the cast is
+      // exactly floorDiv(micros, day), the same epoch-day key
+      case Cast(ts: AttributeReference,
+          org.apache.spark.sql.types.DateType, _, _)
+          if ts.name == graft.lake.TpSchema.Timestamp &&
+            ts.dataType == org.apache.spark.sql.types.TimestampType =>
+        Some(DayUs)
+      case _ => None
+    }
   }
 
   /** An OPTIONAL rewrite must never fail a query that would run fine
@@ -422,12 +490,22 @@ final case class MetadataAggregateRule(session: SparkSession)
     * `(lo, hi, 0, Some(cond))` when no band conjunct exists.
     * Shared by [[rewriteBand]] and the explain-lint probe.
     */
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
   private def splitBand(cond: Expression)
-      : Option[(Long, Long, Int, Option[Expression])] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
+      : Option[(Long, Long, Int, Option[Expression])] =
+    splitBandExprs(conjunctsOf(cond)).map { case (lo, hi, n, rest) =>
+      (lo, hi, n, rest.reduceOption(And))
     }
+
+  /** [[splitBand]]'s core over an explicit conjunct list — reused by
+    * [[splitBands]] to fold each disjunct of an OR-of-bands.
+    */
+  private def splitBandExprs(cs: Seq[Expression])
+      : Option[(Long, Long, Int, Seq[Expression])] = {
     val utc = session.sessionState.conf.sessionLocalTimeZone == "UTC"
     def isTs(a: AttributeReference): Boolean =
       a.name == graft.lake.TpSchema.Timestamp &&
@@ -435,7 +513,6 @@ final case class MetadataAggregateRule(session: SparkSession)
     def isDate(a: AttributeReference): Boolean =
       utc && a.name == graft.lake.TpSchema.Date &&
         a.dataType == org.apache.spark.sql.types.DateType
-    val DayUs = 86400000000L
     // a comparison leaf as half-band bounds in micros:
     // (loBound, hiBound) with None = unbounded on that side; returns
     // None (decline) for a null literal on a matched column
@@ -507,7 +584,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     var hi = Long.MaxValue
     var nBand = 0
     val rest = Seq.newBuilder[Expression]
-    conjuncts(cond).foreach { c =>
+    cs.foreach { c =>
       c match {
         // band-neutral: rows failing them fail the band anyway, and
         // tp_date is null exactly when tp_timestamp is (derived)
@@ -523,7 +600,65 @@ final case class MetadataAggregateRule(session: SparkSession)
         }
       }
     }
-    Some((lo, hi, nBand, rest.result().reduceOption(And)))
+    Some((lo, hi, nBand, rest.result()))
+  }
+
+  /** Generalize [[splitBand]] to an OR of bands (r17 verdict task 6 —
+    * the multi-window dashboard shape, `WHERE ts BETWEEN a AND b OR ts
+    * BETWEEN c AND d`): at most ONE conjunct may be a disjunction
+    * whose EVERY branch folds to a pure band (band leaves only, no
+    * residual inside a branch — a non-band residual can't be factored
+    * out of an OR); plain band conjuncts intersect every branch, and
+    * overlapping/adjacent branches MERGE into a canonical disjoint
+    * sorted set (sound: the predicate is exactly the union of the
+    * intervals, and a file spanning two merged-apart bands has gap
+    * rows that fail the filter — so containment stays per-band).
+    * Returns (disjoint sorted bands, band-conjunct count, residual).
+    */
+  private def splitBands(cond: Expression)
+      : Option[(Seq[(Long, Long)], Int, Option[Expression])] = {
+    def disjuncts(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case x => Seq(x)
+    }
+    var orBands: Option[Seq[(Long, Long)]] = None
+    val single = Seq.newBuilder[Expression]
+    conjunctsOf(cond).foreach { c =>
+      val asOr: Option[Seq[(Long, Long)]] = c match {
+        case o: Or if orBands.isEmpty =>
+          val folded = disjuncts(o).map(d => splitBandExprs(conjunctsOf(d)))
+          if (folded.forall(_.exists { case (l, h, n, r) =>
+            n > 0 && r.isEmpty && l <= h
+          }))
+            Some(folded.map(_.get).map { case (l, h, _, _) => (l, h) })
+          else None
+        case _ => None
+      }
+      asOr match {
+        case Some(bs) => orBands = Some(bs)
+        case None => single += c
+      }
+    }
+    val (glo, ghi, gn, grest) =
+      splitBandExprs(single.result()).getOrElse(return None)
+    val bands0: Seq[(Long, Long)] = orBands match {
+      case None => if (gn > 0) Seq((glo, ghi)) else Seq.empty
+      case Some(bs) => bs
+        .map { case (l, h) => (math.max(l, glo), math.min(h, ghi)) }
+        .filter { case (l, h) => l <= h }
+    }
+    val merged = bands0.sortBy(_._1)
+      .foldLeft(Vector.empty[(Long, Long)]) { case (acc, (l, h)) =>
+        acc.lastOption match {
+          // overlap or micros-adjacency: [a,x] ∪ [x+1,b] = [a,b]
+          case Some((pl, ph))
+              if ph == Long.MaxValue || l <= ph + 1 =>
+            acc.init :+ ((pl, math.max(ph, h)))
+          case _ => acc :+ ((l, h))
+        }
+      }
+    Some((merged, gn + (if (orBands.isDefined) 1 else 0),
+      grest.reduceOption(And)))
   }
 
   // ---- band-hybrid slot machinery (shared by both band rewrites) ----
@@ -656,8 +791,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       agg: Aggregate, lr: LogicalRelation,
       lake: Lake, table: String,
       cond: Expression): Option[LogicalPlan] = {
-    val (lo, hi, nBand, partCond) = splitBand(cond).getOrElse(return None)
-    if (nBand == 0 || lo > hi) return None
+    val (bands, nBand, partCond) = splitBands(cond).getOrElse(return None)
+    if (nBand == 0 || bands.isEmpty) return None
     val fileFilter: String => Boolean = partCond match {
       case None => _ => true
       case Some(pc) =>
@@ -689,8 +824,8 @@ final case class MetadataAggregateRule(session: SparkSession)
     if (!lake.hasData(session, table)) return None
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
-    val (parts, straddlers, containedCount) = lake.timeBandParts(
-      session, table, lo, hi, cols, schema, rangeCols, sumColsS,
+    val (parts, straddlers, containedCount) = lake.timeMultiBandParts(
+      session, table, bands, cols, schema, rangeCols, sumColsS,
       fileFilter, ndvColsB, kllColsB)
     if (containedCount <= 0) return None // hybrid buys nothing
     if (!flat.collect { case SumCol(a) => a.name }.toSet[String].forall(c =>
@@ -928,6 +1063,313 @@ final case class MetadataAggregateRule(session: SparkSession)
     Some(Aggregate(unionOut.take(nKeys), mergeExprs, union))
   }
 
+  /** Catalyst-internal value for a bucket-group key: epoch days (Int)
+    * for a `tp_date` key, bucket-start micros (Long) for a
+    * `date_trunc` key.
+    */
+  private def bucketInternal(
+      bucket: Long, dt: org.apache.spark.sql.types.DataType,
+      grainUs: Long): Any =
+    dt match {
+      case org.apache.spark.sql.types.DateType =>
+        // day grain by construction: the bucket index IS the epoch day
+        bucket.toInt
+      case _ => bucket * grainUs // TimestampType: bucket-start micros
+    }
+
+  /** TIME-BUCKET grouped hybrid (r17 verdict task 1): `GROUP BY
+    * tp_date` or `GROUP BY date_trunc(grain, tp_timestamp)`, optionally
+    * with partition-column keys and a tp_timestamp/tp_date band WHERE —
+    * THE reporting query of the reference's domain (its from/to view
+    * filters exist to feed it, cmd/connect.go:262-311), previously a
+    * full scan while every piece it needs existed. Files that are
+    * band-contained AND bucket-contained (manifest ts range inside one
+    * bucket — after time-ordered compaction most files are
+    * day-contained, reference compact.go:264-416 orders by
+    * tp_timestamp precisely so files don't straddle) contribute
+    * per-bucket metadata partials as LOCAL rows keyed by their bucket;
+    * straddlers keep the ORIGINAL grouping expressions over the
+    * restricted relation; the final GROUP BY over the union merges
+    * them — the grouped merge IS the bucket alignment, exactly as in
+    * [[rewriteBandGrouped]]. At 100 TB a daily report over a year
+    * reads kilobytes of metadata plus the boundary files.
+    */
+  /** [[unwrap]] variant for the bucket-grouped shape: additionally
+    * accepts Projects whose non-attribute entries are ONLY aliases of
+    * bucket-grain expressions — the optimizer's
+    * PullOutGroupingExpressions materializes `date_trunc(...)` as a
+    * `_groupingexpression` column in exactly such a Project. Arbitrary
+    * computed aliases still disqualify (an alias shadowing a real
+    * column name would otherwise let the rule serve the WRONG column's
+    * file stats). Returns the alias bindings so grouping attrs resolve
+    * back to their bucket expressions.
+    */
+  private def unwrapBucket(p: LogicalPlan): Option[
+      (LogicalRelation, Option[Expression], Map[ExprId, Expression])] =
+    p match {
+      case s: SubqueryAlias => unwrapBucket(s.child)
+      case v: View => unwrapBucket(v.child)
+      case f: Filter => unwrapBucket(f.child).map { case (lr, c, m) =>
+        (lr, Some(c.map(And(f.condition, _)).getOrElse(f.condition)), m)
+      }
+      case pr: Project
+          if pr.projectList.forall {
+            case _: AttributeReference => true
+            case al: Alias => bucketGrain(al.child).isDefined
+            case _ => false
+          } =>
+        unwrapBucket(pr.child).map { case (lr, c, m) =>
+          (lr, c, m ++ pr.projectList.collect {
+            case al: Alias => al.exprId -> al.child
+          })
+        }
+      case lr: LogicalRelation => Some((lr, None, Map.empty))
+      case _ => None
+    }
+
+  private def rewriteBucketGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val (lr, cond, aliasMap) =
+      unwrapBucket(agg.child).getOrElse(return None)
+    val (lake, table) = (lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case z: ZoneMapFileIndex => z.owner
+        case _ => None
+      }
+      case _ => None
+    }).getOrElse(return None)
+    // grouping layout: resolve attrs through the pulled-out aliases,
+    // then require EXACTLY ONE bucket key and partition attrs otherwise
+    val grouping = agg.groupingExpressions
+    val resolved: Seq[Expression] = grouping.map {
+      case a: AttributeReference => aliasMap.getOrElse(a.exprId, a)
+      case e => e
+    }
+    if (resolved.count(bucketGrain(_).isDefined) != 1) return None
+    val bucketIdx = resolved.indexWhere(bucketGrain(_).isDefined)
+    val grainUs = bucketGrain(resolved(bucketIdx)).get
+    val bucketType = grouping(bucketIdx).dataType
+    val partAttrs: Seq[AttributeReference] = grouping.zipWithIndex
+      .filter(_._2 != bucketIdx)
+      .map(_._1 match {
+        case a: AttributeReference => a
+        case _ => return None
+      })
+    if (!partAttrs.forall(a =>
+      graft.lake.TpSchema.partitionCols.contains(a.name))) return None
+    if (!partAttrs.forall(a => a.dataType match {
+      case IntegerType | LongType | StringType => true
+      case _ => false
+    })) return None
+    // WHERE: a tp band (folded date conjuncts included) + partition
+    // residual; no WHERE at all = the full range — bucket containment
+    // alone still makes most files metadata-servable
+    val (lo, hi, partCond) = cond match {
+      case None => (Long.MinValue, Long.MaxValue, None)
+      case Some(c) => splitBand(c) match {
+        case Some((l, h, _, rest)) => (l, h, rest)
+        case None => return None
+      }
+    }
+    if (lo > hi) return None
+    val fileFilter: String => Boolean = partCond match {
+      case None => _ => true
+      case Some(pc) =>
+        partitionFilePredicate(lake, table, pc).getOrElse(return None)
+    }
+    // grouping position -> position among partAttrs
+    val partIdxOf: Map[Int, Int] = grouping.indices
+      .filter(_ != bucketIdx).zipWithIndex.toMap
+
+    def keyIndex(e: Expression): Option[Int] = {
+      val i = grouping.indexWhere(_.semanticEquals(e))
+      if (i < 0) None else Some(i)
+    }
+    // an output DERIVED from group keys only — `cast(day_bucket AS
+    // date)`, `year(tp_date)` — is served by substituting the key into
+    // the expression (Literal on the metadata side, the union's key
+    // column on the straddler side). Deterministic, aggregate-free,
+    // evaluable, references ⊆ grouping attrs.
+    def derivedKey(al: Alias): Option[Spec] = {
+      val e = al.child
+      if (!e.deterministic) return None
+      // attrs are Unevaluable but get substituted (Literal / union
+      // column) before any eval — only OTHER unevaluable nodes
+      // (subqueries, grouping__id, ...) disqualify
+      if (e.find(x => x.isInstanceOf[AggregateExpression] ||
+        x.isInstanceOf[PlanExpression[_]] ||
+        (x.isInstanceOf[Unevaluable] &&
+          !x.isInstanceOf[AttributeReference])).isDefined) return None
+      if (e.references.isEmpty) return None
+      if (!e.references.toSeq.forall {
+        case a: AttributeReference => keyIndex(a).isDefined
+        case _ => false
+      }) return None
+      Some(GroupDerived(e))
+    }
+    val specs: Seq[Option[Spec]] = agg.aggregateExpressions.map {
+      case a: AttributeReference => keyIndex(a).map(GroupKey)
+      case al @ Alias(child, _) =>
+        keyIndex(child).map(GroupKey)
+          .orElse(classify(al)).orElse(derivedKey(al))
+      case e => classify(e)
+    }
+    if (specs.exists(s => s.isEmpty || s.get.isInstanceOf[Passthrough]))
+      return None
+    val flat = specs.flatten
+    def isKeyish(s: Spec): Boolean =
+      s.isInstanceOf[GroupKey] || s.isInstanceOf[GroupDerived]
+    val valueSpecs = flat.filterNot(isKeyish)
+    val cols = valueSpecs.collect {
+      case CountCol(a) => a.name
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+      case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+      case NdvCol(a) => a.name
+      case QuantileCol(a, _) => a.name
+    }.distinct
+    val rangeCols = valueSpecs.collect {
+      case MinCol(a) => a.name
+      case MaxCol(a) => a.name
+    }.toSet
+    val sumColsS = valueSpecs.collect {
+      case SumCol(a) => a.name
+      case AvgCol(a) => a.name
+    }.toSet
+    val ndvColsG = valueSpecs.collect { case NdvCol(a) => a.name }.toSet
+    val kllColsG =
+      valueSpecs.collect { case QuantileCol(a, _) => a.name }.toSet
+    if (!lake.hasData(session, table)) return None
+    val schema = lake.schemaOf(session, table)
+    if (!cols.forall(schema.fieldNames.contains)) return None
+    val (groups, straddlers, containedCount) = lake.timeBucketPartsGrouped(
+      session, table, lo, hi, grainUs, cols, schema, rangeCols, sumColsS,
+      f => {
+        val pv = lake.partitionValues(lake.relOf(table, f))
+        partAttrs.map(a => pv.getOrElse(a.name, null))
+      }, fileFilter, ndvColsG, kllColsG)
+    if (containedCount <= 0) return None // hybrid buys nothing
+    val sumOnlyS = valueSpecs.collect { case SumCol(a) => a.name }.toSet
+    if (!groups.forall { case (_, p) =>
+      sumOnlyS.forall(c => p.sums.get(c).forall(_.isValidLong))
+    }) return None
+
+    def keyInternal(i: Int, bucket: Long, partVals: Seq[String]): Any =
+      if (i == bucketIdx) bucketInternal(bucket, bucketType, grainUs)
+      else dirValueToInternal(partVals(partIdxOf(i)), grouping(i).dataType)
+    // driver-side eval of a key-derived output for one metadata group:
+    // keys become Literals, then one eval (resolved + deterministic +
+    // non-Unevaluable by derivedKey's gates; a throwing expr falls
+    // open through safely())
+    def evalDerived(e: Expression, bucket: Long,
+        partVals: Seq[String]): Any =
+      e.transform {
+        case a: AttributeReference if keyIndex(a).isDefined =>
+          val i = keyIndex(a).get
+          Literal(keyInternal(i, bucket, partVals), grouping(i).dataType)
+      }.eval(null)
+
+    if (straddlers.isEmpty) {
+      // fully contained: emit the final rows directly
+      val rows = groups.map { case ((bucket, partVals), parts) =>
+        InternalRow.fromSeq(flat.map {
+          case GroupKey(i) => keyInternal(i, bucket, partVals)
+          case GroupDerived(e) => evalDerived(e, bucket, partVals)
+          case s => metaFinalValue(parts, s)
+        })
+      }
+      logInfo(s"bucket-grouped time rewrite fired for '$table': fully " +
+        s"contained, ${groups.size} bucket groups from metadata")
+      return Some(LocalRelation(
+        agg.aggregateExpressions.map(_.toAttribute), rows))
+    }
+
+    // local side: key slots in grouping order, then value slots
+    val nKeys = grouping.size
+    val keySlots = grouping.zipWithIndex.map { case (g, i) =>
+      AttributeReference(s"_tbk_$i", g.dataType)()
+    }
+    val valSlotGroups: Seq[Seq[AttributeReference]] =
+      valueSpecs.zipWithIndex.map { case (sp, i) =>
+        slotTypesOf(sp).zipWithIndex.map { case (dt, j) =>
+          AttributeReference(s"_tbv_${i}_$j", dt)()
+        }
+      }
+    val valSlots = valSlotGroups.flatten
+    val localRows = groups.map { case ((bucket, partVals), parts) =>
+      InternalRow.fromSeq(
+        grouping.indices.map(keyInternal(_, bucket, partVals)) ++
+          valueSpecs.flatMap(s => metaSlotValues(parts, s)))
+    }
+    val local = LocalRelation(keySlots ++ valSlots, localRows)
+
+    // straddler side: the ORIGINAL grouping expressions (date_trunc
+    // evaluates row-level in-plan — straddler rows land in their true
+    // buckets, including the null bucket for null-ts rows) over the
+    // restricted relation, original Filter intact
+    val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val straddlerIndex =
+      new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+        session, straddlers.map(new org.apache.hadoop.fs.Path(_)),
+        Map("basePath" -> lake.tableDir(table)), None)
+    val straddlerRel = HadoopFsRelation(straddlerIndex,
+      fsRel.partitionSchema, fsRel.dataSchema, fsRel.bucketSpec,
+      fsRel.fileFormat, fsRel.options)(session)
+    val swappedChild = agg.child.transform {
+      case l: LogicalRelation if l eq lr => lr.copy(relation = straddlerRel)
+    }
+    val neededIds = (valueSpecs.collect {
+      case CountCol(a) => a; case MinCol(a) => a
+      case MaxCol(a) => a; case SumCol(a) => a; case AvgCol(a) => a
+      case NdvCol(a) => a; case QuantileCol(a, _) => a
+    }.map(_.exprId) ++
+      grouping.flatMap(_.references.map(_.exprId))).toSet
+    val needed = agg.child.output.filter(a => neededIds.contains(a.exprId))
+    val pruned =
+      if (needed.nonEmpty) Project(needed, swappedChild) else swappedChild
+    val partialKeys: Seq[NamedExpression] = grouping.zipWithIndex.map {
+      case (a: AttributeReference, _) => a
+      case (g, i) => Alias(g, s"_tbk_$i")()
+    }
+    val partialValueExprs: Seq[NamedExpression] =
+      valueSpecs.zip(valSlotGroups).flatMap { case (s, slots) =>
+        partialSlotExprs(s, slots).getOrElse(return None)
+      }
+    val partial = Aggregate(grouping,
+      partialKeys ++ partialValueExprs, pruned)
+    val union = Union(Seq(local, partial))
+    val unionOut = union.output
+    val valueOffsets: Seq[Int] =
+      valSlotGroups.scanLeft(0)(_ + _.size).init
+    val valueIdx: Map[Int, Int] = {
+      var v = -1
+      flat.zipWithIndex.flatMap {
+        case (s, i) if !isKeyish(s) =>
+          v += 1; Some(i -> valueOffsets(v))
+        case _ => None
+      }.toMap
+    }
+    val mergeExprs: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(flat).zipWithIndex.map {
+        case (((orig, GroupKey(k))), _) =>
+          Alias(unionOut(k), orig.name)(exprId = orig.exprId)
+        case (((orig, GroupDerived(e))), _) =>
+          // key-derived output: substitute the union's key columns
+          // into the expression (functionally determined by the keys)
+          Alias(e.transform {
+            case a: AttributeReference if keyIndex(a).isDefined =>
+              unionOut(keyIndex(a).get)
+          }, orig.name)(exprId = orig.exprId)
+        case ((orig, s), i) =>
+          mergeExprFor(s, orig, unionOut, nKeys + valueIdx(i))
+            .getOrElse(return None)
+      }
+    logInfo(s"bucket-grouped time rewrite fired for '$table': " +
+      s"${groups.size} bucket groups from metadata + " +
+      s"${straddlers.size} straddler files scanned in-plan")
+    Some(Aggregate(unionOut.take(nKeys), mergeExprs, union))
+  }
+
   /** Partition-grouped rewrite: `GROUP BY tp_partition/tp_index/
     * tp_year/tp_month` with the same aggregate family — one output row
     * per partition group present in the manifest, group-key values
@@ -1056,6 +1498,10 @@ object MetadataAggregateRule {
   private val MaxExactAvgSum: BigInt = BigInt(1) << 53
   private final case class Passthrough(value: Any) extends Spec
   private final case class GroupKey(i: Int) extends Spec
+  /** An output functionally derived from group keys only (cast of the
+    * bucket, `year(tp_date)`, ...): served by key substitution.
+    */
+  private final case class GroupDerived(e: Expression) extends Spec
 
   /** Idempotent per-session install into
     * `spark.experimental.extraOptimizations` — the embedded/library

@@ -129,6 +129,48 @@ object IngestQueries {
     lake
   }
 
+  /** Shared qi42/qi43 fixture: the day-sliced events lake — ten
+    * day-contained appends (the shape time-ordered compaction leaves
+    * behind; reference compact.go:264-416 orders by tp_timestamp
+    * precisely so files don't straddle) plus one two-day straddler
+    * append (table `events_day42`). Built once per JVM.
+    */
+  private def dayFixture(
+      s: SparkSession, dir: String): graft.lake.Lake = {
+    val root = s"${workRoot(dir)}/day4243"
+    val lake = graft.lake.Lake(s"$root/lake")
+    fixtureOnce(root) {
+      val spec = PartitionSpec("events_day42", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+      for (i <- 0 until 10)
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("ts") >= date_add(lit("2024-01-01"), i) &&
+            col("ts") < date_add(lit("2024-01-01"), i + 1)),
+          timestampColumn = "ts")
+      Ingest.collectBatch(s, lake, spec,
+        src.where(col("ts") >= date_add(lit("2024-01-01"), 10) &&
+          col("ts") < date_add(lit("2024-01-01"), 12)),
+        timestampColumn = "ts")
+      // a RE-CRAWL slice duplicating Jan 5 12:00 .. Jan 6 12:00 (string
+      // bounds compare chronologically in this format): its files span
+      // two days, so the Jan 5/Jan 6 groups must MERGE a metadata
+      // partial (the day-contained files) with the straddler scan —
+      // the per-group union merge, not just disjoint routing
+      Ingest.collectBatch(s, lake, spec,
+        src.where(col("ts") >= "2024-01-05 12:00:00.000000" &&
+          col("ts") < "2024-01-06 12:00:00.000000"),
+        timestampColumn = "ts")
+      lake.enableColumnStats(s, "events_day42",
+        Seq("value", "user_id", "tp_timestamp"))
+    }
+    lake
+  }
+
   private def rmrf(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rec)
@@ -1254,6 +1296,89 @@ object IngestQueries {
       q
     }),
 
+    // OR-of-bands hybrid (r17 verdict task 6): the multi-window
+    // dashboard shape — `ts BETWEEN a AND b OR ts BETWEEN c AND d` —
+    // factored into a disjoint band set; slices contained in EITHER
+    // window answer from metadata, only the window-edge straddlers
+    // scan (with the original OR applied row-level), and a file
+    // between the windows is excluded entirely. The DuckDB oracle
+    // recomputes the two-window aggregate (exact BIGINT sum, exact
+    // avg under 2^53) from raw rows.
+    "qi44_sql_or_bands_hybrid" -> ((s, dir) => {
+      val lake = bandFixture(s, dir) // shared with qi37/qi38/qi39/qi41
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_band37").size
+      val q = s.sql("""
+        SELECT count(*) AS n_rows, count(value) AS n_value,
+               min(value) AS min_value, max(value) AS max_value,
+               sum(user_id) AS sum_user, avg(user_id) AS avg_user
+        FROM events_band37
+        WHERE (tp_timestamp >= timestamp'2024-01-06 00:00:00'
+               AND tp_timestamp <= timestamp'2024-01-13 12:00:00')
+           OR (tp_timestamp >= timestamp'2024-01-18 12:00:00'
+               AND tp_timestamp <= timestamp'2024-01-25 23:59:59')""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"OR-of-bands hybrid should scan only straddlers: " +
+          s"$files of $total")
+      q
+    }),
+
+    // GROUP BY tp_date served from the metadata layer (r17 verdict
+    // task 1 — THE reporting query of the reference's domain, the
+    // shape its --from/--to view filters exist to feed): day-contained
+    // files contribute per-day metadata partials as local rows, only
+    // the band-boundary day and the multi-day straddler scan and group
+    // in-plan, and the final GROUP BY merges. The require pins the
+    // strict-minority scan set; the DuckDB oracle recomputes the
+    // day-grouped banded aggregate (exact BIGINT sums, exact avg under
+    // 2^53) from raw rows, so a bucket misclassification, a boundary
+    // error, or a bad grouped merge breaks the hash.
+    "qi42_sql_group_by_day_hybrid" -> ((s, dir) => {
+      val lake = dayFixture(s, dir) // shared with qi43
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_day42").size
+      val q = s.sql("""
+        SELECT tp_date, count(*) AS n, min(value) AS min_value,
+               max(value) AS max_value, sum(user_id) AS sum_user,
+               avg(user_id) AS avg_user
+        FROM events_day42
+        WHERE tp_timestamp >= timestamp'2024-01-02 12:00:00'
+          AND tp_timestamp <= timestamp'2024-01-11 23:59:59'
+        GROUP BY tp_date ORDER BY tp_date""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"day-grouped hybrid should scan only straddlers: " +
+          s"$files of $total")
+      q
+    }),
+
+    // The date_trunc face of qi42, mixed with a partition key:
+    // `GROUP BY tp_index, date_trunc('DAY', tp_timestamp)` — the
+    // optimizer pulls the trunc out as a computed grouping column, the
+    // rewrite resolves it back, and per-(bucket, directory) metadata
+    // partials merge with the straddler scan through the final GROUP
+    // BY. The SELECT casts the bucket to DATE — an output DERIVED from
+    // the group key, served by key substitution on both sides. No
+    // WHERE at all: bucket containment alone drives the split.
+    "qi43_sql_group_by_trunc_hybrid" -> ((s, dir) => {
+      val lake = dayFixture(s, dir) // shared with qi42
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_day42").size
+      val q = s.sql("""
+        SELECT tp_index AS etype,
+               cast(date_trunc('DAY', tp_timestamp) AS date) AS day,
+               count(*) AS n, sum(user_id) AS sum_user
+        FROM events_day42
+        GROUP BY tp_index, date_trunc('DAY', tp_timestamp)
+        ORDER BY etype, day""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"trunc-grouped hybrid should scan only straddlers: " +
+          s"$files of $total")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -1965,6 +2090,64 @@ object IngestQueries {
       WHERE event_id % 5 = 0
         AND cast(cast(ts AS timestamp) AS DATE) >= DATE '2024-01-11'
         AND cast(cast(ts AS timestamp) AS DATE) <= DATE '2024-01-18'""",
+
+    // raw-row recompute of the two-window aggregate: a window-merge
+    // error, a file wrongly contained, or a gap row leaking in breaks
+    // this hash
+    "qi44_sql_or_bands_hybrid" -> """
+      SELECT count(*) AS n_rows, count(value) AS n_value,
+             min(value) AS min_value, max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user,
+             avg(user_id) AS avg_user
+      FROM events
+      WHERE event_id % 5 = 0
+        AND ((cast(ts AS timestamp) >= timestamp '2024-01-06 00:00:00'
+              AND cast(ts AS timestamp) <= timestamp '2024-01-13 12:00:00')
+          OR (cast(ts AS timestamp) >= timestamp '2024-01-18 12:00:00'
+              AND cast(ts AS timestamp) <= timestamp '2024-01-25 23:59:59'))""",
+
+    // raw-row recompute of the day-grouped banded hybrid: a bucket
+    // misclassification (a multi-day file counted as day-contained, a
+    // boundary file served from metadata) or a bad grouped merge
+    // breaks this hash; avg rides the two-slot exact sum+count merge
+    "qi42_sql_group_by_day_hybrid" -> """
+      WITH feed AS (
+        SELECT ts, user_id, value FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT ts, user_id, value FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= timestamp '2024-01-05 12:00:00'
+          AND cast(ts AS timestamp) < timestamp '2024-01-06 12:00:00')
+      SELECT cast(cast(ts AS timestamp) AS DATE) AS tp_date,
+             count(*) AS n, min(value) AS min_value,
+             max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user,
+             avg(user_id) AS avg_user
+      FROM feed
+      WHERE cast(ts AS timestamp) >= timestamp '2024-01-02 12:00:00'
+        AND cast(ts AS timestamp) <= timestamp '2024-01-11 23:59:59'
+      GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the (tp_index, date_trunc) grouped hybrid
+    // over the FULL range — bucket containment alone drives the
+    // metadata/scan split, so a wrong per-(bucket, directory) partial
+    // breaks the hash
+    "qi43_sql_group_by_trunc_hybrid" -> """
+      WITH feed AS (
+        SELECT ts, user_id, event_type FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT ts, user_id, event_type FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= timestamp '2024-01-05 12:00:00'
+          AND cast(ts AS timestamp) < timestamp '2024-01-06 12:00:00')
+      SELECT event_type AS etype,
+             cast(date_trunc('day', cast(ts AS timestamp))
+               AS DATE) AS day,
+             count(*) AS n, cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM feed
+      WHERE cast(ts AS timestamp) >= timestamp '2024-01-01 00:00:00'
+        AND cast(ts AS timestamp) < timestamp '2024-01-13 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "qi36_sql_metadata_sum" -> """
       SELECT event_type AS etype, count(*) AS n,

@@ -759,4 +759,349 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(r.getDouble(1) === 5009.0)
     assert(r.getString(2) === "zzz")
   }
+
+  test("OR-of-bands: disjoint windows serve contained slices from " +
+      "metadata; overlapping windows merge; impure ORs decline") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_or").toString)
+    val spec = PartitionSpec("obq", "p0", tpIndexColumn = Some("idx"))
+    def slice(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-05 00:00:00' + " +
+          s"make_interval(0,0,0,0,$i,0, (id % 100) * 36)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 8) lake.append(spark, "obq", slice(i))
+    lake.enableColumnStats(spark, "obq",
+      Seq("v", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    val total = lake.dataFiles(spark, "obq").size
+    def truthFor(where: org.apache.spark.sql.Column): Row =
+      spark.read.option("basePath", lake.tableDir("obq"))
+        .parquet(lake.tableDir("obq")).where(where)
+        .agg(count(lit(1)), min(col("v")), max(col("v")),
+          sum(col("event_id")), avg(col("event_id"))).head()
+    def ts(s0: String) = lit(java.sql.Timestamp.valueOf(s0))
+    // two windows: [01:30, 03:30] (slice 2 contained, 1 and 3
+    // straddle) OR [05:00, 06:59:59.999999] (slices 5 and 6 contained)
+    val w1 = col("tp_timestamp") >= ts("2024-03-05 01:30:00") &&
+      col("tp_timestamp") <= ts("2024-03-05 03:30:00")
+    val w2 = col("tp_timestamp") >= ts("2024-03-05 05:00:00") &&
+      col("tp_timestamp") <= ts("2024-03-05 06:59:59.999999")
+    val q = spark.sql("""
+      SELECT count(*) AS n, min(v) AS mnv, max(v) AS mxv,
+             sum(event_id) AS s, avg(event_id) AS a
+      FROM obq
+      WHERE (tp_timestamp >= timestamp'2024-03-05 01:30:00'
+             AND tp_timestamp <= timestamp'2024-03-05 03:30:00')
+         OR (tp_timestamp >= timestamp'2024-03-05 05:00:00'
+             AND tp_timestamp <= timestamp'2024-03-05 06:59:59.999999')""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0 && files * 2 < total,
+      s"OR-of-bands should scan only straddlers: $files of $total")
+    assert(q.head() === truthFor(w1 || w2))
+    // overlapping windows MERGE into one band: [02:00, 04:00] ∪
+    // [03:00, 05:59:59.999999] = slices 2..5 contained, nothing
+    // straddles → ZERO files
+    val q2 = spark.sql("""
+      SELECT count(*) AS n, sum(event_id) AS s FROM obq
+      WHERE (tp_timestamp >= timestamp'2024-03-05 02:00:00'
+             AND tp_timestamp <= timestamp'2024-03-05 04:00:00')
+         OR (tp_timestamp >= timestamp'2024-03-05 03:00:00'
+             AND tp_timestamp <= timestamp'2024-03-05 05:59:59.999999')""")
+    assert(ScanAudit.filesReadAfterRun(q2) === 0,
+      "overlapping windows must merge and serve fully from metadata")
+    val r2 = q2.head()
+    assert(r2.getLong(0) === 400L)
+    assert(r2.getLong(1) === (200 until 600).map(_.toLong).sum)
+    // an OR with a NON-band branch cannot be factored: decline (scan),
+    // answer intact
+    val q3 = spark.sql("""
+      SELECT count(*) AS n FROM obq
+      WHERE (tp_timestamp >= timestamp'2024-03-05 02:00:00'
+             AND tp_timestamp <= timestamp'2024-03-05 04:00:00')
+         OR v >= 700""")
+    assert(ScanAudit.filesReadAfterRun(q3) > 0,
+      "an impure OR branch must decline to the scan")
+    val want3 = truthFor((col("tp_timestamp") >= ts("2024-03-05 02:00:00") &&
+      col("tp_timestamp") <= ts("2024-03-05 04:00:00")) ||
+      col("v") >= 700).getLong(0)
+    assert(q3.head().getLong(0) === want3)
+    // TWO independent OR-of-band conjuncts (an intersection of unions)
+    // decline too — only one disjunction is factored
+    val q4 = spark.sql("""
+      SELECT count(*) AS n FROM obq
+      WHERE ((tp_timestamp >= timestamp'2024-03-05 01:00:00'
+              AND tp_timestamp <= timestamp'2024-03-05 04:00:00')
+         OR tp_timestamp >= timestamp'2024-03-05 06:00:00')
+        AND ((tp_timestamp <= timestamp'2024-03-05 02:00:00')
+         OR tp_timestamp >= timestamp'2024-03-05 03:00:00')""")
+    assert(ScanAudit.filesReadAfterRun(q4) > 0)
+    val w4a = (col("tp_timestamp") >= ts("2024-03-05 01:00:00") &&
+      col("tp_timestamp") <= ts("2024-03-05 04:00:00")) ||
+      col("tp_timestamp") >= ts("2024-03-05 06:00:00")
+    val w4b = (col("tp_timestamp") <= ts("2024-03-05 02:00:00")) ||
+      col("tp_timestamp") >= ts("2024-03-05 03:00:00")
+    assert(q4.head().getLong(0) === truthFor(w4a && w4b).getLong(0))
+  }
+
+  /** Day-sliced lake for the bucket-grouped rewrite: six day-contained
+    * appends (2024-03-01..06, 100 rows each), one multi-day straddler
+    * (Mar 7 12:00 + 40 hourly rows → spans into Mar 9), and 10 null-ts
+    * rows folded into a separate append (null bucket fodder — their
+    * file can never be proven null-ts-free, so they always scan).
+    */
+  private def dayLake(): (Lake, Int) = {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_bg").toString)
+    val spec = PartitionSpec("bq", "p0", tpIndexColumn = Some("idx"))
+    def day(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-01 00:00:00' + " +
+          s"make_interval(0,0,0,$i,0,0, (id % 100) * 600)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        when(col("id") % 10 === 0, lit(null))
+          .otherwise(col("id").cast("double")).as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 6) lake.append(spark, "bq", day(i))
+    val strad = spark.range(600, 640).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-07 12:00:00' + " +
+        "make_interval(0,0,0,0, cast(id-600 AS int),0,0)")
+        .as("tp_timestamp"),
+      lit("0").as("idx"),
+      col("id").cast("double").as("v"))
+    lake.append(spark, "bq", TpSchema.enrich(strad, spec))
+    val nullTs = spark.range(700, 710).select(
+      col("id").as("event_id"),
+      lit(null).cast("timestamp").as("tp_timestamp"),
+      lit("0").as("idx"),
+      col("id").cast("double").as("v"))
+    lake.append(spark, "bq", TpSchema.enrich(nullTs, spec))
+    lake.enableColumnStats(spark, "bq",
+      Seq("v", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    (lake, lake.dataFiles(spark, "bq").size)
+  }
+
+  test("GROUP BY tp_date: day-contained files served from metadata, " +
+      "straddlers (and null-ts files) grouped in-plan") {
+    val (lake, total) = dayLake()
+    val truth = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .groupBy("tp_date")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"),
+        sum(col("event_id")).as("s"), avg(col("event_id")).as("a"))
+      .orderBy(col("tp_date").asc_nulls_first)
+      .collect().toSeq
+    val q = spark.sql("""
+      SELECT tp_date, count(*) AS n, count(v) AS nv, min(v) AS mnv,
+             max(v) AS mxv, sum(event_id) AS s, avg(event_id) AS a
+      FROM bq GROUP BY tp_date ORDER BY tp_date ASC NULLS FIRST""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0 && files * 2 < total,
+      s"day-grouped hybrid should scan only straddlers: $files of $total")
+    assert(q.collect().toSeq === truth)
+  }
+
+  test("GROUP BY tp_date + a band WHERE that excludes every " +
+      "straddler: ZERO files read") {
+    val (lake, _) = dayLake()
+    val band = "tp_timestamp >= timestamp'2024-03-02 00:00:00' AND " +
+      "tp_timestamp < timestamp'2024-03-06 00:00:00'"
+    val truth = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .where(col("tp_timestamp") >=
+        lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00")) &&
+        col("tp_timestamp") <
+          lit(java.sql.Timestamp.valueOf("2024-03-06 00:00:00")))
+      .groupBy("tp_date")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy("tp_date").collect().toSeq
+    val q = spark.sql("SELECT tp_date, count(*) AS n, " +
+      s"sum(event_id) AS s FROM bq WHERE $band " +
+      "GROUP BY tp_date ORDER BY tp_date")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "band excluding all straddlers must be served purely from metadata")
+    assert(q.collect().toSeq === truth)
+    assert(q.count() === 4L) // days 2..5
+  }
+
+  test("GROUP BY date_trunc buckets: fixed grains serve, others and " +
+      "mixed grains decline; partition keys compose") {
+    val (lake, total) = dayLake()
+    // DAY grain over tp_timestamp — same buckets as tp_date, key typed
+    // TIMESTAMP; straddlers in-plan
+    val q = spark.sql("""
+      SELECT date_trunc('DAY', tp_timestamp) AS d, count(*) AS n
+      FROM bq GROUP BY 1 ORDER BY d ASC NULLS FIRST""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0 && files * 2 < total)
+    val truth = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .groupBy(date_trunc("DAY", col("tp_timestamp")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("d").asc_nulls_first).collect().toSeq
+    assert(q.collect().toSeq === truth)
+    // mixed with a partition key
+    val qm = spark.sql("""
+      SELECT tp_index, date_trunc('DAY', tp_timestamp) AS d,
+             count(*) AS n, sum(event_id) AS s
+      FROM bq GROUP BY 1, 2 ORDER BY d ASC NULLS FIRST""")
+    val fm = ScanAudit.filesReadAfterRun(qm)
+    assert(fm > 0 && fm * 2 < total)
+    val truthM = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .groupBy(col("tp_index"),
+        date_trunc("DAY", col("tp_timestamp")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy(col("d").asc_nulls_first).collect().toSeq
+    assert(qm.collect().toSeq === truthM)
+    // WEEK anchors to Monday (offset grain) and MONTH isn't fixed-
+    // width: both must decline to the (correct) scan
+    for (grain <- Seq("WEEK", "MONTH")) {
+      val qd = spark.sql(s"SELECT date_trunc('$grain', tp_timestamp) " +
+        s"AS d, count(*) AS n FROM bq GROUP BY 1")
+      assert(ScanAudit.filesReadAfterRun(qd) > 0,
+        s"$grain buckets must not be metadata-served")
+      assert(qd.agg(sum(col("n"))).head().getLong(0) === 650L)
+    }
+    // TWO bucket expressions (mixed grains) decline
+    val q2 = spark.sql("""
+      SELECT tp_date, date_trunc('HOUR', tp_timestamp) AS h,
+             count(*) AS n
+      FROM bq GROUP BY 1, 2""")
+    assert(ScanAudit.filesReadAfterRun(q2) > 0,
+      "two time buckets in one grouping must decline")
+    // bucket + a DATA column declines (src of truth is rows, not files)
+    val q3 = spark.sql(
+      "SELECT tp_date, v, count(*) AS n FROM bq GROUP BY 1, 2")
+    assert(ScanAudit.filesReadAfterRun(q3) > 0)
+  }
+
+  test("GROUP BY date_trunc('HOUR'): hour-contained files are fully " +
+      "metadata-served") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_bh").toString)
+    val spec = PartitionSpec("bh", "p0", tpIndexColumn = Some("idx"))
+    def slice(i: Int) = {
+      val raw = spark.range(i * 100, (i + 1) * 100).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-05 00:00:00' + " +
+          s"make_interval(0,0,0,0,$i,0, (id % 100) * 36)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    for (i <- 0 until 8) lake.append(spark, "bh", slice(i))
+    lake.enableColumnStats(spark, "bh",
+      Seq("v", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    val q = spark.sql("""
+      SELECT date_trunc('HOUR', tp_timestamp) AS h, count(*) AS n,
+             min(v) AS mnv, max(v) AS mxv, sum(event_id) AS s
+      FROM bh GROUP BY 1 ORDER BY h""")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "hour-contained files must serve hourly buckets scan-free")
+    val rows = q.collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(1)).forall(_ === 100L))
+    assert(rows.head.getTimestamp(0) ===
+      java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))
+    assert(rows.head.getLong(4) === (0 until 100).map(_.toLong).sum)
+    // DAY buckets over the same table: all files share one day —
+    // fully served too, one group
+    val qd = spark.sql("SELECT tp_date, count(*) AS n FROM bh GROUP BY 1")
+    assert(ScanAudit.filesReadAfterRun(qd) === 0)
+    val rd = qd.head()
+    assert(rd.getDate(0) === java.sql.Date.valueOf("2024-03-05") &&
+      rd.getLong(1) === 800L)
+  }
+
+  test("cast(tp_timestamp AS date) buckets and key-DERIVED outputs " +
+      "(cast of the bucket, year(tp_date)) serve with straddler-only " +
+      "I/O") {
+    val (lake, total) = dayLake()
+    // the natural reporting spelling: GROUP BY the trunc, SELECT the
+    // trunc cast to date — the cast is an output DERIVED from the
+    // group key, substituted on both the metadata and straddler sides
+    val q = spark.sql("""
+      SELECT cast(date_trunc('DAY', tp_timestamp) AS date) AS day,
+             count(*) AS n, sum(event_id) AS s
+      FROM bq GROUP BY date_trunc('DAY', tp_timestamp)
+      ORDER BY day ASC NULLS FIRST""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files > 0 && files * 2 < total,
+      s"derived-output day report should scan only straddlers: " +
+        s"$files of $total")
+    val truth = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .groupBy(date_trunc("DAY", col("tp_timestamp")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy(col("day").asc_nulls_first).collect().toSeq
+    assert(q.collect().toSeq === truth)
+    // GROUP BY cast(tp_timestamp AS date): the third day-bucket
+    // spelling — key type DATE, same classification
+    val q2 = spark.sql("""
+      SELECT cast(tp_timestamp AS date) AS day, count(*) AS n
+      FROM bq GROUP BY 1 ORDER BY day ASC NULLS FIRST""")
+    val f2 = ScanAudit.filesReadAfterRun(q2)
+    assert(f2 > 0 && f2 * 2 < total)
+    val truth2 = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .groupBy(col("tp_timestamp").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day").asc_nulls_first).collect().toSeq
+    assert(q2.collect().toSeq === truth2)
+    // derived output over the tp_date key (+ the key itself)
+    val q3 = spark.sql("""
+      SELECT tp_date, year(tp_date) AS y, month(tp_date) AS mo,
+             count(*) AS n
+      FROM bq
+      WHERE tp_timestamp >= timestamp'2024-03-02 00:00:00'
+        AND tp_timestamp < timestamp'2024-03-06 00:00:00'
+      GROUP BY tp_date ORDER BY tp_date""")
+    assert(ScanAudit.filesReadAfterRun(q3) === 0,
+      "derived outputs must not break the fully-contained zero-read path")
+    val r3 = q3.collect()
+    assert(r3.length === 4)
+    assert(r3.forall(r => r.getInt(1) === 2024 && r.getInt(2) === 3))
+  }
+
+  test("a non-UTC reader session declines bucket grouping (answers " +
+      "stay right via the scan); no tp_timestamp stats: no proof") {
+    val (lake, _) = dayLake()
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val q = spark.sql(
+        "SELECT tp_date, count(*) AS n FROM bq GROUP BY 1")
+      assert(ScanAudit.filesReadAfterRun(q) > 0,
+        "non-UTC session must not serve tp_date buckets from metadata")
+      assert(q.agg(sum(col("n"))).head().getLong(0) === 650L)
+    } finally spark.conf.set(tzKey, prev)
+    // no tp_timestamp sidecar row → no null-ts-free proof → no file is
+    // ever bucket-contained → decline (scan), answers intact
+    val lake2 = Lake(Files.createTempDirectory("graft_metaagg_bg2").toString)
+    val spec2 = PartitionSpec("bq2", "p0", tpIndexColumn = Some("idx"))
+    val raw = spark.range(0, 50).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-03-05 00:00:00' + " +
+        "make_interval(0,0,0,0,0,0, id*1000)").as("tp_timestamp"),
+      lit("0").as("idx"), col("id").cast("double").as("v"))
+    lake2.append(spark, "bq2", TpSchema.enrich(raw, spec2))
+    lake2.enableColumnStats(spark, "bq2", Seq("v"))
+    Views.register(spark, lake2, Views.Filters())
+    val q2 = spark.sql(
+      "SELECT tp_date, count(v) AS n FROM bq2 GROUP BY 1")
+    assert(ScanAudit.filesReadAfterRun(q2) > 0)
+    assert(q2.head().getLong(1) === 50L)
+  }
 }
