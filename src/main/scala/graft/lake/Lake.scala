@@ -1556,6 +1556,34 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       ndvColumns: Set[String] = Set.empty,
       kllColumns: Set[String] = Set.empty)
       : (StatsAggParts, Seq[String], Int) = {
+    val (groups, toScan, contained) = timePartsGroupedCore(spark, table,
+      bands, bucketUs = None, columns, schema, rangeColumns, sumColumns,
+      _ => Nil, fileFilter, ndvColumns, kllColumns)
+    (groups.values.headOption.getOrElse(
+      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty,
+        Nil)),
+      toScan, contained)
+  }
+
+  /** Shared band/bucket classification core: files proven inside ONE
+    * of `bands` (closed micros intervals, disjoint) AND null-ts-free
+    * AND — when `bucketUs` is set — contained in one bucket of that
+    * grain, contribute metadata partials grouped by `groupOf` (with
+    * the bucket index prefixed when bucketed); everything else
+    * overlapping any band goes to the scan list, and files provably
+    * outside every band are excluded. Metadata-sized throughout (one
+    * snapshot probe + the listing).
+    */
+  private def timePartsGroupedCore(
+      spark: SparkSession, table: String,
+      bands: Seq[(Long, Long)], bucketUs: Option[Long],
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String], sumColumns: Set[String],
+      groupOf: String => Seq[String],
+      fileFilter: String => Boolean,
+      ndvColumns: Set[String],
+      kllColumns: Set[String])
+      : (Map[Seq[String], StatsAggParts], Seq[String], Int) = {
     val snap = metaSnapshot(spark, table)
     val bounds: Map[String, (Option[Long], Option[Long])] =
       snap.manifest.map { case (f, m) => f -> (m.minUs, m.maxUs) }
@@ -1568,24 +1596,29 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         case _ => false // unknown range: must consider it
       }
     }
+    def bucketOk(mn: Long, mx: Long): Boolean = bucketUs.forall(g =>
+      Math.floorDiv(mn, g) == Math.floorDiv(mx, g))
     val contained: Set[String] = overlapping.filter { f =>
       bounds.get(f) match {
         case Some((Some(mn), Some(mx))) =>
           bands.exists { case (lo, hi) => mn >= lo && mx <= hi } &&
-            tsNulls.get(f).contains(0L)
+            bucketOk(mn, mx) &&
+            tsNulls.get(f).contains(0L) // proven null-ts-free
         case _ => false
       }
     }.toSet
+    val effectiveGroupOf: String => Seq[String] = bucketUs match {
+      case None => groupOf
+      case Some(g) => f =>
+        Math.floorDiv(bounds(f)._1.get, g).toString +: groupOf(f)
+    }
     val (groups, residualContained) = statsAggPartsGrouped(spark, table,
-      columns, schema, rangeColumns, sumColumns, _ => Nil,
+      columns, schema, rangeColumns, sumColumns, effectiveGroupOf,
       fileFilter = contained, ndvColumns = ndvColumns,
       kllColumns = kllColumns)
     val toScan: Seq[String] =
       (overlapping.filterNot(contained) ++ residualContained).distinct
-    (groups.values.headOption.getOrElse(
-      StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty,
-        Nil)),
-      toScan, contained.size - residualContained.size)
+    (groups, toScan, contained.size - residualContained.size)
   }
 
   /** Grouped twin of [[timeBandParts]]: per-group metadata partials
@@ -1602,37 +1635,28 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       fileFilter: String => Boolean,
       ndvColumns: Set[String] = Set.empty,
       kllColumns: Set[String] = Set.empty)
+      : (Seq[(Seq[String], StatsAggParts)], Seq[String], Int) =
+    timeBandPartsGroupedMulti(spark, table, Seq((fromUs, toUs)),
+      columns, schema, rangeColumns, sumColumns, groupOf, fileFilter,
+      ndvColumns, kllColumns)
+
+  /** Multi-band form of [[timeBandPartsGrouped]] — the grouped face of
+    * the OR-of-bands dashboard shape.
+    */
+  private[lake] def timeBandPartsGroupedMulti(
+      spark: SparkSession, table: String,
+      bands: Seq[(Long, Long)],
+      columns: Seq[String], schema: StructType,
+      rangeColumns: Set[String], sumColumns: Set[String],
+      groupOf: String => Seq[String],
+      fileFilter: String => Boolean,
+      ndvColumns: Set[String] = Set.empty,
+      kllColumns: Set[String] = Set.empty)
       : (Seq[(Seq[String], StatsAggParts)], Seq[String], Int) = {
-    val snap = metaSnapshot(spark, table)
-    val bounds: Map[String, (Option[Long], Option[Long])] =
-      snap.manifest.map { case (f, m) => f -> (m.minUs, m.maxUs) }
-    // per-file tp_timestamp null counts from the sidecar (newest seq)
-    val tsNulls: Map[String, Long] = snap.tsNulls
-    val live = dataFiles(spark, table).filter(fileFilter)
-    val overlapping = live.filterNot { f =>
-      bounds.get(f) match {
-        case Some((Some(mn), Some(mx))) => mx < fromUs || mn > toUs
-        case _ => false // unknown range: must consider it
-      }
-    }
-    val contained: Set[String] = overlapping.filter { f =>
-      bounds.get(f) match {
-        case Some((Some(mn), Some(mx))) =>
-          mn >= fromUs && mx <= toUs &&
-            tsNulls.get(f).contains(0L) // proven null-ts-free
-        case _ => false
-      }
-    }.toSet
-    // metadata partials over the contained files; any contained file
-    // the sidecar can't answer for is excluded from the partials by
-    // statsAggPartsGrouped's own residual logic and moves to the scan
-    val (groups, residualContained) = statsAggPartsGrouped(spark, table,
-      columns, schema, rangeColumns, sumColumns, groupOf,
-      fileFilter = contained, ndvColumns = ndvColumns,
-      kllColumns = kllColumns)
-    val toScan: Seq[String] =
-      (overlapping.filterNot(contained) ++ residualContained).distinct
-    (groups.toSeq, toScan, contained.size - residualContained.size)
+    val (groups, toScan, contained) = timePartsGroupedCore(spark, table,
+      bands, bucketUs = None, columns, schema, rangeColumns, sumColumns,
+      groupOf, fileFilter, ndvColumns, kllColumns)
+    (groups.toSeq, toScan, contained)
   }
 
   /** TIME-BUCKET-grouped twin of [[timeBandPartsGrouped]] (r17 verdict
@@ -1646,13 +1670,15 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     * straddle, compact.go:264-416) most files are day-contained, so a
     * daily report over a year reads kilobytes of metadata plus the
     * handful of multi-day straddlers. Group key = (bucket index,
-    * partition-key projection); files that straddle a bucket OR the
+    * partition-key projection); files that straddle a bucket OR every
     * band (or lack coverage) go to the scan list, classified
-    * conservatively exactly as [[timeBandPartsGrouped]].
+    * conservatively exactly as [[timeBandPartsGrouped]]. `bands`
+    * carries the WHERE's disjoint merged window set (one full-range
+    * band when the query has no time filter).
     */
   private[lake] def timeBucketPartsGrouped(
       spark: SparkSession, table: String,
-      fromUs: Long, toUs: Long, grainUs: Long,
+      bands: Seq[(Long, Long)], grainUs: Long,
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String], sumColumns: Set[String],
       partOf: String => Seq[String],
@@ -1661,40 +1687,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       kllColumns: Set[String] = Set.empty)
       : (Seq[((Long, Seq[String]), StatsAggParts)], Seq[String], Int) = {
     require(grainUs > 0, "timeBucketPartsGrouped: grain must be positive")
-    val snap = metaSnapshot(spark, table)
-    val bounds: Map[String, (Option[Long], Option[Long])] =
-      snap.manifest.map { case (f, m) => f -> (m.minUs, m.maxUs) }
-    val tsNulls: Map[String, Long] = snap.tsNulls
-    val live = dataFiles(spark, table).filter(fileFilter)
-    val overlapping = live.filterNot { f =>
-      bounds.get(f) match {
-        case Some((Some(mn), Some(mx))) => mx < fromUs || mn > toUs
-        case _ => false // unknown range: must consider it
-      }
-    }
-    def bucketOf(us: Long): Long = Math.floorDiv(us, grainUs)
-    val contained: Set[String] = overlapping.filter { f =>
-      bounds.get(f) match {
-        case Some((Some(mn), Some(mx))) =>
-          mn >= fromUs && mx <= toUs &&
-            bucketOf(mn) == bucketOf(mx) &&
-            tsNulls.get(f).contains(0L) // proven null-ts-free
-        case _ => false
-      }
-    }.toSet
-    // per-(bucket, partition-key) metadata partials; a contained file
-    // the sidecar can't answer for moves to the scan via the residual
-    val (groups, residualContained) = statsAggPartsGrouped(spark, table,
-      columns, schema, rangeColumns, sumColumns,
-      f => bucketOf(bounds(f)._1.get).toString +: partOf(f),
-      fileFilter = contained, ndvColumns = ndvColumns,
-      kllColumns = kllColumns)
-    val toScan: Seq[String] =
-      (overlapping.filterNot(contained) ++ residualContained).distinct
+    val (groups, toScan, contained) = timePartsGroupedCore(spark, table,
+      bands, bucketUs = Some(grainUs), columns, schema, rangeColumns,
+      sumColumns, partOf, fileFilter, ndvColumns, kllColumns)
     val out = groups.toSeq.map { case (key, p) =>
       ((key.head.toLong, key.tail), p)
     }
-    (out, toScan, contained.size - residualContained.size)
+    (out, toScan, contained)
   }
 
   /** Ungrouped core: one partial over all covered files. */

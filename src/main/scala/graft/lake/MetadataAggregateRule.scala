@@ -253,11 +253,30 @@ final case class MetadataAggregateRule(session: SparkSession)
     })
 
   private def structuralCandidate(agg: Aggregate): Option[Seq[String]] = {
-    if (!agg.groupingExpressions.forall(g =>
+    // time-bucket groupings (tp_date / date_trunc / cast-to-date,
+    // possibly pulled out as a _groupingexpression alias) lint too:
+    // their containment proof rides tp_timestamp stats, so the hint
+    // names that column
+    val bucketShaped: Boolean = {
+      val aliasMap =
+        unwrapBucket(agg.child).map(_._3).getOrElse(Map.empty)
+      val resolved = agg.groupingExpressions.map {
+        case a: AttributeReference => aliasMap.getOrElse(a.exprId, a)
+        case e => e
+      }
+      resolved.count(bucketGrain(_).isDefined) == 1 &&
+        resolved.forall(g => bucketGrain(g).isDefined ||
+          (g.isInstanceOf[AttributeReference] &&
+            graft.lake.TpSchema.partitionCols.contains(
+              g.asInstanceOf[AttributeReference].name)))
+    }
+    if (!bucketShaped && !agg.groupingExpressions.forall(g =>
       g.isInstanceOf[AttributeReference] &&
         graft.lake.TpSchema.partitionCols.contains(
           g.asInstanceOf[AttributeReference].name))) return None
-    val (lr, cond) = unwrap(agg.child).getOrElse(return None)
+    val (lr, cond) = unwrap(agg.child)
+      .orElse(unwrapBucket(agg.child).map(t => (t._1, t._2)))
+      .getOrElse(return None)
     val (lake, table) = (lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case z: ZoneMapFileIndex => z.owner
@@ -281,10 +300,16 @@ final case class MetadataAggregateRule(session: SparkSession)
           case _ => return None
         }
     }
+    val groupRefs = AttributeSet(agg.groupingExpressions
+      .flatMap(_.references))
     val specs = agg.aggregateExpressions.map {
       // bare attrs are grouping-column pass-throughs in the grouped
-      // shape; the lint needn't re-validate their exprIds
+      // shape; the lint needn't re-validate their exprIds. Aliases
+      // over group keys (incl. derived casts in the bucket shape) are
+      // pass-throughs too.
       case _: AttributeReference => Some(CountStar)
+      case al: Alias if al.references.nonEmpty &&
+          al.references.subsetOf(groupRefs) => Some(CountStar)
       case e => classify(e)
     }
     if (specs.exists(_.isEmpty)) None
@@ -296,7 +321,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
       case QuantileCol(a, _) => a.name
-    } ++ (if (bandShaped) Seq(graft.lake.TpSchema.Timestamp)
+    } ++ (if (bandShaped || bucketShaped)
+            Seq(graft.lake.TpSchema.Timestamp)
           else Nil)).distinct)
   }
 
@@ -642,7 +668,9 @@ final case class MetadataAggregateRule(session: SparkSession)
     val (glo, ghi, gn, grest) =
       splitBandExprs(single.result()).getOrElse(return None)
     val bands0: Seq[(Long, Long)] = orBands match {
-      case None => if (gn > 0) Seq((glo, ghi)) else Seq.empty
+      case None =>
+        if (gn > 0) Seq((glo, ghi)).filter { case (l, h) => l <= h }
+        else Seq.empty
       case Some(bs) => bs
         .map { case (l, h) => (math.max(l, glo), math.min(h, ghi)) }
         .filter { case (l, h) => l <= h }
@@ -911,8 +939,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       agg: Aggregate, lr: LogicalRelation,
       lake: Lake, table: String,
       cond: Expression): Option[LogicalPlan] = {
-    val (lo, hi, nBand, partCond) = splitBand(cond).getOrElse(return None)
-    if (nBand == 0 || lo > hi) return None
+    val (bands, nBand, partCond) = splitBands(cond).getOrElse(return None)
+    if (nBand == 0 || bands.isEmpty) return None
     val fileFilter: String => Boolean = partCond match {
       case None => _ => true
       case Some(pc) =>
@@ -960,12 +988,13 @@ final case class MetadataAggregateRule(session: SparkSession)
     if (!lake.hasData(session, table)) return None
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
-    val (groups, straddlers, containedCount) = lake.timeBandPartsGrouped(
-      session, table, lo, hi, cols, schema, rangeCols, sumColsS,
-      f => {
-        val pv = lake.partitionValues(lake.relOf(table, f))
-        groupAttrs.map(a => pv.getOrElse(a.name, null))
-      }, fileFilter, ndvColsG, kllColsG)
+    val (groups, straddlers, containedCount) =
+      lake.timeBandPartsGroupedMulti(
+        session, table, bands, cols, schema, rangeCols, sumColsS,
+        f => {
+          val pv = lake.partitionValues(lake.relOf(table, f))
+          groupAttrs.map(a => pv.getOrElse(a.name, null))
+        }, fileFilter, ndvColsG, kllColsG)
     if (containedCount <= 0) return None // hybrid buys nothing
     val sumOnlyS = valueSpecs.collect { case SumCol(a) => a.name }.toSet
     if (!groups.forall { case (_, p) =>
@@ -1160,17 +1189,20 @@ final case class MetadataAggregateRule(session: SparkSession)
       case IntegerType | LongType | StringType => true
       case _ => false
     })) return None
-    // WHERE: a tp band (folded date conjuncts included) + partition
-    // residual; no WHERE at all = the full range — bucket containment
-    // alone still makes most files metadata-servable
-    val (lo, hi, partCond) = cond match {
-      case None => (Long.MinValue, Long.MaxValue, None)
-      case Some(c) => splitBand(c) match {
-        case Some((l, h, _, rest)) => (l, h, rest)
+    // WHERE: a tp band set (folded date conjuncts and OR-of-bands
+    // included) + partition residual; no WHERE at all = the full
+    // range — bucket containment alone still makes most files
+    // metadata-servable
+    val (bands, partCond) = cond match {
+      case None => (Seq((Long.MinValue, Long.MaxValue)), None)
+      case Some(c) => splitBands(c) match {
+        case Some((bs, n, rest)) =>
+          (if (n > 0) bs
+           else Seq((Long.MinValue, Long.MaxValue)), rest)
         case None => return None
       }
     }
-    if (lo > hi) return None
+    if (bands.isEmpty) return None
     val fileFilter: String => Boolean = partCond match {
       case None => _ => true
       case Some(pc) =>
@@ -1243,7 +1275,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
     val (groups, straddlers, containedCount) = lake.timeBucketPartsGrouped(
-      session, table, lo, hi, grainUs, cols, schema, rangeCols, sumColsS,
+      session, table, bands, grainUs, cols, schema, rangeCols, sumColsS,
       f => {
         val pv = lake.partitionValues(lake.relOf(table, f))
         partAttrs.map(a => pv.getOrElse(a.name, null))

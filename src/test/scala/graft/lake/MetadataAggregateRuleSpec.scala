@@ -817,6 +817,40 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     val r2 = q2.head()
     assert(r2.getLong(0) === 400L)
     assert(r2.getLong(1) === (200 until 600).map(_.toLong).sum)
+    // the GROUPED (partition-key) and BUCKET-grouped shapes ride the
+    // same multi-band classification
+    val qg = spark.sql("""
+      SELECT tp_index AS k, count(*) AS n, sum(event_id) AS s FROM obq
+      WHERE (tp_timestamp >= timestamp'2024-03-05 01:30:00'
+             AND tp_timestamp <= timestamp'2024-03-05 03:30:00')
+         OR (tp_timestamp >= timestamp'2024-03-05 05:00:00'
+             AND tp_timestamp <= timestamp'2024-03-05 06:59:59.999999')
+      GROUP BY tp_index""")
+    val fg = ScanAudit.filesReadAfterRun(qg)
+    assert(fg > 0 && fg * 2 < total,
+      s"grouped OR-of-bands should scan only straddlers: $fg of $total")
+    val wantUngrouped = truthFor(w1 || w2)
+    val rg = qg.head()
+    // tp_index "0" partition-infers as INT on read — both paths agree
+    assert(rg.get(0).toString === "0" &&
+      rg.getLong(1) === wantUngrouped.getLong(0) &&
+      rg.getLong(2) === wantUngrouped.getLong(3))
+    val qb = spark.sql("""
+      SELECT date_trunc('HOUR', tp_timestamp) AS h, count(*) AS n
+      FROM obq
+      WHERE (tp_timestamp >= timestamp'2024-03-05 01:30:00'
+             AND tp_timestamp <= timestamp'2024-03-05 03:30:00')
+         OR (tp_timestamp >= timestamp'2024-03-05 05:00:00'
+             AND tp_timestamp <= timestamp'2024-03-05 06:59:59.999999')
+      GROUP BY 1 ORDER BY h""")
+    val fb = ScanAudit.filesReadAfterRun(qb)
+    assert(fb > 0 && fb * 2 < total,
+      s"bucket OR-of-bands should scan only straddlers: $fb of $total")
+    val truthB = spark.read.option("basePath", lake.tableDir("obq"))
+      .parquet(lake.tableDir("obq")).where(w1 || w2)
+      .groupBy(date_trunc("HOUR", col("tp_timestamp")).as("h"))
+      .agg(count(lit(1)).as("n")).orderBy("h").collect().toSeq
+    assert(qb.collect().toSeq === truthB)
     // an OR with a NON-band branch cannot be factored: decline (scan),
     // answer intact
     val q3 = spark.sql("""

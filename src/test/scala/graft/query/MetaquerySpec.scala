@@ -119,6 +119,19 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
         "tp_timestamp >= timestamp'2024-03-01 12:00:00'")
     assert(bandMiss.contains("WARNING") &&
       bandMiss.contains("tp_timestamp"), bandMiss)
+    // a GROUP BY tp_date / date_trunc bucket that missed the hybrid
+    // (no tp_timestamp stats → no containment proof) names that
+    // column in the hint — the reporting-query enablement story
+    val bucketMiss = Metaquery.handle(spark, lake, st,
+      ".explain select tp_date, count(*) as n from metrics " +
+        "group by tp_date")
+    assert(bucketMiss.contains("WARNING") &&
+      bucketMiss.contains("tp_timestamp"), bucketMiss)
+    val truncMiss = Metaquery.handle(spark, lake, st,
+      ".explain select date_trunc('DAY', tp_timestamp) as d, " +
+        "count(*) as n from metrics group by 1")
+    assert(truncMiss.contains("WARNING") &&
+      truncMiss.contains("tp_timestamp"), truncMiss)
   }
 
   test("planWarnings flags a stream-stream join left at the session " +
