@@ -1956,6 +1956,54 @@ object Main {
           .getOrElse(lake.colStatsColumns(spark, t))
         require(cols.nonEmpty, "table aggregate requires --columns " +
           "(or stats-enabled columns on the table)")
+        opts.flag("by") match {
+          // --by day|hour|minute: the per-bucket report — THE
+          // reporting query of the reference's domain, served through
+          // the SQL bucket hybrid (bucket-contained files answer from
+          // metadata, straddlers scan and merge in-plan). Runs the
+          // same registered-view path a SQL session gets; the audit
+          // line reports the in-plan scan.
+          case Some(grainRaw) =>
+            val grain = grainRaw.toLowerCase(java.util.Locale.ROOT)
+            require(Set("day", "hour", "minute").contains(grain),
+              "table aggregate --by wants day|hour|minute")
+            graft.query.Views.register(spark, lake,
+              graft.query.Views.Filters())
+            val bucket =
+              if (grain == "day") "tp_date"
+              else s"date_trunc('${grain.toUpperCase(
+                java.util.Locale.ROOT)}', tp_timestamp)"
+            val where = (opts.ts("from"), opts.ts("to")) match {
+              case (None, None) => ""
+              case (f, to0) =>
+                val lo = f.getOrElse(new java.sql.Timestamp(0L))
+                val hi = to0.getOrElse(
+                  Timestamp.valueOf("9999-12-31 00:00:00"))
+                s"WHERE tp_timestamp >= timestamp'$lo' " +
+                  s"AND tp_timestamp <= timestamp'$hi'"
+            }
+            val colAggs = cols.map(c =>
+              s"count($c) AS n_$c, min($c) AS mn_$c, max($c) AS mx_$c")
+            val q = spark.sql(
+              s"SELECT $bucket AS bucket, count(*) AS n_rows, " +
+                colAggs.mkString(", ") +
+                s" FROM $t $where GROUP BY $bucket ORDER BY bucket")
+            val rows = q.collect()
+            val files = graft.query.ScanAudit.filesRead(q)
+            rows.foreach { r =>
+              val per = cols.map(c =>
+                s" $c[count=${r.getAs[Long](s"n_$c")}" +
+                  s" min=${Option(r.getAs[Any](s"mn_$c")).getOrElse("-")}" +
+                  s" max=${Option(r.getAs[Any](s"mx_$c")).getOrElse("-")}]")
+                .mkString
+              out.println(
+                s"${Option(r.getAs[Any]("bucket")).getOrElse("null")}: " +
+                  s"rows=${r.getAs[Long]("n_rows")}$per")
+            }
+            out.println(
+              if (files == 0) "served from metadata (no data scan)"
+              else s"metadata + in-plan scan of $files straddler file(s)")
+          case None =>
         // --from/--to: the TIME-BAND hybrid — contained files answer
         // from metadata, only band-edge straddlers are scanned
         // withSums = false: this command prints count/min/max only —
@@ -2059,6 +2107,7 @@ object Main {
                else " (scanned)"))
           }
         }
+        } // end --by match
       case other => throw new IllegalArgumentException(
         s"table: expected list|show|diff|snapshot|analyze|aggregate, " +
           s"got ${other.getOrElse("nothing")}")

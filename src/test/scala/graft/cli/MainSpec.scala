@@ -476,6 +476,24 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(qn.contains(
       "quantiles status_code: p50=200.0000 p99=404.0000 " +
         "(KLL merge, no scan)"), qn)
+    // --by day: the per-bucket report through the SQL bucket hybrid —
+    // the single day-contained file serves scan-free
+    val (rc8, byDay) = cli(dir, "table", "aggregate", "metrics",
+      "--by", "day")
+    assert(rc8 == 0, byDay)
+    assert(byDay.contains(
+      "2024-05-01: rows=3 status_code[count=3 min=200 max=404]"), byDay)
+    assert(byDay.contains("served from metadata (no data scan)"), byDay)
+    // --by hour buckets the same rows into one 10:00 bucket
+    val (rc9, byHour) = cli(dir, "table", "aggregate", "metrics",
+      "--by", "hour")
+    assert(rc9 == 0, byHour)
+    assert(byHour.contains("2024-05-01 10:00:00"), byHour)
+    assert(byHour.contains("rows=3"), byHour)
+    // unknown grain errors loudly
+    val (rc10, bad) = cli(dir, "table", "aggregate", "metrics",
+      "--by", "week")
+    assert(rc10 == 1 && bad.contains("day|hour|minute"), bad)
   }
 
   test("grok end-to-end: config-driven collect of a dated log file") {
