@@ -1787,6 +1787,18 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     val sidecar = snap.sidecar
 
     def usable(file: String, rows: Long, c: String): Boolean = {
+      // physical partition columns are DIRECTORY truth (partitionBy
+      // strips them from the files): count = rows of files whose dir
+      // value is non-null, min/max = dir-value extremes, integral
+      // sum = value × rows — all from the listing + manifest, no
+      // sidecar row exists or is needed. The estimator aggregates
+      // (ndv/quantile) stay scan-derived: there is no per-row sketch
+      // for a column materialized from the path.
+      if (TpSchema.partitionCols.contains(c))
+        return !ndvColumns(c) && !kllColumns(c) && (dtOf(c) match {
+          case IntegerType | LongType | StringType => true
+          case _ => false
+        })
       val cov = sidecar.get((file, c))
       // count(c): needs the sidecar's null/row counts, and they must
       // describe THIS file state (n == manifest rows; files are
@@ -1855,6 +1867,31 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         }
         files.foreach { case (file, m) =>
           columns.foreach { c =>
+            if (TpSchema.partitionCols.contains(c)) {
+              // directory-truth column: one value for every row of the
+              // file (usable() gated the type; DEFAULT_PARTITION = null)
+              val dt = dtOf(c)
+              val v: Any = partitionValues(relOf(table, file)).get(c)
+                .filterNot(_ == org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+                .map(s => dt match {
+                  case IntegerType => Int.box(s.toInt)
+                  case LongType => Long.box(s.toLong)
+                  case _ => s
+                }).orNull
+              if (v != null) {
+                cnt(c) += m.rows
+                if (sumColumns(c)) {
+                  val lv = v match {
+                    case i: Integer => i.longValue
+                    case l: java.lang.Long => l.longValue
+                  }
+                  sm(c) = sm.getOrElse(c, BigInt(0)) +
+                    BigInt(lv) * m.rows
+                }
+                if (rangeColumns(c)) merge(c, dt, v, v)
+              }
+            } else {
             val r = sidecar((file, c))
             cnt(c) += r.n - r.nulls
             if (sumColumns(c))
@@ -1878,6 +1915,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
               merge(c, dt,
                 r.minD.map(fromDouble(dt, _)).orNull,
                 r.maxD.map(fromDouble(dt, _)).orNull)
+            }
           }
         }
         // ndv: one driver-side HLL union per requested column over the

@@ -1296,6 +1296,29 @@ object IngestQueries {
       q
     }),
 
+    // Partition columns as DIRECTORY truth (r18): count/min/max/sum/
+    // avg over tp_year/tp_month/tp_index derive from the listing +
+    // manifest row counts — partitionBy strips these columns from the
+    // files, so the directory IS the column; no sidecar row exists or
+    // is needed, and the introspection dashboard ("what months do we
+    // hold, which index names, how many rows per year") reads zero
+    // data. The DuckDB oracle recomputes from raw rows via
+    // year()/month() of the timestamp and the tp_index source column.
+    "qi45_sql_partition_column_aggregate" -> ((s, dir) => {
+      val lake = metaAggFixture(s, dir) // shared with qi31/qi33/qi40
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT count(*) AS n, min(tp_year) AS min_year,
+               max(tp_year) AS max_year, count(tp_month) AS n_month,
+               avg(tp_month) AS avg_month, sum(tp_year) AS sum_year,
+               min(tp_index) AS min_etype, max(tp_index) AS max_etype
+        FROM events_meta31""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0L,
+        s"partition-column aggregate through SQL still scanned $files")
+      q
+    }),
+
     // OR-of-bands hybrid (r17 verdict task 6): the multi-window
     // dashboard shape — `ts BETWEEN a AND b OR ts BETWEEN c AND d` —
     // factored into a disjoint band set; slices contained in EITHER
@@ -2090,6 +2113,20 @@ object IngestQueries {
       WHERE event_id % 5 = 0
         AND cast(cast(ts AS timestamp) AS DATE) >= DATE '2024-01-11'
         AND cast(cast(ts AS timestamp) AS DATE) <= DATE '2024-01-18'""",
+
+    // raw-row recompute of the directory-truth aggregates: a wrong
+    // dir-value conversion, a null-dir miscount, or a rows-weighting
+    // error in the sum breaks this hash
+    "qi45_sql_partition_column_aggregate" -> """
+      SELECT count(*) AS n,
+             cast(min(year(cast(ts AS timestamp))) AS INT) AS min_year,
+             cast(max(year(cast(ts AS timestamp))) AS INT) AS max_year,
+             count(month(cast(ts AS timestamp))) AS n_month,
+             avg(month(cast(ts AS timestamp))) AS avg_month,
+             cast(sum(year(cast(ts AS timestamp))) AS BIGINT)
+               AS sum_year,
+             min(event_type) AS min_etype, max(event_type) AS max_etype
+      FROM events WHERE event_id % 5 = 0""",
 
     // raw-row recompute of the two-window aggregate: a window-merge
     // error, a file wrongly contained, or a gap row leaking in breaks

@@ -760,6 +760,50 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(r.getString(2) === "zzz")
   }
 
+  test("partition columns are DIRECTORY truth: count/min/max/sum/avg " +
+      "over tp_year/tp_month/tp_index serve scan-free; null dirs " +
+      "count as SQL nulls; estimator aggs decline") {
+    val (lake, t) = fixture() // 350 rows, tp_year=2024, tp_month=3
+    val q = spark.sql(s"""
+      SELECT count(*) AS n, min(tp_year) AS mny, max(tp_year) AS mxy,
+             count(tp_month) AS nm, min(tp_month) AS mnm,
+             max(tp_month) AS mxm, avg(tp_month) AS am,
+             sum(tp_year) AS sy,
+             min(tp_index) AS mni, max(tp_index) AS mxi
+      FROM $t""")
+    val files = ScanAudit.filesReadAfterRun(q)
+    assert(files === 0,
+      s"partition-column aggregate scanned $files files")
+    val r = q.head()
+    assert(r.getLong(0) === 350L)
+    assert(r.getInt(1) === 2024 && r.getInt(2) === 2024)
+    assert(r.getLong(3) === 350L)
+    assert(r.getInt(4) === 3 && r.getInt(5) === 3)
+    assert(r.getDouble(6) === 3.0)
+    assert(r.getLong(7) === 350L * 2024)
+    assert(r.get(8).toString === "0" && r.get(9).toString === "0")
+    // SELECT DISTINCT over partition keys is the same Aggregate shape
+    val qd = spark.sql(s"SELECT DISTINCT tp_index, tp_year FROM $t")
+    assert(ScanAudit.filesReadAfterRun(qd) === 0,
+      "DISTINCT over partition keys must be directory-served")
+    assert(qd.count() === 1L)
+    // null partition dirs (null-ts rows in dayLake's bq) are excluded
+    // from count/ranges exactly as the scan computes them
+    val (lake2, _) = dayLake()
+    val q2 = spark.sql(
+      "SELECT count(*) AS n, count(tp_year) AS ny, min(tp_year) AS y " +
+        "FROM bq")
+    assert(ScanAudit.filesReadAfterRun(q2) === 0)
+    val r2 = q2.head()
+    assert(r2.getLong(0) === 650L && r2.getLong(1) === 640L &&
+      r2.getInt(2) === 2024)
+    // ndv over a partition column has no per-row sketch: decline to
+    // the (correct) scan
+    val qn = spark.sql(s"SELECT ndv(tp_index) AS u FROM $t")
+    assert(ScanAudit.filesReadAfterRun(qn) > 0)
+    assert(qn.head().getLong(0) === 1L)
+  }
+
   test("OR-of-bands: disjoint windows serve contained slices from " +
       "metadata; overlapping windows merge; impure ORs decline") {
     val lake = Lake(Files.createTempDirectory("graft_metaagg_or").toString)
