@@ -1800,6 +1800,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           case _ => false
         })
       val cov = sidecar.get((file, c))
+      // tp_date DERIVES from tp_timestamp (null iff ts null; extremes
+      // are the day-truncated manifest ts extremes under the UTC
+      // convention) — when it has no sidecar row of its own, serve its
+      // count from the tp_timestamp row and its ranges from the
+      // manifest. Estimator aggregates still need a real blob.
+      if (c == TpSchema.Date && cov.isEmpty)
+        return dtOf(c) == DateType &&
+          spark.sessionState.conf.sessionLocalTimeZone == "UTC" &&
+          !ndvColumns(c) && !kllColumns(c) && !sumColumns(c) &&
+          sidecar.get((file, TpSchema.Timestamp)).exists(_.n == rows)
       // count(c): needs the sidecar's null/row counts, and they must
       // describe THIS file state (n == manifest rows; files are
       // immutable, so a mismatch means a stale or foreign row)
@@ -1890,6 +1900,23 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
                     BigInt(lv) * m.rows
                 }
                 if (rangeColumns(c)) merge(c, dt, v, v)
+              }
+            } else if (c == TpSchema.Date &&
+                !sidecar.contains((file, c))) {
+              // derived-column fallback (usable() gated UTC + the ts
+              // row's presence): counts ride tp_timestamp's nulls,
+              // ranges the day-truncated manifest extremes
+              val tsr = sidecar((file, TpSchema.Timestamp))
+              cnt(c) += tsr.n - tsr.nulls
+              if (rangeColumns(c)) {
+                def d(ts: Option[Timestamp]): java.sql.Date =
+                  ts.map { t =>
+                    val us = org.apache.spark.sql.catalyst.util
+                      .DateTimeUtils.fromJavaTimestamp(t)
+                    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+                      Math.floorDiv(us, 86400000000L)))
+                  }.orNull
+                merge(c, dtOf(c), d(m.minTs), d(m.maxTs))
               }
             } else {
             val r = sidecar((file, c))

@@ -1100,6 +1100,39 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     val rd = qd.head()
     assert(rd.getDate(0) === java.sql.Date.valueOf("2024-03-05") &&
       rd.getLong(1) === 800L)
+    // HAVING / ORDER BY / LIMIT compose above the rewritten bucket
+    // aggregate (exactly as over partition groups), still scan-free.
+    // min(tp_date) has NO sidecar row of its own here — it derives
+    // from tp_timestamp (count via the ts row's nulls, ranges via the
+    // day-truncated manifest extremes)
+    val qh = spark.sql("""
+      SELECT date_trunc('HOUR', tp_timestamp) AS h, count(*) AS n,
+             max(tp_timestamp) AS mx, min(tp_date) AS d,
+             sum(event_id) AS s
+      FROM bh GROUP BY 1 HAVING count(*) >= 100
+      ORDER BY s DESC LIMIT 3""")
+    assert(ScanAudit.filesReadAfterRun(qh) === 0,
+      "HAVING/ORDER/LIMIT must ride above the bucket LocalRelation")
+    val rows2 = qh.collect()
+    assert(rows2.length === 3)
+    // hour 7 holds ids 700..799 — the largest sum
+    assert(rows2.head.getTimestamp(0) ===
+      java.sql.Timestamp.valueOf("2024-03-05 07:00:00"))
+    assert(rows2.head.getLong(4) === (700 until 800).map(_.toLong).sum)
+    assert(rows2.head.getTimestamp(2) ===
+      java.sql.Timestamp.valueOf("2024-03-05 07:59:24"))
+    assert(rows2.forall(_.getDate(3) ===
+      java.sql.Date.valueOf("2024-03-05")))
+    // ungrouped too: count/min/max of the DERIVED tp_date on a table
+    // whose stats never named it
+    val qdd = spark.sql("SELECT count(tp_date) AS n, " +
+      "min(tp_date) AS mn, max(tp_date) AS mx FROM bh")
+    assert(ScanAudit.filesReadAfterRun(qdd) === 0,
+      "derived tp_date aggregates must ride the ts row + manifest")
+    val rdd = qdd.head()
+    assert(rdd.getLong(0) === 800L &&
+      rdd.getDate(1) === java.sql.Date.valueOf("2024-03-05") &&
+      rdd.getDate(2) === java.sql.Date.valueOf("2024-03-05"))
   }
 
   test("cast(tp_timestamp AS date) buckets and key-DERIVED outputs " +
