@@ -1957,7 +1957,7 @@ object Main {
         require(cols.nonEmpty, "table aggregate requires --columns " +
           "(or stats-enabled columns on the table)")
         opts.flag("by") match {
-          // --by day|hour|minute: the per-bucket report — THE
+          // --by minute…year: the per-bucket report — THE
           // reporting query of the reference's domain, served through
           // the SQL bucket hybrid (bucket-contained files answer from
           // metadata, straddlers scan and merge in-plan). Runs the
@@ -1965,8 +1965,10 @@ object Main {
           // line reports the in-plan scan.
           case Some(grainRaw) =>
             val grain = grainRaw.toLowerCase(java.util.Locale.ROOT)
-            require(Set("day", "hour", "minute").contains(grain),
-              "table aggregate --by wants day|hour|minute")
+            require(Set("minute", "hour", "day", "week", "month",
+              "quarter", "year").contains(grain),
+              "table aggregate --by wants " +
+                "minute|hour|day|week|month|quarter|year")
             graft.query.Views.register(spark, lake,
               graft.query.Views.Filters())
             val bucket =

@@ -1557,7 +1557,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       kllColumns: Set[String] = Set.empty)
       : (StatsAggParts, Seq[String], Int) = {
     val (groups, toScan, contained) = timePartsGroupedCore(spark, table,
-      bands, bucketUs = None, columns, schema, rangeColumns, sumColumns,
+      bands, bucketIdOf = None, columns, schema, rangeColumns, sumColumns,
       _ => Nil, fileFilter, ndvColumns, kllColumns)
     (groups.values.headOption.getOrElse(
       StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty,
@@ -1576,7 +1576,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     */
   private def timePartsGroupedCore(
       spark: SparkSession, table: String,
-      bands: Seq[(Long, Long)], bucketUs: Option[Long],
+      bands: Seq[(Long, Long)], bucketIdOf: Option[Long => Long],
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String], sumColumns: Set[String],
       groupOf: String => Seq[String],
@@ -1596,8 +1596,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         case _ => false // unknown range: must consider it
       }
     }
-    def bucketOk(mn: Long, mx: Long): Boolean = bucketUs.forall(g =>
-      Math.floorDiv(mn, g) == Math.floorDiv(mx, g))
+    // bucket id functions are MONOTONE in micros (BucketGrain
+    // contract), so equal ids at the range ends prove every row in
+    // between shares the bucket — for calendar grains exactly as for
+    // fixed widths
+    def bucketOk(mn: Long, mx: Long): Boolean =
+      bucketIdOf.forall(idOf => idOf(mn) == idOf(mx))
     val contained: Set[String] = overlapping.filter { f =>
       bounds.get(f) match {
         case Some((Some(mn), Some(mx))) =>
@@ -1607,10 +1611,10 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         case _ => false
       }
     }.toSet
-    val effectiveGroupOf: String => Seq[String] = bucketUs match {
+    val effectiveGroupOf: String => Seq[String] = bucketIdOf match {
       case None => groupOf
-      case Some(g) => f =>
-        Math.floorDiv(bounds(f)._1.get, g).toString +: groupOf(f)
+      case Some(idOf) => f =>
+        idOf(bounds(f)._1.get).toString +: groupOf(f)
     }
     val (groups, residualContained) = statsAggPartsGrouped(spark, table,
       columns, schema, rangeColumns, sumColumns, effectiveGroupOf,
@@ -1654,7 +1658,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       kllColumns: Set[String] = Set.empty)
       : (Seq[(Seq[String], StatsAggParts)], Seq[String], Int) = {
     val (groups, toScan, contained) = timePartsGroupedCore(spark, table,
-      bands, bucketUs = None, columns, schema, rangeColumns, sumColumns,
+      bands, bucketIdOf = None, columns, schema, rangeColumns, sumColumns,
       groupOf, fileFilter, ndvColumns, kllColumns)
     (groups.toSeq, toScan, contained)
   }
@@ -1663,7 +1667,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     * task 1 — the domain's reporting shape, `GROUP BY tp_date` /
     * `date_trunc` buckets): a file is metadata-eligible iff it is
     * band-contained, proven null-ts-free, AND bucket-contained — its
-    * manifest ts range falls inside ONE `grainUs`-wide bucket — so
+    * manifest ts range maps to ONE bucket id under `bucketIdOf` — so
     * every row of the file shares the file's bucket and the full-file
     * stats ARE that bucket's partial. After time-ordered compaction
     * (the reference orders by tp_timestamp precisely so files don't
@@ -1678,7 +1682,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     */
   private[lake] def timeBucketPartsGrouped(
       spark: SparkSession, table: String,
-      bands: Seq[(Long, Long)], grainUs: Long,
+      bands: Seq[(Long, Long)], bucketIdOf: Long => Long,
       columns: Seq[String], schema: StructType,
       rangeColumns: Set[String], sumColumns: Set[String],
       partOf: String => Seq[String],
@@ -1686,9 +1690,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       ndvColumns: Set[String] = Set.empty,
       kllColumns: Set[String] = Set.empty)
       : (Seq[((Long, Seq[String]), StatsAggParts)], Seq[String], Int) = {
-    require(grainUs > 0, "timeBucketPartsGrouped: grain must be positive")
     val (groups, toScan, contained) = timePartsGroupedCore(spark, table,
-      bands, bucketUs = Some(grainUs), columns, schema, rangeColumns,
+      bands, bucketIdOf = Some(bucketIdOf), columns, schema, rangeColumns,
       sumColumns, partOf, fileFilter, ndvColumns, kllColumns)
     val out = groups.toSeq.map { case (key, p) =>
       ((key.head.toLong, key.tail), p)
@@ -1796,7 +1799,11 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // for a column materialized from the path.
       if (TpSchema.partitionCols.contains(c))
         return !ndvColumns(c) && !kllColumns(c) && (dtOf(c) match {
-          case IntegerType | LongType | StringType => true
+          case IntegerType | LongType => true
+          // a string directory value has count/min/max but no sum —
+          // approving it for a sum/avg would MatchError in the
+          // aggregation branch below (r18 ADVICE-low)
+          case StringType => !sumColumns(c)
           case _ => false
         })
       val cov = sidecar.get((file, c))
@@ -1807,7 +1814,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // manifest. Estimator aggregates still need a real blob.
       if (c == TpSchema.Date && cov.isEmpty)
         return dtOf(c) == DateType &&
-          spark.sessionState.conf.sessionLocalTimeZone == "UTC" &&
+          TpSchema.isUtcZone(
+            spark.sessionState.conf.sessionLocalTimeZone) &&
           !ndvColumns(c) && !kllColumns(c) && !sumColumns(c) &&
           sidecar.get((file, TpSchema.Timestamp)).exists(_.n == rows)
       // count(c): needs the sidecar's null/row counts, and they must
@@ -1830,7 +1838,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // convention, so gated on the reader session being UTC like the
       // splitBand date fold
       if (c == TpSchema.Date &&
-        spark.sessionState.conf.sessionLocalTimeZone == "UTC") return true
+        TpSchema.isUtcZone(
+          spark.sessionState.conf.sessionLocalTimeZone)) return true
       val dt = dtOf(c)
       minMaxFromZones(dt) && (dt match {
         case LongType => cov.exists { r =>

@@ -102,52 +102,72 @@ final case class MetadataAggregateRule(session: SparkSession)
       safely(agg)(rewriteBucketGrouped(agg))
   }
 
-  /** Fixed micros width of a time-bucket grouping expression, or None
-    * when `e` isn't one this rule can serve. Two forms:
+  /** Bucket grain of a time-bucket grouping expression, or None when
+    * `e` isn't one this rule can serve. Forms:
     *
     *  - the `tp_date` column itself (DateType) — day grain; the engine
     *    derives `tp_date = date_trunc(day, tp_timestamp)` under its
     *    always-UTC writer convention, so a file whose manifest ts
     *    range is day-contained puts ALL its rows on one tp_date
-    *  - `date_trunc(grain, tp_timestamp)` for the fixed-width grains
-    *    DAY/DD/HOUR/MINUTE/SECOND — under a UTC session the truncation
-    *    is exactly `floorDiv(micros, grainUs) * grainUs`; WEEK would be
-    *    fixed-width too but anchors to Monday (offset, not just width)
-    *    and MONTH/YEAR aren't fixed-width, so those DECLINE
+    *  - `date_trunc(grain, tp_timestamp)` for DAY/DD/HOUR/MINUTE/
+    *    SECOND (fixed micros widths), WEEK (fixed width, Monday
+    *    anchor), and the CALENDAR grains MONTH/QUARTER/YEAR (r18
+    *    verdict task 1 — THE monthly report; the reference's own
+    *    layout partitions by year/month, ducklake_table.go:36-44, so
+    *    month-contained files dominate there). Containment never
+    *    needed a fixed width — only a bucket ID function MONOTONE in
+    *    micros, so `idOf(min_ts) == idOf(max_ts)` proves every row of
+    *    the file shares the bucket ([[MetadataAggregateRule.BucketGrain]]).
+    *  - `cast(tp_timestamp AS date)` — the third spelling of day
     *
-    * Both are gated on the reader session being UTC (same reasoning as
+    * All are gated on the reader session being UTC (same reasoning as
     * the splitBand date fold): a non-UTC session truncates in local
     * time and signals a deployment where the UTC-writer convention may
-    * not hold.
+    * not hold. Exactly-UTC spellings (`Etc/UTC`, `Z`, `+00:00`) are
+    * accepted via [[TpSchema.isUtcZone]] normalization. The zone
+    * RESOLVED INTO the expression at analysis must be UTC too: a plan
+    * analyzed under a non-UTC session and collected after `SET time
+    * zone UTC` keeps the captured zone in its `date_trunc`/cast, so
+    * the straddler scan would truncate in that zone while the metadata
+    * side floors in UTC (r18 ADVICE-low) — such expressions decline.
     */
-  private def bucketGrain(e: Expression): Option[Long] = {
-    if (session.sessionState.conf.sessionLocalTimeZone != "UTC")
-      return None
+  private def bucketGrain(e: Expression): Option[BucketGrain] = {
+    if (!graft.lake.TpSchema.isUtcZone(
+      session.sessionState.conf.sessionLocalTimeZone)) return None
+    def embeddedUtc(tz: Option[String]): Boolean =
+      tz.forall(graft.lake.TpSchema.isUtcZone)
     e match {
       case a: AttributeReference
           if a.name == graft.lake.TpSchema.Date &&
             a.dataType == org.apache.spark.sql.types.DateType =>
-        Some(DayUs)
+        Some(FixedGrain(DayUs))
       case TruncTimestamp(
           Literal(fmt: org.apache.spark.unsafe.types.UTF8String, StringType),
-          ts: AttributeReference, _)
+          ts: AttributeReference, tz)
           if ts.name == graft.lake.TpSchema.Timestamp &&
-            ts.dataType == org.apache.spark.sql.types.TimestampType =>
+            ts.dataType == org.apache.spark.sql.types.TimestampType &&
+            embeddedUtc(tz) =>
         fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
-          case "DAY" | "DD" => Some(DayUs)
-          case "HOUR" => Some(3600000000L)
-          case "MINUTE" => Some(60000000L)
-          case "SECOND" => Some(1000000L)
-          case _ => None // WEEK/MONTH/...: not a pure fixed width
+          case "DAY" | "DD" => Some(FixedGrain(DayUs))
+          case "HOUR" => Some(FixedGrain(3600000000L))
+          case "MINUTE" => Some(FixedGrain(60000000L))
+          case "SECOND" => Some(FixedGrain(1000000L))
+          case "MILLISECOND" => Some(FixedGrain(1000L))
+          case "WEEK" => Some(WeekGrain)
+          case "MONTH" | "MON" | "MM" => Some(MonthsGrain(1))
+          case "QUARTER" => Some(MonthsGrain(3))
+          case "YEAR" | "YYYY" | "YY" => Some(MonthsGrain(12))
+          case _ => None
         }
       // `cast(tp_timestamp AS date)` / `to_date(tp_timestamp)` — the
       // third spelling of the day bucket: under UTC the cast is
       // exactly floorDiv(micros, day), the same epoch-day key
       case Cast(ts: AttributeReference,
-          org.apache.spark.sql.types.DateType, _, _)
+          org.apache.spark.sql.types.DateType, tz, _)
           if ts.name == graft.lake.TpSchema.Timestamp &&
-            ts.dataType == org.apache.spark.sql.types.TimestampType =>
-        Some(DayUs)
+            ts.dataType == org.apache.spark.sql.types.TimestampType &&
+            embeddedUtc(tz) =>
+        Some(FixedGrain(DayUs))
       case _ => None
     }
   }
@@ -532,7 +552,8 @@ final case class MetadataAggregateRule(session: SparkSession)
     */
   private def splitBandExprs(cs: Seq[Expression])
       : Option[(Long, Long, Int, Seq[Expression])] = {
-    val utc = session.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val utc = graft.lake.TpSchema.isUtcZone(
+      session.sessionState.conf.sessionLocalTimeZone)
     def isTs(a: AttributeReference): Boolean =
       a.name == graft.lake.TpSchema.Timestamp &&
         a.dataType == org.apache.spark.sql.types.TimestampType
@@ -1092,20 +1113,6 @@ final case class MetadataAggregateRule(session: SparkSession)
     Some(Aggregate(unionOut.take(nKeys), mergeExprs, union))
   }
 
-  /** Catalyst-internal value for a bucket-group key: epoch days (Int)
-    * for a `tp_date` key, bucket-start micros (Long) for a
-    * `date_trunc` key.
-    */
-  private def bucketInternal(
-      bucket: Long, dt: org.apache.spark.sql.types.DataType,
-      grainUs: Long): Any =
-    dt match {
-      case org.apache.spark.sql.types.DateType =>
-        // day grain by construction: the bucket index IS the epoch day
-        bucket.toInt
-      case _ => bucket * grainUs // TimestampType: bucket-start micros
-    }
-
   /** TIME-BUCKET grouped hybrid (r17 verdict task 1): `GROUP BY
     * tp_date` or `GROUP BY date_trunc(grain, tp_timestamp)`, optionally
     * with partition-column keys and a tp_timestamp/tp_date band WHERE —
@@ -1144,7 +1151,14 @@ final case class MetadataAggregateRule(session: SparkSession)
       case pr: Project
           if pr.projectList.forall {
             case _: AttributeReference => true
-            case al: Alias => bucketGrain(al.child).isDefined
+            // only bucket-grain aliases pass, and only when the alias
+            // NAME doesn't shadow a column of the child (r18
+            // ADVICE-medium: `tp_date AS value` would otherwise let
+            // downstream NAME-keyed stats lookups serve the wrong
+            // column's stats; the optimizer's own pulled-out
+            // `_groupingexpression…` names can never collide)
+            case al: Alias => bucketGrain(al.child).isDefined &&
+              !pr.child.output.exists(_.name == al.name)
             case _ => false
           } =>
         unwrapBucket(pr.child).map { case (lr, c, m) =>
@@ -1175,7 +1189,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     }
     if (resolved.count(bucketGrain(_).isDefined) != 1) return None
     val bucketIdx = resolved.indexWhere(bucketGrain(_).isDefined)
-    val grainUs = bucketGrain(resolved(bucketIdx)).get
+    val grain = bucketGrain(resolved(bucketIdx)).get
     val bucketType = grouping(bucketIdx).dataType
     val partAttrs: Seq[AttributeReference] = grouping.zipWithIndex
       .filter(_._2 != bucketIdx)
@@ -1275,7 +1289,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     val schema = lake.schemaOf(session, table)
     if (!cols.forall(schema.fieldNames.contains)) return None
     val (groups, straddlers, containedCount) = lake.timeBucketPartsGrouped(
-      session, table, bands, grainUs, cols, schema, rangeCols, sumColsS,
+      session, table, bands, grain.idOf, cols, schema, rangeCols, sumColsS,
       f => {
         val pv = lake.partitionValues(lake.relOf(table, f))
         partAttrs.map(a => pv.getOrElse(a.name, null))
@@ -1287,7 +1301,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     }) return None
 
     def keyInternal(i: Int, bucket: Long, partVals: Seq[String]): Any =
-      if (i == bucketIdx) bucketInternal(bucket, bucketType, grainUs)
+      if (i == bucketIdx) grain.internalKey(bucketType, bucket)
       else dirValueToInternal(partVals(partIdxOf(i)), grouping(i).dataType)
     // driver-side eval of a key-derived output for one metadata group:
     // keys become Literals, then one eval (resolved + deterministic +
@@ -1510,6 +1524,76 @@ final case class MetadataAggregateRule(session: SparkSession)
 }
 
 object MetadataAggregateRule {
+
+  private val DayUsC = 86400000000L
+
+  /** A time-bucket grain as a pair of functions over Catalyst micros.
+    * `idOf` MUST be monotone non-decreasing in micros — that is the
+    * whole containment proof: `idOf(min_ts) == idOf(max_ts)` then
+    * proves every row of a file shares the file's bucket, for calendar
+    * grains exactly as for fixed widths (the r18 implementation
+    * modeled only fixed `floorDiv` widths; months/years aren't fixed
+    * width but their bucket IDs are still monotone). `startUs` inverts
+    * an ID to its bucket-start instant — the value `date_trunc`
+    * produces row-level for every member row under UTC, so metadata
+    * keys and straddler-scan keys meet in the final GROUP BY.
+    */
+  private[lake] sealed trait BucketGrain {
+    /** micros → bucket id (monotone non-decreasing). */
+    def idOf(us: Long): Long
+    /** bucket id → bucket-start micros (UTC). */
+    def startUs(id: Long): Long
+    /** Catalyst-internal group-key value: epoch days for a DateType
+      * key (day-grain `tp_date` / `cast AS date` — start is always a
+      * day multiple there), bucket-start micros for TimestampType.
+      */
+    final def internalKey(
+        dt: org.apache.spark.sql.types.DataType, id: Long): Any =
+      dt match {
+        case org.apache.spark.sql.types.DateType =>
+          Math.floorDiv(startUs(id), DayUsC).toInt
+        case _ => startUs(id)
+      }
+  }
+
+  /** DAY/HOUR/MINUTE/SECOND/MILLISECOND: pure `floorDiv` widths. */
+  private[lake] final case class FixedGrain(widthUs: Long)
+      extends BucketGrain {
+    override def idOf(us: Long): Long = Math.floorDiv(us, widthUs)
+    override def startUs(id: Long): Long = id * widthUs
+  }
+
+  /** WEEK: fixed 7-day width anchored to Monday (epoch day 0 =
+    * Thursday 1970-01-01; `date_trunc('week', …)` truncates to Monday
+    * in both Spark and ANSI engines, so week 0 starts Monday
+    * 1969-12-29 = epoch day −3).
+    */
+  private[lake] case object WeekGrain extends BucketGrain {
+    override def idOf(us: Long): Long =
+      Math.floorDiv(Math.floorDiv(us, DayUsC) + 3, 7)
+    override def startUs(id: Long): Long = (7 * id - 3) * DayUsC
+  }
+
+  /** MONTH/QUARTER/YEAR as `monthsPer` ∈ {1, 3, 12}: bucket id =
+    * `floorDiv(year·12 + month−1, monthsPer)` of the instant's UTC
+    * calendar date — monotone because the month index is, and exact
+    * through `java.time`'s proleptic-Gregorian calendar (the same one
+    * Spark 3+/Parquet use).
+    */
+  private[lake] final case class MonthsGrain(monthsPer: Int)
+      extends BucketGrain {
+    override def idOf(us: Long): Long = {
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, DayUsC))
+      Math.floorDiv(d.getYear.toLong * 12 + (d.getMonthValue - 1),
+        monthsPer.toLong)
+    }
+    override def startUs(id: Long): Long = {
+      val months = id * monthsPer
+      val y = Math.floorDiv(months, 12L).toInt
+      val m = Math.floorMod(months, 12L).toInt + 1
+      java.time.LocalDate.of(y, m, 1).toEpochDay * DayUsC
+    }
+  }
 
   private sealed trait Spec
   private case object CountStar extends Spec

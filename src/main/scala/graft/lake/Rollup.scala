@@ -98,6 +98,23 @@ object Rollup {
     val p = new Path(dir(lake, spec))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) { refresh(spark, lake, spec); return -1L }
+    // layout-migration guard: avg rollups written before the mergeable
+    // sum/count-pair layout stored a single `<name>` column. A dynamic
+    // overwrite of only the touched months would leave OLDER month
+    // partitions in the old layout — read() would then either fail to
+    // resolve `<name>_n` or silently surface null avgs depending on
+    // which footer schema inference lands on. Detect the old layout in
+    // the existing dir and rebuild the whole rollup once instead.
+    val avgNames = spec.aggs.filter(_.function == "avg").map(_.name)
+    if (avgNames.nonEmpty) {
+      val existing = scala.util.Try(
+        spark.read.parquet(dir(lake, spec)).schema.fieldNames.toSet)
+        .getOrElse(Set.empty[String])
+      if (existing.nonEmpty && avgNames.exists(n =>
+        !existing.contains(n + "_sum") || !existing.contains(n + "_n"))) {
+        refresh(spark, lake, spec); return -1L
+      }
+    }
     val months = touchedDirs
       .map(lake.partitionValues)
       .flatMap(vs => for {

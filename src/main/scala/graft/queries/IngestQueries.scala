@@ -171,6 +171,48 @@ object IngestQueries {
     lake
   }
 
+  /** Shared qi46 fixture: the month-sliced events lake — six
+    * month-contained appends landing in Jan..Jun 2024 (the reference's
+    * own physical layout partitions by year/month,
+    * ducklake_table.go:36-44, so month-contained files are its
+    * dominant case — and indeed this engine's tp_year/tp_month
+    * partitionBy makes every file month-contained by construction)
+    * plus one append crossing Jan→Feb (table `events_month46`).
+    * Source days shift by whole-day INTERVALs — exact micros
+    * arithmetic, reproduced literally in the DuckDB oracle. Built once
+    * per JVM.
+    */
+  private def monthFixture(
+      s: SparkSession, dir: String): graft.lake.Lake = {
+    val root = s"${workRoot(dir)}/month46"
+    val lake = graft.lake.Lake(s"$root/lake")
+    fixtureOnce(root) {
+      val spec = PartitionSpec("events_month46", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+      def slice(loDay: Int, hiDay: Int, shiftDays: Int): Unit = {
+        val shifted = src
+          .where(col("ts") >= date_add(lit("2024-01-01"), loDay) &&
+            col("ts") < date_add(lit("2024-01-01"), hiDay))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $shiftDays DAYS"))
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("event_type"), col("user_id"), col("value"))
+        Ingest.collectBatch(s, lake, spec, shifted,
+          timestampColumn = "ts")
+      }
+      // slice i covers 5 source days shifted i*30 days out: Jan 1-5,
+      // Feb 5-9, Mar 11-15, Apr 15-19, May 20-24, Jun 24-28
+      for (i <- 0 until 6) slice(i * 5, (i + 1) * 5, i * 30)
+      // a RE-CRAWL of the last 5 source days shifted +5: Jan 31..Feb 4
+      slice(25, 30, 5)
+      lake.enableColumnStats(s, "events_month46",
+        Seq("value", "user_id", "tp_timestamp"))
+    }
+    lake
+  }
+
   private def rmrf(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rec)
@@ -1402,6 +1444,38 @@ object IngestQueries {
       q
     }),
 
+    // THE monthly report (r18 verdict task 1): `GROUP BY
+    // date_trunc('MONTH', tp_timestamp)` with a band WHERE whose lower
+    // edge falls mid-January — a CALENDAR grain, not a fixed micros
+    // width, served by the monotone bucket-id generalization
+    // (idOf(min_ts)==idOf(max_ts) proves containment; MonthsGrain).
+    // Jan files at the band edge scan in-plan and MERGE into the Jan
+    // bucket with the Jan-31 metadata partial from the straddling
+    // append; Feb..Jun answer from metadata alone. The require pins
+    // the strict-minority scan set; the DuckDB oracle recomputes the
+    // month-grouped banded aggregate from raw rows, so a month-id
+    // error, a calendar-boundary error, or a bad grouped merge breaks
+    // the hash.
+    "qi46_sql_group_by_month_hybrid" -> ((s, dir) => {
+      val lake = monthFixture(s, dir)
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_month46").size
+      val q = s.sql("""
+        SELECT cast(date_trunc('MONTH', tp_timestamp) AS DATE) AS month,
+               count(*) AS n, min(value) AS min_value,
+               max(value) AS max_value, sum(user_id) AS sum_user,
+               avg(user_id) AS avg_user
+        FROM events_month46
+        WHERE tp_timestamp >= timestamp'2024-01-03 12:00:00'
+          AND tp_timestamp <= timestamp'2024-06-30 23:59:59'
+        GROUP BY date_trunc('MONTH', tp_timestamp) ORDER BY month""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"month-grouped hybrid should scan only band-edge files: " +
+          s"$files of $total")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -2185,6 +2259,57 @@ object IngestQueries {
       WHERE cast(ts AS timestamp) >= timestamp '2024-01-01 00:00:00'
         AND cast(ts AS timestamp) < timestamp '2024-01-13 00:00:00'
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // raw-row recompute of the MONTH-grouped banded hybrid: the feed
+    // CTE reproduces the fixture's whole-day INTERVAL shifts exactly
+    // (day arithmetic is exact micros in both engines), so a calendar
+    // bucket-id error, a band-edge misclassification, or a bad grouped
+    // merge breaks this hash
+    "qi46_sql_group_by_month_hybrid" -> """
+      WITH feed AS (
+        SELECT cast(ts AS timestamp) AS ts2, user_id, value FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-06 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 30 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-06 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-11 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 60 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-11 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-16 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 90 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-16 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-21 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 120 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-21 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-26 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 150 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 5 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00')
+      SELECT cast(date_trunc('month', ts2) AS DATE) AS month,
+             count(*) AS n, min(value) AS min_value,
+             max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user,
+             avg(user_id) AS avg_user
+      FROM feed
+      WHERE ts2 >= TIMESTAMP '2024-01-03 12:00:00'
+        AND ts2 <= TIMESTAMP '2024-06-30 23:59:59'
+      GROUP BY 1 ORDER BY 1""",
 
     "qi36_sql_metadata_sum" -> """
       SELECT event_type AS etype, count(*) AS n,

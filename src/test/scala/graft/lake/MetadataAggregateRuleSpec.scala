@@ -1041,14 +1041,25 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
       .orderBy(col("d").asc_nulls_first).collect().toSeq
     assert(qm.collect().toSeq === truthM)
-    // WEEK anchors to Monday (offset grain) and MONTH isn't fixed-
-    // width: both must decline to the (correct) scan
-    for (grain <- Seq("WEEK", "MONTH")) {
+    // WEEK (Monday anchor) and the CALENDAR grains MONTH/QUARTER/YEAR
+    // serve too (r18 verdict task 1): containment never needed a fixed
+    // width, only a bucket-id function monotone in micros —
+    // idOf(min_ts)==idOf(max_ts) proves the file shares one bucket.
+    // Every dated file here is week- and month-contained; only the
+    // null-ts file scans (its rows land in the null bucket in-plan).
+    for (grain <- Seq("WEEK", "MONTH", "QUARTER", "YEAR")) {
       val qd = spark.sql(s"SELECT date_trunc('$grain', tp_timestamp) " +
-        s"AS d, count(*) AS n FROM bq GROUP BY 1")
-      assert(ScanAudit.filesReadAfterRun(qd) > 0,
-        s"$grain buckets must not be metadata-served")
-      assert(qd.agg(sum(col("n"))).head().getLong(0) === 650L)
+        s"AS d, count(*) AS n, sum(event_id) AS s FROM bq GROUP BY 1 " +
+        "ORDER BY d ASC NULLS FIRST")
+      val fd = ScanAudit.filesReadAfterRun(qd)
+      assert(fd > 0 && fd * 2 < total,
+        s"$grain: only the null-ts file should scan ($fd of $total)")
+      val truthD = spark.read.option("basePath", lake.tableDir("bq"))
+        .parquet(lake.tableDir("bq"))
+        .groupBy(date_trunc(grain, col("tp_timestamp")).as("d"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+        .orderBy(col("d").asc_nulls_first).collect().toSeq
+      assert(qd.collect().toSeq === truthD, s"$grain bucket values")
     }
     // TWO bucket expressions (mixed grains) decline
     val q2 = spark.sql("""
@@ -1214,5 +1225,87 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       "SELECT tp_date, count(v) AS n FROM bq2 GROUP BY 1")
     assert(ScanAudit.filesReadAfterRun(q2) > 0)
     assert(q2.head().getLong(1) === 50L)
+  }
+
+  test("exactly-UTC zone spellings (Etc/UTC, Z, +00:00) SERVE; a real " +
+      "non-UTC zone declines (ZoneId normalization, r18 verdict nit 1)") {
+    assert(TpSchema.isUtcZone("UTC") && TpSchema.isUtcZone("Etc/UTC") &&
+      TpSchema.isUtcZone("Z") && TpSchema.isUtcZone("+00:00") &&
+      TpSchema.isUtcZone("GMT"))
+    assert(!TpSchema.isUtcZone("America/New_York") &&
+      !TpSchema.isUtcZone("+01:00") && !TpSchema.isUtcZone("Europe/London") &&
+      !TpSchema.isUtcZone("not-a-zone"))
+    val (lake, total) = dayLake()
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    for (tz <- Seq("Etc/UTC", "Z", "+00:00")) {
+      try {
+        spark.conf.set(tzKey, tz)
+        val q = spark.sql("SELECT tp_date, count(*) AS n FROM bq " +
+          "WHERE tp_timestamp >= timestamp'2024-03-02 00:00:00' AND " +
+          "tp_timestamp < timestamp'2024-03-06 00:00:00' " +
+          "GROUP BY 1 ORDER BY 1")
+        assert(ScanAudit.filesReadAfterRun(q) === 0,
+          s"'$tz' is exactly UTC and must serve scan-free")
+        assert(q.count() === 4L)
+      } finally spark.conf.set(tzKey, prev)
+    }
+  }
+
+  test("calendar bucket-id functions agree with java.time truncation " +
+      "over a dense instant sweep (monotone, id↔start roundtrip)") {
+    import MetadataAggregateRule.{WeekGrain, MonthsGrain}
+    val grains: Seq[MetadataAggregateRule.BucketGrain] =
+      Seq(WeekGrain, MonthsGrain(1), MonthsGrain(3), MonthsGrain(12))
+    // a sparse sweep across 1969..2025 plus exact boundary instants
+    val step = 7L * 3600 + 13 * 60
+    val instants =
+      (-31536000L to (56L * 31536000L) by step * 997).map(_ * 1000000L) ++
+        Seq("1969-12-29T00:00:00Z", "1970-01-01T00:00:00Z",
+          "2024-02-29T23:59:59.999999Z", "2024-03-01T00:00:00Z",
+          "2024-12-31T23:59:59.999999Z", "2025-01-01T00:00:00Z")
+          .map(s => java.time.Instant.parse(s).toEpochMilli * 1000L +
+            (if (s.contains("999999")) 999L else 0L))
+    for (g <- grains; us <- instants) {
+      val id = g.idOf(us)
+      val start = g.startUs(id)
+      // start is inside the bucket and floors to itself
+      assert(g.idOf(start) === id && start <= us)
+      // the instant strictly before the start belongs to the bucket
+      // before (boundary exactness)
+      assert(g.idOf(start - 1) === id - 1)
+      // java.time ground truth for the start instant
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(start, 86400000000L))
+      g match {
+        case MetadataAggregateRule.WeekGrain =>
+          assert(d.getDayOfWeek === java.time.DayOfWeek.MONDAY)
+        case MetadataAggregateRule.MonthsGrain(m) =>
+          assert(d.getDayOfMonth === 1 && (d.getMonthValue - 1) % m === 0)
+        case _ => fail("unexpected grain")
+      }
+      assert(Math.floorMod(start, 86400000000L) === 0L)
+    }
+  }
+
+  test("an alias of a bucket expression that SHADOWS a physical column " +
+      "name never serves the wrong column's stats (declines or matches)") {
+    val (lake, _) = dayLake()
+    // `tp_date AS v` shadows the data column `v`; min(v) then refers to
+    // the ALIASED dates. If the rule resolved by NAME it would serve
+    // the physical v column's stats (doubles) — the unwrapBucket guard
+    // rejects shadowing aliases instead (r18 ADVICE-medium). Pinned by
+    // value equality against the stock scan, whichever path runs.
+    val shadowed = spark.table("bq")
+      .select(col("tp_date").as("v"), col("event_id"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("m"))
+      .orderBy(col("v").asc_nulls_first)
+    val truth = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .select(col("tp_date").as("v"), col("event_id"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("m"))
+      .orderBy(col("v").asc_nulls_first)
+    assert(shadowed.collect().toSeq === truth.collect().toSeq)
   }
 }

@@ -197,4 +197,39 @@ class RollupOpSpec extends AnyFunSuite with SparkTest {
       .agg(avg(col("v"))).head().getDouble(0)
     assert(merged2 === exact2)
   }
+
+  test("an avg rollup dir in the PRE-pair layout triggers a full " +
+    "rebuild on the next incremental refresh (layout migration)") {
+    val lake = Lake(Files.createTempDirectory("graft_rollup_mig").toString)
+    val aspec = RollupSpec("t", "vavg",
+      groupBy = Seq("tp_date"),
+      aggs = Seq(RollupAggSpec("vavg", "avg", Some("v"))))
+    val t1 = lake.append(spark, "t",
+      batch("2024-01-10", 24).unionByName(batch("2024-02-10", 12)))
+    // simulate a rollup written BEFORE the mergeable sum/count layout:
+    // a single `vavg` column per month row, no vavg_sum/vavg_n
+    lake.read(spark, "t")
+      .groupBy(col(TpSchema.Year), col(TpSchema.Month), col("tp_date"))
+      .agg(avg(col("v")).as("vavg"))
+      .write.partitionBy(TpSchema.Year, TpSchema.Month)
+      .parquet(Rollup.dir(lake, aspec))
+    // a touched-month refresh on the old layout must NOT dynamic-
+    // overwrite only January (which would leave February's files in
+    // the old schema): it detects the layout and rebuilds fully
+    val t2 = lake.append(spark, "t", batch("2024-01-11", 12))
+    assert(Rollup.refreshTouched(spark, lake, aspec, t2) == -1L,
+      "old-layout rollup must fall back to a full refresh")
+    val r = Rollup.read(spark, lake, aspec)
+    assert(r.columns.contains("vavg_sum") && r.columns.contains("vavg_n"))
+    // EVERY month is in the new layout (February included) and the
+    // cross-range merge equals the raw recompute
+    val merged = r.agg((sum(col("vavg_sum")).cast("double") /
+      sum(col("vavg_n"))).as("a")).head().getDouble(0)
+    val exact = lake.read(spark, "t")
+      .agg(avg(col("v"))).head().getDouble(0)
+    assert(merged === exact)
+    // subsequent refreshes are incremental again
+    val t3 = lake.append(spark, "t", batch("2024-01-12", 6))
+    assert(Rollup.refreshTouched(spark, lake, aspec, t3) == 1L)
+  }
 }

@@ -342,4 +342,28 @@ class StatsAggregateSpec extends AnyFunSuite with SparkTest {
       lake.statsAggregate(spark, "absent_table", Seq("v"))
     }
   }
+
+  test("a STRING partition column requested as a sum declines (None), " +
+      "never reaches the directory-truth sum branch (no MatchError)") {
+    val (lake, t) = fixture()
+    // tp_partition/tp_index are string directory values: count/min/max
+    // are fine, but sum has no meaning — usable() must reject them
+    // instead of letting the Integer|Long value match throw inside the
+    // aggregation loop (r18 ADVICE-low). Direct Lake call, the path
+    // the optimizer rule's fail-open would otherwise mask.
+    // tp_partition is "p0" — a StringType directory value (tp_index
+    // infers as INT here, its dir value is all-numeric, so it stays a
+    // legitimate sum target below)
+    val c = "tp_partition"
+    assert(lake.statsAggregateIfCovered(spark, t, Seq(c),
+      rangeColumns = Set.empty, sumColumns = Set(c)).isEmpty,
+      s"string partition column '$c' must decline as a sum target")
+    // the same column WITHOUT the sum request still serves
+    assert(lake.statsAggregateIfCovered(spark, t, Seq(c),
+      rangeColumns = Set(c), sumColumns = Set.empty).isDefined)
+    // integral partition columns keep their directory-truth sums
+    for (ic <- Seq("tp_year", "tp_index"))
+      assert(lake.statsAggregateIfCovered(spark, t, Seq(ic),
+        rangeColumns = Set.empty, sumColumns = Set(ic)).isDefined, ic)
+  }
 }
