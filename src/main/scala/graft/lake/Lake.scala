@@ -1699,6 +1699,47 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     (out, toScan, contained)
   }
 
+  /** Distinct `tp_date` count per group, PROVABLE from the manifest
+    * alone (r18 verdict task 6 — "how many active days"): every live
+    * file passing `fileFilter` must either be day-contained (its
+    * manifest ts range floors to ONE epoch day — it then contributes
+    * exactly that day: the min row sits on it, and no row can sit on
+    * another) or be all-null-ts (contributing no dates — SQL DISTINCT
+    * ignores nulls). One straddler, one half-known range, or one
+    * unrecorded live file → None: the set is no longer provable and
+    * the caller declines to the scan. Metadata-sized (one snapshot
+    * probe + the listing); keys are `groupOf`'s projection, aligned
+    * with [[statsAggregateGroupedIfCovered]]. Callers gate on the
+    * reader session being UTC (the tp_date derivation convention).
+    */
+  private[lake] def distinctDayCounts(
+      spark: SparkSession, table: String,
+      groupOf: String => Seq[String],
+      fileFilter: String => Boolean): Option[Map[Seq[String], Long]] = {
+    if (!hasData(spark, table)) return Some(Map.empty)
+    val snap = metaSnapshot(spark, table)
+    val live = dataFiles(spark, table).filter(fileFilter)
+    val sets =
+      scala.collection.mutable.Map[Seq[String],
+        scala.collection.mutable.Set[Long]]()
+    live.foreach { f =>
+      val set = sets.getOrElseUpdate(groupOf(f),
+        scala.collection.mutable.Set.empty[Long])
+      snap.manifest.get(f) match {
+        case None => return None // live but unrecorded: can't prove
+        case Some(m) => (m.minUs, m.maxUs) match {
+          case (None, None) => () // all-null-ts: no dates
+          case (Some(mn), Some(mx)) =>
+            val d = Math.floorDiv(mn, 86400000000L)
+            if (d != Math.floorDiv(mx, 86400000000L)) return None
+            set += d
+          case _ => return None // half-known range: not provable
+        }
+      }
+    }
+    Some(sets.map { case (k, s) => k -> s.size.toLong }.toMap)
+  }
+
   /** Ungrouped core: one partial over all covered files. */
   private def statsAggParts(
       spark: SparkSession, table: String,

@@ -171,6 +171,32 @@ object IngestQueries {
     lake
   }
 
+  /** qi48 fixture: eight one-day appends, NO straddler (table
+    * `events_days48`) — the post-aligned-compaction shape where every
+    * file is day-contained, so the distinct `tp_date` set is exactly
+    * the manifest's per-file day set. Built once per JVM.
+    */
+  private def daysOnlyFixture(
+      s: SparkSession, dir: String): graft.lake.Lake = {
+    val root = s"${workRoot(dir)}/days48"
+    val lake = graft.lake.Lake(s"$root/lake")
+    fixtureOnce(root) {
+      val spec = PartitionSpec("events_days48", "p0",
+        tpIndexColumn = Some("event_type"))
+      val src = Tables.load(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("user_id"), col("value"))
+      for (i <- 0 until 8)
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("ts") >= date_add(lit("2024-01-01"), i) &&
+            col("ts") < date_add(lit("2024-01-01"), i + 1)),
+          timestampColumn = "ts")
+    }
+    lake
+  }
+
   /** Shared qi46 fixture: the month-sliced events lake — six
     * month-contained appends landing in Jan..Jun 2024 (the reference's
     * own physical layout partitions by year/month,
@@ -1476,6 +1502,50 @@ object IngestQueries {
       q
     }),
 
+    // The daily-report-with-LIMIT shape (r18 verdict task 4): HAVING +
+    // ORDER BY n DESC + LIMIT compose ABOVE the bucket-hybrid
+    // Aggregate — the rewrite fires on the Aggregate beneath them, the
+    // straddler scan stays minority, and the top-k runs over the
+    // merged rows. Ties on n break by tp_date so the LIMIT is
+    // deterministic; the DuckDB oracle recomputes the same top-k from
+    // raw rows.
+    "qi47_sql_day_topk_hybrid" -> ((s, dir) => {
+      val lake = dayFixture(s, dir) // shared with qi42/qi43
+      Views.register(s, lake, Views.Filters())
+      val total = lake.dataFiles(s, "events_day42").size
+      val q = s.sql("""
+        SELECT tp_date, count(*) AS n, sum(user_id) AS sum_user
+        FROM events_day42
+        WHERE tp_timestamp >= timestamp'2024-01-02 12:00:00'
+          AND tp_timestamp <= timestamp'2024-01-11 23:59:59'
+        GROUP BY tp_date HAVING count(*) > 3
+        ORDER BY n DESC, tp_date LIMIT 5""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files > 0 && files * 2 < total,
+        s"top-k over the day hybrid should scan only straddlers: " +
+          s"$files of $total")
+      q
+    }),
+
+    // count(DISTINCT tp_date) — "active days per index" (r18 verdict
+    // task 6): when every file is day-contained the distinct date set
+    // IS the manifest's per-file day set, so the grouped answer reads
+    // ZERO data files (no sidecar needed either — the proof rides the
+    // manifest ts ranges alone). The DuckDB oracle recomputes the
+    // distinct dates from raw rows.
+    "qi48_sql_distinct_days_manifest" -> ((s, dir) => {
+      val lake = daysOnlyFixture(s, dir)
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT tp_index AS etype, count(DISTINCT tp_date) AS active_days,
+               count(*) AS n
+        FROM events_days48 GROUP BY tp_index ORDER BY etype""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"distinct-days must be manifest-served scan-free, read $files")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -2259,6 +2329,40 @@ object IngestQueries {
       WHERE cast(ts AS timestamp) >= timestamp '2024-01-01 00:00:00'
         AND cast(ts AS timestamp) < timestamp '2024-01-13 00:00:00'
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // raw-row recompute of the top-k daily report (qi42's feed +
+    // HAVING + deterministic ORDER + LIMIT): a hybrid merge error
+    // below the top-k, or the top-k running over unmerged partials,
+    // breaks this hash
+    "qi47_sql_day_topk_hybrid" -> """
+      WITH feed AS (
+        SELECT ts, user_id FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT ts, user_id FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= timestamp '2024-01-05 12:00:00'
+          AND cast(ts AS timestamp) < timestamp '2024-01-06 12:00:00')
+      SELECT cast(cast(ts AS timestamp) AS DATE) AS tp_date,
+             count(*) AS n, cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM feed
+      WHERE cast(ts AS timestamp) >= timestamp '2024-01-02 12:00:00'
+        AND cast(ts AS timestamp) <= timestamp '2024-01-11 23:59:59'
+      GROUP BY 1 HAVING count(*) > 3
+      ORDER BY n DESC, tp_date LIMIT 5""",
+
+    // raw-row recompute of the manifest-served distinct-day counts: a
+    // day wrongly attributed (or a file's day set fabricated) breaks
+    // this hash
+    "qi48_sql_distinct_days_manifest" -> """
+      SELECT event_type AS etype,
+             count(DISTINCT cast(cast(ts AS timestamp) AS DATE))
+               AS active_days,
+             count(*) AS n
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
+        AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-09 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
 
     // raw-row recompute of the MONTH-grouped banded hybrid: the feed
     // CTE reproduces the fixture's whole-day INTERVAL shifts exactly
