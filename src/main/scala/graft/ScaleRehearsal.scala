@@ -911,6 +911,32 @@ object ScaleRehearsal {
         require(hybFiles > 0 && hybFiles * 3 <= fullFiles,
           s"bucket hybrid should scan only the multi-day straddlers: " +
             s"$hybFiles of $fullFiles")
+        // ---- grain-aligned compaction (r18 verdict task 2): cut the
+        // two-day straddler at midnight; the SAME daily report then
+        // serves 100% from metadata — zero files read — at every
+        // multiplier, and the answer stays bit-identical
+        record("bucketagg_align", m, n, time {
+          graft.lake.Maintenance.compactAligned(spark, klake, "events_bk")
+        })
+        var alD: Seq[String] = null
+        var alFiles = -1L
+        record("bucketagg_hybrid_aligned", m, n, time {
+          graft.query.Views.register(spark, klake,
+            graft.query.Views.Filters())
+          val q = spark.sql("SELECT tp_date, count(*) AS n, " +
+            "count(value) AS nv, min(value), max(value), " +
+            "sum(user_id), avg(user_id) FROM events_bk " +
+            "GROUP BY tp_date ORDER BY tp_date")
+          alD = q.collect().map(_.toString).toSeq
+          alFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        require(alD == fullD,
+          s"aligned hybrid diverged from the pre-alignment scan at x$m")
+        println(s"""{"family":"bucketagg_files_aligned","mult":$m,""" +
+          s""""hybrid_files":$alFiles}""")
+        require(alFiles == 0,
+          s"aligned table must serve the daily report scan-free, " +
+            s"read $alFiles")
       }
 
       // ---- join-key file skipping at volume -------------------------

@@ -247,6 +247,7 @@ object Main {
       |            [--model unigram|bigram|jm]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
+      |          [--align day|hour|minute  (no file straddles a bucket)]
       |vacuum:   graft vacuum [table] [--backup] | [--restore] | [--relocate]
       |table:    graft table list | show <name> | diff <name>
       |          | analyze <name> [--columns c1,c2]
@@ -1744,9 +1745,22 @@ object Main {
           config.partitions.values.toSeq)
         out.println(s"Reindexed $t: $moved rows migrated")
       }
-      val (before, after) = zCols match {
-        case Some(cs) => Maintenance.compactZorder(spark, lake, t, cs)
-        case None     => Maintenance.compact(spark, lake, t)
+      // --align day|hour|minute: grain-aligned rewrite — no output
+      // file straddles a bucket boundary, so GROUP-BY-time-bucket
+      // reports serve fully from metadata afterwards
+      val align = opts.flag("align").map { a =>
+        a.toLowerCase(java.util.Locale.ROOT) match {
+          case "day"    => 86400000000L
+          case "hour"   => 3600000000L
+          case "minute" => 60000000L
+          case other => throw new IllegalArgumentException(
+            s"compact --align wants day|hour|minute, got '$other'")
+        }
+      }
+      val (before, after) = (zCols, align) match {
+        case (Some(cs), _) => Maintenance.compactZorder(spark, lake, t, cs)
+        case (None, Some(gr)) => Maintenance.compactAligned(spark, lake, t, gr)
+        case (None, None) => Maintenance.compact(spark, lake, t)
       }
       out.println(s"Compacted $t: $before files -> $after files")
     }

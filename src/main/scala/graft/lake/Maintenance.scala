@@ -184,6 +184,110 @@ object Maintenance {
     (before, before - work.values.map(_.length).sum + rewritten)
   }
 
+  /** Grain-aligned compaction — `compact --align day|hour|minute`
+    * (r18 verdict task 2; reference analog: its year/month physical
+    * partition keys, ducklake_table.go:36-44 — files never straddle
+    * months there). Time-ordered [[compact]] orders but does not CUT
+    * at bucket boundaries, so a compacted file can straddle midnight
+    * forever, capping the GROUP-BY-time-bucket hybrid's serve rate.
+    * This mode rewrites directories so every output file with a time
+    * range sits inside ONE `grainUs` bucket and each (dir, bucket)
+    * holds exactly one file — after it, a daily report's straddler
+    * scan set is EMPTY (null-ts rows land in their own per-dir file,
+    * which bucket queries correctly route to the in-plan scan).
+    *
+    * Scale shape: planning is manifest-served (per-file min/max bucket
+    * ids; the driver collects only the candidate DIR names); the
+    * rewrite is one column-pruned slice-enumeration pass plus one
+    * read + exact-partitioned shuffle + dynamic-overwrite write over
+    * exactly the work dirs. The slice→task mapping goes through an RDD
+    * `HashPartitioner` over DENSE Int slice ids (identity partitioner
+    * for ints) because no DataFrame repartition guarantees one group
+    * per task — a hash collision would merge two buckets of one dir
+    * into one output file and re-straddle it; range partitioning
+    * samples and can split mid-bucket the other way. The row
+    * round-trip through the RDD is the cost of exactness and is paid
+    * only on the rewritten dirs.
+    *
+    * Fixed point: one file per (dir, bucket) and no straddlers → the
+    * next run collects zero candidates and is a no-op.
+    *
+    * @return (filesBefore, filesAfter)
+    */
+  def compactAligned(
+      spark: SparkSession, lake: Lake, table: String,
+      grainUs: Long = 86400000000L): (Long, Long) = lake.locked(table) {
+    require(grainUs > 0, "compactAligned: grain must be positive")
+    replayPendingRemovals(spark, lake, table)
+    val st = lake.fileStats(spark, table)
+    val before = st.count()
+    val dirCol = regexp_replace(col("file"), "/[^/]*$", "")
+    // bucket ids of each file's manifest range: floor division, exact
+    // in double (micros stay under 2^53 through year ~2255 and every
+    // supported grain's quotient boundary sits > half-ulp away); an
+    // all-null-ts file has null ids and counts as its own bucket
+    def bucketOf(c: String) =
+      floor(unix_micros(col(c)) / lit(grainUs.toDouble)).cast("long")
+    val perFile = st.withColumn("dir", dirCol)
+      .withColumn("b1", bucketOf("min_ts"))
+      .withColumn("b2", bucketOf("max_ts"))
+    val work: Array[String] = perFile.groupBy("dir")
+      .agg(
+        max(when(not(col("b1") <=> col("b2")), 1).otherwise(0))
+          .as("strad"),
+        count(lit(1)).as("nf"),
+        (count_distinct(col("b1")) +
+          max(when(col("b1").isNull, 1L).otherwise(0L))).as("nb"))
+      .where(col("strad") === 1 || col("nf") > col("nb"))
+      .select("dir").collect().map(_.getString(0))
+    if (work.isEmpty) return (before, before)
+    val relDirs = work.map(d => lake.relOf(table, d)).toSeq
+    val beforeInWork = lake.dataFilesUnder(spark, table, relDirs).size.toLong
+    val dirVals = relDirs.map(lake.partitionValues)
+    val base = scopeToDirs(lake.read(spark, table), dirVals)
+    val rowBucket = when(col(TpSchema.Timestamp).isNull,
+      lit(Long.MinValue)) // the per-dir null-ts slice
+      .otherwise(floor(unix_micros(col(TpSchema.Timestamp)) /
+        lit(grainUs.toDouble)).cast("long"))
+    val withBucket = base.withColumn("_graft_align_b", rowBucket)
+    // live (dir, bucket) slices: a column-pruned, map-side-combined
+    // pre-pass whose output is slice-count-sized
+    val keyCols = TpSchema.partitionCols :+ "_graft_align_b"
+    val keyed = withBucket.select(keyCols.map(col): _*).distinct()
+    val slices = keyed.collect()
+    val g = slices.length
+    if (g == 0) return (before, before)
+    require(g <= 262144, s"compactAligned: $g (dir, bucket) slices — " +
+      "run with a coarser grain or scope the table first")
+    val mapSchema = org.apache.spark.sql.types.StructType(
+      keyed.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_graft_slice", org.apache.spark.sql.types.IntegerType,
+        nullable = false))
+    val mapDf = spark.createDataFrame(
+      java.util.Arrays.asList(slices.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      }: _*), mapSchema)
+    // null-safe equi-join back (a partition value may be null); every
+    // row matches exactly one slice by construction
+    val joinCond = keyCols.map(k => withBucket(k) <=> mapDf(k))
+      .reduce(_ && _)
+    val joined = withBucket.join(broadcast(mapDf), joinCond)
+      .select(withBucket.columns.map(c => withBucket(c)) :+
+        mapDf("_graft_slice"): _*)
+    val schema = joined.schema
+    val sliceIdx = schema.fieldIndex("_graft_slice")
+    val exactRdd = joined.rdd
+      .map(r => (r.getInt(sliceIdx), r))
+      .partitionBy(new org.apache.spark.HashPartitioner(g))
+      .map(_._2)
+    val out = spark.createDataFrame(exactRdd, schema)
+      .sortWithinPartitions(col(TpSchema.Timestamp))
+      .drop("_graft_align_b", "_graft_slice")
+    lake.overwritePartitions(spark, table, out, touched = Some(relDirs))
+    val rewritten = lake.dataFilesUnder(spark, table, relDirs).size.toLong
+    (before, before - beforeInWork + rewritten)
+  }
+
   /** `compact --reindex` (cmd/compact.go:34; compact.go:350-354): set
     * `tp_index` to the value of each partition's CURRENTLY-configured
     * index column — the migration path when a `partition` block's

@@ -791,6 +791,66 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(lake.read(spark, "steady").count() == 90 * 2 + 30)
   }
 
+  test("compactAligned: no file straddles a day afterwards, content " +
+    "unchanged, bucket reports go metadata-served, second run no-ops") {
+    val lake = newLake()
+    val spec = PartitionSpec("al", "p0", tpIndexColumn = Some("idx"))
+    // three appends each spanning 4 days hour-by-hour → every data
+    // file straddles day boundaries (the shape time-ordered compaction
+    // leaves behind and the bucket hybrid then has to scan)
+    def slab(offset: Int) = TpSchema.enrich(spark.range(96).select(
+      (col("id") + offset).as("event_id"),
+      expr("timestamp '2024-02-01 00:00:00' + make_interval(0,0,0, " +
+        "cast(id / 24 AS int), cast(id % 24 AS int), 0, 0)")
+        .as("tp_timestamp"),
+      lit("x").as("idx"), col("id").cast("double").as("v")), spec)
+    for (i <- 0 until 3) lake.append(spark, "al", slab(i * 1000))
+    // null-ts rows land in their own (null-partition) dir and must
+    // survive alignment untouched (their dir is never a candidate)
+    lake.append(spark, "al", TpSchema.enrich(spark.range(5).select(
+      (col("id") + 9000).as("event_id"),
+      lit(null).cast("timestamp").as("tp_timestamp"),
+      lit("x").as("idx"), col("id").cast("double").as("v")), spec))
+    lake.enableColumnStats(spark, "al",
+      Seq("v", "event_id", "tp_timestamp"))
+    val beforeRows = lake.read(spark, "al")
+      .orderBy("event_id").collect().toSeq
+
+    val (b, a) = Maintenance.compactAligned(spark, lake, "al")
+    // 3 straddling files in the dated dir → 4 day-contained files
+    assert(b === 4L && a === 5L, s"$b -> $a")
+    assert(lake.read(spark, "al").orderBy("event_id").collect().toSeq
+      === beforeRows, "alignment must not change content")
+    // POST-CONDITION: every file with a time range is day-contained
+    lake.fileStats(spark, "al").collect().foreach { r =>
+      val mn = Option(r.getAs[Timestamp]("min_ts"))
+      val mx = Option(r.getAs[Timestamp]("max_ts"))
+      for (lo <- mn; hi <- mx) {
+        def day(t: Timestamp) = Math.floorDiv(org.apache.spark.sql
+          .catalyst.util.DateTimeUtils.fromJavaTimestamp(t), 86400000000L)
+        assert(day(lo) === day(hi), s"file straddles a day: $r")
+      }
+    }
+    // the daily report now reads ZERO dated data files (only the
+    // null-ts file stays in-plan, feeding the null bucket)
+    Views.register(spark, lake, Views.Filters())
+    val q = spark.sql("SELECT tp_date, count(*) AS n, " +
+      "sum(event_id) AS s FROM al GROUP BY 1 ORDER BY 1 ASC NULLS FIRST")
+    val files = graft.query.ScanAudit.filesReadAfterRun(q)
+    assert(files === 1, s"only the null-ts file may scan, read $files")
+    val truth = spark.read.option("basePath", lake.tableDir("al"))
+      .parquet(lake.tableDir("al"))
+      .groupBy("tp_date")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy(col("tp_date").asc_nulls_first).collect().toSeq
+    assert(q.collect().toSeq === truth)
+    // fixed point: a second aligned run collects no candidates
+    val files1 = lake.dataFiles(spark, "al")
+    val (b2, a2) = Maintenance.compactAligned(spark, lake, "al")
+    assert(b2 === a2 && b2 === a, s"realign not a no-op: $b2 -> $a2")
+    assert(lake.dataFiles(spark, "al") === files1, "realign rewrote files")
+  }
+
   test("scopeToDirs refuses a null-valued (__HIVE_DEFAULT_PARTITION__) " +
     "segment loudly") {
     // equality predicates/joins can never match a null partition value,
