@@ -242,8 +242,18 @@ object Bench {
         r.results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString("{", ",", "}")
       }.mkString("[", ",", "]")
+      // per-row MIN across runs (r18 verdict nit 2): the chosen-by-
+      // TOTAL map can carry a row's slower reading (qt55 r18:
+      // chosen 1.78 s, other run 1.24 s) and cross-round per-query
+      // diffs then chase phantom regressions. min(runs) per row is
+      // the stable per-query number — totals still read `queries`.
+      val allMaps = runs.map(_.results.toMap)
+      val queriesMin = chosen.results.map { case (k, v) =>
+        val mn = allMaps.flatMap(_.get(k)).foldLeft(v)(math.min)
+        "\"" + k + "\":" + f"$mn%.3f"
+      }.mkString("{", ",", "}")
       val fileJson = jsonLine.dropRight(1) +
-        s""","runs_queries":$runsQueries}"""
+        s""","queries_min":$queriesMin,"runs_queries":$runsQueries}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_latest.json"),
         (fileJson + "\n").getBytes("UTF-8"))

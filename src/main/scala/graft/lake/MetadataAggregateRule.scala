@@ -168,6 +168,23 @@ final case class MetadataAggregateRule(session: SparkSession)
             ts.dataType == org.apache.spark.sql.types.TimestampType &&
             embeddedUtc(tz) =>
         Some(FixedGrain(DayUs))
+      // `trunc(tp_date, 'MM'/'WEEK'/...)` — the monthly report over
+      // the DATE column (DateType key; dates are tz-free, but the
+      // file's date derivation still rides the UTC-writer convention,
+      // gated at the top). Key values are the bucket-start epoch days
+      // (internalKey's DateType branch).
+      case TruncDate(d: AttributeReference,
+          Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
+            StringType))
+          if d.name == graft.lake.TpSchema.Date &&
+            d.dataType == org.apache.spark.sql.types.DateType =>
+        fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
+          case "WEEK" => Some(WeekGrain)
+          case "MONTH" | "MON" | "MM" => Some(MonthsGrain(1))
+          case "QUARTER" => Some(MonthsGrain(3))
+          case "YEAR" | "YYYY" | "YY" => Some(MonthsGrain(12))
+          case _ => None
+        }
       case _ => None
     }
   }

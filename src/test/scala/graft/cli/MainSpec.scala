@@ -490,10 +490,19 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(rc9 == 0, byHour)
     assert(byHour.contains("2024-05-01 10:00:00"), byHour)
     assert(byHour.contains("rows=3"), byHour)
+    // --by month: the calendar grain (r19) — same scan-free serve
+    val (rc11, byMonth) = cli(dir, "table", "aggregate", "metrics",
+      "--by", "month")
+    assert(rc11 == 0, byMonth)
+    assert(byMonth.contains("2024-05-01 00:00:00"), byMonth)
+    assert(byMonth.contains("rows=3"), byMonth)
+    assert(byMonth.contains("served from metadata (no data scan)"),
+      byMonth)
     // unknown grain errors loudly
     val (rc10, bad) = cli(dir, "table", "aggregate", "metrics",
-      "--by", "week")
-    assert(rc10 == 1 && bad.contains("day|hour|minute"), bad)
+      "--by", "fortnight")
+    assert(rc10 == 1 &&
+      bad.contains("minute|hour|day|week|month|quarter|year"), bad)
   }
 
   test("grok end-to-end: config-driven collect of a dated log file") {
@@ -1638,6 +1647,52 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rc3, out3) = cli(dir, "compact", "access_log", "--reindex")
     assert(rc3 == 0, out3)
     assert(out3.contains("Reindexed access_log: 0 rows migrated"), out3)
+  }
+
+  test("compact --align day splits a day-straddling file at midnight; " +
+    "second run is a no-op; a bad grain errors loudly") {
+    val dir = Files.createTempDirectory("graft_cli_align").toFile
+    new File(dir, "config").mkdirs()
+    new File(dir, "logs").mkdirs()
+    // one collect whose batch spans TWO days → its single file
+    // straddles midnight (exactly what time-ordered compact leaves)
+    write(new File(dir, "logs/span.csv"),
+      """timestamp,status_code
+        |2024-05-01T23:58:45Z,200
+        |2024-05-01T23:59:00Z,404
+        |2024-05-02T00:01:15Z,200
+        |2024-05-02T08:00:00Z,500
+        |""".stripMargin)
+    write(new File(dir, "config/span.tpc"),
+      s"""format "delimited" "span" { delimiter = "," header = true }
+         |table "span" {
+         |  format = format.delimited.span
+         |  column "tp_timestamp" { source = "timestamp" }
+         |  column "status_code" { type = "integer" }
+         |}
+         |partition "span" "local" {
+         |  source "file" {
+         |    format = format.delimited.span
+         |    paths = ["${dir.getPath}/logs/"]
+         |    file_layout = "span.csv"
+         |  }
+         |}
+         |""".stripMargin)
+    val (rc0, out0) = cli(dir, "collect", "span.local")
+    assert(rc0 == 0, out0)
+    val (rc1, out1) = cli(dir, "compact", "span", "--align", "day")
+    assert(rc1 == 0, out1)
+    assert(out1.contains("Compacted span: 1 files -> 2 files"), out1)
+    // fixed point: nothing straddles, one file per (dir, day)
+    val (rc2, out2) = cli(dir, "compact", "span", "--align", "day")
+    assert(rc2 == 0, out2)
+    assert(out2.contains("Compacted span: 2 files -> 2 files"), out2)
+    // rows intact after the rewrite
+    val (rc3, q) = cli(dir, "query",
+      "select count(*) as n from span", "--output", "csv")
+    assert(rc3 == 0 && q == "n\n4", q)
+    val (rc4, bad) = cli(dir, "compact", "span", "--align", "weekly")
+    assert(rc4 == 1 && bad.contains("day|hour|minute"), bad)
   }
 
   test("index build/append/query: persisted IVF over a lake vector table") {

@@ -1061,6 +1061,18 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
         .orderBy(col("d").asc_nulls_first).collect().toSeq
       assert(qd.collect().toSeq === truthD, s"$grain bucket values")
     }
+    // the DATE-column spelling of the monthly report:
+    // trunc(tp_date, 'MM') — a DateType bucket key, same serve path
+    val qt = spark.sql("SELECT trunc(tp_date, 'MM') AS mo, " +
+      "count(*) AS n FROM bq GROUP BY 1 ORDER BY mo ASC NULLS FIRST")
+    val ft = ScanAudit.filesReadAfterRun(qt)
+    assert(ft > 0 && ft * 2 < total, s"trunc(tp_date): $ft of $total")
+    val truthT = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .groupBy(trunc(col("tp_date"), "MM").as("mo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("mo").asc_nulls_first).collect().toSeq
+    assert(qt.collect().toSeq === truthT, "trunc(tp_date, 'MM') values")
     // TWO bucket expressions (mixed grains) decline
     val q2 = spark.sql("""
       SELECT tp_date, date_trunc('HOUR', tp_timestamp) AS h,

@@ -132,6 +132,13 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
         "count(*) as n from metrics group by 1")
     assert(truncMiss.contains("WARNING") &&
       truncMiss.contains("tp_timestamp"), truncMiss)
+    // calendar grains are servable shapes now (r19) — the lint covers
+    // the monthly report too
+    val monthMiss = Metaquery.handle(spark, lake, st,
+      ".explain select date_trunc('MONTH', tp_timestamp) as mo, " +
+        "count(*) as n from metrics group by 1")
+    assert(monthMiss.contains("WARNING") &&
+      monthMiss.contains("tp_timestamp"), monthMiss)
   }
 
   test("planWarnings flags a stream-stream join left at the session " +
