@@ -228,6 +228,11 @@ object Maintenance {
     // all-null-ts file has null ids and counts as its own bucket
     def bucketOf(c: String) =
       floor(unix_micros(col(c)) / lit(grainUs.toDouble)).cast("long")
+    // NOTE: a file can never MIX null and non-null ts rows here — the
+    // enrich path derives tp_year/tp_month from tp_timestamp, so null
+    // rows route to the null-partition dirs at write time; ranged
+    // files are therefore null-free and the bucket rule's tsNulls==0
+    // proof holds for every aligned output automatically.
     val perFile = st.withColumn("dir", dirCol)
       .withColumn("b1", bucketOf("min_ts"))
       .withColumn("b2", bucketOf("max_ts"))

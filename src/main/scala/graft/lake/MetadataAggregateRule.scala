@@ -648,6 +648,45 @@ final case class MetadataAggregateRule(session: SparkSession)
             Some((d.toLong + 1) * DayUs - 1))
         }
       } else NotBand
+    // bucket-expression comparisons — the "report for month X" filter
+    // shape: `date_trunc('MONTH', tp_timestamp) = TIMESTAMP 'v'` /
+    // `trunc(tp_date, 'MM') >= DATE 'v'` / `cast(tp_timestamp AS date)
+    // <= DATE 'v'` fold EXACTLY into micros bands because a bucket
+    // expression takes only bucket-START values: trunc(ts) >= v ⇔ ts
+    // lies in a bucket whose start >= v ⇔ ts >= first start >= v, and
+    // equality to a non-start is unsatisfiable (the empty band). Bare
+    // tp_timestamp/tp_date attrs keep the direct folds above.
+    def isBucketExpr(e: Expression): Boolean =
+      !e.isInstanceOf[AttributeReference] && bucketGrain(e).isDefined
+    def bucketLitUs(e: Expression, l: Literal): Option[Long] =
+      (e.dataType, l.dataType) match {
+        case (org.apache.spark.sql.types.TimestampType,
+            org.apache.spark.sql.types.TimestampType)
+            if l.value != null =>
+          Some(l.value.asInstanceOf[Long])
+        case (org.apache.spark.sql.types.DateType,
+            org.apache.spark.sql.types.DateType) if l.value != null =>
+          Some(l.value.asInstanceOf[Int].toLong * DayUs)
+        case _ => None
+      }
+    def bucketHalf(op: String, e: Expression, l: Literal): Half =
+      bucketLitUs(e, l) match {
+        case None => Bad
+        case Some(v) =>
+          val g = bucketGrain(e).get
+          val id = g.idOf(v)
+          val aligned = g.startUs(id) == v
+          val ceilId = if (aligned) id else id + 1
+          op match {
+            case "ge" => Band(Some(g.startUs(ceilId)), None)
+            case "gt" => Band(Some(g.startUs(id + 1)), None)
+            case "le" => Band(None, Some(g.startUs(id + 1) - 1))
+            case "lt" => Band(None, Some(g.startUs(ceilId) - 1))
+            case "eq" =>
+              if (aligned) Band(Some(v), Some(g.startUs(id + 1) - 1))
+              else Band(Some(0L), Some(-1L)) // unsatisfiable: empty
+          }
+      }
     def classifyLeaf(e: Expression): (Half, Expression) = e match {
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
         (half("ge", a, l), e)
@@ -670,6 +709,27 @@ final case class MetadataAggregateRule(session: SparkSession)
         (half("gt", a, l), e)
       case EqualTo(l: Literal, a: AttributeReference) =>
         (half("eq", a, l), e)
+      // bucket-expression comparisons, both orientations
+      case GreaterThanOrEqual(b, l: Literal) if isBucketExpr(b) =>
+        (bucketHalf("ge", b, l), e)
+      case GreaterThan(b, l: Literal) if isBucketExpr(b) =>
+        (bucketHalf("gt", b, l), e)
+      case LessThanOrEqual(b, l: Literal) if isBucketExpr(b) =>
+        (bucketHalf("le", b, l), e)
+      case LessThan(b, l: Literal) if isBucketExpr(b) =>
+        (bucketHalf("lt", b, l), e)
+      case EqualTo(b, l: Literal) if isBucketExpr(b) =>
+        (bucketHalf("eq", b, l), e)
+      case GreaterThanOrEqual(l: Literal, b) if isBucketExpr(b) =>
+        (bucketHalf("le", b, l), e)
+      case GreaterThan(l: Literal, b) if isBucketExpr(b) =>
+        (bucketHalf("lt", b, l), e)
+      case LessThanOrEqual(l: Literal, b) if isBucketExpr(b) =>
+        (bucketHalf("ge", b, l), e)
+      case LessThan(l: Literal, b) if isBucketExpr(b) =>
+        (bucketHalf("gt", b, l), e)
+      case EqualTo(l: Literal, b) if isBucketExpr(b) =>
+        (bucketHalf("eq", b, l), e)
       case _ => (NotBand, e)
     }
     var lo = Long.MinValue
@@ -679,9 +739,11 @@ final case class MetadataAggregateRule(session: SparkSession)
     cs.foreach { c =>
       c match {
         // band-neutral: rows failing them fail the band anyway, and
-        // tp_date is null exactly when tp_timestamp is (derived)
+        // tp_date is null exactly when tp_timestamp is (derived);
+        // bucket expressions are null iff their source column is
         case IsNotNull(a: AttributeReference)
             if isTs(a) || isDate(a) => ()
+        case IsNotNull(e) if isBucketExpr(e) => ()
         case other => classifyLeaf(other) match {
           case (Band(l, h), _) =>
             l.foreach(v => lo = math.max(lo, v))

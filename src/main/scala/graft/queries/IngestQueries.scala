@@ -1527,6 +1527,28 @@ object IngestQueries {
       q
     }),
 
+    // The report-for-month-X filter (r19): `WHERE date_trunc('MONTH',
+    // tp_timestamp) = TIMESTAMP 'start'` folds into the exact micros
+    // band [start, next-start) — bucket expressions take only
+    // bucket-start values — and every February file (the contained
+    // slice AND the Jan→Feb straddler's tp_month=2 file) is
+    // band-contained, so the aggregate reads ZERO data files. The
+    // DuckDB oracle recomputes from the shifted raw feeds.
+    "qi49_sql_month_eq_filter" -> ((s, dir) => {
+      val lake = monthFixture(s, dir) // shared with qi46
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT count(*) AS n, min(value) AS min_value,
+               max(value) AS max_value, sum(user_id) AS sum_user
+        FROM events_month46
+        WHERE date_trunc('MONTH', tp_timestamp) =
+              timestamp'2024-02-01 00:00:00'""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"month-eq filter must serve scan-free, read $files")
+      q
+    }),
+
     // count(DISTINCT tp_date) — "active days per index" (r18 verdict
     // task 6): when every file is day-contained the distinct date set
     // IS the manifest's per-file day set, so the grouped answer reads
@@ -2363,6 +2385,51 @@ object IngestQueries {
         AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
         AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-09 00:00:00'
       GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the month-eq filter over the same shifted
+    // feeds: a fold boundary off by a micro, or a February file
+    // wrongly excluded/included, breaks this hash
+    "qi49_sql_month_eq_filter" -> """
+      WITH feed AS (
+        SELECT cast(ts AS timestamp) AS ts2, user_id, value FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-06 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 30 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-06 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-11 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 60 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-11 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-16 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 90 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-16 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-21 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 120 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-21 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-26 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 150 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 5 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00')
+      SELECT count(*) AS n, min(value) AS min_value,
+             max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM feed
+      WHERE date_trunc('month', ts2) = TIMESTAMP '2024-02-01 00:00:00'""",
 
     // raw-row recompute of the MONTH-grouped banded hybrid: the feed
     // CTE reproduces the fixture's whole-day INTERVAL shifts exactly

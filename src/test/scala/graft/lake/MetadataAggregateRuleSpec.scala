@@ -1310,6 +1310,62 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(q3.head().getLong(0) === 6L)
   }
 
+  test("bucket-expression WHERE filters fold into bands: the " +
+      "report-for-month/week-X shape serves from metadata") {
+    val (lake, total) = dayLake() // Mar 1-7 days + straddler + null file
+    def truthFor(cond: org.apache.spark.sql.Column) =
+      spark.read.option("basePath", lake.tableDir("bq"))
+        .parquet(lake.tableDir("bq")).where(cond)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+        .head()
+    // WEEK equality: the Mar-4 (Monday) week covers the Mar 4-6 day
+    // slices (metadata) + the Mar-7 straddler (scan); the null file
+    // scans too and its rows fail the filter row-level
+    val qw = spark.sql("SELECT count(*) AS n, sum(event_id) AS s " +
+      "FROM bq WHERE date_trunc('WEEK', tp_timestamp) = " +
+      "timestamp'2024-03-04 00:00:00'")
+    val fw = ScanAudit.filesReadAfterRun(qw)
+    assert(fw > 0 && fw * 2 < total,
+      s"week-eq fold should scan only straddler+null files: $fw of $total")
+    assert(qw.head() === truthFor(
+      date_trunc("WEEK", col("tp_timestamp")) ===
+        lit(java.sql.Timestamp.valueOf("2024-03-04 00:00:00"))))
+    // MONTH >= an UNALIGNED instant: first month start >= Feb 15 is
+    // Mar 1 — every dated row qualifies, only the null file scans
+    val qm = spark.sql("SELECT count(*) AS n, sum(event_id) AS s " +
+      "FROM bq WHERE date_trunc('MONTH', tp_timestamp) >= " +
+      "timestamp'2024-02-15 00:00:00'")
+    val fm = ScanAudit.filesReadAfterRun(qm)
+    assert(fm > 0 && fm * 2 < total, s"$fm of $total")
+    assert(qm.head().getLong(0) === 640L)
+    // equality to a NON-start is unsatisfiable: empty result, right
+    // answer regardless of path
+    val qe = spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE date_trunc('MONTH', tp_timestamp) = " +
+      "timestamp'2024-03-02 00:00:00'")
+    assert(qe.head().getLong(0) === 0L)
+    // the fold composes with the BUCKET GROUPING: daily report for
+    // one week
+    val qg = spark.sql("SELECT tp_date, count(*) AS n FROM bq " +
+      "WHERE date_trunc('WEEK', tp_timestamp) = " +
+      "timestamp'2024-03-04 00:00:00' GROUP BY 1 ORDER BY 1")
+    val fg = ScanAudit.filesReadAfterRun(qg)
+    assert(fg > 0 && fg * 2 < total)
+    val truthG = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .where(date_trunc("WEEK", col("tp_timestamp")) ===
+        lit(java.sql.Timestamp.valueOf("2024-03-04 00:00:00")))
+      .groupBy("tp_date").agg(count(lit(1)).as("n"))
+      .orderBy("tp_date").collect().toSeq
+    assert(qg.collect().toSeq === truthG)
+    // the DATE spelling folds too: trunc(tp_date, 'MM') on the left
+    val qd = spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE trunc(tp_date, 'MM') = DATE'2024-03-01'")
+    val fd = ScanAudit.filesReadAfterRun(qd)
+    assert(fd > 0 && fd * 2 < total, s"$fd of $total")
+    assert(qd.head().getLong(0) === 640L)
+  }
+
   test("exactly-UTC zone spellings (Etc/UTC, Z, +00:00) SERVE; a real " +
       "non-UTC zone declines (ZoneId normalization, r18 verdict nit 1)") {
     assert(TpSchema.isUtcZone("UTC") && TpSchema.isUtcZone("Etc/UTC") &&
