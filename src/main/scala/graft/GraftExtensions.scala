@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rule's metadata probe shouldn't be paid per iteration).
     ext.injectPreCBORule(session =>
       graft.lake.MetadataAggregateRule(session))
+    // bucket-expression filters (`date_trunc('MONTH', tp_timestamp) =
+    // v`) rewritten to plain time bands so the SCAN path prunes files
+    // and row groups; operator-optimization placement lets the band
+    // then ride pushdown and constraint inference like any band
+    ext.injectOptimizerRule(session =>
+      graft.lake.BucketFilterBandRule(session))
   }
 }
 

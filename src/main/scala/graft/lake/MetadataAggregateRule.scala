@@ -131,63 +131,8 @@ final case class MetadataAggregateRule(session: SparkSession)
     * the straddler scan would truncate in that zone while the metadata
     * side floors in UTC (r18 ADVICE-low) — such expressions decline.
     */
-  private def bucketGrain(e: Expression): Option[BucketGrain] = {
-    if (!graft.lake.TpSchema.isUtcZone(
-      session.sessionState.conf.sessionLocalTimeZone)) return None
-    def embeddedUtc(tz: Option[String]): Boolean =
-      tz.forall(graft.lake.TpSchema.isUtcZone)
-    e match {
-      case a: AttributeReference
-          if a.name == graft.lake.TpSchema.Date &&
-            a.dataType == org.apache.spark.sql.types.DateType =>
-        Some(FixedGrain(DayUs))
-      case TruncTimestamp(
-          Literal(fmt: org.apache.spark.unsafe.types.UTF8String, StringType),
-          ts: AttributeReference, tz)
-          if ts.name == graft.lake.TpSchema.Timestamp &&
-            ts.dataType == org.apache.spark.sql.types.TimestampType &&
-            embeddedUtc(tz) =>
-        fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
-          case "DAY" | "DD" => Some(FixedGrain(DayUs))
-          case "HOUR" => Some(FixedGrain(3600000000L))
-          case "MINUTE" => Some(FixedGrain(60000000L))
-          case "SECOND" => Some(FixedGrain(1000000L))
-          case "MILLISECOND" => Some(FixedGrain(1000L))
-          case "WEEK" => Some(WeekGrain)
-          case "MONTH" | "MON" | "MM" => Some(MonthsGrain(1))
-          case "QUARTER" => Some(MonthsGrain(3))
-          case "YEAR" | "YYYY" | "YY" => Some(MonthsGrain(12))
-          case _ => None
-        }
-      // `cast(tp_timestamp AS date)` / `to_date(tp_timestamp)` — the
-      // third spelling of the day bucket: under UTC the cast is
-      // exactly floorDiv(micros, day), the same epoch-day key
-      case Cast(ts: AttributeReference,
-          org.apache.spark.sql.types.DateType, tz, _)
-          if ts.name == graft.lake.TpSchema.Timestamp &&
-            ts.dataType == org.apache.spark.sql.types.TimestampType &&
-            embeddedUtc(tz) =>
-        Some(FixedGrain(DayUs))
-      // `trunc(tp_date, 'MM'/'WEEK'/...)` — the monthly report over
-      // the DATE column (DateType key; dates are tz-free, but the
-      // file's date derivation still rides the UTC-writer convention,
-      // gated at the top). Key values are the bucket-start epoch days
-      // (internalKey's DateType branch).
-      case TruncDate(d: AttributeReference,
-          Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
-            StringType))
-          if d.name == graft.lake.TpSchema.Date &&
-            d.dataType == org.apache.spark.sql.types.DateType =>
-        fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
-          case "WEEK" => Some(WeekGrain)
-          case "MONTH" | "MON" | "MM" => Some(MonthsGrain(1))
-          case "QUARTER" => Some(MonthsGrain(3))
-          case "YEAR" | "YYYY" | "YY" => Some(MonthsGrain(12))
-          case _ => None
-        }
-      case _ => None
-    }
-  }
+  private def bucketGrain(e: Expression): Option[BucketGrain] =
+    MetadataAggregateRule.bucketGrainOf(session, e).map(_._1)
 
   /** An OPTIONAL rewrite must never fail a query that would run fine
     * unrewritten: any probe failure (an unevaluable shape the
@@ -1654,6 +1599,74 @@ object MetadataAggregateRule {
 
   private val DayUsC = 86400000000L
 
+  /** Grain + UNDERLYING source attribute of a bucket expression — the
+    * classification behind the class's `bucketGrain` and the rewrite
+    * target [[BucketFilterBandRule]] needs. Forms: the `tp_date`
+    * column itself (day), `date_trunc(grain, tp_timestamp)` for every
+    * grain SECOND..YEAR, `cast(tp_timestamp AS date)`, and
+    * `trunc(tp_date, fmt)`. Gated on the reader session being exactly
+    * UTC ([[TpSchema.isUtcZone]]) and on any zone RESOLVED INTO the
+    * expression at analysis being UTC too (r18 ADVICE-low).
+    */
+  private[lake] def bucketGrainOf(
+      session: SparkSession, e: Expression)
+      : Option[(BucketGrain, AttributeReference)] = {
+    if (!graft.lake.TpSchema.isUtcZone(
+      session.sessionState.conf.sessionLocalTimeZone)) return None
+    def embeddedUtc(tz: Option[String]): Boolean =
+      tz.forall(graft.lake.TpSchema.isUtcZone)
+    def months(fmt: org.apache.spark.unsafe.types.UTF8String)
+        : Option[BucketGrain] =
+      fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
+        case "WEEK" => Some(WeekGrain)
+        case "MONTH" | "MON" | "MM" => Some(MonthsGrain(1))
+        case "QUARTER" => Some(MonthsGrain(3))
+        case "YEAR" | "YYYY" | "YY" => Some(MonthsGrain(12))
+        case _ => None
+      }
+    e match {
+      case a: AttributeReference
+          if a.name == graft.lake.TpSchema.Date &&
+            a.dataType == org.apache.spark.sql.types.DateType =>
+        Some((FixedGrain(DayUsC), a))
+      case TruncTimestamp(
+          Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
+            StringType),
+          ts: AttributeReference, tz)
+          if ts.name == graft.lake.TpSchema.Timestamp &&
+            ts.dataType == org.apache.spark.sql.types.TimestampType &&
+            embeddedUtc(tz) =>
+        (fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
+          case "DAY" | "DD" => Some(FixedGrain(DayUsC))
+          case "HOUR" => Some(FixedGrain(3600000000L))
+          case "MINUTE" => Some(FixedGrain(60000000L))
+          case "SECOND" => Some(FixedGrain(1000000L))
+          case "MILLISECOND" => Some(FixedGrain(1000L))
+          case _ => months(fmt)
+        }).map(g => (g, ts))
+      // `cast(tp_timestamp AS date)` / `to_date(tp_timestamp)` — the
+      // third spelling of the day bucket: under UTC the cast is
+      // exactly floorDiv(micros, day), the same epoch-day key
+      case Cast(ts: AttributeReference,
+          org.apache.spark.sql.types.DateType, tz, _)
+          if ts.name == graft.lake.TpSchema.Timestamp &&
+            ts.dataType == org.apache.spark.sql.types.TimestampType &&
+            embeddedUtc(tz) =>
+        Some((FixedGrain(DayUsC), ts))
+      // `trunc(tp_date, 'MM'/'WEEK'/...)` — the monthly report over
+      // the DATE column (DateType key; dates are tz-free, but the
+      // file's date derivation still rides the UTC-writer convention,
+      // gated at the top)
+      case TruncDate(d: AttributeReference,
+          Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
+            StringType))
+          if d.name == graft.lake.TpSchema.Date &&
+            d.dataType == org.apache.spark.sql.types.DateType =>
+        months(fmt).map(g => (g, d))
+      case _ => None
+    }
+  }
+
   /** A time-bucket grain as a pair of functions over Catalyst micros.
     * `idOf` MUST be monotone non-decreasing in micros — that is the
     * whole containment proof: `idOf(min_ts) == idOf(max_ts)` then
@@ -1759,9 +1772,113 @@ object MetadataAggregateRule {
     */
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[BucketFilterBandRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          BucketFilterBandRule(spark)
+    if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[MetadataAggregateRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           MetadataAggregateRule(spark)
   }
 }
+
+/** Rewrite bucket-expression comparisons in WHERE clauses into
+  * equivalent bands on the UNDERLYING time column, so the plain SCAN
+  * path — not just the aggregate rewrite — gets parquet row-group
+  * skipping and [[ZoneMapFileIndex]] file pruning for the
+  * report-for-month-X filter shape: `SELECT * FROM t WHERE
+  * date_trunc('MONTH', tp_timestamp) = TIMESTAMP 'v'` becomes
+  * `tp_timestamp BETWEEN start AND next-start − 1µs`, which pushes
+  * down like any band. Catalyst's own UnwrapCastInBinaryComparison
+  * does the analogous move for casts; nothing built-in unwraps
+  * truncation.
+  *
+  * Every replacement is NULL-SEMANTICS-EXACT as a scalar expression
+  * (null source → null comparison on both sides; equality to a
+  * non-bucket-start becomes the unsatisfiable band `src >= 1 AND src
+  * <= 0`, false for non-null and null for null), so rewriting inside
+  * arbitrary boolean structure — NOT, OR, CASE — is sound, and the
+  * rule transforms whole Filter conditions, not just top-level
+  * conjuncts. Gated like every bucket fold on the session (and any
+  * analysis-resolved zone) being exactly UTC, via
+  * [[MetadataAggregateRule.bucketGrainOf]].
+  */
+final case class BucketFilterBandRule(session: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  import MetadataAggregateRule._
+
+  private val DayUs = 86400000000L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f: Filter =>
+      val nc = f.condition.transformUp {
+        case cmp: BinaryComparison => foldCmp(cmp).getOrElse(cmp)
+      }
+      if (nc fastEquals f.condition) f else f.copy(condition = nc)
+  }
+
+  private def foldCmp(cmp: BinaryComparison): Option[Expression] = {
+    val (e, l, flip) = (cmp.left, cmp.right) match {
+      case (b, lit: Literal) => (b, lit, false)
+      case (lit: Literal, b) => (b, lit, true)
+      case _ => return None
+    }
+    // bare attrs are already optimal (and pushable) as-is
+    if (e.isInstanceOf[AttributeReference]) return None
+    val (g, src) = bucketGrainOf(session, e).getOrElse(return None)
+    val vUs: Long = (e.dataType, l.dataType) match {
+      case (org.apache.spark.sql.types.TimestampType,
+          org.apache.spark.sql.types.TimestampType)
+          if l.value != null =>
+        l.value.asInstanceOf[Long]
+      case (org.apache.spark.sql.types.DateType,
+          org.apache.spark.sql.types.DateType) if l.value != null =>
+        l.value.asInstanceOf[Int].toLong * DayUs
+      case _ => return None
+    }
+    val op = cmp match {
+      case _: GreaterThanOrEqual => if (flip) "le" else "ge"
+      case _: GreaterThan => if (flip) "lt" else "gt"
+      case _: LessThanOrEqual => if (flip) "ge" else "le"
+      case _: LessThan => if (flip) "gt" else "lt"
+      case _: EqualTo => "eq"
+      // EqualNullSafe: `trunc(ts) <=> lit` is FALSE (not null) for a
+      // null ts — a band comparison can't express that; decline
+      case _ => return None
+    }
+    val id = g.idOf(vUs)
+    val aligned = g.startUs(id) == vUs
+    val ceil = if (aligned) id else id + 1
+    // bounds restated in the SOURCE attribute's units; bucket starts
+    // are day multiples for DateType sources, and an exclusive micros
+    // bound maps to day floorDiv (date values are whole days)
+    def litOf(us: Long): Expression = src.dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        Literal(Math.floorDiv(us, DayUs).toInt,
+          org.apache.spark.sql.types.DateType)
+      case _ =>
+        Literal(us, org.apache.spark.sql.types.TimestampType)
+    }
+    def ge(us: Long) = GreaterThanOrEqual(src, litOf(us))
+    def le(us: Long) = LessThanOrEqual(src, litOf(us))
+    val folded = op match {
+      // trunc(src) >= v  ⇔  src >= first bucket start >= v
+      case "ge" => ge(g.startUs(ceil))
+      case "gt" => ge(g.startUs(id + 1))
+      case "le" => le(g.startUs(id + 1) - 1)
+      case "lt" => le(g.startUs(ceil) - 1)
+      case "eq" =>
+        if (aligned) And(ge(vUs), le(g.startUs(id + 1) - 1))
+        // no instant truncates to a non-start: unsatisfiable, but the
+        // null case must stay null — an always-false BAND does both
+        else And(GreaterThanOrEqual(src, litOf(DayUs)),
+          LessThanOrEqual(src, litOf(0L)))
+    }
+    logInfo(s"bucket-filter band fold: ${cmp.sql} -> ${folded.sql}")
+    Some(folded)
+  }
+}
+

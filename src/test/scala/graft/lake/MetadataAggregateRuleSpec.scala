@@ -1364,6 +1364,27 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     val fd = ScanAudit.filesReadAfterRun(qd)
     assert(fd > 0 && fd * 2 < total, s"$fd of $total")
     assert(qd.head().getLong(0) === 640L)
+    // the SCAN path (no aggregate) prunes too: BucketFilterBandRule
+    // rewrites the trunc comparison into a pushable ts band, so the
+    // zone-map index skips files outside the Mar-4 week entirely
+    val qs = spark.sql("SELECT event_id FROM bq " +
+      "WHERE date_trunc('WEEK', tp_timestamp) = " +
+      "timestamp'2024-03-04 00:00:00'")
+    val fs0 = ScanAudit.filesReadAfterRun(qs)
+    // week files (Mar 4-6 days + the straddler) + the unknown-zone
+    // null file = 5; the Mar 1-3 files are skipped at listing time
+    assert(fs0 === 5 && fs0 < total,
+      s"plain scan must prune non-week files: $fs0 of $total")
+    // fixture arithmetic, independent of any rewrite: days Mar 4-6
+    // (100 rows each) + the Mar 7-9 straddler (40) = the Mar-4 week
+    assert(qs.count() === 340L)
+    // negation stays null-exact: NOT(trunc = v) must DROP null-ts
+    // rows (three-valued logic) — days Mar 1-3 only, never the 10
+    // null-ts rows
+    val qn = spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE NOT (date_trunc('WEEK', tp_timestamp) = " +
+      "timestamp'2024-03-04 00:00:00')")
+    assert(qn.head().getLong(0) === 300L)
   }
 
   test("exactly-UTC zone spellings (Etc/UTC, Z, +00:00) SERVE; a real " +
