@@ -247,7 +247,7 @@ object Main {
       |            [--model unigram|bigram|jm]
       |retention: graft retention [table] --older-than TIME (e.g. T-90d)
       |compact:  graft compact [table] [--reindex] [--zorder col1,col2]
-      |          [--align day|hour|minute  (no file straddles a bucket)]
+      |          [--align day|hour|minute|week (no file straddles a bucket)]
       |vacuum:   graft vacuum [table] [--backup] | [--restore] | [--relocate]
       |table:    graft table list | show <name> | diff <name>
       |          | analyze <name> [--columns c1,c2]
@@ -1749,17 +1749,22 @@ object Main {
       // file straddles a bucket boundary, so GROUP-BY-time-bucket
       // reports serve fully from metadata afterwards
       val align = opts.flag("align").map { a =>
+        val day = 86400000000L
         a.toLowerCase(java.util.Locale.ROOT) match {
-          case "day"    => 86400000000L
-          case "hour"   => 3600000000L
-          case "minute" => 60000000L
+          case "day"    => (day, 0L)
+          case "hour"   => (3600000000L, 0L)
+          case "minute" => (60000000L, 0L)
+          // Monday-anchored ISO weeks: epoch day 0 is a Thursday, so
+          // the grid shifts back three days
+          case "week"   => (7 * day, -3 * day)
           case other => throw new IllegalArgumentException(
-            s"compact --align wants day|hour|minute, got '$other'")
+            s"compact --align wants day|hour|minute|week, got '$other'")
         }
       }
       val (before, after) = (zCols, align) match {
         case (Some(cs), _) => Maintenance.compactZorder(spark, lake, t, cs)
-        case (None, Some(gr)) => Maintenance.compactAligned(spark, lake, t, gr)
+        case (None, Some((gr, anchor))) =>
+          Maintenance.compactAligned(spark, lake, t, gr, anchor)
         case (None, None) => Maintenance.compact(spark, lake, t)
       }
       out.println(s"Compacted $t: $before files -> $after files")

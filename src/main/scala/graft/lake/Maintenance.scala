@@ -214,9 +214,15 @@ object Maintenance {
     *
     * @return (filesBefore, filesAfter)
     */
+  /** @param anchorUs bucket-grid offset: buckets are
+    *   `[anchor + k·grain, anchor + (k+1)·grain)` — 0 for day/hour/
+    *   minute, −3 days for Monday-anchored weeks (epoch day 0 is a
+    *   Thursday)
+    */
   def compactAligned(
       spark: SparkSession, lake: Lake, table: String,
-      grainUs: Long = 86400000000L): (Long, Long) = lake.locked(table) {
+      grainUs: Long = 86400000000L,
+      anchorUs: Long = 0L): (Long, Long) = lake.locked(table) {
     require(grainUs > 0, "compactAligned: grain must be positive")
     replayPendingRemovals(spark, lake, table)
     val st = lake.fileStats(spark, table)
@@ -227,7 +233,8 @@ object Maintenance {
     // supported grain's quotient boundary sits > half-ulp away); an
     // all-null-ts file has null ids and counts as its own bucket
     def bucketOf(c: String) =
-      floor(unix_micros(col(c)) / lit(grainUs.toDouble)).cast("long")
+      floor((unix_micros(col(c)) - lit(anchorUs)) /
+        lit(grainUs.toDouble)).cast("long")
     // NOTE: a file can never MIX null and non-null ts rows here — the
     // enrich path derives tp_year/tp_month from tp_timestamp, so null
     // rows route to the null-partition dirs at write time; ranged
@@ -252,8 +259,8 @@ object Maintenance {
     val base = scopeToDirs(lake.read(spark, table), dirVals)
     val rowBucket = when(col(TpSchema.Timestamp).isNull,
       lit(Long.MinValue)) // the per-dir null-ts slice
-      .otherwise(floor(unix_micros(col(TpSchema.Timestamp)) /
-        lit(grainUs.toDouble)).cast("long"))
+      .otherwise(floor((unix_micros(col(TpSchema.Timestamp)) -
+        lit(anchorUs)) / lit(grainUs.toDouble)).cast("long"))
     val withBucket = base.withColumn("_graft_align_b", rowBucket)
     // live (dir, bucket) slices: a column-pruned, map-side-combined
     // pre-pass whose output is slice-count-sized

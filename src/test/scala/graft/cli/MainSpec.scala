@@ -1691,8 +1691,8 @@ class MainSpec extends AnyFunSuite with SparkTest {
     val (rc3, q) = cli(dir, "query",
       "select count(*) as n from span", "--output", "csv")
     assert(rc3 == 0 && q == "n\n4", q)
-    val (rc4, bad) = cli(dir, "compact", "span", "--align", "weekly")
-    assert(rc4 == 1 && bad.contains("day|hour|minute"), bad)
+    val (rc4, bad) = cli(dir, "compact", "span", "--align", "fortnight")
+    assert(rc4 == 1 && bad.contains("day|hour|minute|week"), bad)
   }
 
   test("index build/append/query: persisted IVF over a lake vector table") {

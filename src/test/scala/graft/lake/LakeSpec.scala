@@ -849,6 +849,14 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     val (b2, a2) = Maintenance.compactAligned(spark, lake, "al")
     assert(b2 === a2 && b2 === a, s"realign not a no-op: $b2 -> $a2")
     assert(lake.dataFiles(spark, "al") === files1, "realign rewrote files")
+    // WEEK grain (Monday anchor): Feb 1-4 2024 all sit in the week of
+    // Mon Jan 29, so week alignment MERGES the four day files into one
+    // (and the null file stays); rows unchanged
+    val (b3, a3) = Maintenance.compactAligned(spark, lake, "al",
+      grainUs = 7 * 86400000000L, anchorUs = -3 * 86400000000L)
+    assert(b3 === 5L && a3 === 2L, s"week align: $b3 -> $a3")
+    assert(lake.read(spark, "al").orderBy("event_id").collect().toSeq
+      === beforeRows, "week alignment must not change content")
   }
 
   test("scopeToDirs refuses a null-valued (__HIVE_DEFAULT_PARTITION__) " +
