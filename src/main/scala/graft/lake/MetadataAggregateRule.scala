@@ -88,7 +88,7 @@ final case class MetadataAggregateRule(session: SparkSession)
         if agg.groupingExpressions.nonEmpty &&
           agg.groupingExpressions.forall(g =>
             g.isInstanceOf[AttributeReference] ||
-              bucketGrain(g).isDefined) =>
+              bucketValue(g).isDefined) =>
       // GROUP BY a time bucket (`tp_date`, `date_trunc('day'/'hour'/
       // 'minute', tp_timestamp)`), optionally with partition columns:
       // THE reporting shape of the reference's domain — day-contained
@@ -133,6 +133,17 @@ final case class MetadataAggregateRule(session: SparkSession)
     */
   private def bucketGrain(e: Expression): Option[BucketGrain] =
     MetadataAggregateRule.bucketGrainOf(session, e).map(_._1)
+
+  /** Bucket-FUNCTIONAL classification for grouping keys: grain + a
+    * bucket-instant → key-value function
+    * ([[MetadataAggregateRule.bucketValueOf]]). Superset of
+    * [[bucketGrain]] adding the extract family (`year`/`quarter`/
+    * `month`/`dayofmonth`/`dayofweek`/`weekday`/`hour`/`minute`), so
+    * `GROUP BY year(tp_timestamp), month(tp_timestamp)` — the
+    * reference's own physical partition layout — rides the hybrid.
+    */
+  private def bucketValue(e: Expression): Option[(BucketGrain, Long => Any)] =
+    MetadataAggregateRule.bucketValueOf(session, e).map(t => (t._1, t._3))
 
   /** An OPTIONAL rewrite must never fail a query that would run fine
     * unrewritten: any probe failure (an unevaluable shape the
@@ -1213,7 +1224,7 @@ final case class MetadataAggregateRule(session: SparkSession)
             // downstream NAME-keyed stats lookups serve the wrong
             // column's stats; the optimizer's own pulled-out
             // `_groupingexpression…` names can never collide)
-            case al: Alias => bucketGrain(al.child).isDefined &&
+            case al: Alias => bucketValue(al.child).isDefined &&
               !pr.child.output.exists(_.name == al.name)
             case _ => false
           } =>
@@ -1243,12 +1254,22 @@ final case class MetadataAggregateRule(session: SparkSession)
       case a: AttributeReference => aliasMap.getOrElse(a.exprId, a)
       case e => e
     }
-    if (resolved.count(bucketGrain(_).isDefined) != 1) return None
-    val bucketIdx = resolved.indexWhere(bucketGrain(_).isDefined)
-    val grain = bucketGrain(resolved(bucketIdx)).get
-    val bucketType = grouping(bucketIdx).dataType
+    // bucket-functional keys (1..n, all deriving from ONE containment
+    // grain): `GROUP BY tp_date`, `GROUP BY date_trunc('month', ts)`,
+    // and the multi-key layout report `GROUP BY year(ts), month(ts)` —
+    // containment proves on the FINEST grain present (one whose
+    // buckets refine every other key's), each key's value derived from
+    // that bucket's start instant
+    val bucketVals: Map[Int, (BucketGrain, Long => Any)] =
+      resolved.indices.flatMap(i =>
+        bucketValue(resolved(i)).map(i -> _)).toMap
+    if (bucketVals.isEmpty) return None
+    val grains = bucketVals.values.map(_._1).toSeq
+    val grain = grains.find(a =>
+      grains.forall(b => MetadataAggregateRule.refines(a, b)))
+      .getOrElse(return None) // e.g. week × month: no common refinement
     val partAttrs: Seq[AttributeReference] = grouping.zipWithIndex
-      .filter(_._2 != bucketIdx)
+      .filter(p => !bucketVals.contains(p._2))
       .map(_._1 match {
         case a: AttributeReference => a
         case _ => return None
@@ -1280,7 +1301,7 @@ final case class MetadataAggregateRule(session: SparkSession)
     }
     // grouping position -> position among partAttrs
     val partIdxOf: Map[Int, Int] = grouping.indices
-      .filter(_ != bucketIdx).zipWithIndex.toMap
+      .filter(!bucketVals.contains(_)).zipWithIndex.toMap
 
     def keyIndex(e: Expression): Option[Int] = {
       val i = grouping.indexWhere(_.semanticEquals(e))
@@ -1358,8 +1379,13 @@ final case class MetadataAggregateRule(session: SparkSession)
     }) return None
 
     def keyInternal(i: Int, bucket: Long, partVals: Seq[String]): Any =
-      if (i == bucketIdx) grain.internalKey(bucketType, bucket)
-      else dirValueToInternal(partVals(partIdxOf(i)), grouping(i).dataType)
+      bucketVals.get(i) match {
+        // each bucket key's value from the containment bucket's START
+        // instant — constant across the bucket by the refinement gate
+        case Some((_, valueOf)) => valueOf(grain.startUs(bucket))
+        case None =>
+          dirValueToInternal(partVals(partIdxOf(i)), grouping(i).dataType)
+      }
     // driver-side eval of a key-derived output for one metadata group:
     // keys become Literals, then one eval (resolved + deterministic +
     // non-Unevaluable by derivedKey's gates; a throwing expr falls
@@ -1372,7 +1398,18 @@ final case class MetadataAggregateRule(session: SparkSession)
           Literal(keyInternal(i, bucket, partVals), grouping(i).dataType)
       }.eval(null)
 
-    if (straddlers.isEmpty) {
+    // bucket id → key can be NON-injective for extract keys (two hour
+    // buckets on different days share one hour-of-day), in which case
+    // even a fully-contained answer still needs the merge aggregate —
+    // the direct emit below is only sound when every realized group
+    // maps to a distinct key tuple
+    lazy val injectiveKeys = {
+      val tuples = groups.map { case ((bucket, partVals), _) =>
+        grouping.indices.map(keyInternal(_, bucket, partVals))
+      }
+      tuples.distinct.size == tuples.size
+    }
+    if (straddlers.isEmpty && injectiveKeys) {
       // fully contained: emit the final rows directly
       val rows = groups.map { case ((bucket, partVals), parts) =>
         InternalRow.fromSeq(flat.map {
@@ -1666,6 +1703,113 @@ object MetadataAggregateRule {
       case _ => None
     }
   }
+
+  /** Bucket-FUNCTIONAL grouping expression: grain + underlying source
+    * attribute + a function from any instant (micros) WITHIN a bucket
+    * of that grain to the expression's Catalyst-internal value — the
+    * value is constant across the bucket, so a file whose manifest ts
+    * range is bucket-contained puts ALL its rows on one key. Superset
+    * of [[bucketGrainOf]] (whose shapes map an instant to the
+    * bucket-start key) adding the EXTRACT family:
+    *
+    *  - `year`/`quarter`/`month` over `tp_timestamp`/`tp_date` —
+    *    calendar fields, grains MONTHS(12/3/1). `GROUP BY year(ts),
+    *    month(ts)` is the reference's own physical partition layout
+    *    (`/root/reference/internal/database/ducklake_table.go:36-44`)
+    *    — THE layout-native report.
+    *  - `dayofmonth`/`dayofweek`/`weekday` — day-grain profiles (the
+    *    day-of-week activity report is scan-free on a day-aligned
+    *    lake, i.e. after `compact --align day`)
+    *  - `hour`/`minute` — fixed-width time-of-day profiles (serve
+    *    only when files are hour/minute-contained; decline to the
+    *    scan otherwise, which is the correct answer for typical file
+    *    layouts)
+    *
+    * Same UTC gates as [[bucketGrainOf]]: the session must be exactly
+    * UTC and any zone resolved into a cast/extract at analysis must
+    * normalize to UTC.
+    */
+  private[lake] def bucketValueOf(
+      session: SparkSession, e: Expression)
+      : Option[(BucketGrain, AttributeReference, Long => Any)] = {
+    if (!graft.lake.TpSchema.isUtcZone(
+      session.sessionState.conf.sessionLocalTimeZone)) return None
+    def embeddedUtc(tz: Option[String]): Boolean =
+      tz.forall(graft.lake.TpSchema.isUtcZone)
+    // tp_date attr, or cast(tp_timestamp AS date) under UTC — the two
+    // date-typed spellings the extract functions get analyzed onto
+    def dateSrc(c: Expression): Option[AttributeReference] = c match {
+      case a: AttributeReference
+          if a.name == graft.lake.TpSchema.Date &&
+            a.dataType == org.apache.spark.sql.types.DateType =>
+        Some(a)
+      case Cast(ts: AttributeReference,
+          org.apache.spark.sql.types.DateType, tz, _)
+          if ts.name == graft.lake.TpSchema.Timestamp &&
+            ts.dataType == org.apache.spark.sql.types.TimestampType &&
+            embeddedUtc(tz) =>
+        Some(ts)
+      case _ => None
+    }
+    def tsSrc(c: Expression): Option[AttributeReference] = c match {
+      case ts: AttributeReference
+          if ts.name == graft.lake.TpSchema.Timestamp &&
+            ts.dataType == org.apache.spark.sql.types.TimestampType =>
+        Some(ts)
+      case _ => None
+    }
+    def utcDate(us: Long): java.time.LocalDate =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(us, DayUsC))
+    val DayGrain = FixedGrain(DayUsC)
+    e match {
+      case Year(c) => dateSrc(c).map(src =>
+        (MonthsGrain(12), src, (us: Long) => utcDate(us).getYear))
+      case Quarter(c) => dateSrc(c).map(src =>
+        (MonthsGrain(3), src,
+          (us: Long) => (utcDate(us).getMonthValue - 1) / 3 + 1))
+      case Month(c) => dateSrc(c).map(src =>
+        (MonthsGrain(1), src, (us: Long) => utcDate(us).getMonthValue))
+      case DayOfMonth(c) => dateSrc(c).map(src =>
+        (DayGrain, src, (us: Long) => utcDate(us).getDayOfMonth))
+      // Spark dayofweek: 1=Sunday..7=Saturday; epoch day 0 = Thursday
+      case DayOfWeek(c) => dateSrc(c).map(src =>
+        (DayGrain, src, (us: Long) =>
+          (Math.floorMod(Math.floorDiv(us, DayUsC) + 4, 7) + 1).toInt))
+      // Spark weekday: 0=Monday..6=Sunday
+      case WeekDay(c) => dateSrc(c).map(src =>
+        (DayGrain, src, (us: Long) =>
+          Math.floorMod(Math.floorDiv(us, DayUsC) + 3, 7).toInt))
+      case Hour(c, tz) if embeddedUtc(tz) => tsSrc(c).map(src =>
+        (FixedGrain(3600000000L), src, (us: Long) =>
+          Math.floorMod(Math.floorDiv(us, 3600000000L), 24).toInt))
+      case Minute(c, tz) if embeddedUtc(tz) => tsSrc(c).map(src =>
+        (FixedGrain(60000000L), src, (us: Long) =>
+          Math.floorMod(Math.floorDiv(us, 60000000L), 60).toInt))
+      case _ => bucketGrainOf(session, e).map { case (g, src) =>
+        (g, src, (us: Long) => g.internalKey(e.dataType, g.idOf(us)))
+      }
+    }
+  }
+
+  /** Does every `a`-bucket lie entirely inside a single `b`-bucket?
+    * When true, a key functional over `b`-buckets is derivable from an
+    * `a`-bucket id via any instant of the `a`-bucket — the refinement
+    * that lets one containment grain serve several grouping keys
+    * (`GROUP BY year(ts), month(ts)` contains on MONTH and derives the
+    * year from the month start). Fixed widths are all anchored at
+    * epoch 0; weeks at Monday (day multiples); months at midnight UTC
+    * — so a sub-day fixed width refines weeks and months, but weeks
+    * and months never refine each other.
+    */
+  private[lake] def refines(a: BucketGrain, b: BucketGrain): Boolean =
+    (a, b) match {
+      case (x, y) if x == y => true
+      case (FixedGrain(w1), FixedGrain(w2)) => w2 % w1 == 0
+      case (FixedGrain(w), WeekGrain) => DayUsC % w == 0
+      case (FixedGrain(w), MonthsGrain(_)) => DayUsC % w == 0
+      case (MonthsGrain(m1), MonthsGrain(m2)) => m2 % m1 == 0
+      case _ => false
+    }
 
   /** A time-bucket grain as a pair of functions over Catalyst micros.
     * `idOf` MUST be monotone non-decreasing in micros — that is the

@@ -193,6 +193,10 @@ object IngestQueries {
           src.where(col("ts") >= date_add(lit("2024-01-01"), i) &&
             col("ts") < date_add(lit("2024-01-01"), i + 1)),
           timestampColumn = "ts")
+      // qi51's weekday profile aggregates value/user_id — sidecar rows
+      // needed (qi48's distinct-days rides the manifest alone)
+      lake.enableColumnStats(s, "events_days48",
+        Seq("value", "user_id", "tp_timestamp"))
     }
     lake
   }
@@ -1568,6 +1572,54 @@ object IngestQueries {
       q
     }),
 
+    // The reference's own physical layout as a report: it partitions
+    // data files by `year(tp_timestamp), month(tp_timestamp)`
+    // (ducklake_table.go:36-44), so GROUP BY those extracts IS its
+    // layout-native rollup. Two bucket-FUNCTIONAL keys ride ONE month
+    // containment grain (month refines year; each key's value derives
+    // from the bucket-start instant), and because this engine's
+    // tp_year/tp_month partitionBy makes every file month-contained by
+    // construction, the full-range report reads ZERO data files. The
+    // DuckDB oracle recomputes year/month/count/min/max/sum/avg from
+    // the shifted raw feeds.
+    "qi50_sql_year_month_layout_report" -> ((s, dir) => {
+      val lake = monthFixture(s, dir) // shared with qi46/qi49
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT year(tp_timestamp) AS y, month(tp_timestamp) AS m,
+               count(*) AS n, min(value) AS min_value,
+               max(value) AS max_value, sum(user_id) AS sum_user,
+               avg(user_id) AS avg_user
+        FROM events_month46
+        GROUP BY year(tp_timestamp), month(tp_timestamp)
+        ORDER BY y, m""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"year×month layout report must serve scan-free, read $files")
+      q
+    }),
+
+    // Day-of-week activity profile over a day-aligned lake (the shape
+    // `compact --align day` leaves): every file is day-contained, so
+    // each weekday key is served by MERGING the per-day metadata
+    // partials that share it (Jan 1 and Jan 8 2024 are both Mondays —
+    // a real cross-bucket merge) with zero data reads. The DuckDB
+    // oracle recomputes the profile from raw rows (its dayofweek is
+    // 0=Sunday; Spark's is 1=Sunday — shimmed by +1).
+    "qi51_sql_dayofweek_profile" -> ((s, dir) => {
+      val lake = daysOnlyFixture(s, dir) // shared with qi48
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT dayofweek(tp_timestamp) AS dow, count(*) AS n,
+               sum(user_id) AS sum_user, min(value) AS min_value
+        FROM events_days48 GROUP BY 1 ORDER BY dow""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"dow profile must serve scan-free on a day-aligned lake, " +
+          s"read $files")
+      q
+    }),
+
     // Join-key file skipping: the dim side's surviving keys (customer
     // rows after a selective filter) prune fact files BEFORE the scan
     // via the colstats zone ranges — the runtime-filter move at the
@@ -2481,6 +2533,67 @@ object IngestQueries {
       WHERE ts2 >= TIMESTAMP '2024-01-03 12:00:00'
         AND ts2 <= TIMESTAMP '2024-06-30 23:59:59'
       GROUP BY 1 ORDER BY 1""",
+
+    // raw-row recompute of the full-range year×month layout report
+    // over the same shifted feeds (DuckDB year/month return BIGINT —
+    // cast to INTEGER to meet Spark's extract type)
+    "qi50_sql_year_month_layout_report" -> """
+      WITH feed AS (
+        SELECT cast(ts AS timestamp) AS ts2, user_id, value FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-06 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 30 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-06 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-11 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 60 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-11 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-16 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 90 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-16 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-21 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 120 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-21 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-26 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 150 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 5 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00')
+      SELECT cast(year(ts2) AS INTEGER) AS y,
+             cast(month(ts2) AS INTEGER) AS m,
+             count(*) AS n, min(value) AS min_value,
+             max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user,
+             avg(user_id) AS avg_user
+      FROM feed
+      GROUP BY 1, 2 ORDER BY y, m""",
+
+    // raw-row recompute of the day-of-week profile (DuckDB dayofweek
+    // is 0=Sunday..6; Spark's is 1=Sunday..7 — +1 aligns them)
+    "qi51_sql_dayofweek_profile" -> """
+      SELECT cast(dayofweek(cast(ts AS timestamp)) + 1 AS INTEGER) AS dow,
+             count(*) AS n,
+             cast(sum(user_id) AS BIGINT) AS sum_user,
+             min(value) AS min_value
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
+        AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-09 00:00:00'
+      GROUP BY 1 ORDER BY dow""",
 
     "qi36_sql_metadata_sum" -> """
       SELECT event_type AS etype, count(*) AS n,

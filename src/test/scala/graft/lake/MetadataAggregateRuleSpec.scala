@@ -1073,13 +1073,17 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("mo").asc_nulls_first).collect().toSeq
     assert(qt.collect().toSeq === truthT, "trunc(tp_date, 'MM') values")
-    // TWO bucket expressions (mixed grains) decline
+    // TWO bucket expressions with a common refinement (hour refines
+    // day) contain on the finer grain — nothing here is
+    // hour-contained, so the hybrid buys nothing and the scan runs
+    // (truly incompatible pairs like week × year are pinned in the
+    // EXTRACT-family test)
     val q2 = spark.sql("""
       SELECT tp_date, date_trunc('HOUR', tp_timestamp) AS h,
              count(*) AS n
       FROM bq GROUP BY 1, 2""")
     assert(ScanAudit.filesReadAfterRun(q2) > 0,
-      "two time buckets in one grouping must decline")
+      "day×hour over day-sized files must fall back to the scan")
     // bucket + a DATA column declines (src of truth is rows, not files)
     val q3 = spark.sql(
       "SELECT tp_date, v, count(*) AS n FROM bq GROUP BY 1, 2")
@@ -1467,5 +1471,126 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       .agg(count(lit(1)).as("n"), min(col("v")).as("m"))
       .orderBy(col("v").asc_nulls_first)
     assert(shadowed.collect().toSeq === truth.collect().toSeq)
+  }
+
+  test("EXTRACT-family bucket keys: GROUP BY year(ts), month(ts) — the " +
+      "reference's own layout — serves; dayofweek merges buckets " +
+      "cross-day; incompatible grain pairs decline") {
+    val (lake, total) = dayLake()
+    def truthDf = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+    // year × month — two bucket-functional keys, containment on MONTH
+    // (month refines year); every dated file (incl. the Mar-07→09
+    // straddler) is month-contained, so only the null-ts file scans
+    val q = spark.sql("""
+      SELECT year(tp_timestamp) AS y, month(tp_timestamp) AS m,
+             count(*) AS n, sum(event_id) AS s, min(v) AS mnv
+      FROM bq GROUP BY 1, 2 ORDER BY y ASC NULLS FIRST, m""")
+    val f = ScanAudit.filesReadAfterRun(q)
+    assert(f > 0 && f * 2 < total,
+      s"year×month: only the null-ts file should scan ($f of $total)")
+    val truth = truthDf
+      .groupBy(year(col("tp_timestamp")).as("y"),
+        month(col("tp_timestamp")).as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"),
+        min(col("v")).as("mnv"))
+      .orderBy(col("y").asc_nulls_first, col("m")).collect().toSeq
+    assert(q.collect().toSeq === truth, "year×month values")
+    // dayofweek profile: days Mar 1..6 are contained partials
+    // (Fri..Wed); the Mar 7..9 straddler scans and its Thu/Fri/Sat
+    // rows MERGE into the same dow keys — a real metadata+scan merge
+    // within one group; null ts lands in the null dow group
+    val qd = spark.sql("""
+      SELECT dayofweek(tp_timestamp) AS dow, count(*) AS n,
+             sum(event_id) AS s
+      FROM bq GROUP BY 1 ORDER BY dow ASC NULLS FIRST""")
+    val fd = ScanAudit.filesReadAfterRun(qd)
+    assert(fd > 0 && fd * 2 < total,
+      s"dow: straddler+null only ($fd of $total)")
+    val truthD = truthDf
+      .groupBy(dayofweek(col("tp_timestamp")).as("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy(col("dow").asc_nulls_first).collect().toSeq
+    assert(qd.collect().toSeq === truthD, "dayofweek merge values")
+    // an output DERIVED from both extract keys (y*100+m) substitutes
+    val qy = spark.sql("""
+      SELECT year(tp_timestamp) * 100 + month(tp_timestamp) AS ym,
+             count(*) AS n
+      FROM bq GROUP BY year(tp_timestamp), month(tp_timestamp)
+      ORDER BY ym ASC NULLS FIRST""")
+    val fy = ScanAudit.filesReadAfterRun(qy)
+    assert(fy > 0 && fy * 2 < total)
+    val truthY = truthDf
+      .groupBy(year(col("tp_timestamp")).as("y"),
+        month(col("tp_timestamp")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .select((col("y") * 100 + col("m")).as("ym"), col("n"))
+      .orderBy(col("ym").asc_nulls_first).collect().toSeq
+    assert(qy.collect().toSeq === truthY, "derived ym values")
+    // WEEK × YEAR: weeks and months/years never refine each other —
+    // no single containment grain serves both keys, so the shape
+    // declines to the full scan (and is still correct)
+    val qw = spark.sql("""
+      SELECT date_trunc('WEEK', tp_timestamp) AS w,
+             year(tp_timestamp) AS y, count(*) AS n
+      FROM bq GROUP BY 1, 2 ORDER BY w ASC NULLS FIRST, y""")
+    assert(ScanAudit.filesReadAfterRun(qw) === total,
+      "week × year must decline (no common refinement)")
+    val truthW = truthDf
+      .groupBy(date_trunc("WEEK", col("tp_timestamp")).as("w"),
+        year(col("tp_timestamp")).as("y"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("w").asc_nulls_first, col("y")).collect().toSeq
+    assert(qw.collect().toSeq === truthW)
+    // hour-of-day over day-sized files: nothing is hour-contained, so
+    // the hybrid buys nothing and declines to the scan — correctly
+    val qh = spark.sql("SELECT hour(tp_timestamp) AS h, count(*) AS n " +
+      "FROM bq GROUP BY 1 ORDER BY h ASC NULLS FIRST")
+    assert(ScanAudit.filesReadAfterRun(qh) === total,
+      "hour profile over day files must decline")
+    // a non-UTC session declines the extract family entirely
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val qn = spark.sql("SELECT year(tp_timestamp) AS y, count(*) AS n " +
+        "FROM bq GROUP BY 1")
+      assert(ScanAudit.filesReadAfterRun(qn) === total,
+        "non-UTC session must decline extract keys")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("hour-of-day profile MERGES buckets across days: hour-contained " +
+      "files from two days land on 24-key output scan-free") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_hp").toString)
+    val spec = PartitionSpec("hp", "p0", tpIndexColumn = Some("idx"))
+    def slice(day: Int, hour: Int, lo: Int) = {
+      val raw = spark.range(lo, lo + 50).select(
+        col("id").as("event_id"),
+        expr(s"timestamp '2024-03-0${5 + day} 00:00:00' + " +
+          s"make_interval(0,0,0,0,$hour,0, (id % 50) * 60)")
+          .as("tp_timestamp"),
+        lit("0").as("idx"),
+        col("id").cast("double").as("v"))
+      TpSchema.enrich(raw, spec)
+    }
+    // hours 0..3 on Mar 5 AND Mar 6: each hour-of-day key merges TWO
+    // hour buckets from different days
+    for (day <- 0 until 2; hour <- 0 until 4)
+      lake.append(spark, "hp", slice(day, hour, (day * 4 + hour) * 50))
+    lake.enableColumnStats(spark, "hp",
+      Seq("v", "event_id", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    val q = spark.sql("""
+      SELECT hour(tp_timestamp) AS h, count(*) AS n, sum(event_id) AS s
+      FROM hp GROUP BY 1 ORDER BY h""")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "hour-contained files must serve the hour-of-day profile scan-free")
+    val rows = q.collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.map(_.getLong(1)).forall(_ === 100L), "two days merge")
+    // hour 0 holds ids 0..49 (day 0) and 200..249 (day 1)
+    assert(rows.head.getLong(2) ===
+      ((0 until 50) ++ (200 until 250)).map(_.toLong).sum)
   }
 }
