@@ -613,7 +613,9 @@ final case class MetadataAggregateRule(session: SparkSession)
     // equality to a non-start is unsatisfiable (the empty band). Bare
     // tp_timestamp/tp_date attrs keep the direct folds above.
     def isBucketExpr(e: Expression): Boolean =
-      !e.isInstanceOf[AttributeReference] && bucketGrain(e).isDefined
+      !e.isInstanceOf[AttributeReference] &&
+        (bucketGrain(e).isDefined ||
+          MetadataAggregateRule.yearExtractSrcOf(session, e).isDefined)
     def bucketLitUs(e: Expression, l: Literal): Option[Long] =
       (e.dataType, l.dataType) match {
         case (org.apache.spark.sql.types.TimestampType,
@@ -625,13 +627,28 @@ final case class MetadataAggregateRule(session: SparkSession)
           Some(l.value.asInstanceOf[Int].toLong * DayUs)
         case _ => None
       }
+    // (grain, bucket id, aligned-on-a-start) of a bucket-expression
+    // or year-extract comparison; a year literal IS an always-aligned
+    // YEAR bucket id (0..9999 only — overflow guard)
+    def bucketIdOf(e: Expression, l: Literal)
+        : Option[(MetadataAggregateRule.BucketGrain, Long, Boolean)] =
+      bucketGrain(e) match {
+        case Some(g) => bucketLitUs(e, l).map { v =>
+          val id = g.idOf(v); (g, id, g.startUs(id) == v)
+        }
+        case None => l.dataType match {
+          case IntegerType if l.value != null =>
+            val y = l.value.asInstanceOf[Int]
+            if (y < 0 || y > 9999) None
+            else Some((MetadataAggregateRule.MonthsGrain(12),
+              y.toLong, true))
+          case _ => None
+        }
+      }
     def bucketHalf(op: String, e: Expression, l: Literal): Half =
-      bucketLitUs(e, l) match {
+      bucketIdOf(e, l) match {
         case None => Bad
-        case Some(v) =>
-          val g = bucketGrain(e).get
-          val id = g.idOf(v)
-          val aligned = g.startUs(id) == v
+        case Some((g, id, aligned)) =>
           val ceilId = if (aligned) id else id + 1
           op match {
             case "ge" => Band(Some(g.startUs(ceilId)), None)
@@ -639,7 +656,8 @@ final case class MetadataAggregateRule(session: SparkSession)
             case "le" => Band(None, Some(g.startUs(id + 1) - 1))
             case "lt" => Band(None, Some(g.startUs(ceilId) - 1))
             case "eq" =>
-              if (aligned) Band(Some(v), Some(g.startUs(id + 1) - 1))
+              if (aligned)
+                Band(Some(g.startUs(id)), Some(g.startUs(id + 1) - 1))
               else Band(Some(0L), Some(-1L)) // unsatisfiable: empty
           }
       }
@@ -1729,16 +1747,14 @@ object MetadataAggregateRule {
     * UTC and any zone resolved into a cast/extract at analysis must
     * normalize to UTC.
     */
-  private[lake] def bucketValueOf(
-      session: SparkSession, e: Expression)
-      : Option[(BucketGrain, AttributeReference, Long => Any)] = {
-    if (!graft.lake.TpSchema.isUtcZone(
-      session.sessionState.conf.sessionLocalTimeZone)) return None
-    def embeddedUtc(tz: Option[String]): Boolean =
-      tz.forall(graft.lake.TpSchema.isUtcZone)
-    // tp_date attr, or cast(tp_timestamp AS date) under UTC — the two
-    // date-typed spellings the extract functions get analyzed onto
-    def dateSrc(c: Expression): Option[AttributeReference] = c match {
+  private def embeddedUtcZone(tz: Option[String]): Boolean =
+    tz.forall(graft.lake.TpSchema.isUtcZone)
+
+  /** tp_date attr, or cast(tp_timestamp AS date) under UTC — the two
+    * date-typed spellings the extract functions get analyzed onto.
+    */
+  private def dateSrcOf(c: Expression): Option[AttributeReference] =
+    c match {
       case a: AttributeReference
           if a.name == graft.lake.TpSchema.Date &&
             a.dataType == org.apache.spark.sql.types.DateType =>
@@ -1747,10 +1763,35 @@ object MetadataAggregateRule {
           org.apache.spark.sql.types.DateType, tz, _)
           if ts.name == graft.lake.TpSchema.Timestamp &&
             ts.dataType == org.apache.spark.sql.types.TimestampType &&
-            embeddedUtc(tz) =>
+            embeddedUtcZone(tz) =>
         Some(ts)
       case _ => None
     }
+
+  /** `year(tp_timestamp/tp_date)` — the ONE extract monotone in
+    * micros, so its comparisons fold into exact time bands (the
+    * archive filter `WHERE year(ts) = 2024`). Only calendar years
+    * 0..9999 fold — anything else declines rather than risking micros
+    * overflow in the bucket-start arithmetic.
+    */
+  private[lake] def yearExtractSrcOf(
+      session: SparkSession, e: Expression)
+      : Option[AttributeReference] = {
+    if (!graft.lake.TpSchema.isUtcZone(
+      session.sessionState.conf.sessionLocalTimeZone)) return None
+    e match {
+      case Year(c) => dateSrcOf(c)
+      case _ => None
+    }
+  }
+
+  private[lake] def bucketValueOf(
+      session: SparkSession, e: Expression)
+      : Option[(BucketGrain, AttributeReference, Long => Any)] = {
+    if (!graft.lake.TpSchema.isUtcZone(
+      session.sessionState.conf.sessionLocalTimeZone)) return None
+    def embeddedUtc(tz: Option[String]): Boolean = embeddedUtcZone(tz)
+    def dateSrc(c: Expression): Option[AttributeReference] = dateSrcOf(c)
     def tsSrc(c: Expression): Option[AttributeReference] = c match {
       case ts: AttributeReference
           if ts.name == graft.lake.TpSchema.Timestamp &&
@@ -1972,16 +2013,34 @@ final case class BucketFilterBandRule(session: SparkSession)
     }
     // bare attrs are already optimal (and pushable) as-is
     if (e.isInstanceOf[AttributeReference]) return None
-    val (g, src) = bucketGrainOf(session, e).getOrElse(return None)
-    val vUs: Long = (e.dataType, l.dataType) match {
-      case (org.apache.spark.sql.types.TimestampType,
-          org.apache.spark.sql.types.TimestampType)
-          if l.value != null =>
-        l.value.asInstanceOf[Long]
-      case (org.apache.spark.sql.types.DateType,
-          org.apache.spark.sql.types.DateType) if l.value != null =>
-        l.value.asInstanceOf[Int].toLong * DayUs
-      case _ => return None
+    // two foldable families: bucket expressions (literal in the
+    // expression's own type, any alignment) and the YEAR extract
+    // (integer literal = an always-aligned YEAR bucket id — the
+    // archive filter `WHERE year(ts) = 2024`)
+    val (g, src, id, aligned): (BucketGrain, AttributeReference, Long,
+        Boolean) = bucketGrainOf(session, e) match {
+      case Some((g0, src0)) =>
+        val vUs: Long = (e.dataType, l.dataType) match {
+          case (org.apache.spark.sql.types.TimestampType,
+              org.apache.spark.sql.types.TimestampType)
+              if l.value != null =>
+            l.value.asInstanceOf[Long]
+          case (org.apache.spark.sql.types.DateType,
+              org.apache.spark.sql.types.DateType) if l.value != null =>
+            l.value.asInstanceOf[Int].toLong * DayUs
+          case _ => return None
+        }
+        val id0 = g0.idOf(vUs)
+        (g0, src0, id0, g0.startUs(id0) == vUs)
+      case None =>
+        val src0 = yearExtractSrcOf(session, e).getOrElse(return None)
+        val y = l.dataType match {
+          case IntegerType if l.value != null =>
+            l.value.asInstanceOf[Int]
+          case _ => return None
+        }
+        if (y < 0 || y > 9999) return None
+        (MonthsGrain(12), src0, y.toLong, true)
     }
     val op = cmp match {
       case _: GreaterThanOrEqual => if (flip) "le" else "ge"
@@ -1993,8 +2052,6 @@ final case class BucketFilterBandRule(session: SparkSession)
       // null ts — a band comparison can't express that; decline
       case _ => return None
     }
-    val id = g.idOf(vUs)
-    val aligned = g.startUs(id) == vUs
     val ceil = if (aligned) id else id + 1
     // bounds restated in the SOURCE attribute's units; bucket starts
     // are day multiples for DateType sources, and an exclusive micros
@@ -2015,7 +2072,7 @@ final case class BucketFilterBandRule(session: SparkSession)
       case "le" => le(g.startUs(id + 1) - 1)
       case "lt" => le(g.startUs(ceil) - 1)
       case "eq" =>
-        if (aligned) And(ge(vUs), le(g.startUs(id + 1) - 1))
+        if (aligned) And(ge(g.startUs(id)), le(g.startUs(id + 1) - 1))
         // no instant truncates to a non-start: unsatisfiable, but the
         // null case must stay null — an always-false BAND does both
         else And(GreaterThanOrEqual(src, litOf(DayUs)),

@@ -1599,6 +1599,28 @@ object IngestQueries {
       q
     }),
 
+    // The archive report: `WHERE year(ts) = Y GROUP BY month(ts)` —
+    // the YEAR extract is the one monotone extract, so its equality
+    // folds into the exact [Y-01-01, Y+1-01-01) band, and the month
+    // keys ride the bucket-functional grouping; every file is
+    // month-contained AND in-band, so the whole report reads ZERO
+    // data files. The DuckDB oracle recomputes from the shifted feeds.
+    "qi52_sql_year_filter_report" -> ((s, dir) => {
+      val lake = monthFixture(s, dir) // shared with qi46/qi49/qi50
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT month(tp_timestamp) AS m, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value,
+               sum(user_id) AS sum_user
+        FROM events_month46
+        WHERE year(tp_timestamp) = 2024
+        GROUP BY month(tp_timestamp) ORDER BY m""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"year-filtered month report must serve scan-free, read $files")
+      q
+    }),
+
     // Day-of-week activity profile over a day-aligned lake (the shape
     // `compact --align day` leaves): every file is day-contained, so
     // each weekday key is served by MERGING the per-day metadata
@@ -2581,6 +2603,52 @@ object IngestQueries {
              avg(user_id) AS avg_user
       FROM feed
       GROUP BY 1, 2 ORDER BY y, m""",
+
+    // raw-row recompute of the year-filtered month report over the
+    // same shifted feeds (year/month cast to INTEGER to meet Spark)
+    "qi52_sql_year_filter_report" -> """
+      WITH feed AS (
+        SELECT cast(ts AS timestamp) AS ts2, user_id, value FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-06 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 30 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-06 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-11 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 60 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-11 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-16 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 90 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-16 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-21 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 120 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-21 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-26 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 150 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 5 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00')
+      SELECT cast(month(ts2) AS INTEGER) AS m,
+             count(*) AS n, min(value) AS min_value,
+             max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM feed
+      WHERE year(ts2) = 2024
+      GROUP BY 1 ORDER BY m""",
 
     // raw-row recompute of the day-of-week profile (DuckDB dayofweek
     // is 0=Sunday..6; Spark's is 1=Sunday..7 — +1 aligns them)

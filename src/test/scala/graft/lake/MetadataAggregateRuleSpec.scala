@@ -1391,6 +1391,53 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(qn.head().getLong(0) === 300L)
   }
 
+  test("year(ts) comparisons fold into bands: the archive filter " +
+      "WHERE year(ts) = 2024 serves from metadata and prunes the scan") {
+    val (lake, total) = dayLake() // all dated rows in March 2024
+    // aggregate path: the year band contains every dated file; only
+    // the null-ts file scans
+    val q = spark.sql("SELECT count(*) AS n, sum(event_id) AS s " +
+      "FROM bq WHERE year(tp_timestamp) = 2024")
+    val f = ScanAudit.filesReadAfterRun(q)
+    assert(f > 0 && f * 2 < total,
+      s"year-eq should scan only the null file: $f of $total")
+    assert(q.head().getLong(0) === 640L)
+    // the DATE-source spelling folds the same way
+    val qd = spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE year(tp_date) = 2024")
+    val fd = ScanAudit.filesReadAfterRun(qd)
+    assert(fd > 0 && fd * 2 < total, s"$fd of $total")
+    assert(qd.head().getLong(0) === 640L)
+    // range operators: >= / < restate as bucket-start bounds
+    assert(spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE year(tp_timestamp) >= 2024").head().getLong(0) === 640L)
+    assert(spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE year(tp_timestamp) < 2024").head().getLong(0) === 0L)
+    // the fold composes with bucket grouping: daily report for one year
+    val qg = spark.sql("SELECT tp_date, count(*) AS n FROM bq " +
+      "WHERE year(tp_timestamp) = 2024 GROUP BY 1 ORDER BY 1")
+    val fg = ScanAudit.filesReadAfterRun(qg)
+    assert(fg > 0 && fg * 2 < total)
+    val truthG = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+      .where(year(col("tp_timestamp")) === 2024)
+      .groupBy("tp_date").agg(count(lit(1)).as("n"))
+      .orderBy("tp_date").collect().toSeq
+    assert(qg.collect().toSeq === truthG)
+    // SCAN path: year(ts) = 2023 matches nothing dated — the zone-map
+    // index prunes every dated file, only the unknown-range null file
+    // is read, and its rows fail the filter row-level
+    val qs = spark.sql(
+      "SELECT event_id FROM bq WHERE year(tp_timestamp) = 2023")
+    val fs0 = ScanAudit.filesReadAfterRun(qs)
+    assert(fs0 === 1 && qs.count() === 0L,
+      s"2023 scan must prune all dated files: read $fs0 of $total")
+    // negation stays null-exact: NOT(year = 2024) is false for every
+    // dated row and NULL (dropped) for null-ts rows
+    assert(spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE NOT (year(tp_timestamp) = 2024)").head().getLong(0) === 0L)
+  }
+
   test("exactly-UTC zone spellings (Etc/UTC, Z, +00:00) SERVE; a real " +
       "non-UTC zone declines (ZoneId normalization, r18 verdict nit 1)") {
     assert(TpSchema.isUtcZone("UTC") && TpSchema.isUtcZone("Etc/UTC") &&
