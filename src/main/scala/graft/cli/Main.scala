@@ -1985,15 +1985,22 @@ object Main {
           case Some(grainRaw) =>
             val grain = grainRaw.toLowerCase(java.util.Locale.ROOT)
             require(Set("minute", "hour", "day", "week", "month",
-              "quarter", "year").contains(grain),
+              "quarter", "year", "dow", "hour-of-day").contains(grain),
               "table aggregate --by wants " +
-                "minute|hour|day|week|month|quarter|year")
+                "minute|hour|day|week|month|quarter|year|dow|hour-of-day")
             graft.query.Views.register(spark, lake,
               graft.query.Views.Filters())
-            val bucket =
-              if (grain == "day") "tp_date"
-              else s"date_trunc('${grain.toUpperCase(
+            // dow / hour-of-day are PROFILE buckets (extract keys:
+            // many time buckets merge onto one output key) — scan-free
+            // on a lake aligned at least as fine as the extract's
+            // grain, served through the same bucket hybrid
+            val bucket = grain match {
+              case "day" => "tp_date"
+              case "dow" => "dayofweek(tp_timestamp)"
+              case "hour-of-day" => "hour(tp_timestamp)"
+              case g => s"date_trunc('${g.toUpperCase(
                 java.util.Locale.ROOT)}', tp_timestamp)"
+            }
             val where = (opts.ts("from"), opts.ts("to")) match {
               case (None, None) => ""
               case (f, to0) =>

@@ -498,6 +498,21 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(byMonth.contains("rows=3"), byMonth)
     assert(byMonth.contains("served from metadata (no data scan)"),
       byMonth)
+    // --by dow / hour-of-day: PROFILE buckets (extract keys merge many
+    // time buckets onto one output key) — 2024-05-01 is a Wednesday
+    // (Spark dayofweek 4) and all rows sit in hour 10; the single
+    // day-contained (and hour-contained) file serves both scan-free
+    val (rc12, byDow) = cli(dir, "table", "aggregate", "metrics",
+      "--by", "dow")
+    assert(rc12 == 0, byDow)
+    assert(byDow.contains(
+      "4: rows=3 status_code[count=3 min=200 max=404]"), byDow)
+    assert(byDow.contains("served from metadata (no data scan)"), byDow)
+    val (rc13, byHod) = cli(dir, "table", "aggregate", "metrics",
+      "--by", "hour-of-day")
+    assert(rc13 == 0, byHod)
+    assert(byHod.contains("10: rows=3"), byHod)
+    assert(byHod.contains("served from metadata (no data scan)"), byHod)
     // unknown grain errors loudly
     val (rc10, bad) = cli(dir, "table", "aggregate", "metrics",
       "--by", "fortnight")
