@@ -751,6 +751,17 @@ final case class MetadataAggregateRule(session: SparkSession)
     }
     var orBands: Option[Seq[(Long, Long)]] = None
     val single = Seq.newBuilder[Expression]
+    // a band set from a list of equality-shaped members (the IN-list
+    // is semantically OR-of-equalities: `tp_date IN (d1, d2)`,
+    // `date_trunc('MONTH', ts) IN (m1, m2)`, `year(ts) IN (y1, y2)`)
+    def eqBands(mk: Seq[Expression]): Option[Seq[(Long, Long)]] = {
+      val folded = mk.map(e => splitBandExprs(Seq(e)))
+      if (folded.forall(_.exists { case (l, h, n, r) =>
+        n > 0 && r.isEmpty && l <= h
+      }))
+        Some(folded.map(_.get).map { case (l, h, _, _) => (l, h) })
+      else None
+    }
     conjunctsOf(cond).foreach { c =>
       val asOr: Option[Seq[(Long, Long)]] = c match {
         case o: Or if orBands.isEmpty =>
@@ -760,6 +771,12 @@ final case class MetadataAggregateRule(session: SparkSession)
           }))
             Some(folded.map(_.get).map { case (l, h, _, _) => (l, h) })
           else None
+        case In(e, lits) if orBands.isEmpty &&
+            lits.forall(_.isInstanceOf[Literal]) =>
+          eqBands(lits.map(l => EqualTo(e, l)))
+        case InSet(e, hset) if orBands.isEmpty =>
+          eqBands(hset.toSeq.map(v =>
+            EqualTo(e, Literal(v, e.dataType))))
         case _ => None
       }
       asOr match {
@@ -2001,8 +2018,23 @@ final case class BucketFilterBandRule(session: SparkSession)
     case f: Filter =>
       val nc = f.condition.transformUp {
         case cmp: BinaryComparison => foldCmp(cmp).getOrElse(cmp)
+        // IN-lists are OR-of-equalities; folding each member keeps
+        // null-exactness (null source → every member null → OR null)
+        case in @ In(e, lits) if lits.forall(_.isInstanceOf[Literal]) =>
+          foldIn(in, e, lits.map(_.asInstanceOf[Literal]))
+        case in @ InSet(e, hset) =>
+          foldIn(in, e,
+            hset.toSeq.map(v => Literal(v, e.dataType)))
       }
       if (nc fastEquals f.condition) f else f.copy(condition = nc)
+  }
+
+  private def foldIn(orig: Expression, e: Expression,
+      lits: Seq[Literal]): Expression = {
+    if (lits.isEmpty) return orig
+    val folded = lits.map(l => foldCmp(EqualTo(e, l)))
+    if (folded.exists(_.isEmpty)) orig
+    else folded.flatten.reduce(Or)
   }
 
   private def foldCmp(cmp: BinaryComparison): Option[Expression] = {

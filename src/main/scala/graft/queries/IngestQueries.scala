@@ -1599,6 +1599,30 @@ object IngestQueries {
       q
     }),
 
+    // Compare-two-months: `WHERE date_trunc('MONTH', ts) IN (feb,
+    // may) GROUP BY month(ts)` — the IN-list folds into OR-of-bands
+    // (each member an aligned month-eq band), the month keys ride the
+    // bucket grouping, and every member file is month-contained, so
+    // the comparison reads ZERO data files. DuckDB recomputes from
+    // the shifted feeds.
+    "qi53_sql_month_in_report" -> ((s, dir) => {
+      val lake = monthFixture(s, dir) // shared with qi46/qi49/qi50/qi52
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT month(tp_timestamp) AS m, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value,
+               sum(user_id) AS sum_user
+        FROM events_month46
+        WHERE date_trunc('MONTH', tp_timestamp) IN
+              (timestamp'2024-02-01 00:00:00',
+               timestamp'2024-05-01 00:00:00')
+        GROUP BY month(tp_timestamp) ORDER BY m""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"month-IN comparison must serve scan-free, read $files")
+      q
+    }),
+
     // The archive report: `WHERE year(ts) = Y GROUP BY month(ts)` —
     // the YEAR extract is the one monotone extract, so its equality
     // folds into the exact [Y-01-01, Y+1-01-01) band, and the month
@@ -2603,6 +2627,54 @@ object IngestQueries {
              avg(user_id) AS avg_user
       FROM feed
       GROUP BY 1, 2 ORDER BY y, m""",
+
+    // raw-row recompute of the compare-two-months IN report over the
+    // same shifted feeds
+    "qi53_sql_month_in_report" -> """
+      WITH feed AS (
+        SELECT cast(ts AS timestamp) AS ts2, user_id, value FROM events
+        WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-01 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-06 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 30 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-06 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-11 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 60 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-11 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-16 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 90 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-16 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-21 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 120 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-21 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-26 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 150 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00'
+        UNION ALL
+        SELECT cast(ts AS timestamp) + INTERVAL 5 DAY, user_id, value
+        FROM events WHERE event_id % 5 = 0
+          AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-26 00:00:00'
+          AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-31 00:00:00')
+      SELECT cast(month(ts2) AS INTEGER) AS m,
+             count(*) AS n, min(value) AS min_value,
+             max(value) AS max_value,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM feed
+      WHERE date_trunc('month', ts2) IN
+            (TIMESTAMP '2024-02-01 00:00:00',
+             TIMESTAMP '2024-05-01 00:00:00')
+      GROUP BY 1 ORDER BY m""",
 
     // raw-row recompute of the year-filtered month report over the
     // same shifted feeds (year/month cast to INTEGER to meet Spark)

@@ -1438,6 +1438,68 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
       "WHERE NOT (year(tp_timestamp) = 2024)").head().getLong(0) === 0L)
   }
 
+  test("IN-lists fold as OR-of-bands: tp_date IN (...), bucket IN " +
+      "(...), year IN (...) on both the aggregate and scan paths") {
+    val (lake, total) = dayLake()
+    def truthDf = spark.read.option("basePath", lake.tableDir("bq"))
+      .parquet(lake.tableDir("bq"))
+    // aggregate path: two day members = two bands; the two day files
+    // serve from metadata, nothing else scans (Mar 1 and Mar 3 files
+    // are band-contained; all other files are band-excluded)
+    val q = spark.sql("SELECT count(*) AS n, sum(event_id) AS s " +
+      "FROM bq WHERE tp_date IN (DATE'2024-03-01', DATE'2024-03-03')")
+    val f = ScanAudit.filesReadAfterRun(q)
+    // the unknown-range null-ts file can't be band-excluded — it
+    // scans (and its rows fail the filter row-level); everything
+    // else serves or prunes
+    assert(f === 1, s"two-day IN should scan only the null file: " +
+      s"$f of $total")
+    assert(q.head().getLong(0) === 200L)
+    // year IN: both years fold to one merged band covering everything
+    val qy = spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE year(tp_timestamp) IN (2023, 2024)")
+    assert(qy.head().getLong(0) === 640L)
+    // IN composes with bucket grouping: daily report for two days
+    val qg = spark.sql("SELECT tp_date, count(*) AS n FROM bq " +
+      "WHERE tp_date IN (DATE'2024-03-01', DATE'2024-03-03') " +
+      "GROUP BY 1 ORDER BY 1")
+    // the GROUPED rewrite band-excludes the unknown-range file
+    // outright: a band filter is never true on a null ts, so the null
+    // group can't appear and nothing needs the scan
+    assert(ScanAudit.filesReadAfterRun(qg) === 0)
+    val truthG = truthDf
+      .where(col("tp_date").isin(
+        java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Date.valueOf("2024-03-03")))
+      .groupBy("tp_date").agg(count(lit(1)).as("n"))
+      .orderBy("tp_date").collect().toSeq
+    assert(qg.collect().toSeq === truthG)
+    // scan path: a bucket-expression IN prunes files through the
+    // zone map — months that match nothing dated leave only the
+    // unknown-range null file
+    val qs = spark.sql("SELECT event_id FROM bq " +
+      "WHERE date_trunc('MONTH', tp_timestamp) IN " +
+      "(timestamp'2024-02-01 00:00:00', timestamp'2024-04-01 00:00:00')")
+    val fs0 = ScanAudit.filesReadAfterRun(qs)
+    assert(fs0 === 1 && qs.count() === 0L,
+      s"feb/apr IN must prune all March files: read $fs0 of $total")
+    // a NULL member keeps the IN unfolded (never true, only
+    // null/true semantics) — answers stay correct via the plain scan
+    val qn = spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE tp_date IN (DATE'2024-03-01', NULL)")
+    assert(qn.head().getLong(0) === 100L)
+    // >10 members go through OptimizeIn's InSet conversion — the fold
+    // handles both spellings (two real days + nine distant ones)
+    val members = Seq("2024-03-01", "2024-03-03") ++
+      (1 to 9).map(i => s"2030-01-0$i")
+    val qb = spark.sql("SELECT count(*) AS n FROM bq WHERE tp_date IN " +
+      members.map(d => s"DATE'$d'").mkString("(", ", ", ")"))
+    val fb = ScanAudit.filesReadAfterRun(qb)
+    assert(fb === 1,
+      s"InSet fold should scan only the null file: $fb of $total")
+    assert(qb.head().getLong(0) === 200L)
+  }
+
   test("exactly-UTC zone spellings (Etc/UTC, Z, +00:00) SERVE; a real " +
       "non-UTC zone declines (ZoneId normalization, r18 verdict nit 1)") {
     assert(TpSchema.isUtcZone("UTC") && TpSchema.isUtcZone("Etc/UTC") &&
