@@ -937,6 +937,44 @@ object ScaleRehearsal {
         require(alFiles == 0,
           s"aligned table must serve the daily report scan-free, " +
             s"read $alFiles")
+        // ---- extract keys + IN fold on the aligned lake (r19): the
+        // day-of-week profile merges many day buckets onto 7 keys and
+        // the two-day IN folds to OR-of-bands — both scan-free once
+        // every file is day-contained, at every multiplier
+        var dowD: Seq[String] = null
+        var dowFiles = -1L
+        record("bucketagg_dow_profile", m, n, time {
+          val q = spark.sql("SELECT dayofweek(tp_timestamp) AS dow, " +
+            "count(*) AS n, sum(user_id) AS s FROM events_bk " +
+            "GROUP BY 1 ORDER BY dow")
+          dowD = q.collect().map(_.toString).toSeq
+          dowFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        val dowTruth = stockRead()
+          .groupBy(dayofweek(col("tp_timestamp")).as("dow"))
+          .agg(count(lit(1)).as("n"), sum("user_id").as("s"))
+          .orderBy("dow").collect().map(_.toString).toSeq
+        require(dowD == dowTruth, s"dow profile diverged at x$m")
+        require(dowFiles == 0,
+          s"dow profile must be scan-free post-align, read $dowFiles")
+        var inRow: String = null
+        var inFiles = -1L
+        record("bucketagg_in_fold", m, n, time {
+          val q = spark.sql("SELECT count(*) AS n, sum(user_id) AS s " +
+            "FROM events_bk WHERE tp_date IN " +
+            "(DATE'2024-01-02', DATE'2024-01-05')")
+          inRow = q.head().toString
+          inFiles = graft.query.ScanAudit.filesRead(q)
+        })
+        val inTruth = stockRead()
+          .where(col("tp_date").isin(
+            java.sql.Date.valueOf("2024-01-02"),
+            java.sql.Date.valueOf("2024-01-05")))
+          .agg(count(lit(1)).as("n"), sum("user_id").as("s"))
+          .head().toString
+        require(inRow == inTruth, s"IN fold diverged at x$m")
+        require(inFiles == 0,
+          s"two-day IN must serve scan-free post-align, read $inFiles")
       }
 
       // ---- join-key file skipping at volume -------------------------
