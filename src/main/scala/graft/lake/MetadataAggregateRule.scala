@@ -257,8 +257,12 @@ final case class MetadataAggregateRule(session: SparkSession)
         case a: AttributeReference => aliasMap.getOrElse(a.exprId, a)
         case e => e
       }
-      resolved.count(bucketGrain(_).isDefined) == 1 &&
-        resolved.forall(g => bucketGrain(g).isDefined ||
+      val grains = resolved.flatMap(bucketValue(_)).map(_._1)
+      grains.nonEmpty &&
+        // only lint shapes a containment grain could actually serve
+        grains.exists(a =>
+          grains.forall(b => MetadataAggregateRule.refines(a, b))) &&
+        resolved.forall(g => bucketValue(g).isDefined ||
           (g.isInstanceOf[AttributeReference] &&
             graft.lake.TpSchema.partitionCols.contains(
               g.asInstanceOf[AttributeReference].name)))

@@ -139,6 +139,21 @@ class MetaquerySpec extends AnyFunSuite with SparkTest {
         "count(*) as n from metrics group by 1")
     assert(monthMiss.contains("WARNING") &&
       monthMiss.contains("tp_timestamp"), monthMiss)
+    // extract keys are servable shapes too (r19): the layout report
+    // year(ts), month(ts) lints when it misses; an UNSERVABLE grain
+    // pair (week × year has no common refinement) must NOT lint —
+    // "could be answered" would be a false promise there
+    val ymMiss = Metaquery.handle(spark, lake, st,
+      ".explain select year(tp_timestamp) as y, " +
+        "month(tp_timestamp) as m, count(*) as n from metrics " +
+        "group by 1, 2")
+    assert(ymMiss.contains("WARNING") &&
+      ymMiss.contains("tp_timestamp"), ymMiss)
+    val wyNoLint = Metaquery.handle(spark, lake, st,
+      ".explain select date_trunc('WEEK', tp_timestamp) as w, " +
+        "year(tp_timestamp) as y, count(*) as n from metrics " +
+        "group by 1, 2")
+    assert(!wyNoLint.contains("WARNING"), wyNoLint)
   }
 
   test("planWarnings flags a stream-stream join left at the session " +
