@@ -1740,6 +1740,49 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     Some(sets.map { case (k, s) => k -> s.size.toLong }.toMap)
   }
 
+  /** Banded twin of [[distinctDayCounts]] — "active days in
+    * [from, to]": provable iff every (filtered) ranged file is
+    * day-contained and either fully inside one band or fully outside
+    * all of them. A file PARTIALLY overlapping a band edge proves
+    * nothing — its min/max are real rows, but no row is guaranteed to
+    * land inside the band — so it declines. The count is the size of
+    * the day-id set of the inside files (each nonempty by
+    * construction: min/max are actual rows).
+    */
+  private[lake] def distinctDayCountsBanded(
+      spark: SparkSession, table: String,
+      bands: Seq[(Long, Long)],
+      fileFilter: String => Boolean): Option[Long] = {
+    if (!hasData(spark, table)) return Some(0L)
+    val snap = metaSnapshot(spark, table)
+    val live = dataFiles(spark, table).filter(fileFilter)
+    val days = scala.collection.mutable.Set.empty[Long]
+    live.foreach { f =>
+      snap.manifest.get(f) match {
+        case None => return None // live but unrecorded: can't prove
+        case Some(m) => (m.minUs, m.maxUs) match {
+          case (None, None) => () // all-null-ts: the band drops nulls
+          case (Some(mn), Some(mx)) =>
+            val inside = bands.exists { case (lo, hi) =>
+              lo <= mn && mx <= hi
+            }
+            if (inside) {
+              val d = Math.floorDiv(mn, 86400000000L)
+              if (d != Math.floorDiv(mx, 86400000000L)) return None
+              days += d
+            } else {
+              val outside = bands.forall { case (lo, hi) =>
+                mx < lo || mn > hi
+              }
+              if (!outside) return None // band-edge partial overlap
+            }
+          case _ => return None // half-known range: not provable
+        }
+      }
+    }
+    Some(days.size.toLong)
+  }
+
   /** Ungrouped core: one partial over all covered files. */
   private def statsAggParts(
       spark: SparkSession, table: String,

@@ -951,11 +951,19 @@ final case class MetadataAggregateRule(session: SparkSession)
     }
     val specs = agg.aggregateExpressions.map(classify)
     if (specs.exists(s => s.isEmpty ||
-      s.get.isInstanceOf[Passthrough] ||
-      // no distinct-date slot merge through the hybrid: day sets don't
-      // add across the metadata/scan split — decline to the scan
-      s.get.isInstanceOf[DistinctDates])) return None
+      s.get.isInstanceOf[Passthrough])) return None
     val flat = specs.flatten
+    // count(DISTINCT tp_date) under a band — "active days in range":
+    // day sets don't slot-merge across a metadata/scan split, so this
+    // serves only FULLY CONTAINED (every ranged file day-contained and
+    // provably inside/outside the bands; straddlers decline below)
+    val bandedDistinct: Option[Long] =
+      if (!flat.exists(_.isInstanceOf[DistinctDates])) None
+      else lake.distinctDayCountsBanded(session, table, bands,
+        fileFilter) match {
+        case None => return None
+        case Some(n) => Some(n)
+      }
     val cols = flat.collect {
       case CountCol(a) => a.name
       case MinCol(a) => a.name
@@ -986,6 +994,22 @@ final case class MetadataAggregateRule(session: SparkSession)
       parts.sums.get(c).forall(_.isValidLong)))
       return None
 
+    if (straddlers.isEmpty) {
+      // nothing to scan: emit the final row directly
+      logInfo(s"time-band rewrite fired for '$table': fully contained, " +
+        s"no straddlers")
+      return Some(LocalRelation(
+        agg.aggregateExpressions.map(_.toAttribute),
+        Seq(InternalRow.fromSeq(flat.map {
+          case DistinctDates(_) => Long.box(bandedDistinct.get)
+          case s => metaFinalValue(parts, s)
+        }))))
+    }
+    // a straddler's rows would need the distinct-day slot merge the
+    // classifier can't express — decline to the scan (slot machinery
+    // below has no DistinctDates shape)
+    if (bandedDistinct.isDefined) return None
+
     val slotGroups: Seq[Seq[AttributeReference]] =
       flat.zipWithIndex.map { case (sp, i) =>
         slotTypesOf(sp).zipWithIndex.map { case (dt, j) =>
@@ -996,15 +1020,6 @@ final case class MetadataAggregateRule(session: SparkSession)
     val localValues: Seq[Any] = flat.flatMap(metaSlotValues(parts, _))
     val local = LocalRelation(localAttrs,
       Seq(InternalRow.fromSeq(localValues)))
-
-    if (straddlers.isEmpty) {
-      // nothing to scan: emit the final row directly
-      logInfo(s"time-band rewrite fired for '$table': fully contained, " +
-        s"no straddlers")
-      return Some(LocalRelation(
-        agg.aggregateExpressions.map(_.toAttribute),
-        Seq(InternalRow.fromSeq(flat.map(metaFinalValue(parts, _))))))
-    }
 
     // straddler-restricted relation with the ORIGINAL output attrs —
     // the filter/projections above keep their bindings untouched

@@ -1599,6 +1599,27 @@ object IngestQueries {
       q
     }),
 
+    // Active-days-in-range (r19): count(DISTINCT tp_date) under a
+    // DAY-ALIGNED band — every file proves fully inside or outside
+    // the band, so the distinct count is the inside files' manifest
+    // day-set size and the count/sum riders come from the same
+    // contained partials: ZERO data reads. A band edge cutting a day
+    // (or any straddler) declines — pinned in the spec.
+    "qi54_sql_active_days_in_range" -> ((s, dir) => {
+      val lake = daysOnlyFixture(s, dir) // shared with qi48/qi51
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT count(DISTINCT tp_date) AS active_days, count(*) AS n,
+               sum(user_id) AS sum_user
+        FROM events_days48
+        WHERE tp_timestamp >= timestamp'2024-01-02 00:00:00'
+          AND tp_timestamp <  timestamp'2024-01-06 00:00:00'""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"active-days-in-range must serve scan-free, read $files")
+      q
+    }),
+
     // Compare-two-months: `WHERE date_trunc('MONTH', ts) IN (feb,
     // may) GROUP BY month(ts)` — the IN-list folds into OR-of-bands
     // (each member an aligned month-eq band), the month keys ride the
@@ -2627,6 +2648,17 @@ object IngestQueries {
              avg(user_id) AS avg_user
       FROM feed
       GROUP BY 1, 2 ORDER BY y, m""",
+
+    // raw-row recompute of the banded active-days count
+    "qi54_sql_active_days_in_range" -> """
+      SELECT count(DISTINCT cast(cast(ts AS timestamp) AS DATE))
+               AS active_days,
+             count(*) AS n,
+             cast(sum(user_id) AS BIGINT) AS sum_user
+      FROM events
+      WHERE event_id % 5 = 0
+        AND cast(ts AS timestamp) >= TIMESTAMP '2024-01-02 00:00:00'
+        AND cast(ts AS timestamp) <  TIMESTAMP '2024-01-06 00:00:00'""",
 
     // raw-row recompute of the compare-two-months IN report over the
     // same shifted feeds

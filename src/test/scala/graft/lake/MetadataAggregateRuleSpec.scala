@@ -1293,6 +1293,28 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(ScanAudit.filesReadAfterRun(qg) === 0)
     // the all-numeric idx dir values infer back as INT partition keys
     assert(qg.collect().toSeq === Seq(Row(0, 5L, 125L), Row(1, 5L, 125L)))
+    // banded distinct (r19) — "active days in range": a DAY-ALIGNED
+    // band proves every file fully inside or outside, so the count is
+    // the inside files' day-set size, scan-free. The count(*) rider
+    // needs band containment, which (unlike the distinct-day proof)
+    // requires the sidecar's null-ts-free evidence — enable it here;
+    // the unbanded asserts above ran stats-free on purpose
+    lake.enableColumnStats(spark, "dd", Seq("tp_timestamp"))
+    val qb = spark.sql("SELECT count(DISTINCT tp_date) AS d, " +
+      "count(*) AS n FROM dd " +
+      "WHERE tp_timestamp >= timestamp'2024-03-02 00:00:00' " +
+      "AND tp_timestamp < timestamp'2024-03-04 00:00:00'")
+    assert(ScanAudit.filesReadAfterRun(qb) === 0,
+      "a day-aligned band must serve distinct days scan-free")
+    assert(qb.head() === Row(2L, 100L))
+    // a band edge CUTTING a day proves nothing for that file (its
+    // min/max are rows, but no row is guaranteed inside the band) —
+    // decline to the scan, answer intact
+    val qbe = spark.sql("SELECT count(DISTINCT tp_date) AS d FROM dd " +
+      "WHERE tp_timestamp >= timestamp'2024-03-02 08:00:00'")
+    assert(ScanAudit.filesReadAfterRun(qbe) > 0,
+      "a mid-day band edge must decline the banded distinct proof")
+    assert(qbe.head().getLong(0) === 4L)
     // decline path: one two-day straddler append makes the set
     // unprovable — scan, answers intact
     val strad = spark.range(300, 320).select(
@@ -1436,6 +1458,17 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     // dated row and NULL (dropped) for null-ts rows
     assert(spark.sql("SELECT count(*) AS n FROM bq " +
       "WHERE NOT (year(tp_timestamp) = 2024)").head().getLong(0) === 0L)
+    // the ANSI spellings resolve to the same Year expression before
+    // extraOptimizations run (RuntimeReplaceable replacement), so
+    // extract/date_part fold identically
+    val qx = spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE extract(YEAR FROM tp_timestamp) = 2024")
+    val fx = ScanAudit.filesReadAfterRun(qx)
+    assert(fx > 0 && fx * 2 < total, s"extract(YEAR): $fx of $total")
+    assert(qx.head().getLong(0) === 640L)
+    assert(spark.sql("SELECT count(*) AS n FROM bq " +
+      "WHERE date_part('year', tp_timestamp) = 2024")
+      .head().getLong(0) === 640L)
   }
 
   test("IN-lists fold as OR-of-bands: tp_date IN (...), bucket IN " +
