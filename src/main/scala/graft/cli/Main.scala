@@ -2087,6 +2087,42 @@ object Main {
               (if (unioned.isDefined) " (sketch union, no scan)"
                else " (scanned)")))
         }
+        // --active-days: count(DISTINCT tp_date) — manifest-served
+        // when every (in-band) file is day-contained and, with
+        // --from/--to, provably inside or outside the band; one
+        // distinct scan otherwise (same answer either way)
+        if (opts.flag("active-days").contains("true")) {
+          import org.apache.spark.sql.functions.{col, countDistinct, lit}
+          val band: Option[(Long, Long)] =
+            (opts.ts("from"), opts.ts("to")) match {
+              case (None, None) => None
+              case (f, to0) => Some((
+                f.map(_.getTime * 1000L).getOrElse(Long.MinValue),
+                to0.map(_.getTime * 1000L).getOrElse(Long.MaxValue)))
+            }
+          val served: Option[Long] = band match {
+            case None => lake.distinctDayCounts(spark, t, _ => Nil,
+              _ => true).map(_.values.headOption.getOrElse(0L))
+            case Some(b) =>
+              lake.distinctDayCountsBanded(spark, t, Seq(b), _ => true)
+          }
+          val n = served.getOrElse {
+            val base = lake.read(spark, t)
+            val banded = band match {
+              case None => base
+              case Some((lo, hi)) => base.where(
+                col(graft.lake.TpSchema.Timestamp) >=
+                  lit(new java.sql.Timestamp(lo / 1000L)) &&
+                  col(graft.lake.TpSchema.Timestamp) <=
+                    lit(new java.sql.Timestamp(hi / 1000L)))
+            }
+            banded.agg(countDistinct(
+              col(graft.lake.TpSchema.Date)).as("d")).head().getLong(0)
+          }
+          out.println(s"  active days: $n" +
+            (if (served.isDefined) " (manifest, no scan)"
+             else " (scanned)"))
+        }
         // --quantiles p1,p2,...: approximate quantiles for the NUMERIC
         // requested columns — per-file KLL sidecar blobs merged
         // scan-free when covered, one QuantileAgg scan otherwise

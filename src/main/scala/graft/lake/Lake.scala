@@ -1712,7 +1712,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     * with [[statsAggregateGroupedIfCovered]]. Callers gate on the
     * reader session being UTC (the tp_date derivation convention).
     */
-  private[lake] def distinctDayCounts(
+  private[graft] def distinctDayCounts(
       spark: SparkSession, table: String,
       groupOf: String => Seq[String],
       fileFilter: String => Boolean): Option[Map[Seq[String], Long]] = {
@@ -1749,7 +1749,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     * the day-id set of the inside files (each nonempty by
     * construction: min/max are actual rows).
     */
-  private[lake] def distinctDayCountsBanded(
+  private[graft] def distinctDayCountsBanded(
       spark: SparkSession, table: String,
       bands: Seq[(Long, Long)],
       fileFilter: String => Boolean): Option[Long] = {

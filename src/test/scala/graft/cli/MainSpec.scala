@@ -498,6 +498,21 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(byMonth.contains("rows=3"), byMonth)
     assert(byMonth.contains("served from metadata (no data scan)"),
       byMonth)
+    // --active-days: the distinct-day count, manifest-served whole
+    // and for a day-aligned band; a band edge cutting into the file
+    // falls back to one distinct scan with the same answer
+    val (rc14, ad) = cli(dir, "table", "aggregate", "metrics",
+      "--active-days")
+    assert(rc14 == 0, ad)
+    assert(ad.contains("active days: 1 (manifest, no scan)"), ad)
+    val (rc15, adb) = cli(dir, "table", "aggregate", "metrics",
+      "--active-days", "--from", "2024-05-01", "--to", "2024-05-02")
+    assert(rc15 == 0, adb)
+    assert(adb.contains("active days: 1 (manifest, no scan)"), adb)
+    val (rc16, adc) = cli(dir, "table", "aggregate", "metrics",
+      "--active-days", "--from", "2024-05-01 10:31:00")
+    assert(rc16 == 0, adc)
+    assert(adc.contains("active days: 1 (scanned)"), adc)
     // --by dow / hour-of-day: PROFILE buckets (extract keys merge many
     // time buckets onto one output key) — 2024-05-01 is a Wednesday
     // (Spark dayofweek 4) and all rows sit in hour 10; the single
