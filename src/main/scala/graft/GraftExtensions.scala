@@ -59,5 +59,9 @@ object GraftExtensions {
       // sidecar sketches when covered
       "ndv" -> (es => NdvFns.NdvAgg(es.head).toAggregateExpression()),
       "graft_quantile" -> (es =>
-        QuantileFns.QuantileAgg(es(0), es(1)).toAggregateExpression()))
+        QuantileFns.QuantileAgg(es(0), es(1)).toAggregateExpression()),
+      "graft_topk" -> (es =>
+        TopKFns.TopKAgg(es(0), es(1)).toAggregateExpression()),
+      "graft_topk_sketch" -> (es =>
+        TopKFns.TopKSketchAgg(es.head).toAggregateExpression()))
 }

@@ -338,6 +338,11 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         // answer to skewed-value filter selectivity (r16 task 4)
         (if (isNum) graft.functions.KllFns.kllAgg(spark, col(c))
          else max(lit(null).cast("binary"))).as(s"__kll_$c"),
+        // per-file frequent-items sketch (string columns only): the
+        // mergeable "top talkers" feed — exact while never evicting,
+        // which is the metadata serve gate (TopKFns)
+        (if (isStr) graft.functions.TopKFns.topkSketchAgg(spark, col(c))
+         else max(lit(null).cast("binary"))).as(s"__mg_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
         (if (isStr) sum(length(col(c)).cast("long"))
          else max(lit(null).cast("long"))).as(s"__sl_$c"),
@@ -372,6 +377,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         col(s"__ml_$c").as("max_len"), col(s"__mn_$c").as("min_d"),
         col(s"__mx_$c").as("max_d"), col(s"__ms_$c").as("min_s"),
         col(s"__xs_$c").as("max_s"), col(s"__kll_$c").as("kll"),
+        col(s"__mg_$c").as("mg"),
         col(s"__sv_$c").as("sum_v"), lit(seqNo).as("seq"))
     }.reduce(_.unionByName(_))
     rows.coalesce(1).write.mode(SaveMode.Append)
@@ -845,12 +851,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       val live = fileStats(spark, table, reconcileWithListing = false)
         .select("file")
       swap(cdir,
-        sidecarWithSum(sidecarWithKll(spark.read.parquet(cdir.toString)))
+        sidecarWithMg(sidecarWithSum(sidecarWithKll(
+          spark.read.parquet(cdir.toString))))
           .groupBy("file", "column")
           .agg(max_by(struct(col("sketch"), col("nulls"), col("n"),
             col("sum_len"), col("max_len"), col("min_d"),
             col("max_d"), col("min_s"), col("max_s"), col("kll"),
-            col("sum_v"), col("seq")),
+            col("mg"), col("sum_v"), col("seq")),
             col("seq")).as("s"))
           .select(col("file"), col("column"), col("s.*"))
           .join(live, Seq("file"), "left_semi"))
@@ -873,6 +880,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   private def sidecarWithSum(df: DataFrame): DataFrame =
     if (df.columns.contains("sum_v")) df
     else df.withColumn("sum_v", lit(null).cast("decimal(38,0)"))
+
+  /** Pre-r19 sidecars lack the `mg` frequent-items blob — null stands
+    * in (top-k queries fall back to the scan until a re-seed).
+    */
+  private def sidecarWithMg(df: DataFrame): DataFrame =
+    if (df.columns.contains("mg")) df
+    else df.withColumn("mg", lit(null).cast("binary"))
 
   private def recordStats(
       spark: SparkSession, table: String, added: Seq[String]): Unit =
@@ -991,16 +1005,17 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           val sidecar: Map[(String, String), Lake.SideStat] =
             if (!f.exists(new Path(colStatsDir(table))))
               Map.empty
-            else sidecarWithKll(
-              sidecarWithSum(spark.read.parquet(colStatsDir(table))))
+            else sidecarWithMg(sidecarWithKll(
+              sidecarWithSum(spark.read.parquet(colStatsDir(table)))))
               .groupBy("file", "column")
               .agg(max_by(struct(col("nulls"), col("n"), col("min_d"),
                 col("max_d"), col("min_s"), col("max_s"), col("sum_v"),
-                col("sketch"), col("kll")), col("seq")).as("s"))
+                col("sketch"), col("kll"), col("mg")),
+                col("seq")).as("s"))
               .select(col("file"), col("column"), col("s.nulls"),
                 col("s.n"), col("s.min_d"), col("s.max_d"),
                 col("s.min_s"), col("s.max_s"), col("s.sum_v"),
-                col("s.sketch"), col("s.kll"))
+                col("s.sketch"), col("s.kll"), col("s.mg"))
               .collect().map { r =>
                 (r.getString(0), r.getString(1)) -> Lake.SideStat(
                   r.getLong(2), r.getLong(3),
@@ -1013,7 +1028,9 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
                   if (r.isNullAt(9)) None
                   else Some(r.getAs[Array[Byte]](9)),
                   if (r.isNullAt(10)) None
-                  else Some(r.getAs[Array[Byte]](10)))
+                  else Some(r.getAs[Array[Byte]](10)),
+                  if (r.isNullAt(11)) None
+                  else Some(r.getAs[Array[Byte]](11)))
               }.toMap
           Lake.MetaSnapshot(token, manifest, sidecar)
         }
@@ -1304,13 +1321,14 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       sumColumns: Set[String] = Set.empty,
       ndvColumns: Set[String] = Set.empty,
       fileFilter: String => Boolean = _ => true,
-      kllColumns: Set[String] = Set.empty): Option[StatsAggParts] = {
+      kllColumns: Set[String] = Set.empty,
+      mgColumns: Set[String] = Set.empty): Option[StatsAggParts] = {
     if (!hasData(spark, table)) return None
     val schema = schemaOf(spark, table)
     if (!columns.forall(schema.fieldNames.contains)) return None
     val (groups, residual) = statsAggPartsGrouped(spark, table, columns,
       schema, rangeColumns, sumColumns, _ => Nil, fileFilter,
-      ndvColumns, kllColumns)
+      ndvColumns, kllColumns, mgColumns)
     if (residual.nonEmpty) None
     else Some(groups.values.headOption.getOrElse(
       StatsAggParts(0L, Map.empty, Map.empty, Map.empty, Map.empty, Nil)))
@@ -1814,7 +1832,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       sumColumns: Set[String] = Set.empty,
       ndvColumns: Set[String] = Set.empty,
       fileFilter: String => Boolean = _ => true,
-      kllColumns: Set[String] = Set.empty)
+      kllColumns: Set[String] = Set.empty,
+      mgColumns: Set[String] = Set.empty)
       : Option[Seq[(Seq[String], StatsAggParts)]] = {
     if (groupCols.isEmpty ||
       !groupCols.forall(TpSchema.partitionCols.contains)) return None
@@ -1827,7 +1846,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         val pv = partitionValues(relOf(table, f))
         groupCols.map(pv.getOrElse(_, null))
       },
-      fileFilter, ndvColumns, kllColumns)
+      fileFilter, ndvColumns, kllColumns, mgColumns)
     if (residual.nonEmpty) None else Some(groups.toSeq)
   }
 
@@ -1850,7 +1869,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       groupOf: String => Seq[String],
       fileFilter: String => Boolean = _ => true,
       ndvColumns: Set[String] = Set.empty,
-      kllColumns: Set[String] = Set.empty)
+      kllColumns: Set[String] = Set.empty,
+      mgColumns: Set[String] = Set.empty)
       : (Map[Seq[String], StatsAggParts], Seq[String]) = {
     def dtOf(c: String): DataType = schema(c).dataType
     def minMaxFromZones(dt: DataType): Boolean = dt match {
@@ -1882,7 +1902,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // (ndv/quantile) stay scan-derived: there is no per-row sketch
       // for a column materialized from the path.
       if (TpSchema.partitionCols.contains(c))
-        return !ndvColumns(c) && !kllColumns(c) && (dtOf(c) match {
+        return !ndvColumns(c) && !kllColumns(c) && !mgColumns(c) &&
+          (dtOf(c) match {
           case IntegerType | LongType => true
           // a string directory value has count/min/max but no sum —
           // approving it for a sum/avg would MatchError in the
@@ -1915,6 +1936,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       if (ndvColumns(c) && !cov.exists(_.sketch.isDefined)) return false
       // graft_quantile(c): needs the per-file KLL blob to merge
       if (kllColumns(c) && !cov.exists(_.kll.isDefined)) return false
+      // graft_topk(c): needs the per-file frequent-items blob
+      if (mgColumns(c) && !cov.exists(_.mg.isDefined)) return false
       if (!rangeColumns(c)) return true // count-only: null/row counts do
       if (c == TpSchema.Timestamp) return true // min/max manifest-served
       // tp_date min/max = day-truncated manifest ts extremes (dates
@@ -2054,8 +2077,18 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
             c -> graft.functions.QuantileFns.mergeBlobs(
               files.flatMap { case (file, _) => sidecar((file, c)).kll })
           }.toMap
+        // top-k: the frequent-items blobs merge the same way; the
+        // CALLER checks the merged sketch's error bound (exact-only
+        // serve gate) — usable() guaranteed every file carries a blob
+        val mgBlobs: Map[String, Array[Byte]] =
+          mgColumns.intersect(columns.toSet).map { c =>
+            c -> graft.functions.TopKFns.toBlob(
+              graft.functions.TopKFns.mergeBlobs(
+                files.flatMap { case (file, _) =>
+                  sidecar((file, c)).mg }))
+          }.toMap
         key -> StatsAggParts(nRows, cnt.toMap, mn.toMap, mx.toMap,
-          sm.toMap, Nil, ndvBlobs, kllBlobs)
+          sm.toMap, Nil, ndvBlobs, kllBlobs, mgBlobs)
       }
     (groups, residual)
   }
@@ -2327,7 +2360,8 @@ object Lake {
       sums: Map[String, BigInt],
       residual: Seq[String],
       ndvBlobs: Map[String, Array[Byte]] = Map.empty,
-      kllBlobs: Map[String, Array[Byte]] = Map.empty) {
+      kllBlobs: Map[String, Array[Byte]] = Map.empty,
+      mgBlobs: Map[String, Array[Byte]] = Map.empty) {
     /** Estimates from the per-column union blobs (ndv columns only). */
     def ndvs: Map[String, Long] = ndvBlobs.map { case (c, b) =>
       c -> graft.functions.NdvFns.blobEstimate(b)
@@ -2350,7 +2384,8 @@ object Lake {
       minD: Option[Double], maxD: Option[Double],
       minS: Option[String], maxS: Option[String],
       sumV: Option[BigInt], sketch: Option[Array[Byte]],
-      kll: Option[Array[Byte]])
+      kll: Option[Array[Byte]],
+      mg: Option[Array[Byte]] = None)
 
   /** One table's metadata, collected once per mutation: the newest-seq
     * manifest rows (tombstones dropped) and newest-seq sidecar rows for

@@ -318,6 +318,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
       case QuantileCol(a, _) => a.name
+      case TopKCol(a, _) => a.name
       // distinct-day proof rides the manifest's tp_timestamp ranges
       case DistinctDates(_) => graft.lake.TpSchema.Timestamp
     } ++ (if (bandShaped || bucketShaped)
@@ -404,6 +405,15 @@ final case class MetadataAggregateRule(session: SparkSession)
             scala.util.Try(q.prob).toOption.map(QuantileCol(a, _))
           case _ => None
         }
+      // graft_topk(c, k) — OUR frequent-items aggregate: the sidecar
+      // maintains the identical per-file sketch for STRING columns;
+      // merged-exact results equal the scan's (order-independent in
+      // the exact regime)
+      case tk: graft.functions.TopKFns.TopKAgg => tk.left match {
+        case a: AttributeReference if a.dataType == StringType =>
+          scala.util.Try(tk.k).toOption.map(TopKCol(a, _))
+        case _ => None
+      }
       case _ => None
     }
 
@@ -442,6 +452,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
       case QuantileCol(a, _) => a.name
+      case TopKCol(a, _) => a.name
     }.distinct
     // count-only columns need just the sidecar's null/row counts; only
     // min/max targets must also have exact zone ranges, only sum/avg
@@ -457,8 +468,9 @@ final case class MetadataAggregateRule(session: SparkSession)
     }.toSet
     val ndvCols = flat.collect { case NdvCol(a) => a.name }.toSet
     val kllCols = flat.collect { case QuantileCol(a, _) => a.name }.toSet
+    val mgCols = flat.collect { case TopKCol(a, _) => a.name }.toSet
     val parts = lake.statsAggregateIfCovered(session, table, cols,
-      rangeCols, sumCols, ndvCols, fileFilter, kllCols)
+      rangeCols, sumCols, ndvCols, fileFilter, kllCols, mgCols)
       .getOrElse(return None)
     // a sum past Long.MaxValue has no exact BIGINT value — decline
     if (!flat.collect { case SumCol(a) => a.name }.forall(c =>
@@ -466,6 +478,11 @@ final case class MetadataAggregateRule(session: SparkSession)
     // an avg whose exact sum passes 2^53 loses double losslessness
     if (!flat.collect { case AvgCol(a) => a.name }.forall(c =>
       parts.sums.get(c).forall(_.abs <= MaxExactAvgSum))) return None
+    // top-k: the MERGED sketch must be provably exact (no eviction
+    // anywhere) — an approximate regime declines to the scan
+    if (!mgCols.forall(c => parts.mgBlobs.get(c).exists(b =>
+      graft.functions.TopKFns.isExact(
+        graft.functions.TopKFns.fromBlob(b))))) return None
     // count(DISTINCT tp_date): provable only when every (filtered)
     // file is day-contained — any straddler declines the whole rewrite
     val distinctDays: Option[Long] =
@@ -497,6 +514,8 @@ final case class MetadataAggregateRule(session: SparkSession)
           .flatMap(b =>
             graft.functions.QuantileFns.blobQuantile(b, prob))
           .map(Double.box).orNull
+      case TopKCol(a, k) => graft.functions.TopKFns.topKInternal(
+        graft.functions.TopKFns.fromBlob(parts.mgBlobs(a.name)), k)
       case DistinctDates(_) => Long.box(distinctDays.get)
       case Passthrough(v) => v // Literal.value is already internal
     }
@@ -872,6 +891,8 @@ final case class MetadataAggregateRule(session: SparkSession)
           .flatMap(b =>
             graft.functions.QuantileFns.blobQuantile(b, prob))
           .map(Double.box).orNull
+      case TopKCol(a, k) => graft.functions.TopKFns.topKInternal(
+        graft.functions.TopKFns.fromBlob(parts.mgBlobs(a.name)), k)
       case other => metaSlotValues(parts, other).head
     }
 
@@ -951,7 +972,10 @@ final case class MetadataAggregateRule(session: SparkSession)
     }
     val specs = agg.aggregateExpressions.map(classify)
     if (specs.exists(s => s.isEmpty ||
-      s.get.isInstanceOf[Passthrough])) return None
+      s.get.isInstanceOf[Passthrough] ||
+      // top-k sketches don't ride the band slot machinery (yet) —
+      // decline to the scan
+      s.get.isInstanceOf[TopKCol])) return None
     val flat = specs.flatten
     // count(DISTINCT tp_date) under a band — "active days in range":
     // day sets don't slot-merge across a metadata/scan split, so this
@@ -1103,7 +1127,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       case e => classify(e)
     }
     if (specs.exists(s => s.isEmpty || s.get.isInstanceOf[Passthrough] ||
-      s.get.isInstanceOf[DistinctDates])) // day sets don't slot-merge
+      s.get.isInstanceOf[DistinctDates] || // day sets don't slot-merge
+      s.get.isInstanceOf[TopKCol])) // no band slot machinery for top-k
       return None
     val flat = specs.flatten
     val valueSpecs = flat.filterNot(_.isInstanceOf[GroupKey])
@@ -1391,7 +1416,8 @@ final case class MetadataAggregateRule(session: SparkSession)
       case e => classify(e)
     }
     if (specs.exists(s => s.isEmpty || s.get.isInstanceOf[Passthrough] ||
-      s.get.isInstanceOf[DistinctDates])) // day sets don't slot-merge
+      s.get.isInstanceOf[DistinctDates] || // day sets don't slot-merge
+      s.get.isInstanceOf[TopKCol])) // no band slot machinery for top-k
       return None
     val flat = specs.flatten
     def isKeyish(s: Spec): Boolean =
@@ -1614,6 +1640,7 @@ final case class MetadataAggregateRule(session: SparkSession)
       case AvgCol(a) => a.name
       case NdvCol(a) => a.name
       case QuantileCol(a, _) => a.name
+      case TopKCol(a, _) => a.name
     }.distinct
     val rangeCols = flat.collect {
       case MinCol(a) => a.name
@@ -1625,9 +1652,10 @@ final case class MetadataAggregateRule(session: SparkSession)
     }.toSet
     val ndvCols = flat.collect { case NdvCol(a) => a.name }.toSet
     val kllCols = flat.collect { case QuantileCol(a, _) => a.name }.toSet
+    val mgCols = flat.collect { case TopKCol(a, _) => a.name }.toSet
     val groups = lake.statsAggregateGroupedIfCovered(session, table,
       groupAttrs.map(_.name), cols, rangeCols, sumCols, ndvCols,
-      fileFilter, kllCols).getOrElse(return None)
+      fileFilter, kllCols, mgCols).getOrElse(return None)
     // any group's sum past Long.MaxValue (or avg sum past 2^53):
     // decline the whole rewrite
     val sumOnly = flat.collect { case SumCol(a) => a.name }.toSet
@@ -1635,7 +1663,11 @@ final case class MetadataAggregateRule(session: SparkSession)
     if (!groups.forall { case (_, parts) =>
       sumOnly.forall(c => parts.sums.get(c).forall(_.isValidLong)) &&
         avgCols.forall(c =>
-          parts.sums.get(c).forall(_.abs <= MaxExactAvgSum))
+          parts.sums.get(c).forall(_.abs <= MaxExactAvgSum)) &&
+        // per-group top-k: every group's merged sketch must be exact
+        mgCols.forall(c => parts.mgBlobs.get(c).exists(b =>
+          graft.functions.TopKFns.isExact(
+            graft.functions.TopKFns.fromBlob(b))))
     }) return None
     // count(DISTINCT tp_date) per group: the manifest's day set keyed
     // by the SAME partition-value projection, provable only when every
@@ -1677,6 +1709,8 @@ final case class MetadataAggregateRule(session: SparkSession)
             .flatMap(b =>
               graft.functions.QuantileFns.blobQuantile(b, prob))
             .map(Double.box).orNull
+        case TopKCol(a, k) => graft.functions.TopKFns.topKInternal(
+          graft.functions.TopKFns.fromBlob(parts.mgBlobs(a.name)), k)
         case Passthrough(v) => v
       })
     }
@@ -1984,6 +2018,12 @@ object MetadataAggregateRule {
     * bucket, `year(tp_date)`, ...): served by key substitution.
     */
   private final case class GroupDerived(e: Expression) extends Spec
+  /** `graft_topk(c, k)` — the frequent-items "top talkers" report,
+    * served by merging the sidecar's per-file sketches when the merge
+    * stays provably EXACT (no eviction anywhere — TopKFns.isExact).
+    */
+  private final case class TopKCol(a: AttributeReference, k: Int)
+      extends Spec
 
   /** Idempotent per-session install into
     * `spark.experimental.extraOptimizations` — the embedded/library

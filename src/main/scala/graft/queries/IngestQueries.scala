@@ -1599,6 +1599,44 @@ object IngestQueries {
       q
     }),
 
+    // Top talkers (r19): `graft_topk(event_type, 3)` — the
+    // frequent-items report (top event types / error codes / hosts)
+    // served by merging the sidecar's per-file sketches with ZERO
+    // data reads. Serve gate: the merged sketch must be provably
+    // EXACT (no eviction anywhere — DataSketches maximum error 0), in
+    // which regime the result is partition-order-independent and
+    // equals the DuckDB exact GROUP BY/ORDER BY/LIMIT recompute,
+    // tie-broken identically (count DESC, item ASC). event_type stays
+    // a DATA column here (no tp_index) so the sketch is real.
+    "qi55_sql_topk_event_types" -> ((s, dir) => {
+      val root = s"${workRoot(dir)}/tk55"
+      val lake = Lake(s"$root/lake")
+      fixtureOnce(root) {
+        val spec = PartitionSpec("events_tk55", "p0")
+        val src = Tables.load(s, dir, "events")
+          .where(col("event_id") % 7 === 0)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("ts"),
+            col("event_type"), col("user_id"))
+        // two appends so the answer must MERGE per-file sketches
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("user_id") % 2 === 0), timestampColumn = "ts")
+        Ingest.collectBatch(s, lake, spec,
+          src.where(col("user_id") % 2 === 1), timestampColumn = "ts")
+        lake.enableColumnStats(s, "events_tk55", Seq("event_type"))
+      }
+      Views.register(s, lake, Views.Filters())
+      val q = s.sql("""
+        SELECT t.item AS etype, t.cnt AS n FROM
+          (SELECT explode(graft_topk(event_type, 3)) AS t
+           FROM events_tk55)""")
+      val files = graft.query.ScanAudit.filesReadAfterRun(q)
+      require(files == 0,
+        s"top-k must serve from sidecar sketches scan-free, read $files")
+      q
+    }),
+
     // Active-days-in-range (r19): count(DISTINCT tp_date) under a
     // DAY-ALIGNED band — every file proves fully inside or outside
     // the band, so the distinct count is the inside files' manifest
@@ -2648,6 +2686,15 @@ object IngestQueries {
              avg(user_id) AS avg_user
       FROM feed
       GROUP BY 1, 2 ORDER BY y, m""",
+
+    // exact recompute of the top-3 event types with the SAME
+    // deterministic tie-break (count DESC, type ASC) the sketch
+    // result array carries
+    "qi55_sql_topk_event_types" -> """
+      SELECT event_type AS etype, count(*) AS n
+      FROM events
+      WHERE event_id % 7 = 0
+      GROUP BY 1 ORDER BY n DESC, etype LIMIT 3""",
 
     // raw-row recompute of the banded active-days count
     "qi54_sql_active_days_in_range" -> """

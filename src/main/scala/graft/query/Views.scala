@@ -85,6 +85,8 @@ object Views {
     graft.functions.NdvFns.register(spark)
     // `graft_quantile(col, p)` — the KLL distribution twin of ndv
     graft.functions.QuantileFns.register(spark)
+    // `graft_topk(col, k)` — the frequent-items "top talkers" face
+    graft.functions.TopKFns.register(spark)
     // a table whose every row was deleted still has a directory (and
     // manifest) but no data files — spark.read would fail schema
     // inference and one emptied table would break the whole session.

@@ -1735,4 +1735,91 @@ class MetadataAggregateRuleSpec extends AnyFunSuite with SparkTest {
     assert(rows.head.getLong(2) ===
       ((0 until 50) ++ (200 until 250)).map(_.toLong).sum)
   }
+
+  test("graft_topk: the top-talkers report serves from per-file " +
+      "frequent-items sketches scan-free; ties, groups, and declines") {
+    val lake = Lake(Files.createTempDirectory("graft_metaagg_tk").toString)
+    val spec = PartitionSpec("tk", "p0", tpIndexColumn = Some("idx"))
+    // skewed categories with a TIE at the k boundary (gamma=delta=20)
+    // and nulls, split across three appends so the answer must MERGE
+    def batch(lo: Int, cats: Seq[(String, Int)], nNull: Int) = {
+      val values = cats.flatMap { case (c, n) => Seq.fill(n)(c) } ++
+        Seq.fill(nNull)(null)
+      val raw = spark.createDataFrame(
+        spark.sparkContext.parallelize(values.zipWithIndex.map {
+          case (c, i) => org.apache.spark.sql.Row(
+            (lo + i).toLong,
+            java.sql.Timestamp.valueOf("2024-03-05 00:00:00"),
+            if (i % 2 == 0) "ia" else "ib", c)
+        }, 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tp_timestamp",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("idx",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cat",
+            org.apache.spark.sql.types.StringType))))
+      TpSchema.enrich(raw, spec)
+    }
+    lake.append(spark, "tk",
+      batch(0, Seq("alpha" -> 20, "beta" -> 10, "gamma" -> 10), 5))
+    lake.append(spark, "tk",
+      batch(100, Seq("alpha" -> 20, "beta" -> 15, "delta" -> 20), 0))
+    lake.append(spark, "tk",
+      batch(200, Seq("alpha" -> 10, "beta" -> 5, "gamma" -> 10,
+        "eps" -> 5), 5))
+    lake.enableColumnStats(spark, "tk", Seq("cat", "tp_timestamp"))
+    Views.register(spark, lake, Views.Filters())
+    // totals: alpha 50, beta 30, gamma 20, delta 20, eps 5; the
+    // gamma/delta tie breaks item-ASC → delta takes the 3rd slot
+    val q = spark.sql(
+      "SELECT graft_topk(cat, 3) AS top FROM tk")
+    assert(ScanAudit.filesReadAfterRun(q) === 0,
+      "covered string column must serve top-k scan-free")
+    val top = q.head().getSeq[Row](0)
+    assert(top.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("alpha", 50L), ("beta", 30L), ("delta", 20L)))
+    // exploded-to-rows face (the qi55 shape)
+    val qe = spark.sql("SELECT t.item AS cat, t.cnt AS n FROM " +
+      "(SELECT explode(graft_topk(cat, 3)) AS t FROM tk)")
+    assert(qe.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("alpha", 50L), ("beta", 30L), ("delta", 20L)))
+    // identical to the SCAN-path result (the plain reader has no zone
+    // index, so the rule cannot fire there)
+    graft.functions.TopKFns.register(spark)
+    val truth = spark.read.option("basePath", lake.tableDir("tk"))
+      .parquet(lake.tableDir("tk"))
+      .agg(graft.functions.TopKFns.topk(spark, col("cat"), 3).as("top"))
+      .head().getSeq[Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.map(r => (r.getString(0), r.getLong(1))) === truth,
+      "metadata and scan paths must agree in the exact regime")
+    // per-group top-k over a partition column, still scan-free
+    val qg = spark.sql("SELECT tp_index AS k, graft_topk(cat, 2) AS top " +
+      "FROM tk GROUP BY tp_index ORDER BY k")
+    assert(ScanAudit.filesReadAfterRun(qg) === 0)
+    val truthG = spark.read.option("basePath", lake.tableDir("tk"))
+      .parquet(lake.tableDir("tk"))
+      .groupBy(col("tp_index").as("k"))
+      .agg(graft.functions.TopKFns.topk(spark, col("cat"), 2).as("top"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getSeq[Row](1)
+        .map(x => (x.getString(0), x.getLong(1))))).toSeq
+    assert(qg.collect().map(r => (r.getString(0), r.getSeq[Row](1)
+      .map(x => (x.getString(0), x.getLong(1))))).toSeq === truthG)
+    // a band WHERE declines (no top-k slot machinery) — the scan runs
+    // and the answer is still right
+    val qb = spark.sql("SELECT graft_topk(cat, 2) AS top FROM tk " +
+      "WHERE tp_timestamp >= timestamp'2024-03-05 00:00:00'")
+    assert(ScanAudit.filesReadAfterRun(qb) > 0,
+      "banded top-k must decline to the scan")
+    assert(qb.head().getSeq[Row](0).map(r =>
+      (r.getString(0), r.getLong(1))) === Seq(("alpha", 50L),
+      ("beta", 30L)))
+    // an un-tracked column (no sidecar row) declines to the scan
+    val qu = spark.sql("SELECT graft_topk(tp_partition, 1) AS top FROM tk")
+    assert(qu.head().getSeq[Row](0).nonEmpty)
+  }
 }
