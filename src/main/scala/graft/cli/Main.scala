@@ -2123,6 +2123,52 @@ object Main {
             (if (served.isDefined) " (manifest, no scan)"
              else " (scanned)"))
         }
+        // --topk K: the K most frequent values per STRING requested
+        // column — per-file frequent-items sidecar blobs merged
+        // scan-free when covered AND provably exact, one sketch scan
+        // otherwise (same aggregate either way — see TopKFns)
+        opts.flag("topk").foreach { kRaw =>
+          import org.apache.spark.sql.functions.col
+          val k = kRaw.toInt
+          require(k > 0, "--topk wants a positive integer")
+          val schema = lake.schemaOf(spark, t)
+          val strCols = cols.filter(c =>
+            schema(c).dataType ==
+              org.apache.spark.sql.types.StringType)
+          val merged =
+            if (opts.ts("from").isEmpty && opts.ts("to").isEmpty)
+              lake.statsAggregateIfCovered(spark, t, strCols,
+                Set.empty, Set.empty, Set.empty, _ => true,
+                Set.empty, strCols.toSet)
+                .map(_.mgBlobs)
+                .filter(_.values.forall(b =>
+                  graft.functions.TopKFns.isExact(
+                    graft.functions.TopKFns.fromBlob(b))))
+            else None
+          val rows: Map[String, Seq[(String, Long)]] = merged match {
+            case Some(blobs) => strCols.map(c => c ->
+              blobs.get(c).map(b => graft.functions.TopKFns.topK(
+                graft.functions.TopKFns.fromBlob(b), k))
+                .getOrElse(Nil)).toMap
+            case None =>
+              graft.functions.TopKFns.register(spark)
+              val base = lake.read(spark, t)
+              strCols.map { c =>
+                val arr = base.agg(graft.functions.TopKFns
+                  .topk(spark, col(c), k).as("t")).head()
+                  .getSeq[org.apache.spark.sql.Row](0)
+                c -> arr.map(r =>
+                  (r.getString(0), r.getLong(1))).toSeq
+              }.toMap
+          }
+          strCols.foreach { c =>
+            val line = rows.getOrElse(c, Nil)
+              .map { case (item, cnt) => s"$item=$cnt" }.mkString(" ")
+            out.println(s"  topk $c: $line" +
+              (if (merged.isDefined) " (sketch merge, no scan)"
+               else " (scanned)"))
+          }
+        }
         // --quantiles p1,p2,...: approximate quantiles for the NUMERIC
         // requested columns — per-file KLL sidecar blobs merged
         // scan-free when covered, one QuantileAgg scan otherwise

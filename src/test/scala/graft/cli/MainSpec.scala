@@ -411,18 +411,19 @@ class MainSpec extends AnyFunSuite with SparkTest {
     new File(dir, "config").mkdirs()
     new File(dir, "logs").mkdirs()
     write(new File(dir, "logs/m.csv"),
-      """timestamp,status_code
-        |2024-05-01T10:30:45Z,200
-        |2024-05-01T10:31:00Z,404
-        |2024-05-01T10:32:15Z,200
+      """timestamp,status_code,svc
+        |2024-05-01T10:30:45Z,200,api
+        |2024-05-01T10:31:00Z,404,web
+        |2024-05-01T10:32:15Z,200,api
         |""".stripMargin)
     write(new File(dir, "config/m.tpc"),
       s"""format "delimited" "m" { delimiter = "," }
          |table "metrics" {
          |  format = format.delimited.m
-         |  stats_columns = ["status_code", "tp_timestamp"]
+         |  stats_columns = ["status_code", "svc", "tp_timestamp"]
          |  column "tp_timestamp" { source = "timestamp" }
          |  column "status_code" { type = "integer" }
+         |  column "svc" { type = "varchar" }
          |}
          |partition "metrics" "local" {
          |  source "file" {
@@ -498,6 +499,14 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(byMonth.contains("rows=3"), byMonth)
     assert(byMonth.contains("served from metadata (no data scan)"),
       byMonth)
+    // --topk K: the most frequent values of the string stats column,
+    // served by merging the per-file frequent-items sketches (exact
+    // regime) with no scan
+    val (rcTk, tk) = cli(dir, "table", "aggregate", "metrics",
+      "--topk", "2", "--columns", "svc")
+    assert(rcTk == 0, tk)
+    assert(tk.contains("topk svc: api=2 web=1 (sketch merge, no scan)"),
+      tk)
     // --active-days: the distinct-day count, manifest-served whole
     // and for a day-aligned band; a band edge cutting into the file
     // falls back to one distinct scan with the same answer
