@@ -30,7 +30,8 @@ object Verify {
         try once()
         catch { case e1: Throwable =>
           System.err.println(s"[verify] $name failed once: " +
-            s"${e1.getMessage}; retrying")
+            s"${e1.getClass.getName}: ${e1.getMessage}; retrying")
+          e1.printStackTrace()
           try once()
           catch { case e2: Throwable =>
             System.err.println(s"[verify] $name failed: " +

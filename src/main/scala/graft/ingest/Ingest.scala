@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.{PartitionSpec, TableSpec}
@@ -175,17 +175,62 @@ object Ingest {
     val required = (TpSchema.required ++
       tableSpec.columns.filter(_.required).map(_.name)).distinct
 
-    // stage the batch ONCE (the reference's temp table,
-    // convertor_convert.go:162): the validation aggregate and the lake
-    // write both read the cache, so the source is parsed exactly once.
-    // The ingested-row count falls out of the validation aggregate —
-    // no separate count job.
-    val staged = filtered.persist()
-    try {
-      val v = Validation.validate(staged, required)
-      val touched = lake.append(spark, spec.table, v.clean)
-      IngestResult(v.totalRows - v.invalidRows, v.invalidRows,
-        v.nullsByColumn, chunks, v.maxTimestamp, touched)
-    } finally { staged.unpersist() }
+    // ONE pass (r19 optimization round, guide §1.2 "remove passes"):
+    // the validation report rides the lake WRITE itself as observed
+    // metrics (CollectMetrics sits below the invalid-row filter, so it
+    // sees every row while only clean rows reach the files). r1-r18
+    // staged the batch in the block cache and ran validation and write
+    // as two jobs over it — at 100 TB that is a full extra
+    // materialization of the batch (cache encode + likely disk spill)
+    // plus a second read; here the source is parsed exactly once, by
+    // the write. Values are identical by construction — same aggregate
+    // expressions over the same filtered rows (IngestSpec pins the
+    // report; every qi oracle row gates the data).
+    val present = required.filter(filtered.columns.contains)
+    if (present.isEmpty) {
+      // no validatable columns (no tp enrichment): keep the staged
+      // two-job shape — validate (count/maxTs) over the cached batch +
+      // append reading the same cache
+      val staged = filtered.persist()
+      try {
+        val v = Validation.validate(staged, required)
+        val touched = lake.append(spark, spec.table, v.clean)
+        return IngestResult(v.totalRows - v.invalidRows, v.invalidRows,
+          v.nullsByColumn, chunks, v.maxTimestamp, touched)
+      } finally { staged.unpersist() }
+    }
+    val anyNull = present.map(col(_).isNull).reduce(_ || _)
+    val tsCol = TpSchema.Timestamp
+    val hasTs = filtered.columns.contains(tsCol)
+    val maxTsAgg =
+      if (hasTs) max(when(!anyNull, col(tsCol))).as("__max_ts")
+      else max(lit(null).cast("timestamp")).as("__max_ts")
+    val aggs: Seq[Column] =
+      Seq(sum(when(anyNull, 1L).otherwise(0L)).as("__invalid"),
+        count(lit(1)).as("__total")) ++
+        present.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)) ++
+        Seq(maxTsAgg)
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_ingest_" + java.util.UUID.randomUUID().toString)
+    val clean = filtered.observe(obs, aggs.head, aggs.tail: _*)
+      .where(!anyNull)
+    val touched = lake.append(spark, spec.table, clean)
+    val m = obs.get
+    def asLong(k: String): Long = m.get(k) match {
+      case Some(v: java.lang.Number) => v.longValue()
+      case _ => 0L
+    }
+    val invalid = asLong("__invalid")
+    val total = asLong("__total")
+    val perCol = present.flatMap { c =>
+      val n = asLong(c)
+      if (n > 0) Some(c -> n) else None
+    }.toMap
+    val maxTs = m.get("__max_ts").flatMap {
+      case t: Timestamp => Some(t)
+      case i: java.time.Instant => Some(Timestamp.from(i))
+      case _ => None
+    }
+    IngestResult(total - invalid, invalid, perCol, chunks, maxTs, touched)
   }
 }

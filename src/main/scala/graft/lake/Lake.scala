@@ -2,6 +2,8 @@ package graft.lake
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
@@ -110,13 +112,33 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       spark: SparkSession, table: String, batch: DataFrame): Seq[String] =
     Lake.withTableLock(root, table) {
       val dir = tableDir(table)
-      // scope new-file discovery to the partition dirs this batch
-      // touches (a metadata-sized distinct — ingest stages the batch,
-      // so this is a cheap second read of the cache): listing cost is
-      // proportional to the BATCH, not the table — at 100 TB a full
-      // recursive before/after tree walk per append would dominate
-      val touched = touchedDirs(batch)
-      val before = dataFilesUnder(spark, table, touched).toSet
+      // r19 shape: write the batch into a hidden per-append STAGING
+      // subtree, then move each file into its partition dir. This
+      // replaces the r1-r18 discovery dance (a distinct-partitions job
+      // over the batch to learn the touched dirs, then a before/after
+      // listing diff of those dirs): the staging listing IS the added
+      // file set and the touched dirs fall out of the staged paths —
+      // zero extra Spark jobs, zero listing diffs, no tombstoned-file
+      // resurrection risk (we never diff against live dirs at all).
+      // Cost: one driver-side rename per new file — the same order of
+      // metadata work the commit protocol already spends per file. A
+      // crash between move and recordStats leaves moved files
+      // unrecorded, exactly the pre-existing crash window; vacuum
+      // recovers both the same way (staging is underscore-hidden, so
+      // readers and vacuum never see half-moved state as data).
+      val stagingName = s"_graft_staging_${java.util.UUID.randomUUID()}"
+      val staging = s"$dir/$stagingName"
+      // r19: lake data writes annotate timestamps as INT64
+      // TIMESTAMP(MICROS) instead of Spark's historical INT96 default.
+      // Values are identical (Spark timestamps ARE micros); what
+      // changes is that parquet writes real min/max column stats for
+      // INT64 (none exist for INT96), which statsFor/footerStats then
+      // serve without rescanning the data — and every engine reads
+      // micros natively, INT96 being long deprecated.
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try {
       // REBALANCE on the partition columns before the partitioned
       // write: without it every write task holds rows of ~every
       // touched dir, so one append emits tasks×dirs fragment files —
@@ -130,9 +152,34 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       batch.hint("rebalance", TpSchema.partitionCols.map(col): _*)
         .write
         .partitionBy(TpSchema.partitionCols: _*)
-        .mode(SaveMode.Append)
-        .parquet(dir)
-      val added = dataFilesUnder(spark, table, touched).filterNot(before)
+        .mode(SaveMode.Overwrite)
+        .parquet(staging)
+      } finally {
+        prevTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+      }
+      val f = fs(spark, root)
+      val stagingPath = new Path(staging)
+      val stagingUri = stagingPath.toUri.getPath
+      val staged = walkFiles(f, stagingPath).collect {
+        case (p, _) if p.endsWith(".parquet") && {
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          !name.startsWith("_") && !name.startsWith(".")
+        } => p
+      }
+      val added = staged.map { p =>
+        val rel = p.stripPrefix(stagingUri).stripPrefix("/")
+        val dst = new Path(s"$dir/$rel")
+        f.mkdirs(dst.getParent)
+        if (!f.rename(new Path(p), dst))
+          throw new java.io.IOException(
+            s"append: staging move failed: $p -> $dst")
+        dst.toUri.getPath
+      }.sorted
+      f.delete(stagingPath, true)
+      val touched = added
+        .map(p => relOf(table, p))
+        .map(rel => rel.substring(0, rel.lastIndexOf('/')))
+        .distinct
       recordStats(spark, table, added)
       syncCatalogPartitions(spark, table, touched)
       // the touched relative dirs: incremental consumers (rollup
@@ -703,11 +750,13 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   private def manifestMaxSeq(spark: SparkSession, table: String): Long =
     locked(table) {
       healSwapAsides(spark, table)
-      if (!fs(spark, root).exists(new Path(manifestDir(table)))) 0L
-      else {
-        val r = spark.read.parquet(manifestDir(table)).agg(max("seq")).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
+      // r19 optimization: max(seq) needs no data pages at all — seq is
+      // a required int64, so every footer carries exact min/max stats;
+      // the floor read drops from a Spark read+agg job to O(manifest
+      // parts) footer reads (ManifestIO falls back to reading rows if
+      // stats are ever absent).
+      ManifestIO.maxSeq(
+        spark.sessionState.newHadoopConf(), manifestDir(table)).getOrElse(0L)
     }
 
   /** Heal a crashed manifest/colstats swap (r16 ADVICE-medium): the
@@ -754,7 +803,29 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       spark: SparkSession, table: String,
       files: Seq[String]): Seq[(String, Long, Timestamp, Timestamp)] =
     if (files.isEmpty) Seq.empty
-    else {
+    else ManifestIO.footerStats(
+        spark.sessionState.newHadoopConf(), files, TpSchema.Timestamp) match {
+      // r19 optimization: the parquet writer already computed per-file
+      // row counts and tp_timestamp min/max — read them from the
+      // FOOTERS (one ~KB metadata read per file) instead of re-scanning
+      // the data column. At 100 TB this turns an append's stats job
+      // from a read of every new byte of tp_timestamp into O(files)
+      // footer reads; locally it removes one Spark job per mutation.
+      // footerStats is exact-or-None (INT96 vintages, missing stats →
+      // None) and ManifestIOSpec pins footer == scan on every shape,
+      // so the fallback below keeps behavior identical when footers
+      // can't prove the answer.
+      case Some(rows) =>
+        rows.map { case (f, n, lo, hi) =>
+          (f, n, lo.orNull, hi.orNull)
+        }
+      case None => statsForScan(spark, table, files)
+    }
+
+  private def statsForScan(
+      spark: SparkSession, table: String,
+      files: Seq[String]): Seq[(String, Long, Timestamp, Timestamp)] =
+    {
       val raw = spark.read
         .option("basePath", tableDir(table)).parquet(files: _*)
         .select(col(TpSchema.Timestamp))
@@ -782,17 +853,19 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       added: Seq[String], removed: Seq[String]): Unit = {
     if (added.isEmpty && removed.isEmpty) return
     val seqNo = nextSeq(spark, table)
-    val statsRows: Seq[(String, Long, Timestamp, Timestamp, Long)] =
-      statsFor(spark, table, added).map {
-        case (f, n, lo, hi) => (f, n, lo, hi, seqNo)
-      }
+    val statsRows = statsFor(spark, table, added).map {
+      case (f, n, lo, hi) =>
+        ManifestIO.MRow(f, n, Option(lo), Option(hi), seqNo)
+    }
     val tombRows = removed.map(f =>
-      (f, -1L, null: Timestamp, null: Timestamp, seqNo))
-    import spark.implicits._
-    (statsRows ++ tombRows)
-      .toDF("file", "rows", "min_ts", "max_ts", "seq")
-      .coalesce(1).write.mode(SaveMode.Append)
-      .parquet(manifestDir(table))
+      ManifestIO.MRow(f, -1L, None, None, seqNo))
+    // r19 optimization: the manifest append is a KB-sized metadata
+    // write — a direct driver-side parquet write (tmp + rename, same
+    // visibility contract as the committer) instead of a one-task
+    // Spark job per mutation. Byte-compatible schema; Spark and
+    // ManifestIO readers both consume mixed old/new dirs.
+    ManifestIO.writeManifest(spark.sessionState.newHadoopConf(),
+      manifestDir(table), statsRows ++ tombRows)
     // incremental column stats, when enabled: the same added files,
     // one extra scan of exactly them (removals need nothing — merge
     // time semi-joins against the live manifest)
@@ -839,9 +912,25 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     healSwapAsides(spark, table)
     val mdir = new Path(manifestDir(table))
     if (countFiles(mdir) > manifestCompactThreshold) locked(table) {
-      swap(mdir,
-        fileStats(spark, table, reconcileWithListing = false)
-          .withColumn("seq", lit(nextSeq(spark, table))))
+      // r19: the live manifest rows are reconciled driver-side now —
+      // write the compacted dir directly (tmp + _SUCCESS + the same
+      // aside→in→drop renames), no Spark job
+      val seqNo = nextSeq(spark, table)
+      val rows = ManifestIO.readManifest(
+          spark.sessionState.newHadoopConf(), manifestDir(table))
+        .groupBy(_.file).valuesIterator.map(_.maxBy(_.seq))
+        .filter(_.rows >= 0L)
+        .map(_.copy(seq = seqNo)).toSeq
+      val tmp = new Path(mdir.toString + "_new")
+      val old = new Path(mdir.toString + "_old")
+      filesys.delete(tmp, true)
+      ManifestIO.writeManifest(
+        spark.sessionState.newHadoopConf(), tmp.toString, rows)
+      filesys.delete(old, true)
+      if (filesys.exists(mdir)) filesys.rename(mdir, old)
+      filesys.rename(tmp, mdir)
+      filesys.delete(old, true)
+      ()
     }
     // the colstats sidecar accumulates the same way (one file per
     // mutation on an enabled table): same threshold, same swap —
@@ -919,36 +1008,40 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
   def fileStats(
       spark: SparkSession, table: String,
       reconcileWithListing: Boolean): DataFrame = {
-    // creation (existence check + eager file listing inside
-    // spark.read) serializes with the compaction swap under the table
+    // The read serializes with the compaction swap under the table
     // lock, after healing any crashed swap — a reader can no longer
     // observe the mid-swap absent-dir state from this JVM (r16
-    // ADVICE-medium). The lock covers creation only; the manifest is
-    // metadata-sized, so consumers collect promptly.
-    val latest = locked(table) {
+    // ADVICE-medium). r19 optimization: the manifest is metadata-sized
+    // BY DESIGN and every consumer of this DataFrame collects it
+    // promptly, so the newest-row-per-file reconciliation runs on the
+    // driver over a direct parquet read — no Spark read job, no
+    // 32-partition shuffle for a KB of metadata. The result is a
+    // LocalRelation, which downstream joins (compaction planning)
+    // broadcast for free.
+    val rows = locked(table) {
       healSwapAsides(spark, table)
-      if (!fs(spark, root).exists(new Path(manifestDir(table)))) {
-        import spark.implicits._
-        return Seq.empty[(String, Long, Timestamp, Timestamp)]
-          .toDF("file", "rows", "min_ts", "max_ts")
+      ManifestIO.readManifest(
+        spark.sessionState.newHadoopConf(), manifestDir(table))
+    }
+    val latest = rows.groupBy(_.file).valuesIterator.map(_.maxBy(_.seq))
+      .filter(_.rows >= 0L) // newest row a tombstone → file is dead
+      .toSeq
+    val kept =
+      if (!reconcileWithListing) latest
+      else {
+        val live = dataFiles(spark, table).toSet
+        latest.filter(r => live(r.file))
       }
-      spark.read.parquet(manifestDir(table))
-    }
-      .groupBy("file").agg(
-        max_by(struct(col("rows"), col("min_ts"), col("max_ts")), col("seq"))
-          .as("s"))
-      .select(col("file"), col("s.rows").as("rows"),
-        col("s.min_ts").as("min_ts"), col("s.max_ts").as("max_ts"))
-      .where(col("rows") >= 0L) // newest row a tombstone → file is dead
-    if (!reconcileWithListing) latest
-    else {
-      val live = dataFiles(spark, table)
-      val liveDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          live.map(org.apache.spark.sql.Row(_)), 1),
-        StructType(Seq(StructField("file", StringType))))
-      latest.join(liveDf, Seq("file"), "left_semi")
-    }
+    val schema = StructType(Seq(
+      StructField("file", StringType),
+      StructField("rows", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("min_ts", org.apache.spark.sql.types.TimestampType),
+      StructField("max_ts", org.apache.spark.sql.types.TimestampType)))
+    spark.createDataFrame(
+      kept.map(r => org.apache.spark.sql.Row(
+        r.file, r.rows, r.minTs.orNull, r.maxTs.orNull)).asJava,
+      schema)
   }
 
   /** Change token over one metadata directory: sorted (name, size)
@@ -988,20 +1081,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           val f = fs(spark, root)
           // token re-read AFTER healing (the heal may swap the dirs)
           val token = metaToken(spark, table)
+          // r19 optimization: direct driver-side manifest read — the
+          // probe already collects to a Map, so the Spark read+shuffle
+          // job bought nothing (metadata-sized dir by construction)
           val manifest: Map[String, Lake.ManifestStat] =
-            if (!f.exists(new Path(manifestDir(table)))) Map.empty
-            else spark.read.parquet(manifestDir(table))
-              .groupBy("file").agg(
-                max_by(struct(col("rows"), col("min_ts"), col("max_ts")),
-                  col("seq")).as("s"))
-              .select(col("file"), col("s.rows"), col("s.min_ts"),
-                col("s.max_ts"))
-              .where(col("rows") >= 0L)
-              .collect().map { r =>
-                r.getString(0) -> Lake.ManifestStat(r.getLong(1),
-                  if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
-                  if (r.isNullAt(3)) None else Some(r.getTimestamp(3)))
-              }.toMap
+            ManifestIO.readManifest(
+                spark.sessionState.newHadoopConf(), manifestDir(table))
+              .groupBy(_.file).valuesIterator.map(_.maxBy(_.seq))
+              .filter(_.rows >= 0L)
+              .map(r => r.file -> Lake.ManifestStat(r.rows, r.minTs, r.maxTs))
+              .toMap
           val sidecar: Map[(String, String), Lake.SideStat] =
             if (!f.exists(new Path(colStatsDir(table))))
               Map.empty
@@ -1045,15 +1134,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     * unrecorded-file recovery (resurrecting them would undo a delete).
     */
   private[lake] def tombstonedFiles(
-      spark: SparkSession, table: String): Set[String] = {
-    if (!fs(spark, root).exists(new Path(manifestDir(table))))
-      return Set.empty
-    spark.read.parquet(manifestDir(table))
-      .groupBy("file")
-      .agg(max_by(col("rows"), col("seq")).as("rows"))
-      .where(col("rows") < 0L)
-      .select("file").collect().map(_.getString(0)).toSet
-  }
+      spark: SparkSession, table: String): Set[String] =
+    // r19: direct driver-side manifest read (see fileStats)
+    ManifestIO.readManifest(
+        spark.sessionState.newHadoopConf(), manifestDir(table))
+      .groupBy(_.file).valuesIterator.map(_.maxBy(_.seq))
+      .filter(_.rows < 0L).map(_.file).toSet
 
   /** Data-skipping read: consult the stats manifest and scan only the
     * files whose `[min_ts, max_ts]` intersects the requested time
@@ -2173,9 +2259,16 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
     // that schema table-wide would let Catalyst fold `col IS NULL` to
     // false even though OTHER files hold nulls.
     val fmt = new ParquetFileFormat
-    val dataSchema = forceNullable(fmt
-      .inferSchema(spark, Map.empty[String, String], leaves.take(1))
-      .getOrElse(return plain))
+    // r19: Spark-written footers carry the catalyst schema in KV
+    // metadata — read it driver-side (~ms) instead of the 1-task
+    // inferSchema job every lake read used to launch; the job path
+    // stays as the fallback for foreign files.
+    val dataSchema = forceNullable(
+      ManifestIO.sparkSchemaOf(
+          spark.sessionState.newHadoopConf(), leaves.head.getPath)
+        .orElse(fmt
+          .inferSchema(spark, Map.empty[String, String], leaves.take(1)))
+        .getOrElse(return plain))
     val relation = HadoopFsRelation(zoneIdx, idx.partitionSchema,
       dataSchema, None, fmt, Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
@@ -2237,8 +2330,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       }
       val before = files().toSet
       val key = "spark.sql.sources.partitionOverwriteMode"
+      val tsKey = "spark.sql.parquet.outputTimestampType"
       val prev = spark.conf.getOption(key)
+      val prevTs = spark.conf.getOption(tsKey)
       spark.conf.set(key, "dynamic")
+      // micros-annotated timestamps → footer stats (see append)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
       try {
         df.write
           .partitionBy(TpSchema.partitionCols: _*)
@@ -2246,6 +2343,7 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
           .parquet(dir)
       } finally {
         prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        prevTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
       }
       val after = files()
       val added = after.filterNot(before)

@@ -560,6 +560,21 @@ object Maintenance {
     lake.locked(table) {
       lake.healSwapAsides(spark, table)
       replayPendingRemovals(spark, lake, table)
+      // sweep staging subtrees a crashed append left behind (r19: the
+      // append writes into `_graft_staging_<uuid>` then moves files
+      // out; the dir is only live while an append holds this table's
+      // lock, so anything still here is a dead crash leftover —
+      // underscore-hidden, never visible as data, but disk garbage)
+      locally {
+        val tdir = new Path(lake.tableDir(table))
+        val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (tfs.exists(tdir))
+          tfs.listStatus(tdir).foreach { st =>
+            if (st.isDirectory &&
+              st.getPath.getName.startsWith("_graft_staging_"))
+              tfs.delete(st.getPath, true)
+          }
+      }
       // the lock keeps a concurrent append from writing manifest rows
       // between our snapshot and the swap (they would be destroyed).
       // Reconciliation is FORCED here regardless of filesystem kind
@@ -582,18 +597,24 @@ object Maintenance {
       val unrecorded = lake.dataFiles(spark, table)
         .filterNot(knownFiles).filterNot(tombstoned)
       val recovered = lake.statsFor(spark, table, unrecorded)
-      val live = {
-        import spark.implicits._
-        known.unionByName(
-          recovered.toDF("file", "rows", "min_ts", "max_ts"))
-      }.withColumn("seq", lit(lake.nextSeq(spark, table)))
+      // r19: the rewritten manifest is driver-local rows (known is a
+      // LocalRelation since the ManifestIO change; recovered is a Seq)
+      // — write it directly instead of a coalesce(1) Spark job
+      val seqNo = lake.nextSeq(spark, table)
+      val liveRows =
+        known.collect().toSeq.map(r => ManifestIO.MRow(
+          r.getString(0), r.getLong(1),
+          Option(r.getTimestamp(2)), Option(r.getTimestamp(3)), seqNo)) ++
+        recovered.map { case (f, n, lo, hi) =>
+          ManifestIO.MRow(f, n, Option(lo), Option(hi), seqNo) }
       val manifestDir = s"${lake.tableDir(table)}/_graft_manifest"
       val tmp = s"${lake.tableDir(table)}/_graft_manifest_new"
       val old = s"${lake.tableDir(table)}/_graft_manifest_old"
-      live.coalesce(1).write.mode("overwrite").parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new Path(manifestDir)
       val fs = p.getFileSystem(conf)
+      fs.delete(new Path(tmp), true)
+      ManifestIO.writeManifest(conf, tmp, liveRows)
       // aside → in → drop: a crash at any point leaves either the old
       // or the new manifest in place (a missing manifest would read as
       // empty stats and quietly disable data skipping + compaction)

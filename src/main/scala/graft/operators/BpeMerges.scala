@@ -146,7 +146,11 @@ object BpeMerges {
   def ensureTrained(
       df: DataFrame, textCol: String, rounds: Int,
       path: String, sourceFp: String = ""): Trained = {
-    val fp = s"bpe;rounds=$rounds;col=$textCol;n=${df.count()};src=$sourceFp"
+    // r19: skip the per-call corpus count when the source fingerprint
+    // already pins corpus identity (same rationale as ensureLm)
+    val fp =
+      if (sourceFp.nonEmpty) s"bpe;rounds=$rounds;col=$textCol;src=$sourceFp"
+      else s"bpe;rounds=$rounds;col=$textCol;n=${df.count()};src="
     graft.lake.Artifacts.ensure(path, fp) {
       val t = train(df, textCol, rounds)
       save(t, path)

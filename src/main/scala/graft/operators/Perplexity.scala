@@ -291,7 +291,13 @@ object Perplexity {
   def ensureLm(
       df: DataFrame, textCol: String, path: String,
       sourceFp: String = ""): String = {
-    val fp = s"lm;col=$textCol;n=${df.count()};src=$sourceFp"
+    // r19: with a caller-supplied source fingerprint the corpus
+    // identity is already pinned (file path+size+mtime) — the extra
+    // count() was a full corpus pass per ensure call, paid even on
+    // fresh-artifact hits by every scoring query that shares the LM
+    val fp =
+      if (sourceFp.nonEmpty) s"lm;col=$textCol;src=$sourceFp"
+      else s"lm;col=$textCol;n=${df.count()};src="
     graft.lake.Artifacts.ensure(path, fp)(saveLm(df, textCol, path))
     path
   }

@@ -660,7 +660,12 @@ object IngestQueries {
       rmrf(root)
       writeEventsJsonl(s, dir, s"$root/inbox", chunks = 4)
       val lake = Lake(s"$root/lake")
-      val schema = s.read.json(s"$root/inbox").schema
+      // r19: infer from ONE chunk, not the whole inbox (collectJsonl's
+      // own convention) — chunks are round-robin slices of a no-null
+      // source, so every file carries every column with identical
+      // types; the full-inbox JSON parse bought nothing. Applied to
+      // every streaming fixture's schema read in this file.
+      val schema = SchemaInference.inferJson(s, jsonlFiles(s"$root/inbox").take(1))
       val q = graft.streaming.StreamIngest.collectStream(s, lake,
         PartitionSpec("events_stream", "p0",
           tpIndexColumn = Some("event_type")),
@@ -684,7 +689,7 @@ object IngestQueries {
       val root = s"${workRoot(dir)}/qi15"
       rmrf(root)
       writeEventsJsonl(s, dir, s"$root/inbox", chunks = 4)
-      val schema = s.read.json(s"$root/inbox").schema
+      val schema = SchemaInference.inferJson(s, jsonlFiles(s"$root/inbox").take(1))
       val stream = s.readStream.schema(schema).json(s"$root/inbox")
         .withColumn("ts",
           to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
@@ -716,7 +721,7 @@ object IngestQueries {
       rmrf(root)
       writeEventsJsonl(s, dir, s"$root/inbox", chunks = 4)
       val lake = Lake(s"$root/lake")
-      val schema = s.read.json(s"$root/inbox").schema
+      val schema = SchemaInference.inferJson(s, jsonlFiles(s"$root/inbox").take(1))
       val rules = Seq(
         "value_cap" -> (col("value") <= 100.0),
         "not_error" -> (col("event_type") =!= "error"))
@@ -765,8 +770,8 @@ object IngestQueries {
       src.where(col("event_type") === "error")
         .repartition(2).write.mode("overwrite").json(s"$root/errors")
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val lSchema = s.read.json(s"$root/purchases").schema
-      val rSchema = s.read.json(s"$root/errors").schema
+      val lSchema = SchemaInference.inferJson(s, jsonlFiles(s"$root/purchases").take(1))
+      val rSchema = SchemaInference.inferJson(s, jsonlFiles(s"$root/errors").take(1))
       val lhs = s.readStream.schema(lSchema).json(s"$root/purchases")
         .select(col("event_id").as("p_id"),
           to_timestamp(col("ts"), fmt).as("p_ts"),
@@ -891,8 +896,8 @@ object IngestQueries {
       src.where(col("event_type") === "error")
         .repartition(2).write.mode("overwrite").json(s"$root/errors")
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val lSchema = s.read.json(s"$root/purchases").schema
-      val rSchema = s.read.json(s"$root/errors").schema
+      val lSchema = SchemaInference.inferJson(s, jsonlFiles(s"$root/purchases").take(1))
+      val rSchema = SchemaInference.inferJson(s, jsonlFiles(s"$root/errors").take(1))
       val lhs = s.readStream.schema(lSchema).json(s"$root/purchases")
         .select(col("event_id").as("p_id"),
           to_timestamp(col("ts"), fmt).as("p_ts"),
@@ -950,8 +955,8 @@ object IngestQueries {
       src.where(col("event_type") === "error")
         .repartition(2).write.mode("overwrite").json(s"$root/errors")
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val lSchema = s.read.json(s"$root/purchases").schema
-      val rSchema = s.read.json(s"$root/errors").schema
+      val lSchema = SchemaInference.inferJson(s, jsonlFiles(s"$root/purchases").take(1))
+      val rSchema = SchemaInference.inferJson(s, jsonlFiles(s"$root/errors").take(1))
       val lhs = s.readStream.schema(lSchema).json(s"$root/purchases")
         .select(col("event_id").as("p_id"),
           to_timestamp(col("ts"), fmt).as("p_ts"),
@@ -1809,9 +1814,12 @@ object IngestQueries {
         docs.where(pmod(col("doc_id"), lit(3)) === 0)
           .withColumn("doc_id", col("doc_id") + lit(maxId + 1L)))
       val slices = 6
-      val bounds = (1 until slices).map(i =>
-        feed.stat.approxQuantile("doc_id",
-          Array(i.toDouble / slices), 0.0).head)
+      // r19: ONE exact-quantile pass for all five boundaries — the
+      // per-boundary loop ran five identical full-feed aggregations;
+      // multi-probability approxQuantile(err=0) computes the same
+      // exact values from a single QuantileSummaries build
+      val bounds = feed.stat.approxQuantile("doc_id",
+        (1 until slices).map(_.toDouble / slices).toArray, 0.0).toSeq
       val sliceOf = bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(col("doc_id") >= lit(b), 1).otherwise(0) }
       val inboxDir = new java.io.File(s"$root/inbox")
@@ -1824,7 +1832,7 @@ object IngestQueries {
           .filter(_.lastModified > 1000000000000L + i * 60000L)
           .foreach(_.setLastModified(1000000000000L + i * 60000L))
       }
-      val schema = s.read.json(s"$root/inbox").schema
+      val schema = SchemaInference.inferJson(s, jsonlFiles(s"$root/inbox").take(1))
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).json(s"$root/inbox")
       val q = graft.streaming.StreamIngest.incrementalDedupSink(
