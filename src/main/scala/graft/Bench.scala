@@ -210,13 +210,18 @@ object Bench {
         canaryQueries.size) canaryInSuite / canaryBaselineSec
       else 0.0
     val jsonLine = f"""{"metric":"total","value":${chosen.total}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsJson,"chosen":$chosenIdx,"canary_start_sec":$canaryStartSec%.3f,"canary_in_suite_sec":$canaryInSuite%.3f,"canary_factor":$canaryFactor%.3f,"canary_baseline_sec":$canaryBaselineSec%.3f,"canary_baseline_src":"$canaryBaselineSrc","sf":"$sfDir"}"""
-    println(jsonLine)
     // One-window outlier self-adjudication (r17 verdict task 2): a row
     // inflated in ONE run but normal in the other is a load-smear
     // window, not a code regression (the r17 qi26 6.6→32.6 s case cost
     // a cross-session re-run to adjudicate). Flag rows >2.5× across
     // runs on stderr; the full per-run maps below make the artifact
     // itself adjudicable.
+    // r20 measurement-bug fix (declared per the round brief): these
+    // OUTLIER lines are emitted BEFORE the JSON line now, and the JSON
+    // is (re)printed as the absolute last stdout line below — in r18
+    // AND r19 the ~6 KB JSON followed by this stderr trailer overflowed
+    // the driver's bounded tail window and PERF came back with
+    // parsed:null both rounds. Additions-only: same line, same timing.
     if (runs.size > 1) {
       val maps = runs.map(_.results.toMap)
       for ((name, t) <- chosen.results; other <- runs.indices
@@ -227,6 +232,7 @@ object Bench {
           f"run$other=$ot%.2fs (>2.5x across runs — likely a one-window " +
           "smear; re-run isolated before reading it as a regression)")
     }
+    println(jsonLine)
     // full per-query artifact at the repo root: the driver recovers
     // the stdout line from a BOUNDED tail that truncates as the suite
     // grows (r16: 111 of 173 per-query rows lost to cross-round
@@ -262,6 +268,12 @@ object Bench {
       }
     }
     spark.stop()
+    // reprint the result as the ABSOLUTE LAST stdout line (after
+    // spark.stop()'s own log chatter): the driver recovers this line
+    // from a bounded tail of the sbt output, and with 189 queries the
+    // line only survives that window when nothing follows it
+    println(jsonLine)
+    System.out.flush()
   }
 
   /** Calibration: run ONE FULL bench suite on THIS box (identical

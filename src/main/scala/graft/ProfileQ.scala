@@ -47,10 +47,26 @@ object ProfileQ {
       .groupBy("k").sum("v")
       .write.format("noop").mode("overwrite").save()
 
+    // janino codegen-compile attribution (r19 verdict task 5): the
+    // CodegenMetrics source counts every whole-stage compilation and
+    // its duration; per-query deltas of the counter + timer separate
+    // "plan compile cost" from data compute in the ≤1.5 s long tail.
+    val cgTime = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    val cgSize = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_GENERATED_CLASS_BYTECODE_SIZE
+    def cgTotals(): (Long, Double) = {
+      // histogram count is exact; the reservoir mean × count is an
+      // APPROXIMATE total ms (decaying reservoir) — good enough to
+      // decide whether compile time dominates a 1-second query
+      val sn = cgTime.getSnapshot
+      (cgTime.getCount, cgTime.getCount * sn.getMean)
+    }
     for (name <- names) {
       done.clear()
       spark.sharedState.cacheManager.clearCache()
       System.gc(); Thread.sleep(250); System.gc()
+      val (cgN0, cgMs0) = cgTotals()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (doExplain) {
@@ -61,6 +77,7 @@ object ProfileQ {
       df.write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let listener events drain
+      val (cgN1, cgMs1) = cgTotals()
       System.err.println(f"==== PROFILE $name total=$total%.3f s ====")
       val rows = done.toArray(Array.empty[(String, Double, Int)])
       val jobSum = rows.map(_._2).sum
@@ -69,6 +86,8 @@ object ProfileQ {
       }
       System.err.println(
         f"  jobs=${rows.length} jobSum=$jobSum%.3f s  gap=${total - jobSum}%.3f s (driver/planning/listing)")
+      System.err.println(
+        f"  codegen: ${cgN1 - cgN0}%d compilations, ~${(cgMs1 - cgMs0) / 1000.0}%.2f s compile time (approx), class bytes total=${cgSize.getCount}%d")
     }
     spark.stop()
   }

@@ -126,6 +126,19 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // unrecorded, exactly the pre-existing crash window; vacuum
       // recovers both the same way (staging is underscore-hidden, so
       // readers and vacuum never see half-moved state as data).
+      // SCOPE (r19 verdict #3): this assumes rename is a metadata op —
+      // true on local FS, HDFS, and ABFS. On S3-style stores rename is
+      // COPY+DELETE, so the staging move would pay the append's bytes
+      // twice on top of the committer's own copy; warn once so nobody
+      // points this path at such a store unaware (the fix there is a
+      // direct-write append with manifest-recorded paths, not staging).
+      if (Lake.copyOnRenameSchemes.contains(
+          new Path(root).toUri.getScheme) &&
+          Lake.warnedObjectStoreRoots.add(root))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lake root $root is on a copy-on-rename object store: the " +
+            "staging append pays 2x PUT bytes; prefer an HDFS/ABFS-" +
+            "semantics store for this lake")
       val stagingName = s"_graft_staging_${java.util.UUID.randomUUID()}"
       val staging = s"$dir/$stagingName"
       // r19: lake data writes annotate timestamps as INT64
@@ -135,10 +148,6 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // INT64 (none exist for INT96), which statsFor/footerStats then
       // serve without rescanning the data — and every engine reads
       // micros natively, INT96 being long deprecated.
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prevTs = spark.conf.getOption(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try {
       // REBALANCE on the partition columns before the partitioned
       // write: without it every write task holds rows of ~every
       // touched dir, so one append emits tasks×dirs fragment files —
@@ -149,13 +158,12 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       // the advisory partition size — hash repartition alone would
       // serialize a hot directory. One linear shuffle per batch buys
       // a file count proportional to dirs, not dirs×tasks.
-      batch.hint("rebalance", TpSchema.partitionCols.map(col): _*)
-        .write
-        .partitionBy(TpSchema.partitionCols: _*)
-        .mode(SaveMode.Overwrite)
-        .parquet(staging)
-      } finally {
-        prevTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+      Lake.withMicrosTimestamps(spark) {
+        batch.hint("rebalance", TpSchema.partitionCols.map(col): _*)
+          .write
+          .partitionBy(TpSchema.partitionCols: _*)
+          .mode(SaveMode.Overwrite)
+          .parquet(staging)
       }
       val f = fs(spark, root)
       val stagingPath = new Path(staging)
@@ -898,14 +906,25 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
+    // every swap rename is CHECKED (r19 ADVICE-medium): on HDFS
+    // semantics a failed rename returns false rather than throwing,
+    // and proceeding would move `_new` INSIDE the still-live dir
+    // (silently disabling compaction forever) or delete `_old` while
+    // it is the only complete copy — abort before the delete instead
+    // and let healSwapAsides recover on the next open, exactly like
+    // the append staging move.
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!filesys.rename(src, dst))
+        throw new java.io.IOException(
+          s"manifest swap rename failed: $src -> $dst")
     def swap(dir: Path, rows: DataFrame): Unit = {
       val tmp = new Path(dir.toString + "_new")
       val old = new Path(dir.toString + "_old")
       rows.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(tmp.toString)
       filesys.delete(old, true)
-      if (filesys.exists(dir)) filesys.rename(dir, old)
-      filesys.rename(tmp, dir)
+      if (filesys.exists(dir)) renameOrThrow(dir, old)
+      renameOrThrow(tmp, dir)
       filesys.delete(old, true)
       ()
     }
@@ -927,8 +946,8 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
       ManifestIO.writeManifest(
         spark.sessionState.newHadoopConf(), tmp.toString, rows)
       filesys.delete(old, true)
-      if (filesys.exists(mdir)) filesys.rename(mdir, old)
-      filesys.rename(tmp, mdir)
+      if (filesys.exists(mdir)) renameOrThrow(mdir, old)
+      renameOrThrow(tmp, mdir)
       filesys.delete(old, true)
       ()
     }
@@ -2329,21 +2348,19 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
         case None       => dataFiles(spark, table)
       }
       val before = files().toSet
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prev = spark.conf.getOption(key)
-      val prevTs = spark.conf.getOption(tsKey)
-      spark.conf.set(key, "dynamic")
-      // micros-annotated timestamps → footer stats (see append)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try {
+      // dynamic overwrite as a WRITER OPTION, not a session-conf
+      // toggle (r19 ADVICE-low conf-race class): the option is scoped
+      // to exactly this write, so a concurrent overwrite on another
+      // thread can neither inherit nor clobber it. The timestamp
+      // encoding has no such option — withMicrosTimestamps serializes
+      // its conf window instead (micros annotation → footer stats,
+      // see append).
+      Lake.withMicrosTimestamps(spark) {
         df.write
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(TpSchema.partitionCols: _*)
           .mode(SaveMode.Overwrite)
           .parquet(dir)
-      } finally {
-        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-        prevTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
       }
       val after = files()
       val added = after.filterNot(before)
@@ -2437,6 +2454,43 @@ final case class Lake(root: String, manifestCompactThreshold: Int = 64)
 }
 
 object Lake {
+
+  /** Filesystem schemes where rename is physically copy+delete. */
+  private[lake] val copyOnRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+  private[lake] val warnedObjectStoreRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Run one lake DATA write with the session's parquet timestamp
+    * encoding scoped to INT64 TIMESTAMP(MICROS) (footer-stats-bearing;
+    * INT96 writes no column stats — see append). The
+    * set→write→restore window is serialized under a JVM-GLOBAL lock
+    * (r20, from r19 ADVICE-low): the r19 bare toggle raced concurrent
+    * writes on the SAME session — per-TABLE locks don't order two
+    * tables' appends, so an interleaved restore could leak INT96 into
+    * a lake file (losing footer stats: fail-open to the scan, correct
+    * but slow) or leak MICROS into an unrelated concurrent write.
+    * There is no per-write option for this key (ParquetOptions does
+    * not accept it; verified against Spark 4.1.2 bytecode) and the
+    * encoding must NOT become a session-wide default — downstream
+    * consumers of non-lake writes (e.g. the harness's naive-read
+    * result dumps) would observe tz-aware MICROS where they wrote
+    * INT96. Cost: two lake data writes in one JVM serialize across
+    * this window; metadata work stays under the finer per-table
+    * locks, and a deployment needing write overlap uses one session
+    * per writer (each session's conf is independent).
+    */
+  private[lake] def withMicrosTimestamps[T](
+      spark: SparkSession)(body: => T): T =
+    writeConfLock.synchronized {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try body
+      finally prev.fold(spark.conf.unset(tsKey))(
+        spark.conf.set(tsKey, _))
+    }
+  private val writeConfLock = new Object
 
   /** The metadata-served portion of a stats aggregate: totals over the
     * files the manifest+sidecar answer EXACTLY, plus the residual file

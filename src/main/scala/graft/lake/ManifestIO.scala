@@ -148,7 +148,24 @@ private[lake] object ManifestIO {
     val t = g.getType.getType(name).asPrimitiveType()
     t.getPrimitiveTypeName match {
       case PrimitiveType.PrimitiveTypeName.INT64 =>
-        Some(DateTimeUtils.toJavaTimestamp(g.getLong(name, 0)))
+        // convert by the DECLARED unit, never by assumption (r19
+        // ADVICE-medium): a manifest part written by a Spark session
+        // pinned to TIMESTAMP_MILLIS would otherwise be read 1000×
+        // off, silently corrupting data-skipping ranges. Unannotated
+        // int64 (shouldn't exist for this column) fails loudly.
+        val raw = g.getLong(name, 0)
+        val micros = t.getLogicalTypeAnnotation match {
+          case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            a.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+            }
+          case other => throw new IllegalStateException(
+            s"manifest $name: int64 without a timestamp annotation " +
+              s"($other) — refusing to guess the unit")
+        }
+        Some(DateTimeUtils.toJavaTimestamp(micros))
       case PrimitiveType.PrimitiveTypeName.INT96 =>
         val bb = g.getInt96(name, 0).toByteBuffer
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -166,32 +183,44 @@ private[lake] object ManifestIO {
     */
   def maxSeq(conf: Configuration, dir: String): Option[Long] = {
     val parts = manifestParts(conf, dir)
-    var best: Option[Long] = None
-    parts.foreach { p =>
-      val in = HadoopInputFile.fromPath(p, conf)
-      val r = ParquetFileReader.open(in)
-      try {
-        val footer = r.getFooter
-        footer.getBlocks.asScala.foreach { b =>
-          if (b.getRowCount > 0) {
-            val col = b.getColumns.asScala
-              .find(_.getPath.toDotString == "seq")
-              .getOrElse(throw new IllegalStateException(
-                s"manifest file $p lacks seq column"))
-            val st = col.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue)
-              // stats unexpectedly absent: fall back to reading the rows
-              return readManifest(conf, dir) match {
-                case rs if rs.isEmpty => None
-                case rs => Some(rs.map(_.seq).max)
-              }
-            val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
-            if (!best.exists(_ >= mx)) best = Some(mx)
+    // pooled footer reads like footerStats (r19 verdict: the serial
+    // loop was the one remaining unpooled footer path — bounded by the
+    // self-compaction threshold, but object-store open latency ×64
+    // serial is still a visible stall). Per part: Some(max) from
+    // stats, None for an empty part, or a thrown MissingStats to
+    // trigger the row-read fallback.
+    final case class MissingStats() extends RuntimeException
+    val perPart: Seq[Option[Long]] =
+      try parMap(parts) { p =>
+        val in = HadoopInputFile.fromPath(p, conf)
+        val r = ParquetFileReader.open(in)
+        try {
+          var best: Option[Long] = None
+          r.getFooter.getBlocks.asScala.foreach { b =>
+            if (b.getRowCount > 0) {
+              val col = b.getColumns.asScala
+                .find(_.getPath.toDotString == "seq")
+                .getOrElse(throw new IllegalStateException(
+                  s"manifest file $p lacks seq column"))
+              val st = col.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue)
+                // stats unexpectedly absent: fall back to reading rows
+                throw MissingStats()
+              val mx = st.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue()
+              if (!best.exists(_ >= mx)) best = Some(mx)
+            }
           }
-        }
-      } finally r.close()
-    }
-    best
+          best
+        } finally r.close()
+      } catch {
+        case _: MissingStats =>
+          return readManifest(conf, dir) match {
+            case rs if rs.isEmpty => None
+            case rs => Some(rs.map(_.seq).max)
+          }
+      }
+    perPart.flatten.reduceOption((a, b) => math.max(a, b))
   }
 
   /** The Spark catalyst schema a Spark-written parquet file carries in
@@ -229,12 +258,30 @@ private[lake] object ManifestIO {
     */
   private def parMap[A, B](items: Seq[A])(body: A => B): Seq[B] = {
     if (items.size <= 2) return items.map(body)
+    // daemon threads: a hung filesystem open must not keep the JVM
+    // alive after main exits (r19 ADVICE-low)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, items.size))
+      math.min(16, items.size),
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-manifest-io")
+          t.setDaemon(true)
+          t
+        }
+      })
     try {
       val futures = items.map(a => pool.submit(
         new java.util.concurrent.Callable[B] { def call(): B = body(a) }))
-      futures.map(_.get())
+      futures.map { f =>
+        // surface the worker's real exception, not the Execution-
+        // Exception wrapper (callers of statsFor used to see the
+        // underlying IO/Spark failure from the scan path)
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
     } finally pool.shutdown()
   }
 

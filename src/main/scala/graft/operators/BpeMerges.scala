@@ -142,6 +142,13 @@ object BpeMerges {
     * unless a fresh artifact (same rounds + corpus row count) already
     * exists. Returns the loaded tokenizer either way — callers like
     * qt35/qt48 share one training per corpus instead of one per query.
+    *
+    * CONTRACT (r19 ADVICE-low): a non-empty `sourceFp` must pin the
+    * EXACT DataFrame contents (`df` = the untransformed full corpus of
+    * the fingerprinted source) — with sourceFp set, the row count is
+    * not part of the staleness key, so a filtered/transformed frame
+    * under the same sourceFp would silently reuse a mismatched
+    * tokenizer. Use sourceFp = "" for derived corpora.
     */
   def ensureTrained(
       df: DataFrame, textCol: String, rounds: Int,

@@ -287,6 +287,14 @@ object Perplexity {
 
   /** Train-and-save under `path` unless a fresh artifact (same text
     * column + corpus row count) exists; returns `path` for chaining.
+    *
+    * CONTRACT (r19 ADVICE-low): a non-empty `sourceFp` must pin the
+    * EXACT DataFrame contents — i.e. `df` is the untransformed full
+    * corpus read of the fingerprinted source file(s). When sourceFp
+    * is set the row count is NOT part of the staleness key, so a
+    * caller passing a filtered/transformed frame with the same
+    * sourceFp would silently reuse a mismatched artifact. Pass
+    * sourceFp = "" (count-keyed) for any derived corpus.
     */
   def ensureLm(
       df: DataFrame, textCol: String, path: String,

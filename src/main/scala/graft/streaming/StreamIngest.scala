@@ -881,34 +881,39 @@ object StreamIngest {
       bucketed: Boolean, heapRowsPerPartition: Long,
       windowSecs: Long): StreamSizing = {
     val spark = sample.sparkSession
-    // one extra bounded aggregate over the sample gives the key
-    // distribution's SECOND MOMENT c2 = Σ(n_k/N)² and the single
-    // hottest key's share. Shares are scale-free, so neither needs
-    // rowScale. c2 generalizes the uniform-key trigger formula: the
-    // symmetric-hash probe totals b·Σ_k n_k²/T = b·N²·c2/T per the
-    // r12 cost model, and uniform keys give c2 = 1/K exactly — the
-    // formula autoState shipped with — while a skewed stream
+    // ONE bounded two-level aggregate over the sample yields every
+    // derivation input (r20, guide §1.2 "remove passes" — this ran as
+    // TWO separate jobs through r19, i.e. two full parses of the
+    // sizing sample): per-key counts + per-key ts ranges in the inner
+    // groupBy (map-side combined), then row count N, EXACT key count K
+    // (count of non-null group keys — strictly more accurate than the
+    // approx_count_distinct the second pass used; spec asserts carry
+    // ±5% slack either way), the hottest key's count, the second
+    // moment Σn_k², and the event-time span, all from the group rows.
+    // c2 = Σ(n_k/N)² is the key distribution's SECOND MOMENT; shares
+    // are scale-free, so neither it nor topShare needs rowScale. c2
+    // generalizes the uniform-key trigger formula: the symmetric-hash
+    // probe totals b·Σ_k n_k²/T = b·N²·c2/T per the r12 cost model,
+    // and uniform keys give c2 = 1/K exactly — while a skewed stream
     // concentrates c2 in its hot keys and needs coarser triggers.
-    val dist = sample.where(col(tsCol).isNotNull)
-      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val d = sample.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"),
+        min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"))
       .agg(sum(col("c")).as("n"),
-        count(lit(1)).as("k_exact"),
+        count(col(keyCol)).as("k"),
         max(col("c")).as("top"),
-        sum(col("c").cast("double") * col("c")).as("m2")).head()
-    val agg = sample.where(col(tsCol).isNotNull).agg(
-      count(lit(1)).as("n"),
-      approx_count_distinct(col(keyCol)).as("k"),
-      ((unix_micros(max(col(tsCol)).cast("timestamp")) -
-        unix_micros(min(col(tsCol)).cast("timestamp"))) / 1000000L)
-        .cast("long").as("span")).head()
-    val n = math.round(agg.getLong(0) * math.max(1.0, rowScale))
-    val k = math.max(1L, if (agg.isNullAt(1)) 1L else agg.getLong(1))
-    val span = if (agg.isNullAt(2)) 0L else agg.getLong(2)
-    val nSample = if (dist.isNullAt(0)) 0L else dist.getLong(0)
+        sum(col("c").cast("double") * col("c")).as("m2"),
+        ((unix_micros(max(col("mx")).cast("timestamp")) -
+          unix_micros(min(col("mn")).cast("timestamp"))) / 1000000L)
+          .cast("long").as("span")).head()
+    val nSample = if (d.isNullAt(0)) 0L else d.getLong(0)
+    val n = math.round(nSample * math.max(1.0, rowScale))
+    val k = math.max(1L, if (d.isNullAt(1)) 1L else d.getLong(1))
+    val span = if (d.isNullAt(4)) 0L else d.getLong(4)
     val topShare = if (nSample <= 0L) 0.0
-      else dist.getLong(2).toDouble / nSample
+      else d.getLong(2).toDouble / nSample
     val c2 = if (nSample <= 0L) 1.0 / k
-      else dist.getDouble(3) / (nSample.toDouble * nSample)
+      else d.getDouble(3) / (nSample.toDouble * nSample)
     val maxP = math.max(1, spark.sparkContext.defaultParallelism)
     // salt when the hottest key alone would out-fill its fair share
     // of the machine by ≥ MinSaltFactor; spread it over ~topShare·maxP
@@ -1099,6 +1104,35 @@ object StreamIngest {
     val sample = spark.read.schema(schema)
       .json(picks.map(_.getPath.toString): _*)
     (sample, sampledBytes, totalBytes)
+  }
+
+  /** Two-sided interval-join sizing from INBOX SAMPLES (r20, r19
+    * verdict task 1): sample each side via [[inboxSample]] (first/last
+    * by mtime + evenly spaced middles), project both to `(k, t)` with
+    * `mapSide`, blend the byte ratios into `rowScale`, and derive the
+    * state layout with [[autoState]]. Through r19 the qi22/24/27
+    * sizing pass parsed BOTH full inboxes before the stream started —
+    * at a 100 TB/day feed that sizing pass IS a day's scan (the r13
+    * rehearsal measured the analogous full parse at 15% of a 10M-event
+    * drain). On an inbox small enough that the sample covers every
+    * file, the derivation is IDENTICAL to the full-parse one by
+    * construction (sample = whole inbox, rowScale = 1) —
+    * StreamIngestSpec pins that equivalence, which is what lets the
+    * bench queries use the at-scale path without an oracle risk:
+    * sizing outputs only shape state layout, never rows.
+    */
+  def sampledJoinSizing(
+      spark: SparkSession,
+      leftDir: String, leftSchema: StructType,
+      rightDir: String, rightSchema: StructType,
+      mapSide: DataFrame => DataFrame,
+      horizonSecs: Long, bucketed: Boolean = false,
+      sampleFiles: Int = 4): StreamSizing = {
+    val (ls, lb, ltb) = inboxSample(spark, leftDir, leftSchema, sampleFiles)
+    val (rs, rb, rtb) = inboxSample(spark, rightDir, rightSchema, sampleFiles)
+    val scale = (ltb + rtb).toDouble / math.max(1L, lb + rb)
+    autoState(mapSide(ls).unionByName(mapSide(rs)), "k", "t",
+      horizonSecs, rowScale = scale, bucketed = bucketed)
   }
 
   /** Streaming exact dedup with bounded state: drops rows whose key was

@@ -1040,6 +1040,37 @@ class LakeSpec extends AnyFunSuite with SparkTest {
       s"ts spread $zSpreadTs not < half the full span")
   }
 
+  test("z-order rewrite layout is dir-major: files ≤ slices + dirs " +
+      "(r20 pin)") {
+    // the range partitioner's sort key is (partitionCols, zvalue), so
+    // slices are contiguous in directory order — each output file sits
+    // inside one dir except the ≤ dirs−1 slices that straddle a dir
+    // boundary. Pinned here because the qi26 scale-adaptive slice
+    // target depends on it: total files ≈ slices, never slices × dirs.
+    val lake = newLake()
+    val n = 20000
+    val raw = spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestamp '2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0, id * 30)")
+        .as("tp_timestamp"),
+      // 5 distinct index values → 5 partition dirs
+      concat(lit("t"), (col("id") % 5)).as("idx"),
+      ((col("id") * 7919) % n).cast("double").as("v"))
+    lake.append(spark, "t",
+      TpSchema.enrich(raw, PartitionSpec("t", "p0",
+        tpIndexColumn = Some("idx"))))
+    val target = 1250L
+    val slices = math.ceil(n.toDouble / target).toInt // 16
+    val dirs = 5
+    val (_, after) = Maintenance.compactZorder(spark, lake, "t",
+      Seq("tp_timestamp", "v"), targetFileRows = target)
+    assert(after > 1, "expected multiple output files")
+    assert(after <= slices + dirs,
+      s"z-order layout not dir-major: $after files > $slices slices " +
+        s"+ $dirs dirs")
+    assert(lake.read(spark, "t").count() == n)
+  }
+
   test("z-order bins string columns by sampled lexicographic rank") {
     val lake = newLake()
     // s is a zero-padded permutation string, uncorrelated with time:

@@ -482,6 +482,49 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     assert(all.count() == 80 && sb == tb)
   }
 
+  test("sampledJoinSizing: on an inbox the sample fully covers, the " +
+    "derivation equals the full-parse autoState (r20 contract)") {
+    // the qi22/24/27 derivation contract: sizing from inboxSample must
+    // be IDENTICAL to sizing from a full parse whenever the sample is
+    // the whole inbox (≤ sampleFiles files per side, the bench
+    // geometry) — that equivalence is what lets the declared queries
+    // take the at-scale sampled path with zero oracle risk
+    val root = Files.createTempDirectory("graft_sjs").toString
+    def writeSide(name: String, keyBase: Int): String = {
+      val d = new java.io.File(root, name); d.mkdirs()
+      (0 until 2).foreach { i =>
+        val f = new java.io.File(d, s"chunk$i.json")
+        val w = new java.io.PrintWriter(f)
+        try (0 until 30).foreach { j =>
+          val k = keyBase + (i * 30 + j) % 7
+          w.println(
+            f"""{"user_id": $k, "ts": "2024-03-01 1$i%d:$j%02d:00"}""")
+        } finally w.close()
+        f.setLastModified(1700000000000L + i * 60000L); ()
+      }
+      d.getPath
+    }
+    val lDir = writeSide("purchases", 100)
+    val rDir = writeSide("errors", 200)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType)))
+    val mapSide = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("user_id").as("k"), to_timestamp(col("ts")).as("t"))
+    val sampled = StreamIngest.sampledJoinSizing(spark,
+      lDir, schema, rDir, schema, mapSide,
+      horizonSecs = 7200L, bucketed = true)
+    val full = StreamIngest.autoState(
+      mapSide(spark.read.schema(schema).json(lDir))
+        .unionByName(mapSide(spark.read.schema(schema).json(rDir))),
+      "k", "t", horizonSecs = 7200L, rowScale = 1.0, bucketed = true)
+    assert(sampled == full, s"sampled=$sampled full=$full")
+    // and the inputs really were fully covered: exact rows, exact keys
+    assert(sampled.rows == 120 && sampled.keys == 14, sampled)
+  }
+
   test("legacy flat-marker sweep runs once per commit root, not per batch") {
     val root = Files.createTempDirectory("graft_markers_sweep").toString
     val commits = new org.apache.hadoop.fs.Path(s"$root/_stream_commits")
