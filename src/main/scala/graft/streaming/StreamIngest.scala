@@ -1169,6 +1169,7 @@ object StreamIngest {
   def incrementalDedupBatch(
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       indexPath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
     val cols = batch.columns
     val fresh = graft.operators.Dedup
       .filterAgainstIndex(batch, textCol, indexPath)
@@ -1176,16 +1177,29 @@ object StreamIngest {
       .agg(min_by(struct(cols.toIndexedSeq.map(col): _*), col(idCol))
         .as("__row"))
       .select(col("__row.*"))
-      // two consumers below (data write + index append); micro-batches
-      // are bounded, so pinning the anti-join result is cheap and keeps
-      // the two writes seeing the identical row set
-      .localCheckpoint()
     fresh.withColumn("__batch_id", lit(batchId))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id")
       .parquet(outPath)
-    graft.operators.Dedup.appendToDigestIndex(fresh, textCol, indexPath)
+    // the index append derives from the JUST-WRITTEN batch directory
+    // rather than a localCheckpoint of the anti-join result (r20,
+    // guide §1.2/§5): the r19 shape pinned every micro-batch in the
+    // block cache (one materialization job) so the data write and the
+    // index append saw one row set; reading the committed batch back
+    // gives the identical row set (the write is the single evaluation)
+    // without the extra job or the executor-storage copy — and the
+    // index can now never record a digest whose row is not durably in
+    // the output (the crash contract strictly tightens: ordering +
+    // idempotence as before, but derived from what is actually on
+    // disk).
+    val bdir = new org.apache.hadoop.fs.Path(
+      s"$outPath/__batch_id=$batchId")
+    val bfs = bdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an all-duplicate batch wrote no directory: nothing to index
+    if (bfs.exists(bdir))
+      graft.operators.Dedup.appendToDigestIndex(
+        spark.read.parquet(bdir.toString), textCol, indexPath)
   }
 
   /** Streaming incremental dedup against the PERSISTED digest index —

@@ -1156,6 +1156,12 @@ class StreamIngestSpec extends AnyFunSuite with SparkTest {
     // "c" is new
     in.addData(4L -> "a", 5L -> "c")
     q.processAllAvailable()
+    // batch 3: ALL duplicates -> zero fresh rows, no batch directory
+    // (r20: the index append derives from the written batch dir, so
+    // this batch must cleanly skip the append, not fail on a missing
+    // path)
+    in.addData(6L -> "a", 7L -> "c")
+    q.processAllAvailable()
     q.stop()
     val got = spark.read.parquet(out)
       .select("id").collect().map(_.getLong(0)).toSet
