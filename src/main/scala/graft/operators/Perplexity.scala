@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -278,11 +278,47 @@ object Perplexity {
     * BPE tokenizer).
     */
   def saveLm(df: DataFrame, textCol: String, path: String): Unit = {
-    unigramCounts(df, textCol)
+    // ONE tokenization pass feeds all three tables (r20, guide §1.2):
+    // the r1–r19 shape evaluated TF.tokens over the full corpus THREE
+    // times — unigram counts, bigram-pair counts, and the >=2-token
+    // unigram side each triggered their own scan+tokenize. Tag-union
+    // the three posting kinds in one explode and aggregate once (map-
+    // side combined; the shuffle carries (tag, token[, token]) count
+    // rows — vocabulary-sized, never corpus-sized), pin the MODEL-
+    // SIZED aggregate, and serve the three writes from the pin. Counts
+    // are construction-identical: same non-empty-token filter, same
+    // >=2-token gate, same zip_with pair enumeration (PerplexitySpec's
+    // merge==full rows and the qt34/36/39/48/53 oracles gate values).
+    val t = filter(TF.tokens(col(textCol)), x => x =!= "")
+    val nullS = lit(null).cast("string")
+    def post(tag: String, k1: Column, k2: Column): Column =
+      struct(lit(tag).as("tag"), k1.as("k1"), k2.as("k2"))
+    val uniPosts = transform(t, x => post("u", x, nullS))
+    val bigPosts = zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => post("b", a, b))
+    // slice(uni, 1, 0) = a typed EMPTY array — when() alone would
+    // yield null for 1-token docs and concat(null) would swallow
+    // their unigram postings too
+    val posts = concat(uniPosts,
+      when(size(t) >= 2,
+        concat(transform(t, x => post("s", x, nullS)), bigPosts))
+        .otherwise(slice(uniPosts, lit(1), lit(0))))
+    val counts = df.select(explode(posts).as("e"))
+      .groupBy(col("e.tag").as("tag"), col("e.k1").as("k1"),
+        col("e.k2").as("k2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    counts.where(col("tag") === "u")
+      .select(col("k1").as("tok"), col("n").as("c"))
       .write.mode("overwrite").parquet(s"$path/unigrams")
-    val (c2, uni2) = bigramTables(df, textCol)
-    c2.write.mode("overwrite").parquet(s"$path/bigrams")
-    uni2.write.mode("overwrite").parquet(s"$path/uni2")
+    counts.where(col("tag") === "b")
+      .select(col("k1").as("p"), col("k2").as("c"), col("n").as("c2"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+    counts.where(col("tag") === "s")
+      .select(col("k1").as("c"), col("n").as("cu"))
+      .write.mode("overwrite").parquet(s"$path/uni2")
   }
 
   /** Train-and-save under `path` unless a fresh artifact (same text
